@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the synthetic warehouse fixtures (TESTDATA.md).
+  *
+  * Tables are one Parquet file/dir per name under a scale-factor dir.
+  * All engine operators take `(SparkSession, sfDir)` and pull inputs
+  * through here so that column pruning + filter pushdown reach the
+  * Parquet scan (the scan is declared lazily; Catalyst prunes).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") return loadEvents(spark, dir)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events fixture stores `ts` as Parquet TIMESTAMP(NANOS), which the
+    * Spark reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long
+    * (legacy conf) and convert to a microsecond TimestampType column with
+    * integer arithmetic (ns since 2024 ≈ 1.7e18 > 2^53, so a double-typed
+    * division would lose precision — `div` keeps it integral).
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
+
+  /** Register every fixture table as a temp view (for spark.sql use). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
