@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.DeclaredQueries
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,12 +16,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     DeclaredQueries.q2Orphans(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * LLM-pipeline extension (SURVEY §7.7). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DeclaredQueries.queries
+    DeclaredQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    DeclaredQueries.oracleSql
+    DeclaredQueries.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
+      Similarity.oracleSql ++ Multimodal.oracleSql
 }
