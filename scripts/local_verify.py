@@ -22,6 +22,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            v = 0.0  # normalize -0.0 (engines may disagree on the sign of zero)
         return f"{v:.6g}"
     if isinstance(v, bool):
         return str(int(v))

@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to construct engine sessions with the confs the engine
+  * requires, so no operator has to mutate shared session state mid-query.
+  *
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the `events` fixture
+  *    stores `ts` as Parquet TIMESTAMP(NANOS), which the Spark reader
+  *    otherwise rejects ([PARQUET_TYPE_ILLEGAL]). Applied at construction —
+  *    not inside the read — so concurrent loads never race on session conf
+  *    (ADVICE r1).
+  *  - UTC timezone: oracle comparisons are timezone-stable.
+  *  - shuffle.partitions sized to the core count (local[N] harness), not
+  *    the 200 default; on a real cluster this would be AQE-advised.
+  */
+object GraftSession {
+
+  val requiredConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def builder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    requiredConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+  }
+}

@@ -24,9 +24,15 @@ object Tables {
     * (legacy conf) and convert to a microsecond TimestampType column with
     * integer arithmetic (ns since 2024 ≈ 1.7e18 > 2^53, so a double-typed
     * division would lose precision — `div` keeps it integral).
+    *
+    * The nanosAsLong conf is session-level and is expected to be applied at
+    * session construction ([[GraftSession.builder]]); it is only set here as
+    * a one-time fallback for ad-hoc sessions (never toggled back, so reads
+    * can't race on session state mid-flight).
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts",

@@ -127,10 +127,11 @@ object Multimodal {
        |b AS (SELECT media_id, (i - 1) // $FrameBytes AS frame_no,
        |             ascii(substring(text, CAST(i AS INT), 1)) AS v
        |      FROM c),
-       |fr AS (SELECT media_id, frame_no, sum(v) AS checksum,
+       |fr AS (SELECT media_id, frame_no, CAST(sum(v) AS BIGINT) AS checksum,
        |              min(v) AS b_min, max(v) AS b_max
        |       FROM b GROUP BY 1, 2)
-       |SELECT media_id, count(*) AS n_frames, sum(checksum) AS total_checksum,
+       |SELECT media_id, count(*) AS n_frames,
+       |       CAST(sum(checksum) AS BIGINT) AS total_checksum,
        |       min(b_min) AS b_min, max(b_max) AS b_max
        |FROM fr GROUP BY 1""".stripMargin
 

@@ -65,11 +65,20 @@ object Similarity {
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** DuckDB fragment for the same signature over list column `v`. */
+  /** DuckDB fragment for the same signature over list column `v`.
+    *
+    * The projection is written as an explicit left-associated chain
+    * `(0.0 + v[1] - v[2] + ...)` — NOT `list_dot_product` — so the FP
+    * summation order is exactly Spark's `aggregate()` left fold
+    * (((0+p1)+p2)+...). With ±1 weights every product is exact, so the two
+    * engines' projections are bit-identical and the sign bit can never
+    * disagree, even when a projection is within double noise of zero. */
   def signatureSql(vCol: String): String =
     (0 until NumPlanes).map { j =>
-      val weights = planes(j).map(s => s"$s.0").mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product($vCol, $weights::DOUBLE[]) > 0 THEN ${1L << j} ELSE 0 END)"
+      val chain = planes(j).zipWithIndex.map { case (s, i) =>
+        (if (s > 0) " + " else " - ") + s"$vCol[${i + 1}]"
+      }.mkString
+      s"(CASE WHEN (0.0$chain) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   /** LSH-bucketed approximate top-k: rank only within the query's bucket. */

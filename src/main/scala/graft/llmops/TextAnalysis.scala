@@ -54,11 +54,15 @@ object TextAnalysis {
       .withColumn("stopword_ratio", round(col("raw_stopword_ratio"), 4))
       .withColumn("uniq_ratio", round(col("raw_uniq_ratio"), 4))
       // Quality score: in [0,1]-ish, rewards lexical diversity and a
-      // natural stopword rate, penalizes very short docs.
+      // natural stopword rate, penalizes very short docs. Rounded with the
+      // bit-stable floor(x*1e4 + 0.5)/1e4 — expressed identically in the
+      // oracle — because the weighted sum lands exactly on 4-decimal half
+      // boundaries where BigDecimal-HALF_UP (Spark) and DuckDB round()
+      // disagree on the underlying double.
       .withColumn("quality",
-        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4 +
+        floor((least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4 +
           col("raw_uniq_ratio") * 0.3 +
-          least(lit(1.0), col("raw_stopword_ratio") * 5.0) * 0.3, 4))
+          least(lit(1.0), col("raw_stopword_ratio") * 5.0) * 0.3) * 10000.0 + 0.5) / 10000.0)
   }
 
   /** Language-ID by stopword-hit argmax with deterministic tiebreak
@@ -119,8 +123,8 @@ object TextAnalysis {
        |  FROM t)
        |SELECT doc_id, n_tokens, n_uniq_tokens, n_alnum_tokens, bpe_est,
        |       avg_word_len, round(raw_stopword_ratio, 4) AS stopword_ratio,
-       |       round(least(1.0, n_tokens / 100.0) * 0.4 + raw_uniq_ratio * 0.3 +
-       |             least(1.0, raw_stopword_ratio * 5.0) * 0.3, 4) AS quality
+       |       floor((least(1.0, n_tokens / 100.0) * 0.4 + raw_uniq_ratio * 0.3 +
+       |             least(1.0, raw_stopword_ratio * 5.0) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
        |FROM s""".stripMargin
   }
 
