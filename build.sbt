@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Many sequential queries generate a lot of Janino/WholeStageCodegen
+  // classes; the JDK default 240 MB reserved code cache fills after ~20
+  // queries, the JIT stops compiling, and expression-heavy queries run
+  // interpreted (measured 100x+ slowdowns). Size it so codegen stays hot.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

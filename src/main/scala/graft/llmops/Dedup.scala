@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import Hashing._
@@ -13,17 +13,25 @@ import Hashing._
   *    frequency cap on shingles (bounds the quadratic pair blowup — at scale
   *    the cap is what keeps the join from degenerating on stop-shingles)
   *  - MinHash + LSH: 128 permutations → 32 bands × 4 rows → bucket join →
-  *    exact-Jaccard verification of candidates only (the classic
+  *    exact-Jaccard verification of candidate pairs ONLY (the classic
   *    shingle→minhash→band→bucket-join pipeline; candidate generation is
-  *    O(n·bands), never O(n²))
+  *    O(n·bands), never O(n²), and verification cost is proportional to the
+  *    candidate count, not the corpus)
   *  - SimHash: 60-bit weighted sign-fingerprint; near-dup pairs via 4×15-bit
   *    band buckets + Hamming verification
-  *  - embedding cosine: normalized-vector pair join (brute force at test
-  *    scale; the LSH-bucketed scale path lives in Similarity.scala)
+  *  - embedding cosine: all-pairs via broadcast corpus blocks (correct at
+  *    test scale; the LSH-bucketed scale path lives in Similarity.scala)
   *
-  * Every hash is the shared md5-derived 60-bit value (Hashing.md5Long), so
-  * the DuckDB oracles replicate each pipeline bit-for-bit, including LSH
-  * candidate generation.
+  * Hashing/shingling/signature math runs in [[Kernels]] inside
+  * `mapPartitions` — tight JVM loops, one MessageDigest per partition —
+  * instead of interpreted Catalyst lambda expressions, which profiling
+  * showed to be 100-500× slower. Every hash is the shared md5-derived
+  * 60-bit value (Kernels.md5Long == Hashing.md5Long), so the DuckDB oracles
+  * replicate each pipeline bit-for-bit, including LSH candidate generation.
+  *
+  * Joins/aggregations stay declarative DataFrame ops: candidate joins are
+  * plain shuffles on (band, bucket) long/string keys that partition evenly
+  * at cluster scale, and AQE handles skew/broadcast selection.
   */
 object Dedup {
 
@@ -38,6 +46,8 @@ object Dedup {
   val CosineThreshold = 0.4
 
   val seeds: IndexedSeq[(Long, Long)] = minhashSeeds(NumHashes)
+  private val seedsA: Array[Long] = seeds.map(_._1).toArray
+  private val seedsB: Array[Long] = seeds.map(_._2).toArray
 
   // ------------------------------------------------------------- exact dedup
 
@@ -49,15 +59,22 @@ object Dedup {
 
   // ----------------------------------------------------------- word shingles
 
-  /** Distinct word-3-gram shingles per doc. `w[i]` is 0-based in Spark SQL;
-    * the oracle uses 1-based list indexing — both produce triples 0..n-3. */
-  def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
-        .as("s"))
-      .distinct()
+  /** Per-doc distinct word-3-gram shingles as sorted 60-bit hashes
+    * (`(doc_id, hashes)` — one row per doc with ≥3 tokens). Narrow
+    * mapPartitions pass: no shuffle, scales linearly with input splits. */
+  def shingleHashSets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = Kernels.newMd5()
+        it.flatMap { case (id, text) =>
+          val hs = Kernels.distinctShingleHashes(md, text)
+          if (hs.isEmpty) Iterator.empty else Iterator.single((id, hs))
+        }
+      }.toDF("doc_id", "hashes")
+  }
 
   val shinglesSql: String =
     """sh AS (
@@ -68,30 +85,33 @@ object Dedup {
 
   // ------------------------------------------------------ exact n-gram Jaccard
 
-  /** All-pairs exact Jaccard over shingles via inverted-index self-join.
-    * Shingles with document frequency > dfCap are dropped BEFORE pair
-    * generation (both sides of the oracle do the same), bounding the join
-    * fan-out: a shingle appearing in k docs yields k² pair rows. */
+  /** All-pairs exact Jaccard over shingles via inverted-index self-join on
+    * the 60-bit shingle hash. Shingles with document frequency > dfCap are
+    * dropped BEFORE pair generation (both sides of the oracle do the same),
+    * bounding the join fan-out: a shingle appearing in k docs yields k²
+    * pair rows. The threshold filter is on the RAW ratio (as in the
+    * oracle); rounding is presentation-only. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = JaccardThreshold,
                         dfCap: Int = ShingleDfCap): DataFrame = {
-    val sh = shingles(docs).cache()
-    val kept = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("s"))
-    val shKept = sh.join(kept, Seq("s"))
+    val exploded = shingleHashSets(docs)
+      .select(col("doc_id"), explode(col("hashes")).as("h"))
+    val kept = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("h"))
+    val shKept = exploded.join(kept, Seq("h"))
     val sizes = shKept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = shKept.select(col("doc_id").as("doc_a"), col("s"))
-    val b = shKept.select(col("doc_id").as("doc_b"), col("s"))
-    val inter = a.join(b, Seq("s"))
+    val a = shKept.select(col("doc_id").as("doc_a"), col("h"))
+    val b = shKept.select(col("doc_id").as("doc_b"), col("h"))
+    val inter = a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("raw_j",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("raw_j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("raw_j"), 4).as("jaccard"))
   }
 
   def ngramOracleSql(threshold: Double = JaccardThreshold, dfCap: Int = ShingleDfCap): String =
@@ -110,42 +130,60 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash + LSH
 
-  /** MinHash signatures: one groupBy computing all 128 mins in a single
-    * pass (partial agg on the map side → the shuffle carries one row per
-    * (doc, 128 longs), not per shingle). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val xs = shingles(docs)
-      .select(col("doc_id"), (md5Long(col("s")) % P).as("x"))
-    val aggs = seeds.zipWithIndex.map { case ((a, b), j) =>
-      min((lit(a) * col("x") + lit(b)) % P).as(s"h$j")
-    }
-    xs.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** LSH band view: (doc_id, band, bucket) — bucket is the concat of the
-    * band's r signature values. Equal bucket in ANY band → candidate. */
-  def lshBands(sig: DataFrame): DataFrame = {
-    val bandDfs = (0 until Bands).map { k =>
-      val hs = (0 until RowsPerBand).map(r => col(s"h${k * RowsPerBand + r}"))
-      sig.select(col("doc_id"), lit(k).as("band"),
-        concat_ws("_", hs: _*).as("bucket"))
-    }
-    bandDfs.reduce(_.unionAll(_))
+  /** LSH band rows (doc_id, band, bucket) computed in one kernel pass:
+    * 128-permutation MinHash signature per doc, then 32 buckets of 4
+    * concatenated signature values. Equal bucket in ANY band → candidate. */
+  def lshBandRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBands = Bands
+    val rpb = RowsPerBand
+    val (sa, sb, p) = (seedsA, seedsB, P)
+    shingleHashSets(docs).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, hs) =>
+          val sig = Kernels.minhashSig(hs, sa, sb, p)
+          (0 until nBands).iterator.map { k =>
+            val sbuf = new java.lang.StringBuilder(24 * rpb)
+            var r = 0
+            while (r < rpb) {
+              if (r > 0) sbuf.append('_')
+              sbuf.append(sig(k * rpb + r))
+              r += 1
+            }
+            (id, k, sbuf.toString)
+          }
+        }
+      }.toDF("doc_id", "band", "bucket")
   }
 
   /** Full MinHash-LSH dedup: candidates from band buckets, then exact
-    * Jaccard verification of candidates only. */
+    * Jaccard verification of CANDIDATES ONLY via sorted-array intersection
+    * of each pair's shingle-hash sets — cost O(candidates · |set|), never
+    * the corpus-wide pair join. */
   def minhashDedupPairs(docs: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
-    val cand = {
-      val bands = lshBands(minhashSignatures(docs))
-      val l = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-      val r = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-      l.join(r, Seq("band", "bucket"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-    }
-    ngramJaccardPairs(docs, threshold, dfCap = Int.MaxValue)
-      .join(cand, Seq("doc_a", "doc_b"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = lshBandRows(docs)
+    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sh = shingleHashSets(docs)
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hashes").as("ha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hashes").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, ha, hb) =>
+        (a, b, Kernels.sortedIntersectionSize(ha, hb), ha.length, hb.length)
+      }.toDF("doc_a", "doc_b", "inter", "na", "nb")
+    verified
+      .withColumn("raw_j",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("raw_j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("raw_j"), 4).as("jaccard"))
   }
 
   def minhashOracleSql(threshold: Double = JaccardThreshold): String = {
@@ -181,20 +219,18 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 60-bit count-weighted SimHash per doc: explode words, one groupBy with
-    * 60 signed-bit sums, then assemble the fingerprint. */
+  /** 60-bit count-weighted SimHash per doc — one kernel pass over words
+    * (md5 + bit counts in a tight loop), no explode, no 60-aggregate
+    * shuffle. */
   def simhash(docs: DataFrame): DataFrame = {
-    val words = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .select(col("doc_id"), md5Long(col("word")).as("h"))
-    val bitSums = (0 until SimhashBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val fp = (0 until SimhashBits).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = Kernels.newMd5()
+        it.map { case (id, text) => (id, Kernels.simhash(md, text)) }
+      }.toDF("doc_id", "simhash")
   }
 
   val simhashSqlCte: String = {
@@ -247,21 +283,35 @@ object Dedup {
   // ------------------------------------------------------- embedding cosine
 
   /** Pairwise cosine near-dup over an Array[Float] embedding column.
-    * Brute-force O(n²) pair join is correct at test scale; at 100 TB use
-    * the LSH-bucketed path (Similarity.lshTopK) for candidate generation.
-    * Dot products fold left-to-right in double — same order as the oracle. */
+    *
+    * The corpus (with norms) is broadcast once; each partition scans its
+    * vectors against broadcast entries with a higher vec_id in a primitive
+    * double loop — the same left-to-right fold as the oracle, so cosines
+    * are bit-identical. The threshold filter is on the RAW cosine (as in
+    * the oracle); rounding is presentation-only.
+    *
+    * This is the O(n²) exact path, correct while one corpus block fits in
+    * a broadcast (~millions of vectors). At 100 TB, block the corpus and
+    * iterate blocks, or use the LSH-bucketed path (Similarity.lshTopK) for
+    * candidate generation. */
   def embeddingPairs(emb: DataFrame, threshold: Double = CosineThreshold): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)")))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)")
-        / (col("na") * col("nb")), 4))
-      .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val corpus: Array[(Long, Array[Double], Double)] =
+      e.collect().map { case (id, v) => (id, v, Kernels.norm(v)) }
+    val bc = spark.sparkContext.broadcast(corpus)
+    e.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (ida, va) =>
+        val na = Kernels.norm(va)
+        cs.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
+          val cos = Kernels.dot(va, vb) / (na * nb)
+          if (cos >= threshold) Some((ida, idb, Kernels.round4(cos))) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos")
   }
 
   def embeddingPairsSql(threshold: Double = CosineThreshold): String =

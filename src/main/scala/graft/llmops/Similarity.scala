@@ -9,18 +9,21 @@ import Hashing._
 /** Approximate-nearest-neighbor search over an `Array[Float]` embedding
   * column.
   *
-  *  - Brute-force cosine top-k: the correctness baseline. Query set ×
-  *    corpus join → per-query Window top-k. The query side is broadcast;
-  *    the corpus is never collected, so the scan parallelizes across
-  *    splits at 100 TB.
+  *  - Brute-force cosine top-k: the correctness baseline. The (small) query
+  *    set is broadcast with precomputed norms; one kernel pass over the
+  *    corpus scores every (query, vector) pair — the corpus is never
+  *    collected, so the scan parallelizes across splits at 100 TB.
   *  - Sign-LSH (random-hyperplane) bucketed top-k: the scale path.
-  *    A 16-bit hyperplane signature partitions the corpus; candidates are
+  *    A hyperplane-sign signature partitions the corpus; candidates are
   *    only the query's bucket (IVF-style probe=1). Hyperplane components
   *    are fixed ±1 constants (Hashing.hyperplaneSigns) embedded identically
   *    in the DuckDB oracle, so even the approximate path is hash-checkable.
   *
-  * Dot products fold left-to-right in double precision in both engines;
-  * scores are rounded AFTER ranking (ranking ties broken by vec_id).
+  * All dot products run in [[Kernels]] primitive loops folding
+  * left-to-right in double precision — the same order as the
+  * `aggregate(zip_with(...))` expressions they replace and as the oracle's
+  * explicit sum chains — so scores and signatures are bit-identical across
+  * engines. Scores are rounded AFTER ranking (ties broken by vec_id).
   */
 object Similarity {
 
@@ -31,23 +34,40 @@ object Similarity {
   val NumPlanes = 6
   val Dim = 64
   val planes: IndexedSeq[IndexedSeq[Int]] = hyperplaneSigns(NumPlanes, Dim)
+  private val planeSigns: Array[Array[Double]] =
+    planes.map(_.map(_.toDouble).toArray).toArray
 
-  private val dotExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)"
+  /** Scored (query, neighbor) pairs: the query set (with norms and, when
+    * `bucketed`, LSH signatures) is broadcast; each corpus partition scores
+    * its vectors against every query in a primitive loop. */
+  private def scoredPairs(emb: DataFrame, isQuery: Column, bucketed: Boolean): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val signs = planeSigns
+    val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    val queries: Array[(Long, Array[Double], Double, Long)] =
+      e.filter(isQuery).as[(Long, Array[Double])].collect()
+        .map { case (id, v) =>
+          (id, v, Kernels.norm(v), Kernels.lshSignature(v, signs))
+        }
+    val bc = spark.sparkContext.broadcast(queries)
+    e.as[(Long, Array[Double])].mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (id, v) =>
+        val nrm = Kernels.norm(v)
+        val sig = if (bucketed) Kernels.lshSignature(v, signs) else 0L
+        qs.iterator
+          .filter { case (qid, _, _, qsig) =>
+            qid != id && (!bucketed || qsig == sig)
+          }
+          .map { case (qid, qv, qn, _) =>
+            (qid, id, Kernels.dot(qv, v) / (qn * nrm))
+          }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+  }
 
-  private def normalized(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)")))
-
-  /** Brute-force cosine top-k: every query vector against the full corpus. */
-  def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int = TopK): DataFrame = {
-    val e = normalized(emb)
-    val q = e.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
-    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -56,23 +76,22 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
-  /** 16-bit sign-LSH signature as an expression over a column named `vCol`. */
-  def signatureExpr(vCol: String): Column =
-    (0 until NumPlanes).map { j =>
-      val weights = planes(j).map(s => s"cast($s as double)").mkString("array(", ", ", ")")
-      when(expr(
-        s"aggregate(zip_with($vCol, $weights, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)") > 0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Brute-force cosine top-k: every query vector against the full corpus. */
+  def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int = TopK): DataFrame =
+    rankTopK(scoredPairs(emb, isQuery, bucketed = false), k)
 
-  /** DuckDB fragment for the same signature over list column `v`.
+  /** LSH-bucketed approximate top-k: rank only within the query's bucket. */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int = TopK): DataFrame =
+    rankTopK(scoredPairs(emb, isQuery, bucketed = true), k)
+
+  /** DuckDB fragment for the sign-LSH signature over list column `v`.
     *
     * The projection is written as an explicit left-associated chain
     * `(0.0 + v[1] - v[2] + ...)` — NOT `list_dot_product` — so the FP
-    * summation order is exactly Spark's `aggregate()` left fold
-    * (((0+p1)+p2)+...). With ±1 weights every product is exact, so the two
-    * engines' projections are bit-identical and the sign bit can never
-    * disagree, even when a projection is within double noise of zero. */
+    * summation order is exactly the kernel's left fold (((0+p1)+p2)+...).
+    * With ±1 weights every product is exact, so the two engines'
+    * projections are bit-identical and the sign bit can never disagree,
+    * even when a projection is within double noise of zero. */
   def signatureSql(vCol: String): String =
     (0 until NumPlanes).map { j =>
       val chain = planes(j).zipWithIndex.map { case (s, i) =>
@@ -80,25 +99,6 @@ object Similarity {
       }.mkString
       s"(CASE WHEN (0.0$chain) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
-
-  /** LSH-bucketed approximate top-k: rank only within the query's bucket. */
-  def lshTopK(emb: DataFrame, isQuery: Column, k: Int = TopK): DataFrame = {
-    val e = normalized(emb).withColumn("sig", signatureExpr("v"))
-    val q = e.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("v").as("va"),
-        col("nrm").as("na"), col("sig"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
-      col("nrm").as("nb"), col("sig"))
-    val scored = broadcast(q).join(c, Seq("sig"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 4).as("cos"))
-  }
 
   // ----------------------------------------------------------------- queries
 

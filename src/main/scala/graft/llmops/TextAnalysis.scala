@@ -6,9 +6,11 @@ import graft.core.Tables
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID (stopword heuristic), and
-  * document fingerprinting. All are narrow per-row transforms — no shuffle,
-  * fully codegen'd (`functions._` + higher-order array functions, no UDFs) —
-  * so they scale linearly with input splits at 100 TB.
+  * document fingerprinting. All are narrow per-row transforms — no shuffle —
+  * run as [[Kernels]] primitive loops inside `mapPartitions` (one
+  * MessageDigest/Pattern per partition), so they scale linearly with input
+  * splits at 100 TB. The arithmetic reproduces the SQL oracles bit-for-bit
+  * (see Kernels' scaladoc for the FP-order and rounding contracts).
   *
   * Each operator is exposed (a) as a reusable DataFrame transform and
   * (b) as an oracle-checked query over the `documents` fixture.
@@ -27,85 +29,110 @@ object TextAnalysis {
   private def inList(vals: Seq[String]): String =
     vals.map(v => s"'$v'").mkString("(", ", ", ")")
 
-  /** Adds token/quality columns. Token model: whitespace words plus a
-    * BPE-ish estimate (alnum runs + ceil(chars/4) continuation pieces). */
+  /** Token/quality stats per doc. Token model: whitespace words plus a
+    * BPE-ish estimate (ceil(chars/4)). Quality rewards lexical diversity
+    * and a natural stopword rate, penalizes very short docs; it is rounded
+    * with the bit-stable floor(x*1e4+0.5)/1e4 (expressed identically in
+    * the oracle) because the weighted sum lands exactly on 4-decimal half
+    * boundaries where HALF_UP roundings of the double disagree across
+    * engines. */
   def withTextStats(docs: DataFrame): DataFrame = {
-    val en = inList(stopwords.head._2)
-    docs
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("words")))
-      .withColumn("n_uniq_tokens", size(array_distinct(col("words"))))
-      .withColumn("n_chars_m", length(col("text")))
-      .withColumn("n_alnum_tokens",
-        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")))
-      .withColumn("bpe_est",
-        ceil(length(col("text")).cast("double") / 4.0).cast("long"))
-      // Raw (unrounded) ratios feed the quality score; rounding the inputs
-      // first would cluster quality at 5th-decimal half-boundaries where
-      // Spark's BigDecimal rounding and DuckDB's multiply-round disagree.
-      .withColumn("raw_stopword_ratio",
-        expr(s"size(filter(words, w -> w in $en))").cast("double") /
-          col("n_tokens"))
-      .withColumn("raw_uniq_ratio",
-        col("n_uniq_tokens").cast("double") / col("n_tokens"))
-      .withColumn("avg_word_len",
-        round(expr("aggregate(words, cast(0 as double), (acc, w) -> acc + length(w))") /
-          col("n_tokens"), 4))
-      .withColumn("stopword_ratio", round(col("raw_stopword_ratio"), 4))
-      .withColumn("uniq_ratio", round(col("raw_uniq_ratio"), 4))
-      // Quality score: in [0,1]-ish, rewards lexical diversity and a
-      // natural stopword rate, penalizes very short docs. Rounded with the
-      // bit-stable floor(x*1e4 + 0.5)/1e4 — expressed identically in the
-      // oracle — because the weighted sum lands exactly on 4-decimal half
-      // boundaries where BigDecimal-HALF_UP (Spark) and DuckDB round()
-      // disagree on the underlying double.
-      .withColumn("quality",
-        floor((least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4 +
-          col("raw_uniq_ratio") * 0.3 +
-          least(lit(1.0), col("raw_stopword_ratio") * 5.0) * 0.3) * 10000.0 + 0.5) / 10000.0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val en: Set[String] = stopwords.head._2.toSet
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val alnum = java.util.regex.Pattern.compile("[a-z0-9]+")
+        it.map { case (id, text) =>
+          val words = Kernels.splitSpace(text)
+          val n = words.length
+          val uniq = new java.util.HashSet[String](n * 2)
+          var lenSum = 0.0 // left-to-right double fold, as aggregate() does
+          var nStop = 0
+          var i = 0
+          while (i < n) {
+            val w = words(i)
+            uniq.add(w)
+            lenSum += w.length
+            if (en.contains(w)) nStop += 1
+            i += 1
+          }
+          val m = alnum.matcher(text)
+          var nAlnum = 0
+          while (m.find()) nAlnum += 1
+          val rawStop = nStop.toDouble / n
+          val rawUniq = uniq.size.toDouble / n
+          val quality = Kernels.floorRound4(
+            math.min(1.0, n.toDouble / 100.0) * 0.4 + rawUniq * 0.3 +
+              math.min(1.0, rawStop * 5.0) * 0.3)
+          (id, n, uniq.size, nAlnum, math.ceil(text.length / 4.0).toLong,
+            Kernels.round4(lenSum / n), Kernels.round4(rawStop), quality)
+        }
+      }.toDF("doc_id", "n_tokens", "n_uniq_tokens", "n_alnum_tokens",
+        "bpe_est", "avg_word_len", "stopword_ratio", "quality")
   }
 
   /** Language-ID by stopword-hit argmax with deterministic tiebreak
     * (hit counts compared in declaration order; 'und' when no hits). */
   def withLangId(docs: DataFrame): DataFrame = {
-    val withHits = stopwords.foldLeft(
-      docs.withColumn("words", split(col("text"), " "))) {
-      case (df, (lang, ws)) =>
-        df.withColumn(s"hits_$lang",
-          expr(s"size(filter(words, w -> w in ${inList(ws)}))"))
-    }
-    val langs = stopwords.map(_._1)
-    val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
-    // Earlier languages win ties: build the CASE chain inside-out so the
-    // first declared language is the outermost branch.
-    val predFirstWins = langs.reverse.foldLeft(lit("und")) { (acc, l) =>
-      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
-    }
-    withHits.withColumn("pred_lang", predFirstWins)
-      .withColumn("lang_score", best)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val langs: Array[(String, Set[String])] =
+      stopwords.map { case (l, ws) => (l, ws.toSet) }.toArray
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words = Kernels.splitSpace(text)
+          val hits = new Array[Int](langs.length)
+          var i = 0
+          while (i < words.length) {
+            var j = 0
+            while (j < langs.length) {
+              if (langs(j)._2.contains(words(i))) hits(j) += 1
+              j += 1
+            }
+            i += 1
+          }
+          var best = 0
+          var j = 0
+          while (j < hits.length) { if (hits(j) > best) best = hits(j); j += 1 }
+          // First declared language wins ties.
+          var pred = "und"
+          if (best > 0) {
+            var k = 0
+            var found = false
+            while (k < hits.length && !found) {
+              if (hits(k) == best) { pred = langs(k)._1; found = true }
+              k += 1
+            }
+          }
+          (id, pred, best)
+        }
+      }.toDF("doc_id", "pred_lang", "lang_score")
   }
 
   /** Fingerprints: md5 of normalized text (exact), and a winnowing-style
-    * min-hash over character 8-grams (rolling-hash robust fingerprint). */
-  def withFingerprints(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("norm", lower(regexp_replace(col("text"), "\\s+", " ")))
-      .withColumn("fp_md5", md5(col("norm")))
-      .withColumn("fp_winnow",
-        expr(s"""array_min(transform(sequence(1, greatest(length(norm) - 7, 1)),
-                 i -> ${duckCompatHashExpr("substring(norm, i, 8)")}))"""))
-
-  /** Spark-SQL text of the shared 60-bit hash (see Hashing.md5Long). */
-  private def duckCompatHashExpr(e: String): String =
-    s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+    * min-hash over character 8-grams (rolling robust fingerprint). */
+  def withFingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = Kernels.newMd5()
+        it.map { case (id, text) =>
+          val norm = Kernels.normalizeWs(text)
+          (id, Kernels.md5Hex(md, norm), Kernels.winnowFingerprint(md, norm))
+        }
+      }.toDF("doc_id", "fp_md5", "fp_winnow")
+  }
 
   // ----------------------------------------------------------------- queries
 
   def qTextStats(spark: SparkSession, dir: String): DataFrame =
     withTextStats(Tables.load(spark, dir, "documents"))
-      .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
-        col("n_alnum_tokens"), col("bpe_est"), col("avg_word_len"),
-        col("stopword_ratio"), col("quality"))
 
   val qTextStatsSql: String = {
     val en = inList(stopwords.head._2)
@@ -130,7 +157,6 @@ object TextAnalysis {
 
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     withLangId(Tables.load(spark, dir, "documents"))
-      .select(col("doc_id"), col("pred_lang"), col("lang_score"))
 
   val qLangIdSql: String = {
     val hitCols = stopwords.map { case (l, ws) =>
@@ -151,7 +177,6 @@ object TextAnalysis {
 
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     withFingerprints(Tables.load(spark, dir, "documents"))
-      .select(col("doc_id"), col("fp_md5"), col("fp_winnow"))
 
   val qFingerprintSql: String =
     s"""WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents),
