@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.DeclaredQueries
+import graft.queries.{DeclaredQueries, EngineQueries}
 import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + the
     * LLM-pipeline extension (SURVEY §7.7). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DeclaredQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+    DeclaredQueries.queries ++ EngineQueries.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    DeclaredQueries.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
+    DeclaredQueries.oracleSql ++ EngineQueries.oracleSql ++
+      TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql
 }

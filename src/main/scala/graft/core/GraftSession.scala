@@ -25,6 +25,7 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
     requiredConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 }

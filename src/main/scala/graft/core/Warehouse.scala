@@ -1,0 +1,327 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Table-maintenance metadata the reference keeps in BigQuery table options
+  * (partitioning/clustering/expiration/description —
+  * dbtwiz/model/create.py:455-470, dbtwiz/integrations/bigquery.py:825). */
+final case class TableMeta(
+    partitionField: Option[String] = None,
+    partitionType: String = "date", // partition_by data_type (create.py:456-465)
+    requirePartitionFilter: Boolean = false,
+    clusteringFields: Seq[String] = Nil,
+    partitionExpirationDays: Option[Int] = None,
+    description: Option[String] = None)
+
+/** File-backed warehouse: datasets are directories, tables are
+  * [[SnapshotLog]]-versioned Parquet dirs. Plays the role BigQuery plays
+  * for the reference (Layer W of SURVEY §0): list/create/drop datasets and
+  * tables (S1-S3, S10-S11), server-side copy (S8), time-travel reads and
+  * restore-of-deleted (S9), date-partitioned incremental overwrite,
+  * clustering, TTL-based partition expiry.
+  *
+  * Scale notes: a commit costs O(changed partitions); reads open only the
+  * fragments referenced by the chosen commit; partition pruning happens at
+  * manifest level BEFORE any file listing (readPartitions), so a
+  * 1000-partition table touched on one date reads one fragment subdir.
+  */
+final class Warehouse(val spark: SparkSession, val root: String) {
+
+  private val rootPath = Paths.get(root)
+
+  // ------------------------------------------------------------- datasets
+
+  /** S11 — idempotent dataset creation. */
+  def ensureDataset(dataset: String): Unit =
+    Files.createDirectories(rootPath.resolve(dataset))
+
+  /** S1 — sorted dataset list (bigquery.py:116-138 sorts). */
+  def listDatasets(): Seq[String] =
+    if (!Files.isDirectory(rootPath)) Seq.empty
+    else Files.list(rootPath).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+
+  /** S2 — sorted tables of a dataset (only live ones: latest commit not a
+    * drop). */
+  def listTables(dataset: String): Seq[String] = {
+    val d = rootPath.resolve(dataset)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(t => log(dataset, t).latest.exists(!_.isDrop))
+      .toSeq.sorted
+  }
+
+  def log(dataset: String, table: String): SnapshotLog =
+    SnapshotLog.forTable(root, dataset, table)
+
+  private def tableDir(dataset: String, table: String): Path =
+    rootPath.resolve(dataset).resolve(table)
+
+  def exists(dataset: String, table: String): Boolean =
+    log(dataset, table).latest.exists(!_.isDrop)
+
+  // ------------------------------------------------------------- metadata
+
+  /** S3 — table metadata (partition spec, clustering, expiration,
+    * description) persisted beside the data. */
+  def meta(dataset: String, table: String): TableMeta = {
+    val f = tableDir(dataset, table).resolve("_meta.properties")
+    if (!Files.exists(f)) return TableMeta()
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    TableMeta(
+      partitionField = Option(p.getProperty("partition.field")).filter(_.nonEmpty),
+      partitionType = Option(p.getProperty("partition.type")).getOrElse("date"),
+      requirePartitionFilter = p.getProperty("partition.requireFilter", "false").toBoolean,
+      clusteringFields = Option(p.getProperty("clustering")).filter(_.nonEmpty)
+        .map(_.split(",").toSeq).getOrElse(Nil),
+      partitionExpirationDays = Option(p.getProperty("partition.expirationDays"))
+        .filter(_.nonEmpty).map(_.toInt),
+      description = Option(p.getProperty("description")).filter(_.nonEmpty))
+  }
+
+  def setMeta(dataset: String, table: String, m: TableMeta): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("partition.field", m.partitionField.getOrElse(""))
+    p.setProperty("partition.type", m.partitionType)
+    p.setProperty("partition.requireFilter", m.requirePartitionFilter.toString)
+    p.setProperty("clustering", m.clusteringFields.mkString(","))
+    p.setProperty("partition.expirationDays", m.partitionExpirationDays.map(_.toString).getOrElse(""))
+    p.setProperty("description", m.description.getOrElse(""))
+    schemaDdl(dataset, table).foreach(p.setProperty("schema.ddl", _))
+    Files.createDirectories(tableDir(dataset, table))
+    val out = Files.newOutputStream(tableDir(dataset, table).resolve("_meta.properties"))
+    try p.store(out, null) finally out.close()
+  }
+
+  private def schemaDdl(dataset: String, table: String): Option[String] = {
+    val f = tableDir(dataset, table).resolve("_schema.ddl")
+    if (Files.exists(f)) Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+    else None
+  }
+
+  private def writeSchemaDdl(dataset: String, table: String, schema: StructType): Unit =
+    Files.write(tableDir(dataset, table).resolve("_schema.ddl"),
+      schema.toDDL.getBytes(StandardCharsets.UTF_8))
+
+  // --------------------------------------------------------------- writes
+
+  /** Full-refresh write (CTAS semantics): one immutable fragment holding
+    * the whole table; the commit replaces all previous entries. */
+  def overwrite(dataset: String, table: String, df: DataFrame,
+                m: TableMeta = TableMeta()): Unit = {
+    ensureDataset(dataset)
+    val lg = log(dataset, table)
+    m.partitionField match {
+      case Some(field) =>
+        val frag = lg.newFragmentDir()
+        df.write.mode("overwrite").partitionBy(field).parquet(frag.toString)
+        lg.commit("write", hiveEntries(dataset, table, frag, field))
+      case None =>
+        val frag = lg.newFragmentDir()
+        df.write.mode("overwrite").parquet(frag.toString)
+        lg.commit("write", Seq(SnapshotLog.Entry("", relativize(dataset, table, frag))))
+    }
+    writeSchemaDdl(dataset, table, df.schema)
+    setMeta(dataset, table, m)
+  }
+
+  /** Incremental `insert_overwrite` (create.py:456-458 semantics =
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`): partitions
+    * present in `df` are replaced, others keep their previous fragments —
+    * the commit costs O(changed partitions). */
+  def insertOverwrite(dataset: String, table: String, df: DataFrame): Unit = {
+    val m = meta(dataset, table)
+    val field = m.partitionField.getOrElse(throw new IllegalStateException(
+      s"$dataset.$table is not partitioned; use overwrite()"))
+    val lg = log(dataset, table)
+    val frag = lg.newFragmentDir()
+    df.write.mode("overwrite").partitionBy(field).parquet(frag.toString)
+    val fresh = hiveEntries(dataset, table, frag, field)
+    val freshParts = fresh.map(_.partition).toSet
+    val kept = lg.latest.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+      .filterNot(e => freshParts(e.partition))
+    lg.commit("write", kept ++ fresh)
+    writeSchemaDdl(dataset, table, df.schema)
+  }
+
+  private def hiveEntries(dataset: String, table: String, frag: Path,
+                          field: String): Seq[SnapshotLog.Entry] = {
+    val lg = log(dataset, table)
+    Files.list(frag).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$field="))
+      .map { p =>
+        val value = p.getFileName.toString.substring(field.length + 1)
+        SnapshotLog.Entry(value, relativize(dataset, table, p))
+      }.toSeq.sortBy(_.partition)
+  }
+
+  private def relativize(dataset: String, table: String, p: Path): String =
+    tableDir(dataset, table).toAbsolutePath.relativize(p.toAbsolutePath).toString
+
+  // ---------------------------------------------------------------- reads
+
+  /** Read the table at its latest commit. */
+  def read(dataset: String, table: String): DataFrame =
+    readCommit(dataset, table,
+      log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $dataset.$table")))
+
+  /** S9 — time-travel read `table@epoch_ms`. Rejects timestamps outside
+    * the 7-day window (restore.py:60-70) or before the first commit. */
+  def readAsOf(dataset: String, table: String, tsMillis: Long,
+               nowMillis: Long = System.currentTimeMillis()): DataFrame = {
+    require(nowMillis - tsMillis <= SnapshotLog.TimeTravelWindowMillis,
+      s"snapshot $tsMillis is outside the ${SnapshotLog.TimeTravelWindowMillis / 86400000}-day time-travel window")
+    val c = log(dataset, table).asOf(tsMillis).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $dataset.$table at or before $tsMillis"))
+    require(!c.isDrop, s"$dataset.$table was dropped as of $tsMillis")
+    readCommit(dataset, table, c)
+  }
+
+  /** Time-travel read by commit version number. */
+  def readVersion(dataset: String, table: String, version: Int): DataFrame = {
+    val c = log(dataset, table).commits.find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(s"no version $version of $dataset.$table"))
+    require(!c.isDrop, s"$dataset.$table version $version is a drop")
+    readCommit(dataset, table, c)
+  }
+
+  /** Manifest-level partition pruning: read only the named partitions —
+    * no file listing outside them. */
+  def readPartitions(dataset: String, table: String, partitions: Seq[String]): DataFrame = {
+    val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val wanted = partitions.toSet
+    readEntries(dataset, table, c.entries.filter(e => wanted(e.partition)))
+  }
+
+  private def readCommit(dataset: String, table: String, c: SnapshotLog.Commit): DataFrame =
+    readEntries(dataset, table, c.entries)
+
+  private def readEntries(dataset: String, table: String,
+                          entries: Seq[SnapshotLog.Entry]): DataFrame = {
+    val m = meta(dataset, table)
+    if (entries.isEmpty) {
+      val ddl = schemaDdl(dataset, table).getOrElse("")
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        if (ddl.nonEmpty) StructType.fromDDL(ddl) else new StructType())
+    }
+    m.partitionField match {
+      case None =>
+        spark.read.parquet(entries.map(e => tableDir(dataset, table).resolve(e.path).toString): _*)
+      case Some(field) =>
+        // Hive-layout fragments: group by fragment root so Spark's
+        // partition discovery re-attaches the partition column; one read
+        // per FRAGMENT (≈ per commit touched), not per partition.
+        val byFrag = entries.groupBy(e =>
+          tableDir(dataset, table).resolve(e.path).getParent.toString)
+        byFrag.map { case (base, es) =>
+          spark.read.option("basePath", base)
+            .parquet(es.map(e => tableDir(dataset, table).resolve(e.path).toString): _*)
+        }.reduce(_.unionByName(_))
+          .withColumn(field, col(field).cast(m.partitionType))
+    }
+  }
+
+  // ------------------------------------------------------ copy/drop/restore
+
+  /** S8 — table copy: fragments are immutable, so the copy physically
+    * clones them into the destination's data pool (a filesystem copy, no
+    * recompute — the analog of a server-side copy job). */
+  def copy(srcDataset: String, srcTable: String,
+           dstDataset: String, dstTable: String): Unit = {
+    val c = log(srcDataset, srcTable).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $srcDataset.$srcTable"))
+    copyCommit(srcDataset, srcTable, c, dstDataset, dstTable)
+  }
+
+  /** S9 — restore a (possibly deleted) table from a snapshot ≤7 days old
+    * into `recovered` (restore.py:131-141: works after a drop because the
+    * log outlives the table). */
+  def restore(dataset: String, table: String, tsMillis: Long,
+              dstDataset: String, dstTable: String,
+              nowMillis: Long = System.currentTimeMillis()): Unit = {
+    require(nowMillis - tsMillis <= SnapshotLog.TimeTravelWindowMillis,
+      "snapshot outside the 7-day time-travel window")
+    val c = log(dataset, table).asOf(tsMillis).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot of $dataset.$table at $tsMillis"))
+    require(!c.isDrop, s"$dataset.$table was already dropped at $tsMillis")
+    copyCommit(dataset, table, c, dstDataset, dstTable)
+  }
+
+  private def copyCommit(srcDataset: String, srcTable: String, c: SnapshotLog.Commit,
+                         dstDataset: String, dstTable: String): Unit = {
+    ensureDataset(dstDataset)
+    val dstLg = log(dstDataset, dstTable)
+    val srcDir = tableDir(srcDataset, srcTable)
+    val entries = c.entries.map { e =>
+      val frag = dstLg.newFragmentDir()
+      copyRecursive(srcDir.resolve(e.path), frag)
+      SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, frag))
+    }
+    dstLg.commit("write", entries)
+    schemaDdl(srcDataset, srcTable).foreach(ddl =>
+      Files.write(tableDir(dstDataset, dstTable).resolve("_schema.ddl"),
+        ddl.getBytes(StandardCharsets.UTF_8)))
+    setMeta(dstDataset, dstTable, meta(srcDataset, srcTable))
+  }
+
+  /** S10 — drop: a `drop` commit with no entries. Data and log remain for
+    * the time-travel window (vacuum reclaims them). */
+  def drop(dataset: String, table: String): Unit =
+    log(dataset, table).commit("drop", Seq.empty)
+
+  /** Partition-expiry TTL job (bigquery.py:464-501 semantics): drop
+    * partitions older than the configured expiration. Returns dropped
+    * partition values. */
+  def expirePartitions(dataset: String, table: String,
+                       today: java.time.LocalDate = java.time.LocalDate.now()): Seq[String] = {
+    val m = meta(dataset, table)
+    (m.partitionField, m.partitionExpirationDays) match {
+      case (Some(_), Some(days)) =>
+        val lg = log(dataset, table)
+        val cur = lg.latest.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+        val cutoff = today.minusDays(days.toLong)
+        val (dead, live) = cur.partition { e =>
+          try java.time.LocalDate.parse(e.partition).isBefore(cutoff)
+          catch { case _: Exception => false }
+        }
+        if (dead.nonEmpty) lg.commit("write", live)
+        dead.map(_.partition)
+      case _ => Seq.empty
+    }
+  }
+
+  /** Clustering rewrite (admin/clustering.py:22-57 semantics): BigQuery
+    * re-clusters with an `UPDATE ... WHERE partition-filter` no-op rewrite;
+    * here the honest Spark equivalent is a physical rewrite ordered by the
+    * clustering columns — `repartitionByRange(cols).sortWithinPartitions`. */
+  def recluster(dataset: String, table: String): Unit = {
+    val m = meta(dataset, table)
+    require(m.clusteringFields.nonEmpty, s"$dataset.$table has no clustering fields")
+    val cols = m.clusteringFields.map(col)
+    val df = read(dataset, table)
+      .repartitionByRange(cols: _*)
+      .sortWithinPartitions(cols: _*)
+    overwrite(dataset, table, df, m)
+  }
+
+  private def copyRecursive(src: Path, dst: Path): Unit = {
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val target = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target)
+      }
+    }
+  }
+}

@@ -1,0 +1,134 @@
+package graft.materialize
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+import graft.core.{TableMeta, Warehouse}
+
+/** The five materializations of the reference
+  * (dbtwiz/core/project.py:271-289, dbtwiz/model/create.py:438-470),
+  * executed against the [[Warehouse]]:
+  *
+  *  - view: persisted SQL text, evaluated at read
+  *  - table: CTAS full refresh
+  *  - incremental: `insert_overwrite` by date partition, with
+  *    `on_schema_change: append_new_columns` evolution
+  *  - scd2: incremental + merge on a primary key — change tracking with
+  *    valid_from/valid_to/is_current built from window functions
+  *  - ephemeral: no storage; the DataFrame composes into consumers (CTE
+  *    inlining)
+  */
+final class Materialize(wh: Warehouse) {
+
+  /** View materialization: SQL text stored beside the table dir and
+    * registered in the session catalog. Reads re-evaluate the text. */
+  def view(dataset: String, name: String, sql: String): Unit = {
+    wh.ensureDataset(dataset)
+    val dir = java.nio.file.Paths.get(wh.root, dataset, name)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("_view.sql"),
+      sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    wh.spark.sql(sql).createOrReplaceTempView(s"${dataset}__$name")
+  }
+
+  def readView(dataset: String, name: String): DataFrame = {
+    val f = java.nio.file.Paths.get(wh.root, dataset, name, "_view.sql")
+    val sql = new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+    wh.spark.sql(sql)
+  }
+
+  /** Table materialization: CTAS full refresh. */
+  def table(dataset: String, name: String, df: DataFrame,
+            meta: TableMeta = TableMeta()): Unit =
+    wh.overwrite(dataset, name, df, meta)
+
+  /** Incremental materialization (insert_overwrite on the date partition,
+    * model/create.py:456-465): first run creates the partitioned table;
+    * later runs replace only the partitions present in `df`, evolving the
+    * schema additively first when the incoming frame has new columns. */
+  def incremental(dataset: String, name: String, df: DataFrame,
+                  partitionField: String = "partitiondate",
+                  meta: TableMeta = TableMeta()): Unit = {
+    val m = meta.copy(partitionField = Some(partitionField))
+    if (!wh.exists(dataset, name)) {
+      wh.overwrite(dataset, name, df, m)
+    } else {
+      val target = wh.read(dataset, name).schema
+      val aligned = alignAppendNewColumns(target, df)
+      // Rewrite history under the evolved schema once, so every partition
+      // (old fragments included) serves the union schema.
+      if (aligned.schema.fieldNames.toSeq != target.fieldNames.toSeq) {
+        val evolved = alignAppendNewColumns(aligned.schema, wh.read(dataset, name))
+        wh.overwrite(dataset, name, evolved, wh.meta(dataset, name))
+      }
+      wh.insertOverwrite(dataset, name, aligned)
+    }
+  }
+
+  /** `on_schema_change: append_new_columns`: incoming columns missing from
+    * the target are appended (schema grows additively); target columns
+    * missing from the incoming frame are filled with nulls; column order
+    * follows target-then-new. */
+  def alignAppendNewColumns(target: StructType, df: DataFrame): DataFrame = {
+    val incoming = df.schema.fieldNames.toSet
+    val targetCols = target.fields.toSeq.map { f =>
+      if (incoming(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val newCols = df.schema.fieldNames.filterNot(target.fieldNames.contains)
+      .map(col(_)).toSeq
+    df.select(targetCols ++ newCols: _*)
+  }
+
+  /** scd2 materialization (model/create.py:416-429, 466-470: incremental +
+    * merge on primary key): slowly-changing-dimension history from a
+    * snapshot stream. Given rows keyed by `pk` ordered by `orderCol`,
+    * keeps one row per (pk, change) with valid_from/valid_to/is_current —
+    * consecutive rows whose tracked columns are unchanged collapse into
+    * one validity interval. */
+  def scd2Frame(snapshot: DataFrame, pk: Seq[String], orderCol: String,
+                tracked: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
+    val keyCols = pk.map(col)
+    val orderCols = (orderCol +: tiebreak).map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    val changeFlag = tracked.map { c =>
+      val prev = lag(col(c), 1).over(w)
+      // null-safe inequality: a change is a value difference incl. null flips
+      !(col(c) <=> prev)
+    }.reduce(_ || _)
+    val flagged = snapshot
+      .withColumn("_is_first", lag(col(orderCol), 1).over(w).isNull)
+      .withColumn("_changed", changeFlag || col("_is_first"))
+      .filter(col("_changed"))
+    val w2 = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    flagged
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_is_first", "_changed")
+  }
+
+  /** scd2 merge into the warehouse: rebuilds the affected keys' history
+    * and merges with untouched keys (the MERGE side of incremental+merge). */
+  def scd2(dataset: String, name: String, snapshot: DataFrame, pk: Seq[String],
+           orderCol: String, tracked: Seq[String]): Unit = {
+    if (!wh.exists(dataset, name)) {
+      wh.overwrite(dataset, name, scd2Frame(snapshot, pk, orderCol, tracked))
+    } else {
+      val existing = wh.read(dataset, name)
+      val touched = snapshot.select(pk.map(col): _*).distinct()
+      val untouched = existing.join(touched, pk, "left_anti")
+      val history = existing.join(touched, pk, "left_semi")
+        .drop("valid_from", "valid_to", "is_current")
+      val rebuilt = scd2Frame(history.unionByName(snapshot).distinct(),
+        pk, orderCol, tracked)
+      wh.overwrite(dataset, name, untouched.unionByName(rebuilt))
+    }
+  }
+
+  /** Ephemeral materialization: never stored; composes into the consumer
+    * exactly as dbt inlines ephemeral models as CTEs. */
+  def ephemeral(df: DataFrame): DataFrame = df
+}

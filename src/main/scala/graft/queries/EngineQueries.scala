@@ -1,0 +1,171 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{TableMeta, Tables, Warehouse}
+import graft.materialize.Materialize
+import graft.streaming.StreamingIncremental
+
+/** Oracle-checked queries that drive the engine's WAREHOUSE layer end to
+  * end — each runs a real write path (snapshot log, incremental commit,
+  * scd2 merge, streaming trigger) into a scratch warehouse and returns the
+  * read-back result, so the correctness gate covers the machinery, not
+  * just the final SELECT.
+  *
+  *  - q12_time_travel: versioned write → snapshot read (S9,
+  *    bigquery.py:412-462)
+  *  - q13_incremental: partitioned insert_overwrite with a replayed
+  *    partition (model/create.py:456-465)
+  *  - q14_scd2: change-tracking build (model/create.py:416-429)
+  *  - q15_catalog: information-schema analog over the warehouse
+  *    (S1-S4; rows-only check — DuckDB can't see our catalog)
+  *  - q16_stream_hourly: Trigger.AvailableNow watermarked hourly rollup
+  *    (SURVEY §2.8)
+  */
+object EngineQueries {
+
+  private def scratch(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ---------------------------------------------------------- q12 time travel
+
+  def q12TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_tt"))
+    val orders = Tables.load(spark, dir, "orders")
+    // v1: the pre-1995 state; v2: everything. The query reads v1 back
+    // through the snapshot log while v2 is current.
+    wh.overwrite("mart", "orders_snap",
+      orders.filter(col("o_orderdate") < "1995-01-01"))
+    wh.overwrite("mart", "orders_snap", orders)
+    val v1 = wh.readVersion("mart", "orders_snap", 1)
+    v1.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- q13 incremental
+
+  def q13Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_inc"))
+    val mat = new Materialize(wh)
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("ship_month", date_trunc("month", col("l_shipdate")).cast("date"))
+    def monthly(lo: String, hi: String): DataFrame =
+      li.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("ship_month"), col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+    // Initial load: Jan-Feb. Incremental run: Feb-Apr — February is
+    // recomputed and must be REPLACED, not duplicated (insert_overwrite).
+    mat.incremental("mart", "monthly", monthly("1995-01-01", "1995-03-01"),
+      partitionField = "ship_month")
+    mat.incremental("mart", "monthly", monthly("1995-02-01", "1995-05-01"))
+    wh.read("mart", "monthly")
+      .select(col("ship_month"), col("rf"), col("n"), col("qty"))
+  }
+
+  val q13Sql: String =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      |       l_returnflag AS rf, count(*) AS n,
+      |       round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-05-01'
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q14 scd2
+
+  def q14Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    new Materialize(new Warehouse(spark, scratch("graft_scd2")))
+      .scd2Frame(e, pk = Seq("user_id"), orderCol = "ts",
+        tracked = Seq("event_type"), tiebreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  val q14Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |         lag(event_type) OVER w AS prev_type,
+      |         lag(ts) OVER w AS prev_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |ch AS (
+      |  SELECT * FROM o
+      |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type)
+      |SELECT user_id, event_id, event_type,
+      |       ts AS valid_from,
+      |       lead(ts) OVER w2 AS valid_to,
+      |       lead(ts) OVER w2 IS NULL AS is_current
+      |FROM ch
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  // ------------------------------------------------------------- q15 catalog
+
+  /** Information-schema analog (S1-S4): datasets × tables × meta ×
+    * flattened column counts of a scratch warehouse. No DuckDB oracle —
+    * the catalog is engine state — so the driver records a rows-only
+    * check; invariants are asserted in WarehouseSpec. */
+  def q15Catalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = new Warehouse(spark, scratch("graft_cat"))
+    wh.overwrite("raw", "nation", Tables.load(spark, dir, "nation"),
+      TableMeta(description = Some("tpch nation"), clusteringFields = Seq("n_regionkey")))
+    wh.overwrite("raw", "region", Tables.load(spark, dir, "region"))
+    wh.overwrite("mart", "orders_by_day",
+      Tables.load(spark, dir, "orders")
+        .withColumn("od", col("o_orderdate").cast("date")),
+      TableMeta(partitionField = Some("od"), requirePartitionFilter = true,
+        partitionExpirationDays = Some(365)))
+    val rows = for {
+      ds <- wh.listDatasets()
+      t <- wh.listTables(ds)
+      m = wh.meta(ds, t)
+    } yield (ds, t,
+      graft.core.WarehouseTypes.flattenSchema(wh.read(ds, t).schema).size,
+      m.partitionField.getOrElse(""), m.requirePartitionFilter,
+      m.clusteringFields.mkString(","), m.description.getOrElse(""))
+    rows.toDF("dataset", "table_name", "n_columns", "partition_field",
+      "require_partition_filter", "clustering", "description")
+  }
+
+  // ------------------------------------------------------- q16 stream hourly
+
+  def q16StreamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_stream_out")
+    StreamingIncremental.runHourlyCounts(spark, s"$dir/events.parquet",
+      scratch("graft_stream_ckpt")) { batch =>
+      batch.write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(out)
+      .select(col("hour"), col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"))
+  }
+
+  val q16Sql: String =
+    """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_time_travel" -> (q12TimeTravel _),
+    "q13_incremental" -> (q13Incremental _),
+    "q14_scd2" -> (q14Scd2 _),
+    "q15_catalog" -> (q15Catalog _),
+    "q16_stream_hourly" -> (q16StreamHourly _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q12_time_travel" -> q12Sql,
+    "q13_incremental" -> q13Sql,
+    "q14_scd2" -> q14Sql,
+    "q16_stream_hourly" -> q16Sql)
+}

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{SnapshotLog, TableMeta, Warehouse}
+import graft.materialize.Materialize
+import graft.plans.RequirePartitionFilter
+
+/** Warehouse layer: snapshot log, time travel, restore-of-deleted,
+  * incremental overwrite, schema evolution, expiry, clustering, and the
+  * require_partition_filter check rule. */
+class WarehouseSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def freshWh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("wh_spec").toString)
+
+  private def df(rows: (Int, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  test("overwrite/read round-trip and dataset/table listing (S1/S2/S11)") {
+    val wh = freshWh()
+    wh.overwrite("raw", "t1", df(1 -> "a", 2 -> "b"))
+    wh.overwrite("mart", "t2", df(3 -> "c"))
+    assert(wh.listDatasets() === Seq("mart", "raw"))
+    assert(wh.listTables("raw") === Seq("t1"))
+    assert(wh.read("raw", "t1").orderBy("id").collect().map(_.getInt(0)).toSeq === Seq(1, 2))
+  }
+
+  test("time travel: readVersion and readAsOf honor the commit history (S9)") {
+    val wh = freshWh()
+    wh.overwrite("raw", "t", df(1 -> "a"))
+    wh.overwrite("raw", "t", df(1 -> "a", 2 -> "b"))
+    assert(wh.readVersion("raw", "t", 1).count() === 1)
+    assert(wh.read("raw", "t").count() === 2)
+    val ts1 = wh.log("raw", "t").commits.head.tsMillis
+    assert(wh.readAsOf("raw", "t", ts1, nowMillis = ts1 + 1000).count() === 1)
+    // outside the 7-day window → rejected (restore.py:60-70)
+    assertThrows[IllegalArgumentException] {
+      wh.readAsOf("raw", "t", ts1, nowMillis = ts1 + 8L * 24 * 3600 * 1000)
+    }
+  }
+
+  test("restore-of-deleted works because the log outlives the table") {
+    val wh = freshWh()
+    wh.overwrite("raw", "gone", df(1 -> "a"))
+    val ts = wh.log("raw", "gone").commits.head.tsMillis
+    wh.drop("raw", "gone")
+    assert(!wh.exists("raw", "gone"))
+    assert(wh.listTables("raw").isEmpty)
+    wh.restore("raw", "gone", ts, "raw", "recovered", nowMillis = ts + 1000)
+    assert(wh.read("raw", "recovered").count() === 1)
+  }
+
+  test("copy clones data server-side (S8)") {
+    val wh = freshWh()
+    wh.overwrite("raw", "src", df(1 -> "a", 2 -> "b"),
+      TableMeta(description = Some("d")))
+    wh.copy("raw", "src", "mart", "dst")
+    assert(wh.read("mart", "dst").count() === 2)
+    assert(wh.meta("mart", "dst").description === Some("d"))
+    wh.drop("raw", "src")
+    assert(wh.read("mart", "dst").count() === 2) // independent of source
+  }
+
+  test("insertOverwrite replaces only the partitions present in the frame") {
+    import spark.implicits._
+    val wh = freshWh()
+    val init = Seq(("2025-01-01", 1), ("2025-01-02", 2))
+      .toDF("day", "n").withColumn("day", col("day").cast("date"))
+    wh.overwrite("mart", "daily", init, TableMeta(partitionField = Some("day")))
+    val incr = Seq(("2025-01-02", 20), ("2025-01-03", 30))
+      .toDF("day", "n").withColumn("day", col("day").cast("date"))
+    wh.insertOverwrite("mart", "daily", incr)
+    val got = wh.read("mart", "daily").orderBy("day")
+      .collect().map(r => (r.getDate(1).toString, r.getInt(0))).toSeq
+    assert(got === Seq(("2025-01-01", 1), ("2025-01-02", 20), ("2025-01-03", 30)))
+    // history: v1 still readable (2 rows, day2=2)
+    assert(wh.readVersion("mart", "daily", 1).count() === 2)
+  }
+
+  test("partition expiry drops partitions older than the TTL") {
+    import spark.implicits._
+    val wh = freshWh()
+    val init = Seq(("2025-01-01", 1), ("2025-03-01", 2))
+      .toDF("day", "n").withColumn("day", col("day").cast("date"))
+    wh.overwrite("mart", "ttl", init,
+      TableMeta(partitionField = Some("day"), partitionExpirationDays = Some(30)))
+    val dropped = wh.expirePartitions("mart", "ttl",
+      today = java.time.LocalDate.parse("2025-03-15"))
+    assert(dropped === Seq("2025-01-01"))
+    assert(wh.read("mart", "ttl").count() === 1)
+  }
+
+  test("vacuum reclaims fragments outside the retention window") {
+    val wh = freshWh()
+    wh.overwrite("raw", "v", df(1 -> "a"))
+    wh.overwrite("raw", "v", df(2 -> "b"))
+    val lg = wh.log("raw", "v")
+    val removed = lg.vacuum(retainMillis = 0,
+      nowMillis = System.currentTimeMillis() + 10000)
+    assert(removed.nonEmpty)
+    assert(wh.read("raw", "v").count() === 1) // latest commit survives
+  }
+
+  test("recluster rewrites ordered by clustering columns") {
+    import spark.implicits._
+    val wh = freshWh()
+    val data = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "v")
+    wh.overwrite("mart", "cl", data, TableMeta(clusteringFields = Seq("k")))
+    wh.recluster("mart", "cl")
+    assert(wh.read("mart", "cl").count() === 3)
+    assert(wh.log("mart", "cl").latest.get.version === 2)
+  }
+
+  test("incremental materialization evolves schema additively (append_new_columns)") {
+    import spark.implicits._
+    val wh = freshWh()
+    val mat = new Materialize(wh)
+    val v1 = Seq(("2025-01-01", 1)).toDF("day", "a")
+      .withColumn("day", col("day").cast("date"))
+    mat.incremental("mart", "ev", v1, partitionField = "day")
+    val v2 = Seq(("2025-01-02", 2, "x")).toDF("day", "a", "b")
+      .withColumn("day", col("day").cast("date"))
+    mat.incremental("mart", "ev", v2)
+    val out = wh.read("mart", "ev")
+    assert(out.schema.fieldNames.toSet === Set("day", "a", "b"))
+    val jan1 = out.filter(col("day") === "2025-01-01").head()
+    assert(jan1.getAs[String]("b") === null) // old partition gains null column
+  }
+
+  test("scd2 collapses unchanged runs and tracks validity intervals") {
+    import spark.implicits._
+    val wh = freshWh()
+    val mat = new Materialize(wh)
+    val snap = Seq(
+      (1, 1L, "A"), (1, 2L, "A"), (1, 3L, "B"), (2, 1L, "C")
+    ).toDF("pk", "seq", "status")
+    val hist = mat.scd2Frame(snap, pk = Seq("pk"), orderCol = "seq",
+      tracked = Seq("status"))
+    val rows = hist.orderBy("pk", "valid_from")
+      .select("pk", "status", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSeq
+    assert(rows === Seq(
+      (1, "A", 1L, Some(3L), false),
+      (1, "B", 3L, None, true),
+      (2, "C", 1L, None, true)))
+  }
+
+  test("require_partition_filter check rule rejects unfiltered scans") {
+    import spark.implicits._
+    val wh = freshWh()
+    val init = Seq(("2025-01-01", 1)).toDF("day", "n")
+      .withColumn("day", col("day").cast("date"))
+    wh.overwrite("mart", "guarded", init,
+      TableMeta(partitionField = Some("day"), requirePartitionFilter = true))
+    val tableDir = java.nio.file.Paths.get(wh.root, "mart", "guarded").toString
+    RequirePartitionFilter.flagPath("file:" + tableDir, "day")
+    try {
+      val unfiltered = wh.read("mart", "guarded")
+      val e = intercept[Exception] { unfiltered.collect() }
+      assert(e.getMessage.contains("require_partition_filter"))
+      // a filter on the partition column makes it legal
+      assert(wh.read("mart", "guarded").filter(col("day") === "2025-01-01").count() === 1)
+    } finally RequirePartitionFilter.clear()
+  }
+
+  test("snapshot log commit versions are monotonic and readable") {
+    val dir = Files.createTempDirectory("snap_spec")
+    val lg = new SnapshotLog(dir)
+    val c1 = lg.commit("write", Seq(SnapshotLog.Entry("", "_data/x")), tsMillis = 100)
+    val c2 = lg.commit("write", Seq(SnapshotLog.Entry("", "_data/y")), tsMillis = 200)
+    assert(c1.version === 1 && c2.version === 2)
+    assert(lg.asOf(150).get.version === 1)
+    assert(lg.asOf(250).get.version === 2)
+    assert(lg.asOf(50).isEmpty)
+  }
+}
