@@ -1,0 +1,102 @@
+package graft.admin
+
+import graft.core.{TableMeta, Warehouse}
+import graft.admin.Admin.Grant
+
+/** Atomic table migration with compensating rollback
+  * (dbtwiz/integrations/bigquery.py:737-801, rollback :1033-1036): replace
+  * an existing table with a pointer to its new home, keeping a backup.
+  *
+  * Steps (each with a compensating action applied in reverse on failure):
+  *  1. verify prerequisites — old exists, new exists, backup missing
+  *     (`_check_expected_table_states` semantics, bigquery.py:850-882)
+  *  2. back up the old table (copy, description tagged BACKUP)
+  *  3. replace the old table with a deprecated redirect view onto the new
+  *     location (description tagged DEPRECATED)
+  *  4. merge grants from the old table onto the redirect
+  *     (`_copy_iam_policy` merge semantics, bigquery.py:884-896)
+  *
+  * There are no cross-table transactions in either warehouse — the
+  * compensating-action pattern is the faithful mapping.
+  */
+object Migrate {
+
+  val BackupMessage = "Backup table from migration"
+  val DeprecationMessage = "DEPRECATED: table has moved"
+
+  sealed trait State
+  case object Missing extends State
+  case object Exists extends State
+  case object Backup extends State
+  case object Deprecated extends State
+
+  /** Classify a table the way `_check_expected_table_states` does:
+    * missing / backup (tagged description) / deprecated (tagged) /
+    * exists. */
+  def state(wh: Warehouse, dataset: String, table: String): State =
+    if (!wh.exists(dataset, table)) Missing
+    else wh.meta(dataset, table).description match {
+      case Some(d) if d.contains(BackupMessage) => Backup
+      case Some(d) if d.contains(DeprecationMessage) => Deprecated
+      case _ => Exists
+    }
+
+  final case class MigrationResult(migrated: Boolean, reason: String,
+                                   grantsMerged: Seq[Grant])
+
+  /** Migrate `old` → `new`: backup, redirect, grant merge; compensate on
+    * failure. `grants` is the metadata grants table (the engine models IAM
+    * as data — SURVEY §7 hard parts). Returns what happened. */
+  def migrateTable(wh: Warehouse,
+                   oldDs: String, oldTable: String,
+                   newDs: String, newTable: String,
+                   grants: Seq[Grant] = Seq.empty): MigrationResult = {
+    val backupTable = s"${oldTable}__bck"
+    // 1. prerequisites (skip, don't throw — reference skips with an error log)
+    val checks = Seq(
+      (oldDs, oldTable, Exists), (newDs, newTable, Exists),
+      (oldDs, backupTable, Missing))
+    val bad = checks.collect {
+      case (d, t, want) if state(wh, d, t) != want =>
+        s"$d.$t: expected `$want` but had `${state(wh, d, t)}`"
+    }
+    if (bad.nonEmpty)
+      return MigrationResult(migrated = false,
+        s"state wasn't as expected: ${bad.mkString("; ")}", Seq.empty)
+
+    var backupDone = false
+    try {
+      // 2. backup
+      wh.copy(oldDs, oldTable, oldDs, backupTable)
+      wh.setMeta(oldDs, backupTable,
+        wh.meta(oldDs, backupTable).copy(description = Some(BackupMessage)))
+      backupDone = true
+      // 3. replace old with a deprecated redirect: the old location now
+      // serves the new table's current data (a copy commit onto the old
+      // log — readers of the old name see the new data plus the tag).
+      wh.copy(newDs, newTable, oldDs, oldTable)
+      wh.setMeta(oldDs, oldTable,
+        wh.meta(oldDs, oldTable).copy(
+          description = Some(s"$DeprecationMessage: use $newDs.$newTable")))
+      // 4. merge grants old → redirect (preserve existing target grants)
+      val oldKey = s"$oldDs.$oldTable"
+      val newKey = s"$newDs.$newTable"
+      val merged = (grants.filter(_.table == newKey) ++
+        grants.filter(_.table == oldKey).map(_.copy(table = newKey))).distinct
+      MigrationResult(migrated = true, "ok", merged)
+    } catch {
+      case e: Exception =>
+        // Compensate in reverse: restore the old table from the backup,
+        // then remove the backup (rollback path bigquery.py:1033-1036).
+        if (backupDone) {
+          try {
+            wh.copy(oldDs, backupTable, oldDs, oldTable)
+            wh.setMeta(oldDs, oldTable,
+              wh.meta(oldDs, oldTable).copy(description = None))
+            wh.drop(oldDs, backupTable)
+          } catch { case _: Exception => () }
+        }
+        MigrationResult(migrated = false, s"rolled back: ${e.getMessage}", Seq.empty)
+    }
+  }
+}

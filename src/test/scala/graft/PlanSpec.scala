@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.queries.DeclaredQueries
+
+/** Physical-plan quality gates: the properties that decide whether these
+  * plans survive a 100× scale-up — metadata-sized join sides must
+  * broadcast (no shuffle of the big side), selective filters must reach
+  * the Parquet scan as pushed filters, and narrow per-row operators must
+  * not shuffle at all. Asserted against the executed plan text so a
+  * regression in plan shape fails CI, not just the benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: metadata-sized right side joins as broadcast, not shuffle") {
+    val plan = planOf(DeclaredQueries.q1Infoschema(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("q2: orphan anti-join broadcasts the manifest side") {
+    val plan = planOf(DeclaredQueries.q2Orphans(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(800))
+  }
+
+  test("q5: date-window predicate is pushed to the parquet scan") {
+    val plan = planOf(DeclaredQueries.q5DateWindow(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(1200))
+    // pruned read: only the three referenced columns are scanned
+    assert(plan.contains("l_shipdate") && !plan.contains("l_orderkey"),
+      plan.take(1200))
+  }
+
+  test("q5: column pruning reaches the scan (ReadSchema is minimal)") {
+    val plan = DeclaredQueries.q5DateWindow(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"))
+  }
+
+  test("text kernels run as a single narrow stage (no exchange)") {
+    val plan = planOf(graft.llmops.TextAnalysis.qTextStats(spark, sf))
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("exact dedup is one hash-aggregate shuffle with partial aggregation") {
+    val full = planOf(graft.llmops.Dedup.queries("dedup_exact")(spark, sf))
+    // partial (map-side) agg before the exchange, final after — one shuffle
+    // (assert on the AQE final plan; toString appends the initial plan too)
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("partial_min") && plan.contains("partial_count"), plan.take(1200))
+    assert("hashpartitioning".r.findAllIn(plan).size === 1, plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+}
