@@ -111,6 +111,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     Files.write(tableDir(dataset, table).resolve("_schema.ddl"),
       schema.toDDL.getBytes(StandardCharsets.UTF_8))
 
+  /** Declared schema (with column comments) as recorded at last write. */
+  def schema(dataset: String, table: String): StructType =
+    schemaDdl(dataset, table).map(StructType.fromDDL)
+      .getOrElse(read(dataset, table).schema)
+
+  /** Descriptions-sync write path (J4, descriptions.py:147-172): apply
+    * dotted-path column descriptions into the declared schema's metadata.
+    * DDL round-trips COMMENT, so comments survive restarts and copies. */
+  def setColumnDescriptions(dataset: String, table: String,
+                            descriptions: Map[String, String]): Unit =
+    writeSchemaDdl(dataset, table,
+      WarehouseTypes.withDescriptions(schema(dataset, table), descriptions))
+
   // --------------------------------------------------------------- writes
 
   /** Full-refresh write (CTAS semantics): one immutable fragment holding

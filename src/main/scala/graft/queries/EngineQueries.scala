@@ -119,10 +119,13 @@ object EngineQueries {
     wh.overwrite("raw", "nation", Tables.load(spark, dir, "nation"),
       TableMeta(description = Some("tpch nation"), clusteringFields = Seq("n_regionkey")))
     wh.overwrite("raw", "region", Tables.load(spark, dir, "region"))
-    wh.overwrite("mart", "orders_by_day",
+    // Partition by MONTH, not day: the fixture's order dates span ~7
+    // years, and 2400 single-day partitions of a 150k-row table is the
+    // classic tiny-files anti-pattern (measured 57s of the bench).
+    wh.overwrite("mart", "orders_by_month",
       Tables.load(spark, dir, "orders")
-        .withColumn("od", col("o_orderdate").cast("date")),
-      TableMeta(partitionField = Some("od"), requirePartitionFilter = true,
+        .withColumn("om", date_trunc("month", col("o_orderdate")).cast("date")),
+      TableMeta(partitionField = Some("om"), requirePartitionFilter = true,
         partitionExpirationDays = Some(365)))
     val rows = for {
       ds <- wh.listDatasets()

@@ -161,4 +161,15 @@ class AdminSpec extends AnyFunSuite {
       ModelFiles.config("table"))
     assert(yml.contains("materialized: table") && yml.contains("Orders mart"))
   }
+
+  test("setColumnDescriptions persists comments through the schema DDL (J4 write path)") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("core", "desc", Seq((1, "a")).toDF("id", "v"))
+    wh.setColumnDescriptions("core", "desc", Map("id" -> "primary key"))
+    val live = graft.core.WarehouseTypes.descriptionMap(wh.schema("core", "desc"))
+    assert(live === Map("id" -> "primary key"))
+    assert(Admin.descriptionDiff(Map("id" -> "primary key", "v" -> "value"), live)
+      === Seq(("v", "value", "")))
+  }
 }
