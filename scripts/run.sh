@@ -17,7 +17,9 @@ OPENS="$OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base
 OPENS="$OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 # Large code cache: 20+ sequential queries' generated classes otherwise
 # exhaust the 240 MB default and the JIT stops compiling (see build.sbt).
+# GRAFT_JAVA_OPTS: extra JVM flags (e.g. -Xlog:safepoint for stall diagnosis).
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
+  ${GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
