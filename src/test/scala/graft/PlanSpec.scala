@@ -52,6 +52,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("brute-force similarity broadcasts queries: no join operator, one window shuffle") {
+    val full = planOf(graft.llmops.Similarity.qBruteForce(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    // corpus never shuffles for scoring — the only exchange feeds the
+    // per-query top-k window rank
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert("hashpartitioning".r.findAllIn(plan).size === 1, plan.take(1200))
+  }
+
+  test("minhash LSH candidates come from an equi-join, never a cartesian") {
+    val full = planOf(graft.llmops.Dedup.queries("dedup_minhash")(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("exact dedup is one hash-aggregate shuffle with partial aggregation") {
     val full = planOf(graft.llmops.Dedup.queries("dedup_exact")(spark, sf))
     // partial (map-side) agg before the exchange, final after — one shuffle
