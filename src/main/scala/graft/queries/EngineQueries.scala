@@ -139,6 +139,36 @@ object EngineQueries {
       "require_partition_filter", "clustering", "description")
   }
 
+  // -------------------------------------------------------- q17 TTL expiry
+
+  /** Partition-expiration maintenance (bigquery.py:464-501,
+    * admin/partition.py:80-126): write a month-partitioned mart with a
+    * 365-day TTL, run the expiry job at a fixed reference date, and read
+    * back what survives — the oracle is the equivalent date-floor filter.
+    * Deterministic: `today` is pinned, never wall-clock. */
+  def q17Expire(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_ttl"))
+    wh.overwrite("mart", "orders_ttl",
+      Tables.load(spark, dir, "orders")
+        .withColumn("om", date_trunc("month", col("o_orderdate")).cast("date")),
+      TableMeta(partitionField = Some("om"),
+        partitionExpirationDays = Some(365)))
+    // 1996-12-31 − 365 days = 1996-01-01 exactly (1996 is a leap year;
+    // 1997-01-01 would put the cutoff at 1996-01-02 and drop January).
+    wh.expirePartitions("mart", "orders_ttl",
+      today = java.time.LocalDate.of(1996, 12, 31))
+    wh.read("mart", "orders_ttl")
+      .groupBy(col("om"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE CAST(date_trunc('month', o_orderdate) AS DATE) >= DATE '1996-01-01'
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- q16 stream hourly
 
   def q16StreamHourly(spark: SparkSession, dir: String): DataFrame = {
@@ -164,11 +194,13 @@ object EngineQueries {
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
     "q15_catalog" -> (q15Catalog _),
-    "q16_stream_hourly" -> (q16StreamHourly _))
+    "q16_stream_hourly" -> (q16StreamHourly _),
+    "q17_expire" -> (q17Expire _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
-    "q16_stream_hourly" -> q16Sql)
+    "q16_stream_hourly" -> q16Sql,
+    "q17_expire" -> q17Sql)
 }
