@@ -25,8 +25,10 @@ import scala.jdk.CollectionConverters._
   * any commit within the retention window (7 days in the reference).
   *
   * Commit atomicity: the manifest file write (create-new, fail if exists)
-  * is the commit point — concurrent writers race on the version number and
-  * the loser retries with the next version.
+  * is the commit point — concurrent writers race on the version number.
+  * State-independent commits ([[commit]]) retry at the next version
+  * (last-writer-wins); state-dependent ones ([[commitWith]]) re-read the
+  * winner's state and recompute before retrying, so no commit is lost.
   */
 final class SnapshotLog(tableDir: Path) {
 
@@ -52,25 +54,40 @@ final class SnapshotLog(tableDir: Path) {
 
   def latest: Option[Commit] = commits.lastOption
 
-  /** Latest commit whose timestamp is <= tsMillis (time-travel read). */
+  /** Latest commit whose timestamp is <= tsMillis (time-travel read).
+    * A filter, not takeWhile: version order need not be timestamp order
+    * (caller-supplied tsMillis can interleave with wall-clock defaults). */
   def asOf(tsMillis: Long): Option[Commit] =
-    commits.takeWhile(_.tsMillis <= tsMillis).lastOption
+    commits.filter(_.tsMillis <= tsMillis).lastOption
 
-  /** Append a commit; returns it. `entries` is the FULL table state. */
+  /** Append a commit whose entries do NOT depend on prior state (full
+    * replace / drop); a lost version race just retries at the next
+    * version — last-writer-wins is the intended semantics. */
   def commit(action: String, entries: Seq[Entry],
-             tsMillis: Long = System.currentTimeMillis()): Commit = {
+             tsMillis: Long = System.currentTimeMillis()): Commit =
+    commitWith(action, _ => entries, tsMillis)
+
+  /** Optimistic-concurrency commit for state-dependent writes
+    * (insert_overwrite's kept-partition list, TTL expiry): `compute`
+    * derives the FULL table state from the current latest commit. On a
+    * lost race the log is re-read and `compute` re-runs against the
+    * winner's state — a Delta-style re-base — so a losing writer merges
+    * with, rather than silently overwrites, the winning commit. */
+  def commitWith(action: String, compute: Option[Commit] => Seq[Entry],
+                 tsMillis: Long = System.currentTimeMillis()): Commit = {
     Files.createDirectories(logDir)
-    var v = latest.map(_.version).getOrElse(0) + 1
     var done: Option[Commit] = None
     while (done.isEmpty) {
-      val c = Commit(v, tsMillis, action, entries)
+      val cur = latest
+      val v = cur.map(_.version).getOrElse(0) + 1
+      val c = Commit(v, tsMillis, action, compute(cur))
       val f = logDir.resolve(f"v$v%05d.manifest")
       try {
         Files.write(f, render(c).getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         done = Some(c)
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => v += 1 // lost race
+        case _: java.nio.file.FileAlreadyExistsException => () // lost race: re-base
       }
     }
     done.get

@@ -111,6 +111,21 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     Files.write(tableDir(dataset, table).resolve("_schema.ddl"),
       schema.toDDL.getBytes(StandardCharsets.UTF_8))
 
+  /** Rewrite the declared schema from a fresh DataFrame schema, carrying
+    * over column descriptions already declared for paths the new schema
+    * doesn't comment itself — a rewrite must not drop descriptions applied
+    * via [[setColumnDescriptions]] (descriptions.py:43-82 round-trip). */
+  private def writeSchemaDdlMerged(dataset: String, table: String, schema: StructType): Unit = {
+    val existing = schemaDdl(dataset, table)
+      .map(d => WarehouseTypes.descriptionMap(StructType.fromDDL(d)))
+      .getOrElse(Map.empty)
+    val fresh = WarehouseTypes.descriptionMap(schema)
+    val carryOver = existing -- fresh.keys
+    writeSchemaDdl(dataset, table,
+      if (carryOver.isEmpty) schema
+      else WarehouseTypes.withDescriptions(schema, carryOver))
+  }
+
   /** Declared schema (with column comments) as recorded at last write. */
   def schema(dataset: String, table: String): StructType =
     schemaDdl(dataset, table).map(StructType.fromDDL)
@@ -126,10 +141,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   // --------------------------------------------------------------- writes
 
+  /** Full-refresh write preserving the table's existing metadata
+    * (partition spec, clustering, TTL, description) — re-overwriting an
+    * existing table must not silently wipe its TableMeta. */
+  def overwrite(dataset: String, table: String, df: DataFrame): Unit =
+    overwrite(dataset, table, df, meta(dataset, table))
+
   /** Full-refresh write (CTAS semantics): one immutable fragment holding
-    * the whole table; the commit replaces all previous entries. */
+    * the whole table; the commit replaces all previous entries. `m`
+    * becomes the table's metadata (use the 3-arg overload to keep the
+    * current metadata). */
   def overwrite(dataset: String, table: String, df: DataFrame,
-                m: TableMeta = TableMeta()): Unit = {
+                m: TableMeta): Unit = {
     ensureDataset(dataset)
     val lg = log(dataset, table)
     m.partitionField match {
@@ -142,7 +165,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         df.write.mode("overwrite").parquet(frag.toString)
         lg.commit("write", Seq(SnapshotLog.Entry("", relativize(dataset, table, frag))))
     }
-    writeSchemaDdl(dataset, table, df.schema)
+    writeSchemaDdlMerged(dataset, table, df.schema)
     setMeta(dataset, table, m)
   }
 
@@ -159,10 +182,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     df.write.mode("overwrite").partitionBy(field).parquet(frag.toString)
     val fresh = hiveEntries(dataset, table, frag, field)
     val freshParts = fresh.map(_.partition).toSet
-    val kept = lg.latest.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
-      .filterNot(e => freshParts(e.partition))
-    lg.commit("write", kept ++ fresh)
-    writeSchemaDdl(dataset, table, df.schema)
+    // commitWith: the kept-partition list is recomputed from the CURRENT
+    // latest commit (re-read on a lost race), so a concurrent writer's
+    // partitions are merged, not silently dropped.
+    lg.commitWith("write", cur => {
+      val kept = cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+        .filterNot(e => freshParts(e.partition))
+      kept ++ fresh
+    })
+    writeSchemaDdlMerged(dataset, table, df.schema)
   }
 
   private def hiveEntries(dataset: String, table: String, frag: Path,
@@ -275,11 +303,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     ensureDataset(dstDataset)
     val dstLg = log(dstDataset, dstTable)
     val srcDir = tableDir(srcDataset, srcTable)
-    val entries = c.entries.map { e =>
+    // Partitioned entries point at hive `field=value` subdirs; the copy
+    // must keep that layer (partitionBy excludes the column from data
+    // files, so the dir name IS the partition value). Group by source
+    // fragment so each fragment is cloned once, `field=value` preserved.
+    val entries = c.entries.groupBy(e =>
+      if (e.partition.isEmpty) srcDir.resolve(e.path)
+      else srcDir.resolve(e.path).getParent
+    ).toSeq.sortBy(_._1.toString).flatMap { case (_, es) =>
       val frag = dstLg.newFragmentDir()
-      copyRecursive(srcDir.resolve(e.path), frag)
-      SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, frag))
-    }
+      es.map { e =>
+        val src = srcDir.resolve(e.path)
+        val dst = if (e.partition.isEmpty) frag else frag.resolve(src.getFileName.toString)
+        copyRecursive(src, dst)
+        SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, dst))
+      }
+    }.sortBy(_.partition)
     dstLg.commit("write", entries)
     schemaDdl(srcDataset, srcTable).foreach(ddl =>
       Files.write(tableDir(dstDataset, dstTable).resolve("_schema.ddl"),
@@ -301,13 +340,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     (m.partitionField, m.partitionExpirationDays) match {
       case (Some(_), Some(days)) =>
         val lg = log(dataset, table)
-        val cur = lg.latest.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
         val cutoff = today.minusDays(days.toLong)
-        val (dead, live) = cur.partition { e =>
+        def isDead(e: SnapshotLog.Entry): Boolean =
           try java.time.LocalDate.parse(e.partition).isBefore(cutoff)
           catch { case _: Exception => false }
-        }
-        if (dead.nonEmpty) lg.commit("write", live)
+        val cur = lg.latest.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+        val dead = cur.filter(isDead)
+        // commitWith re-bases on the current state if a concurrent write
+        // lands between our read and the commit.
+        if (dead.nonEmpty) lg.commitWith("write",
+          c => c.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty).filterNot(isDead))
         dead.map(_.partition)
       case _ => Seq.empty
     }

@@ -39,9 +39,12 @@ final class Materialize(wh: Warehouse) {
     wh.spark.sql(sql)
   }
 
-  /** Table materialization: CTAS full refresh. */
-  def table(dataset: String, name: String, df: DataFrame,
-            meta: TableMeta = TableMeta()): Unit =
+  /** Table materialization: CTAS full refresh preserving existing meta. */
+  def table(dataset: String, name: String, df: DataFrame): Unit =
+    wh.overwrite(dataset, name, df)
+
+  /** Table materialization: CTAS full refresh with explicit meta. */
+  def table(dataset: String, name: String, df: DataFrame, meta: TableMeta): Unit =
     wh.overwrite(dataset, name, df, meta)
 
   /** Incremental materialization (insert_overwrite on the date partition,

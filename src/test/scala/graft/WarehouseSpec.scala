@@ -66,6 +66,63 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.read("mart", "dst").count() === 2) // independent of source
   }
 
+  test("copy and restore preserve the hive partition layer of partitioned tables") {
+    import spark.implicits._
+    val wh = freshWh()
+    val init = Seq(("2025-01-01", 1), ("2025-01-02", 2))
+      .toDF("day", "n").withColumn("day", col("day").cast("date"))
+    wh.overwrite("mart", "psrc", init,
+      TableMeta(partitionField = Some("day"), partitionExpirationDays = Some(30)))
+    // copy: the partition column must survive (partitionBy strips it from
+    // the data files — the field=value dir name is the only source)
+    wh.copy("mart", "psrc", "mart", "pdst")
+    val copied = wh.read("mart", "pdst").orderBy("day")
+      .collect().map(r => (r.getDate(1).toString, r.getInt(0))).toSeq
+    assert(copied === Seq(("2025-01-01", 1), ("2025-01-02", 2)))
+    assert(wh.meta("mart", "pdst").partitionField === Some("day"))
+    assert(wh.meta("mart", "pdst").partitionExpirationDays === Some(30))
+    // restore-of-deleted of a partitioned table
+    val ts = wh.log("mart", "psrc").commits.head.tsMillis
+    wh.drop("mart", "psrc")
+    wh.restore("mart", "psrc", ts, "mart", "precov", nowMillis = ts + 1000)
+    val recov = wh.read("mart", "precov").orderBy("day")
+      .collect().map(r => (r.getDate(1).toString, r.getInt(0))).toSeq
+    assert(recov === Seq(("2025-01-01", 1), ("2025-01-02", 2)))
+    // incremental on the copy keeps working (entries point at real dirs)
+    val incr = Seq(("2025-01-03", 3)).toDF("day", "n")
+      .withColumn("day", col("day").cast("date"))
+    wh.insertOverwrite("mart", "pdst", incr)
+    assert(wh.read("mart", "pdst").count() === 3)
+  }
+
+  test("overwrite without meta preserves the existing TableMeta") {
+    val wh = freshWh()
+    wh.overwrite("raw", "keep", df(1 -> "a"),
+      TableMeta(clusteringFields = Seq("id"), partitionExpirationDays = Some(7),
+        description = Some("keep me")))
+    wh.overwrite("raw", "keep", df(2 -> "b")) // no meta → keep current
+    val m = wh.meta("raw", "keep")
+    assert(m.clusteringFields === Seq("id"))
+    assert(m.partitionExpirationDays === Some(7))
+    assert(m.description === Some("keep me"))
+  }
+
+  test("schema rewrites carry over column descriptions (overwrite + insertOverwrite)") {
+    import spark.implicits._
+    val wh = freshWh()
+    val init = Seq(("2025-01-01", 1)).toDF("day", "n")
+      .withColumn("day", col("day").cast("date"))
+    wh.overwrite("mart", "desc", init, TableMeta(partitionField = Some("day")))
+    wh.setColumnDescriptions("mart", "desc", Map("n" -> "the count"))
+    val incr = Seq(("2025-01-02", 2)).toDF("day", "n")
+      .withColumn("day", col("day").cast("date"))
+    wh.insertOverwrite("mart", "desc", incr)
+    val afterIncr = wh.schema("mart", "desc")
+    assert(afterIncr("n").metadata.getString("comment") === "the count")
+    wh.overwrite("mart", "desc", init) // full refresh, no meta
+    assert(wh.schema("mart", "desc")("n").metadata.getString("comment") === "the count")
+  }
+
   test("insertOverwrite replaces only the partitions present in the frame") {
     import spark.implicits._
     val wh = freshWh()
@@ -178,5 +235,39 @@ class WarehouseSpec extends AnyFunSuite {
     assert(lg.asOf(150).get.version === 1)
     assert(lg.asOf(250).get.version === 2)
     assert(lg.asOf(50).isEmpty)
+  }
+
+  test("asOf tolerates non-monotonic commit timestamps") {
+    val dir = Files.createTempDirectory("snap_skew")
+    val lg = new SnapshotLog(dir)
+    lg.commit("write", Seq(SnapshotLog.Entry("", "_data/x")), tsMillis = 200)
+    lg.commit("write", Seq(SnapshotLog.Entry("", "_data/y")), tsMillis = 100) // clock skew
+    // v2 carries the earlier timestamp; a takeWhile would stop at v1=200>150
+    // and miss it — the filter must find v2.
+    assert(lg.asOf(150).get.version === 2)
+    assert(lg.asOf(250).get.version === 2)
+  }
+
+  test("commitWith re-bases on a lost race instead of dropping the winner's state") {
+    import SnapshotLog.Entry
+    val dir = Files.createTempDirectory("snap_race")
+    val lg = new SnapshotLog(dir)
+    lg.commit("write", Seq(Entry("p1", "_data/a/d=p1")))
+    // Writer A re-writes p1; mid-commit, writer B lands p2 and steals A's
+    // version number. A must retry AND recompute from B's state, so p2
+    // survives in A's final commit (the round-2 lost-update bug).
+    var interleaved = false
+    val result = lg.commitWith("write", cur => {
+      if (!interleaved) {
+        interleaved = true
+        lg.commit("write", cur.get.entries :+ Entry("p2", "_data/b/d=p2"))
+      }
+      cur.map(_.entries).getOrElse(Seq.empty)
+        .filterNot(_.partition == "p1") :+ Entry("p1", "_data/c/d=p1")
+    })
+    assert(result.version === 3)
+    val parts = result.entries.map(e => e.partition -> e.path).toMap
+    assert(parts("p2") === "_data/b/d=p2") // winner's partition kept
+    assert(parts("p1") === "_data/c/d=p1") // loser's rewrite applied
   }
 }
