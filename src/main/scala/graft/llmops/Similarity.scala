@@ -67,13 +67,22 @@ object Similarity {
     }.toDF("query_id", "neighbor_id", "cos")
   }
 
+  /** Cross-engine-stable 4-decimal rounding. Spark's round() detours
+    * through BigDecimal.valueOf (shortest decimal repr, HALF_UP) while
+    * DuckDB rounds from the exact binary value — a cos on a `.xxxx5`
+    * boundary can flip differently. floor(x*1e4 + 0.5)/1e4 is the same
+    * IEEE op sequence in both engines, so the output double is
+    * bit-identical; the oracle SQL spells out the identical formula. */
+  private def roundE4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 4).as("cos"))
+        roundE4(col("cos")).as("cos"))
   }
 
   /** Brute-force cosine top-k: every query vector against the full corpus. */
@@ -119,7 +128,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
   def qLsh(spark: SparkSession, dir: String): DataFrame =
@@ -139,7 +148,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
