@@ -188,6 +188,27 @@ object Kernels {
   /** sqrt of the left-to-right self dot product. */
   def norm(v: Array[Double]): Double = math.sqrt(dot(v, v))
 
+  /** IVF coarse assignment: id of the centroid maximizing
+    * dot(v,c)/(nrm·cnrm), ties to the smallest centroid id. `cents` must
+    * be sorted by id ascending — iterating in id order with a strict `>`
+    * keeps the first (smallest-id) maximum, matching the oracle's
+    * `ORDER BY cos DESC, cid` row_number tie-break. The cosine is the
+    * same op sequence as the SQL (`dot / (nrm * cnrm)`), so assignments
+    * are bit-identical across engines. */
+  def assignCentroid(v: Array[Double], nrm: Double,
+                     cents: Array[(Long, Array[Double], Double)]): Long = {
+    var best = Double.NegativeInfinity
+    var bestId = -1L
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val cos = dot(v, c._2) / (nrm * c._3)
+      if (cos > best) { best = cos; bestId = c._1 }
+      i += 1
+    }
+    bestId
+  }
+
   /** Sign-LSH signature: bit j set iff the left-to-right fold of
     * v(i) * signs(j)(i) is > 0. Signs are ±1.0 so every product is exact
     * and the fold matches `aggregate(zip_with(v, weights, x*y), ...)`

@@ -93,6 +93,62 @@ object Similarity {
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int = TopK): DataFrame =
     rankTopK(scoredPairs(emb, isQuery, bucketed = true), k)
 
+  // ---------------------------------------------------------------- IVF
+
+  /** Probe count: a query scans the members of its `NProbe` nearest
+    * centroids (IVF-style inverted lists, probe > 1 for recall). */
+  val NProbe = 2
+
+  /** IVF (inverted-file) approximate top-k — the second scale path next
+    * to sign-LSH, with data-adaptive cells instead of fixed hyperplanes.
+    *
+    * The coarse quantizer is a deterministic sample of corpus vectors
+    * (`isCentroid`), standing in for offline-trained k-means centroids —
+    * the assignment/probe machinery is identical either way, and a fixed
+    * sample keeps the operator oracle-checkable. Every vector joins the
+    * inverted list of its nearest centroid (argmax cosine, smallest-id
+    * tie-break); a query scores only the members of its `nprobe` nearest
+    * cells.
+    *
+    * Scale shape (100 TB): centroids are tiny (nlist·dim doubles, MBs at
+    * nlist=sqrt(n)) and broadcast; assignment + scoring is ONE map-side
+    * pass over the corpus — no shuffle, no driver collect of the corpus.
+    * Candidate work per query drops from n to ~nprobe·n/nlist. */
+  def ivfTopK(emb: DataFrame, isQuery: Column, isCentroid: Column,
+              k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    val cents: Array[(Long, Array[Double], Double)] =
+      e.filter(isCentroid).as[(Long, Array[Double])].collect()
+        .map { case (id, v) => (id, v, Kernels.norm(v)) }
+        .sortBy(_._1) // id-ascending: assignCentroid's tie-break contract
+    require(cents.nonEmpty, "IVF needs at least one centroid")
+    val queries: Array[(Long, Array[Double], Double, Array[Long])] =
+      e.filter(isQuery).as[(Long, Array[Double])].collect().map { case (id, v) =>
+        val nrm = Kernels.norm(v)
+        val probes = cents
+          .map { case (cid, cv, cn) => (Kernels.dot(v, cv) / (nrm * cn), cid) }
+          .sortBy { case (cos, cid) => (-cos, cid) }
+          .take(nprobe).map(_._2)
+        (id, v, nrm, probes)
+      }
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val scored = e.as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bcC.value
+      val qs = bcQ.value
+      it.flatMap { case (id, v) =>
+        val nrm = Kernels.norm(v)
+        val cid = Kernels.assignCentroid(v, nrm, cs)
+        qs.iterator
+          .filter { case (qid, _, _, probes) => qid != id && probes.contains(cid) }
+          .map { case (qid, qv, qn, _) => (qid, id, Kernels.dot(qv, v) / (qn * nrm)) }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+    rankTopK(scored, k)
+  }
+
   /** DuckDB fragment for the sign-LSH signature over list column `v`.
     *
     * The projection is written as an explicit left-associated chain
@@ -151,11 +207,47 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  // ~17 centroids at the 500-vector fixture (≈sqrt(n) inverted lists);
+  // any deterministic predicate works — at real scale this is the trained
+  // centroid table, not a modulus.
+  private val isCentroidSql = "vec_id % 29 = 3"
+
+  def qIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql), expr(isCentroidSql))
+
+  val qIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE $isCentroidSql),
+       |assign AS (
+       |  SELECT n.vec_id, cid,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS crnk
+       |  FROM n CROSS JOIN cent),
+       |member AS (SELECT vec_id, cid FROM assign WHERE crnk = 1),
+       |probe AS (SELECT vec_id, cid FROM assign WHERE crnk <= $NProbe AND ($isQuerySql)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM probe p
+       |  JOIN member m ON m.cid = p.cid
+       |  JOIN n q ON q.vec_id = p.vec_id
+       |  JOIN n c ON c.vec_id = m.vec_id
+       |  WHERE c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (qBruteForce _),
-    "sim_topk_lsh" -> (qLsh _))
+    "sim_topk_lsh" -> (qLsh _),
+    "sim_topk_ivf" -> (qIvf _))
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" -> qBruteForceSql,
-    "sim_topk_lsh" -> qLshSql)
+    "sim_topk_lsh" -> qLshSql,
+    "sim_topk_ivf" -> qIvfSql)
 }
