@@ -19,8 +19,9 @@ import Hashing._
   *    candidate count, not the corpus)
   *  - SimHash: 60-bit weighted sign-fingerprint; near-dup pairs via 4×15-bit
   *    band buckets + Hamming verification
-  *  - embedding cosine: all-pairs via broadcast corpus blocks (correct at
-  *    test scale; the LSH-bucketed scale path lives in Similarity.scala)
+  *  - embedding cosine: sign-LSH signature buckets (same hyperplanes as
+  *    Similarity) → equi-join candidates → exact cosine re-check; never
+  *    collects or broadcasts the corpus, never enumerates O(n²) pairs
   *
   * Hashing/shingling/signature math runs in [[Kernels]] inside
   * `mapPartitions` — tight JVM loops, one MessageDigest per partition —
@@ -282,44 +283,60 @@ object Dedup {
 
   // ------------------------------------------------------- embedding cosine
 
-  /** Pairwise cosine near-dup over an Array[Float] embedding column.
+  /** Pairwise cosine near-dup over an Array[Float] embedding column,
+    * LSH-bucketed — the scale path, and the only one shipped.
     *
-    * The corpus (with norms) is broadcast once; each partition scans its
-    * vectors against broadcast entries with a higher vec_id in a primitive
-    * double loop — the same left-to-right fold as the oracle, so cosines
-    * are bit-identical. The threshold filter is on the RAW cosine (as in
-    * the oracle); rounding is presentation-only.
+    * One narrow kernel pass computes each vector's norm and its sign-LSH
+    * signature (the same fixed ±1 hyperplanes as [[Similarity]], so the
+    * DuckDB oracle embeds the identical signature expression). Candidate
+    * pairs are a plain equi-join on the signature — vectors only meet the
+    * other members of their bucket, never the whole corpus — followed by
+    * an exact cosine re-check of candidates only. The threshold filter is
+    * on the RAW cosine (as in the oracle); rounding is presentation-only.
     *
-    * This is the O(n²) exact path, correct while one corpus block fits in
-    * a broadcast (~millions of vectors). At 100 TB, block the corpus and
-    * iterate blocks, or use the LSH-bucketed path (Similarity.lshTopK) for
-    * candidate generation. */
+    * Scale shape (100 TB): no driver collect, no broadcast of the corpus,
+    * no O(n²) pair space. The shuffle key is the signature, candidate work
+    * is O(Σ bucket²) ≈ O(n²/2^planes); raise NumPlanes with corpus size so
+    * buckets stay O(thousands). Same-bucket is a necessary condition for
+    * high cosine under random-hyperplane LSH, so recall degrades gracefully
+    * and the oracle replicates the approximation bit-for-bit. */
   def embeddingPairs(emb: DataFrame, threshold: Double = CosineThreshold): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    val signs: Array[Array[Double]] =
+      Similarity.planes.map(_.map(_.toDouble).toArray).toArray
+    val sigged = emb
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
-    val corpus: Array[(Long, Array[Double], Double)] =
-      e.collect().map { case (id, v) => (id, v, Kernels.norm(v)) }
-    val bc = spark.sparkContext.broadcast(corpus)
-    e.mapPartitions { it =>
-      val cs = bc.value
-      it.flatMap { case (ida, va) =>
-        val na = Kernels.norm(va)
-        cs.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          (id, v, Kernels.norm(v), Kernels.lshSignature(v, signs))
+        }
+      }.toDF("vec_id", "v", "nrm", "sig")
+    sigged.select(col("sig"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(sigged.select(col("sig"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("va"), col("na"),
+        col("vec_b"), col("vb"), col("nb"))
+      .as[(Long, Array[Double], Double, Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (ida, va, na, idb, vb, nb) =>
           val cos = Kernels.dot(va, vb) / (na * nb)
           if (cos >= threshold) Some((ida, idb, Kernels.round4(cos))) else None
         }
-      }
-    }.toDF("vec_a", "vec_b", "cos")
+      }.toDF("vec_a", "vec_b", "cos")
   }
 
   def embeddingPairsSql(threshold: Double = CosineThreshold): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |             ${Similarity.signatureSql("v")} AS sig
+       |      FROM e)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold""".stripMargin
 
   // ----------------------------------------------------------------- queries

@@ -113,21 +113,51 @@ final class Materialize(wh: Warehouse) {
       .drop("_is_first", "_changed")
   }
 
-  /** scd2 merge into the warehouse: rebuilds the affected keys' history
-    * and merges with untouched keys (the MERGE side of incremental+merge). */
+  /** scd2 merge into the warehouse (the MERGE side of incremental+merge,
+    * model/create.py:416-429, 466-470), PARTITION-SCOPED.
+    *
+    * The history table is hash-bucketed on the primary key
+    * (`_pk_bucket = pmod(xxhash64(pk), buckets)`), so every key's whole
+    * validity history lives in exactly one partition. A merge then:
+    *
+    *  1. derives the touched buckets from the incoming snapshot's keys
+    *     (≤ `buckets` values — driver-sized by construction, never rows),
+    *  2. reads ONLY those partitions (manifest-level pruning),
+    *  3. rebuilds the touched keys' intervals from stored change rows ∪
+    *     new snapshot rows (collapsed change rows are a faithful basis:
+    *     re-running change detection over them yields the same intervals
+    *     as over the raw stream, since dropped rows were value-duplicates
+    *     of their predecessor change row),
+    *  4. `insertOverwrite`s the touched buckets — untouched-key rows in
+    *     those buckets are carried through; every other partition keeps
+    *     its fragments untouched.
+    *
+    * Cost is O(touched buckets), not O(table): merging one key into a
+    * 100 TB history rewrites ~1/buckets of it, and the commit is
+    * metadata-only for the rest. Size `buckets` so a bucket is a few GB
+    * at the target scale. */
   def scd2(dataset: String, name: String, snapshot: DataFrame, pk: Seq[String],
-           orderCol: String, tracked: Seq[String]): Unit = {
+           orderCol: String, tracked: Seq[String], tiebreak: Seq[String] = Nil,
+           buckets: Int = 32): Unit = {
+    val bucketCol = pmod(xxhash64(pk.map(col): _*), lit(buckets)).cast("int")
     if (!wh.exists(dataset, name)) {
-      wh.overwrite(dataset, name, scd2Frame(snapshot, pk, orderCol, tracked))
+      wh.overwrite(dataset, name,
+        scd2Frame(snapshot, pk, orderCol, tracked, tiebreak)
+          .withColumn("_pk_bucket", bucketCol),
+        TableMeta(partitionField = Some("_pk_bucket"), partitionType = "int"))
     } else {
-      val existing = wh.read(dataset, name)
       val touched = snapshot.select(pk.map(col): _*).distinct()
-      val untouched = existing.join(touched, pk, "left_anti")
-      val history = existing.join(touched, pk, "left_semi")
-        .drop("valid_from", "valid_to", "is_current")
+      val touchedBuckets = touched.select(bucketCol.as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val affected = wh.readPartitions(dataset, name,
+        touchedBuckets.map(_.toString).toSeq)
+      val untouched = affected.join(touched, pk, "left_anti")
+      val history = affected.join(touched, pk, "left_semi")
+        .drop("valid_from", "valid_to", "is_current", "_pk_bucket")
       val rebuilt = scd2Frame(history.unionByName(snapshot).distinct(),
-        pk, orderCol, tracked)
-      wh.overwrite(dataset, name, untouched.unionByName(rebuilt))
+        pk, orderCol, tracked, tiebreak)
+        .withColumn("_pk_bucket", bucketCol)
+      wh.insertOverwrite(dataset, name, untouched.unionByName(rebuilt))
     }
   }
 

@@ -33,10 +33,13 @@ object EngineQueries {
   def q12TimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val wh = new Warehouse(spark, scratch("graft_tt"))
     val orders = Tables.load(spark, dir, "orders")
-    // v1: the pre-1995 state; v2: everything. The query reads v1 back
-    // through the snapshot log while v2 is current.
+    // v1: the pre-1996 state (the fixture's orders start 1995-01-01, so
+    // this slice is NON-EMPTY — a cutoff below the data's min date would
+    // make both engine and oracle return 0 rows and the gate vacuous);
+    // v2: everything. The query reads v1 back through the snapshot log
+    // while v2 is current.
     wh.overwrite("mart", "orders_snap",
-      orders.filter(col("o_orderdate") < "1995-01-01"))
+      orders.filter(col("o_orderdate") < "1996-01-01"))
     wh.overwrite("mart", "orders_snap", orders)
     val v1 = wh.readVersion("mart", "orders_snap", 1)
     v1.groupBy(col("o_orderstatus").as("status"))
@@ -47,7 +50,7 @@ object EngineQueries {
   val q12Sql: String =
     """SELECT o_orderstatus AS status, count(*) AS n,
       |       round(sum(o_totalprice), 2) AS total
-      |FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+      |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------- q13 incremental
@@ -106,6 +109,30 @@ object EngineQueries {
       |       lead(ts) OVER w2 IS NULL AS is_current
       |FROM ch
       |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  // ----------------------------------------------------------- q18 scd2 merge
+
+  /** scd2 incremental+merge (model/create.py:416-429, 466-470): initial
+    * load from the first half of the stream, then a MERGE of the second
+    * half. The merge path is partition-scoped — only the pk-hash buckets
+    * holding touched keys are rewritten — and the merged history must
+    * equal an scd2 build over the full stream, which is exactly what the
+    * oracle computes. */
+  def q18Scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_scd2m"))
+    val mat = new Materialize(wh)
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    mat.scd2("mart", "users_hist", e.filter(col("ts") < "2024-01-16"),
+      pk = Seq("user_id"), orderCol = "ts", tracked = Seq("event_type"),
+      tiebreak = Seq("event_id"))
+    mat.scd2("mart", "users_hist", e.filter(col("ts") >= "2024-01-16"),
+      pk = Seq("user_id"), orderCol = "ts", tracked = Seq("event_type"),
+      tiebreak = Seq("event_id"))
+    wh.read("mart", "users_hist")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
 
   // ------------------------------------------------------------- q15 catalog
 
@@ -195,12 +222,15 @@ object EngineQueries {
     "q14_scd2" -> (q14Scd2 _),
     "q15_catalog" -> (q15Catalog _),
     "q16_stream_hourly" -> (q16StreamHourly _),
-    "q17_expire" -> (q17Expire _))
+    "q17_expire" -> (q17Expire _),
+    "q18_scd2_merge" -> (q18Scd2Merge _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
     "q16_stream_hourly" -> q16Sql,
-    "q17_expire" -> q17Sql)
+    "q17_expire" -> q17Sql,
+    // the merged two-batch history must equal a full-stream scd2 build
+    "q18_scd2_merge" -> q14Sql)
 }

@@ -68,6 +68,15 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("embedding dedup candidates come from a signature equi-join; no corpus collect") {
+    val full = planOf(graft.llmops.Dedup.queries("dedup_embed")(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // candidates shuffle on the signature key, not the full pair space
+    assert(plan.contains("Join"), plan.take(1200))
+  }
+
   test("exact dedup is one hash-aggregate shuffle with partial aggregation") {
     val full = planOf(graft.llmops.Dedup.queries("dedup_exact")(spark, sf))
     // partial (map-side) agg before the exchange, final after — one shuffle

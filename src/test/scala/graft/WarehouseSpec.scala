@@ -208,6 +208,49 @@ class WarehouseSpec extends AnyFunSuite {
       (2, "C", 1L, None, true)))
   }
 
+  test("scd2 merge rewrites only touched pk buckets and equals a full rebuild") {
+    import spark.implicits._
+    val wh = freshWh()
+    val mat = new Materialize(wh)
+    val all = Seq(
+      (1, 1L, "A"), (1, 2L, "A"), (1, 3L, "B"), (2, 1L, "C"),
+      (1, 5L, "C"), (3, 4L, "X"), (3, 6L, "X"), (3, 7L, "Y")
+    ).toDF("pk", "seq", "status")
+    val batch1 = all.filter(col("seq") <= 3)
+    val batch2 = all.filter(col("seq") > 3)
+    mat.scd2("mart", "hist", batch1, pk = Seq("pk"), orderCol = "seq",
+      tracked = Seq("status"), buckets = 8)
+    val v1Entries = wh.log("mart", "hist").latest.get.entries
+    mat.scd2("mart", "hist", batch2, pk = Seq("pk"), orderCol = "seq",
+      tracked = Seq("status"), buckets = 8)
+    val v2Entries = wh.log("mart", "hist").latest.get.entries
+    // the merged history equals an scd2 build over the full stream
+    val got = wh.read("mart", "hist")
+      .select("pk", "status", "valid_from", "valid_to", "is_current")
+      .orderBy("pk", "valid_from").collect().toSeq
+    val want = mat.scd2Frame(all, pk = Seq("pk"), orderCol = "seq",
+      tracked = Seq("status"))
+      .select("pk", "status", "valid_from", "valid_to", "is_current")
+      .orderBy("pk", "valid_from").collect().toSeq
+    assert(got === want)
+    // partition-scoped: buckets whose keys batch2 didn't touch keep their
+    // ORIGINAL fragment paths in the merge commit (metadata carry-over,
+    // no rewrite); touched buckets point at new fragments
+    val bucketOf = Seq(1, 2, 3).toDF("pk")
+      .select(col("pk"), pmod(xxhash64(col("pk")), lit(8)).cast("int").as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1).toString).toMap
+    val touchedBuckets = Set(bucketOf(1), bucketOf(3)) // keys in batch2
+    val v1ByPart = v1Entries.map(e => e.partition -> e.path).toMap
+    v2Entries.foreach { e =>
+      if (touchedBuckets(e.partition))
+        assert(!v1ByPart.get(e.partition).contains(e.path),
+          s"touched bucket ${e.partition} was not rewritten")
+      else
+        assert(v1ByPart.get(e.partition).contains(e.path),
+          s"untouched bucket ${e.partition} was rewritten")
+    }
+  }
+
   test("require_partition_filter check rule rejects unfiltered scans") {
     import spark.implicits._
     val wh = freshWh()
