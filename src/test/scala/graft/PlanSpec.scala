@@ -77,6 +77,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Join"), plan.take(1200))
   }
 
+  test("embedding dedup banding keeps recall >= 0.85 vs the exact pair set") {
+    // Exact ground truth via an all-pairs join — TEST-ONLY; the shipped
+    // operator never enumerates the pair space. Guards against a band
+    // parameterization that silently collapses recall (a single AND-of-6
+    // signature measured 0.07 here).
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val n = emb.withColumn("nrm", sqrt(aggregate(
+      zip_with(col("v"), col("v"), (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)))
+    val cosExpr = aggregate(zip_with(col("va"), col("vb"), (a, b) => a * b),
+      lit(0.0d), (acc, x) => acc + x) / (col("na") * col("nb"))
+    val exact = n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      .crossJoin(n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosExpr >= graft.llmops.Dedup.CosineThreshold)
+      .select("vec_a", "vec_b")
+    val banded = graft.llmops.Dedup.queries("dedup_embed")(spark, sf)
+      .select("vec_a", "vec_b")
+    val nExact = exact.count()
+    val caught = exact.join(banded, Seq("vec_a", "vec_b"), "left_semi").count()
+    assert(nExact > 0, "fixture has no pairs above threshold — gate is vacuous")
+    assert(caught.toDouble / nExact >= 0.85,
+      s"banded recall ${caught.toDouble / nExact} ($caught/$nExact)")
+  }
+
   test("exact dedup is one hash-aggregate shuffle with partial aggregation") {
     val full = planOf(graft.llmops.Dedup.queries("dedup_exact")(spark, sf))
     // partial (map-side) agg before the exchange, final after — one shuffle
