@@ -135,14 +135,31 @@ final class Materialize(wh: Warehouse) {
     * Cost is O(touched buckets), not O(table): merging one key into a
     * 100 TB history rewrites ~1/buckets of it, and the commit is
     * metadata-only for the rest. Size `buckets` so a bucket is a few GB
-    * at the target scale. */
+    * at the target scale.
+    *
+    * PRECONDITION (enforced): snapshots must arrive in order — every
+    * incoming row's `orderCol` must be > the stored key's highest seen
+    * `orderCol` (stamped per key as `_max_seen`, which includes dropped
+    * value-duplicates, not just surviving change rows). The rebuild basis
+    * is stored CHANGE rows ∪ new rows; a late row landing between a
+    * stored change row and its dropped duplicates would silently produce
+    * different history than a full rebuild (the duplicate that should
+    * re-assert the old value after the late row no longer exists). A
+    * merge containing such a row throws — recover by rebuilding the key
+    * from the raw stream. Rows at orderCol == `_max_seen` additionally
+    * require the tiebreak columns to order them after the seen row; keep
+    * snapshot batches strictly ordered to stay clear of the boundary. */
   def scd2(dataset: String, name: String, snapshot: DataFrame, pk: Seq[String],
            orderCol: String, tracked: Seq[String], tiebreak: Seq[String] = Nil,
            buckets: Int = 32): Unit = {
     val bucketCol = pmod(xxhash64(pk.map(col): _*), lit(buckets)).cast("int")
+    def stampMaxSeen(frame: DataFrame, basis: DataFrame): DataFrame =
+      frame.join(
+        basis.groupBy(pk.map(col): _*).agg(max(col(orderCol)).as("_max_seen")),
+        pk)
     if (!wh.exists(dataset, name)) {
       wh.overwrite(dataset, name,
-        scd2Frame(snapshot, pk, orderCol, tracked, tiebreak)
+        stampMaxSeen(scd2Frame(snapshot, pk, orderCol, tracked, tiebreak), snapshot)
           .withColumn("_pk_bucket", bucketCol),
         TableMeta(partitionField = Some("_pk_bucket"), partitionType = "int"))
     } else {
@@ -151,11 +168,28 @@ final class Materialize(wh: Warehouse) {
         .collect().map(_.getInt(0)).sorted
       val affected = wh.readPartitions(dataset, name,
         touchedBuckets.map(_.toString).toSeq)
+      // Monotone-orderCol gate: any incoming row strictly below its key's
+      // stored high-water mark breaks the collapsed-change-row rebuild
+      // basis (see scaladoc). One narrow agg over the touched buckets +
+      // an equi-join with the (already driver-sized) snapshot keys.
+      val storedSeen = affected.join(touched, pk, "left_semi")
+        .groupBy(pk.map(col): _*).agg(max(col("_max_seen")).as("_stored_seen"))
+      val late = snapshot.join(storedSeen, pk)
+        .filter(col(orderCol) < col("_stored_seen"))
+        .select((pk.map(col) :+ col(orderCol) :+ col("_stored_seen")): _*)
+        .take(1)
+      if (late.nonEmpty)
+        throw new IllegalArgumentException(
+          s"scd2 merge into $dataset.$name received an out-of-order snapshot " +
+            s"row (key/order/stored-max: ${late.head}); merged history would " +
+            "diverge from a full rebuild — rebuild the affected keys from " +
+            "the raw stream instead")
       val untouched = affected.join(touched, pk, "left_anti")
       val history = affected.join(touched, pk, "left_semi")
-        .drop("valid_from", "valid_to", "is_current", "_pk_bucket")
-      val rebuilt = scd2Frame(history.unionByName(snapshot).distinct(),
-        pk, orderCol, tracked, tiebreak)
+        .drop("valid_from", "valid_to", "is_current", "_pk_bucket", "_max_seen")
+      val basis = history.unionByName(snapshot).distinct()
+      val rebuilt = stampMaxSeen(
+        scd2Frame(basis, pk, orderCol, tracked, tiebreak), basis)
         .withColumn("_pk_bucket", bucketCol)
       wh.insertOverwrite(dataset, name, untouched.unionByName(rebuilt))
     }

@@ -240,6 +240,15 @@ class WarehouseSpec extends AnyFunSuite {
       .select(col("pk"), pmod(xxhash64(col("pk")), lit(8)).cast("int").as("b"))
       .collect().map(r => r.getInt(0) -> r.getInt(1).toString).toMap
     val touchedBuckets = Set(bucketOf(1), bucketOf(3)) // keys in batch2
+    // guard the fixture's bucket layout: under a different hash/bucketing
+    // both branches below could be silently vacuous (all buckets touched,
+    // or key 2 colliding into a touched bucket)
+    assert(!touchedBuckets(bucketOf(2)),
+      s"fixture degenerate: key 2 (bucket ${bucketOf(2)}) collides with a touched bucket $touchedBuckets")
+    assert(v2Entries.exists(e => touchedBuckets(e.partition)),
+      "no touched bucket present in the merge commit")
+    assert(v2Entries.exists(e => !touchedBuckets(e.partition)),
+      "no untouched bucket present — carry-over path not exercised")
     val v1ByPart = v1Entries.map(e => e.partition -> e.path).toMap
     v2Entries.foreach { e =>
       if (touchedBuckets(e.partition))
@@ -249,6 +258,32 @@ class WarehouseSpec extends AnyFunSuite {
         assert(v1ByPart.get(e.partition).contains(e.path),
           s"untouched bucket ${e.partition} was rewritten")
     }
+  }
+
+  test("scd2 merge rejects out-of-order snapshots (monotone orderCol gate)") {
+    import spark.implicits._
+    val wh = freshWh()
+    val mat = new Materialize(wh)
+    // batch1 sees key 1 through seq 3 (seq 2 is a dropped value-duplicate
+    // of the seq-1 change row); a late seq-1.5-style row must be refused —
+    // the dropped duplicate that would re-assert A after it is gone, so a
+    // merge would silently diverge from a full rebuild.
+    val batch1 = Seq((1, 1L, "A"), (1, 2L, "A"), (1, 3L, "B"))
+      .toDF("pk", "seq", "status")
+    mat.scd2("mart", "hist", batch1, pk = Seq("pk"), orderCol = "seq",
+      tracked = Seq("status"), buckets = 8)
+    val late = Seq((1, 2L, "Z")).toDF("pk", "seq", "status")
+    val ex = intercept[IllegalArgumentException] {
+      mat.scd2("mart", "hist", late, pk = Seq("pk"), orderCol = "seq",
+        tracked = Seq("status"), buckets = 8)
+    }
+    assert(ex.getMessage.contains("out-of-order"))
+    // in-order rows at the boundary (> max seen) still merge fine
+    mat.scd2("mart", "hist", Seq((1, 4L, "Z")).toDF("pk", "seq", "status"),
+      pk = Seq("pk"), orderCol = "seq", tracked = Seq("status"), buckets = 8)
+    val cur = wh.read("mart", "hist").filter(col("is_current"))
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(cur === Seq("Z"))
   }
 
   test("require_partition_filter check rule rejects unfiltered scans") {
