@@ -199,12 +199,10 @@ object EngineQueries {
   // ------------------------------------------------------- q16 stream hourly
 
   def q16StreamHourly(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("graft_stream_out")
+    val wh = new Warehouse(spark, scratch("graft_stream_wh"))
     StreamingIncremental.runHourlyCounts(spark, s"$dir/events.parquet",
-      scratch("graft_stream_ckpt")) { batch =>
-      batch.write.mode("overwrite").parquet(out)
-    }
-    spark.read.parquet(out)
+      scratch("graft_stream_ckpt"), wh, "mart", "hourly")
+    wh.read("mart", "hourly")
       .select(col("hour"), col("event_type"), col("n"),
         round(col("sum_value"), 2).as("sum_value"))
   }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.core.{TableMeta, Warehouse}
 
 /** Structured-Streaming expression of the reference's scheduled
   * incremental refresh (SURVEY §2.8): the reference has no true streaming
@@ -16,16 +17,21 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingIncremental {
 
-  /** Watermarked tumbling-window aggregate over an event stream read from
-    * parquet, delivered via foreachBatch into `sink` (complete mode — the
-    * run is bounded, AvailableNow). Returns after the stream drains.
+  /** Watermarked tumbling-window hourly aggregate over an event stream
+    * read from parquet, upserted into warehouse table `dataset.table`
+    * (partitioned by day) via update-mode foreachBatch. Returns after the
+    * stream drains (AvailableNow).
     *
-    * At scale: the same pipeline with a kafka source + `Trigger
-    * .ProcessingTime` and `foreachBatch` doing insertOverwrite of the
-    * touched date partitions is the continuous form; nothing else changes.
+    * Update mode + keyed upsert is the at-scale shape: state holds only
+    * windows inside the watermark (complete mode would retain every
+    * window ever seen, growing without bound on a continuous stream), and
+    * each micro-batch rewrites only the day partitions it touches. The
+    * same pipeline with a kafka source and `Trigger.ProcessingTime` is
+    * the continuous form; nothing else changes.
     */
   def runHourlyCounts(spark: SparkSession, eventsDir: String,
-                      checkpointDir: String)(sink: DataFrame => Unit): Unit = {
+                      checkpointDir: String, wh: Warehouse,
+                      dataset: String, table: String): Unit = {
     val statics = spark.read.parquet(eventsDir)
     // The file-stream source monitors a DIRECTORY (a landing zone). The
     // fixture is a single parquet file, so stage it into a scratch landing
@@ -46,11 +52,35 @@ object StreamingIncremental {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertHourly(wh, dataset, table, batch)
+      }
       .start()
     q.awaitTermination()
+  }
+
+  /** Partition-scoped upsert of an update-mode micro-batch: latest value
+    * per (hour, event_type) wins; only the day partitions present in the
+    * batch are rewritten (untouched rows of those days carry over via an
+    * anti-join, every other partition's commit is metadata-only). */
+  def upsertHourly(wh: Warehouse, dataset: String, table: String,
+                   batch0: DataFrame): Unit = {
+    val batch = batch0.withColumn("day", to_date(col("hour")))
+    if (batch.isEmpty) return // AvailableNow may fire a final empty batch
+    if (!wh.exists(dataset, table)) {
+      wh.overwrite(dataset, table, batch,
+        TableMeta(partitionField = Some("day")))
+    } else {
+      // touched DAYS, not rows — driver-sized by construction
+      val touchedDays = batch.select(col("day")).distinct()
+        .collect().map(_.getDate(0).toString).toSeq
+      val carry = wh.readPartitions(dataset, table, touchedDays)
+        .join(batch.select(col("hour"), col("event_type")),
+          Seq("hour", "event_type"), "left_anti")
+      wh.insertOverwrite(dataset, table, carry.unionByName(batch))
+    }
   }
 }
