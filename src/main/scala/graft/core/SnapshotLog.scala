@@ -35,7 +35,7 @@ final class SnapshotLog(tableDir: Path) {
   private val logDir = tableDir.resolve("_log")
   private val dataDir = tableDir.resolve("_data")
 
-  import SnapshotLog.{Commit, Entry}
+  import SnapshotLog.{Commit, Entry, LatestPointer}
 
   def exists: Boolean = Files.isDirectory(logDir)
 
@@ -52,7 +52,31 @@ final class SnapshotLog(tableDir: Path) {
       .sortBy(_.getFileName.toString)
       .map(readManifest)
 
-  def latest: Option[Commit] = commits.lastOption
+  private def manifestPath(v: Int): Path = logDir.resolve(f"v$v%05d.manifest")
+
+  /** Latest commit in O(1) manifest reads: the `_latest` pointer file
+    * (written best-effort after each commit — NOT the commit point) names
+    * a version known to exist; probing forward from it covers writers
+    * that crashed between manifest and pointer writes or lost a pointer
+    * race. Cost is 1 + (pointer staleness) reads instead of listing and
+    * parsing every manifest — the difference between O(1) and O(9k file
+    * reads per query) after a year of hourly commits. A missing or
+    * corrupt pointer falls back to the full listing. */
+  def latest: Option[Commit] = {
+    if (!exists) return None
+    val hinted = try {
+      val s = new String(Files.readAllBytes(logDir.resolve(LatestPointer)),
+        StandardCharsets.UTF_8).trim.toInt
+      if (Files.exists(manifestPath(s))) Some(s) else None
+    } catch { case _: Exception => None }
+    hinted match {
+      case None => commits.lastOption
+      case Some(start) =>
+        var v = start
+        while (Files.exists(manifestPath(v + 1))) v += 1
+        Some(readManifest(manifestPath(v)))
+    }
+  }
 
   /** Latest commit whose timestamp is <= tsMillis (time-travel read).
     * A filter, not takeWhile: version order need not be timestamp order
@@ -86,12 +110,25 @@ final class SnapshotLog(tableDir: Path) {
         Files.write(f, render(c).getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         done = Some(c)
+        advancePointer(v)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => () // lost race: re-base
       }
     }
     done.get
   }
+
+  /** Best-effort `_latest` advance (atomic rename; never moves backwards
+    * past a concurrent winner thanks to [[latest]]'s forward probe — a
+    * stale pointer only costs extra probe reads, never correctness). */
+  private def advancePointer(v: Int): Unit =
+    try {
+      val tmp = logDir.resolve(s"$LatestPointer.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, logDir.resolve(LatestPointer),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () }
 
   /** Paths (absolute) making up a commit's table state. */
   def dataPaths(c: Commit): Seq[String] =
@@ -151,6 +188,10 @@ object SnapshotLog {
                           entries: Seq[Entry]) {
     def isDrop: Boolean = action == "drop"
   }
+
+  /** Checkpoint file naming the newest known version (Delta's
+    * `_last_checkpoint` analog). */
+  val LatestPointer = "_latest"
 
   val TimeTravelWindowMillis: Long = 7L * 24 * 3600 * 1000 // restore.py:60-70
   def forTable(root: String, dataset: String, table: String): SnapshotLog =

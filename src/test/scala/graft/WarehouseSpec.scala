@@ -326,6 +326,34 @@ class WarehouseSpec extends AnyFunSuite {
     assert(lg.asOf(250).get.version === 2)
   }
 
+  test("latest resolves via the _latest pointer without listing the log") {
+    val dir = Files.createTempDirectory("snap_ptr")
+    val lg = new SnapshotLog(dir)
+    (1 to 5).foreach(i =>
+      lg.commit("write", Seq(SnapshotLog.Entry("", s"_data/v$i")), tsMillis = i * 100L))
+    val logDir = dir.resolve("_log")
+    assert(Files.readString(logDir.resolve(SnapshotLog.LatestPointer)).trim === "5")
+    // Prove the happy path needs only pointer + one manifest: delete every
+    // OLDER manifest — a listing-based latest would now return v1-less
+    // garbage or fail; the pointer path must still return v5.
+    (1 to 4).foreach(i => Files.delete(logDir.resolve(f"v$i%05d.manifest")))
+    assert(lg.latest.get.version === 5)
+  }
+
+  test("a stale or corrupt _latest pointer never loses commits") {
+    val dir = Files.createTempDirectory("snap_stale")
+    val lg = new SnapshotLog(dir)
+    (1 to 4).foreach(i =>
+      lg.commit("write", Seq(SnapshotLog.Entry("", s"_data/v$i")), tsMillis = i * 100L))
+    val ptr = dir.resolve("_log").resolve(SnapshotLog.LatestPointer)
+    // stale: a writer crashed after manifest v4 but before the pointer move
+    Files.writeString(ptr, "2")
+    assert(lg.latest.get.version === 4) // forward probe recovers
+    // corrupt: fall back to the full listing
+    Files.writeString(ptr, "not-a-version")
+    assert(lg.latest.get.version === 4)
+  }
+
   test("commitWith re-bases on a lost race instead of dropping the winner's state") {
     import SnapshotLog.Entry
     val dir = Files.createTempDirectory("snap_race")
