@@ -1,8 +1,9 @@
 package graft.admin
 
 import org.apache.spark.sql.DataFrame
+import graft.config.{DbtProject, ProjectSettings}
 import graft.core.Warehouse
-import graft.manifest.Manifest
+import graft.manifest.{Manifest, ModelFiles}
 
 /** Warehouse-administration dataflows of the reference, over the engine's
   * [[Warehouse]] + [[Manifest]]: orphan reconciliation (cleanup.py),
@@ -67,6 +68,43 @@ object Admin {
     all.distinct.sorted
   }
 
+  /** _collect_principals (grants.py:14-40): resolve meta-config names to
+    * principals through the project's var dictionary — an unknown name
+    * fails loudly with the valid choices, a known name without a
+    * `principal` contributes nothing. */
+  def collectPrincipals(metaValues: Seq[String], project: DbtProject,
+                        varName: String, nodeName: String): Seq[String] =
+    metaValues.flatMap { item =>
+      project.principalsOf(varName, item).getOrElse(
+        throw new IllegalArgumentException(
+          s"$nodeName - Unable to find $varName with name '$item'. " +
+            s"Valid values are: ${project.validNamesOf(varName).mkString("|")}"))
+    }
+
+  /** _resolve_desired_grants (grants.py:43-106) fed by the CONFIG TREES
+    * instead of pre-resolved lists: model-meta team / access-policy /
+    * service-consumer names resolve via dbt_project.yml vars, the
+    * pyproject open-access group joins for protected/public models, and
+    * every principal must be a group or service account. */
+  def desiredGrantees(explicit: Seq[String], metaTeams: Seq[String],
+                      metaAccessPolicies: Seq[String],
+                      metaServiceConsumers: Seq[String],
+                      project: DbtProject, settings: ProjectSettings,
+                      access: Option[String], nodeName: String): Seq[String] = {
+    val open = settings.grantsOpenAccessGroup
+      .filter(_ => access.exists(Set("protected", "public")))
+    val all = (explicit ++
+      collectPrincipals(metaTeams, project, "teams", nodeName) ++
+      collectPrincipals(metaAccessPolicies, project, "access-policies", nodeName) ++
+      collectPrincipals(metaServiceConsumers, project, "service-consumers", nodeName) ++
+      open).distinct.sorted
+    val invalid = all.filterNot(g => g.contains("group:") || g.contains("serviceAccount:"))
+    require(invalid.isEmpty,
+      s"Invalid principals '${invalid.mkString(", ")}'; " +
+        "Can only grant permissions to groups and service accounts!")
+    all
+  }
+
   // ----------------------------------------------------- descriptions (J4)
 
   /** Mismatched column descriptions: manifest-declared vs live schema,
@@ -93,6 +131,32 @@ object Admin {
       case (t, want) if live.contains(t) && live(t) != want =>
         (t, want, live(t))
     }.sortBy(_._1)
+
+  /** resolve_partition_expiration (partition.py:36-46): a model's declared
+    * expiration is either a literal day count or a `{{ var('…') }}`
+    * reference into dbt_project.yml vars; unknown vars resolve to 0 (the
+    * reference's `partition_vars.get(var_name, 0)`). The resolved map
+    * feeds [[expirationMismatches]]. */
+  def resolveDeclaredExpiration(defined: String, project: DbtProject): Int =
+    if (defined.forall(_.isDigit) && defined.nonEmpty) defined.toInt
+    else ModelFiles.extractVarName(defined).map(v => project.varInt(v).getOrElse(0))
+      .getOrElse(0)
+
+  // -------------------------------------------------- descriptions strip (F16)
+
+  val AugmentedStart = "[comment]: <> (START AUGMENTED DOCS)"
+  val AugmentedEnd = "[comment]: <> (END AUGMENTED DOCS)"
+
+  /** _strip_augmented_docs (descriptions.py:11-23): remove the deploy-
+    * augmented block, keeping only dbt-authored text. An unterminated
+    * block truncates at its start; a terminated one keeps the tail. */
+  def stripAugmentedDocs(description: String): String = {
+    if (description == null || !description.contains(AugmentedStart)) return description
+    val start = description.indexOf(AugmentedStart)
+    val end = description.indexOf(AugmentedEnd)
+    if (end == -1) description.take(start).trim
+    else description.substring(end + AugmentedEnd.length).trim
+  }
 
   // ------------------------------------------------------- work sizing (S7)
 

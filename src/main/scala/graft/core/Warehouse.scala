@@ -227,6 +227,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     readCommit(dataset, table, c)
   }
 
+  /** S9/F5 — user-facing time-travel read: the snapshot timestamp arrives
+    * as a string in any of the reference's accepted shapes (epoch ms or
+    * six datetime formats, restore.py:12-57) and goes through the same
+    * window check as the epoch-ms path. */
+  def readAsOf(dataset: String, table: String, timestamp: String): DataFrame =
+    readAsOf(dataset, table, TimeParse.parseTimestamp(timestamp))
+
   /** Time-travel read by commit version number. */
   def readVersion(dataset: String, table: String, version: Int): DataFrame = {
     val c = log(dataset, table).commits.find(_.version == version).getOrElse(

@@ -83,6 +83,18 @@ object ModelFiles {
 
   /** F13 — first-letter capitalization of descriptions
     * (create.py:129, source/create.py:153). */
+  /** F14 — the reader matching [[config]]'s `{{ var('…') }}` writer
+    * (partition.py:39-43): pull the var name back out of a rendered
+    * expiration value so the declared TTL can be reconciled against the
+    * live table. The reference splits on single quotes and takes the
+    * second field; anything not starting with `{{ var(` is not a var
+    * reference. */
+  def extractVarName(value: String): Option[String] = {
+    val t = value.trim
+    if (!t.startsWith("{{ var(")) None
+    else t.split("'").lift(1)
+  }
+
   def capitalized(s: String): String =
     if (s.isEmpty) s else s.head.toUpper +: s.tail
 

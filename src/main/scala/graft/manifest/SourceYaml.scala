@@ -58,6 +58,9 @@ object SourceYaml {
       if (inline.isEmpty) {
         val (n, r) = parseNode(rest, indent + 1)
         items += n; ls = r
+      } else if (colonOutsideQuotes(inline) < 0) {
+        // plain scalar item (a quoted item may contain colons: "a:b")
+        items += Scalar(unquote(inline)); ls = rest
       } else {
         val synthetic = Line(indent + 2, inline) +: rest.takeWhile(_.indent > indent)
         val after = rest.dropWhile(_.indent > indent)
@@ -92,6 +95,20 @@ object SourceYaml {
       else m += key -> Scalar(unquote(v))
     }
     (Mapp(m), ls)
+  }
+
+  /** Index of the first ':' not inside a quoted span, or -1. */
+  private def colonOutsideQuotes(s: String): Int = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      else if (c == ':' && !inS && !inD) return i
+      i += 1
+    }
+    -1
   }
 
   private def unquote(s: String): String =
