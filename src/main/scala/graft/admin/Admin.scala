@@ -34,6 +34,22 @@ object Admin {
     } yield (ds, t)).sorted
   }
 
+  /** empty_development_dataset (cleanup.py:15-44): the dev dataset named
+    * by the PROFILE target (config-tree fed — `dataset` with `schema`
+    * fallback) is emptied; every live table drops through the snapshot
+    * log, so data stays restorable for the time-travel window. Returns
+    * the dropped table names. */
+  def emptyDevelopmentDataset(wh: Warehouse, profiles: graft.config.Profiles,
+                              target: String,
+                              env: Map[String, String] = sys.env): Seq[String] = {
+    val prof = profiles.profileConfig(target, env)
+    val dataset = prof.getOrElse("dataset", prof.getOrElse("schema", ""))
+    require(dataset.nonEmpty, s"profile target '$target' names no dataset/schema")
+    val tables = wh.listTables(dataset)
+    tables.foreach(t => wh.drop(dataset, t))
+    tables
+  }
+
   /** J6 — suffix-match orphaned tables to deleted model files:
     * `name == table or name.endswith("__" + table)`
     * (cleanup.py:209-219). */

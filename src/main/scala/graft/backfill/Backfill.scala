@@ -102,6 +102,40 @@ object Backfill {
         (s, e)
     }
 
+  final case class BackfillArgs(first: Option[LocalDate], last: Option[LocalDate],
+                                warnings: Seq[String])
+
+  /** _validate_backfill_args (admin/__init__.py:20-59): retry runs carry
+    * no dates (and refuse --full-refresh); otherwise first is required,
+    * both must be ISO dates in order, and full refresh is restricted to a
+    * single model and a single day. */
+  def validateArgs(select: String, dateFirst: Option[String],
+                   dateLast: Option[String], fullRefresh: Boolean,
+                   retry: Boolean): BackfillArgs = {
+    if (retry) {
+      require(!fullRefresh, "--retry cannot be combined with --full-refresh.")
+      val w = if (dateFirst.isDefined || dateLast.isDefined)
+        Seq("Date arguments are ignored when --retry is set.") else Nil
+      return BackfillArgs(None, None, w)
+    }
+    val firstStr = dateFirst.getOrElse(throw new IllegalArgumentException(
+      "date_first is required (omit it only when using --retry)."))
+    val (first, last) =
+      try {
+        val f = LocalDate.parse(firstStr)
+        (f, dateLast.map(LocalDate.parse).getOrElse(f))
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException("Dates must be on the YYYY-mm-dd format.")
+      }
+    require(!last.isBefore(first), "Last date must be on or after first date.")
+    if (fullRefresh) {
+      require(!select.contains("+"), "Full refresh is only supported on single models.")
+      require(last == first, "Full refresh in only supported on single day runs.")
+    }
+    BackfillArgs(Some(first), Some(last), Nil)
+  }
+
   /** A2 — materialization census of selected models
     * (backfill.py:566-569). */
   def materializationCensus(materializations: Seq[String]): Map[String, Int] =

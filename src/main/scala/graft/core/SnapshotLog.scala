@@ -78,6 +78,12 @@ final class SnapshotLog(tableDir: Path) {
     }
   }
 
+  /** A specific version in one manifest read (no log listing). */
+  def version(v: Int): Option[Commit] = {
+    val f = manifestPath(v)
+    if (Files.exists(f)) Some(readManifest(f)) else None
+  }
+
   /** Latest commit whose timestamp is <= tsMillis (time-travel read).
     * A filter, not takeWhile: version order need not be timestamp order
     * (caller-supplied tsMillis can interleave with wall-clock defaults). */

@@ -234,9 +234,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def readAsOf(dataset: String, table: String, timestamp: String): DataFrame =
     readAsOf(dataset, table, TimeParse.parseTimestamp(timestamp))
 
-  /** Time-travel read by commit version number. */
+  /** Time-travel read by commit version number (one manifest read). */
   def readVersion(dataset: String, table: String, version: Int): DataFrame = {
-    val c = log(dataset, table).commits.find(_.version == version).getOrElse(
+    val c = log(dataset, table).version(version).getOrElse(
       throw new IllegalArgumentException(s"no version $version of $dataset.$table"))
     require(!c.isDrop, s"$dataset.$table version $version is a drop")
     readCommit(dataset, table, c)

@@ -126,4 +126,36 @@ class BackfillSpec extends AnyFunSuite {
     }
     assert(results.map(_.success) === Seq(true, false)) // third task never ran
   }
+
+  test("validateArgs enforces the reference's argument rules") {
+    import graft.backfill.Backfill.validateArgs
+    // happy path: last defaults to first
+    val a = validateArgs("m", Some("2025-01-01"), None, fullRefresh = false, retry = false)
+    assert(a.first === Some(d("2025-01-01")) && a.last === Some(d("2025-01-01")))
+    // retry: dates ignored with a warning; no dates required
+    val r = validateArgs("m", Some("2025-01-01"), None, fullRefresh = false, retry = true)
+    assert(r.first.isEmpty && r.warnings.nonEmpty)
+    assert(validateArgs("m", None, None, fullRefresh = false, retry = true).warnings.isEmpty)
+    intercept[IllegalArgumentException] { // retry + full refresh
+      validateArgs("m", None, None, fullRefresh = true, retry = true)
+    }
+    intercept[IllegalArgumentException] { // missing first date
+      validateArgs("m", None, None, fullRefresh = false, retry = false)
+    }
+    intercept[IllegalArgumentException] { // bad format
+      validateArgs("m", Some("01/01/2025"), None, fullRefresh = false, retry = false)
+    }
+    intercept[IllegalArgumentException] { // out of order
+      validateArgs("m", Some("2025-01-02"), Some("2025-01-01"), fullRefresh = false, retry = false)
+    }
+    intercept[IllegalArgumentException] { // full refresh on a selector graph
+      validateArgs("m+", Some("2025-01-01"), None, fullRefresh = true, retry = false)
+    }
+    intercept[IllegalArgumentException] { // full refresh across days
+      validateArgs("m", Some("2025-01-01"), Some("2025-01-02"), fullRefresh = true, retry = false)
+    }
+    // full refresh, single model, single day: fine
+    assert(validateArgs("m", Some("2025-01-01"), None, fullRefresh = true, retry = false)
+      .first === Some(d("2025-01-01")))
+  }
 }

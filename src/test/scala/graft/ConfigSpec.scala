@@ -214,6 +214,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(Admin.resolveDeclaredExpiration(written, p) === 400)
   }
 
+  test("emptyDevelopmentDataset drops every table in the profile's dataset") {
+    import TestSession._
+    import spark.implicits._
+    val root = fixtureTree()
+    val env = Map("GRAFT_DATASET" -> "dev_sandbox")
+    val prof = Profiles.load(root, env, home = root)
+    val wh = new graft.core.Warehouse(spark, Files.createTempDirectory("graft_dev").toString)
+    wh.overwrite("dev_sandbox", "t1", Seq((1, "a")).toDF("id", "v"))
+    wh.overwrite("dev_sandbox", "t2", Seq((2, "b")).toDF("id", "v"))
+    wh.overwrite("mart", "keep", Seq((3, "c")).toDF("id", "v"))
+    val dropped = Admin.emptyDevelopmentDataset(wh, prof, "dev", env)
+    assert(dropped === Seq("t1", "t2"))
+    assert(wh.listTables("dev_sandbox").isEmpty)
+    assert(wh.listTables("mart") === Seq("keep"))
+  }
+
   test("validators accept/reject per the reference rules (F10)") {
     assert(Validators.validateName("my_model9").isRight)
     assert(Validators.validateName("9bad").isLeft)
