@@ -105,10 +105,10 @@ object Similarity {
     * The coarse quantizer is a deterministic sample of corpus vectors
     * (`isCentroid`), standing in for offline-trained k-means centroids —
     * the assignment/probe machinery is identical either way, and a fixed
-    * sample keeps the operator oracle-checkable. Every vector joins the
-    * inverted list of its nearest centroid (argmax cosine, smallest-id
-    * tie-break); a query scores only the members of its `nprobe` nearest
-    * cells.
+    * sample keeps the operator oracle-checkable (see [[trainIvfCentroids]]
+    * for the trained path). Every vector joins the inverted list of its
+    * nearest centroid (argmax cosine, smallest-id tie-break); a query
+    * scores only the members of its `nprobe` nearest cells.
     *
     * Scale shape (100 TB): centroids are tiny (nlist·dim doubles, MBs at
     * nlist=sqrt(n)) and broadcast; assignment + scoring is ONE map-side
@@ -123,7 +123,17 @@ object Similarity {
       e.filter(isCentroid).as[(Long, Array[Double])].collect()
         .map { case (id, v) => (id, v, Kernels.norm(v)) }
         .sortBy(_._1) // id-ascending: assignCentroid's tie-break contract
+    ivfTopKWith(emb, isQuery, cents, k, nprobe)
+  }
+
+  /** Shared IVF probe/score path over an in-memory centroid set. */
+  private def ivfTopKWith(emb: DataFrame, isQuery: Column,
+                          cents: Array[(Long, Array[Double], Double)],
+                          k: Int, nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     require(cents.nonEmpty, "IVF needs at least one centroid")
+    val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
     val queries: Array[(Long, Array[Double], Double, Array[Long])] =
       e.filter(isQuery).as[(Long, Array[Double])].collect().map { case (id, v) =>
         val nrm = Kernels.norm(v)
@@ -147,6 +157,85 @@ object Similarity {
       }
     }.toDF("query_id", "neighbor_id", "cos")
     rankTopK(scored, k)
+  }
+
+  // ------------------------------------------------------- k-means trainer
+
+  /** Distributed spherical-k-means trainer for the IVF coarse quantizer
+    * (Lloyd's iterations, cosine assignment). Each iteration is one
+    * Spark-shaped pass:
+    *
+    *  1. broadcast the current centroids (k·dim doubles — MBs at
+    *     k = sqrt(n); the trained-artifact pattern, never the corpus),
+    *  2. a narrow `mapPartitions` kernel assigns every vector to its
+    *     nearest centroid — the SAME `Kernels.assignCentroid` used at
+    *     query time, so training and serving can never disagree on cell
+    *     boundaries,
+    *  3. per-cell means via a single declarative groupBy with one `avg`
+    *     aggregate per dimension (codegen'd, map-side partial) — the only
+    *     shuffle, k·dim output rows.
+    *
+    * Cells that lose all members keep their previous centroid (k stays
+    * constant). Initialization is the caller's deterministic `isInit`
+    * sample. Returns (cid, centroid) with cid = the init vector's id.
+    *
+    * Not oracle-gated: iterative refinement is not expressible as one
+    * DuckDB query, and `avg` over shuffled doubles is not bit-stable
+    * across partitionings — SimilaritySpec gates the invariants instead
+    * (k constant, objective non-decreasing, assignment agreement). */
+  def trainIvfCentroids(emb: DataFrame, isInit: Column,
+                        iterations: Int = 5, dim: Int = Dim): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    var cents: Array[(Long, Array[Double], Double)] =
+      e.filter(isInit).as[(Long, Array[Double])].collect()
+        .map { case (id, v) => (id, v, Kernels.norm(v)) }
+        .sortBy(_._1)
+    require(cents.nonEmpty, "k-means needs at least one init centroid")
+    var it = 0
+    while (it < iterations) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = e.as[(Long, Array[Double])].mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (_, v) => (Kernels.assignCentroid(v, Kernels.norm(v), cs), v) }
+      }.toDF("cid", "v")
+      val avgCols = (0 until dim).map(i => avg(col("v").getItem(i)).as(s"c$i"))
+      val means: Map[Long, Array[Double]] = assigned.groupBy(col("cid"))
+        .agg(avgCols.head, avgCols.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1)))
+        .toMap
+      cents = cents.map { case (cid, prev, _) =>
+        val c = means.getOrElse(cid, prev) // empty cell keeps its centroid
+        (cid, c, Kernels.norm(c))
+      }
+      bc.unpersist()
+      it += 1
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.toIndexedSeq.map(c => (c._1, c._2.toSeq)), 1)
+        .map { case (cid, v) => org.apache.spark.sql.Row(cid, v) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+  }
+
+  /** IVF top-k against a trained centroid table (cid, centroid) — the
+    * serving side of [[trainIvfCentroids]]; same probe machinery as
+    * [[ivfTopK]], centroids broadcast from the artifact instead of
+    * sampled from the corpus. */
+  def ivfTopKTrained(emb: DataFrame, isQuery: Column, centroids: DataFrame,
+                     k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Double], Double)] =
+      centroids.select(col("cid").cast("long"), col("centroid").cast("array<double>"))
+        .as[(Long, Array[Double])].collect()
+        .map { case (id, v) => (id, v, Kernels.norm(v)) }
+        .sortBy(_._1)
+    ivfTopKWith(emb, isQuery, cents, k, nprobe)
   }
 
   /** DuckDB fragment for the sign-LSH signature over list column `v`.

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llmops.{Kernels, Similarity}
+
+/** IVF k-means trainer invariants (the trained path is deliberately not
+  * oracle-gated — iterative + shuffle-order FP means no bit-stable SQL
+  * replica — so the spec carries the correctness burden):
+  * k stays constant, the spherical-k-means objective does not degrade,
+  * and the served top-k contract holds against trained centroids. */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSession._
+
+  private val isInit = expr("vec_id % 29 = 3")
+  private def emb = Tables.load(spark, sf, "embeddings")
+
+  private def corpus(): Array[(Long, Array[Double])] =
+    emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  private def centsOf(df: org.apache.spark.sql.DataFrame): Array[(Long, Array[Double], Double)] =
+    df.select(col("cid"), col("centroid")).collect()
+      .map(r => {
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v, Kernels.norm(v))
+      }).sortBy(_._1)
+
+  /** Mean cosine of every vector to its assigned centroid. */
+  private def objective(cents: Array[(Long, Array[Double], Double)]): Double = {
+    val docs = corpus()
+    val byId = cents.map(c => c._1 -> c).toMap
+    docs.map { case (_, v) =>
+      val nrm = Kernels.norm(v)
+      val cid = Kernels.assignCentroid(v, nrm, cents)
+      val c = byId(cid)
+      Kernels.dot(v, c._2) / (nrm * c._3)
+    }.sum / docs.length
+  }
+
+  test("k-means keeps k constant and does not degrade the cosine objective") {
+    val init = Similarity.trainIvfCentroids(emb, isInit, iterations = 0)
+    val trained = Similarity.trainIvfCentroids(emb, isInit, iterations = 5)
+    val initCents = centsOf(init)
+    val trainedCents = centsOf(trained)
+    assert(trainedCents.length === initCents.length)
+    assert(trainedCents.map(_._1).toSeq === initCents.map(_._1).toSeq) // stable cids
+    val before = objective(initCents)
+    val after = objective(trainedCents)
+    assert(after >= before - 1e-9, s"objective degraded: $before -> $after")
+    assert(after > before + 1e-4, s"training never moved the centroids: $before -> $after")
+  }
+
+  test("served top-k against trained centroids honors the rank contract") {
+    val trained = Similarity.trainIvfCentroids(emb, isInit, iterations = 3)
+    val topk = Similarity.ivfTopKTrained(emb, expr("vec_id < 10"), trained)
+    val rows = topk.collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet === (0L until 10L).toSet)
+    byQuery.values.foreach { rs =>
+      val ranks = rs.map(_.getInt(2)).sorted.toSeq
+      assert(ranks === (1 to rs.length)) // dense ranks from 1
+      assert(rs.length <= Similarity.TopK)
+      // scores are sorted by rank (desc), neighbor != query
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(3) >= b.getDouble(3)
+        case _ => true
+      })
+      assert(rs.forall(r => r.getLong(1) != r.getLong(0)))
+    }
+  }
+}
