@@ -121,6 +121,70 @@ object Admin {
     all
   }
 
+  final case class GrantSweep(
+      desired: Map[(String, String), Map[String, Seq[String]]],
+      errors: Seq[String], skipped: Int)
+
+  /** _resolve_all_grants (grants.py:109-180): manifest-wide desired-grant
+    * sweep for the configured role. Per node: elementary-package models
+    * are ignored; `skip_grants` meta and ephemeral materializations skip
+    * silently; meta `teams` / `access-policy` / `service-consumers`
+    * (comma-separated in this engine's flat meta map) resolve through the
+    * config trees; resolution failures (unknown names, invalid
+    * principals) collect as errors instead of aborting the sweep; a model
+    * that ends up with NO grantees outside `grants_skip_schemas` is an
+    * error (it would be unavailable to everyone). Returns
+    * {(database, schema) → {table → grantees}}. */
+  def resolveAllGrants(models: Seq[graft.manifest.ModelNode],
+                       explicitGrants: Map[String, Seq[String]],
+                       project: DbtProject, settings: ProjectSettings): GrantSweep = {
+    val errors = Seq.newBuilder[String]
+    var skipped = 0
+    val desired = scala.collection.mutable.Map.empty[(String, String), Map[String, Seq[String]]]
+    def metaList(m: graft.manifest.ModelNode, key: String): Seq[String] =
+      m.meta.get(key).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    models.filterNot(_.packageName == "elementary").foreach { m =>
+      if (m.meta.get("skip_grants").contains("true") || m.materialized == "ephemeral")
+        skipped += 1
+      else {
+        try {
+          val grantees = desiredGrantees(
+            explicitGrants.getOrElse(m.name, Nil),
+            metaList(m, "teams"), metaList(m, "access-policy"),
+            metaList(m, "service-consumers"),
+            project, settings, m.meta.get("access"), m.name)
+          if (grantees.isEmpty) {
+            if (!m.schema.endsWith("_elementary") &&
+                !settings.grantsSkipSchemas.contains(m.schema))
+              errors += s"No grant config: Model '${m.schema}.${m.name}' has no " +
+                "grant config, and will be unavailable for all as a result."
+            else skipped += 1
+          } else {
+            val key = (m.database, m.schema)
+            desired(key) = desired.getOrElse(key, Map.empty)
+              .updated(m.aliasOrName, grantees)
+          }
+        } catch {
+          case e: IllegalArgumentException => errors += e.getMessage
+        }
+      }
+    }
+    GrantSweep(desired.toMap, errors.result(), skipped)
+  }
+
+  /** check_source_reader_access (bigquery.py:188-233), the pure core: a
+    * service account has sufficient access when it reads at the DATASET
+    * level, or at the table level for every checked table; otherwise it
+    * maps to its missing tables. */
+  def missingSourceReaders(datasetReaders: Set[String],
+                           tableReaders: Map[String, Set[String]],
+                           serviceAccounts: Seq[String],
+                           tables: Seq[String]): Map[String, Seq[String]] =
+    serviceAccounts.collect {
+      case sa if !datasetReaders.contains(sa) =>
+        sa -> tables.filterNot(t => tableReaders.getOrElse(t, Set.empty).contains(sa))
+    }.collect { case (sa, missing) if missing.nonEmpty => sa -> missing }.toMap
+
   // ----------------------------------------------------- descriptions (J4)
 
   /** Mismatched column descriptions: manifest-declared vs live schema,

@@ -201,6 +201,48 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveAllGrants sweeps the manifest with skips and collected errors") {
+    import graft.manifest.ModelNode
+    val root = fixtureTree()
+    val p = DbtProject.load(root)
+    val s = ProjectConfig.load(root)
+    def node(name: String, schema: String = "mart",
+             meta: Map[String, String] = Map.empty,
+             materialized: String = "table", pkg: String = "mine") =
+      ModelNode(uniqueId = s"model.mine.$name", database = "proj", schema = schema,
+        name = name, meta = meta, materialized = materialized, packageName = pkg)
+    val sweep = Admin.resolveAllGrants(
+      Seq(
+        node("m_teams", meta = Map("teams" -> "team1")),
+        node("m_multi", meta = Map("access-policy" -> "policy1", "access" -> "protected")),
+        node("m_eph", meta = Map("teams" -> "team1"), materialized = "ephemeral"),
+        node("m_skip", meta = Map("teams" -> "team1", "skip_grants" -> "true")),
+        node("m_elem", pkg = "elementary"),
+        node("m_unknown", meta = Map("teams" -> "ghost")),
+        node("m_none"),
+        node("m_none_ok", schema = "elementary")),
+      explicitGrants = Map("m_teams" -> Seq("group:extra@example.com")),
+      project = p, settings = s)
+    assert(sweep.desired(("proj", "mart"))("m_teams") ===
+      Seq("group:extra@example.com", "group:team1@example.com"))
+    assert(sweep.desired(("proj", "mart"))("m_multi") === Seq(
+      "group:all-users@example.com", "group:consumers@example.com",
+      "serviceAccount:svc@example.iam.gserviceaccount.com"))
+    assert(sweep.skipped === 3) // ephemeral + skip_grants + skip-schema no-config
+    assert(sweep.errors.exists(_.contains("ghost")))
+    assert(sweep.errors.exists(_.contains("m_none")))
+    assert(!sweep.desired.contains(("proj", "elementary")))
+  }
+
+  test("missingSourceReaders: dataset-level access wins, table-level is per-table") {
+    val missing = Admin.missingSourceReaders(
+      datasetReaders = Set("sa-ds@x.iam"),
+      tableReaders = Map("t1" -> Set("sa-t1@x.iam"), "t2" -> Set("sa-t1@x.iam", "sa-t2@x.iam")),
+      serviceAccounts = Seq("sa-ds@x.iam", "sa-t1@x.iam", "sa-t2@x.iam"),
+      tables = Seq("t1", "t2"))
+    assert(missing === Map("sa-t2@x.iam" -> Seq("t1")))
+  }
+
   test("declared partition expirations resolve literals and var references") {
     val p = DbtProject.load(fixtureTree())
     assert(Admin.resolveDeclaredExpiration("180", p) === 180)
