@@ -1,0 +1,18 @@
+package graft
+
+/** Dev utility: print the formatted physical plan of any SparkEntry query.
+  * Usage: scripts/run.sh graft.Explain <queryName> [sfDir]
+  * Plan-shape regressions are CI-gated in PlanSpec; this is the
+  * interactive loop for iterating on a plan before gating it. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = graft.core.GraftSession.builder("8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}
