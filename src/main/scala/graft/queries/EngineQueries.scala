@@ -212,6 +212,33 @@ object EngineQueries {
       |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ q19 stream dedup
+
+  /** Streaming first-occurrence dedup (flatMapGroupsWithState custom
+    * state, SURVEY §2.8): each (user_id, event_type) key emits exactly
+    * its first event; the oracle is the equivalent row_number()=1 window
+    * over the same (ts, event_id) ordering. */
+  def q19StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_fs_out")
+    StreamingIncremental.runFirstSeen(spark, s"$dir/events.parquet",
+      scratch("graft_fs_ckpt")) { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out)
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("first_ts_us")).as("first_ts"),
+        col("first_event_id"),
+        round(col("first_value"), 2).as("first_value"))
+  }
+
+  val q19Sql: String =
+    """SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS first_ts,
+      |       event_id AS first_event_id, round(value, 2) AS first_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
   // ------------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -221,7 +248,8 @@ object EngineQueries {
     "q15_catalog" -> (q15Catalog _),
     "q16_stream_hourly" -> (q16StreamHourly _),
     "q17_expire" -> (q17Expire _),
-    "q18_scd2_merge" -> (q18Scd2Merge _))
+    "q18_scd2_merge" -> (q18Scd2Merge _),
+    "q19_stream_dedup" -> (q19StreamDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -230,5 +258,6 @@ object EngineQueries {
     "q16_stream_hourly" -> q16Sql,
     "q17_expire" -> q17Sql,
     // the merged two-batch history must equal a full-stream scd2 build
-    "q18_scd2_merge" -> q14Sql)
+    "q18_scd2_merge" -> q14Sql,
+    "q19_stream_dedup" -> q19Sql)
 }

@@ -62,6 +62,64 @@ object StreamingIncremental {
     q.awaitTermination()
   }
 
+  /** Streaming first-occurrence dedup — custom per-key state via
+    * `flatMapGroupsWithState` (the KeyValueGroupedDataset state API):
+    * each (user_id, event_type) group keeps ONE tiny state record (the
+    * first-seen (ts, event_id)) and emits its first event exactly once;
+    * every later occurrence is absorbed. The state store holds O(distinct
+    * keys) fixed-size entries — the canonical streaming-dedup state
+    * shape; at 100 TB the keys shard across the state store by group
+    * hash, and a `GroupStateTimeout` would bound retention for unbounded
+    * key spaces (the fixture's key space is finite, so none is set).
+    *
+    * Within a micro-batch the group iterator is unordered; the kernel
+    * takes the (ts, event_id)-minimum so emission is deterministic. With
+    * AvailableNow over a staged fixture the run is a single batch, which
+    * is what makes the first-occurrence choice oracle-replicable
+    * (row_number() = 1 over the same ordering). */
+  def runFirstSeen(spark: SparkSession, eventsDir: String,
+                   checkpointDir: String)(sink: DataFrame => Unit): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val statics = spark.read.parquet(eventsDir)
+    val src = new java.io.File(eventsDir)
+    val landing = java.nio.file.Files.createTempDirectory("graft_landing_fs")
+    java.nio.file.Files.copy(src.toPath, landing.resolve(src.getName))
+    val stream = spark.readStream.schema(statics.schema).parquet(landing.toString)
+    val withTs =
+      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts_us", expr("ts div 1000"))
+      else stream.withColumn("ts_us", unix_micros(col("ts")))
+    val typed = withTs
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ts_us").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, String, Long, Long, Double)]
+    val firstSeen = typed
+      .groupByKey { case (uid, et, _, _, _) => (uid, et) }
+      .flatMapGroupsWithState[(Long, Long), (Long, String, Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long, Double)],
+         state: GroupState[(Long, Long)]) =>
+          // batch-local minimum by (ts, event_id) — iterator order is not
+          // deterministic, the reduction is
+          val cand = rows.minBy { case (_, _, ts, eid, _) => (ts, eid) }
+          if (state.exists) Iterator.empty // key already emitted
+          else {
+            state.update((cand._3, cand._4))
+            Iterator.single((key._1, key._2, cand._3, cand._4, cand._5))
+          }
+      }
+      .toDF("user_id", "event_type", "first_ts_us", "first_event_id", "first_value")
+    val q = firstSeen.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Partition-scoped upsert of an update-mode micro-batch: latest value
     * per (hour, event_type) wins; only the day partitions present in the
     * batch are rewritten (untouched rows of those days carry over via an
