@@ -86,7 +86,10 @@ final class SnapshotLog(tableDir: Path) {
 
   /** Latest commit whose timestamp is <= tsMillis (time-travel read).
     * A filter, not takeWhile: version order need not be timestamp order
-    * (caller-supplied tsMillis can interleave with wall-clock defaults). */
+    * (caller-supplied tsMillis can interleave with wall-clock defaults).
+    * Deliberately O(versions): tolerating non-monotonic commit
+    * timestamps rules out binary search, and time-travel reads are rare
+    * next to [[latest]]-path reads, which are pointer-O(1). */
   def asOf(tsMillis: Long): Option[Commit] =
     commits.filter(_.tsMillis <= tsMillis).lastOption
 
