@@ -158,7 +158,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     m.partitionField match {
       case Some(field) =>
         val frag = lg.newFragmentDir()
-        df.write.mode("overwrite").partitionBy(field).parquet(frag.toString)
+        partitionedWrite(df, field, frag)
         lg.commit("write", hiveEntries(dataset, table, frag, field))
       case None =>
         val frag = lg.newFragmentDir()
@@ -179,7 +179,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       s"$dataset.$table is not partitioned; use overwrite()"))
     val lg = log(dataset, table)
     val frag = lg.newFragmentDir()
-    df.write.mode("overwrite").partitionBy(field).parquet(frag.toString)
+    partitionedWrite(df, field, frag)
     val fresh = hiveEntries(dataset, table, frag, field)
     val freshParts = fresh.map(_.partition).toSet
     // commitWith: the kept-partition list is recomputed from the CURRENT
@@ -192,6 +192,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     })
     writeSchemaDdlMerged(dataset, table, df.schema)
   }
+
+  /** Dynamic-partition write with an AQE REBALANCE on the partition
+    * column: a plain `partitionBy` write fans out to (tasks × partitions)
+    * files — the small-files pattern that kills 100 TB tables — while a
+    * bare `repartition(field)` funnels each partition through ONE task
+    * (a skew bottleneck). REBALANCE shuffles on the field, then AQE
+    * coalesces small partitions and splits skewed ones to the advisory
+    * size, so files come out partition-clustered AND size-bounded. */
+  private def partitionedWrite(df: DataFrame, field: String, frag: Path): Unit =
+    df.hint("rebalance", field)
+      .write.mode("overwrite").partitionBy(field).parquet(frag.toString)
 
   private def hiveEntries(dataset: String, table: String, frag: Path,
                           field: String): Seq[SnapshotLog.Entry] = {
