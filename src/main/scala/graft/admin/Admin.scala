@@ -185,6 +185,18 @@ object Admin {
         sa -> tables.filterNot(t => tableReaders.getOrElse(t, Set.empty).contains(sa))
     }.collect { case (sa, missing) if missing.nonEmpty => sa -> missing }.toMap
 
+  /** Config-fed source-reader check (source/create.py's gate): projects in
+    * `source_reader_unchecked_projects` skip entirely (access is granted
+    * at project level); otherwise the configured reader SAs are checked
+    * with [[missingSourceReaders]]. */
+  def checkSourceReaders(settings: ProjectSettings, project: String,
+                         datasetReaders: Set[String],
+                         tableReaders: Map[String, Set[String]],
+                         tables: Seq[String]): Map[String, Seq[String]] =
+    if (settings.sourceReaderUncheckedProjects.contains(project)) Map.empty
+    else missingSourceReaders(datasetReaders, tableReaders,
+      settings.sourceReaderServiceAccounts.keys.toSeq, tables)
+
   // ----------------------------------------------------- descriptions (J4)
 
   /** Mismatched column descriptions: manifest-declared vs live schema,

@@ -144,6 +144,20 @@ final case class ProjectSettings(
 
   /** Raw string setting by its TOML key (reference `__getattr__` analog). */
   def setting(key: String): Option[String] = Toml.str(raw.get(key))
+
+  /** source_reader_service_accounts: SA email → purpose description
+    * (config/project.py:113-117). */
+  def sourceReaderServiceAccounts: ListMap[String, String] =
+    raw.get("source_reader_service_accounts") match {
+      case Some(Toml.Tbl(m)) =>
+        m.collect { case (k, Toml.Str(v)) => k -> v }
+      case _ => ListMap.empty
+    }
+
+  /** source_reader_unchecked_projects: projects where the SA read-access
+    * check is skipped (config/project.py:118-122). */
+  def sourceReaderUncheckedProjects: Seq[String] =
+    Toml.strings(raw.get("source_reader_unchecked_projects"))
 }
 
 object ProjectConfig {

@@ -243,6 +243,23 @@ class ConfigSpec extends AnyFunSuite {
     assert(missing === Map("sa-t2@x.iam" -> Seq("t1")))
   }
 
+  test("checkSourceReaders is config-fed and skips unchecked projects") {
+    val root = Files.createTempDirectory("graft_cfg_sa")
+    Files.writeString(root.resolve("pyproject.toml"),
+      """[tool.dbtwiz.project]
+        |source_reader_service_accounts = { "sa-etl@x.iam" = "nightly ETL", "sa-bi@x.iam" = "dashboards" }
+        |source_reader_unchecked_projects = ["trusted-proj"]
+        |""".stripMargin)
+    val s = ProjectConfig.load(root)
+    assert(s.sourceReaderServiceAccounts ===
+      scala.collection.immutable.ListMap("sa-etl@x.iam" -> "nightly ETL", "sa-bi@x.iam" -> "dashboards"))
+    assert(Admin.checkSourceReaders(s, "trusted-proj",
+      Set.empty, Map.empty, Seq("t")) === Map.empty)
+    val missing = Admin.checkSourceReaders(s, "other-proj",
+      datasetReaders = Set("sa-bi@x.iam"), tableReaders = Map.empty, tables = Seq("t"))
+    assert(missing === Map("sa-etl@x.iam" -> Seq("t")))
+  }
+
   test("declared partition expirations resolve literals and var references") {
     val p = DbtProject.load(fixtureTree())
     assert(Admin.resolveDeclaredExpiration("180", p) === 180)
