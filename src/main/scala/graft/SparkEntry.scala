@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DeclaredQueries.queries ++ EngineQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries
+      Similarity.queries ++ Multimodal.queries ++
+      graft.materialize.DataTests.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     DeclaredQueries.oracleSql ++ EngineQueries.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ Multimodal.oracleSql
+      Similarity.oracleSql ++ Multimodal.oracleSql ++
+      graft.materialize.DataTests.oracleSql
 }
