@@ -239,6 +239,53 @@ object EngineQueries {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------------------------ q21 build
+
+  /** dbt-run analog end to end (commands/build.py:46-126): a three-model
+    * DAG — staging view over the orders source with a date-var window,
+    * an EPHEMERAL customer lookup (inlined, never stored), and a mart
+    * table joining both — built through [[graft.materialize.Build]] in
+    * dependency order into a scratch warehouse; the oracle is the
+    * composed SQL. */
+  def q21Build(spark: SparkSession, dir: String): DataFrame = {
+    import graft.manifest.ModelNode
+    val wh = new Warehouse(spark, scratch("graft_build"))
+    val manifest = graft.manifest.Manifest(
+      models = Seq(
+        ModelNode(uniqueId = "model.g.stg_orders", database = "proj",
+          schema = "staging", name = "stg_orders", materialized = "view"),
+        ModelNode(uniqueId = "model.g.int_cust", database = "proj",
+          schema = "intermediate", name = "int_cust", materialized = "ephemeral"),
+        ModelNode(uniqueId = "model.g.mrt_seg", database = "proj",
+          schema = "mart", name = "mrt_seg", materialized = "table")),
+      parentsByName = Map(
+        "mrt_seg" -> Seq("stg_orders", "int_cust")))
+    val bodies = Map(
+      "stg_orders" ->
+        ("SELECT o_orderkey, o_custkey, o_totalprice " +
+          "FROM {{ source('tpch', 'orders') }} " +
+          "WHERE o_orderdate >= '{{ var('data_interval_start') }}'"),
+      "int_cust" ->
+        "SELECT c_custkey, c_mktsegment FROM {{ source('tpch', 'customer') }}",
+      "mrt_seg" ->
+        ("SELECT c.c_mktsegment AS segment, count(*) AS n, " +
+          "round(sum(o.o_totalprice), 2) AS total " +
+          "FROM {{ ref('stg_orders') }} o " +
+          "JOIN {{ ref('int_cust') }} c ON o.o_custkey = c.c_custkey " +
+          "GROUP BY c.c_mktsegment"))
+    val build = new graft.materialize.Build(wh, manifest, bodies,
+      (_, table) => Tables.load(spark, dir, table))
+    build.run("+mrt_seg", vars = Map("data_interval_start" -> "1997-01-01"))
+    wh.read("mart", "mrt_seg").select(col("segment"), col("n"), col("total"))
+  }
+
+  val q21Sql: String =
+    """SELECT c_mktsegment AS segment, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o_orderdate >= '1997-01-01'
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -249,7 +296,8 @@ object EngineQueries {
     "q16_stream_hourly" -> (q16StreamHourly _),
     "q17_expire" -> (q17Expire _),
     "q18_scd2_merge" -> (q18Scd2Merge _),
-    "q19_stream_dedup" -> (q19StreamDedup _))
+    "q19_stream_dedup" -> (q19StreamDedup _),
+    "q21_build" -> (q21Build _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -259,5 +307,6 @@ object EngineQueries {
     "q17_expire" -> q17Sql,
     // the merged two-batch history must equal a full-stream scd2 build
     "q18_scd2_merge" -> q14Sql,
-    "q19_stream_dedup" -> q19Sql)
+    "q19_stream_dedup" -> q19Sql,
+    "q21_build" -> q21Sql)
 }
