@@ -104,6 +104,18 @@ class PlanSpec extends AnyFunSuite {
       s"banded recall ${caught.toDouble / nExact} ($caught/$nExact)")
   }
 
+  test("data-test relationships anti-join broadcasts; no cartesian anywhere") {
+    val full = planOf(graft.materialize.DataTests.relationships(
+      graft.core.Tables.load(spark, sf, "orders"), "o_custkey",
+      graft.core.Tables.load(spark, sf, "customer"), "c_custkey"))
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // parent side is dimension-sized: broadcast, not sort-merge
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("exact dedup is one hash-aggregate shuffle with partial aggregation") {
     val full = planOf(graft.llmops.Dedup.queries("dedup_exact")(spark, sf))
     // partial (map-side) agg before the exchange, final after — one shuffle

@@ -304,6 +304,40 @@ class WarehouseSpec extends AnyFunSuite {
     } finally RequirePartitionFilter.clear()
   }
 
+  test("streaming upsert: latest value wins, untouched day partitions keep fragments") {
+    import spark.implicits._
+    import graft.streaming.StreamingIncremental.upsertHourly
+    val wh = freshWh()
+    def batch(rows: (String, String, Long, Double)*) =
+      rows.toSeq.toDF("hour", "event_type", "n", "sum_value")
+        .withColumn("hour", col("hour").cast("timestamp"))
+    // batch 1: two days
+    upsertHourly(wh, "mart", "hourly", batch(
+      ("2024-01-01 10:00:00", "click", 5L, 1.0),
+      ("2024-01-02 10:00:00", "click", 7L, 2.0)))
+    val v1 = wh.log("mart", "hourly").latest.get.entries
+    // batch 2: updates day 2's window and adds a new key; day 1 untouched
+    upsertHourly(wh, "mart", "hourly", batch(
+      ("2024-01-02 10:00:00", "click", 9L, 3.0),
+      ("2024-01-02 11:00:00", "view", 1L, 4.0)))
+    val v2 = wh.log("mart", "hourly").latest.get.entries
+    val out = wh.read("mart", "hourly")
+      .select(col("hour").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set(
+      ("2024-01-01 10:00:00", "click", 5L),  // carried through untouched
+      ("2024-01-02 10:00:00", "click", 9L),  // updated (latest wins)
+      ("2024-01-02 11:00:00", "view", 1L)))  // new key in touched day
+    val v1ByPart = v1.map(e => e.partition -> e.path).toMap
+    assert(v2.find(_.partition == "2024-01-01").map(_.path) ===
+      v1ByPart.get("2024-01-01"), "untouched day was rewritten")
+    assert(v2.find(_.partition == "2024-01-02").exists(e =>
+      !v1ByPart.get("2024-01-02").contains(e.path)), "touched day not rewritten")
+    // empty batch is a no-op, not a failure
+    upsertHourly(wh, "mart", "hourly", batch().filter(lit(false)))
+    assert(wh.log("mart", "hourly").latest.get.entries === v2)
+  }
+
   test("snapshot log commit versions are monotonic and readable") {
     val dir = Files.createTempDirectory("snap_spec")
     val lg = new SnapshotLog(dir)
