@@ -14,6 +14,7 @@ object Toml {
   sealed trait Value
   final case class Str(v: String) extends Value
   final case class Num(v: Long) extends Value
+  final case class Dbl(v: Double) extends Value
   final case class Bool(v: Boolean) extends Value
   final case class Arr(items: Seq[Value]) extends Value
   final case class Tbl(entries: ListMap[String, Value]) extends Value
@@ -83,7 +84,9 @@ object Toml {
         val eq = kv.indexOf('=')
         unquoteKey(kv.take(eq).trim) -> parseValue(kv.drop(eq + 1).trim)
       }))
-    case _ => Num(s.toLong)
+    case _ =>
+      try Num(s.toLong)
+      catch { case _: NumberFormatException => Dbl(s.toDouble) }
   }
 
   /** Split on top-level commas (quotes and nesting respected). */

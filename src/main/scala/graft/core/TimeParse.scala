@@ -11,11 +11,19 @@ import java.time.format.DateTimeFormatter
   * the same snapshot on every executor and in every test environment. */
 object TimeParse {
 
+  /** `.%f` fractional variants accept 1-6 digits, as Python's strptime
+    * does (a fixed "SSSSSS" pattern would reject "10:30:00.5"). */
+  private def withFraction(base: String): DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern(base)
+      .appendFraction(java.time.temporal.ChronoField.MICRO_OF_SECOND, 1, 6, true)
+      .toFormatter
+
   private val formats: Seq[(DateTimeFormatter, Boolean)] = Seq(
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss") -> false,
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss") -> false,
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS") -> false,
-    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS") -> false,
+    withFraction("yyyy-MM-dd'T'HH:mm:ss") -> false,
+    withFraction("yyyy-MM-dd HH:mm:ss") -> false,
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'") -> false,
     DateTimeFormatter.ofPattern("yyyy-MM-dd") -> true)
 

@@ -311,6 +311,8 @@ class ConfigSpec extends AnyFunSuite {
     assert(TimeParse.parseTimestamp("2024-01-15 10:30:00") === 1705314600000L)
     assert(TimeParse.parseTimestamp("2024-01-15T10:30:00.250000") === 1705314600250L)
     assert(TimeParse.parseTimestamp("2024-01-15 10:30:00.250000") === 1705314600250L)
+    // short fractions parse like Python's %f (1-6 digits)
+    assert(TimeParse.parseTimestamp("2024-01-15T10:30:00.5") === 1705314600500L)
     assert(TimeParse.parseTimestamp("2024-01-15T10:30:00Z") === 1705314600000L)
     assert(TimeParse.parseTimestamp("2024-01-15") === 1705276800000L)
     intercept[IllegalArgumentException] { TimeParse.parseTimestamp("15/01/2024") }
@@ -342,5 +344,8 @@ class ConfigSpec extends AnyFunSuite {
     assert(Toml.at(t, "a", "b", "arr") === Some(Toml.Arr(Seq(Toml.Num(1), Toml.Num(2), Toml.Num(3)))))
     assert(Toml.str(Toml.at(t, "a", "b", "tbl", "k")) === Some("v"))
     assert(Toml.at(t, "a", "b", "flag") === Some(Toml.Bool(true)))
+    val t2 = Toml.parse("[a]\nratio = 0.8\nneg = -5\n")
+    assert(Toml.at(t2, "a", "ratio") === Some(Toml.Dbl(0.8)))
+    assert(Toml.num(Toml.at(t2, "a", "neg")) === Some(-5L))
   }
 }
