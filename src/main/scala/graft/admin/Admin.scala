@@ -114,6 +114,8 @@ object Admin {
       collectPrincipals(metaAccessPolicies, project, "access-policies", nodeName) ++
       collectPrincipals(metaServiceConsumers, project, "service-consumers", nodeName) ++
       open).distinct.sorted
+    // substring containment, not a prefix check — the reference's exact
+    // rule (grants.py:99: `"group:" not in g and "serviceAccount:" not in g`)
     val invalid = all.filterNot(g => g.contains("group:") || g.contains("serviceAccount:"))
     require(invalid.isEmpty,
       s"Invalid principals '${invalid.mkString(", ")}'; " +
@@ -240,8 +242,11 @@ object Admin {
   val AugmentedEnd = "[comment]: <> (END AUGMENTED DOCS)"
 
   /** _strip_augmented_docs (descriptions.py:11-23): remove the deploy-
-    * augmented block, keeping only dbt-authored text. An unterminated
-    * block truncates at its start; a terminated one keeps the tail. */
+    * augmented block. An unterminated block truncates at its start; a
+    * terminated one keeps ONLY the tail — text before the block is
+    * dropped, exactly as the reference does (`description[end + len:]`,
+    * not prefix + tail): the augmenter always appends authored text
+    * after the block, so the prefix is deploy-generated. */
   def stripAugmentedDocs(description: String): String = {
     if (description == null || !description.contains(AugmentedStart)) return description
     val start = description.indexOf(AugmentedStart)

@@ -60,7 +60,8 @@ final class DbtProject(val data: Node) {
     * reference's description format (core/project.py:202-212). */
   def dataExpirations: Seq[(String, Int, String)] =
     vars.toSeq.collect {
-      case (k, Scalar(v)) if k.endsWith("-data-expiration") && v.forall(_.isDigit) =>
+      case (k, Scalar(v)) if k.endsWith("-data-expiration") &&
+          v.nonEmpty && v.forall(_.isDigit) =>
         val label = k.replace("-", " ").replace(" expiration", "")
         (k, v.toInt, s"Used for $label (${v.toInt} days)")
     }

@@ -22,17 +22,43 @@ object Toml {
   def parse(text: String): Tbl = {
     var root = Tbl(ListMap.empty)
     var section: Seq[String] = Nil
-    text.linesIterator.map(stripComment).map(_.trim).filter(_.nonEmpty).foreach { line =>
-      if (line.startsWith("[") && line.endsWith("]"))
-        section = line.substring(1, line.length - 1).trim.split("\\.").toSeq.map(unquoteKey)
-      else {
-        val eq = line.indexOf('=')
-        require(eq > 0, s"expected 'key = value' line, got: $line")
-        val key = unquoteKey(line.take(eq).trim)
-        root = insert(root, section :+ key, parseValue(line.drop(eq + 1).trim))
+    joinMultiline(text.linesIterator.map(stripComment).map(_.trim).filter(_.nonEmpty))
+      .foreach { line =>
+        if (line.startsWith("[") && line.endsWith("]"))
+          section = line.substring(1, line.length - 1).trim.split("\\.").toSeq.map(unquoteKey)
+        else {
+          val eq = line.indexOf('=')
+          require(eq > 0, s"expected 'key = value' line, got: $line")
+          val key = unquoteKey(line.take(eq).trim)
+          root = insert(root, section :+ key, parseValue(line.drop(eq + 1).trim))
+        }
+      }
+    root
+  }
+
+  /** Join lines whose brackets are unbalanced (outside quotes) — the
+    * standard multi-line array/inline-table layout tools emit. */
+  private def joinMultiline(lines: Iterator[String]): Iterator[String] = {
+    def imbalance(s: String): Int = {
+      var inS = false; var inD = false; var d = 0
+      s.foreach { c =>
+        if (c == '\'' && !inD) inS = !inS
+        else if (c == '"' && !inS) inD = !inD
+        else if (!inS && !inD) {
+          if (c == '[' || c == '{') d += 1
+          else if (c == ']' || c == '}') d -= 1
+        }
+      }
+      d
+    }
+    new Iterator[String] {
+      def hasNext: Boolean = lines.hasNext
+      def next(): String = {
+        var acc = lines.next()
+        while (imbalance(acc) > 0 && lines.hasNext) acc = acc + " " + lines.next()
+        acc
       }
     }
-    root
   }
 
   /** `table.get("tool").get("dbtwiz")`-style path lookup. */
@@ -86,7 +112,17 @@ object Toml {
       }))
     case _ =>
       try Num(s.toLong)
-      catch { case _: NumberFormatException => Dbl(s.toDouble) }
+      catch {
+        case _: NumberFormatException =>
+          try Dbl(s.toDouble)
+          catch {
+            case _: NumberFormatException =>
+              // an unquoted bare word — surface a parse diagnostic, not a
+              // bare NumberFormatException with no context
+              throw new IllegalArgumentException(
+                s"unparseable TOML value (missing quotes?): $s")
+          }
+      }
   }
 
   /** Split on top-level commas (quotes and nesting respected). */

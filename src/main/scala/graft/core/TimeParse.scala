@@ -32,7 +32,7 @@ object TimeParse {
     * reference's message shape when nothing matches. */
   def parseTimestamp(raw: String): Long = {
     val s = raw.trim
-    if (s.nonEmpty && s.forall(_.isDigit)) return s.toLong
+    if (s.nonEmpty && s.forall(_.isDigit) && s.length <= 18) return s.toLong // > 18 digits overflows Long → format error below
     formats.iterator.flatMap { case (fmt, dateOnly) =>
       try {
         val dt = if (dateOnly) LocalDate.parse(s, fmt).atStartOfDay()

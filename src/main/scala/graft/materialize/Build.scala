@@ -50,18 +50,23 @@ final class Build(wh: Warehouse, manifest: Manifest,
           throw new IllegalArgumentException(s"undefined var '${m.group(1)}' in $model"))))
     val withSources = SourcePattern.replaceAllIn(withVars, m => {
       val (s, t) = (m.group(1), m.group(2))
-      if (spark.catalog.tableExists(srcView(s, t)) == false)
-        sourceLoader(s, t).createOrReplaceTempView(srcView(s, t))
+      // ALWAYS re-register: a cached view would silently serve a previous
+      // run's data when the same session builds against a different
+      // source location (e.g. a warmup pass at a smaller SF)
+      sourceLoader(s, t).createOrReplaceTempView(srcView(s, t))
       srcView(s, t)
     })
     RefPattern.replaceAllIn(withSources, m => {
       val target = m.group(1)
       val node = manifest.models.getOrElse(target,
         throw new IllegalArgumentException(s"$model refs unknown model '$target'"))
-      if (node.materialized == "ephemeral") {
-        require(!inlining(target), s"ephemeral cycle through '$target'")
-        s"( ${render(target, vars, inlining + target)} )"
-      } else refView(target)
+      val replacement =
+        if (node.materialized == "ephemeral") {
+          require(!inlining(target), s"ephemeral cycle through '$target'")
+          s"( ${render(target, vars, inlining + target)} )"
+        } else refView(target)
+      // inlined SQL may contain '$' / '\' — never raw replacement text
+      scala.util.matching.Regex.quoteReplacement(replacement)
     })
   }
 
@@ -110,8 +115,9 @@ final class Build(wh: Warehouse, manifest: Manifest,
       val action = node.materialized match {
         case "ephemeral" => "inlined"
         case "view" =>
-          mat.view(node.schema, node.aliasOrName, render(name, vars))
-          spark.sql(render(name, vars)).createOrReplaceTempView(refView(name))
+          val sql = render(name, vars)
+          mat.view(node.schema, node.aliasOrName, sql)
+          spark.sql(sql).createOrReplaceTempView(refView(name))
           "view"
         case "incremental" =>
           val field = node.meta.getOrElse("partition_field", "partitiondate")

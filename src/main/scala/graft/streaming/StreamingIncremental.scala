@@ -29,19 +29,22 @@ object StreamingIncremental {
     * same pipeline with a kafka source and `Trigger.ProcessingTime` is
     * the continuous form; nothing else changes.
     */
+  /** Stage a single-file fixture into a scratch landing DIRECTORY (the
+    * file-stream source monitors directories — exactly how arriving
+    * micro-batch files would land in practice) and open a stream on it. */
+  private def stageAndStream(spark: SparkSession, eventsDir: String,
+                             prefix: String): org.apache.spark.sql.DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val src = new java.io.File(eventsDir)
+    val landing = java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.copy(src.toPath, landing.resolve(src.getName))
+    spark.readStream.schema(schema).parquet(landing.toString)
+  }
+
   def runHourlyCounts(spark: SparkSession, eventsDir: String,
                       checkpointDir: String, wh: Warehouse,
                       dataset: String, table: String): Unit = {
-    val statics = spark.read.parquet(eventsDir)
-    // The file-stream source monitors a DIRECTORY (a landing zone). The
-    // fixture is a single parquet file, so stage it into a scratch landing
-    // dir — exactly how arriving micro-batch files would land in practice.
-    val src = new java.io.File(eventsDir)
-    val landing = java.nio.file.Files.createTempDirectory("graft_landing")
-    java.nio.file.Files.copy(src.toPath, landing.resolve(src.getName))
-    val stream = spark.readStream
-      .schema(statics.schema)
-      .parquet(landing.toString)
+    val stream = stageAndStream(spark, eventsDir, "graft_landing")
     val withTs =
       if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -81,11 +84,7 @@ object StreamingIncremental {
                    checkpointDir: String)(sink: DataFrame => Unit): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val statics = spark.read.parquet(eventsDir)
-    val src = new java.io.File(eventsDir)
-    val landing = java.nio.file.Files.createTempDirectory("graft_landing_fs")
-    java.nio.file.Files.copy(src.toPath, landing.resolve(src.getName))
-    val stream = spark.readStream.schema(statics.schema).parquet(landing.toString)
+    val stream = stageAndStream(spark, eventsDir, "graft_landing_fs")
     val withTs =
       if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts_us", expr("ts div 1000"))

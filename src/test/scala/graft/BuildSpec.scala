@@ -54,6 +54,33 @@ class BuildSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("nope") && ex.getMessage.contains("mrt_v"))
   }
 
+  test("source views re-register per render: a second run never reuses stale data") {
+    import spark.implicits._
+    val m = Manifest(models = Seq(node("mrt_s", "table")))
+    val body = Map("mrt_s" -> "SELECT count(*) AS n FROM {{ source('src', 't') }}")
+    val run1 = new Build(freshWh(), m, body, (_, _) => Seq(1).toDF("x"))
+    run1.run("mrt_s")
+    // same session, different loader (the bench warmup→timed shape)
+    val wh2 = freshWh()
+    val run2 = new Build(wh2, m, body, (_, _) => Seq(1, 2, 3).toDF("x"))
+    run2.run("mrt_s")
+    assert(wh2.read("mart", "mrt_s").head().getLong(0) === 3L)
+  }
+
+  test("dollar signs in inlined ephemeral SQL survive the ref rewrite") {
+    import spark.implicits._
+    val m = Manifest(
+      models = Seq(node("int_money", "ephemeral"), node("mrt_money", "table")),
+      parentsByName = Map("mrt_money" -> Seq("int_money")))
+    val bodies = Map(
+      "int_money" -> "SELECT concat('US$', '5') AS amount FROM {{ source('s', 't') }}",
+      "mrt_money" -> "SELECT amount FROM {{ ref('int_money') }}")
+    val wh = freshWh()
+    val b = new Build(wh, m, bodies, (_, _) => Seq(1).toDF("x"))
+    b.run("mrt_money")
+    assert(wh.read("mart", "mrt_money").head().getString(0) === "US$5")
+  }
+
   test("unselected upstream models are served from their existing tables") {
     import spark.implicits._
     val wh = freshWh()

@@ -316,6 +316,9 @@ class ConfigSpec extends AnyFunSuite {
     assert(TimeParse.parseTimestamp("2024-01-15T10:30:00Z") === 1705314600000L)
     assert(TimeParse.parseTimestamp("2024-01-15") === 1705276800000L)
     intercept[IllegalArgumentException] { TimeParse.parseTimestamp("15/01/2024") }
+    intercept[IllegalArgumentException] { // digits overflowing Long: format error, not NumberFormatException
+      TimeParse.parseTimestamp("99999999999999999999")
+    }
     assert(TimeParse.withinTimeTravelWindow(1000L, 1000L + 7L * 86400000))
     assert(!TimeParse.withinTimeTravelWindow(1000L, 1001L + 7L * 86400000))
   }
@@ -347,5 +350,27 @@ class ConfigSpec extends AnyFunSuite {
     val t2 = Toml.parse("[a]\nratio = 0.8\nneg = -5\n")
     assert(Toml.at(t2, "a", "ratio") === Some(Toml.Dbl(0.8)))
     assert(Toml.num(Toml.at(t2, "a", "neg")) === Some(-5L))
+    // multi-line arrays (the layout poetry/black emit)
+    val t3 = Toml.parse(
+      """[a]
+        |deps = [
+        |  "x",
+        |  "y[extra]",
+        |]
+        |""".stripMargin)
+    assert(Toml.strings(Toml.at(t3, "a", "deps")) === Seq("x", "y[extra]"))
+    // unquoted bare word fails with a diagnostic, not a raw NumberFormatException
+    val ex = intercept[IllegalArgumentException] {
+      Toml.parse("[a]\nrole = roles/bigquery.dataViewer\n")
+    }
+    assert(ex.getMessage.contains("missing quotes"))
+  }
+
+  test("empty *-data-expiration vars are ignored, not a crash") {
+    val root = Files.createTempDirectory("graft_cfg_emptyvar")
+    Files.writeString(root.resolve("dbt_project.yml"),
+      "name: p\nvars:\n  gdpr-data-expiration:\n  ok-data-expiration: 30\n")
+    val p = DbtProject.load(root)
+    assert(p.dataExpirations.map(_._1) === Seq("ok-data-expiration"))
   }
 }
