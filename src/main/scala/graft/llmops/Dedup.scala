@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import Hashing._
@@ -387,6 +387,107 @@ object Dedup {
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold""".stripMargin
   }
 
+  // --------------------------------------------------- duplicate clusters
+
+  /** Connected components over verified near-dup pairs — the clustering
+    * step that turns pairwise matches into dedup GROUPS with a canonical
+    * representative (the minimum doc id reachable through any chain of
+    * pairs). A keep-list is then `cluster_id == doc_id`.
+    *
+    * Iterative min-label propagation in DataFrame shape: every node
+    * starts labeled with its own id; each round, a node adopts the
+    * minimum label among itself and its neighbors (two equi-joins + a
+    * groupBy per round); convergence when no label changes. Rounds are
+    * bounded by the component diameter — near-dup clusters are shallow,
+    * so a handful of rounds closes 100 TB-scale graphs (the large-star/
+    * small-star variant halves diameters per round if ever needed; same
+    * join shape). Each round `localCheckpoint`s the label frame: an
+    * iterative self-referential plan otherwise accretes lineage until
+    * planning itself dominates — on a cluster this would be a reliable
+    * checkpoint to durable storage instead. */
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionAll(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id").cast("long"))
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("doc_id"), col("new_label").as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  def clustersOracleSql(maxHamming: Int = HammingMax): String =
+    s"""WITH RECURSIVE $simhashSqlCte,
+       |bands AS (
+       |  ${(0 until SimhashBands).map { k =>
+            s"SELECT doc_id, simhash, $k AS band, (simhash >> ${k * 15}) & 32767 AS bucket FROM simhash"
+          }.mkString("\n  UNION ALL ")}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r)
+       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  // ---------------------------------------------------- stratified sample
+
+  /** Deterministic hash-based stratified sampling (training-data mixing/
+    * curation): keep a row iff `md5_60bit(doc_id) mod 10000 < threshold`
+    * for its stratum — reproducible across runs, engines, and partition
+    * layouts (no RNG state, unlike `sample()`), and a pure narrow filter
+    * at any scale. Thresholds are per-10000 integers so the cut is exact
+    * in both engines. */
+  def stratifiedSample(docs: DataFrame, stratum: Column,
+                       thresholdsPer10k: Map[String, Int],
+                       defaultPer10k: Int): DataFrame = {
+    val threshold = thresholdsPer10k.foldLeft(lit(defaultPer10k)) {
+      case (acc, (value, t)) => when(stratum === value, lit(t)).otherwise(acc)
+    }
+    docs.filter(pmod(md5Long(col("doc_id").cast("string")), lit(10000)) < threshold)
+  }
+
+  /** Length-tier sampling over documents: short docs downsampled hard,
+    * medium kept at half, long kept whole. */
+  def qSampleStratified(docs: DataFrame): DataFrame = {
+    val tier = when(length(col("text")) < 200, "short")
+      .when(length(col("text")) < 1000, "medium")
+      .otherwise("long")
+    stratifiedSample(docs.withColumn("tier", tier), col("tier"),
+      Map("short" -> 2000, "medium" -> 5000), defaultPer10k = 10000)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+  }
+
+  val sampleOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(text) < 200 THEN 'short'
+       |              WHEN length(text) < 1000 THEN 'medium'
+       |              ELSE 'long' END AS tier
+       |  FROM documents)
+       |SELECT tier, count(*) AS n_kept, min(doc_id) AS min_id
+       |FROM t
+       |WHERE ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 10000 <
+       |      (CASE tier WHEN 'short' THEN 2000 WHEN 'medium' THEN 5000 ELSE 10000 END)
+       |GROUP BY tier""".stripMargin
+
   // ----------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -399,7 +500,13 @@ object Dedup {
     "dedup_simhash" -> ((s: SparkSession, d: String) =>
       simhashPairs(Tables.load(s, d, "documents"))),
     "dedup_embed" -> ((s: SparkSession, d: String) =>
-      embeddingPairs(Tables.load(s, d, "embeddings"))))
+      embeddingPairs(Tables.load(s, d, "embeddings"))),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents")
+      duplicateClusters(docs, simhashPairs(docs))
+    }),
+    "sample_stratified" -> ((s: SparkSession, d: String) =>
+      qSampleStratified(Tables.load(s, d, "documents"))))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -408,5 +515,7 @@ object Dedup {
     "dedup_ngram" -> ngramOracleSql(),
     "dedup_minhash" -> minhashOracleSql(),
     "dedup_simhash" -> simhashPairsSql(),
-    "dedup_embed" -> embeddingPairsSql())
+    "dedup_embed" -> embeddingPairsSql(),
+    "dedup_clusters" -> clustersOracleSql(),
+    "sample_stratified" -> sampleOracleSql)
 }
