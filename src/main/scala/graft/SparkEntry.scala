@@ -22,7 +22,8 @@ object SparkEntry {
     DeclaredQueries.queries ++ EngineQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++
-      graft.materialize.DataTests.queries
+      graft.materialize.DataTests.queries ++
+      graft.operators.AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     DeclaredQueries.oracleSql ++ EngineQueries.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
-      graft.materialize.DataTests.oracleSql
+      graft.materialize.DataTests.oracleSql ++
+      graft.operators.AsOfJoin.oracleSql
 }

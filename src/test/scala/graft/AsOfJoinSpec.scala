@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** As-of join semantics on hand-built frames: inclusive boundary,
+  * no-match nulls, latest-wins, deterministic tie-break, and tolerance
+  * as match semantics (left rows always survive). */
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("backward as-of matches the latest right row at or before each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, "r_at_10"), (1L, 15L, "r_at_15"), (3L, 1L, "other_key"))
+      .toDF("k", "rts", "v")
+    val out = AsOfJoin.backward(left, right, keys = Seq("k"),
+      leftTs = "ts", rightTs = "rts", payload = Seq("v"))
+      .collect().map(r => (r.getAs[String]("tag"), r.getAs[String]("v"),
+        Option(r.getAs[Any]("matched_ts")))).toSet
+    assert(out === Set(
+      ("p1", "r_at_10", Some(10L)),  // equal ts matches (inclusive)
+      ("p2", "r_at_15", Some(15L)),  // latest prior wins over earlier
+      ("p3", null, None)))           // no right row for key 2 → nulls, row kept
+  }
+
+  test("ties on the right resolve to the latest in the tiebreak order") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "rts", "v")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    assert(out.head().getAs[String]("v") === "b") // max of the tiebreak col
+  }
+
+  test("tolerance nulls stale matches without dropping left rows") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "fresh"), (1L, 500L, "stale")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 90L, "r")).toDF("k", "rts", "v")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("v"),
+      tolerance = Some(lit(50L)))
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[String]("v"))).toMap
+    assert(out === Map("fresh" -> Some("r"), "stale" -> None))
+  }
+
+  test("payload collision with left columns is rejected up front") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(df, df.withColumnRenamed("ts", "rts"),
+        Seq("k"), "ts", "rts", payload = Seq("v"))
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+}
