@@ -269,18 +269,24 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  def simhashPairsSql(maxHamming: Int = HammingMax): String = {
-    val bandRows = (0 until SimhashBands).map { k =>
-      s"SELECT doc_id, simhash, $k AS band, (simhash >> ${k * 15}) & 32767 AS bucket FROM simhash"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH $simhashSqlCte,
-       |bands AS (
-       |  $bandRows)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  /** Shared SQL fragments (used by BOTH the pairs oracle and the
+    * clusters oracle, so the two gates can never check different pair
+    * sets). */
+  val simhashBandsSql: String = (0 until SimhashBands).map { k =>
+    s"SELECT doc_id, simhash, $k AS band, (simhash >> ${k * 15}) & 32767 AS bucket FROM simhash"
+  }.mkString("\n  UNION ALL ")
+
+  def simhashPairsFragment(maxHamming: Int): String =
+    s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
-  }
+
+  def simhashPairsSql(maxHamming: Int = HammingMax): String =
+    s"""WITH $simhashSqlCte,
+       |bands AS (
+       |  $simhashBandsSql)
+       |${simhashPairsFragment(maxHamming)}""".stripMargin
 
   // ------------------------------------------------------- embedding cosine
 
@@ -409,8 +415,12 @@ object Dedup {
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id").cast("long"))
+    // `checkpointed` tracks the frame holding each round's cached copy so
+    // the superseded round can be RELEASED — without the unpersist, a
+    // D-diameter graph pins D+1 full label-table copies in storage at once
+    var checkpointed = docs.select(col("doc_id").cast("long"))
       .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var labels = checkpointed
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -422,6 +432,8 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
         .localCheckpoint(true)
       changed = updated.filter(col("new_label") < col("label")).count()
+      checkpointed.unpersist()
+      checkpointed = updated
       labels = updated.select(col("doc_id"), col("new_label").as("label"))
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
@@ -430,14 +442,9 @@ object Dedup {
   def clustersOracleSql(maxHamming: Int = HammingMax): String =
     s"""WITH RECURSIVE $simhashSqlCte,
        |bands AS (
-       |  ${(0 until SimhashBands).map { k =>
-            s"SELECT doc_id, simhash, $k AS band, (simhash >> ${k * 15}) & 32767 AS bucket FROM simhash"
-          }.mkString("\n  UNION ALL ")}),
+       |  $simhashBandsSql),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-       |  WHERE a.doc_id < b.doc_id
-       |    AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+       |  ${simhashPairsFragment(maxHamming)}),
        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(id, r) AS (

@@ -26,6 +26,8 @@ import graft.core.Tables
   * — callers needing a different winner pass the tiebreak column. */
 object AsOfJoin {
 
+  private val Reserved = Seq("_ts", "_side", "_tie", "_match")
+
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                payload: Seq[String],
@@ -35,56 +37,62 @@ object AsOfJoin {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+    val clash = (leftCols ++ right.columns).filter(
+      c => Reserved.contains(c) || c == "matched_ts")
+    require(clash.isEmpty,
+      s"columns ${clash.distinct} collide with as-of internal/output names " +
+        s"(${(Reserved :+ "matched_ts").mkString(", ")})")
     val tiebreak = rightOrder.getOrElse(payload.head)
-    // unified layout: keys ++ _ts ++ _side ++ left columns ++ payload ++ _right_ts
-    val l = left
-      .withColumn("_ts", col(leftTs))
-      .withColumn("_side", lit(1))
-      .withColumn("_tie", lit(null).cast(right.schema(tiebreak).dataType))
-      .withColumn("_right_ts", lit(null).cast(right.schema(rightTs).dataType))
-    val lAligned = payload.foldLeft(l) { (df, p) =>
-      df.withColumn(p, lit(null).cast(right.schema(p).dataType))
-    }
-    var r = right
-      .withColumn("_ts", col(rightTs))
-      .withColumn("_side", lit(0))
-      .withColumn("_tie", col(tiebreak))
-      .withColumn("_right_ts", col(rightTs))
-    leftCols.filterNot(keys.contains).foreach { c =>
-      r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }
-    val unionCols = (keys ++ Seq("_ts", "_side", "_tie", "_right_ts") ++
-      leftCols.filterNot(keys.contains) ++ payload).map(col)
-    val unioned = lAligned.select(unionCols: _*)
-      .unionByName(r.select(unionCols: _*))
+    // The match travels as ONE struct of (payload ++ right ts), carried
+    // by a single last(ignoreNulls) — per-column carries would resurrect
+    // older rows' values wherever the matched row holds a legitimate
+    // NULL, emitting a mix of rows that never co-existed.
+    val matchStruct = struct(
+      (payload.map(col) :+ col(rightTs).as("_right_ts")): _*)
+    val nullMatch = lit(null).cast(
+      org.apache.spark.sql.types.StructType(
+        payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)) :+
+          org.apache.spark.sql.types.StructField("_right_ts", right.schema(rightTs).dataType)))
+    // single-select alignment (a withColumn per column re-runs analysis
+    // per column and grows the plan quadratically on wide tables)
+    val lAligned = left.select(
+      (keys.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side") :+
+        lit(null).cast(right.schema(tiebreak).dataType).as("_tie") :+
+        nullMatch.as("_match")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val rAligned = right.select(
+      (keys.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side") :+
+        col(tiebreak).as("_tie") :+ matchStruct.as("_match")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (payload :+ "_right_ts").foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"_m_$p", last(col(p), ignoreNulls = true).over(w))
-    }
-    val matched = carried.filter(col("_side") === 1)
-    val withTolerance = tolerance match {
-      case None => matched
+    val carried = lAligned.unionByName(rAligned)
+      .withColumn("_m", last(col("_match"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val gated = tolerance match {
+      case None => carried
       case Some(tol) =>
         // stale matches null out; the left row survives (match semantics)
-        val fresh = col("_m__right_ts").isNotNull &&
-          (col("_ts") - col("_m__right_ts")) <= tol
-        (payload :+ "_right_ts").foldLeft(matched) { (df, p) =>
-          df.withColumn(s"_m_$p", when(fresh, col(s"_m_$p")))
-        }
+        carried.withColumn("_m",
+          when(col("_m").isNotNull &&
+            (col("_ts") - col("_m")("_right_ts")) <= tol, col("_m")))
     }
     val out = leftCols.map(col) ++
-      (payload :+ "_right_ts").map(p => col(s"_m_$p").as(
-        if (p == "_right_ts") "matched_ts" else p))
-    withTolerance.select(out: _*)
+      payload.map(p => col("_m")(p).as(p)) :+
+      col("_m")("_right_ts").as("matched_ts")
+    gated.select(out: _*)
   }
 
   // ----------------------------------------------------------------- query
 
   /** Attribution: each purchase joined as-of to the user's latest prior
-    * click. The DuckDB oracle is its NATIVE `ASOF LEFT JOIN` — two
-    * independent implementations of the operator agreeing row for row. */
+    * click. The oracle is a deterministic argmax window over the same
+    * ordering this operator uses ((ts, tiebreak) descending) — DuckDB's
+    * native ASOF JOIN agrees on tie-free data (verified on the fixture)
+    * but leaves equal-timestamp winners unspecified, which would make
+    * the gate nondeterministic if the fixture ever grew ties. */
   def qAsofAttribution(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
     val purchases = e.filter(col("event_type") === "purchase")
@@ -105,10 +113,14 @@ object AsOfJoin {
       |           FROM events WHERE event_type = 'purchase'),
       |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id AS click_id,
       |             round(value, 2) AS click_value
-      |      FROM events WHERE event_type = 'click')
-      |SELECT p.event_id, p.user_id, p.ts,
-      |       c.click_id, c.click_value, c.cts AS click_ts
-      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id, p.user_id, p.ts,
+      |             c.click_id, c.click_value, c.cts,
+      |             row_number() OVER (PARTITION BY p.event_id
+      |               ORDER BY c.cts DESC, c.click_id DESC) AS rn
+      |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.ts)
+      |SELECT event_id, user_id, ts, click_id, click_value, cts AS click_ts
+      |FROM j WHERE rn = 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_asof_join" -> (qAsofAttribution _))

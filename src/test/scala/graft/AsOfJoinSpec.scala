@@ -44,6 +44,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out === Map("fresh" -> Some("r"), "stale" -> None))
   }
 
+  test("a matched row's NULL payload value is not backfilled from older rows") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    // the matched (latest) right row legitimately carries a NULL value —
+    // the whole row must surface, not a mix with the older row's 1.5
+    val right = Seq((1L, 5L, 7L, Some(1.5)), (1L, 9L, 8L, None))
+      .toDF("k", "rts", "rid", "rv")
+    val row = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts",
+      payload = Seq("rid", "rv"), rightOrder = Some("rid")).head()
+    assert(row.getAs[Long]("rid") === 8L)
+    assert(row.isNullAt(row.fieldIndex("rv")))
+    assert(row.getAs[Long]("matched_ts") === 9L)
+  }
+
+  test("reserved internal/output names are rejected up front") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, "x")).toDF("k", "ts", "matched_ts")
+    val right = Seq((1L, 1L, "v")).toDF("k", "rts", "v")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    }
+    assert(ex.getMessage.contains("matched_ts"))
+  }
+
   test("payload collision with left columns is rejected up front") {
     import spark.implicits._
     val df = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
