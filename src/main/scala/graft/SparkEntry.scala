@@ -23,7 +23,9 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.materialize.DataTests.queries ++
-      graft.operators.AsOfJoin.queries
+      graft.operators.AsOfJoin.queries ++
+      graft.operators.RangeJoin.queries ++
+      graft.operators.Sketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +34,7 @@ object SparkEntry {
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
-      graft.operators.AsOfJoin.oracleSql
+      graft.operators.AsOfJoin.oracleSql ++
+      graft.operators.RangeJoin.oracleSql ++
+      graft.operators.Sketch.oracleSql
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Point-in-interval range join. Spark plans a raw
+  * `l.key = r.key AND l.pt BETWEEN r.lo AND r.hi` as a sort-merge join
+  * on the key with the range as a post-filter — fine until a hot key
+  * (every interval × every point of that key materializes) — and with
+  * no equality key at all it degenerates to BroadcastNestedLoop.
+  *
+  * The scalable pattern is BINNING: quantize the domain into fixed-width
+  * bins; an interval registers in every bin it overlaps (`sequence` +
+  * `explode`, fan-out = ceil(len/width)+1), a point registers in exactly
+  * one bin, and candidates come from an EQUI-join on (key, bin) with the
+  * exact predicate re-checked. A (point, interval) pair can only meet in
+  * the point's single bin, so no dedup pass is needed. Size `binWidth`
+  * near the typical interval length: wider bins cut interval fan-out,
+  * narrower bins cut per-bin candidate counts. */
+object RangeJoin {
+
+  /** Inner point-in-interval join on a shared key. `points` must carry
+    * (`keys`, `ptCol`); `intervals` (`keys`, `loCol`, `hiCol`). All
+    * range columns are integral (epoch micros, days, ids...). Output:
+    * every points row × matching intervals row (columns from both, key
+    * columns once). */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      keys: Seq[String], ptCol: String,
+                      loCol: String, hiCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("_bin", floor(col(ptCol) / binWidth))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    p.join(iv, keys :+ "_bin")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
+  // ----------------------------------------------------------------- query
+
+  private val WindowMicros = 7L * 86400L * 1000000L // 7 days
+  private val DayMicros = 86400L * 1000000L
+
+  /** Conversion windows: purchases landing within 7 days of each signup
+    * event, per user — intervals from signups, points from purchases,
+    * day-width bins. Signups with no purchase in window survive with
+    * zero counts (left semantics applied after the inner range join). */
+  def qRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        unix_micros(col("ts")).as("lo"))
+      .withColumn("hi", col("lo") + WindowMicros)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pt"), col("value"))
+    val matched = pointInInterval(purchases, signups,
+      keys = Seq("user_id"), ptCol = "pt", loCol = "lo", hiCol = "hi",
+      binWidth = DayMicros)
+      .groupBy(col("signup_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("purchased"))
+    signups.select(col("signup_id"), col("user_id"))
+      .join(matched, Seq("signup_id"), "left")
+      .select(col("signup_id"), col("user_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("purchased"), lit(0.0)).as("purchased"))
+  }
+
+  val qRangeSql: String =
+    """WITH s AS (SELECT user_id, event_id AS signup_id,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS lo
+      |           FROM events WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt, value
+      |      FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT s.signup_id, count(*) AS n_purchases,
+      |             round(sum(p.value), 2) AS purchased
+      |      FROM s JOIN p ON p.user_id = s.user_id
+      |                   AND p.pt >= s.lo AND p.pt <= s.lo + 604800000000
+      |      GROUP BY 1)
+      |SELECT s.signup_id, s.user_id,
+      |       coalesce(m.n_purchases, 0) AS n_purchases,
+      |       coalesce(m.purchased, 0.0) AS purchased
+      |FROM s LEFT JOIN m ON m.signup_id = s.signup_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_range_join" -> (qRangeWindow _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q23_range_join" -> qRangeSql)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{RangeJoin, Sketch}
+
+/** Range-join binning and KMV sketch semantics on hand-built frames. */
+class OperatorsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("pointInInterval: inclusive bounds, bin crossings, no duplicate matches") {
+    import spark.implicits._
+    val points = Seq((1L, 0L, "at_lo"), (1L, 25L, "mid"), (1L, 30L, "at_hi"),
+      (1L, 31L, "past_hi"), (2L, 25L, "other_key")).toDF("k", "pt", "tag")
+    // interval [0, 30] spans 4 bins at width 10; [100, 105] matches nothing
+    val intervals = Seq((1L, 0L, 30L, "w1"), (1L, 100L, 105L, "w2"))
+      .toDF("k", "lo", "hi", "win")
+    val got = RangeJoin.pointInInterval(points, intervals,
+      keys = Seq("k"), ptCol = "pt", loCol = "lo", hiCol = "hi", binWidth = 10L)
+      .select("tag", "win").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.sorted === Seq(("at_hi", "w1"), ("at_lo", "w1"), ("mid", "w1")))
+    // exactly one row per matching pair even though w1 spans several bins
+    assert(got.length === got.distinct.length)
+  }
+
+  test("overlapping intervals each match; binning never drops a boundary point") {
+    import spark.implicits._
+    val points = Seq((1L, 10L)).toDF("k", "pt")
+    val intervals = Seq((1L, 5L, 10L, "ends_on_pt"), (1L, 10L, 15L, "starts_on_pt"))
+      .toDF("k", "lo", "hi", "win")
+    val wins = RangeJoin.pointInInterval(points, intervals,
+      Seq("k"), "pt", "lo", "hi", binWidth = 7L)
+      .select("win").collect().map(_.getString(0)).sorted.toSeq
+    assert(wins === Seq("ends_on_pt", "starts_on_pt"))
+  }
+
+  test("KMV sketch: exact below k, within 10% above k, deterministic") {
+    import spark.implicits._
+    val small = (1 to 100).map(_.toString).toDF("v")
+    val exactRow = Sketch.kmvDistinct(small, "v", k = 256).head()
+    assert(exactRow.getAs[Long]("n_hashes") === 100L)
+    assert(exactRow.getAs[Double]("estimate") === 100.0)
+    val big = (1 to 20000).map(i => (i % 5000).toString).toDF("v") // 5000 distinct
+    val est = Sketch.kmvDistinct(big, "v", k = 256).head().getAs[Double]("estimate")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.10, s"estimate $est vs 5000")
+    // bit-deterministic across partitionings
+    val est2 = Sketch.kmvDistinct(big.repartition(13), "v", k = 256)
+      .head().getAs[Double]("estimate")
+    assert(est2 === est)
+  }
+}
