@@ -29,6 +29,24 @@ object Hashing {
   def md5LongSql(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
+  /** Cross-engine-stable rounding: `floor(x·10^scale + 0.5)/10^scale` is
+    * the same IEEE op sequence in Spark and DuckDB, so the output double
+    * is bit-identical — Spark's `round()` detours through BigDecimal
+    * (shortest decimal repr, HALF_UP) while DuckDB rounds from the exact
+    * binary value, and the two disagree on `.xx5` boundaries. Every
+    * oracle-compared double should round through THIS (and its SQL twin
+    * [[stableRoundSql]]), never through `round()` on both sides. */
+  def stableRound(c: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  /** DuckDB fragment for [[stableRound]]. */
+  def stableRoundSql(expr: String, scale: Int): String = {
+    val f = math.pow(10.0, scale)
+    s"floor(($expr) * $f + 0.5) / $f"
+  }
+
   /** Deterministic pseudo-random Long stream (splitmix64). */
   def splitmix(seed: Long): Iterator[Long] = {
     var s = seed

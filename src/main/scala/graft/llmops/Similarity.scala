@@ -67,14 +67,8 @@ object Similarity {
     }.toDF("query_id", "neighbor_id", "cos")
   }
 
-  /** Cross-engine-stable 4-decimal rounding. Spark's round() detours
-    * through BigDecimal.valueOf (shortest decimal repr, HALF_UP) while
-    * DuckDB rounds from the exact binary value — a cos on a `.xxxx5`
-    * boundary can flip differently. floor(x*1e4 + 0.5)/1e4 is the same
-    * IEEE op sequence in both engines, so the output double is
-    * bit-identical; the oracle SQL spells out the identical formula. */
-  private def roundE4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  /** Cross-engine-stable 4-decimal rounding (see Hashing.stableRound). */
+  private def roundE4(c: Column): Column = Hashing.stableRound(c, 4)
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))

@@ -28,11 +28,27 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       keys: Seq[String], ptCol: String,
                       loCol: String, hiCol: String,
-                      binWidth: Long): DataFrame = {
+                      binWidth: Long,
+                      maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "columns named _bin collide with the range join's internal bin key")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns ${overlap.toSeq.sorted} appear on both sides — " +
+        "rename one side before joining (output would be ambiguous)")
     val p = points.withColumn("_bin", floor(col(ptCol) / binWidth))
-    val iv = intervals.withColumn("_bin",
-      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    // a pathological interval (open-ended sentinel hi, wrong units) would
+    // otherwise materialize millions of bin rows and kill the job with an
+    // opaque array/OOM error — fail it with the actual problem instead
+    val nBins = floor(col(hiCol) / binWidth) - floor(col(loCol) / binWidth) + 1
+    val bins = when(nBins <= maxBinsPerInterval,
+      sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth)))
+      .otherwise(raise_error(concat(
+        lit(s"interval spans more than $maxBinsPerInterval bins at binWidth=$binWidth ("),
+        col(loCol), lit(".."), col(hiCol),
+        lit(") — widen binWidth or clamp open-ended intervals"))).cast("array<bigint>"))
+    val iv = intervals.withColumn("_bin", explode(bins))
     p.join(iv, keys :+ "_bin")
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bin")
@@ -60,7 +76,9 @@ object RangeJoin {
       binWidth = DayMicros)
       .groupBy(col("signup_id"))
       .agg(count(lit(1)).as("n_purchases"),
-        round(sum(col("value")), 2).as("purchased"))
+        // stableRound, not round(): a window's sum landing on a .xx5
+        // boundary would otherwise round differently across engines
+        graft.llmops.Hashing.stableRound(sum(col("value")), 2).as("purchased"))
     signups.select(col("signup_id"), col("user_id"))
       .join(matched, Seq("signup_id"), "left")
       .select(col("signup_id"), col("user_id"),
@@ -75,7 +93,7 @@ object RangeJoin {
       |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt, value
       |      FROM events WHERE event_type = 'purchase'),
       |m AS (SELECT s.signup_id, count(*) AS n_purchases,
-      |             round(sum(p.value), 2) AS purchased
+      |             floor(sum(p.value) * 100.0 + 0.5) / 100.0 AS purchased
       |      FROM s JOIN p ON p.user_id = s.user_id
       |                   AND p.pt >= s.lo AND p.pt <= s.lo + 604800000000
       |      GROUP BY 1)

@@ -30,17 +30,20 @@ object Sketch {
     * the sketch saw every distinct value and the estimate is exact. */
   def kmvDistinct(df: DataFrame, column: String, k: Int = 256): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    df.select(Hashing.md5Long(col(column).cast("string")).as("h"))
+    // NULLs don't participate: count(DISTINCT col) semantics — and Spark
+    // sorts NULLS FIRST while DuckDB's LIMIT takes NULLS LAST, so an
+    // unfiltered NULL would both inflate the estimate and break the
+    // sketch's cross-engine portability
+    df.filter(col(column).isNotNull)
+      .select(Hashing.md5Long(col(column).cast("string")).as("h"))
       .distinct()
       .orderBy(col("h"))
       .limit(k)
       .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_hash"))
       .select(col("n_hashes"), col("kth_hash"),
-        // floor(x*1e4+0.5)/1e4: the same IEEE op sequence in both engines
-        // (Spark round() detours through BigDecimal; see Similarity.roundE4)
-        (floor((when(col("n_hashes") < k, col("n_hashes").cast("double"))
-          .otherwise(lit((k - 1) * D) / col("kth_hash"))) * lit(10000.0) + lit(0.5))
-          / lit(10000.0)).as("estimate"))
+        Hashing.stableRound(
+          when(col("n_hashes") < k, col("n_hashes").cast("double"))
+            .otherwise(lit((k - 1) * D) / col("kth_hash")), 4).as("estimate"))
   }
 
   // ----------------------------------------------------------------- query
@@ -55,7 +58,7 @@ object Sketch {
 
   val qKmvSql: String =
     s"""WITH h AS (SELECT DISTINCT ${Hashing.md5LongSql("CAST(l_partkey AS VARCHAR)")} AS h
-       |           FROM lineitem),
+       |           FROM lineitem WHERE l_partkey IS NOT NULL),
        |k AS (SELECT h FROM h ORDER BY h LIMIT 256),
        |s AS (SELECT count(*) AS n_hashes, max(h) AS kth_hash FROM k)
        |SELECT n_hashes, kth_hash,

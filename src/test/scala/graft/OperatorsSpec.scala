@@ -34,6 +34,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wins === Seq("ends_on_pt", "starts_on_pt"))
   }
 
+  test("range join rejects colliding column names and runaway intervals") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L, "x")).toDF("k", "pt", "shared")
+    val ivs = Seq((1L, 0L, 10L, "y")).toDF("k", "lo", "hi", "shared")
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, ivs, Seq("k"), "pt", "lo", "hi", 10L)
+    }
+    assert(ex.getMessage.contains("shared"))
+    // an open-ended sentinel interval fails with the actual problem named
+    val sentinel = Seq((1L, 0L, Long.MaxValue)).toDF("k", "lo", "hi")
+    val err = intercept[Exception] {
+      RangeJoin.pointInInterval(pts.drop("shared"), sentinel,
+        Seq("k"), "pt", "lo", "hi", binWidth = 10L, maxBinsPerInterval = 100L)
+        .collect()
+    }
+    assert(err.getMessage.contains("bins"), err.getMessage)
+  }
+
+  test("KMV sketch ignores NULLs (count-distinct semantics, portable state)") {
+    import spark.implicits._
+    val withNulls = (Seq.fill(3)(None) ++ (1 to 100).map(i => Some(i.toString)))
+      .toDF("v")
+    val row = Sketch.kmvDistinct(withNulls, "v", k = 256).head()
+    assert(row.getAs[Long]("n_hashes") === 100L) // NULLs not counted
+    assert(row.getAs[Double]("estimate") === 100.0)
+  }
+
   test("KMV sketch: exact below k, within 10% above k, deterministic") {
     import spark.implicits._
     val small = (1 to 100).map(_.toString).toDF("v")
