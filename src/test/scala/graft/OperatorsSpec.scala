@@ -61,6 +61,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("estimate") === 100.0)
   }
 
+  test("binned range join equals the brute-force theta join on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val points = (1 to 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextLong() % 1000L, i.toLong)).toDF("k", "pt", "pid")
+    val intervals = (1 to 120).map { i =>
+      val lo = rnd.nextLong() % 1000L
+      (rnd.nextInt(5).toLong, lo, lo + rnd.nextInt(300).toLong, i.toLong)
+    }.toDF("k", "lo", "hi", "iid")
+    for (width <- Seq(1L, 7L, 64L, 1000L)) {
+      val binned = RangeJoin.pointInInterval(points, intervals,
+        Seq("k"), "pt", "lo", "hi", binWidth = width)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = points.join(intervals, Seq("k"))
+        .filter(col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned === brute, s"divergence at binWidth=$width")
+    }
+  }
+
+  test("as-of join equals the brute-force per-row argmax on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "ts", "lid")
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "rts", "rid")
+    val got = graft.operators.AsOfJoin.backward(left, right,
+      Seq("k"), "ts", "rts", payload = Seq("rid"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val rights = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = left.collect().map { l =>
+      val (k, ts, lid) = (l.getLong(0), l.getLong(1), l.getLong(2))
+      val cands = rights.filter(r => r._1 == k && r._2 <= ts)
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._2, r._3))._3)) // latest ts, tie: max rid
+    }.toMap
+    assert(got === want)
+  }
+
   test("KMV sketch: exact below k, within 10% above k, deterministic") {
     import spark.implicits._
     val small = (1 to 100).map(_.toString).toDF("v")

@@ -116,6 +116,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("range join candidates come from an equi-join on (key, bin), never nested-loop") {
+    val full = planOf(graft.operators.RangeJoin.qRangeWindow(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("exact dedup is one hash-aggregate shuffle with partial aggregation") {
     val full = planOf(graft.llmops.Dedup.queries("dedup_exact")(spark, sf))
     // partial (map-side) agg before the exchange, final after — one shuffle
