@@ -116,6 +116,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("as-of join plans as union + window — no join operator at all") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, "v")).toDF("k", "rts", "v")
+    val df = graft.operators.AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // the whole point of the union+window pattern: the match is computed
+    // by a Window over the unioned sides, never a (theta) join
+    assert(plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("range join candidates come from an equi-join on (key, bin), never nested-loop") {
     val full = planOf(graft.operators.RangeJoin.qRangeWindow(spark, sf))
     val plan = full.split("== Initial Plan ==").head
