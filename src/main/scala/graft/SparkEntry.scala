@@ -20,7 +20,7 @@ object SparkEntry {
     * LLM-pipeline extension (SURVEY §7.7). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DeclaredQueries.queries ++ EngineQueries.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ graft.llmops.Curate.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
@@ -31,7 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     DeclaredQueries.oracleSql ++ EngineQueries.oracleSql ++
-      TextAnalysis.oracleSql ++ Dedup.oracleSql ++
+      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ graft.llmops.Curate.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++
