@@ -32,6 +32,32 @@ class LlmopsSpec extends AnyFunSuite {
     assert(labels === Seq(1L)) // one component, labeled by the minimum
   }
 
+  test("curate gates language, quality, and exact duplicates in one pass") {
+    import spark.implicits._
+    val en = "the quick brown fox and the lazy dog of the house with many more " +
+      "words to be sure the quality score clears the floor for this document " +
+      "because it has enough tokens and stopwords in it to count as english text"
+    val docs = Seq(
+      (1L, en),                        // keeper
+      (2L, en),                        // exact duplicate of 1 → dropped
+      (3L, "uno dos tres quatro"),     // not English → dropped
+      // classifies en (stopword hits) but scores 0.458 < 0.5:
+      // 2 tokens (0.008) + uniq 0.5 (0.15) + stopwords (0.3)
+      (4L, "the the")                  // quality floor → dropped
+    ).toDF("doc_id", "text")
+    val kept = graft.llmops.Curate.curate(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L))
+  }
+
+  test("curate plan has no cartesian products and fuses the narrow kernels") {
+    val df = graft.llmops.Curate.queries("pipeline_curate")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("stratifiedSample is deterministic and honors per-stratum thresholds") {
     import spark.implicits._
     val docs = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
