@@ -470,31 +470,45 @@ object Dedup {
     docs.filter(pmod(md5Long(col("doc_id").cast("string")), lit(10000)) < threshold)
   }
 
+  /** Length-tier definition + per-tier thresholds, shared by
+    * `sample_stratified` and `pipeline_curate` (Spark AND oracle sides —
+    * one place to retune). Boundaries chosen so ALL tiers (incl. the
+    * default-threshold one) are populated on the fixture (lengths
+    * 48..553). */
+  val TierBoundaries: (Int, Int) = (150, 400)
+  val TierThresholds: Map[String, Int] = Map("short" -> 2000, "medium" -> 5000)
+  val TierDefault: Int = 10000
+
+  def lengthTier(textCol: Column): Column =
+    when(length(textCol) < TierBoundaries._1, "short")
+      .when(length(textCol) < TierBoundaries._2, "medium")
+      .otherwise("long")
+
+  val tierSqlCase: String =
+    s"""CASE WHEN length(text) < ${TierBoundaries._1} THEN 'short'
+       |              WHEN length(text) < ${TierBoundaries._2} THEN 'medium'
+       |              ELSE 'long' END""".stripMargin
+
+  val tierThresholdSqlCase: String =
+    s"(CASE tier WHEN 'short' THEN ${TierThresholds("short")} " +
+      s"WHEN 'medium' THEN ${TierThresholds("medium")} ELSE $TierDefault END)"
+
   /** Length-tier sampling over documents: short docs downsampled hard,
     * medium kept at half, long kept whole. */
-  def qSampleStratified(docs: DataFrame): DataFrame = {
-    // boundaries chosen so ALL tiers (incl. the default-threshold one)
-    // are populated on the fixture (lengths 48..553)
-    val tier = when(length(col("text")) < 150, "short")
-      .when(length(col("text")) < 400, "medium")
-      .otherwise("long")
-    stratifiedSample(docs.withColumn("tier", tier), col("tier"),
-      Map("short" -> 2000, "medium" -> 5000), defaultPer10k = 10000)
+  def qSampleStratified(docs: DataFrame): DataFrame =
+    stratifiedSample(docs.withColumn("tier", lengthTier(col("text"))), col("tier"),
+      TierThresholds, defaultPer10k = TierDefault)
       .groupBy(col("tier"))
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
-  }
 
   val sampleOracleSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,
-       |         CASE WHEN length(text) < 150 THEN 'short'
-       |              WHEN length(text) < 400 THEN 'medium'
-       |              ELSE 'long' END AS tier
+       |         $tierSqlCase AS tier
        |  FROM documents)
        |SELECT tier, count(*) AS n_kept, min(doc_id) AS min_id
        |FROM t
-       |WHERE ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 10000 <
-       |      (CASE tier WHEN 'short' THEN 2000 WHEN 'medium' THEN 5000 ELSE 10000 END)
+       |WHERE ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 10000 < $tierThresholdSqlCase
        |GROUP BY tier""".stripMargin
 
   // ----------------------------------------------------------------- queries

@@ -73,6 +73,62 @@ object TextAnalysis {
         "bpe_est", "avg_word_len", "stopword_ratio", "quality")
   }
 
+  /** Combined gating kernel: (doc_id, text, quality, pred_lang) in ONE
+    * narrow pass. The curation pipeline needs exactly these two signals;
+    * running [[withTextStats]] + [[withLangId]] separately tokenizes
+    * every document twice, computes stats the gate discards (alnum regex
+    * scan, BPE estimate), and forces a corpus-sized join to reunite the
+    * outputs. Tokenization happens once, the English stopword count is
+    * the langid hit counter's first slot, and the original row rides
+    * along — so gating is join-free. Identical arithmetic to the full
+    * kernels: quality and pred_lang are bit-identical to the oracles'. */
+  def withQualityLang(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val langs: Array[(String, Set[String])] =
+      stopwords.map { case (l, ws) => (l, ws.toSet) }.toArray
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words = Kernels.splitSpace(text)
+          val n = words.length
+          val uniq = new java.util.HashSet[String](n * 2)
+          val hits = new Array[Int](langs.length)
+          var i = 0
+          while (i < n) {
+            val w = words(i)
+            uniq.add(w)
+            var j = 0
+            while (j < langs.length) {
+              if (langs(j)._2.contains(w)) hits(j) += 1
+              j += 1
+            }
+            i += 1
+          }
+          // stopwords.head is "en": hits(0) IS the English stopword count
+          val rawStop = hits(0).toDouble / n
+          val quality = Kernels.floorRound4(
+            math.min(1.0, n.toDouble / 100.0) * 0.4 +
+              (uniq.size.toDouble / n) * 0.3 +
+              math.min(1.0, rawStop * 5.0) * 0.3)
+          var best = 0
+          var j = 0
+          while (j < hits.length) { if (hits(j) > best) best = hits(j); j += 1 }
+          var pred = "und"
+          if (best > 0) {
+            var k = 0
+            var found = false
+            while (k < hits.length && !found) {
+              if (hits(k) == best) { pred = langs(k)._1; found = true }
+              k += 1
+            }
+          }
+          (id, text, quality, pred)
+        }
+      }.toDF("doc_id", "text", "quality", "pred_lang")
+  }
+
   /** Language-ID by stopword-hit argmax with deterministic tiebreak
     * (hit counts compared in declaration order; 'und' when no hits). */
   def withLangId(docs: DataFrame): DataFrame = {

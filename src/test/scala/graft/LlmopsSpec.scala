@@ -50,14 +50,6 @@ class LlmopsSpec extends AnyFunSuite {
     assert(kept === Seq(1L))
   }
 
-  test("curate plan has no cartesian products and fuses the narrow kernels") {
-    val df = graft.llmops.Curate.queries("pipeline_curate")(spark, sf)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
-  }
-
   test("stratifiedSample is deterministic and honors per-stratum thresholds") {
     import spark.implicits._
     val docs = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))

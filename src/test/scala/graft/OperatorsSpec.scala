@@ -88,9 +88,10 @@ class OperatorsSpec extends AnyFunSuite {
       (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "ts", "lid")
     val right = (1 to 200).map(i =>
       (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "rts", "rid")
-    val got = graft.operators.AsOfJoin.backward(left, right,
-      Seq("k"), "ts", "rts", payload = Seq("rid"))
-      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val rows = graft.operators.AsOfJoin.backward(left, right,
+      Seq("k"), "ts", "rts", payload = Seq("rid")).collect()
+    assert(rows.length === 300) // exactly one output row per left row
+    val got = rows.map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
     val rights = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val want = left.collect().map { l =>
       val (k, ts, lid) = (l.getLong(0), l.getLong(1), l.getLong(2))

@@ -116,6 +116,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("curate gating is join-free: shuffles only for dedup, semi-join, summary") {
+    val full = planOf(graft.llmops.Curate.queries("pipeline_curate")(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // exactly one join survives: the keeper semi-join (gating signals
+    // ride the kernel output row — no stats/lang reunification join)
+    assert("(?i)join".r.findAllIn(plan).size <= 2, plan.take(1600))
+    assert(plan.contains("LeftSemi"), plan.take(1600))
+  }
+
   test("as-of join plans as union + window — no join operator at all") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
