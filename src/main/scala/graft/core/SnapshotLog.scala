@@ -97,23 +97,32 @@ final class SnapshotLog(tableDir: Path) {
     * replace / drop); a lost version race just retries at the next
     * version — last-writer-wins is the intended semantics. */
   def commit(action: String, entries: Seq[Entry],
-             tsMillis: Long = System.currentTimeMillis()): Commit =
-    commitWith(action, _ => entries, tsMillis)
+             tsMillis: Long = System.currentTimeMillis(),
+             schemaDdl: Option[String] = None): Commit =
+    commitWith(action, _ => entries, tsMillis, schemaDdl)
 
   /** Optimistic-concurrency commit for state-dependent writes
     * (insert_overwrite's kept-partition list, TTL expiry): `compute`
     * derives the FULL table state from the current latest commit. On a
     * lost race the log is re-read and `compute` re-runs against the
     * winner's state — a Delta-style re-base — so a losing writer merges
-    * with, rather than silently overwrites, the winning commit. */
+    * with, rather than silently overwrites, the winning commit.
+    *
+    * `schemaDdl` pins the table schema AT THIS COMMIT (the union of every
+    * referenced fragment's columns): readers pad old fragments to it, so
+    * additive evolution is a metadata change, never a data rewrite, and
+    * time-travel reads serve the schema as of the commit they read.
+    * `None` carries the previous commit's schema forward (expiry, drop). */
   def commitWith(action: String, compute: Option[Commit] => Seq[Entry],
-                 tsMillis: Long = System.currentTimeMillis()): Commit = {
+                 tsMillis: Long = System.currentTimeMillis(),
+                 schemaDdl: Option[String] = None): Commit = {
     Files.createDirectories(logDir)
     var done: Option[Commit] = None
     while (done.isEmpty) {
       val cur = latest
       val v = cur.map(_.version).getOrElse(0) + 1
-      val c = Commit(v, tsMillis, action, compute(cur))
+      val c = Commit(v, tsMillis, action, compute(cur),
+        schemaDdl.orElse(cur.flatMap(_.schemaDdl)))
       val f = logDir.resolve(f"v$v%05d.manifest")
       try {
         Files.write(f, render(c).getBytes(StandardCharsets.UTF_8),
@@ -166,6 +175,7 @@ final class SnapshotLog(tableDir: Path) {
   private def render(c: Commit): String = {
     val sb = new StringBuilder
     sb.append(s"#version=${c.version}\n#ts=${c.tsMillis}\n#action=${c.action}\n")
+    c.schemaDdl.foreach(d => sb.append(s"#schema=${SnapshotLog.escape(d)}\n"))
     c.entries.foreach(e => sb.append(e.partition).append('\t').append(e.path).append('\n'))
     sb.toString
   }
@@ -179,7 +189,8 @@ final class SnapshotLog(tableDir: Path) {
       Entry(l.substring(0, i), l.substring(i + 1))
     }
     Commit(header("version").toInt, header("ts").toLong,
-      header.getOrElse("action", "write"), entries)
+      header.getOrElse("action", "write"), entries,
+      header.get("schema").map(SnapshotLog.unescape))
   }
 
   private def deleteRecursive(p: Path): Unit =
@@ -193,9 +204,34 @@ object SnapshotLog {
     * immutable parquet dir holding that partition's rows. */
   final case class Entry(partition: String, path: String)
 
+  /** `schemaDdl`: the union schema of this commit's fragments (None on
+    * manifests written before schema pinning — readers fall back to the
+    * physical file schemas). */
   final case class Commit(version: Int, tsMillis: Long, action: String,
-                          entries: Seq[Entry]) {
+                          entries: Seq[Entry],
+                          schemaDdl: Option[String] = None) {
     def isDrop: Boolean = action == "drop"
+  }
+
+  /** Single-line manifest-header encoding for a schema DDL (column
+    * COMMENTs may carry newlines). */
+  private[core] def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
+
+  private[core] def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case c => sb.append(c); i += 2
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   /** Checkpoint file naming the newest known version (Delta's

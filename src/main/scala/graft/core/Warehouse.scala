@@ -159,11 +159,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case Some(field) =>
         val frag = lg.newFragmentDir()
         partitionedWrite(df, field, frag)
-        lg.commit("write", hiveEntries(dataset, table, frag, field))
+        lg.commit("write", hiveEntries(dataset, table, frag, field),
+          schemaDdl = Some(df.schema.toDDL))
       case None =>
         val frag = lg.newFragmentDir()
         df.write.mode("overwrite").parquet(frag.toString)
-        lg.commit("write", Seq(SnapshotLog.Entry("", relativize(dataset, table, frag))))
+        lg.commit("write", Seq(SnapshotLog.Entry("", relativize(dataset, table, frag))),
+          schemaDdl = Some(df.schema.toDDL))
     }
     writeSchemaDdlMerged(dataset, table, df.schema)
     setMeta(dataset, table, m)
@@ -172,7 +174,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** Incremental `insert_overwrite` (create.py:456-458 semantics =
     * `spark.sql.sources.partitionOverwriteMode=dynamic`): partitions
     * present in `df` are replaced, others keep their previous fragments —
-    * the commit costs O(changed partitions). */
+    * the commit costs O(changed partitions).
+    *
+    * Additive schema evolution is METADATA-ONLY: the commit pins the
+    * union of the declared schema and `df`'s schema, old fragments are
+    * never rewritten — readers pad their missing columns with typed
+    * nulls at scan time. At 100 TB, adding a nullable column costs one
+    * manifest line, not a table rewrite. */
   def insertOverwrite(dataset: String, table: String, df: DataFrame): Unit = {
     val m = meta(dataset, table)
     val field = m.partitionField.getOrElse(throw new IllegalStateException(
@@ -182,6 +190,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     partitionedWrite(df, field, frag)
     val fresh = hiveEntries(dataset, table, frag, field)
     val freshParts = fresh.map(_.partition).toSet
+    val unionS = schemaDdl(dataset, table)
+      .map(d => unionStruct(StructType.fromDDL(d), df.schema))
+      .getOrElse(df.schema)
     // commitWith: the kept-partition list is recomputed from the CURRENT
     // latest commit (re-read on a lost race), so a concurrent writer's
     // partitions are merged, not silently dropped.
@@ -189,9 +200,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       val kept = cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
         .filterNot(e => freshParts(e.partition))
       kept ++ fresh
-    })
-    writeSchemaDdlMerged(dataset, table, df.schema)
+    }, schemaDdl = Some(unionS.toDDL))
+    writeSchemaDdlMerged(dataset, table, unionS)
   }
+
+  /** Union schema for additive evolution: declared columns keep their
+    * declared types and order; genuinely new incoming columns append. */
+  private def unionStruct(declared: StructType, incoming: StructType): StructType =
+    StructType(declared.fields ++
+      incoming.fields.filterNot(f => declared.fieldNames.contains(f.name)))
 
   /** Dynamic-partition write with an AQE REBALANCE on the partition
     * column: a plain `partitionBy` write fans out to (tasks × partitions)
@@ -259,34 +276,49 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
     val wanted = partitions.toSet
-    readEntries(dataset, table, c.entries.filter(e => wanted(e.partition)))
+    readEntries(dataset, table, c.entries.filter(e => wanted(e.partition)), c.schemaDdl)
   }
 
   private def readCommit(dataset: String, table: String, c: SnapshotLog.Commit): DataFrame =
-    readEntries(dataset, table, c.entries)
+    readEntries(dataset, table, c.entries, c.schemaDdl)
 
+  /** `commitSchema` is the union schema pinned at the commit being read:
+    * fragments written before an additive evolution are padded with typed
+    * nulls here (pad-on-read), so evolution never rewrites data and a
+    * time-travel read serves the schema as of its own commit. */
   private def readEntries(dataset: String, table: String,
-                          entries: Seq[SnapshotLog.Entry]): DataFrame = {
+                          entries: Seq[SnapshotLog.Entry],
+                          commitSchema: Option[String]): DataFrame = {
     val m = meta(dataset, table)
     if (entries.isEmpty) {
-      val ddl = schemaDdl(dataset, table).getOrElse("")
+      val ddl = commitSchema.orElse(schemaDdl(dataset, table)).getOrElse("")
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         if (ddl.nonEmpty) StructType.fromDDL(ddl) else new StructType())
     }
-    m.partitionField match {
+    val raw = m.partitionField match {
       case None =>
         spark.read.parquet(entries.map(e => tableDir(dataset, table).resolve(e.path).toString): _*)
       case Some(field) =>
         // Hive-layout fragments: group by fragment root so Spark's
         // partition discovery re-attaches the partition column; one read
         // per FRAGMENT (≈ per commit touched), not per partition.
+        // allowMissingColumns: fragments predating an additive evolution
+        // are narrower than later ones — union pads them with nulls.
         val byFrag = entries.groupBy(e =>
           tableDir(dataset, table).resolve(e.path).getParent.toString)
         byFrag.map { case (base, es) =>
           spark.read.option("basePath", base)
             .parquet(es.map(e => tableDir(dataset, table).resolve(e.path).toString): _*)
-        }.reduce(_.unionByName(_))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
           .withColumn(field, col(field).cast(m.partitionType))
+    }
+    commitSchema.map(StructType.fromDDL) match {
+      case Some(s) =>
+        val present = raw.columns.toSet
+        raw.select(s.fields.toSeq.map(f =>
+          if (present(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      case None => raw
     }
   }
 
@@ -337,7 +369,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, dst))
       }
     }.sortBy(_.partition)
-    dstLg.commit("write", entries)
+    dstLg.commit("write", entries, schemaDdl = c.schemaDdl)
     schemaDdl(srcDataset, srcTable).foreach(ddl =>
       Files.write(tableDir(dstDataset, dstTable).resolve("_schema.ddl"),
         ddl.getBytes(StandardCharsets.UTF_8)))

@@ -49,8 +49,14 @@ final class Materialize(wh: Warehouse) {
 
   /** Incremental materialization (insert_overwrite on the date partition,
     * model/create.py:456-465): first run creates the partitioned table;
-    * later runs replace only the partitions present in `df`, evolving the
-    * schema additively first when the incoming frame has new columns. */
+    * later runs replace only the partitions present in `df`.
+    *
+    * `on_schema_change: append_new_columns` evolution is METADATA-ONLY:
+    * the incoming frame is aligned to the DECLARED schema (no data read),
+    * the commit pins the union schema, and pre-existing fragments are
+    * padded with typed nulls at read time — an evolution commit touches
+    * zero old data files. At 100 TB, adding a column costs a manifest
+    * line, never a history rewrite. */
   def incremental(dataset: String, name: String, df: DataFrame,
                   partitionField: String = "partitiondate",
                   meta: TableMeta = TableMeta()): Unit = {
@@ -58,15 +64,8 @@ final class Materialize(wh: Warehouse) {
     if (!wh.exists(dataset, name)) {
       wh.overwrite(dataset, name, df, m)
     } else {
-      val target = wh.read(dataset, name).schema
-      val aligned = alignAppendNewColumns(target, df)
-      // Rewrite history under the evolved schema once, so every partition
-      // (old fragments included) serves the union schema.
-      if (aligned.schema.fieldNames.toSeq != target.fieldNames.toSeq) {
-        val evolved = alignAppendNewColumns(aligned.schema, wh.read(dataset, name))
-        wh.overwrite(dataset, name, evolved, wh.meta(dataset, name))
-      }
-      wh.insertOverwrite(dataset, name, aligned)
+      val target = wh.schema(dataset, name) // declared DDL — metadata, not a scan
+      wh.insertOverwrite(dataset, name, alignAppendNewColumns(target, df))
     }
   }
 

@@ -77,7 +77,7 @@ class WarehouseSpec extends AnyFunSuite {
     // the data files — the field=value dir name is the only source)
     wh.copy("mart", "psrc", "mart", "pdst")
     val copied = wh.read("mart", "pdst").orderBy("day")
-      .collect().map(r => (r.getDate(1).toString, r.getInt(0))).toSeq
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1))).toSeq
     assert(copied === Seq(("2025-01-01", 1), ("2025-01-02", 2)))
     assert(wh.meta("mart", "pdst").partitionField === Some("day"))
     assert(wh.meta("mart", "pdst").partitionExpirationDays === Some(30))
@@ -86,7 +86,7 @@ class WarehouseSpec extends AnyFunSuite {
     wh.drop("mart", "psrc")
     wh.restore("mart", "psrc", ts, "mart", "precov", nowMillis = ts + 1000)
     val recov = wh.read("mart", "precov").orderBy("day")
-      .collect().map(r => (r.getDate(1).toString, r.getInt(0))).toSeq
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1))).toSeq
     assert(recov === Seq(("2025-01-01", 1), ("2025-01-02", 2)))
     // incremental on the copy keeps working (entries point at real dirs)
     val incr = Seq(("2025-01-03", 3)).toDF("day", "n")
@@ -133,7 +133,7 @@ class WarehouseSpec extends AnyFunSuite {
       .toDF("day", "n").withColumn("day", col("day").cast("date"))
     wh.insertOverwrite("mart", "daily", incr)
     val got = wh.read("mart", "daily").orderBy("day")
-      .collect().map(r => (r.getDate(1).toString, r.getInt(0))).toSeq
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1))).toSeq
     assert(got === Seq(("2025-01-01", 1), ("2025-01-02", 20), ("2025-01-03", 30)))
     // history: v1 still readable (2 rows, day2=2)
     assert(wh.readVersion("mart", "daily", 1).count() === 2)
@@ -187,6 +187,42 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.schema.fieldNames.toSet === Set("day", "a", "b"))
     val jan1 = out.filter(col("day") === "2025-01-01").head()
     assert(jan1.getAs[String]("b") === null) // old partition gains null column
+  }
+
+  test("additive evolution is metadata-only: zero pre-existing data files touched") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val wh = freshWh()
+    val mat = new Materialize(wh)
+    val v1 = Seq(("2025-01-01", 1), ("2025-01-02", 2)).toDF("day", "a")
+      .withColumn("day", col("day").cast("date"))
+    mat.incremental("mart", "evm", v1, partitionField = "day")
+    def dataFiles(): Map[String, java.nio.file.attribute.FileTime] = {
+      val data = java.nio.file.Paths.get(wh.root, "mart", "evm", "_data")
+      Files.walk(data).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+    }
+    val before = dataFiles()
+    // evolution batch: new column b, only the 2025-01-03 partition
+    val v2 = Seq(("2025-01-03", 3, "x")).toDF("day", "a", "b")
+      .withColumn("day", col("day").cast("date"))
+    mat.incremental("mart", "evm", v2)
+    val after = dataFiles()
+    // every pre-existing file survives byte-identical (same mtime, no rewrite)
+    before.foreach { case (path, mtime) =>
+      assert(after.contains(path), s"evolution deleted pre-existing file $path")
+      assert(after(path) === mtime, s"evolution rewrote pre-existing file $path")
+    }
+    assert(after.size > before.size) // only the new partition's files were added
+    // pad-on-read: old partitions serve the union schema with typed nulls
+    val out = wh.read("mart", "evm")
+    assert(out.schema.fieldNames.toSeq === Seq("day", "a", "b"))
+    assert(out.filter(col("day") === "2025-01-01").head().getAs[String]("b") === null)
+    assert(out.filter(col("day") === "2025-01-03").head().getAs[String]("b") === "x")
+    // time travel to the pre-evolution commit serves the OLD schema
+    val old = wh.readVersion("mart", "evm", 1)
+    assert(old.schema.fieldNames.toSeq === Seq("day", "a"))
   }
 
   test("scd2 collapses unchanged runs and tracks validity intervals") {
