@@ -402,15 +402,26 @@ object Dedup {
     *
     * Iterative min-label propagation in DataFrame shape: every node
     * starts labeled with its own id; each round, a node adopts the
-    * minimum label among itself and its neighbors (two equi-joins + a
-    * groupBy per round); convergence when no label changes. Rounds are
-    * bounded by the component diameter — near-dup clusters are shallow,
-    * so a handful of rounds closes 100 TB-scale graphs (the large-star/
-    * small-star variant halves diameters per round if ever needed; same
-    * join shape). Each round `localCheckpoint`s the label frame: an
-    * iterative self-referential plan otherwise accretes lineage until
-    * planning itself dominates — on a cluster this would be a reliable
-    * checkpoint to durable storage instead. */
+    * minimum label among itself and its neighbors; convergence when no
+    * label changes. Rounds are bounded by the component diameter —
+    * near-dup clusters are shallow, so a handful of rounds closes
+    * 100 TB-scale graphs. Two properties keep the per-round cost at the
+    * moving part of the graph rather than the whole of it:
+    *
+    *  - FRONTIER JOIN: an edge src→dst can deliver new information only
+    *    if src's label changed last round (an unchanged neighbor's label
+    *    was already folded into dst's min the round before), so each
+    *    round joins edges against the CHANGED nodes only — after round
+    *    one that set collapses to the still-converging tail and AQE
+    *    broadcasts it, instead of re-shuffling the full edge set.
+    *  - SINGLE JOB PER ROUND: the changed-label count rides the same
+    *    action that materializes the round's labels (an [[Observation]]
+    *    on the checkpoint job), so convergence costs no separate pass.
+    *
+    * Each round `localCheckpoint`s the label frame: an iterative
+    * self-referential plan otherwise accretes lineage until planning
+    * itself dominates — on a cluster this would be a reliable checkpoint
+    * to durable storage instead. */
   def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
@@ -421,20 +432,25 @@ object Dedup {
     var checkpointed = docs.select(col("doc_id").cast("long"))
       .withColumn("label", col("doc_id")).localCheckpoint(true)
     var labels = checkpointed
+    var frontier = labels // round 1: every node is fresh information
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), Seq("src"))
+        .join(frontier.select(col("doc_id").as("src"), col("label").as("src_label")), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("src_label")).as("nbr_label"))
+      val obs = org.apache.spark.sql.Observation()
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+        .observe(obs, count(when(col("new_label") < col("label"), 1)).as("changed"))
         .localCheckpoint(true)
-      changed = updated.filter(col("new_label") < col("label")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       checkpointed.unpersist()
       checkpointed = updated
       labels = updated.select(col("doc_id"), col("new_label").as("label"))
+      frontier = updated.filter(col("new_label") < col("label"))
+        .select(col("doc_id"), col("new_label").as("label"))
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }

@@ -32,6 +32,21 @@ class LlmopsSpec extends AnyFunSuite {
     assert(labels === Seq(1L)) // one component, labeled by the minimum
   }
 
+  test("duplicateClusters: converged regions leave the frontier without stalling the tail") {
+    import spark.implicits._
+    // lollipop: clique {1..5} converges in one round and drops out of the
+    // frontier; the 20-node tail hanging off node 5 keeps propagating the
+    // minimum for many more rounds. Catches a frontier bookkeeping bug
+    // where deactivated edges stop the still-moving part of the graph.
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val tail = (5L until 25L).map(i => (i, i + 1))
+    val docs = (1L to 25L).toDF("doc_id")
+    val pairs = (clique ++ tail).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(docs, pairs)
+      .select(col("cluster_id")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+  }
+
   test("curate gates language, quality, and exact duplicates in one pass") {
     import spark.implicits._
     val en = "the quick brown fox and the lazy dog of the house with many more " +
