@@ -299,14 +299,16 @@ object Dedup {
     * one hyperplane with p = 1 − acos(c)/π, lands in the same band bucket
     * with p^planes, and survives b bands with 1 − (1 − p^planes)^b. At
     * this operator's default threshold 0.4 (p ≈ 0.63 — a deliberately
-    * loose "moderately similar" cut), 16 bands × 4 planes give ~0.90
-    * measured recall on the fixture. At a real near-dup threshold
-    * (c ≥ 0.85, p ≥ 0.82) the SAME band count with 8-12 planes per band
-    * keeps recall > 0.95 while shrinking buckets by 2^4-2^8 — tune
-    * planes-per-band UP with both corpus size and threshold, adding bands
-    * to hold recall; the pipeline shape never changes. */
-  val EmbedBands = 16
-  val EmbedPlanesPerBand = 4
+    * loose "moderately similar" cut), 80 bands × 8 planes measure ~0.90
+    * recall on the fixture while shrinking band buckets 2^4→2^8 — a
+    * 3.2× smaller bucket-pair candidate space than 16×4 at the same
+    * recall, bought with 5× more (trivially narrow) signature rows. At a
+    * real near-dup threshold (c ≥ 0.85, p ≥ 0.82) 8-12 planes per band
+    * keep recall > 0.95 with far fewer bands — tune planes-per-band UP
+    * with both corpus size and threshold, adding bands to hold recall;
+    * the pipeline shape never changes. */
+  val EmbedBands = 80
+  val EmbedPlanesPerBand = 8
 
   /** Per-band ±1 hyperplane sets (seed distinct from [[Similarity]]'s
     * single-probe signature so the two operators stay independent). */
