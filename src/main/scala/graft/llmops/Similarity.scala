@@ -37,6 +37,26 @@ object Similarity {
   private val planeSigns: Array[Array[Double]] =
     planes.map(_.map(_.toDouble).toArray).toArray
 
+  /** Driver-size cap on every broadcast-side collect in this file (query
+    * sets, centroid tables). ~100k vectors × Dim doubles ≈ 50 MB — a
+    * comfortable broadcast artifact; anything bigger is a corpus. */
+  val MaxDriverRows = 100000
+
+  /** Collect a driver-sized artifact under [[MaxDriverRows]]: a
+    * non-selective predicate fails with the actual problem named instead
+    * of an executor-to-driver OOM (the same guard style as RangeJoin's
+    * bin-overflow raise). `limit(cap + 1)` bounds the transfer itself,
+    * so even the failing path never materializes the corpus. */
+  private def collectCapped(ds: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+                            what: String): Array[(Long, Array[Double])] = {
+    val rows = ds.limit(MaxDriverRows + 1).collect()
+    require(rows.length <= MaxDriverRows,
+      s"$what exceeds the $MaxDriverRows-row driver cap — it must stay a " +
+        "driver-sized artifact (broadcast side); tighten the predicate or " +
+        "keep the data distributed")
+    rows
+  }
+
   /** Scored (query, neighbor) pairs: the query set (with norms and, when
     * `bucketed`, LSH signatures) is broadcast; each corpus partition scores
     * its vectors against every query in a primitive loop. */
@@ -46,7 +66,7 @@ object Similarity {
     val signs = planeSigns
     val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
     val queries: Array[(Long, Array[Double], Double, Long)] =
-      e.filter(isQuery).as[(Long, Array[Double])].collect()
+      collectCapped(e.filter(isQuery).as[(Long, Array[Double])], "ANN query set")
         .map { case (id, v) =>
           (id, v, Kernels.norm(v), Kernels.lshSignature(v, signs))
         }
@@ -114,7 +134,7 @@ object Similarity {
     import spark.implicits._
     val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
     val cents: Array[(Long, Array[Double], Double)] =
-      e.filter(isCentroid).as[(Long, Array[Double])].collect()
+      collectCapped(e.filter(isCentroid).as[(Long, Array[Double])], "IVF centroid set")
         .map { case (id, v) => (id, v, Kernels.norm(v)) }
         .sortBy(_._1) // id-ascending: assignCentroid's tie-break contract
     ivfTopKWith(emb, isQuery, cents, k, nprobe)
@@ -129,7 +149,8 @@ object Similarity {
     require(cents.nonEmpty, "IVF needs at least one centroid")
     val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
     val queries: Array[(Long, Array[Double], Double, Array[Long])] =
-      e.filter(isQuery).as[(Long, Array[Double])].collect().map { case (id, v) =>
+      collectCapped(e.filter(isQuery).as[(Long, Array[Double])], "ANN query set")
+        .map { case (id, v) =>
         val nrm = Kernels.norm(v)
         val probes = cents
           .map { case (cid, cv, cn) => (Kernels.dot(v, cv) / (nrm * cn), cid) }
@@ -183,7 +204,7 @@ object Similarity {
     import spark.implicits._
     val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
     var cents: Array[(Long, Array[Double], Double)] =
-      e.filter(isInit).as[(Long, Array[Double])].collect()
+      collectCapped(e.filter(isInit).as[(Long, Array[Double])], "k-means init set")
         .map { case (id, v) => (id, v, Kernels.norm(v)) }
         .sortBy(_._1)
     require(cents.nonEmpty, "k-means needs at least one init centroid")
@@ -225,8 +246,9 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents: Array[(Long, Array[Double], Double)] =
-      centroids.select(col("cid").cast("long"), col("centroid").cast("array<double>"))
-        .as[(Long, Array[Double])].collect()
+      collectCapped(centroids.select(col("cid").cast("long"),
+          col("centroid").cast("array<double>")).as[(Long, Array[Double])],
+          "trained centroid table")
         .map { case (id, v) => (id, v, Kernels.norm(v)) }
         .sortBy(_._1)
     ivfTopKWith(emb, isQuery, cents, k, nprobe)

@@ -16,23 +16,97 @@ import graft.core.Tables
   * per key ordered by (ts, side) — right rows sort BEFORE left rows at
   * equal timestamps, so the match is inclusive. Cost at any scale is ONE
   * shuffle + sort on the key (exactly what a sort-merge join would pay),
-  * zero pair explosion, and whole-stage codegen throughout; skewed keys
-  * are AQE's standard territory. An optional tolerance nulls matches
-  * staler than the given bound (match semantics, not filter semantics:
-  * left rows always survive).
+  * zero pair explosion, and whole-stage codegen throughout. An optional
+  * tolerance nulls matches staler than the given bound (match semantics,
+  * not filter semantics: left rows always survive).
+  *
+  * SKEW: AQE's skew handling splits oversized *join* partitions, not
+  * *window* partitions — a hot key's entire history still sorts inside
+  * one task here (as it would in the sort-merge join the naive plan
+  * needs). When one key dominates, use [[backwardSalted]]: it buckets
+  * time into salt partitions, carries within each bucket, and fixes up
+  * across buckets with a per-(key, bucket) summary — bounding any task
+  * at (hot key rows / buckets) for one extra narrow join.
   *
   * Ties on the right side at one (key, ts) resolve deterministically to
   * the row latest in `rightOrder` (default: the payload's first column)
   * — callers needing a different winner pass the tiebreak column. */
 object AsOfJoin {
 
-  private val Reserved = Seq("_ts", "_side", "_tie", "_match")
+  private val Reserved =
+    Seq("_ts", "_side", "_tie", "_match", "_m", "_bucket", "_s", "_carry")
 
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                payload: Seq[String],
                tolerance: Option[Column] = None,
                rightOrder: Option[String] = None): DataFrame = {
+    val unioned = alignedUnion(left, right, keys, leftTs, rightTs, payload, rightOrder)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_m", last(col("_match"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    finish(carried, left.columns.toSeq, payload, tolerance)
+  }
+
+  /** Hot-key escape hatch: the same backward as-of, with each key's
+    * history split into time buckets (`bucketOf(_ts)` must be monotone
+    * non-decreasing in the timestamp — e.g. the day or hour of `ts`).
+    *
+    * Three phases:
+    *  1. carry WITHIN each (key, bucket) window — the per-task sort is
+    *     now bounded by the hot key's rows per bucket, not its lifetime;
+    *  2. summarize each (key, bucket)'s latest right row (a groupBy of
+    *     the same shuffle granularity) and carry the summary across
+    *     buckets — one row per (key, bucket), so this window is tiny;
+    *  3. left rows whose bucket held no earlier right row take the
+    *     carried-in summary (strictly-earlier buckets, so the in-bucket
+    *     match, when present, is always the later and wins).
+    *
+    * The fixup join keys on (keys, _bucket) — the same partitioning the
+    * phase-1 window already established, so the big side does not
+    * re-shuffle; only the summary table moves. */
+  def backwardSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     payload: Seq[String],
+                     bucketOf: Column => Column,
+                     tolerance: Option[Column] = None,
+                     rightOrder: Option[String] = None): DataFrame = {
+    val unioned = alignedUnion(left, right, keys, leftTs, rightTs, payload, rightOrder)
+      .withColumn("_bucket", bucketOf(col("_ts")))
+    val kb = keys.map(col) :+ col("_bucket")
+    val w = Window.partitionBy(kb: _*)
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = unioned
+      .withColumn("_m", last(col("_match"), ignoreNulls = true).over(w))
+    // per-(key, bucket) summary of the latest right row; max over the
+    // (ts, tie, match) struct = lexicographic latest, matching the
+    // window's tie order
+    val summaries = unioned.filter(col("_side") === 0)
+      .groupBy(kb: _*)
+      .agg(max(struct(col("_ts"), col("_tie"), col("_match"))).as("_s"))
+    val buckets = unioned.select(kb: _*).distinct()
+      .join(summaries, keys :+ "_bucket", "left")
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly earlier buckets
+    val carryIn = buckets
+      .withColumn("_carry", last(col("_s"), ignoreNulls = true).over(wb))
+      .select((keys.map(col) :+ col("_bucket") :+
+        col("_carry")("_match").as("_carry")): _*)
+    val fixed = inBucket.filter(col("_side") === 1)
+      .join(carryIn, keys :+ "_bucket", "left")
+      .withColumn("_m", coalesce(col("_m"), col("_carry")))
+    finish(fixed, left.columns.toSeq, payload, tolerance)
+  }
+
+  /** Tag, align, and union the two sides (shared by both variants). */
+  private def alignedUnion(left: DataFrame, right: DataFrame, keys: Seq[String],
+                           leftTs: String, rightTs: String,
+                           payload: Seq[String],
+                           rightOrder: Option[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(!payload.exists(leftCols.contains),
@@ -65,12 +139,12 @@ object AsOfJoin {
         col(tiebreak).as("_tie") :+ matchStruct.as("_match")) ++
         leftCols.filterNot(keys.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"), col("_tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = lAligned.unionByName(rAligned)
-      .withColumn("_m", last(col("_match"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+    lAligned.unionByName(rAligned)
+  }
+
+  /** Tolerance gate + output projection (shared by both variants). */
+  private def finish(carried: DataFrame, leftCols: Seq[String],
+                     payload: Seq[String], tolerance: Option[Column]): DataFrame = {
     val gated = tolerance match {
       case None => carried
       case Some(tol) =>

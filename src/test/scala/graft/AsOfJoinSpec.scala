@@ -58,6 +58,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(row.getAs[Long]("matched_ts") === 9L)
   }
 
+  test("salted variant equals the unsalted one on a deliberately skewed key") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a sprinkle of normal keys; buckets of
+    // width 100 force every phase: in-bucket matches, cross-bucket
+    // carry-in over empty buckets, and no-match-anywhere lefts
+    val left = ((1L to 900L).map(i => (1L, i * 7L % 1000, s"hot$i")) ++
+      (1L to 100L).map(i => (2L + i % 3, i * 11L % 1000, s"cold$i")))
+      .toDF("k", "ts", "tag")
+    val right = ((1L to 50L).map(i => (1L, i * 19L % 1000, i)) ++
+      (1L to 10L).map(i => (3L, i * 31L % 1000, 100 + i)))
+      .toDF("k", "rts", "rid")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[String]("tag"),
+        Option(r.getAs[Any]("rid")), Option(r.getAs[Any]("matched_ts")))).toSet
+    val plain = key(AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("rid")))
+    val salted = key(AsOfJoin.backwardSalted(left, right, Seq("k"), "ts", "rts",
+      Seq("rid"), bucketOf = ts => floor(ts / 100L)))
+    assert(salted === plain)
+    // tolerance composes identically through the salted path
+    val plainTol = key(AsOfJoin.backward(left, right, Seq("k"), "ts", "rts",
+      Seq("rid"), tolerance = Some(lit(120L))))
+    val saltedTol = key(AsOfJoin.backwardSalted(left, right, Seq("k"), "ts", "rts",
+      Seq("rid"), bucketOf = ts => floor(ts / 100L), tolerance = Some(lit(120L))))
+    assert(saltedTol === plainTol)
+  }
+
   test("reserved internal/output names are rejected up front") {
     import spark.implicits._
     val left = Seq((1L, 1L, "x")).toDF("k", "ts", "matched_ts")

@@ -72,4 +72,16 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rs.forall(r => r.getLong(1) != r.getLong(0)))
     }
   }
+
+  test("oversized broadcast-side collect fails with the driver cap named") {
+    // a non-selective isQuery must not OOM the driver silently — the cap
+    // guard raises with the actual problem before transferring a corpus
+    val big = spark.range(Similarity.MaxDriverRows + 1)
+      .select(col("id").as("vec_id"), array(lit(1.0d), lit(2.0d)).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(big, lit(true))
+    }
+    assert(ex.getMessage.contains("driver cap"))
+    assert(ex.getMessage.contains("query set"))
+  }
 }
