@@ -6,6 +6,9 @@ package graft
   * interactive loop for iterating on a plan before gating it. */
 object Explain {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty)
+      sys.error(s"usage: Explain <queryName> [sfDir]; known: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = graft.core.GraftSession.builder("8").getOrCreate()

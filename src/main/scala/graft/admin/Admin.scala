@@ -87,13 +87,18 @@ object Admin {
   /** _collect_principals (grants.py:14-40): resolve meta-config names to
     * principals through the project's var dictionary — an unknown name
     * fails loudly with the valid choices, a known name without a
-    * `principal` contributes nothing. */
+    * `principal` contributes nothing, and an empty access dict resolves
+    * to nothing (the reference short-circuits before the lookup loop).
+    * `configKey` is the model-meta key named in the error ("access-policy"),
+    * which differs from the var-dict name ("access-policies"). */
   def collectPrincipals(metaValues: Seq[String], project: DbtProject,
-                        varName: String, nodeName: String): Seq[String] =
-    metaValues.flatMap { item =>
+                        varName: String, configKey: String,
+                        nodeName: String): Seq[String] =
+    if (metaValues.isEmpty || project.validNamesOf(varName).isEmpty) Nil
+    else metaValues.flatMap { item =>
       project.principalsOf(varName, item).getOrElse(
         throw new IllegalArgumentException(
-          s"$nodeName - Unable to find $varName with name '$item'. " +
+          s"$nodeName - Unable to find $configKey with name '$item'. " +
             s"Valid values are: ${project.validNamesOf(varName).mkString("|")}"))
     }
 
@@ -110,9 +115,11 @@ object Admin {
     val open = settings.grantsOpenAccessGroup
       .filter(_ => access.exists(Set("protected", "public")))
     val all = (explicit ++
-      collectPrincipals(metaTeams, project, "teams", nodeName) ++
-      collectPrincipals(metaAccessPolicies, project, "access-policies", nodeName) ++
-      collectPrincipals(metaServiceConsumers, project, "service-consumers", nodeName) ++
+      collectPrincipals(metaTeams, project, "teams", "teams", nodeName) ++
+      collectPrincipals(metaAccessPolicies, project, "access-policies",
+        "access-policy", nodeName) ++
+      collectPrincipals(metaServiceConsumers, project, "service-consumers",
+        "service-consumers", nodeName) ++
       open).distinct.sorted
     // substring containment, not a prefix check — the reference's exact
     // rule (grants.py:99: `"group:" not in g and "serviceAccount:" not in g`)

@@ -152,14 +152,21 @@ object Backfill {
     * mode runs every task and reports per-task status for retry
     * (backfill.py:369-412). */
   def run(ranges: Seq[(LocalDate, LocalDate)], parallelism: Int = MaxConcurrentTasks)
-         (task: ((LocalDate, LocalDate)) => Unit): Seq[TaskResult] = {
+         (task: ((LocalDate, LocalDate)) => Unit): Seq[TaskResult] =
+    runIndexed(ranges, parallelism)((_, r) => task(r))
+
+  /** [[run]] with the task index visible to the task — what a Cloud Run
+    * task sees in CLOUD_RUN_TASK_INDEX (backfill.py:230-232); the hook
+    * [[BackfillState]] uses to record per-task durable state. */
+  def runIndexed(ranges: Seq[(LocalDate, LocalDate)], parallelism: Int = MaxConcurrentTasks)
+                (task: (Int, (LocalDate, LocalDate)) => Unit): Seq[TaskResult] = {
     val par = math.max(1, math.min(parallelism, ranges.size))
     if (par == 1) {
       val out = mutable.ListBuffer.empty[TaskResult]
       var failed = false
       ranges.zipWithIndex.foreach { case (r, i) =>
         if (!failed) {
-          Try(task(r)) match {
+          Try(task(i, r)) match {
             case Success(_) => out += TaskResult(i, r, success = true, None)
             case Failure(e) =>
               out += TaskResult(i, r, success = false, Some(e.getMessage))
@@ -173,7 +180,7 @@ object Backfill {
       try {
         val futures = ranges.zipWithIndex.map { case (r, i) =>
           i -> pool.submit(new java.util.concurrent.Callable[TaskResult] {
-            def call(): TaskResult = Try(task(r)) match {
+            def call(): TaskResult = Try(task(i, r)) match {
               case Success(_) => TaskResult(i, r, success = true, None)
               case Failure(e) => TaskResult(i, r, success = false, Some(e.getMessage))
             }

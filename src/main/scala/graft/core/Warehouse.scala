@@ -171,6 +171,34 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     setMeta(dataset, table, m)
   }
 
+  /** Append write: one new immutable fragment joins the table's current
+    * entries — the commit costs O(new rows); existing fragments are never
+    * touched. Schema evolves additively (union schema pinned at the
+    * commit, pad-on-read) exactly as [[insertOverwrite]] does. Safe under
+    * concurrent appenders: `commitWith` re-bases on a lost manifest race,
+    * so two appends racing both land. Unpartitioned tables only (an
+    * append to a partitioned table is [[insertOverwrite]] with disjoint
+    * partitions). */
+  def append(dataset: String, table: String, df: DataFrame): Unit = {
+    val m = meta(dataset, table)
+    require(m.partitionField.isEmpty,
+      s"$dataset.$table is partitioned; append via insertOverwrite")
+    ensureDataset(dataset)
+    val lg = log(dataset, table)
+    val frag = lg.newFragmentDir()
+    df.write.mode("overwrite").parquet(frag.toString)
+    val entry = SnapshotLog.Entry("", relativize(dataset, table, frag))
+    val unionS = schemaDdl(dataset, table)
+      .map(d => unionStruct(StructType.fromDDL(d), df.schema))
+      .getOrElse(df.schema)
+    lg.commitWith("append", cur =>
+      cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty) :+ entry,
+      schemaDdl = Some(unionS.toDDL))
+    writeSchemaDdlMerged(dataset, table, unionS)
+    if (!Files.exists(tableDir(dataset, table).resolve("_meta.properties")))
+      setMeta(dataset, table, m)
+  }
+
   /** Incremental `insert_overwrite` (create.py:456-458 semantics =
     * `spark.sql.sources.partitionOverwriteMode=dynamic`): partitions
     * present in `df` are replaced, others keep their previous fragments —

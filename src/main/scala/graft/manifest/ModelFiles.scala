@@ -81,8 +81,6 @@ object ModelFiles {
        |""".stripMargin
   }
 
-  /** F13 — first-letter capitalization of descriptions
-    * (create.py:129, source/create.py:153). */
   /** F14 — the reader matching [[config]]'s `{{ var('…') }}` writer
     * (partition.py:39-43): pull the var name back out of a rendered
     * expiration value so the declared TTL can be reconciled against the
@@ -95,6 +93,8 @@ object ModelFiles {
     else t.split("'").lift(1)
   }
 
+  /** F13 — first-letter capitalization of descriptions
+    * (create.py:129, source/create.py:153). */
   def capitalized(s: String): String =
     if (s.isEmpty) s else s.head.toUpper +: s.tail
 

@@ -195,6 +195,13 @@ class ConfigSpec extends AnyFunSuite {
       Admin.desiredGrantees(Nil, Seq("ghost"), Nil, Nil, p, s, None, "mrt_x")
     }
     assert(ex.getMessage.contains("mrt_x") && ex.getMessage.contains("team1|team2"))
+    // error names the model-meta key (access-policy), not the var-dict key
+    val exPolicy = intercept[IllegalArgumentException] {
+      Admin.desiredGrantees(Nil, Nil, Seq("ghost"), Nil, p, s, None, "mrt_x")
+    }
+    assert(exPolicy.getMessage.contains("Unable to find access-policy with name 'ghost'"))
+    // empty/absent access dict short-circuits to Nil instead of raising (grants.py:19)
+    assert(Admin.collectPrincipals(Seq("anything"), p, "no-such-dict", "no-such-dict", "m") === Nil)
     // non-group/SA principal is rejected
     intercept[IllegalArgumentException] {
       Admin.desiredGrantees(Seq("user:someone@example.com"), Nil, Nil, Nil, p, s, None, "m")

@@ -446,4 +446,24 @@ class WarehouseSpec extends AnyFunSuite {
     assert(parts("p2") === "_data/b/d=p2") // winner's partition kept
     assert(parts("p1") === "_data/c/d=p1") // loser's rewrite applied
   }
+
+  test("q15_catalog golden output — exact rows, not just counts") {
+    // The driver has no DuckDB analog for catalog state (q15 is its one
+    // rows-only check), so the exact output is pinned HERE instead. The
+    // golden is SF-independent: schemas and table metadata don't vary
+    // with scale factor. If this fails after an intentional catalog
+    // change, update the golden alongside the change.
+    val got = graft.queries.EngineQueries.q15Catalog(spark, TestSession.sf)
+      .orderBy("dataset", "table_name")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3),
+        r.getBoolean(4), r.getString(5), r.getString(6)))
+      .toSeq
+    // column counts are the FIXTURES.md schemas (+1 for orders' om
+    // partition column), not full TPC-H
+    assert(got === Seq(
+      ("mart", "orders_by_month", 7, "om", true, "", ""),
+      ("raw", "nation", 3, "", false, "n_regionkey", "tpch nation"),
+      ("raw", "region", 2, "", false, "", "")))
+  }
 }
