@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DeclaredQueries.queries ++ EngineQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ graft.llmops.Curate.queries ++
+      graft.llmops.Decontaminate.queries ++ graft.llmops.Pack.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     DeclaredQueries.oracleSql ++ EngineQueries.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ graft.llmops.Curate.oracleSql ++
+      graft.llmops.Decontaminate.oracleSql ++ graft.llmops.Pack.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++

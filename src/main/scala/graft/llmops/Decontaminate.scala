@@ -1,0 +1,113 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Hashing.md5LongSql
+
+/** Benchmark decontamination — the training-data step the dedup family
+  * doesn't cover: find corpus documents that OVERLAP AN EVALUATION SET,
+  * so benchmark answers don't leak into training. The standard recipe
+  * (n-gram collision against the benchmark's shingle set) is a
+  * SEMI-join-shaped problem, not a self-join: the corpus is huge, the
+  * benchmark is tiny, so the benchmark's distinct shingle hashes
+  * broadcast and the corpus never shuffles for the probe.
+  *
+  * Plan shape at 100 TB: one narrow shingling pass over the corpus
+  * ([[Dedup.shingleHashSets]], mapPartitions, no shuffle), a BROADCAST
+  * hash join against the benchmark shingle set (corpus side stays in
+  * place), then ONE aggregation on doc_id with map-side combine. Nothing
+  * scales with corpus × benchmark; the only full shuffle is the per-doc
+  * count, which AQE sizes. Contrast with [[Dedup.ngramJaccardPairs]],
+  * whose inverted-index SELF-join is quadratic per shared shingle —
+  * right for all-pairs dedup, wasteful for a fixed probe set.
+  *
+  * Shares the word-3-gram shingle kernel (and its 60-bit md5 hashes)
+  * with the dedup family, so the oracle compares bit-identically.
+  * Documents with <3 tokens have no shingles and are excluded —
+  * contamination is undefined for them (both engines agree). */
+object Decontaminate {
+
+  /** Flag threshold: a doc is contaminated when ≥20% of its distinct
+    * shingles appear in the benchmark. */
+  val ContaminationThreshold = 0.2
+
+  /** Broadcast guard: 10M distinct benchmark shingles ≈ 80 MB of longs.
+    * A "benchmark" bigger than this is a corpus — the broadcast would
+    * OOM executors with only an untraceable failure, so fail with the
+    * actual problem named (same contract as RangeJoin's bin-overflow and
+    * Similarity's query-set guards). */
+  val MaxBenchmarkShingles = 10_000_000L
+
+  /** Per-document contamination scores against a benchmark corpus.
+    * `benchmark` needs (doc_id, text); only its distinct shingle hashes
+    * (driver/broadcast sized: benchmarks are thousands of docs, not
+    * billions) participate. Output: (doc_id, n_shingles, n_overlap,
+    * contamination, contaminated). */
+  def contaminationScores(docs: DataFrame, benchmark: DataFrame,
+                          threshold: Double = ContaminationThreshold,
+                          maxBenchShingles: Long = MaxBenchmarkShingles): DataFrame = {
+    val benchShingles = Dedup.shingleHashSets(benchmark)
+      .select(explode(col("hashes")).as("h")).distinct()
+      .withColumn("hit", lit(1))
+      .localCheckpoint() // counted once, probed once — don't recompute
+    val benchCount = benchShingles.count()
+    require(benchCount <= maxBenchShingles,
+      s"benchmark has $benchCount distinct shingles > $maxBenchShingles; " +
+        "too large to broadcast — swap the sides or pre-filter the benchmark")
+    val exploded = Dedup.shingleHashSets(docs)
+      .select(col("doc_id"), size(col("hashes")).as("n_shingles"),
+        explode(col("hashes")).as("h"))
+    exploded
+      .join(broadcast(benchShingles), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        Hashing.stableRound(
+          col("n_overlap").cast("double") / col("n_shingles"), 4)
+          .as("contamination"),
+        (col("n_overlap").cast("double") / col("n_shingles") >= threshold)
+          .as("contaminated"))
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** The fixture has no separate benchmark table, so the benchmark is a
+    * deterministic ~5% hash-slice of `documents` (md5(doc_id) mod 20 = 0)
+    * — the slice's own members score contamination 1.0, their near-dups
+    * score high, unrelated docs score 0; all three regimes are exercised
+    * and hash-compared. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = docs.filter(
+      pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(20)) === 0)
+    contaminationScores(docs, bench)
+  }
+
+  val qDecontaminateSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+       |  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+       |        FROM words WHERE len(words) >= 3)),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+       |bench AS (
+       |  SELECT DISTINCT s FROM sh
+       |  WHERE ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 20 = 0),
+       |hits AS (
+       |  SELECT sh.doc_id, count(*) AS n_overlap
+       |  FROM sh JOIN bench USING (s) GROUP BY sh.doc_id)
+       |SELECT z.doc_id, z.n_shingles,
+       |       coalesce(h.n_overlap, 0) AS n_overlap,
+       |       floor((coalesce(h.n_overlap, 0) * 1.0 / z.n_shingles) * 10000.0 + 0.5)
+       |         / 10000.0 AS contamination,
+       |       coalesce(h.n_overlap, 0) * 1.0 / z.n_shingles
+       |         >= $ContaminationThreshold AS contaminated
+       |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> (qDecontaminate _))
+
+  val oracleSql: Map[String, String] = Map(
+    "decontaminate" -> qDecontaminateSql)
+}

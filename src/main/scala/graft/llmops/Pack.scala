@@ -1,0 +1,93 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Sequence packing — assign each document its token span in the
+  * concat-then-split training stream: documents are laid end to end in
+  * doc_id order and cut into fixed-size sequences of `seqTokens`; each
+  * doc learns its global start offset and the first/last sequence ids it
+  * lands in. (Concat-then-split is the packing LLM data loaders actually
+  * use; "no doc ever straddles" variants are bin-packing and inherently
+  * sequential — this one is exactly parallelizable.)
+  *
+  * The global token offset is an ORDERED PREFIX SUM, and the naive
+  * encoding (`Window.orderBy("doc_id")` with no partitioning) funnels
+  * the whole corpus through ONE task — the classic global-window scale
+  * trap. This is the textbook two-phase distributed scan instead:
+  *
+  *  1. per-bucket prefix sums in parallel (`doc_id div bucketSize`
+  *     buckets — windows partitioned by bucket, each task bounded);
+  *  2. bucket TOTALS (one map-side-combined agg, rows = #buckets) are
+  *     scanned on the driver into per-bucket base offsets — driver-sized
+  *     by construction (guarded), broadcast back for the final add.
+  *
+  * Cost at any scale: one narrow tokenize pass, one bounded window
+  * shuffle, one #buckets-row agg, one broadcast join. Nothing funnels.
+  */
+object Pack {
+
+  /** Tokens per packed training sequence (the query's constant; callers
+    * pick their own). */
+  val SeqTokens = 256
+
+  val MaxBuckets = 4_000_000L // offsets collect: ~32 MB of longs at the cap
+
+  /** Default bucket: 8k docs per prefix-sum task — small enough that the
+    * fixture corpus already takes the multi-bucket path (the single-bucket
+    * degenerate case IS the global window), large enough that 10B docs
+    * stay under [[MaxBuckets]]. */
+  def packSequences(docs: DataFrame, seqTokens: Int,
+                    bucketSize: Long = 8192): DataFrame = {
+    require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id").cast("long"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"cast(doc_id as bigint) div $bucketSize").as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = toks.withColumn("cum_in_bucket", sum(col("n_tokens")).over(w))
+    val totals = toks.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("tot"))
+      .orderBy(col("bucket")).collect()
+    require(totals.length <= MaxBuckets,
+      s"${totals.length} buckets exceeds $MaxBuckets; raise bucketSize " +
+        s"(driver holds one offset per bucket)")
+    var running = 0L
+    val offsets = totals.map { r =>
+      val o = (r.getLong(0), running); running += r.getLong(1); o
+    }.toSeq.toDF("bucket", "base")
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_tok", col("base") + col("cum_in_bucket") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $seqTokens").as("seq_first"),
+        expr(s"(start_tok + n_tokens - 1) div $seqTokens").as("seq_last"))
+  }
+
+  // ----------------------------------------------------------------- query
+
+  def qPack(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.load(spark, dir, "documents"), SeqTokens)
+
+  /** The oracle states the SEMANTICS (one global ordered cumsum) — the
+    * Spark side must reproduce it exactly from the two-phase plan. */
+  val qPackSql: String =
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |             sum(n_tokens) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM t)
+       |SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
+       |       (cum - n_tokens) // $SeqTokens AS seq_first,
+       |       (cum - 1) // $SeqTokens AS seq_last
+       |FROM c""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> (qPack _))
+
+  val oracleSql: Map[String, String] = Map(
+    "pack_sequences" -> qPackSql)
+}

@@ -68,9 +68,101 @@ object Sketch {
        |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
        |FROM s""".stripMargin
 
+  // ------------------------------------------------------------ Count-Min
+
+  /** Count-Min frequency sketch over a key column: depth rows of width
+    * counters; `est(x) = min_d counter[d][h_d(x)]` never underestimates.
+    * Like KMV (and unlike Spark's native `count_min_sketch`, whose binary
+    * state is engine-internal), the hash family is the shared 60-bit md5
+    * — `h_d(x) = md5_60bit(d || ':' || x) mod width` — so counters and
+    * estimates are bit-identical across engines and the APPROXIMATION
+    * itself is oracle-gated.
+    *
+    * Scale shape: building is one aggregation with map-side combine down
+    * to depth×width rows (each input row expands to `depth` bucket
+    * increments — a constant-factor narrow explode, no corpus shuffle
+    * beyond the final combine); the finished sketch is KBs, broadcast for
+    * point estimates. Sketches of disjoint inputs merge by adding
+    * counters, so this is a proper distributed summary. */
+  def cmsBuild(df: DataFrame, column: String, width: Int, depth: Int): DataFrame = {
+    require(width >= 2 && depth >= 1, s"need width>=2, depth>=1; got $width x $depth")
+    val buckets = (0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        pmod(Hashing.md5Long(concat_ws(":", lit(d.toString),
+          col(column).cast("string"))), lit(width)).as("bucket"))
+    }
+    df.filter(col(column).isNotNull)
+      .select(explode(array(buckets: _*)).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates for `keys` (a one-column frame named like `column`)
+    * against a built sketch: broadcast the depth×width sketch, take the
+    * min counter per key. Keys absent from the input estimate 0. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, column: String,
+                  width: Int, depth: Int): DataFrame = {
+    val buckets = (0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        pmod(Hashing.md5Long(concat_ws(":", lit(d.toString),
+          col(column).cast("string"))), lit(width)).as("bucket"))
+    }
+    keys.select(col(column), explode(array(buckets: _*)).as("db"))
+      .select(col(column), col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy(col(column))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  val CmsWidth = 512
+  val CmsDepth = 4
+
+  /** CMS frequency estimates for the 8 smallest part keys, with exact
+    * counts beside them: at width 512 over thousands of distinct keys,
+    * some buckets collide, so the gate witnesses REAL over-estimates
+    * (est >= exact always; equality where no collision) — bit-identical
+    * in both engines. */
+  def qCms(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val sketch = cmsBuild(li, "l_partkey", CmsWidth, CmsDepth)
+    val keys = li.select(col("l_partkey")).filter(col("l_partkey") <= 8).distinct()
+    val exact = li.filter(col("l_partkey") <= 8)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_n"))
+    cmsEstimate(sketch, keys, "l_partkey", CmsWidth, CmsDepth)
+      .join(exact, Seq("l_partkey"))
+      .select(col("l_partkey"), col("exact_n"), col("est"))
+  }
+
+  val qCmsSql: String = {
+    val buildHash = md5BucketSql("ds.d", "CAST(lineitem.l_partkey AS VARCHAR)", CmsWidth)
+    val probeHash = md5BucketSql("ds.d", "CAST(sel.l_partkey AS VARCHAR)", CmsWidth)
+    s"""WITH ds AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d),
+       |sketch AS (
+       |  SELECT ds.d AS d, $buildHash AS bucket, count(*) AS c
+       |  FROM lineitem CROSS JOIN ds
+       |  GROUP BY 1, 2),
+       |sel AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey <= 8),
+       |est AS (
+       |  SELECT sel.l_partkey, min(coalesce(s.c, 0)) AS est
+       |  FROM sel CROSS JOIN ds
+       |  LEFT JOIN sketch s ON s.d = ds.d
+       |    AND s.bucket = $probeHash
+       |  GROUP BY 1)
+       |SELECT e.l_partkey, x.exact_n, e.est
+       |FROM est e JOIN (SELECT l_partkey, count(*) AS exact_n FROM lineitem
+       |                 WHERE l_partkey <= 8 GROUP BY 1) x USING (l_partkey)""".stripMargin
+  }
+
+  /** DuckDB twin of the Spark-side bucket expression:
+    * `md5_60bit(d || ':' || key) mod width`. */
+  private def md5BucketSql(dExpr: String, keyExpr: String, width: Int): String =
+    s"${Hashing.md5LongSql(s"CAST($dExpr AS VARCHAR) || ':' || $keyExpr")} % $width"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q24_kmv_sketch" -> (qKmv _))
+    "q24_kmv_sketch" -> (qKmv _),
+    "freq_cms" -> (qCms _))
 
   val oracleSql: Map[String, String] = Map(
-    "q24_kmv_sketch" -> qKmvSql)
+    "q24_kmv_sketch" -> qKmvSql,
+    "freq_cms" -> qCmsSql)
 }

@@ -78,4 +78,50 @@ class LlmopsSpec extends AnyFunSuite {
     val bCount = first.size
     assert(bCount > 150 && bCount < 350, s"~half of 500 expected, got $bCount")
   }
+
+  test("contamination scores: full copy 1.0, partial overlap, disjoint 0.0") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),   // exact benchmark copy
+      (2L, "a quick brown fox sits down"), // shares 'quick brown fox' only
+      (3L, "completely different words here"),
+      (4L, "too short")                    // <3 tokens: no shingles, excluded
+    ).toDF("doc_id", "text")
+    val got = graft.llmops.Decontaminate.contaminationScores(docs, bench)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_overlap"), r.getAs[Double]("contamination"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L)) // doc 4 has no shingles
+    assert(got(1L) === ((3L, 1.0, true)))
+    assert(got(2L) === ((1L, 0.25, true))) // 1 of 4 shingles, >= 0.2 flags
+    assert(got(3L) === ((0L, 0.0, false))) // zero-overlap docs still report
+    // oversized benchmark fails with the problem named, not an executor OOM
+    val err = intercept[IllegalArgumentException] {
+      graft.llmops.Decontaminate.contaminationScores(docs, bench, maxBenchShingles = 2)
+    }
+    assert(err.getMessage.contains("too large to broadcast"), err.getMessage)
+  }
+
+  test("packSequences: spans are contiguous, exhaustive, and bucket-invariant") {
+    import spark.implicits._
+    // words counts 3,5,2,7,1 → offsets 0,3,8,10,17; budget 4 cuts at 4,8,12,16
+    val docs = Seq(
+      (10L, "a b c"), (11L, "a b c d e"), (12L, "a b"),
+      (13L, "a b c d e f g"), (14L, "a")).toDF("doc_id", "text")
+    def run(bucketSize: Long) =
+      graft.llmops.Pack.packSequences(docs, seqTokens = 4, bucketSize = bucketSize)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    val got = run(bucketSize = 2) // forces multiple buckets → two-phase path
+    assert(got === Seq(
+      (10L, 3L, 0L, 0L, 0L),   // tokens 0-2 in seq 0
+      (11L, 5L, 3L, 0L, 1L),   // 3-7 straddles seqs 0,1
+      (12L, 2L, 8L, 2L, 2L),
+      (13L, 7L, 10L, 2L, 4L),  // 10-16 spans seqs 2,3,4
+      (14L, 1L, 17L, 4L, 4L)))
+    // same answer whether the prefix sum uses 1 bucket or 3
+    assert(run(bucketSize = 1000000) === got)
+  }
 }

@@ -116,4 +116,33 @@ class OperatorsSpec extends AnyFunSuite {
       .head().getAs[Double]("estimate")
     assert(est2 === est)
   }
+
+  test("CMS never underestimates; exact when wide; counters merge by addition") {
+    import spark.implicits._
+    // zipf-ish: key k appears ~200/k times — heavy keys + a long tail
+    val rows = (1 to 50).flatMap(k => Seq.fill(200 / k)(k.toString)).toDF("v")
+    val exact = rows.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = exact.keys.toSeq.toDF("v")
+    def estimates(width: Int) = {
+      val sk = Sketch.cmsBuild(rows, "v", width, depth = 4)
+      Sketch.cmsEstimate(sk, keys, "v", width, depth = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val narrow = estimates(width = 16) // 50 keys in 16 buckets: collisions certain
+    exact.foreach { case (k, n) =>
+      assert(narrow(k) >= n, s"CMS underestimated $k: ${narrow(k)} < $n")
+    }
+    assert(narrow.exists { case (k, e) => e > exact(k) }, "expected collisions at w=16")
+    assert(estimates(width = 4096) === exact) // wide enough → exact
+    // mergeability: sketch(a ++ b) = sketch(a) + sketch(b) counter-wise
+    val (ha, hb) = (rows.filter(length(col("v")) === 1), rows.filter(length(col("v")) > 1))
+    val whole = Sketch.cmsBuild(rows, "v", 16, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (Sketch.cmsBuild(ha, "v", 16, 4).collect() ++
+      Sketch.cmsBuild(hb, "v", 16, 4).collect())
+      .groupBy(r => (r.getInt(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(merged === whole)
+  }
 }

@@ -156,4 +156,32 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(plan).size === 1, plan.take(1200))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("decontamination probes the benchmark via broadcast; corpus never shuffles for it") {
+    val full = planOf(graft.llmops.Decontaminate.qDecontaminate(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    // the only exchange is the per-doc overlap count (plus the broadcast)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+    assert("hashpartitioning".r.findAllIn(plan).size <= 2, plan.take(1200))
+  }
+
+  test("sequence packing never funnels through a single-task global window") {
+    val full = planOf(graft.llmops.Pack.qPack(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    // the global-orderBy-window trap plans as Exchange SinglePartition;
+    // the two-phase scan must not
+    assert(!plan.contains("SinglePartition"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200)) // offsets join
+  }
+
+  test("CMS build aggregates with map-side combine; probe joins broadcast") {
+    val full = planOf(graft.operators.Sketch.qCms(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("partial_count"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+  }
 }
