@@ -86,7 +86,7 @@ object Decontaminate {
 
   val qDecontaminateSql: String =
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
        |  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
        |        FROM words WHERE len(words) >= 3)),

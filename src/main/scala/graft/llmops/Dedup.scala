@@ -79,7 +79,7 @@ object Dedup {
   }
 
   val shinglesSql: String =
-    """sh AS (
+    """sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
       |  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
       |        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
@@ -119,7 +119,7 @@ object Dedup {
   def ngramOracleSql(threshold: Double = JaccardThreshold, dfCap: Int = ShingleDfCap): String =
     s"""WITH $shinglesSql,
        |kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $dfCap),
-       |shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+       |shk AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |          FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -197,11 +197,11 @@ object Dedup {
       s"SELECT doc_id, $k AS band, concat_ws('_', ${hs.mkString(", ")}) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH $shinglesSql,
-       |xs AS (SELECT doc_id, ${md5LongSql("s")} % $P AS x FROM sh),
-       |sig AS (SELECT doc_id,
+       |xs AS MATERIALIZED (SELECT doc_id, ${md5LongSql("s")} % $P AS x FROM sh),
+       |sig AS MATERIALIZED (SELECT doc_id,
        |           $sigCols
        |        FROM xs GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
@@ -247,7 +247,7 @@ object Dedup {
        |bits AS (SELECT doc_id,
        |           $bitSums
        |         FROM wh GROUP BY doc_id),
-       |simhash AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)""".stripMargin
+       |simhash AS MATERIALIZED (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
   /** Near-dup pairs: equal 15-bit band → candidate → Hamming ≤ max. With 4
@@ -284,7 +284,7 @@ object Dedup {
 
   def simhashPairsSql(maxHamming: Int = HammingMax): String =
     s"""WITH $simhashSqlCte,
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $simhashBandsSql)
        |${simhashPairsFragment(maxHamming)}""".stripMargin
 
@@ -379,10 +379,10 @@ object Dedup {
       s"SELECT vec_id, $k AS band, s$k AS sig FROM n"
     }.mkString("\n  UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        |             $sigCols
        |      FROM e),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandRows),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
@@ -459,11 +459,11 @@ object Dedup {
 
   def clustersOracleSql(maxHamming: Int = HammingMax): String =
     s"""WITH RECURSIVE $simhashSqlCte,
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $simhashBandsSql),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  ${simhashPairsFragment(maxHamming)}),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(id, r) AS (
        |  SELECT doc_id, doc_id FROM documents
