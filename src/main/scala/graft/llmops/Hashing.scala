@@ -29,6 +29,17 @@ object Hashing {
   def md5LongSql(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
+  /** The md5 digest's SECOND 60 bits (hex chars 16-30) — an independent
+    * companion hash from the same single digest, for double-hashing
+    * schemes (h_d = h1 + d·h2) that need two hashes without paying for
+    * two md5 evaluations. Identical in DuckDB via [[md5LongHiSql]]. */
+  def md5LongHi(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL fragment for [[md5LongHi]]. */
+  def md5LongHiSql(expr: String): String =
+    s"('0x' || substr(md5($expr), 16, 15))::BIGINT"
+
   /** Cross-engine-stable rounding: `floor(x·10^scale + 0.5)/10^scale` is
     * the same IEEE op sequence in Spark and DuckDB, so the output double
     * is bit-identical — Spark's `round()` detours through BigDecimal

@@ -73,10 +73,15 @@ object Sketch {
   /** Count-Min frequency sketch over a key column: depth rows of width
     * counters; `est(x) = min_d counter[d][h_d(x)]` never underestimates.
     * Like KMV (and unlike Spark's native `count_min_sketch`, whose binary
-    * state is engine-internal), the hash family is the shared 60-bit md5
-    * — `h_d(x) = md5_60bit(d || ':' || x) mod width` — so counters and
-    * estimates are bit-identical across engines and the APPROXIMATION
-    * itself is oracle-gated.
+    * state is engine-internal), the hash family is the shared md5 — so
+    * counters and estimates are bit-identical across engines and the
+    * APPROXIMATION itself is oracle-gated.
+    *
+    * The depth hashes are Kirsch-Mitzenmacher double hashing,
+    * `h_d(x) = (h1 + d·h2) mod width` with h1/h2 the digest's two 60-bit
+    * halves: ONE md5 per input row (not one per row per depth — at depth
+    * 4 that's 4× the dominant kernel cost) while preserving the CMS error
+    * bounds. h1 + d·h2 < 2^60 + 4·2^60 stays well inside a signed Long.
     *
     * Scale shape: building is one aggregation with map-side combine down
     * to depth×width rows (each input row expands to `depth` bucket
@@ -86,33 +91,39 @@ object Sketch {
     * counters, so this is a proper distributed summary. */
   def cmsBuild(df: DataFrame, column: String, width: Int, depth: Int): DataFrame = {
     require(width >= 2 && depth >= 1, s"need width>=2, depth>=1; got $width x $depth")
-    val buckets = (0 until depth).map { d =>
-      struct(lit(d).as("d"),
-        pmod(Hashing.md5Long(concat_ws(":", lit(d.toString),
-          col(column).cast("string"))), lit(width)).as("bucket"))
-    }
-    df.filter(col(column).isNotNull)
-      .select(explode(array(buckets: _*)).as("db"))
+    withCmsHashes(df.filter(col(column).isNotNull), column)
+      .select(explode(bucketArray(width, depth)).as("db"))
       .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
   }
+
+  /** Pin h1/h2 as REAL columns in their own projection so the digest is
+    * evaluated once per row — referencing the md5 expression tree from
+    * every array element would re-evaluate it per depth. */
+  private def withCmsHashes(df: DataFrame, column: String): DataFrame = {
+    val k = col(column).cast("string")
+    df.select(col(column), Hashing.md5Long(k).as("_h1"), Hashing.md5LongHi(k).as("_h2"))
+  }
+
+  /** The depth (d, bucket) pairs from the pinned hash columns:
+    * `h_d = (h1 + d·h2) mod width`. */
+  private def bucketArray(width: Int, depth: Int): org.apache.spark.sql.Column =
+    array((0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        pmod(col("_h1") + lit(d.toLong) * col("_h2"), lit(width)).as("bucket"))
+    }: _*)
 
   /** Point estimates for `keys` (a one-column frame named like `column`)
     * against a built sketch: broadcast the depth×width sketch, take the
     * min counter per key. Keys absent from the input estimate 0. */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, column: String,
-                  width: Int, depth: Int): DataFrame = {
-    val buckets = (0 until depth).map { d =>
-      struct(lit(d).as("d"),
-        pmod(Hashing.md5Long(concat_ws(":", lit(d.toString),
-          col(column).cast("string"))), lit(width)).as("bucket"))
-    }
-    keys.select(col(column), explode(array(buckets: _*)).as("db"))
+                  width: Int, depth: Int): DataFrame =
+    withCmsHashes(keys, column)
+      .select(col(column), explode(bucketArray(width, depth)).as("db"))
       .select(col(column), col("db.d").as("d"), col("db.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("d", "bucket"), "left")
       .groupBy(col(column))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
-  }
 
   val CmsWidth = 512
   val CmsDepth = 4
@@ -134,29 +145,28 @@ object Sketch {
   }
 
   val qCmsSql: String = {
-    val buildHash = md5BucketSql("ds.d", "CAST(lineitem.l_partkey AS VARCHAR)", CmsWidth)
-    val probeHash = md5BucketSql("ds.d", "CAST(sel.l_partkey AS VARCHAR)", CmsWidth)
     s"""WITH ds AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d),
-       |sketch AS (
-       |  SELECT ds.d AS d, $buildHash AS bucket, count(*) AS c
-       |  FROM lineitem CROSS JOIN ds
+       |hashed AS MATERIALIZED (
+       |  SELECT l_partkey,
+       |         ${Hashing.md5LongSql("CAST(l_partkey AS VARCHAR)")} AS h1,
+       |         ${Hashing.md5LongHiSql("CAST(l_partkey AS VARCHAR)")} AS h2
+       |  FROM lineitem),
+       |sketch AS MATERIALIZED (
+       |  SELECT ds.d AS d, (hashed.h1 + ds.d * hashed.h2) % $CmsWidth AS bucket,
+       |         count(*) AS c
+       |  FROM hashed CROSS JOIN ds
        |  GROUP BY 1, 2),
-       |sel AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey <= 8),
+       |sel AS (SELECT DISTINCT l_partkey, h1, h2 FROM hashed WHERE l_partkey <= 8),
        |est AS (
        |  SELECT sel.l_partkey, min(coalesce(s.c, 0)) AS est
        |  FROM sel CROSS JOIN ds
        |  LEFT JOIN sketch s ON s.d = ds.d
-       |    AND s.bucket = $probeHash
+       |    AND s.bucket = (sel.h1 + ds.d * sel.h2) % $CmsWidth
        |  GROUP BY 1)
        |SELECT e.l_partkey, x.exact_n, e.est
        |FROM est e JOIN (SELECT l_partkey, count(*) AS exact_n FROM lineitem
        |                 WHERE l_partkey <= 8 GROUP BY 1) x USING (l_partkey)""".stripMargin
   }
-
-  /** DuckDB twin of the Spark-side bucket expression:
-    * `md5_60bit(d || ':' || key) mod width`. */
-  private def md5BucketSql(dExpr: String, keyExpr: String, width: Int): String =
-    s"${Hashing.md5LongSql(s"CAST($dExpr AS VARCHAR) || ':' || $keyExpr")} % $width"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_kmv_sketch" -> (qKmv _),
