@@ -169,6 +169,57 @@ object TextAnalysis {
       }.toDF("doc_id", "pred_lang", "lang_score")
   }
 
+  /** Repetition signals — the Gopher/MassiveText-style quality filters
+    * that catch boilerplate and degenerate generations, which the
+    * diversity term in [[withTextStats]]' quality score only partially
+    * covers:
+    *
+    *  - `dup_word_frac`: fraction of word occurrences that repeat an
+    *    earlier word (1 − distinct/total);
+    *  - `dup_3gram_frac`: same over word 3-grams (0 when < 3 tokens);
+    *  - `top_2gram_share`: the most frequent 2-gram's share of all
+    *    2-gram occurrences (0 when < 2 tokens) — only the winner's COUNT
+    *    matters, so ties need no ordering contract.
+    *
+    * One narrow kernel pass (no shuffle, no joins); all three fractions
+    * round through the bit-stable floor(x·1e4+0.5)/1e4 shared with the
+    * oracle. */
+  def withRepetition(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words = Kernels.splitSpace(text)
+          val n = words.length
+          val uniq = new java.util.HashSet[String](n * 2)
+          var i = 0
+          while (i < n) { uniq.add(words(i)); i += 1 }
+          val dupWord = Kernels.floorRound4(1.0 - uniq.size.toDouble / n)
+          val tri = new java.util.HashSet[String](math.max(n - 2, 1) * 2)
+          i = 0
+          while (i < n - 2) {
+            tri.add(words(i) + " " + words(i + 1) + " " + words(i + 2)); i += 1
+          }
+          val dup3 = if (n < 3) 0.0
+            else Kernels.floorRound4(1.0 - tri.size.toDouble / (n - 2))
+          val big = new java.util.HashMap[String, Int](math.max(n - 1, 1) * 2)
+          var mx = 0
+          i = 0
+          while (i < n - 1) {
+            val g = words(i) + " " + words(i + 1)
+            val c = big.merge(g, 1, Integer.sum)
+            if (c > mx) mx = c
+            i += 1
+          }
+          val topShare = if (n < 2) 0.0
+            else Kernels.floorRound4(mx.toDouble / (n - 1))
+          (id, n, dupWord, dup3, topShare)
+        }
+      }.toDF("doc_id", "n_tokens", "dup_word_frac", "dup_3gram_frac", "top_2gram_share")
+  }
+
   /** Fingerprints: md5 of normalized text (exact), and a winnowing-style
     * min-hash over character 8-grams (rolling robust fingerprint). */
   def withFingerprints(docs: DataFrame): DataFrame = {
@@ -231,6 +282,32 @@ object TextAnalysis {
        |SELECT doc_id, $pred AS pred_lang, best AS lang_score FROM b""".stripMargin
   }
 
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    withRepetition(Tables.load(spark, dir, "documents"))
+
+  val qRepetitionSql: String =
+    s"""WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |base AS (SELECT doc_id, len(words) AS n, len(list_distinct(words)) AS nd FROM w),
+       |g3 AS (SELECT doc_id, count(DISTINCT s) AS nd3 FROM (
+       |         SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+       |         FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+       |               FROM w WHERE len(words) >= 3)) GROUP BY doc_id),
+       |g2 AS (SELECT doc_id, max(c) AS mx FROM (
+       |         SELECT doc_id, s, count(*) AS c FROM (
+       |           SELECT doc_id, words[i] || ' ' || words[i+1] AS s
+       |           FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i
+       |                 FROM w WHERE len(words) >= 2))
+       |         GROUP BY doc_id, s) GROUP BY doc_id)
+       |SELECT b.doc_id, b.n AS n_tokens,
+       |       floor((1 - b.nd * 1.0 / b.n) * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+       |       CASE WHEN b.n < 3 THEN 0.0
+       |            ELSE floor((1 - g3.nd3 * 1.0 / (b.n - 2)) * 10000.0 + 0.5) / 10000.0
+       |       END AS dup_3gram_frac,
+       |       CASE WHEN b.n < 2 THEN 0.0
+       |            ELSE floor((g2.mx * 1.0 / (b.n - 1)) * 10000.0 + 0.5) / 10000.0
+       |       END AS top_2gram_share
+       |FROM base b LEFT JOIN g3 USING (doc_id) LEFT JOIN g2 USING (doc_id)""".stripMargin
+
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     withFingerprints(Tables.load(spark, dir, "documents"))
 
@@ -245,10 +322,12 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (qTextStats _),
     "text_langid" -> (qLangId _),
+    "text_repetition" -> (qRepetition _),
     "text_fingerprint" -> (qFingerprint _))
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" -> qTextStatsSql,
     "text_langid" -> qLangIdSql,
+    "text_repetition" -> qRepetitionSql,
     "text_fingerprint" -> qFingerprintSql)
 }

@@ -79,6 +79,23 @@ class LlmopsSpec extends AnyFunSuite {
     assert(bCount > 150 && bCount < 350, s"~half of 500 expected, got $bCount")
   }
 
+  test("repetition signals: duplicate fractions and top-2gram share") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),  // degenerate repetition
+      (2L, "x y z"),    // all distinct
+      (3L, "q"),        // single token: 3gram/2gram signals are 0
+      (4L, "u v")       // one 2-gram → its share is 1.0, no 3-grams
+    ).toDF("doc_id", "text")
+    val got = graft.llmops.TextAnalysis.withRepetition(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((4, 0.75, 0.5, 1.0))) // 1 uniq of 4; 1 of 2 trigrams; "a a" 3/3
+    assert(got(2L) === ((3, 0.0, 0.0, 0.5)))  // distinct; winner 2-gram is 1 of 2
+    assert(got(3L) === ((1, 0.0, 0.0, 0.0)))
+    assert(got(4L) === ((2, 0.0, 0.0, 1.0)))
+  }
+
   test("contamination scores: full copy 1.0, partial overlap, disjoint 0.0") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")

@@ -50,6 +50,8 @@ class PlanSpec extends AnyFunSuite {
   test("text kernels run as a single narrow stage (no exchange)") {
     val plan = planOf(graft.llmops.TextAnalysis.qTextStats(spark, sf))
     assert(!plan.contains("Exchange"), plan.take(800))
+    val rep = planOf(graft.llmops.TextAnalysis.qRepetition(spark, sf))
+    assert(!rep.contains("Exchange"), rep.take(800))
   }
 
   test("brute-force similarity broadcasts queries: no join operator, one window shuffle") {
