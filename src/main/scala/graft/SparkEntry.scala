@@ -22,6 +22,7 @@ object SparkEntry {
     DeclaredQueries.queries ++ EngineQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ graft.llmops.Curate.queries ++
       graft.llmops.Decontaminate.queries ++ graft.llmops.Pack.queries ++
+      graft.llmops.Redact.queries ++ graft.llmops.Mix.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     DeclaredQueries.oracleSql ++ EngineQueries.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ graft.llmops.Curate.oracleSql ++
       graft.llmops.Decontaminate.oracleSql ++ graft.llmops.Pack.oracleSql ++
+      graft.llmops.Redact.oracleSql ++ graft.llmops.Mix.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++

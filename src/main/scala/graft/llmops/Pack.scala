@@ -66,10 +66,46 @@ object Pack {
         expr(s"(start_tok + n_tokens - 1) div $seqTokens").as("seq_last"))
   }
 
+  // ------------------------------------------------------------- chunking
+
+  /** Tokens per chunk / stride for the chunk query (overlap = 16). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Overlapping token-window chunking — the other half of sequence prep:
+    * instead of packing docs end to end, cut EACH doc into fixed-size
+    * windows every `stride` tokens (overlap = chunkTokens - stride), the
+    * standard long-document treatment for context-bounded training and
+    * for embedding indexes.
+    *
+    * Shape at 100 TB: one narrow tokenize + generate + explode — no
+    * shuffle at all; output rows ≈ input tokens / stride. `split` always
+    * yields ≥1 token (empties kept), so every doc emits ≥1 chunk and
+    * `sequence(0, n-1, stride)` is never empty. Chunk text is re-joined
+    * and hashed so the oracle verifies the exact window CONTENT, not just
+    * its coordinates. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = ChunkTokens,
+                stride: Int = ChunkStride): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1,
+      s"chunkTokens/stride must be >= 1, got $chunkTokens/$stride")
+    val chunk = slice(col("toks"), col("start_tok") + 1, lit(chunkTokens))
+    docs.select(col("doc_id").cast("long"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(
+        sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+        .as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long"),
+        col("start_tok").cast("long"),
+        size(chunk).cast("long").as("chunk_len"),
+        md5(array_join(chunk, " ")).as("chunk_md5"))
+  }
+
   // ----------------------------------------------------------------- query
 
   def qPack(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.load(spark, dir, "documents"), SeqTokens)
+
+  def qChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.load(spark, dir, "documents"))
 
   /** The oracle states the SEMANTICS (one global ordered cumsum) — the
     * Spark side must reproduce it exactly from the two-phase plan. */
@@ -85,9 +121,28 @@ object Pack {
        |       (cum - 1) // $SeqTokens AS seq_last
        |FROM c""".stripMargin
 
+  /** `range(0, n, stride)` (end-exclusive) = Spark's
+    * `sequence(0, n-1, stride)` (end-inclusive) for n ≥ 1, which `split`
+    * guarantees. List slicing is 1-based inclusive on both engines'
+    * chosen forms (`list_slice(x, a, b)` ↔ `slice(x, a, len)`). */
+  val qChunkSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |             unnest(range(0, len(toks), $ChunkStride)) AS start_tok
+       |      FROM t)
+       |SELECT doc_id, start_tok // $ChunkStride AS chunk_id, start_tok,
+       |       len(list_slice(toks, start_tok + 1,
+       |                      start_tok + $ChunkTokens)) AS chunk_len,
+       |       md5(array_to_string(list_slice(toks, start_tok + 1,
+       |                           start_tok + $ChunkTokens), ' ')) AS chunk_md5
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pack_sequences" -> (qPack _))
+    "pack_sequences" -> (qPack _),
+    "chunk_docs" -> (qChunk _))
 
   val oracleSql: Map[String, String] = Map(
-    "pack_sequences" -> qPackSql)
+    "pack_sequences" -> qPackSql,
+    "chunk_docs" -> qChunkSql)
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llmops.{Mix, Pack, Redact}
+
+/** Unit checks for the corpus-preparation operators (PII redaction,
+  * token-window chunking, weighted mixture sampling) on hand-built rows;
+  * the oracle-gated queries cover the fixture end to end. */
+class PrepareSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("redactPii scrubs emails, IPs, and phones with typed tags") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob@corp.io and 10.1.2.3 then call 555-123-4567 done"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.org one ip 192.168.0.1")).toDF("doc_id", "t")
+    val got = Redact.redactPii(df, "t")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) === ((1L, 1L, 1L,
+      "mail <EMAIL> and <IP> then call <PHONE> done")))
+    assert(got(2L) === ((0L, 0L, 0L, "no pii here at all")))
+    assert(got(3L) === ((2L, 1L, 0L,
+      "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("redactPii never double-counts a dotted quad inside an email domain") {
+    import spark.implicits._
+    val df = Seq(
+      // domain carries a dotted quad but ends alpha → it IS an email, and
+      // the email pass consumes the quad before the IP pass runs
+      (1L, "ping x@10.1.2.3.corp.io now"),
+      // all-numeric "domain" has no alpha TLD → not an email, IS an IP
+      (2L, "ping x@10.1.2.3 now")).toDF("doc_id", "t")
+    val got = Redact.redactPii(df, "t")
+      .select("doc_id", "n_emails", "n_ips").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((1L, 0L)))
+    assert(got(2L) === ((0L, 1L)))
+  }
+
+  test("chunkDocs tiles every token with stride-spaced overlapping windows") {
+    import spark.implicits._
+    val df = Seq((7L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Pack.chunkDocs(df, chunkTokens = 4, stride = 3)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // starts 0,3,6,9; last window is the 1-token remainder
+    assert(got.toSeq === Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L),
+      (3L, 9L, 1L)))
+  }
+
+  test("chunkDocs emits one chunk for a doc shorter than the window") {
+    import spark.implicits._
+    val df = Seq((1L, "only three words")).toDF("doc_id", "text")
+    val got = Pack.chunkDocs(df, chunkTokens = 64, stride = 48).collect()
+    assert(got.length === 1 && got.head.getLong(3) === 3L)
+  }
+
+  test("weightedMix: 0 bp drops all, 10000 bp keeps all, unknown source drops") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, if (i <= 20) "a" else if (i <= 40) "b" else "zzz"))
+      .toDF("doc_id", "source")
+    val kept = Mix.weightedMix(df, Seq("a" -> 0, "b" -> 10000))
+      .select("source").collect().map(_.getString(0))
+    assert(!kept.contains("a") && !kept.contains("zzz"))
+    assert(kept.count(_ == "b") === 20)
+  }
+
+  test("weightedMix is deterministic and rate-proportional") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, "s")).toDF("doc_id", "source")
+    val k1 = Mix.weightedMix(df, Seq("s" -> 2500)).count()
+    val k2 = Mix.weightedMix(df, Seq("s" -> 2500)).count()
+    assert(k1 === k2)                  // same rows every run
+    assert(k1 > 350 && k1 < 650, s"25% of 2000 should land near 500, got $k1")
+  }
+
+  test("weightedMix rejects out-of-range thresholds") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      Mix.weightedMix(df, Seq("a" -> 10001))
+    }
+  }
+}
