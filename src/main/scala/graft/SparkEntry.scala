@@ -23,6 +23,9 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ graft.llmops.Curate.queries ++
       graft.llmops.Decontaminate.queries ++ graft.llmops.Pack.queries ++
       graft.llmops.Redact.queries ++ graft.llmops.Mix.queries ++
+      graft.llmops.CorpusStats.queries ++
+      graft.operators.BloomJoin.queries ++
+      graft.operators.Quantiles.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
@@ -36,6 +39,9 @@ object SparkEntry {
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ graft.llmops.Curate.oracleSql ++
       graft.llmops.Decontaminate.oracleSql ++ graft.llmops.Pack.oracleSql ++
       graft.llmops.Redact.oracleSql ++ graft.llmops.Mix.oracleSql ++
+      graft.llmops.CorpusStats.oracleSql ++
+      graft.operators.BloomJoin.oracleSql ++
+      graft.operators.Quantiles.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++

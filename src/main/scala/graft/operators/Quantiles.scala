@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Exact distributed per-group quantiles — `percentile_disc` semantics
+  * (the p-th value IS an element of the group, no interpolation) at a
+  * scalable plan shape.
+  *
+  * The naive exact plan — `row_number()` over each group — sorts every
+  * ROW of a group in one task: a funnel at 100 TB (and with 3 group
+  * keys, a 3-task query). This instead runs the classic
+  * distinct-value-histogram plan:
+  *
+  *  1. `groupBy(group, value) → count` — one shuffle with map-side
+  *     combine; output is DISTINCT (group, value) pairs, typically
+  *     orders of magnitude smaller than the input;
+  *  2. cumulative counts over the value-ordered distinct rows (window
+  *     per group over the histogram, not the rows);
+  *  3. the p-quantile is the first value whose cumulative count reaches
+  *     `ceil(p·n)` — one `min(when(cum >= idx))` aggregate per
+  *     percentile.
+  *
+  * Rank arithmetic is INTEGER ONLY: `ceil(n·num/den)` is computed as
+  * `(n·num + den - 1) div den`, never through a double multiply — so
+  * both engines pick the identical element and the oracle hash-matches
+  * (`0.9 * n` in IEEE is NOT exactly `9n/10`; `percentile_disc`
+  * implementations differ on exactly those boundaries).
+  *
+  * Interpolating (`percentile_cont`) variants and Spark's
+  * `approx_percentile` remain the right answer when the VALUE domain is
+  * continuous and unbounded; this operator is the exact, oracle-stable
+  * member of that family.
+  */
+object Quantiles {
+
+  /** (label, num, den): p = num/den. */
+  val Percentiles: Seq[(String, Int, Int)] =
+    Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     percentiles: Seq[(String, Int, Int)] = Percentiles): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    require(percentiles.forall { case (_, n, d) => n >= 0 && d > 0 && n <= d },
+      "percentiles must satisfy 0 <= num <= den, den > 0")
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
+    val wAll = Window.partitionBy(groupCol)
+    val hist = counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val picks = percentiles.map { case (label, num, den) =>
+      val idx = expr(s"(_n * $num + ${den - 1}) div $den")
+      min(when(col("_cum") >= idx, col(valueCol))).as(label)
+    }
+    hist.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+  }
+
+  // ----------------------------------------------------------------- query
+
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame =
+    groupQuantiles(Tables.load(spark, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice")
+
+  val qQuantilesSql: String =
+    """WITH c AS (SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+      |           FROM lineitem GROUP BY 1, 2),
+      |w AS (SELECT l_returnflag, v,
+      |             sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+      |             sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM c)
+      |SELECT l_returnflag,
+      |       min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN v END) AS p50,
+      |       min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS p90,
+      |       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
+      |FROM w GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_quantiles" -> (qQuantiles _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q26_quantiles" -> qQuantilesSql)
+}

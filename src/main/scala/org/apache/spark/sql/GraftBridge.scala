@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Expression ↔ Column bridge.
+  *
+  * Spark 4 moved `Column` onto ColumnNode and made the conversion helper
+  * (`classic.ExpressionUtils`, columnNodeSupport.scala) `private[sql]`,
+  * so a library registering custom Catalyst expressions needs this
+  * one-file shim inside the `org.apache.spark.sql` package. Nothing else
+  * in the engine lives outside the `graft` namespace.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -145,4 +145,82 @@ class OperatorsSpec extends AnyFunSuite {
       .view.mapValues(_.map(_.getLong(2)).sum).toMap
     assert(merged === whole)
   }
+
+  test("bloom semi-join equals the plain semi-join on random data (no false negatives)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val fact = (1 to 3000).map(_ => (rnd.nextInt(500).toLong, rnd.nextInt(100)))
+      .toDF("key", "payload")
+    val dimKeys = (1 to 60).map(_ => rnd.nextInt(500).toLong).distinct
+    val dim = dimKeys.toDF("dkey")
+    val got = graft.operators.BloomJoin
+      .bloomSemiJoin(fact, "key", dim, "dkey", mBits = 1 << 12, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val want = fact.join(dim, fact("key") === dim("dkey"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("bloom probe prunes: a tiny filter discards most non-matching rows map-side") {
+    import spark.implicits._
+    val dim = (1L to 16L).toDF("dkey")
+    val bits = graft.operators.BloomJoin.buildBits(dim, "dkey", 1 << 12, 4)
+    val keys = (1L to 5000L)
+    val pass = keys.count(k =>
+      graft.operators.BloomJoin.contains(bits, 1 << 12, 4, k.toString))
+    // all 16 members pass (no false negatives)…
+    assert((1L to 16L).forall(k =>
+      graft.operators.BloomJoin.contains(bits, 1 << 12, 4, k.toString)))
+    // …and false positives stay rare: 16 members + a small FP tail
+    assert(pass < 100, s"$pass of 5000 passed a 16-key bloom")
+  }
+
+  test("bloom semi-join rejects bad sizing") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException] {
+      graft.operators.BloomJoin.bloomSemiJoin(df, "k", df, "k", mBits = 100)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.BloomJoin.bloomSemiJoin(df, "k", df, "k", k = 9)
+    }
+  }
+
+  test("groupQuantiles picks exact percentile_disc elements (integer rank math)") {
+    import spark.implicits._
+    // group a: values 1..10 → p50 = ceil(0.5*10)=5th = 5.0, p90 = 9th,
+    // p99 = ceil(9.9)=10th; group b: single value
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) :+ (("b", 42.0)))
+      .toDF("g", "v")
+    val got = graft.operators.Quantiles.groupQuantiles(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a") === ((5.0, 9.0, 10.0)))
+    assert(got("b") === ((42.0, 42.0, 42.0)))
+  }
+
+  test("groupQuantiles handles duplicate values through the histogram path") {
+    import spark.implicits._
+    // 8×1.0 then 2×9.0: p50 lands inside the duplicate run, p90 at its edge
+    val df = ((1 to 8).map(_ => ("g", 1.0)) ++ Seq(("g", 9.0), ("g", 9.0)))
+      .toDF("g", "v")
+    val got = graft.operators.Quantiles.groupQuantiles(df, "g", "v").head()
+    assert((got.getDouble(1), got.getDouble(2), got.getDouble(3)) ===
+      ((1.0, 9.0, 9.0)))
+  }
+
+  test("corpus-frequency skew split equals the plain-join semantics") {
+    import spark.implicits._
+    val docs = Seq((1L, "the the cat"), (2L, "the dog"), (3L, "cat axolotl"))
+      .toDF("doc_id", "text")
+    // headVocab=1 forces a genuine split: "the" broadcasts, rest shuffle
+    val got = graft.llmops.CorpusStats.corpusFreqStats(docs, headVocab = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // freqs: the=3, cat=2, dog=1, axolotl=1 (outputs stable-rounded to 4)
+    val r4 = graft.llmops.Kernels.floorRound4 _
+    assert(got(1L) === ((3L, r4((3 + 3 + 2) / 3.0), r4(1 / 3.0)))) // rare: cat
+    assert(got(2L) === ((2L, (3 + 1) / 2.0, 0.5)))                 // rare: dog
+    assert(got(3L) === ((2L, (2 + 1) / 2.0, 1.0)))                 // both rare
+  }
 }

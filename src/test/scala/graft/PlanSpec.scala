@@ -186,4 +186,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       plan.take(1200))
   }
+
+  test("bloom semi-join probes inside codegen and verifies via broadcast — fact never sort-merges") {
+    val full = planOf(graft.operators.BloomJoin.qBloomJoin(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    // the codegen'd probe sits in a Filter on the fact scan side
+    assert(plan.contains("BloomMightContain") || plan.contains("bloommightcontain"),
+      plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("exact quantiles run on the value histogram, never row_number over raw rows") {
+    val full = planOf(graft.operators.Quantiles.qQuantiles(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    // histogram first: partial_count proves the map-side combine reached
+    // the raw rows before any window ran
+    assert(plan.contains("partial_count"), plan.take(1500))
+    assert(!plan.contains("row_number"), plan.take(1500))
+  }
+
+  test("corpus-frequency stats split the token join: hot head broadcasts") {
+    val full = planOf(graft.llmops.CorpusStats.qCorpusFreq(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500)) // head join
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500)) // head pick
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
 }
