@@ -26,6 +26,7 @@ object SparkEntry {
       graft.llmops.CorpusStats.queries ++
       graft.operators.BloomJoin.queries ++
       graft.operators.Quantiles.queries ++
+      graft.operators.Shard.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.llmops.CorpusStats.oracleSql ++
       graft.operators.BloomJoin.oracleSql ++
       graft.operators.Quantiles.oracleSql ++
+      graft.operators.Shard.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llmops.Hashing
+
+/** Deterministic corpus shuffling + sharded export — the last mile of a
+  * training-data pipeline: writing the curated corpus as N well-mixed,
+  * size-bounded shards that a data loader streams.
+  *
+  * The "shuffle" is a HASH, not an RNG: shard and within-shard order come
+  * from `md5(doc_id)`, so (a) source/time-correlated input is decorrelated
+  * (consecutive doc_ids land in different shards — the IID-ish mix
+  * training wants), (b) every run, any partitioning, either engine
+  * assigns identical shards — the assignment is oracle-checkable — and
+  * (c) a re-export after appending documents moves NO existing document
+  * between shards.
+  *
+  * Shape at 100 TB: assignment is a narrow projection; export is ONE
+  * shuffle on shard_id, a within-partition sort (no global sort — shard
+  * files need internal mixing, not cross-shard total order), and a
+  * `partitionBy(shard_id)` write with `maxRecordsPerFile` bounding file
+  * sizes. Shard counts should be sized so one shard ≈ one executor-task
+  * worth of output.
+  */
+object Shard {
+
+  val DefaultShards = 8
+
+  /** Adds `_h` (the 60-bit doc hash, the within-shard mix order) and
+    * `shard_id = _h mod numShards`. Narrow; no shuffle. */
+  def assignShards(df: DataFrame, idCol: String,
+                   numShards: Int = DefaultShards): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.withColumn("_h", Hashing.md5Long(col(idCol).cast("string")))
+      .withColumn("shard_id", pmod(col("_h"), lit(numShards.toLong)))
+  }
+
+  /** Export `df` as `numShards` shard directories of parquet files, each
+    * file capped at `maxRecordsPerFile` rows. One shuffle total. */
+  def writeShards(df: DataFrame, idCol: String, path: String,
+                  numShards: Int = DefaultShards,
+                  maxRecordsPerFile: Long = 1000000L): Unit = {
+    assignShards(df, idCol, numShards)
+      .repartition(numShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("_h"), col(idCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard_id")
+      .parquet(path)
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** Shard manifest of the documents corpus: per shard, the doc count,
+    * token total, and an order-independent XOR checksum of the doc
+    * hashes (a 60-bit content fingerprint with no overflow and no
+    * FP-order hazard). The oracle recomputes the same assignment — any
+    * drift in hashing, modulo, or shard balance breaks the hash match. */
+  def qShards(spark: SparkSession, dir: String): DataFrame =
+    assignShards(Tables.load(spark, dir, "documents"), "doc_id")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        expr("bit_xor(_h)").as("checksum"))
+
+  val qShardsSql: String = {
+    val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    s"""SELECT $h % $DefaultShards AS shard_id, count(*) AS n_docs,
+       |       sum(len(string_split(text, ' '))) AS n_tokens,
+       |       bit_xor($h) AS checksum
+       |FROM documents GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "export_shards" -> (qShards _))
+
+  val oracleSql: Map[String, String] = Map(
+    "export_shards" -> qShardsSql)
+}

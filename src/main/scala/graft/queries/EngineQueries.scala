@@ -239,6 +239,39 @@ object EngineQueries {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  // -------------------------------------------------- q27 stream sessions
+
+  /** Streaming gap-based sessionization (session_window, SURVEY §2.8):
+    * per-user sessions with a 2-hour inactivity gap; the oracle is the
+    * equivalent batch gaps-and-islands window. */
+  def q27StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_sess_out")
+    StreamingIncremental.runSessions(spark, s"$dir/events.parquet",
+      scratch("graft_sess_ckpt"), "2 hours") { batch =>
+      // complete mode re-emits the full session state every micro-batch:
+      // the sink REPLACES, so the final batch's state is the result
+      batch.write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(out)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+  }
+
+  /** Islands predicate uses `>=`: Spark only merges OVERLAPPING half-open
+    * [t, t+gap) windows, so a gap of exactly 2 h starts a new session. */
+  val q27Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value
+      |           FROM events),
+      |d AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+      |                     OR t - lag(t) OVER w >= INTERVAL '2 hours'
+      |                     THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+      |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   // ------------------------------------------------------------ q21 build
 
   /** dbt-run analog end to end (commands/build.py:46-126): a three-model
@@ -297,7 +330,8 @@ object EngineQueries {
     "q17_expire" -> (q17Expire _),
     "q18_scd2_merge" -> (q18Scd2Merge _),
     "q19_stream_dedup" -> (q19StreamDedup _),
-    "q21_build" -> (q21Build _))
+    "q21_build" -> (q21Build _),
+    "q27_stream_sessions" -> (q27StreamSessions _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -308,5 +342,6 @@ object EngineQueries {
     // the merged two-batch history must equal a full-stream scd2 build
     "q18_scd2_merge" -> q14Sql,
     "q19_stream_dedup" -> q19Sql,
+    "q27_stream_sessions" -> q27Sql,
     "q21_build" -> q21Sql)
 }

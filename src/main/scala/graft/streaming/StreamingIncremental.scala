@@ -119,6 +119,49 @@ object StreamingIncremental {
     q.awaitTermination()
   }
 
+  /** Gap-based sessionization — `session_window` event-time aggregation
+    * (SURVEY §2.8 extension): events of a user belong to one session
+    * while consecutive gaps stay UNDER `gap`; a gap ≥ `gap` starts a new
+    * session (Spark merges session windows only when the half-open
+    * [t, t+gap) ranges overlap, so an event landing exactly at
+    * last+gap opens a fresh session — the oracle's islands predicate
+    * must use `>=`, not `>`).
+    *
+    * At scale: session state is per-key and watermark-bounded — Spark
+    * drops a session's state once the watermark passes its close; keys
+    * shard across the state store. On a CONTINUOUS stream the mode is
+    * `append` (sessions emit exactly once, when the watermark closes
+    * them). A drain-and-stop AvailableNow run must use `complete`
+    * instead: Spark rejects `update` for session windows, and in
+    * `append` every session in the final watermark-delay+gap tail of the
+    * fixture would stay in state forever (no later data ever advances
+    * the watermark past it), silently dropping rows. The session bounds
+    * are emitted as min/max of the member events (not the struct's
+    * padded `end`), so the output is engine-neutral. */
+  def runSessions(spark: SparkSession, eventsDir: String,
+                  checkpointDir: String, gap: String)
+                 (sink: DataFrame => Unit): Unit = {
+    val stream = stageAndStream(spark, eventsDir, "graft_landing_sess")
+    val withTs =
+      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    val agg = withTs
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Partition-scoped upsert of an update-mode micro-batch: latest value
     * per (hour, event_type) wins; only the day partitions present in the
     * batch are rewritten (untouched rows of those days carry over via an

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Shard
+
+/** Sharded-export writer semantics: deterministic assignment, complete
+  * and disjoint shard partition, file-size caps, stable re-export. */
+class ShardSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("assignShards partitions the corpus completely and deterministically") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Shard.assignShards(df, "doc_id", 8)
+      .select("doc_id", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Shard.assignShards(df, "doc_id", 8)
+      .select("doc_id", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b)                               // stable across runs
+    assert(a.keySet === (1L to 500L).toSet)       // complete: every doc placed
+    assert(a.values.toSet.subsetOf((0L until 8L).toSet))
+    // hash mixing: no shard hogs the corpus (binomial spread, wide margin)
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.values.forall(s => s > 20 && s < 120), sizes.toMap.toString)
+  }
+
+  test("appending documents never moves an existing document between shards") {
+    import spark.implicits._
+    val before = (1L to 100L).map(i => (i, "d")).toDF("doc_id", "text")
+    val after = (1L to 150L).map(i => (i, "d")).toDF("doc_id", "text")
+    val a = Shard.assignShards(before, "doc_id").select("doc_id", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Shard.assignShards(after, "doc_id").select("doc_id", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.forall { case (id, s) => b(id) == s })
+  }
+
+  test("writeShards lands shard directories with capped, readable files") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = tmp("graft_shards")
+    Shard.writeShards(df, "doc_id", out, numShards = 4,
+      maxRecordsPerFile = 50L)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).sortBy(_.getName)
+    assert(dirs.length === 4, dirs.map(_.getName).toSeq.toString)
+    // every file respects the record cap
+    for (d <- dirs; f <- d.listFiles() if f.getName.endsWith(".parquet")) {
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 50L, s"${f.getName} has $n rows > cap 50")
+    }
+    // round trip: nothing lost, shard column reattached from the path
+    val back = spark.read.parquet(out)
+    assert(back.count() === 400L)
+    assert(back.select(countDistinct(col("shard_id"))).head().getLong(0) === 4L)
+  }
+
+  test("re-export of identical input produces identical shard membership") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out1 = tmp("graft_shards_a")
+    val out2 = tmp("graft_shards_b")
+    Shard.writeShards(df, "doc_id", out1, numShards = 4)
+    Shard.writeShards(df, "doc_id", out2, numShards = 4)
+    def membership(p: String): Map[Long, Long] =
+      // shard_id is re-inferred from the partition path (int, not long)
+      spark.read.parquet(p).select("doc_id", "shard_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toMap
+    assert(membership(out1) === membership(out2))
+  }
+}
