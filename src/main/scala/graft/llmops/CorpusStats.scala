@@ -62,10 +62,41 @@ object CorpusStats {
           .as("rare_ratio"))
   }
 
+  /** Exact top-k heavy hitters per group — "top sources per language",
+    * "top domains per shard": aggregate first (one shuffle with map-side
+    * combine down to |group × key| rows), THEN rank with a window over
+    * the aggregated counts only. The window never sees raw rows, so the
+    * per-group funnel is bounded by key cardinality, not data volume —
+    * the same histogram-first discipline as
+    * [[graft.operators.Quantiles]]. Ties break by key for
+    * determinism. */
+  def topKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("n").desc, col(keyCol))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ----------------------------------------------------------------- query
 
   def qCorpusFreq(spark: SparkSession, dir: String): DataFrame =
     corpusFreqStats(Tables.load(spark, dir, "documents"))
+
+  def qTopkSources(spark: SparkSession, dir: String): DataFrame =
+    topKPerGroup(Tables.load(spark, dir, "documents"), "lang", "source", 3)
+      .select(col("lang"), col("source"), col("n"), col("rank"))
+
+  val qTopkSourcesSql: String =
+    """WITH c AS (SELECT lang, source, count(*) AS n
+      |           FROM documents GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |               ORDER BY n DESC, source) AS rank FROM c)
+      |SELECT lang, source, n, rank FROM r WHERE rank <= 3""".stripMargin
 
   /** The oracle states the semantics with ONE plain join — the skew-split
     * union must reproduce it exactly (every token matches exactly one of
@@ -85,8 +116,10 @@ object CorpusStats {
        |GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "quality_corpusfreq" -> (qCorpusFreq _))
+    "quality_corpusfreq" -> (qCorpusFreq _),
+    "topk_sources" -> (qTopkSources _))
 
   val oracleSql: Map[String, String] = Map(
-    "quality_corpusfreq" -> qCorpusFreqSql)
+    "quality_corpusfreq" -> qCorpusFreqSql,
+    "topk_sources" -> qTopkSourcesSql)
 }

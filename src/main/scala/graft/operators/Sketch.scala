@@ -168,11 +168,98 @@ object Sketch {
        |                 WHERE l_partkey <= 8 GROUP BY 1) x USING (l_partkey)""".stripMargin
   }
 
+  // ------------------------------------------------------------------- hll
+
+  /** HyperLogLog register count (p=8). Raw-estimator territory wants
+    * n/m ≳ 2.5; the fixture's 2000 distinct keys over 256 registers sit
+    * comfortably there. */
+  val HllBuckets = 256
+
+  /** Bits left in the 60-bit hash after the bucket index. */
+  private val HllVBits = 52
+
+  /** alpha_m · m² · 2^62 — the full estimator numerator as ONE double,
+    * computed once here and embedded as the same literal in the oracle
+    * SQL, so neither engine re-derives it in a different operation
+    * order. */
+  val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllBuckets) * HllBuckets * HllBuckets *
+      4.611686018427387904e18
+
+  private val TwoPow62 = new java.math.BigDecimal("4611686018427387904")
+
+  /** HyperLogLog distinct-count estimate — the REGISTER-PORTABLE twin of
+    * [[kmvDistinct]]: bucket = low 8 hash bits, register M_j = max over
+    * the bucket of the remaining 52 bits' leading-zero rank, estimate =
+    * alpha·m²/Σ2^−M_j. Like the CMS/KMV, every step is reproducible in
+    * plain SQL: the rank comes from the binary-string length of the
+    * value (integer-exact in both engines, no log2 rounding hazard), and
+    * the harmonic sum is taken in INTEGER units of 2^−62 as
+    * DECIMAL(38,0) — 2^(62−M_j) is an exact power of two, so the sum is
+    * exact and ORDER-FREE where a double fold would be
+    * order-sensitive and break the cross-engine hash.
+    *
+    * Scale shape: one narrow hash projection, one 256-row groupBy with
+    * map-side combine, one scalar agg. Registers merge by max, so
+    * sketches of disjoint inputs compose. */
+  def hllDistinct(df: DataFrame, column: String): DataFrame = {
+    val m = HllBuckets
+    val h1 = Hashing.md5Long(col(column).cast("string"))
+    // integer div, NOT `/`: h1 is up to 60 bits and `/` detours through
+    // a double whose 53-bit mantissa would corrupt the value
+    val v = expr(s"h1 div $m")
+    val rho = when(col("v") === 0, HllVBits + 1)
+      .otherwise(lit(HllVBits + 1) - length(bin(col("v"))))
+    val reg = df.filter(col(column).isNotNull)
+      .select(h1.as("h1"))
+      .select((col("h1") % m).as("bucket"), v.as("v"))
+      .select(col("bucket"), rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
+    reg
+      .agg(sum(pow(lit(2.0), lit(62) - col("mj")).cast("decimal(38,0)"))
+        .as("ssum"), count(lit(1)).as("nz"))
+      .select(col("nz").as("n_buckets_used"),
+        Hashing.stableRound(
+          lit(HllNumerator) /
+            (col("ssum") + (lit(m) - col("nz")).cast("decimal(38,0)") *
+              lit(TwoPow62)).cast("double"), 4).as("estimate"))
+  }
+
+  def qHll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    hllDistinct(li, "l_partkey")
+      .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_distinct")))
+  }
+
+  val qHllSql: String = {
+    val m = HllBuckets
+    val h = Hashing.md5LongSql("CAST(l_partkey AS VARCHAR)")
+    val num = f"$HllNumerator%.17e"
+    s"""WITH b AS (SELECT $h % $m AS bucket, $h // $m AS v FROM lineitem),
+       |r AS (SELECT bucket, CASE WHEN v = 0 THEN ${HllVBits + 1}
+       |                          ELSE ${HllVBits + 1} - length(bin(v)) END AS rho
+       |      FROM b),
+       |reg AS (SELECT bucket, max(rho) AS mj FROM r GROUP BY 1),
+       |s AS (SELECT sum(CAST(power(2, 62 - mj) AS DECIMAL(38,0))) AS ssum,
+       |             count(*) AS nz FROM reg),
+       |tot AS (SELECT nz, ssum + CAST($m - nz AS DECIMAL(38,0)) *
+       |               CAST(4611686018427387904 AS DECIMAL(38,0)) AS st
+       |        FROM s)
+       |SELECT nz AS n_buckets_used,
+       |       ${Hashing.stableRoundSql(s"$num / CAST(st AS DOUBLE)", 4)}
+       |         AS estimate,
+       |       (SELECT count(DISTINCT l_partkey) FROM lineitem)
+       |         AS exact_distinct
+       |FROM tot""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_kmv_sketch" -> (qKmv _),
-    "freq_cms" -> (qCms _))
+    "freq_cms" -> (qCms _),
+    "card_hll" -> (qHll _))
 
   val oracleSql: Map[String, String] = Map(
     "q24_kmv_sketch" -> qKmvSql,
-    "freq_cms" -> qCmsSql)
+    "freq_cms" -> qCmsSql,
+    "card_hll" -> qHllSql)
 }

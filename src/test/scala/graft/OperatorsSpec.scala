@@ -209,6 +209,40 @@ class OperatorsSpec extends AnyFunSuite {
       ((1.0, 9.0, 9.0)))
   }
 
+  test("HLL estimate lands within raw-estimator error of the true count") {
+    import spark.implicits._
+    val df = (1L to 5000L).toDF("k")
+    val r = graft.operators.Sketch.hllDistinct(df, "k").head()
+    val est = r.getDouble(1)
+    // sigma = 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.26, s"est $est vs 5000")
+    // repeatable bit for bit (no RNG, no order sensitivity)
+    val r2 = graft.operators.Sketch.hllDistinct(df, "k").head()
+    assert(r2.getDouble(1) === est && r2.getLong(0) === r.getLong(0))
+  }
+
+  test("HLL ignores NULLs and duplicate values (distinct semantics)") {
+    import spark.implicits._
+    val base = (1L to 800L).map(Option(_)).toDF("k")
+    val noisy = ((1L to 800L) ++ (1L to 800L)).map(Option(_))
+      .toDF("k").union(Seq(Option.empty[Long]).toDF("k"))
+    val a = graft.operators.Sketch.hllDistinct(base, "k").head().getDouble(1)
+    val b = graft.operators.Sketch.hllDistinct(noisy, "k").head().getDouble(1)
+    assert(a === b)
+  }
+
+  test("topKPerGroup ranks by count with deterministic key tiebreak") {
+    import spark.implicits._
+    val df = Seq.fill(3)(("g1", "a")) ++ Seq.fill(3)(("g1", "b")) ++
+      Seq.fill(1)(("g1", "c")) ++ Seq.fill(2)(("g2", "z"))
+    val got = graft.llmops.CorpusStats
+      .topKPerGroup(df.toDF("g", "k"), "g", "k", 2)
+      .select("g", "k", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted
+    // a and b tie at 3 in g1 → a wins rank 1 by key order; c is cut
+    assert(got.toSeq === Seq(("g1", "a", 1), ("g1", "b", 2), ("g2", "z", 1)))
+  }
+
   test("corpus-frequency skew split equals the plain-join semantics") {
     import spark.implicits._
     val docs = Seq((1L, "the the cat"), (2L, "the dog"), (3L, "cat axolotl"))
