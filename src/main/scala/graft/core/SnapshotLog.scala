@@ -115,14 +115,25 @@ final class SnapshotLog(tableDir: Path) {
     * `None` carries the previous commit's schema forward (expiry, drop). */
   def commitWith(action: String, compute: Option[Commit] => Seq[Entry],
                  tsMillis: Long = System.currentTimeMillis(),
-                 schemaDdl: Option[String] = None): Commit = {
+                 schemaDdl: Option[String] = None): Commit =
+    commitWithSchema(action, compute,
+      cur => schemaDdl.orElse(cur.flatMap(_.schemaDdl)), tsMillis)
+
+  /** [[commitWith]] variant whose pinned schema is RECOMPUTED from the
+    * current commit on every CAS attempt — required for additive
+    * evolution under concurrency: a schema unioned against a stale base
+    * and then committed after a lost race would silently drop the
+    * winning writer's new columns from every subsequent read. */
+  def commitWithSchema(action: String, compute: Option[Commit] => Seq[Entry],
+                       schemaWith: Option[Commit] => Option[String],
+                       tsMillis: Long = System.currentTimeMillis()): Commit = {
     Files.createDirectories(logDir)
     var done: Option[Commit] = None
     while (done.isEmpty) {
       val cur = latest
       val v = cur.map(_.version).getOrElse(0) + 1
       val c = Commit(v, tsMillis, action, compute(cur),
-        schemaDdl.orElse(cur.flatMap(_.schemaDdl)))
+        schemaWith(cur).orElse(cur.flatMap(_.schemaDdl)))
       val f = logDir.resolve(f"v$v%05d.manifest")
       try {
         Files.write(f, render(c).getBytes(StandardCharsets.UTF_8),

@@ -188,13 +188,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     df.write.mode("overwrite").parquet(frag.toString)
     val entry = SnapshotLog.Entry("", relativize(dataset, table, frag))
-    val unionS = schemaDdl(dataset, table)
-      .map(d => unionStruct(StructType.fromDDL(d), df.schema))
-      .getOrElse(df.schema)
-    lg.commitWith("append", cur =>
+    // union schema is recomputed INSIDE the CAS retry from the current
+    // commit: unioning against a stale base after a lost race would pin
+    // a schema missing the winning writer's new columns
+    val c = lg.commitWithSchema("append", cur =>
       cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty) :+ entry,
-      schemaDdl = Some(unionS.toDDL))
-    writeSchemaDdlMerged(dataset, table, unionS)
+      cur => Some(unionWithCurrent(dataset, table, cur, df.schema).toDDL))
+    writeSchemaDdlMerged(dataset, table,
+      StructType.fromDDL(c.schemaDdl.getOrElse(df.schema.toDDL)))
     if (!Files.exists(tableDir(dataset, table).resolve("_meta.properties")))
       setMeta(dataset, table, m)
   }
@@ -218,18 +219,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     partitionedWrite(df, field, frag)
     val fresh = hiveEntries(dataset, table, frag, field)
     val freshParts = fresh.map(_.partition).toSet
-    val unionS = schemaDdl(dataset, table)
-      .map(d => unionStruct(StructType.fromDDL(d), df.schema))
-      .getOrElse(df.schema)
-    // commitWith: the kept-partition list is recomputed from the CURRENT
-    // latest commit (re-read on a lost race), so a concurrent writer's
-    // partitions are merged, not silently dropped.
-    lg.commitWith("write", cur => {
+    // commitWith: the kept-partition list AND the union schema are
+    // recomputed from the CURRENT latest commit (re-read on a lost race),
+    // so a concurrent writer's partitions and new columns are merged,
+    // not silently dropped.
+    val c = lg.commitWithSchema("write", cur => {
       val kept = cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
         .filterNot(e => freshParts(e.partition))
       kept ++ fresh
-    }, schemaDdl = Some(unionS.toDDL))
-    writeSchemaDdlMerged(dataset, table, unionS)
+    }, cur => Some(unionWithCurrent(dataset, table, cur, df.schema).toDDL))
+    writeSchemaDdlMerged(dataset, table,
+      StructType.fromDDL(c.schemaDdl.getOrElse(df.schema.toDDL)))
   }
 
   /** Union schema for additive evolution: declared columns keep their
@@ -237,6 +237,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private def unionStruct(declared: StructType, incoming: StructType): StructType =
     StructType(declared.fields ++
       incoming.fields.filterNot(f => declared.fieldNames.contains(f.name)))
+
+  /** Base-schema resolution for a CAS attempt: prefer the commit being
+    * re-based onto, fall back to the sidecar DDL, then to the incoming
+    * schema alone. */
+  private def unionWithCurrent(dataset: String, table: String,
+                               cur: Option[SnapshotLog.Commit],
+                               incoming: StructType): StructType =
+    cur.flatMap(_.schemaDdl).orElse(schemaDdl(dataset, table))
+      .map(d => unionStruct(StructType.fromDDL(d), incoming))
+      .getOrElse(incoming)
 
   /** Dynamic-partition write with an AQE REBALANCE on the partition
     * column: a plain `partitionBy` write fans out to (tasks × partitions)
@@ -325,7 +335,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
     val raw = m.partitionField match {
       case None =>
-        spark.read.parquet(entries.map(e => tableDir(dataset, table).resolve(e.path).toString): _*)
+        val paths = entries.map(e => tableDir(dataset, table).resolve(e.path).toString)
+        commitSchema.map(StructType.fromDDL) match {
+          // explicit commit schema: fragments narrower than it (written
+          // before an additive evolution) pad their missing columns with
+          // nulls per file — without this, schema inference reads ONE
+          // arbitrary fragment's footer and a column present only in the
+          // others would be silently nulled out
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          // legacy commits without a pinned schema: pay footer merging
+          case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        }
       case Some(field) =>
         // Hive-layout fragments: group by fragment root so Spark's
         // partition discovery re-attaches the partition column; one read

@@ -47,10 +47,14 @@ object Decontaminate {
   def contaminationScores(docs: DataFrame, benchmark: DataFrame,
                           threshold: Double = ContaminationThreshold,
                           maxBenchShingles: Long = MaxBenchmarkShingles): DataFrame = {
+    // No checkpoint/persist: the guard count and the broadcast build each
+    // compute this benchmark-sized (guard-bounded) plan once — cheap by
+    // definition. A localCheckpoint here could never be unpersisted (the
+    // returned lazy frame depends on it and its lineage is truncated), so
+    // it would leak cached blocks on every invocation of a long session.
     val benchShingles = Dedup.shingleHashSets(benchmark)
       .select(explode(col("hashes")).as("h")).distinct()
       .withColumn("hit", lit(1))
-      .localCheckpoint() // counted once, probed once — don't recompute
     val benchCount = benchShingles.count()
     require(benchCount <= maxBenchShingles,
       s"benchmark has $benchCount distinct shingles > $maxBenchShingles; " +

@@ -33,7 +33,7 @@ object Pack {
     * pick their own). */
   val SeqTokens = 256
 
-  val MaxBuckets = 4_000_000L // offsets collect: ~32 MB of longs at the cap
+  val MaxBuckets = 4_000_000 // offsets collect: ~32 MB of longs at the cap
 
   /** Default bucket: 8k docs per prefix-sum task — small enough that the
     * fixture corpus already takes the multi-bucket path (the single-bucket
@@ -50,13 +50,18 @@ object Pack {
     val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = toks.withColumn("cum_in_bucket", sum(col("n_tokens")).over(w))
+    // limit(cap+1) BOUNDS the transfer before anything lands on the
+    // driver — collecting first and guarding after would OOM exactly the
+    // way the guard is meant to prevent (sparse 64-bit doc_ids make
+    // ~one bucket per doc no matter the bucketSize); driver-side sort,
+    // since limit discards the shuffle order anyway
     val totals = toks.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("tot"))
-      .orderBy(col("bucket")).collect()
+      .limit(MaxBuckets + 1).collect()
     require(totals.length <= MaxBuckets,
-      s"${totals.length} buckets exceeds $MaxBuckets; raise bucketSize " +
+      s"more than $MaxBuckets buckets; raise bucketSize " +
         s"(driver holds one offset per bucket)")
     var running = 0L
-    val offsets = totals.map { r =>
+    val offsets = totals.sortBy(_.getLong(0)).map { r =>
       val o = (r.getLong(0), running); running += r.getLong(1); o
     }.toSeq.toDF("bucket", "base")
     local.join(broadcast(offsets), Seq("bucket"))

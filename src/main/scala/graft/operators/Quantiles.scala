@@ -45,7 +45,11 @@ object Quantiles {
     require(percentiles.nonEmpty, "need at least one percentile")
     require(percentiles.forall { case (_, n, d) => n >= 0 && d > 0 && n <= d },
       "percentiles must satisfy 0 <= num <= den, den > 0")
-    val counts = df.groupBy(col(groupCol), col(valueCol))
+    // NULLs don't participate (percentile_disc semantics) — and Spark
+    // windows order NULLS FIRST while DuckDB orders NULLS LAST, so an
+    // unfiltered NULL would also shift the two engines' ranks apart
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
     val wAll = Window.partitionBy(groupCol)

@@ -254,13 +254,16 @@ object EngineQueries {
     }
     spark.read.parquet(out)
       .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        col("n_events"),
+        graft.llmops.Hashing.stableRound(col("sum_value"), 2).as("sum_value"))
   }
 
   /** Islands predicate uses `>=`: Spark only merges OVERLAPPING half-open
-    * [t, t+gap) windows, so a gap of exactly 2 h starts a new session. */
+    * [t, t+gap) windows, so a gap of exactly 2 h starts a new session.
+    * The per-session double sum rounds through the stableRound twin on
+    * both sides (engine round() disagrees on .xx5 boundaries). */
   val q27Sql: String =
-    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value
       |           FROM events),
       |d AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
       |                     OR t - lag(t) OVER w >= INTERVAL '2 hours'
@@ -269,7 +272,8 @@ object EngineQueries {
       |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
       |        ROWS UNBOUNDED PRECEDING) AS sid FROM d)
       |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
-      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |       count(*) AS n_events,
+      |       ${graft.llmops.Hashing.stableRoundSql("sum(value)", 2)} AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
   // ------------------------------------------------------------ q21 build

@@ -189,6 +189,23 @@ class WarehouseSpec extends AnyFunSuite {
     assert(jan1.getAs[String]("b") === null) // old partition gains null column
   }
 
+  test("append evolves unpartitioned schema additively; no fragment's values are lost") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("ops", "apev", Seq((1L, "a")).toDF("id", "v"))
+    wh.append("ops", "apev", Seq((2L, "b")).toDF("id", "v"))
+    // evolution append: new column w arrives in the THIRD fragment only —
+    // schema inference over multiple fragments must not pick a narrow
+    // footer and null out w (pad-on-read must go per-fragment)
+    wh.append("ops", "apev", Seq((3L, "c", "W3")).toDF("id", "v", "w"))
+    val out = wh.read("ops", "apev")
+    assert(out.schema.fieldNames.toSeq === Seq("id", "v", "w"))
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getAs[String]("w")))).toMap
+    assert(rows === Map(1L -> (("a", null)), 2L -> (("b", null)),
+      3L -> (("c", "W3"))))
+  }
+
   test("additive evolution is metadata-only: zero pre-existing data files touched") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
