@@ -45,6 +45,55 @@ object Mix {
       .drop("_thresh")
   }
 
+  /** Quota sampling — "cap every source at N documents": keep the N
+    * smallest-hash rows per stratum (deterministic, stable under
+    * appends of larger-hash rows, engine-neutral).
+    *
+    * The naive plan — `row_number()` per stratum over ALL rows — sorts
+    * every stratum's full data in one task. This is the two-phase
+    * rejection shape instead:
+    *
+    *  1. per-stratum counts (one map-side-combined agg, stratum-sized,
+    *     broadcast back);
+    *  2. NARROW prefilter `h ≤ (n + slack)/count · 2^60` — keeps an
+    *     expected n + slack rows per stratum (slack = 4·√n + 16 puts
+    *     the Chernoff miss probability in the noise), discarding the
+    *     overwhelming mass map-side;
+    *  3. exact `row_number() ≤ n` over the survivors only — the
+    *     per-stratum window now sees ~n rows, not the corpus; a
+    *     `require` fails loudly in the (astronomically unlikely) case
+    *     the prefilter undercut a stratum, so correctness never rests
+    *     on the probability bound.
+    *
+    * The final selection is exactly "N smallest hashes per stratum"
+    * regardless of the prefilter, which is what the oracle states. */
+  def capPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_cnt"))
+    val h = Hashing.md5Long(
+      concat(col(stratumCol), lit(":"), col(idCol).cast("string")))
+    val slack = 4.0 * math.sqrt(n.toDouble) + 16.0
+    val frac = least(lit(1.0), lit(n + slack) / col("_cnt"))
+    val surv = df.withColumn("_h", h)
+      .join(broadcast(counts), Seq(stratumCol))
+      .filter(col("_h").cast("double") <= frac * lit(Sketch2Pow60))
+    val survCounts = surv.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("_sc"), first(col("_cnt")).as("_cnt"))
+      .filter(col("_sc") < least(lit(n.toLong), col("_cnt")))
+      .limit(1).collect()
+    require(survCounts.isEmpty,
+      s"prefilter undercut stratum '${survCounts.headOption.map(_.get(0))
+        .getOrElse("")}'; raise the slack margin")
+    val w = Window.partitionBy(stratumCol).orderBy(col("_h"), col(idCol))
+    surv.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= n)
+      .drop("_h", "_cnt", "_rank")
+  }
+
+  private val Sketch2Pow60 = 1152921504606846976.0 // 2^60: hash domain
+
   // ----------------------------------------------------------------- query
 
   def qMix(spark: SparkSession, dir: String): DataFrame =
@@ -61,9 +110,28 @@ object Mix {
        |      < r.thresh""".stripMargin
   }
 
+  def qCapped(spark: SparkSession, dir: String): DataFrame =
+    capPerStratum(Tables.load(spark, dir, "documents"), "source", "doc_id", 15)
+      .select(col("doc_id"), col("source"))
+
+  /** The oracle states the SEMANTICS — N smallest hashes per stratum —
+    * with one plain window; the two-phase prefilter must reproduce it
+    * exactly. */
+  val qCappedSql: String = {
+    val h = Hashing.md5LongSql("source || ':' || doc_id")
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY $h, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 15""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mix_weighted" -> (qMix _))
+    "mix_weighted" -> (qMix _),
+    "sample_capped" -> (qCapped _))
 
   val oracleSql: Map[String, String] = Map(
-    "mix_weighted" -> qMixSql)
+    "mix_weighted" -> qMixSql,
+    "sample_capped" -> qCappedSql)
 }

@@ -276,6 +276,32 @@ object EngineQueries {
       |       ${graft.llmops.Hashing.stableRoundSql("sum(value)", 2)} AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  // ---------------------------------------------------- q28 stream join
+
+  /** Stream-stream interval join (click→view attribution within 1 h);
+    * oracle is the equivalent batch interval join. */
+  def q28StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_ssj_out")
+    StreamingIncremental.runClickViewJoin(spark, s"$dir/events.parquet",
+      scratch("graft_ssj_ckpt"), "1 HOUR") { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out)
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  val q28Sql: String =
+    """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+      |                  event_id AS view_id
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+      |             event_id AS click_id
+      |      FROM events WHERE event_type = 'click')
+      |SELECT user_id, click_id, click_ts, view_id, view_ts
+      |FROM v JOIN c USING (user_id)
+      |WHERE view_ts BETWEEN click_ts - INTERVAL '1 hour' AND click_ts""".stripMargin
+
   // ------------------------------------------------------------ q21 build
 
   /** dbt-run analog end to end (commands/build.py:46-126): a three-model
@@ -335,7 +361,8 @@ object EngineQueries {
     "q18_scd2_merge" -> (q18Scd2Merge _),
     "q19_stream_dedup" -> (q19StreamDedup _),
     "q21_build" -> (q21Build _),
-    "q27_stream_sessions" -> (q27StreamSessions _))
+    "q27_stream_sessions" -> (q27StreamSessions _),
+    "q28_stream_join" -> (q28StreamJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -347,5 +374,6 @@ object EngineQueries {
     "q18_scd2_merge" -> q14Sql,
     "q19_stream_dedup" -> q19Sql,
     "q27_stream_sessions" -> q27Sql,
+    "q28_stream_join" -> q28Sql,
     "q21_build" -> q21Sql)
 }

@@ -162,6 +162,45 @@ object StreamingIncremental {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join (SURVEY §2.8 extension) — click→view
+    * attribution: each click pairs with the same user's views in the
+    * preceding `window`. Both sides are watermarked and the join
+    * condition is time-BOUNDED in both directions, which is what lets
+    * Spark expire join state: a buffered view can only match clicks up
+    * to `window` later, so once the click watermark passes that horizon
+    * the view's state row drops. Unbounded stream-stream joins buffer
+    * forever — the interval bound IS the scale story. Inner join +
+    * append mode: each pair emits exactly once. */
+  def runClickViewJoin(spark: SparkSession, eventsDir: String,
+                       checkpointDir: String, window: String)
+                      (sink: DataFrame => Unit): Unit = {
+    val stream = stageAndStream(spark, eventsDir, "graft_landing_ssj")
+    val withTs =
+      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    val views = withTs.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = withTs.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = views.join(clicks,
+      expr(s"v_user = c_user AND " +
+        s"view_ts BETWEEN click_ts - INTERVAL $window AND click_ts"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Partition-scoped upsert of an update-mode micro-batch: latest value
     * per (hour, event_type) wins; only the day partitions present in the
     * batch are rewritten (untouched rows of those days carry over via an

@@ -80,6 +80,32 @@ class PrepareSpec extends AnyFunSuite {
     assert(k1 > 350 && k1 < 650, s"25% of 2000 should land near 500, got $k1")
   }
 
+  test("capPerStratum equals the brute-force N-smallest-hash selection") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")
+    val got = Mix.capPerStratum(df, "source", "doc_id", 12)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val h = graft.llmops.Hashing.md5Long(
+      concat(col("source"), lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 12)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got.size === 7 * 12)
+  }
+
+  test("capPerStratum keeps whole strata smaller than the cap") {
+    import spark.implicits._
+    val df = ((1L to 3L).map(i => (i, "tiny")) ++ (1L to 200L).map(i => (i + 10L, "big")))
+      .toDF("doc_id", "source")
+    val got = Mix.capPerStratum(df, "source", "doc_id", 50)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("tiny" -> 3L, "big" -> 50L))
+  }
+
   test("weightedMix rejects out-of-range thresholds") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("doc_id", "source")
