@@ -207,6 +207,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("row_number"), plan.take(1500))
   }
 
+  test("quota sampling broadcasts the stratum counts; no sort-merge join") {
+    val full = planOf(graft.llmops.Mix.qCapped(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    // the rank window runs AFTER the hash prefilter (survivors only)
+    assert(plan.contains("row_number"), plan.take(1500))
+  }
+
   test("corpus-frequency stats split the token join: hot head broadcasts") {
     val full = planOf(graft.llmops.CorpusStats.qCorpusFreq(spark, sf))
     val plan = full.split("== Initial Plan ==").head
