@@ -114,16 +114,29 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** Rewrite the declared schema from a fresh DataFrame schema, carrying
     * over column descriptions already declared for paths the new schema
     * doesn't comment itself — a rewrite must not drop descriptions applied
-    * via [[setColumnDescriptions]] (descriptions.py:43-82 round-trip). */
-  private def writeSchemaDdlMerged(dataset: String, table: String, schema: StructType): Unit = {
-    val existing = schemaDdl(dataset, table)
-      .map(d => WarehouseTypes.descriptionMap(StructType.fromDDL(d)))
-      .getOrElse(Map.empty)
-    val fresh = WarehouseTypes.descriptionMap(schema)
+    * via [[setColumnDescriptions]] (descriptions.py:43-82 round-trip).
+    *
+    * `additive = true` (evolution paths): the sidecar COLUMN SET is also
+    * unioned with the incoming schema, never replaced — two concurrent
+    * evolvers both land their columns no matter which one writes the
+    * sidecar last (the CAS-pinned commit schema is the source of truth;
+    * the sidecar only has to converge, not win races). `additive = false`
+    * (overwrite): the incoming schema replaces the column set by
+    * design. */
+  private def writeSchemaDdlMerged(dataset: String, table: String,
+                                   schema: StructType,
+                                   additive: Boolean = false): Unit = {
+    val existingS = schemaDdl(dataset, table).map(StructType.fromDDL)
+    val base =
+      if (additive) existingS.map(e => unionStruct(e, schema)).getOrElse(schema)
+      else schema
+    val existing = existingS.map(s => WarehouseTypes.descriptionMap(s))
+      .getOrElse(Map.empty[String, String])
+    val fresh = WarehouseTypes.descriptionMap(base)
     val carryOver = existing -- fresh.keys
     writeSchemaDdl(dataset, table,
-      if (carryOver.isEmpty) schema
-      else WarehouseTypes.withDescriptions(schema, carryOver))
+      if (carryOver.isEmpty) base
+      else WarehouseTypes.withDescriptions(base, carryOver))
   }
 
   /** Declared schema (with column comments) as recorded at last write. */
@@ -195,7 +208,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty) :+ entry,
       cur => Some(unionWithCurrent(dataset, table, cur, df.schema).toDDL))
     writeSchemaDdlMerged(dataset, table,
-      StructType.fromDDL(c.schemaDdl.getOrElse(df.schema.toDDL)))
+      StructType.fromDDL(c.schemaDdl.getOrElse(df.schema.toDDL)),
+      additive = true)
     if (!Files.exists(tableDir(dataset, table).resolve("_meta.properties")))
       setMeta(dataset, table, m)
   }
@@ -229,7 +243,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       kept ++ fresh
     }, cur => Some(unionWithCurrent(dataset, table, cur, df.schema).toDDL))
     writeSchemaDdlMerged(dataset, table,
-      StructType.fromDDL(c.schemaDdl.getOrElse(df.schema.toDDL)))
+      StructType.fromDDL(c.schemaDdl.getOrElse(df.schema.toDDL)),
+      additive = true)
   }
 
   /** Union schema for additive evolution: declared columns keep their

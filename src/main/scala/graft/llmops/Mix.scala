@@ -60,10 +60,19 @@ object Mix {
     *     the Chernoff miss probability in the noise), discarding the
     *     overwhelming mass map-side;
     *  3. exact `row_number() ≤ n` over the survivors only — the
-    *     per-stratum window now sees ~n rows, not the corpus; a
-    *     `require` fails loudly in the (astronomically unlikely) case
-    *     the prefilter undercut a stratum, so correctness never rests
-    *     on the probability bound.
+    *     per-stratum window now sees ~n rows, not the corpus; an
+    *     IN-PLAN `raise_error` guard (a count window riding the same
+    *     shuffle as the rank window — no extra scan, no extra job)
+    *     fails the query loudly if the prefilter undercut a stratum
+    *     that still has survivors.
+    *
+    * Rows with a NULL stratum or id are excluded up front (they cannot
+    * hash; leaving them in would silently vanish via the NULL-propagating
+    * prefilter while inflating the stratum counts). The one failure the
+    * in-plan guard cannot see is a stratum whose rows are ALL rejected —
+    * with non-null keys that requires every hash above the threshold,
+    * probability ≤ e^−(n+slack) ≤ e^−21: below any practical concern,
+    * and stated here rather than silently assumed.
     *
     * The final selection is exactly "N smallest hashes per stratum"
     * regardless of the prefilter, which is what the oracle states. */
@@ -71,28 +80,30 @@ object Mix {
                     n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_cnt"))
+    val nonNull = df.filter(col(stratumCol).isNotNull && col(idCol).isNotNull)
+    val counts = nonNull.groupBy(col(stratumCol)).agg(count(lit(1)).as("_cnt"))
     val h = Hashing.md5Long(
       concat(col(stratumCol), lit(":"), col(idCol).cast("string")))
     val slack = 4.0 * math.sqrt(n.toDouble) + 16.0
     val frac = least(lit(1.0), lit(n + slack) / col("_cnt"))
-    val surv = df.withColumn("_h", h)
+    val surv = nonNull.withColumn("_h", h)
       .join(broadcast(counts), Seq(stratumCol))
-      .filter(col("_h").cast("double") <= frac * lit(Sketch2Pow60))
-    val survCounts = surv.groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("_sc"), first(col("_cnt")).as("_cnt"))
-      .filter(col("_sc") < least(lit(n.toLong), col("_cnt")))
-      .limit(1).collect()
-    require(survCounts.isEmpty,
-      s"prefilter undercut stratum '${survCounts.headOption.map(_.get(0))
-        .getOrElse("")}'; raise the slack margin")
+      .filter(col("_h").cast("double") <= frac * lit(TwoPow60))
     val w = Window.partitionBy(stratumCol).orderBy(col("_h"), col(idCol))
-    surv.withColumn("_rank", row_number().over(w))
+    val wAll = Window.partitionBy(stratumCol)
+    surv
+      .withColumn("_sc", count(lit(1)).over(wAll))
+      .filter(when(col("_sc") < least(lit(n.toLong), col("_cnt")),
+        raise_error(concat(lit("capPerStratum: prefilter undercut stratum '"),
+          col(stratumCol).cast("string"), lit("'; raise the slack margin")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <= n)
-      .drop("_h", "_cnt", "_rank")
+      .drop("_h", "_cnt", "_sc", "_rank")
   }
 
-  private val Sketch2Pow60 = 1152921504606846976.0 // 2^60: hash domain
+  private val TwoPow60 = 1152921504606846976.0 // 2^60: hash domain
 
   // ----------------------------------------------------------------- query
 

@@ -69,9 +69,12 @@ object Quantiles {
     groupQuantiles(Tables.load(spark, dir, "lineitem"),
       "l_returnflag", "l_extendedprice")
 
+  /** Mirrors the Spark side's NULL exclusion — without it a NULL value
+    * would form a histogram group and shift every rank index. */
   val qQuantilesSql: String =
     """WITH c AS (SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
-      |           FROM lineitem GROUP BY 1, 2),
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |           GROUP BY 1, 2),
       |w AS (SELECT l_returnflag, v,
       |             sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
       |             sum(c) OVER (PARTITION BY l_returnflag) AS n

@@ -96,6 +96,17 @@ class PrepareSpec extends AnyFunSuite {
     assert(got.size === 7 * 12)
   }
 
+  test("capPerStratum excludes NULL keys instead of letting them vanish or skew counts") {
+    import spark.implicits._
+    val df = (Seq((Some(1L), Some("a")), (Some(2L), Some("a")),
+      (None, Some("a")), (Some(3L), None)))
+      .toDF("doc_id", "source")
+    val got = Mix.capPerStratum(df, "source", "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // null id and null stratum rows are excluded; the rest all fit the cap
+    assert(got === Set(1L, 2L))
+  }
+
   test("capPerStratum keeps whole strata smaller than the cap") {
     import spark.implicits._
     val df = ((1L to 3L).map(i => (i, "tiny")) ++ (1L to 200L).map(i => (i + 10L, "big")))
