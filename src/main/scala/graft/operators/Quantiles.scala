@@ -63,11 +63,47 @@ object Quantiles {
     hist.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
   }
 
+  /** Join-skew diagnostics — the question every 100 TB join plan starts
+    * with: how are rows distributed over this key? One row out: key
+    * cardinality, row total, the heaviest key's count, and p50/p90/p99
+    * of per-key counts (via [[groupQuantiles]] over the count histogram
+    * — the per-key counts frame is key-sized, so this costs one extra
+    * tiny aggregation after the groupBy). A p99/p50 ratio far above 1
+    * says "salt this key or split its head" before the shuffle does. */
+  def keyDistribution(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("_kc"))
+    val q = groupQuantiles(counts.withColumn("_g", lit(1)), "_g", "_kc")
+      .drop("_g")
+    counts.agg(count(lit(1)).as("n_keys"), sum(col("_kc")).as("n_rows"),
+        max(col("_kc")).as("max_per_key"))
+      .crossJoin(q)
+  }
+
   // ----------------------------------------------------------------- query
 
   def qQuantiles(spark: SparkSession, dir: String): DataFrame =
     groupQuantiles(Tables.load(spark, dir, "lineitem"),
       "l_returnflag", "l_extendedprice")
+
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame =
+    keyDistribution(Tables.load(spark, dir, "lineitem"), "l_partkey")
+
+  val qSkewReportSql: String =
+    """WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem
+      |           WHERE l_partkey IS NOT NULL GROUP BY 1),
+      |h AS (SELECT c AS v, count(*) AS k FROM c GROUP BY 1),
+      |w AS (SELECT v, sum(k) OVER (ORDER BY v) AS cum,
+      |             sum(k) OVER () AS n FROM h),
+      |q AS (SELECT min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN v END) AS p50,
+      |             min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS p90,
+      |             min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
+      |      FROM w)
+      |SELECT (SELECT count(*) FROM c) AS n_keys,
+      |       (SELECT sum(c) FROM c) AS n_rows,
+      |       (SELECT max(c) FROM c) AS max_per_key,
+      |       p50, p90, p99
+      |FROM q""".stripMargin
 
   /** Mirrors the Spark side's NULL exclusion — without it a NULL value
     * would form a histogram group and shift every rank index. */
@@ -86,8 +122,10 @@ object Quantiles {
       |FROM w GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q26_quantiles" -> (qQuantiles _))
+    "q26_quantiles" -> (qQuantiles _),
+    "skew_report" -> (qSkewReport _))
 
   val oracleSql: Map[String, String] = Map(
-    "q26_quantiles" -> qQuantilesSql)
+    "q26_quantiles" -> qQuantilesSql,
+    "skew_report" -> qSkewReportSql)
 }

@@ -243,6 +243,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("g1", "a", 1), ("g1", "b", 2), ("g2", "z", 1)))
   }
 
+  test("keyDistribution reports cardinality, totals, and count quantiles") {
+    import spark.implicits._
+    // 3 keys: counts 1, 4, 5 → n_keys=3, n_rows=10, max=5, p50=4, p99=5
+    val df = (Seq.fill(1)(1L) ++ Seq.fill(4)(2L) ++ Seq.fill(5)(3L))
+      .toDF("k")
+    val r = graft.operators.Quantiles.keyDistribution(df, "k").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 10L, 5L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((4L, 5L, 5L)))
+  }
+
   test("corpus-frequency skew split equals the plain-join semantics") {
     import spark.implicits._
     val docs = Seq((1L, "the the cat"), (2L, "the dog"), (3L, "cat axolotl"))
