@@ -27,6 +27,7 @@ object SparkEntry {
       graft.operators.BloomJoin.queries ++
       graft.operators.Quantiles.queries ++
       graft.operators.Shard.queries ++
+      graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       graft.operators.BloomJoin.oracleSql ++
       graft.operators.Quantiles.oracleSql ++
       graft.operators.Shard.oracleSql ++
+      graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++

@@ -60,6 +60,39 @@ class ShardSpec extends AnyFunSuite {
     assert(back.select(countDistinct(col("shard_id"))).head().getLong(0) === 4L)
   }
 
+  test("z-ordered write bounds per-file spans in BOTH dimensions") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    // full 64×64 grid → 16 files ≈ 16 z-tiles; a row-major sort would
+    // give y-span 64 in every file — the z-curve must beat that in both
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+    val out = tmp("graft_zorder")
+    ZOrder.writeZOrdered(grid.toDF("x", "y"), "x", "y", out,
+      numFiles = 16, maxRecordsPerFile = 10000L)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 8, s"expected >=8 files, got ${files.length}")
+    for (f <- files) {
+      val mm = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("x"), max("x"), min("y"), max("y")).head()
+      val xSpan = mm.getInt(1) - mm.getInt(0)
+      val ySpan = mm.getInt(3) - mm.getInt(2)
+      // range boundaries are sample-based so tiles aren't perfectly
+      // aligned; both spans must still stay well under the 64-wide domain
+      assert(xSpan <= 40 && ySpan <= 40,
+        s"${f.getName}: x-span $xSpan, y-span $ySpan")
+    }
+  }
+
+  test("zValue rejects out-of-domain inputs at execution") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    val bad = Seq((-1, 3)).toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b")))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage.contains("zValue"), e.getMessage)
+  }
+
   test("re-export of identical input produces identical shard membership") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
