@@ -39,19 +39,31 @@ object CorpusStats {
   /** Hot-vocabulary size for the broadcast side of the skew split. */
   val HeadVocab = 1024
 
-  def corpusFreqStats(docs: DataFrame,
-                      headVocab: Int = HeadVocab): DataFrame = {
-    val toks = docs
-      .select(col("doc_id").cast("long"),
-        explode(split(col("text"), " ")).as("token"))
+  /** (doc_id, token) pairs of the corpus — the shared explode. */
+  private def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long"),
+      explode(split(col("text"), " ")).as("token"))
+
+  /** Skew-split frequency attach: every (doc_id, token) row gains the
+    * token's corpus `freq`. Hot tokens (top `headVocab` by frequency —
+    * exactly the Zipf head that would funnel a plain shuffle join)
+    * broadcast; only the bounded-cardinality cold tail shuffle-joins.
+    * The union is a partition of the plain join (each token matches
+    * exactly one of head/tail), so semantics are join-identical. */
+  private[graft] def withTokenFreq(toks: DataFrame,
+                                   headVocab: Int): DataFrame = {
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    // Skew split: hot tokens by broadcast, cold tail by shuffle join.
     val head = freq.orderBy(col("freq").desc, col("token")).limit(headVocab)
     val tail = freq.join(broadcast(head.select(col("token"))),
       Seq("token"), "left_anti")
-    val joined = toks.join(broadcast(head), Seq("token"))
+    toks.join(broadcast(head), Seq("token"))
       .unionByName(toks.join(tail, Seq("token")))
-    joined.groupBy(col("doc_id"))
+  }
+
+  def corpusFreqStats(docs: DataFrame,
+                      headVocab: Int = HeadVocab): DataFrame = {
+    withTokenFreq(tokenize(docs), headVocab)
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("freq")).as("sum_freq"),
         sum(when(col("freq") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
@@ -82,10 +94,47 @@ object CorpusStats {
       .filter(col("rank") <= k)
   }
 
+  /** Distinctive keywords per document — the idf intuition without the
+    * cross-engine `log()` hazard: a document's most distinctive tokens
+    * are its RAREST ones, so rank each doc's distinct tokens by corpus
+    * frequency ascending (ties by token) and keep the top `k`. Pure
+    * integer/string ordering — no tf·idf float ever computed, so the
+    * selection is bit-stable on any engine.
+    *
+    * Shape: tokenize → distinct (doc, token) → skew-split freq attach →
+    * per-DOC window (groups are document-length-bounded, embarrassingly
+    * parallel — never a corpus-wide funnel). */
+  def distinctiveKeywords(docs: DataFrame, k: Int,
+                          headVocab: Int = HeadVocab): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenize(docs).distinct()
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("freq"), col("token"))
+    withTokenFreq(toks, headVocab)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("freq"))
+  }
+
   // ----------------------------------------------------------------- query
 
   def qCorpusFreq(spark: SparkSession, dir: String): DataFrame =
     corpusFreqStats(Tables.load(spark, dir, "documents"))
+
+  def qKeywords(spark: SparkSession, dir: String): DataFrame =
+    distinctiveKeywords(Tables.load(spark, dir, "documents"), 3)
+
+  val qKeywordsSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+      |r AS (SELECT t.doc_id, t.token, f.freq,
+      |             row_number() OVER (PARTITION BY t.doc_id
+      |                                ORDER BY f.freq, t.token) AS rank
+      |      FROM toks t JOIN freq f USING (token))
+      |SELECT doc_id, rank, token, freq FROM r WHERE rank <= 3""".stripMargin
 
   def qTopkSources(spark: SparkSession, dir: String): DataFrame =
     topKPerGroup(Tables.load(spark, dir, "documents"), "lang", "source", 3)
@@ -117,9 +166,11 @@ object CorpusStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_corpusfreq" -> (qCorpusFreq _),
-    "topk_sources" -> (qTopkSources _))
+    "topk_sources" -> (qTopkSources _),
+    "keywords_rare" -> (qKeywords _))
 
   val oracleSql: Map[String, String] = Map(
     "quality_corpusfreq" -> qCorpusFreqSql,
-    "topk_sources" -> qTopkSourcesSql)
+    "topk_sources" -> qTopkSourcesSql,
+    "keywords_rare" -> qKeywordsSql)
 }

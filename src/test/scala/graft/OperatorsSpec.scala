@@ -253,6 +253,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((4L, 5L, 5L)))
   }
 
+  test("distinctiveKeywords picks each doc's rarest tokens by document frequency") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat axolotl"), (2L, "the cat"), (3L, "the"))
+      .toDF("doc_id", "text")
+    // df: the=3, cat=2, axolotl=1
+    val got = graft.llmops.CorpusStats
+      .distinctiveKeywords(docs, k = 2, headVocab = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === Set((1L, 1, "axolotl"), (1L, 2, "cat"),
+      (2L, 1, "cat"), (2L, 2, "the"), (3L, 1, "the")))
+  }
+
   test("corpus-frequency skew split equals the plain-join semantics") {
     import spark.implicits._
     val docs = Seq((1L, "the the cat"), (2L, "the dog"), (3L, "cat axolotl"))
