@@ -66,18 +66,36 @@ object Quantiles {
   /** Join-skew diagnostics — the question every 100 TB join plan starts
     * with: how are rows distributed over this key? One row out: key
     * cardinality, row total, the heaviest key's count, and p50/p90/p99
-    * of per-key counts (via [[groupQuantiles]] over the count histogram
-    * — the per-key counts frame is key-sized, so this costs one extra
-    * tiny aggregation after the groupBy). A p99/p50 ratio far above 1
-    * says "salt this key or split its head" before the shuffle does. */
+    * of per-key counts. A p99/p50 ratio far above 1 says "salt this key
+    * or split its head" before the shuffle does.
+    *
+    * Everything derives from the COUNT-OF-COUNTS histogram in ONE plan:
+    * per-key counts (the only input-sized aggregation), then a tiny
+    * `groupBy(count)` whose global window and final scalar agg carry
+    * all six outputs — no second pass over the input, and an empty (or
+    * all-NULL-key) input yields the same single row of (0, NULLs) the
+    * oracle produces. */
   def keyDistribution(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("_kc"))
-    val q = groupQuantiles(counts.withColumn("_g", lit(1)), "_g", "_kc")
-      .drop("_g")
-    counts.agg(count(lit(1)).as("n_keys"), sum(col("_kc")).as("n_rows"),
-        max(col("_kc")).as("max_per_key"))
-      .crossJoin(q)
+    val h = counts.groupBy(col("_kc")).agg(count(lit(1)).as("_k"))
+    // global window over distinct COUNT VALUES — a handful of rows at
+    // any input size, so the single partition is free
+    val wCum = Window.orderBy("_kc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val hist = h
+      .withColumn("_cum", sum(col("_k")).over(wCum))
+      .withColumn("_n", sum(col("_k")).over(wAll))
+    val picks = Percentiles.map { case (label, num, den) =>
+      val idx = expr(s"(_n * $num + ${den - 1}) div $den")
+      min(when(col("_cum") >= idx, col("_kc"))).as(label)
+    }
+    val outs = Seq(
+      coalesce(sum(col("_k")), lit(0L)).as("n_keys"),
+      sum(col("_kc") * col("_k")).as("n_rows"),
+      max(col("_kc")).as("max_per_key")) ++ picks
+    hist.agg(outs.head, outs.tail: _*)
   }
 
   // ----------------------------------------------------------------- query

@@ -26,9 +26,9 @@ object ZOrder {
   val BitsPerCol = 30
 
   private def requireExpr(c: Column, name: String): Column =
-    when(c < 0 || c >= (1L << BitsPerCol),
+    when(c.isNull || c < 0 || c >= (1L << BitsPerCol),
       raise_error(concat(lit(s"zValue: $name out of [0, 2^$BitsPerCol): "),
-        c.cast("string"))).cast("long"))
+        coalesce(c.cast("string"), lit("NULL")))).cast("long"))
       .otherwise(c.cast("long"))
 
   /** 60-bit z-value of two non-negative ints (< 2^30 each); `a` takes
@@ -42,10 +42,14 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
-  /** DuckDB fragment computing the identical z-value. */
+  /** DuckDB fragment computing the identical z-value. The operands are
+    * cast to BIGINT first: DuckDB shifts in the OPERAND's width, so an
+    * INTEGER column's bit shifted past position 30 would overflow
+    * INT32 and abort the query inside the documented 2^30 domain. */
   def zValueSql(a: String, b: String): String =
     (0 until BitsPerCol).map { i =>
-      s"(((($a) >> $i) & 1) << ${2 * i}) + (((($b) >> $i) & 1) << ${2 * i + 1})"
+      s"(((CAST($a AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+        s"(((CAST($b AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
   /** Write `df` z-ordered on (colA, colB): one range shuffle on z,
@@ -55,6 +59,8 @@ object ZOrder {
                     numFiles: Int = 16,
                     maxRecordsPerFile: Long = 1000000L): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(!df.columns.contains("_z"),
+      "input already has a column named _z (reserved by writeZOrdered)")
     df.withColumn("_z", zValue(col(colA), col(colB)))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))

@@ -60,11 +60,29 @@ class ShardSpec extends AnyFunSuite {
     assert(back.select(countDistinct(col("shard_id"))).head().getLong(0) === 4L)
   }
 
-  test("z-ordered write bounds per-file spans in BOTH dimensions") {
+  test("z-curve locality: every aligned 256-z block is a 16x16 tile of the grid") {
     import spark.implicits._
     import graft.operators.ZOrder
-    // full 64×64 grid → 16 files ≈ 16 z-tiles; a row-major sort would
-    // give y-span 64 in every file — the z-curve must beat that in both
+    // DETERMINISTIC property of the curve itself (no range sampling
+    // involved): contiguous aligned z-blocks are square tiles, which is
+    // exactly what bounds per-file min/max once files hold z-ranges
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+    val spans = grid.toDF("x", "y")
+      .withColumn("_z", ZOrder.zValue(col("x"), col("y")))
+      .groupBy(expr("_z div 256").as("block"))
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(spans.length === 16)
+    spans.foreach { r =>
+      assert(r.getLong(3) === 256L, r.toString) // block is full
+      assert(r.getInt(1) === 15 && r.getInt(2) === 15, r.toString)
+    }
+  }
+
+  test("z-ordered write: per-file z-ranges are disjoint and internally sorted") {
+    import spark.implicits._
+    import graft.operators.ZOrder
     val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
     val out = tmp("graft_zorder")
     ZOrder.writeZOrdered(grid.toDF("x", "y"), "x", "y", out,
@@ -72,16 +90,20 @@ class ShardSpec extends AnyFunSuite {
     val files = new java.io.File(out).listFiles()
       .filter(_.getName.endsWith(".parquet"))
     assert(files.length >= 8, s"expected >=8 files, got ${files.length}")
-    for (f <- files) {
-      val mm = spark.read.parquet(f.getAbsolutePath)
-        .agg(min("x"), max("x"), min("y"), max("y")).head()
-      val xSpan = mm.getInt(1) - mm.getInt(0)
-      val ySpan = mm.getInt(3) - mm.getInt(2)
-      // range boundaries are sample-based so tiles aren't perfectly
-      // aligned; both spans must still stay well under the 64-wide domain
-      assert(xSpan <= 40 && ySpan <= 40,
-        s"${f.getName}: x-span $xSpan, y-span $ySpan")
+    val ranges = files.map { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .withColumn("_z", ZOrder.zValue(col("x"), col("y")))
+        .select("_z").collect().map(_.getLong(0))
+      assert(rows.toSeq === rows.sorted.toSeq, s"${f.getName} not z-sorted")
+      (rows.min, rows.max)
+    }.sortBy(_._1)
+    // range partitioning guarantees disjoint per-file z-intervals —
+    // the property that makes per-file min/max stats prunable
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, ranges.mkString(","))
+      case _ =>
     }
+    assert(spark.read.parquet(out).count() === 4096L)
   }
 
   test("zValue rejects out-of-domain inputs at execution") {
