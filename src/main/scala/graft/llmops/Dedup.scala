@@ -130,6 +130,55 @@ object Dedup {
        |           JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $threshold""".stripMargin
 
+  /** Containment threshold: A is "contained" in B when ≥ this share of
+    * A's shingles also appear in B. */
+  val ContainmentThreshold = 0.5
+
+  /** Asymmetric containment pairs — the near-dup relation Jaccard
+    * misses: a short document quoted wholesale inside a long one has
+    * tiny Jaccard (the union is dominated by the long doc) but
+    * containment(short→long) ≈ 1. Same inverted-index candidate
+    * machinery as [[ngramJaccardPairs]] (shared-shingle equi-join, DF
+    * cap bounding the blowup), but the score divides the intersection
+    * by the SOURCE doc's shingle count and both directions are emitted
+    * — containment(A→B) ≠ containment(B→A) is the point. */
+  def containmentPairs(docs: DataFrame,
+                       threshold: Double = ContainmentThreshold,
+                       dfCap: Int = ShingleDfCap): DataFrame = {
+    val exploded = shingleHashSets(docs)
+      .select(col("doc_id"), explode(col("hashes")).as("h"))
+    val kept = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("h"))
+    val shKept = exploded.join(kept, Seq("h"))
+    val sizes = shKept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = shKept.select(col("doc_id").as("doc_a"), col("h"))
+    val b = shKept.select(col("doc_id").as("doc_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), Seq("doc_a"))
+      .filter(col("inter").cast("double") / col("na") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        Hashing.stableRound(col("inter").cast("double") / col("na"), 4)
+          .as("containment"))
+  }
+
+  def containmentOracleSql(threshold: Double = ContainmentThreshold,
+                           dfCap: Int = ShingleDfCap): String =
+    s"""WITH $shinglesSql,
+       |kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $dfCap),
+       |shk AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       ${Hashing.stableRoundSql("inter * 1.0 / sa.n", 4)} AS containment
+       |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+       |WHERE inter * 1.0 / sa.n >= $threshold""".stripMargin
+
   // ------------------------------------------------------------ MinHash + LSH
 
   /** LSH band rows (doc_id, band, bucket) computed in one kernel pass:
@@ -536,6 +585,8 @@ object Dedup {
       exactDedup(Tables.load(s, d, "documents"), "doc_id", "text")),
     "dedup_ngram" -> ((s: SparkSession, d: String) =>
       ngramJaccardPairs(Tables.load(s, d, "documents"))),
+    "dedup_containment" -> ((s: SparkSession, d: String) =>
+      containmentPairs(Tables.load(s, d, "documents"))),
     "dedup_minhash" -> ((s: SparkSession, d: String) =>
       minhashDedupPairs(Tables.load(s, d, "documents"))),
     "dedup_simhash" -> ((s: SparkSession, d: String) =>
@@ -554,6 +605,7 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram" -> ngramOracleSql(),
+    "dedup_containment" -> containmentOracleSql(),
     "dedup_minhash" -> minhashOracleSql(),
     "dedup_simhash" -> simhashPairsSql(),
     "dedup_embed" -> embeddingPairsSql(),

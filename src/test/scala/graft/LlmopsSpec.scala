@@ -10,6 +10,23 @@ import graft.llmops.Dedup
 class LlmopsSpec extends AnyFunSuite {
   import TestSession._
 
+  test("containment catches subset duplication that Jaccard misses, asymmetrically") {
+    import spark.implicits._
+    // doc 1 = 6 tokens quoted verbatim inside doc 2's 40-token body
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 34).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, s"$filler $quote")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, threshold = 0.5, dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every shingle of the short doc appears in the long one...
+    assert(cont((1L, 2L)) === 1.0)
+    // ...but not vice versa (long doc is mostly filler)
+    assert(!cont.contains((2L, 1L)))
+    // and Jaccard never flags the pair at the same threshold
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.5, dfCap = 1000)
+    assert(jac.count() === 0)
+  }
+
   test("duplicateClusters labels every chain with its minimum id") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
