@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate: read Verify.scala's output
 parquet + oracle_sql.json, run each oracle in DuckDB over the fixture tables,
-compare (column-name-sorted, row-sorted, value-canonicalized) frames.
+compare (column-name-sorted, row-sorted, value-canonicalized) frames — AND
+column TYPES (DESCRIBE on both sides). The driver's hash is type-sensitive:
+a DuckDB HUGEINT (e.g. an uncast sum(BIGINT)) vs Spark BIGINT fails the
+driver even when every value matches, and str()-canonicalized values can't
+see it. Round 6 shipped three such reds; the type gate catches them here.
 
 Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir>
 """
@@ -34,14 +38,32 @@ def frame(rows, cols):
     out = sorted(tuple(canon(r[i]) for i in idx) for r in rows)
     return [cols[i] for i in idx], out
 
+# The driver's hash is insensitive to int WIDTH (Spark INTEGER vs oracle
+# BIGINT is green in CORRECTNESS_r06 for 8 queries) but red the moment a
+# value leaves the 64-bit int domain (HUGEINT from an uncast sum(BIGINT)).
+# Mirror that: all signed/unsigned ints that fit int64 are one class;
+# HUGEINT / DECIMAL / DOUBLE / everything else must match exactly.
+INT64_CLASS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER"}
+
+def tclass(t):
+    return "INT<=64" if t in INT64_CLASS else t
+
+def coltypes(query):
+    """name -> DuckDB type string, via DESCRIBE (works for any SELECT)."""
+    return {r[0]: tclass(r[1])
+            for r in con.execute(f"DESCRIBE {query}").fetchall()}
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
+        spark_side = f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
+        wtypes = coltypes(sql)
+        gtypes = coltypes(spark_side)
         want = con.execute(sql)
         wcols = [d[0] for d in want.description]
         wrows = want.fetchall()
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+        got = con.execute(spark_side)
         gcols = [d[0] for d in got.description]
         grows = got.fetchall()
     except Exception as e:
@@ -50,8 +72,13 @@ for name, sql in sorted(oracle.items()):
         continue
     wc, wf = frame(wrows, wcols)
     gc, gf = frame(grows, gcols)
+    tdiff = [(c, gtypes.get(c), wtypes.get(c)) for c in sorted(set(wtypes) | set(gtypes))
+             if gtypes.get(c) != wtypes.get(c)]
     if wc != gc:
         print(f"FAIL {name}: columns {gc} != oracle {wc}")
+        fails += 1
+    elif tdiff:
+        print(f"FAIL {name}: column types (col, spark, oracle): {tdiff}")
         fails += 1
     elif wf != gf:
         diffs = [(a, b) for a, b in zip(gf, wf) if a != b][:3]

@@ -44,8 +44,12 @@ object Pack {
     require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
     val spark = docs.sparkSession
     import spark.implicits._
+    // NULL text is pinned to '' (Spark's size(split(NULL)) = -1 while
+    // DuckDB's len(string_split(NULL)) is NULL — coalescing on BOTH
+    // engines makes a NULL doc one empty token, never a negative span)
     val toks = docs.select(col("doc_id").cast("long"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long").as("n_tokens"),
       expr(s"cast(doc_id as bigint) div $bucketSize").as("bucket"))
     val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -94,7 +98,8 @@ object Pack {
     require(chunkTokens >= 1 && stride >= 1,
       s"chunkTokens/stride must be >= 1, got $chunkTokens/$stride")
     val chunk = slice(col("toks"), col("start_tok") + 1, lit(chunkTokens))
-    docs.select(col("doc_id").cast("long"), split(col("text"), " ").as("toks"))
+    docs.select(col("doc_id").cast("long"),
+        split(coalesce(col("text"), lit("")), " ").as("toks"))
       .select(col("doc_id"), col("toks"), posexplode(
         sequence(lit(0), size(col("toks")) - 1, lit(stride)))
         .as(Seq("chunk_id", "start_tok")))
@@ -115,11 +120,13 @@ object Pack {
   /** The oracle states the SEMANTICS (one global ordered cumsum) — the
     * Spark side must reproduce it exactly from the two-phase plan. */
   val qPackSql: String =
-    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+    s"""WITH t AS (SELECT doc_id, len(string_split(coalesce(text, ''), ' '))
+       |                     AS n_tokens
        |           FROM documents),
        |c AS (SELECT doc_id, n_tokens,
-       |             sum(n_tokens) OVER (ORDER BY doc_id
-       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |               AS BIGINT) AS cum
        |      FROM t)
        |SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
        |       (cum - n_tokens) // $SeqTokens AS seq_first,
@@ -131,7 +138,7 @@ object Pack {
     * guarantees. List slicing is 1-based inclusive on both engines'
     * chosen forms (`list_slice(x, a, b)` ↔ `slice(x, a, len)`). */
   val qChunkSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
        |           FROM documents),
        |s AS (SELECT doc_id, toks,
        |             unnest(range(0, len(toks), $ChunkStride)) AS start_tok

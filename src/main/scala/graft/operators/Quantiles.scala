@@ -118,7 +118,7 @@ object Quantiles {
       |             min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
       |      FROM w)
       |SELECT (SELECT count(*) FROM c) AS n_keys,
-      |       (SELECT sum(c) FROM c) AS n_rows,
+      |       (SELECT CAST(sum(c) AS BIGINT) FROM c) AS n_rows,
       |       (SELECT max(c) FROM c) AS max_per_key,
       |       p50, p90, p99
       |FROM q""".stripMargin

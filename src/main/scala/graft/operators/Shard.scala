@@ -62,13 +62,15 @@ object Shard {
     assignShards(Tables.load(spark, dir, "documents"), "doc_id")
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(size(split(coalesce(col("text"), lit("")), " ")).cast("long"))
+          .as("n_tokens"),
         expr("bit_xor(_h)").as("checksum"))
 
   val qShardsSql: String = {
     val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
     s"""SELECT $h % $DefaultShards AS shard_id, count(*) AS n_docs,
-       |       sum(len(string_split(text, ' '))) AS n_tokens,
+       |       CAST(sum(len(string_split(coalesce(text, ''), ' ')))
+       |            AS BIGINT) AS n_tokens,
        |       bit_xor($h) AS checksum
        |FROM documents GROUP BY 1""".stripMargin
   }

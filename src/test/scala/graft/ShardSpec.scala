@@ -115,6 +115,28 @@ class ShardSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zValue"), e.getMessage)
   }
 
+  test("NULL text is pinned to one empty token in shard manifests and packing") {
+    import spark.implicits._
+    import graft.llmops.Pack
+    // contract: NULL text == '' == one empty token on BOTH engines
+    // (Spark size(split(NULL)) is -1, DuckDB len(string_split(NULL)) is
+    // NULL — the coalesce in qShards/packSequences/chunkDocs removes the
+    // divergence; DuckDB len(string_split(coalesce(NULL,''),' ')) = 1)
+    val docs = Seq((1L, "two tokens"), (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("doc_id", "text")
+    val manifest = Shard.assignShards(docs, "doc_id", 1)
+      .groupBy(col("shard_id"))
+      .agg(sum(size(split(coalesce(col("text"), lit("")), " ")).cast("long"))
+        .as("n_tokens")).head()
+    assert(manifest.getLong(1) === 4L) // 2 + 1 + 1, never 2 + (-1) + 1
+    val packed = Pack.packSequences(docs, 4).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(packed.toSeq === Seq((1L, 2L, 0L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    val chunks = Pack.chunkDocs(docs).groupBy("doc_id").count()
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(chunks.toSeq === Seq(1L, 1L, 1L)) // every doc emits >=1 chunk
+  }
+
   test("re-export of identical input produces identical shard membership") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
