@@ -13,7 +13,8 @@ import scala.jdk.CollectionConverters._
   * exactly (folder filter, suffix filter, set-union, "no files" no-op)
   * while the rewrite step is [[normalizeSql]] — a deterministic
   * whitespace canonicalizer standing in for the external formatter (the
-  * same honest-stub contract as `Multimodal.StubCodec`: the flow,
+  * same honest-stub contract as `Multimodal.MediaCodec`'s opaque
+  * fallback: the flow,
   * selection, and idempotence are real and tested; the full sqlfmt style
   * engine is out of scope per README).
   */

@@ -9,13 +9,17 @@ import graft.core.Tables
   * with a typed metadata struct, plus decode / feature-extract / frame-sample
   * operators.
   *
-  * The actual codecs are NOT available in this environment, so the decode
-  * step is a clearly-marked deterministic STUB ([[StubCodec]]). Everything
-  * around it — the schema contract, the per-partition batch iteration shape
-  * (one decoder instance per partition, amortized across rows, exactly how a
-  * JNI/FFmpeg handle would be held), the frame-explosion layout, and the
-  * partition-parallel execution — is real and tested. Swapping StubCodec for
-  * a real decoder changes no plan shape.
+  * The decode step is REAL for images: [[MediaCodec]] sniffs PNG/JPEG/GIF/
+  * BMP containers and decodes pixels through [[ImageCodec]] (JDK
+  * `javax.imageio`, no extra dependency); an image payload's frames are its
+  * decoded luma rows. Payloads that are not a recognized image — audio,
+  * video, or the utf-8 text fixtures the oracle replays — take the
+  * documented opaque fallback (fixed-size byte slices), so the whole
+  * pipeline stays deterministic and oracle-checkable while real images get
+  * real decoding. The execution shape is the part that matters at scale:
+  * one decoder scope per PARTITION (how a JNI/FFmpeg handle would be
+  * held), frame explosion inside the partition, no shuffle, no driver
+  * collect.
   */
 object Multimodal {
 
@@ -28,17 +32,20 @@ object Multimodal {
 
   val FrameBytes = 256
 
-  /** STUB decoder: deterministic fake in place of an image/audio codec.
-    * A real implementation would wrap e.g. javax.imageio / ffmpeg here;
-    * the function signature (bytes → frames of fixed-size feature rows)
-    * is the real contract. */
-  object StubCodec {
-    /** "Decode" a payload into frames: fixed-size byte slices. */
+  /** Payload → frames codec. Real images ([[ImageCodec.sniff]] hit)
+    * decode to pixel rows: one frame per luma scanline. Everything else
+    * falls back to fixed-size byte slices — the deterministic opaque
+    * contract the oracle replays. `features` is the same byte math on
+    * both paths (a stand-in for an embedding/logits vector; audio/video
+    * codecs would slot in beside the image branch). */
+  object MediaCodec {
     def frames(payload: Array[Byte]): Iterator[Array[Byte]] =
-      payload.grouped(FrameBytes)
+      ImageCodec.decodeLuma(payload) match {
+        case Some((w, _, luma)) => luma.grouped(w)
+        case None               => payload.grouped(FrameBytes)
+      }
 
-    /** "Feature-extract" a frame: (checksum, min, max, mean) over bytes —
-      * deterministic stand-ins for an embedding/logits vector. */
+    /** Feature-extract a frame: (checksum, min, max, mean) over bytes. */
     def features(frame: Array[Byte]): (Long, Int, Int, Double) = {
       var sum = 0L; var mn = 255; var mx = 0
       frame.foreach { b =>
@@ -78,18 +85,38 @@ object Multimodal {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id"), col("payload")).rdd
       .mapPartitions { rows =>
-        // Real codec: open decoder handle here, close on iterator end.
+        // Stateful codecs (FFmpeg handles etc.) would open here, close on
+        // iterator end; ImageIO is stateless so nothing to hold.
         rows.flatMap { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          StubCodec.frames(payload).zipWithIndex.collect {
+          MediaCodec.frames(payload).zipWithIndex.collect {
             case (frame, i) if i % everyN == 0 =>
-              val (sum, mn, mx, mean) = StubCodec.features(frame)
+              val (sum, mn, mx, mean) = MediaCodec.features(frame)
               Row(id, i, sum, mn, mx, math.rint(mean * 10000) / 10000)
           }
         }
       }
     spark.createDataFrame(rdd, frameSchema)
+  }
+
+  /** Attach REAL container metadata sniffed from each payload's header:
+    * mime + pixel dimensions for recognized images (n_frames = scanline
+    * count), the opaque byte-slice shape otherwise. Narrow map pass — at
+    * scale this is the cheap metadata-inventory scan run before deciding
+    * what to decode. */
+  def describeMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        ImageCodec.sniff(p) match {
+          case Some(info) => (id, info.mime, info.width, info.height, info.height)
+          case None => (id, "application/octet-stream", 0, 0,
+            (p.length + FrameBytes - 1) / FrameBytes)
+        }
+      }.toDF("media_id", "mime", "width", "height", "n_frames")
   }
 
   /** "Resize" stub: re-chunk payloads to a target frame size — the real op

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llmops.{ImageCodec, Multimodal}
+
+/** Real-image decoding through the multimodal column family: container
+  * sniffing, pixel decode, and the frame pipeline on payloads produced by
+  * the JDK's own encoders (so the fixture bytes are genuine PNG/JPEG/GIF/
+  * BMP containers, not hand-faked headers). */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** A real encoded image: 6x4, deterministic per-pixel RGB gradient. */
+  private def encodedImage(format: String, w: Int = 6, h: Int = 4): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 60) << 8) | (x * 10 + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+    bos.toByteArray
+  }
+
+  test("sniff reads mime and dimensions from real container headers") {
+    assert(ImageCodec.sniff(encodedImage("png")) ===
+      Some(ImageCodec.ImageInfo("image/png", 6, 4)))
+    assert(ImageCodec.sniff(encodedImage("jpg")) ===
+      Some(ImageCodec.ImageInfo("image/jpeg", 6, 4)))
+    assert(ImageCodec.sniff(encodedImage("gif")) ===
+      Some(ImageCodec.ImageInfo("image/gif", 6, 4)))
+    assert(ImageCodec.sniff(encodedImage("bmp")) ===
+      Some(ImageCodec.ImageInfo("image/bmp", 6, 4)))
+    assert(ImageCodec.sniff("plain text payload".getBytes("utf-8")) === None)
+    assert(ImageCodec.sniff(Array[Byte]()) === None)
+  }
+
+  test("decodeLuma recovers the exact pixels from a lossless container") {
+    val Some((w, h, luma)) = ImageCodec.decodeLuma(encodedImage("png"))
+    assert((w, h) === (6, 4))
+    assert(luma.length === 24)
+    // luma of pixel (x, y) from the gradient, BT.601 integer weights
+    def expected(x: Int, y: Int): Byte =
+      (((x * 40) * 299 + (y * 60) * 587 + (x * 10 + y) * 114) / 1000).toByte
+    for (y <- 0 until h; x <- 0 until w)
+      assert(luma(y * w + x) === expected(x, y), s"pixel ($x, $y)")
+    // text payloads must NOT decode (they take the opaque path)
+    assert(ImageCodec.decodeLuma("not an image".getBytes("utf-8")).isEmpty)
+  }
+
+  test("frame pipeline decodes a real image into per-scanline features") {
+    import spark.implicits._
+    val png = encodedImage("png")
+    val media = Seq((7L, png)).toDF("media_id", "payload")
+    val frames = Multimodal.extractFrameFeatures(media)
+      .orderBy("frame_no").collect()
+    assert(frames.length === 4) // one frame per scanline, not byte-slices
+    val Some((w, _, luma)) = ImageCodec.decodeLuma(png)
+    frames.zipWithIndex.foreach { case (r, y) =>
+      val row = luma.slice(y * w, (y + 1) * w).map(_ & 0xff)
+      assert(r.getLong(2) === row.map(_.toLong).sum, s"checksum row $y")
+      assert(r.getInt(3) === row.min && r.getInt(4) === row.max)
+    }
+  }
+
+  test("describeMedia inventories mixed image and opaque payloads") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, encodedImage("png", 9, 5)),
+      (2L, encodedImage("gif", 3, 7)),
+      (3L, ("x" * 600).getBytes("utf-8"))).toDF("media_id", "payload")
+    val got = Multimodal.describeMedia(media).orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq === Seq(
+      (1L, "image/png", 9, 5, 5),
+      (2L, "image/gif", 3, 7, 7),
+      (3L, "application/octet-stream", 0, 0, 3))) // ceil(600/256) slices
+  }
+
+  test("opaque fallback is unchanged: text payloads still byte-slice") {
+    import spark.implicits._
+    val media = Multimodal.toMediaTable(
+      Seq((1L, "a" * 300)).toDF("doc_id", "text"))
+    val frames = Multimodal.extractFrameFeatures(media)
+      .orderBy("frame_no").collect()
+    assert(frames.length === 2) // 300 bytes -> 256 + 44
+    assert(frames(0).getLong(2) === 97L * 256) // 'a' checksum, slice 1
+    assert(frames(1).getLong(2) === 97L * 44)
+  }
+}
