@@ -73,6 +73,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF recall rises monotonically with nprobe and reaches 1.0 at nlist") {
+    // recall@k vs the brute-force ground truth: probing more cells can
+    // only grow each query's candidate set, so recall is non-decreasing
+    // in nprobe, and probing EVERY cell is exhaustive search — the knob's
+    // at-scale contract (recall cliff control) verified on the fixture
+    val isQuery = expr("vec_id < 10")
+    val isCent = expr("vec_id % 29 = 3")
+    val nlist = emb.filter(isCent).count().toInt
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = resultSet(Similarity.bruteForceTopK(emb, isQuery))
+    val recalls = Seq(1, 2, 4, nlist).map { p =>
+      val got = resultSet(Similarity.ivfTopK(emb, isQuery, isCent, nprobe = p))
+      (got & truth).size.toDouble / truth.size
+    }
+    recalls.sliding(2).foreach {
+      case Seq(lo, hi) => assert(hi >= lo, s"recall fell: $recalls")
+      case _ =>
+    }
+    assert(recalls.head > 0.0 && recalls.head < 1.0,
+      s"nprobe=1 should be a real (lossy) probe on this fixture: $recalls")
+    assert(recalls.last === 1.0, s"probing all $nlist cells must be exact: $recalls")
+  }
+
   test("oversized broadcast-side collect fails with the driver cap named") {
     // a non-selective isQuery must not OOM the driver silently — the cap
     // guard raises with the actual problem before transferring a corpus
