@@ -117,6 +117,44 @@ object CorpusStats {
       .select(col("doc_id"), col("rank"), col("token"), col("freq"))
   }
 
+  /** Per-source n-gram diversity — the self-BLEU-style repetition screen
+    * at corpus granularity: distinct word-3-gram shingles over total
+    * (per-doc-distinct) shingle occurrences. A templated or boilerplate-
+    * heavy source reuses the same shingles across documents and scores
+    * low; a diverse source approaches 1. Shingle hashing is the shared
+    * 60-bit kernel ([[Kernels.distinctShingleHashes]]), so the oracle
+    * replicates the exact hash domain — distinctness is counted over
+    * identical values on both engines.
+    *
+    * Shape: one narrow kernel pass emitting (source, doc_id, h), then one
+    * aggregation per source. The two distinct-counts expand rows 3× into
+    * the shuffle — fine while source cardinality is modest; at extreme
+    * cardinality split into two single-distinct aggs over the same
+    * frame. */
+  def ngramDiversity(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs
+      .select(col("doc_id").cast("long"),
+        coalesce(col("source"), lit("")).as("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = Kernels.newMd5()
+        it.flatMap { case (id, src, text) =>
+          Kernels.distinctShingleHashes(md, text).iterator.map(h => (src, id, h))
+        }
+      }.toDF("source", "doc_id", "h")
+    rows.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_shingles"),
+        countDistinct(col("h")).as("n_distinct_shingles"))
+      .select(col("source"), col("n_docs"), col("n_shingles"),
+        col("n_distinct_shingles"),
+        Hashing.stableRound(
+          col("n_distinct_shingles").cast("double") / col("n_shingles"), 4)
+          .as("diversity"))
+  }
+
   // ----------------------------------------------------------------- query
 
   def qCorpusFreq(spark: SparkSession, dir: String): DataFrame =
@@ -164,13 +202,38 @@ object CorpusStats {
        |FROM toks t JOIN freq f USING (token)
        |GROUP BY 1""".stripMargin
 
+  def qDiversity(spark: SparkSession, dir: String): DataFrame =
+    ngramDiversity(Tables.load(spark, dir, "documents"))
+
+  /** DISTINCT is taken over the same 60-bit hash values the kernel
+    * emits (not shingle strings), so both engines count the identical
+    * domain even in the (negligible) collision case. */
+  val qDiversitySql: String = {
+    val h = Hashing.md5LongSql("words[i] || ' ' || words[i+1] || ' ' || words[i+2]")
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, source, $h AS h
+       |  FROM (SELECT doc_id, coalesce(source, '') AS source, words,
+       |               unnest(generate_series(1, len(words) - 2)) AS i
+       |        FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+       |              FROM documents)
+       |        WHERE len(words) >= 3))
+       |SELECT source, count(DISTINCT doc_id) AS n_docs,
+       |       count(*) AS n_shingles,
+       |       count(DISTINCT h) AS n_distinct_shingles,
+       |       ${Hashing.stableRoundSql(
+             "count(DISTINCT h) * 1.0 / count(*)", 4)} AS diversity
+       |FROM sh GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_corpusfreq" -> (qCorpusFreq _),
     "topk_sources" -> (qTopkSources _),
-    "keywords_rare" -> (qKeywords _))
+    "keywords_rare" -> (qKeywords _),
+    "diversity_ngram" -> (qDiversity _))
 
   val oracleSql: Map[String, String] = Map(
     "quality_corpusfreq" -> qCorpusFreqSql,
     "topk_sources" -> qTopkSourcesSql,
-    "keywords_rare" -> qKeywordsSql)
+    "keywords_rare" -> qKeywordsSql,
+    "diversity_ngram" -> qDiversitySql)
 }

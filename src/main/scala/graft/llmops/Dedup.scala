@@ -330,12 +330,15 @@ object Dedup {
   /** Near-dup pairs: equal 15-bit band → candidate → Hamming ≤ max. With 4
     * bands, any pair within Hamming 3 is guaranteed caught (pigeonhole);
     * up to HammingMax it's caught when the flips avoid one band. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = HammingMax): DataFrame = {
-    val fp = simhash(docs)
-    val bands = (0 until SimhashBands).map { k =>
+  /** (band, bucket) LSH rows of a simhash frame: 4 bands × 15 bits. */
+  def simhashBandRows(fp: DataFrame): DataFrame =
+    (0 until SimhashBands).map { k =>
       fp.select(col("doc_id"), col("simhash"), lit(k).as("band"),
         shiftright(col("simhash"), k * 15).bitwiseAND(0x7fff).as("bucket"))
     }.reduce(_.unionAll(_))
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = HammingMax): DataFrame = {
+    val bands = simhashBandRows(simhash(docs))
     val l = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     l.join(r, Seq("band", "bucket"))
@@ -364,6 +367,114 @@ object Dedup {
        |bands AS MATERIALIZED (
        |  $simhashBandsSql)
        |${simhashPairsFragment(maxHamming)}""".stripMargin
+
+  // ------------------------------------------------- incremental near-dup
+
+  /** Bloom bitmap sizing for the incremental band filter: 2^20 bits /
+    * k=4 is ~1% FP at ~180k distinct band keys (4 bands × 45k docs);
+    * size mBits ≥ 10·|old bands| at real scale — the bitmap is 128 KiB
+    * per 2^20 bits, always a driver-friendly artifact. */
+  val IncrementalBloomBits = 1 << 20
+  val IncrementalBloomK = 4
+
+  /** Cap on broadcast candidate band rows (true collisions + Bloom FPs);
+    * a new batch more duplicated than this should run the full
+    * [[simhashPairs]] instead of the incremental path. */
+  val MaxCandidateBands = 2000000
+
+  /** Incremental near-dup detection — the nightly-ingest question: which
+    * NEW documents near-duplicate the EXISTING corpus? Emits one row per
+    * (new_id, old_id) SimHash collision with Hamming ≤ maxHamming.
+    *
+    * The 100 TB shape is what matters: the OLD corpus is never shuffled.
+    * Its 4×15-bit band keys build a distributed Bloom bitmap (bit_or
+    * aggregate with map-side combine; the driver receives mBits/8 bytes,
+    * not rows). The new batch probes the bitmap map-side — a codegen'd
+    * [[graft.functions.BloomMightContain]] filter — and only surviving
+    * band rows (true collisions + ~1% FPs) are broadcast back to join
+    * the old corpus's bands where they sit. Exact Hamming verification
+    * runs on the joined fingerprints; Bloom FPs and band-only collisions
+    * die there, so the output is exact. */
+  def incrementalSimhashDedup(oldDocs: DataFrame, newDocs: DataFrame,
+                              maxHamming: Int = HammingMax,
+                              mBits: Int = IncrementalBloomBits,
+                              k: Int = IncrementalBloomK): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.BloomMightContain
+    // band key as its canonical string form (build and probe agree)
+    def bandKey = (col("band") * lit(32768L) + col("bucket")).cast("string")
+    val oldBands = simhashBandRows(simhash(oldDocs))
+    val newBands = simhashBandRows(simhash(newDocs))
+    val bits = graft.operators.BloomJoin.buildBits(
+      oldBands.select(bandKey.as("bk")), "bk", mBits, k)
+    val probe = GraftBridge.column(BloomMightContain(
+      GraftBridge.expression(bandKey), bits, mBits, k))
+    val cand = newBands.filter(probe)
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("new_id"), col("simhash").as("sim_new"))
+      .limit(MaxCandidateBands + 1).persist()
+    require(cand.count() <= MaxCandidateBands,
+      s"more than $MaxCandidateBands candidate band rows — the new batch " +
+        "collides with the corpus too broadly for the broadcast-back " +
+        "incremental path; run simhashPairs over old+new instead")
+    cand.hint("broadcast")
+      .join(oldBands.select(col("band"), col("bucket"),
+        col("doc_id").as("old_id"), col("simhash").as("sim_old")),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id"),
+        bit_count(col("sim_new").bitwiseXOR(col("sim_old"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------- duplicated passages
+
+  /** Tokens per passage window for duplicate-passage detection. */
+  val PassageTokens = 8
+
+  /** Exact duplicated-passage detection — the span-level relation document
+    * dedup misses: boilerplate headers, quoted paragraphs, and templated
+    * spans repeat across documents that are nowhere near duplicates as
+    * wholes. Every `spanTokens`-token window (stride 1) is hashed; spans
+    * seen in ≥ minDocs distinct documents come back as
+    * (span_md5, n_docs, n_occurrences, first_doc).
+    *
+    * Cost shape: one narrow tokenize+explode (≈ one row per input token)
+    * into ONE md5-keyed aggregation with map-side combine — the honest
+    * price of exact span dedup at any scale; there is no candidate
+    * pruning to do because the aggregate IS the index. Group keys are
+    * the 128-bit span hashes, never span text, so shuffle rows stay
+    * ~40 bytes regardless of span length. */
+  def passageDuplicates(docs: DataFrame, spanTokens: Int = PassageTokens,
+                        minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toks = docs
+      .select(col("doc_id").cast("long"),
+        split(coalesce(col("text"), lit("")), " ").as("w"))
+      .filter(size(col("w")) >= spanTokens)
+    toks
+      .select(col("doc_id"), explode(
+        sequence(lit(1), size(col("w")) - (spanTokens - 1))).as("i"), col("w"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("w"), col("i"), lit(spanTokens)), " "))
+          .as("span_md5"))
+      .groupBy(col("span_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  def passagesOracleSql(spanTokens: Int = PassageTokens, minDocs: Int = 2): String =
+    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+       |           FROM documents),
+       |s AS (SELECT doc_id,
+       |             md5(array_to_string(w[i:i+${spanTokens - 1}], ' ')) AS span_md5
+       |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${spanTokens - 1})) AS i
+       |            FROM t WHERE len(w) >= $spanTokens))
+       |SELECT span_md5, count(DISTINCT doc_id) AS n_docs,
+       |       count(*) AS n_occurrences, min(doc_id) AS first_doc
+       |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= $minDocs""".stripMargin
 
   // ------------------------------------------------------- embedding cosine
 
@@ -625,6 +736,14 @@ object Dedup {
       val docs = Tables.load(s, d, "documents")
       duplicateClusters(docs, simhashPairs(docs))
     }),
+    "dedup_incremental" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents")
+      incrementalSimhashDedup(
+        docs.filter(col("doc_id") % 5 =!= 0),   // the standing corpus
+        docs.filter(col("doc_id") % 5 === 0))   // the incoming batch
+    }),
+    "dedup_passages" -> ((s: SparkSession, d: String) =>
+      passageDuplicates(Tables.load(s, d, "documents"))),
     "sample_stratified" -> ((s: SparkSession, d: String) =>
       qSampleStratified(Tables.load(s, d, "documents"))))
 
@@ -638,5 +757,17 @@ object Dedup {
     "dedup_simhash" -> simhashPairsSql(),
     "dedup_embed" -> embeddingPairsSql(),
     "dedup_clusters" -> clustersOracleSql(),
+    // the oracle is the PLAIN band join over the same split — a Bloom
+    // false negative (a dropped true collision) breaks the hash match
+    "dedup_incremental" ->
+      s"""WITH $simhashSqlCte,
+         |bands AS MATERIALIZED (
+         |  $simhashBandsSql)
+         |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+         |       bit_count(xor(n.simhash, o.simhash)) AS hamming
+         |FROM bands n JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+         |WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+         |  AND bit_count(xor(n.simhash, o.simhash)) <= $HammingMax""".stripMargin,
+    "dedup_passages" -> passagesOracleSql(),
     "sample_stratified" -> sampleOracleSql)
 }

@@ -105,6 +105,32 @@ object Mix {
 
   private val TwoPow60 = 1152921504606846976.0 // 2^60: hash domain
 
+  // -------------------------------------------------------- split assign
+
+  /** Salt for split assignment — independent of every other hash decision
+    * in the pipeline (sampling, sharding), so membership in a split never
+    * correlates with membership in a sample. */
+  val SplitSalt = "split"
+
+  /** Stable train/val/test assignment: `md5(salt:doc_id) mod 100` cut at
+    * trainPct / trainPct+valPct. Hash-derived, so every engine, run, and
+    * subset assigns each document identically, and appending documents
+    * never reassigns an existing one — the property that keeps eval sets
+    * uncontaminated across corpus versions. Narrow projection, no
+    * shuffle. */
+  def withSplit(df: DataFrame, idCol: String = "doc_id",
+                trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must satisfy 0 <= train+val <= 100, " +
+        s"got $trainPct+$valPct")
+    val b = pmod(Hashing.md5Long(
+      concat(lit(SplitSalt + ":"), col(idCol).cast("string"))), lit(100L))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   // ----------------------------------------------------------------- query
 
   def qMix(spark: SparkSession, dir: String): DataFrame =
@@ -138,11 +164,31 @@ object Mix {
        |WHERE rn <= 15""".stripMargin
   }
 
+  def qSplit(spark: SparkSession, dir: String): DataFrame =
+    withSplit(Tables.load(spark, dir, "documents"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  val qSplitSql: String = {
+    val h = Hashing.md5LongSql(s"'$SplitSalt:' || doc_id")
+    s"""WITH s AS (
+       |  SELECT source, n_chars,
+       |         CASE WHEN $h % 100 < 90 THEN 'train'
+       |              WHEN $h % 100 < 95 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT source, split, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM s GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_weighted" -> (qMix _),
-    "sample_capped" -> (qCapped _))
+    "sample_capped" -> (qCapped _),
+    "split_assign" -> (qSplit _))
 
   val oracleSql: Map[String, String] = Map(
     "mix_weighted" -> qMixSql,
-    "sample_capped" -> qCappedSql)
+    "sample_capped" -> qCappedSql,
+    "split_assign" -> qSplitSql)
 }

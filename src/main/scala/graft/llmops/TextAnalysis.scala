@@ -236,6 +236,37 @@ object TextAnalysis {
       }.toDF("doc_id", "fp_md5", "fp_winnow")
   }
 
+  /** BPE-ish pre-tokenizer pattern (the GPT-2-family shape, ASCII
+    * subset): an optional leading space glued to a letter run, digit
+    * run, or symbol run; bare space runs are their own token. Alternation
+    * is leftmost-first in BOTH Java regex and RE2 and every class is
+    * plain ASCII, so Spark and DuckDB count identical matches — the same
+    * engine-intersection discipline as Redact's patterns. */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Pre-tokenizer counting — the real token-budget estimate whitespace
+    * counts understate (punctuation, digit runs, and glued-space pieces
+    * all become separate BPE pieces). One narrow kernel pass, pattern
+    * compiled once per partition; no shuffle. `bpe_per_word` is the
+    * corpus's token-inflation factor, the number that converts word
+    * budgets into context-window budgets. */
+  def withBpeTokens(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val p = java.util.regex.Pattern.compile(BpePattern)
+        it.map { case (id, text) =>
+          val m = p.matcher(text)
+          var nBpe = 0L
+          while (m.find()) nBpe += 1
+          val nWs = Kernels.splitSpace(text).length.toLong
+          (id, nBpe, nWs, Kernels.floorRound4(nBpe.toDouble / nWs))
+        }
+      }.toDF("doc_id", "n_bpe_tokens", "n_ws_tokens", "bpe_per_word")
+  }
+
   // ----------------------------------------------------------------- queries
 
   def qTextStats(spark: SparkSession, dir: String): DataFrame =
@@ -319,15 +350,31 @@ object TextAnalysis {
        |FROM g
        |GROUP BY doc_id""".stripMargin
 
+  def qBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    withBpeTokens(Tables.load(spark, dir, "documents"))
+
+  val qBpeTokensSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens,
+       |         len(string_split(text, ' ')) AS n_ws_tokens
+       |  FROM documents)
+       |SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       |       floor((n_bpe_tokens * 1.0 / n_ws_tokens) * 10000.0 + 0.5) / 10000.0
+       |         AS bpe_per_word
+       |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (qTextStats _),
     "text_langid" -> (qLangId _),
     "text_repetition" -> (qRepetition _),
-    "text_fingerprint" -> (qFingerprint _))
+    "text_fingerprint" -> (qFingerprint _),
+    "token_count_bpe" -> (qBpeTokens _))
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" -> qTextStatsSql,
     "text_langid" -> qLangIdSql,
     "text_repetition" -> qRepetitionSql,
-    "text_fingerprint" -> qFingerprintSql)
+    "text_fingerprint" -> qFingerprintSql,
+    "token_count_bpe" -> qBpeTokensSql)
 }
