@@ -27,6 +27,103 @@ class LlmopsSpec extends AnyFunSuite {
     assert(jac.count() === 0)
   }
 
+  test("incrementalSimhashDedup finds exactly the cross-batch pairs the full join would") {
+    import spark.implicits._
+    // near-dup families built by light token edits; family members span
+    // the old/new split so cross-batch pairs must surface
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (0L until 40L).map { id =>
+      val txt = if (id % 4 == 0) base
+      else if (id % 4 == 1) base.replace("tok7", "tokX") // near dup of base
+      else (1 to 30).map(i => s"u${id}_$i").mkString(" ") // unique
+      (id, txt)
+    }.toDF("doc_id", "text")
+    val oldD = docs.filter(col("doc_id") % 5 =!= 0)
+    val newD = docs.filter(col("doc_id") % 5 === 0)
+    val got = Dedup.incrementalSimhashDedup(oldD, newD)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the plain all-pairs simhash join restricted to the split
+    val all = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = all.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)).collect {
+        case (n, o) if n % 5 == 0 && o % 5 != 0 => (n, o)
+      }
+    }
+    assert(truth.nonEmpty, "fixture must contain cross-batch near-dups")
+    assert(got === truth) // Bloom prefilter admits FPs, never drops a pair
+  }
+
+  test("passageDuplicates finds shared spans with per-doc occurrence counts") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // exactly one window
+    val docs = Seq(
+      (1L, s"$boiler intro text one two three four five six"),
+      (2L, s"preface words alpha beta gamma delta epsilon zeta $boiler"),
+      (3L, s"$boiler and again $boiler"), // twice in one doc
+      (4L, "totally unrelated content with eight plus tokens here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDuplicates(docs, spanTokens = 8, minDocs = 2).collect()
+    // the boilerplate span: 3 docs, 4 occurrences, first seen in doc 1
+    val b = got.filter(_.getLong(3) == 1L)
+    assert(b.length >= 1)
+    val top = got.maxBy(_.getLong(2))
+    assert(top.getLong(1) === 3L && top.getLong(2) === 4L && top.getLong(3) === 1L)
+    // no span from the unrelated doc appears
+    assert(got.forall(_.getLong(3) != 4L))
+  }
+
+  test("withSplit is stable under append and respects the cut percentages") {
+    import spark.implicits._
+    import graft.llmops.Mix
+    val a = (0L until 2000L).toDF("doc_id")
+    val b = (0L until 3000L).toDF("doc_id") // superset: appended docs
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Mix.withSplit(df).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+    val ma = m(a)
+    val mb = m(b)
+    assert(ma.forall { case (id, s) => mb(id) == s }) // append never reassigns
+    val frac = mb.values.groupBy(identity).view.mapValues(_.size / 3000.0).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03, frac.toString)
+    assert(math.abs(frac("val") - 0.05) < 0.02, frac.toString)
+    assert(math.abs(frac("test") - 0.05) < 0.02, frac.toString)
+    // degenerate cuts stay total
+    assert(Mix.withSplit(a, trainPct = 100, valPct = 0)
+      .filter(col("split") =!= "train").count() === 0)
+  }
+
+  test("BPE-ish counting exceeds whitespace counting on gluey text") {
+    import spark.implicits._
+    import graft.llmops.TextAnalysis
+    val docs = Seq(
+      (1L, "plain words only here"),                  // 4 = 4 words
+      (2L, "price: $12.50, ok?"),                     // punct/digits split off
+      (3L, "a  b")                                    // double space: extra token
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withBpeTokens(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 2: "price" ":" " $" "12" "." "50" "," " ok" "?" = 9 pieces, 3 words
+    assert(got === Seq((1L, 4L, 4L), (2L, 9L, 3L), (3L, 3L, 3L)))
+  }
+
+  test("ngramDiversity separates templated from diverse sources") {
+    import spark.implicits._
+    import graft.llmops.CorpusStats
+    val template = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = ((1L to 5L).map(i => (i, "boiler", template)) ++
+      (6L to 10L).map(i => (i, "fresh", (1 to 20).map(j => s"d${i}_$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.ngramDiversity(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val (bd, bs, bdist, bdiv) = got("boiler")
+    assert(bd === 5L && bs === 5L * 18 && bdist === 18L && bdiv === 0.2)
+    val (fd, fs, fdist, fdiv) = got("fresh")
+    assert(fd === 5L && fdiv === 1.0 && fdist === fs)
+  }
+
   test("duplicateClusters labels every chain with its minimum id") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
