@@ -201,7 +201,8 @@ object EngineQueries {
   def q16StreamHourly(spark: SparkSession, dir: String): DataFrame = {
     val wh = new Warehouse(spark, scratch("graft_stream_wh"))
     StreamingIncremental.runHourlyCounts(spark, s"$dir/events.parquet",
-      scratch("graft_stream_ckpt"), wh, "mart", "hourly")
+      scratch("graft_stream_ckpt"), wh, "mart", "hourly",
+      Some(StreamingIncremental.FixtureStatePartitions))
     wh.read("mart", "hourly")
       .select(col("hour"), col("event_type"), col("n"),
         round(col("sum_value"), 2).as("sum_value"))
@@ -221,7 +222,8 @@ object EngineQueries {
   def q19StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("graft_fs_out")
     StreamingIncremental.runFirstSeen(spark, s"$dir/events.parquet",
-      scratch("graft_fs_ckpt")) { batch =>
+      scratch("graft_fs_ckpt"),
+      Some(StreamingIncremental.FixtureStatePartitions)) { batch =>
       batch.write.mode("append").parquet(out)
     }
     spark.read.parquet(out)
@@ -247,7 +249,8 @@ object EngineQueries {
   def q27StreamSessions(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("graft_sess_out")
     StreamingIncremental.runSessions(spark, s"$dir/events.parquet",
-      scratch("graft_sess_ckpt"), "2 hours") { batch =>
+      scratch("graft_sess_ckpt"), "2 hours",
+      Some(StreamingIncremental.FixtureStatePartitions)) { batch =>
       // complete mode re-emits the full session state every micro-batch:
       // the sink REPLACES, so the final batch's state is the result
       batch.write.mode("overwrite").parquet(out)
@@ -283,7 +286,8 @@ object EngineQueries {
   def q28StreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("graft_ssj_out")
     StreamingIncremental.runClickViewJoin(spark, s"$dir/events.parquet",
-      scratch("graft_ssj_ckpt"), "1 HOUR") { batch =>
+      scratch("graft_ssj_ckpt"), "1 HOUR",
+      Some(StreamingIncremental.FixtureStatePartitions)) { batch =>
       batch.write.mode("append").parquet(out)
     }
     spark.read.parquet(out)

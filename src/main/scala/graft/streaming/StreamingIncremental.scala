@@ -29,6 +29,30 @@ object StreamingIncremental {
     * same pipeline with a kafka source and `Trigger.ProcessingTime` is
     * the continuous form; nothing else changes.
     */
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set.
+    * A stateful streaming plan pins its state-store partition count to
+    * this value at the first checkpoint, and AQE never coalesces it
+    * (disabled for stateful workloads) — so a run sized for a cluster
+    * pays that many state commits per store per micro-batch forever,
+    * even when the state fits in a handful of partitions. Size it to
+    * expected KEY cardinality, not executor count: the four fixture
+    * queries pass [[FixtureStatePartitions]]; a 100 TB continuous
+    * pipeline picks hundreds and keeps them for the query's lifetime
+    * (the checkpoint pins the choice either way). */
+  private def withShufflePartitions[T](spark: SparkSession,
+                                       n: Option[Int])(body: => T): T =
+    n match {
+      case None => body
+      case Some(p) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, p.toString)
+        try body finally spark.conf.set(key, prev)
+    }
+
+  /** State partitions for the drain-and-stop fixture runs. */
+  val FixtureStatePartitions = 8
+
   /** Stage a single-file fixture into a scratch landing DIRECTORY (the
     * file-stream source monitors directories — exactly how arriving
     * micro-batch files would land in practice) and open a stream on it. */
@@ -43,7 +67,9 @@ object StreamingIncremental {
 
   def runHourlyCounts(spark: SparkSession, eventsDir: String,
                       checkpointDir: String, wh: Warehouse,
-                      dataset: String, table: String): Unit = {
+                      dataset: String, table: String,
+                      statePartitions: Option[Int] = None): Unit =
+      withShufflePartitions(spark, statePartitions) {
     val stream = stageAndStream(spark, eventsDir, "graft_landing")
     val withTs =
       if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -81,7 +107,10 @@ object StreamingIncremental {
     * is what makes the first-occurrence choice oracle-replicable
     * (row_number() = 1 over the same ordering). */
   def runFirstSeen(spark: SparkSession, eventsDir: String,
-                   checkpointDir: String)(sink: DataFrame => Unit): Unit = {
+                   checkpointDir: String,
+                   statePartitions: Option[Int] = None)
+                  (sink: DataFrame => Unit): Unit =
+      withShufflePartitions(spark, statePartitions) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val stream = stageAndStream(spark, eventsDir, "graft_landing_fs")
@@ -139,8 +168,10 @@ object StreamingIncremental {
     * are emitted as min/max of the member events (not the struct's
     * padded `end`), so the output is engine-neutral. */
   def runSessions(spark: SparkSession, eventsDir: String,
-                  checkpointDir: String, gap: String)
-                 (sink: DataFrame => Unit): Unit = {
+                  checkpointDir: String, gap: String,
+                  statePartitions: Option[Int] = None)
+                 (sink: DataFrame => Unit): Unit =
+      withShufflePartitions(spark, statePartitions) {
     val stream = stageAndStream(spark, eventsDir, "graft_landing_sess")
     val withTs =
       if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -172,8 +203,10 @@ object StreamingIncremental {
     * forever — the interval bound IS the scale story. Inner join +
     * append mode: each pair emits exactly once. */
   def runClickViewJoin(spark: SparkSession, eventsDir: String,
-                       checkpointDir: String, window: String)
-                      (sink: DataFrame => Unit): Unit = {
+                       checkpointDir: String, window: String,
+                       statePartitions: Option[Int] = None)
+                      (sink: DataFrame => Unit): Unit =
+      withShufflePartitions(spark, statePartitions) {
     val stream = stageAndStream(spark, eventsDir, "graft_landing_ssj")
     val withTs =
       if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
