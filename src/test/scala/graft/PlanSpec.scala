@@ -223,4 +223,38 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500)) // head pick
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
+
+  test("incremental dedup probes inside codegen and broadcasts candidates — old corpus never sort-merges") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val full = planOf(graft.llmops.Dedup.incrementalSimhashDedup(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0)))
+    val plan = full.split("== Initial Plan ==").head
+    // the new batch is pre-pruned by the codegen'd Bloom probe...
+    assert(plan.contains("BloomMightContain") || plan.contains("bloommightcontain"),
+      plan.take(1500))
+    // ...and the surviving candidates broadcast back to the old bands
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("narrow token operators have no exchange: BPE counting; split assignment is scan -> agg") {
+    val bpe = planOf(graft.llmops.TextAnalysis.qBpeTokens(spark, sf))
+    assert(!bpe.contains("Exchange"), bpe.take(800))
+    // split_assign: the assignment itself is narrow — the only exchange
+    // feeds the per-(source, split) summary aggregate
+    val split = planOf(graft.llmops.Mix.qSplit(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(split.contains("partial_count"), split.take(1200)) // map-side combine
+    assert(!split.contains("SortMergeJoin") && !split.contains("Join"),
+      split.take(1200))
+  }
+
+  test("passage mining groups by span hash with map-side partial aggregation") {
+    val full = planOf(graft.llmops.Dedup.passageDuplicates(
+      graft.core.Tables.load(spark, sf, "documents")))
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("partial_count"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500)) // the aggregate IS the index
+  }
 }
