@@ -25,6 +25,7 @@ object SparkEntry {
       graft.llmops.Redact.queries ++ graft.llmops.Mix.queries ++
       graft.llmops.CorpusStats.queries ++
       graft.operators.BloomJoin.queries ++
+      graft.operators.Bucketing.queries ++
       graft.operators.Quantiles.queries ++
       graft.operators.Shard.queries ++
       graft.operators.ZOrder.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       graft.llmops.Redact.oracleSql ++ graft.llmops.Mix.oracleSql ++
       graft.llmops.CorpusStats.oracleSql ++
       graft.operators.BloomJoin.oracleSql ++
+      graft.operators.Bucketing.oracleSql ++
       graft.operators.Quantiles.oracleSql ++
       graft.operators.Shard.oracleSql ++
       graft.operators.ZOrder.oracleSql ++

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Bucketed (hash-clustered) table layout for CO-LOCATED joins and
+  * aggregations — the pre-paid-shuffle lever for keys that are joined or
+  * grouped repeatedly (reference analog: BigQuery clustered tables,
+  * `dbtwiz/admin/clustering.py:29-48`, whose clustering keys serve the
+  * same recurring-join role; Spark buckets additionally carry the hash
+  * partitioning the planner can PROVE and reuse).
+  *
+  * Writing `bucketBy(n, k)` shuffles ONCE at write time; after that,
+  * every equi-join between tables bucketed on the same key with the same
+  * bucket count — and every groupBy on that key — runs with NO exchange:
+  * the scan itself reports hash distribution, and with `sortBy` the
+  * sort-merge join's sorts are satisfied from the file order. At 100 TB
+  * the dimension cannot broadcast, so the choice is shuffle 100 TB per
+  * join per day, or shuffle once per load — bucketing is how the second
+  * option is declared.
+  *
+  * Spark honors bucket metadata only through the catalog, so these are
+  * catalog-registered EXTERNAL tables (data stays under the caller's
+  * path; the in-memory session catalog carries the bucket spec). Size
+  * `numBuckets` so one bucket ≈ one task's worth at target scale — and
+  * match counts across tables that join (mismatched counts shuffle the
+  * smaller side only).
+  */
+object Bucketing {
+
+  val DefaultBuckets = 8
+
+  /** Write `df` as a bucketed, per-bucket-sorted catalog table at
+    * `path`. Overwrites any previous registration of `name`. */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    bucketCols: Seq[String],
+                    numBuckets: Int = DefaultBuckets): Unit = {
+    require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
+  /** Read a bucketed table back WITH its bucket metadata (a plain
+    * `spark.read.parquet(path)` would see the files but lose the hash
+    * distribution the planner needs to elide exchanges). */
+  def readBucketed(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+
+  // ----------------------------------------------------------------- query
+
+  /** Orders joined to customers and aggregated per customer, both tables
+    * bucketed on the customer key: scan → sort-merge join → aggregate
+    * with ZERO exchanges (PlanSpec-gated) — the plan a 100 TB recurring
+    * join should produce. The `merge` hint travels WITH the plan (a
+    * session-conf broadcast disable would not survive AQE's runtime
+    * re-plan) and states the honest 100 TB posture: neither side of a
+    * fact-to-fact join fits an executor, so the co-located sort-merge IS
+    * the target shape, not a broadcast. Money sums ride as integer
+    * cents, so the unordered aggregation has no FP-order hazard. */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_buckets").toString
+    writeBucketed(
+      Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents")),
+      "graft_b_orders", s"$scratch/orders", Seq("o_custkey"))
+    writeBucketed(
+      Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      "graft_b_customer", s"$scratch/customer", Seq("c_custkey"))
+    val o = readBucketed(spark, "graft_b_orders").hint("merge")
+    val c = readBucketed(spark, "graft_b_customer")
+      .withColumnRenamed("c_custkey", "o_custkey").hint("merge")
+    o.join(c, Seq("o_custkey"))
+      .groupBy(col("o_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_cents")).as("total_cents"))
+      .select(col("o_custkey").as("custkey"), col("c_mktsegment"),
+        col("n_orders"), col("total_cents"))
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT o_custkey AS custkey, c_mktsegment, count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS total_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_bucketed_join" -> (qBucketedJoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q29_bucketed_join" -> qBucketedJoinSql)
+}

@@ -224,6 +224,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("bucketed join + aggregate runs with zero exchanges (co-located layout)") {
+    val full = planOf(graft.operators.Bucketing.qBucketedJoin(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    // the entire join + groupBy pipeline rides the write-time bucketing:
+    // no shuffle anywhere — the property that turns a recurring 100 TB
+    // join from shuffle-per-run into shuffle-once-at-load
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    // bucket pruning metadata reached the scan
+    assert(plan.contains("Bucketed: true"), plan.take(2000))
+  }
+
   test("incremental dedup probes inside codegen and broadcasts candidates — old corpus never sort-merges") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.load(spark, sf, "documents")
