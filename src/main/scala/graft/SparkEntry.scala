@@ -24,9 +24,11 @@ object SparkEntry {
       graft.llmops.Decontaminate.queries ++ graft.llmops.Pack.queries ++
       graft.llmops.Redact.queries ++ graft.llmops.Mix.queries ++
       graft.llmops.CorpusStats.queries ++
+      graft.llmops.Rank.queries ++ graft.llmops.Clean.queries ++
       graft.operators.BloomJoin.queries ++
       graft.operators.Bucketing.queries ++
       graft.operators.Quantiles.queries ++
+      graft.operators.RollingWindow.queries ++
       graft.operators.Shard.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
@@ -43,9 +45,11 @@ object SparkEntry {
       graft.llmops.Decontaminate.oracleSql ++ graft.llmops.Pack.oracleSql ++
       graft.llmops.Redact.oracleSql ++ graft.llmops.Mix.oracleSql ++
       graft.llmops.CorpusStats.oracleSql ++
+      graft.llmops.Rank.oracleSql ++ graft.llmops.Clean.oracleSql ++
       graft.operators.BloomJoin.oracleSql ++
       graft.operators.Bucketing.oracleSql ++
       graft.operators.Quantiles.oracleSql ++
+      graft.operators.RollingWindow.oracleSql ++
       graft.operators.Shard.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++

@@ -131,6 +131,33 @@ object Mix {
         .otherwise("test"))
   }
 
+  // ------------------------------------------------------- epoch shuffle
+
+  /** Deterministic per-epoch training shuffle: every document gets a
+    * (shard, pos) address for the epoch — shard by hash, position by
+    * hash order within the shard — so a distributed data loader reads
+    * shard files independently and still sees a corpus-wide pseudorandom
+    * permutation that is DIFFERENT each epoch (the epoch salts the hash)
+    * yet identical on every rerun, engine, and worker count.
+    *
+    * Shape: the hash + shard assignment is a narrow projection; the only
+    * shuffle is the per-shard `row_number()` window. Each window
+    * partition holds ~corpus/nShards rows, so size `nShards` to the
+    * target file size (100 TB / 256 MiB-ish shards), never to the
+    * cluster — more shards = smaller, MORE parallel windows. */
+  def epochShuffle(df: DataFrame, epoch: Int, nShards: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = Hashing.md5Long(
+      concat(lit(s"epoch$epoch:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.select(col(idCol), h.as("_h"))
+      .withColumn("shard", (col("_h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("_h")
+  }
+
   // ----------------------------------------------------------------- query
 
   def qMix(spark: SparkSession, dir: String): DataFrame =
@@ -182,13 +209,31 @@ object Mix {
        |FROM s GROUP BY 1, 2""".stripMargin
   }
 
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.load(spark, dir, "documents"), epoch = 1,
+      nShards = 16)
+
+  /** `% 16` stays in BIGINT on both engines (the 60-bit hash is always
+    * non-negative, so no pmod dance is needed). */
+  val qEpochShuffleSql: String = {
+    val h = Hashing.md5LongSql("'epoch1:' || doc_id")
+    s"""WITH s AS (SELECT doc_id, $h AS h, $h % 16 AS shard
+       |           FROM documents)
+       |SELECT doc_id, shard,
+       |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       |         AS pos
+       |FROM s""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_weighted" -> (qMix _),
     "sample_capped" -> (qCapped _),
-    "split_assign" -> (qSplit _))
+    "split_assign" -> (qSplit _),
+    "epoch_shuffle" -> (qEpochShuffle _))
 
   val oracleSql: Map[String, String] = Map(
     "mix_weighted" -> qMixSql,
     "sample_capped" -> qCappedSql,
-    "split_assign" -> qSplitSql)
+    "split_assign" -> qSplitSql,
+    "epoch_shuffle" -> qEpochShuffleSql)
 }

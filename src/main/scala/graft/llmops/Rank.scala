@@ -1,0 +1,132 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** BM25-family ranked retrieval over the corpus — "which documents best
+  * match this term set", the relevance scorer behind retrieval-augmented
+  * data curation (finding seed-similar documents to upsample) and
+  * eval-set mining.
+  *
+  * Scoring is Robertson/Okapi BM25 with one deliberate change: the idf
+  * factor is the RAW odds ratio `(N - df + 0.5) / (df + 0.5)`, not its
+  * logarithm. Per-term it is a strictly monotone transform (log is
+  * increasing), cross-engine `ln()` is not bit-reproducible (the repo
+  * rule since [[CorpusStats.distinctiveKeywords]]), and the exact BM25
+  * constant rarely matters next to tf saturation. The tf side is the
+  * standard saturation `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+  * with k1 = 1.2, b = 0.75.
+  *
+  * Scores aggregate ORDER-FREE: each (doc, term) contribution is floored
+  * to integer MICRO-units and the per-doc score is an exact integer sum
+  * — the same trick as the HLL harmonic sum ([[graft.operators.Sketch]]),
+  * so the unordered shuffle combine cannot produce float drift and the
+  * oracle hash-matches. Each contribution's expression tree is written
+  * identically on both engines (IEEE ops on identical inputs in an
+  * identical order are bit-identical; only REORDERED float sums drift).
+  *
+  * Shape at 100 TB:
+  *  - the query-term filter is an `isin` LITERAL predicate applied at the
+  *    token explode — no join; the corpus shrinks to rows containing
+  *    query terms before anything shuffles;
+  *  - `dl` (doc length) is a NARROW `size(split(…))` per row — never a
+  *    corpus-wide aggregation;
+  *  - `df` per term and the (N, Σdl) corpus scalars are term-count-sized
+  *    and 1-row aggregates, broadcast back;
+  *  - one real shuffle: tf's `groupBy(doc, term)`; the final per-doc sum
+  *    rides a second, already-tiny shuffle; the top-k is
+  *    `TakeOrderedAndProject` (per-partition heaps + driver merge of k
+  *    rows), never a global sort.
+  *
+  * Corpus scalars (N, avgdl) are corpus-version constants at production
+  * scale — compute once per snapshot and reuse across queries; here they
+  * ride the same plan for self-containment.
+  */
+object Rank {
+
+  /** tf saturation / length normalization (classic Okapi defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Score scale: contributions floor to 1e-6 units. */
+  private val Micro = 1e6
+
+  /** Top-k BM25(-idf-ratio) scoring of `docs` against `terms`.
+    * Output: (doc_id, score_micros, n_hit) — integer micro-unit score,
+    * number of distinct query terms present. Ties break by doc_id. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(coalesce(col("text"), lit("")), " ").as("words"))
+      .withColumn("dl", size(col("words")).cast("long"))
+    val scalars = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df")) // (doc, term) rows are distinct per doc
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfn = (col("tf") * lit(K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / avgdl))
+    tf.join(broadcast(df_), Seq("token"))
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"),
+        floor(idf * tfn * lit(Micro)).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("score_micros"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** The fixture query: three vocabulary terms, top 100 documents. */
+  val QueryTerms: Seq[String] = Seq("spark", "merge", "window")
+  val TopK = 100
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.load(spark, dir, "documents"), QueryTerms, TopK)
+
+  /** Float literals in e-notation (DuckDB parses `1.2` as DECIMAL and
+    * the arithmetic changes domain); every parenthesis mirrors the Spark
+    * Column tree above so the per-row IEEE op sequence is identical. */
+  val qBm25Sql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+       |  FROM documents),
+       |d AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM base),
+       |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
+       |      FROM d),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(words) AS token FROM base)
+       |  WHERE token IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |c AS (SELECT tf.doc_id,
+       |             CAST(floor(((s.n_docs - df.df + 5e-1) / (df.df + 5e-1))
+       |               * ((tf.tf * 2.2e0)
+       |                  / (tf.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * d.dl
+       |                       / (CAST(s.tot_dl AS DOUBLE) / s.n_docs))))
+       |               * 1e6) AS BIGINT) AS m
+       |      FROM tf JOIN df USING (token) JOIN d USING (doc_id)
+       |           CROSS JOIN s)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micros,
+       |       count(*) AS n_hit
+       |FROM c GROUP BY 1
+       |ORDER BY score_micros DESC, doc_id LIMIT $TopK""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rank_bm25" -> (qBm25 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "rank_bm25" -> qBm25Sql)
+}

@@ -255,4 +255,59 @@ class LlmopsSpec extends AnyFunSuite {
     // same answer whether the prefix sum uses 1 bucket or 3
     assert(run(bucketSize = 1000000) === got)
   }
+
+  test("bm25TopK ranks tf-heavy short docs first and excludes term-free docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "cat w1 w2 w3 w4 w5 w6 w7"),
+      (3L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val got = graft.llmops.Rank.bm25TopK(docs, Seq("cat", "dog"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L)) // ranked; term-free doc 3 absent
+    assert(got(0)._3 === 2L && got(1)._3 === 1L) // distinct query terms hit
+    assert(got(0)._2 > got(1)._2)
+  }
+
+  test("bm25 length normalization: same tf in a longer doc scores lower") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat " + (1 to 4).map(i => s"w$i").mkString(" ")),
+      (2L, "cat " + (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.llmops.Rank.bm25TopK(docs, Seq("cat"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) > got(2L))
+  }
+
+  test("cleanDocs strips tags, collapses whitespace, case-folds, pins empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, " <b>Hello</b>\n\tWorld  "),
+      (2L, "<br>"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.llmops.Clean.cleanDocs(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("hello world", 11L, 2L)))
+    assert(got(2L) === (("", 0L, 0L))) // tag-only text empties, words = 0
+    assert(got(3L) === (("", 0L, 0L))) // NULL text pinned to the empty doc
+  }
+
+  test("epochShuffle: contiguous per-shard positions, epochs permute differently") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def run(epoch: Int) = graft.llmops.Mix.epochShuffle(docs, epoch, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val rows = run(1)
+    assert(rows.length === 200 && rows.map(_._1).distinct.length === 200)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions within each shard are exactly 1..n — a true partition of
+    // a permutation, no gaps a data loader would trip on
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted === (1 to g.length).toSeq)
+    }
+    assert(run(1) === rows) // rerun-deterministic
+    assert(run(2).sorted !== rows.sorted) // the epoch salt re-permutes
+  }
 }

@@ -279,4 +279,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, (3 + 1) / 2.0, 0.5)))                 // rare: dog
     assert(got(3L) === ((2L, (2 + 1) / 2.0, 1.0)))                 // both rare
   }
+
+  test("rollingByKey: trailing-hour frame is (t-1h, t], ties see each other") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 1800L, 2.0), (3L, 1L, 3599L, 3.0),
+      (4L, 1L, 3600L, 4.0), (5L, 1L, 7300L, 5.0),
+      (6L, 2L, 100L, 1.5), (7L, 2L, 100L, 2.5))
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_micros(col("sec") * 1000000L))
+    val got = graft.operators.RollingWindow
+      .rollingByKey(df, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((1L, 100L)))
+    assert(got(2L) === ((2L, 300L)))
+    assert(got(3L) === ((3L, 600L)))
+    // exactly one hour later: the t=0 event has aged out of (0, 3600]
+    assert(got(4L) === ((3L, 900L)))
+    assert(got(5L) === ((1L, 500L)))
+    // RANGE frames include peers: simultaneous events count each other
+    assert(got(6L) === ((2L, 400L)) && got(7L) === ((2L, 400L)))
+  }
 }

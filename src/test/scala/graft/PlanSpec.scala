@@ -236,6 +236,37 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Bucketed: true"), plan.take(2000))
   }
 
+  test("text_clean is a zero-exchange narrow kernel") {
+    val plan = planOf(graft.llmops.Clean.qClean(spark, sf))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
+
+  test("rank_bm25: no sort-merge join, top-k never global-sorts") {
+    val plan = planOf(graft.llmops.Rank.qBm25(spark, sf))
+    // df + corpus scalars broadcast back; the fact side never sort-merges
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // per-partition heaps + driver merge of k rows, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q30_rolling shuffles exactly once: the key-partitioned window") {
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // exchanges in the final section only
+    val plan = planOf(graft.operators.RollingWindow.qRolling(spark, sf))
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, plan.take(1500))
+    assert(plan.contains("Window"), plan.take(1500))
+  }
+
+  test("epoch_shuffle shuffles exactly once: the shard-ranked window") {
+    val plan = planOf(graft.llmops.Mix.qEpochShuffle(spark, sf))
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, plan.take(1500))
+  }
+
   test("incremental dedup probes inside codegen and broadcasts candidates — old corpus never sort-merges") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.load(spark, sf, "documents")
