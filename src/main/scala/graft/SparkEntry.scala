@@ -27,7 +27,9 @@ object SparkEntry {
       graft.llmops.Rank.queries ++ graft.llmops.Clean.queries ++
       graft.operators.BloomJoin.queries ++
       graft.operators.Bucketing.queries ++
+      graft.operators.JsonCols.queries ++
       graft.operators.Quantiles.queries ++
+      graft.operators.Reshape.queries ++
       graft.operators.RollingWindow.queries ++
       graft.operators.Shard.queries ++
       graft.operators.ZOrder.queries ++
@@ -48,7 +50,9 @@ object SparkEntry {
       graft.llmops.Rank.oracleSql ++ graft.llmops.Clean.oracleSql ++
       graft.operators.BloomJoin.oracleSql ++
       graft.operators.Bucketing.oracleSql ++
+      graft.operators.JsonCols.oracleSql ++
       graft.operators.Quantiles.oracleSql ++
+      graft.operators.Reshape.oracleSql ++
       graft.operators.RollingWindow.oracleSql ++
       graft.operators.Shard.oracleSql ++
       graft.operators.ZOrder.oracleSql ++

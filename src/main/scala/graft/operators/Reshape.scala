@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Wide↔long reshaping — pivot with an EXPLICIT value list, the only
+  * form that scales.
+  *
+  * `pivot(col)` without values runs a hidden distinct-values job over
+  * the full input to discover the column set, then holds every value in
+  * the driver; on a 100 TB fact that is an extra full scan, and an
+  * unbounded-cardinality pivot column OOMs the driver outright. The
+  * value list is domain metadata (enum-like columns only); pivoting on
+  * an open domain is a modeling error this API makes impossible to
+  * write.
+  *
+  * Even WITH the list, Spark's built-in `.pivot(col, values)` plans TWO
+  * shuffles: a pre-aggregate on (key, value), then a `pivotfirst`
+  * re-aggregate on key. This operator emits the conditional-count form
+  * directly — `count(when(col = v, 1))` per value — which is ONE hash
+  * aggregate, one shuffle on the row key, map-side combined, schema
+  * fixed at plan time (PlanSpec-gated); it is also exactly the
+  * `count(CASE …)` the SQL oracle states, 0 for empty cells included
+  * (count of no matches is 0, never NULL).
+  */
+object Reshape {
+
+  /** One row per `rowKey`, one count column per pivot value. */
+  def pivotCounts(df: DataFrame, rowKey: String, pivotCol: String,
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivotCounts needs the explicit value list")
+    require(values.distinct.size == values.size, "pivot values must be unique")
+    val aggs = values.map(v =>
+      count(when(col(pivotCol) === v, lit(1))).as(v))
+    df.groupBy(col(rowKey)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** The events fixture's event_type domain — metadata, not discovered. */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user activity matrix: one row per user, one column per type. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    pivotCounts(Tables.load(spark, dir, "events"),
+      "user_id", "event_type", EventTypes)
+
+  val qPivotSql: String = {
+    val cols = EventTypes.map(v =>
+      s"count(CASE WHEN event_type = '$v' THEN 1 END) AS $v").mkString(",\n|       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_pivot" -> (qPivot _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_pivot" -> qPivotSql)
+}

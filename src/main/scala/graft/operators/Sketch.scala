@@ -225,6 +225,36 @@ object Sketch {
               lit(TwoPow62)).cast("double"), 4).as("estimate"))
   }
 
+  /** Per-GROUP HLL sketches — "distinct users per event type / per day /
+    * per source" at sketch cost: the register table is
+    * |groups| × 256 rows however large the input, registers still merge
+    * by max (so per-day sketches roll up to per-month by a second max),
+    * and each group's estimate uses the identical integer-unit harmonic
+    * sum as [[hllDistinct]]. The grouped rollup this replaces —
+    * `groupBy(g).agg(countDistinct(x))` — shuffles every distinct
+    * (g, x) pair; this shuffles at most 256 rows per group. */
+  def hllDistinctBy(df: DataFrame, groupCol: String,
+                    column: String): DataFrame = {
+    val m = HllBuckets
+    val h1 = Hashing.md5Long(col(column).cast("string"))
+    val v = expr(s"h1 div $m")
+    val rho = when(col("v") === 0, HllVBits + 1)
+      .otherwise(lit(HllVBits + 1) - length(bin(col("v"))))
+    val reg = df.filter(col(column).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), h1.as("h1"))
+      .select(col(groupCol), (col("h1") % m).as("bucket"), v.as("v"))
+      .select(col(groupCol), col("bucket"), rho.as("rho"))
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("rho")).as("mj"))
+    reg.groupBy(col(groupCol))
+      .agg(sum(pow(lit(2.0), lit(62) - col("mj")).cast("decimal(38,0)"))
+        .as("ssum"), count(lit(1)).as("nz"))
+      .select(col(groupCol), col("nz").as("n_buckets_used"),
+        Hashing.stableRound(
+          lit(HllNumerator) /
+            (col("ssum") + (lit(m) - col("nz")).cast("decimal(38,0)") *
+              lit(TwoPow62)).cast("double"), 4).as("estimate"))
+  }
+
   def qHll(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     hllDistinct(li, "l_partkey")
@@ -253,13 +283,53 @@ object Sketch {
        |FROM tot""".stripMargin
   }
 
+  /** Distinct users per event type: sketch estimate beside the exact
+    * count, one row per type. */
+  def qHllGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    hllDistinctBy(e, "event_type", "user_id")
+      .join(e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct")),
+        Seq("event_type"))
+  }
+
+  val qHllGroupedSql: String = {
+    val m = HllBuckets
+    val h = Hashing.md5LongSql("CAST(user_id AS VARCHAR)")
+    val num = f"$HllNumerator%.17e"
+    s"""WITH b AS (SELECT event_type, $h % $m AS bucket, $h // $m AS v
+       |           FROM events
+       |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |r AS (SELECT event_type, bucket,
+       |             CASE WHEN v = 0 THEN ${HllVBits + 1}
+       |                  ELSE ${HllVBits + 1} - length(bin(v)) END AS rho
+       |      FROM b),
+       |reg AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |s AS (SELECT event_type,
+       |             sum(CAST(power(2, 62 - mj) AS DECIMAL(38,0))) AS ssum,
+       |             count(*) AS nz FROM reg GROUP BY 1),
+       |tot AS (SELECT event_type, nz,
+       |               ssum + CAST($m - nz AS DECIMAL(38,0)) *
+       |                 CAST(4611686018427387904 AS DECIMAL(38,0)) AS st
+       |        FROM s),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |       FROM events GROUP BY 1)
+       |SELECT t.event_type, t.nz AS n_buckets_used,
+       |       ${Hashing.stableRoundSql(s"$num / CAST(t.st AS DOUBLE)", 4)}
+       |         AS estimate,
+       |       ex.exact_distinct
+       |FROM tot t JOIN ex USING (event_type)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_kmv_sketch" -> (qKmv _),
     "freq_cms" -> (qCms _),
-    "card_hll" -> (qHll _))
+    "card_hll" -> (qHll _),
+    "hll_grouped" -> (qHllGrouped _))
 
   val oracleSql: Map[String, String] = Map(
     "q24_kmv_sketch" -> qKmvSql,
     "freq_cms" -> qCmsSql,
-    "card_hll" -> qHllSql)
+    "card_hll" -> qHllSql,
+    "hll_grouped" -> qHllGroupedSql)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.StructType
+import graft.core.Tables
+import graft.sources.Jsonl
+
+/** JSONL source/sink: schema-enforced round trip + corrupt-line gate. */
+class JsonlSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+
+  test("documents round-trip through compressed JSONL byte-identically") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = tmp()
+    Jsonl.write(docs, s"$dir/docs")
+    val back = Jsonl.read(spark, s"$dir/docs", docs.schema)
+      .drop(Jsonl.CorruptCol)
+    assert(back.schema.fieldNames.toSeq === docs.schema.fieldNames.toSeq)
+    // exceptAll both ways: same multiset of rows
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+  }
+
+  test("readCounted surfaces corrupt lines without dropping clean ones") {
+    import spark.implicits._
+    val dir = tmp()
+    val good = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    Jsonl.write(good, s"$dir/mixed", compression = "none")
+    // splice two broken lines into a shard by hand
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/mixed"))
+      .filter(p => p.toString.endsWith(".json")).findFirst().get()
+    val spliced = new String(java.nio.file.Files.readAllBytes(part)) +
+      "{\"id\": \"not-a-long\", \"text\": 7}\nutter garbage\n"
+    java.nio.file.Files.write(part, spliced.getBytes)
+    // hand-editing invalidates the local-FS checksum sidecar — drop it
+    java.nio.file.Files.deleteIfExists(
+      part.resolveSibling("." + part.getFileName + ".crc"))
+    val schema = StructType(good.schema.fields)
+    val (clean, bad) = Jsonl.readCounted(spark, s"$dir/mixed", schema)
+    assert(bad === 2L)
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // the data schema may not smuggle in the corrupt column
+    intercept[IllegalArgumentException] {
+      Jsonl.read(spark, s"$dir/mixed", schema.add(Jsonl.CorruptCol, "string"))
+    }
+  }
+}

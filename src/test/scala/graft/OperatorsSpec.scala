@@ -300,4 +300,66 @@ class OperatorsSpec extends AnyFunSuite {
     // RANGE frames include peers: simultaneous events count each other
     assert(got(6L) === ((2L, 400L)) && got(7L) === ((2L, 400L)))
   }
+
+  test("pivotCounts: explicit value list, absent cells are 0, off-list values drop") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"), (2L, "zzz"))
+      .toDF("k", "v")
+    val got = graft.operators.Reshape.pivotCounts(df, "k", "v", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 0L)))
+    assert(got(2L) === ((0L, 1L, 0L))) // "zzz" is outside the declared domain
+    intercept[IllegalArgumentException] {
+      graft.operators.Reshape.pivotCounts(df, "k", "v", Seq("a", "a"))
+    }
+  }
+
+  test("jsonLong: typed extraction, NULL on absent field or malformed payload") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 42}"""), (2L, """{"other": 1}"""),
+      (3L, "not json at all"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "props")
+    val got = df.select(col("id"),
+      graft.operators.JsonCols.jsonLong(col("props"), "k").as("k"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(42L), 2L -> None, 3L -> None, 4L -> None))
+  }
+
+  test("grouped HLL tracks per-group exact counts and registers roll up by max") {
+    import spark.implicits._
+    // two groups with different cardinalities, both in the raw
+    // estimator's valid regime (n ≳ 2.5·m = 640 for m = 256 — below
+    // that the standard correction is linear counting, which needs a
+    // cross-engine ln() and is out of the oracle-stable contract)
+    val rows = (1 to 5000).map(i => ("big", i.toLong)) ++
+      (1 to 1000).map(i => ("small", i.toLong))
+    val df = rows.toDF("g", "x")
+    val est = graft.operators.Sketch.hllDistinctBy(df, "g", "x")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(est("big") - 5000) / 5000.0 < 0.2) // ~3σ at 1.04/√256
+    assert(math.abs(est("small") - 1000) / 1000.0 < 0.2)
+    // mergeability: per-half register tables max-merged == whole-input table
+    val m = graft.operators.Sketch.HllBuckets
+    def regs(d: org.apache.spark.sql.DataFrame) = {
+      val h1 = graft.llmops.Hashing.md5Long(col("x").cast("string"))
+      d.select(col("g"), h1.as("h1"))
+        .select(col("g"), (col("h1") % m).as("bucket"),
+          expr(s"h1 div $m").as("v"))
+        .select(col("g"), col("bucket"),
+          when(col("v") === 0, 53).otherwise(lit(53) - length(bin(col("v"))))
+            .as("rho"))
+        .groupBy("g", "bucket").agg(max("rho").as("mj"))
+    }
+    val half1 = regs(rows.take(1000).toDF("g", "x"))
+    val half2 = regs(rows.drop(1000).toDF("g", "x"))
+    val merged = half1.unionByName(half2)
+      .groupBy("g", "bucket").agg(max("mj").as("mj"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val whole = regs(df)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(merged === whole)
+  }
 }

@@ -267,6 +267,21 @@ class PlanSpec extends AnyFunSuite {
     assert(n === 1, plan.take(1500))
   }
 
+  test("q31_pivot is one aggregate pass — no distinct-values discovery job") {
+    val plan = planOf(graft.operators.Reshape.qPivot(spark, sf))
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("q32_json_props extracts inside the scan projection — one shuffle total") {
+    val plan = planOf(graft.operators.JsonCols.qJsonProps(spark, sf))
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, plan.take(1500))
+  }
+
   test("incremental dedup probes inside codegen and broadcasts candidates — old corpus never sort-merges") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.load(spark, sf, "documents")
