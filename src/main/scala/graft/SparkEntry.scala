@@ -27,10 +27,13 @@ object SparkEntry {
       graft.llmops.Rank.queries ++ graft.llmops.Clean.queries ++
       graft.operators.BloomJoin.queries ++
       graft.operators.Bucketing.queries ++
+      graft.operators.Funnel.queries ++
       graft.operators.JsonCols.queries ++
       graft.operators.Quantiles.queries ++
       graft.operators.Reshape.queries ++
+      graft.operators.Retention.queries ++
       graft.operators.RollingWindow.queries ++
+      graft.operators.Sessionize.queries ++
       graft.operators.Shard.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
@@ -50,10 +53,13 @@ object SparkEntry {
       graft.llmops.Rank.oracleSql ++ graft.llmops.Clean.oracleSql ++
       graft.operators.BloomJoin.oracleSql ++
       graft.operators.Bucketing.oracleSql ++
+      graft.operators.Funnel.oracleSql ++
       graft.operators.JsonCols.oracleSql ++
       graft.operators.Quantiles.oracleSql ++
       graft.operators.Reshape.oracleSql ++
+      graft.operators.Retention.oracleSql ++
       graft.operators.RollingWindow.oracleSql ++
+      graft.operators.Sessionize.oracleSql ++
       graft.operators.Shard.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++

@@ -362,4 +362,57 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(merged === whole)
   }
+
+  test("sessionize: gap splits sessions, ties share one, seq is 1-based per key") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 0L), (2L, 1L, 500L), (3L, 1L, 2000L),   // gap 1000 splits
+      (4L, 2L, 100L), (5L, 2L, 100L))                  // same instant
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = graft.operators.Sessionize
+      .sessionize(df, "user_id", "ts", "event_id", gapMicros = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      (1L, 1L) -> ((2L, 0L, 500L)),    // events 1,2
+      (1L, 2L) -> ((1L, 2000L, 2000L)),
+      (2L, 1L) -> ((2L, 100L, 100L)))) // simultaneous events: one session
+  }
+
+  test("funnel: strict order, same-instant resolved by id, monotone counts") {
+    import spark.implicits._
+    val df = Seq(
+      // u1 completes in order; u2 clicks BEFORE signing up; u3 skips click;
+      // u4 signs up and clicks at the same instant (id orders them)
+      (1L, 1L, 1L, "signup"), (2L, 1L, 2L, "click"), (3L, 1L, 3L, "purchase"),
+      (4L, 2L, 1L, "click"), (5L, 2L, 2L, "signup"), (6L, 2L, 3L, "purchase"),
+      (7L, 3L, 1L, "signup"), (8L, 3L, 2L, "purchase"),
+      (9L, 4L, 1L, "signup"), (10L, 4L, 1L, "click"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = graft.operators.Funnel.funnel(df, "user_id", "ts", "event_id",
+      "event_type", Seq("signup", "click", "purchase")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 1L)))
+    // u2's purchase does NOT count: its click preceded its signup
+    // u4's click counts: same instant, higher event_id ⇒ ordered after
+  }
+
+  test("retentionCohorts counts distinct active users per cohort/day offset") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 23:00:00"), // same day
+      (1L, "2024-01-02 01:00:00"), (1L, "2024-01-04 09:00:00"),
+      (2L, "2024-01-01 12:00:00"),
+      (3L, "2024-01-02 08:00:00"), (3L, "2024-01-03 08:00:00"))
+      .toDF("user_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val got = graft.operators.Retention.retentionCohorts(df, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 3) -> 1L,
+      ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
+  }
 }

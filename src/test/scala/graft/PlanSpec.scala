@@ -282,6 +282,27 @@ class PlanSpec extends AnyFunSuite {
     assert(n === 1, plan.take(1500))
   }
 
+  test("q33_sessions: per-session rollup rides the window's key partitioning") {
+    val plan = planOf(graft.operators.Sessionize.qSessions(spark, sf))
+      .split("== Initial Plan ==").head
+    // hashpartitioning(user_id) satisfies groupBy(user_id, session_seq):
+    // the window shuffle is the ONLY one
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, plan.take(1500))
+    assert(plan.contains("Window"), plan.take(1500))
+  }
+
+  test("q34_funnel: chained step flags stack on one window shuffle, no self-join") {
+    val plan = planOf(graft.operators.Funnel.qFunnel(spark, sf))
+      .split("== Initial Plan ==").head
+    // exchange 1: the (single) window shuffle all step flags share;
+    // exchange 2: the multi-countDistinct expand — its input is already
+    // user-count-sized, not event-sized
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 2, plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500)) // no per-step self-join
+  }
+
   test("incremental dedup probes inside codegen and broadcasts candidates — old corpus never sort-merges") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.load(spark, sf, "documents")
