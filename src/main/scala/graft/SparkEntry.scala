@@ -34,6 +34,7 @@ object SparkEntry {
       graft.operators.Retention.queries ++
       graft.operators.RollingWindow.queries ++
       graft.operators.Sessionize.queries ++
+      graft.operators.Unpivot.queries ++
       graft.operators.Shard.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       graft.operators.Retention.oracleSql ++
       graft.operators.RollingWindow.oracleSql ++
       graft.operators.Sessionize.oracleSql ++
+      graft.operators.Unpivot.oracleSql ++
       graft.operators.Shard.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++

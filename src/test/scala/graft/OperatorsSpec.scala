@@ -415,4 +415,33 @@ class OperatorsSpec extends AnyFunSuite {
       ("2024-01-01", 3) -> 1L,
       ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
   }
+
+  test("melt fans each row to one (measure, value) row per measure, nulls kept") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, Option(3.0)), (2L, 4.0, None: Option[Double]))
+      .toDF("id", "a", "b")
+    val got = graft.operators.Unpivot.melt(df, Seq("id"), Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === Set(
+      (1L, "a", Some(2.0)), (1L, "b", Some(3.0)),
+      (2L, "a", Some(4.0)), (2L, "b", None)))
+  }
+
+  test("hash-sampled quantiles land near the exact ones on a uniform domain") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("g", "id", "v")
+    val s = graft.operators.Quantiles
+      .sampledGroupQuantiles(df, "g", "v", idCols = Seq("id"), mod = 8)
+      .head()
+    // ~1250 samples: rank se ≈ 1.4%, so 10% of the value range is >5σ
+    assert(math.abs(s.getDouble(1) - 5000.0) < 1000.0, s)  // p50
+    assert(math.abs(s.getDouble(2) - 9000.0) < 1000.0, s)  // p90
+    assert(math.abs(s.getDouble(3) - 9900.0) < 500.0, s)   // p99
+    // determinism: the sample is the hash gate, not an RNG draw
+    val again = graft.operators.Quantiles
+      .sampledGroupQuantiles(df, "g", "v", Seq("id"), 8).head()
+    assert(again.getDouble(1) === s.getDouble(1))
+  }
 }

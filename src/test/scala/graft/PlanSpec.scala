@@ -303,6 +303,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1500)) // no per-step self-join
   }
 
+  test("q36_unpivot is a map-side Expand — zero exchanges") {
+    val plan = planOf(graft.operators.Unpivot.qUnpivot(spark, sf))
+    assert(plan.contains("Expand"), plan.take(1200))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
+
   test("incremental dedup probes inside codegen and broadcasts candidates — old corpus never sort-merges") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.load(spark, sf, "documents")
