@@ -136,7 +136,10 @@ object CorpusStats {
     import spark.implicits._
     val rows = docs
       .select(col("doc_id").cast("long"),
-        coalesce(col("source"), lit("")).as("source"), col("text"))
+        coalesce(col("source"), lit("")).as("source"),
+        // NULL text = zero shingles on both engines (the oracle's
+        // len(words) filter skips NULL docs; '' yields < 3 tokens here)
+        coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val md = Kernels.newMd5()

@@ -109,7 +109,13 @@ object Dedup {
     * and persist it — dedup_ngram and dedup_containment are two
     * consumers of the same materialized intermediate, exactly as a
     * production pipeline would stage it (at warehouse scale: a written
-    * table, not a persist). */
+    * table, not a persist).
+    *
+    * Contract: the documents under `dir` are IMMUTABLE for the cache's
+    * lifetime (the key is the path, not file content — standard for a
+    * staged intermediate). If inputs are rewritten mid-session, call
+    * [[clearShingleIndexCache]] first; it is also the session-shutdown
+    * hook for reclaiming the persisted blocks. */
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
 
@@ -118,6 +124,12 @@ object Dedup {
     indexCache.computeIfAbsent((s, dir, dfCap), _ =>
       shingleIndex(Tables.load(s, dir, "documents"), dfCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist and drop every cached shingle index (all sessions). */
+  def clearShingleIndexCache(): Unit = {
+    indexCache.values.forEach(df => { df.unpersist(); () })
+    indexCache.clear()
+  }
 
   /** All-pairs exact Jaccard over the shared [[shingleIndex]]. The
     * threshold filter is on the RAW ratio (as in the oracle); rounding is
@@ -395,10 +407,15 @@ object Dedup {
     * the old corpus's bands where they sit. Exact Hamming verification
     * runs on the joined fingerprints; Bloom FPs and band-only collisions
     * die there, so the output is exact. */
+  /** `materialize = false` keeps the full lazy plan (and leaves the
+    * candidate cache pinned for the CALLER to release) — for plan
+    * inspection; the default eagerly checkpoints the small pair set so
+    * the candidate blocks release immediately. */
   def incrementalSimhashDedup(oldDocs: DataFrame, newDocs: DataFrame,
                               maxHamming: Int = HammingMax,
                               mBits: Int = IncrementalBloomBits,
-                              k: Int = IncrementalBloomK): DataFrame = {
+                              k: Int = IncrementalBloomK,
+                              materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import graft.functions.BloomMightContain
     // band key as its canonical string form (build and probe agree)
@@ -417,7 +434,7 @@ object Dedup {
       s"more than $MaxCandidateBands candidate band rows — the new batch " +
         "collides with the corpus too broadly for the broadcast-back " +
         "incremental path; run simhashPairs over old+new instead")
-    cand.hint("broadcast")
+    val pairs = cand.hint("broadcast")
       .join(oldBands.select(col("band"), col("bucket"),
         col("doc_id").as("old_id"), col("simhash").as("sim_old")),
         Seq("band", "bucket"))
@@ -425,6 +442,17 @@ object Dedup {
         bit_count(col("sim_new").bitwiseXOR(col("sim_old"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    if (!materialize) pairs
+    else {
+      // checkpoint the (small — verified near-dup pairs only) result so
+      // the candidate cache releases NOW: without this, every nightly
+      // batch in a long-lived session would pin its candidate blocks
+      // until session end (checkpoint blocks are ContextCleaner-
+      // reclaimed once the frame is unreachable)
+      val out = pairs.localCheckpoint(true)
+      cand.unpersist()
+      out
+    }
   }
 
   // -------------------------------------------------- duplicated passages

@@ -40,9 +40,12 @@ object ImageCodec {
     * bytes alone — O(header) per row, no decode. Returns None for
     * anything that is not a recognized image. */
   def sniff(p: Array[Byte]): Option[ImageInfo] = {
-    if (p.length >= 24 && p.take(8).sameElements(PngMagic))
+    if (p.length >= 24 && p.take(8).sameElements(PngMagic) &&
+      p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
       // PNG: 8-byte magic, IHDR chunk is always first — length(4) +
-      // "IHDR"(4) then width/height as big-endian u32 at offsets 16/20
+      // "IHDR"(4) then width/height as big-endian u32 at offsets 16/20.
+      // The tag bytes ARE checked: a payload sharing the magic prefix
+      // with junk after it must not report garbage dimensions
       Some(ImageInfo("image/png", be32(p, 16), be32(p, 20)))
     else if (p.length >= 10 && u8(p, 0) == 0x47 && u8(p, 1) == 0x49 &&
       u8(p, 2) == 0x46 && u8(p, 3) == 0x38 &&

@@ -104,7 +104,14 @@ object Multimodal {
     * mime + pixel dimensions for recognized images (n_frames = scanline
     * count), the opaque byte-slice shape otherwise. Narrow map pass — at
     * scale this is the cheap metadata-inventory scan run before deciding
-    * what to decode. */
+    * what to decode.
+    *
+    * `n_frames` is the HEADER-DECLARED plan, by design — this scan never
+    * decodes. A corrupt body (valid header, undecodable pixels) will
+    * decode to the byte-slice fallback instead ([[MediaCodec.frames]]),
+    * so header-vs-actual frame-count disagreement is itself the corrupt-
+    * payload signal: join this inventory against the decode output's
+    * per-media frame counts to flag them. */
   def describeMedia(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -253,7 +253,10 @@ object TextAnalysis {
   def withBpeTokens(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    // NULL text pins to the empty doc (0 pieces / 1 empty ws token) —
+    // same contract as Clean/Pack/Shard, mirrored by the oracle coalesce
+    docs.select(col("doc_id").cast("long"),
+      coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val p = java.util.regex.Pattern.compile(BpePattern)
@@ -356,8 +359,9 @@ object TextAnalysis {
   val qBpeTokensSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,
-       |         len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens,
-       |         len(string_split(text, ' ')) AS n_ws_tokens
+       |         len(regexp_extract_all(coalesce(text, ''), '$BpePattern'))
+       |           AS n_bpe_tokens,
+       |         len(string_split(coalesce(text, ''), ' ')) AS n_ws_tokens
        |  FROM documents)
        |SELECT doc_id, n_bpe_tokens, n_ws_tokens,
        |       floor((n_bpe_tokens * 1.0 / n_ws_tokens) * 10000.0 + 0.5) / 10000.0

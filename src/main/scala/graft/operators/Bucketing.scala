@@ -64,19 +64,22 @@ object Bucketing {
     * the target shape, not a broadcast. Money sums ride as integer
     * cents, so the unordered aggregation has no FP-order hazard. */
   def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_buckets").toString
+    // deterministic scratch per source dir: reruns OVERWRITE in place
+    // (a fresh temp dir per call would orphan the previous copy every
+    // run), and the dir-keyed table names don't collide across fixtures
+    val key = f"${dir.hashCode & 0x7fffffff}%08x"
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$key"
     writeBucketed(
       Tables.load(spark, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           round(col("o_totalprice") * 100).cast("long").as("o_cents")),
-      "graft_b_orders", s"$scratch/orders", Seq("o_custkey"))
+      s"graft_b_orders_$key", s"$scratch/orders", Seq("o_custkey"))
     writeBucketed(
       Tables.load(spark, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")),
-      "graft_b_customer", s"$scratch/customer", Seq("c_custkey"))
-    val o = readBucketed(spark, "graft_b_orders").hint("merge")
-    val c = readBucketed(spark, "graft_b_customer")
+      s"graft_b_customer_$key", s"$scratch/customer", Seq("c_custkey"))
+    val o = readBucketed(spark, s"graft_b_orders_$key").hint("merge")
+    val c = readBucketed(spark, s"graft_b_customer_$key")
       .withColumnRenamed("c_custkey", "o_custkey").hint("merge")
     o.join(c, Seq("o_custkey"))
       .groupBy(col("o_custkey"), col("c_mktsegment"))

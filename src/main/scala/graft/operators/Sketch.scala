@@ -202,7 +202,11 @@ object Sketch {
     * Scale shape: one narrow hash projection, one 256-row groupBy with
     * map-side combine, one scalar agg. Registers merge by max, so
     * sketches of disjoint inputs compose. */
-  def hllDistinct(df: DataFrame, column: String): DataFrame = {
+  /** Register table (keys* , bucket, mj) — the shared sketch state both
+    * the global and the per-group estimators aggregate. Mergeable by
+    * `max(mj)` per (keys, bucket). */
+  private def hllReg(df: DataFrame, keys: Seq[String],
+                     column: String): DataFrame = {
     val m = HllBuckets
     val h1 = Hashing.md5Long(col(column).cast("string"))
     // integer div, NOT `/`: h1 is up to 60 bits and `/` detours through
@@ -210,20 +214,31 @@ object Sketch {
     val v = expr(s"h1 div $m")
     val rho = when(col("v") === 0, HllVBits + 1)
       .otherwise(lit(HllVBits + 1) - length(bin(col("v"))))
-    val reg = df.filter(col(column).isNotNull)
-      .select(h1.as("h1"))
-      .select((col("h1") % m).as("bucket"), v.as("v"))
-      .select(col("bucket"), rho.as("rho"))
-      .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
-    reg
-      .agg(sum(pow(lit(2.0), lit(62) - col("mj")).cast("decimal(38,0)"))
-        .as("ssum"), count(lit(1)).as("nz"))
-      .select(col("nz").as("n_buckets_used"),
-        Hashing.stableRound(
-          lit(HllNumerator) /
-            (col("ssum") + (lit(m) - col("nz")).cast("decimal(38,0)") *
-              lit(TwoPow62)).cast("double"), 4).as("estimate"))
+    val keep = keys.map(k => col(k).isNotNull)
+      .foldLeft(col(column).isNotNull)(_ && _)
+    val k = keys.map(col)
+    df.filter(keep)
+      .select(k :+ h1.as("h1"): _*)
+      .select(k ++ Seq((col("h1") % m).as("bucket"), v.as("v")): _*)
+      .select(k ++ Seq(col("bucket"), rho.as("rho")): _*)
+      .groupBy((k :+ col("bucket")): _*).agg(max(col("rho")).as("mj"))
   }
+
+  /** The two harmonic-sum aggregates over a register table. */
+  private val hllAggs = Seq(
+    sum(pow(lit(2.0), lit(62) - col("mj")).cast("decimal(38,0)")).as("ssum"),
+    count(lit(1)).as("nz"))
+
+  /** estimate = numerator / (Σ2^(62−mj) + empty·2^62), stable-rounded. */
+  private def hllEstimate: org.apache.spark.sql.Column = Hashing.stableRound(
+    lit(HllNumerator) /
+      (col("ssum") + (lit(HllBuckets) - col("nz")).cast("decimal(38,0)") *
+        lit(TwoPow62)).cast("double"), 4)
+
+  def hllDistinct(df: DataFrame, column: String): DataFrame =
+    hllReg(df, Nil, column)
+      .agg(hllAggs.head, hllAggs.tail: _*)
+      .select(col("nz").as("n_buckets_used"), hllEstimate.as("estimate"))
 
   /** Per-GROUP HLL sketches — "distinct users per event type / per day /
     * per source" at sketch cost: the register table is
@@ -234,26 +249,12 @@ object Sketch {
     * `groupBy(g).agg(countDistinct(x))` — shuffles every distinct
     * (g, x) pair; this shuffles at most 256 rows per group. */
   def hllDistinctBy(df: DataFrame, groupCol: String,
-                    column: String): DataFrame = {
-    val m = HllBuckets
-    val h1 = Hashing.md5Long(col(column).cast("string"))
-    val v = expr(s"h1 div $m")
-    val rho = when(col("v") === 0, HllVBits + 1)
-      .otherwise(lit(HllVBits + 1) - length(bin(col("v"))))
-    val reg = df.filter(col(column).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol), h1.as("h1"))
-      .select(col(groupCol), (col("h1") % m).as("bucket"), v.as("v"))
-      .select(col(groupCol), col("bucket"), rho.as("rho"))
-      .groupBy(col(groupCol), col("bucket")).agg(max(col("rho")).as("mj"))
-    reg.groupBy(col(groupCol))
-      .agg(sum(pow(lit(2.0), lit(62) - col("mj")).cast("decimal(38,0)"))
-        .as("ssum"), count(lit(1)).as("nz"))
+                    column: String): DataFrame =
+    hllReg(df, Seq(groupCol), column)
+      .groupBy(col(groupCol))
+      .agg(hllAggs.head, hllAggs.tail: _*)
       .select(col(groupCol), col("nz").as("n_buckets_used"),
-        Hashing.stableRound(
-          lit(HllNumerator) /
-            (col("ssum") + (lit(m) - col("nz")).cast("decimal(38,0)") *
-              lit(TwoPow62)).cast("double"), 4).as("estimate"))
-  }
+        hllEstimate.as("estimate"))
 
   def qHll(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")

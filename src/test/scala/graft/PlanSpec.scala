@@ -312,8 +312,11 @@ class PlanSpec extends AnyFunSuite {
   test("incremental dedup probes inside codegen and broadcasts candidates — old corpus never sort-merges") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.load(spark, sf, "documents")
+    // materialize=false: the eager checkpoint would truncate the plan
+    // this test inspects
     val full = planOf(graft.llmops.Dedup.incrementalSimhashDedup(
-      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0)))
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      materialize = false))
     val plan = full.split("== Initial Plan ==").head
     // the new batch is pre-pruned by the codegen'd Bloom probe...
     assert(plan.contains("BloomMightContain") || plan.contains("bloommightcontain"),
