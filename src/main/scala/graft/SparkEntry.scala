@@ -27,6 +27,7 @@ object SparkEntry {
       graft.llmops.Rank.queries ++ graft.llmops.Clean.queries ++
       graft.operators.BloomJoin.queries ++
       graft.operators.Bucketing.queries ++
+      graft.operators.Concurrency.queries ++
       graft.operators.Funnel.queries ++
       graft.operators.JsonCols.queries ++
       graft.operators.Quantiles.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.llmops.Rank.oracleSql ++ graft.llmops.Clean.oracleSql ++
       graft.operators.BloomJoin.oracleSql ++
       graft.operators.Bucketing.oracleSql ++
+      graft.operators.Concurrency.oracleSql ++
       graft.operators.Funnel.oracleSql ++
       graft.operators.JsonCols.oracleSql ++
       graft.operators.Quantiles.oracleSql ++

@@ -124,6 +124,48 @@ object Quantiles {
     groupQuantiles(df.filter(h % mod === 0), groupCol, valueCol, percentiles)
   }
 
+  /** Equi-depth binning — assign every row its quantile bucket WITHOUT
+    * the `ntile()` global sort (one task sorting the world). Two jobs:
+    * boundary ELEMENTS come from the exact histogram of the
+    * hash-SAMPLED rows (`sampleMod` — the [[sampledGroupQuantiles]]
+    * gate; a CONTINUOUS value domain makes the full distinct-value
+    * histogram input-sized, and its global ordered window would be the
+    * very funnel this operator exists to avoid), then every row bins
+    * MAP-SIDE against the nBins−1 collected boundaries as a literal
+    * comparison chain — scan-speed, embarrassingly parallel, and
+    * appends never re-sort anything. Boundary rank error is the
+    * sampling noise O(1/√(n/sampleMod)); size sampleMod so the sample
+    * is ~10⁶ rows and the error is far below a bin width.
+    *
+    * bin = #boundaries strictly below the value, so ties at a boundary
+    * go to the LOWER bin on both engines (exact double equality on
+    * identical elements); NULL values get a NULL bin. `sampleMod = 1`
+    * is the exact-histogram degenerate case (discrete/low-cardinality
+    * domains, where the histogram IS small).
+    *
+    * The boundary job's ordered window runs single-partition (Catalyst
+    * folds the constant partition key — hence the local WindowExec
+    * warning): intentional and BOUNDED — its input is the sampled
+    * histogram, never the data; the same tiny-frame argument as
+    * [[keyDistribution]]. */
+  def equiDepthBins(df: DataFrame, valueCol: String, nBins: Int,
+                    idCols: Seq[String], sampleMod: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1024,
+      s"nBins must be in [2, 1024], got $nBins")
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.DoubleType,
+      s"equiDepthBins bins double columns; $valueCol is " +
+        df.schema(valueCol).dataType.simpleString)
+    val ps = (1 until nBins).map(k => (s"b$k", k, nBins))
+    val b = sampledGroupQuantiles(df.withColumn("_g", lit(1)),
+      "_g", valueCol, idCols, sampleMod, ps).head()
+    val bin = (1 until nBins).map(k =>
+      when(col(valueCol) > lit(b.getDouble(k)), 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("bin",
+      when(col(valueCol).isNull, lit(null)).otherwise(bin))
+  }
+
   // ----------------------------------------------------------------- query
 
   def qQuantiles(spark: SparkSession, dir: String): DataFrame =
@@ -190,13 +232,47 @@ object Quantiles {
       |       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
       |FROM w GROUP BY 1""".stripMargin
 
+  def qBins(spark: SparkSession, dir: String): DataFrame =
+    equiDepthBins(Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice")),
+      "l_extendedprice", nBins = 4,
+      idCols = Seq("l_orderkey", "l_linenumber"), sampleMod = 16)
+      .select(col("l_orderkey"), col("l_linenumber"), col("bin"))
+
+  /** Boundaries restated with the identical hash gate + integer-rank
+    * histogram; the comparison chain mirrors the literal when-chain bit
+    * for bit (boundaries are exact data elements on both engines). */
+  val qBinsSql: String = {
+    val h = graft.llmops.Hashing.md5LongSql(
+      "l_orderkey || ':' || l_linenumber")
+    s"""WITH c AS (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem
+      |           WHERE l_extendedprice IS NOT NULL AND $h % 16 = 0
+      |           GROUP BY 1),
+      |w AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+      |             sum(c) OVER () AS n FROM c),
+      |b AS (SELECT min(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END) AS b1,
+      |             min(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END) AS b2,
+      |             min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) AS b3
+      |      FROM w)
+      |SELECT l_orderkey, l_linenumber,
+      |       CASE WHEN l_extendedprice IS NULL THEN NULL
+      |            ELSE (CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END
+      |                + CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END
+      |                + CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END)
+      |       END AS bin
+      |FROM lineitem CROSS JOIN b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_quantiles" -> (qQuantiles _),
     "quantiles_sampled" -> (qQuantilesSampled _),
+    "q38_bins" -> (qBins _),
     "skew_report" -> (qSkewReport _))
 
   val oracleSql: Map[String, String] = Map(
     "q26_quantiles" -> qQuantilesSql,
     "quantiles_sampled" -> qQuantilesSampledSql,
+    "q38_bins" -> qBinsSql,
     "skew_report" -> qSkewReportSql)
 }

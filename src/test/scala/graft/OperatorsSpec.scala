@@ -416,6 +416,39 @@ class OperatorsSpec extends AnyFunSuite {
       ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
   }
 
+  test("maxConcurrency: closed intervals, bucket stitching, earliest peak wins") {
+    import spark.implicits._
+    // peak of 3 first reached at t=10 ([0,10] still open, [10,20] opens);
+    // a second peak of 3 at t=55 must NOT displace the earlier instant
+    val iv = Seq((0L, 10L), (5L, 15L), (10L, 20L), (30L, 40L),
+      (50L, 60L), (50L, 60L), (55L, 65L)).toDF("lo", "hi")
+    // bucketMicros = 7 forces endpoints across many buckets → the
+    // two-phase offsets must stitch exactly
+    val r = graft.operators.Concurrency
+      .maxConcurrency(iv, "lo", "hi", bucketMicros = 7L).head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 10L)))
+    // single-bucket degenerate case agrees
+    val r1 = graft.operators.Concurrency
+      .maxConcurrency(iv, "lo", "hi", bucketMicros = 1000000L).head()
+    assert((r1.getLong(0), r1.getLong(1)) === ((3L, 10L)))
+  }
+
+  test("equiDepthBins: exact boundaries at mod=1, lower-bin ties, NULL passthrough") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, Option(i.toDouble))) :+
+      (101L, None: Option[Double])).toDF("id", "v")
+    val got = graft.operators.Quantiles
+      .equiDepthBins(df, "v", nBins = 4, idCols = Seq("id"), sampleMod = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    // percentile_disc boundaries: 25, 50, 75; ties bin LOW
+    assert(got(25L) === Some(0) && got(26L) === Some(1))
+    assert(got(50L) === Some(1) && got(51L) === Some(2))
+    assert(got(75L) === Some(2) && got(76L) === Some(3))
+    assert(got(1L) === Some(0) && got(100L) === Some(3))
+    assert(got(101L) === None)
+  }
+
   test("melt fans each row to one (measure, value) row per measure, nulls kept") {
     import spark.implicits._
     val df = Seq((1L, 2.0, Option(3.0)), (2L, 4.0, None: Option[Double]))

@@ -303,6 +303,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1500)) // no per-step self-join
   }
 
+  test("q37_concurrency: sweep joins broadcast only — no sort-merge, no cartesian") {
+    val plan = planOf(graft.operators.Concurrency.qConcurrency(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q38_bins: the binning pass itself is a zero-exchange projection") {
+    val plan = planOf(graft.operators.Quantiles.qBins(spark, sf))
+    // the boundary job ran eagerly (bounded sample); what executes per
+    // row afterwards is scan → literal comparison chain
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
+
   test("q36_unpivot is a map-side Expand — zero exchanges") {
     val plan = planOf(graft.operators.Unpivot.qUnpivot(spark, sf))
     assert(plan.contains("Expand"), plan.take(1200))
