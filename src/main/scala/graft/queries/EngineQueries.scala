@@ -233,6 +233,45 @@ object EngineQueries {
         round(col("first_value"), 2).as("first_value"))
   }
 
+  /** Streaming per-type distinct-user estimate: HLL registers as
+    * mapGroupsWithState state; the drained output must equal the batch
+    * sketch (order-free registers), which the oracle restates. */
+  def q39StreamHll(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_shll_out")
+    StreamingIncremental.runHllDistinct(spark, s"$dir/events.parquet",
+      scratch("graft_shll_ckpt"),
+      Some(StreamingIncremental.FixtureStatePartitions)) { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out)
+      .select(col("event_type"), col("n_buckets_used"), col("estimate"))
+  }
+
+  val q39Sql: String = {
+    val m = graft.operators.Sketch.HllBuckets
+    val h = graft.llmops.Hashing.md5LongSql("CAST(user_id AS VARCHAR)")
+    val num = f"${graft.operators.Sketch.HllNumerator}%.17e"
+    s"""WITH b AS (SELECT event_type, $h % $m AS bucket, $h // $m AS v
+       |           FROM events
+       |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |r AS (SELECT event_type, bucket,
+       |             CASE WHEN v = 0 THEN 53
+       |                  ELSE 53 - length(bin(v)) END AS rho
+       |      FROM b),
+       |reg AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |s AS (SELECT event_type,
+       |             sum(CAST(power(2, 62 - mj) AS DECIMAL(38,0))) AS ssum,
+       |             count(*) AS nz FROM reg GROUP BY 1),
+       |tot AS (SELECT event_type, nz,
+       |               ssum + CAST($m - nz AS DECIMAL(38,0)) *
+       |                 CAST(4611686018427387904 AS DECIMAL(38,0)) AS st
+       |        FROM s)
+       |SELECT event_type, nz AS n_buckets_used,
+       |       ${graft.llmops.Hashing.stableRoundSql(
+             s"$num / CAST(st AS DOUBLE)", 4)} AS estimate
+       |FROM tot""".stripMargin
+  }
+
   val q19Sql: String =
     """SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS first_ts,
       |       event_id AS first_event_id, round(value, 2) AS first_value
@@ -366,7 +405,8 @@ object EngineQueries {
     "q19_stream_dedup" -> (q19StreamDedup _),
     "q21_build" -> (q21Build _),
     "q27_stream_sessions" -> (q27StreamSessions _),
-    "q28_stream_join" -> (q28StreamJoin _))
+    "q28_stream_join" -> (q28StreamJoin _),
+    "q39_stream_hll" -> (q39StreamHll _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -379,5 +419,6 @@ object EngineQueries {
     "q19_stream_dedup" -> q19Sql,
     "q27_stream_sessions" -> q27Sql,
     "q28_stream_join" -> q28Sql,
+    "q39_stream_hll" -> q39Sql,
     "q21_build" -> q21Sql)
 }

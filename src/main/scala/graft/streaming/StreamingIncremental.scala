@@ -234,6 +234,72 @@ object StreamingIncremental {
     q.awaitTermination()
   }
 
+  /** Streaming distinct-cardinality per group — each event_type keeps
+    * the 256 HLL max-rank registers as its ONE state record, so total
+    * state is O(groups × 256 bytes) however many events stream through:
+    * the state shape that makes "distinct users per type, continuously"
+    * viable where exact streaming distinct state grows with the key
+    * count.
+    *
+    * Registers MAX-MERGE, so micro-batch arrival order is irrelevant and
+    * the drained estimate equals the batch sketch over the same rows
+    * ([[graft.operators.Sketch.hllDistinctBy]]) — an order-free state is
+    * what lets a STREAMING approximation be oracle-hash-checked. The
+    * estimate reuses the batch kernel contract bit for bit: the same
+    * md5-derived 60-bit hash ([[graft.llmops.Kernels.md5Long]]), the
+    * harmonic sum in exact integer units of 2^-62 (BigInt; one double
+    * division at the end), and the floor-round-4 output. */
+  def runHllDistinct(spark: SparkSession, eventsDir: String,
+                     checkpointDir: String,
+                     statePartitions: Option[Int] = None)
+                    (sink: DataFrame => Unit): Unit =
+      withShufflePartitions(spark, statePartitions) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val m = graft.operators.Sketch.HllBuckets
+    val stream = stageAndStream(spark, eventsDir, "graft_landing_hll")
+    val typed = stream
+      .select(col("event_type"), col("user_id").cast("long"))
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .as[(String, Long)]
+    val sketched = typed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Int], (String, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Array[Int]]) =>
+          val reg = state.getOption.getOrElse(new Array[Int](m))
+          val md = graft.llmops.Kernels.newMd5()
+          rows.foreach { case (_, uid) =>
+            val h = graft.llmops.Kernels.md5Long(md, uid.toString)
+            val b = (h % m).toInt // h is 60-bit non-negative
+            val v = h / m
+            // rho = 53 - bitlength(v) (empty register = 0; real rho >= 1)
+            val rho =
+              if (v == 0L) 53
+              else java.lang.Long.numberOfLeadingZeros(v) - 11
+            if (rho > reg(b)) reg(b) = rho
+          }
+          state.update(reg)
+          var nz = 0; var ssum = BigInt(0); var i = 0
+          while (i < m) {
+            if (reg(i) > 0) { nz += 1; ssum += BigInt(1) << (62 - reg(i)) }
+            i += 1
+          }
+          val st = ssum + BigInt(m - nz) * (BigInt(1) << 62)
+          val est = graft.llmops.Kernels.floorRound4(
+            graft.operators.Sketch.HllNumerator / st.bigInteger.doubleValue)
+          (key, nz.toLong, est)
+      }
+      .toDF("event_type", "n_buckets_used", "estimate")
+    val q = sketched.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Partition-scoped upsert of an update-mode micro-batch: latest value
     * per (hour, event_type) wins; only the day partitions present in the
     * batch are rewritten (untouched rows of those days carry over via an

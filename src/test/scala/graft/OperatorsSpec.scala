@@ -416,6 +416,23 @@ class OperatorsSpec extends AnyFunSuite {
       ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
   }
 
+  test("streaming HLL state drains to exactly the batch sketch (order-free registers)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shll_spec")
+    val out = s"$dir/out"
+    graft.streaming.StreamingIncremental.runHllDistinct(
+      spark, s"$sf/events.parquet", s"$dir/ckpt", Some(4)) { b =>
+      b.write.mode("append").parquet(out)
+    }
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val batch = graft.operators.Sketch.hllDistinctBy(
+      graft.core.Tables.load(spark, sf, "events"), "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(streamed === batch) // bit-identical estimates, not approximately
+  }
+
   test("maxConcurrency: closed intervals, bucket stitching, earliest peak wins") {
     import spark.implicits._
     // peak of 3 first reached at t=10 ([0,10] still open, [10,20] opens);
