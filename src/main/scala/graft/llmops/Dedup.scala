@@ -407,10 +407,11 @@ object Dedup {
     * the old corpus's bands where they sit. Exact Hamming verification
     * runs on the joined fingerprints; Bloom FPs and band-only collisions
     * die there, so the output is exact. */
-  /** `materialize = false` keeps the full lazy plan (and leaves the
-    * candidate cache pinned for the CALLER to release) — for plan
-    * inspection; the default eagerly checkpoints the small pair set so
-    * the candidate blocks release immediately. */
+  /** `materialize = false` keeps the full lazy plan for inspection —
+    * nothing persists and the candidate-cap guard does not run (both
+    * require actions); the default runs the guard over a persisted
+    * candidate frame and eagerly checkpoints the small pair set so the
+    * candidate blocks release before returning. */
   def incrementalSimhashDedup(oldDocs: DataFrame, newDocs: DataFrame,
                               maxHamming: Int = HammingMax,
                               mBits: Int = IncrementalBloomBits,
@@ -426,14 +427,18 @@ object Dedup {
       oldBands.select(bandKey.as("bk")), "bk", mBits, k)
     val probe = GraftBridge.column(BloomMightContain(
       GraftBridge.expression(bandKey), bits, mBits, k))
-    val cand = newBands.filter(probe)
+    val candPlan = newBands.filter(probe)
       .select(col("band"), col("bucket"),
         col("doc_id").as("new_id"), col("simhash").as("sim_new"))
-      .limit(MaxCandidateBands + 1).persist()
-    require(cand.count() <= MaxCandidateBands,
-      s"more than $MaxCandidateBands candidate band rows — the new batch " +
-        "collides with the corpus too broadly for the broadcast-back " +
-        "incremental path; run simhashPairs over old+new instead")
+      .limit(MaxCandidateBands + 1)
+    val cand = if (materialize) candPlan.persist() else candPlan
+    if (materialize && cand.count() > MaxCandidateBands) {
+      cand.unpersist() // release BEFORE throwing, or the guard leaks
+      throw new IllegalArgumentException(
+        s"more than $MaxCandidateBands candidate band rows — the new batch " +
+          "collides with the corpus too broadly for the broadcast-back " +
+          "incremental path; run simhashPairs over old+new instead")
+    }
     val pairs = cand.hint("broadcast")
       .join(oldBands.select(col("band"), col("bucket"),
         col("doc_id").as("old_id"), col("simhash").as("sim_old")),

@@ -33,17 +33,13 @@ object Pack {
     * pick their own). */
   val SeqTokens = 256
 
-  val MaxBuckets = 4_000_000 // offsets collect: ~32 MB of longs at the cap
-
   /** Default bucket: 8k docs per prefix-sum task — small enough that the
     * fixture corpus already takes the multi-bucket path (the single-bucket
     * degenerate case IS the global window), large enough that 10B docs
-    * stay under [[MaxBuckets]]. */
+    * stay under [[graft.operators.PrefixSum.MaxBuckets]]. */
   def packSequences(docs: DataFrame, seqTokens: Int,
                     bucketSize: Long = 8192): DataFrame = {
     require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
-    val spark = docs.sparkSession
-    import spark.implicits._
     // NULL text is pinned to '' (Spark's size(split(NULL)) = -1 while
     // DuckDB's len(string_split(NULL)) is NULL — coalescing on BOTH
     // engines makes a NULL doc one empty token, never a negative span)
@@ -51,25 +47,11 @@ object Pack {
       size(split(coalesce(col("text"), lit("")), " "))
         .cast("long").as("n_tokens"),
       expr(s"cast(doc_id as bigint) div $bucketSize").as("bucket"))
-    val w = Window.partitionBy("bucket").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = toks.withColumn("cum_in_bucket", sum(col("n_tokens")).over(w))
-    // limit(cap+1) BOUNDS the transfer before anything lands on the
-    // driver — collecting first and guarding after would OOM exactly the
-    // way the guard is meant to prevent (sparse 64-bit doc_ids make
-    // ~one bucket per doc no matter the bucketSize); driver-side sort,
-    // since limit discards the shuffle order anyway
-    val totals = toks.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("tot"))
-      .limit(MaxBuckets + 1).collect()
-    require(totals.length <= MaxBuckets,
-      s"more than $MaxBuckets buckets; raise bucketSize " +
-        s"(driver holds one offset per bucket)")
-    var running = 0L
-    val offsets = totals.sortBy(_.getLong(0)).map { r =>
-      val o = (r.getLong(0), running); running += r.getLong(1); o
-    }.toSeq.toDF("bucket", "base")
-    local.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("start_tok", col("base") + col("cum_in_bucket") - col("n_tokens"))
+    // (sparse 64-bit doc_ids make ~one bucket per doc no matter the
+    // bucketSize, so the helper's cap guard genuinely binds here)
+    graft.operators.PrefixSum.bucketedRunningSum(toks,
+      "bucket", "doc_id", "n_tokens", "cum")
+      .withColumn("start_tok", col("cum") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("start_tok"),
         expr(s"start_tok div $seqTokens").as("seq_first"),
         expr(s"(start_tok + n_tokens - 1) div $seqTokens").as("seq_last"))

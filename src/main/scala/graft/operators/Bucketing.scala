@@ -63,12 +63,19 @@ object Bucketing {
     * fact-to-fact join fits an executor, so the co-located sort-merge IS
     * the target shape, not a broadcast. Money sums ride as integer
     * cents, so the unordered aggregation has no FP-order hazard. */
+  /** Per-JVM scratch roots, one per source dir: reruns IN THIS PROCESS
+    * overwrite in place (no orphaned copy per call), while the
+    * `createTempDirectory` base keeps concurrent processes and other
+    * users on disjoint 0700 paths — a deterministic shared /tmp name
+    * would race across processes and fail across users. */
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    // deterministic scratch per source dir: reruns OVERWRITE in place
-    // (a fresh temp dir per call would orphan the previous copy every
-    // run), and the dir-keyed table names don't collide across fixtures
     val key = f"${dir.hashCode & 0x7fffffff}%08x"
-    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$key"
+    val scratch = scratchRoots.computeIfAbsent(key, _ =>
+      java.nio.file.Files.createTempDirectory(s"graft_buckets_$key")
+        .toString)
     writeBucketed(
       Tables.load(spark, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),

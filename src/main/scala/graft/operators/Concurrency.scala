@@ -26,41 +26,43 @@ import graft.core.Tables
   */
 object Concurrency {
 
-  val MaxBuckets = 4_000_000
   val DayMicros: Long = 86400L * 1000000L
 
   /** One row: (max_concurrent, at_ts) — the peak simultaneous open
-    * intervals and the EARLIEST instant it is first reached. */
+    * intervals and the EARLIEST instant it is first reached. Intervals
+    * with a NULL endpoint are excluded up front (they cannot sweep; a
+    * half-NULL row would otherwise leave an unmatched ±1 corrupting
+    * every count after it). `materialize = false` keeps the full lazy
+    * plan for inspection — and recomputes the delta pipeline once per
+    * downstream action; the default persists the (distinct-instant-
+    * sized) delta frame across the sweep's three actions and releases
+    * it before returning the one-row result. */
   def maxConcurrency(intervals: DataFrame, loCol: String, hiCol: String,
-                     bucketMicros: Long = DayMicros): DataFrame = {
+                     bucketMicros: Long = DayMicros,
+                     materialize: Boolean = true): DataFrame = {
     require(bucketMicros > 0, s"bucket width must be positive")
-    val spark = intervals.sparkSession
-    import spark.implicits._
-    val deltas = intervals.select(col(loCol).as("ts"), lit(1L).as("d"))
-      .unionByName(intervals.select((col(hiCol) + 1).as("ts"),
+    val nonNull = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+    val deltasPlan = nonNull.select(col(loCol).as("ts"), lit(1L).as("d"))
+      .unionByName(nonNull.select((col(hiCol) + 1).as("ts"),
         lit(-1L).as("d")))
       .groupBy(col("ts")).agg(sum(col("d")).as("d"))
       .withColumn("bucket", expr(s"ts div $bucketMicros"))
-    val w = Window.partitionBy("bucket").orderBy("ts")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = deltas.withColumn("cum", sum(col("d")).over(w))
-    // bound the transfer BEFORE collecting (Pack.scala discipline)
-    val totals = deltas.groupBy(col("bucket")).agg(sum(col("d")).as("tot"))
-      .limit(MaxBuckets + 1).collect()
-    require(totals.length <= MaxBuckets,
-      s"more than $MaxBuckets time buckets; raise bucketMicros " +
-        "(driver holds one offset per bucket)")
-    var running = 0L
-    val offsets = totals.sortBy(_.getLong(0)).map { r =>
-      val o = (r.getLong(0), running); running += r.getLong(1); o
-    }.toSeq.toDF("bucket", "base")
-    val swept = local.join(broadcast(offsets), Seq("bucket"))
-      .select(col("ts"), (col("base") + col("cum")).as("conc"))
+    val deltas = if (materialize) deltasPlan.persist() else deltasPlan
+    val swept = graft.operators.PrefixSum.bucketedRunningSum(deltas,
+      "bucket", "ts", "d", "conc")
+      .select(col("ts"), col("conc"))
     val mx = swept.agg(max(col("conc")).as("mx"))
-    swept.crossJoin(broadcast(mx))
+    val peak = swept.crossJoin(broadcast(mx))
       .filter(col("conc") === col("mx"))
       .agg(max(col("conc")).as("max_concurrent"),
         min(col("ts")).as("at_ts"))
+    if (!materialize) peak
+    else {
+      val out = peak.localCheckpoint(true) // one row
+      deltas.unpersist()
+      out
+    }
   }
 
   // ----------------------------------------------------------------- query

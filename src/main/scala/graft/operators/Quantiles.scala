@@ -157,8 +157,13 @@ object Quantiles {
       s"equiDepthBins bins double columns; $valueCol is " +
         df.schema(valueCol).dataType.simpleString)
     val ps = (1 until nBins).map(k => (s"b$k", k, nBins))
-    val b = sampledGroupQuantiles(df.withColumn("_g", lit(1)),
-      "_g", valueCol, idCols, sampleMod, ps).head()
+    val bRows = sampledGroupQuantiles(df.withColumn("_g", lit(1)),
+      "_g", valueCol, idCols, sampleMod, ps).take(1)
+    require(bRows.nonEmpty,
+      s"equiDepthBins: the 1/$sampleMod hash sample of $valueCol is " +
+        "empty (too few non-NULL rows for this sampleMod) — lower " +
+        "sampleMod toward 1")
+    val b = bRows.head
     val bin = (1 until nBins).map(k =>
       when(col(valueCol) > lit(b.getDouble(k)), 1).otherwise(0))
       .reduce(_ + _)

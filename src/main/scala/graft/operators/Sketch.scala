@@ -294,10 +294,12 @@ object Sketch {
         Seq("event_type"))
   }
 
-  val qHllGroupedSql: String = {
+  /** DuckDB CTE chain shared by the BATCH (`hll_grouped`) and STREAMING
+    * (`q39_stream_hll`) grouped-HLL oracles — one statement of the
+    * register math, so the two gates provably check the same sketch. */
+  val HllGroupedOracleCtes: String = {
     val m = HllBuckets
     val h = Hashing.md5LongSql("CAST(user_id AS VARCHAR)")
-    val num = f"$HllNumerator%.17e"
     s"""WITH b AS (SELECT event_type, $h % $m AS bucket, $h // $m AS v
        |           FROM events
        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
@@ -312,15 +314,23 @@ object Sketch {
        |tot AS (SELECT event_type, nz,
        |               ssum + CAST($m - nz AS DECIMAL(38,0)) *
        |                 CAST(4611686018427387904 AS DECIMAL(38,0)) AS st
-       |        FROM s),
+       |        FROM s)""".stripMargin
+  }
+
+  /** Estimate select fragment against `tot` (qualify with `prefix`). */
+  def hllGroupedEstimateSql(prefix: String): String = {
+    val num = f"$HllNumerator%.17e"
+    Hashing.stableRoundSql(s"$num / CAST(${prefix}st AS DOUBLE)", 4)
+  }
+
+  val qHllGroupedSql: String =
+    s"""$HllGroupedOracleCtes,
        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
        |       FROM events GROUP BY 1)
        |SELECT t.event_type, t.nz AS n_buckets_used,
-       |       ${Hashing.stableRoundSql(s"$num / CAST(t.st AS DOUBLE)", 4)}
-       |         AS estimate,
+       |       ${hllGroupedEstimateSql("t.")} AS estimate,
        |       ex.exact_distinct
        |FROM tot t JOIN ex USING (event_type)""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_kmv_sketch" -> (qKmv _),

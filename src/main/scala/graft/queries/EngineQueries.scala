@@ -247,30 +247,15 @@ object EngineQueries {
       .select(col("event_type"), col("n_buckets_used"), col("estimate"))
   }
 
-  val q39Sql: String = {
-    val m = graft.operators.Sketch.HllBuckets
-    val h = graft.llmops.Hashing.md5LongSql("CAST(user_id AS VARCHAR)")
-    val num = f"${graft.operators.Sketch.HllNumerator}%.17e"
-    s"""WITH b AS (SELECT event_type, $h % $m AS bucket, $h // $m AS v
-       |           FROM events
-       |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
-       |r AS (SELECT event_type, bucket,
-       |             CASE WHEN v = 0 THEN 53
-       |                  ELSE 53 - length(bin(v)) END AS rho
-       |      FROM b),
-       |reg AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
-       |s AS (SELECT event_type,
-       |             sum(CAST(power(2, 62 - mj) AS DECIMAL(38,0))) AS ssum,
-       |             count(*) AS nz FROM reg GROUP BY 1),
-       |tot AS (SELECT event_type, nz,
-       |               ssum + CAST($m - nz AS DECIMAL(38,0)) *
-       |                 CAST(4611686018427387904 AS DECIMAL(38,0)) AS st
-       |        FROM s)
+  /** The streaming gate restates EXACTLY the batch sketch's register
+    * math — both oracles consume [[graft.operators.Sketch]]'s shared
+    * CTE chain, so they cannot drift apart. */
+  val q39Sql: String =
+    s"""${graft.operators.Sketch.HllGroupedOracleCtes}
        |SELECT event_type, nz AS n_buckets_used,
-       |       ${graft.llmops.Hashing.stableRoundSql(
-             s"$num / CAST(st AS DOUBLE)", 4)} AS estimate
+       |       ${graft.operators.Sketch.hllGroupedEstimateSql("")}
+       |         AS estimate
        |FROM tot""".stripMargin
-  }
 
   val q19Sql: String =
     """SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS first_ts,

@@ -423,9 +423,13 @@ class OperatorsSpec extends AnyFunSuite {
       spark, s"$sf/events.parquet", s"$dir/ckpt", Some(4)) { b =>
       b.write.mode("append").parquet(out)
     }
-    val streamed = spark.read.parquet(out)
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
-      .toMap
+    val streamedRows = spark.read.parquet(out).collect()
+    val streamed = streamedRows
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // one emitted row per group: if the drain ever split into multiple
+    // micro-batches, stale intermediate emissions would hide in the map
+    assert(streamedRows.length === streamed.size,
+      s"duplicate per-group emissions: ${streamedRows.length} rows")
     val batch = graft.operators.Sketch.hllDistinctBy(
       graft.core.Tables.load(spark, sf, "events"), "event_type", "user_id")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))

@@ -304,7 +304,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q37_concurrency: sweep joins broadcast only — no sort-merge, no cartesian") {
-    val plan = planOf(graft.operators.Concurrency.qConcurrency(spark, sf))
+    // materialize=false: the eager one-row checkpoint would truncate
+    // the plan this test inspects
+    val plan = planOf(graft.operators.Concurrency.maxConcurrency(
+      graft.operators.Sessionize.qSessions(spark, sf),
+      "start_us", "end_us", materialize = false))
       .split("== Initial Plan ==").head
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
