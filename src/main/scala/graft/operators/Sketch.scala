@@ -128,6 +128,32 @@ object Sketch {
   val CmsWidth = 512
   val CmsDepth = 4
 
+  /** Pre-flight JOIN-SIZE estimation from two CMS sketches — the AMS
+    * inner-product trick: |A ⋈_k B| = Σ_k cntA(k)·cntB(k), and the
+    * per-depth inner product of the two counter grids computes exactly
+    * that PLUS non-negative collision cross-terms, so every depth
+    * over-estimates and the MIN over depths is the tightest. The
+    * planner question this answers at 100 TB — "will this join explode?"
+    * — costs two sketch builds (map-side-combined, never a shuffle of
+    * either input) and a (d, bucket)-keyed join of two grid frames,
+    * instead of running the join.
+    *
+    * Width governs the error: expected cross-term ≈ |A|·|B|/width per
+    * depth, so size width ≫ |A|·|B|/tolerable_error — [[JoinWidth]]'s
+    * 2^20 puts the fixture error under 2%. Counter products stay in
+    * int64 while cntA·cntB·width < 2^63 (~10B×10B rows at 2^20 — cast
+    * the grid to DECIMAL beyond that). */
+  def cmsJoinSize(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                  width: Int = JoinWidth, depth: Int = CmsDepth): DataFrame = {
+    val sa = cmsBuild(a, aCol, width, depth).withColumnRenamed("c", "ca")
+    val sb = cmsBuild(b, bCol, width, depth).withColumnRenamed("c", "cb")
+    sa.join(sb, Seq("d", "bucket")) // absent buckets contribute 0: inner
+      .groupBy(col("d")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join_rows"))
+  }
+
+  val JoinWidth: Int = 1 << 20
+
   /** CMS frequency estimates for the 8 smallest part keys, with exact
     * counts beside them: at width 512 over thousands of distinct keys,
     * some buckets collide, so the gate witnesses REAL over-estimates
@@ -332,15 +358,51 @@ object Sketch {
        |       ex.exact_distinct
        |FROM tot t JOIN ex USING (event_type)""".stripMargin
 
+  /** Estimated vs exact size of orders ⋈ lineitem on the order key —
+    * the estimate never under-counts (inner product ≥ true size). */
+  def qJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    cmsJoinSize(o, "o_orderkey", li, "l_orderkey")
+      .crossJoin(o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_join_rows")))
+  }
+
+  val qJoinSizeSql: String = {
+    val w = JoinWidth
+    val hA = Hashing.md5LongSql("CAST(o_orderkey AS VARCHAR)")
+    val hA2 = Hashing.md5LongHiSql("CAST(o_orderkey AS VARCHAR)")
+    val hB = Hashing.md5LongSql("CAST(l_orderkey AS VARCHAR)")
+    val hB2 = Hashing.md5LongHiSql("CAST(l_orderkey AS VARCHAR)")
+    s"""WITH ds AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d),
+       |ha AS MATERIALIZED (
+       |  SELECT $hA AS h1, $hA2 AS h2 FROM orders
+       |  WHERE o_orderkey IS NOT NULL),
+       |hb AS MATERIALIZED (
+       |  SELECT $hB AS h1, $hB2 AS h2 FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL),
+       |sa AS (SELECT ds.d, (h1 + ds.d * h2) % $w AS bucket, count(*) AS ca
+       |       FROM ha CROSS JOIN ds GROUP BY 1, 2),
+       |sb AS (SELECT ds.d, (h1 + ds.d * h2) % $w AS bucket, count(*) AS cb
+       |       FROM hb CROSS JOIN ds GROUP BY 1, 2),
+       |ip AS (SELECT sa.d, CAST(sum(sa.ca * sb.cb) AS BIGINT) AS ip
+       |       FROM sa JOIN sb USING (d, bucket) GROUP BY 1)
+       |SELECT (SELECT CAST(min(ip) AS BIGINT) FROM ip) AS est_join_rows,
+       |       (SELECT count(*) FROM orders JOIN lineitem
+       |        ON o_orderkey = l_orderkey) AS exact_join_rows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_kmv_sketch" -> (qKmv _),
     "freq_cms" -> (qCms _),
     "card_hll" -> (qHll _),
-    "hll_grouped" -> (qHllGrouped _))
+    "hll_grouped" -> (qHllGrouped _),
+    "q40_join_size" -> (qJoinSize _))
 
   val oracleSql: Map[String, String] = Map(
     "q24_kmv_sketch" -> qKmvSql,
     "freq_cms" -> qCmsSql,
     "card_hll" -> qHllSql,
-    "hll_grouped" -> qHllGroupedSql)
+    "hll_grouped" -> qHllGroupedSql,
+    "q40_join_size" -> qJoinSizeSql)
 }

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** CSV source and sink with the same at-scale contract as [[Jsonl]]:
+  * schema-enforced reads (CSV inference is an extra full pass AND
+  * type-guesses from whatever rows it samples), corrupt lines counted
+  * rather than silently dropped or fatally thrown, per-partition
+  * sharded compressed writes. Headers are written and expected on read
+  * (`header` carries column ORDER; the schema stays the type
+  * authority). Prefer JSONL for nested data — CSV is the flat-table
+  * interchange lane. */
+object Csv {
+
+  val CorruptCol = "_corrupt_record"
+
+  def write(df: DataFrame, path: String,
+            compression: String = "gzip"): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("compression", compression)
+      .csv(path)
+
+  /** Schema-enforced read; unparsable lines land in [[CorruptCol]]. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"pass the data schema only; $CorruptCol is added by the reader")
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+  }
+
+  /** (clean rows, corrupt-line count) — same persisted-count dance as
+    * [[Jsonl.readCounted]] (Spark refuses corrupt-column-only queries
+    * over a fresh scan). */
+  def readCounted(spark: SparkSession, path: String,
+                  schema: StructType): (DataFrame, Long) = {
+    val raw = read(spark, path, schema).persist()
+    val bad =
+      try raw.filter(col(CorruptCol).isNotNull).count()
+      finally raw.unpersist()
+    (read(spark, path, schema).filter(col(CorruptCol).isNull)
+      .drop(CorruptCol), bad)
+  }
+}

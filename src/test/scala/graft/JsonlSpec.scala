@@ -24,6 +24,36 @@ class JsonlSpec extends AnyFunSuite {
     assert(docs.exceptAll(back).count() === 0)
   }
 
+  test("customer round-trips through compressed CSV (flat columns)") {
+    import graft.sources.Csv
+    val cust = Tables.load(spark, sf, "customer")
+    val dir = tmp()
+    Csv.write(cust, s"$dir/cust")
+    val back = Csv.read(spark, s"$dir/cust", cust.schema)
+      .drop(Csv.CorruptCol)
+    assert(back.exceptAll(cust).count() === 0)
+    assert(cust.exceptAll(back).count() === 0)
+  }
+
+  test("CSV readCounted counts type-mismatched lines as corrupt") {
+    import spark.implicits._
+    import graft.sources.Csv
+    val dir = tmp()
+    val good = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    Csv.write(good, s"$dir/m", compression = "none")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/m"))
+      .filter(p => p.toString.endsWith(".csv")).findFirst().get()
+    val spliced = new String(java.nio.file.Files.readAllBytes(part)) +
+      "not-a-long,gamma\n"
+    java.nio.file.Files.write(part, spliced.getBytes)
+    java.nio.file.Files.deleteIfExists(
+      part.resolveSibling("." + part.getFileName + ".crc"))
+    val (clean, bad) = Csv.readCounted(spark, s"$dir/m",
+      StructType(good.schema.fields))
+    assert(bad === 1L)
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("readCounted surfaces corrupt lines without dropping clean ones") {
     import spark.implicits._
     val dir = tmp()

@@ -416,6 +416,17 @@ class OperatorsSpec extends AnyFunSuite {
       ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
   }
 
+  test("cmsJoinSize never under-estimates and is tight at proper width") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => i.toLong % 100).toDF("k")  // 100 keys × 10
+    val b = (1 to 2000).map(i => i.toLong % 200).toDF("k")  // 200 keys × 10
+    // true size: the 100 shared keys contribute 10·10 each = 10000
+    val est = graft.operators.Sketch.cmsJoinSize(a, "k", b, "k")
+      .head().getLong(0)
+    assert(est >= 10000L) // inner product ≥ true join size, always
+    assert(est <= 10100L) // cross-term noise ≈ 1000·2000/2^20 ≈ 2 per depth
+  }
+
   test("streaming HLL state drains to exactly the batch sketch (order-free registers)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shll_spec")
     val out = s"$dir/out"
