@@ -257,6 +257,58 @@ object EngineQueries {
        |         AS estimate
        |FROM tot""".stripMargin
 
+  /** Point-in-time SCD2 lookup — every purchase attaches the dimension
+    * VERSION valid at purchase time. Because scd2 versions PARTITION a
+    * key's timeline, "valid at t" ≡ "latest valid_from ≤ t", so the
+    * lookup is the join-free as-of carry ([[graft.operators.AsOfJoin]])
+    * over the history — one shuffle+sort per key, no interval-join row
+    * explosion, no version fans out more than once per fact. The
+    * history itself is the q14 scd2 frame built in-plan. */
+  def q41PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val dim = new Materialize(new Warehouse(spark, scratch("graft_pit")))
+      .scd2Frame(e, pk = Seq("user_id"), orderCol = "ts",
+        tracked = Seq("event_type"), tiebreak = Seq("event_id"))
+      .select(col("user_id"), unix_micros(col("valid_from")).as("vf_us"),
+        col("event_type").as("state"), col("event_id").as("version_id"))
+    val facts = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    graft.operators.AsOfJoin.backward(facts, dim,
+      keys = Seq("user_id"), leftTs = "ts_us", rightTs = "vf_us",
+      payload = Seq("state", "version_id"),
+      rightOrder = Some("version_id"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("state"), col("version_id"))
+  }
+
+  /** The oracle states PIT semantics as the interval join over the q14
+    * history (empty [t, t) versions from same-instant changes match
+    * nothing; the as-of's latest-(vf, version_id) pick agrees). */
+  val q41Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |         lag(event_type) OVER w AS prev_type,
+      |         lag(ts) OVER w AS prev_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |ch AS (
+      |  SELECT * FROM o
+      |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type),
+      |dim AS (
+      |  SELECT user_id, epoch_us(ts) AS vf_us,
+      |         epoch_us(lead(ts) OVER w2) AS vt_us,
+      |         event_type AS state, event_id AS version_id
+      |  FROM ch
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts_us, d.state, d.version_id
+      |FROM f JOIN dim d
+      |  ON d.user_id = f.user_id AND d.vf_us <= f.ts_us
+      | AND (d.vt_us IS NULL OR f.ts_us < d.vt_us)""".stripMargin
+
   val q19Sql: String =
     """SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS first_ts,
       |       event_id AS first_event_id, round(value, 2) AS first_value
@@ -391,7 +443,8 @@ object EngineQueries {
     "q21_build" -> (q21Build _),
     "q27_stream_sessions" -> (q27StreamSessions _),
     "q28_stream_join" -> (q28StreamJoin _),
-    "q39_stream_hll" -> (q39StreamHll _))
+    "q39_stream_hll" -> (q39StreamHll _),
+    "q41_pit_join" -> (q41PitJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -405,5 +458,6 @@ object EngineQueries {
     "q27_stream_sessions" -> q27Sql,
     "q28_stream_join" -> q28Sql,
     "q39_stream_hll" -> q39Sql,
+    "q41_pit_join" -> q41Sql,
     "q21_build" -> q21Sql)
 }

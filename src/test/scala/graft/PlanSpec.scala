@@ -321,6 +321,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(1200))
   }
 
+  test("q41_pit_join: the scd2 lookup is carry-based — no join operator at all") {
+    val plan = planOf(graft.queries.EngineQueries.q41PitJoin(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
   test("q36_unpivot is a map-side Expand — zero exchanges") {
     val plan = planOf(graft.operators.Unpivot.qUnpivot(spark, sf))
     assert(plan.contains("Expand"), plan.take(1200))
