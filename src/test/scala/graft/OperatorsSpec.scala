@@ -416,6 +416,26 @@ class OperatorsSpec extends AnyFunSuite {
       ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
   }
 
+  test("bucketedRunningSum equals the single-partition prefix sum on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(100).toLong - 50))
+    for (width <- Seq(1L, 7L, 64L, 10000L)) {
+      val df = rows.toDF("ord", "v")
+        .withColumn("bucket", expr(s"ord div $width"))
+      val got = graft.operators.PrefixSum
+        .bucketedRunningSum(df, "bucket", "ord", "v", "cum")
+        .select("ord", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = rows.toDF("ord", "v")
+        .withColumn("cum", sum(col("v")).over(Window.orderBy("ord")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === exact, s"width $width")
+    }
+  }
+
   test("cmsJoinSize never under-estimates and is tight at proper width") {
     import spark.implicits._
     val a = (1 to 1000).map(i => i.toLong % 100).toDF("k")  // 100 keys × 10
