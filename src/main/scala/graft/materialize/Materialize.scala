@@ -91,26 +91,8 @@ final class Materialize(wh: Warehouse) {
     * consecutive rows whose tracked columns are unchanged collapse into
     * one validity interval. */
   def scd2Frame(snapshot: DataFrame, pk: Seq[String], orderCol: String,
-                tracked: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
-    val keyCols = pk.map(col)
-    val orderCols = (orderCol +: tiebreak).map(col)
-    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
-    val changeFlag = tracked.map { c =>
-      val prev = lag(col(c), 1).over(w)
-      // null-safe inequality: a change is a value difference incl. null flips
-      !(col(c) <=> prev)
-    }.reduce(_ || _)
-    val flagged = snapshot
-      .withColumn("_is_first", lag(col(orderCol), 1).over(w).isNull)
-      .withColumn("_changed", changeFlag || col("_is_first"))
-      .filter(col("_changed"))
-    val w2 = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
-    flagged
-      .withColumn("valid_from", col(orderCol))
-      .withColumn("valid_to", lead(col(orderCol), 1).over(w2))
-      .withColumn("is_current", col("valid_to").isNull)
-      .drop("_is_first", "_changed")
-  }
+                tracked: Seq[String], tiebreak: Seq[String] = Nil): DataFrame =
+    Materialize.scd2Frame(snapshot, pk, orderCol, tracked, tiebreak)
 
   /** scd2 merge into the warehouse (the MERGE side of incremental+merge,
     * model/create.py:416-429, 466-470), PARTITION-SCOPED.
@@ -197,4 +179,32 @@ final class Materialize(wh: Warehouse) {
   /** Ephemeral materialization: never stored; composes into the consumer
     * exactly as dbt inlines ephemeral models as CTEs. */
   def ephemeral(df: DataFrame): DataFrame = df
+}
+
+object Materialize {
+
+  /** scd2 change tracking as a PURE transform (no warehouse involved) —
+    * consumers that only need the history frame (the PIT lookup, specs)
+    * call this without constructing a Warehouse. */
+  def scd2Frame(snapshot: DataFrame, pk: Seq[String], orderCol: String,
+                tracked: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
+    val keyCols = pk.map(col)
+    val orderCols = (orderCol +: tiebreak).map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    val changeFlag = tracked.map { c =>
+      val prev = lag(col(c), 1).over(w)
+      // null-safe inequality: a change is a value difference incl. null flips
+      !(col(c) <=> prev)
+    }.reduce(_ || _)
+    val flagged = snapshot
+      .withColumn("_is_first", lag(col(orderCol), 1).over(w).isNull)
+      .withColumn("_changed", changeFlag || col("_is_first"))
+      .filter(col("_changed"))
+    val w2 = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    flagged
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_is_first", "_changed")
+  }
 }

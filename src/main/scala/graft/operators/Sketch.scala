@@ -145,11 +145,19 @@ object Sketch {
     * the grid to DECIMAL beyond that). */
   def cmsJoinSize(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
                   width: Int = JoinWidth, depth: Int = CmsDepth): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
     val sa = cmsBuild(a, aCol, width, depth).withColumnRenamed("c", "ca")
     val sb = cmsBuild(b, bCol, width, depth).withColumnRenamed("c", "cb")
-    sa.join(sb, Seq("d", "bucket")) // absent buckets contribute 0: inner
+    val ips = sa.join(sb, Seq("d", "bucket")) // absent buckets: 0 terms
       .groupBy(col("d")).agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("est_join_rows"))
+    // anchor EVERY depth: a depth whose grids share no bucket has inner
+    // product 0 (the join is provably empty) and must clamp the min —
+    // dropping it (inner-join only) would inflate disjoint inputs to
+    // whatever their colliding depths say, and all-disjoint inputs to a
+    // NULL row
+    (0 until depth).toDF("d").join(ips, Seq("d"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_rows"))
   }
 
   val JoinWidth: Int = 1 << 20
@@ -387,7 +395,8 @@ object Sketch {
        |       FROM hb CROSS JOIN ds GROUP BY 1, 2),
        |ip AS (SELECT sa.d, CAST(sum(sa.ca * sb.cb) AS BIGINT) AS ip
        |       FROM sa JOIN sb USING (d, bucket) GROUP BY 1)
-       |SELECT (SELECT CAST(min(ip) AS BIGINT) FROM ip) AS est_join_rows,
+       |SELECT (SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT)
+       |        FROM ds LEFT JOIN ip USING (d)) AS est_join_rows,
        |       (SELECT count(*) FROM orders JOIN lineitem
        |        ON o_orderkey = l_orderkey) AS exact_join_rows""".stripMargin
   }

@@ -93,7 +93,10 @@ object EngineQueries {
         col("valid_from"), col("valid_to"), col("is_current"))
   }
 
-  val q14Sql: String =
+  /** The scd2 change-detection CTE prefix shared by the q14 and q41
+    * oracles — ONE statement of the change semantics (window spec,
+    * null-safe inequality, tiebreak), so the two gates cannot drift. */
+  val Scd2OracleCtes: String =
     """WITH o AS (
       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
       |         lag(event_type) OVER w AS prev_type,
@@ -102,7 +105,10 @@ object EngineQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
       |ch AS (
       |  SELECT * FROM o
-      |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type)
+      |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type)""".stripMargin
+
+  val q14Sql: String =
+    s"""$Scd2OracleCtes
       |SELECT user_id, event_id, event_type,
       |       ts AS valid_from,
       |       lead(ts) OVER w2 AS valid_to,
@@ -267,7 +273,7 @@ object EngineQueries {
   def q41PitJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-    val dim = new Materialize(new Warehouse(spark, scratch("graft_pit")))
+    val dim = Materialize
       .scd2Frame(e, pk = Seq("user_id"), orderCol = "ts",
         tracked = Seq("event_type"), tiebreak = Seq("event_id"))
       .select(col("user_id"), unix_micros(col("valid_from")).as("vf_us"),
@@ -287,15 +293,7 @@ object EngineQueries {
     * history (empty [t, t) versions from same-instant changes match
     * nothing; the as-of's latest-(vf, version_id) pick agrees). */
   val q41Sql: String =
-    """WITH o AS (
-      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-      |         lag(event_type) OVER w AS prev_type,
-      |         lag(ts) OVER w AS prev_ts
-      |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
-      |ch AS (
-      |  SELECT * FROM o
-      |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type),
+    s"""$Scd2OracleCtes,
       |dim AS (
       |  SELECT user_id, epoch_us(ts) AS vf_us,
       |         epoch_us(lead(ts) OVER w2) AS vt_us,

@@ -16,35 +16,38 @@ object Csv {
 
   val CorruptCol = "_corrupt_record"
 
+  /** Spark's CSV WRITER trims field whitespace by default — silent data
+    * mutation; pinned off so the round trip is lossless like JSONL's. */
   def write(df: DataFrame, path: String,
             compression: String = "gzip"): Unit =
     df.write.mode("overwrite")
       .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("compression", compression)
       .csv(path)
 
-  /** Schema-enforced read; unparsable lines land in [[CorruptCol]]. */
+  /** Schema-enforced read; unparsable lines land in [[CorruptCol]].
+    * `multiLine` honors quoted fields spanning physical lines (the
+    * writer legally produces them for newline-bearing strings) at the
+    * cost of file-grain parallelism — the same grain gzip compression
+    * already imposes; shards are the parallel unit either way. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"pass the data schema only; $CorruptCol is added by the reader")
     spark.read
       .schema(schema.add(CorruptCol, "string"))
       .option("header", "true")
+      .option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .csv(path)
   }
 
-  /** (clean rows, corrupt-line count) — same persisted-count dance as
-    * [[Jsonl.readCounted]] (Spark refuses corrupt-column-only queries
-    * over a fresh scan). */
+  /** (clean rows, corrupt-line count) — the shared [[CorruptGate]]. */
   def readCounted(spark: SparkSession, path: String,
-                  schema: StructType): (DataFrame, Long) = {
-    val raw = read(spark, path, schema).persist()
-    val bad =
-      try raw.filter(col(CorruptCol).isNotNull).count()
-      finally raw.unpersist()
-    (read(spark, path, schema).filter(col(CorruptCol).isNull)
-      .drop(CorruptCol), bad)
-  }
+                  schema: StructType): (DataFrame, Long) =
+    CorruptGate.readCounted(read(spark, path, schema), CorruptCol)
 }

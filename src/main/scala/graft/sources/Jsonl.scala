@@ -48,22 +48,11 @@ object Jsonl {
       .json(path)
   }
 
-  /** (clean rows, corrupt-line count) — the shape a gate consumes.
-    *
-    * Spark refuses a query that references ONLY the corrupt column of a
-    * JSON scan (the parser would need all columns to decide
-    * corruptness), so the count runs over a persisted parse —
-    * MEMORY_AND_DISK, spill-safe — and the returned clean frame re-reads
-    * lazily so nothing stays pinned. At petabyte grain, prefer splitting
-    * once via a partitioned write of the parsed frame instead of
-    * counting up front. */
+  /** (clean rows, corrupt-line count) — the shape a gate consumes; the
+    * persisted-count dance lives in the shared [[CorruptGate]]. At
+    * petabyte grain, prefer splitting once via a partitioned write of
+    * the parsed frame instead of counting up front. */
   def readCounted(spark: SparkSession, path: String,
-                  schema: StructType): (DataFrame, Long) = {
-    val raw = read(spark, path, schema).persist()
-    val bad =
-      try raw.filter(col(CorruptCol).isNotNull).count()
-      finally raw.unpersist()
-    (read(spark, path, schema).filter(col(CorruptCol).isNull)
-      .drop(CorruptCol), bad)
-  }
+                  schema: StructType): (DataFrame, Long) =
+    CorruptGate.readCounted(read(spark, path, schema), CorruptCol)
 }

@@ -35,6 +35,18 @@ class JsonlSpec extends AnyFunSuite {
     assert(cust.exceptAll(back).count() === 0)
   }
 
+  test("CSV round-trips edge whitespace, embedded newlines, and quotes") {
+    import spark.implicits._
+    import graft.sources.Csv
+    val dir = tmp()
+    val df = Seq((1L, " padded "), (2L, "a\nb"), (3L, "quote\"inside"))
+      .toDF("id", "text")
+    Csv.write(df, s"$dir/edge", compression = "none")
+    val back = Csv.read(spark, s"$dir/edge", df.schema).drop(Csv.CorruptCol)
+    assert(back.exceptAll(df).count() === 0)
+    assert(df.exceptAll(back).count() === 0)
+  }
+
   test("CSV readCounted counts type-mismatched lines as corrupt") {
     import spark.implicits._
     import graft.sources.Csv

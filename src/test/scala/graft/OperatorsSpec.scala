@@ -445,6 +445,12 @@ class OperatorsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(est >= 10000L) // inner product ≥ true join size, always
     assert(est <= 10100L) // cross-term noise ≈ 1000·2000/2^20 ≈ 2 per depth
+    // disjoint inputs: any depth with zero grid overlap clamps to 0 —
+    // the provably-empty join must not report its collision noise
+    val c = (1 to 100).map(i => 1000000L + i).toDF("k")
+    val e = (1 to 100).map(i => 2000000L + i).toDF("k")
+    assert(graft.operators.Sketch.cmsJoinSize(c, "k", e, "k")
+      .head().getLong(0) === 0L)
   }
 
   test("streaming HLL state drains to exactly the batch sketch (order-free registers)") {
