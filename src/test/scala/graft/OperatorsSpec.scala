@@ -301,6 +301,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(6L) === ((2L, 400L)) && got(7L) === ((2L, 400L)))
   }
 
+  test("sessionize partitions random event streams exactly (vs brute force)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong))
+    val df = events.toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val gap = 300L
+    val got = graft.operators.Sessionize
+      .sessionize(df, "user_id", "ts", "event_id", gapMicros = gap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute force: sort per user by (ts, id), split where gap exceeded
+    val want = events.groupBy(_._2).flatMap { case (u, es) =>
+      val sorted = es.map(e => (e._3, e._1)).sorted
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+        case (acc, e) =>
+          if (e._1 - acc.head.head._1 > gap) List(e) :: acc
+          else (e :: acc.head) :: acc.tail
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, (i + 1).toLong) ->
+          ((s.length.toLong, s.map(_._1).min, s.map(_._1).max))
+      }
+    }.toMap
+    assert(got === want)
+    // every event lands in exactly one session
+    assert(got.values.map(_._1).sum === 400L)
+  }
+
+  test("funnel counts are monotone and match brute force on random streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val types = Seq("signup", "click", "purchase", "view")
+    val events = (1 to 500).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong,
+        types(rnd.nextInt(types.size))))
+    val df = events.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val steps = Seq("signup", "click", "purchase")
+    val r = graft.operators.Funnel
+      .funnel(df, "user_id", "ts", "event_id", "event_type", steps).head()
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(got._1 >= got._2 && got._2 >= got._3) // a funnel narrows
+    // brute force: per user, scan (ts, id)-sorted events carrying flags
+    val want = events.groupBy(_._2).values.map { es =>
+      val sorted = es.sortBy(e => (e._3, e._1)).map(_._4)
+      val reached = Array.fill(steps.size)(false)
+      for (t <- sorted; k <- steps.indices.reverse)
+        if (t == steps(k) && (k == 0 || reached(k - 1))) reached(k) = true
+      reached
+    }.toSeq
+    val wantCounts = steps.indices.map(k => want.count(_(k)).toLong)
+    assert(got === ((wantCounts(0), wantCounts(1), wantCounts(2))))
+  }
+
   test("pivotCounts: explicit value list, absent cells are 0, off-list values drop") {
     import spark.implicits._
     val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"), (2L, "zzz"))
@@ -396,6 +453,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 1L)))
     // u2's purchase does NOT count: its click preceded its signup
     // u4's click counts: same instant, higher event_id ⇒ ordered after
+  }
+
+  test("windowed funnel: hops expire, bound is per-hop not from origin") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: click 2 ticks after signup (in window), purchase 2 after
+      // click (in window, though 4 from signup — the bound is per hop)
+      (1L, 1L, 0L, "signup"), (2L, 1L, 2L, "click"), (3L, 1L, 4L, "purchase"),
+      // u2: click 5 ticks after signup — hop expired
+      (4L, 2L, 0L, "signup"), (5L, 2L, 5L, "click"),
+      // u3: a LATER signup refreshes the carry; click within window of it
+      (6L, 3L, 0L, "signup"), (7L, 3L, 10L, "signup"), (8L, 3L, 12L, "click"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = graft.operators.Funnel.funnel(df, "user_id", "ts", "event_id",
+      "event_type", Seq("signup", "click", "purchase"),
+      windowMicros = Some(3L)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 1L)))
   }
 
   test("retentionCohorts counts distinct active users per cohort/day offset") {
