@@ -25,6 +25,7 @@ object SparkEntry {
       graft.llmops.Redact.queries ++ graft.llmops.Mix.queries ++
       graft.llmops.CorpusStats.queries ++
       graft.llmops.Rank.queries ++ graft.llmops.Clean.queries ++
+      graft.llmops.Normalize.queries ++
       graft.operators.BloomJoin.queries ++
       graft.operators.Bucketing.queries ++
       graft.operators.Concurrency.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       graft.llmops.Redact.oracleSql ++ graft.llmops.Mix.oracleSql ++
       graft.llmops.CorpusStats.oracleSql ++
       graft.llmops.Rank.oracleSql ++ graft.llmops.Clean.oracleSql ++
+      graft.llmops.Normalize.oracleSql ++
       graft.operators.BloomJoin.oracleSql ++
       graft.operators.Bucketing.oracleSql ++
       graft.operators.Concurrency.oracleSql ++

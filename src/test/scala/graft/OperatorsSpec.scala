@@ -455,6 +455,42 @@ class OperatorsSpec extends AnyFunSuite {
     // u4's click counts: same instant, higher event_id ⇒ ordered after
   }
 
+  test("zScore standardizes within groups and drops singletons") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 10.0), (5L, "b", 20.0),
+      (6L, "solo", 99.0)) // n = 1: no sample variance, dropped
+      .toDF("event_id", "event_type", "value")
+    val got = graft.llmops.Normalize.zScore(df, "event_type", "value", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(2L) === 0.0) // the mean of group a
+    assert(got(1L) === -1.0 && got(3L) === 1.0) // ±1 sample std (std=100c)
+    assert(got(4L) === -0.7071 && got(5L) === 0.7071) // ±1/√2
+  }
+
+  test("rollingByKey equals the brute-force trailing window on random streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val events = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(2000).toLong,
+        (rnd.nextInt(10000) + 1) / 100.0))
+    val df = events.toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val w = 500L
+    val got = graft.operators.RollingWindow
+      .rollingByKey(df, "user_id", "ts", "value", windowMicros = w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val want = events.map { e =>
+      val peers = events.filter(p => p._2 == e._2 &&
+        p._3 > e._3 - w && p._3 <= e._3)
+      e._1 -> ((peers.length.toLong,
+        peers.map(p => math.round(p._4 * 100)).sum))
+    }.toMap
+    assert(got === want)
+  }
+
   test("windowed funnel: hops expire, bound is per-hop not from origin") {
     import spark.implicits._
     val df = Seq(
