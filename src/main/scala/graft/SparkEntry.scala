@@ -38,6 +38,7 @@ object SparkEntry {
       graft.operators.Sessionize.queries ++
       graft.operators.Unpivot.queries ++
       graft.operators.Shard.queries ++
+      graft.operators.Stats.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.materialize.DataTests.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       graft.operators.Sessionize.oracleSql ++
       graft.operators.Unpivot.oracleSql ++
       graft.operators.Shard.oracleSql ++
+      graft.operators.Stats.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.materialize.DataTests.oracleSql ++

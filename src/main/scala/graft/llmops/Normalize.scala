@@ -50,6 +50,29 @@ object Normalize {
           (col("_c") - mean) / sqrt(variance), 4).as("z"))
   }
 
+  /** (idCol, groupCol, mm) — min-max position of `valueCol` within its
+    * group, in [0, 1]. The other standard feature scaler: rank-free,
+    * outlier-sensitive where the z-score is variance-based — pipelines
+    * pick per feature. Same exactness scheme as [[zScore]]: min/max are
+    * order-free INTEGER extremes (cents), the one float division per
+    * row runs on an identical IEEE tree in both engines. Groups whose
+    * min = max are dropped (no scale — same contract as a singleton's
+    * missing variance). */
+  def minMax(df: DataFrame, groupCol: String, valueCol: String,
+             idCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val rows = df.select(col(idCol), col(groupCol), cents.as("_c"))
+      .filter(col(groupCol).isNotNull && col("_c").isNotNull)
+    val ext = rows.groupBy(col(groupCol))
+      .agg(min(col("_c")).as("_lo"), max(col("_c")).as("_hi"))
+      .filter(col("_hi") > col("_lo"))
+    rows.join(broadcast(ext), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        Hashing.stableRound(
+          (col("_c") - col("_lo")).cast("double") / (col("_hi") - col("_lo")),
+          4).as("mm"))
+  }
+
   // ----------------------------------------------------------------- query
 
   def qZScore(spark: SparkSession, dir: String): DataFrame =
@@ -74,9 +97,27 @@ object Normalize {
            " / (m.n - 1))", 4)} AS z
        |FROM r JOIN m USING (event_type)""".stripMargin
 
+  def qMinMax(spark: SparkSession, dir: String): DataFrame =
+    minMax(Tables.load(spark, dir, "events"),
+      "event_type", "value", "event_id")
+
+  val qMinMaxSql: String =
+    s"""WITH r AS (SELECT event_id, event_type,
+       |                  CAST(round(value * 100) AS BIGINT) AS c
+       |           FROM events
+       |           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |e AS (SELECT event_type, min(c) AS lo, max(c) AS hi
+       |      FROM r GROUP BY 1 HAVING max(c) > min(c))
+       |SELECT r.event_id, r.event_type,
+       |       ${Hashing.stableRoundSql(
+         "CAST(r.c - e.lo AS DOUBLE) / (e.hi - e.lo)", 4)} AS mm
+       |FROM r JOIN e USING (event_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "normalize_z" -> (qZScore _))
+    "normalize_z" -> (qZScore _),
+    "normalize_minmax" -> (qMinMax _))
 
   val oracleSql: Map[String, String] = Map(
-    "normalize_z" -> qZScoreSql)
+    "normalize_z" -> qZScoreSql,
+    "normalize_minmax" -> qMinMaxSql)
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llmops.Hashing
+
+/** Grouped robust statistics — the screening passes a feature pipeline
+  * runs before trusting a numeric column: does X move with Y (Pearson
+  * correlation per group), and which rows are scale-robust outliers
+  * (median/MAD gating)?
+  *
+  * Reproducibility contract (the [[graft.llmops.Normalize]] discipline):
+  * every aggregated moment is an exact INTEGER sum — values ride as
+  * cents, co-variates as small ints — so the combine order that varies
+  * with partitioning can never change a bit. Float math happens once
+  * per GROUP (or once per row for scores) on identical IEEE expression
+  * trees in both engines. The outlier THRESHOLD never touches floats at
+  * all: `dev · 10 > mad · devNum` is an integer comparison, so there is
+  * no rounding boundary on which the two engines could disagree about
+  * membership.
+  *
+  * 100 TB shape: correlation is one map-side-combined aggregate to
+  * |groups| rows. The MAD pass is two exact distinct-value histograms
+  * (the [[Quantiles]] machinery — input-sized aggregation, tiny window)
+  * with the per-group medians broadcast back between them; the final
+  * flagging is a narrow scan. Nothing global, nothing ordered.
+  */
+object Stats {
+
+  /** Per-group Pearson correlation of two integer-domain columns from
+    * one pass of six integer moments. Groups with fewer than 2 rows or
+    * zero variance in either variable are dropped (r is undefined — and
+    * 0/0 NaN semantics differ across engines; the filter pins the
+    * contract). Integer-domain guard: |n·Σxy| and the variance terms
+    * must stay under 2^63 — with x ≤ 2^16 and y in cents ≤ 2^34 that
+    * holds to ~2^13 rows per group beyond any fixture here; at wider
+    * domains move the moments to DECIMAL(38,0).
+    */
+  def corrGrouped(df: DataFrame, groupCol: String, xCol: Column,
+                  yCol: Column): DataFrame = {
+    val rows = df.select(col(groupCol), xCol.cast("long").as("_x"),
+        yCol.cast("long").as("_y"))
+      .filter(col(groupCol).isNotNull && col("_x").isNotNull &&
+        col("_y").isNotNull)
+    val m = rows.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
+      sum(col("_y")).as("_sy"), sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"))
+    // integer variance terms: n·Σx² − (Σx)², exact in the long domain
+    val vx = col("n") * col("_sxx") - col("_sx") * col("_sx")
+    val vy = col("n") * col("_syy") - col("_sy") * col("_sy")
+    val cov = col("n") * col("_sxy") - col("_sx") * col("_sy")
+    m.filter(col("n") >= 2 && vx > 0 && vy > 0)
+      .select(col(groupCol), col("n"),
+        Hashing.stableRound(
+          cov.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))),
+          4).as("r"))
+  }
+
+  /** Outlier gate: flag when dev·`DevDen` > mad·`DevNum` (dev > 1.9·MAD
+    * — ≈2.8σ-equivalent under normality via the 1.4826 consistency
+    * constant, and ~5 % of a uniform domain). Rational on purpose: the
+    * comparison stays in integers. */
+  val DevNum = 19
+  val DevDen = 10
+
+  /** Rows whose |value − median(group)| exceeds (DevNum/DevDen)·MAD,
+    * with medians computed as exact ceil-rank histogram quantiles
+    * ([[Quantiles.groupQuantiles]] — `percentile_disc` semantics, no
+    * interpolation, so both engines pick the same ELEMENT). Returns
+    * (idCol, groupCol, valueCol, score) where score = dev/MAD. Groups
+    * with MAD = 0 are dropped: a majority-constant group makes every
+    * off-value infinitely many MADs out, which says nothing — callers
+    * wanting those use an exact `!=` screen instead. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val rows = df.select(col(idCol), col(groupCol), col(valueCol),
+        cents.as("_v"))
+      .filter(col(groupCol).isNotNull && col("_v").isNotNull)
+    val med = Quantiles.groupQuantiles(rows, groupCol, "_v",
+      Seq(("_med", 1, 2)))
+    val dev = rows.join(broadcast(med), Seq(groupCol))
+      .withColumn("_dev", abs(col("_v") - col("_med")))
+    val mad = Quantiles.groupQuantiles(
+      dev.select(col(groupCol), col("_dev")), groupCol, "_dev",
+      Seq(("_mad", 1, 2)))
+    dev.join(broadcast(mad.filter(col("_mad") > 0)), Seq(groupCol))
+      .filter(col("_dev") * DevDen > col("_mad") * DevNum)
+      .select(col(idCol), col(groupCol), col(valueCol),
+        Hashing.stableRound(
+          col("_dev").cast("double") / col("_mad"), 4).as("score"))
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** Does spend move with time of day, per event type? (x = hour 0-23,
+    * y = value in cents — both exact-integer co-variates.) */
+  def qCorr(spark: SparkSession, dir: String): DataFrame =
+    corrGrouped(Tables.load(spark, dir, "events"), "event_type",
+      hour(col("ts")), round(col("value") * 100))
+
+  val qCorrSql: String =
+    s"""WITH r AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+      |                  CAST(round(value * 100) AS BIGINT) AS y
+      |           FROM events
+      |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |             AND value IS NOT NULL),
+      |m AS (SELECT event_type, count(*) AS n,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx,
+      |             CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, n,
+      |       ${Hashing.stableRoundSql(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))", 4)} AS r
+      |FROM m
+      |WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin
+
+  def qOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.load(spark, dir, "events"), "event_type", "value",
+      "event_id")
+
+  /** The oracle restates the semantics directly: ceil-rank medians via
+    * the count-histogram window (the [[Quantiles]] oracle pattern),
+    * integer threshold, one float division per flagged row. */
+  val qOutliersSql: String =
+    s"""WITH r AS MATERIALIZED (
+       |  SELECT event_id, event_type, value,
+       |         CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |h AS (SELECT event_type, c AS v, count(*) AS k FROM r GROUP BY 1, 2),
+       |w AS (SELECT event_type, v,
+       |             sum(k) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+       |             sum(k) OVER (PARTITION BY event_type) AS n
+       |      FROM h),
+       |med AS (SELECT event_type,
+       |               min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+       |        FROM w GROUP BY 1),
+       |d AS MATERIALIZED (
+       |  SELECT r.*, abs(r.c - med.med) AS dev
+       |  FROM r JOIN med USING (event_type)),
+       |h2 AS (SELECT event_type, dev AS v, count(*) AS k FROM d GROUP BY 1, 2),
+       |w2 AS (SELECT event_type, v,
+       |              sum(k) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+       |              sum(k) OVER (PARTITION BY event_type) AS n
+       |       FROM h2),
+       |mad AS (SELECT event_type,
+       |               min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS mad
+       |        FROM w2 GROUP BY 1)
+       |SELECT d.event_id, d.event_type, d.value,
+       |       ${Hashing.stableRoundSql("CAST(d.dev AS DOUBLE) / mad.mad", 4)}
+       |         AS score
+       |FROM d JOIN mad USING (event_type)
+       |WHERE mad.mad > 0 AND d.dev * $DevDen > mad.mad * $DevNum""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_corr" -> (qCorr _),
+    "outliers_mad" -> (qOutliers _))
+
+  val oracleSql: Map[String, String] = Map(
+    "stats_corr" -> qCorrSql,
+    "outliers_mad" -> qOutliersSql)
+}

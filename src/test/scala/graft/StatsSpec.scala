@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+import graft.llmops.Normalize
+
+/** Grouped correlation, MAD outliers, and min-max scaling on hand-built
+  * frames with known closed-form answers. */
+class StatsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("corrGrouped: perfect linear ±1, independent ~0, degenerate dropped") {
+    import spark.implicits._
+    val df = Seq(
+      // group "up": y = 2x exactly -> r = 1
+      ("up", 1.0, 0.02), ("up", 2.0, 0.04), ("up", 3.0, 0.06),
+      // group "down": y = -x -> r = -1
+      ("down", 1.0, -0.01), ("down", 2.0, -0.02), ("down", 3.0, -0.03),
+      // group "flat": zero variance in y -> dropped
+      ("flat", 1.0, 0.05), ("flat", 2.0, 0.05),
+      // group "solo": n = 1 -> dropped
+      ("solo", 9.0, 0.09))
+      .toDF("g", "x", "y")
+    val got = Stats.corrGrouped(df, "g", col("x"), round(col("y") * 100))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set("up", "down"))
+    assert(got("up") === 1.0)
+    assert(got("down") === -1.0)
+  }
+
+  test("corrGrouped: anticorrelated four-point square hits closed form") {
+    import spark.implicits._
+    // (0,0),(0,1),(1,0),(1,1) -> r = 0 exactly; variance terms positive
+    val indep = Seq(("i", 0.0, 0.00), ("i", 0.0, 0.01),
+      ("i", 1.0, 0.00), ("i", 1.0, 0.01)).toDF("g", "x", "y")
+    val r0 = Stats.corrGrouped(indep, "g", col("x"), round(col("y") * 100))
+      .collect().head.getDouble(2)
+    assert(r0 === 0.0)
+  }
+
+  test("madOutliers: flags exactly the >1.9-MAD rows, drops MAD-0 groups") {
+    import spark.implicits._
+    // group a: values 1..7 plus a far outlier 100.
+    //   cents 100..700,10000; median(8 vals, ceil-rank) = 400
+    //   devs: 300,200,100,0,100,200,300,9600 -> sorted 0,100,100,200,200,300,300,9600
+    //   MAD (ceil-rank idx=(8+1)//2=4) = 200 -> threshold 380: flags devs
+    //   9600 only... wait 300*10=3000 > 200*19=3800? no. So only 9600.
+    val a = (1 to 7).map(v => ("a", v.toDouble)) :+ (("a", 100.0))
+    // group const: every value identical -> MAD 0 -> dropped entirely
+    val c = Seq.fill(5)(("const", 3.0))
+    val df = (a ++ c).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val got = Stats.madOutliers(df, "g", "v", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(got.length === 1)
+    val (id, g, score) = got.head
+    assert(g === "a" && id === 7L) // the 100.0 row
+    assert(score === 48.0) // dev 9600 / MAD 200
+  }
+
+  test("madOutliers threshold is exclusive and integer-exact at the boundary") {
+    import spark.implicits._
+    // MAD = 100 cents; dev = 190 is exactly 1.9*MAD -> NOT flagged (strict >)
+    // values: 1,2,3,4,5 (cents 100..500, med 300, devs 200,100,0,100,200
+    // sorted 0,100,100,200,200 -> MAD idx=(5+1)//2=3 -> 100)
+    val base = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val df = (base :+ 4.9 :+ 4.91).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "v")
+    // recompute: with 7 values cents 100,200,300,400,500,490,491
+    //   med idx=(7+1)//2=4 -> sorted 100,200,300,400,490,491,500 -> 400
+    //   devs 300,200,100,0,100,90,91 sorted 0,90,91,100,100,200,300
+    //   MAD idx=4 -> 100; threshold 190 exclusive:
+    //   dev 300 and 200 flagged; dev 190 would not be
+    val got = Stats.madOutliers(df, "g", "v", "id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got === Seq(0L, 1L)) // cents 100 (dev 300) and 200 (dev 200)
+  }
+
+  test("minMax: 0 at group min, 1 at group max, degenerate group dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 15.0), (3L, "a", 20.0),
+      (4L, "b", 7.0), (5L, "b", 7.0)) // min = max: dropped
+      .toDF("id", "g", "v")
+    val got = Normalize.minMax(df, "g", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0))
+  }
+}
