@@ -401,8 +401,115 @@ object Sketch {
        |        ON o_orderkey = l_orderkey) AS exact_join_rows""".stripMargin
   }
 
+  // ------------------------------------------------------- KMV set algebra
+
+  /** KMV INTERSECTION estimate — "how many training users also appear in
+    * eval?" answered from two k-sized sketches instead of a
+    * distinct-distinct join. The classic KMV closure property: the k
+    * smallest hashes of A ∪ B are computable from the k smallest of A
+    * and the k smallest of B alone (any union-top-k hash h satisfies
+    * h ≤ τ_U ≤ min(τ_A, τ_B), so h's membership in A is decided by kA —
+    * full-set membership never needs consulting). ρ = |union-top-k ∩ A
+    * ∩ B| / k is an unbiased Jaccard estimate and est_inter = ρ · est_U.
+    *
+    * Under k total distinct hashes everything degrades to EXACT counts —
+    * the CASE keeps one expression tree so both engines agree bit-wise
+    * on either path.
+    *
+    * 100 TB shape: each side is one hash-projection + distinct +
+    * TakeOrdered(k) — the only full-data operation is the narrow
+    * distinct; everything after runs on ≤ 2k rows. Sketches are
+    * mergeable (min-k of min-ks), so per-partition / per-day sketches
+    * union without touching raw data again. */
+  def kmvIntersect(a: DataFrame, aExpr: org.apache.spark.sql.Column,
+                   b: DataFrame, bExpr: org.apache.spark.sql.Column,
+                   k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    def minK(df: DataFrame, e: org.apache.spark.sql.Column): DataFrame =
+      df.filter(e.isNotNull)
+        .select(Hashing.md5Long(e.cast("string")).as("h"))
+        .distinct().orderBy(col("h")).limit(k)
+    val kA = minK(a, aExpr)
+    val kB = minK(b, bExpr)
+    val unionK = kA.union(kB).distinct().orderBy(col("h")).limit(k)
+    val marked = unionK
+      .join(kA.select(col("h").as("_ha")), col("h") === col("_ha"), "left")
+      .join(kB.select(col("h").as("_hb")), col("h") === col("_hb"), "left")
+    val s = marked.agg(count(lit(1)).as("n_hashes"),
+      max(col("h")).as("tau"),
+      count(when(col("_ha").isNotNull && col("_hb").isNotNull, 1))
+        .as("inter_in_k"))
+    val estU = when(col("n_hashes") < k, col("n_hashes").cast("double"))
+      .otherwise(lit((k - 1) * D) / col("tau"))
+    val estI = when(col("n_hashes") < k, col("inter_in_k").cast("double"))
+      .otherwise(col("inter_in_k").cast("double") / k * estU)
+    s.select(col("n_hashes"), col("inter_in_k"),
+      Hashing.stableRound(estU, 4).as("est_union"),
+      Hashing.stableRound(estI, 4).as("est_intersect"))
+  }
+
+  /** Active (user, day) pairs that clicked vs purchased: sketch-estimated
+    * union and intersection with the exact intersection beside them. */
+  def qKmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val key = concat(col("user_id").cast("string"), lit(":"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast("string"))
+    val clicks = ev.filter(col("event_type") === "click" &&
+      col("user_id").isNotNull && col("ts").isNotNull)
+    val buys = ev.filter(col("event_type") === "purchase" &&
+      col("user_id").isNotNull && col("ts").isNotNull)
+    val exact = clicks.select(to_date(col("ts")).as("d"), col("user_id"))
+      .intersect(buys.select(to_date(col("ts")).as("d"), col("user_id")))
+      .agg(count(lit(1)).as("exact_intersect"))
+    kmvIntersect(clicks, key, buys, key).crossJoin(exact)
+  }
+
+  val qKmvIntersectSql: String = {
+    val key = "CAST(user_id AS VARCHAR) || ':' || " +
+      "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS VARCHAR)"
+    val h = Hashing.md5LongSql(key)
+    val k = 256
+    s"""WITH ka AS MATERIALIZED (
+       |  SELECT DISTINCT $h AS h FROM events
+       |  WHERE event_type = 'click' AND user_id IS NOT NULL
+       |    AND ts IS NOT NULL ORDER BY 1 LIMIT $k),
+       |kb AS MATERIALIZED (
+       |  SELECT DISTINCT $h AS h FROM events
+       |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+       |    AND ts IS NOT NULL ORDER BY 1 LIMIT $k),
+       |u AS MATERIALIZED (
+       |  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       |  ORDER BY h LIMIT $k),
+       |s AS (SELECT count(*) AS n_hashes, max(h) AS tau,
+       |             count(CASE WHEN h IN (SELECT h FROM ka)
+       |                         AND h IN (SELECT h FROM kb) THEN 1 END)
+       |               AS inter_in_k
+       |      FROM u)
+       |SELECT n_hashes, inter_in_k,
+       |       ${Hashing.stableRoundSql(
+        s"CASE WHEN n_hashes < $k THEN CAST(n_hashes AS DOUBLE) " +
+          s"ELSE (${k - 1} * 1152921504606846976.0) / tau END", 4)}
+       |         AS est_union,
+       |       ${Hashing.stableRoundSql(
+        s"CASE WHEN n_hashes < $k THEN CAST(inter_in_k AS DOUBLE) " +
+          s"ELSE CAST(inter_in_k AS DOUBLE) / $k * " +
+          s"(CASE WHEN n_hashes < $k THEN CAST(n_hashes AS DOUBLE) " +
+          s"ELSE (${k - 1} * 1152921504606846976.0) / tau END) END", 4)}
+       |         AS est_intersect,
+       |       (SELECT count(*) FROM
+       |          (SELECT DISTINCT CAST(ts AS DATE), user_id FROM events
+       |           WHERE event_type = 'click' AND user_id IS NOT NULL
+       |             AND ts IS NOT NULL
+       |           INTERSECT
+       |           SELECT DISTINCT CAST(ts AS DATE), user_id FROM events
+       |           WHERE event_type = 'purchase' AND user_id IS NOT NULL
+       |             AND ts IS NOT NULL)) AS exact_intersect
+       |FROM s""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_kmv_sketch" -> (qKmv _),
+    "kmv_intersect" -> (qKmvIntersect _),
     "freq_cms" -> (qCms _),
     "card_hll" -> (qHll _),
     "hll_grouped" -> (qHllGrouped _),
@@ -410,6 +517,7 @@ object Sketch {
 
   val oracleSql: Map[String, String] = Map(
     "q24_kmv_sketch" -> qKmvSql,
+    "kmv_intersect" -> qKmvIntersectSql,
     "freq_cms" -> qCmsSql,
     "card_hll" -> qHllSql,
     "hll_grouped" -> qHllGroupedSql,

@@ -646,4 +646,28 @@ class OperatorsSpec extends AnyFunSuite {
       .sampledGroupQuantiles(df, "g", "v", Seq("id"), 8).head()
     assert(again.getDouble(1) === s.getDouble(1))
   }
+
+  test("kmvIntersect: exact under k, estimate near truth over k") {
+    import spark.implicits._
+    // |A| = 30, |B| = 25, |A ∩ B| = 15: well under k -> every output exact
+    val a = (0 until 30).map(i => Tuple1(s"v$i")).toDF("x")
+    val b = (15 until 40).map(i => Tuple1(s"v$i")).toDF("x")
+    val ex = Sketch.kmvIntersect(a, col("x"), b, col("x"), k = 256).head()
+    assert(ex.getLong(0) === 40L)       // union hashes seen
+    assert(ex.getLong(1) === 15L)       // intersection members
+    assert(ex.getDouble(2) === 40.0)    // est_union exact
+    assert(ex.getDouble(3) === 15.0)    // est_intersect exact
+    // sketch path: 2000 ∪ 2000 with 1000 shared, k = 256
+    val bigA = (0 until 2000).map(i => Tuple1(s"a$i")).toDF("x")
+    val bigB = (1000 until 3000).map(i => Tuple1(s"a$i")).toDF("x")
+    val s2 = Sketch.kmvIntersect(bigA, col("x"), bigB, col("x"), k = 256).head()
+    assert(s2.getLong(0) === 256L)
+    // true union 3000, true intersection 1000; k=256 gives ~6% rank se
+    assert(math.abs(s2.getDouble(2) - 3000.0) < 600.0, s2)
+    assert(math.abs(s2.getDouble(3) - 1000.0) < 400.0, s2)
+    // NULLs don't participate on either side
+    val withNull = a.union(Seq(Tuple1(null.asInstanceOf[String])).toDF("x"))
+    val n = Sketch.kmvIntersect(withNull, col("x"), b, col("x"), k = 256).head()
+    assert(n.getLong(0) === 40L && n.getLong(1) === 15L)
+  }
 }
