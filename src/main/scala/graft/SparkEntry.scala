@@ -35,6 +35,7 @@ object SparkEntry {
       graft.operators.Reshape.queries ++
       graft.operators.Retention.queries ++
       graft.operators.RollingWindow.queries ++
+      graft.operators.SaltedJoin.queries ++
       graft.operators.Sessionize.queries ++
       graft.operators.Unpivot.queries ++
       graft.operators.Shard.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       graft.operators.Reshape.oracleSql ++
       graft.operators.Retention.oracleSql ++
       graft.operators.RollingWindow.oracleSql ++
+      graft.operators.SaltedJoin.oracleSql ++
       graft.operators.Sessionize.oracleSql ++
       graft.operators.Unpivot.oracleSql ++
       graft.operators.Shard.oracleSql ++

@@ -670,4 +670,34 @@ class OperatorsSpec extends AnyFunSuite {
     val n = Sketch.kmvIntersect(withNull, col("x"), b, col("x"), k = 256).head()
     assert(n.getLong(0) === 40L && n.getLong(1) === 15L)
   }
+
+  test("saltedJoin equals the plain join on random data, dim dup keys included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // skewed fact: key 0 holds half the rows
+    val fact = (1 to 400).map(i =>
+      (i.toLong, if (rnd.nextBoolean()) 0L else rnd.nextInt(20).toLong,
+        rnd.nextInt(100)))
+      .toDF("row_id", "k", "payload")
+    // dim with DUPLICATE keys: multiplicity must be preserved
+    val dim = ((0 to 14).map(k => (k.toLong, s"attr$k")) ++
+      Seq((0L, "attr0_dup"), (7L, "attr7_dup")))
+      .toDF("k", "attr")
+    val got = graft.operators.SaltedJoin
+      .saltedJoin(fact, dim, keys = Seq("k"), idCols = Seq("row_id"), nSalts = 8)
+      .select("row_id", "k", "payload", "attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .sorted.toSeq
+    val want = fact.join(dim, Seq("k"))
+      .select("row_id", "k", "payload", "attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the reserved salt column is rejected, not silently overwritten
+    val clash = fact.withColumnRenamed("payload", "_salt")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.SaltedJoin.saltedJoin(clash, dim, Seq("k"), Seq("row_id"))
+    }
+  }
 }

@@ -370,4 +370,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(1500))
     assert(!plan.contains("Join"), plan.take(1500)) // the aggregate IS the index
   }
+
+  test("salted join: shuffled hash on (key, salt), never broadcast or sort-merge") {
+    val plan = planOf(graft.operators.SaltedJoin.qSaltedJoin(spark, sf))
+    // the whole point: the join partitions on (key, salt), spreading a
+    // hot key over nSalts shuffle partitions
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+    assert(plan.contains("_salt"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    // a broadcast of the replicated dim would mean salting wasn't needed
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
 }
