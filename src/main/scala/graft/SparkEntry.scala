@@ -31,6 +31,7 @@ object SparkEntry {
       graft.operators.Concurrency.queries ++
       graft.operators.Funnel.queries ++
       graft.operators.JsonCols.queries ++
+      graft.operators.PageRank.queries ++
       graft.operators.Quantiles.queries ++
       graft.operators.Reshape.queries ++
       graft.operators.Retention.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       graft.operators.Concurrency.oracleSql ++
       graft.operators.Funnel.oracleSql ++
       graft.operators.JsonCols.oracleSql ++
+      graft.operators.PageRank.oracleSql ++
       graft.operators.Quantiles.oracleSql ++
       graft.operators.Reshape.oracleSql ++
       graft.operators.Retention.oracleSql ++

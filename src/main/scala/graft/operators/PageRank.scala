@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Fixed-iteration PageRank over an edge list — the graph-centrality
+  * member of the operator family (influence ranking over a link /
+  * citation / interaction graph; in a training-data pipeline, the
+  * standard prior for domain-authority weighting).
+  *
+  * The whole computation is INTEGER arithmetic: ranks live in units of
+  * 1/`Scale` (parts-per-10^12 of probability mass), contributions are
+  * `rank div deg`, damping is `(15·r0) div 100 + (85·Σ) div 100`.
+  * Truncating integer division loses mass (deterministically!) but
+  * never precision: ranks are bit-identical at any partitioning, any
+  * engine — a float PageRank can't be hash-gated at all, because its
+  * per-node sums combine in shuffle order. The relative ORDER of nodes
+  * — the thing PageRank exists to produce — is unaffected by the lost
+  * trailing mass.
+  *
+  * Scale shape: per iteration, one equi-join of the edge list against
+  * the (|V|-sized) rank table on src and one map-side-combined sum by
+  * dst — the canonical distributed PageRank step. The edge list is
+  * `localCheckpoint`ed once up front (scanned every iteration; on a
+  * cluster this is a durable staged table), rank tables chain lazily —
+  * with FIXED iterations the lineage is a shallow linear chain, no
+  * per-round materialization needed (contrast
+  * [[graft.llmops.Dedup.duplicateClusters]], which iterates to
+  * convergence and must observe a count per round). Dangling nodes
+  * cannot arise: callers feed BOTH directions of an undirected graph
+  * (or guarantee out-edges), so every node keeps deg ≥ 1.
+  */
+object PageRank {
+
+  val Scale = 1000000000000L // rank units: 1e-12 of total mass
+  val Iterations = 3
+
+  /** (node, rank) after `iterations` damped rounds over `edges`
+    * (columns src, dst; every node MUST appear as a src — feed both
+    * directions for undirected graphs). Ranks are integer `Scale`ths. */
+  def pageRank(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true) // scanned every iteration: stage it once
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val init = deg.crossJoin(deg.agg(count(lit(1)).as("_n")))
+      .select(col("node"), col("deg"),
+        expr(s"${Scale}L div _n").as("r0"))
+    var ranks = init.withColumn("rank", col("r0"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.select(col("node").as("src"),
+          expr("rank div deg").as("_c")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("_c")).as("_in"))
+      ranks = init.join(contrib, Seq("node"))
+        .select(col("node"), col("deg"), col("r0"),
+          (expr("(15 * r0) div 100") + expr("(85 * _in) div 100")).as("rank"))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** Centrality of the supplier↔part bipartite graph (who-supplies-what
+    * from lineitem): suppliers at even node ids (2k), parts odd (2k+1).
+    * Output keeps the decoded id and kind so the ranking is readable. */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_suppkey").isNotNull && col("l_partkey").isNotNull)
+    val pairs = li.select((col("l_suppkey") * 2).as("s"),
+      (col("l_partkey") * 2 + 1).as("t")).distinct()
+    val edges = pairs.select(col("s").as("src"), col("t").as("dst"))
+      .unionAll(pairs.select(col("t").as("src"), col("s").as("dst")))
+    pageRank(edges)
+      .select(
+        when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part"))
+          .as("kind"),
+        expr("node div 2").as("id"), col("rank"))
+  }
+
+  val qPageRankSql: String = {
+    // one damped integer step: prev(node, deg, rank) -> next(node, deg, rank)
+    def step(prev: String): String =
+      s"""SELECT d.node, d.deg,
+         |       (15 * s.r0v) // 100 +
+         |       (85 * CAST(sum(r.rank // r.deg) AS BIGINT)) // 100 AS rank
+         |FROM e JOIN $prev r ON r.node = e.src
+         |       JOIN d ON d.node = e.dst
+         |       CROSS JOIN s
+         |GROUP BY d.node, d.deg, s.r0v""".stripMargin
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS t
+       |  FROM lineitem
+       |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |e AS MATERIALIZED (
+       |  SELECT s AS src, t AS dst FROM p
+       |  UNION ALL SELECT t AS src, s AS dst FROM p),
+       |d AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+       |                   FROM e GROUP BY 1),
+       |s AS MATERIALIZED (SELECT $Scale // CAST(count(*) AS BIGINT) AS r0v
+       |                   FROM d),
+       |r0 AS MATERIALIZED (SELECT d.node, d.deg, s.r0v AS rank
+       |                    FROM d CROSS JOIN s),
+       |r1 AS MATERIALIZED (${step("r0")}),
+       |r2 AS MATERIALIZED (${step("r1")}),
+       |r3 AS (${step("r2")})
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+       |       node // 2 AS id, rank
+       |FROM r3""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (qPageRank _))
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> qPageRankSql)
+}

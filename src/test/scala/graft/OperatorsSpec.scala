@@ -671,6 +671,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.getLong(0) === 40L && n.getLong(1) === 15L)
   }
 
+  test("pageRank: exact integer ranks on a path graph, symmetry, mass bound") {
+    import spark.implicits._
+    val S = graft.operators.PageRank.Scale
+    // undirected path a-b-c as node ids 1-2-3, both directions fed
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val r1 = graft.operators.PageRank.pageRank(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-computed: r0 = S/3; base = (15*r0) div 100
+    val r0 = S / 3
+    val base = 15 * r0 / 100
+    val leaf = base + 85 * (r0 / 2) / 100      // one contribution from b
+    val hub = base + 85 * (r0 + r0) / 100      // both endpoints send r0/1
+    assert(r1 === Map(1L -> leaf, 2L -> hub, 3L -> leaf))
+    // three rounds: symmetric leaves stay identical, hub stays on top,
+    // truncation only ever LOSES mass (sum <= S)
+    val r3 = graft.operators.PageRank.pageRank(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(1L) === r3(3L))
+    assert(r3(2L) > r3(1L))
+    assert(r3.values.sum <= S)
+    // star: the hub out-ranks every leaf
+    val star = (2L to 6L).flatMap(l => Seq((1L, l), (l, 1L))).toDF("src", "dst")
+    val sr = graft.operators.PageRank.pageRank(star, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((2L to 6L).forall(l => sr(1L) > sr(l)))
+  }
+
   test("saltedJoin equals the plain join on random data, dim dup keys included") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

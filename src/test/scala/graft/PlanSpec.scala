@@ -371,6 +371,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1500)) // the aggregate IS the index
   }
 
+  test("pagerank iterations: equi-join + map-side-combined sum, no cartesian") {
+    val plan = planOf(graft.operators.PageRank.qPageRank(spark, sf))
+    // per-iteration contribution sum must partial-aggregate before the
+    // by-dst shuffle; candidate generation is equi-join only (the single
+    // 1-row crossJoin for |V| is a broadcast, not a cartesian blowup)
+    assert(plan.contains("partial_sum"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("salted join: shuffled hash on (key, salt), never broadcast or sort-merge") {
     val plan = planOf(graft.operators.SaltedJoin.qSaltedJoin(spark, sf))
     // the whole point: the join partitions on (key, salt), spreading a
