@@ -380,6 +380,46 @@ object EngineQueries {
       |FROM v JOIN c USING (user_id)
       |WHERE view_ts BETWEEN click_ts - INTERVAL '1 hour' AND click_ts""".stripMargin
 
+  // ---------------------------------------------------- q44 stream enrich
+
+  /** Stream-static enrichment (stateless streaming join): events flow
+    * through a broadcast join against a per-type profile dim; the dim's
+    * average rides as integer cents with integer division so the
+    * enriched flag is bit-stable. The oracle is the equivalent batch
+    * join. */
+  def q44StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_enrich_out")
+    val dim = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_n"),
+        expr("sum(cast(round(value * 100) as long)) div count(1)")
+          .as("type_avg_cents"))
+    StreamingIncremental.runStaticEnrich(spark, s"$dir/events.parquet",
+      scratch("graft_enrich_ckpt"), dim, "event_type",
+      Some(StreamingIncremental.FixtureStatePartitions)) { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("type_n"),
+        (expr("cast(round(value * 100) as long)") > col("type_avg_cents"))
+          .as("above_avg"))
+  }
+
+  val q44Sql: String =
+    """WITH d AS (SELECT event_type, count(*) AS type_n,
+      |                  CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |                       AS BIGINT) // count(*) AS type_avg_cents
+      |           FROM events
+      |           WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |           GROUP BY 1)
+      |SELECT e.event_id, e.event_type, d.type_n,
+      |       CAST(round(e.value * 100) AS BIGINT) > d.type_avg_cents
+      |         AS above_avg
+      |FROM events e JOIN d USING (event_type)
+      |WHERE e.value IS NOT NULL""".stripMargin
+
   // ------------------------------------------------------------ q21 build
 
   /** dbt-run analog end to end (commands/build.py:46-126): a three-model
@@ -442,7 +482,8 @@ object EngineQueries {
     "q27_stream_sessions" -> (q27StreamSessions _),
     "q28_stream_join" -> (q28StreamJoin _),
     "q39_stream_hll" -> (q39StreamHll _),
-    "q41_pit_join" -> (q41PitJoin _))
+    "q41_pit_join" -> (q41PitJoin _),
+    "q44_stream_enrich" -> (q44StreamEnrich _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -457,5 +498,6 @@ object EngineQueries {
     "q28_stream_join" -> q28Sql,
     "q39_stream_hll" -> q39Sql,
     "q41_pit_join" -> q41Sql,
+    "q44_stream_enrich" -> q44Sql,
     "q21_build" -> q21Sql)
 }

@@ -300,6 +300,39 @@ object StreamingIncremental {
     q.awaitTermination()
   }
 
+  /** Stream-static enrichment join — the stateless member of the
+    * streaming-join family (vs [[runClickViewJoin]]'s stateful
+    * stream-stream form): each micro-batch inner-joins a STATIC
+    * dimension frame. No watermark, no join state — the static side is
+    * planned per micro-batch (broadcast when it fits, which a dim that
+    * enriches a stream should), so arbitrarily long-running streams hold
+    * zero join memory. This is the canonical "attach the profile /
+    * catalog row as events flow" shape; the static frame re-resolves on
+    * restart, which is also the standard slowly-refreshed-dim deployment
+    * (restart or swap the table to pick up changes).
+    *
+    * Append mode + inner join: each enriched event emits exactly once. */
+  def runStaticEnrich(spark: SparkSession, eventsDir: String,
+                      checkpointDir: String, dim: DataFrame,
+                      joinKey: String,
+                      statePartitions: Option[Int] = None)
+                     (sink: DataFrame => Unit): Unit =
+      withShufflePartitions(spark, statePartitions) {
+    val stream = stageAndStream(spark, eventsDir, "graft_landing_enrich")
+    val withTs =
+      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    val enriched = withTs.join(broadcast(dim), Seq(joinKey))
+    val q = enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Partition-scoped upsert of an update-mode micro-batch: latest value
     * per (hour, event_type) wins; only the day partitions present in the
     * batch are rewritten (untouched rows of those days carry over via an
