@@ -35,6 +35,27 @@ class JsonlSpec extends AnyFunSuite {
     assert(cust.exceptAll(back).count() === 0)
   }
 
+  test("ORC round-trips typed columns, nested arrays, and pushes filters to the scan") {
+    import spark.implicits._
+    import graft.sources.Orc
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    // nested + temporal types exercise the column-format type mapping
+    val df = Seq(
+      (1L, "a", 3.5, Seq(1, 2, 3), java.sql.Timestamp.valueOf("2024-01-02 03:04:05")),
+      (2L, "b", -0.25, Seq.empty[Int], java.sql.Timestamp.valueOf("2024-06-07 08:09:10")))
+      .toDF("id", "s", "d", "xs", "ts")
+    Orc.write(df, s"$dir/t")
+    val back = Orc.read(spark, s"$dir/t", df.schema)
+    // a file read is nullable by contract; names and types must hold exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    assert(back.exceptAll(df).count() === 0 && df.exceptAll(back).count() === 0)
+    // the format keeps its scan-skipping value: the predicate reaches the scan
+    val plan = back.filter(col("id") === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,2"), plan.take(1200))
+  }
+
   test("CSV round-trips edge whitespace, embedded newlines, and quotes") {
     import spark.implicits._
     import graft.sources.Csv
