@@ -28,6 +28,7 @@ object SparkEntry {
       graft.llmops.Normalize.queries ++
       graft.operators.BloomJoin.queries ++
       graft.operators.Bucketing.queries ++
+      graft.operators.Cdc.queries ++
       graft.operators.Concurrency.queries ++
       graft.operators.Funnel.queries ++
       graft.operators.JsonCols.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       graft.llmops.Normalize.oracleSql ++
       graft.operators.BloomJoin.oracleSql ++
       graft.operators.Bucketing.oracleSql ++
+      graft.operators.Cdc.oracleSql ++
       graft.operators.Concurrency.oracleSql ++
       graft.operators.Funnel.oracleSql ++
       graft.operators.JsonCols.oracleSql ++

@@ -54,6 +54,42 @@ object RangeJoin {
       .drop("_bin")
   }
 
+  /** Interval×interval overlap join — the two-sided sibling of
+    * [[pointInInterval]] (concurrent sessions, promo-window × activity-
+    * window attribution). Same binning scheme, one extra idea: a pair
+    * of overlapping intervals co-registers in EVERY bin their overlap
+    * spans, so candidates are kept only in the overlap's FIRST bin
+    * (`_bin = floor(max(lo_a, lo_b) / width)` — a bin both sides
+    * provably registered), which de-duplicates without a distinct pass.
+    * Fan-out and hot-key behavior match [[pointInInterval]]: candidates
+    * come from an equi-join on (key, bin), never a nested loop. */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keys: Seq[String],
+                      aLo: String, aHi: String, bLo: String, bHi: String,
+                      binWidth: Long,
+                      maxBinsPerInterval: Long = 100000L): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(!a.columns.contains("_bin") && !b.columns.contains("_bin"),
+      "columns named _bin collide with the range join's internal bin key")
+    val overlapCols = a.columns.toSet.intersect(b.columns.toSet) -- keys
+    require(overlapCols.isEmpty,
+      s"non-key columns ${overlapCols.toSeq.sorted} appear on both sides — " +
+        "rename one side before joining (output would be ambiguous)")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val nBins = floor(col(hi) / binWidth) - floor(col(lo) / binWidth) + 1
+      val bins = when(nBins <= maxBinsPerInterval,
+        sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth)))
+        .otherwise(raise_error(concat(
+          lit(s"interval spans more than $maxBinsPerInterval bins at binWidth=$binWidth ("),
+          col(lo), lit(".."), col(hi),
+          lit(") — widen binWidth or clamp open-ended intervals"))).cast("array<bigint>"))
+      df.withColumn("_bin", explode(bins))
+    }
+    binned(a, aLo, aHi).join(binned(b, bLo, bHi), keys :+ "_bin")
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("_bin") === floor(greatest(col(aLo), col(bLo)) / binWidth))
+      .drop("_bin")
+  }
+
   // ----------------------------------------------------------------- query
 
   private val WindowMicros = 7L * 86400L * 1000000L // 7 days
@@ -102,9 +138,51 @@ object RangeJoin {
       |       coalesce(m.purchased, 0.0) AS purchased
       |FROM s LEFT JOIN m ON m.signup_id = s.signup_id""".stripMargin
 
+  private val HourMicros = 3600L * 1000000L
+
+  /** Same-user click-span × purchase-span overlaps: per (user, day)
+    * activity intervals on each side, hour-width bins. Spans are
+    * integral epoch micros end to end — no timestamp arithmetic to
+    * diverge between engines. */
+  def qIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    def spans(eventType: String, prefix: String): DataFrame =
+      e.filter(col("event_type") === eventType)
+        .groupBy(col("user_id"), to_date(col("ts")).as(s"${prefix}_day"))
+        .agg(min(unix_micros(col("ts"))).as(s"${prefix}_lo"),
+          max(unix_micros(col("ts"))).as(s"${prefix}_hi"))
+    intervalOverlap(spans("click", "a"), spans("purchase", "b"),
+      keys = Seq("user_id"), aLo = "a_lo", aHi = "a_hi",
+      bLo = "b_lo", bHi = "b_hi", binWidth = HourMicros)
+      .select(col("user_id"), col("a_day"), col("a_lo"), col("a_hi"),
+        col("b_day"), col("b_lo"), col("b_hi"))
+  }
+
+  val qIntervalOverlapSql: String =
+    """WITH a AS (SELECT user_id, CAST(ts AS DATE) AS a_day,
+      |                  min(epoch_us(CAST(ts AS TIMESTAMP))) AS a_lo,
+      |                  max(epoch_us(CAST(ts AS TIMESTAMP))) AS a_hi
+      |           FROM events
+      |           WHERE event_type = 'click' AND user_id IS NOT NULL
+      |             AND ts IS NOT NULL
+      |           GROUP BY 1, 2),
+      |b AS (SELECT user_id, CAST(ts AS DATE) AS b_day,
+      |             min(epoch_us(CAST(ts AS TIMESTAMP))) AS b_lo,
+      |             max(epoch_us(CAST(ts AS TIMESTAMP))) AS b_hi
+      |      FROM events
+      |      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      |        AND ts IS NOT NULL
+      |      GROUP BY 1, 2)
+      |SELECT user_id, a_day, a_lo, a_hi, b_day, b_lo, b_hi
+      |FROM a JOIN b USING (user_id)
+      |WHERE a_lo <= b_hi AND b_lo <= a_hi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q23_range_join" -> (qRangeWindow _))
+    "q23_range_join" -> (qRangeWindow _),
+    "q45_interval_join" -> (qIntervalOverlap _))
 
   val oracleSql: Map[String, String] = Map(
-    "q23_range_join" -> qRangeSql)
+    "q23_range_join" -> qRangeSql,
+    "q45_interval_join" -> qIntervalOverlapSql)
 }

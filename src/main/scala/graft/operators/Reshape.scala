@@ -55,9 +55,35 @@ object Reshape {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** Two-dimension CUBE — every grouping set of (returnflag, linestatus)
+    * in ONE aggregation pass (Spark's Expand feeds 4 grouping sets
+    * through a single shuffle; four separate GROUP BYs would scan and
+    * shuffle four times). `grouping_id()` rides along because a NULL
+    * group value is ambiguous — it can mean "the subtotal across this
+    * dimension" or a genuinely NULL key — and downstream consumers must
+    * tell them apart; both engines define the same bitmask (bit set =
+    * dimension rolled up). Measures are exact integer centi-units, so
+    * subtotals hash identically at any combine order. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(expr("cast(round(l_quantity * 100) as long)")).as("qty_c"))
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |         AS qty_c
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q31_pivot" -> (qPivot _))
+    "q31_pivot" -> (qPivot _),
+    "q46_cube" -> (qCube _))
 
   val oracleSql: Map[String, String] = Map(
-    "q31_pivot" -> qPivotSql)
+    "q31_pivot" -> qPivotSql,
+    "q46_cube" -> qCubeSql)
 }

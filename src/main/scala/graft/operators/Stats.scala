@@ -94,6 +94,32 @@ object Stats {
           col("_dev").cast("double") / col("_mad"), 4).as("score"))
   }
 
+  /** Winsorization clamp percentiles: p05 / p95. */
+  val WinsorLo: (String, Int, Int) = ("_lo", 1, 20)
+  val WinsorHi: (String, Int, Int) = ("_hi", 19, 20)
+
+  /** Per-group winsorization — clamp `valueCol` into its group's
+    * [p05, p95] (exact ceil-rank histogram elements, so the clamp
+    * bounds are actual DATA values both engines agree on, never
+    * interpolated floats). The standard tail-taming transform before
+    * mean-based statistics; unlike [[madOutliers]] it KEEPS every row,
+    * moving tail values to the fence. One histogram pass for the
+    * fences, broadcast back, then a narrow per-row `least/greatest` —
+    * no row ever shuffles. Output value stays in the original double
+    * domain (cents fences re-scaled once per row). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                idCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val rows = df.select(col(idCol), col(groupCol), cents.as("_v"))
+      .filter(col(groupCol).isNotNull && col("_v").isNotNull)
+    val fences = Quantiles.groupQuantiles(rows, groupCol, "_v",
+      Seq(WinsorLo, WinsorHi))
+    rows.join(broadcast(fences), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        (greatest(col("_lo"), least(col("_hi"), col("_v")))
+          .cast("double") / 100).as("w"))
+  }
+
   // ----------------------------------------------------------------- query
 
   /** Does spend move with time of day, per event type? (x = hour 0-23,
@@ -159,11 +185,39 @@ object Stats {
        |FROM d JOIN mad USING (event_type)
        |WHERE mad.mad > 0 AND d.dev * $DevDen > mad.mad * $DevNum""".stripMargin
 
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorize(Tables.load(spark, dir, "events"), "event_type", "value",
+      "event_id")
+
+  val qWinsorizeSql: String = {
+    val (_, lNum, lDen) = WinsorLo
+    val (_, hNum, hDen) = WinsorHi
+    s"""WITH r AS MATERIALIZED (
+       |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |h AS (SELECT event_type, c AS v, count(*) AS k FROM r GROUP BY 1, 2),
+       |w AS (SELECT event_type, v,
+       |             sum(k) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+       |             sum(k) OVER (PARTITION BY event_type) AS n
+       |      FROM h),
+       |f AS (SELECT event_type,
+       |             min(CASE WHEN cum >= (n * $lNum + ${lDen - 1}) // $lDen
+       |                      THEN v END) AS lo,
+       |             min(CASE WHEN cum >= (n * $hNum + ${hDen - 1}) // $hDen
+       |                      THEN v END) AS hi
+       |      FROM w GROUP BY 1)
+       |SELECT r.event_id, r.event_type,
+       |       CAST(greatest(f.lo, least(f.hi, r.c)) AS DOUBLE) / 100 AS w
+       |FROM r JOIN f USING (event_type)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_corr" -> (qCorr _),
-    "outliers_mad" -> (qOutliers _))
+    "outliers_mad" -> (qOutliers _),
+    "winsorize" -> (qWinsorize _))
 
   val oracleSql: Map[String, String] = Map(
     "stats_corr" -> qCorrSql,
-    "outliers_mad" -> qOutliersSql)
+    "outliers_mad" -> qOutliersSql,
+    "winsorize" -> qWinsorizeSql)
 }

@@ -671,6 +671,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.getLong(0) === 40L && n.getLong(1) === 15L)
   }
 
+  test("cdcApply: latest version wins, delete tombstones drop the key") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: I then U -> survives with v2 payload
+      (1L, 10L, "I", "a"), (1L, 20L, "U", "b"),
+      // key 2: latest is D -> gone
+      (2L, 10L, "I", "x"), (2L, 30L, "D", "y"),
+      // key 3: D then a LATER re-insert -> back alive
+      (3L, 10L, "D", "p"), (3L, 40L, "I", "q"),
+      // key 4: NULL version row ignored; survivor from the valid row
+      (4L, 5L, "I", "ok"))
+      .toDF("k", "v", "op", "payload")
+      .union(Seq((4L, null.asInstanceOf[java.lang.Long], "U", "bad"))
+        .toDF("k", "v", "op", "payload"))
+    val got = graft.operators.Cdc
+      .cdcApply(log, Seq("k"), Seq("v"), "op", Seq("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 20L, "b"), (3L, 40L, "q"), (4L, 5L, "ok")))
+  }
+
+  test("intervalOverlap: touching endpoints match, disjoint don't, pairs unique") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 100L, "a1"), (1L, 200L, 300L, "a2"),
+      (2L, 0L, 100L, "other_key"))
+      .toDF("k", "a_lo", "a_hi", "a_tag")
+    val b = Seq(
+      (1L, 100L, 150L, "touches_a1"),   // shares exactly t=100 with a1
+      (1L, 301L, 400L, "past_a2"),      // disjoint
+      (1L, 50L, 250L, "spans_both"),    // overlaps a1 AND a2, many bins
+      (2L, 90L, 95L, "k2_inside"))
+      .toDF("k", "b_lo", "b_hi", "b_tag")
+    val got = graft.operators.RangeJoin.intervalOverlap(
+      a, b, keys = Seq("k"), aLo = "a_lo", aHi = "a_hi",
+      bLo = "b_lo", bHi = "b_hi", binWidth = 30L)
+      .select("a_tag", "b_tag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.sorted === Seq(("a1", "spans_both"), ("a1", "touches_a1"),
+      ("a2", "spans_both"), ("other_key", "k2_inside")))
+    // the first-overlap-bin rule yields each pair exactly once
+    assert(got.length === got.distinct.length)
+  }
+
   test("pageRank: exact integer ranks on a path graph, symmetry, mass bound") {
     import spark.implicits._
     val S = graft.operators.PageRank.Scale

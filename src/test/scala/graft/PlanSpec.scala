@@ -380,6 +380,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("cdc apply compacts via partial aggregation, never a per-key sort window") {
+    val plan = planOf(graft.operators.Cdc.qCdcApply(spark, sf))
+    // argmax as max(struct(...)): the shuffle carries one candidate per
+    // key per partition; a row_number window would sort every change row
+    assert(plan.contains("partial_max"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("salted join: shuffled hash on (key, salt), never broadcast or sort-merge") {
     val plan = planOf(graft.operators.SaltedJoin.qSaltedJoin(spark, sf))
     // the whole point: the join partitions on (key, salt), spreading a

@@ -78,6 +78,19 @@ class StatsSpec extends AnyFunSuite {
     assert(got === Seq(0L, 1L)) // cents 100 (dev 300) and 200 (dev 200)
   }
 
+  test("winsorize clamps tails to the exact p05/p95 histogram elements") {
+    import spark.implicits._
+    // 1..100 cents 100..10000: ceil-rank p05 = 500, p95 = 9500
+    val df = (1 to 100).map(v => (v.toLong, "g", v.toDouble)).toDF("id", "g", "v")
+    val got = graft.operators.Stats.winsorize(df, "g", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) === 5.0 && got(4L) === 5.0)     // left tail -> p05
+    assert(got(5L) === 5.0 && got(50L) === 50.0)   // interior untouched
+    assert(got(95L) === 95.0 && got(96L) === 95.0) // right tail -> p95
+    assert(got(100L) === 95.0)
+    assert(got.size === 100) // winsorize keeps every row
+  }
+
   test("minMax: 0 at group min, 1 at group max, degenerate group dropped") {
     import spark.implicits._
     val df = Seq(
