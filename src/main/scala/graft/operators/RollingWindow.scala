@@ -78,9 +78,43 @@ object RollingWindow {
       |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)"""
       .stripMargin
 
+  /** Day-over-day deltas per event type — the lag() member of the
+    * window family (trend monitoring over a daily rollup). The window
+    * partitions by key and orders by day AFTER the rollup, so the sort
+    * touches |keys|×|days| rows, never raw events; pct change is
+    * NULL on each key's first day (no prior — a 0 would fake a flat
+    * day) and stable-rounded where defined. */
+  def qDailyDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagN = lag(col("n"), 1).over(w)
+    daily.select(col("event_type"), col("day"), col("n"),
+      (col("n") - lagN).as("delta"),
+      graft.llmops.Hashing.stableRound(
+        (col("n") - lagN).cast("double") / lagN, 4).as("pct"))
+  }
+
+  val qDailyDeltaSql: String =
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+       |           FROM events
+       |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       |           GROUP BY 1, 2)
+       |SELECT event_type, day, n,
+       |       n - lag(n) OVER w AS delta,
+       |       ${graft.llmops.Hashing.stableRoundSql(
+        "CAST(n - lag(n) OVER w AS DOUBLE) / lag(n) OVER w", 4)} AS pct
+       |FROM d
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q30_rolling" -> (qRolling _))
+    "q30_rolling" -> (qRolling _),
+    "q47_daily_delta" -> (qDailyDelta _))
 
   val oracleSql: Map[String, String] = Map(
-    "q30_rolling" -> qRollingSql)
+    "q30_rolling" -> qRollingSql,
+    "q47_daily_delta" -> qDailyDeltaSql)
 }

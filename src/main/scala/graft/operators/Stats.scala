@@ -120,6 +120,43 @@ object Stats {
           .cast("double") / 100).as("w"))
   }
 
+  /** Chi-square independence statistic over a two-column contingency
+    * table — "does event mix depend on time of day?" asked before
+    * trusting a grouped model. Computed as `Σ o²·n/(rt·ct) − n` — the
+    * algebraic identity for Σ(o−e)²/e over ALL cells — so zero-count
+    * cells (absent from the grouped frame) contribute exactly their
+    * share without ever materializing the a×b cross product.
+    *
+    * Reproducibility: counts, totals, and dof are exact integer
+    * aggregates; each observed cell's term evaluates ONCE on an
+    * identical IEEE tree (explicit multiplies — libm pow() may differ
+    * in the last ulp across engines), is pinned to micro-units via the
+    * stable floor-round, and the cross-cell reduction is an INTEGER sum
+    * — the only order-varying combine operates on longs, so the
+    * statistic is bit-stable at any parallelism. (A naive float
+    * Σ(o−e)²/e changes with partition order and can't be hash-gated.)
+    * Output: one row (observed cells, dof, chi2). */
+  def chi2(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("_a")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("_b")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"), count(lit(1)).as("n_cells"),
+      countDistinct(col("_a")).as("_na"), countDistinct(col("_b")).as("_nb"))
+    val term = col("o").cast("double") * col("o").cast("double") *
+      col("n").cast("double") /
+      (col("rt").cast("double") * col("ct").cast("double"))
+    cells.join(broadcast(rt), Seq("_a")).join(broadcast(ct), Seq("_b"))
+      .crossJoin(broadcast(n))
+      .select(col("n_cells"), ((col("_na") - 1) * (col("_nb") - 1)).as("dof"),
+        col("n"), floor(term * lit(1e6) + lit(0.5)).cast("long").as("_t"))
+      .groupBy(col("n_cells"), col("dof"), col("n"))
+      .agg((sum(col("_t")).cast("double") / 1e6 - col("n").cast("double"))
+        .as("chi2"))
+      .drop("n")
+  }
+
   // ----------------------------------------------------------------- query
 
   /** Does spend move with time of day, per event type? (x = hour 0-23,
@@ -185,6 +222,33 @@ object Stats {
        |FROM d JOIN mad USING (event_type)
        |WHERE mad.mad > 0 AND d.dev * $DevDen > mad.mad * $DevNum""".stripMargin
 
+  /** Is event mix independent of hour of day? One-row report. */
+  def qChi2(spark: SparkSession, dir: String): DataFrame =
+    chi2(Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull),
+      col("event_type"), hour(col("ts")))
+
+  val qChi2Sql: String =
+    """WITH c AS (SELECT event_type AS a, hour(ts) AS b, count(*) AS o
+      |           FROM events
+      |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |           GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+      |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+      |g AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS n_cells,
+      |             count(DISTINCT a) AS na, count(DISTINCT b) AS nb
+      |      FROM c),
+      |t AS (SELECT g.n_cells, (g.na - 1) * (g.nb - 1) AS dof, g.n,
+      |             CAST(floor(CAST(c.o AS DOUBLE) * CAST(c.o AS DOUBLE)
+      |                          * CAST(g.n AS DOUBLE)
+      |                          / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE))
+      |                          * 1e6 + 0.5) AS BIGINT) AS tt
+      |      FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN g)
+      |SELECT n_cells, dof,
+      |       CAST(CAST(sum(tt) AS BIGINT) AS DOUBLE) / 1e6
+      |         - CAST(n AS DOUBLE) AS chi2
+      |FROM t GROUP BY n_cells, dof, n""".stripMargin
+
   def qWinsorize(spark: SparkSession, dir: String): DataFrame =
     winsorize(Tables.load(spark, dir, "events"), "event_type", "value",
       "event_id")
@@ -213,11 +277,13 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_corr" -> (qCorr _),
+    "stats_chi2" -> (qChi2 _),
     "outliers_mad" -> (qOutliers _),
     "winsorize" -> (qWinsorize _))
 
   val oracleSql: Map[String, String] = Map(
     "stats_corr" -> qCorrSql,
+    "stats_chi2" -> qChi2Sql,
     "outliers_mad" -> qOutliersSql,
     "winsorize" -> qWinsorizeSql)
 }

@@ -78,6 +78,23 @@ class StatsSpec extends AnyFunSuite {
     assert(got === Seq(0L, 1L)) // cents 100 (dev 300) and 200 (dev 200)
   }
 
+  test("chi2: zero on an independent table, n on a perfectly dependent 2x2") {
+    import spark.implicits._
+    // perfectly dependent: x fully determines y -> chi2 = n = 20, dof = 1
+    val dep = (Seq.fill(10)(("x1", "y1")) ++ Seq.fill(10)(("x2", "y2")))
+      .toDF("a", "b")
+    val d = Stats.chi2(dep, col("a"), col("b")).head()
+    assert(d.getLong(0) === 2L)   // only the two diagonal cells exist
+    assert(d.getLong(1) === 1L)   // dof = (2-1)(2-1)
+    assert(d.getDouble(2) === 20.0)
+    // perfectly independent uniform 2x2 -> chi2 = 0
+    val ind = (for { a <- Seq("x1", "x2"); b <- Seq("y1", "y2");
+                     _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    val i = Stats.chi2(ind, col("a"), col("b")).head()
+    assert(i.getLong(0) === 4L && i.getLong(1) === 1L)
+    assert(i.getDouble(2) === 0.0)
+  }
+
   test("winsorize clamps tails to the exact p05/p95 histogram elements") {
     import spark.implicits._
     // 1..100 cents 100..10000: ceil-rank p05 = 500, p95 = 9500
