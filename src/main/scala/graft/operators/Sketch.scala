@@ -401,6 +401,104 @@ object Sketch {
        |        ON o_orderkey = l_orderkey) AS exact_join_rows""".stripMargin
   }
 
+  /** Sliding-window distinct estimation — "7-day active users, per day"
+    * — the query whose EXACT form is quadratic (every day re-counts its
+    * whole window) and whose sketch form is almost free: daily HLL
+    * registers merge by max, so each day's register row fans out to the
+    * ≤ `windowDays` windows it belongs to (a constant ≤ w×256-row
+    * explode of the TINY register table, never of the data) and a
+    * second max-merge per (window-day, bucket) yields every window's
+    * sketch in one pass. The raw data is touched exactly once, identical
+    * to the plain daily sketch; window width changes cost nothing.
+    *
+    * Days ride as integer epoch-day numbers end to end (date
+    * `sequence()` semantics differ across engines; integers don't).
+    * Output days are clamped to days that exist in the data (a trailing
+    * ghost window after the last day would estimate from stale
+    * registers). Estimates use the shared exact-integer harmonic sum,
+    * so the approximation itself is oracle-gated like [[hllDistinct]]'s. */
+  def hllSlidingDistinct(df: DataFrame, tsCol: String, column: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val withDay = df
+      .filter(col(tsCol).isNotNull)
+      .withColumn("day", datediff(to_date(col(tsCol)), lit("1970-01-01"))
+        .cast("long"))
+    val reg = hllReg(withDay, Seq("day"), column) // |days| × ≤256 rows
+    val days = reg.select(col("day")).distinct()
+    val merged = reg
+      .withColumn("out_day",
+        explode(sequence(col("day"), col("day") + (windowDays - 1))))
+      .join(days.withColumnRenamed("day", "out_day"), Seq("out_day"),
+        "left_semi")
+      .groupBy(col("out_day"), col("bucket")).agg(max(col("mj")).as("mj"))
+    merged.groupBy(col("out_day"))
+      .agg(hllAggs.head, hllAggs.tail: _*)
+      .select(col("out_day").as("day"), col("nz").as("n_buckets_used"),
+        hllEstimate.as("estimate"))
+  }
+
+  /** Trailing-7-day active users per day, with the exact count beside
+    * it (computed by the SAME fan-out trick on the distinct (day, user)
+    * pairs — equi-joins only, no per-day range rescan). */
+  def qHllSliding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val est = hllSlidingDistinct(e, "ts", "user_id")
+    val pairs = e.select(
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+      col("user_id")).distinct()
+    val days = pairs.select(col("day")).distinct()
+    val exact = pairs
+      .withColumn("out_day", explode(sequence(col("day"), col("day") + 6)))
+      .join(days.withColumnRenamed("day", "out_day"), Seq("out_day"),
+        "left_semi")
+      .select(col("out_day").as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("exact_distinct"))
+    est.join(exact, Seq("day"))
+  }
+
+  val qHllSlidingSql: String = {
+    val m = HllBuckets
+    val h = Hashing.md5LongSql("CAST(user_id AS VARCHAR)")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |         user_id
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |b AS (SELECT day, $h % $m AS bucket, $h // $m AS v FROM e),
+       |r AS (SELECT day, bucket,
+       |             CASE WHEN v = 0 THEN ${HllVBits + 1}
+       |                  ELSE ${HllVBits + 1} - length(bin(v)) END AS rho
+       |      FROM b),
+       |reg AS MATERIALIZED (
+       |  SELECT day, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |days AS MATERIALIZED (SELECT DISTINCT day FROM reg),
+       |fan AS (SELECT reg.day + w.w AS out_day, reg.bucket, reg.mj
+       |        FROM reg CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS w) w),
+       |mrg AS (SELECT out_day, bucket, max(mj) AS mj
+       |        FROM fan WHERE out_day IN (SELECT day FROM days)
+       |        GROUP BY 1, 2),
+       |s AS (SELECT out_day AS day,
+       |             sum(CAST(power(2, 62 - mj) AS DECIMAL(38,0))) AS ssum,
+       |             count(*) AS nz FROM mrg GROUP BY 1),
+       |tot AS (SELECT day, nz,
+       |               ssum + CAST($m - nz AS DECIMAL(38,0)) *
+       |                 CAST(4611686018427387904 AS DECIMAL(38,0)) AS st
+       |        FROM s),
+       |pairs AS MATERIALIZED (SELECT DISTINCT day, user_id FROM e),
+       |ex AS (SELECT f.out_day AS day, count(DISTINCT f.user_id)
+       |                AS exact_distinct
+       |       FROM (SELECT p.day + w.w AS out_day, p.user_id
+       |             FROM pairs p CROSS JOIN
+       |               (SELECT unnest(generate_series(0, 6)) AS w) w) f
+       |       WHERE f.out_day IN (SELECT day FROM days)
+       |       GROUP BY 1)
+       |SELECT t.day, t.nz AS n_buckets_used,
+       |       ${hllGroupedEstimateSql("t.")} AS estimate,
+       |       ex.exact_distinct
+       |FROM tot t JOIN ex USING (day)""".stripMargin
+  }
+
   // ------------------------------------------------------- KMV set algebra
 
   /** KMV INTERSECTION estimate — "how many training users also appear in
@@ -513,6 +611,7 @@ object Sketch {
     "freq_cms" -> (qCms _),
     "card_hll" -> (qHll _),
     "hll_grouped" -> (qHllGrouped _),
+    "hll_sliding" -> (qHllSliding _),
     "q40_join_size" -> (qJoinSize _))
 
   val oracleSql: Map[String, String] = Map(
@@ -521,5 +620,6 @@ object Sketch {
     "freq_cms" -> qCmsSql,
     "card_hll" -> qHllSql,
     "hll_grouped" -> qHllGroupedSql,
+    "hll_sliding" -> qHllSlidingSql,
     "q40_join_size" -> qJoinSizeSql)
 }

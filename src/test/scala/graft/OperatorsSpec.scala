@@ -671,6 +671,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.getLong(0) === 40L && n.getLong(1) === 15L)
   }
 
+  test("hllSlidingDistinct equals the direct sketch of each window's rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // 20 days of activity, user ids drawn so windows genuinely differ
+    val rows = (0 until 2000).map { _ =>
+      val day = rnd.nextInt(20)
+      (java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00"),
+        (rnd.nextInt(300) + day * 37).toLong)
+    }
+    val df = rows.toDF("ts", "user_id")
+    val got = Sketch.hllSlidingDistinct(df, "ts", "user_id", windowDays = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // reference: run the plain (non-sliding) estimator on each window's rows
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    rows.map(_._1).distinct.foreach { ts =>
+      val d = java.time.LocalDateTime.ofInstant(
+        ts.toInstant, java.time.ZoneOffset.UTC).toLocalDate
+      val dayNum = java.time.temporal.ChronoUnit.DAYS.between(epoch, d)
+      val windowRows = rows.filter { case (t, _) =>
+        val td = java.time.temporal.ChronoUnit.DAYS.between(epoch,
+          java.time.LocalDateTime.ofInstant(t.toInstant,
+            java.time.ZoneOffset.UTC).toLocalDate)
+        td >= dayNum - 6 && td <= dayNum
+      }
+      val direct = Sketch.hllDistinct(windowRows.toDF("ts", "user_id"), "user_id")
+        .head()
+      assert(got(dayNum) === ((direct.getLong(0), direct.getDouble(1))),
+        s"day $dayNum")
+    }
+  }
+
   test("cdcApply: latest version wins, delete tombstones drop the key") {
     import spark.implicits._
     val log = Seq(
