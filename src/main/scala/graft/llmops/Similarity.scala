@@ -350,13 +350,83 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  // --------------------------------------------------- random projection
+
+  /** Output dimensionality of [[randomProject]]'s query. */
+  val ProjDims = 16
+
+  /** ±1 projection matrix (seed distinct from the LSH planes — the two
+    * operators must stay independent). */
+  val projSigns: IndexedSeq[IndexedSeq[Int]] =
+    graft.llmops.Hashing.hyperplaneSigns(ProjDims, Dim, seed = 19L)
+
+  /** Random ±1 projection (Achlioptas-style Johnson–Lindenstrauss) —
+    * compress `Dim`-float embeddings to `dims` components for cheap
+    * downstream filtering: distances are preserved within JL distortion
+    * at 1/4 the width, and a sign matrix needs no training, no floats,
+    * no stored model — the seed IS the model.
+    *
+    * Components ride as exact integers: each float coordinate is pinned
+    * to micro-units once (`round(x·1e6)` as BIGINT), and a ±1 dot
+    * product is then an integer SUM — order-free, so the projected
+    * vectors are bit-identical on any engine or partitioning and the
+    * operator hash-gates END TO END (a float projection could only gate
+    * on rounded copies). Per-row work is `dims`·`Dim` long multiply-adds
+    * inside codegen'd higher-order functions; no shuffle, no UDF. */
+  def randomProject(emb: DataFrame, dims: Int = ProjDims): DataFrame = {
+    require(dims >= 1 && dims <= projSigns.length,
+      s"dims must be in [1, ${projSigns.length}], got $dims")
+    val micro = transform(col("embedding").cast("array<double>"),
+      x => round(x * lit(1e6)).cast("long"))
+    val comps = (0 until dims).map { j =>
+      val s = array(projSigns(j).map(v => lit(v.toLong)): _*)
+      aggregate(zip_with(col("_c"), s, (x, y) => x * y),
+        lit(0L), (a, x) => a + x).as(s"p$j")
+    }
+    emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), micro.as("_c"))
+      .select(col("vec_id") +: comps: _*)
+  }
+
+  def qProject(spark: SparkSession, dir: String): DataFrame =
+    randomProject(Tables.load(spark, dir, "embeddings"))
+
+  val qProjectSql: String = {
+    val signRows = projSigns.zipWithIndex.map { case (row, j) =>
+      s"($j, [${row.mkString(", ")}])"
+    }.mkString(",\n|          ")
+    val pCols = (0 until ProjDims)
+      .map(j => s"max(CASE WHEN s.j = $j THEN t.p END) AS p$j")
+      .mkString(",\n|       ")
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+       |          FOR x IN embedding] AS c
+       |  FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |s(j, sg) AS (VALUES
+       |          $signRows),
+       |t AS MATERIALIZED (
+       |  SELECT c.vec_id, s.j,
+       |         CAST(sum(c.c[i.i] * s.sg[i.i]) AS BIGINT) AS p
+       |  FROM c CROSS JOIN s
+       |       CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i
+       |  GROUP BY 1, 2)
+       |SELECT t.vec_id,
+       |       $pCols
+       |FROM t JOIN s ON s.j = t.j
+       |GROUP BY t.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (qBruteForce _),
     "sim_topk_lsh" -> (qLsh _),
-    "sim_topk_ivf" -> (qIvf _))
+    "sim_topk_ivf" -> (qIvf _),
+    "embed_project" -> (qProject _))
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" -> qBruteForceSql,
     "sim_topk_lsh" -> qLshSql,
-    "sim_topk_ivf" -> qIvfSql)
+    "sim_topk_ivf" -> qIvfSql,
+    "embed_project" -> qProjectSql)
 }

@@ -98,6 +98,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.last === 1.0, s"probing all $nlist cells must be exact: $recalls")
   }
 
+  test("randomProject: exact integer components; JL distances track originals") {
+    import spark.implicits._
+    // hand case: micro-units of (0.5, -1.25, 2.0, ...) against known signs
+    val v = Array.tabulate(Similarity.Dim)(i => (i % 5 - 2) * 0.25f)
+    val df = Seq((1L, v.toSeq)).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df).head()
+    val micro = v.map(x => math.round(x.toDouble * 1e6))
+    (0 until Similarity.ProjDims).foreach { j =>
+      val want = micro.zip(Similarity.projSigns(j)).map { case (c, s) => c * s }.sum
+      assert(got.getLong(j + 1) === want, s"component $j")
+    }
+    // JL sanity on random vectors: projected squared distances (scaled
+    // back) stay within 3x of the originals for k=16 — loose, but a
+    // broken sign matrix or unit mismatch fails it immediately
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(Similarity.Dim)(rnd.nextGaussian().toFloat)))
+    val proj = Similarity.randomProject(vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) ->
+        (1 until Similarity.ProjDims + 1).map(r.getLong).toArray).toMap
+    val orig = vecs.toMap.map { case (id, xs) => id -> xs.map(_.toDouble).toArray }
+    val ratios = for {
+      a <- vecs.indices; b <- vecs.indices if a < b
+    } yield {
+      val d0 = orig(a.toLong).zip(orig(b.toLong)).map { case (x, y) =>
+        (x - y) * (x - y) }.sum
+      // E[|P(x-y)|^2] = Dim-free k·|x-y|^2 for ±1 rows; scale by 1/k
+      val d1 = proj(a.toLong).zip(proj(b.toLong)).map { case (x, y) =>
+        val d = (x - y) / 1e6; d * d }.sum / Similarity.ProjDims
+      d1 / d0
+    }
+    // k=16 distortion tails are chi-square-wide per pair; the sharp
+    // invariant is the MEDIAN ratio ~1 (unit or sign-matrix bugs shift
+    // it wholesale), with a loose per-pair envelope against blowups
+    val median = ratios.sorted.apply(ratios.length / 2)
+    assert(median > 0.7 && median < 1.4, s"JL median ratio off: $median")
+    assert(ratios.forall(r => r > 1.0 / 6 && r < 6.0),
+      s"JL distortion out of band: min=${ratios.min} max=${ratios.max}")
+  }
+
   test("oversized broadcast-side collect fails with the driver cap named") {
     // a non-selective isQuery must not OOM the driver silently — the cap
     // guard raises with the actual problem before transferring a corpus
