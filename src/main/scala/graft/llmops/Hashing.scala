@@ -21,9 +21,15 @@ object Hashing {
   val P: Long = 2147483647L
 
   /** 60-bit hash of a string column; identical in DuckDB via
-    * `('0x' || substr(md5(s),1,15))::BIGINT`. */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * `('0x' || substr(md5(s),1,15))::BIGINT`. Served by the native
+    * [[graft.functions.Md5Long60]] expression — bit-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)` (every oracle hash gate
+    * re-proves it) without rendering and re-parsing the hex string. */
+  def md5Long(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.Md5Long60(
+      GraftBridge.expression(c), hi = false))
+  }
 
   /** DuckDB SQL fragment for [[md5Long]]. */
   def md5LongSql(expr: String): String =
@@ -33,8 +39,11 @@ object Hashing {
     * companion hash from the same single digest, for double-hashing
     * schemes (h_d = h1 + d·h2) that need two hashes without paying for
     * two md5 evaluations. Identical in DuckDB via [[md5LongHiSql]]. */
-  def md5LongHi(c: Column): Column =
-    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+  def md5LongHi(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.Md5Long60(
+      GraftBridge.expression(c), hi = true))
+  }
 
   /** DuckDB SQL fragment for [[md5LongHi]]. */
   def md5LongHiSql(expr: String): String =

@@ -671,6 +671,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.getLong(0) === 40L && n.getLong(1) === 15L)
   }
 
+  test("native Md5Long60 equals the composed conv(substr(md5)) bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val strs = Seq("", " ", "a", "Ω≈ç√∫", "0" * 1000) ++
+      (1 to 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = strs.toDF("s")
+    val got = df.select(
+      graft.llmops.Hashing.md5Long(col("s")).as("lo"),
+      graft.llmops.Hashing.md5LongHi(col("s")).as("hi"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("lo_ref"),
+      conv(substring(md5(col("s")), 16, 15), 16, 10).cast("long").as("hi_ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === r.getLong(2))
+      assert(r.getLong(1) === r.getLong(3))
+    }
+    // NULL propagates
+    val n = Seq(null.asInstanceOf[String]).toDF("s")
+      .select(graft.llmops.Hashing.md5Long(col("s"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("hllSlidingDistinct equals the direct sketch of each window's rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
