@@ -171,6 +171,81 @@ object Dedup {
        |           JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $threshold""".stripMargin
 
+  /** EXACT all-pairs Jaccard via PPJoin-style prefix filtering — the
+    * uncapped sibling of [[ngramJaccardPairsFromIndex]]. The DF-capped
+    * index states an approximation contract (high-frequency shingles
+    * are ignored); this operator keeps every shingle and still avoids
+    * the full Σdf² candidate blowup with the prefix-filter theorem: sort
+    * each doc's shingles by ascending document frequency (ties by hash —
+    * a total order both sides of any comparison agree on) and index only
+    * the first `n − ⌈t·n⌉ + 1`. Two docs with J ≥ t MUST share an
+    * indexed prefix shingle (if all shared shingles sat beyond both
+    * prefixes, the overlap would be < t·n), so candidate generation from
+    * the prefix index alone is COMPLETE — and candidates concentrate on
+    * each doc's rarest shingles, exactly the ones with small df².
+    *
+    * Cost shape: one window rank per doc (rows bounded by doc length),
+    * a prefix-index self-join (Σ over prefix shingles of df² — the
+    * rare-end of the distribution), then an exact intersection count
+    * over candidate pairs only. The verify join touches candidate docs'
+    * full shingle rows, so a candidate set near the true pair set makes
+    * verification near-linear in true output. */
+  def ppjoinPairs(docs: DataFrame,
+                  threshold: Double = JaccardThreshold): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingleHashSets(docs)
+      .select(col("doc_id"), explode(col("hashes")).as("h"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val withDf = sh.join(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df")), Seq("h"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val prefix = withDf
+      .withColumn("_r", row_number().over(rank))
+      .filter(col("_r") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb"))
+    val candidates = a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      // J ≥ t forces the size-ratio bound — semantics-free prefilter
+      .filter(col("na") >= col("nb") * threshold - 1e-9 &&
+        col("nb") >= col("na") * threshold - 1e-9)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .distinct()
+    countedPairs(candidates, sh.select(col("doc_id"), col("h")), threshold)
+  }
+
+  /** Exact intersection count + Jaccard filter for candidate pairs. */
+  private def countedPairs(candidates: DataFrame, full: DataFrame,
+                           threshold: Double): DataFrame =
+    candidates
+      .join(full.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(full.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("na"), col("doc_b"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("raw_j",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("raw_j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("raw_j"), 4).as("jaccard"))
+
+  /** Exact uncapped all-pairs semantics — what [[ppjoinPairs]] must
+    * reproduce with the prefix filter applied only as an optimization. */
+  def ppjoinOracleSql(threshold: Double = JaccardThreshold): String =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+       |           JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $threshold""".stripMargin
+
   /** Containment threshold: A is "contained" in B when ≥ this share of
     * A's shingles also appear in B. */
   val ContainmentThreshold = 0.5
@@ -757,6 +832,8 @@ object Dedup {
       exactDedup(Tables.load(s, d, "documents"), "doc_id", "text")),
     "dedup_ngram" -> ((s: SparkSession, d: String) =>
       ngramJaccardPairsFromIndex(cachedShingleIndex(s, d))),
+    "dedup_ppjoin" -> ((s: SparkSession, d: String) =>
+      ppjoinPairs(Tables.load(s, d, "documents"))),
     "dedup_containment" -> ((s: SparkSession, d: String) =>
       containmentPairsFromIndex(cachedShingleIndex(s, d))),
     "dedup_minhash" -> ((s: SparkSession, d: String) =>
@@ -785,6 +862,9 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram" -> ngramOracleSql(),
+    // PPJoin's oracle is the PLAIN uncapped semantics — the prefix
+    // filter must be invisible in the result
+    "dedup_ppjoin" -> ppjoinOracleSql(),
     "dedup_containment" -> containmentOracleSql(),
     "dedup_minhash" -> minhashOracleSql(),
     "dedup_simhash" -> simhashPairsSql(),

@@ -27,6 +27,41 @@ class LlmopsSpec extends AnyFunSuite {
     assert(jac.count() === 0)
   }
 
+  test("ppjoinPairs equals brute-force exact Jaccard on random near-dup corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val vocab = (0 until 50).map(i => s"tok$i")
+    // 40 base docs plus mutated near-dups (token swaps at varying rates)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(50))).mkString(" "))
+    }
+    val mutated = base.take(20).map { case (id, text) =>
+      val toks = text.split(" ")
+      val k = rnd.nextInt(4) // 0-3 token replacements
+      val mut = toks.indices.foldLeft(toks.clone()) { (acc, j) =>
+        if (rnd.nextInt(toks.length) < k) acc.updated(j, vocab(rnd.nextInt(50)))
+        else acc
+      }
+      (id + 1000L, mut.mkString(" "))
+    }
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    val got = Dedup.ppjoinPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side brute force over the same shingling kernel
+    val md = graft.llmops.Kernels.newMd5()
+    val sets = (base ++ mutated).map { case (id, text) =>
+      id -> graft.llmops.Kernels.distinctShingleHashes(md, text).toSet
+    }.filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.5
+    } yield (ia, ib) -> math.round(j * 10000).toDouble / 10000).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-9, k) }
+    assert(want.nonEmpty, "fixture produced no near-dup pairs — regen seeds")
+  }
+
   test("incrementalSimhashDedup finds exactly the cross-batch pairs the full join would") {
     import spark.implicits._
     // near-dup families built by light token edits; family members span
