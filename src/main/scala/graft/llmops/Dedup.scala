@@ -194,17 +194,21 @@ object Dedup {
                   threshold: Double = JaccardThreshold): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    // n = size(hashes) BEFORE the explode — free, where a post-explode
+    // count window would shuffle+sort every (doc, shingle) row
     val sh = shingleHashSets(docs)
-      .select(col("doc_id"), explode(col("hashes")).as("h"))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select(col("doc_id"), size(col("hashes")).cast("long").as("n"),
+        explode(col("hashes")).as("h"))
     val withDf = sh.join(
       sh.groupBy(col("h")).agg(count(lit(1)).as("df")), Seq("h"))
     val rank = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("h"))
+    // epsilon inside the ceil: double n·t can overshoot an exact integer
+    // product (100·0.07 = 7.000…001 → ceil 8) and silently SHRINK the
+    // prefix below the completeness bound
     val prefix = withDf
       .withColumn("_r", row_number().over(rank))
-      .filter(col("_r") <= col("n") - ceil(col("n") * threshold) + 1)
+      .filter(col("_r") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
       .select(col("doc_id"), col("h"), col("n"))
     val a = prefix.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb"))

@@ -24,9 +24,9 @@ import graft.core.Tables
   *
   * Shape: one map-side-combined aggregate to |groups| moment rows,
   * broadcast back, then a narrow per-row projection. Groups with n < 2
-  * are dropped (a singleton has no sample variance — and double /0
-  * NaN/Inf semantics differ across engines; the explicit filter pins
-  * the contract instead).
+  * OR zero variance are dropped (a singleton has no sample variance, a
+  * constant group's z is 0/0 — and double /0 NaN/Inf semantics differ
+  * across engines; the explicit filters pin the contract instead).
   */
 object Normalize {
 
@@ -40,7 +40,11 @@ object Normalize {
     val moments = rows.groupBy(col(groupCol))
       .agg(count(lit(1)).as("_n"), sum(col("_c")).as("_sx"),
         sum(col("_c") * col("_c")).as("_sxx"))
-      .filter(col("_n") >= 2)
+      // n >= 2 AND nonzero variance: a constant group's z is 0/0, whose
+      // NaN-vs-NULL semantics differ across engines — drop it instead
+      // (integer variance term, same guard as Stats.corrGrouped)
+      .filter(col("_n") >= 2 &&
+        col("_n") * col("_sxx") - col("_sx") * col("_sx") > 0)
     val mean = col("_sx").cast("double") / col("_n")
     val variance = (col("_sxx").cast("double") -
       col("_sx").cast("double") * col("_sx") / col("_n")) / (col("_n") - 1)
@@ -89,7 +93,10 @@ object Normalize {
        |m AS (SELECT event_type, count(*) AS n,
        |             CAST(sum(c) AS BIGINT) AS sx,
        |             CAST(sum(c * c) AS BIGINT) AS sxx
-       |      FROM r GROUP BY 1 HAVING count(*) >= 2)
+       |      FROM r GROUP BY 1
+       |      HAVING count(*) >= 2
+       |         AND count(*) * CAST(sum(c * c) AS BIGINT)
+       |             - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT) > 0)
        |SELECT r.event_id, r.event_type,
        |       ${Hashing.stableRoundSql(
          "(r.c - CAST(m.sx AS DOUBLE) / m.n) / " +

@@ -383,7 +383,11 @@ object Similarity {
       aggregate(zip_with(col("_c"), s, (x, y) => x * y),
         lit(0L), (a, x) => a + x).as(s"p$j")
     }
-    emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    // ragged vectors are a contract violation, not a row to mangle:
+    // zip_with would null-pad (Spark) where list indexing under-sums
+    // (DuckDB) — both silently wrong, so they are excluded like NULLs
+    emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) === Dim)
       .select(col("vec_id"), micro.as("_c"))
       .select(col("vec_id") +: comps: _*)
   }
@@ -403,7 +407,8 @@ object Similarity {
        |         [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
        |          FOR x IN embedding] AS c
        |  FROM embeddings
-       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+       |    AND len(embedding) = $Dim),
        |s(j, sg) AS (VALUES
        |          $signRows),
        |t AS MATERIALIZED (

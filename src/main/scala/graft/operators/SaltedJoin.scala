@@ -50,6 +50,10 @@ object SaltedJoin {
     require(nSalts >= 2, s"nSalts must be >= 2, got $nSalts")
     require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "column name _salt is reserved by saltedJoin")
+    val collide = fact.columns.toSet.intersect(dim.columns.toSet) -- keys
+    require(collide.isEmpty,
+      s"non-key columns ${collide.toSeq.sorted} appear on both sides — " +
+        "rename one side before joining (output would be ambiguous)")
     val salted = fact.withColumn("_salt",
       (Hashing.md5Long(concat_ws(":", idCols.map(c => col(c).cast("string")): _*))
         % nSalts).cast("int"))

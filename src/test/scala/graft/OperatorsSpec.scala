@@ -460,7 +460,8 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
       (4L, "b", 10.0), (5L, "b", 20.0),
-      (6L, "solo", 99.0)) // n = 1: no sample variance, dropped
+      (6L, "solo", 99.0), // n = 1: no sample variance, dropped
+      (7L, "const", 5.0), (8L, "const", 5.0)) // zero variance: 0/0, dropped
       .toDF("event_id", "event_type", "value")
     val got = graft.llmops.Normalize.zScore(df, "event_type", "value", "event_id")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
@@ -822,5 +823,11 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       graft.operators.SaltedJoin.saltedJoin(clash, dim, Seq("k"), Seq("row_id"))
     }
+    // non-key name collisions are rejected with the columns named
+    val dupCol = dim.withColumnRenamed("attr", "payload")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.SaltedJoin.saltedJoin(fact, dupCol, Seq("k"), Seq("row_id"))
+    }
+    assert(ex.getMessage.contains("payload"))
   }
 }

@@ -109,6 +109,9 @@ class SimilaritySpec extends AnyFunSuite {
       val want = micro.zip(Similarity.projSigns(j)).map { case (c, s) => c * s }.sum
       assert(got.getLong(j + 1) === want, s"component $j")
     }
+    // ragged vectors are excluded like NULLs (zip_with would null-pad)
+    val ragged = Seq((9L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.randomProject(df.union(ragged)).count() === 1)
     // JL sanity on random vectors: projected squared distances (scaled
     // back) stay within 3x of the originals for k=16 — loose, but a
     // broken sign matrix or unit mismatch fails it immediately
