@@ -195,10 +195,14 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     // n = size(hashes) BEFORE the explode — free, where a post-explode
-    // count window would shuffle+sort every (doc, shingle) row
+    // count window would shuffle+sort every (doc, shingle) row. The
+    // exploded frame feeds FOUR consumers (df counts, prefix rank, both
+    // verify sides): stage it once — at warehouse scale this is the
+    // written shingle-index table, as with cachedShingleIndex
     val sh = shingleHashSets(docs)
       .select(col("doc_id"), size(col("hashes")).cast("long").as("n"),
         explode(col("hashes")).as("h"))
+      .localCheckpoint(true)
     val withDf = sh.join(
       sh.groupBy(col("h")).agg(count(lit(1)).as("df")), Seq("h"))
     val rank = org.apache.spark.sql.expressions.Window

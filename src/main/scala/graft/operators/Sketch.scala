@@ -424,7 +424,9 @@ object Sketch {
       .filter(col(tsCol).isNotNull)
       .withColumn("day", datediff(to_date(col(tsCol)), lit("1970-01-01"))
         .cast("long"))
-    val reg = hllReg(withDay, Seq("day"), column) // |days| × ≤256 rows
+    // the register table feeds both the day-clamp and the fan-out —
+    // stage the |days|×256 frame once instead of sketching data twice
+    val reg = hllReg(withDay, Seq("day"), column).localCheckpoint(true)
     val days = reg.select(col("day")).distinct()
     val merged = reg
       .withColumn("out_day",
@@ -523,10 +525,14 @@ object Sketch {
                    b: DataFrame, bExpr: org.apache.spark.sql.Column,
                    k: Int = 256): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
+    // each min-k sketch is consumed twice (union + membership join);
+    // staging the k-row result stops the corpus distinct+TakeOrdered
+    // from running twice per side
     def minK(df: DataFrame, e: org.apache.spark.sql.Column): DataFrame =
       df.filter(e.isNotNull)
         .select(Hashing.md5Long(e.cast("string")).as("h"))
         .distinct().orderBy(col("h")).limit(k)
+        .localCheckpoint(true)
     val kA = minK(a, aExpr)
     val kB = minK(b, bExpr)
     val unionK = kA.union(kB).distinct().orderBy(col("h")).limit(k)

@@ -137,9 +137,13 @@ object Stats {
     * Σ(o−e)²/e changes with partition order and can't be hash-gated.)
     * Output: one row (observed cells, dof, chi2). */
   def chi2(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    // the contingency table feeds FOUR consumers (cells, row totals,
+    // column totals, grand total) — stage the tiny |a|×|b| frame once
+    // rather than re-scanning the input four times in one plan
     val cells = df.select(aCol.as("_a"), bCol.as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull)
       .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
     val rt = cells.groupBy(col("_a")).agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy(col("_b")).agg(sum(col("o")).as("ct"))
     val n = cells.agg(sum(col("o")).as("n"), count(lit(1)).as("n_cells"),
