@@ -53,6 +53,41 @@ object EngineQueries {
       |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ q48 snapshot diff
+
+  /** Audit the delta a rewrite produced: v1 = pre-1996 orders, v2 = all
+    * orders minus every 97th key, with F-status totals doubled — so the
+    * diff exercises all three statuses. The oracle restates the same
+    * classification straight over the raw table. */
+  def q48SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_snapdiff"))
+    val orders = Tables.load(spark, dir, "orders")
+    wh.overwrite("mart", "orders_aud",
+      orders.filter(col("o_orderdate") < "1996-01-01"))
+    wh.overwrite("mart", "orders_aud",
+      orders.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "F", col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice"))))
+    wh.snapshotDiff("mart", "orders_aud", 1, 2, Seq("o_orderkey"))
+  }
+
+  /** in-v1 ⟺ pre-1996; in-v2 ⟺ key%97≠0. A key in NEITHER (post-1996
+    * AND %97=0) must not appear at all. */
+  val q48Sql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+      |             AND o_orderkey % 97 <> 0 THEN 'added'
+      |            WHEN o_orderdate < TIMESTAMP '1996-01-01'
+      |             AND o_orderkey % 97 = 0 THEN 'removed'
+      |            WHEN o_orderstatus = 'F' THEN 'changed'
+      |       END AS status
+      |FROM orders
+      |WHERE (o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderkey % 97 <> 0)
+      |   OR (o_orderdate < TIMESTAMP '1996-01-01' AND o_orderkey % 97 = 0)
+      |   OR (o_orderdate < TIMESTAMP '1996-01-01' AND o_orderkey % 97 <> 0
+      |       AND o_orderstatus = 'F')""".stripMargin
+
   // --------------------------------------------------------- q13 incremental
 
   def q13Incremental(spark: SparkSession, dir: String): DataFrame = {
@@ -483,7 +518,8 @@ object EngineQueries {
     "q28_stream_join" -> (q28StreamJoin _),
     "q39_stream_hll" -> (q39StreamHll _),
     "q41_pit_join" -> (q41PitJoin _),
-    "q44_stream_enrich" -> (q44StreamEnrich _))
+    "q44_stream_enrich" -> (q44StreamEnrich _),
+    "q48_snapshot_diff" -> (q48SnapshotDiff _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -499,5 +535,6 @@ object EngineQueries {
     "q39_stream_hll" -> q39Sql,
     "q41_pit_join" -> q41Sql,
     "q44_stream_enrich" -> q44Sql,
+    "q48_snapshot_diff" -> q48Sql,
     "q21_build" -> q21Sql)
 }

@@ -464,6 +464,25 @@ class WarehouseSpec extends AnyFunSuite {
     assert(parts("p1") === "_data/c/d=p1") // loser's rewrite applied
   }
 
+  test("snapshotDiff: added/removed/changed classified, unchanged absent") {
+    val wh = freshWh()
+    wh.overwrite("d", "t", df(1 -> "a", 2 -> "b", 3 -> "c"))
+    wh.overwrite("d", "t", df(2 -> "b", 3 -> "CHANGED", 4 -> "d"))
+    val got = wh.snapshotDiff("d", "t", 1, 2, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "removed", 3 -> "changed", 4 -> "added"))
+    // identical versions diff to nothing
+    assert(wh.snapshotDiff("d", "t", 2, 2, Seq("id")).count() === 0)
+    // schema evolution across the pair is refused, not silently hashed
+    import spark.implicits._
+    wh.overwrite("d", "t",
+      Seq((2, "b", true)).toDF("id", "v", "extra"))
+    val ex = intercept[IllegalArgumentException] {
+      wh.snapshotDiff("d", "t", 2, 3, Seq("id"))
+    }
+    assert(ex.getMessage.contains("schema evolution"))
+  }
+
   test("q15_catalog golden output — exact rows, not just counts") {
     // The driver has no DuckDB analog for catalog state (q15 is its one
     // rows-only check), so the exact output is pinned HERE instead. The
