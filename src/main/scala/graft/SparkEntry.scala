@@ -46,6 +46,7 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
+      graft.operators.Attribution.queries ++
       graft.operators.RangeJoin.queries ++
       graft.operators.Sketch.queries
 
@@ -79,6 +80,7 @@ object SparkEntry {
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++
+      graft.operators.Attribution.oracleSql ++
       graft.operators.RangeJoin.oracleSql ++
       graft.operators.Sketch.oracleSql
 }

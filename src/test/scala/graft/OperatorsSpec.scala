@@ -672,6 +672,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.getLong(0) === 40L && n.getLong(1) === 15L)
   }
 
+  test("linearCredit conserves exactly 10000 bp per conversion, remainder to newest") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-05-01 10:$m%02d:00")
+    val touches = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(5)), (1L, 12L, ts(9)), // 3 touches
+      (2L, 20L, ts(1)),                                     // 1 touch
+      (3L, 30L, ts(50)))                                    // outside window
+      .toDF("user_id", "event_id", "ts")
+    val convs = Seq((1L, 100L, ts(10)), (2L, 200L, ts(10)), (3L, 300L, ts(10)),
+      (4L, 400L, ts(10))) // user 4: zero touches -> absent
+      .toDF("user_id", "event_id", "ts")
+    val got = graft.operators.Attribution.linearCredit(
+      touches, convs, "user_id", "ts", "event_id",
+      windowMicros = 15L * 60 * 1000000, binWidthMicros = 5L * 60 * 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byConv = got.groupBy(_._1)
+    assert(byConv.keySet === Set(100L, 200L, 300L))
+    // every conversion's credit sums to exactly 10000
+    byConv.foreach { case (c, rows) =>
+      assert(rows.map(_._3).sum === 10000L, s"conversion $c") }
+    // 3-way split: newest touch (id 12) takes 3334
+    val three = got.filter(_._1 == 100L).map(t => t._2 -> t._3).toMap
+    assert(three === Map(10L -> 3333L, 11L -> 3333L, 12L -> 3334L))
+    assert(got.filter(_._1 == 200L).map(_._3).toSeq === Seq(10000L))
+  }
+
   test("native Md5Long60 equals the composed conv(substr(md5)) bit for bit") {
     import spark.implicits._
     val rnd = new scala.util.Random(61)
