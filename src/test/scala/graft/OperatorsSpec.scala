@@ -674,20 +674,25 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("linearCredit conserves exactly 10000 bp per conversion, remainder to newest") {
     import spark.implicits._
-    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-05-01 10:$m%02d:00")
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-05-01 $h%02d:$m%02d:00")
     val touches = Seq(
-      (1L, 10L, ts(0)), (1L, 11L, ts(5)), (1L, 12L, ts(9)), // 3 touches
-      (2L, 20L, ts(1)),                                     // 1 touch
-      (3L, 30L, ts(50)))                                    // outside window
+      (1L, 10L, ts(10, 0)), (1L, 11L, ts(10, 5)), (1L, 12L, ts(10, 9)),
+      (2L, 20L, ts(10, 1)),   // 1 touch
+      (3L, 30L, ts(10, 50)),  // AFTER the conversion -> excluded
+      (3L, 31L, ts(9, 55)))   // exactly hi - window: inclusive boundary
       .toDF("user_id", "event_id", "ts")
-    val convs = Seq((1L, 100L, ts(10)), (2L, 200L, ts(10)), (3L, 300L, ts(10)),
-      (4L, 400L, ts(10))) // user 4: zero touches -> absent
+    val convs = Seq((1L, 100L, ts(10, 10)), (2L, 200L, ts(10, 10)),
+      (3L, 300L, ts(10, 10)),
+      (4L, 400L, ts(10, 10))) // user 4: zero touches -> absent
       .toDF("user_id", "event_id", "ts")
     val got = graft.operators.Attribution.linearCredit(
       touches, convs, "user_id", "ts", "event_id",
       windowMicros = 15L * 60 * 1000000, binWidthMicros = 5L * 60 * 1000000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     val byConv = got.groupBy(_._1)
+    // 400 absent (zero touches emit nothing); 300 present only via the
+    // boundary touch 31 — touch 30 postdates the conversion.
     assert(byConv.keySet === Set(100L, 200L, 300L))
     // every conversion's credit sums to exactly 10000
     byConv.foreach { case (c, rows) =>
@@ -696,6 +701,49 @@ class OperatorsSpec extends AnyFunSuite {
     val three = got.filter(_._1 == 100L).map(t => t._2 -> t._3).toMap
     assert(three === Map(10L -> 3333L, 11L -> 3333L, 12L -> 3334L))
     assert(got.filter(_._1 == 200L).map(_._3).toSeq === Seq(10000L))
+    // boundary touch (pt == hi - window) is in-window and takes all credit
+    assert(got.filter(_._1 == 300L).map(t => t._2 -> t._3).toSeq ===
+      Seq(31L -> 10000L))
+  }
+
+  test("creditModels: every model conserves 10000 bp; decay weights quantize") {
+    import spark.implicits._
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-05-01 $h%02d:$m%02d:00")
+    val touches = Seq(
+      (1L, 10L, ts(10, 0)), (1L, 11L, ts(10, 5)), (1L, 12L, ts(10, 9)),
+      (2L, 20L, ts(10, 1)),
+      (3L, 31L, ts(9, 55)))
+      .toDF("user_id", "event_id", "ts")
+    val convs = Seq((1L, 100L, ts(10, 10)), (2L, 200L, ts(10, 10)),
+      (3L, 300L, ts(10, 10))).toDF("user_id", "event_id", "ts")
+    val got = graft.operators.Attribution.creditModels(
+      touches, convs, "user_id", "ts", "event_id",
+      windowMicros = 15L * 60 * 1000000, binWidthMicros = 5L * 60 * 1000000,
+      halfLifeMicros = 5L * 60 * 1000000) // maxSteps = 3
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val byConv = got.groupBy(_._1)
+    assert(byConv.keySet === Set(100L, 200L, 300L))
+    // conservation, per model, per conversion
+    byConv.foreach { case (c, rows) =>
+      assert(rows.map(_._3).sum === 10000L, s"linear $c")
+      assert(rows.map(_._4).sum === 10000L, s"first $c")
+      assert(rows.map(_._5).sum === 10000L, s"last $c")
+      assert(rows.map(_._6).sum === 10000L, s"ushape $c")
+      assert(rows.map(_._7).sum === 10000L, s"decay $c")
+    }
+    val three = got.filter(_._1 == 100L)
+      .map(t => t._2 -> (t._3, t._4, t._5, t._6, t._7)).toMap
+    // (linear, first, last, ushape, decay); touch 10 oldest, 12 newest
+    assert(three(10L) === ((3333L, 10000L, 0L, 4000L, 1428L)))  // w=2, 10000*2 div 14
+    assert(three(11L) === ((3333L, 0L, 0L, 2000L, 2857L)))      // w=4, middle
+    assert(three(12L) === ((3334L, 0L, 10000L, 4000L, 5715L)))  // w=8 + remainder 1
+    // single-touch conversions: every model gives the lone touch 10000
+    Seq(200L, 300L).foreach { c =>
+      val r = got.filter(_._1 == c)
+      assert(r.length === 1 && r.head.productIterator.drop(2).forall(_ == 10000L), s"conv $c")
+    }
   }
 
   test("native Md5Long60 equals the composed conv(substr(md5)) bit for bit") {
