@@ -135,6 +135,10 @@ object CorpusStats {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = docs
+      // NULL doc_id would NPE in the non-nullable Long encoder below, not
+      // get excluded — filter it like every other NULL-key kernel, and
+      // mirror the filter in the oracle (ADVICE r7)
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id").cast("long"),
         coalesce(col("source"), lit("")).as("source"),
         // NULL text = zero shingles on both engines (the oracle's
@@ -218,7 +222,7 @@ object CorpusStats {
        |  FROM (SELECT doc_id, coalesce(source, '') AS source, words,
        |               unnest(generate_series(1, len(words) - 2)) AS i
        |        FROM (SELECT doc_id, source, string_split(text, ' ') AS words
-       |              FROM documents)
+       |              FROM documents WHERE doc_id IS NOT NULL)
        |        WHERE len(words) >= 3))
        |SELECT source, count(DISTINCT doc_id) AS n_docs,
        |       count(*) AS n_shingles,

@@ -254,9 +254,12 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     // NULL text pins to the empty doc (0 pieces / 1 empty ws token) —
-    // same contract as Clean/Pack/Shard, mirrored by the oracle coalesce
-    docs.select(col("doc_id").cast("long"),
-      coalesce(col("text"), lit("")).as("text"))
+    // same contract as Clean/Pack/Shard, mirrored by the oracle coalesce.
+    // NULL doc_id is FILTERED (not encoded): the non-nullable Long
+    // encoder would NPE executor-side instead of excluding the row
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long"),
+        coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val p = java.util.regex.Pattern.compile(BpePattern)
@@ -362,7 +365,7 @@ object TextAnalysis {
        |         len(regexp_extract_all(coalesce(text, ''), '$BpePattern'))
        |           AS n_bpe_tokens,
        |         len(string_split(coalesce(text, ''), ' ')) AS n_ws_tokens
-       |  FROM documents)
+       |  FROM documents WHERE doc_id IS NOT NULL)
        |SELECT doc_id, n_bpe_tokens, n_ws_tokens,
        |       floor((n_bpe_tokens * 1.0 / n_ws_tokens) * 10000.0 + 0.5) / 10000.0
        |         AS bpe_per_word

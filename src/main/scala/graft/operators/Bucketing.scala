@@ -72,7 +72,13 @@ object Bucketing {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val key = f"${dir.hashCode & 0x7fffffff}%08x"
+    // md5 of the FULL path, not String.hashCode: two dirs colliding in
+    // 32 bits would share scratch roots and catalog table names, and a
+    // still-lazy DataFrame from the first dir would silently read the
+    // second dir's overwritten buckets (ADVICE r7).
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
     val scratch = scratchRoots.computeIfAbsent(key, _ =>
       java.nio.file.Files.createTempDirectory(s"graft_buckets_$key")
         .toString)

@@ -28,13 +28,28 @@ object Cdc {
   /** Latest surviving row per key: `versionCols` break ties in order,
     * rows whose final `opCol` equals `deleteOp` are dropped, and
     * `payloadCols` ride along. NULL keys/versions are excluded up front
-    * (they cannot be ordered). */
+    * (they cannot be ordered).
+    *
+    * CONTRACT (enforced where cheap, checkable where not): version and
+    * payload columns must be name-disjoint — a shared name would emit two
+    * `last_<c>` output columns (rejected eagerly below). Version columns
+    * must totally order each key's changes; when they DON'T (duplicate
+    * (key, version) tuples), the struct-max falls through to comparing op
+    * and payload bytes and the "survivor" is whichever row compares
+    * highest — silently different from a row_number engine's arbitrary
+    * pick. That check needs a pass over the data, so it lives in
+    * [[versionViolations]] for callers/specs to run, not on the hot
+    * path. */
   def cdcApply(changes: DataFrame, keyCols: Seq[String],
                versionCols: Seq[String], opCol: String,
                payloadCols: Seq[String],
                deleteOp: String = "D"): DataFrame = {
     require(keyCols.nonEmpty && versionCols.nonEmpty,
       "cdcApply needs key and version columns")
+    val outNames = versionCols ++ payloadCols
+    require(outNames.distinct.size == outNames.size,
+      s"version/payload columns must be distinct names, got $outNames " +
+        "(a shared name would emit duplicate last_<c> output columns)")
     val notNull = (keyCols ++ versionCols)
       .map(col(_).isNotNull).reduce(_ && _)
     val packed: Column = struct(
@@ -46,6 +61,22 @@ object Cdc {
       .select(keyCols.map(col) ++
         versionCols.map(c => col(s"_last.$c").as(s"last_$c")) ++
         payloadCols.map(c => col(s"_last.$c").as(s"last_$c")): _*)
+  }
+
+  /** (key, version) tuples appearing more than once — the rows on which
+    * [[cdcApply]]'s survivor is decided by op/payload comparison instead
+    * of the version order, i.e. the inputs violating the total-order
+    * contract. Empty output = contract holds. Run it in a data test /
+    * spec lane (one extra aggregate), not inline: at 100 TB the check
+    * costs a full shuffle the compaction itself doesn't need. */
+  def versionViolations(changes: DataFrame, keyCols: Seq[String],
+                        versionCols: Seq[String]): DataFrame = {
+    val notNull = (keyCols ++ versionCols)
+      .map(col(_).isNotNull).reduce(_ && _)
+    changes.filter(notNull)
+      .groupBy((keyCols ++ versionCols).map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
   }
 
   // ----------------------------------------------------------------- query

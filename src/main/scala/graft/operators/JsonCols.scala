@@ -33,14 +33,22 @@ object JsonCols {
       .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  // json_valid guards the oracle because DuckDB's json_extract ERRORS on
+  // malformed JSON where Spark's get_json_object returns NULL — the guard
+  // makes both engines follow the documented absent-or-unparsable→NULL
+  // contract instead of only the Spark side.
   val qJsonPropsSql: String =
-    """SELECT event_type,
-      |       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
-      |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-      |         AS sum_k,
-      |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
-      |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
-      |FROM events GROUP BY 1""".stripMargin
+    """WITH ev AS MATERIALIZED (
+      |  SELECT event_type,
+      |         CASE WHEN props IS NOT NULL AND json_valid(props)
+      |              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+      |  FROM events)
+      |SELECT event_type,
+      |       count(k) AS n_with_k,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       min(k) AS min_k,
+      |       max(k) AS max_k
+      |FROM ev GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_json_props" -> (qJsonProps _))

@@ -27,9 +27,14 @@ import graft.core.Tables
   * with FIXED iterations the lineage is a shallow linear chain, no
   * per-round materialization needed (contrast
   * [[graft.llmops.Dedup.duplicateClusters]], which iterates to
-  * convergence and must observe a count per round). Dangling nodes
-  * cannot arise: callers feed BOTH directions of an undirected graph
-  * (or guarantee out-edges), so every node keeps deg ≥ 1.
+  * convergence and must observe a count per round).
+  *
+  * Node universe = nodes with out-edges (every node must appear as a
+  * src; feed both directions for undirected graphs, so deg ≥ 1 and no
+  * dangling mass). Zero-IN-degree nodes — directed-graph sources — are
+  * fine: the per-round update LEFT-joins incoming contributions, so a
+  * source keeps its damped base rank `(15·r0) div 100` and continues
+  * contributing to its successors every round.
   */
 object PageRank {
 
@@ -56,9 +61,10 @@ object PageRank {
           expr("rank div deg").as("_c")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("_c")).as("_in"))
-      ranks = init.join(contrib, Seq("node"))
+      ranks = init.join(contrib, Seq("node"), "left")
         .select(col("node"), col("deg"), col("r0"),
-          (expr("(15 * r0) div 100") + expr("(85 * _in) div 100")).as("rank"))
+          (expr("(15 * r0) div 100") +
+            expr("(85 * coalesce(_in, 0L)) div 100")).as("rank"))
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -83,15 +89,18 @@ object PageRank {
   }
 
   val qPageRankSql: String = {
-    // one damped integer step: prev(node, deg, rank) -> next(node, deg, rank)
+    // one damped integer step: prev(node, deg, rank) -> next(node, deg, rank).
+    // LEFT join keeps zero-in-degree nodes (directed sources) at the
+    // damped base rank, mirroring the Spark side's left join + coalesce.
     def step(prev: String): String =
       s"""SELECT d.node, d.deg,
          |       (15 * s.r0v) // 100 +
-         |       (85 * CAST(sum(r.rank // r.deg) AS BIGINT)) // 100 AS rank
-         |FROM e JOIN $prev r ON r.node = e.src
-         |       JOIN d ON d.node = e.dst
-         |       CROSS JOIN s
-         |GROUP BY d.node, d.deg, s.r0v""".stripMargin
+         |       (85 * CAST(coalesce(c.inm, 0) AS BIGINT)) // 100 AS rank
+         |FROM d CROSS JOIN s
+         |LEFT JOIN (SELECT e.dst AS node,
+         |                  CAST(sum(r.rank // r.deg) AS BIGINT) AS inm
+         |           FROM e JOIN $prev r ON r.node = e.src
+         |           GROUP BY 1) c ON c.node = d.node""".stripMargin
     s"""WITH p AS MATERIALIZED (
        |  SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS t
        |  FROM lineitem

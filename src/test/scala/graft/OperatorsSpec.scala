@@ -819,6 +819,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Set((1L, 20L, "b"), (3L, 40L, "q"), (4L, 5L, "ok")))
   }
 
+  test("cdcApply: rejects version/payload name overlap; versionViolations finds ties") {
+    import spark.implicits._
+    val log = Seq((1L, 10L, "I", "a")).toDF("k", "v", "op", "payload")
+    // a column in BOTH versionCols and payloadCols would emit duplicate
+    // last_v output columns — rejected eagerly, not silently
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Cdc.cdcApply(log, Seq("k"), Seq("v"), "op", Seq("v"))
+    }
+    assert(ex.getMessage.contains("distinct names"))
+    // total-order checker: duplicate (key, version) flagged, unique not
+    val dup = Seq((1L, 10L, "I", "a"), (1L, 10L, "U", "b"), (1L, 20L, "U", "c"),
+      (2L, 10L, "I", "x"))
+      .toDF("k", "v", "op", "payload")
+    val bad = graft.operators.Cdc.versionViolations(dup, Seq("k"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bad.toSeq === Seq((1L, 10L, 2L)))
+  }
+
   test("intervalOverlap: touching endpoints match, disjoint don't, pairs unique") {
     import spark.implicits._
     val a = Seq((1L, 0L, 100L, "a1"), (1L, 200L, 300L, "a2"),
@@ -867,6 +885,27 @@ class OperatorsSpec extends AnyFunSuite {
     val sr = graft.operators.PageRank.pageRank(star, iterations = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((2L to 6L).forall(l => sr(1L) > sr(l)))
+  }
+
+  test("pageRank: directed source (zero in-degree) keeps base rank and feeds successors") {
+    import spark.implicits._
+    val S = graft.operators.PageRank.Scale
+    // directed chain 1 -> 2 -> 3 -> 1 plus a pure source 4 -> 2: node 4
+    // has out-edges but NO in-edges, the case the r7 inner join dropped
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L)).toDF("src", "dst")
+    val r2 = graft.operators.PageRank.pageRank(edges, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the source survives every round at the damped base rank
+    val r0 = S / 4
+    val base = 15 * r0 / 100
+    assert(r2.keySet === Set(1L, 2L, 3L, 4L))
+    assert(r2(4L) === base)
+    // and its round-2 contribution reached node 2: rank(2) reflects both
+    // node 1's rank AND the source's base rank from round 1
+    val round1n1 = base + 85 * r0 / 100          // from 3 -> 1
+    val round1n4 = base                          // no in-edges
+    val expect2 = base + 85 * (round1n1 + round1n4) / 100
+    assert(r2(2L) === expect2)
   }
 
   test("saltedJoin equals the plain join on random data, dim dup keys included") {
