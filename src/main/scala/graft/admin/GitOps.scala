@@ -72,6 +72,35 @@ object GitOps {
         modelsPath)
       .map(parseGitLog).getOrElse(Nil)
 
+  /** GitHub commit URL for the repo's `origin` remote
+    * (cleanup.py:233-261): the link a user pastes into a ticket next to
+    * an orphaned table's deleting commit. None when there is no origin
+    * or it isn't github.com. */
+  def commitUrl(repo: Path, commitId: String): Option[String] =
+    run(repo, "git", "config", "--get", "remote.origin.url")
+      .map(_.trim).flatMap(commitUrlFor(_, commitId))
+
+  /** Pure half of [[commitUrl]]: render the URL from a remote in either
+    * the ssh (`git@github.com:owner/repo.git`) or https
+    * (`https://github.com/owner/repo[.git]`) form. The `.git` suffix is
+    * stripped as a SUFFIX only (the reference's `replace(".git", "")`
+    * would also mangle a repo named `my.github.tools`). */
+  def commitUrlFor(remoteUrl: String, commitId: String): Option[String] = {
+    val path =
+      if (remoteUrl.startsWith("git@github.com:"))
+        Some(remoteUrl.stripPrefix("git@github.com:"))
+      else if (remoteUrl.startsWith("https://github.com/"))
+        Some(remoteUrl.stripPrefix("https://github.com/"))
+      else None
+    path.map(_.stripSuffix(".git")).flatMap { p =>
+      p.split("/", 2) match {
+        case Array(owner, repo) if owner.nonEmpty && repo.nonEmpty =>
+          Some(s"https://github.com/$owner/$repo/commit/$commitId")
+        case _ => None
+      }
+    }
+  }
+
   /** Pure parser for the log format above: `delete mode` entries become
     * `deleted`; both rename formats (`rename path/{old => new}` and
     * `rename from`/`rename to` pairs) become `renamed`. */

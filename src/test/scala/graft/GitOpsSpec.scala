@@ -72,6 +72,30 @@ class GitOpsSpec extends AnyFunSuite {
       Seq(("models/core/moving.sql", Some("models/core/moved.sql"))))
   }
 
+  test("commitUrl renders github links from ssh and https remotes (cleanup.py:233-261)") {
+    val id = "abc123def"
+    // pure half: both remote forms, with and without .git
+    assert(GitOps.commitUrlFor("git@github.com:acme/warehouse.git", id) ===
+      Some(s"https://github.com/acme/warehouse/commit/$id"))
+    assert(GitOps.commitUrlFor("https://github.com/acme/warehouse", id) ===
+      Some(s"https://github.com/acme/warehouse/commit/$id"))
+    assert(GitOps.commitUrlFor("https://github.com/acme/warehouse.git", id) ===
+      Some(s"https://github.com/acme/warehouse/commit/$id"))
+    // .git stripped as suffix only, not mid-name
+    assert(GitOps.commitUrlFor("git@github.com:acme/my.github.tools.git", id) ===
+      Some(s"https://github.com/acme/my.github.tools/commit/$id"))
+    // non-github or malformed remotes yield None, not a bogus URL
+    assert(GitOps.commitUrlFor("git@gitlab.com:acme/warehouse.git", id) === None)
+    assert(GitOps.commitUrlFor("https://github.com/just-owner", id) === None)
+    // subprocess half against real repos: ssh-form remote, then no remote
+    val repo = freshRepo()
+    sh(repo, "git", "remote", "add", "origin", "git@github.com:acme/warehouse.git")
+    assert(GitOps.commitUrl(repo, id) ===
+      Some(s"https://github.com/acme/warehouse/commit/$id"))
+    val bare = freshRepo()
+    assert(GitOps.commitUrl(bare, id) === None)
+  }
+
   test("parseGitLog handles both rename formats and attribution (pure)") {
     val text =
       """commit abc123
