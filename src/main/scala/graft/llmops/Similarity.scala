@@ -324,7 +324,23 @@ object Similarity {
   def qIvf(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql), expr(isCentroidSql))
 
-  val qIvfSql: String =
+  /** nprobe=4 variant: the recall/latency knob served as its own oracle
+    * query, so widening the probe set is hash-pinned cross-engine (the
+    * spec additionally gates that recall rises monotonically with
+    * nprobe). Candidate work scales linearly with nprobe — 4 of ~17
+    * cells is still a ~4× cut over brute force at the fixture size, and
+    * n/nlist·nprobe at scale. */
+  val NProbeWide = 4
+
+  def qIvfNprobe(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql),
+      expr(isCentroidSql), nprobe = NProbeWide)
+
+  val qIvfSql: String = ivfSqlFor(NProbe)
+
+  val qIvfNprobeSql: String = ivfSqlFor(NProbeWide)
+
+  private def ivfSqlFor(nprobe: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE $isCentroidSql),
@@ -334,7 +350,7 @@ object Similarity {
        |           ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS crnk
        |  FROM n CROSS JOIN cent),
        |member AS (SELECT vec_id, cid FROM assign WHERE crnk = 1),
-       |probe AS (SELECT vec_id, cid FROM assign WHERE crnk <= $NProbe AND ($isQuerySql)),
+       |probe AS (SELECT vec_id, cid FROM assign WHERE crnk <= $nprobe AND ($isQuerySql)),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
@@ -427,11 +443,13 @@ object Similarity {
     "sim_topk_bruteforce" -> (qBruteForce _),
     "sim_topk_lsh" -> (qLsh _),
     "sim_topk_ivf" -> (qIvf _),
+    "sim_topk_ivf_nprobe" -> (qIvfNprobe _),
     "embed_project" -> (qProject _))
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" -> qBruteForceSql,
     "sim_topk_lsh" -> qLshSql,
     "sim_topk_ivf" -> qIvfSql,
+    "sim_topk_ivf_nprobe" -> qIvfNprobeSql,
     "embed_project" -> qProjectSql)
 }
