@@ -178,9 +178,15 @@ object EngineQueries {
   // ------------------------------------------------------------- q15 catalog
 
   /** Information-schema analog (S1-S4): datasets × tables × meta ×
-    * flattened column counts of a scratch warehouse. No DuckDB oracle —
-    * the catalog is engine state — so the driver records a rows-only
-    * check; invariants are asserted in WarehouseSpec. */
+    * flattened column counts of a scratch warehouse. The catalog is
+    * engine state, but every row is a deterministic function of this
+    * query's own writes plus the fixture schemas — so the oracle (below)
+    * reconstructs it from DuckDB's side of the SAME parquet tables:
+    * column counts via DESCRIBE on the source tables (not hardcoded, so
+    * a fixture schema change fails loudly on both engines), metadata as
+    * the literals this query declares. WarehouseSpec keeps the
+    * behavioral invariants; this closes the one rows-only gap in the
+    * correctness gate. */
   def q15Catalog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wh = new Warehouse(spark, scratch("graft_cat"))
@@ -206,6 +212,24 @@ object EngineQueries {
     rows.toDF("dataset", "table_name", "n_columns", "partition_field",
       "require_partition_filter", "clustering", "description")
   }
+
+  /** DuckDB reconstruction of [[q15Catalog]]'s catalog listing: the
+    * source tables' real column counts (orders +1 for the derived `om`
+    * partition column) joined to the metadata the query declares. */
+  val q15Sql: String =
+    """SELECT 'mart' AS dataset, 'orders_by_month' AS table_name,
+      |       (SELECT count(*) FROM (DESCRIBE SELECT * FROM orders)) + 1
+      |         AS n_columns,
+      |       'om' AS partition_field, TRUE AS require_partition_filter,
+      |       '' AS clustering, '' AS description
+      |UNION ALL
+      |SELECT 'raw', 'nation',
+      |       (SELECT count(*) FROM (DESCRIBE SELECT * FROM nation)),
+      |       '', FALSE, 'n_regionkey', 'tpch nation'
+      |UNION ALL
+      |SELECT 'raw', 'region',
+      |       (SELECT count(*) FROM (DESCRIBE SELECT * FROM region)),
+      |       '', FALSE, '', ''""".stripMargin
 
   // -------------------------------------------------------- q17 TTL expiry
 
@@ -525,6 +549,7 @@ object EngineQueries {
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
+    "q15_catalog" -> q15Sql,
     "q16_stream_hourly" -> q16Sql,
     "q17_expire" -> q17Sql,
     // the merged two-batch history must equal a full-stream scd2 build
