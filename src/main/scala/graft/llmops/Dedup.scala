@@ -67,7 +67,11 @@ object Dedup {
   def shingleHashSets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    // NULL doc_id would NPE in the non-nullable Long encoder and NULL
+    // text cannot shingle — both excluded, mirrored by the oracle CTE's
+    // WHERE (a NULL-text doc yields no generate_series rows there anyway)
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = Kernels.newMd5()
@@ -82,7 +86,8 @@ object Dedup {
     """sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
       |  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |              WHERE doc_id IS NOT NULL AND text IS NOT NULL)
       |        WHERE len(words) >= 3))""".stripMargin
 
   // ------------------------------------------------------ exact n-gram Jaccard
@@ -399,7 +404,9 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    // same NULL-key/NULL-text exclusion contract as shingleHashSets
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = Kernels.newMd5()
@@ -415,7 +422,8 @@ object Dedup {
       s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     s"""wh AS (SELECT doc_id, ${md5LongSql("w")} AS h
-       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |             WHERE doc_id IS NOT NULL AND text IS NOT NULL)),
        |bits AS (SELECT doc_id,
        |           $bitSums
        |         FROM wh GROUP BY doc_id),
@@ -643,7 +651,13 @@ object Dedup {
     import spark.implicits._
     val bands: Array[Array[Array[Double]]] =
       embedBandPlanes.map(_.map(_.map(_.toDouble).toArray).toArray).toArray
+    // NULL vec_id would NPE in the non-nullable Long encoder; NULL or
+    // ragged embeddings would crash the signature kernel where DuckDB's
+    // list indexing silently NULLs — all three are contract violations,
+    // excluded identically on both engines (same rule as randomProject)
     val base = emb
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) === Similarity.Dim)
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
     val sigRows = base.mapPartitions { it =>
@@ -682,7 +696,9 @@ object Dedup {
     val bandRows = embedBandPlanes.indices.map { k =>
       s"SELECT vec_id, $k AS band, s$k AS sig FROM n"
     }.mkString("\n  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+       |             AND len(embedding) = ${Similarity.Dim}),
        |n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        |             $sigCols
        |      FROM e),

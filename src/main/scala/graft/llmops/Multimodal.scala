@@ -83,7 +83,10 @@ object Multimodal {
     * sampled frame. Partition-parallel; no shuffle, no driver collect. */
   def extractFrameFeatures(media: DataFrame, everyN: Int = 1): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select(col("media_id"), col("payload")).rdd
+    // NULL media_id/payload cannot decode (getLong/frames would NPE) —
+    // excluded, mirrored by the oracle's WHERE
+    val rdd = media.filter(col("media_id").isNotNull && col("payload").isNotNull)
+      .select(col("media_id"), col("payload")).rdd
       .mapPartitions { rows =>
         // Stateful codecs (FFmpeg handles etc.) would open here, close on
         // iterator end; ImageIO is stateless so nothing to hold.
@@ -115,7 +118,8 @@ object Multimodal {
   def describeMedia(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id").cast("long"), col("payload"))
+    media.filter(col("media_id").isNotNull && col("payload").isNotNull)
+      .select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .map { case (id, p) =>
         ImageCodec.sniff(p) match {
@@ -157,7 +161,8 @@ object Multimodal {
   val qMultimodalStatsSql: String =
     s"""WITH c AS (SELECT doc_id AS media_id, text,
        |                  unnest(generate_series(1, length(text))) AS i
-       |           FROM documents),
+       |           FROM documents
+       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
        |b AS (SELECT media_id, (i - 1) // $FrameBytes AS frame_no,
        |             ascii(substring(text, CAST(i AS INT), 1)) AS v
        |      FROM c),

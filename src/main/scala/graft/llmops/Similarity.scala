@@ -57,6 +57,21 @@ object Similarity {
     rows
   }
 
+  /** Shared typed corpus frame: NULL vec_id cannot ride the non-nullable
+    * Long encoder (executor NPE) and NULL/ragged embeddings would crash
+    * the dot-product kernels where DuckDB list indexing silently NULLs —
+    * contract violations, excluded identically on both engines
+    * ([[vecFilterSql]] is the oracle mirror; same rule as
+    * [[randomProject]]). */
+  private def typedVecs(emb: DataFrame, dim: Int = Dim) = {
+    emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) === dim)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+  }
+
+  val vecFilterSql: String =
+    s"vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $Dim"
+
   /** Scored (query, neighbor) pairs: the query set (with norms and, when
     * `bucketed`, LSH signatures) is broadcast; each corpus partition scores
     * its vectors against every query in a primitive loop. */
@@ -64,7 +79,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val signs = planeSigns
-    val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    val e = typedVecs(emb)
     val queries: Array[(Long, Array[Double], Double, Long)] =
       collectCapped(e.filter(isQuery).as[(Long, Array[Double])], "ANN query set")
         .map { case (id, v) =>
@@ -132,7 +147,7 @@ object Similarity {
               k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    val e = typedVecs(emb)
     val cents: Array[(Long, Array[Double], Double)] =
       collectCapped(e.filter(isCentroid).as[(Long, Array[Double])], "IVF centroid set")
         .map { case (id, v) => (id, v, Kernels.norm(v)) }
@@ -147,7 +162,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     require(cents.nonEmpty, "IVF needs at least one centroid")
-    val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    val e = typedVecs(emb)
     val queries: Array[(Long, Array[Double], Double, Array[Long])] =
       collectCapped(e.filter(isQuery).as[(Long, Array[Double])], "ANN query set")
         .map { case (id, v) =>
@@ -202,7 +217,7 @@ object Similarity {
                         iterations: Int = 5, dim: Int = Dim): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    val e = typedVecs(emb, dim)
     var cents: Array[(Long, Array[Double], Double)] =
       collectCapped(e.filter(isInit).as[(Long, Array[Double])], "k-means init set")
         .map { case (id, v) => (id, v, Kernels.norm(v)) }
@@ -282,7 +297,8 @@ object Similarity {
     bruteForceTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql))
 
   val qBruteForceSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE $vecFilterSql),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -300,7 +316,8 @@ object Similarity {
     lshTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql))
 
   val qLshSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE $vecFilterSql),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        |             ${signatureSql("v")} AS sig
        |      FROM e),
@@ -341,7 +358,8 @@ object Similarity {
   val qIvfNprobeSql: String = ivfSqlFor(NProbeWide)
 
   private def ivfSqlFor(nprobe: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE $vecFilterSql),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE $isCentroidSql),
        |assign AS (

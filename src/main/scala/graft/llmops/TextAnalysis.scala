@@ -29,6 +29,23 @@ object TextAnalysis {
   private def inList(vals: Seq[String]): String =
     vals.map(v => s"'$v'").mkString("(", ", ", ")")
 
+  /** Shared typed input for the per-doc kernels: NULL doc_id cannot ride
+    * the non-nullable Long encoder (executor NPE, not exclusion) and NULL
+    * text cannot be tokenized, so both are EXCLUDED — every oracle
+    * mirrors with `WHERE doc_id IS NOT NULL AND text IS NOT NULL`
+    * ([[DocFilterSql]]). Exception: [[withBpeTokens]] keeps its pinned
+    * NULL-text→empty-doc contract and filters only doc_id. */
+  val DocFilterSql = "doc_id IS NOT NULL AND text IS NOT NULL"
+
+  private def typedDocs(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+  }
+
   /** Token/quality stats per doc. Token model: whitespace words plus a
     * BPE-ish estimate (ceil(chars/4)). Quality rewards lexical diversity
     * and a natural stopword rate, penalizes very short docs; it is rounded
@@ -40,8 +57,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val en: Set[String] = stopwords.head._2.toSet
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
+    typedDocs(docs)
       .mapPartitions { it =>
         val alnum = java.util.regex.Pattern.compile("[a-z0-9]+")
         it.map { case (id, text) =>
@@ -87,8 +103,7 @@ object TextAnalysis {
     import spark.implicits._
     val langs: Array[(String, Set[String])] =
       stopwords.map { case (l, ws) => (l, ws.toSet) }.toArray
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
+    typedDocs(docs)
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val words = Kernels.splitSpace(text)
@@ -136,8 +151,7 @@ object TextAnalysis {
     import spark.implicits._
     val langs: Array[(String, Set[String])] =
       stopwords.map { case (l, ws) => (l, ws.toSet) }.toArray
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
+    typedDocs(docs)
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val words = Kernels.splitSpace(text)
@@ -187,8 +201,7 @@ object TextAnalysis {
   def withRepetition(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
+    typedDocs(docs)
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val words = Kernels.splitSpace(text)
@@ -225,8 +238,7 @@ object TextAnalysis {
   def withFingerprints(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
+    typedDocs(docs)
       .mapPartitions { it =>
         val md = Kernels.newMd5()
         it.map { case (id, text) =>
@@ -282,6 +294,7 @@ object TextAnalysis {
     val en = inList(stopwords.head._2)
     s"""WITH t AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+       |  WHERE $DocFilterSql
        |), s AS (
        |  SELECT doc_id,
        |         len(words) AS n_tokens,
@@ -311,7 +324,8 @@ object TextAnalysis {
     val pred = stopwords.map(_._1).reverse.foldLeft("'und'") { (acc, l) =>
       s"CASE WHEN hits_$l = best AND best > 0 THEN '$l' ELSE $acc END"
     }
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |           WHERE $DocFilterSql),
        |h AS (SELECT doc_id,
        |         $hitCols
        |      FROM t),
@@ -323,7 +337,8 @@ object TextAnalysis {
     withRepetition(Tables.load(spark, dir, "documents"))
 
   val qRepetitionSql: String =
-    s"""WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s"""WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS words
+       |                        FROM documents WHERE $DocFilterSql),
        |base AS (SELECT doc_id, len(words) AS n, len(list_distinct(words)) AS nd FROM w),
        |g3 AS (SELECT doc_id, count(DISTINCT s) AS nd3 FROM (
        |         SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
@@ -349,7 +364,8 @@ object TextAnalysis {
     withFingerprints(Tables.load(spark, dir, "documents"))
 
   val qFingerprintSql: String =
-    s"""WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents),
+    s"""WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+       |           FROM documents WHERE $DocFilterSql),
        |g AS (SELECT doc_id, norm, unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS i FROM n)
        |SELECT doc_id, min(md5(norm)) AS fp_md5,
        |       min(${Hashing.md5LongSql("substring(norm, CAST(i AS INT), 8)")}) AS fp_winnow

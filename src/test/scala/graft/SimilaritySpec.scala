@@ -144,8 +144,10 @@ class SimilaritySpec extends AnyFunSuite {
   test("oversized broadcast-side collect fails with the driver cap named") {
     // a non-selective isQuery must not OOM the driver silently — the cap
     // guard raises with the actual problem before transferring a corpus
+    // vectors must be Dim-sized: ragged rows are contract-excluded upstream
     val big = spark.range(Similarity.MaxDriverRows + 1)
-      .select(col("id").as("vec_id"), array(lit(1.0d), lit(2.0d)).as("embedding"))
+      .select(col("id").as("vec_id"),
+        array((1 to Similarity.Dim).map(i => lit(i.toDouble)): _*).as("embedding"))
     val ex = intercept[IllegalArgumentException] {
       Similarity.bruteForceTopK(big, lit(true))
     }
