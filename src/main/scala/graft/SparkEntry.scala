@@ -44,6 +44,7 @@ object SparkEntry {
       graft.operators.Stats.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
+      graft.llmops.LangModel.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
       graft.operators.Attribution.queries ++
@@ -78,6 +79,7 @@ object SparkEntry {
       graft.operators.Stats.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
+      graft.llmops.LangModel.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++
       graft.operators.Attribution.oracleSql ++

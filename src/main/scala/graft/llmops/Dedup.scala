@@ -735,7 +735,14 @@ object Dedup {
     *    was already folded into dst's min the round before), so each
     *    round joins edges against the CHANGED nodes only — after round
     *    one that set collapses to the still-converging tail and AQE
-    *    broadcasts it, instead of re-shuffling the full edge set.
+    *    broadcasts it. Round 1's frontier is the identity labeling, so
+    *    the join is skipped outright: min-over-neighbors is just
+    *    `min(src) GROUP BY dst` on the edge set.
+    *  - EDGES SHUFFLE ONCE: the edge set is hash-repartitioned on `src`
+    *    and persisted as an InMemoryRelation, which (unlike a
+    *    checkpointed RDD scan) still advertises its HashPartitioning to
+    *    Catalyst — a wide later-round frontier sort-merges against it
+    *    without re-exchanging the edges.
     *  - SINGLE JOB PER ROUND: the changed-label count rides the same
     *    action that materializes the round's labels (an [[Observation]]
     *    on the checkpoint job), so convergence costs no separate pass.
@@ -747,18 +754,25 @@ object Dedup {
   def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
-      .localCheckpoint(true)
+      .repartition(col("src")).persist()
     // `checkpointed` tracks the frame holding each round's cached copy so
     // the superseded round can be RELEASED — without the unpersist, a
     // D-diameter graph pins D+1 full label-table copies in storage at once
     var checkpointed = docs.select(col("doc_id").cast("long"))
       .withColumn("label", col("doc_id")).localCheckpoint(true)
     var labels = checkpointed
-    var frontier = labels // round 1: every node is fresh information
+    // round 1: every node is fresh information and label == doc_id, so
+    // the edge⨝frontier join degenerates to the edge set itself
+    var frontier: Option[DataFrame] = None
     var changed = 1L
     while (changed > 0) {
-      val neighborMin = edges
-        .join(frontier.select(col("doc_id").as("src"), col("label").as("src_label")), Seq("src"))
+      val contributions = frontier match {
+        case None => edges.select(col("dst"), col("src").as("src_label"))
+        case Some(f) => edges
+          .join(f.select(col("doc_id").as("src"), col("label").as("src_label")), Seq("src"))
+          .select(col("dst"), col("src_label"))
+      }
+      val neighborMin = contributions
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("src_label")).as("nbr_label"))
       val obs = org.apache.spark.sql.Observation()
@@ -771,9 +785,10 @@ object Dedup {
       checkpointed.unpersist()
       checkpointed = updated
       labels = updated.select(col("doc_id"), col("new_label").as("label"))
-      frontier = updated.filter(col("new_label") < col("label"))
-        .select(col("doc_id"), col("new_label").as("label"))
+      frontier = Some(updated.filter(col("new_label") < col("label"))
+        .select(col("doc_id"), col("new_label").as("label")))
     }
+    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -1,0 +1,139 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Count-based bigram language-model fluency scoring — the KenLM-shaped
+  * quality signal a pretraining pipeline uses to rank documents by how
+  * "model-like" their word transitions are (gibberish, boilerplate and
+  * OCR noise score low; fluent prose scores high).
+  *
+  * The LM is trained ON the corpus being scored (self-perplexity, the
+  * usual in-pipeline setup): add-one-smoothed bigram probability
+  * `p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)` with `c(w1)` the context
+  * count (occurrences of w1 as a bigram head) and `V` the unigram
+  * vocabulary size.
+  *
+  * DELIBERATE deviation from textbook perplexity: true perplexity is the
+  * geometric mean `exp(-Σ ln p / n)`, but cross-engine `ln()` is not
+  * bit-reproducible (the repo rule since
+  * [[CorpusStats.distinctiveKeywords]] and [[Rank]]'s raw-odds idf), so
+  * the shipped score keeps every per-bigram quantity in EXACT integer
+  * micro-units: `p_micros = (1e6 · (c12+1)) div (c1+V)` is an integer
+  * division — bit-identical on any engine — and per-doc aggregation is
+  * integer sum/min. Docs rank by mean (arithmetic) transition
+  * probability and by their single most surprising transition
+  * (`min_p_micros`, the exact analog of max per-token surprisal, since
+  * min over exact integers needs no log). On a cluster deployment where
+  * geometric-mean perplexity is required, flip the one `p_micros`
+  * expression to `ln` — the plan shape is unchanged.
+  *
+  * Shape at 100 TB:
+  *  - bigram instances never leave their input partition raw: they
+  *    pre-aggregate to per-doc (w1, w2, k) multiplicities (map-side
+  *    combined groupBy) before anything joins;
+  *  - the model tables `c12`/`c1` are corpus-global aggregates of that
+  *    SAME frame — at production scale they are corpus-version constants
+  *    (train once per snapshot, reuse across scoring runs); here they
+  *    ride one plan for self-containment;
+  *  - scoring joins per-doc bigrams to `c12` on (w1, w2) and to `c1` on
+  *    (w1) — both sides shuffle on the model key, standard hash joins
+  *    with no skew beyond natural Zipf heads, which AQE skew-split
+  *    handles; `V` is a 1-row broadcast scalar;
+  *  - `1e6 · (c12+1)` stays in the 64-bit domain until corpus bigram
+  *    counts approach 9.2e12 — beyond that drop Micro to 1e3.
+  *
+  * Docs with fewer than two tokens have no transitions and are excluded
+  * (no score is defined), as are NULL doc_id/text rows — both mirrored
+  * by the oracle's WHERE.
+  */
+object LangModel {
+
+  /** Probability scale: micro-units per bigram. */
+  val Micro = 1000000L
+
+  /** Per-doc bigram instance multiplicities (doc_id, w1, w2, k) plus the
+    * derived model tables ride this one tokenization. */
+  private def bigramInstances(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(slice(words, 1, size(words) - 1), " +
+            "(w, i) -> struct(w AS w1, words[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+
+  /** (doc_id, n_bigrams, sum_p_micros, min_p_micros, avg_p_micros):
+    * exact-integer add-one bigram LM fluency per document. */
+  def bigramFluency(docs: DataFrame): DataFrame = {
+    val perDoc = bigramInstances(docs)
+    val c12 = perDoc.groupBy("w1", "w2")
+      .agg(sum("k").cast("long").as("c12"))
+    val c1 = perDoc.groupBy("w1")
+      .agg(sum("k").cast("long").as("c1"))
+    val vocab = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    perDoc
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_micros", expr(s"(${Micro}L * (c12 + 1)) div (c1 + v)"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).cast("long").as("n_bigrams"),
+        sum(col("k") * col("p_micros")).cast("long").as("sum_p_micros"),
+        min(col("p_micros")).as("min_p_micros"))
+      .withColumn("avg_p_micros", expr("sum_p_micros div n_bigrams"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def qLmFluency(spark: SparkSession, dir: String): DataFrame =
+    bigramFluency(Tables.load(spark, dir, "documents"))
+
+  /** Same counts/smoothing/integer-division tree as the Spark side;
+    * DuckDB lists are 1-based so bigram i spans words[i], words[i+1]
+    * over generate_series(1, len-1). `//` and Spark's `div` agree on
+    * non-negative integers (both floor/truncate identically there). */
+  val qLmFluencySql: String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |    AND len(string_split(text, ' ')) >= 2),
+       |bg AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+       |       FROM (SELECT doc_id, words,
+       |                    unnest(generate_series(1, len(words) - 1)) AS i
+       |             FROM t)),
+       |perdoc AS MATERIALIZED (
+       |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+       |  FROM bg GROUP BY doc_id, w1, w2),
+       |c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
+       |        FROM perdoc GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(k) AS BIGINT) AS c1
+       |       FROM perdoc GROUP BY w1),
+       |v AS (SELECT count(DISTINCT w) AS v FROM
+       |        (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |         WHERE doc_id IS NOT NULL AND text IS NOT NULL)),
+       |scored AS (
+       |  SELECT p.doc_id, p.k, ($Micro * (c.c12 + 1)) // (g.c1 + v.v) AS p_micros
+       |  FROM perdoc p
+       |  JOIN c12 c ON c.w1 = p.w1 AND c.w2 = p.w2
+       |  JOIN c1 g ON g.w1 = p.w1
+       |  CROSS JOIN v)
+       |SELECT doc_id,
+       |       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(k * p_micros) AS BIGINT) AS sum_p_micros,
+       |       CAST(min(p_micros) AS BIGINT) AS min_p_micros,
+       |       CAST(sum(k * p_micros) AS BIGINT) // CAST(sum(k) AS BIGINT)
+       |         AS avg_p_micros
+       |FROM scored GROUP BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_fluency" -> (qLmFluency _))
+
+  val oracleSql: Map[String, String] = Map(
+    "lm_fluency" -> qLmFluencySql)
+}

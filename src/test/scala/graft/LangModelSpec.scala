@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llmops.LangModel
+
+/** Pins the add-one bigram LM algebra on a corpus small enough to count
+  * by hand, plus the exclusion contracts (the oracle-gated `lm_fluency`
+  * covers the fixture end to end). */
+class LangModelSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("bigramFluency: hand-counted smoothed probabilities, exact integers") {
+    import spark.implicits._
+    // corpus: "a b" ×2, "a b c" — vocab {a,b,c} V=3
+    // bigram counts: (a,b)=3, (b,c)=1; context counts: a=3, b=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = LangModel.bigramFluency(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_p_micros"),
+          r.getAs[Long]("min_p_micros"), r.getAs[Long]("avg_p_micros")))
+      .toMap
+    // p(b|a) = (3+1)/(3+3) = 2/3 -> 666666; p(c|b) = (1+1)/(1+3) = 1/2
+    assert(got(1L) === ((1L, 666666L, 666666L, 666666L)))
+    assert(got(2L) === ((1L, 666666L, 666666L, 666666L)))
+    // doc 3: bigrams (a,b) and (b,c): 666666 + 500000 = 1166666, avg 583333
+    assert(got(3L) === ((2L, 1166666L, 500000L, 583333L)))
+  }
+
+  test("bigramFluency: repeated bigram multiplicity rides k, not extra rows") {
+    import spark.implicits._
+    // "x y x y" has bigrams (x,y)×2 and (y,x)×1 — n_bigrams=3
+    val docs = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val row = LangModel.bigramFluency(docs).collect().head
+    assert(row.getAs[Long]("n_bigrams") === 3L)
+    // c(x,y)=2, c(x)=2; c(y,x)=1, c(y)=1; V=2
+    // p(y|x) = 3/4 -> 750000 (×2), p(x|y) = 2/3 -> 666666
+    assert(row.getAs[Long]("sum_p_micros") === 2 * 750000L + 666666L)
+    assert(row.getAs[Long]("min_p_micros") === 666666L)
+  }
+
+  test("bigramFluency: NULLs and sub-2-token docs are excluded, but their absence changes nothing else") {
+    import spark.implicits._
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "a b"),
+      (java.lang.Long.valueOf(2L), "single"),   // no transition
+      (java.lang.Long.valueOf(3L), null),        // NULL text
+      (null.asInstanceOf[java.lang.Long], "a b") // NULL id
+    ).toDF("doc_id", "text")
+    val got = LangModel.bigramFluency(docs).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet === Set(1L))
+    // vocab still counts the single-token doc's word: V = {a,b,single} = 3
+    // c(a,b)=1, c(a)=1 -> p = 2/4 = 500000
+    assert(got.head.getAs[Long]("sum_p_micros") === 500000L)
+  }
+}
