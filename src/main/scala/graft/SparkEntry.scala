@@ -45,6 +45,7 @@ object SparkEntry {
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
+      graft.llmops.ProductQuant.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
       graft.operators.Attribution.queries ++
@@ -80,6 +81,7 @@ object SparkEntry {
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++
+      graft.llmops.ProductQuant.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++
       graft.operators.Attribution.oracleSql ++

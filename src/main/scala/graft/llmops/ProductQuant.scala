@@ -1,0 +1,220 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Product-quantization ANN (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the third scale path next to
+  * sign-LSH and IVF, and the one that compresses the corpus itself:
+  * each Dim=64 vector is encoded as M=8 one-byte codes (8 bytes replace
+  * 512), and queries score candidates by table lookup (ADC — asymmetric
+  * distance computation) instead of touching raw floats.
+  *
+  * The codebook is a deterministic sample of corpus vectors (the
+  * smallest-id `Codes` rows matching the IVF centroid predicate), each
+  * sliced into M contiguous SubDim-wide subvectors — standing in for
+  * offline-k-means-per-subspace exactly as the IVF coarse quantizer
+  * does, which keeps the operator oracle-checkable.
+  *
+  * Encoding assigns subvector m to its nearest codebook entry by
+  * squared L2 `(x·x + c·c) − 2·(x·c)` — three left-to-right dot products
+  * in the same order as the oracle's `list_dot_product` calls, so codes
+  * are bit-identical across engines (strict `<` over ascending code ids
+  * matches the oracle's `ORDER BY d, code` tie-break). A query builds
+  * its M×Codes lookup table once; a candidate's approximate distance is
+  * the fixed-order sum `(((L0+L1)+L2)+…)+L7`, mirrored by the oracle's
+  * left-associated pivot sum — bit-identical again, so even RANKS match.
+  *
+  * Shape at 100 TB:
+  *  - the codebook (M·Codes·SubDim doubles — 4 KB here) and the query
+  *    LUTs (M·Codes doubles per query) broadcast; both collects ride the
+  *    [[Similarity.collectCapped]] driver guard;
+  *  - encode + score is ONE narrow kernel pass over the corpus — no
+  *    shuffle, no raw-vector movement; in a production deployment the
+  *    codes column (8 bytes/vector) is materialized once per corpus
+  *    snapshot and scoring reads ONLY it (64× less IO than raw floats);
+  *  - the final top-k is a per-query window over corpus-sized scored
+  *    pairs, the same shape Catalyst executes as partial top-k; work per
+  *    query is O(M·Codes) LUT build + O(n·M) lookup adds, no O(n·Dim)
+  *    float math. */
+object ProductQuant {
+
+  /** M subspaces × SubDim dims = [[Similarity.Dim]]; Codes entries per
+    * subspace codebook (one byte addresses up to 256). */
+  val M = 8
+  val SubDim = 8
+  val Codes = 16
+
+  /** Σ_{i<len} a(off+i)·b(i), left-to-right — `list_dot_product` of the
+    * corresponding slices without copying. */
+  private def dotAt(a: Array[Double], off: Int, b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < b.length) { acc += a(off + i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Per-subspace codebook: entry (m)(k) is the m-th slice of the k-th
+    * smallest-id source row, paired with its self-dot. */
+  private def buildCodebook(src: Array[(Long, Array[Double])])
+      : Array[Array[(Array[Double], Double)]] = {
+    val rows = src.sortBy(_._1).take(Codes)
+    require(rows.nonEmpty, "PQ codebook predicate selected no rows")
+    Array.tabulate(M) { m =>
+      rows.map { case (_, v) =>
+        val c = java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim)
+        (c, dotAt(c, 0, c))
+      }
+    }
+  }
+
+  /** PQ codes for one vector: argmin_k of the subspace squared L2,
+    * first minimum (smallest code) on ties. */
+  private def encode(v: Array[Double],
+                     cb: Array[Array[(Array[Double], Double)]]): Array[Int] = {
+    val codes = new Array[Int](M)
+    var m = 0
+    while (m < M) {
+      val off = m * SubDim
+      val xx = {
+        var acc = 0.0
+        var i = 0
+        while (i < SubDim) { val x = v(off + i); acc += x * x; i += 1 }
+        acc
+      }
+      val entries = cb(m)
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < entries.length) {
+        val (c, cc) = entries(k)
+        val d = (xx + cc) - 2 * dotAt(v, off, c)
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    codes
+  }
+
+  /** ADC top-k: encode the corpus, broadcast per-query LUTs, rank
+    * candidates by the fixed-order lookup sum (ascending — it is a
+    * distance), ties to the smaller neighbor id. Identity pairs are
+    * excluded. Output: (query_id, neighbor_id, rank, adist). */
+  def pqTopK(emb: DataFrame, isQuery: Column, isCodebook: Column,
+             k: Int = Similarity.TopK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = Similarity.typedVecs(emb)
+    val cb = buildCodebook(
+      Similarity.collectCapped(e.filter(isCodebook).as[(Long, Array[Double])],
+        "PQ codebook source"))
+    val queries: Array[(Long, Array[Array[Double]])] =
+      Similarity.collectCapped(e.filter(isQuery).as[(Long, Array[Double])],
+        "PQ query set")
+        .map { case (qid, qv) =>
+          val lut = Array.tabulate(M) { m =>
+            val off = m * SubDim
+            val qq = {
+              var acc = 0.0
+              var i = 0
+              while (i < SubDim) { val x = qv(off + i); acc += x * x; i += 1 }
+              acc
+            }
+            cb(m).map { case (c, cc) => (qq + cc) - 2 * dotAt(qv, off, c) }
+          }
+          (qid, lut)
+        }
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val scored = e.as[(Long, Array[Double])].mapPartitions { it =>
+      val codebook = bcCb.value
+      val qs = bcQ.value
+      it.flatMap { case (id, v) =>
+        val codes = encode(v, codebook)
+        qs.iterator.filter(_._1 != id).map { case (qid, lut) =>
+          var adist = 0.0
+          var m = 0
+          while (m < M) { adist += lut(m)(codes(m)); m += 1 }
+          (qid, id, adist)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "adist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        Hashing.stableRound(col("adist"), 4).as("adist"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def qPqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopK(Tables.load(spark, dir, "embeddings"),
+      expr(Similarity.isQuerySql), expr(Similarity.isCentroidSql))
+
+  /** Same codebook/encode/LUT trees in DuckDB: slices via `list_slice`
+    * (1-based inclusive), assignment tie-break via `ORDER BY d, code`,
+    * and the ADC sum left-associated through an 8-column pivot so the
+    * double addition order matches the kernel loop exactly. */
+  val qPqTopKSql: String = {
+    val adcSum = (1 until M).foldLeft("d0")((acc, m) => s"($acc + d$m)")
+    val pivots = (0 until M).map(m =>
+      s"max(CASE WHEN l.m = $m THEN l.dq END) AS d$m").mkString(",\n         ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE ${Similarity.vecFilterSql}),
+       |ms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
+       |cbsrc AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |  FROM (SELECT vec_id, v FROM e WHERE ${Similarity.isCentroidSql}
+       |        ORDER BY vec_id LIMIT $Codes)),
+       |cb AS MATERIALIZED (
+       |  SELECT m, code,
+       |         list_slice(v, m * $SubDim + 1, (m + 1) * $SubDim) AS cv,
+       |         list_dot_product(list_slice(v, m * $SubDim + 1, (m + 1) * $SubDim),
+       |                          list_slice(v, m * $SubDim + 1, (m + 1) * $SubDim)) AS cc
+       |  FROM cbsrc CROSS JOIN ms),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT x.vec_id, c.m, c.code,
+       |           row_number() OVER (PARTITION BY x.vec_id, c.m ORDER BY
+       |             (list_dot_product(list_slice(x.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim),
+       |                               list_slice(x.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim)) + c.cc)
+       |             - 2 * list_dot_product(list_slice(x.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim), c.cv),
+       |             c.code) AS rnk
+       |    FROM e x CROSS JOIN cb c)
+       |  WHERE rnk = 1),
+       |lut AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.m, c.code,
+       |         (list_dot_product(list_slice(q.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim),
+       |                           list_slice(q.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim)) + c.cc)
+       |         - 2 * list_dot_product(list_slice(q.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim), c.cv) AS dq
+       |  FROM e q CROSS JOIN cb c WHERE q.${Similarity.isQuerySql}),
+       |adc AS (
+       |  SELECT l.query_id, x.vec_id AS neighbor_id,
+       |         $pivots
+       |  FROM enc x JOIN lut l ON l.m = x.m AND l.code = x.code
+       |  GROUP BY l.query_id, x.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $adcSum AS adist FROM adc
+       |  WHERE neighbor_id <> query_id)
+       |SELECT query_id, neighbor_id, rank,
+       |       ${Hashing.stableRoundSql("adist", 4)} AS adist
+       |FROM (SELECT query_id, neighbor_id, adist,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY adist, neighbor_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= ${Similarity.TopK}""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_pq" -> (qPqTopK _))
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk_pq" -> qPqTopKSql)
+}

@@ -47,8 +47,8 @@ object Similarity {
     * of an executor-to-driver OOM (the same guard style as RangeJoin's
     * bin-overflow raise). `limit(cap + 1)` bounds the transfer itself,
     * so even the failing path never materializes the corpus. */
-  private def collectCapped(ds: org.apache.spark.sql.Dataset[(Long, Array[Double])],
-                            what: String): Array[(Long, Array[Double])] = {
+  private[llmops] def collectCapped(ds: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+                                    what: String): Array[(Long, Array[Double])] = {
     val rows = ds.limit(MaxDriverRows + 1).collect()
     require(rows.length <= MaxDriverRows,
       s"$what exceeds the $MaxDriverRows-row driver cap — it must stay a " +
@@ -63,7 +63,7 @@ object Similarity {
     * contract violations, excluded identically on both engines
     * ([[vecFilterSql]] is the oracle mirror; same rule as
     * [[randomProject]]). */
-  private def typedVecs(emb: DataFrame, dim: Int = Dim) = {
+  private[llmops] def typedVecs(emb: DataFrame, dim: Int = Dim) = {
     emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
         size(col("embedding")) === dim)
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
@@ -291,7 +291,7 @@ object Similarity {
 
   // ----------------------------------------------------------------- queries
 
-  private val isQuerySql = "vec_id < 10"
+  private[llmops] val isQuerySql = "vec_id < 10"
 
   def qBruteForce(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql))
@@ -336,7 +336,7 @@ object Similarity {
   // ~17 centroids at the 500-vector fixture (≈sqrt(n) inverted lists);
   // any deterministic predicate works — at real scale this is the trained
   // centroid table, not a modulus.
-  private val isCentroidSql = "vec_id % 29 = 3"
+  private[llmops] val isCentroidSql = "vec_id % 29 = 3"
 
   def qIvf(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql), expr(isCentroidSql))
