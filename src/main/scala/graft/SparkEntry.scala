@@ -46,6 +46,7 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
       graft.llmops.ProductQuant.queries ++
+      graft.llmops.BpeTrain.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
       graft.operators.Attribution.queries ++
@@ -82,6 +83,7 @@ object SparkEntry {
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++
       graft.llmops.ProductQuant.oracleSql ++
+      graft.llmops.BpeTrain.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++
       graft.operators.Attribution.oracleSql ++

@@ -1,0 +1,137 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Distributed BPE merge-table training (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) —
+  * the tokenizer-training primitive a pretraining pipeline runs over its
+  * own corpus before anything else tokenizes.
+  *
+  * Classic BPE trains on the WORD-FREQUENCY table, not raw text: the
+  * corpus collapses to (word, count) once — that is the only
+  * corpus-sized shuffle — and every merge round then runs on the
+  * vocabulary table, which is orders of magnitude smaller (Heaps' law:
+  * ~millions of rows at 100 TB). Each round:
+  *
+  *  1. counts adjacent symbol pairs weighted by word count (map-side
+  *     combined groupBy on the vocab table; overlapping pairs all count,
+  *     matching the reference implementation),
+  *  2. picks the argmax pair — count desc, then (lhs, rhs) lexicographic
+  *     asc — via a 1-ROW driver collect (the per-round driver traffic is
+  *     one pair, the same bounded-scalar pattern as the k-means
+  *     trainer's k×dim), and
+  *  3. rewrites symbol sequences with the merge applied.
+  *
+  * Symbol sequences are SEP-framed strings (`␟a␟b␟c␟`, SEP = U+001F):
+  * applying a merge is then one literal `replace(seq, ␟a␟b␟, ␟ab␟)` —
+  * and because both Spark's and DuckDB's `replace` substitute
+  * non-overlapping occurrences greedily LEFT-TO-RIGHT, the rewrite IS
+  * the reference BPE merge procedure, bit-identically on both engines
+  * (`aaa` + merge (a,a) → `[aa, a]`). Words containing SEP, newline or
+  * CR cannot ride the framing and are excluded on both sides; counts
+  * are exact integers throughout, so every round's argmax — and hence
+  * the whole merge table — is deterministic.
+  *
+  * Each round localCheckpoints the (small) vocab frame to keep the
+  * iterative plan flat, releasing the superseded copy — the same
+  * pattern as [[Dedup.duplicateClusters]]. */
+object BpeTrain {
+
+  val Rounds = 8
+  val Sep = "\u001F"
+
+  /** Learned merge table: (round, lhs, rhs, pair_count), one row per
+    * merge in training order; stops early if no pairs remain. */
+  def bpeMerges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var checkpointed = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").rlike(s"[$Sep\n\r]"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)).as("seq"),
+        col("cnt"))
+      .localCheckpoint(true)
+    var vocab = checkpointed
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      // seq splits to ['', s1, …, sn, ''] — firsts are 0-based 1..n-1
+      val top = vocab
+        .select(split(col("seq"), Sep).as("s"), col("cnt"))
+        .select(explode(expr(
+          "transform(slice(s, 2, size(s) - 3), " +
+            "(x, i) -> struct(x AS lhs, s[i + 2] AS rhs))")).as("p"), col("cnt"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).cast("long").as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (lhs, rhs, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, lhs, rhs, c))
+        val next = vocab.withColumn("seq",
+            replace(col("seq"), lit(Sep + lhs + Sep + rhs + Sep), lit(Sep + lhs + rhs + Sep)))
+          .localCheckpoint(true)
+        checkpointed.unpersist()
+        checkpointed = next
+        vocab = next
+      }
+      r += 1
+    }
+    checkpointed.unpersist()
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.load(spark, dir, "documents"))
+
+  /** The same `rounds` BPE iterations as chained CTE blocks: per round a
+    * pair count, a 1-row argmax, and a LEFT JOIN rewrite (LEFT so an
+    * empty argmax passes the vocab through unchanged instead of wiping
+    * it). Every multiply-referenced CTE is MATERIALIZED (DuckDB inlines
+    * plain CTEs per reference). */
+  def bpeMergesSql(rounds: Int = Rounds): String = {
+    val sep = "chr(31)"
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT string_split(seq, $sep) AS s, cnt,
+         |               unnest(generate_series(2, len(string_split(seq, $sep)) - 2)) AS i
+         |        FROM $prev)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT CASE WHEN m.lhs IS NULL THEN w.seq
+         |         ELSE replace(w.seq, $sep || m.lhs || $sep || m.rhs || $sep,
+         |                      $sep || m.lhs || m.rhs || $sep) END AS seq, w.cnt
+         |  FROM $prev w LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val finalUnion = (1 to rounds).map { r =>
+      s"SELECT $r AS round, lhs, rhs, c AS pair_count FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g') AS seq,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |        WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       |  WHERE word <> '' AND NOT regexp_matches(word, '[\\x1F\\x0A\\x0D]')
+       |  GROUP BY word),
+       |$roundCtes
+       |$finalUnion""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> (qBpeMerges _))
+
+  val oracleSql: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesSql())
+}
