@@ -42,17 +42,18 @@ object BpeTrain {
   val Rounds = 8
   val Sep = "\u001F"
 
-  /** Learned merge table: (round, lhs, rhs, pair_count), one row per
-    * merge in training order; stops early if no pairs remain. */
-  def bpeMerges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Runs the merge loop; returns (merge table rows, final vocab frame
+    * with columns word, seq, cnt — seq SEP-framed with all merges
+    * applied). The caller owns unpersisting the returned frame. */
+  private def train(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var checkpointed = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "" && !col("word").rlike(s"[$Sep\n\r]"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)).as("seq"),
+      .select(col("word"),
+        concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)).as("seq"),
         col("cnt"))
       .localCheckpoint(true)
     var vocab = checkpointed
@@ -83,8 +84,43 @@ object BpeTrain {
       }
       r += 1
     }
-    checkpointed.unpersist()
-    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+    (merges.toSeq, checkpointed)
+  }
+
+  /** Learned merge table: (round, lhs, rhs, pair_count), one row per
+    * merge in training order; stops early if no pairs remain. */
+  def bpeMerges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, vocab) = train(docs, rounds)
+    vocab.unpersist()
+    merges.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** Per-document BPE token counts under a merge table trained on the
+    * same corpus — the "how many tokens is my corpus" budget question a
+    * pretraining run asks before packing. Trains `rounds` merges, derives
+    * each vocabulary word's post-merge symbol count from its framed
+    * sequence (symbols = SEP-split size - 2), then broadcast-joins the
+    * (Heaps'-law-small) word→count table onto the exploded corpus and
+    * sums per document — the corpus-sized pass is one explode + broadcast
+    * join + map-side-combined sum, no shuffle beyond the doc_id agg.
+    * Unframeable words (SEP/newline/CR) are excluded from BOTH counts;
+    * documents with no countable words emit nothing. */
+  def bpeTokenCounts(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val (_, vocab) = train(docs, rounds)
+    // eager: releases the vocab checkpoint before the lazy result is run
+    val perWord = vocab.select(col("word"),
+      (size(split(col("seq"), Sep)) - 2).cast("long").as("n_syms"))
+      .localCheckpoint(true)
+    vocab.unpersist()
+    docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").rlike(s"[$Sep\n\r]"))
+      .join(broadcast(perWord), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_tokens"))
   }
 
   // ------------------------------------------------------------ queries
@@ -97,7 +133,9 @@ object BpeTrain {
     * empty argmax passes the vocab through unchanged instead of wiping
     * it). Every multiply-referenced CTE is MATERIALIZED (DuckDB inlines
     * plain CTEs per reference). */
-  def bpeMergesSql(rounds: Int = Rounds): String = {
+  /** The shared training CTE chain: w0..w`rounds` vocab states (word,
+    * seq, cnt) and m1..m`rounds` one-row argmax picks. */
+  private def trainCtes(rounds: Int): String = {
     val sep = "chr(31)"
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"w${r - 1}"
@@ -110,28 +148,48 @@ object BpeTrain {
          |m$r AS MATERIALIZED (
          |  SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1),
          |w$r AS MATERIALIZED (
-         |  SELECT CASE WHEN m.lhs IS NULL THEN w.seq
+         |  SELECT w.word, CASE WHEN m.lhs IS NULL THEN w.seq
          |         ELSE replace(w.seq, $sep || m.lhs || $sep || m.rhs || $sep,
          |                      $sep || m.lhs || m.rhs || $sep) END AS seq, w.cnt
          |  FROM $prev w LEFT JOIN m$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val finalUnion = (1 to rounds).map { r =>
-      s"SELECT $r AS round, lhs, rhs, c AS pair_count FROM m$r"
-    }.mkString("\nUNION ALL ")
     s"""WITH w0 AS MATERIALIZED (
-       |  SELECT $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g') AS seq,
+       |  SELECT word, $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g') AS seq,
        |         CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
        |        WHERE doc_id IS NOT NULL AND text IS NOT NULL)
        |  WHERE word <> '' AND NOT regexp_matches(word, '[\\x1F\\x0A\\x0D]')
        |  GROUP BY word),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  def bpeMergesSql(rounds: Int = Rounds): String = {
+    val finalUnion = (1 to rounds).map { r =>
+      s"SELECT $r AS round, lhs, rhs, c AS pair_count FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"""${trainCtes(rounds)}
        |$finalUnion""".stripMargin
   }
 
+  /** Encode twin: re-train via [[trainCtes]], then join the exploded
+    * corpus to the final vocab state and sum symbol counts per doc. */
+  def bpeTokenCountsSql(rounds: Int = Rounds): String =
+    s"""${trainCtes(rounds)}
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(string_split(v.seq, chr(31))) - 2) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL) d
+       |JOIN w$rounds v ON d.word = v.word
+       |GROUP BY d.doc_id""".stripMargin
+
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenCounts(Tables.load(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bpe_merges" -> (qBpeMerges _))
+    "bpe_merges" -> (qBpeMerges _),
+    "bpe_encode" -> (qBpeEncode _))
 
   val oracleSql: Map[String, String] = Map(
-    "bpe_merges" -> bpeMergesSql())
+    "bpe_merges" -> bpeMergesSql(),
+    "bpe_encode" -> bpeTokenCountsSql())
 }

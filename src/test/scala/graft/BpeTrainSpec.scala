@@ -45,6 +45,18 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(BpeTrain.bpeMerges(docs, rounds = 4).count() === 0L)
   }
 
+  test("bpeTokenCounts: post-merge symbol counts ride the word join") {
+    import spark.implicits._
+    // rounds=3 learns (l,o), (lo,w), (e,s): low -> [low] = 1 token,
+    // lowest -> [low, es, t] = 3 tokens
+    val docs = Seq((1L, "low low lowest"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val got = BpeTrain.bpeTokenCounts(docs, rounds = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got === Map(1L -> ((3L, 5L)), 2L -> ((2L, 4L))))
+  }
+
   test("bpeMerges: NULLs, empties and unframeable words are excluded") {
     import spark.implicits._
     val docs = Seq(
