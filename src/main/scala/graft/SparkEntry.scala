@@ -45,6 +45,7 @@ object SparkEntry {
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
+      graft.llmops.QualityRules.queries ++
       graft.llmops.ProductQuant.queries ++
       graft.llmops.BpeTrain.queries ++
       graft.materialize.DataTests.queries ++
@@ -82,6 +83,7 @@ object SparkEntry {
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++
+      graft.llmops.QualityRules.oracleSql ++
       graft.llmops.ProductQuant.oracleSql ++
       graft.llmops.BpeTrain.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
