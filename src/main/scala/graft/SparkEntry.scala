@@ -46,6 +46,7 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
       graft.llmops.QualityRules.queries ++
+      graft.llmops.Dsir.queries ++
       graft.llmops.ProductQuant.queries ++
       graft.llmops.BpeTrain.queries ++
       graft.materialize.DataTests.queries ++
@@ -84,6 +85,7 @@ object SparkEntry {
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++
       graft.llmops.QualityRules.oracleSql ++
+      graft.llmops.Dsir.oracleSql ++
       graft.llmops.ProductQuant.oracleSql ++
       graft.llmops.BpeTrain.oracleSql ++
       graft.materialize.DataTests.oracleSql ++

@@ -1,0 +1,108 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** DSIR-style importance weights (Xie et al., "Data Selection for
+  * Language Models via Importance Resampling", NeurIPS 2023): score every
+  * raw document by how much its hashed n-gram profile looks like a TARGET
+  * distribution, so the corpus can be resampled toward the target domain.
+  *
+  * Both bag-of-hashed-ngram models (unigrams + bigrams hashed into
+  * [[Buckets]] buckets via the shared 60-bit md5 kernel) are estimated
+  * from the data itself — target = the `lang = 'en'` slice here — with
+  * add-one smoothing. The paper sums per-feature LOG probability ratios;
+  * logs are libm-dependent and not bit-stable cross-engine, so the weight
+  * rides the engine's integer micro-unit convention instead: each
+  * bucket's smoothed ratio
+  * `(ct+1)(Nr+B) · 10^6 div (cr+1)(Nt+B)` is an exact BIGINT (domain
+  * bound: (ct+1)·(Nr+B) ≤ 9.2e12, i.e. per-bucket counts to ~10^6 at
+  * corpus sizes to ~10^6 tokens per bucket — beyond that the micro scale
+  * drops a digit, it never overflows silently into wrong answers at
+  * fixture scales), and a document's score is the exact integer sum over
+  * its features.
+  *
+  * Shape at 100 TB: one corpus-sized explode + groupBy(bucket) with
+  * map-side combine (B=4096 keys — no skew risk, every partial fits a
+  * map), a LEFT join of the two B-row count tables on the driver-adjacent
+  * scale, then the corpus-sized scoring pass is a BROADCAST join of the
+  * B-row weight table + map-side-combined doc_id sum. Two passes over the
+  * tokens, zero corpus-sized shuffles beyond the doc_id agg. */
+object Dsir {
+
+  val Buckets = 4096L
+  val Micro = 1000000L
+
+  /** (doc_id, n_feats, score_micros): exact integer importance score per
+    * document; docs whose text yields no features emit nothing. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val base = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        filter(split(col("text"), " "), w => w =!= "").as("words"))
+    val feats = base.select(col("doc_id"), col("lang"), explode(concat(
+      transform(col("words"), w => concat(lit("u:"), w)),
+      expr("transform(slice(words, 1, greatest(size(words) - 1, 0)), " +
+        "(w, i) -> concat('b:', w, ' ', words[i + 1]))"))).as("feat"))
+    val toks = feats
+      .select(col("doc_id"), col("lang"),
+        pmod(Hashing.md5Long(col("feat")), lit(Buckets)).as("bucket"))
+    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("nt"))
+    val weights = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), expr(
+        s"((coalesce(ct, 0) + 1) * (nr + $Buckets) * $Micro) div " +
+          s"((cr + 1) * (nt + $Buckets))").as("w_micros"))
+    toks.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w_micros").as("score_micros"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def qDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.load(spark, dir, "documents"))
+
+  val dsirSql: String = {
+    val h = Hashing.md5LongSql("feat")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, lang, $h % $Buckets AS bucket
+       |  FROM (SELECT doc_id, lang, 'u:' || unnest(words) AS feat FROM f
+       |        UNION ALL
+       |        SELECT doc_id, lang, 'b:' || words[i] || ' ' || words[i + 1] AS feat
+       |        FROM (SELECT doc_id, lang, words,
+       |                unnest(generate_series(1, len(words) - 1)) AS i FROM f))),
+       |raw AS MATERIALIZED (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY 1),
+       |tgt AS MATERIALIZED (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM toks
+       |  WHERE lang = 'en' GROUP BY 1),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS nr,
+       |         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS nt FROM toks),
+       |w AS MATERIALIZED (
+       |  SELECT r.bucket,
+       |         ((coalesce(t.ct, 0) + 1) * (tot.nr + $Buckets) * $Micro)
+       |           // ((r.cr + 1) * (tot.nt + $Buckets)) AS w_micros
+       |  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tot)
+       |SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |       CAST(sum(w.w_micros) AS BIGINT) AS score_micros
+       |FROM toks k JOIN w ON k.bucket = w.bucket
+       |GROUP BY k.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_weights" -> (qDsir _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dsir_weights" -> dsirSql)
+}

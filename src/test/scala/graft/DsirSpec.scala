@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llmops.Dsir
+
+/** Pins the DSIR micro-unit ratio algebra on hand-computed corpora (the
+  * oracle-gated `dsir_weights` covers the fixture end to end). */
+class DsirSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def score(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    Dsir.dsirWeights(rows.toDF("doc_id", "lang", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("score_micros"))).toMap
+  }
+
+  test("hand-computed smoothed ratios; scoring ignores the doc's own lang") {
+    // Both docs say "x x x": features u:x ×3 and b:'x x' ×2 each.
+    // Nr=10, Nt=5; u:x has cr=6, ct=3; b:x x has cr=4, ct=2.
+    // w(u:x)  = (4·(10+4096)·1e6) div (7·(5+4096)) = 572125
+    // w(b:xx) = (3·(10+4096)·1e6) div (5·(5+4096)) = 600731
+    // score   = 3·572125 + 2·600731 = 2917837 for BOTH docs — the model
+    // is corpus-level, a doc's own lang never enters its own score.
+    val got = score(Seq((1L, "en", "x x x"), (2L, "de", "x x x")))
+    assert(got(1L) === ((5L, 2917837L)))
+    assert(got(2L) === ((5L, 2917837L)))
+  }
+
+  test("target-only features outscore raw-only features") {
+    val got = score(Seq((1L, "en", "aa aa aa"), (2L, "de", "bb bb bb")))
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("NULL lang is non-target but still scored; empty target survives") {
+    val got = score(Seq((1L, null, "cc cc"), (2L, null, "cc cc")))
+    // nt = 0: weights are the uniform-smoothing floor, still defined
+    assert(got(1L) === got(2L))
+    assert(got(1L)._1 === 3L)
+  }
+}
