@@ -92,8 +92,13 @@ object GitOps {
       else if (remoteUrl.startsWith("https://github.com/"))
         Some(remoteUrl.stripPrefix("https://github.com/"))
       else None
+    // split WITHOUT a limit: a remote with extra path segments
+    // (…/owner/repo/tree) must be rejected, not rendered into a malformed
+    // …/repo/tree/commit/… URL. Exactly two non-empty segments or
+    // nothing; a bare trailing slash normalizes (split drops trailing
+    // empty segments) instead of producing …/repo//commit/….
     path.map(_.stripSuffix(".git")).flatMap { p =>
-      p.split("/", 2) match {
+      p.split("/") match {
         case Array(owner, repo) if owner.nonEmpty && repo.nonEmpty =>
           Some(s"https://github.com/$owner/$repo/commit/$commitId")
         case _ => None

@@ -18,6 +18,13 @@ object GraftSession {
 
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // The fixtures' timestamp columns are Parquet TIMESTAMP(MICROS) with
+    // isAdjustedToUTC=false, which Spark 4 otherwise infers as
+    // TIMESTAMP_NTZ — a type unix_micros/watermarks reject. Reading them
+    // as session-TZ (UTC) TimestampType at the SCAN keeps the wall-clock
+    // identical to the DuckDB oracle's naive read AND keeps filter
+    // pushdown on those columns (a post-scan cast would not).
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC")
 
   def builder(cpus: String): SparkSession.Builder = {

@@ -16,7 +16,18 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") return loadEvents(spark, dir)
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** NTZ→LTZ fallback for sessions built without
+    * [[GraftSession.requiredConfs]] (which disable NTZ inference at the
+    * scan): under the engine's UTC session timezone the cast reads the
+    * naive wall-clock as UTC — the same instants the oracle sees. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    ntz.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   /** The events fixture stores `ts` as Parquet TIMESTAMP(NANOS), which the
@@ -38,7 +49,7 @@ object Tables {
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    else normalizeNtz(raw)
   }
 
   /** Register every fixture table as a temp view (for spark.sql use). */

@@ -34,6 +34,25 @@ import graft.core.Tables
   * are exact integers throughout, so every round's argmax — and hence
   * the whole merge table — is deterministic.
   *
+  * MERGE BATCHING: one driver round-trip per merge does not scale to a
+  * real 32k-merge tokenizer (~64k Spark jobs). Each round-trip therefore
+  * collects the top-[[BatchCollect]] ranked pairs and accepts a prefix
+  * of complete, fully symbol-DISJOINT count levels — stopping at the
+  * first level containing any conflict (a repeated symbol, a symbol
+  * colliding with another accepted pair's lhs/rhs/concatenation, or a
+  * truncated level). Accepted merges apply as ONE chained `replace`
+  * pass. This is EXACT, not approximate: a merge can only change the
+  * count of pairs sharing one of its symbols (destroyed neighbors) or
+  * its concatenation (created/extended pairs), and any created pair's
+  * count is bounded by a conflicting ancestor pair at a count level ≥
+  * its own — so if every level down to a candidate's is conflict-free,
+  * the candidate IS the next sequential argmax. The batched merge table
+  * is therefore bit-identical to the one-at-a-time loop (and to the
+  * strictly sequential DuckDB oracle) by construction, while cutting
+  * driver round-trips from O(merges) to O(merges / accepted-per-trip).
+  * When even the top level conflicts, the trip falls back to accepting
+  * the global top-1 — which is literally the sequential choice.
+  *
   * Each round localCheckpoints the (small) vocab frame to keep the
   * iterative plan flat, releasing the superseded copy — the same
   * pattern as [[Dedup.duplicateClusters]]. */
@@ -42,11 +61,47 @@ object BpeTrain {
   val Rounds = 8
   val Sep = "\u001F"
 
+  /** Ranked pairs collected per driver round-trip — bounds driver
+    * traffic per trip (64 string pairs) and the max batch size. */
+  val BatchCollect = 64
+
+  /** Accept the longest prefix of count levels that is provably
+    * sequential-exact (see object doc); falls back to the top-1 pair.
+    * `pairs` must be ranked (count desc, lhs, rhs); `truncated` = the
+    * collect hit its limit, so the last count level may be incomplete. */
+  private[graft] def acceptBatch(pairs: Array[(String, String, Long)],
+                                 truncated: Boolean): Seq[(String, String, Long)] = {
+    val minCount = pairs.last._3
+    val used = scala.collection.mutable.Set.empty[String]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    val levels = pairs.groupBy(_._3).toSeq.sortBy(-_._1).map(_._2)
+    for (level <- levels if !stop) {
+      val complete = !truncated || level.head._3 > minCount
+      val syms = level.flatMap(p => Seq(p._1, p._2))
+      val concats = level.map(p => p._1 + p._2)
+      val disjoint = complete &&
+        syms.distinct.length == syms.length &&
+        !concats.exists(syms.contains) &&
+        !(syms ++ concats).exists(used)
+      if (disjoint) {
+        accepted ++= level
+        used ++= syms
+        used ++= concats
+      } else stop = true
+    }
+    if (accepted.isEmpty) Seq(pairs.head) else accepted.toSeq
+  }
+
   /** Runs the merge loop; returns (merge table rows, final vocab frame
     * with columns word, seq, cnt — seq SEP-framed with all merges
-    * applied). The caller owns unpersisting the returned frame. */
-  private def train(docs: DataFrame, rounds: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    * applied, driver round-trip count). The caller owns unpersisting
+    * the returned frame. `batchLimit = 1` degenerates to the
+    * one-merge-per-trip sequential loop (the equivalence spec's
+    * reference run). */
+  private[graft] def train(docs: DataFrame, rounds: Int,
+                           batchLimit: Int = BatchCollect)
+      : (Seq[(Int, String, String, Long)], DataFrame, Int) = {
     var checkpointed = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -58,9 +113,9 @@ object BpeTrain {
       .localCheckpoint(true)
     var vocab = checkpointed
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
+    var trips = 0
     var done = false
-    while (r <= rounds && !done) {
+    while (merges.size < rounds && !done) {
       // seq splits to ['', s1, …, sn, ''] — firsts are 0-based 1..n-1
       val top = vocab
         .select(split(col("seq"), Sep).as("s"), col("cnt"))
@@ -70,21 +125,26 @@ object BpeTrain {
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("cnt")).cast("long").as("c"))
         .orderBy(col("c").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
+        .limit(batchLimit).collect()
+      trips += 1
       if (top.isEmpty) done = true
       else {
-        val (lhs, rhs, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, lhs, rhs, c))
-        val next = vocab.withColumn("seq",
-            replace(col("seq"), lit(Sep + lhs + Sep + rhs + Sep), lit(Sep + lhs + rhs + Sep)))
-          .localCheckpoint(true)
+        val pairs = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val batch = acceptBatch(pairs, truncated = pairs.length == batchLimit)
+          .take(rounds - merges.size)
+        batch.foreach { case (lhs, rhs, c) =>
+          merges += ((merges.size + 1, lhs, rhs, c))
+        }
+        val rewritten = batch.foldLeft(col("seq")) { case (c, (lhs, rhs, _)) =>
+          replace(c, lit(Sep + lhs + Sep + rhs + Sep), lit(Sep + lhs + rhs + Sep))
+        }
+        val next = vocab.withColumn("seq", rewritten).localCheckpoint(true)
         checkpointed.unpersist()
         checkpointed = next
         vocab = next
       }
-      r += 1
     }
-    (merges.toSeq, checkpointed)
+    (merges.toSeq, checkpointed, trips)
   }
 
   /** Learned merge table: (round, lhs, rhs, pair_count), one row per
@@ -92,7 +152,7 @@ object BpeTrain {
   def bpeMerges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, vocab) = train(docs, rounds)
+    val (merges, vocab, _) = train(docs, rounds)
     vocab.unpersist()
     merges.toDF("round", "lhs", "rhs", "pair_count")
   }
@@ -108,7 +168,7 @@ object BpeTrain {
     * Unframeable words (SEP/newline/CR) are excluded from BOTH counts;
     * documents with no countable words emit nothing. */
   def bpeTokenCounts(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
-    val (_, vocab) = train(docs, rounds)
+    val (_, vocab, _) = train(docs, rounds)
     // eager: releases the vocab checkpoint before the lazy result is run
     val perWord = vocab.select(col("word"),
       (size(split(col("seq"), Sep)) - 2).cast("long").as("n_syms"))

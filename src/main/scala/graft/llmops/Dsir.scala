@@ -35,8 +35,17 @@ object Dsir {
   val Micro = 1000000L
 
   /** (doc_id, n_feats, score_micros): exact integer importance score per
-    * document; docs whose text yields no features emit nothing. */
-  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    * document; docs whose text yields no features emit nothing.
+    *
+    * The documented domain bound ((ct+1)·(Nr+B)·micro within Long range)
+    * is ENFORCED, not just documented: the weight table carries a
+    * per-bucket guard — overflow-free, via division — that raises a
+    * pointed error instead of wrapping into silently wrong scores. The
+    * guard costs nothing (B rows, evaluated in the same projection) and
+    * `micro` is a parameter so a spec can drive the bound without a
+    * 10^12-token corpus. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  micro: Long = Micro): DataFrame = {
     val base = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
@@ -54,11 +63,20 @@ object Dsir {
     val totals = toks.agg(
       count(lit(1)).as("nr"),
       sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("nt"))
+    // safeCap = Long.MaxValue div micro: the largest (ct+1)*(nr+B) whose
+    // micro-scaled numerator still fits a Long. Checked as
+    // (ct+1) > safeCap div (nr+B) — pure division, cannot itself overflow.
+    val safeCap = Long.MaxValue / micro
     val weights = raw.join(tgt, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
       .select(col("bucket"), expr(
-        s"((coalesce(ct, 0) + 1) * (nr + $Buckets) * $Micro) div " +
-          s"((cr + 1) * (nt + $Buckets))").as("w_micros"))
+        s"""CASE WHEN coalesce(ct, 0) + 1 > $safeCap div (nr + $Buckets)
+           |THEN raise_error(concat('DSIR integer-ratio overflow: bucket ',
+           |  bucket, ' target count ', coalesce(ct, 0),
+           |  ' with ', nr, ' corpus features — (ct+1)*(Nr+B)*$micro ',
+           |  'exceeds Long range; score per shard or lower the micro scale'))
+           |ELSE ((coalesce(ct, 0) + 1) * (nr + $Buckets) * $micro) div
+           |     ((cr + 1) * (nt + $Buckets)) END""".stripMargin).as("w_micros"))
     toks.join(broadcast(weights), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("w_micros").as("score_micros"))

@@ -27,6 +27,14 @@ import graft.core.Tables
   * the fixed-order sum `(((L0+L1)+L2)+…)+L7`, mirrored by the oracle's
   * left-associated pivot sum — bit-identical again, so even RANKS match.
   *
+  * CROSS-ENGINE CONTRACT: the bit-identical claim assumes DuckDB's
+  * `list_dot_product` accumulates strictly left-to-right, which holds
+  * for the scalar implementation the oracle currently runs. A DuckDB
+  * upgrade to SIMD/pairwise summation would flip near-tie code
+  * assignments and surface as an opaque `sim_topk_pq` hash mismatch —
+  * if that happens, suspect summation order FIRST (the near-tie spec in
+  * ProductQuantSpec pins the kernel side of the contract).
+  *
   * Shape at 100 TB:
   *  - the codebook (M·Codes·SubDim doubles — 4 KB here) and the query
   *    LUTs (M·Codes doubles per query) broadcast; both collects ride the
@@ -49,7 +57,7 @@ object ProductQuant {
 
   /** Σ_{i<len} a(off+i)·b(i), left-to-right — `list_dot_product` of the
     * corresponding slices without copying. */
-  private def dotAt(a: Array[Double], off: Int, b: Array[Double]): Double = {
+  private[graft] def dotAt(a: Array[Double], off: Int, b: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     while (i < b.length) { acc += a(off + i) * b(i); i += 1 }
@@ -58,7 +66,7 @@ object ProductQuant {
 
   /** Per-subspace codebook: entry (m)(k) is the m-th slice of the k-th
     * smallest-id source row, paired with its self-dot. */
-  private def buildCodebook(src: Array[(Long, Array[Double])])
+  private[graft] def buildCodebook(src: Array[(Long, Array[Double])])
       : Array[Array[(Array[Double], Double)]] = {
     val rows = src.sortBy(_._1).take(Codes)
     require(rows.nonEmpty, "PQ codebook predicate selected no rows")
@@ -72,7 +80,7 @@ object ProductQuant {
 
   /** PQ codes for one vector: argmin_k of the subspace squared L2,
     * first minimum (smallest code) on ties. */
-  private def encode(v: Array[Double],
+  private[graft] def encode(v: Array[Double],
                      cb: Array[Array[(Array[Double], Double)]]): Array[Int] = {
     val codes = new Array[Int](M)
     var m = 0

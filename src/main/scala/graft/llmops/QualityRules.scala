@@ -26,6 +26,18 @@ object QualityRules {
     * intersected with [[TextAnalysis.stopwords]]'s English inventory. */
   val RequiredStops: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "that")
 
+  /** Symbol inventory for the symbol-to-word rule — the paper's full
+    * set, not just `#`/`...`: Gopher A1.1 names the hash symbol and the
+    * ellipsis (both the three-dot spelling and U+2026), and its
+    * line-level bullet rule contributes the bullet glyphs (•, ‣, ▪).
+    * A word COUNTS as a symbol word when it contains any inventory
+    * member; the 10% threshold below is the paper's 0.1 ratio as a
+    * cross-multiplication. */
+  val SymbolTokens: Seq[String] =
+    Seq("#", "...", "…", "•", "‣", "▪")
+
+  /** Word-count bounds — paper: 50..100k; lower bound tuned to 30 so the
+    * fixture corpus splits non-trivially (documented deviation). */
   val MinWords = 30L
   val MaxWords = 100000L
 
@@ -42,7 +54,8 @@ object QualityRules {
         size(col("words")).cast("long").as("n_words"),
         aggregate(col("words"), lit(0L), (a, w) => a + length(w)).as("sum_word_chars"),
         size(filter(col("words"), w => w.rlike("[a-zA-Z]"))).cast("long").as("n_alpha_words"),
-        size(filter(col("words"), w => w.contains("#") || w.contains("...")))
+        size(filter(col("words"),
+          w => SymbolTokens.map(s => w.contains(s)).reduce(_ || _)))
           .cast("long").as("n_symbol_words"),
         size(filter(array(RequiredStops.map(lit): _*),
           s => array_contains(col("words"), s))).cast("long").as("n_stop_hits"))
@@ -66,6 +79,11 @@ object QualityRules {
 
   private val stopsList = RequiredStops.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** `contains(w, '#') OR contains(w, '...') OR …` over [[SymbolTokens]]
+    * — same inventory, same membership semantics as the Spark side. */
+  private val symbolPredSql =
+    SymbolTokens.map(s => s"contains(w, '$s')").mkString(" OR ")
+
   val gopherSql: String =
     s"""WITH f AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
@@ -77,7 +95,7 @@ object QualityRules {
        |      AS sum_word_chars,
        |    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
        |      AS n_alpha_words,
-       |    CAST(len(list_filter(words, w -> contains(w, '#') OR contains(w, '...')))
+       |    CAST(len(list_filter(words, w -> $symbolPredSql))
        |      AS BIGINT) AS n_symbol_words,
        |    CAST(len(list_filter($stopsList, s -> list_contains(words, s))) AS BIGINT)
        |      AS n_stop_hits

@@ -75,9 +75,14 @@ object Attribution {
                    windowMicros: Long, binWidthMicros: Long,
                    halfLifeMicros: Long): DataFrame = {
     val maxSteps = windowMicros / halfLifeMicros
-    require(halfLifeMicros > 0 && maxSteps >= 1 && maxSteps <= 60,
-      s"window div halfLife must be in [1, 60] (got $maxSteps) — " +
-        "2^steps weights must fit a long")
+    // Bound 45, not 63: decay credit computes 10000·2^maxSteps (needs 14
+    // bits of headroom over the weight) and _sumw sums up to n weights of
+    // 2^maxSteps each — at 45 that still leaves 2^18 ≈ 262k equal-max-
+    // weight touches per conversion before Long overflow, vs silent
+    // wraparound at 50+ with as few as 8 touches.
+    require(halfLifeMicros > 0 && maxSteps >= 1 && maxSteps <= 45,
+      s"window div halfLife must be in [1, 45] (got $maxSteps) — " +
+        "10000*2^steps and per-conversion weight sums must fit a long")
     val pts = touches.select(col(keyCol), col(idCol).as("touch_id"),
       unix_micros(col(tsCol)).as("_pt"))
     val iv = conversions.select(col(keyCol), col(idCol).as("conversion_id"),

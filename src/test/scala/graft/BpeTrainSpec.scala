@@ -45,6 +45,35 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(BpeTrain.bpeMerges(docs, rounds = 4).count() === 0L)
   }
 
+  test("batched merges are bit-identical to the sequential loop, in >=4x fewer trips") {
+    import spark.implicits._
+    // 16 two-letter words with strictly decreasing counts and disjoint
+    // letters: every count level is a disjoint singleton, so one trip
+    // accepts the whole 16-merge table
+    val units = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op",
+      "qr", "st", "uv", "wx", "yz", "01", "23", "45")
+    val text = units.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(100 - i)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val (seqM, v1, seqTrips) = BpeTrain.train(docs, 16, batchLimit = 1)
+    v1.unpersist()
+    val (batM, v2, batTrips) = BpeTrain.train(docs, 16)
+    v2.unpersist()
+    assert(batM === seqM)
+    assert(seqTrips === 16)
+    assert(batTrips * 4 <= seqTrips,
+      s"batched used $batTrips trips vs sequential $seqTrips")
+    // interacting corpus (ties + chained merges): the conflict rule must
+    // force sequential behavior, never reorder or stale-count a merge
+    val docs2 = Seq((1L, "low low lowest"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val (s2, w1, _) = BpeTrain.train(docs2, 5, batchLimit = 1)
+    w1.unpersist()
+    val (b2, w2, _) = BpeTrain.train(docs2, 5)
+    w2.unpersist()
+    assert(b2 === s2)
+  }
+
   test("bpeTokenCounts: post-merge symbol counts ride the word join") {
     import spark.implicits._
     // rounds=3 learns (l,o), (lo,w), (e,s): low -> [low] = 1 token,

@@ -38,4 +38,20 @@ class DsirSpec extends AnyFunSuite {
     assert(got(1L) === got(2L))
     assert(got(1L)._1 === 3L)
   }
+
+  test("overflow guard fails loudly at the domain bound instead of wrapping") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "x x x")).toDF("doc_id", "lang", "text")
+    // micro near Long.MaxValue drives safeCap div (Nr+B) to 0 — the same
+    // (ct+1) > cap condition a 10^12-token corpus would hit at micro=1e6
+    val e = intercept[Exception] {
+      Dsir.dsirWeights(docs, "en", micro = Long.MaxValue / 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("DSIR integer-ratio overflow")),
+      s"expected the pointed overflow error, got: ${msgs(e).mkString(" | ")}")
+    // the default micro scale on the same corpus is untouched
+    assert(Dsir.dsirWeights(docs, "en").collect().nonEmpty)
+  }
 }

@@ -87,6 +87,12 @@ class GitOpsSpec extends AnyFunSuite {
     // non-github or malformed remotes yield None, not a bogus URL
     assert(GitOps.commitUrlFor("git@gitlab.com:acme/warehouse.git", id) === None)
     assert(GitOps.commitUrlFor("https://github.com/just-owner", id) === None)
+    // extra path segments are malformed — None, never …/repo/tree/commit/…
+    assert(GitOps.commitUrlFor("https://github.com/acme/warehouse/tree", id) === None)
+    assert(GitOps.commitUrlFor("git@github.com:acme/warehouse/extra.git", id) === None)
+    // a bare trailing slash normalizes instead of rendering …/repo//commit/…
+    assert(GitOps.commitUrlFor("https://github.com/acme/warehouse/", id) ===
+      Some(s"https://github.com/acme/warehouse/commit/$id"))
     // subprocess half against real repos: ssh-form remote, then no remote
     val repo = freshRepo()
     sh(repo, "git", "remote", "add", "origin", "git@github.com:acme/warehouse.git")

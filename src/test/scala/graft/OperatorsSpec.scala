@@ -746,6 +746,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("creditModels rejects maxSteps > 45 (10000*2^steps would overflow a long)") {
+    import spark.implicits._
+    val t = Seq((1L, 10L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val day = 86400L * 1000000L
+    // 46 half-lives in the window: guarded, even though this 1-row frame
+    // would not overflow — the bound is on the API contract, not the data
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Attribution.creditModels(t, t, "user_id", "ts",
+        "event_id", windowMicros = 46 * day, binWidthMicros = day,
+        halfLifeMicros = day)
+    }
+    assert(e.getMessage.contains("[1, 45]"))
+    // 45 is accepted (plan construction succeeds)
+    graft.operators.Attribution.creditModels(t, t, "user_id", "ts",
+      "event_id", windowMicros = 45 * day, binWidthMicros = day,
+      halfLifeMicros = day)
+  }
+
   test("native Md5Long60 equals the composed conv(substr(md5)) bit for bit") {
     import spark.implicits._
     val rnd = new scala.util.Random(61)

@@ -51,6 +51,33 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(recall < 1.0, s"recall $recall — exact match suggests no quantization")
   }
 
+  test("encode: exact tie takes the smaller code; dot accumulation is left-to-right") {
+    // Pins the kernel half of the cross-engine bit-identity contract
+    // (ProductQuant scaladoc "CROSS-ENGINE CONTRACT"): if either the
+    // tie-break or the summation order regresses, this fails with a
+    // pointed message instead of an opaque sim_topk_pq hash mismatch.
+    val dim = ProductQuant.M * ProductQuant.SubDim
+    // half-ulp(1.0): 1.0 + eps rounds DOWN to 1.0 (ties-to-even), so a
+    // left-to-right sum of (1.0, eps, eps) is exactly 1.0 while the
+    // reassociated (eps + eps) + 1.0 is 1.0000000000000002 — the probe
+    // separates accumulation orders
+    val eps = java.lang.Math.ulp(1.0) / 2
+    val a = Array.fill(dim)(0.0); a(0) = 1.0; a(1) = eps; a(2) = eps
+    val ones = Array.fill(ProductQuant.SubDim)(1.0)
+    assert(ProductQuant.dotAt(a, 0, ones) === 1.0,
+      "dotAt must accumulate strictly left-to-right (got the reassociated sum)")
+    // exact tie: target at the origin, codebook entries at +1 and −1 on
+    // one axis per subspace — both at squared distance 1.0; the FIRST
+    // minimum (smaller code) must win, matching the oracle's ORDER BY
+    // d, code
+    val plus = Array.tabulate(dim)(i => if (i % ProductQuant.SubDim == 0) 1.0 else 0.0)
+    val minus = plus.map(-_)
+    val cb = ProductQuant.buildCodebook(Array((1L, plus), (2L, minus)))
+    val codes = ProductQuant.encode(Array.fill(dim)(0.0), cb)
+    assert(codes.toSeq === Seq.fill(ProductQuant.M)(0),
+      "exact-tie assignment must take the smaller code")
+  }
+
   test("ragged and NULL vectors are excluded, not crashed on") {
     import spark.implicits._
     val ragged = Seq((5000L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")

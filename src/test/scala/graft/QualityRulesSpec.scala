@@ -40,6 +40,25 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(r.getAs[Int]("passes") === 0)
   }
 
+  test("symbol inventory: hash, both ellipsis forms and every bullet glyph count") {
+    // one symbol word per inventory class in an otherwise-passing doc
+    Seq("#tag", "wait...", "so…", "•item", "‣item", "▪item").foreach { sym =>
+      val r = run((Seq.fill(28)("the and") :+ sym :+ "plain").flatMap(_.split(" "))
+        .mkString(" "))
+      assert(r.getAs[Long]("n_symbol_words") === 1L, s"inventory member $sym")
+    }
+    // plain words with dots/dashes are NOT symbol words (two dots ≠ ellipsis)
+    val clean = run((Seq.fill(15)("the and") :+ "a.. b-c d.e").flatMap(_.split(" "))
+      .mkString(" "))
+    assert(clean.getAs[Long]("n_symbol_words") === 0L)
+    // ratio: 4 symbol words in 36 fails (40 > 36), 3 in 36 passes (30 <= 36)
+    val fourIn36 = run((Seq.fill(16)("the and") ++ Seq.fill(4)("#x")).mkString(" "))
+    assert(fourIn36.getAs[Long]("n_words") === 36L)
+    assert(fourIn36.getAs[Int]("ok_symbol") === 0)
+    val threeIn36 = run((Seq.fill(16)("the and") ++ Seq.fill(3)("#x") :+ "ok").mkString(" "))
+    assert(threeIn36.getAs[Int]("ok_symbol") === 1)
+  }
+
   test("overlong mean word length fails only ok_mean_len") {
     val r = run((Seq.fill(30)("abcdefghijkl") ++ Seq("the", "and")).mkString(" "))
     assert(r.getAs[Long]("sum_word_chars") === 366L) // 32*10 = 320 < 366
