@@ -16,18 +16,32 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") return loadEvents(spark, dir)
-    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+    normalizeNtz(spark, spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** NTZ→LTZ fallback for sessions built without
     * [[GraftSession.requiredConfs]] (which disable NTZ inference at the
-    * scan): under the engine's UTC session timezone the cast reads the
-    * naive wall-clock as UTC — the same instants the oracle sees. */
-  private def normalizeNtz(df: DataFrame): DataFrame = {
+    * scan): the cast reads the naive wall-clock in the SESSION timezone,
+    * so UTC is forced first (ad-hoc sessions lack the UTC conf that
+    * requiredConfs sets — without it the cast would shift every instant
+    * by the machine zone offset relative to the oracle's naive read).
+    * NTZ fields nested in structs/arrays/maps are rewritten too, via a
+    * whole-type cast to the NTZ-free mirror of the field's type. */
+  private def normalizeNtz(spark: SparkSession, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
-    ntz.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
+    import org.apache.spark.sql.types._
+    def swap(dt: DataType): DataType = dt match {
+      case TimestampNTZType    => TimestampType
+      case s: StructType       => StructType(s.fields.map(f => f.copy(dataType = swap(f.dataType))))
+      case a: ArrayType        => a.copy(elementType = swap(a.elementType))
+      case m: MapType          => m.copy(keyType = swap(m.keyType), valueType = swap(m.valueType))
+      case other               => other
+    }
+    val changed = df.schema.fields.filter(f => swap(f.dataType) != f.dataType)
+    if (changed.isEmpty) return df
+    if (spark.conf.getOption("spark.sql.session.timeZone").forall(_ != "UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    changed.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(swap(f.dataType))))
   }
 
   /** The events fixture stores `ts` as Parquet TIMESTAMP(NANOS), which the
@@ -49,7 +63,7 @@ object Tables {
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-    else normalizeNtz(raw)
+    else normalizeNtz(spark, raw)
   }
 
   /** Register every fixture table as a temp view (for spark.sql use). */

@@ -66,6 +66,9 @@ object Dsir {
     // safeCap = Long.MaxValue div micro: the largest (ct+1)*(nr+B) whose
     // micro-scaled numerator still fits a Long. Checked as
     // (ct+1) > safeCap div (nr+B) — pure division, cannot itself overflow.
+    // The denominator (cr+1)*(nt+B) gets the symmetric check: a bucket with
+    // huge raw count but small target count passes the numerator guard yet
+    // could wrap the denominator product.
     val safeCap = Long.MaxValue / micro
     val weights = raw.join(tgt, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
@@ -75,6 +78,10 @@ object Dsir {
            |  bucket, ' target count ', coalesce(ct, 0),
            |  ' with ', nr, ' corpus features — (ct+1)*(Nr+B)*$micro ',
            |  'exceeds Long range; score per shard or lower the micro scale'))
+           |WHEN cr + 1 > ${Long.MaxValue}L div (nt + $Buckets)
+           |THEN raise_error(concat('DSIR integer-ratio overflow: bucket ',
+           |  bucket, ' raw count ', cr, ' with ', nt, ' target features — ',
+           |  '(cr+1)*(Nt+B) exceeds Long range; score per shard'))
            |ELSE ((coalesce(ct, 0) + 1) * (nr + $Buckets) * $micro) div
            |     ((cr + 1) * (nt + $Buckets)) END""".stripMargin).as("w_micros"))
     toks.join(broadcast(weights), "bucket")

@@ -66,9 +66,16 @@ object LangModel {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
 
-  /** (doc_id, n_bigrams, sum_p_micros, min_p_micros, avg_p_micros):
-    * exact-integer add-one bigram LM fluency per document. */
-  def bigramFluency(docs: DataFrame): DataFrame = {
+  /** Trained model: the three corpus-global tables scoring needs. At
+    * production scale these are corpus-version CONSTANTS — train once per
+    * snapshot ([[trainBigramModel]]), persist ([[saveModel]]), then every
+    * scoring run ([[scoreWithModel]]) reads the stored tables instead of
+    * re-aggregating the corpus; the training pass never repeats. */
+  final case class BigramModel(c12: DataFrame, c1: DataFrame, vocab: DataFrame)
+
+  /** One corpus pass producing the model tables: bigram counts `c12`,
+    * context counts `c1`, and the 1-row vocabulary size `v`. */
+  def trainBigramModel(docs: DataFrame): BigramModel = {
     val perDoc = bigramInstances(docs)
     val c12 = perDoc.groupBy("w1", "w2")
       .agg(sum("k").cast("long").as("c12"))
@@ -77,17 +84,49 @@ object LangModel {
     val vocab = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    perDoc
-      .join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .crossJoin(broadcast(vocab))
+    BigramModel(c12, c1, vocab)
+  }
+
+  /** Persist the model as warehouse tables `<prefix>_c12/_c1/_v` — the
+    * "train once per corpus snapshot" half of the contract. */
+  def saveModel(wh: graft.core.Warehouse, dataset: String, prefix: String,
+                model: BigramModel): Unit = {
+    wh.overwrite(dataset, s"${prefix}_c12", model.c12)
+    wh.overwrite(dataset, s"${prefix}_c1", model.c1)
+    wh.overwrite(dataset, s"${prefix}_v", model.vocab)
+  }
+
+  /** Reload a stored model: scoring plans built from this scan the stored
+    * parquet fragments — no aggregate over the training corpus appears. */
+  def loadModel(wh: graft.core.Warehouse, dataset: String,
+                prefix: String): BigramModel =
+    BigramModel(
+      wh.read(dataset, s"${prefix}_c12"),
+      wh.read(dataset, s"${prefix}_c1"),
+      wh.read(dataset, s"${prefix}_v"))
+
+  /** Score `docs` against a (possibly stored) model: per-doc bigrams join
+    * the model tables on their keys; `v` is a 1-row broadcast scalar.
+    * Bigrams absent from the model are dropped (inner join) — scoring a
+    * slice of the training corpus sees full-corpus counts. */
+  def scoreWithModel(docs: DataFrame, model: BigramModel): DataFrame =
+    bigramInstances(docs)
+      .join(model.c12, Seq("w1", "w2"))
+      .join(model.c1, Seq("w1"))
+      .crossJoin(broadcast(model.vocab))
       .withColumn("p_micros", expr(s"(${Micro}L * (c12 + 1)) div (c1 + v)"))
       .groupBy("doc_id")
       .agg(sum(col("k")).cast("long").as("n_bigrams"),
         sum(col("k") * col("p_micros")).cast("long").as("sum_p_micros"),
         min(col("p_micros")).as("min_p_micros"))
       .withColumn("avg_p_micros", expr("sum_p_micros div n_bigrams"))
-  }
+
+  /** (doc_id, n_bigrams, sum_p_micros, min_p_micros, avg_p_micros):
+    * exact-integer add-one bigram LM fluency per document, self-trained
+    * in one plan (the fixture/oracle form; production trains and persists
+    * the model once, then calls [[scoreWithModel]] per run). */
+  def bigramFluency(docs: DataFrame): DataFrame =
+    scoreWithModel(docs, trainBigramModel(docs))
 
   // ------------------------------------------------------------ queries
 

@@ -439,6 +439,44 @@ object EngineQueries {
       |FROM v JOIN c USING (user_id)
       |WHERE view_ts BETWEEN click_ts - INTERVAL '1 hour' AND click_ts""".stripMargin
 
+  // ---------------------------------------------- q51 stream left join
+
+  /** Stream-stream LEFT OUTER interval join — every click, attributed to
+    * the same user's views in the preceding hour, or emitted ONCE with
+    * null view columns when the watermark proves no matching view can
+    * still arrive. Unmatched clicks inside the trailing watermark-delay
+    * window of the fixture stay buffered at drain (the continuous-stream
+    * contract — later data would release them), so the batch oracle gates
+    * its null rows on the same cutoff: the global watermark is the MIN of
+    * the two per-stream watermarks (each `max(event ts) - 1 h delay`). */
+  def q51StreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_sslj_out")
+    StreamingIncremental.runClickViewJoin(spark, s"$dir/events.parquet",
+      scratch("graft_sslj_ckpt"), "1 HOUR",
+      Some(StreamingIncremental.FixtureStatePartitions),
+      joinType = "leftOuter") { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out)
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  val q51Sql: String =
+    """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+      |                  event_id AS view_id
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+      |             event_id AS click_id
+      |      FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(view_ts) FROM v),
+      |                    (SELECT max(click_ts) FROM c))
+      |              - INTERVAL '1 hour' AS w)
+      |SELECT c.user_id, c.click_id, c.click_ts, v.view_id, v.view_ts
+      |FROM c LEFT JOIN v ON c.user_id = v.user_id
+      | AND v.view_ts BETWEEN c.click_ts - INTERVAL '1 hour' AND c.click_ts
+      |WHERE v.view_id IS NOT NULL OR c.click_ts < (SELECT w FROM wm)""".stripMargin
+
   // ---------------------------------------------------- q44 stream enrich
 
   /** Stream-static enrichment (stateless streaming join): events flow
@@ -543,7 +581,8 @@ object EngineQueries {
     "q39_stream_hll" -> (q39StreamHll _),
     "q41_pit_join" -> (q41PitJoin _),
     "q44_stream_enrich" -> (q44StreamEnrich _),
-    "q48_snapshot_diff" -> (q48SnapshotDiff _))
+    "q48_snapshot_diff" -> (q48SnapshotDiff _),
+    "q51_stream_left_join" -> (q51StreamLeftJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -561,5 +600,6 @@ object EngineQueries {
     "q41_pit_join" -> q41Sql,
     "q44_stream_enrich" -> q44Sql,
     "q48_snapshot_diff" -> q48Sql,
-    "q21_build" -> q21Sql)
+    "q21_build" -> q21Sql,
+    "q51_stream_left_join" -> q51Sql)
 }

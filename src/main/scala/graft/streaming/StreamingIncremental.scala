@@ -200,11 +200,23 @@ object StreamingIncremental {
     * Spark expire join state: a buffered view can only match clicks up
     * to `window` later, so once the click watermark passes that horizon
     * the view's state row drops. Unbounded stream-stream joins buffer
-    * forever — the interval bound IS the scale story. Inner join +
-    * append mode: each pair emits exactly once. */
+    * forever — the interval bound IS the scale story. Append mode:
+    * each pair emits exactly once.
+    *
+    * `joinType` extends the family to `"leftOuter"` (clicks are the left
+    * side): a buffered click whose matching-view horizon passes without a
+    * match emits ONCE with null view columns — but only when the VIEW
+    * watermark passes `click_ts` (the upper bound of any matching view),
+    * because until then a match could still arrive. On a drain-and-stop
+    * AvailableNow run the final watermark is `max(ts) - delay`, so
+    * unmatched clicks in the trailing delay window stay in state and do
+    * NOT emit — exactly the continuous-stream contract (they'd emit when
+    * later data advanced the watermark), and what the batch oracle must
+    * replicate with a `click_ts < max(ts) - delay` gate on null rows. */
   def runClickViewJoin(spark: SparkSession, eventsDir: String,
                        checkpointDir: String, window: String,
-                       statePartitions: Option[Int] = None)
+                       statePartitions: Option[Int] = None,
+                       joinType: String = "inner")
                       (sink: DataFrame => Unit): Unit =
       withShufflePartitions(spark, statePartitions) {
     val stream = stageAndStream(spark, eventsDir, "graft_landing_ssj")
@@ -220,9 +232,10 @@ object StreamingIncremental {
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
       .withWatermark("click_ts", "1 hour")
-    val joined = views.join(clicks,
-      expr(s"v_user = c_user AND " +
-        s"view_ts BETWEEN click_ts - INTERVAL $window AND click_ts"))
+    val joined = clicks.join(views,
+      expr(s"c_user = v_user AND " +
+        s"view_ts BETWEEN click_ts - INTERVAL $window AND click_ts"),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
     val q = joined.writeStream

@@ -39,6 +39,36 @@ class LangModelSpec extends AnyFunSuite {
     assert(row.getAs[Long]("min_p_micros") === 666666L)
   }
 
+  test("train once, score many: stored model tables serve two scoring runs without retraining") {
+    import spark.implicits._
+    val wh = new graft.core.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm_wh").toString)
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    // ONE training pass, persisted as warehouse tables
+    LangModel.saveModel(wh, "models", "lm", LangModel.trainBigramModel(corpus))
+    val stored = LangModel.loadModel(wh, "models", "lm")
+    // run 1: full corpus from the stored model == the self-trained form
+    val full = LangModel.scoreWithModel(corpus, stored).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sum_p_micros")).toMap
+    val self = LangModel.bigramFluency(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sum_p_micros")).toMap
+    assert(full === self)
+    // run 2: a 1-doc slice still scores with FULL-corpus counts — proof the
+    // model came from the store, not from retraining on the slice (self-
+    // training on just doc 3 would give p(b|a)=(1+1)/(1+3)=500000, not 666666)
+    val slice = LangModel.scoreWithModel(
+      corpus.filter($"doc_id" === 3L), stored).collect()
+    assert(slice.map(_.getAs[Long]("doc_id")).toSet === Set(3L))
+    assert(slice.head.getAs[Long]("min_p_micros") === 500000L)
+    assert(slice.head.getAs[Long]("sum_p_micros") === 1166666L)
+    // and the scoring PLAN contains no aggregate over the corpus text —
+    // its leaves are the stored parquet fragments plus the doc slice
+    val plan = LangModel.scoreWithModel(corpus, stored)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("countDistinct"), "scoring plan retrains vocab:\n" + plan)
+  }
+
   test("bigramFluency: NULLs and sub-2-token docs are excluded, but their absence changes nothing else") {
     import spark.implicits._
     val docs = Seq(

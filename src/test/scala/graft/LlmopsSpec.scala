@@ -171,22 +171,26 @@ class LlmopsSpec extends AnyFunSuite {
     assert(got.collect { case (d, c) if d == c => d }.toSet === Set(1L, 4L, 6L))
   }
 
-  test("duplicateClusters closes long chains (propagation crosses rounds)") {
+  test("duplicateClusters closes a 100-node chain in O(log n) star rounds, not diameter") {
     import spark.implicits._
-    val n = 30L
+    // the pathological case for label propagation: a 100-link transitive
+    // chain needs ~100 diameter-bounded rounds; large-star/small-star
+    // roughly halves distance-to-root per round, so it must close in
+    // <= 7 (≈ log2 100) plus the fixpoint-detection round
+    val n = 100L
     val docs = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.duplicateClusters(docs, pairs)
-      .select(col("cluster_id")).distinct().collect().map(_.getLong(0)).toSeq
+    val (res, rounds) = Dedup.duplicateClustersCounted(docs, pairs)
+    val labels = res.select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
     assert(labels === Seq(1L)) // one component, labeled by the minimum
+    assert(rounds <= 8, s"chain took $rounds star rounds")
   }
 
-  test("duplicateClusters: converged regions leave the frontier without stalling the tail") {
+  test("duplicateClusters: mixed clique + long tail converges to one component") {
     import spark.implicits._
-    // lollipop: clique {1..5} converges in one round and drops out of the
-    // frontier; the 20-node tail hanging off node 5 keeps propagating the
-    // minimum for many more rounds. Catches a frontier bookkeeping bug
-    // where deactivated edges stop the still-moving part of the graph.
+    // lollipop: clique {1..5} star-collapses immediately; the 20-node
+    // tail hanging off node 5 exercises the rewiring across rounds.
     val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
     val tail = (5L until 25L).map(i => (i, i + 1))
     val docs = (1L to 25L).toDF("doc_id")

@@ -586,6 +586,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed === batch) // bit-identical estimates, not approximately
   }
 
+  test("stream-stream LEFT OUTER interval join: matches batch join + watermark-gated null emission") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sslj_spec")
+    val out = s"$dir/out"
+    graft.streaming.StreamingIncremental.runClickViewJoin(
+      spark, s"$sf/events.parquet", s"$dir/ckpt", "1 HOUR", Some(4),
+      joinType = "leftOuter") { b =>
+      b.write.mode("append").parquet(out)
+    }
+    val streamed = spark.read.parquet(out)
+      .select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+      .collect().map(_.toSeq).toSet
+    // batch twin of the continuous contract: LEFT interval join, null rows
+    // only for clicks the final watermark (min of both streams' max-1h)
+    // has already released from state
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val wm = math.min(
+      v.agg(max(unix_micros(col("view_ts")))).head().getLong(0),
+      c.agg(max(unix_micros(col("click_ts")))).head().getLong(0)) - 3600000000L
+    val batch = c.join(v,
+        expr("c_user = v_user AND view_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"),
+        "leftOuter")
+      .filter(col("view_id").isNotNull || unix_micros(col("click_ts")) < wm)
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    // the null-emission path must actually be exercised by the fixture
+    assert(streamed.exists(_(3) == null), "no watermark-expired null rows")
+  }
+
   test("maxConcurrency: closed intervals, bucket stitching, earliest peak wins") {
     import spark.implicits._
     // peak of 3 first reached at t=10 ([0,10] still open, [10,20] opens);
