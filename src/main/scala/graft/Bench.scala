@@ -69,11 +69,21 @@ object Bench {
     val failed = results.filterNot(_._3).map(r => s""""${r._1}"""")
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
+    // Untimed side-channel: measured ANN recall@k vs brute force for each
+    // index variant, so every round prints the recall/cost trade next to
+    // the sim_topk_* timings instead of burying it in specs.
+    val annRecall =
+      try graft.llmops.RecallReport.annRecall(spark, sfDir)
+        .map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ann_recall failed: ${e.getMessage}")
+        "{}"
+      }
     // "value" (the headline total) goes LAST in the full record: the
     // driver captures a log TAIL and a capture window can start mid-line —
     // per-query keys may truncate, the total must not.
     val json =
-      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"warmup_sec":$warmupSec%.2f,"value":$total%.3f}"""
+      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"ann_recall":$annRecall,"warmup_sec":$warmupSec%.2f,"value":$total%.3f}"""
     try {
       val w = new java.io.PrintWriter("bench_summary.json")
       try w.println(json) finally w.close()

@@ -108,18 +108,96 @@ object ProductQuant {
     codes
   }
 
+  /** Lloyd's k-means per subspace — the textbook PQ codebook trainer
+    * (Jégou et al. §II.C), run as ONE distributed pass per iteration for
+    * all M subspaces at once:
+    *
+    *  1. broadcast the current codebook (M·Codes·SubDim doubles — KBs),
+    *  2. a narrow `mapPartitions` kernel runs the SAME [[encode]] used at
+    *     query time (squared-L2, smallest-code tie-break), emitting one
+    *     (m, code, subvector) row per subspace per vector — training and
+    *     serving can never disagree on cell boundaries,
+    *  3. per-(m, code) means via one declarative groupBy with an `avg`
+    *     per dimension (codegen'd, map-side partial) — the only shuffle,
+    *     M·Codes output rows collected to update the broadcast.
+    *
+    * Cells that lose all members keep their previous entry (codebook
+    * size stays constant). Initialization is [[buildCodebook]]'s
+    * deterministic smallest-id sample, so iterations = 0 reproduces the
+    * oracle codebook exactly.
+    *
+    * Not oracle-gated (same contract as [[Similarity.trainIvfCentroids]]):
+    * `avg` over shuffled doubles is not bit-stable across partitionings;
+    * ProductQuantSpec gates the invariants instead — quantization error
+    * non-increasing, recall@k over the sampled codebook. */
+  def trainPqCodebooks(emb: DataFrame, isInit: Column, iterations: Int = 5)
+      : Array[Array[(Array[Double], Double)]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = Similarity.typedVecs(emb)
+    var cb = buildCodebook(
+      Similarity.collectCapped(e.filter(isInit).as[(Long, Array[Double])],
+        "PQ codebook source"))
+    var it = 0
+    while (it < iterations) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val assigned = e.as[(Long, Array[Double])].mapPartitions { rows =>
+        val codebook = bc.value
+        rows.flatMap { case (_, v) =>
+          val codes = encode(v, codebook)
+          Iterator.tabulate(M) { m =>
+            (m, codes(m),
+              java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim).toSeq)
+          }
+        }
+      }.toDF("m", "code", "sv")
+      val avgCols = (0 until SubDim).map(i => avg(col("sv").getItem(i)).as(s"c$i"))
+      val means: Map[(Int, Int), Array[Double]] = assigned
+        .groupBy(col("m"), col("code"))
+        .agg(avgCols.head, avgCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          Array.tabulate(SubDim)(i => r.getDouble(i + 2)))
+        .toMap
+      cb = Array.tabulate(M) { m =>
+        cb(m).zipWithIndex.map { case ((prev, prevCc), kIdx) =>
+          val c = means.getOrElse((m, kIdx), prev) // empty cell keeps its entry
+          (c, dotAt(c, 0, c))
+        }
+      }
+      bc.unpersist()
+      it += 1
+    }
+    cb
+  }
+
+  /** ADC top-k against a trained (or any explicit) codebook — the serving
+    * side of [[trainPqCodebooks]]. */
+  def pqTopKTrained(emb: DataFrame, isQuery: Column,
+                    cb: Array[Array[(Array[Double], Double)]],
+                    k: Int = Similarity.TopK): DataFrame =
+    pqTopKWith(emb, isQuery, cb, k)
+
   /** ADC top-k: encode the corpus, broadcast per-query LUTs, rank
     * candidates by the fixed-order lookup sum (ascending — it is a
     * distance), ties to the smaller neighbor id. Identity pairs are
     * excluded. Output: (query_id, neighbor_id, rank, adist). */
   def pqTopK(emb: DataFrame, isQuery: Column, isCodebook: Column,
              k: Int = Similarity.TopK): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val e = Similarity.typedVecs(emb)
+    import emb.sparkSession.implicits._
     val cb = buildCodebook(
       Similarity.collectCapped(e.filter(isCodebook).as[(Long, Array[Double])],
         "PQ codebook source"))
+    pqTopKWith(emb, isQuery, cb, k)
+  }
+
+  private def pqTopKWith(emb: DataFrame, isQuery: Column,
+                         cb: Array[Array[(Array[Double], Double)]],
+                         k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = Similarity.typedVecs(emb)
     val queries: Array[(Long, Array[Array[Double]])] =
       Similarity.collectCapped(e.filter(isQuery).as[(Long, Array[Double])],
         "PQ query set")

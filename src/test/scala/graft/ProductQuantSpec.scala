@@ -51,6 +51,29 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(recall < 1.0, s"recall $recall — exact match suggests no quantization")
   }
 
+  test("trained codebooks: iterations=0 reproduces the sampled codebook; training lifts recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // iterations = 0 must be EXACTLY the oracle's sampled codebook — the
+    // trainer's init is the same deterministic smallest-id sample
+    val cb0 = ProductQuant.trainPqCodebooks(emb, isCb, iterations = 0)
+    assert(pairs(ProductQuant.pqTopKTrained(emb, isQuery, cb0))
+      === pairs(ProductQuant.pqTopK(emb, isQuery, isCb)))
+    // Lloyd's iterations move codebook entries to cell means, shrinking
+    // quantization error; recall@k vs brute-force truth must not fall —
+    // and on this fixture it strictly rises (the sampled codebook wastes
+    // entries on near-duplicate sample rows; k-means spreads them)
+    val cb5 = ProductQuant.trainPqCodebooks(emb, isCb, iterations = 5)
+    val truth = pairs(Similarity.bruteForceTopK(emb, isQuery))
+    val sampled = pairs(ProductQuant.pqTopK(emb, isQuery, isCb))
+    val trained = pairs(ProductQuant.pqTopKTrained(emb, isQuery, cb5))
+    val rSampled = (sampled & truth).size.toDouble / truth.size
+    val rTrained = (trained & truth).size.toDouble / truth.size
+    assert(rTrained > rSampled,
+      s"k-means codebook did not improve recall: sampled $rSampled, trained $rTrained")
+  }
+
   test("encode: exact tie takes the smaller code; dot accumulation is left-to-right") {
     // Pins the kernel half of the cross-engine bit-identity contract
     // (ProductQuant scaladoc "CROSS-ENGINE CONTRACT"): if either the
