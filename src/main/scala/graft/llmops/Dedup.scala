@@ -715,6 +715,91 @@ object Dedup {
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold""".stripMargin
   }
 
+  // ------------------------------------------------------ semantic dedup
+
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): partition the embedding space into centroid
+    * CELLS, then prune within each cell — a vector is dropped when a
+    * smaller-id cell-mate sits at cosine ≥ `threshold`. Where
+    * [[embeddingPairs]] reports all near-dup PAIRS (multi-band LSH,
+    * recall-complete), this is the per-vector KEEP/DROP decision with
+    * candidate work bounded by cell population — the form that scales to
+    * pruning a whole pretraining corpus.
+    *
+    * Shape at 100 TB: centroids broadcast (the trained-artifact pattern,
+    * [[Similarity.collectCapped]]-guarded); assignment is one narrow
+    * kernel pass reusing [[Kernels.assignCentroid]] — cells here are
+    * BIT-IDENTICAL to IVF serving cells, so one trained quantizer feeds
+    * both search and dedup. The within-cell pair join shuffles each
+    * vector once on its cell id and compares cell-mates only: O(Σ cell²)
+    * pair work, tuned by centroid count (√n cells ⇒ ~n^1.5 comparisons
+    * spread across executors; at production scale swap the sampled
+    * predicate for [[Similarity.trainIvfCentroids]] output). Cross-cell
+    * near-dups are the recall loss SemDeDup accepts by design.
+    *
+    * Output: (vec_id, cell_id, keep) for EVERY valid vector — the
+    * keep-list form downstream mixture/packing stages consume. */
+  def semanticDedup(emb: DataFrame, isCentroid: Column,
+                    threshold: Double = CosineThreshold): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = Similarity.typedVecs(emb)
+    val cents = Similarity.collectCapped(
+        e.filter(isCentroid).as[(Long, Array[Double])], "semantic dedup centroids")
+      .map { case (id, v) => (id, v, Kernels.norm(v)) }
+      .sortBy(_._1)
+    require(cents.nonEmpty, "semantic dedup centroid predicate selected no rows")
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = e.as[(Long, Array[Double])].mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { case (id, v) =>
+        val nrm = Kernels.norm(v)
+        (id, Kernels.assignCentroid(v, nrm, cs), v, nrm)
+      }
+    }.toDF("vec_id", "cell_id", "v", "nrm")
+    val dups = assigned
+      .join(assigned.select(col("cell_id"), col("vec_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("bnrm")), Seq("cell_id"))
+      .filter(col("b_id") < col("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bv"), col("bnrm"))
+      .as[(Long, Array[Double], Double, Array[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, va, na, vb, nb) =>
+          if (Kernels.dot(va, vb) / (na * nb) >= threshold) Some(id) else None
+        }
+      }.toDF("vec_id").distinct()
+    assigned.select(col("vec_id"), col("cell_id"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("dup").isNull.as("keep"))
+  }
+
+  /** Same assignment (cosine argmax, ties to smaller cid — the IVF
+    * oracle's fragment) and same raw-cosine threshold in DuckDB. */
+  def semanticDedupSql(threshold: Double = CosineThreshold): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE ${Similarity.vecFilterSql}),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |         WHERE ${Similarity.isCentroidSql}),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT n.vec_id, cid,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS crnk
+       |    FROM n CROSS JOIN cent)
+       |  WHERE crnk = 1),
+       |dup AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM assign a
+       |  JOIN assign b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |  JOIN n x ON x.vec_id = a.vec_id
+       |  JOIN n y ON y.vec_id = b.vec_id
+       |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= $threshold)
+       |SELECT a.vec_id, a.cid AS cell_id, d.vec_id IS NULL AS keep
+       |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id""".stripMargin
+
   // --------------------------------------------------- duplicate clusters
 
   /** Connected components over verified near-dup pairs — the clustering
@@ -905,6 +990,9 @@ object Dedup {
       simhashPairs(Tables.load(s, d, "documents"))),
     "dedup_embed" -> ((s: SparkSession, d: String) =>
       embeddingPairs(Tables.load(s, d, "embeddings"))),
+    "dedup_semantic" -> ((s: SparkSession, d: String) =>
+      semanticDedup(Tables.load(s, d, "embeddings"),
+        expr(Similarity.isCentroidSql))),
     "dedup_clusters" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
       duplicateClusters(docs, simhashPairs(docs))
@@ -932,6 +1020,7 @@ object Dedup {
     "dedup_minhash" -> minhashOracleSql(),
     "dedup_simhash" -> simhashPairsSql(),
     "dedup_embed" -> embeddingPairsSql(),
+    "dedup_semantic" -> semanticDedupSql(),
     "dedup_clusters" -> clustersOracleSql(),
     // the oracle is the PLAIN band join over the same split — a Bloom
     // false negative (a dropped true collision) breaks the hash match

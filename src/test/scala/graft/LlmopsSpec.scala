@@ -159,6 +159,30 @@ class LlmopsSpec extends AnyFunSuite {
     assert(fd === 5L && fdiv === 1.0 && fdist === fs)
   }
 
+  test("semanticDedup: smaller-id cell-mate above threshold prunes; cross-cell near-dups survive") {
+    import spark.implicits._
+    val dim = graft.llmops.Similarity.Dim
+    def vec(axis: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == axis) scale else 0.0f)
+    // cells anchored at axis-0 (centroid id 1) and axis-1 (centroid id 3);
+    // cosine is scale-invariant, so 2·e0 duplicates e0 exactly
+    val emb = Seq(
+      1L -> vec(0, 1.0f),            // centroid, cell 1, kept
+      2L -> vec(0, 2.0f),            // cos 1 with id 1, same cell → dropped
+      3L -> vec(1, 1.0f),            // centroid, cell 3, kept
+      5L -> vec(1, 3.0f),            // cos 1 with id 3, same cell → dropped
+      // 0.8·e0 + 0.6·e1: lands in cell 1 (cos 0.8 > 0.6), but cos 0.8
+      // with its cell-mates is below the 0.85 threshold → kept
+      4L -> Seq.tabulate(dim)(i =>
+        if (i == 0) 0.8f else if (i == 1) 0.6f else 0.0f)
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(emb, expr("vec_id IN (1, 3)"), threshold = 0.85)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 4L -> ((1L, true)),
+      3L -> ((3L, true)), 5L -> ((3L, false))))
+  }
+
   test("duplicateClusters labels every chain with its minimum id") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
