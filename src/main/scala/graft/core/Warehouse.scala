@@ -504,6 +504,82 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** OPTIMIZE-style small-file compaction — the maintenance operator a
+    * Spark-native warehouse needs that BigQuery does invisibly (automatic
+    * storage optimization): every `append` adds a fragment, and at 100 TB
+    * a hot append table accretes thousands of small fragments whose
+    * per-file open/footer cost eventually dominates scans.
+    *
+    * Per partition group (the whole table for unpartitioned tables), the
+    * current files are rewritten into `ceil(bytes / targetBytes)` files
+    * iff that strictly reduces the file count; groups already at their
+    * target are untouched — the commit is metadata-only for them. Old
+    * fragments are NOT deleted: compaction is a new commit over the same
+    * immutable data pool, so time travel to pre-compaction versions keeps
+    * working and [[SnapshotLog.vacuum]] reclaims the superseded fragments
+    * after retention, exactly like any other rewrite.
+    *
+    * Concurrency: written for the engine's single-writer-per-table
+    * assumption, with a CAS re-base guard — a compacted group lands only
+    * if EVERY fragment it read is still live at commit time; a group
+    * superseded by a concurrent writer keeps the writer's fragments (the
+    * compaction of that group is abandoned, never resurrecting stale
+    * data). Returns the partition values compacted (empty = nothing to
+    * do, no commit written). */
+  def compact(dataset: String, table: String,
+              targetBytes: Long = 128L << 20): Seq[String] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val m = meta(dataset, table)
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    def fileStats(e: SnapshotLog.Entry): (Long, Long) = {
+      val root = td.resolve(e.path)
+      if (!Files.exists(root)) return (0L, 0L)
+      val fs = Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq
+      (fs.size.toLong, fs.map(Files.size).sum)
+    }
+    val groups = cur.entries.groupBy(_.partition)
+    val plan = groups.flatMap { case (part, es) =>
+      val stats = es.map(fileStats)
+      val nFiles = stats.map(_._1).sum
+      val bytes = stats.map(_._2).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      if (nFiles > nOut) Some((part, es, nOut.toInt)) else None
+    }.toSeq.sortBy(_._1)
+    if (plan.isEmpty) return Seq.empty
+    val frag = lg.newFragmentDir()
+    val newEntries = plan.map { case (part, es, nOut) =>
+      val df = readEntries(dataset, table, es, cur.schemaDdl)
+      val out = m.partitionField match {
+        case Some(field) => frag.resolve(s"$field=$part")
+        case None => frag
+      }
+      m.partitionField.map(df.drop(_)).getOrElse(df)
+        .coalesce(nOut)
+        .write.mode("overwrite").parquet(out.toString)
+      SnapshotLog.Entry(part, relativize(dataset, table, out))
+    }
+    val replaced: Map[String, Set[String]] =
+      plan.map { case (part, es, _) => part -> es.map(_.path).toSet }.toMap
+    lg.commitWithSchema("compact", cur2 => {
+      val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+      val liveByPart = live.groupBy(_.partition)
+      // a compacted group lands only if everything it read is still live
+      val valid = newEntries.filter { ne =>
+        replaced(ne.partition).subsetOf(
+          liveByPart.getOrElse(ne.partition, Seq.empty).map(_.path).toSet)
+      }
+      val validParts = valid.map(_.partition).toSet
+      live.filterNot(e =>
+        validParts(e.partition) && replaced(e.partition)(e.path)) ++ valid
+    }, cur2 => cur2.flatMap(_.schemaDdl).orElse(cur.schemaDdl))
+    plan.map(_._1)
+  }
+
   /** Clustering rewrite (admin/clustering.py:22-57 semantics): BigQuery
     * re-clusters with an `UPDATE ... WHERE partition-filter` no-op rewrite;
     * here the honest Spark equivalent is a physical rewrite ordered by the

@@ -163,6 +163,42 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.read("raw", "v").count() === 1) // latest commit survives
   }
 
+  test("compact: appended fragments collapse to target-sized files; time travel survives") {
+    val wh = freshWh()
+    wh.overwrite("raw", "t", df(1 -> "a"))
+    (2 to 6).foreach(i => wh.append("raw", "t", df(i -> "x")))
+    val lg = wh.log("raw", "t")
+    val before = lg.latest.get
+    assert(before.entries.length === 6) // one fragment per append
+    val compacted = wh.compact("raw", "t") // 128 MB target >> data: 1 file
+    assert(compacted === Seq(""))
+    val after = lg.latest.get
+    assert(after.version === before.version + 1)
+    assert(after.entries.length === 1)
+    // same rows, one commit later
+    assert(wh.read("raw", "t").orderBy("id").collect().map(_.getInt(0)).toSeq
+      === (1 to 6))
+    // pre-compaction version still reads: fragments are immutable, the
+    // compaction commit references new files without deleting old ones
+    assert(wh.readVersion("raw", "t", before.version)
+      .orderBy("id").collect().map(_.getInt(0)).toSeq === (1 to 6))
+    // already-compacted table: nothing to do, NO new commit
+    assert(wh.compact("raw", "t") === Seq.empty)
+    assert(lg.latest.get.version === after.version)
+  }
+
+  test("compact preserves additively-evolved schemas (pad-on-read survives the rewrite)") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("raw", "t", df(1 -> "a"))
+    wh.append("raw", "t", Seq((2, "b", 9L)).toDF("id", "v", "extra"))
+    val compacted = wh.compact("raw", "t")
+    assert(compacted === Seq(""))
+    val got = wh.read("raw", "t").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getAs[Any]("extra"))).toSeq
+    assert(got === Seq((1, null), (2, 9L))) // padded null materialized, not lost
+  }
+
   test("recluster rewrites ordered by clustering columns") {
     import spark.implicits._
     val wh = freshWh()
