@@ -31,6 +31,7 @@ object SparkEntry {
       graft.operators.Cdc.queries ++
       graft.operators.Concurrency.queries ++
       graft.operators.Funnel.queries ++
+      graft.operators.GlobalRank.queries ++
       graft.operators.JsonCols.queries ++
       graft.operators.PageRank.queries ++
       graft.operators.Quantiles.queries ++
@@ -70,6 +71,7 @@ object SparkEntry {
       graft.operators.Cdc.oracleSql ++
       graft.operators.Concurrency.oracleSql ++
       graft.operators.Funnel.oracleSql ++
+      graft.operators.GlobalRank.oracleSql ++
       graft.operators.JsonCols.oracleSql ++
       graft.operators.PageRank.oracleSql ++
       graft.operators.Quantiles.oracleSql ++

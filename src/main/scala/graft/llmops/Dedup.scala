@@ -728,15 +728,20 @@ object Dedup {
     * pruning a whole pretraining corpus.
     *
     * Shape at 100 TB: centroids broadcast (the trained-artifact pattern,
-    * [[Similarity.collectCapped]]-guarded); assignment is one narrow
-    * kernel pass reusing [[Kernels.assignCentroid]] — cells here are
-    * BIT-IDENTICAL to IVF serving cells, so one trained quantizer feeds
-    * both search and dedup. The within-cell pair join shuffles each
-    * vector once on its cell id and compares cell-mates only: O(Σ cell²)
-    * pair work, tuned by centroid count (√n cells ⇒ ~n^1.5 comparisons
-    * spread across executors; at production scale swap the sampled
-    * predicate for [[Similarity.trainIvfCentroids]] output). Cross-cell
-    * near-dups are the recall loss SemDeDup accepts by design.
+    * [[Similarity.collectCapped]]-guarded); assignment is a narrow
+    * kernel (no shuffle) reusing [[Kernels.assignCentroid]] — cells here
+    * are BIT-IDENTICAL to IVF serving cells, so one trained quantizer
+    * feeds both search and dedup. The within-cell pair join shuffles
+    * each vector once on its cell id and compares cell-mates only:
+    * O(Σ cell²) pair work, tuned by centroid count (√n cells ⇒ ~n^1.5
+    * comparisons spread across executors; at production scale swap the
+    * sampled predicate for [[Similarity.trainIvfCentroids]] output).
+    * The assignment frame feeds three consumers (two pair-join sides +
+    * the keep-list), so the narrow kernel re-runs per consumer in this
+    * self-contained form — a production pipeline materializes
+    * (vec_id, cell_id) once as a warehouse table (the SemDeDup cluster
+    * artifact) and scores from it. Cross-cell near-dups are the recall
+    * loss SemDeDup accepts by design.
     *
     * Output: (vec_id, cell_id, keep) for EVERY valid vector — the
     * keep-list form downstream mixture/packing stages consume. */

@@ -622,6 +622,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed.exists(_(3) == null), "no watermark-expired null rows")
   }
 
+  test("globalRowNumber: contiguous 1..n ids equal the window row_number, no single-partition funnel") {
+    import spark.implicits._
+    // shuffled unique keys across several partitions
+    val keys = scala.util.Random.shuffle((1L to 5000L).toList)
+    val df = spark.sparkContext.parallelize(keys, 8).toDF("k")
+    val got = graft.operators.GlobalRank
+      .globalRowNumber(df, Seq("k"), numPartitions = 7)
+    val rows = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // total order on unique keys: id IS the rank, whatever the range
+    // sampler picked as boundaries
+    assert(rows.size === 5000)
+    (1L to 5000L).foreach(k => assert(rows(k) === k, s"key $k"))
+    // the plan must not collapse to a single partition: every Exchange is
+    // range/hash, never SinglePartition (the thing this operator exists
+    // to avoid)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition funnel:\n$plan")
+  }
+
   test("maxConcurrency: closed intervals, bucket stitching, earliest peak wins") {
     import spark.implicits._
     // peak of 3 first reached at t=10 ([0,10] still open, [10,20] opens);
