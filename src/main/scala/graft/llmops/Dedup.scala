@@ -715,6 +715,107 @@ object Dedup {
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold""".stripMargin
   }
 
+  // ------------------------------------------------ substring overlap
+
+  /** ExactSubstr-style substring-overlap detection (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022): find document pairs sharing an exact run of ≥
+    * `minOverlapTokens` tokens — the cross-document boilerplate /
+    * quotation / template overlap that set-similarity (Jaccard) and
+    * fixed-span passage hashing both miss when the shared text is a
+    * small fraction of each document.
+    *
+    * The reference algorithm builds a corpus suffix array; the
+    * Spark-shaped equivalent is SHINGLE-DIAGONAL RUN MERGING: every
+    * position emits its k-token shingle hash; matching hashes across two
+    * docs land on a DIAGONAL (posA − posB constant) exactly when the
+    * texts align, and a maximal run of m CONSECUTIVE positions on one
+    * diagonal certifies an exact m+k−1-token shared substring (hash
+    * equality stands in for string equality at a 2^-60 per-pair false
+    * positive rate — the standard trade in production ExactSubstr
+    * implementations).
+    *
+    * Shape at 100 TB: the positioned shingle pass is narrow; the
+    * occurrence cap drops boilerplate shingles BEFORE pair generation
+    * (mirrored by the oracle — df² join fan-out bounded exactly as in
+    * [[shingleIndex]]); the run merge is one window over
+    * (doc_a, doc_b, diag) — groups bounded by doc length, never corpus
+    * size. Output: (doc_a, doc_b, overlap_tokens = longest shared run). */
+  val SubstrK = 8
+  val MinOverlapTokens = 20
+  val SubstrOccCap = 1000
+
+  def substringOverlapPairs(docs: DataFrame, k: Int = SubstrK,
+                            minOverlapTokens: Int = MinOverlapTokens,
+                            occCap: Int = SubstrOccCap): DataFrame = {
+    require(k >= 2, s"shingle width must be >= 2, got $k")
+    require(minOverlapTokens >= k,
+      s"minOverlapTokens ($minOverlapTokens) must be >= shingle width ($k)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shingles = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = Kernels.newMd5()
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ", -1)
+          if (ws.length < k) Iterator.empty
+          else Iterator.range(0, ws.length - k + 1).map { i =>
+            (id, i.toLong, Kernels.md5Long(md, ws.slice(i, i + k).mkString(" ")))
+          }
+        }
+      }.toDF("doc_id", "pos", "h")
+    val kept = shingles.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= occCap).select(col("h"))
+    val sk = shingles.join(kept, Seq("h"))
+    val m = sk.select(col("doc_id").as("doc_a"), col("h"), col("pos").as("pa"))
+      .join(sk.select(col("doc_id").as("doc_b"), col("h"), col("pos").as("pb")),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + (k - 1)).as("overlap"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("overlap")).cast("long").as("overlap_tokens"))
+      .filter(col("overlap_tokens") >= minOverlapTokens)
+  }
+
+  def substringOverlapSql(k: Int = SubstrK,
+                          minOverlapTokens: Int = MinOverlapTokens,
+                          occCap: Int = SubstrOccCap): String = {
+    val h = Hashing.md5LongSql(
+      s"array_to_string(list_slice(words, i, i + ${k - 1}), ' ')")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+       |           FROM documents
+       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $h AS h
+       |  FROM (SELECT doc_id, words,
+       |               unnest(generate_series(1, len(words) - $k + 1)) AS i
+       |        FROM d WHERE len(words) >= $k)),
+       |kept AS (SELECT h FROM s GROUP BY h HAVING count(*) <= $occCap),
+       |sk AS MATERIALIZED (SELECT s.doc_id, s.pos, s.h FROM s JOIN kept USING (h)),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+       |             a.pos - b.pos AS diag
+       |      FROM sk a JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag,
+       |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |                                 ORDER BY pa) AS grp
+       |  FROM m),
+       |rl AS (SELECT doc_a, doc_b, count(*) + $k - 1 AS overlap
+       |       FROM runs GROUP BY doc_a, doc_b, diag, grp)
+       |SELECT doc_a, doc_b, CAST(max(overlap) AS BIGINT) AS overlap_tokens
+       |FROM rl GROUP BY 1, 2
+       |HAVING max(overlap) >= $minOverlapTokens""".stripMargin
+  }
+
   // ------------------------------------------------------ semantic dedup
 
   /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup:
@@ -998,6 +1099,8 @@ object Dedup {
     "dedup_semantic" -> ((s: SparkSession, d: String) =>
       semanticDedup(Tables.load(s, d, "embeddings"),
         expr(Similarity.isCentroidSql))),
+    "dedup_substring" -> ((s: SparkSession, d: String) =>
+      substringOverlapPairs(Tables.load(s, d, "documents"))),
     "dedup_clusters" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
       duplicateClusters(docs, simhashPairs(docs))
@@ -1026,6 +1129,7 @@ object Dedup {
     "dedup_simhash" -> simhashPairsSql(),
     "dedup_embed" -> embeddingPairsSql(),
     "dedup_semantic" -> semanticDedupSql(),
+    "dedup_substring" -> substringOverlapSql(),
     "dedup_clusters" -> clustersOracleSql(),
     // the oracle is the PLAIN band join over the same split — a Bloom
     // false negative (a dropped true collision) breaks the hash match

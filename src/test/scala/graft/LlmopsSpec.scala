@@ -159,6 +159,24 @@ class LlmopsSpec extends AnyFunSuite {
     assert(fd === 5L && fdiv === 1.0 && fdist === fs)
   }
 
+  test("substringOverlapPairs: exact shared runs measured; scattered shingles below threshold ignored") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val shared = words("common", 25) // exact 25-token run
+    // docs 1 and 2 embed the same 25-token run inside different contexts
+    val d1 = (words("alpha", 10) ++ shared ++ words("omega", 7)).mkString(" ")
+    val d2 = (words("beta", 4) ++ shared ++ words("gamma", 12)).mkString(" ")
+    // doc 3 shares every individual token of d1's prefix REORDERED — high
+    // set overlap, but no aligned run of >= 20 tokens
+    val d3 = (words("alpha", 10).reverse ++ words("delta", 30)).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = Dedup.substringOverlapPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the run is measured EXACTLY: 25 shared tokens
+    assert(got === Map((1L, 2L) -> 25L))
+  }
+
   test("semanticDedup: smaller-id cell-mate above threshold prunes; cross-cell near-dups survive") {
     import spark.implicits._
     val dim = graft.llmops.Similarity.Dim
