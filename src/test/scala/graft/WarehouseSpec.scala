@@ -187,6 +187,44 @@ class WarehouseSpec extends AnyFunSuite {
     assert(lg.latest.get.version === after.version)
   }
 
+  test("compact partitioned: multi-file partitions collapse; hive layer and untouched partitions survive") {
+    import spark.implicits._
+    val wh = freshWh()
+    // disable AQE so the rebalance write fans one partition's rows across
+    // several shuffle tasks -> several files per partition dir (the shape
+    // a 1000-task production job writes and compaction exists to fix)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val rows = (1 to 40).map(i => (i, if (i % 2 == 0) "2024-01-01" else "2024-01-02"))
+      wh.overwrite("raw", "t", rows.toDF("id", "day"),
+        graft.core.TableMeta(partitionField = Some("day")))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", shuf)
+    }
+    val lg = wh.log("raw", "t")
+    def filesOf(part: String): Int = {
+      val e = lg.latest.get.entries.find(_.partition == part).get
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(wh.root).resolve("raw").resolve("t").resolve(e.path)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .count(p => p.getFileName.toString.endsWith(".parquet"))
+    }
+    assert(filesOf("2024-01-01") > 1, "fixture failed to produce a multi-file partition")
+    val compacted = wh.compact("raw", "t")
+    assert(compacted.toSet === Set("2024-01-01", "2024-01-02"))
+    assert(filesOf("2024-01-01") === 1)
+    // the hive partition layer survives: partition column re-attaches and
+    // partition-pruned reads still resolve
+    val byDay = wh.read("raw", "t").groupBy("day").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(byDay === Map("2024-01-01" -> 20L, "2024-01-02" -> 20L))
+    assert(wh.readPartitions("raw", "t", Seq("2024-01-01")).count() === 20L)
+  }
+
   test("compact preserves additively-evolved schemas (pad-on-read survives the rewrite)") {
     import spark.implicits._
     val wh = freshWh()
