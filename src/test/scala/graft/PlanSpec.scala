@@ -388,6 +388,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("semantic dedup: cell-mate pairs come from an equi-join on cell_id, never a cartesian") {
+    val plan = planOf(SparkEntry.queries("dedup_semantic")(spark, sf))
+    // centroids ride a driver broadcast into the narrow assignment
+    // kernel; the only join operators are the cell_id equi-join and the
+    // keep-list left join — an all-pairs plan would surface as a
+    // cartesian / nested-loop join here
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.contains("cell_id"), plan.take(1500))
+  }
+
+  test("substring overlap: candidates from the shingle-hash equi-join; run merge on one window") {
+    val plan = planOf(graft.llmops.Dedup.substringOverlapPairs(
+      graft.core.Tables.load(spark, sf, "documents")))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the diagonal run merge is a window over (doc_a, doc_b, diag) —
+    // bounded groups — not a global sort
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+  }
+
   test("salted join: shuffled hash on (key, salt), never broadcast or sort-merge") {
     val plan = planOf(graft.operators.SaltedJoin.qSaltedJoin(spark, sf))
     // the whole point: the join partitions on (key, salt), spreading a
