@@ -477,6 +477,46 @@ object EngineQueries {
       | AND v.view_ts BETWEEN c.click_ts - INTERVAL '1 hour' AND c.click_ts
       |WHERE v.view_id IS NOT NULL OR c.click_ts < (SELECT w FROM wm)""".stripMargin
 
+  // ---------------------------------------------- q52 stream full join
+
+  /** Stream-stream FULL OUTER interval join — the symmetric completion
+    * of the family: matched click/view pairs, plus watermark-released
+    * unmatched CLICKS (null view columns, gated on `click_ts < wm`) and
+    * unmatched VIEWS (null click columns, gated on `view_ts + window <
+    * wm` — the last click instant the view could have matched). `wm` is
+    * the min-of-both-streams watermark, as in q51. */
+  def q52StreamFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_ssfj_out")
+    StreamingIncremental.runClickViewJoin(spark, s"$dir/events.parquet",
+      scratch("graft_ssfj_ckpt"), "1 HOUR",
+      Some(StreamingIncremental.FixtureStatePartitions),
+      joinType = "fullOuter") { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out)
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  val q52Sql: String =
+    """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+      |                  event_id AS view_id
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+      |             event_id AS click_id
+      |      FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(view_ts) FROM v),
+      |                    (SELECT max(click_ts) FROM c))
+      |              - INTERVAL '1 hour' AS w)
+      |SELECT coalesce(c.user_id, v.user_id) AS user_id,
+      |       c.click_id, c.click_ts, v.view_id, v.view_ts
+      |FROM c FULL OUTER JOIN v ON c.user_id = v.user_id
+      | AND v.view_ts BETWEEN c.click_ts - INTERVAL '1 hour' AND c.click_ts
+      |WHERE (c.click_id IS NOT NULL AND v.view_id IS NOT NULL)
+      |   OR (v.view_id IS NULL AND c.click_ts < (SELECT w FROM wm))
+      |   OR (c.click_id IS NULL
+      |       AND v.view_ts + INTERVAL '1 hour' < (SELECT w FROM wm))""".stripMargin
+
   // ---------------------------------------------------- q44 stream enrich
 
   /** Stream-static enrichment (stateless streaming join): events flow
@@ -582,7 +622,8 @@ object EngineQueries {
     "q41_pit_join" -> (q41PitJoin _),
     "q44_stream_enrich" -> (q44StreamEnrich _),
     "q48_snapshot_diff" -> (q48SnapshotDiff _),
-    "q51_stream_left_join" -> (q51StreamLeftJoin _))
+    "q51_stream_left_join" -> (q51StreamLeftJoin _),
+    "q52_stream_full_join" -> (q52StreamFullJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -601,5 +642,6 @@ object EngineQueries {
     "q44_stream_enrich" -> q44Sql,
     "q48_snapshot_diff" -> q48Sql,
     "q21_build" -> q21Sql,
-    "q51_stream_left_join" -> q51Sql)
+    "q51_stream_left_join" -> q51Sql,
+    "q52_stream_full_join" -> q52Sql)
 }

@@ -212,7 +212,13 @@ object StreamingIncremental {
     * unmatched clicks in the trailing delay window stay in state and do
     * NOT emit — exactly the continuous-stream contract (they'd emit when
     * later data advanced the watermark), and what the batch oracle must
-    * replicate with a `click_ts < max(ts) - delay` gate on null rows. */
+    * replicate with a `click_ts < max(ts) - delay` gate on null rows.
+    *
+    * `"fullOuter"` adds the symmetric view side: an unmatched view emits
+    * null click columns once the CLICK watermark passes `view_ts +
+    * window` (the last click instant it could have matched); its
+    * drain-tail gate in the oracle is `view_ts + window < wm`. The
+    * output `user_id` coalesces across sides so every row carries it. */
   def runClickViewJoin(spark: SparkSession, eventsDir: String,
                        checkpointDir: String, window: String,
                        statePartitions: Option[Int] = None,
@@ -236,8 +242,8 @@ object StreamingIncremental {
       expr(s"c_user = v_user AND " +
         s"view_ts BETWEEN click_ts - INTERVAL $window AND click_ts"),
       joinType)
-      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
-        col("view_id"), col("view_ts"))
+      .select(coalesce(col("c_user"), col("v_user")).as("user_id"),
+        col("click_id"), col("click_ts"), col("view_id"), col("view_ts"))
     val q = joined.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

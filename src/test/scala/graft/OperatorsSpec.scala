@@ -641,6 +641,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"single-partition funnel:\n$plan")
   }
 
+  test("stream-stream FULL OUTER interval join: both null-emission sides match the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssfj_spec")
+    val out = s"$dir/out"
+    graft.streaming.StreamingIncremental.runClickViewJoin(
+      spark, s"$sf/events.parquet", s"$dir/ckpt", "1 HOUR", Some(4),
+      joinType = "fullOuter") { b =>
+      b.write.mode("append").parquet(out)
+    }
+    val streamed = spark.read.parquet(out)
+      .select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val wm = math.min(
+      v.agg(max(unix_micros(col("view_ts")))).head().getLong(0),
+      c.agg(max(unix_micros(col("click_ts")))).head().getLong(0)) - 3600000000L
+    val batch = c.join(v,
+        expr("c_user = v_user AND view_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"),
+        "fullOuter")
+      // matched pairs always emit; unmatched sides only once the global
+      // watermark releases them (clicks: click_ts; views: view_ts + 1h)
+      .filter((col("click_id").isNotNull && col("view_id").isNotNull) ||
+        (col("view_id").isNull && unix_micros(col("click_ts")) < wm) ||
+        (col("click_id").isNull && unix_micros(col("view_ts")) + 3600000000L < wm))
+      .select(coalesce(col("c_user"), col("v_user")).as("user_id"),
+        col("click_id"), col("click_ts"), col("view_id"), col("view_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.exists(_(3) == null), "no watermark-expired null-view rows")
+    assert(streamed.exists(_(1) == null), "no watermark-expired null-click rows")
+  }
+
   test("maxConcurrency: closed intervals, bucket stitching, earliest peak wins") {
     import spark.implicits._
     // peak of 3 first reached at t=10 ([0,10] still open, [10,20] opens);
