@@ -59,6 +59,44 @@ object Stats {
           4).as("r"))
   }
 
+  /** Per-group SPEARMAN rank correlation — the monotone-association
+    * screen Pearson misses (a perfectly monotone but curved relation
+    * scores |rho| = 1 here and < 1 there). Ranks are `row_number` over
+    * (value, idCol) — a TOTAL order both engines replicate — so the
+    * no-ties formula `rho = 1 − 6·Σd²/(n(n²−1))` applies exactly, every
+    * term an integer until the one final division. (Textbook Spearman
+    * averages tied ranks into fractions; the deterministic-tiebreak
+    * variant keeps this module's bit-stable integer discipline and
+    * converges to it as ties thin out.)
+    *
+    * Shape: one shuffle on the group key serves both rank windows (two
+    * in-partition sorts, groups bounded), then a map-side-combined
+    * integer aggregate. Domain guard: n·(n²−1) is exact in the Long and
+    * converts exactly to double while n³ < 2^53 (n ≈ 200k rows/group);
+    * beyond that move the division to DECIMAL(38,0). */
+  def spearmanGrouped(df: DataFrame, groupCol: String, xCol: Column,
+                      yCol: Column, idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(groupCol), xCol.cast("long").as("_x"),
+        yCol.cast("long").as("_y"), idCol.as("_id"))
+      .filter(col(groupCol).isNotNull && col("_x").isNotNull &&
+        col("_y").isNotNull && col("_id").isNotNull)
+    val wx = Window.partitionBy(col(groupCol)).orderBy(col("_x"), col("_id"))
+    val wy = Window.partitionBy(col(groupCol)).orderBy(col("_y"), col("_id"))
+    rows
+      .withColumn("_rx", row_number().over(wx))
+      .withColumn("_ry", row_number().over(wy))
+      .withColumn("_d", (col("_rx") - col("_ry")).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("_d") * col("_d")).as("_sd2"))
+      .filter(col("n") >= 2)
+      .select(col(groupCol), col("n"),
+        Hashing.stableRound(
+          lit(1.0) - (lit(6.0) * col("_sd2")) /
+            (col("n") * (col("n") * col("n") - 1)).cast("double"),
+          4).as("rho"))
+  }
+
   /** Outlier gate: flag when dev·`DevDen` > mad·`DevNum` (dev > 1.9·MAD
     * — ≈2.8σ-equivalent under normality via the 1.4826 consistency
     * constant, and ~5 % of a uniform domain). Rational on purpose: the
@@ -189,6 +227,32 @@ object Stats {
       |FROM m
       |WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin
 
+  /** Monotone version of [[qCorr]]'s question, same co-variates; ranks
+    * tiebreak on event_id. */
+  def qSpearman(spark: SparkSession, dir: String): DataFrame =
+    spearmanGrouped(Tables.load(spark, dir, "events"), "event_type",
+      hour(col("ts")), round(col("value") * 100), col("event_id"))
+
+  val qSpearmanSql: String =
+    s"""WITH r AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+       |                  CAST(round(value * 100) AS BIGINT) AS y, event_id
+       |           FROM events
+       |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       |             AND value IS NOT NULL AND event_id IS NOT NULL),
+       |rk AS (SELECT event_type,
+       |              row_number() OVER (PARTITION BY event_type
+       |                                 ORDER BY x, event_id) AS rx,
+       |              row_number() OVER (PARTITION BY event_type
+       |                                 ORDER BY y, event_id) AS ry
+       |       FROM r),
+       |m AS (SELECT event_type, count(*) AS n,
+       |             CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+       |      FROM rk GROUP BY 1)
+       |SELECT event_type, n,
+       |       ${Hashing.stableRoundSql(
+        "1.0 - (6.0 * sd2) / CAST(n * (n * n - 1) AS DOUBLE)", 4)} AS rho
+       |FROM m WHERE n >= 2""".stripMargin
+
   def qOutliers(spark: SparkSession, dir: String): DataFrame =
     madOutliers(Tables.load(spark, dir, "events"), "event_type", "value",
       "event_id")
@@ -281,12 +345,14 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_corr" -> (qCorr _),
+    "stats_spearman" -> (qSpearman _),
     "stats_chi2" -> (qChi2 _),
     "outliers_mad" -> (qOutliers _),
     "winsorize" -> (qWinsorize _))
 
   val oracleSql: Map[String, String] = Map(
     "stats_corr" -> qCorrSql,
+    "stats_spearman" -> qSpearmanSql,
     "stats_chi2" -> qChi2Sql,
     "outliers_mad" -> qOutliersSql,
     "winsorize" -> qWinsorizeSql)

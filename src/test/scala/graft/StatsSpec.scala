@@ -39,6 +39,25 @@ class StatsSpec extends AnyFunSuite {
     assert(r0 === 0.0)
   }
 
+  test("spearmanGrouped: monotone-but-curved scores rho=1 where Pearson < 1; reversal hits -1") {
+    import spark.implicits._
+    // y = x^3 in cents: perfectly monotone, curved — Spearman must say 1,
+    // Pearson must not (the whole reason the rank screen exists)
+    val curved = (1 to 6).map(i => ("cube", i.toDouble, i * i * i / 100.0))
+    // strictly decreasing -> rho = -1 exactly
+    val rev = (1 to 5).map(i => ("rev", i.toDouble, (10 - i) / 100.0))
+    val df = (curved ++ rev).toDF("g", "x", "y")
+      .withColumn("id", monotonically_increasing_id())
+    val rho = Stats.spearmanGrouped(df, "g", col("x"),
+        round(col("y") * 100), col("id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rho("cube") === 1.0)
+    assert(rho("rev") === -1.0)
+    val pearson = Stats.corrGrouped(df, "g", col("x"), round(col("y") * 100))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(pearson("cube") < 1.0, s"pearson should be < 1 on x^3: $pearson")
+  }
+
   test("madOutliers: flags exactly the >1.9-MAD rows, drops MAD-0 groups") {
     import spark.implicits._
     // group a: values 1..7 plus a far outlier 100.
