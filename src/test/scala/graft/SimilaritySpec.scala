@@ -98,6 +98,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.last === 1.0, s"probing all $nlist cells must be exact: $recalls")
   }
 
+  test("annRecall side-channel: every index variant reports a sane recall") {
+    val got = graft.llmops.RecallReport.annRecall(spark, sf).toMap
+    assert(got.keySet === Set("lsh", "ivf_nprobe2", "ivf_nprobe4",
+      "pq_sampled", "pq_trained"))
+    got.foreach { case (k, v) =>
+      assert(v >= 0.0 && v <= 1.0, s"$k recall $v out of range") }
+    // widening the probe set can only add candidates
+    assert(got("ivf_nprobe4") >= got("ivf_nprobe2"),
+      s"nprobe recall fell: $got")
+  }
+
   test("randomProject: exact integer components; JL distances track originals") {
     import spark.implicits._
     // hand case: micro-units of (0.5, -1.25, 2.0, ...) against known signs
