@@ -229,6 +229,38 @@ class LlmopsSpec extends AnyFunSuite {
     assert(rounds <= 8, s"chain took $rounds star rounds")
   }
 
+  test("duplicateClusters equals union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(30)
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      // reference: plain union-find with path compression
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1L to n.toLong)
+        .map(i => i -> find(i.toInt).toLong).toMap
+      // min-id canonicalization: union-find roots ARE the component minima
+      // here because union always hangs the larger root under the smaller
+      val docs = (1L to n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.duplicateClusters(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial (n=$n, ${edges.length} edges)")
+    }
+  }
+
   test("duplicateClusters: mixed clique + long tail converges to one component") {
     import spark.implicits._
     // lollipop: clique {1..5} star-collapses immediately; the 20-node
