@@ -991,6 +991,12 @@ object Dedup {
       prev = cur
       cur = chk
     }
+    // 64 alternating rounds close any graph reachable in practice
+    // (O(log n) bound ⇒ n beyond 2^60); if the checksum is still moving,
+    // fail LOUDLY — returning labels from an unconverged edge set would
+    // silently split components
+    require(cur == prev,
+      s"duplicateClusters did not converge within $rounds star rounds")
     // star forest: every node's min over (self ∪ neighbors) is its root
     val nbrMin = edges.select(col("lo").as("u"), col("hi").as("v"))
       .unionAll(edges.select(col("hi").as("u"), col("lo").as("v")))
