@@ -74,6 +74,52 @@ object Decontaminate {
           .as("contaminated"))
   }
 
+  /** Span threshold for [[contaminationSpans]]: the GPT-3-style 13-gram
+    * collision rule — a shared run of ≥13 tokens flags the pair. */
+  val MinSpanTokens = 13
+
+  /** SPAN-LEVEL decontamination — not just "does this doc overlap the
+    * benchmark" ([[contaminationScores]]' shingle-ratio) but WHERE and
+    * HOW LONG: the longest exact token run each corpus doc shares with
+    * each benchmark doc, via the same shingle-diagonal run merge as
+    * [[Dedup.substringOverlapPairs]], cross-corpus. The ratio test can
+    * miss a verbatim benchmark answer pasted into a long document (small
+    * fraction of its shingles); a ≥`minSpanTokens` exact run cannot
+    * hide.
+    *
+    * Shape at 100 TB: the benchmark's POSITIONED shingles broadcast
+    * (guarded); the corpus side is one narrow positioned-shingle pass +
+    * a broadcast hash join, so the corpus never shuffles to find hits —
+    * only HIT rows (collisions, benchmark-bounded) shuffle into the
+    * (doc, bench_doc, diagonal) run-merge window. Output:
+    * (doc_id, bench_id, span_tokens), spans ≥ `minSpanTokens`. */
+  def contaminationSpans(docs: DataFrame, benchmark: DataFrame,
+                         k: Int = Dedup.SubstrK,
+                         minSpanTokens: Int = MinSpanTokens,
+                         maxBenchShingles: Long = MaxBenchmarkShingles): DataFrame = {
+    require(minSpanTokens >= k,
+      s"minSpanTokens ($minSpanTokens) must be >= shingle width ($k)")
+    val bench = Dedup.positionedShingles(benchmark, k)
+      .select(col("doc_id").as("bench_id"), col("pos").as("b_pos"), col("h"))
+    val benchCount = bench.count()
+    require(benchCount <= maxBenchShingles,
+      s"benchmark has $benchCount positioned shingles > $maxBenchShingles; " +
+        "too large to broadcast — swap the sides or pre-filter the benchmark")
+    val hits = Dedup.positionedShingles(docs, k)
+      .join(broadcast(bench), Seq("h"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("pos"),
+        (col("pos") - col("b_pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "bench_id", "diag").orderBy("pos")
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("bench_id"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + (k - 1)).as("span"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(max(col("span")).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+  }
+
   // ----------------------------------------------------------------- query
 
   /** The fixture has no separate benchmark table, so the benchmark is a
@@ -109,9 +155,42 @@ object Decontaminate {
        |         >= $ContaminationThreshold AS contaminated
        |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin
 
+  /** Same deterministic ~5% benchmark slice as [[qDecontaminate]]. */
+  def qDecontaminateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = docs.filter(
+      pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(20)) === 0)
+    contaminationSpans(docs, bench)
+  }
+
+  val qDecontaminateSpansSql: String = {
+    val k = Dedup.SubstrK
+    s"""WITH s AS MATERIALIZED (
+       |  ${Dedup.positionedShinglesSql(k)}),
+       |bench AS MATERIALIZED (
+       |  SELECT doc_id AS bench_id, pos AS b_pos, h FROM s
+       |  WHERE ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 20 = 0),
+       |hits AS (
+       |  SELECT s.doc_id, b.bench_id, s.pos, s.pos - b.b_pos AS diag
+       |  FROM s JOIN bench b USING (h)
+       |  WHERE s.doc_id <> b.bench_id),
+       |runs AS (
+       |  SELECT doc_id, bench_id, diag,
+       |         pos - row_number() OVER (PARTITION BY doc_id, bench_id, diag
+       |                                  ORDER BY pos) AS grp
+       |  FROM hits),
+       |rl AS (SELECT doc_id, bench_id, count(*) + $k - 1 AS span
+       |       FROM runs GROUP BY doc_id, bench_id, diag, grp)
+       |SELECT doc_id, bench_id, CAST(max(span) AS BIGINT) AS span_tokens
+       |FROM rl GROUP BY 1, 2
+       |HAVING max(span) >= $MinSpanTokens""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "decontaminate" -> (qDecontaminate _))
+    "decontaminate" -> (qDecontaminate _),
+    "decontaminate_spans" -> (qDecontaminateSpans _))
 
   val oracleSql: Map[String, String] = Map(
-    "decontaminate" -> qDecontaminateSql)
+    "decontaminate" -> qDecontaminateSql,
+    "decontaminate_spans" -> qDecontaminateSpansSql)
 }

@@ -745,15 +745,14 @@ object Dedup {
   val MinOverlapTokens = 20
   val SubstrOccCap = 1000
 
-  def substringOverlapPairs(docs: DataFrame, k: Int = SubstrK,
-                            minOverlapTokens: Int = MinOverlapTokens,
-                            occCap: Int = SubstrOccCap): DataFrame = {
+  /** Positioned k-token shingle hashes — (doc_id, pos, h), one narrow
+    * kernel pass. Shared by [[substringOverlapPairs]] and
+    * [[Decontaminate.contaminationSpans]]. */
+  private[llmops] def positionedShingles(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"shingle width must be >= 2, got $k")
-    require(minOverlapTokens >= k,
-      s"minOverlapTokens ($minOverlapTokens) must be >= shingle width ($k)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val shingles = docs
+    docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -767,6 +766,28 @@ object Dedup {
           }
         }
       }.toDF("doc_id", "pos", "h")
+  }
+
+  /** DuckDB twin of [[positionedShingles]] as a CTE body (1-based `pos`;
+    * base offset cancels in every diagonal/run computation). */
+  private[llmops] def positionedShinglesSql(k: Int, table: String = "documents"): String = {
+    val h = Hashing.md5LongSql(
+      s"array_to_string(list_slice(words, i, i + ${k - 1}), ' ')")
+    s"""SELECT doc_id, i AS pos, $h AS h
+       |  FROM (SELECT doc_id, words,
+       |               unnest(generate_series(1, len(words) - $k + 1)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS words
+       |              FROM $table
+       |              WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       |        WHERE len(words) >= $k)""".stripMargin
+  }
+
+  def substringOverlapPairs(docs: DataFrame, k: Int = SubstrK,
+                            minOverlapTokens: Int = MinOverlapTokens,
+                            occCap: Int = SubstrOccCap): DataFrame = {
+    require(minOverlapTokens >= k,
+      s"minOverlapTokens ($minOverlapTokens) must be >= shingle width ($k)")
+    val shingles = positionedShingles(docs, k)
     val kept = shingles.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= occCap).select(col("h"))
     val sk = shingles.join(kept, Seq("h"))
@@ -789,16 +810,8 @@ object Dedup {
   def substringOverlapSql(k: Int = SubstrK,
                           minOverlapTokens: Int = MinOverlapTokens,
                           occCap: Int = SubstrOccCap): String = {
-    val h = Hashing.md5LongSql(
-      s"array_to_string(list_slice(words, i, i + ${k - 1}), ' ')")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
-       |           FROM documents
-       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-       |s AS MATERIALIZED (
-       |  SELECT doc_id, i AS pos, $h AS h
-       |  FROM (SELECT doc_id, words,
-       |               unnest(generate_series(1, len(words) - $k + 1)) AS i
-       |        FROM d WHERE len(words) >= $k)),
+    s"""WITH s AS MATERIALIZED (
+       |  ${positionedShinglesSql(k)}),
        |kept AS (SELECT h FROM s GROUP BY h HAVING count(*) <= $occCap),
        |sk AS MATERIALIZED (SELECT s.doc_id, s.pos, s.h FROM s JOIN kept USING (h)),
        |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,

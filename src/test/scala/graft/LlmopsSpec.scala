@@ -159,6 +159,34 @@ class LlmopsSpec extends AnyFunSuite {
     assert(fd === 5L && fdiv === 1.0 && fdist === fs)
   }
 
+  test("contaminationSpans: pasted benchmark answer found with exact span; ratio test misses it") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val answer = words("ans", 15) // verbatim 15-token benchmark answer
+    val bench = Seq((100L, (words("q", 5) ++ answer).mkString(" ")))
+      .toDF("doc_id", "text")
+    // corpus doc 1: the answer pasted inside 300 tokens of other text —
+    // a small FRACTION of its shingles, but an exact >=13-token run
+    val doc1 = (words("body", 150) ++ answer ++ words("tail", 150)).mkString(" ")
+    // corpus doc 2: shares only an 8-token fragment (= one shingle, span
+    // 8 < 13) -> not flagged
+    val doc2 = (words("other", 40) ++ words("ans", 8)).mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (100L, bench.head.getString(1)))
+      .toDF("doc_id", "text")
+    val got = graft.llmops.Decontaminate.contaminationSpans(docs, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 flagged with the exact span; doc 2 below threshold; the
+    // benchmark doc itself (same id both sides) excluded as a self-pair
+    assert(got === Map((1L, 100L) -> 15L))
+    // contrast: the shingle-RATIO score stays under the 20% flag line for
+    // doc 1 (8 of ~308 shingles) — the span test exists for exactly this
+    val ratio = graft.llmops.Decontaminate.contaminationScores(docs, bench)
+      .filter(col("doc_id") === 1L).head()
+    assert(!ratio.getAs[Boolean]("contaminated"),
+      s"ratio test unexpectedly flagged doc 1: $ratio")
+  }
+
   test("substringOverlapPairs: exact shared runs measured; scattered shingles below threshold ignored") {
     import spark.implicits._
     def words(prefix: String, n: Int): Seq[String] =
