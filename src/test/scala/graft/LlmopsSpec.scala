@@ -159,6 +159,40 @@ class LlmopsSpec extends AnyFunSuite {
     assert(fd === 5L && fdiv === 1.0 && fdist === fs)
   }
 
+  test("substringOverlapPairs equals brute-force LCS on seeded block-shuffled docs") {
+    import spark.implicits._
+    // docs are random sequences of shared phrase blocks, so real >=8-token
+    // overlaps arise; the reference is the token-level longest-common-
+    // substring DP — the ground truth the diagonal-run merge must match
+    val rnd = new scala.util.Random(7)
+    val blocks: IndexedSeq[IndexedSeq[String]] = (0 until 6).map { b =>
+      (0 until (8 + rnd.nextInt(5))).map(i => s"b${b}_$i")
+    }
+    val docTokens: Map[Long, Array[String]] = (1L to 6L).map { id =>
+      id -> (0 until 4).flatMap(_ => blocks(rnd.nextInt(blocks.length))).toArray
+    }.toMap
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    val expected = (for {
+      a <- 1L to 6L; b <- (a + 1) to 6L
+      l = lcs(docTokens(a), docTokens(b)) if l >= 8
+    } yield (a, b) -> l.toLong).toMap
+    val docs = docTokens.toSeq.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Dedup.substringOverlapPairs(docs, minOverlapTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(expected.nonEmpty, "fixture produced no overlapping pairs")
+    assert(got === expected)
+  }
+
   test("contaminationSpans: pasted benchmark answer found with exact span; ratio test misses it") {
     import spark.implicits._
     def words(prefix: String, n: Int): Seq[String] =
