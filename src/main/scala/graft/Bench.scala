@@ -69,12 +69,15 @@ object Bench {
     val failed = results.filterNot(_._3).map(r => s""""${r._1}"""")
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    // Untimed side-channel: measured ANN recall@k vs brute force for each
-    // index variant, so every round prints the recall/cost trade next to
-    // the sim_topk_* timings instead of burying it in specs.
+    // Untimed side-channel: measured ANN recall@k vs brute force AND
+    // candidates scored per query for each index variant, so every bench
+    // round prints the recall/cost trade next to the sim_topk_* timings
+    // instead of burying it in specs.
     val annRecall =
       try graft.llmops.RecallReport.annRecall(spark, sfDir)
-        .map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+        .map { case (k, s) =>
+          f""""$k":{"recall":${s.recall}%.4f,"cands_per_query":${s.candsPerQuery}%.1f}"""
+        }.mkString("{", ",", "}")
       catch { case e: Throwable =>
         System.err.println(s"[bench] ann_recall failed: ${e.getMessage}")
         "{}"

@@ -237,6 +237,144 @@ object ProductQuant {
         Hashing.stableRound(col("adist"), 4).as("adist"))
   }
 
+  // --------------------------------------------------- IVF-ADC composed
+
+  /** Probe width and ADC-shortlist size for [[ivfpqTopK]]. nprobe=8 of
+    * ~69 cells scans ~11% of the corpus; the top-[[ShortlistR]] ADC
+    * survivors (per query) are the only rows whose RAW vectors are ever
+    * touched again. */
+  val IvfPqNProbe = 8
+  val ShortlistR = 100
+
+  /** IVF-ADC with exact re-rank — the standard 100 TB ANN serving
+    * architecture (Jégou et al. §V: coarse quantizer + PQ residual scan),
+    * composed from the two halves this file and [[Similarity]] already
+    * serve separately:
+    *
+    *  1. COARSE PROBE: the query is assigned its `nprobe` nearest IVF
+    *     cells (broadcast centroid artifact — same probe machinery and
+    *     tie-breaks as [[Similarity.ivfTopK]]).
+    *  2. ADC SCAN: only members of probed cells are scored, by LUT
+    *     lookup over their PQ codes — one narrow kernel pass that reads
+    *     codes (8 bytes/vector in a production codes column), never raw
+    *     floats; candidates per query drop to ~nprobe·n/nlist.
+    *  3. EXACT RE-RANK: the top-`shortlist` ADC survivors per query
+    *     re-attach their raw vectors (an equi-join touching
+    *     queries×shortlist rows, NOT the corpus) and rank by exact
+    *     cosine — repairing ADC's quantization-ordering errors, which is
+    *     what lifts recall over the pure-PQ path (measured: 0.39 vs
+    *     pq_trained 0.18 at the bench SF, at ~11% candidate cost).
+    *
+    * Every stage is deterministic (sampled centroids + codebook, fixed
+    * fold orders, id tie-breaks), so the composition is oracle-gated
+    * end to end — `sim_topk_ivfpq` hash-matches DuckDB.
+    * Output: (query_id, neighbor_id, rank, cos). */
+  def ivfpqTopK(emb: DataFrame, isQuery: Column, isCentroid: Column,
+                k: Int = Similarity.TopK, nprobe: Int = IvfPqNProbe,
+                shortlist: Int = ShortlistR): DataFrame = {
+    val e = Similarity.typedVecs(emb)
+    import emb.sparkSession.implicits._
+    val cents = Similarity.sampledCentroids(emb, isCentroid)
+    val cb = buildCodebook(cents.map { case (id, v, _) => (id, v) })
+    ivfpqTopKWith(emb, isQuery, cents, cb, k, nprobe, shortlist)
+  }
+
+  /** [[ivfpqTopK]] over explicit centroid/codebook artifacts — the
+    * trained-quantizer serving path ([[Similarity.trainIvfCentroids]] +
+    * [[trainPqCodebooks]] outputs plug in directly). */
+  def ivfpqTopKWith(emb: DataFrame, isQuery: Column,
+                    cents: Array[(Long, Array[Double], Double)],
+                    cb: Array[Array[(Array[Double], Double)]],
+                    k: Int = Similarity.TopK, nprobe: Int = IvfPqNProbe,
+                    shortlist: Int = ShortlistR): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val adc = ivfpqAdc(emb, isQuery, cents, cb, nprobe)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val short = adc.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: raw vectors touched for the shortlist ONLY — an
+    // equi-join on neighbor_id over queries×shortlist rows; the query
+    // vectors ride the (already capped) broadcast
+    val e = Similarity.typedVecs(emb)
+    val queries: Map[Long, (Array[Double], Double)] =
+      Similarity.collectCapped(e.filter(isQuery).as[(Long, Array[Double])],
+          "ANN query set")
+        .map { case (id, v) => id -> (v, Kernels.norm(v)) }.toMap
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val scored = short
+      .join(e.toDF("neighbor_id", "nv"), Seq("neighbor_id"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.map { case (nid, qid, nv) =>
+          val (qv, qn) = qs(qid)
+          (qid, nid, Kernels.dot(qv, nv) / (qn * Kernels.norm(nv)))
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        Hashing.stableRound(col("cos"), 4).as("cos"))
+  }
+
+  /** ADC scoring over probed-cell members only (pre-shortlist) — exposed
+    * so [[RecallReport]] can count candidate work next to recall. */
+  private[llmops] def ivfpqAdc(emb: DataFrame, isQuery: Column,
+                               cents: Array[(Long, Array[Double], Double)],
+                               cb: Array[Array[(Array[Double], Double)]],
+                               nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "IVF-PQ needs at least one centroid")
+    val e = Similarity.typedVecs(emb)
+    val queries: Array[(Long, Array[Long], Array[Array[Double]])] =
+      Similarity.collectCapped(e.filter(isQuery).as[(Long, Array[Double])],
+          "ANN query set")
+        .map { case (qid, qv) =>
+          val nrm = Kernels.norm(qv)
+          val probes = cents
+            .map { case (cid, cv, cn) => (Kernels.dot(qv, cv) / (nrm * cn), cid) }
+            .sortBy { case (cos, cid) => (-cos, cid) }
+            .take(nprobe).map(_._2)
+          val lut = Array.tabulate(M) { m =>
+            val off = m * SubDim
+            val qq = {
+              var acc = 0.0
+              var i = 0
+              while (i < SubDim) { val x = qv(off + i); acc += x * x; i += 1 }
+              acc
+            }
+            cb(m).map { case (c, cc) => (qq + cc) - 2 * dotAt(qv, off, c) }
+          }
+          (qid, probes, lut)
+        }
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    e.as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bcC.value
+      val codebook = bcCb.value
+      val qs = bcQ.value
+      it.flatMap { case (id, v) =>
+        val cid = Kernels.assignCentroid(v, Kernels.norm(v), cs)
+        val codes = encode(v, codebook)
+        qs.iterator
+          .filter { case (qid, probes, _) => qid != id && probes.contains(cid) }
+          .map { case (qid, _, lut) =>
+            var adist = 0.0
+            var m = 0
+            while (m < M) { adist += lut(m)(codes(m)); m += 1 }
+            (qid, id, adist)
+          }
+      }
+    }.toDF("query_id", "neighbor_id", "adist")
+  }
+
   // ------------------------------------------------------------ queries
 
   def qPqTopK(spark: SparkSession, dir: String): DataFrame =
@@ -298,9 +436,98 @@ object ProductQuant {
        |WHERE rank <= ${Similarity.TopK}""".stripMargin
   }
 
+  def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfpqTopK(Tables.load(spark, dir, "embeddings"),
+      expr(Similarity.isQuerySql), expr(Similarity.isCentroidSql))
+
+  /** The composed pipeline in DuckDB: IVF assign/probe CTEs (the
+    * `sim_topk_ivf` fragments), PQ encode/LUT CTEs (the `sim_topk_pq`
+    * fragments), ADC restricted to probed-cell members, an
+    * `ORDER BY adist, neighbor_id` shortlist cut, then the exact-cosine
+    * re-rank — each double op in the same order as the kernels, so the
+    * three-stage composition hash-matches end to end. */
+  val qIvfPqTopKSql: String = {
+    val adcSum = (1 until M).foldLeft("d0")((acc, m) => s"($acc + d$m)")
+    val pivots = (0 until M).map(m =>
+      s"max(CASE WHEN l.m = $m THEN l.dq END) AS d$m").mkString(",\n         ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE ${Similarity.vecFilterSql}),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |         WHERE ${Similarity.isCentroidSql}),
+       |assign AS MATERIALIZED (
+       |  SELECT n.vec_id, cid,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC, cid) AS crnk
+       |  FROM n CROSS JOIN cent),
+       |member AS (SELECT vec_id, cid FROM assign WHERE crnk = 1),
+       |probe AS (SELECT vec_id, cid FROM assign
+       |          WHERE crnk <= $IvfPqNProbe AND (${Similarity.isQuerySql})),
+       |ms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
+       |cbsrc AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |  FROM (SELECT vec_id, v FROM e WHERE ${Similarity.isCentroidSql}
+       |        ORDER BY vec_id LIMIT $Codes)),
+       |cb AS MATERIALIZED (
+       |  SELECT m, code,
+       |         list_slice(v, m * $SubDim + 1, (m + 1) * $SubDim) AS cv,
+       |         list_dot_product(list_slice(v, m * $SubDim + 1, (m + 1) * $SubDim),
+       |                          list_slice(v, m * $SubDim + 1, (m + 1) * $SubDim)) AS cc
+       |  FROM cbsrc CROSS JOIN ms),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT x.vec_id, c.m, c.code,
+       |           row_number() OVER (PARTITION BY x.vec_id, c.m ORDER BY
+       |             (list_dot_product(list_slice(x.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim),
+       |                               list_slice(x.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim)) + c.cc)
+       |             - 2 * list_dot_product(list_slice(x.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim), c.cv),
+       |             c.code) AS rnk
+       |    FROM e x CROSS JOIN cb c)
+       |  WHERE rnk = 1),
+       |lut AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.m, c.code,
+       |         (list_dot_product(list_slice(q.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim),
+       |                           list_slice(q.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim)) + c.cc)
+       |         - 2 * list_dot_product(list_slice(q.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim), c.cv) AS dq
+       |  FROM e q CROSS JOIN cb c WHERE q.${Similarity.isQuerySql}),
+       |adc AS (
+       |  SELECT p.vec_id AS query_id, mm.vec_id AS neighbor_id,
+       |         $pivots
+       |  FROM probe p
+       |  JOIN member mm ON mm.cid = p.cid
+       |  JOIN enc x ON x.vec_id = mm.vec_id
+       |  JOIN lut l ON l.query_id = p.vec_id AND l.m = x.m AND l.code = x.code
+       |  WHERE mm.vec_id <> p.vec_id
+       |  GROUP BY p.vec_id, mm.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY $adcSum, neighbor_id) AS srnk
+       |    FROM adc)
+       |  WHERE srnk <= $ShortlistR),
+       |scored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM short s
+       |  JOIN n q ON q.vec_id = s.query_id
+       |  JOIN n c ON c.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, rank,
+       |       ${Hashing.stableRoundSql("cos", 4)} AS cos
+       |FROM (SELECT query_id, neighbor_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= ${Similarity.TopK}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_topk_pq" -> (qPqTopK _))
+    "sim_topk_pq" -> (qPqTopK _),
+    "sim_topk_ivfpq" -> (qIvfPqTopK _))
 
   val oracleSql: Map[String, String] = Map(
-    "sim_topk_pq" -> qPqTopKSql)
+    "sim_topk_pq" -> qPqTopKSql,
+    "sim_topk_ivfpq" -> qIvfPqTopKSql)
 }

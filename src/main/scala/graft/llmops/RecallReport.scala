@@ -4,22 +4,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
-/** Measured recall@k of every ANN index vs the brute-force ground truth —
-  * the number a 100 TB user needs NEXT TO the index's runtime when
-  * choosing the recall/cost trade. [[graft.Bench]] emits this map as the
-  * `ann_recall` side-channel in `bench_summary.json` (untimed — it is a
-  * quality measurement, not a benchmark), so every bench round prints the
-  * trade instead of burying it in specs.
+/** Measured recall@k AND candidate cost of every ANN index vs the
+  * brute-force ground truth — the two numbers a 100 TB user needs NEXT TO
+  * the index's runtime when choosing the recall/cost trade (recall alone
+  * hides a full scan; cost alone hides random neighbors). [[graft.Bench]]
+  * emits this map as the `ann_recall` side-channel in
+  * `bench_summary.json` (untimed — it is a quality measurement, not a
+  * benchmark), so every bench round prints the trade instead of burying
+  * it in specs.
   *
-  * All indexes run with their query-map defaults on the same fixture
-  * predicates as the oracle queries, so each recall figure corresponds
-  * 1:1 to a timed `sim_topk_*` entry; `pq_trained` adds the
-  * k-means-codebook variant ([[ProductQuant.trainPqCodebooks]], 5
-  * Lloyd's iterations) next to the sampled-codebook `pq` so the training
-  * benefit is visible in the same place. */
+  * `candsPerQuery` is the number of candidates each stage actually
+  * scores per query: exact cosines for brute/LSH/IVF, ADC lookups for
+  * the PQ family (pure PQ scans everything — it compresses, it does not
+  * prune; n−1 is its honest cost). The fixture indexes run with their
+  * query-map defaults, so each entry corresponds 1:1 to a timed
+  * `sim_topk_*` entry; the `*_trained` variants add the k-means-trained
+  * quantizers ([[Similarity.trainIvfCentroids]],
+  * [[ProductQuant.trainPqCodebooks]], 5 Lloyd's iterations each) so the
+  * training benefit is visible in the same place. */
 object RecallReport {
 
-  def annRecall(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+  final case class AnnStat(recall: Double, candsPerQuery: Double)
+
+  def annRecall(spark: SparkSession, dir: String): Seq[(String, AnnStat)] = {
     val emb = Tables.load(spark, dir, "embeddings")
     val isQuery = expr(Similarity.isQuerySql)
     val isCent = expr(Similarity.isCentroidSql)
@@ -27,18 +34,46 @@ object RecallReport {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Similarity.bruteForceTopK(emb, isQuery))
+    val nQueries = truth.map(_._1).size.toDouble
+    val corpusN = Similarity.typedVecs(emb).count().toDouble
     def recall(df: DataFrame): Double =
       if (truth.isEmpty) 0.0
       else (pairs(df) & truth).size.toDouble / truth.size
+    def perQuery(scored: DataFrame): Double =
+      if (nQueries == 0) 0.0 else scored.count() / nQueries
+
+    val sampledCents = Similarity.sampledCentroids(emb, isCent)
+    val trainedCents = Similarity.collectCentroids(
+      Similarity.trainIvfCentroids(emb, isCent, iterations = 5))
+    val sampledCb = ProductQuant.buildCodebook(
+      sampledCents.map { case (id, v, _) => (id, v) })
+    val trainedCb = ProductQuant.trainPqCodebooks(emb, isCent, iterations = 5)
+
+    def ivf(cents: Array[(Long, Array[Double], Double)], nprobe: Int): AnnStat =
+      AnnStat(
+        recall(Similarity.ivfTopKWith(emb, isQuery, cents, Similarity.TopK, nprobe)),
+        perQuery(Similarity.ivfScoredWith(emb, isQuery, cents, nprobe)))
+    def ivfpq(cents: Array[(Long, Array[Double], Double)],
+              cb: Array[Array[(Array[Double], Double)]]): AnnStat =
+      AnnStat(
+        recall(ProductQuant.ivfpqTopKWith(emb, isQuery, cents, cb)),
+        perQuery(ProductQuant.ivfpqAdc(emb, isQuery, cents, cb,
+          ProductQuant.IvfPqNProbe)))
+
     Seq(
-      "lsh" -> recall(Similarity.lshTopK(emb, isQuery)),
-      s"ivf_nprobe${Similarity.NProbe}" ->
-        recall(Similarity.ivfTopK(emb, isQuery, isCent)),
-      s"ivf_nprobe${Similarity.NProbeWide}" ->
-        recall(Similarity.ivfTopK(emb, isQuery, isCent,
-          nprobe = Similarity.NProbeWide)),
-      "pq_sampled" -> recall(ProductQuant.pqTopK(emb, isQuery, isCent)),
-      "pq_trained" -> recall(ProductQuant.pqTopKTrained(emb, isQuery,
-        ProductQuant.trainPqCodebooks(emb, isCent, iterations = 5))))
+      "lsh" -> AnnStat(
+        recall(Similarity.lshTopK(emb, isQuery)),
+        perQuery(Similarity.lshScored(emb, isQuery))),
+      s"ivf_nprobe${Similarity.NProbe}" -> ivf(sampledCents, Similarity.NProbe),
+      s"ivf_nprobe${Similarity.NProbeWide}" -> ivf(sampledCents, Similarity.NProbeWide),
+      s"ivf_nprobe${Similarity.NProbeServe}" -> ivf(sampledCents, Similarity.NProbeServe),
+      s"ivf_trained_nprobe${Similarity.NProbeServe}" ->
+        ivf(trainedCents, Similarity.NProbeServe),
+      "pq_sampled" -> AnnStat(
+        recall(ProductQuant.pqTopK(emb, isQuery, isCent)), corpusN - 1),
+      "pq_trained" -> AnnStat(
+        recall(ProductQuant.pqTopKTrained(emb, isQuery, trainedCb)), corpusN - 1),
+      "ivfpq" -> ivfpq(sampledCents, sampledCb),
+      "ivfpq_trained" -> ivfpq(trainedCents, trainedCb))
   }
 }

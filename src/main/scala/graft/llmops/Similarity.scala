@@ -13,10 +13,11 @@ import Hashing._
   *    set is broadcast with precomputed norms; one kernel pass over the
   *    corpus scores every (query, vector) pair — the corpus is never
   *    collected, so the scan parallelizes across splits at 100 TB.
-  *  - Sign-LSH (random-hyperplane) bucketed top-k: the scale path.
-  *    A hyperplane-sign signature partitions the corpus; candidates are
-  *    only the query's bucket (IVF-style probe=1). Hyperplane components
-  *    are fixed ±1 constants (Hashing.hyperplaneSigns) embedded identically
+  *  - Multi-band sign-LSH top-k: the scale path. [[SimBands]] independent
+  *    hyperplane-sign signatures; a corpus vector is a candidate when it
+  *    collides with the query in ANY band (OR-amplification — the same
+  *    scheme as [[Dedup.embeddingPairs]]). Hyperplane components are
+  *    fixed ±1 constants (Hashing.hyperplaneSigns) embedded identically
   *    in the DuckDB oracle, so even the approximate path is hash-checkable.
   *
   * All dot products run in [[Kernels]] primitive loops folding
@@ -28,14 +29,41 @@ import Hashing._
 object Similarity {
 
   val TopK = 10
-  // 6 planes → 64 buckets: sized so buckets hold ~n/64 candidates at the
-  // fixture corpus size. At larger corpora raise NumPlanes (buckets should
-  // hold O(10·k) vectors) — the pipeline shape is unchanged.
-  val NumPlanes = 6
   val Dim = 64
-  val planes: IndexedSeq[IndexedSeq[Int]] = hyperplaneSigns(NumPlanes, Dim)
-  private val planeSigns: Array[Array[Double]] =
-    planes.map(_.map(_.toDouble).toArray).toArray
+
+  /** Multi-band OR-amplified sign-LSH for top-k SERVING — the same
+    * banding scheme as [[Dedup.embeddingPairs]] (a pair is a candidate
+    * when it collides in ANY band), tuned for the top-k regime instead
+    * of a fixed cosine threshold.
+    *
+    * The r10 single-signature path (one 6-plane AND) measured recall@10
+    * of 0.03: one conjunction of 6 hyperplanes keeps a cosine-0.35
+    * neighbor (this fixture's top-10 band — see the S-curve math at
+    * [[Dedup.EmbedBands]]) with probability p^6 ≈ 0.05, and there is no
+    * OR to recover it. 32 bands × 6 planes lift the any-band collision
+    * probability to 1−(1−p^6)^32 — measured recall@10 0.85 at the bench
+    * SF (0.73-0.77 at the smaller fixtures, gated in PlanSpec) while
+    * scoring ~40% of the corpus per query, a 2.5× exact-work cut. On
+    * harder (higher-cosine) neighbor distributions the same band count
+    * with more planes per band cuts far deeper — tune planes-per-band up
+    * with the target cosine, add bands to hold recall; the pipeline
+    * shape never changes.
+    *
+    * Serving cost note: the corpus-side band signatures are a pure
+    * function of the vector; a production deployment materializes them
+    * ONCE per corpus snapshot (they are 32 longs/vector) and each query
+    * batch pays only the bucket probe — the per-pass signature kernel
+    * here is the self-contained form of that artifact. */
+  val SimBands = 32
+  val SimPlanesPerBand = 6
+
+  /** Per-band ±1 hyperplane sets (seed distinct from [[Dedup]]'s and
+    * [[randomProject]]'s so the operators stay independent). */
+  val simBandPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] =
+    hyperplaneSigns(SimBands * SimPlanesPerBand, Dim, seed = 23L)
+      .grouped(SimPlanesPerBand).toIndexedSeq
+  private val simBandSigns: Array[Array[Array[Double]]] =
+    simBandPlanes.map(_.map(_.map(_.toDouble).toArray).toArray).toArray
 
   /** Driver-size cap on every broadcast-side collect in this file (query
     * sets, centroid tables). ~100k vectors × Dim doubles ≈ 50 MB — a
@@ -72,28 +100,59 @@ object Similarity {
   val vecFilterSql: String =
     s"vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $Dim"
 
-  /** Scored (query, neighbor) pairs: the query set (with norms and, when
-    * `bucketed`, LSH signatures) is broadcast; each corpus partition scores
-    * its vectors against every query in a primitive loop. */
-  private def scoredPairs(emb: DataFrame, isQuery: Column, bucketed: Boolean): DataFrame = {
+  /** Scored (query, neighbor) pairs: the query set (with norms) is
+    * broadcast; each corpus partition scores its vectors against every
+    * query in a primitive loop. */
+  private def scoredPairs(emb: DataFrame, isQuery: Column): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val signs = planeSigns
     val e = typedVecs(emb)
-    val queries: Array[(Long, Array[Double], Double, Long)] =
+    val queries: Array[(Long, Array[Double], Double)] =
+      collectCapped(e.filter(isQuery).as[(Long, Array[Double])], "ANN query set")
+        .map { case (id, v) => (id, v, Kernels.norm(v)) }
+    val bc = spark.sparkContext.broadcast(queries)
+    e.as[(Long, Array[Double])].mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (id, v) =>
+        val nrm = Kernels.norm(v)
+        qs.iterator
+          .filter { case (qid, _, _) => qid != id }
+          .map { case (qid, qv, qn) =>
+            (qid, id, Kernels.dot(qv, v) / (qn * nrm))
+          }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+  }
+
+  /** Multi-band LSH candidate scoring: a corpus vector is scored against
+    * a query iff their 6-plane signatures agree in AT LEAST ONE of the 32
+    * bands (OR-amplification — see [[SimBands]]). One narrow kernel pass;
+    * each surviving pair is scored exactly once. */
+  private[llmops] def lshScored(emb: DataFrame, isQuery: Column): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bands = simBandSigns
+    val e = typedVecs(emb)
+    val queries: Array[(Long, Array[Double], Double, Array[Long])] =
       collectCapped(e.filter(isQuery).as[(Long, Array[Double])], "ANN query set")
         .map { case (id, v) =>
-          (id, v, Kernels.norm(v), Kernels.lshSignature(v, signs))
+          (id, v, Kernels.norm(v),
+            Array.tabulate(bands.length)(k => Kernels.lshSignature(v, bands(k))))
         }
     val bc = spark.sparkContext.broadcast(queries)
     e.as[(Long, Array[Double])].mapPartitions { it =>
       val qs = bc.value
       it.flatMap { case (id, v) =>
         val nrm = Kernels.norm(v)
-        val sig = if (bucketed) Kernels.lshSignature(v, signs) else 0L
+        val sig = Array.tabulate(bands.length)(k => Kernels.lshSignature(v, bands(k)))
         qs.iterator
           .filter { case (qid, _, _, qsig) =>
-            qid != id && (!bucketed || qsig == sig)
+            qid != id && {
+              var k = 0
+              var hit = false
+              while (!hit && k < sig.length) { hit = qsig(k) == sig(k); k += 1 }
+              hit
+            }
           }
           .map { case (qid, qv, qn, _) =>
             (qid, id, Kernels.dot(qv, v) / (qn * nrm))
@@ -116,11 +175,12 @@ object Similarity {
 
   /** Brute-force cosine top-k: every query vector against the full corpus. */
   def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int = TopK): DataFrame =
-    rankTopK(scoredPairs(emb, isQuery, bucketed = false), k)
+    rankTopK(scoredPairs(emb, isQuery), k)
 
-  /** LSH-bucketed approximate top-k: rank only within the query's bucket. */
+  /** Multi-band LSH approximate top-k: rank only the any-band-collision
+    * candidates (OR-amplified — see [[SimBands]] for the recall math). */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int = TopK): DataFrame =
-    rankTopK(scoredPairs(emb, isQuery, bucketed = true), k)
+    rankTopK(lshScored(emb, isQuery), k)
 
   // ---------------------------------------------------------------- IVF
 
@@ -144,21 +204,21 @@ object Similarity {
     * pass over the corpus — no shuffle, no driver collect of the corpus.
     * Candidate work per query drops from n to ~nprobe·n/nlist. */
   def ivfTopK(emb: DataFrame, isQuery: Column, isCentroid: Column,
-              k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val e = typedVecs(emb)
-    val cents: Array[(Long, Array[Double], Double)] =
-      collectCapped(e.filter(isCentroid).as[(Long, Array[Double])], "IVF centroid set")
-        .map { case (id, v) => (id, v, Kernels.norm(v)) }
-        .sortBy(_._1) // id-ascending: assignCentroid's tie-break contract
-    ivfTopKWith(emb, isQuery, cents, k, nprobe)
-  }
+              k: Int = TopK, nprobe: Int = NProbe): DataFrame =
+    ivfTopKWith(emb, isQuery, sampledCentroids(emb, isCentroid), k, nprobe)
 
   /** Shared IVF probe/score path over an in-memory centroid set. */
-  private def ivfTopKWith(emb: DataFrame, isQuery: Column,
+  private[llmops] def ivfTopKWith(emb: DataFrame, isQuery: Column,
                           cents: Array[(Long, Array[Double], Double)],
-                          k: Int, nprobe: Int): DataFrame = {
+                          k: Int, nprobe: Int): DataFrame =
+    rankTopK(ivfScoredWith(emb, isQuery, cents, nprobe), k)
+
+  /** IVF candidate scoring (pre-rank): exact cosines for every member of
+    * the query's `nprobe` nearest cells — exposed so [[RecallReport]] can
+    * count candidate work next to recall. */
+  private[llmops] def ivfScoredWith(emb: DataFrame, isQuery: Column,
+                                    cents: Array[(Long, Array[Double], Double)],
+                                    nprobe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     require(cents.nonEmpty, "IVF needs at least one centroid")
@@ -175,7 +235,7 @@ object Similarity {
       }
     val bcC = spark.sparkContext.broadcast(cents)
     val bcQ = spark.sparkContext.broadcast(queries)
-    val scored = e.as[(Long, Array[Double])].mapPartitions { it =>
+    e.as[(Long, Array[Double])].mapPartitions { it =>
       val cs = bcC.value
       val qs = bcQ.value
       it.flatMap { case (id, v) =>
@@ -186,7 +246,18 @@ object Similarity {
           .map { case (qid, qv, qn, _) => (qid, id, Kernels.dot(qv, v) / (qn * nrm)) }
       }
     }.toDF("query_id", "neighbor_id", "cos")
-    rankTopK(scored, k)
+  }
+
+  /** Collected centroid artifact for the sampled predicate — shared by
+    * [[ivfTopK]] and the composed IVF+PQ path ([[ProductQuant.ivfpqTopK]]). */
+  private[llmops] def sampledCentroids(emb: DataFrame, isCentroid: Column)
+      : Array[(Long, Array[Double], Double)] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    collectCapped(typedVecs(emb).filter(isCentroid).as[(Long, Array[Double])],
+        "IVF centroid set")
+      .map { case (id, v) => (id, v, Kernels.norm(v)) }
+      .sortBy(_._1) // id-ascending: assignCentroid's tie-break contract
   }
 
   // ------------------------------------------------------- k-means trainer
@@ -257,30 +328,31 @@ object Similarity {
     * [[ivfTopK]], centroids broadcast from the artifact instead of
     * sampled from the corpus. */
   def ivfTopKTrained(emb: DataFrame, isQuery: Column, centroids: DataFrame,
-                     k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
-    val spark = emb.sparkSession
+                     k: Int = TopK, nprobe: Int = NProbe): DataFrame =
+    ivfTopKWith(emb, isQuery, collectCentroids(centroids), k, nprobe)
+
+  /** Collect a (cid, centroid) artifact table ([[trainIvfCentroids]]
+    * output) into the in-memory form the probe/score kernels take. */
+  private[llmops] def collectCentroids(centroids: DataFrame)
+      : Array[(Long, Array[Double], Double)] = {
+    val spark = centroids.sparkSession
     import spark.implicits._
-    val cents: Array[(Long, Array[Double], Double)] =
-      collectCapped(centroids.select(col("cid").cast("long"),
-          col("centroid").cast("array<double>")).as[(Long, Array[Double])],
-          "trained centroid table")
-        .map { case (id, v) => (id, v, Kernels.norm(v)) }
-        .sortBy(_._1)
-    ivfTopKWith(emb, isQuery, cents, k, nprobe)
+    collectCapped(centroids.select(col("cid").cast("long"),
+        col("centroid").cast("array<double>")).as[(Long, Array[Double])],
+        "trained centroid table")
+      .map { case (id, v) => (id, v, Kernels.norm(v)) }
+      .sortBy(_._1)
   }
 
-  /** DuckDB fragment for the sign-LSH signature over list column `v`.
+  /** DuckDB fragment for a sign-LSH signature over list column `v`.
     *
     * The projection is written as an explicit left-associated chain
     * `(0.0 + v[1] - v[2] + ...)` — NOT `list_dot_product` — so the FP
     * summation order is exactly the kernel's left fold (((0+p1)+p2)+...).
     * With ±1 weights every product is exact, so the two engines'
     * projections are bit-identical and the sign bit can never disagree,
-    * even when a projection is within double noise of zero. */
-  def signatureSql(vCol: String): String = signatureSqlFor(planes, vCol)
-
-  /** Same fragment for an arbitrary hyperplane set (multi-band callers
-    * pass one slice per band). */
+    * even when a projection is within double noise of zero. Multi-band
+    * callers pass one hyperplane slice per band. */
   def signatureSqlFor(ps: Seq[Seq[Int]], vCol: String): String =
     ps.zipWithIndex.map { case (plane, j) =>
       val chain = plane.zipWithIndex.map { case (s, i) =>
@@ -315,23 +387,41 @@ object Similarity {
   def qLsh(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql))
 
-  val qLshSql: String =
+  /** Banded oracle mirror of [[lshTopK]]: the same per-band ±1 signature
+    * chains ([[signatureSqlFor]], bit-identical projections), candidates
+    * as a DISTINCT any-band equi-join, then the exact-cosine rank. */
+  val qLshSql: String = {
+    val sigCols = simBandPlanes.zipWithIndex.map { case (ps, k) =>
+      s"${signatureSqlFor(ps, "v")} AS s$k"
+    }.mkString(",\n             ")
+    val bandRows = simBandPlanes.indices.map { k =>
+      s"SELECT vec_id, $k AS band, s$k AS sig FROM n"
+    }.mkString("\n  UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |           WHERE $vecFilterSql),
-       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-       |             ${signatureSql("v")} AS sig
-       |      FROM e),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |             $sigCols
+       |  FROM e),
+       |bands AS MATERIALIZED (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bands q JOIN bands c ON q.band = c.band AND q.sig = c.sig
+       |  WHERE q.$isQuerySql AND c.vec_id <> q.vec_id),
        |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  SELECT cd.query_id, cd.neighbor_id,
        |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
-       |  FROM n q JOIN n c ON q.sig = c.sig AND q.vec_id <> c.vec_id
-       |  WHERE q.$isQuerySql),
+       |  FROM cand cd
+       |  JOIN n q ON q.vec_id = cd.query_id
+       |  JOIN n c ON c.vec_id = cd.neighbor_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
        |FROM ranked WHERE rank <= $TopK""".stripMargin
+  }
 
   // ~17 centroids at the 500-vector fixture (≈sqrt(n) inverted lists);
   // any deterministic predicate works — at real scale this is the trained
@@ -348,6 +438,16 @@ object Similarity {
     * cells is still a ~4× cut over brute force at the fixture size, and
     * n/nlist·nprobe at scale. */
   val NProbeWide = 4
+
+  /** Recall-grade probe width for the side-channel report: on this
+    * fixture's near-isotropic 64-dim embeddings (true top-10 at cosine
+    * ~0.30-0.45), cells are weakly informative, so serving-grade recall
+    * needs a wide probe — 16 of ~69 cells scans ~23% of the corpus and
+    * measures recall@10 0.56 sampled / 0.68 trained at the bench SF. The
+    * [[RecallReport]] prints candidate cost NEXT TO recall so the trade
+    * is explicit; clustered production corpora sit far left of this
+    * curve (more cells, fewer probes for the same recall). */
+  val NProbeServe = 16
 
   def qIvfNprobe(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql),

@@ -98,15 +98,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.last === 1.0, s"probing all $nlist cells must be exact: $recalls")
   }
 
-  test("annRecall side-channel: every index variant reports a sane recall") {
+  test("annRecall side-channel: recall floors and candidate-cost honesty") {
     val got = graft.llmops.RecallReport.annRecall(spark, sf).toMap
     assert(got.keySet === Set("lsh", "ivf_nprobe2", "ivf_nprobe4",
-      "pq_sampled", "pq_trained"))
-    got.foreach { case (k, v) =>
-      assert(v >= 0.0 && v <= 1.0, s"$k recall $v out of range") }
+      "ivf_nprobe16", "ivf_trained_nprobe16", "pq_sampled", "pq_trained",
+      "ivfpq", "ivfpq_trained"))
+    val n = emb.count().toDouble
+    got.foreach { case (k, s) =>
+      assert(s.recall >= 0.0 && s.recall <= 1.0, s"$k recall ${s.recall} out of range")
+      assert(s.candsPerQuery >= 0.0 && s.candsPerQuery <= n - 1,
+        s"$k cands_per_query ${s.candsPerQuery} out of [0, ${n - 1}]")
+    }
     // widening the probe set can only add candidates
-    assert(got("ivf_nprobe4") >= got("ivf_nprobe2"),
+    assert(got("ivf_nprobe4").recall >= got("ivf_nprobe2").recall,
       s"nprobe recall fell: $got")
+    assert(got("ivf_nprobe16").recall >= got("ivf_nprobe4").recall,
+      s"nprobe recall fell: $got")
+    // RECALL FLOORS — the r10 verdict's "ANN serving weak" regression
+    // gates. The fixture, planes, and sampled quantizers are fully
+    // deterministic, so sampled-path recalls are exact constants
+    // (measured r11: lsh 0.73, ivf16 0.97, ivfpq 0.70 at this SF);
+    // trained paths go through shuffle-order FP means, so their floors
+    // keep a wider margin. A parameter change that collapses retrieval
+    // (the r10 single-signature LSH measured 0.03) fails here loudly.
+    assert(got("lsh").recall >= 0.6, s"multi-band LSH recall collapsed: $got")
+    assert(got("ivf_nprobe16").recall >= 0.9, s"serve-width IVF recall fell: $got")
+    assert(got("ivf_trained_nprobe16").recall >= 0.8,
+      s"trained IVF recall fell: $got")
+    assert(got("ivfpq").recall >= 0.55, s"IVF-ADC+rerank recall fell: $got")
+    assert(got("ivfpq_trained").recall >= 0.3, s"trained IVF-ADC recall fell: $got")
+    // COST HONESTY — recall may never be bought with a hidden full scan:
+    // every pruning index must score strictly fewer candidates than
+    // brute force (pure PQ is exempt by design: it compresses, scans all)
+    Seq("lsh", "ivf_nprobe16", "ivf_trained_nprobe16", "ivfpq", "ivfpq_trained")
+      .foreach { k =>
+        assert(got(k).candsPerQuery < n - 1,
+          s"$k scored the whole corpus (${got(k).candsPerQuery} of ${n - 1})")
+      }
   }
 
   test("randomProject: exact integer components; JL distances track originals") {
