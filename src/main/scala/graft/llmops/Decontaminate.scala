@@ -87,25 +87,48 @@ object Decontaminate {
     * fraction of its shingles); a ≥`minSpanTokens` exact run cannot
     * hide.
     *
-    * Shape at 100 TB: the benchmark's POSITIONED shingles broadcast
-    * (guarded); the corpus side is one narrow positioned-shingle pass +
-    * a broadcast hash join, so the corpus never shuffles to find hits —
-    * only HIT rows (collisions, benchmark-bounded) shuffle into the
-    * (doc, bench_doc, diagonal) run-merge window. Output:
+    * Shape at 100 TB: the benchmark's POSITIONED shingles are collected
+    * in ONE capped pass (the [[graft.llmops.Similarity.collectCapped]]
+    * pattern: `limit(cap+1)` bounds the transfer itself, and the same
+    * pass both validates the cap and becomes the broadcast side — no
+    * separate count job, no second benchmark scan); the corpus side is
+    * one narrow positioned-shingle pass + a broadcast hash join against
+    * the collected rows. An `occCap` on corpus-side shingle FREQUENCY
+    * (the [[Dedup.SubstrOccCap]] rule, mirrored in the oracle) drops
+    * boilerplate shingles before the join, bounding the hit fan-out of a
+    * stop-word-like 8-gram to occCap·|bench occurrences| — the cap's
+    * frequency aggregate is the one corpus shuffle, and it moves only
+    * map-combined (h, count) longs, never text. Hit rows then shuffle
+    * into the (doc, bench_doc, diagonal) run-merge window, whose groups
+    * are bounded by doc length. Trade to know: a shingle replicated in
+    * MORE than occCap corpus docs is dropped even if it is genuine
+    * contamination — raise occCap (or pre-dedup the corpus) when hunting
+    * mass-pasted benchmark answers. Output:
     * (doc_id, bench_id, span_tokens), spans ≥ `minSpanTokens`. */
   def contaminationSpans(docs: DataFrame, benchmark: DataFrame,
                          k: Int = Dedup.SubstrK,
                          minSpanTokens: Int = MinSpanTokens,
-                         maxBenchShingles: Long = MaxBenchmarkShingles): DataFrame = {
+                         maxBenchShingles: Long = MaxBenchmarkShingles,
+                         occCap: Int = Dedup.SubstrOccCap): DataFrame = {
     require(minSpanTokens >= k,
       s"minSpanTokens ($minSpanTokens) must be >= shingle width ($k)")
-    val bench = Dedup.positionedShingles(benchmark, k)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val capInt = math.min(maxBenchShingles, Int.MaxValue - 1L).toInt
+    val benchRows: Array[(Long, Long, Long)] = Dedup.positionedShingles(benchmark, k)
       .select(col("doc_id").as("bench_id"), col("pos").as("b_pos"), col("h"))
-    val benchCount = bench.count()
-    require(benchCount <= maxBenchShingles,
-      s"benchmark has $benchCount positioned shingles > $maxBenchShingles; " +
+      .as[(Long, Long, Long)]
+      .limit(capInt + 1).collect()
+    require(benchRows.length <= capInt,
+      s"benchmark has more than $capInt positioned shingles; " +
         "too large to broadcast — swap the sides or pre-filter the benchmark")
-    val hits = Dedup.positionedShingles(docs, k)
+    val bench = spark.createDataset(benchRows.toIndexedSeq)
+      .toDF("bench_id", "b_pos", "h")
+    val corpus = Dedup.positionedShingles(docs, k)
+    val kept = corpus.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= occCap).select(col("h"))
+    val hits = corpus
+      .join(kept, Seq("h"))
       .join(broadcast(bench), Seq("h"))
       .filter(col("doc_id") =!= col("bench_id"))
       .select(col("doc_id"), col("bench_id"), col("pos"),
@@ -170,9 +193,11 @@ object Decontaminate {
        |bench AS MATERIALIZED (
        |  SELECT doc_id AS bench_id, pos AS b_pos, h FROM s
        |  WHERE ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 20 = 0),
+       |keep AS MATERIALIZED (
+       |  SELECT h FROM s GROUP BY h HAVING count(*) <= ${Dedup.SubstrOccCap}),
        |hits AS (
        |  SELECT s.doc_id, b.bench_id, s.pos, s.pos - b.b_pos AS diag
-       |  FROM s JOIN bench b USING (h)
+       |  FROM s JOIN keep USING (h) JOIN bench b USING (h)
        |  WHERE s.doc_id <> b.bench_id),
        |runs AS (
        |  SELECT doc_id, bench_id, diag,

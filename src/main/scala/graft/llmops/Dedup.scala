@@ -848,37 +848,81 @@ object Dedup {
     * feeds both search and dedup. The within-cell pair join shuffles
     * each vector once on its cell id and compares cell-mates only:
     * O(Σ cell²) pair work, tuned by centroid count (√n cells ⇒ ~n^1.5
-    * comparisons spread across executors; at production scale swap the
-    * sampled predicate for [[Similarity.trainIvfCentroids]] output).
-    * The assignment frame feeds three consumers (two pair-join sides +
-    * the keep-list), so the narrow kernel re-runs per consumer in this
-    * self-contained form — a production pipeline materializes
-    * (vec_id, cell_id) once as a warehouse table (the SemDeDup cluster
-    * artifact) and scores from it. Cross-cell near-dups are the recall
-    * loss SemDeDup accepts by design.
+    * comparisons spread across executors; [[semanticDedupTrained]] is
+    * the production form over [[Similarity.trainIvfCentroids]] output).
+    * The (vec_id, cell_id) assignment materializes ONCE
+    * ([[cellAssignments]] → checkpoint or warehouse table) and every
+    * consumer scans the materialized rows; a loud [[MaxCellRows]] guard
+    * rejects degenerate hot cells before any quadratic work runs.
+    * Cross-cell near-dups are the recall loss SemDeDup accepts by
+    * design.
     *
     * Output: (vec_id, cell_id, keep) for EVERY valid vector — the
     * keep-list form downstream mixture/packing stages consume. */
-  def semanticDedup(emb: DataFrame, isCentroid: Column,
-                    threshold: Double = CosineThreshold): DataFrame = {
+  /** Per-cell population cap for [[semanticDedupFrom]]: the within-cell
+    * self-join is O(cell²), so one degenerate cell (a dead-embedding
+    * cluster — zero vectors, boilerplate pages all quantizing to the
+    * same centroid) would make the stage quadratic at corpus scale. 1e5
+    * rows bounds a cell's pair work to ~5e9 comparisons spread across
+    * the cell's partitions — the loud-fail ceiling, far above any
+    * healthy √n-cell layout (n/√n ≈ √n rows per cell). Over-cap cells
+    * need more centroids (or a recursive split), not a silent grind. */
+  val MaxCellRows = 100000L
+
+  /** The SemDeDup cluster-assignment artifact: (vec_id, cell_id), one
+    * narrow kernel pass over the corpus (same [[Kernels.assignCentroid]]
+    * tie-breaks as IVF, so SemDeDup and IVF can share a trained
+    * quantizer). A production pipeline writes THIS frame to a warehouse
+    * table once per corpus snapshot and serves every downstream consumer
+    * from it; [[semanticDedup]] materializes it per call via
+    * `localCheckpoint` for the self-contained form. */
+  def cellAssignments(emb: DataFrame,
+                      cents: Array[(Long, Array[Double], Double)]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = Similarity.typedVecs(emb)
-    val cents = Similarity.collectCapped(
-        e.filter(isCentroid).as[(Long, Array[Double])], "semantic dedup centroids")
-      .map { case (id, v) => (id, v, Kernels.norm(v)) }
-      .sortBy(_._1)
-    require(cents.nonEmpty, "semantic dedup centroid predicate selected no rows")
+    require(cents.nonEmpty, "semantic dedup centroid set is empty")
     val bc = spark.sparkContext.broadcast(cents)
-    val assigned = e.as[(Long, Array[Double])].mapPartitions { rows =>
+    Similarity.typedVecs(emb).as[(Long, Array[Double])].mapPartitions { rows =>
       val cs = bc.value
-      rows.map { case (id, v) =>
-        val nrm = Kernels.norm(v)
-        (id, Kernels.assignCentroid(v, nrm, cs), v, nrm)
-      }
-    }.toDF("vec_id", "cell_id", "v", "nrm")
-    val dups = assigned
-      .join(assigned.select(col("cell_id"), col("vec_id").as("b_id"),
+      rows.map { case (id, v) => (id, Kernels.assignCentroid(v, Kernels.norm(v), cs)) }
+    }.toDF("vec_id", "cell_id")
+  }
+
+  /** [[cellAssignments]] over a (cid, centroid) quantizer table —
+    * [[Similarity.trainIvfCentroids]] output plugs in directly. */
+  def cellAssignments(emb: DataFrame, centroids: DataFrame): DataFrame =
+    cellAssignments(emb, Similarity.collectCentroids(centroids))
+
+  /** SemDeDup scoring from a materialized assignment frame — vectors
+    * re-attach via ONE equi-join (both pair-join sides derive from the
+    * same join-on-cell exchange, which Spark's ReuseExchange computes
+    * once); the keep-list re-reads only the narrow assignment frame.
+    * The assignment kernel itself never appears in this plan — it ran
+    * when `assign` was materialized (spec-gated in LlmopsSpec).
+    *
+    * Fails loudly if any cell exceeds `maxCellRows` BEFORE the quadratic
+    * join executes (one cheap aggregate over the narrow assignment
+    * frame — at 100 TB the assignment is a warehouse table, so this is
+    * a metadata-cheap scan, not a corpus pass). */
+  def semanticDedupFrom(emb: DataFrame, assign: DataFrame,
+                        threshold: Double = CosineThreshold,
+                        maxCellRows: Long = MaxCellRows): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val hot = assign.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cell_id")).limit(1).collect()
+    hot.foreach { r =>
+      require(r.getLong(1) <= maxCellRows,
+        s"semantic dedup cell ${r.getLong(0)} holds ${r.getLong(1)} vectors " +
+          s"> $maxCellRows cap — the within-cell join would be quadratic; " +
+          "train more centroids (or split the hot cell) instead")
+    }
+    val vecs = Similarity.typedVecs(emb).as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, v, Kernels.norm(v)) })
+      .toDF("vec_id", "v", "nrm")
+    val withVec = assign.join(vecs, Seq("vec_id"))
+    val dups = withVec
+      .join(withVec.select(col("cell_id"), col("vec_id").as("b_id"),
         col("v").as("bv"), col("nrm").as("bnrm")), Seq("cell_id"))
       .filter(col("b_id") < col("vec_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("bv"), col("bnrm"))
@@ -888,10 +932,33 @@ object Dedup {
           if (Kernels.dot(va, vb) / (na * nb) >= threshold) Some(id) else None
         }
       }.toDF("vec_id").distinct()
-    assigned.select(col("vec_id"), col("cell_id"))
+    assign.select(col("vec_id"), col("cell_id"))
       .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell_id"), col("dup").isNull.as("keep"))
   }
+
+  def semanticDedup(emb: DataFrame, isCentroid: Column,
+                    threshold: Double = CosineThreshold): DataFrame =
+    semanticDedupWith(emb, Similarity.sampledCentroids(emb, isCentroid), threshold)
+
+  /** SemDeDup over a TRAINED coarse quantizer — the production path: the
+    * (cid, centroid) table from [[Similarity.trainIvfCentroids]] plugs in
+    * directly, so dedup cells and IVF inverted lists share one quantizer
+    * artifact (spec-gated: LlmopsSpec runs both from the same table). */
+  def semanticDedupTrained(emb: DataFrame, centroids: DataFrame,
+                           threshold: Double = CosineThreshold): DataFrame =
+    semanticDedupWith(emb, Similarity.collectCentroids(centroids), threshold)
+
+  private def semanticDedupWith(emb: DataFrame,
+                                cents: Array[(Long, Array[Double], Double)],
+                                threshold: Double): DataFrame =
+    // localCheckpoint: the assignment kernel runs ONCE; the pair join and
+    // keep-list scan the checkpointed (vec_id, cell_id) rows. The narrow
+    // checkpoint stays persisted (the returned lazy frame scans it; see
+    // duplicateClusters for the same trade) — long-lived pipelines should
+    // write cellAssignments to a warehouse table and serve
+    // semanticDedupFrom from that artifact instead.
+    semanticDedupFrom(emb, cellAssignments(emb, cents).localCheckpoint(), threshold)
 
   /** Same assignment (cosine argmax, ties to smaller cid — the IVF
     * oracle's fragment) and same raw-cosine threshold in DuckDB. */

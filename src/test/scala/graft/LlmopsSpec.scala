@@ -221,6 +221,46 @@ class LlmopsSpec extends AnyFunSuite {
       s"ratio test unexpectedly flagged doc 1: $ratio")
   }
 
+  test("contaminationSpans: corpus-side occ cap drops boilerplate shingles before the join") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val answer = words("ans", 15)
+    val bench = Seq((100L, answer.mkString(" "))).toDF("doc_id", "text")
+    // the answer pasted into FOUR corpus docs: every answer shingle has
+    // corpus frequency 4
+    val docs = (1L to 4L).map(i =>
+      (i, (words(s"body$i", 30) ++ answer ++ words(s"tail$i", 30)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val wide = graft.llmops.Decontaminate.contaminationSpans(docs, bench, occCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(wide === (1L to 4L).map(i => (i, 100L) -> 15L).toMap)
+    // occCap=3 < frequency 4: the boilerplate shingles are pruned before
+    // pair generation — the skew-bound trade documented on the operator
+    val capped = graft.llmops.Decontaminate.contaminationSpans(docs, bench, occCap = 3)
+    assert(capped.count() === 0)
+  }
+
+  test("contaminationSpans: benchmark side is one capped collect, never re-scanned") {
+    // the broadcast side must come from the pre-collected rows (a
+    // LocalTableScan), so the executed plan reads parquet only for the
+    // corpus: the shingle pass + the occ-cap aggregate = 2 file scans,
+    // and an oversized benchmark fails with the cap named (the capped
+    // `limit(cap+1)` collect — not an executor OOM, not a count job)
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val df = graft.llmops.Decontaminate.contaminationSpans(docs, bench)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"bench side not served from the collected rows:\n${plan.take(1500)}")
+    assert("FileScan parquet".r.findAllIn(plan).size <= 2,
+      s"benchmark re-scanned from parquet:\n${plan.take(1500)}")
+    val ex = intercept[IllegalArgumentException] {
+      graft.llmops.Decontaminate.contaminationSpans(docs, bench, maxBenchShingles = 5)
+    }
+    assert(ex.getMessage.contains("too large to broadcast"))
+  }
+
   test("substringOverlapPairs: exact shared runs measured; scattered shingles below threshold ignored") {
     import spark.implicits._
     def words(prefix: String, n: Int): Seq[String] =
@@ -261,6 +301,68 @@ class LlmopsSpec extends AnyFunSuite {
     assert(got === Map(
       1L -> ((1L, true)), 2L -> ((1L, false)), 4L -> ((1L, true)),
       3L -> ((3L, true)), 5L -> ((3L, false))))
+  }
+
+  test("semanticDedup: a degenerate hot cell fails loudly before any quadratic work") {
+    // one centroid = every vector quantizes to one cell (the
+    // dead-embedding pathology); the MaxCellRows guard must name the
+    // cell and its population instead of grinding O(n^2)
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val oneCent = graft.llmops.Similarity.trainIvfCentroids(
+      emb, expr("vec_id = 3"), iterations = 0)
+    val assign = Dedup.cellAssignments(emb, oneCent)
+    val n = emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+      size(col("embedding")) === graft.llmops.Similarity.Dim).count()
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.semanticDedupFrom(emb, assign, maxCellRows = n - 1)
+    }
+    assert(ex.getMessage.contains("cell 3"))
+    assert(ex.getMessage.contains(s"holds $n vectors"))
+    // at the default cap the same single-cell layout is merely slow at
+    // fixture scale — it must run, not trip (cap is for corpus scale)
+    assert(Dedup.semanticDedupFrom(emb, assign).count() === n)
+  }
+
+  test("semanticDedup plan materializes the assignment kernel once") {
+    // the self-contained form checkpoints (vec_id, cell_id): the final
+    // plan must scan the checkpointed rows (ExistingRDD) and read the
+    // embeddings parquet at most twice (the norm-attach join sides,
+    // usually deduped by ReuseExchange) — NOT once per assignment
+    // consumer as in r10, where the assignment kernel re-ran 3x and each
+    // run re-scanned the corpus
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val out = Dedup.semanticDedup(emb, expr("vec_id % 29 = 3"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"assignment checkpoint missing:\n$plan")
+    val parquetScans = "FileScan parquet".r.findAllIn(plan).size
+    assert(parquetScans <= 2,
+      s"embeddings parquet scanned $parquetScans times — assignment kernel re-running?\n$plan")
+  }
+
+  test("semanticDedup and IVF serving share one trained quantizer artifact") {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val S = graft.llmops.Similarity
+    val trained = S.trainIvfCentroids(emb, expr("vec_id % 29 = 3"), iterations = 2)
+    val cids = trained.select("cid").collect().map(_.getLong(0)).toSet
+    val got = Dedup.semanticDedupTrained(emb, trained)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length === emb.filter(col("vec_id").isNotNull &&
+      col("embedding").isNotNull && size(col("embedding")) === S.Dim).count())
+    assert(got.map(_._2).toSet.subsetOf(cids),
+      "dedup cells must be the trained quantizer's cells")
+    // the smallest-id member of every cell has no smaller cell-mate, so
+    // it can never be pruned — a wrong-direction comparison fails here
+    got.groupBy(_._2).foreach { case (cell, members) =>
+      val anchor = members.minBy(_._1)
+      assert(anchor._3, s"cell $cell pruned its smallest-id member $anchor")
+    }
+    // and the cells agree with IVF's assignment kernel on the same table
+    val assign = Dedup.cellAssignments(emb, trained)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, cell, _) =>
+      assert(assign(id) === cell, s"vec $id: dedup cell $cell != IVF cell ${assign(id)}")
+    }
   }
 
   test("duplicateClusters labels every chain with its minimum id") {
