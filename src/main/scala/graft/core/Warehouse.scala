@@ -523,9 +523,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * assumption, with a CAS re-base guard — a compacted group lands only
     * if EVERY fragment it read is still live at commit time; a group
     * superseded by a concurrent writer keeps the writer's fragments (the
-    * compaction of that group is abandoned, never resurrecting stale
-    * data). Returns the partition values compacted (empty = nothing to
-    * do, no commit written). */
+    * compaction of that group is abandoned — its output files are
+    * best-effort-deleted, since no commit references them — never
+    * resurrecting stale data). Returns the partition values that
+    * actually LANDED (CAS survivors only; empty = nothing to do, no
+    * commit written), so callers can retry abandoned groups. */
   def compact(dataset: String, table: String,
               targetBytes: Long = 128L << 20): Seq[String] = {
     require(targetBytes > 0, "targetBytes must be positive")
@@ -565,6 +567,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
     val replaced: Map[String, Set[String]] =
       plan.map { case (part, es, _) => part -> es.map(_.path).toSet }.toMap
+    // `compute` may re-run on a lost CAS race — the LAST invocation is the
+    // one whose result was committed, so capture its survivor set
+    @volatile var committed: Seq[SnapshotLog.Entry] = Seq.empty
     lg.commitWithSchema("compact", cur2 => {
       val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
       val liveByPart = live.groupBy(_.partition)
@@ -573,12 +578,31 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         replaced(ne.partition).subsetOf(
           liveByPart.getOrElse(ne.partition, Seq.empty).map(_.path).toSet)
       }
+      committed = valid
       val validParts = valid.map(_.partition).toSet
       live.filterNot(e =>
         validParts(e.partition) && replaced(e.partition)(e.path)) ++ valid
     }, cur2 => cur2.flatMap(_.schemaDdl).orElse(cur.schemaDdl))
-    plan.map(_._1)
+    // groups the CAS guard abandoned: their freshly written files are
+    // referenced by NO commit — invisible to vacuum's retention
+    // accounting — so best-effort-delete them here instead of orphaning
+    val committedPaths = committed.map(_.path).toSet
+    newEntries.filterNot(e => committedPaths(e.path)).foreach { e =>
+      deleteRecursive(td.resolve(e.path))
+    }
+    if (committed.size < newEntries.size && Files.isDirectory(frag) &&
+        !Files.list(frag).iterator().hasNext)
+      Files.delete(frag)
+    // report ONLY the partitions that actually landed: a caller retrying
+    // abandoned groups must see them as not-compacted
+    committed.map(_.partition).sorted
   }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+    }
 
   /** Clustering rewrite (admin/clustering.py:22-57 semantics): BigQuery
     * re-clusters with an `UPDATE ... WHERE partition-filter` no-op rewrite;

@@ -88,6 +88,56 @@ object EngineQueries {
       |   OR (o_orderdate < TIMESTAMP '1996-01-01' AND o_orderkey % 97 <> 0
       |       AND o_orderstatus = 'F')""".stripMargin
 
+  // ----------------------------------------------------------- q53 compact
+
+  /** Small-file compaction + vacuum, end-to-end oracle-gated: orders
+    * land as three per-status fragment appends (the hot-append shape
+    * compaction exists to fix), compact into target-sized files, and
+    * vacuum reclaims the superseded fragments past retention. Two phases
+    * hash-check against the SAME DuckDB aggregate:
+    *  - `pre_vacuum_v3` reads the pre-compaction version through the
+    *    snapshot log AFTER the compact commit (time travel intact:
+    *    compaction rewrites references, never data files);
+    *  - `post_vacuum` reads the current table AFTER vacuum deleted the
+    *    old fragments (vacuum never touches files the live commit
+    *    references).
+    * The pre-vacuum read is collected eagerly — its files are gone once
+    * vacuum runs — and both phases must equal the full raw table. */
+  def q53Compact(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_cmp"))
+    val orders = Tables.load(spark, dir, "orders")
+    wh.overwrite("mart", "ocmp", orders.filter(col("o_orderstatus") === "F"))
+    wh.append("mart", "ocmp", orders.filter(col("o_orderstatus") === "O"))
+    wh.append("mart", "ocmp", orders.filter(col("o_orderstatus") === "P"))
+    val compacted = wh.compact("mart", "ocmp")
+    require(compacted == Seq(""),
+      s"three appended fragments must compact, got $compacted")
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(phase).as("phase"), col("status"), col("n"), col("total"))
+    val pre = agg(wh.readVersion("mart", "ocmp", 3), "pre_vacuum_v3")
+    val preRows = pre.collect().toSeq
+    val removed = wh.log("mart", "ocmp")
+      .vacuum(retainMillis = 0, nowMillis = System.currentTimeMillis() + 1000)
+    require(removed.nonEmpty, "vacuum must reclaim the superseded fragments")
+    val post = agg(wh.read("mart", "ocmp"), "post_vacuum")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(preRows, 1), pre.schema).unionAll(post)
+  }
+
+  /** Both phases must equal the raw per-status aggregate — data is
+    * bit-intact across compact + vacuum. */
+  val q53Sql: String =
+    """SELECT 'pre_vacuum_v3' AS phase, o_orderstatus AS status,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 2
+      |UNION ALL
+      |SELECT 'post_vacuum' AS phase, o_orderstatus AS status,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 2""".stripMargin
+
   // --------------------------------------------------------- q13 incremental
 
   def q13Incremental(spark: SparkSession, dir: String): DataFrame = {
@@ -622,6 +672,7 @@ object EngineQueries {
     "q41_pit_join" -> (q41PitJoin _),
     "q44_stream_enrich" -> (q44StreamEnrich _),
     "q48_snapshot_diff" -> (q48SnapshotDiff _),
+    "q53_compact" -> (q53Compact _),
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
     "q52_stream_full_join" -> (q52StreamFullJoin _))
 
@@ -641,6 +692,7 @@ object EngineQueries {
     "q41_pit_join" -> q41Sql,
     "q44_stream_enrich" -> q44Sql,
     "q48_snapshot_diff" -> q48Sql,
+    "q53_compact" -> q53Sql,
     "q21_build" -> q21Sql,
     "q51_stream_left_join" -> q51Sql,
     "q52_stream_full_join" -> q52Sql)

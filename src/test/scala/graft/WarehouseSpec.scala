@@ -225,6 +225,69 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.readPartitions("raw", "t", Seq("2024-01-01")).count() === 20L)
   }
 
+  test("compact: a group superseded mid-compaction is abandoned — survivors-only return, orphans cleaned") {
+    import spark.implicits._
+    val wh = freshWh()
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val rows = (1 to 40).map(i => (i, if (i % 2 == 0) "2024-01-01" else "2024-01-02"))
+      wh.overwrite("raw", "t", rows.toDF("id", "day"),
+        graft.core.TableMeta(partitionField = Some("day")))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", shuf)
+    }
+    val lg = wh.log("raw", "t")
+    val v1 = lg.latest.get
+    val td = java.nio.file.Paths.get(wh.root).resolve("raw").resolve("t")
+    // pre-stage the concurrent writer's replacement fragment for day 1
+    // (data file excludes the hive partition column, like any writer)
+    val rFrag = lg.newFragmentDir()
+    Seq(101).toDF("id").coalesce(1).write
+      .parquet(rFrag.resolve("day=2024-01-01").toString)
+    val dataDir = td.resolve("_data")
+    import scala.jdk.CollectionConverters._
+    def dirs(): Set[String] = Files.list(dataDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    val known = dirs()
+    val rEntry = SnapshotLog.Entry("2024-01-01",
+      td.relativize(rFrag.resolve("day=2024-01-01")).toString)
+    // the racer lands its day-1 rewrite as soon as compact's output
+    // fragment dir appears — i.e. between compact's plan and its commit
+    @volatile var raced = false
+    val racer = new Thread(() => {
+      while (dirs() == known) Thread.sleep(1)
+      lg.commit("write",
+        v1.entries.filterNot(_.partition == "2024-01-01") :+ rEntry)
+      raced = true
+    })
+    racer.setDaemon(true)
+    racer.start()
+    val compacted = wh.compact("raw", "t")
+    racer.join(20000)
+    assert(raced, "racer never landed — compact created no new fragment dir?")
+    // the superseded group is NOT reported compacted (callers may retry it)
+    assert(compacted === Seq("2024-01-02"))
+    // day 1 serves the racer's data — the stale compaction never lands
+    assert(wh.read("raw", "t").filter(col("day") === "2024-01-01")
+      .select("id").collect().map(_.getInt(0)).toSeq === Seq(101))
+    assert(wh.read("raw", "t").filter(col("day") === "2024-01-02").count() === 20)
+    // and the abandoned group's freshly written files were cleaned up:
+    // every parquet under _data is referenced by SOME commit, so vacuum's
+    // retention accounting sees everything
+    val allRefs = lg.commits.flatMap(_.entries.map(_.path)).toSet
+    val orphans = Files.walk(dataDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filter { p =>
+        val rel = td.relativize(p)
+        !allRefs.exists(r => rel.startsWith(java.nio.file.Paths.get(r)))
+      }.toSeq
+    assert(orphans.isEmpty, s"unreferenced compaction leftovers: $orphans")
+  }
+
   test("compact preserves additively-evolved schemas (pad-on-read survives the rewrite)") {
     import spark.implicits._
     val wh = freshWh()
