@@ -21,14 +21,25 @@ object Tables {
 
   /** NTZ→LTZ fallback for sessions built without
     * [[GraftSession.requiredConfs]] (which disable NTZ inference at the
-    * scan): the cast reads the naive wall-clock in the SESSION timezone,
-    * so UTC is forced first (ad-hoc sessions lack the UTC conf that
-    * requiredConfs sets — without it the cast would shift every instant
-    * by the machine zone offset relative to the oracle's naive read).
-    * NTZ fields nested in structs/arrays/maps are rewritten too, via a
-    * whole-type cast to the NTZ-free mirror of the field's type. */
+    * scan). The naive wall-clock is interpreted as UTC — matching the
+    * oracle's naive read — WITHOUT touching session state: a plain cast
+    * would read the wall-clock in the SESSION zone, and forcing the
+    * session zone to UTC (the pre-r11 fallback) silently changed the
+    * semantics of every later timestamp expression in an ad-hoc session
+    * that deliberately set another zone. Instead each NTZ leaf is
+    * pre-shifted with `convert_timezone('UTC', current_timezone(), ntz)`
+    * (render the UTC-interpreted instant as session-zone wall clock) so
+    * the session-zone cast lands on exactly the UTC-interpreted instant;
+    * `current_timezone()` resolves at analysis of the consuming query,
+    * so the pair can never disagree. NTZ nested in structs/arrays/maps
+    * is rewritten recursively (struct rewrite is null-preserving).
+    * Caveat: the shift-then-cast pair applies the zone offset at two
+    * wall times `offset` apart, so instants inside a DST transition of a
+    * non-UTC session zone can land an hour off — engine sessions run
+    * UTC (requiredConfs), where the pair is exact. */
   private def normalizeNtz(spark: SparkSession, df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     def swap(dt: DataType): DataType = dt match {
       case TimestampNTZType    => TimestampType
@@ -37,11 +48,21 @@ object Tables {
       case m: MapType          => m.copy(keyType = swap(m.keyType), valueType = swap(m.valueType))
       case other               => other
     }
+    def fix(c: Column, dt: DataType): Column = dt match {
+      case TimestampNTZType =>
+        convert_timezone(lit("UTC"), current_timezone(), c).cast(TimestampType)
+      case s: StructType =>
+        when(c.isNull, lit(null).cast(swap(s))).otherwise(
+          struct(s.fields.map(f => fix(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case a: ArrayType => transform(c, x => fix(x, a.elementType))
+      case m: MapType => map_from_arrays(
+        transform(map_keys(c), k => fix(k, m.keyType)),
+        transform(map_values(c), v => fix(v, m.valueType)))
+      case _ => c
+    }
     val changed = df.schema.fields.filter(f => swap(f.dataType) != f.dataType)
     if (changed.isEmpty) return df
-    if (spark.conf.getOption("spark.sql.session.timeZone").forall(_ != "UTC"))
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
-    changed.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(swap(f.dataType))))
+    changed.foldLeft(df)((d, f) => d.withColumn(f.name, fix(col(f.name), f.dataType)))
   }
 
   /** The events fixture stores `ts` as Parquet TIMESTAMP(NANOS), which the

@@ -55,5 +55,10 @@ class TablesSpec extends AnyFunSuite {
       micros("2024-03-01 12:30:00"), micros("2024-03-01 12:30:00"))))
     assert(rows(2L) === ((micros("2024-07-04 00:15:30"),
       micros("2024-07-04 00:15:30"), micros("2024-07-04 00:15:30"))))
+    // and the NTZ fallback must NOT have hijacked the session timezone:
+    // every later timestamp expression in this ad-hoc session still runs
+    // in the zone its owner deliberately set
+    assert(adhoc.conf.get("spark.sql.session.timeZone") === "America/New_York",
+      "normalizeNtz mutated global session state")
   }
 }
