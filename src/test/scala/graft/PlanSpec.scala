@@ -63,6 +63,18 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(plan).size === 1, plan.take(1200))
   }
 
+  test("ivfpq re-rank fetches raw vectors via broadcast of the shortlist — corpus never sort-merges") {
+    val full = planOf(graft.llmops.ProductQuant.qIvfPqTopK(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    // the ADC stage is a broadcast-kernel pass (no join operator); the
+    // only join in the whole pipeline re-attaches raw vectors to the
+    // queries x shortlist rows, whose tiny side must broadcast — a
+    // sort-merge there would shuffle the corpus for a point lookup
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+  }
+
   test("minhash LSH candidates come from an equi-join, never a cartesian") {
     val full = planOf(graft.llmops.Dedup.queries("dedup_minhash")(spark, sf))
     val plan = full.split("== Initial Plan ==").head
