@@ -1,0 +1,154 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Warehouse
+
+/** Persisted ANN index artifacts — the production form of the "computed
+  * once per corpus snapshot" claims the serving scaladocs make.
+  *
+  * The self-contained `sim_topk_*` paths recompute corpus-side
+  * signatures/codes per query batch, which is the right shape for an
+  * oracle-gated query but the wrong shape for a serving deployment: at
+  * 100 TB the corpus kernels (32×6 hyperplane projections, M×Codes PQ
+  * encode) are a pure function of an immutable snapshot and should run
+  * ONCE, at ingest — exactly like [[LangModel.saveModel]]'s c12/c1/v
+  * tables. This object materializes them as warehouse tables:
+  *
+  *  - LSH: `(vec_id, band, sig)` — 32 longs/vector; a query batch pays
+  *    only a broadcast equi-join against its own band signatures.
+  *  - PQ: `(vec_id, codes)` — M one-byte codes/vector (64× less IO than
+  *    the raw floats); ADC scoring reads ONLY this table, never an
+  *    embedding.
+  *
+  * Both serving paths are kernel-identical to their self-contained
+  * twins ([[Similarity.lshTopK]], [[ProductQuant.pqTopK]]) — AnnIndexSpec
+  * pins exact result equality AND plan shape (no corpus signature/encode
+  * kernel in any serving plan; the LSH plan fetches raw vectors once,
+  * the ADC plan fetches none). */
+object AnnIndex {
+
+  // ------------------------------------------------------------ LSH index
+
+  /** The (vec_id, band, sig) artifact — one narrow kernel pass over the
+    * corpus with [[Similarity.simBandPlanes]] (the serving planes, so the
+    * artifact and any self-contained run can never disagree on buckets). */
+  def buildLshSignatures(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bands = Similarity.simBandSigns
+    Similarity.typedVecs(emb).as[(Long, Array[Double])].mapPartitions { it =>
+      it.flatMap { case (id, v) =>
+        Iterator.tabulate(bands.length)(b => (id, b, Kernels.lshSignature(v, bands(b))))
+      }
+    }.toDF("vec_id", "band", "sig")
+  }
+
+  def saveLshIndex(wh: Warehouse, dataset: String, table: String,
+                   emb: DataFrame): Unit =
+    wh.overwrite(dataset, table, buildLshSignatures(emb))
+
+  /** Multi-band LSH top-k served from a materialized signature table:
+    * the query batch's own band signatures land as a broadcast-joined
+    * local relation, candidates come off the ARTIFACT (the corpus is
+    * never re-signed), and raw vectors are fetched once, for scoring
+    * only. Results are exactly [[Similarity.lshTopK]]'s. */
+  def lshTopKFrom(emb: DataFrame, sigs: DataFrame, isQuery: Column,
+                  k: Int = Similarity.TopK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bands = Similarity.simBandSigns
+    val queries: Array[(Long, Array[Double], Double, Array[Long])] =
+      Similarity.collectCapped(
+        Similarity.typedVecs(emb).filter(isQuery).as[(Long, Array[Double])],
+        "ANN query set")
+        .map { case (id, v) =>
+          (id, v, Kernels.norm(v),
+            Array.tabulate(bands.length)(b => Kernels.lshSignature(v, bands(b))))
+        }
+    val qSigs = spark.createDataset(queries.toIndexedSeq.flatMap {
+      case (qid, _, _, sig) => sig.indices.map(b => (qid, b, sig(b)))
+    }).toDF("query_id", "band", "sig")
+    val cand = sigs.join(broadcast(qSigs), Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qMap = queries.map { case (id, v, n, _) => id -> (v, n) }.toMap
+    val bcQ = spark.sparkContext.broadcast(qMap)
+    val scored = cand
+      .join(Similarity.typedVecs(emb), Seq("vec_id"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.map { case (vid, qid, v) =>
+          val (qv, qn) = qs(qid)
+          (qid, vid, Kernels.dot(qv, v) / (qn * Kernels.norm(v)))
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        Hashing.stableRound(col("cos"), 4).as("cos"))
+  }
+
+  // ------------------------------------------------------------- PQ codes
+
+  /** The (vec_id, codes) artifact — [[ProductQuant.encode]] per vector
+    * against an explicit codebook, one narrow kernel pass. 8 bytes of
+    * payload per vector replace 512 of raw floats. */
+  def buildPqCodes(emb: DataFrame,
+                   cb: Array[Array[(Array[Double], Double)]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    Similarity.typedVecs(emb).as[(Long, Array[Double])].mapPartitions { it =>
+      val codebook = bcCb.value
+      it.map { case (id, v) => (id, ProductQuant.encode(v, codebook).toSeq) }
+    }.toDF("vec_id", "codes")
+  }
+
+  def savePqCodes(wh: Warehouse, dataset: String, table: String,
+                  emb: DataFrame,
+                  cb: Array[Array[(Array[Double], Double)]]): Unit =
+    wh.overwrite(dataset, table, buildPqCodes(emb, cb))
+
+  /** ADC top-k served from a materialized codes table: per-query LUTs
+    * broadcast, the scan reads ONLY (vec_id, codes) — no embedding is
+    * touched for the corpus side at all. Results are exactly
+    * [[ProductQuant.pqTopK]]'s for the same codebook. */
+  def pqTopKFromCodes(emb: DataFrame, codes: DataFrame,
+                      cb: Array[Array[(Array[Double], Double)]],
+                      isQuery: Column,
+                      k: Int = Similarity.TopK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries: Array[(Long, Array[Array[Double]])] =
+      Similarity.collectCapped(
+        Similarity.typedVecs(emb).filter(isQuery).as[(Long, Array[Double])],
+        "PQ query set")
+        .map { case (qid, qv) => (qid, ProductQuant.queryLut(qv, cb)) }
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val scored = codes
+      .select(col("vec_id").cast("long"), col("codes").cast("array<int>"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.flatMap { case (id, cs) =>
+          qs.iterator.filter(_._1 != id).map { case (qid, lut) =>
+            var adist = 0.0
+            var m = 0
+            while (m < cs.length) { adist += lut(m)(cs(m)); m += 1 }
+            (qid, id, adist)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "adist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        Hashing.stableRound(col("adist"), 4).as("adist"))
+  }
+}

@@ -171,6 +171,24 @@ object ProductQuant {
     cb
   }
 
+  /** Per-query ADC lookup table: entry (m)(k) is the squared L2 between
+    * the query's m-th subvector and codebook entry k — the same three
+    * left-to-right dot products as [[encode]], shared by every ADC
+    * serving path (in-pass, composed IVF, and the persisted-codes form). */
+  private[llmops] def queryLut(qv: Array[Double],
+                               cb: Array[Array[(Array[Double], Double)]])
+      : Array[Array[Double]] =
+    Array.tabulate(M) { m =>
+      val off = m * SubDim
+      val qq = {
+        var acc = 0.0
+        var i = 0
+        while (i < SubDim) { val x = qv(off + i); acc += x * x; i += 1 }
+        acc
+      }
+      cb(m).map { case (c, cc) => (qq + cc) - 2 * dotAt(qv, off, c) }
+    }
+
   /** ADC top-k against a trained (or any explicit) codebook — the serving
     * side of [[trainPqCodebooks]]. */
   def pqTopKTrained(emb: DataFrame, isQuery: Column,
@@ -201,19 +219,7 @@ object ProductQuant {
     val queries: Array[(Long, Array[Array[Double]])] =
       Similarity.collectCapped(e.filter(isQuery).as[(Long, Array[Double])],
         "PQ query set")
-        .map { case (qid, qv) =>
-          val lut = Array.tabulate(M) { m =>
-            val off = m * SubDim
-            val qq = {
-              var acc = 0.0
-              var i = 0
-              while (i < SubDim) { val x = qv(off + i); acc += x * x; i += 1 }
-              acc
-            }
-            cb(m).map { case (c, cc) => (qq + cc) - 2 * dotAt(qv, off, c) }
-          }
-          (qid, lut)
-        }
+        .map { case (qid, qv) => (qid, queryLut(qv, cb)) }
     val bcCb = spark.sparkContext.broadcast(cb)
     val bcQ = spark.sparkContext.broadcast(queries)
     val scored = e.as[(Long, Array[Double])].mapPartitions { it =>
@@ -341,17 +347,7 @@ object ProductQuant {
             .map { case (cid, cv, cn) => (Kernels.dot(qv, cv) / (nrm * cn), cid) }
             .sortBy { case (cos, cid) => (-cos, cid) }
             .take(nprobe).map(_._2)
-          val lut = Array.tabulate(M) { m =>
-            val off = m * SubDim
-            val qq = {
-              var acc = 0.0
-              var i = 0
-              while (i < SubDim) { val x = qv(off + i); acc += x * x; i += 1 }
-              acc
-            }
-            cb(m).map { case (c, cc) => (qq + cc) - 2 * dotAt(qv, off, c) }
-          }
-          (qid, probes, lut)
+          (qid, probes, queryLut(qv, cb))
         }
     val bcC = spark.sparkContext.broadcast(cents)
     val bcCb = spark.sparkContext.broadcast(cb)

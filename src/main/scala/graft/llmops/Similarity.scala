@@ -62,7 +62,7 @@ object Similarity {
   val simBandPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] =
     hyperplaneSigns(SimBands * SimPlanesPerBand, Dim, seed = 23L)
       .grouped(SimPlanesPerBand).toIndexedSeq
-  private val simBandSigns: Array[Array[Array[Double]]] =
+  private[llmops] val simBandSigns: Array[Array[Array[Double]]] =
     simBandPlanes.map(_.map(_.map(_.toDouble).toArray).toArray).toArray
 
   /** Driver-size cap on every broadcast-side collect in this file (query
@@ -181,6 +181,107 @@ object Similarity {
     * candidates (OR-amplified — see [[SimBands]] for the recall math). */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int = TopK): DataFrame =
     rankTopK(lshScored(emb, isQuery), k)
+
+  // ---------------------------------------------------------- kNN graph
+
+  /** Neighbors per node in [[knnGraph]] — smaller than the serving TopK:
+    * graph consumers (SemDeDup cell refinement, diversity sampling,
+    * cluster seeding) want a sparse graph, not a ranking. */
+  val GraphK = 5
+
+  /** Corpus-wide approximate kNN GRAPH — every vector's top-`k` among
+    * its multi-band LSH collision candidates. This is the all-pairs form
+    * of [[lshTopK]] (no broadcast query set — EVERY vector is a query)
+    * and the building block diversity sampling, graph-based dedup
+    * refinement, and cluster seeding consume at corpus scale.
+    *
+    * Shape at 100 TB: identical to [[Dedup.embeddingPairs]] — a narrow
+    * signature pass emits (vec_id, band, sig) longs (never the vector),
+    * candidates come from the per-band equi-join OR'd by DISTINCT,
+    * vectors re-attach via two equi-joins, and the exact-cosine re-check
+    * feeds a per-source window top-k. No driver collect, no O(n²) pair
+    * space; candidate work is O(Σ per-band bucket²) exactly as the
+    * S-curve note at [[SimBands]] describes. Both directions of a
+    * colliding pair are ranked (the graph is directed: a may be in b's
+    * top-k while b is not in a's).
+    *
+    * Output: (src_id, dst_id, rank, cos) — ranks 1..k per src, ties to
+    * the smaller dst. Sources whose buckets hold no collision emit no
+    * rows (an isolated node has no edges). */
+  def knnGraph(emb: DataFrame, k: Int = GraphK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bands = simBandSigns
+    val base = typedVecs(emb).as[(Long, Array[Double])]
+    val sigRows = base.mapPartitions { it =>
+      it.flatMap { case (id, v) =>
+        Iterator.tabulate(bands.length)(b => (id, b, Kernels.lshSignature(v, bands(b))))
+      }
+    }.toDF("vec_id", "band", "sig")
+    val cand = sigRows.select(col("band"), col("sig"), col("vec_id").as("src_id"))
+      .join(sigRows.select(col("band"), col("sig"), col("vec_id").as("dst_id")),
+        Seq("band", "sig"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id")).distinct()
+    val vecs = base.mapPartitions(_.map { case (id, v) => (id, v, Kernels.norm(v)) })
+      .toDF("vec_id", "v", "nrm")
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("src_id"), col("v").as("sv"),
+        col("nrm").as("sn")), Seq("src_id"))
+      .join(vecs.select(col("vec_id").as("dst_id"), col("v").as("dv"),
+        col("nrm").as("dn")), Seq("dst_id"))
+      .select(col("src_id"), col("sv"), col("sn"), col("dst_id"), col("dv"), col("dn"))
+      .as[(Long, Array[Double], Double, Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        it.map { case (s, sv, sn, d, dv, dn) =>
+          (s, d, Kernels.dot(sv, dv) / (sn * dn))
+        }
+      }.toDF("src_id", "dst_id", "cos")
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("dst_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("dst_id"), col("rank"),
+        roundE4(col("cos")).as("cos"))
+  }
+
+  def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.load(spark, dir, "embeddings"))
+
+  /** Banded oracle mirror — same per-band signature chains as
+    * [[qLshSql]], every vector a query, per-source window top-k. */
+  val qKnnGraphSql: String = {
+    val sigCols = simBandPlanes.zipWithIndex.map { case (ps, b) =>
+      s"${signatureSqlFor(ps, "v")} AS s$b"
+    }.mkString(",\n             ")
+    val bandRows = simBandPlanes.indices.map { b =>
+      s"SELECT vec_id, $b AS band, s$b AS sig FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE $vecFilterSql),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |             $sigCols
+       |  FROM e),
+       |bands AS MATERIALIZED (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT cd.src_id, cd.dst_id,
+       |         list_dot_product(s.v, d.v) / (s.nrm * d.nrm) AS cos
+       |  FROM cand cd
+       |  JOIN n s ON s.vec_id = cd.src_id
+       |  JOIN n d ON d.vec_id = cd.dst_id),
+       |ranked AS (
+       |  SELECT src_id, dst_id, cos,
+       |         row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id) AS rank
+       |  FROM scored)
+       |SELECT src_id, dst_id, rank, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+       |FROM ranked WHERE rank <= $GraphK""".stripMargin
+  }
 
   // ---------------------------------------------------------------- IVF
 
@@ -560,6 +661,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (qBruteForce _),
     "sim_topk_lsh" -> (qLsh _),
+    "sim_knn_graph" -> (qKnnGraph _),
     "sim_topk_ivf" -> (qIvf _),
     "sim_topk_ivf_nprobe" -> (qIvfNprobe _),
     "embed_project" -> (qProject _))
@@ -567,6 +669,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" -> qBruteForceSql,
     "sim_topk_lsh" -> qLshSql,
+    "sim_knn_graph" -> qKnnGraphSql,
     "sim_topk_ivf" -> qIvfSql,
     "sim_topk_ivf_nprobe" -> qIvfNprobeSql,
     "embed_project" -> qProjectSql)

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, Warehouse}
+import graft.llmops.{AnnIndex, ProductQuant, Similarity}
+
+/** Persisted ANN index artifacts: the serving paths must return EXACTLY
+  * what their self-contained (oracle-gated) twins return — so artifact
+  * serving is transitively pinned to the DuckDB oracles — and their
+  * plans must contain no corpus signature/encode kernel (the whole point
+  * of materializing the index). */
+class AnnIndexSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val isQuery = expr("vec_id < 10")
+  private val isCent = expr("vec_id % 29 = 3")
+  private def emb = Tables.load(spark, sf, "embeddings")
+  private def freshWh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("ann_idx").toString)
+
+  private def typedVecs(df: org.apache.spark.sql.DataFrame) =
+    df.filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) === Similarity.Dim)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+  test("lshTopKFrom over a warehouse signature table equals the oracle-gated lshTopK") {
+    val wh = freshWh()
+    AnnIndex.saveLshIndex(wh, "idx", "sigs", emb)
+    val sigs = wh.read("idx", "sigs")
+    val served = AnnIndex.lshTopKFrom(emb, sigs, isQuery)
+    assert(rows(served) === rows(Similarity.lshTopK(emb, isQuery)))
+    // plan shape: the query batch's signatures are a local relation, the
+    // artifact is scanned instead of re-signing the corpus — embeddings
+    // parquet appears ONCE (candidate vector fetch), the signature
+    // kernel's corpus pass not at all
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE repeats scans in the initial plan
+    assert(plan.contains("LocalTableScan"), plan.take(1500))
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected artifact + one vector fetch, got $scans scans:\n${plan.take(1500)}")
+  }
+
+  test("pqTopKFromCodes over a warehouse codes table equals pqTopK; ADC plan reads no embedding") {
+    val wh = freshWh()
+    import spark.implicits._
+    val cbSrc = typedVecs(emb).filter(isCent)
+      .as[(Long, Array[Double])].collect()
+    val cb = ProductQuant.buildCodebook(cbSrc)
+    AnnIndex.savePqCodes(wh, "idx", "codes", emb, cb)
+    val codes = wh.read("idx", "codes")
+    val served = AnnIndex.pqTopKFromCodes(emb, codes, cb, isQuery)
+    assert(rows(served) === rows(ProductQuant.pqTopK(emb, isQuery, isCent)))
+    // the ADC scan reads ONLY the codes artifact: exactly one file scan,
+    // and it is not the embeddings fixture (queries were pre-collected)
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE repeats scans in the initial plan
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"ADC plan must scan only the codes table:\n${plan.take(1500)}")
+    assert(!plan.contains("embeddings.parquet"),
+      s"ADC plan touched raw embeddings:\n${plan.take(1500)}")
+  }
+
+  test("codes artifact is 8 small ints per vector — the 64x IO cut is real") {
+    val cb = ProductQuant.buildCodebook(
+      { import spark.implicits._
+        typedVecs(emb).filter(isCent).as[(Long, Array[Double])].collect() })
+    val codes = AnnIndex.buildPqCodes(emb, cb)
+    val r = codes.head()
+    assert(r.getSeq[Int](1).length === ProductQuant.M)
+    assert(codes.count() === typedVecs(emb).count())
+    val all = codes.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(all.getInt(0) >= 0 && all.getInt(1) < ProductQuant.Codes)
+  }
+}

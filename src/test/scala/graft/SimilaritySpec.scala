@@ -137,6 +137,37 @@ class SimilaritySpec extends AnyFunSuite {
       }
   }
 
+  test("knnGraph: per-node edge contract holds and banded recall tracks exact kNN") {
+    val g = Similarity.knnGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(g.nonEmpty)
+    g.groupBy(_._1).foreach { case (src, edges) =>
+      assert(edges.forall(_._2 != src), s"self-edge at $src")
+      assert(edges.map(_._3).sorted.toSeq === (1 to edges.length),
+        s"ranks not dense at $src")
+      assert(edges.length <= Similarity.GraphK)
+      val byRank = edges.sortBy(_._3)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"cos not descending at $src")
+    }
+    // recall vs the exact kNN graph, computed driver-side on the fixture
+    val vecs = corpus().map { case (id, v) => (id, v, Kernels.norm(v)) }
+    val exact = vecs.flatMap { case (a, va, na) =>
+      vecs.filter(_._1 != a)
+        .map { case (b, vb, nb) => (b, Kernels.dot(va, vb) / (na * nb)) }
+        .sortBy { case (b, c) => (-c, b) }
+        .take(Similarity.GraphK)
+        .map { case (b, _) => (a, b) }
+    }.toSet
+    val got = g.map(e => (e._1, e._2)).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    // deterministic (fixed planes + fixture): the multi-band scheme must
+    // hold graph recall near the serving path's level
+    assert(recall >= 0.6, s"kNN-graph recall collapsed: $recall")
+  }
+
   test("randomProject: exact integer components; JL distances track originals") {
     import spark.implicits._
     // hand case: micro-units of (0.5, -1.25, 2.0, ...) against known signs
