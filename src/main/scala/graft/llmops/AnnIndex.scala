@@ -93,6 +93,69 @@ object AnnIndex {
         Hashing.stableRound(col("cos"), 4).as("cos"))
   }
 
+  /** Append-only index maintenance: sign ONLY the new snapshot's vectors
+    * and append their rows — the standing index never recomputes (the
+    * [[Dedup.incrementalSimhashDedup]] contract applied to serving).
+    * AnnIndexSpec proves build(A) + append(B) serves identically to a
+    * full rebuild over A∪B. */
+  def appendLshIndex(wh: Warehouse, dataset: String, table: String,
+                     newEmb: DataFrame): Unit =
+    wh.append(dataset, table, buildLshSignatures(newEmb))
+
+  // ------------------------------------------------------------ IVF lists
+
+  /** IVF top-k served from a materialized (vec_id, cell_id) assignment
+    * table ([[Dedup.cellAssignments]] — the same artifact SemDeDup
+    * scores from, so search and dedup literally share one table). The
+    * probe set's member lists come off the ARTIFACT via a cell filter
+    * (at scale: partition the table by cell_id and this is partition
+    * pruning); the corpus assignment kernel never runs at query time;
+    * raw vectors are fetched once, for member scoring only. Results are
+    * exactly [[Similarity.ivfTopK]]'s for the same centroid set. */
+  def ivfTopKFrom(emb: DataFrame, assign: DataFrame, centroids: DataFrame,
+                  isQuery: Column, k: Int = Similarity.TopK,
+                  nprobe: Int = Similarity.NProbe): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(centroids)
+    require(cents.nonEmpty, "IVF needs at least one centroid")
+    val queries: Array[(Long, Array[Double], Double, Array[Long])] =
+      Similarity.collectCapped(
+        Similarity.typedVecs(emb).filter(isQuery).as[(Long, Array[Double])],
+        "ANN query set")
+        .map { case (id, v) =>
+          val nrm = Kernels.norm(v)
+          val probes = cents
+            .map { case (cid, cv, cn) => (Kernels.dot(v, cv) / (nrm * cn), cid) }
+            .sortBy { case (cos, cid) => (-cos, cid) }
+            .take(nprobe).map(_._2)
+          (id, v, nrm, probes)
+        }
+    val probedCells = queries.flatMap(_._4).distinct.map(java.lang.Long.valueOf)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val members = assign
+      .select(col("vec_id").cast("long"), col("cell_id").cast("long"))
+      .filter(col("cell_id").isin(probedCells.toIndexedSeq: _*))
+    val scored = members
+      .join(Similarity.typedVecs(emb), Seq("vec_id"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.flatMap { case (vid, cell, v) =>
+          val nrm = Kernels.norm(v)
+          qs.iterator
+            .filter { case (qid, _, _, probes) => qid != vid && probes.contains(cell) }
+            .map { case (qid, qv, qn, _) => (qid, vid, Kernels.dot(qv, v) / (qn * nrm)) }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        Hashing.stableRound(col("cos"), 4).as("cos"))
+  }
+
   // ------------------------------------------------------------- PQ codes
 
   /** The (vec_id, codes) artifact — [[ProductQuant.encode]] per vector

@@ -66,6 +66,38 @@ class AnnIndexSpec extends AnyFunSuite {
       s"ADC plan touched raw embeddings:\n${plan.take(1500)}")
   }
 
+  test("append-only maintenance: build(A) + append(B) serves identically to a full rebuild") {
+    val wh = freshWh()
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    AnnIndex.saveLshIndex(wh, "idx", "sigs", a)
+    AnnIndex.appendLshIndex(wh, "idx", "sigs", b)
+    val served = AnnIndex.lshTopKFrom(emb, wh.read("idx", "sigs"), isQuery)
+    assert(rows(served) === rows(Similarity.lshTopK(emb, isQuery)))
+  }
+
+  test("ivfTopKFrom over the shared (vec_id, cell_id) artifact equals ivfTopK") {
+    import graft.llmops.Dedup
+    val wh = freshWh()
+    // iterations=0 reproduces the init sample, so the artifact serving
+    // path is comparable 1:1 with the oracle-gated sampled ivfTopK
+    val centroids = Similarity.trainIvfCentroids(emb, isCent, iterations = 0)
+    wh.overwrite("idx", "cells", Dedup.cellAssignments(emb, centroids))
+    val assign = wh.read("idx", "cells")
+    val served = AnnIndex.ivfTopKFrom(emb, assign, centroids, isQuery)
+    assert(rows(served) === rows(Similarity.ivfTopK(emb, isQuery, isCent)))
+    // the assignment kernel never runs at query time: the plan scans the
+    // artifact (cell-filtered) plus one vector fetch
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected artifact + one vector fetch, got $scans:\n${plan.take(1500)}")
+    // and the SAME artifact table drives SemDeDup — search and dedup
+    // literally share the quantizer output
+    val dedup = Dedup.semanticDedupFrom(emb, assign)
+    assert(dedup.count() === assign.count())
+  }
+
   test("codes artifact is 8 small ints per vector — the 64x IO cut is real") {
     val cb = ProductQuant.buildCodebook(
       { import spark.implicits._
