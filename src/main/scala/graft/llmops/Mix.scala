@@ -225,15 +225,97 @@ object Mix {
        |FROM s""".stripMargin
   }
 
+  // ------------------------------------------------- token-budget sample
+
+  /** Hash-order bucket width for [[tokenBudgetSample]]'s prefix sum: the
+    * 60-bit hash space splits into 2^8 buckets, so phase-1 window tasks
+    * are bounded by a bucket, never by a hot source. */
+  private val BudgetBucketShift = 52
+
+  /** Sample each source down to a TOKEN budget — mixtures are specified
+    * in tokens, not document counts ("web: 50B tokens, books: all"), and
+    * doc-count sampling ([[weightedMix]], [[capPerStratum]]) over- or
+    * under-shoots when length distributions differ across sources.
+    *
+    * A document is kept while its source's cumulative token count BEFORE
+    * it is under the budget (greedy prefix in deterministic hash order —
+    * a reproducible shuffle, so re-runs and engines agree row-for-row;
+    * the straddling doc is taken, so every source with any document gets
+    * at least one). The cumulative count is [[graft.operators.PrefixSum
+    * .perKeyRunningSum]] — per-(source, hash-bucket) windows stitched by
+    * broadcast offsets, so no task ever sorts a whole source (the
+    * hot-key funnel a plain per-source window plans as).
+    *
+    * Output: (doc_id, source, n_tokens, cum_tokens) for kept docs;
+    * tokens are whitespace tokens (the [[TextAnalysis]] convention). */
+  def tokenBudgetSample(docs: DataFrame, budgets: Map[String, Long],
+                        defaultBudget: Long): DataFrame = {
+    require(defaultBudget > 0 && budgets.values.forall(_ > 0),
+      "token budgets must be positive")
+    val base = docs
+      .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        Hashing.md5Long(col("doc_id").cast("string")).as("_h"))
+      .withColumn("_bucket", expr(s"_h div ${1L << BudgetBucketShift}"))
+    val cum = graft.operators.PrefixSum.perKeyRunningSum(
+      base, "source", "_bucket", "_h", "n_tokens", "cum_tokens")
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) => when(col("source") === src, lit(b)).otherwise(acc)
+    }
+    cum.filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** The query's budgets: 400 tokens per source (each fixture source
+    * holds ~1500, so the cut is real), with one override exercising the
+    * per-source map. */
+  val BudgetDefault = 400L
+  val BudgetOverrides: Map[String, Long] = Map("src0" -> 1200L)
+
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSample(Tables.load(spark, dir, "documents"),
+      BudgetOverrides, BudgetDefault)
+
+  /** The oracle states the SEMANTICS — a per-source running token sum in
+    * (hash, doc_id) order with a budget cut — as one plain window; the
+    * bucketed two-phase sum must reproduce it exactly (integer sums, so
+    * no FP-order hazard; CAST keeps DuckDB's window sum in BIGINT). */
+  val qTokenBudgetSql: String = {
+    val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    val overrides = BudgetOverrides
+      .map { case (s, b) => s"WHEN source = '$s' THEN $b" }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         $h AS h
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source
+       |           ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM c
+       |WHERE cum_tokens - n_tokens <
+       |      (CASE $overrides ELSE $BudgetDefault END)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_weighted" -> (qMix _),
     "sample_capped" -> (qCapped _),
     "split_assign" -> (qSplit _),
-    "epoch_shuffle" -> (qEpochShuffle _))
+    "epoch_shuffle" -> (qEpochShuffle _),
+    "sample_token_budget" -> (qTokenBudget _))
 
   val oracleSql: Map[String, String] = Map(
     "mix_weighted" -> qMixSql,
     "sample_capped" -> qCappedSql,
     "split_assign" -> qSplitSql,
-    "epoch_shuffle" -> qEpochShuffleSql)
+    "epoch_shuffle" -> qEpochShuffleSql,
+    "sample_token_budget" -> qTokenBudgetSql)
 }

@@ -49,4 +49,41 @@ object PrefixSum {
       .withColumn(cumCol, col("_base") + col("_cum_in_bucket"))
       .drop("_cum_in_bucket", "_base")
   }
+
+  /** Per-KEY generalization of [[bucketedRunningSum]]: an independent
+    * inclusive running sum of `valueCol` for every `keyCol` group, in
+    * (`bucketCol`, `orderCol`) order WITHIN the key — without ever
+    * sorting a whole key's rows in one task (the hot-key funnel a plain
+    * `Window.partitionBy(key).orderBy(...)` plans as). Phase-1 windows
+    * partition by (key, bucket) so each task is bounded by a bucket, not
+    * a key; phase-2 collects (key, bucket) totals (cap-guarded BEFORE
+    * the transfer), resets the running offset at each key boundary, and
+    * broadcasts the per-(key, bucket) bases back. */
+  def perKeyRunningSum(df: DataFrame, keyCol: String, bucketCol: String,
+                       orderCol: String, valueCol: String, cumCol: String,
+                       maxBuckets: Int = MaxBuckets): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col(bucketCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df.withColumn("_cum_in_bucket", sum(col(valueCol)).over(w))
+    val totals = df.groupBy(col(keyCol), col(bucketCol))
+      .agg(sum(col(valueCol)).as("_tot"))
+      .limit(maxBuckets + 1).collect()
+    require(totals.length <= maxBuckets,
+      s"more than $maxBuckets (key, bucket) groups; widen the bucket " +
+        "(driver holds one offset per group)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var curKey: Any = null
+    var running = 0L
+    val offsets = totals.sortBy(r => (r.get(0).toString, r.getLong(1)))
+      .map { r =>
+        if (r.get(0) != curKey) { curKey = r.get(0); running = 0L }
+        val o = (r.get(0).toString, r.getLong(1), running)
+        running += r.getLong(2)
+        o
+      }.toSeq.toDF(keyCol, bucketCol, "_base")
+    local.join(broadcast(offsets), Seq(keyCol, bucketCol))
+      .withColumn(cumCol, col("_base") + col("_cum_in_bucket"))
+      .drop("_cum_in_bucket", "_base")
+  }
 }

@@ -124,4 +124,38 @@ class PrepareSpec extends AnyFunSuite {
       Mix.weightedMix(df, Seq("a" -> 10001))
     }
   }
+
+  test("tokenBudgetSample: greedy prefix honors the budget; no per-source sort funnel") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val out = Mix.tokenBudgetSample(docs, Map("src0" -> 1200L), 400L)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // per source: every kept doc starts under the budget, the straddling
+    // doc may finish over it, and everything before the cut is kept in
+    // hash order (greedy prefix, no holes)
+    rows.groupBy(_._2).foreach { case (src, docsOf) =>
+      val budget = if (src == "src0") 1200L else 400L
+      docsOf.foreach { case (_, _, n, cum) =>
+        assert(cum - n < budget, s"$src kept a doc starting at $cum >= $budget")
+      }
+      val maxCum = docsOf.map(_._4).max
+      assert(maxCum >= budget || docsOf.map(_._3).sum == maxCum,
+        s"$src stopped early at $maxCum < $budget")
+    }
+    // every source with documents contributes at least one doc
+    val allSources = docs.select("source").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(rows.map(_._2).toSet === allSources)
+    // deterministic under repartitioning (the hash order IS the shuffle)
+    val re = Mix.tokenBudgetSample(docs.repartition(13), Map("src0" -> 1200L), 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSet === rows.toSet)
+    // plan: the prefix sum windows partition by (source, bucket) — never
+    // a whole source in one task (the hot-key funnel)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("_bucket"), plan.take(1500))
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+  }
 }
