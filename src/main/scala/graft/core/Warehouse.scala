@@ -590,9 +590,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     newEntries.filterNot(e => committedPaths(e.path)).foreach { e =>
       deleteRecursive(td.resolve(e.path))
     }
-    if (committed.size < newEntries.size && Files.isDirectory(frag) &&
-        !Files.list(frag).iterator().hasNext)
-      Files.delete(frag)
+    if (committed.size < newEntries.size && Files.isDirectory(frag)) {
+      val ls = Files.list(frag)
+      val empty = try !ls.iterator().hasNext finally ls.close()
+      if (empty) Files.delete(frag)
+    }
     // report ONLY the partitions that actually landed: a caller retrying
     // abandoned groups must see them as not-compacted
     committed.map(_.partition).sorted
@@ -600,8 +602,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
 
   /** Clustering rewrite (admin/clustering.py:22-57 semantics): BigQuery

@@ -100,10 +100,11 @@ object Decontaminate {
     * frequency aggregate is the one corpus shuffle, and it moves only
     * map-combined (h, count) longs, never text. Hit rows then shuffle
     * into the (doc, bench_doc, diagonal) run-merge window, whose groups
-    * are bounded by doc length. Trade to know: a shingle replicated in
-    * MORE than occCap corpus docs is dropped even if it is genuine
-    * contamination — raise occCap (or pre-dedup the corpus) when hunting
-    * mass-pasted benchmark answers. Output:
+    * are bounded by doc length. Trade to know: a shingle with
+    * more than occCap corpus OCCURRENCES (positions, not distinct docs —
+    * the same count [[Dedup.substringOverlapPairs]] caps) is dropped
+    * even if it is genuine contamination — raise occCap (or pre-dedup
+    * the corpus) when hunting mass-pasted benchmark answers. Output:
     * (doc_id, bench_id, span_tokens), spans ≥ `minSpanTokens`. */
   def contaminationSpans(docs: DataFrame, benchmark: DataFrame,
                          k: Int = Dedup.SubstrK,

@@ -259,8 +259,11 @@ object Mix {
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         Hashing.md5Long(col("doc_id").cast("string")).as("_h"))
       .withColumn("_bucket", expr(s"_h div ${1L << BudgetBucketShift}"))
+    // (_h, doc_id) order matches the oracle's ORDER BY h, doc_id exactly:
+    // a 60-bit hash collision (expected around the billion-doc scale)
+    // must not make the straddling doc nondeterministic
     val cum = graft.operators.PrefixSum.perKeyRunningSum(
-      base, "source", "_bucket", "_h", "n_tokens", "cum_tokens")
+      base, "source", "_bucket", Seq("_h", "doc_id"), "n_tokens", "cum_tokens")
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (src, b)) => when(col("source") === src, lit(b)).otherwise(acc)
     }

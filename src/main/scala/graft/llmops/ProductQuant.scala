@@ -292,10 +292,18 @@ object ProductQuant {
                     cents: Array[(Long, Array[Double], Double)],
                     cb: Array[Array[(Array[Double], Double)]],
                     k: Int = Similarity.TopK, nprobe: Int = IvfPqNProbe,
-                    shortlist: Int = ShortlistR): DataFrame = {
+                    shortlist: Int = ShortlistR): DataFrame =
+    ivfpqRerank(emb, ivfpqAdc(emb, isQuery, cents, cb, nprobe), isQuery,
+      k, shortlist)
+
+  /** Shortlist + exact re-rank over a prebuilt ADC frame — split out so
+    * [[RecallReport]] can score recall and candidate cost from ONE
+    * cached ADC pass instead of running the scan twice. */
+  private[llmops] def ivfpqRerank(emb: DataFrame, adc: DataFrame,
+                                  isQuery: Column, k: Int,
+                                  shortlist: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val adc = ivfpqAdc(emb, isQuery, cents, cb, nprobe)
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     val short = adc.withColumn("srnk", row_number().over(ws))

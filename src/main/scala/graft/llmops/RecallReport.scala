@@ -49,21 +49,28 @@ object RecallReport {
       sampledCents.map { case (id, v, _) => (id, v) })
     val trainedCb = ProductQuant.trainPqCodebooks(emb, isCent, iterations = 5)
 
+    // each index's candidate-scoring pass runs ONCE: the scored frame is
+    // cached, recall ranks it and candsPerQuery counts it, then the cache
+    // is dropped — without this every variant would execute its corpus
+    // scan twice (once inside topK, once for the count)
+    def fromScored(scored: DataFrame, rank: DataFrame => DataFrame): AnnStat = {
+      scored.persist()
+      try AnnStat(recall(rank(scored)), perQuery(scored))
+      finally scored.unpersist()
+    }
     def ivf(cents: Array[(Long, Array[Double], Double)], nprobe: Int): AnnStat =
-      AnnStat(
-        recall(Similarity.ivfTopKWith(emb, isQuery, cents, Similarity.TopK, nprobe)),
-        perQuery(Similarity.ivfScoredWith(emb, isQuery, cents, nprobe)))
+      fromScored(Similarity.ivfScoredWith(emb, isQuery, cents, nprobe),
+        Similarity.rankTopK(_, Similarity.TopK))
     def ivfpq(cents: Array[(Long, Array[Double], Double)],
               cb: Array[Array[(Array[Double], Double)]]): AnnStat =
-      AnnStat(
-        recall(ProductQuant.ivfpqTopKWith(emb, isQuery, cents, cb)),
-        perQuery(ProductQuant.ivfpqAdc(emb, isQuery, cents, cb,
-          ProductQuant.IvfPqNProbe)))
+      fromScored(
+        ProductQuant.ivfpqAdc(emb, isQuery, cents, cb, ProductQuant.IvfPqNProbe),
+        ProductQuant.ivfpqRerank(emb, _, isQuery, Similarity.TopK,
+          ProductQuant.ShortlistR))
 
     Seq(
-      "lsh" -> AnnStat(
-        recall(Similarity.lshTopK(emb, isQuery)),
-        perQuery(Similarity.lshScored(emb, isQuery))),
+      "lsh" -> fromScored(Similarity.lshScored(emb, isQuery),
+        Similarity.rankTopK(_, Similarity.TopK)),
       s"ivf_nprobe${Similarity.NProbe}" -> ivf(sampledCents, Similarity.NProbe),
       s"ivf_nprobe${Similarity.NProbeWide}" -> ivf(sampledCents, Similarity.NProbeWide),
       s"ivf_nprobe${Similarity.NProbeServe}" -> ivf(sampledCents, Similarity.NProbeServe),

@@ -164,7 +164,7 @@ object Similarity {
   /** Cross-engine-stable 4-decimal rounding (see Hashing.stableRound). */
   private def roundE4(c: Column): Column = Hashing.stableRound(c, 4)
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[llmops] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -201,7 +201,13 @@ object Similarity {
     * vectors re-attach via two equi-joins, and the exact-cosine re-check
     * feeds a per-source window top-k. No driver collect, no O(n²) pair
     * space; candidate work is O(Σ per-band bucket²) exactly as the
-    * S-curve note at [[SimBands]] describes. Both directions of a
+    * S-curve note at [[SimBands]] describes. The two vector-attach joins
+    * shuffle on different keys (src vs dst), so the cheap norm kernel and
+    * the columnar scan run once per side — the same deliberate trade as
+    * [[Dedup.embeddingPairs]] (checkpointing a corpus of raw vectors to
+    * save an O(dim)/row kernel would cost more than it saves; contrast
+    * with the O(n·k·dim) assignment kernel [[Dedup.cellAssignments]] DOES
+    * materialize). Both directions of a
     * colliding pair are ranked (the graph is directed: a may be in b's
     * top-k while b is not in a's).
     *

@@ -60,9 +60,17 @@ object PrefixSum {
     * the transfer), resets the running offset at each key boundary, and
     * broadcasts the per-(key, bucket) bases back. */
   def perKeyRunningSum(df: DataFrame, keyCol: String, bucketCol: String,
-                       orderCol: String, valueCol: String, cumCol: String,
+                       orderCols: Seq[String], valueCol: String, cumCol: String,
                        maxBuckets: Int = MaxBuckets): DataFrame = {
-    val w = Window.partitionBy(col(keyCol), col(bucketCol)).orderBy(col(orderCol))
+    // the offsets frame rebuilds keys as strings; a non-string key would
+    // silently join through a cast — refuse instead
+    require(df.schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"perKeyRunningSum needs a string key column, got " +
+        s"${df.schema(keyCol).dataType} for '$keyCol'")
+    require(orderCols.nonEmpty, "perKeyRunningSum needs at least one order column")
+    val w = Window.partitionBy(col(keyCol), col(bucketCol))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = df.withColumn("_cum_in_bucket", sum(col(valueCol)).over(w))
     val totals = df.groupBy(col(keyCol), col(bucketCol))
@@ -71,6 +79,10 @@ object PrefixSum {
     require(totals.length <= maxBuckets,
       s"more than $maxBuckets (key, bucket) groups; widen the bucket " +
         "(driver holds one offset per group)")
+    require(totals.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      s"perKeyRunningSum: NULL in '$keyCol'/'$bucketCol' — filter or " +
+        "assign nulls upstream; a running sum over an anonymous group is " +
+        "undefined")
     val spark = df.sparkSession
     import spark.implicits._
     var curKey: Any = null
