@@ -125,6 +125,37 @@ class PrepareSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetSample equals the driver-side greedy prefix exactly") {
+    // ground truth: collect (source, doc_id, tokens, hash), replay the
+    // greedy prefix per source with the same kernel hash and tie-break —
+    // the bucketed two-phase sum must reproduce it row for row
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val md = graft.llmops.Kernels.newMd5()
+    val all = docs.filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("text").isNotNull)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        (r.getString(1), graft.llmops.Kernels.md5Long(md, id.toString), id,
+          graft.llmops.Kernels.splitSpace(r.getString(2)).length.toLong)
+      }
+    val budgets = Map("src0" -> 1200L).withDefaultValue(400L)
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy { case (_, h, id, _) => (h, id) }.toSeq.flatMap {
+        case (_, _, id, n) =>
+          val before = cum
+          cum += n
+          if (before < budgets(src)) Some((id, src, n, cum)) else None
+      }
+    }.toSet
+    val got = Mix.tokenBudgetSample(docs, Map("src0" -> 1200L), 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("tokenBudgetSample: greedy prefix honors the budget; no per-source sort funnel") {
     val docs = graft.core.Tables.load(spark, sf, "documents")
     val out = Mix.tokenBudgetSample(docs, Map("src0" -> 1200L), 400L)

@@ -168,6 +168,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"kNN-graph recall collapsed: $recall")
   }
 
+  test("knnGraph restricted to the query set equals lshTopK — one banding, two operators") {
+    // the graph's per-source edges and the serving path's per-query
+    // results use the same bands, candidates, scoring, and tie-breaks,
+    // so the graph sliced to the serving queries must match row for row
+    val k = Similarity.GraphK
+    val graph = Similarity.knnGraph(emb, k).filter(col("src_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val served = Similarity.lshTopK(emb, expr("vec_id < 10"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(graph === served)
+    assert(graph.nonEmpty)
+  }
+
   test("randomProject: exact integer components; JL distances track originals") {
     import spark.implicits._
     // hand case: micro-units of (0.5, -1.25, 2.0, ...) against known signs
