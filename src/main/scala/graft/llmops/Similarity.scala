@@ -197,7 +197,12 @@ object Similarity {
     *
     * Shape at 100 TB: identical to [[Dedup.embeddingPairs]] — a narrow
     * signature pass emits (vec_id, band, sig) longs (never the vector),
-    * candidates come from the per-band equi-join OR'd by DISTINCT,
+    * candidates come from the per-band equi-join OR'd by DISTINCT (at
+    * fixture scale AQE broadcasts one side, so the signature kernel runs
+    * per join side; at corpus scale the join shuffles on (band, sig) and
+    * both sides' identical children collapse into one kernel execution
+    * via ReuseExchange — or serve from the materialized
+    * [[AnnIndex.buildLshSignatures]] artifact and sign nothing at all),
     * vectors re-attach via two equi-joins, and the exact-cosine re-check
     * feeds a per-source window top-k. No driver collect, no O(n²) pair
     * space; candidate work is O(Σ per-band bucket²) exactly as the
