@@ -144,6 +144,81 @@ object Decontaminate {
       .filter(col("span_tokens") >= minSpanTokens)
   }
 
+  // ------------------------------------------- embedding-space variant
+
+  /** Flag threshold for [[embeddingContamination]]: "semantically the
+    * same item" on this fixture's near-isotropic 64-dim embeddings —
+    * the brute-force bench-vs-corpus max-cosine distribution puts ~3% of
+    * corpus vectors above it (13 of ~490 at sf0.01, 214 of ~1950 at
+    * sf0.1), so flagged, near-miss, and unrelated regimes all exercise. */
+  val EmbedContaminationThreshold = 0.35
+
+  /** EMBEDDING-SPACE decontamination — the semantic leak the n-gram
+    * tests cannot see: a benchmark item paraphrased or translated into
+    * the corpus shares no 13-gram and few shingles, but its embedding
+    * sits at high cosine. Flag every corpus vector whose cosine to ANY
+    * benchmark vector reaches `threshold`, reporting the best-matching
+    * benchmark item (argmax cosine, ties to the smaller bench_id).
+    *
+    * Candidates come from [[Dedup.embedBandPlanes]]' 80-band × 8-plane
+    * OR-amplified sign-LSH — the SAME quantizer the embedding dedup path
+    * uses, so dedup and decontamination share one signature artifact at
+    * scale. The S-curve at this threshold (cos 0.35 → per-plane p ≈
+    * 0.61): 1 − (1 − p^8)^80 ≈ 0.80 recall; raise planes-per-band with
+    * the threshold exactly as the [[Dedup.EmbedBands]] note prescribes.
+    *
+    * Shape at 100 TB: the benchmark side (vectors + norms + band
+    * signatures) is ONE capped collect and broadcasts; the corpus side
+    * is a SINGLE narrow mapPartitions kernel — signature, any-band
+    * probe, exact-cosine verify, and per-row argmax all inside one pass.
+    * No join, no shuffle, no aggregation anywhere: output partitioning
+    * mirrors input partitioning, and the plan scales with corpus splits
+    * alone. (Contrast [[contaminationScores]], whose per-doc ratio needs
+    * one aggregation — here the argmax is per-row, so even that
+    * disappears.) Output: (vec_id, bench_id, cos) for flagged vectors. */
+  def embeddingContamination(emb: DataFrame, isBench: org.apache.spark.sql.Column,
+                             threshold: Double = EmbedContaminationThreshold): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bands: Array[Array[Array[Double]]] =
+      Dedup.embedBandPlanes.map(_.map(_.map(_.toDouble).toArray).toArray).toArray
+    val bench: Array[(Long, Array[Double], Double, Array[Long])] =
+      Similarity.collectCapped(
+          Similarity.typedVecs(emb).filter(isBench).as[(Long, Array[Double])],
+          "decontamination benchmark vector set")
+        .map { case (id, v) =>
+          (id, v, Kernels.norm(v),
+            Array.tabulate(bands.length)(b => Kernels.lshSignature(v, bands(b))))
+        }
+    val bc = spark.sparkContext.broadcast(bench)
+    Similarity.typedVecs(emb).filter(!isBench).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.flatMap { case (id, v) =>
+          val nrm = Kernels.norm(v)
+          val sig = Array.tabulate(bands.length)(b => Kernels.lshSignature(v, bands(b)))
+          var best = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < bs.length) {
+            val (bid, bv, bn, bsig) = bs(i)
+            var b = 0
+            var hit = false
+            while (!hit && b < sig.length) { hit = bsig(b) == sig(b); b += 1 }
+            if (hit) {
+              val cos = Kernels.dot(bv, v) / (bn * nrm)
+              if (cos > best || (cos == best && bid < bestId)) {
+                best = cos; bestId = bid
+              }
+            }
+            i += 1
+          }
+          if (best >= threshold) Some((id, bestId, Kernels.floorRound4(best)))
+          else None
+        }
+      }.toDF("vec_id", "bench_id", "cos")
+  }
+
   // ----------------------------------------------------------------- query
 
   /** The fixture has no separate benchmark table, so the benchmark is a
@@ -212,11 +287,61 @@ object Decontaminate {
        |HAVING max(span) >= $MinSpanTokens""".stripMargin
   }
 
+  /** The embedding benchmark: a deterministic ~3% id-slice of
+    * `embeddings` (no separate benchmark table in the fixture). */
+  private[llmops] val isBenchSql = "vec_id % 37 = 5"
+
+  def qDecontaminateEmbed(spark: SparkSession, dir: String): DataFrame =
+    embeddingContamination(Tables.load(spark, dir, "embeddings"),
+      expr(isBenchSql))
+
+  /** Oracle mirror of [[embeddingContamination]]: the
+    * [[Dedup.embeddingPairsSql]] banded candidate join made asymmetric
+    * (bench side × non-bench side), exact-cosine threshold on the raw
+    * value, then a per-vector argmax window (cos desc, bench_id). */
+  val qDecontaminateEmbedSql: String = {
+    val sigCols = Dedup.embedBandPlanes.zipWithIndex.map { case (ps, b) =>
+      s"${Similarity.signatureSqlFor(ps, "v")} AS s$b"
+    }.mkString(",\n             ")
+    val bandRows = Dedup.embedBandPlanes.indices.map { b =>
+      s"SELECT vec_id, $b AS band, s$b AS sig FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE ${Similarity.vecFilterSql}),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |             $sigCols
+       |  FROM e),
+       |bands AS MATERIALIZED (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id, b.vec_id AS bench_id
+       |  FROM bands c JOIN bands b ON c.band = b.band AND c.sig = b.sig
+       |  WHERE (b.$isBenchSql) AND NOT (c.$isBenchSql)),
+       |scored AS (
+       |  SELECT cd.vec_id, cd.bench_id,
+       |         list_dot_product(cv.v, bv.v) / (cv.nrm * bv.nrm) AS cos
+       |  FROM cand cd
+       |  JOIN n cv ON cv.vec_id = cd.vec_id
+       |  JOIN n bv ON bv.vec_id = cd.bench_id),
+       |best AS (
+       |  SELECT vec_id, bench_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, bench_id) AS rn
+       |  FROM scored
+       |  WHERE cos >= $EmbedContaminationThreshold)
+       |SELECT vec_id, bench_id,
+       |       floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+       |FROM best WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> (qDecontaminate _),
-    "decontaminate_spans" -> (qDecontaminateSpans _))
+    "decontaminate_spans" -> (qDecontaminateSpans _),
+    "decontaminate_embed" -> (qDecontaminateEmbed _))
 
   val oracleSql: Map[String, String] = Map(
     "decontaminate" -> qDecontaminateSql,
-    "decontaminate_spans" -> qDecontaminateSpansSql)
+    "decontaminate_spans" -> qDecontaminateSpansSql,
+    "decontaminate_embed" -> qDecontaminateEmbedSql)
 }

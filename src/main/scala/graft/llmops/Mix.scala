@@ -308,17 +308,131 @@ object Mix {
        |      (CASE $overrides ELSE $BudgetDefault END)""".stripMargin
   }
 
+  // --------------------------------------- temperature-scaled mixture
+
+  /** Micro-unit pin for the per-source temperature weight: weights ride
+    * as `floor(sqrt(tokens) · 1000)` BIGINTs so their SUM is integer
+    * arithmetic — order-free, hence bit-identical on any partitioning or
+    * engine. (A double weight sum would depend on reduction order.) */
+  val TemperatureScale = 1000.0
+
+  /** Temperature-scaled source mixing — the PaLM/DoReMi-style rebalance:
+    * instead of sampling each source proportionally to its size (α = 1,
+    * big sources dominate) or uniformly (α = 0, tiny sources repeat),
+    * give source `s` a token budget ∝ (tokens_s)^α with α = 1/2, then
+    * take the greedy hash-order prefix under that budget (the
+    * [[tokenBudgetSample]] machinery — budgets COMPUTED from corpus
+    * statistics instead of prescribed).
+    *
+    * α is fixed at 1/2 because `sqrt` is the one member of the α family
+    * that is a single IEEE-754 correctly-rounded operation on both
+    * engines (`pow` carries no such guarantee), which is what lets a
+    * statistics-derived budget hash-gate bit-for-bit: weights pin to
+    * integer micro-units ([[TemperatureScale]]), the weight sum is a
+    * BIGINT sum, and the final `floor(B · w/Σw)` is three correctly-
+    * rounded double ops on integers exactly representable below 2^53
+    * (Σw < 2^53 holds until ~10^25 corpus tokens).
+    *
+    * Shape at 100 TB: per-source token totals are one map-side-combined
+    * aggregate (source-sized output); the weight sum rides a 1-row
+    * broadcast scalar; budgets join back broadcast; the greedy prefix is
+    * the bucketed two-phase running sum — no task ever sorts a whole
+    * source, nothing ever collects the corpus.
+    *
+    * Output: kept docs as (doc_id, source, n_tokens, cum_tokens,
+    * budget_tokens). Every source keeps ≥ 1 document (floor can zero a
+    * tiny source's budget; `greatest(1, ·)` keeps the straddling-doc
+    * guarantee instead). */
+  def temperatureTokenSample(docs: DataFrame, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"token budget must be positive, got $totalBudget")
+    val base = docs
+      .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        Hashing.md5Long(col("doc_id").cast("string")).as("_h"))
+      .withColumn("_bucket", expr(s"_h div ${1L << BudgetBucketShift}"))
+    val weights = base.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .select(col("source"),
+        floor(sqrt(col("_t").cast("double")) * lit(TemperatureScale))
+          .cast("long").as("_w"))
+    val wsum = weights.agg(sum(col("_w")).as("_wsum"))
+    // 1-row broadcast scalar (the Sketch/PageRank pattern), then a
+    // source-sized broadcast join: neither side is ever corpus-sized
+    val budgets = weights.crossJoin(broadcast(wsum))
+      .select(col("source"),
+        greatest(lit(1L),
+          floor(lit(totalBudget.toDouble) *
+            (col("_w").cast("double") / col("_wsum").cast("double")))
+            .cast("long")).as("budget_tokens"))
+    val cum = graft.operators.PrefixSum.perKeyRunningSum(
+      base, "source", "_bucket", Seq("_h", "doc_id"), "n_tokens", "cum_tokens")
+    cum.join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("budget_tokens"))
+  }
+
+  /** The query's total budget: ~8k tokens against the fixture's ~30k at
+    * sf0.01 — every source's sqrt-share (~400 tokens of ~1500 held) makes
+    * a real cut, and shares measurably differ across sources (token
+    * totals spread ~6.3-8.6k chars), so the temperature formula — not
+    * just the prefix cut — is what the hash gates. */
+  val TemperatureBudget = 8000L
+
+  def qTemperature(spark: SparkSession, dir: String): DataFrame =
+    temperatureTokenSample(Tables.load(spark, dir, "documents"), TemperatureBudget)
+
+  /** Oracle: the same integer-pinned weight algebra stated declaratively —
+    * sqrt/·1000/floor per source, BIGINT weight sum, three-op double
+    * ratio, then the plain per-source running-sum window the bucketed
+    * two-phase sum must reproduce exactly. */
+  val qTemperatureSql: String = {
+    val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         $h AS h
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL),
+       |w AS (
+       |  SELECT source,
+       |         CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * $TemperatureScale)
+       |           AS BIGINT) AS w
+       |  FROM t GROUP BY source),
+       |b AS (
+       |  SELECT source,
+       |         CAST(greatest(1, CAST(floor(CAST($TemperatureBudget AS DOUBLE) *
+       |             (CAST(w AS DOUBLE) /
+       |              CAST((SELECT sum(w) FROM w) AS DOUBLE))) AS BIGINT))
+       |           AS BIGINT) AS budget_tokens
+       |  FROM w),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source
+       |           ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, b.budget_tokens
+       |FROM c JOIN b USING (source)
+       |WHERE c.cum_tokens - c.n_tokens < b.budget_tokens""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_weighted" -> (qMix _),
     "sample_capped" -> (qCapped _),
     "split_assign" -> (qSplit _),
     "epoch_shuffle" -> (qEpochShuffle _),
-    "sample_token_budget" -> (qTokenBudget _))
+    "sample_token_budget" -> (qTokenBudget _),
+    "mix_temperature" -> (qTemperature _))
 
   val oracleSql: Map[String, String] = Map(
     "mix_weighted" -> qMixSql,
     "sample_capped" -> qCappedSql,
     "split_assign" -> qSplitSql,
     "epoch_shuffle" -> qEpochShuffleSql,
-    "sample_token_budget" -> qTokenBudgetSql)
+    "sample_token_budget" -> qTokenBudgetSql,
+    "mix_temperature" -> qTemperatureSql)
 }

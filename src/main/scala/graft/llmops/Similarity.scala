@@ -31,6 +31,10 @@ object Similarity {
   val TopK = 10
   val Dim = 64
 
+  /** The oracle queries' deterministic query-set predicate (shared by
+    * every serving-path query in this file). */
+  private[llmops] val isQuerySql = "vec_id < 10"
+
   /** Multi-band OR-amplified sign-LSH for top-k SERVING — the same
     * banding scheme as [[Dedup.embeddingPairs]] (a pair is a candidate
     * when it collides in ANY band), tuned for the top-k regime instead
@@ -294,6 +298,125 @@ object Similarity {
        |FROM ranked WHERE rank <= $GraphK""".stripMargin
   }
 
+  // ------------------------------------------------- kNN classification
+
+  /** kNN label propagation — classify unlabeled vectors by majority label
+    * of their k nearest labeled neighbors. The embedding-space classifier
+    * real curation pipelines run where no trained model exists (quality /
+    * domain / topic tagging à la FineWeb-Edu bootstrapping): label a
+    * small seed set, propagate to the corpus.
+    *
+    * Candidates come from the same 32-band OR-amplified sign-LSH as
+    * [[lshTopK]]; the corpus side is restricted to LABELED non-query
+    * rows, and the label rides the scoring kernel's corpus row — there is
+    * NO corpus-side join anywhere (a label-attach join would shuffle the
+    * corpus; here the plan is scan → flatMap → window over ~k·|queries|
+    * rows). Majority vote over the top-k, ties to the smaller label;
+    * neighbor rank ties to the smaller vec_id (the [[rankTopK]]
+    * contract).
+    *
+    * Output: (query_id, label, votes) — one row per query that collided
+    * with at least one labeled vector. */
+  def knnClassify(emb: DataFrame, isQuery: Column, k: Int = TopK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bands = simBandSigns
+    val queries: Array[(Long, Array[Double], Double, Array[Long])] =
+      collectCapped(typedVecs(emb).filter(isQuery).as[(Long, Array[Double])],
+          "kNN-classify query set")
+        .map { case (id, v) =>
+          (id, v, Kernels.norm(v),
+            Array.tabulate(bands.length)(b => Kernels.lshSignature(v, bands(b))))
+        }
+    val bc = spark.sparkContext.broadcast(queries)
+    // labeled non-query corpus only: unlabeled rows cannot vote, and a
+    // query must not vote on another query
+    val corpus = emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) === Dim && col("label").isNotNull && !isQuery)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"),
+        col("label").cast("long"))
+      .as[(Long, Array[Double], Long)]
+    val scored = corpus.mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (id, v, lab) =>
+        val nrm = Kernels.norm(v)
+        val sig = Array.tabulate(bands.length)(b => Kernels.lshSignature(v, bands(b)))
+        qs.iterator
+          .filter { case (qid, _, _, qsig) =>
+            qid != id && {
+              var b = 0
+              var hit = false
+              while (!hit && b < sig.length) { hit = qsig(b) == sig(b); b += 1 }
+              hit
+            }
+          }
+          .map { case (qid, qv, qn, _) =>
+            (qid, id, Kernels.dot(qv, v) / (qn * nrm), lab)
+          }
+      }
+    }.toDF("query_id", "neighbor_id", "cos", "label")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val votes = scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("_rn", row_number().over(wVote))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("label"), col("votes"))
+  }
+
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame =
+    knnClassify(Tables.load(spark, dir, "embeddings"), expr(isQuerySql))
+
+  /** Oracle mirror of [[knnClassify]]: the [[qLshSql]] banded candidate
+    * join with the corpus side restricted to labeled non-queries, then
+    * top-k rank → vote count → per-query argmax (votes desc, label). */
+  val qKnnClassifySql: String = {
+    val sigCols = simBandPlanes.zipWithIndex.map { case (ps, b) =>
+      s"${signatureSqlFor(ps, "v")} AS s$b"
+    }.mkString(",\n             ")
+    val bandRows = simBandPlanes.indices.map { b =>
+      s"SELECT vec_id, $b AS band, s$b AS sig FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |                  CAST(label AS BIGINT) AS label
+       |           FROM embeddings WHERE $vecFilterSql),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm,
+       |             $sigCols
+       |  FROM e),
+       |bands AS MATERIALIZED (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bands q JOIN bands c ON q.band = c.band AND q.sig = c.sig
+       |  WHERE q.$isQuerySql AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cd.query_id, cd.neighbor_id, c.label,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM cand cd
+       |  JOIN n q ON q.vec_id = cd.query_id
+       |  JOIN n c ON c.vec_id = cd.neighbor_id
+       |  WHERE c.label IS NOT NULL AND NOT (c.$isQuerySql)),
+       |ranked AS (
+       |  SELECT query_id, label,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, label, count(*) AS votes
+       |  FROM ranked WHERE rank <= $TopK GROUP BY query_id, label)
+       |SELECT query_id, label, votes
+       |FROM (SELECT query_id, label, votes,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY votes DESC, label) AS rn
+       |      FROM votes)
+       |WHERE rn = 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- IVF
 
   /** Probe count: a query scans the members of its `NProbe` nearest
@@ -474,8 +597,6 @@ object Similarity {
     }.mkString("(", " + ", ")")
 
   // ----------------------------------------------------------------- queries
-
-  private[llmops] val isQuerySql = "vec_id < 10"
 
   def qBruteForce(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql))
@@ -675,6 +796,7 @@ object Similarity {
     "sim_knn_graph" -> (qKnnGraph _),
     "sim_topk_ivf" -> (qIvf _),
     "sim_topk_ivf_nprobe" -> (qIvfNprobe _),
+    "knn_classify" -> (qKnnClassify _),
     "embed_project" -> (qProject _))
 
   val oracleSql: Map[String, String] = Map(
@@ -683,5 +805,6 @@ object Similarity {
     "sim_knn_graph" -> qKnnGraphSql,
     "sim_topk_ivf" -> qIvfSql,
     "sim_topk_ivf_nprobe" -> qIvfNprobeSql,
+    "knn_classify" -> qKnnClassifySql,
     "embed_project" -> qProjectSql)
 }

@@ -261,6 +261,48 @@ class LlmopsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("too large to broadcast"))
   }
 
+  test("embeddingContamination: pure map-side scan; replay matches; bench never self-flags") {
+    import graft.llmops.{Decontaminate, Dedup, Kernels, Similarity}
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val isBench = expr("vec_id % 37 = 5")
+    val got = Decontaminate.embeddingContamination(emb, isBench)
+    // the whole operator is one broadcast + one narrow kernel pass: the
+    // executed plan must contain NO join and NO exchange of any kind
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(2000))
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "threshold should flag some corpus vectors at this fixture")
+    assert(rows.forall(_._3 >= Decontaminate.EmbedContaminationThreshold))
+    assert(rows.forall(_._1 % 37 != 5), "a benchmark vector flagged itself")
+    // driver replay with the same bands/kernels: any-band collision →
+    // exact max-cos (ties to smaller bench id) → threshold
+    val bands = Dedup.embedBandPlanes
+      .map(_.map(_.map(_.toDouble).toArray).toArray).toArray
+    def sigs(v: Array[Double]): Array[Long] =
+      Array.tabulate(bands.length)(b => Kernels.lshSignature(v, bands(b)))
+    val all = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bench = all.filter(_._1 % 37 == 5)
+      .map { case (id, v) => (id, v, Kernels.norm(v), sigs(v)) }
+    val expected = all.filter(_._1 % 37 != 5).flatMap { case (id, v) =>
+      val nrm = Kernels.norm(v)
+      val s = sigs(v)
+      val hits = bench.filter { case (_, _, _, bs) =>
+        bs.indices.exists(i => bs(i) == s(i))
+      }.map { case (bid, bv, bn, _) => (bid, Kernels.dot(bv, v) / (bn * nrm)) }
+      if (hits.isEmpty) None
+      else {
+        val (bid, cos) = hits.minBy { case (b, c) => (-c, b) }
+        if (cos >= Decontaminate.EmbedContaminationThreshold)
+          Some((id, bid, Kernels.floorRound4(cos)))
+        else None
+      }
+    }.toSet
+    assert(rows.toSet === expected)
+  }
+
   test("substringOverlapPairs: exact shared runs measured; scattered shingles below threshold ignored") {
     import spark.implicits._
     def words(prefix: String, n: Int): Seq[String] =

@@ -189,4 +189,53 @@ class PrepareSpec extends AnyFunSuite {
     assert(plan.contains("_bucket"), plan.take(1500))
     assert(!plan.contains("SinglePartition"), plan.take(1500))
   }
+
+  test("temperatureTokenSample: integer-pinned sqrt budgets match the replay; rebalance is sublinear") {
+    import spark.implicits._
+    val ten = Seq.fill(10)("w").mkString(" ") // 10 tokens per doc
+    // three sources with 1× / 4× / 16× token mass
+    val docs = ((1 to 10).map(i => (i.toLong, "a", ten)) ++
+      (1 to 40).map(i => (100L + i, "b", ten)) ++
+      (1 to 160).map(i => (1000L + i, "c", ten)))
+      .toDF("doc_id", "source", "text")
+    val out = Mix.temperatureTokenSample(docs, totalBudget = 700L)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val budgets = rows.map(r => r._2 -> r._5).toMap
+    // replay the exact algebra: w = floor(sqrt(tokens)·1000) as a Long,
+    // Σw in integers, budget = max(1, floor(B · w/Σw))
+    val t = Map("a" -> 100L, "b" -> 400L, "c" -> 1600L)
+    val w = t.map { case (s, n) => s -> math.floor(math.sqrt(n.toDouble) * 1000.0).toLong }
+    val wsum = w.values.sum
+    val want = w.map { case (s, wv) =>
+      s -> math.max(1L, math.floor(700.0 * (wv.toDouble / wsum.toDouble)).toLong)
+    }
+    assert(budgets === want)
+    // α = 1/2 is the point: c holds 16× a's tokens but gets only ~4× its
+    // budget (sqrt compression), where proportional sampling would give 16×
+    assert(want("c") >= 3 * want("a") && want("c") <= 5 * want("a"),
+      s"sqrt rebalance broken: $want")
+    // greedy prefix honors each source's computed budget
+    rows.foreach { case (_, src, n, cum, b) =>
+      assert(cum - n < b, s"$src kept a doc starting at ${cum - n} >= $b")
+    }
+    // deterministic under repartitioning
+    val re = Mix.temperatureTokenSample(docs.repartition(7), 700L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(re.toSet === rows.toSet)
+  }
+
+  test("temperatureTokenSample: a vanishing source keeps one doc (floor would zero it)") {
+    import spark.implicits._
+    val hundred = Seq.fill(100)("w").mkString(" ")
+    val docs = ((1 to 1000).map(i => (i.toLong, "huge", hundred)) :+
+      ((9999L, "tiny", "x"))).toDF("doc_id", "source", "text")
+    val out = Mix.temperatureTokenSample(docs, totalBudget = 300L)
+    val bySrc = out.collect().map(r => (r.getString(1), r.getLong(4)))
+      .groupBy(_._1).map { case (s, g) => s -> ((g.length, g.head._2)) }
+    // tiny's floor budget is 0 (w=1000 of wsum≈317k, 300·w/Σw < 1) →
+    // greatest(1, ·) keeps its single doc
+    assert(bySrc("tiny") === ((1, 1L)))
+    assert(bySrc.contains("huge"))
+  }
 }

@@ -183,6 +183,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(graph.nonEmpty)
   }
 
+  test("knnClassify: vote matches the driver replay; the label rides the scan (no join)") {
+    val isQuery = expr("vec_id < 10")
+    val got = Similarity.knnClassify(emb, isQuery)
+    // the label is carried on the corpus kernel row — a label-attach join
+    // would shuffle the corpus, so the plan must contain NO join at all
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), plan.take(2000))
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet === (0L until 10L).toSet)
+    // driver-side replay with the same kernels: banded candidates →
+    // top-k by (cos desc, id) → majority vote (votes desc, label)
+    val bands = Similarity.simBandPlanes
+      .map(_.map(_.map(_.toDouble).toArray).toArray).toArray
+    def sigs(v: Array[Double]): Array[Long] =
+      Array.tabulate(bands.length)(b => Kernels.lshSignature(v, bands(b)))
+    val all = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"), col("label").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val queries = all.filter(_._1 < 10)
+    val labeled = all.filter(t => t._1 >= 10 && t._3.isDefined)
+    val expected = queries.flatMap { case (qid, qv, _) =>
+      val qn = Kernels.norm(qv)
+      val qs = sigs(qv)
+      val topk = labeled.filter { case (_, v, _) =>
+          val s = sigs(v); s.indices.exists(i => s(i) == qs(i))
+        }
+        .map { case (id, v, lab) =>
+          (id, Kernels.dot(qv, v) / (qn * Kernels.norm(v)), lab.get)
+        }
+        .sortBy { case (id, cos, _) => (-cos, id) }
+        .take(Similarity.TopK)
+      if (topk.isEmpty) None
+      else {
+        val (lab, n) = topk.groupBy(_._3).map { case (l, g) => (l, g.length) }
+          .toSeq.sortBy { case (l, c) => (-c, l) }.head
+        Some((qid, lab, n.toLong))
+      }
+    }.toSet
+    assert(rows.toSet === expected)
+  }
+
   test("randomProject: exact integer components; JL distances track originals") {
     import spark.implicits._
     // hand case: micro-units of (0.5, -1.25, 2.0, ...) against known signs
