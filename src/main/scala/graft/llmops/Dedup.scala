@@ -1107,6 +1107,78 @@ object Dedup {
        |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r)
        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
+  // ------------------------------------------------ canonical selection
+
+  /** The query's provenance ranking: a handful of "curated" sources
+    * outrank the web-crawl tail. Shared by the Spark side and the
+    * oracle CASE so the tie-break can never drift. */
+  val CuratedSources: Seq[String] = (0 until 5).map(i => s"src$i")
+
+  /** CANONICAL-representative selection — the "which duplicate do we
+    * KEEP" policy every dedup family needs after pair/cluster detection
+    * (pair emitters report duplication; this decides survivorship).
+    * Real pipelines do not keep min-id: they keep the best-provenance,
+    * longest copy (a curated source's full article over a crawl's
+    * truncated scrape). Per duplicate cluster, rank members by
+    * (priority asc, n_chars desc, doc_id asc) and keep rank 1.
+    *
+    * Shape at 100 TB: `clusters` is [[duplicateClusters]]' O(log n)
+    * star-rounds output; members join their metadata on doc_id (one key
+    * shuffle — metadata, never text); the argmax window partitions by
+    * cluster_id, so tasks are bounded by cluster size, and the two
+    * window functions (rank + member count) ride ONE exchange.
+    * Singleton clusters are dropped — at scale the output is
+    * |duplicate groups|, not |corpus|.
+    *
+    * Output: (cluster_id, keep_id, keep_source, n_members). */
+  def keepBestDuplicate(docs: DataFrame, pairs: DataFrame,
+                        priority: Column): DataFrame = {
+    val clusters = duplicateClusters(docs, pairs)
+    val members = clusters.join(
+      docs.select(col("doc_id").cast("long"), col("source"), col("n_chars")),
+      Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      .orderBy(priority.asc, col("n_chars").desc, col("doc_id"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    members
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .filter(col("_rn") === 1 && col("n_members") > 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("source").as("keep_source"), col("n_members"))
+  }
+
+  /** Priority column for [[CuratedSources]]: curated 0, web tail 1. */
+  def curatedPriority(sourceCol: Column): Column =
+    when(sourceCol.isin(CuratedSources: _*), lit(0)).otherwise(lit(1))
+
+  def keepBestOracleSql(maxHamming: Int = HammingMax): String = {
+    val inList = CuratedSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE $simhashSqlCte,
+       |bands AS MATERIALIZED (
+       |  $simhashBandsSql),
+       |pairs AS MATERIALIZED (
+       |  ${simhashPairsFragment(maxHamming)}),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+       |clusters AS MATERIALIZED (
+       |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |m AS (
+       |  SELECT c.cluster_id, d.doc_id, d.source, d.n_chars,
+       |         row_number() OVER (PARTITION BY c.cluster_id
+       |           ORDER BY (CASE WHEN d.source IN ($inList) THEN 0 ELSE 1 END),
+       |                    d.n_chars DESC, d.doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+       |  FROM clusters c JOIN documents d USING (doc_id))
+       |SELECT cluster_id, doc_id AS keep_id, source AS keep_source,
+       |       CAST(n_members AS BIGINT) AS n_members
+       |FROM m WHERE rn = 1 AND n_members > 1""".stripMargin
+  }
+
   // ---------------------------------------------------- stratified sample
 
   /** Deterministic hash-based stratified sampling (training-data mixing/
@@ -1191,6 +1263,10 @@ object Dedup {
       val docs = Tables.load(s, d, "documents")
       duplicateClusters(docs, simhashPairs(docs))
     }),
+    "dedup_keep_best" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents")
+      keepBestDuplicate(docs, simhashPairs(docs), curatedPriority(col("source")))
+    }),
     "dedup_incremental" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
       incrementalSimhashDedup(
@@ -1217,6 +1293,7 @@ object Dedup {
     "dedup_semantic" -> semanticDedupSql(),
     "dedup_substring" -> substringOverlapSql(),
     "dedup_clusters" -> clustersOracleSql(),
+    "dedup_keep_best" -> keepBestOracleSql(),
     // the oracle is the PLAIN band join over the same split — a Bloom
     // false negative (a dropped true collision) breaks the hash match
     "dedup_incremental" ->

@@ -407,6 +407,29 @@ class LlmopsSpec extends AnyFunSuite {
     }
   }
 
+  test("keepBestDuplicate: provenance beats length beats id; singletons dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      // cluster {1,2,3}: 3 is longest but web; 2 is curated → 2 wins
+      (1L, "curated", 100L), (2L, "curated", 120L), (3L, "web", 500L),
+      // cluster {10,11}: both web → longer (11) wins
+      (10L, "web", 80L), (11L, "web", 90L),
+      // cluster {20,21}: same source, same length → smaller id wins
+      (20L, "web", 70L), (21L, "web", 70L),
+      // singleton 30: no pair → must not appear
+      (30L, "curated", 999L)).toDF("doc_id", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val prio = when(col("source") === "curated", lit(0)).otherwise(lit(1))
+    val got = Dedup.keepBestDuplicate(docs, pairs, prio).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 2L, "curated", 3L),
+      (10L, 11L, "web", 2L),
+      (20L, 20L, "web", 2L)))
+  }
+
   test("duplicateClusters labels every chain with its minimum id") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
