@@ -91,6 +91,61 @@ object Pack {
         md5(array_join(chunk, " ")).as("chunk_md5"))
   }
 
+  // -------------------------------------------- length-bucketed batching
+
+  /** Bucket upper bounds (token counts) and docs-per-batch for
+    * [[batchBuckets]]' query (fixture token lengths run 10..99, so all
+    * four buckets — including the unbounded tail — are populated). */
+  val BatchBucketBounds: Seq[Long] = Seq(24, 48, 72)
+  val BatchSize = 16
+
+  /** Length-bucketed batch construction — the dynamic-batching step
+    * training loaders run when sequences are padded, not packed: group
+    * docs of similar token length, cut each group into fixed-count
+    * batches, and account the padding each batch pays (batch cost is
+    * `n_docs · max_len`; everything above `sum_len` is padding waste).
+    * The bucket boundaries ARE the knob — this operator measures what a
+    * boundary choice costs, per batch.
+    *
+    * Batch assignment must be deterministic and avoid the per-bucket
+    * global sort (a handful of huge buckets is the hot-key funnel by
+    * construction): position-in-bucket comes from
+    * [[graft.operators.PrefixSum.perKeyRunningSum]] over a constant-1
+    * column — per-(bucket, hash-slice) windows stitched by broadcast
+    * offsets, so no task ever sorts a whole length bucket — in the same
+    * deterministic (hash, doc_id) order the oracle's window states.
+    *
+    * Output: (len_bucket, batch_id, n_docs, max_tokens, sum_tokens,
+    * padding_tokens); the final batch of a bucket may hold < batchSize
+    * docs and pays padding only over its actual membership. */
+  def batchBuckets(docs: DataFrame, bounds: Seq[Long] = BatchBucketBounds,
+                   batchSize: Int = BatchSize): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(bounds.nonEmpty && bounds == bounds.sorted && bounds.head >= 1,
+      s"bounds must be ascending positive token counts, got $bounds")
+    val base = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        Hashing.md5Long(col("doc_id").cast("string")).as("_h"))
+    val bucketExpr = bounds.reverse.foldLeft(lit("binf")) { (acc, b) =>
+      when(col("n_tokens") <= b, lit(s"b$b")).otherwise(acc)
+    }
+    val withBucket = base.withColumn("len_bucket", bucketExpr)
+      .withColumn("_hb", expr(s"_h div ${1L << 52}"))
+      .withColumn("_one", lit(1L))
+    val positioned = graft.operators.PrefixSum.perKeyRunningSum(
+      withBucket, "len_bucket", "_hb", Seq("_h", "doc_id"), "_one", "_pos")
+    positioned
+      .select(col("len_bucket"), col("n_tokens"),
+        expr(s"(_pos - 1) div $batchSize").as("batch_id"))
+      .groupBy(col("len_bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padding_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
   // ----------------------------------------------------------------- query
 
   def qPack(spark: SparkSession, dir: String): DataFrame =
@@ -132,11 +187,46 @@ object Pack {
        |                           start_tok + $ChunkTokens), ' ')) AS chunk_md5
        |FROM s""".stripMargin
 
+  def qBatch(spark: SparkSession, dir: String): DataFrame =
+    batchBuckets(Tables.load(spark, dir, "documents"))
+
+  /** The oracle states the semantics as one per-bucket window
+    * (row_number in (hash, doc_id) order); the two-phase per-key sum
+    * must reproduce positions — and therefore batches — exactly. */
+  val qBatchSql: String = {
+    val h = graft.llmops.Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    val cases = BatchBucketBounds
+      .map(b => s"WHEN n_tokens <= $b THEN 'b$b'").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         $h AS h
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |b AS (
+       |  SELECT doc_id, n_tokens, h,
+       |         CASE $cases ELSE 'binf' END AS len_bucket
+       |  FROM t),
+       |s AS (
+       |  SELECT len_bucket, n_tokens,
+       |         row_number() OVER (PARTITION BY len_bucket
+       |           ORDER BY h, doc_id) AS pos
+       |  FROM b)
+       |SELECT len_bucket, (pos - 1) // $BatchSize AS batch_id,
+       |       count(*) AS n_docs, max(n_tokens) AS max_tokens,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       count(*) * max(n_tokens) - CAST(sum(n_tokens) AS BIGINT)
+       |         AS padding_tokens
+       |FROM s GROUP BY len_bucket, batch_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> (qPack _),
-    "chunk_docs" -> (qChunk _))
+    "chunk_docs" -> (qChunk _),
+    "batch_buckets" -> (qBatch _))
 
   val oracleSql: Map[String, String] = Map(
     "pack_sequences" -> qPackSql,
-    "chunk_docs" -> qChunkSql)
+    "chunk_docs" -> qChunkSql,
+    "batch_buckets" -> qBatchSql)
 }

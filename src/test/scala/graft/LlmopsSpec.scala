@@ -598,6 +598,35 @@ class LlmopsSpec extends AnyFunSuite {
     assert(run(bucketSize = 1000000) === got)
   }
 
+  test("batchBuckets: full batches except bucket tails; padding algebra; bucket bounds hold") {
+    import graft.llmops.Pack
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val got = Pack.batchBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val bounds = Pack.BatchBucketBounds.map(b => s"b$b" -> b).toMap
+    got.groupBy(_._1).foreach { case (bucket, batches) =>
+      // batch ids dense from 0; only the LAST batch may be short
+      val byId = batches.sortBy(_._2)
+      assert(byId.map(_._2).toSeq === (0L until byId.length.toLong))
+      byId.init.foreach { b => assert(b._3 === Pack.BatchSize.toLong, s"$bucket: $b") }
+      assert(byId.last._3 <= Pack.BatchSize.toLong && byId.last._3 >= 1L)
+      batches.foreach { case (_, _, n, mx, sm, pad) =>
+        assert(pad === n * mx - sm && pad >= 0L)
+        // max respects the bucket's upper bound
+        bounds.get(bucket).foreach(ub => assert(mx <= ub, s"$bucket holds a $mx-token doc"))
+      }
+    }
+    // the unbounded tail bucket exists on this fixture (lengths reach 99)
+    assert(got.exists(_._1 == "binf"))
+    // deterministic under repartitioning (positions come from the hash order)
+    val re = Pack.batchBuckets(docs.repartition(11)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(re.toSet === got.toSet)
+  }
+
   test("bm25TopK ranks tf-heavy short docs first and excludes term-free docs") {
     import spark.implicits._
     val docs = Seq(
