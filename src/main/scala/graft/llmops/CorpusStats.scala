@@ -232,15 +232,110 @@ object CorpusStats {
        |FROM sh GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------ corpus report
+
+  /** Per-source corpus datasheet — the summary table a dataset card
+    * publishes per source: document count, token mass, mean length,
+    * quality pass rate ([[QualityRules]]' Gopher battery), and the
+    * dominant language. One corpus pass computes the per-doc verdicts
+    * WITH source/lang carried on the row (no corpus-sized metadata
+    * join); the two roll-ups (per source, per source×lang) are
+    * map-side-combined aggregates with source-sized outputs, joined
+    * source-to-source at the end. Pass rate is integer basis points and
+    * the mean is a division of two exact BIGINTs through
+    * [[Hashing.stableRound]] — bit-stable on both engines. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val rules = QualityRules.gopherRules(
+        docs.filter(col("source").isNotNull), carryCols = Seq("source", "lang"))
+      .withColumn("lang", coalesce(col("lang"), lit("?")))
+    val bySrc = rules.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("sum_tokens"),
+      sum(col("passes")).cast("long").as("n_quality_pass"))
+    val byLang = rules.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("lang"))
+    val top = byLang.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("n").as("top_lang_docs"))
+    bySrc.join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        Hashing.stableRound(
+          col("sum_tokens").cast("double") / col("n_docs").cast("double"), 2)
+          .as("mean_tokens"),
+        col("n_quality_pass"),
+        expr("n_quality_pass * 10000 div n_docs").as("pass_bp"),
+        col("top_lang"), col("top_lang_docs"))
+  }
+
+  def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
+    corpusReport(Tables.load(spark, dir, "documents"))
+
+  /** One CTE computes the per-doc verdict with source/lang carried (the
+    * [[QualityRules.gopherSql]] algebra inlined), then the two
+    * source-sized roll-ups and the dominant-language window. */
+  val qCorpusReportSql: String = {
+    val stopsList = QualityRules.RequiredStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    val symbolPred = QualityRules.SymbolTokens
+      .map(s => s"contains(w, '$s')").mkString(" OR ")
+    s"""WITH f AS (
+       |  SELECT doc_id, source, coalesce(lang, '?') AS lang,
+       |         list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id, source, lang,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT)
+       |      AS sum_word_chars,
+       |    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+       |      AS n_alpha_words,
+       |    CAST(len(list_filter(words, w -> $symbolPred)) AS BIGINT) AS n_symbol_words,
+       |    CAST(len(list_filter($stopsList, s -> list_contains(words, s))) AS BIGINT)
+       |      AS n_stop_hits
+       |  FROM f),
+       |v AS MATERIALIZED (
+       |  SELECT source, lang,
+       |    n_words,
+       |    CASE WHEN n_words BETWEEN ${QualityRules.MinWords} AND ${QualityRules.MaxWords}
+       |           AND n_words * 3 <= sum_word_chars AND sum_word_chars <= n_words * 10
+       |           AND n_alpha_words * 10 >= n_words * 8
+       |           AND n_symbol_words * 10 <= n_words
+       |           AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS passes
+       |  FROM s),
+       |a AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+       |         CAST(sum(passes) AS BIGINT) AS n_quality_pass
+       |  FROM v GROUP BY source),
+       |l AS (
+       |  SELECT source, lang, count(*) AS n FROM v GROUP BY source, lang),
+       |t AS (
+       |  SELECT source, lang AS top_lang, n AS top_lang_docs,
+       |         row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+       |  FROM l)
+       |SELECT a.source, a.n_docs, a.sum_tokens,
+       |       floor((CAST(a.sum_tokens AS DOUBLE) / CAST(a.n_docs AS DOUBLE))
+       |             * 100.0 + 0.5) / 100.0 AS mean_tokens,
+       |       a.n_quality_pass,
+       |       (a.n_quality_pass * 10000) // a.n_docs AS pass_bp,
+       |       t.top_lang, t.top_lang_docs
+       |FROM a JOIN t USING (source) WHERE t.rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_corpusfreq" -> (qCorpusFreq _),
     "topk_sources" -> (qTopkSources _),
     "keywords_rare" -> (qKeywords _),
-    "diversity_ngram" -> (qDiversity _))
+    "diversity_ngram" -> (qDiversity _),
+    "corpus_report" -> (qCorpusReport _))
 
   val oracleSql: Map[String, String] = Map(
     "quality_corpusfreq" -> qCorpusFreqSql,
     "topk_sources" -> qTopkSourcesSql,
     "keywords_rare" -> qKeywordsSql,
-    "diversity_ngram" -> qDiversitySql)
+    "diversity_ngram" -> qDiversitySql,
+    "corpus_report" -> qCorpusReportSql)
 }

@@ -44,13 +44,17 @@ object QualityRules {
   private def flag(c: Column): Column = when(c, 1).otherwise(0).cast("int")
 
   /** Per-document rule verdicts: counters + one 0/1 column per rule and
-    * the conjunction `passes`. */
-  def gopherRules(docs: DataFrame): DataFrame = {
+    * the conjunction `passes`. `carryCols` rides extra input columns
+    * (e.g. source/lang) through unchanged, so downstream roll-ups
+    * ([[CorpusStats.corpusReport]]) never need a corpus-sized join back
+    * to the metadata. */
+  def gopherRules(docs: DataFrame, carryCols: Seq[String] = Nil): DataFrame = {
     val words = filter(split(col("text"), " "), w => w =!= "")
+    val carry = carryCols.map(col)
     docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
-      .select(col("doc_id"), words.as("words"))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carry :+ words.as("words"): _*)
+      .select((col("doc_id") +: carry) ++ Seq(
         size(col("words")).cast("long").as("n_words"),
         aggregate(col("words"), lit(0L), (a, w) => a + length(w)).as("sum_word_chars"),
         size(filter(col("words"), w => w.rlike("[a-zA-Z]"))).cast("long").as("n_alpha_words"),
@@ -58,7 +62,7 @@ object QualityRules {
           w => SymbolTokens.map(s => w.contains(s)).reduce(_ || _)))
           .cast("long").as("n_symbol_words"),
         size(filter(array(RequiredStops.map(lit): _*),
-          s => array_contains(col("words"), s))).cast("long").as("n_stop_hits"))
+          s => array_contains(col("words"), s))).cast("long").as("n_stop_hits")): _*)
       .withColumn("ok_word_count",
         flag(col("n_words") >= MinWords && col("n_words") <= MaxWords))
       .withColumn("ok_mean_len",

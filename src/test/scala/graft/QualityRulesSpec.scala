@@ -68,4 +68,32 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(r.getAs[Int]("ok_stopwords") === 1)
     assert(r.getAs[Int]("passes") === 0)
   }
+
+  test("corpusReport aggregates equal the per-doc verdict replay; NULL lang coalesces") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pass = Seq.fill(15)("the and").mkString(" ") // passes all rules
+    val fail = "too short"
+    val docs = Seq(
+      (1L, "a", "en", pass), (2L, "a", "en", pass), (3L, "a", "de", fail),
+      (4L, "b", null.asInstanceOf[String], pass), (5L, "b", "fr", fail))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = graft.llmops.CorpusStats.corpusReport(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_docs") === 3L)
+    assert(a.getAs[Long]("sum_tokens") === 62L)       // 30 + 30 + 2
+    assert(a.getAs[Double]("mean_tokens") === 20.67)  // floor(62/3·100+0.5)/100
+    assert(a.getAs[Long]("n_quality_pass") === 2L)
+    assert(a.getAs[Long]("pass_bp") === 6666L)        // 2·10000 div 3
+    assert(a.getAs[String]("top_lang") === "en" &&
+      a.getAs[Long]("top_lang_docs") === 2L)
+    val b = got("b")
+    // NULL lang groups as '?'; 1-vs-1 tie breaks to the smaller label
+    assert(b.getAs[Long]("n_docs") === 2L && b.getAs[Long]("n_quality_pass") === 1L)
+    assert(b.getAs[String]("top_lang") === "?")
+    // carryCols leaves the oracle-gated per-doc schema untouched
+    assert(QualityRules.gopherRules(docs.select(col("doc_id"), col("text")))
+      .columns.head === "doc_id")
+  }
 }
