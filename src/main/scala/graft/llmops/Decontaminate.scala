@@ -46,12 +46,25 @@ object Decontaminate {
     * contamination, contaminated). */
   def contaminationScores(docs: DataFrame, benchmark: DataFrame,
                           threshold: Double = ContaminationThreshold,
-                          maxBenchShingles: Long = MaxBenchmarkShingles): DataFrame = {
-    // No checkpoint/persist: the guard count and the broadcast build each
-    // compute this benchmark-sized (guard-bounded) plan once — cheap by
-    // definition. A localCheckpoint here could never be unpersisted (the
-    // returned lazy frame depends on it and its lineage is truncated), so
-    // it would leak cached blocks on every invocation of a long session.
+                          maxBenchShingles: Long = MaxBenchmarkShingles): DataFrame =
+    contaminationScoresAgainst(docs,
+      benchShingleSet(benchmark, maxBenchShingles), threshold)
+
+  /** Distinct benchmark shingle hashes with the broadcast-bound guard —
+    * the reusable artifact half of [[contaminationScores]]: compute it
+    * once, probe many times (the streaming ingest gate scores every
+    * micro-batch against one shingle set).
+    *
+    * No checkpoint/persist here: the guard count and the broadcast build
+    * each compute this benchmark-sized (guard-bounded) plan once — cheap
+    * by definition. A localCheckpoint could never be unpersisted (a
+    * caller's returned lazy frame depends on it and its lineage is
+    * truncated), so it would leak cached blocks on every invocation of a
+    * long session; a repeated-probe caller that wants one physical
+    * compute checkpoints AND unpersists at its own scope boundary
+    * ([[graft.streaming.StreamingIncremental.runDecontaminateGate]]). */
+  private[graft] def benchShingleSet(benchmark: DataFrame,
+                                     maxBenchShingles: Long = MaxBenchmarkShingles): DataFrame = {
     val benchShingles = Dedup.shingleHashSets(benchmark)
       .select(explode(col("hashes")).as("h")).distinct()
       .withColumn("hit", lit(1))
@@ -59,6 +72,13 @@ object Decontaminate {
     require(benchCount <= maxBenchShingles,
       s"benchmark has $benchCount distinct shingles > $maxBenchShingles; " +
         "too large to broadcast — swap the sides or pre-filter the benchmark")
+    benchShingles
+  }
+
+  /** Score `docs` against a prebuilt [[benchShingleSet]] frame. */
+  private[graft] def contaminationScoresAgainst(docs: DataFrame,
+      benchShingles: DataFrame,
+      threshold: Double = ContaminationThreshold): DataFrame = {
     val exploded = Dedup.shingleHashSets(docs)
       .select(col("doc_id"), size(col("hashes")).as("n_shingles"),
         explode(col("hashes")).as("h"))

@@ -348,6 +348,33 @@ object EngineQueries {
         round(col("first_value"), 2).as("first_value"))
   }
 
+  /** Streaming ingest decontamination gate (SURVEY §2.8 extension):
+    * documents stream through the broadcast benchmark-shingle probe and
+    * flagged docs land in the sink; the oracle is the batch shingle-ratio
+    * operator filtered to the contaminated verdicts — a stateless
+    * stream's drained output must equal its batch twin exactly. */
+  def q54StreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_sdc_out")
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = docs.filter(pmod(graft.llmops.Hashing.md5Long(
+      col("doc_id").cast("string")), lit(20)) === 0)
+    StreamingIncremental.runDecontaminateGate(spark, s"$dir/documents.parquet",
+      bench, scratch("graft_sdc_ckpt"),
+      Some(StreamingIncremental.FixtureStatePartitions)) { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out).filter(col("contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("contamination"))
+  }
+
+  /** The same ~5% benchmark slice and ratio algebra as the batch
+    * `decontaminate` oracle, filtered to flagged docs. */
+  val q54Sql: String =
+    s"""SELECT doc_id, n_shingles, n_overlap, contamination
+       |FROM (${graft.llmops.Decontaminate.qDecontaminateSql})
+       |WHERE contaminated""".stripMargin
+
   /** Streaming per-type distinct-user estimate: HLL registers as
     * mapGroupsWithState state; the drained output must equal the batch
     * sketch (order-free registers), which the oracle restates. */
@@ -674,7 +701,8 @@ object EngineQueries {
     "q48_snapshot_diff" -> (q48SnapshotDiff _),
     "q53_compact" -> (q53Compact _),
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
-    "q52_stream_full_join" -> (q52StreamFullJoin _))
+    "q52_stream_full_join" -> (q52StreamFullJoin _),
+    "q54_stream_decontaminate" -> (q54StreamDecontaminate _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -695,5 +723,6 @@ object EngineQueries {
     "q53_compact" -> q53Sql,
     "q21_build" -> q21Sql,
     "q51_stream_left_join" -> q51Sql,
-    "q52_stream_full_join" -> q52Sql)
+    "q52_stream_full_join" -> q52Sql,
+    "q54_stream_decontaminate" -> q54Sql)
 }

@@ -148,6 +148,46 @@ object StreamingIncremental {
     q.awaitTermination()
   }
 
+  /** Streaming ingest decontamination gate — the eval-leak check applied
+    * AT INGEST instead of as a batch sweep: each arriving micro-batch of
+    * documents scores against ONE prebuilt benchmark shingle set
+    * ([[graft.llmops.Decontaminate.benchShingleSet]]), so benchmark
+    * answers never enter the corpus in the first place. The operator is
+    * stateless (per-doc verdicts need no cross-batch memory): the only
+    * streaming state is the source's file log, and the per-batch plan is
+    * the batch operator's plan — shingle pass, broadcast probe, one
+    * map-side-combined per-doc count.
+    *
+    * The benchmark side is persisted ONCE here (the first micro-batch
+    * fills the cache; every later batch probes it) and unpersisted when
+    * the stream drains — the repeated-probe pattern the batch operator's
+    * scaladoc defers to this scope boundary (computing the shingle set
+    * per micro-batch would re-scan the benchmark forever on a continuous
+    * stream). `persist`, not `localCheckpoint`: a checkpoint RDD cannot
+    * be released through the DataFrame handle, while the cache-manager
+    * entry frees exactly at this boundary. */
+  def runDecontaminateGate(spark: SparkSession, docsDir: String,
+                           benchmark: DataFrame, checkpointDir: String,
+                           statePartitions: Option[Int] = None)
+                          (sink: DataFrame => Unit): Unit =
+      withShufflePartitions(spark, statePartitions) {
+    val benchShingles = graft.llmops.Decontaminate
+      .benchShingleSet(benchmark).persist()
+    try {
+      val stream = stageAndStream(spark, docsDir, "graft_landing_decon")
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          sink(graft.llmops.Decontaminate
+            .contaminationScoresAgainst(batch, benchShingles))
+        }
+        .start()
+      q.awaitTermination()
+    } finally benchShingles.unpersist()
+  }
+
   /** Gap-based sessionization — `session_window` event-time aggregation
     * (SURVEY §2.8 extension): events of a user belong to one session
     * while consecutive gaps stay UNDER `gap`; a gap ≥ `gap` starts a new

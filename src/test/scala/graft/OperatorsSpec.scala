@@ -586,6 +586,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed === batch) // bit-identical estimates, not approximately
   }
 
+  test("streaming decontamination gate drains to exactly the batch twin; bench artifact freed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdc_spec")
+    val out = s"$dir/out"
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val bench = docs.filter(pmod(graft.llmops.Hashing.md5Long(
+      col("doc_id").cast("string")), lit(20)) === 0)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    graft.streaming.StreamingIncremental.runDecontaminateGate(
+      spark, s"$sf/documents.parquet", bench, s"$dir/ckpt", Some(4)) { b =>
+      b.write.mode("append").parquet(out)
+    }
+    // the once-checkpointed benchmark shingle set must not outlive the run
+    assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+      "benchmark shingle checkpoint leaked past the stream's scope")
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_shingles", "n_overlap", "contamination", "contaminated")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.llmops.Decontaminate.contaminationScores(docs, bench)
+      .select("doc_id", "n_shingles", "n_overlap", "contamination", "contaminated")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream LEFT OUTER interval join: matches batch join + watermark-gated null emission") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sslj_spec")
     val out = s"$dir/out"
