@@ -177,6 +177,18 @@ object AnnIndex {
                   cb: Array[Array[(Array[Double], Double)]]): Unit =
     wh.overwrite(dataset, table, buildPqCodes(emb, cb))
 
+  /** Append-only codes maintenance — [[appendLshIndex]]'s contract for
+    * the PQ artifact: encode ONLY the new snapshot's vectors against the
+    * SAME frozen codebook and append their rows; the standing codes
+    * never recompute. (The codebook must be the one the table was built
+    * with — re-training it would silently mix quantizers in one table;
+    * that migration is a rebuild, not an append.) AnnIndexSpec proves
+    * build(A) + append(B) serves identically to a full rebuild. */
+  def appendPqCodes(wh: Warehouse, dataset: String, table: String,
+                    newEmb: DataFrame,
+                    cb: Array[Array[(Array[Double], Double)]]): Unit =
+    wh.append(dataset, table, buildPqCodes(newEmb, cb))
+
   /** ADC top-k served from a materialized codes table: per-query LUTs
     * broadcast, the scan reads ONLY (vec_id, codes) — no embedding is
     * touched for the corpus side at all. Results are exactly

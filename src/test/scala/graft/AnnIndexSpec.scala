@@ -76,6 +76,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(served) === rows(Similarity.lshTopK(emb, isQuery)))
   }
 
+  test("append-only PQ codes: build(A) + append(B) against one frozen codebook ≡ full rebuild") {
+    val wh = freshWh()
+    import spark.implicits._
+    val cbSrc = typedVecs(emb).filter(isCent)
+      .as[(Long, Array[Double])].collect()
+    val cb = ProductQuant.buildCodebook(cbSrc)
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    AnnIndex.savePqCodes(wh, "idx", "codes", a, cb)
+    AnnIndex.appendPqCodes(wh, "idx", "codes", b, cb)
+    val served = AnnIndex.pqTopKFromCodes(emb, wh.read("idx", "codes"), cb, isQuery)
+    assert(rows(served) === rows(ProductQuant.pqTopK(emb, isQuery, isCent)))
+  }
+
   test("ivfTopKFrom over the shared (vec_id, cell_id) artifact equals ivfTopK") {
     import graft.llmops.Dedup
     val wh = freshWh()
