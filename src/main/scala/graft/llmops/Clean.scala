@@ -44,6 +44,34 @@ object Clean {
           .otherwise(size(split(col("clean"), " ")).cast("long")))
   }
 
+  // ----------------------------------------------- token-run collapse
+
+  /** Collapse immediate token repetitions — the CLEANER counterpart to
+    * [[TextAnalysis.withRepetition]]'s detector: "the the the cat" is
+    * stutter noise (OCR, scraper echo, generation loops); keep one token
+    * of every consecutive run. A token is kept iff it differs from its
+    * ORIGINAL left neighbor, which collapses a whole run to its head in
+    * one indexed-lambda pass — a narrow codegen'd projection, zero
+    * shuffle, scan-speed at any scale (same shape as [[cleanCol]]).
+    * Longer-period phrase loops ("the cat the cat") are detection
+    * territory ([[TextAnalysis.withRepetition]]'s top-2gram share) —
+    * collapsing those safely needs period inference, out of scope here.
+    *
+    * Output: (doc_id, cleaned, n_tokens, n_removed). */
+  def collapseTokenRuns(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("toks"))
+      // Spark lambda index is 0-based, element_at is 1-based: for token
+      // i the original left neighbor is element_at(toks, i)
+      .withColumn("kept",
+        expr("filter(toks, (t, i) -> i = 0 OR t != element_at(toks, i))"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("cleaned"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+
   // ----------------------------------------------------------------- query
 
   def qClean(spark: SparkSession, dir: String): DataFrame =
@@ -65,9 +93,30 @@ object Clean {
       |         AS n_words_clean
       |FROM c""".stripMargin
 
+  def qTokenRuns(spark: SparkSession, dir: String): DataFrame =
+    collapseTokenRuns(Tables.load(spark, dir, "documents"))
+
+  /** DuckDB's lambda index is 1-based and list indexing is 1-based, so
+    * "original left neighbor" is `toks[i - 1]` — the same element the
+    * Spark side reads. */
+  val qTokenRunsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |k AS (
+      |  SELECT doc_id, toks,
+      |         list_filter(toks, (t, i) -> i = 1 OR t != toks[i - 1]) AS kept
+      |  FROM t)
+      |SELECT doc_id, array_to_string(kept, ' ') AS cleaned,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+      |FROM k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_clean" -> (qClean _))
+    "text_clean" -> (qClean _),
+    "clean_token_runs" -> (qTokenRuns _))
 
   val oracleSql: Map[String, String] = Map(
-    "text_clean" -> qCleanSql)
+    "text_clean" -> qCleanSql,
+    "clean_token_runs" -> qTokenRunsSql)
 }

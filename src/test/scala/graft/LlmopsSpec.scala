@@ -651,6 +651,23 @@ class LlmopsSpec extends AnyFunSuite {
     assert(got(1L) > got(2L))
   }
 
+  test("collapseTokenRuns keeps one token per consecutive run, leaves period-2 loops alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the the the cat sat sat"),
+      (2L, "no runs at all here"),
+      (3L, "the cat the cat"), // period-2 loop: NOT collapsed (detection territory)
+      (4L, "x"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.llmops.Clean.collapseTokenRuns(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("the cat sat", 6L, 3L)))
+    assert(got(2L) === (("no runs at all here", 5L, 0L)))
+    assert(got(3L) === (("the cat the cat", 4L, 0L)))
+    assert(got(4L) === (("x", 1L, 0L)))
+    assert(got(5L) === (("", 1L, 0L))) // NULL pins to one empty token
+  }
+
   test("cleanDocs strips tags, collapses whitespace, case-folds, pins empties") {
     import spark.implicits._
     val docs = Seq(
