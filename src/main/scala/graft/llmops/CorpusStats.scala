@@ -248,19 +248,28 @@ object CorpusStats {
     val rules = QualityRules.gopherRules(
         docs.filter(col("source").isNotNull), carryCols = Seq("source", "lang"))
       .withColumn("lang", coalesce(col("lang"), lit("?")))
-    val bySrc = rules.groupBy(col("source")).agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("n_words")).as("sum_tokens"),
-      sum(col("passes")).cast("long").as("n_quality_pass"))
+    // ONE corpus pass, no join: the (source, lang) roll-up is the finest
+    // grain every output needs, so per-source totals are WINDOW sums
+    // over the tiny source×lang frame (same partition key as the
+    // dominant-language rank — one exchange serves all four windows).
+    // Splitting totals into a second groupBy would diverge under column
+    // pruning into a second corpus scan (two non-identical aggregates
+    // cannot share an exchange); this shape can't.
     val byLang = rules.groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_words")).as("_tok"),
+        sum(col("passes")).cast("long").as("_pass"))
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
       .orderBy(col("n").desc, col("lang"))
-    val top = byLang.withColumn("_rn", row_number().over(w))
+    byLang
+      .withColumn("n_docs", sum(col("n")).over(wSrc))
+      .withColumn("sum_tokens", sum(col("_tok")).over(wSrc))
+      .withColumn("n_quality_pass", sum(col("_pass")).over(wSrc))
+      .withColumn("_rn", row_number().over(wTop))
       .filter(col("_rn") === 1)
       .select(col("source"), col("lang").as("top_lang"),
-        col("n").as("top_lang_docs"))
-    bySrc.join(top, Seq("source"))
+        col("n").as("top_lang_docs"), col("n_docs"), col("sum_tokens"),
+        col("n_quality_pass"))
       .select(col("source"), col("n_docs"), col("sum_tokens"),
         Hashing.stableRound(
           col("sum_tokens").cast("double") / col("n_docs").cast("double"), 2)

@@ -96,4 +96,17 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(QualityRules.gopherRules(docs.select(col("doc_id"), col("text")))
       .columns.head === "doc_id")
   }
+
+  test("corpusReport is one corpus pass and no join: windows over the source×lang roll-up") {
+    val fixture = graft.core.Tables.load(spark, TestSession.sf, "documents")
+    val report = graft.llmops.CorpusStats.corpusReport(fixture)
+    report.collect() // materialize so AQE prints the final plan
+    val plan = report.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans === 1,
+      s"corpusReport must scan the corpus exactly once:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"totals and dominant language must share windows, not join:\n${plan.take(2000)}")
+  }
 }
