@@ -420,8 +420,78 @@ object Mix {
        |WHERE c.cum_tokens - c.n_tokens < b.budget_tokens""".stripMargin
   }
 
+  // --------------------------------------------- source interleaving
+
+  /** Deterministic source-interleaved training order — consecutive
+    * positions rotate across sources (round-robin), the data order that
+    * keeps a mixture locally stable instead of serving long same-source
+    * runs (a hash shuffle gives global balance but no local guarantee;
+    * sorted-by-source is the worst case). The order is PURE ARITHMETIC
+    * on per-source positions:
+    *
+    *   global_ord = (ord_in_source − 1) · n_sources + source_idx
+    *
+    * — injective (positions differ within a source by the stride, across
+    * sources by the index), and any n_sources consecutive positions hold
+    * at most one document per source. No global sort exists anywhere:
+    * ord_in_source is the bucketed per-key running count, source_idx
+    * comes from a catalog-sized dense index (the one `row_number` window
+    * runs over DISTINCT SOURCES — a frame that is tiny at any corpus
+    * scale), and both attach by broadcast. When sources are unequal,
+    * exhausted sources leave gaps in `global_ord` — it is an ORDER, not
+    * a contiguous id space (feed it to [[graft.operators.GlobalRank]]
+    * if contiguity is needed).
+    *
+    * Output: (doc_id, source, ord_in_source, global_ord). */
+  def interleaveSources(docs: DataFrame): DataFrame = {
+    val base = docs
+      .filter(col("doc_id").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        Hashing.md5Long(col("doc_id").cast("string")).as("_h"))
+      .withColumn("_bucket", expr(s"_h div ${1L << BudgetBucketShift}"))
+      .withColumn("_one", lit(1L))
+    val pos = graft.operators.PrefixSum.perKeyRunningSum(
+      base, "source", "_bucket", Seq("_h", "doc_id"), "_one", "ord_in_source")
+    val wS = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+    val sidx = pos.select(col("source")).distinct()
+      .withColumn("_sidx", row_number().over(wS).cast("long") - 1L)
+    val n = sidx.agg(count(lit(1)).as("_ns"))
+    pos.join(broadcast(sidx), Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("source"),
+        col("ord_in_source").cast("long").as("ord_in_source"),
+        ((col("ord_in_source") - 1L) * col("_ns") + col("_sidx"))
+          .cast("long").as("global_ord"))
+  }
+
+  def qInterleave(spark: SparkSession, dir: String): DataFrame =
+    interleaveSources(Tables.load(spark, dir, "documents"))
+
+  /** Oracle: the same arithmetic over a plain per-source window plus a
+    * dense source index. */
+  val qInterleaveSql: String = {
+    val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $h AS h
+       |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+       |p AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |           AS ord_in_source
+       |  FROM t),
+       |s AS (
+       |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+       |  FROM (SELECT DISTINCT source FROM t)),
+       |n AS (SELECT count(*) AS ns FROM s)
+       |SELECT p.doc_id, p.source,
+       |       CAST(p.ord_in_source AS BIGINT) AS ord_in_source,
+       |       CAST((p.ord_in_source - 1) * n.ns + s.sidx AS BIGINT) AS global_ord
+       |FROM p JOIN s USING (source) CROSS JOIN n""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_weighted" -> (qMix _),
+    "interleave_sources" -> (qInterleave _),
     "sample_capped" -> (qCapped _),
     "split_assign" -> (qSplit _),
     "epoch_shuffle" -> (qEpochShuffle _),
@@ -430,6 +500,7 @@ object Mix {
 
   val oracleSql: Map[String, String] = Map(
     "mix_weighted" -> qMixSql,
+    "interleave_sources" -> qInterleaveSql,
     "sample_capped" -> qCappedSql,
     "split_assign" -> qSplitSql,
     "epoch_shuffle" -> qEpochShuffleSql,

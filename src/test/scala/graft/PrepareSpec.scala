@@ -225,6 +225,36 @@ class PrepareSpec extends AnyFunSuite {
     assert(re.toSet === rows.toSet)
   }
 
+  test("interleaveSources: injective round-robin order; no global sort in the plan") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val out = Mix.interleaveSources(docs)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // total order: global_ord is injective
+    assert(rows.map(_._4).distinct.length === rows.length)
+    // round-robin: any nSources consecutive positions hold at most one
+    // doc per source
+    val nSources = rows.map(_._2).distinct.length
+    rows.groupBy(_._4 / nSources).foreach { case (round, g) =>
+      assert(g.map(_._2).distinct.length === g.length,
+        s"round $round repeats a source: ${g.map(_._2).toSeq}")
+    }
+    // the arithmetic: global_ord = (ord-1)·n + sidx with sidx the dense
+    // alphabetical source index
+    val sidx = rows.map(_._2).distinct.sorted.zipWithIndex.toMap
+    rows.foreach { case (_, src, ord, g) =>
+      assert(g === (ord - 1) * nSources + sidx(src))
+    }
+    // plan: per-(source, bucket) windows only — no single-partition
+    // corpus window (the sources index window runs over DISTINCT
+    // sources, whose Exchange is catalog-sized; assert the corpus-side
+    // window partitions by the hash bucket)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("_bucket"), plan.take(1500))
+  }
+
   test("temperatureTokenSample: a vanishing source keeps one doc (floor would zero it)") {
     import spark.implicits._
     val hundred = Seq.fill(100)("w").mkString(" ")
