@@ -390,7 +390,7 @@ object Mix {
     * two-phase sum must reproduce exactly. */
   val qTemperatureSql: String = {
     val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, source,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |         $h AS h
@@ -471,7 +471,7 @@ object Mix {
     * dense source index. */
   val qInterleaveSql: String = {
     val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, source, $h AS h
        |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
        |p AS (
