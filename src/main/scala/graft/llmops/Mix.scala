@@ -334,10 +334,12 @@ object Mix {
     * (Σw < 2^53 holds until ~10^25 corpus tokens).
     *
     * Shape at 100 TB: per-source token totals are one map-side-combined
-    * aggregate (source-sized output); the weight sum rides a 1-row
-    * broadcast scalar; budgets join back broadcast; the greedy prefix is
-    * the bucketed two-phase running sum — no task ever sorts a whole
-    * source, nothing ever collects the corpus.
+    * aggregate (source-sized output); the weight sum is an unpartitioned
+    * window over that source-sized frame (one consumer chain — see the
+    * in-code note on why an agg + crossJoin splits into two corpus
+    * scans); budgets join back broadcast; the greedy prefix is the
+    * bucketed two-phase running sum — no task ever sorts a whole source,
+    * nothing ever collects the corpus.
     *
     * Output: kept docs as (doc_id, source, n_tokens, cum_tokens,
     * budget_tokens). Every source keeps ≥ 1 document (floor can zero a
@@ -357,10 +359,16 @@ object Mix {
       .select(col("source"),
         floor(sqrt(col("_t").cast("double")) * lit(TemperatureScale))
           .cast("long").as("_w"))
-    val wsum = weights.agg(sum(col("_w")).as("_wsum"))
-    // 1-row broadcast scalar (the Sketch/PageRank pattern), then a
-    // source-sized broadcast join: neither side is ever corpus-sized
-    val budgets = weights.crossJoin(broadcast(wsum))
+    // Σw as an UNPARTITIONED window over the source-sized weights frame
+    // (catalog-sized — the one place a single-partition window is right):
+    // an agg + crossJoin would hand Catalyst two non-identical consumers
+    // of `weights`, which column pruning diverges into two corpus scans
+    // (the corpusReport lesson); one consumer chain cannot split
+    val wAll = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val budgets = weights
+      .withColumn("_wsum", sum(col("_w")).over(wAll))
       .select(col("source"),
         greatest(lit(1L),
           floor(lit(totalBudget.toDouble) *
@@ -453,7 +461,12 @@ object Mix {
     val pos = graft.operators.PrefixSum.perKeyRunningSum(
       base, "source", "_bucket", Seq("_h", "doc_id"), "_one", "ord_in_source")
     val wS = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
-    val sidx = pos.select(col("source")).distinct()
+    // the index comes from the RAW docs frame, not from `pos`: distinct
+    // over pos would drag the prefix-sum windows into a second corpus
+    // execution, where distinct over docs prunes to a one-column scan
+    val sidx = docs
+      .filter(col("doc_id").isNotNull && col("source").isNotNull)
+      .select(col("source")).distinct()
       .withColumn("_sidx", row_number().over(wS).cast("long") - 1L)
     val n = sidx.agg(count(lit(1)).as("_ns"))
     pos.join(broadcast(sidx), Seq("source"))

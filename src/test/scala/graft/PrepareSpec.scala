@@ -223,6 +223,14 @@ class PrepareSpec extends AnyFunSuite {
     val re = Mix.temperatureTokenSample(docs.repartition(7), 700L).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(re.toSet === rows.toSet)
+    // budgets ride ONE consumer chain: the fixture-backed plan reads
+    // parquet at most twice (weights side + prefix-sum side) — the
+    // agg+crossJoin shape this replaced split into three
+    val fx = Mix.temperatureTokenSample(
+      graft.core.Tables.load(spark, sf, "documents"), 700L)
+    val plan = fx.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).size <= 2, plan.take(2000))
   }
 
   test("interleaveSources: injective round-robin order; no global sort in the plan") {
@@ -253,6 +261,10 @@ class PrepareSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(plan.contains("_bucket"), plan.take(1500))
+    // the source index prunes to an id+source scan of the raw docs
+    // (never text, never a second execution of the prefix-sum pipeline)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      plan.take(2000))
   }
 
   test("temperatureTokenSample: a vanishing source keeps one doc (floor would zero it)") {
