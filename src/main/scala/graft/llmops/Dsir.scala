@@ -89,6 +89,47 @@ object Dsir {
       .agg(count(lit(1)).as("n_feats"), sum("w_micros").as("score_micros"))
   }
 
+  // ------------------------------------------------------ resampling
+
+  /** Base acceptance rate for a NEUTRAL document (w_mean = 1.0 in micro
+    * units): 50% — target-like docs accept up to 100%, off-target docs
+    * proportionally below. */
+  val SampleBasePer1M = 500000L
+
+  /** DSIR importance RESAMPLING — the actual selection step the weights
+    * exist for (Xie et al. 2023 §3: sample with probability ∝ importance
+    * weight): keep a document iff a salted hash draw lands under
+    * `min(1, w_mean · base)`, where w_mean is the document's mean
+    * per-feature ratio in micro units (`score_micros div n_feats` —
+    * exact integer division, so acceptance thresholds are BIGINTs and
+    * the draw `md5("dsir:" ++ id) mod 1e6` is the engine-neutral
+    * deterministic coin every sampler in this engine uses; the salt
+    * keeps acceptance independent of split/shard/sample decisions).
+    *
+    * Deliberately PARAMETERIZED by the base rate rather than normalized
+    * by a corpus aggregate: a derived normalizer would hand Catalyst a
+    * second consumer of the whole scoring pipeline (the duplicate-scan
+    * trap), and DSIR's contract only needs proportionality — the base
+    * rate is the knob that sets expected volume. Per-row arithmetic on
+    * the weights output, zero additional shuffles.
+    *
+    * Output: kept docs as (doc_id, w_mean_micros, accept_per1m). */
+  def dsirResample(docs: DataFrame, targetLang: String = "en",
+                   basePer1M: Long = SampleBasePer1M): DataFrame = {
+    require(basePer1M > 0 && basePer1M <= 1000000L,
+      s"basePer1M must be in (0, 1e6], got $basePer1M")
+    val accept = least(lit(1000000L),
+      expr(s"(score_micros div n_feats) * $basePer1M div 1000000"))
+    val draw = pmod(Hashing.md5Long(
+      concat(lit("dsir:"), col("doc_id").cast("string"))), lit(1000000L))
+    dsirWeights(docs, targetLang)
+      .select(col("doc_id"),
+        expr("score_micros div n_feats").as("w_mean_micros"),
+        accept.cast("long").as("accept_per1m"), draw.as("_draw"))
+      .filter(col("_draw") < col("accept_per1m"))
+      .drop("_draw")
+  }
+
   // ------------------------------------------------------------ queries
 
   def qDsir(spark: SparkSession, dir: String): DataFrame =
@@ -125,9 +166,31 @@ object Dsir {
        |GROUP BY k.doc_id""".stripMargin
   }
 
+  def qDsirSample(spark: SparkSession, dir: String): DataFrame =
+    dsirResample(Tables.load(spark, dir, "documents"))
+
+  /** The weights oracle nested as a CTE, then the same integer
+    * acceptance arithmetic and salted draw. */
+  val dsirSampleSql: String = {
+    val draw = Hashing.md5LongSql("'dsir:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS MATERIALIZED (
+       |$dsirSql
+       |)
+       |SELECT doc_id,
+       |       CAST(score_micros // n_feats AS BIGINT) AS w_mean_micros,
+       |       CAST(least(1000000, (score_micros // n_feats) * $SampleBasePer1M
+       |                           // 1000000) AS BIGINT) AS accept_per1m
+       |FROM d
+       |WHERE $draw % 1000000 <
+       |      least(1000000, (score_micros // n_feats) * $SampleBasePer1M
+       |                     // 1000000)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dsir_weights" -> (qDsir _))
+    "dsir_weights" -> (qDsir _),
+    "sample_dsir" -> (qDsirSample _))
 
   val oracleSql: Map[String, String] = Map(
-    "dsir_weights" -> dsirSql)
+    "dsir_weights" -> dsirSql,
+    "sample_dsir" -> dsirSampleSql)
 }

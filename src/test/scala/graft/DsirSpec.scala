@@ -54,4 +54,36 @@ class DsirSpec extends AnyFunSuite {
     // the default micro scale on the same corpus is untouched
     assert(Dsir.dsirWeights(docs, "en").collect().nonEmpty)
   }
+
+  test("dsirResample keeps target-like docs at a higher rate; acceptance = min(1, w·base)") {
+    import spark.implicits._
+    // target slice speaks pure "aa", off-target pure "zz": docs of each
+    // kind get sharply different mean weights, so the kept-rate gap is
+    // structural, not sampling noise
+    val docs = ((1L to 200L).map(i => (i, "en", "aa aa aa aa")) ++
+      (1000L to 1200L).map(i => (i, "de", "zz zz zz zz")))
+      .toDF("doc_id", "lang", "text")
+    val kept = Dsir.dsirResample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    // replay the acceptance arithmetic from the oracle-gated weights
+    val w = Dsir.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("score_micros") / r.getAs[Long]("n_feats"))).toMap
+    val md = graft.llmops.Kernels.newMd5()
+    val expected = w.flatMap { case (id, wm) =>
+      val acc = math.min(1000000L, wm * Dsir.SampleBasePer1M / 1000000L)
+      val draw = java.lang.Math.floorMod(
+        graft.llmops.Kernels.md5Long(md, s"dsir:$id"), 1000000L)
+      if (draw < acc) Some((id, wm, acc)) else None
+    }.toSet
+    assert(kept.toSet === expected)
+    // proportionality: the target-like population keeps a strictly
+    // higher fraction than the off-target one
+    val tgtRate = kept.count(_._1 < 1000L).toDouble / 200.0
+    val offRate = kept.count(_._1 >= 1000L).toDouble / 201.0
+    assert(tgtRate > offRate + 0.2, s"target $tgtRate vs off $offRate")
+    // the cap binds: no acceptance above 1e6
+    assert(kept.forall(_._3 <= 1000000L))
+  }
 }
