@@ -1132,8 +1132,16 @@ object Dedup {
     *
     * Output: (cluster_id, keep_id, keep_source, n_members). */
   def keepBestDuplicate(docs: DataFrame, pairs: DataFrame,
-                        priority: Column): DataFrame = {
-    val clusters = duplicateClusters(docs, pairs)
+                        priority: Column): DataFrame =
+    keepBestFromClusters(duplicateClusters(docs, pairs), docs, priority)
+
+  /** The artifact-consuming form: `clusters` is a persisted
+    * (doc_id, cluster_id) table ([[duplicateClusters]] output — at
+    * production scale written once per dedup run and consumed by every
+    * survivorship / reporting query, the same warehouse-artifact pattern
+    * as [[cellAssignments]] and the LangModel tables). */
+  def keepBestFromClusters(clusters: DataFrame, docs: DataFrame,
+                           priority: Column): DataFrame = {
     val members = clusters.join(
       docs.select(col("doc_id").cast("long"), col("source"), col("n_chars")),
       Seq("doc_id"))

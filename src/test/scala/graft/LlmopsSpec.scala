@@ -428,6 +428,11 @@ class LlmopsSpec extends AnyFunSuite {
       (1L, 2L, "curated", 3L),
       (10L, 11L, "web", 2L),
       (20L, 20L, "web", 2L)))
+    // the artifact-consuming form over a persisted clusters table agrees
+    val viaArtifact = Dedup.keepBestFromClusters(
+        Dedup.duplicateClusters(docs, pairs), docs, prio).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(viaArtifact.sortBy(_._1).toSeq === got.toSeq)
   }
 
   test("duplicateClusters labels every chain with its minimum id") {
