@@ -51,6 +51,35 @@ object Shard {
       .parquet(path)
   }
 
+  // ------------------------------------------------- balanced shards
+
+  /** SIZE-BALANCED sharding — the complement to [[assignShards]]' hash
+    * assignment: hash sharding balances document COUNTS but lets token
+    * mass skew (long documents concentrate by chance, and shard runtime
+    * follows tokens, not docs). Here documents are ranked by size
+    * descending and dealt round-robin — the classic LPT-style greedy in
+    * its deterministic, engine-neutral form: every round hands each
+    * shard one of the n largest remaining docs, so token mass stays
+    * within a couple of max-document-sizes across shards, regardless of
+    * the length distribution.
+    *
+    * The size rank is [[GlobalRank.globalRowNumber]] — range-partition +
+    * per-partition sort + zipWithIndex offset stitch — so there is NO
+    * single-partition window anywhere; the assignment after ranking is
+    * a narrow modulo. Output: per-doc (doc_id, n_tokens, shard_id). */
+  def balancedShards(docs: DataFrame,
+                     numShards: Int = DefaultShards): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val sized = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long").as("n_tokens"))
+      .withColumn("_negsize", -col("n_tokens"))
+    GlobalRank.globalRowNumber(sized, Seq("_negsize", "doc_id"), "_srank")
+      .select(col("doc_id"), col("n_tokens"),
+        pmod(col("_srank") - 1L, lit(numShards.toLong)).as("shard_id"))
+  }
+
   // ----------------------------------------------------------------- query
 
   /** Shard manifest of the documents corpus: per shard, the doc count,
@@ -75,9 +104,36 @@ object Shard {
        |FROM documents GROUP BY 1""".stripMargin
   }
 
+  /** Per-shard balance manifest: doc count, token mass, and the largest
+    * member (rank 1..numShards land one per shard, so max_tokens also
+    * pins the deal order). */
+  def qBalanced(spark: SparkSession, dir: String): DataFrame =
+    balancedShards(Tables.load(spark, dir, "documents"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
+  val qBalancedSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS srank
+       |  FROM t)
+       |SELECT (srank - 1) % $DefaultShards AS shard_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       max(n_tokens) AS max_tokens
+       |FROM r GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "export_shards" -> (qShards _))
+    "export_shards" -> (qShards _),
+    "shard_balanced" -> (qBalanced _))
 
   val oracleSql: Map[String, String] = Map(
-    "export_shards" -> qShardsSql)
+    "export_shards" -> qShardsSql,
+    "shard_balanced" -> qBalancedSql)
 }

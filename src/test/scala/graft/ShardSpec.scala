@@ -150,4 +150,25 @@ class ShardSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toMap
     assert(membership(out1) === membership(out2))
   }
+
+  test("balancedShards: deal order matches the global size rank; token mass stays tight") {
+    val docs = graft.core.Tables.load(spark, TestSession.sf, "documents")
+    val got = Shard.balancedShards(docs, numShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replay: rank by (tokens desc, id), deal round-robin
+    val expected = got.map(t => (t._1, t._2)).sortBy { case (id, n) => (-n, id) }
+      .zipWithIndex.map { case ((id, n), i) => (id, n, (i % 4).toLong) }.toSet
+    assert(got.toSet === expected)
+    // balance: shard token masses within a couple of max-doc-sizes, far
+    // tighter than count-balanced hash sharding can guarantee
+    val sums = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = got.map(_._2).max
+    assert(sums.size === 4)
+    assert(sums.values.max - sums.values.min <= 2 * maxDoc,
+      s"imbalance ${sums.values.max - sums.values.min} vs max doc $maxDoc")
+    // no single-partition funnel: the rank comes from the range-stitch
+    val plan = Shard.balancedShards(docs, 4)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+  }
 }
