@@ -461,16 +461,21 @@ object Mix {
     val pos = graft.operators.PrefixSum.perKeyRunningSum(
       base, "source", "_bucket", Seq("_h", "doc_id"), "_one", "ord_in_source")
     val wS = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
-    // the index comes from the RAW docs frame, not from `pos`: distinct
+    val wAll = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // the index comes from the RAW docs frame, not from `pos` (distinct
     // over pos would drag the prefix-sum windows into a second corpus
-    // execution, where distinct over docs prunes to a one-column scan
+    // execution, where distinct over docs prunes to a narrow scan), and
+    // n_sources rides the SAME catalog-sized window chain as the index —
+    // an agg + crossJoin would be a second consumer of sidx (the
+    // duplicate-scan trap)
     val sidx = docs
       .filter(col("doc_id").isNotNull && col("source").isNotNull)
       .select(col("source")).distinct()
       .withColumn("_sidx", row_number().over(wS).cast("long") - 1L)
-    val n = sidx.agg(count(lit(1)).as("_ns"))
+      .withColumn("_ns", count(lit(1)).over(wAll))
     pos.join(broadcast(sidx), Seq("source"))
-      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("source"),
         col("ord_in_source").cast("long").as("ord_in_source"),
         ((col("ord_in_source") - 1L) * col("_ns") + col("_sidx"))
