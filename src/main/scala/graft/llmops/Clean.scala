@@ -3,6 +3,7 @@ package graft.llmops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import Hashing.md5LongSql
 
 /** Text normalization — the first stage of every LLM data pipeline:
   * strip markup, collapse whitespace runs, case-fold. Everything here is
@@ -72,6 +73,119 @@ object Clean {
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
 
+  // ------------------------------------------- boilerplate block removal
+
+  /** Token width of a boilerplate block — the "paragraph" unit on this
+    * corpus (the fixtures carry no newline/sentence structure, so the
+    * repeated-paragraph unit is a fixed non-overlapping token block). */
+  val BlockTokens = 4
+
+  /** A block content appearing in at least this many DISTINCT documents
+    * is boilerplate (site templates, cookie banners, scraper chrome). */
+  val BoilerplateMinDf = 3
+
+  /** Broadcast guard for the drop set: 10M hashes ≈ 80 MB of longs. A
+    * bigger drop set means the corpus is mostly boilerplate — fail with
+    * the problem named rather than OOM executors (the
+    * [[Decontaminate.MaxBenchmarkShingles]] contract). */
+  val MaxDropBlocks = 10_000_000L
+
+  /** Non-overlapping `k`-token blocks of `words` (ceil(len/k) of them;
+    * the tail block is shorter). `words` is never empty (split of "" is
+    * [""]), so every doc has >= 1 block. */
+  private def blockStrings(words: Array[String], k: Int): Array[String] = {
+    val n = (words.length + k - 1) / k
+    Array.tabulate(n) { i =>
+      val from = i * k
+      val until = math.min(from + k, words.length)
+      val sb = new java.lang.StringBuilder()
+      var j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Corpus-frequency boilerplate removal — the RefinedWeb/MassiveText
+    * "repeated paragraph" cleaner re-expressed on fixed token blocks:
+    * any `blockTokens`-token block whose CONTENT appears in >= `minDf`
+    * distinct documents is boilerplate and is struck from every document
+    * (navigation chrome, cookie banners, license footers — content no
+    * model should see hundreds of times). Documents reassemble from
+    * their surviving blocks in order.
+    *
+    * Shape at 100 TB — two passes, corpus never shuffles ROWS:
+    *
+    *  1. statistics: a narrow kernel emits each doc's DISTINCT block
+    *     hashes (distinctness inside the kernel — no corpus-wide
+    *     DISTINCT shuffle), then one map-side-combined groupBy(h) counts
+    *     document frequency; only 60-bit longs ever shuffle. Blocks with
+    *     df >= minDf form the drop set — boilerplate-inventory sized
+    *     (bounded by the loud `maxDropBlocks` guard), collected once via
+    *     the capped `limit(cap+1)` pattern and broadcast as a sorted
+    *     long array.
+    *  2. cleaning: a SECOND narrow kernel probes the broadcast set per
+    *     block (binary search, no boxing) and reassembles survivors —
+    *     zero joins, zero exchanges; output partitioning mirrors input
+    *     partitioning, so the cleaning pass runs at scan speed.
+    *
+    * Output: (doc_id, cleaned, n_blocks, n_dropped). */
+  def removeBoilerplateBlocks(docs: DataFrame,
+                              blockTokens: Int = BlockTokens,
+                              minDf: Int = BoilerplateMinDf,
+                              maxDropBlocks: Long = MaxDropBlocks): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long"),
+        coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+    val perDocDistinct = typed.mapPartitions { it =>
+      val md = Kernels.newMd5()
+      it.flatMap { case (_, text) =>
+        val hs = blockStrings(Kernels.splitSpace(text), blockTokens)
+          .map(Kernels.md5Long(md, _))
+        val seen = new java.util.HashSet[Long](hs.length * 2)
+        hs.filter(seen.add(_))
+      }
+    }.toDF("h")
+    val capInt = math.min(maxDropBlocks, Int.MaxValue - 1L).toInt
+    val dropRows = perDocDistinct.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("h")).as[Long]
+      .limit(capInt + 1).collect()
+    require(dropRows.length <= capInt,
+      s"boilerplate drop set exceeds $capInt blocks — the corpus is " +
+        "dominated by repeated content; exact-dedup it first or raise minDf")
+    java.util.Arrays.sort(dropRows)
+    val bc = spark.sparkContext.broadcast(dropRows)
+    typed.mapPartitions { it =>
+      val md = Kernels.newMd5()
+      val drop = bc.value
+      it.map { case (id, text) =>
+        val blocks = blockStrings(Kernels.splitSpace(text), blockTokens)
+        val sb = new java.lang.StringBuilder()
+        var kept = 0
+        var i = 0
+        while (i < blocks.length) {
+          if (java.util.Arrays.binarySearch(drop,
+              Kernels.md5Long(md, blocks(i))) < 0) {
+            if (kept > 0) sb.append(' ')
+            sb.append(blocks(i))
+            kept += 1
+          }
+          i += 1
+        }
+        (id, sb.toString, blocks.length.toLong, (blocks.length - kept).toLong)
+      }
+    }.toDF("doc_id", "cleaned", "n_blocks", "n_dropped")
+  }
+
   // ----------------------------------------------------------------- query
 
   def qClean(spark: SparkSession, dir: String): DataFrame =
@@ -112,11 +226,52 @@ object Clean {
       |       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
       |FROM k""".stripMargin
 
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    removeBoilerplateBlocks(Tables.load(spark, dir, "documents"))
+
+  /** States the semantics with plain relational algebra: block explode →
+    * df by DISTINCT doc count → NOT IN the >= minDf set → ordered
+    * string_agg reassembly. The drop decision keys on the same 60-bit
+    * hash the kernel probes, so even a (negligible) collision drops
+    * identically on both engines. Docs whose every block drops keep a
+    * row with cleaned = '' (the LEFT JOIN + coalesce). */
+  val qBoilerplateSql: String = {
+    val k = BlockTokens
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |b AS MATERIALIZED (
+       |  SELECT doc_id, i AS blk,
+       |         array_to_string(list_slice(words, (i-1)*$k + 1, i*$k), ' ')
+       |           AS block
+       |  FROM (SELECT doc_id, words,
+       |               unnest(generate_series(
+       |                 1, CAST(ceil(len(words) * 1.0 / $k) AS BIGINT))) AS i
+       |        FROM w)),
+       |hb AS MATERIALIZED (
+       |  SELECT doc_id, blk, block, ${md5LongSql("block")} AS h FROM b),
+       |f AS (SELECT h, count(DISTINCT doc_id) AS df FROM hb GROUP BY h),
+       |kept AS (
+       |  SELECT doc_id, blk, block FROM hb
+       |  WHERE h NOT IN (SELECT h FROM f WHERE df >= $BoilerplateMinDf)),
+       |agg AS (
+       |  SELECT doc_id, string_agg(block, ' ' ORDER BY blk) AS cleaned,
+       |         count(*) AS n_kept
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_blocks FROM hb GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(a.cleaned, '') AS cleaned,
+       |       CAST(t.n_blocks AS BIGINT) AS n_blocks,
+       |       CAST(t.n_blocks - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+       |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_clean" -> (qClean _),
-    "clean_token_runs" -> (qTokenRuns _))
+    "clean_token_runs" -> (qTokenRuns _),
+    "clean_boilerplate" -> (qBoilerplate _))
 
   val oracleSql: Map[String, String] = Map(
     "text_clean" -> qCleanSql,
-    "clean_token_runs" -> qTokenRunsSql)
+    "clean_token_runs" -> qTokenRunsSql,
+    "clean_boilerplate" -> qBoilerplateSql)
 }

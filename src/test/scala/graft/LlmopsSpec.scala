@@ -673,6 +673,40 @@ class LlmopsSpec extends AnyFunSuite {
     assert(got(5L) === (("", 1L, 0L))) // NULL pins to one empty token
   }
 
+  test("removeBoilerplateBlocks strikes >=minDf blocks, keeps order, empties full-boilerplate docs") {
+    import spark.implicits._
+    // "b1 b2 b3 b4" appears in 3 docs (boilerplate at minDf=3);
+    // "c1 c2 c3 c4" in only 2 (kept). Blocks are aligned 4-token windows.
+    val bp = "b1 b2 b3 b4"
+    val docs = Seq(
+      (1L, s"$bp u1 u2 u3 u4"), // boilerplate head + unique tail
+      (2L, s"v1 v2 v3 v4 $bp"), // unique head + boilerplate tail
+      (3L, bp), // entirely boilerplate -> cleaned to ""
+      (4L, "c1 c2 c3 c4 w1 w2"), // df=2 block stays
+      (5L, "c1 c2 c3 c4"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.llmops.Clean.removeBoilerplateBlocks(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("u1 u2 u3 u4", 2L, 1L)))
+    assert(got(2L) === (("v1 v2 v3 v4", 2L, 1L)))
+    assert(got(3L) === (("", 1L, 1L))) // row survives with empty text
+    assert(got(4L) === (("c1 c2 c3 c4 w1 w2", 2L, 0L)))
+    assert(got(5L) === (("c1 c2 c3 c4", 1L, 0L)))
+    assert(got(6L) === (("", 1L, 0L))) // NULL text = one empty block, df 1
+  }
+
+  test("removeBoilerplateBlocks cleaning pass is join-free and shuffle-free") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"a b c d t$i")).toDF("doc_id", "text")
+    val plan = graft.llmops.Clean.removeBoilerplateBlocks(docs)
+      .queryExecution.executedPlan.toString
+    // the drop set is a broadcast VARIABLE probed inside the kernel — the
+    // returned plan must be scan -> kernel with no join/exchange anywhere
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("cleanDocs strips tags, collapses whitespace, case-folds, pins empties") {
     import spark.implicits._
     val docs = Seq(
