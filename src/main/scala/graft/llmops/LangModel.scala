@@ -53,18 +53,25 @@ object LangModel {
   /** Probability scale: micro-units per bigram. */
   val Micro = 1000000L
 
-  /** Per-doc bigram instance multiplicities (doc_id, w1, w2, k) plus the
-    * derived model tables ride this one tokenization. */
-  private def bigramInstances(docs: DataFrame): DataFrame =
+  /** Per-doc bigram instance multiplicities (doc_id, [carry...,] w1, w2,
+    * k) plus the derived model tables ride this one tokenization.
+    * `carry` columns are doc-level metadata (functionally dependent on
+    * doc_id) riding the grouping key — the [[QualityRules.gopherRules]]
+    * carryCols pattern, so no corpus-sized metadata join downstream. */
+  private def bigramInstances(docs: DataFrame,
+                              carry: Seq[String] = Nil): DataFrame =
     docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
-      .select(col("doc_id").cast("long"), split(col("text"), " ").as("words"))
+      .select(col("doc_id").cast("long") +: carry.map(col) :+
+        split(col("text"), " ").as("words"): _*)
       .filter(size(col("words")) >= 2)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carry.map(col) :+
         explode(expr(
           "transform(slice(words, 1, size(words) - 1), " +
-            "(w, i) -> struct(w AS w1, words[i + 1] AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+            "(w, i) -> struct(w AS w1, words[i + 1] AS w2))")).as("bg"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+      .groupBy((("doc_id" +: carry) ++ Seq("w1", "w2")).map(col): _*)
+      .agg(count(lit(1)).as("k"))
 
   /** Trained model: the three corpus-global tables scoring needs. At
     * production scale these are corpus-version CONSTANTS — train once per
@@ -109,13 +116,14 @@ object LangModel {
     * the model tables on their keys; `v` is a 1-row broadcast scalar.
     * Bigrams absent from the model are dropped (inner join) — scoring a
     * slice of the training corpus sees full-corpus counts. */
-  def scoreWithModel(docs: DataFrame, model: BigramModel): DataFrame =
-    bigramInstances(docs)
+  def scoreWithModel(docs: DataFrame, model: BigramModel,
+                     carry: Seq[String] = Nil): DataFrame =
+    bigramInstances(docs, carry)
       .join(model.c12, Seq("w1", "w2"))
       .join(model.c1, Seq("w1"))
       .crossJoin(broadcast(model.vocab))
       .withColumn("p_micros", expr(s"(${Micro}L * (c12 + 1)) div (c1 + v)"))
-      .groupBy("doc_id")
+      .groupBy(("doc_id" +: carry).map(col): _*)
       .agg(sum(col("k")).cast("long").as("n_bigrams"),
         sum(col("k") * col("p_micros")).cast("long").as("sum_p_micros"),
         min(col("p_micros")).as("min_p_micros"))
@@ -127,6 +135,59 @@ object LangModel {
     * the model once, then calls [[scoreWithModel]] per run). */
   def bigramFluency(docs: DataFrame): DataFrame =
     scoreWithModel(docs, trainBigramModel(docs))
+
+  // --------------------------------------------- perplexity bucketing
+
+  /** Sample gate for the bucket-boundary pass: 1/4 of docs. */
+  val BucketSampleMod = 4
+
+  /** CCNet-style head/middle/tail LM buckets (Wenzek et al. 2019 §4.3)
+    * — the standard corpus partition by language-model score: per
+    * LANGUAGE, split documents into equal-population terciles of the
+    * fluency score, so downstream mixing can oversample the fluent
+    * "head" and drop or down-weight the "tail" without a global rank.
+    * Head = most fluent (highest [[scoreWithModel]] `avg_p_micros`;
+    * CCNet's lowest-perplexity third).
+    *
+    * Shape at 100 TB — no per-language funnel anywhere:
+    *  - boundaries come from the DETERMINISTIC hash-sampled exact
+    *    histogram ([[graft.operators.Quantiles.sampledGroupQuantiles]]
+    *    discipline): the gate cuts BEFORE scoring, so the boundary pass
+    *    scores only the 1/`sampleMod` sample against the full-corpus
+    *    model; rank error is sampling noise O(1/√(n/mod)), far inside a
+    *    tercile at any production n;
+    *  - the model tables localCheckpoint in this self-contained form
+    *    (the [[Dedup.semanticDedup]] cellAssignments pattern) so the
+    *    boundary and labeling branches both read the materialized
+    *    artifact instead of re-aggregating the corpus; production
+    *    persists them via [[saveModel]] and buckets from the stored
+    *    score table;
+    *  - labels attach via a language-count-sized broadcast join and a
+    *    map-side comparison chain — ties at a boundary go to the LOWER
+    *    bucket on both engines (exact integer equality).
+    *
+    * Documents in a language absent from the sample are dropped (no
+    * boundary is defined); size sampleMod so that cannot happen. Output:
+    * (doc_id, lang, avg_p_micros, ppl_bucket). */
+  def perplexityBuckets(docs: DataFrame,
+                        sampleMod: Int = BucketSampleMod): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val prepped = docs.withColumn("lang", coalesce(col("lang"), lit("?")))
+    val m0 = trainBigramModel(prepped)
+    val model = BigramModel(m0.c12.localCheckpoint(),
+      m0.c1.localCheckpoint(), m0.vocab.localCheckpoint())
+    val sampled = prepped.filter(
+      pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(sampleMod)) === 0)
+    val bounds = graft.operators.Quantiles.groupQuantiles(
+      scoreWithModel(sampled, model, carry = Seq("lang")),
+      "lang", "avg_p_micros", Seq(("b1", 1, 3), ("b2", 2, 3)))
+    scoreWithModel(prepped, model, carry = Seq("lang"))
+      .join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_p_micros"),
+        when(col("avg_p_micros") <= col("b1"), lit("tail"))
+          .when(col("avg_p_micros") <= col("b2"), lit("middle"))
+          .otherwise(lit("head")).as("ppl_bucket"))
+  }
 
   // ------------------------------------------------------------ queries
 
@@ -170,9 +231,69 @@ object LangModel {
        |         AS avg_p_micros
        |FROM scored GROUP BY doc_id""".stripMargin
 
+  def qPplBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBuckets(Tables.load(spark, dir, "documents"))
+
+  /** The lang-carrying fluency algebra (same counts/smoothing/integer
+    * division as [[qLmFluencySql]]) + the hash-gated per-language
+    * tercile boundaries (ceil-rank over the sampled exact histogram —
+    * the [[graft.operators.Quantiles]] idx formula) + the `<=` label
+    * chain. Scoring the SAMPLE equals sampling the scores (a doc's
+    * score depends only on the doc and the full-corpus model), so the
+    * oracle gates f directly. */
+  val qPplBucketsSql: String = {
+    val gate = graft.llmops.Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, coalesce(lang, '?') AS lang,
+       |         string_split(text, ' ') AS words
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |    AND len(string_split(text, ' ')) >= 2),
+       |bg AS (SELECT doc_id, lang, words[i] AS w1, words[i + 1] AS w2
+       |       FROM (SELECT doc_id, lang, words,
+       |                    unnest(generate_series(1, len(words) - 1)) AS i
+       |             FROM t)),
+       |perdoc AS MATERIALIZED (
+       |  SELECT doc_id, lang, w1, w2, CAST(count(*) AS BIGINT) AS k
+       |  FROM bg GROUP BY 1, 2, 3, 4),
+       |c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
+       |        FROM perdoc GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(k) AS BIGINT) AS c1
+       |       FROM perdoc GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS v FROM
+       |        (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |         WHERE doc_id IS NOT NULL AND text IS NOT NULL)),
+       |f AS MATERIALIZED (
+       |  SELECT p.doc_id, p.lang,
+       |         CAST(sum(p.k * (($Micro * (c.c12 + 1)) // (g.c1 + v.v)))
+       |              AS BIGINT) // CAST(sum(p.k) AS BIGINT) AS avg_p_micros
+       |  FROM perdoc p
+       |  JOIN c12 c ON c.w1 = p.w1 AND c.w2 = p.w2
+       |  JOIN c1 g ON g.w1 = p.w1
+       |  CROSS JOIN v
+       |  GROUP BY 1, 2),
+       |samp AS (SELECT lang, avg_p_micros AS sv, count(*) AS c FROM f
+       |         WHERE $gate % $BucketSampleMod = 0 GROUP BY 1, 2),
+       |w AS (SELECT lang, sv,
+       |             sum(c) OVER (PARTITION BY lang ORDER BY sv) AS cum,
+       |             sum(c) OVER (PARTITION BY lang) AS n
+       |      FROM samp),
+       |b AS (SELECT lang,
+       |             min(CASE WHEN cum >= (n * 1 + 2) // 3 THEN sv END) AS b1,
+       |             min(CASE WHEN cum >= (n * 2 + 2) // 3 THEN sv END) AS b2
+       |      FROM w GROUP BY 1)
+       |SELECT f.doc_id, f.lang, f.avg_p_micros,
+       |       CASE WHEN f.avg_p_micros <= b.b1 THEN 'tail'
+       |            WHEN f.avg_p_micros <= b.b2 THEN 'middle'
+       |            ELSE 'head' END AS ppl_bucket
+       |FROM f JOIN b USING (lang)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lm_fluency" -> (qLmFluency _))
+    "lm_fluency" -> (qLmFluency _),
+    "lm_ppl_buckets" -> (qPplBuckets _))
 
   val oracleSql: Map[String, String] = Map(
-    "lm_fluency" -> qLmFluencySql)
+    "lm_fluency" -> qLmFluencySql,
+    "lm_ppl_buckets" -> qPplBucketsSql)
 }

@@ -83,4 +83,38 @@ class LangModelSpec extends AnyFunSuite {
     // c(a,b)=1, c(a)=1 -> p = 2/4 = 500000
     assert(got.head.getAs[Long]("sum_p_micros") === 500000L)
   }
+
+  test("perplexityBuckets: per-language terciles, ordered and equal-population at mod=1") {
+    import spark.implicits._
+    // per lang: 6 docs spanning distinct fluency levels — doc i mixes i
+    // copies of the corpus-common bigram run with unique gibberish, so
+    // avg transition probability strictly increases with i
+    val docs = (for {
+      lang <- Seq("en", "de")
+      i <- 1 to 6
+    } yield {
+      val id = (if (lang == "en") 0L else 100L) + i
+      val common = Seq.fill(i * 3)("a a b").mkString(" ")
+      val junk = (1 to (7 - i) * 2).map(j => s"z${lang}${i}x$j").mkString(" ")
+      (id, lang, s"$common $junk")
+    }).toDF("doc_id", "lang", "text")
+    val got = graft.llmops.LangModel.perplexityBuckets(docs, sampleMod = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.length === 12)
+    for (lang <- Seq("en", "de")) {
+      val rows = got.filter(_._2 == lang)
+      val byBucket = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      // ceil-rank terciles over 6 distinct scores: exactly 2/2/2
+      assert(byBucket.keySet === Set("tail", "middle", "head"))
+      assert(byBucket.values.forall(_.length === 2), rows.mkString(", "))
+      // ordering: every tail score < every middle score < every head score
+      assert(byBucket("tail").max < byBucket("middle").min)
+      assert(byBucket("middle").max < byBucket("head").min)
+    }
+    // rerun-deterministic (hash gate + exact integer scores)
+    val again = graft.llmops.LangModel.perplexityBuckets(docs, sampleMod = 1)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(again === got.map(r => (r._1, r._4)).toSet)
+  }
 }
