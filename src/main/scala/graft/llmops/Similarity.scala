@@ -579,6 +579,75 @@ object Similarity {
       .sortBy(_._1)
   }
 
+  // --------------------------------------------- prototype-based pruning
+
+  /** Per-cell keep budget for the pruning query: the `pruneK` MOST
+    * prototypical members of every cell are dropped. */
+  val PrototypePruneK = 5
+
+  /** SSL-prototypes dataset pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws") — rank every vector by cosine to its own
+    * cluster centroid and drop the most PROTOTYPICAL (easiest, most
+    * redundant) examples per cluster: in the abundant-data regime,
+    * pruning easy prototypes beats random pruning, while keeping the
+    * hard, informative tail. The complement policy (keep prototypes,
+    * drop outliers) is the same frame read with `keep` inverted at
+    * rank > n - k — both read one output.
+    *
+    * Shares the [[Kernels.assignCentroid]] quantizer contract with IVF
+    * serving and SemDeDup ([[Dedup.cellAssignments]]), so one trained
+    * centroid artifact drives search, dedup, AND pruning.
+    *
+    * Shape at 100 TB: centroids broadcast; assignment + own-centroid
+    * cosine is ONE narrow kernel pass (no join, no shuffle); the only
+    * exchange is the per-cell rank window, whose groups are cell
+    * populations — bounded by the quantizer (the same argument as
+    * [[Dedup.MaxCellRows]]; a window sort is O(n log n) per cell, not
+    * the quadratic join SemDeDup guards, so no hard cap is needed).
+    * Output: (vec_id, cell_id, cos, proto_rank, keep). */
+  def prototypeRanks(emb: DataFrame,
+                     cents: Array[(Long, Array[Double], Double)],
+                     pruneK: Int = PrototypePruneK): DataFrame = {
+    require(pruneK >= 0, s"pruneK must be >= 0, got $pruneK")
+    require(cents.nonEmpty, "prototype pruning centroid set is empty")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = typedVecs(emb).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          val nrm = Kernels.norm(v)
+          // argmax cos, ties to the smaller cid (cs is id-ascending and
+          // the > is strict) — the assignCentroid/IVF-oracle contract
+          var best = Double.NegativeInfinity
+          var bestId = -1L
+          var i = 0
+          while (i < cs.length) {
+            val cos = Kernels.dot(v, cs(i)._2) / (nrm * cs(i)._3)
+            if (cos > best) { best = cos; bestId = cs(i)._1 }
+            i += 1
+          }
+          (id, bestId, best)
+        }
+      }.toDF("vec_id", "cell_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cell_id"),
+        // rank on the EXACT double (same op sequence both engines),
+        // round only the reported value
+        Hashing.stableRound(col("cos"), 4).as("cos"),
+        col("proto_rank"), (col("proto_rank") > pruneK).as("keep"))
+  }
+
+  /** [[prototypeRanks]] over a trained (cid, centroid) quantizer table —
+    * the production path sharing the [[trainIvfCentroids]] artifact. */
+  def prototypeRanksTrained(emb: DataFrame, centroids: DataFrame,
+                            pruneK: Int = PrototypePruneK): DataFrame =
+    prototypeRanks(emb, collectCentroids(centroids), pruneK)
+
   /** DuckDB fragment for a sign-LSH signature over list column `v`.
     *
     * The projection is written as an explicit left-associated chain
@@ -790,7 +859,41 @@ object Similarity {
        |GROUP BY t.vec_id""".stripMargin
   }
 
+  def qPrototypes(spark: SparkSession, dir: String): DataFrame =
+    prototypeRanks(Tables.load(spark, dir, "embeddings"),
+      sampledCentroids(Tables.load(spark, dir, "embeddings"),
+        expr(isCentroidSql)))
+
+  /** Same assignment fragment as the SemDeDup/IVF oracles (cosine
+    * argmax, ties to smaller cid), then the per-cell rank window over
+    * the EXACT cosine; only the reported value rounds. */
+  val qPrototypesSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE $vecFilterSql),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |         WHERE $isCentroidSql),
+       |a AS MATERIALIZED (
+       |  SELECT vec_id, cid, cos FROM (
+       |    SELECT n.vec_id, cid,
+       |           list_dot_product(v, cv) / (nrm * cnrm) AS cos,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(v, cv) / (nrm * cnrm) DESC,
+       |                      cid) AS crnk
+       |    FROM n CROSS JOIN cent)
+       |  WHERE crnk = 1),
+       |r AS (SELECT vec_id, cid AS cell_id, cos,
+       |             CAST(row_number() OVER (PARTITION BY cid
+       |               ORDER BY cos DESC, vec_id) AS BIGINT) AS proto_rank
+       |      FROM a)
+       |SELECT vec_id, cell_id,
+       |       floor(cos * 10000.0 + 0.5) / 10000.0 AS cos,
+       |       proto_rank, proto_rank > $PrototypePruneK AS keep
+       |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_prototypes" -> (qPrototypes _),
     "sim_topk_bruteforce" -> (qBruteForce _),
     "sim_topk_lsh" -> (qLsh _),
     "sim_knn_graph" -> (qKnnGraph _),
@@ -800,6 +903,7 @@ object Similarity {
     "embed_project" -> (qProject _))
 
   val oracleSql: Map[String, String] = Map(
+    "sample_prototypes" -> qPrototypesSql,
     "sim_topk_bruteforce" -> qBruteForceSql,
     "sim_topk_lsh" -> qLshSql,
     "sim_knn_graph" -> qKnnGraphSql,

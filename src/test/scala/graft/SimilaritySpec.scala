@@ -282,4 +282,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("driver cap"))
     assert(ex.getMessage.contains("query set"))
   }
+
+  test("prototypeRanks: per-cell cosine rank, id tie-break, prune flag; trained form agrees") {
+    import spark.implicits._
+    val d = Similarity.Dim
+    def axis(i: Int) = { val v = new Array[Double](d); v(i) = 1.0; v }
+    def planar(deg: Double) = {
+      val v = new Array[Double](d)
+      v(0) = math.cos(math.toRadians(deg)); v(1) = math.sin(math.toRadians(deg))
+      v
+    }
+    val cents = Array((100L, axis(0), 1.0), (200L, axis(1), 1.0))
+    // cell 100: ids 1..4 at increasing angle from e0 (cos strictly desc);
+    // cell 200: ids 21, 22 IDENTICAL (tie -> smaller id ranks first)
+    val rows = Seq(
+      1L -> planar(5), 2L -> planar(10), 3L -> planar(20), 4L -> planar(30),
+      21L -> planar(80), 22L -> planar(80))
+    val emb = rows.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.prototypeRanks(emb, cents, pruneK = 1).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((100L, 1L, false))) // most prototypical: pruned
+    assert(got(2L) === ((100L, 2L, true)))
+    assert(got(3L) === ((100L, 3L, true)))
+    assert(got(4L) === ((100L, 4L, true)))
+    assert(got(21L) === ((200L, 1L, false))) // tie broken by vec_id
+    assert(got(22L) === ((200L, 2L, true)))
+    // trained-artifact form reads a (cid, centroid) table, same output
+    val centTable = Seq((100L, axis(0).toSeq), (200L, axis(1).toSeq))
+      .toDF("cid", "centroid")
+    val trained = Similarity.prototypeRanksTrained(emb, centTable, pruneK = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(trained === got)
+  }
 }
