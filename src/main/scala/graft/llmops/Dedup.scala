@@ -507,37 +507,74 @@ object Dedup {
                               maxHamming: Int = HammingMax,
                               mBits: Int = IncrementalBloomBits,
                               k: Int = IncrementalBloomK,
-                              materialize: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    import graft.functions.BloomMightContain
-    // band key as its canonical string form (build and probe agree)
-    def bandKey = (col("band") * lit(32768L) + col("bucket")).cast("string")
+                              materialize: Boolean = true): DataFrame =
+    incrementalSimhashDedupAgainst(
+      simhashBandIndex(oldDocs, mBits, k), newDocs, maxHamming, materialize)
+
+  /** Band key as its canonical string form (build and probe agree). */
+  private def bandKey = (col("band") * lit(32768L) + col("bucket")).cast("string")
+
+  /** The standing-corpus artifact half of [[incrementalSimhashDedup]]:
+    * band rows + the Bloom bitmap over their keys. Build it ONCE per
+    * corpus snapshot (persist `bands` / store it as a warehouse table)
+    * and probe many batches against it — the streaming ingest gate
+    * ([[graft.streaming.StreamingIncremental.runNearDupGate]]) scores
+    * every micro-batch off one index; the corpus pass never repeats. */
+  final case class SimhashIndex(bands: DataFrame, bits: Array[Long],
+                                mBits: Int, k: Int)
+
+  def simhashBandIndex(oldDocs: DataFrame,
+                       mBits: Int = IncrementalBloomBits,
+                       k: Int = IncrementalBloomK): SimhashIndex = {
     val oldBands = simhashBandRows(simhash(oldDocs))
-    val newBands = simhashBandRows(simhash(newDocs))
     val bits = graft.operators.BloomJoin.buildBits(
       oldBands.select(bandKey.as("bk")), "bk", mBits, k)
+    SimhashIndex(oldBands, bits, mBits, k)
+  }
+
+  /** Probe half: score a new batch against a prebuilt [[SimhashIndex]].
+    * Same plan as [[incrementalSimhashDedup]] minus the index build. */
+  /** Bloom-surviving band rows of the new batch (capped plan). */
+  private def incrementalCandPlan(index: SimhashIndex,
+                                  newDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.BloomMightContain
     val probe = GraftBridge.column(BloomMightContain(
-      GraftBridge.expression(bandKey), bits, mBits, k))
-    val candPlan = newBands.filter(probe)
+      GraftBridge.expression(bandKey), index.bits, index.mBits, index.k))
+    simhashBandRows(simhash(newDocs)).filter(probe)
       .select(col("band"), col("bucket"),
         col("doc_id").as("new_id"), col("simhash").as("sim_new"))
       .limit(MaxCandidateBands + 1)
-    val cand = if (materialize) candPlan.persist() else candPlan
-    if (materialize && cand.count() > MaxCandidateBands) {
-      cand.unpersist() // release BEFORE throwing, or the guard leaks
-      throw new IllegalArgumentException(
-        s"more than $MaxCandidateBands candidate band rows — the new batch " +
-          "collides with the corpus too broadly for the broadcast-back " +
-          "incremental path; run simhashPairs over old+new instead")
-    }
-    val pairs = cand.hint("broadcast")
-      .join(oldBands.select(col("band"), col("bucket"),
+  }
+
+  /** Broadcast-back exact verify of candidate band rows. */
+  private def incrementalVerify(cand: DataFrame, index: SimhashIndex,
+                                maxHamming: Int): DataFrame =
+    cand.hint("broadcast")
+      .join(index.bands.select(col("band"), col("bucket"),
         col("doc_id").as("old_id"), col("simhash").as("sim_old")),
         Seq("band", "bucket"))
       .select(col("new_id"), col("old_id"),
         bit_count(col("sim_new").bitwiseXOR(col("sim_old"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+
+  private def candCapFailure(): Nothing =
+    throw new IllegalArgumentException(
+      s"more than $MaxCandidateBands candidate band rows — the new batch " +
+        "collides with the corpus too broadly for the broadcast-back " +
+        "incremental path; run simhashPairs over old+new instead")
+
+  def incrementalSimhashDedupAgainst(index: SimhashIndex, newDocs: DataFrame,
+                                     maxHamming: Int = HammingMax,
+                                     materialize: Boolean = true): DataFrame = {
+    val candPlan = incrementalCandPlan(index, newDocs)
+    val cand = if (materialize) candPlan.persist() else candPlan
+    if (materialize && cand.count() > MaxCandidateBands) {
+      cand.unpersist() // release BEFORE throwing, or the guard leaks
+      candCapFailure()
+    }
+    val pairs = incrementalVerify(cand, index, maxHamming)
     if (!materialize) pairs
     else {
       // checkpoint the (small — verified near-dup pairs only) result so
@@ -549,6 +586,23 @@ object Dedup {
       cand.unpersist()
       out
     }
+  }
+
+  /** Bracket-scoped probe — the per-micro-batch form: persist the
+    * candidate frame, run the cap guard, hand the exact pair frame to
+    * `use`, and release the candidate cache before returning. No
+    * localCheckpoint anywhere: the consumer finishes INSIDE the
+    * bracket, so nothing must outlive it and nothing can leak cached
+    * blocks across batches of a long-running stream
+    * ([[graft.streaming.StreamingIncremental.runNearDupGate]]). */
+  def withIncrementalPairs(index: SimhashIndex, newDocs: DataFrame,
+                           maxHamming: Int = HammingMax)
+                          (use: DataFrame => Unit): Unit = {
+    val cand = incrementalCandPlan(index, newDocs).persist()
+    try {
+      if (cand.count() > MaxCandidateBands) candCapFailure()
+      use(incrementalVerify(cand, index, maxHamming))
+    } finally cand.unpersist()
   }
 
   // -------------------------------------------------- duplicated passages
@@ -1286,6 +1340,19 @@ object Dedup {
     "sample_stratified" -> ((s: SparkSession, d: String) =>
       qSampleStratified(Tables.load(s, d, "documents"))))
 
+  /** Shared by `dedup_incremental` and the streaming gate's
+    * `q55_stream_neardup` (identical slices — the drained stream must
+    * equal the batch twin row for row). */
+  val incrementalOracleSql: String =
+    s"""WITH $simhashSqlCte,
+       |bands AS MATERIALIZED (
+       |  $simhashBandsSql)
+       |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+       |       bit_count(xor(n.simhash, o.simhash)) AS hamming
+       |FROM bands n JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+       |WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+       |  AND bit_count(xor(n.simhash, o.simhash)) <= $HammingMax""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1304,15 +1371,7 @@ object Dedup {
     "dedup_keep_best" -> keepBestOracleSql(),
     // the oracle is the PLAIN band join over the same split — a Bloom
     // false negative (a dropped true collision) breaks the hash match
-    "dedup_incremental" ->
-      s"""WITH $simhashSqlCte,
-         |bands AS MATERIALIZED (
-         |  $simhashBandsSql)
-         |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
-         |       bit_count(xor(n.simhash, o.simhash)) AS hamming
-         |FROM bands n JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
-         |WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
-         |  AND bit_count(xor(n.simhash, o.simhash)) <= $HammingMax""".stripMargin,
+    "dedup_incremental" -> incrementalOracleSql,
     "dedup_passages" -> passagesOracleSql(),
     "sample_stratified" -> sampleOracleSql)
 }

@@ -375,6 +375,25 @@ object EngineQueries {
        |FROM (${graft.llmops.Decontaminate.qDecontaminateSql})
        |WHERE contaminated""".stripMargin
 
+  /** Streaming near-dup ingest gate (SURVEY §2.8 extension): incoming
+    * documents stream through the standing corpus's SimHash
+    * band-index probe (built ONCE at stream start); per-batch verdicts
+    * union to exactly the batch `dedup_incremental` twin — each new
+    * doc's collisions depend only on the doc and the index, so the
+    * micro-batch partition of the incoming set is invisible in the
+    * drained output (same slices, same oracle). */
+  def q55StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_snd_out")
+    val docs = Tables.load(spark, dir, "documents")
+    StreamingIncremental.runNearDupGate(spark, s"$dir/documents.parquet",
+      docs.filter(col("doc_id") % 5 =!= 0), scratch("graft_snd_ckpt"),
+      Some(StreamingIncremental.FixtureStatePartitions),
+      incomingFilter = col("doc_id") % 5 === 0) { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out).select(col("new_id"), col("old_id"), col("hamming"))
+  }
+
   /** Streaming per-type distinct-user estimate: HLL registers as
     * mapGroupsWithState state; the drained output must equal the batch
     * sketch (order-free registers), which the oracle restates. */
@@ -702,7 +721,8 @@ object EngineQueries {
     "q53_compact" -> (q53Compact _),
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
     "q52_stream_full_join" -> (q52StreamFullJoin _),
-    "q54_stream_decontaminate" -> (q54StreamDecontaminate _))
+    "q54_stream_decontaminate" -> (q54StreamDecontaminate _),
+    "q55_stream_neardup" -> (q55StreamNearDup _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -724,5 +744,6 @@ object EngineQueries {
     "q21_build" -> q21Sql,
     "q51_stream_left_join" -> q51Sql,
     "q52_stream_full_join" -> q52Sql,
-    "q54_stream_decontaminate" -> q54Sql)
+    "q54_stream_decontaminate" -> q54Sql,
+    "q55_stream_neardup" -> graft.llmops.Dedup.incrementalOracleSql)
 }

@@ -188,6 +188,47 @@ object StreamingIncremental {
     } finally benchShingles.unpersist()
   }
 
+  /** Streaming near-duplicate ingest gate — the nightly-ingest dedup
+    * question asked AT the stream: which incoming documents
+    * near-duplicate the STANDING corpus? The corpus's
+    * [[graft.llmops.Dedup.SimhashIndex]] (band rows + Bloom bitmap)
+    * builds ONCE at stream start — band rows persist at the stream's
+    * scope and free at drain, the bitmap rides the probe expression —
+    * and every micro-batch then runs the stateless probe plan: batch
+    * SimHash → map-side Bloom filter → surviving band rows broadcast
+    * back to join the persisted corpus bands → exact Hamming verify.
+    * The standing corpus is scanned once for the whole stream, never
+    * per batch, and no streaming state accumulates (each batch's
+    * verdicts depend only on the batch and the index).
+    *
+    * `incomingFilter` carves the streamed rows that count as incoming
+    * (the fixture streams the whole table and gates the batch slice).
+    * Emits (new_id, old_id, hamming) rows per micro-batch. */
+  def runNearDupGate(spark: SparkSession, docsDir: String,
+                     standing: DataFrame, checkpointDir: String,
+                     statePartitions: Option[Int] = None,
+                     incomingFilter: org.apache.spark.sql.Column = lit(true))
+                    (sink: DataFrame => Unit): Unit =
+      withShufflePartitions(spark, statePartitions) {
+    val index = graft.llmops.Dedup.simhashBandIndex(standing)
+    index.bands.persist()
+    try {
+      val stream = stageAndStream(spark, docsDir, "graft_landing_neardup")
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // bracket-scoped probe: candidate cache lives exactly as long
+          // as the batch sink — no localCheckpoint, nothing leaks
+          graft.llmops.Dedup.withIncrementalPairs(
+            index, batch.filter(incomingFilter))(sink)
+        }
+        .start()
+      q.awaitTermination()
+    } finally index.bands.unpersist()
+  }
+
   /** Gap-based sessionization — `session_window` event-time aggregation
     * (SURVEY §2.8 extension): events of a user belong to one session
     * while consecutive gaps stay UNDER `gap`; a gap ≥ `gap` starts a new

@@ -610,6 +610,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming near-dup gate drains to exactly the batch twin; band index freed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snd_spec")
+    val out = s"$dir/out"
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val standing = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    graft.streaming.StreamingIncremental.runNearDupGate(
+      spark, s"$sf/documents.parquet", standing, s"$dir/ckpt", Some(4),
+      incomingFilter = col("doc_id") % 5 === 0) { b =>
+      b.write.mode("append").parquet(out)
+    }
+    // the stream-scoped corpus band persist must not outlive the run
+    assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+      "corpus band index persist leaked past the stream's scope")
+    val streamed = spark.read.parquet(out)
+      .select("new_id", "old_id", "hamming")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.llmops.Dedup.incrementalSimhashDedup(standing, incoming)
+      .select("new_id", "old_id", "hamming")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream LEFT OUTER interval join: matches batch join + watermark-gated null emission") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sslj_spec")
     val out = s"$dir/out"
