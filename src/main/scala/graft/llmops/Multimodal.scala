@@ -139,6 +139,88 @@ object Multimodal {
       col("meta.height").as("height"),
       least(col("meta.n_frames"), lit(targetFrames)).as("n_frames")))
 
+  // ------------------------------------------------- perceptual hashing
+
+  /** Gradient buckets for [[perceptualHash]]: 61 buckets → 60 comparison
+    * bits, the repo's 60-bit hash discipline (fits a positive Long, and
+    * the 4×15-bit band split of the SimHash machinery applies as-is). */
+  val PhashBuckets = 61
+
+  /** Band Hamming cutoff for [[phashNearDups]]. */
+  val PhashMaxHamming = 6
+
+  /** 60-bit perceptual hash — the dHash idea in 1-D: resample the
+    * media's SIGNAL BYTES into [[PhashBuckets]] equal spans and set bit
+    * j iff bucket j+1's mean exceeds bucket j's. Gradient signs survive
+    * uniform brightness/volume shifts and re-encoding jitter that
+    * destroy exact byte hashes — the standard near-dup signal for
+    * images (dHash) and audio fingerprints. For recognized images the
+    * signal is the DECODED luma plane ([[ImageCodec.decodeLuma]] —
+    * resolution-independent up to resampling error); other payloads use
+    * raw bytes, the deterministic opaque contract the oracle replays.
+    *
+    * Exactness: bucket means compare CROSS-MULTIPLIED
+    * (`s2·n1 > s1·n2`, all integers) so no division ever happens — the
+    * hash is bit-identical on any engine; a bit is set only when BOTH
+    * buckets are populated (short payloads leave high buckets empty on
+    * both engines alike). One narrow kernel pass, zero shuffle. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_id").isNotNull && col("payload").isNotNull &&
+        length(col("payload")) >= 1)
+      .select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val bytes = ImageCodec.decodeLuma(payload) match {
+            case Some((_, _, luma)) => luma
+            case None               => payload
+          }
+          val nb = PhashBuckets
+          val s = new Array[Long](nb)
+          val n = new Array[Long](nb)
+          val len = bytes.length
+          var i = 0
+          while (i < len) {
+            val b = ((i.toLong * nb) / len).toInt
+            s(b) += (bytes(i) & 0xff)
+            n(b) += 1
+            i += 1
+          }
+          var h = 0L
+          var j = 0
+          while (j < nb - 1) {
+            if (n(j) > 0 && n(j + 1) > 0 && s(j + 1) * n(j) > s(j) * n(j + 1))
+              h |= (1L << j)
+            j += 1
+          }
+          (id, h)
+        }
+      }.toDF("media_id", "phash")
+  }
+
+  /** Banded perceptual near-dup pairs: the [[Dedup]] SimHash shape on
+    * the 60-bit phash — 4×15-bit band equi-join generates candidates
+    * (never an all-pairs product), exact Hamming verifies. Emits
+    * (media_a, media_b, hamming), a < b, hamming ≤ `maxHamming`. */
+  def phashNearDups(media: DataFrame,
+                    maxHamming: Int = PhashMaxHamming): DataFrame = {
+    val hashes = perceptualHash(media)
+    val bands = (0 until 4).map { k =>
+      hashes.select(col("media_id"), col("phash"), lit(k).as("band"),
+        shiftright(col("phash"), k * 15).bitwiseAND(0x7fff).as("bucket"))
+    }.reduce(_.unionAll(_))
+    bands.join(bands.select(col("band"), col("bucket"),
+        col("media_id").as("media_b"), col("phash").as("phash_b")),
+        Seq("band", "bucket"))
+      .filter(col("media_id") < col("media_b"))
+      .select(col("media_id").as("media_a"), col("media_b"),
+        bit_count(col("phash").bitwiseXOR(col("phash_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ----------------------------------------------------------------- queries
 
   /** Per-media aggregate of frame features — the oracle replicates the stub
@@ -174,9 +256,48 @@ object Multimodal {
        |       min(b_min) AS b_min, max(b_max) AS b_max
        |FROM fr GROUP BY 1""".stripMargin
 
+  /** Perceptual-hash inventory over the fixture media table (opaque
+    * fallback path: payload bytes = the ASCII text's code points, so the
+    * oracle replays the exact bucket/gradient algebra in SQL). The
+    * banded pair search ([[phashNearDups]]) is spec-gated on constructed
+    * near-identical images through the REAL decode path — the fixture
+    * corpus has no byte-near-identical payloads (measured min pairwise
+    * Hamming 11), so an inventory is the honest oracle artifact. */
+  def qMultimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    perceptualHash(toMediaTable(Tables.load(spark, dir, "documents")))
+
+  val qMultimodalPhashSql: String =
+    s"""WITH c AS (SELECT doc_id AS media_id, text,
+       |                  unnest(generate_series(1, length(text))) AS i
+       |           FROM documents
+       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |             AND length(text) >= 1),
+       |b AS (SELECT media_id,
+       |             ((i - 1) * $PhashBuckets) // length(text) AS bkt,
+       |             ascii(substring(text, CAST(i AS INT), 1)) AS v
+       |      FROM c),
+       |g AS (SELECT media_id, bkt, CAST(sum(v) AS BIGINT) AS s,
+       |             CAST(count(*) AS BIGINT) AS n
+       |      FROM b GROUP BY 1, 2),
+       |p AS (SELECT a.media_id,
+       |             CAST(sum(CASE WHEN b.s * a.n > a.s * b.n
+       |                      THEN 1::BIGINT << CAST(a.bkt AS INT)
+       |                      ELSE 0 END) AS BIGINT) AS phash
+       |      FROM g a JOIN g b ON b.media_id = a.media_id
+       |                       AND b.bkt = a.bkt + 1
+       |      WHERE a.bkt < ${PhashBuckets - 1}
+       |      GROUP BY 1),
+       |m AS (SELECT DISTINCT media_id FROM c)
+       |-- sub-2-bucket payloads have no adjacent pair: phash pins to 0
+       |-- on both engines (the kernel's empty-bucket guard)
+       |SELECT m.media_id, coalesce(p.phash, 0) AS phash
+       |FROM m LEFT JOIN p USING (media_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_stats" -> (qMultimodalStats _))
+    "multimodal_stats" -> (qMultimodalStats _),
+    "multimodal_phash" -> (qMultimodalPhash _))
 
   val oracleSql: Map[String, String] = Map(
-    "multimodal_stats" -> qMultimodalStatsSql)
+    "multimodal_stats" -> qMultimodalStatsSql,
+    "multimodal_phash" -> qMultimodalPhashSql)
 }

@@ -87,4 +87,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(0).getLong(2) === 97L * 256) // 'a' checksum, slice 1
     assert(frames(1).getLong(2) === 97L * 44)
   }
+
+  test("perceptualHash: monotone ramps pin all/zero gradient bits; tiny payloads pin to 0") {
+    import spark.implicits._
+    val up = Array.tabulate(122)(i => (i * 2).toByte)     // strictly rising
+    val down = Array.tabulate(122)(i => (244 - i * 2).toByte) // strictly falling
+    val one = Array[Byte](7)
+    val media = Seq((1L, up), (2L, down), (3L, one))
+      .toDF("media_id", "payload")
+    val got = Multimodal.perceptualHash(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) === (1L << 60) - 1) // every adjacent bucket mean rises
+    assert(got(2L) === 0L)             // every gradient falls
+    assert(got(3L) === 0L)             // single bucket: no adjacent pair
+  }
+
+  test("phashNearDups pairs a perturbed re-encode of an image, not an unrelated one") {
+    import spark.implicits._
+    // base: 64x64 smooth gradient; near: same scene at ~1% pixel noise
+    // (deterministic); far: the transposed gradient (different structure)
+    def scene(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val base = scene(64, 64, (x, y) => x * 3 + y)
+    val near = scene(64, 64, (x, y) => x * 3 + y + (if ((x * 7 + y) % 97 == 0) 4 else 0))
+    val far = scene(64, 64, (x, y) => 255 - (y * 3 + x))
+    val media = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.phashNearDups(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated image spuriously paired: $pairs")
+  }
 }
