@@ -1081,9 +1081,13 @@ object Dedup {
     duplicateClustersCounted(docs, pairs)._1
 
   /** [[duplicateClusters]] plus the number of star rounds run (exposed so
-    * the O(log n) convergence contract is spec-checkable). */
+    * the O(log n) convergence contract is spec-checkable). `carry`
+    * columns are doc-level metadata riding the final label join (the
+    * gopherRules carryCols pattern — consumers like [[dedupReport]] get
+    * source on the labeled row without a second corpus-sized join). */
   def duplicateClustersCounted(docs: DataFrame,
-                               pairs: DataFrame): (DataFrame, Int) = {
+                               pairs: DataFrame,
+                               carry: Seq[String] = Nil): (DataFrame, Int) = {
     def observed(df: DataFrame): (DataFrame, (Long, Long)) = {
       val obs = org.apache.spark.sql.Observation()
       val cp = df
@@ -1140,14 +1144,38 @@ object Dedup {
     // it and its lineage is truncated, so unpersisting here would break
     // the returned (lazy) frame. At fixpoint it is the star forest, the
     // smallest frame of the whole loop.
-    val out = docs.select(col("doc_id").cast("long"))
+    val out = docs.select(col("doc_id").cast("long") +: carry.map(col): _*)
       .join(nbrMin, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("nbr"), col("doc_id"))).as("cluster_id"))
+      .select(col("doc_id") +: carry.map(col) :+
+        least(col("doc_id"), coalesce(col("nbr"), col("doc_id"))).as("cluster_id"): _*)
     (out, rounds)
   }
 
-  def clustersOracleSql(maxHamming: Int = HammingMax): String =
+  /** Per-source duplication datasheet — the dataset-card question "how
+    * duplicated is each source?": document count, documents sitting in a
+    * multi-member duplicate cluster, distinct multi-member clusters
+    * touching the source, and the duplication rate in integer basis
+    * points. Clusters come from the star-rounds fixpoint with `source`
+    * carried on the labeled row (no second corpus-sized metadata join);
+    * cluster size is a count window over the cluster partition (groups
+    * bounded by cluster size), and the final roll-up is a
+    * map-side-combined source-sized aggregate. */
+  def dedupReport(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = duplicateClustersCounted(docs, pairs, carry = Seq("source"))._1
+    cl.withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(when(col("csize") > 1, col("cluster_id")))
+          .as("n_dup_clusters"))
+      .withColumn("dup_rate_bp", expr("n_dup_docs * 10000 div n_docs"))
+  }
+
+  /** Shared recursive-CTE prefix: simhash pairs → symmetric edges →
+    * transitive reachability (consumed by the clusters AND report
+    * oracles, so the two gates can never check different clusterings). */
+  private def clustersCtes(maxHamming: Int): String =
     s"""WITH RECURSIVE $simhashSqlCte,
        |bands AS MATERIALIZED (
        |  $simhashBandsSql),
@@ -1158,8 +1186,28 @@ object Dedup {
        |reach(id, r) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r)
+       |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r)""".stripMargin
+
+  def clustersOracleSql(maxHamming: Int = HammingMax): String =
+    s"""${clustersCtes(maxHamming)}
        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  def dedupReportSql(maxHamming: Int = HammingMax): String =
+    s"""${clustersCtes(maxHamming)},
+       |cl AS MATERIALIZED (
+       |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1),
+       |j AS (SELECT coalesce(d.source, '?') AS source, c.cluster_id, s.csize
+       |      FROM cl c JOIN documents d ON d.doc_id = c.doc_id
+       |      JOIN sz s USING (cluster_id))
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dup_docs,
+       |       CAST(count(DISTINCT CASE WHEN csize > 1 THEN cluster_id END)
+       |         AS BIGINT) AS n_dup_clusters,
+       |       (CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 10000) // count(*) AS dup_rate_bp
+       |FROM j GROUP BY 1""".stripMargin
 
   // ------------------------------------------------ canonical selection
 
@@ -1325,6 +1373,11 @@ object Dedup {
       val docs = Tables.load(s, d, "documents")
       duplicateClusters(docs, simhashPairs(docs))
     }),
+    "dedup_report" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("source", coalesce(col("source"), lit("?")))
+      dedupReport(docs, simhashPairs(docs))
+    }),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
       keepBestDuplicate(docs, simhashPairs(docs), curatedPriority(col("source")))
@@ -1368,6 +1421,7 @@ object Dedup {
     "dedup_semantic" -> semanticDedupSql(),
     "dedup_substring" -> substringOverlapSql(),
     "dedup_clusters" -> clustersOracleSql(),
+    "dedup_report" -> dedupReportSql(),
     "dedup_keep_best" -> keepBestOracleSql(),
     // the oracle is the PLAIN band join over the same split — a Bloom
     // false negative (a dropped true collision) breaks the hash match

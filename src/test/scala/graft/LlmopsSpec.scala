@@ -673,6 +673,22 @@ class LlmopsSpec extends AnyFunSuite {
     assert(got(5L) === (("", 1L, 0L))) // NULL pins to one empty token
   }
 
+  test("dedupReport: per-source dup counts over a hand-built cross-source cluster graph") {
+    import spark.implicits._
+    // cluster {1,2,3} spans sources A,B; cluster {10,11} inside B;
+    // 20, 21 are singletons (A and C)
+    val docs = Seq(
+      (1L, "A"), (2L, "A"), (3L, "B"), (10L, "B"), (11L, "B"),
+      (20L, "A"), (21L, "C")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupReport(docs, pairs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A") === ((3L, 2L, 1L, 6666L))) // docs 1,2,20; dups 1,2
+    assert(got("B") === ((3L, 3L, 2L, 10000L))) // 3 in cl-1, 10+11 in cl-10
+    assert(got("C") === ((1L, 0L, 0L, 0L)))
+  }
+
   test("removeBoilerplateBlocks strikes >=minDf blocks, keeps order, empties full-boilerplate docs") {
     import spark.implicits._
     // "b1 b2 b3 b4" appears in 3 docs (boilerplate at minDf=3);
