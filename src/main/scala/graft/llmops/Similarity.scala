@@ -579,6 +579,31 @@ object Similarity {
       .sortBy(_._1)
   }
 
+  // ----------------------------------------------- oracle-gated recall
+
+  /** Per-query recall of an approximate top-k against the exact top-k —
+    * the retrieval-quality number as an OPERATOR, not a side-channel:
+    * both inputs are rank-contract-deterministic frames
+    * ([[bruteForceTopK]] / [[lshTopK]] / IVF variants), so the
+    * intersection count is bit-stable and hash-gateable cross-engine.
+    * The bench side-channel (`RecallReport`) keeps publishing the
+    * cost/recall trade per index; this gate makes a silent retrieval
+    * regression break CORRECTNESS, not just move a number.
+    *
+    * Both sides run their own corpus pass by construction (an eval
+    * harness measures two indexes independently); at production scale
+    * this runs over a sampled query slice, never the full corpus.
+    * Output: (query_id, n_hits, recall_bp). */
+  def recallVsExact(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        expr("n_hits * 10000 div k").as("recall_bp"))
+
   // --------------------------------------------- prototype-based pruning
 
   /** Per-cell keep budget for the pruning query: the `pruneK` MOST
@@ -859,6 +884,27 @@ object Similarity {
        |GROUP BY t.vec_id""".stripMargin
   }
 
+  def qAnnRecallLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    recallVsExact(bruteForceTopK(e, expr(isQuerySql)),
+      lshTopK(e, expr(isQuerySql)))
+  }
+
+  /** Both rank contracts nest as materialized CTEs (each already its own
+    * green oracle), then the per-query intersection count. */
+  lazy val qAnnRecallLshSql: String =
+    s"""WITH x AS MATERIALIZED ($qBruteForceSql),
+       |l AS MATERIALIZED ($qLshSql),
+       |h AS (SELECT x.query_id, count(*) AS n_hits
+       |      FROM x JOIN l ON l.query_id = x.query_id
+       |                   AND l.neighbor_id = x.neighbor_id
+       |      GROUP BY 1),
+       |q AS (SELECT query_id, count(*) AS k FROM x GROUP BY 1)
+       |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 10000) // q.k
+       |         AS recall_bp
+       |FROM q LEFT JOIN h USING (query_id)""".stripMargin
+
   def qPrototypes(spark: SparkSession, dir: String): DataFrame =
     prototypeRanks(Tables.load(spark, dir, "embeddings"),
       sampledCentroids(Tables.load(spark, dir, "embeddings"),
@@ -893,6 +939,7 @@ object Similarity {
        |FROM r""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_lsh" -> (qAnnRecallLsh _),
     "sample_prototypes" -> (qPrototypes _),
     "sim_topk_bruteforce" -> (qBruteForce _),
     "sim_topk_lsh" -> (qLsh _),
@@ -903,6 +950,7 @@ object Similarity {
     "embed_project" -> (qProject _))
 
   val oracleSql: Map[String, String] = Map(
+    "ann_recall_lsh" -> qAnnRecallLshSql,
     "sample_prototypes" -> qPrototypesSql,
     "sim_topk_bruteforce" -> qBruteForceSql,
     "sim_topk_lsh" -> qLshSql,

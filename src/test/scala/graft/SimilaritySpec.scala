@@ -283,6 +283,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("query set"))
   }
 
+  test("recallVsExact: identical lists score 10000 bp, disjoint 0, partial exact") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), (1L, 98L),
+      (2L, 30L), (2L, 31L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallVsExact(exact, approx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((2L, 5000L))) // 2 of 4
+    assert(got(2L) === ((0L, 0L)))
+    val self = Similarity.recallVsExact(exact, exact).collect()
+      .map(r => r.getLong(2)).toSet
+    assert(self === Set(10000L))
+  }
+
   test("prototypeRanks: per-cell cosine rank, id tie-break, prune flag; trained form agrees") {
     import spark.implicits._
     val d = Similarity.Dim
