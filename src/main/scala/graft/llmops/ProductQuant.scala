@@ -527,11 +527,109 @@ object ProductQuant {
        |WHERE rank <= ${Similarity.TopK}""".stripMargin
   }
 
+  // ------------------------------------------- scalar quantization (SQ8)
+
+  /** Per-dimension (mn, mx) range table — the SQ8 "codebook": one
+    * map-side-combined aggregate over exploded components, `Dim` rows
+    * out whatever the corpus size. Train once per corpus snapshot. */
+  def trainScalarQuant(emb: DataFrame): DataFrame =
+    Similarity.typedVecs(emb)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Int8 scalar quantization (the FAISS SQ8 memory path): affine-map
+    * every component to 0..255 against the per-dim range —
+    * `code = floor((x−mn)·255/(mx−mn) + 0.5)` — cutting vector memory
+    * 4× vs float32 with bounded reconstruction error, the first lever
+    * pulled when a 100 TB corpus's raw vectors outgrow executor memory
+    * (PQ compresses further; SQ8 keeps per-dim fidelity). Degenerate
+    * dims (mx = mn) pin to code 0 on both engines — no 0/0 NaN/NULL
+    * divergence.
+    *
+    * Per-vector output pins the full encoding without hashing arrays:
+    * the code sum/min/max and the max reconstruction error in integer
+    * micro-units, every double op in the same left-associated order as
+    * the oracle SQL. Encode is ONE narrow kernel pass against the
+    * broadcast range table — no explode, no shuffle; output
+    * partitioning mirrors input. */
+  def scalarQuantizeInt8(emb: DataFrame, ranges: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val r = ranges.select(col("pos").cast("int"), col("mn"), col("mx"))
+      .collect().map(row => (row.getInt(0), row.getDouble(1), row.getDouble(2)))
+      .sortBy(_._1)
+    require(r.nonEmpty, "scalar-quant range table is empty")
+    val mn = r.map(_._2)
+    val mx = r.map(_._3)
+    val bc = spark.sparkContext.broadcast((mn, mx))
+    Similarity.typedVecs(emb).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (lo, hi) = bc.value
+        it.map { case (id, v) =>
+          var sum = 0L
+          var cmin = Long.MaxValue
+          var cmax = Long.MinValue
+          var maxErr = 0.0
+          var i = 0
+          while (i < v.length) {
+            val (c, e) =
+              if (hi(i) == lo(i)) (0L, 0.0)
+              else {
+                val code = math.floor((v(i) - lo(i)) * 255.0 / (hi(i) - lo(i)) + 0.5)
+                val err = math.abs(lo(i) + (code * (hi(i) - lo(i))) / 255.0 - v(i))
+                (code.toLong, err)
+              }
+            sum += c
+            if (c < cmin) cmin = c
+            if (c > cmax) cmax = c
+            if (e > maxErr) maxErr = e
+            i += 1
+          }
+          (id, sum, cmin, cmax, math.floor(maxErr * 1000000.0 + 0.5).toLong)
+        }
+      }.toDF("vec_id", "sum_codes", "min_code", "max_code", "err_e6")
+  }
+
+  def qScalarQuant(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    scalarQuantizeInt8(e, trainScalarQuant(e))
+  }
+
+  /** Identical affine/round/reconstruction op order per component, then
+    * the per-vector integer roll-up. */
+  val qScalarQuantSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE ${Similarity.vecFilterSql}),
+       |comp AS MATERIALIZED (
+       |  SELECT vec_id, i.i AS pos, v[i.i] AS x
+       |  FROM e CROSS JOIN
+       |       (SELECT unnest(generate_series(1, ${Similarity.Dim})) AS i) i),
+       |st AS MATERIALIZED (
+       |  SELECT pos, min(x) AS mn, max(x) AS mx FROM comp GROUP BY 1),
+       |q AS (
+       |  SELECT vec_id, x, mn, mx,
+       |         CASE WHEN mx = mn THEN 0.0
+       |              ELSE floor((x - mn) * 255.0 / (mx - mn) + 0.5) END AS code
+       |  FROM comp JOIN st USING (pos)),
+       |w AS (
+       |  SELECT vec_id, code,
+       |         CASE WHEN mx = mn THEN 0.0
+       |              ELSE abs(mn + (code * (mx - mn)) / 255.0 - x) END AS err
+       |  FROM q)
+       |SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_codes,
+       |       CAST(min(code) AS BIGINT) AS min_code,
+       |       CAST(max(code) AS BIGINT) AS max_code,
+       |       CAST(floor(max(err) * 1000000.0 + 0.5) AS BIGINT) AS err_e6
+       |FROM w GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_pq" -> (qPqTopK _),
-    "sim_topk_ivfpq" -> (qIvfPqTopK _))
+    "sim_topk_ivfpq" -> (qIvfPqTopK _),
+    "embed_quantize_int8" -> (qScalarQuant _))
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_pq" -> qPqTopKSql,
-    "sim_topk_ivfpq" -> qIvfPqTopKSql)
+    "sim_topk_ivfpq" -> qIvfPqTopKSql,
+    "embed_quantize_int8" -> qScalarQuantSql)
 }

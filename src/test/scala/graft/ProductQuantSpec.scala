@@ -108,4 +108,22 @@ class ProductQuantSpec extends AnyFunSuite {
       emb.unionByName(ragged, allowMissingColumns = true), isQuery, isCb).collect()
     assert(!got.exists(_.getLong(1) == 5000L))
   }
+
+  test("scalarQuantizeInt8: endpoint/midpoint codes, degenerate dims pin to 0, exact error") {
+    import spark.implicits._
+    val d = graft.llmops.Similarity.Dim
+    // dim 0 spans [0, 1]; dim 1 is constant (degenerate); others all 0
+    def vec(x0: Float): Seq[Float] =
+      x0 +: 5.0f +: Seq.fill(d - 2)(0.0f)
+    val emb3 = Seq((1L, vec(0f)), (2L, vec(1f)), (3L, vec(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = ProductQuant.scalarQuantizeInt8(
+      emb3, ProductQuant.trainScalarQuant(emb3)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 0L)))      // mn endpoint: code 0, exact
+    assert(out(2L) === ((255L, 0L, 255L, 0L))) // mx endpoint: code 255, exact
+    // midpoint: code floor(0.5*255+0.5)=128, dq=128/255, err≈0.00196 → 1961
+    assert(out(3L) === ((128L, 0L, 128L, 1961L)))
+  }
 }
