@@ -244,20 +244,40 @@ object CorpusStats {
     * source-to-source at the end. Pass rate is integer basis points and
     * the mean is a division of two exact BIGINTs through
     * [[Hashing.stableRound]] — bit-stable on both engines. */
-  def corpusReport(docs: DataFrame): DataFrame = {
-    val rules = QualityRules.gopherRules(
+  def corpusReport(docs: DataFrame): DataFrame =
+    corpusReportFinalize(corpusReportPartial(docs))
+
+  /** The MERGEABLE half of [[corpusReport]]: the (source, lang) roll-up
+    * with pure-sum measures — the finest grain every report output
+    * needs. Partials from disjoint corpus slices merge by ADDITION
+    * (doc counts, token mass, pass counts are all sums; the dominant
+    * language and mean re-derive from the merged grain), so an
+    * append-only pipeline maintains the datasheet by storing this frame
+    * per ingest batch and finalizing over the union — the standing
+    * corpus is never rescanned ([[corpusReportFinalize]] touches only
+    * source×lang-sized rows). */
+  def corpusReportPartial(docs: DataFrame): DataFrame =
+    QualityRules.gopherRules(
         docs.filter(col("source").isNotNull), carryCols = Seq("source", "lang"))
       .withColumn("lang", coalesce(col("lang"), lit("?")))
-    // ONE corpus pass, no join: the (source, lang) roll-up is the finest
-    // grain every output needs, so per-source totals are WINDOW sums
-    // over the tiny source×lang frame (same partition key as the
-    // dominant-language rank — one exchange serves all four windows).
-    // Splitting totals into a second groupBy would diverge under column
-    // pruning into a second corpus scan (two non-identical aggregates
-    // cannot share an exchange); this shape can't.
-    val byLang = rules.groupBy(col("source"), col("lang"))
+      .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_words")).as("_tok"),
         sum(col("passes")).cast("long").as("_pass"))
+
+  /** Merge + finalize (source, lang) partials into the report: re-sum
+    * the grain (slices may repeat a (source, lang) cell), then the
+    * window roll-ups. ONE pass over grain-sized rows, no corpus scan —
+    * per-source totals are WINDOW sums over the tiny source×lang frame
+    * (same partition key as the dominant-language rank — one exchange
+    * serves all windows). Splitting totals into a second groupBy would
+    * diverge under column pruning into a second scan of the partial
+    * source (two non-identical aggregates cannot share an exchange);
+    * this shape can't. */
+  def corpusReportFinalize(partials: DataFrame): DataFrame = {
+    val byLang = partials.groupBy(col("source"), col("lang"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("_tok")).cast("long").as("_tok"),
+        sum(col("_pass")).cast("long").as("_pass"))
     val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
     val wTop = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
       .orderBy(col("n").desc, col("lang"))
@@ -334,17 +354,31 @@ object CorpusStats {
        |FROM a JOIN t USING (source) WHERE t.rn = 1""".stripMargin
   }
 
+  /** Append-only maintenance of the datasheet: two disjoint ingest
+    * slices produce PARTIAL (source, lang) roll-ups, the partials merge
+    * by addition, and the finalize must reproduce the full-corpus
+    * report exactly — same oracle as `corpus_report`, so the merge path
+    * is hash-pinned against the one-shot path by construction. */
+  def qCorpusReportMerged(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    corpusReportFinalize(
+      corpusReportPartial(docs.filter(col("doc_id") % 2 === 0))
+        .unionByName(corpusReportPartial(docs.filter(col("doc_id") % 2 =!= 0))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_corpusfreq" -> (qCorpusFreq _),
     "topk_sources" -> (qTopkSources _),
     "keywords_rare" -> (qKeywords _),
     "diversity_ngram" -> (qDiversity _),
-    "corpus_report" -> (qCorpusReport _))
+    "corpus_report" -> (qCorpusReport _),
+    "corpus_report_merged" -> (qCorpusReportMerged _))
 
   val oracleSql: Map[String, String] = Map(
     "quality_corpusfreq" -> qCorpusFreqSql,
     "topk_sources" -> qTopkSourcesSql,
     "keywords_rare" -> qKeywordsSql,
     "diversity_ngram" -> qDiversitySql,
-    "corpus_report" -> qCorpusReportSql)
+    "corpus_report" -> qCorpusReportSql,
+    "corpus_report_merged" -> qCorpusReportSql)
 }

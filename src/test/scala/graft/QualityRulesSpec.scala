@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.llmops.QualityRules
 
 /** Pins each Gopher rule's integer cross-multiplication on hand-built
@@ -108,5 +109,24 @@ class QualityRulesSpec extends AnyFunSuite {
       s"corpusReport must scan the corpus exactly once:\n${plan.take(2000)}")
     assert(!plan.contains("Join"),
       s"totals and dominant language must share windows, not join:\n${plan.take(2000)}")
+  }
+
+  test("corpusReport partials merge by addition to exactly the one-shot report") {
+    import spark.implicits._
+    val docs = (1L to 60L).map { i =>
+      val src = s"s${i % 3}"
+      val lang = if (i % 4 == 0) "de" else "en"
+      (i, src, lang, ("the of and to in is " * 12).trim + s" tail$i")
+    }.toDF("doc_id", "source", "lang", "text")
+    val oneShot = graft.llmops.CorpusStats.corpusReport(docs)
+      .collect().map(_.toSeq).toSet
+    // three disjoint slices, partials merged in a different order
+    val parts = Seq(0, 1, 2).map(k =>
+      graft.llmops.CorpusStats.corpusReportPartial(docs.filter(col("doc_id") % 3 === k)))
+    val merged = graft.llmops.CorpusStats.corpusReportFinalize(
+      parts(2).unionByName(parts(0)).unionByName(parts(1)))
+      .collect().map(_.toSeq).toSet
+    assert(merged === oneShot)
+    assert(oneShot.nonEmpty)
   }
 }
