@@ -482,6 +482,53 @@ object Mix {
           .cast("long").as("global_ord"))
   }
 
+  /** Curriculum training order — clean data first, source-diverse
+    * throughout: documents order by (tier, curriculum_pos) where tier 0
+    * is the Gopher-clean slice ([[QualityRules.gopherRules]] `passes`)
+    * and tier 1 the rest, and within each tier positions round-robin
+    * across sources by the [[interleaveSources]] arithmetic
+    * (`(ord_in_cell − 1) · n_sources + source_idx` over the bucketed
+    * per-(tier, source) running count). The easy→hard phase structure
+    * of curriculum learning with no quality cliff in source diversity —
+    * and NO global sort anywhere: the order is pure arithmetic; a
+    * writer range-partitions on (tier, curriculum_pos) to lay it out.
+    *
+    * The verdict kernel runs twice (the prefix sum's window branch and
+    * its bucket-offsets aggregate are two consumers) — the deliberate
+    * [[Similarity.knnGraph]]-style trade: the Gopher HOF chain is a
+    * narrow scan-speed pass, cheaper than checkpointing a corpus-sized
+    * verdict frame; a production pipeline stores verdicts as a table
+    * and orders from the artifact. Output: (doc_id, source, tier,
+    * ord_in_cell, curriculum_pos). */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val verdicts = QualityRules.gopherRules(
+        docs.filter(col("source").isNotNull), carryCols = Seq("source"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        (lit(1) - col("passes")).cast("int").as("tier"))
+    val base = verdicts
+      .withColumn("_h", Hashing.md5Long(col("doc_id").cast("string")))
+      .withColumn("_bucket", expr(s"_h div ${1L << BudgetBucketShift}"))
+      .withColumn("_tkey",
+        concat_ws(":", col("tier").cast("string"), col("source")))
+      .withColumn("_one", lit(1L))
+    val pos = graft.operators.PrefixSum.perKeyRunningSum(
+      base, "_tkey", "_bucket", Seq("_h", "doc_id"), "_one", "ord_in_cell")
+    val wS = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+    val wAll = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val sidx = docs
+      .filter(col("doc_id").isNotNull && col("source").isNotNull)
+      .select(col("source")).distinct()
+      .withColumn("_sidx", row_number().over(wS).cast("long") - 1L)
+      .withColumn("_ns", count(lit(1)).over(wAll))
+    pos.join(broadcast(sidx), Seq("source"))
+      .select(col("doc_id"), col("source"), col("tier"),
+        col("ord_in_cell").cast("long").as("ord_in_cell"),
+        ((col("ord_in_cell") - 1L) * col("_ns") + col("_sidx"))
+          .cast("long").as("curriculum_pos"))
+  }
+
   def qInterleave(spark: SparkSession, dir: String): DataFrame =
     interleaveSources(Tables.load(spark, dir, "documents"))
 
@@ -507,8 +554,63 @@ object Mix {
        |FROM p JOIN s USING (source) CROSS JOIN n""".stripMargin
   }
 
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrder(Tables.load(spark, dir, "documents"))
+
+  /** The Gopher verdict algebra inlined with source carried (the
+    * corpus_report oracle's pattern), tier = 1 − passes, then the
+    * interleave arithmetic per (tier, source) cell. */
+  val qCurriculumSql: String = {
+    val stopsList = QualityRules.RequiredStops
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    val symbolPred = QualityRules.SymbolTokens
+      .map(s => s"contains(w, '$s')").mkString(" OR ")
+    val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT)
+       |      AS sum_word_chars,
+       |    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+       |      AS n_alpha_words,
+       |    CAST(len(list_filter(words, w -> $symbolPred)) AS BIGINT) AS n_symbol_words,
+       |    CAST(len(list_filter($stopsList, s -> list_contains(words, s))) AS BIGINT)
+       |      AS n_stop_hits
+       |  FROM f),
+       |v AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CASE WHEN n_words BETWEEN ${QualityRules.MinWords} AND ${QualityRules.MaxWords}
+       |           AND n_words * 3 <= sum_word_chars AND sum_word_chars <= n_words * 10
+       |           AND n_alpha_words * 10 >= n_words * 8
+       |           AND n_symbol_words * 10 <= n_words
+       |           AND n_stop_hits >= 2 THEN 0 ELSE 1 END AS tier,
+       |    $h AS h
+       |  FROM s),
+       |p AS (
+       |  SELECT doc_id, source, tier,
+       |         row_number() OVER (PARTITION BY tier, source ORDER BY h, doc_id)
+       |           AS ord_in_cell
+       |  FROM v),
+       |si AS (
+       |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+       |  FROM (SELECT DISTINCT source FROM documents
+       |        WHERE doc_id IS NOT NULL AND source IS NOT NULL)),
+       |n AS (SELECT count(*) AS ns FROM si)
+       |SELECT p.doc_id, p.source, CAST(p.tier AS INT) AS tier,
+       |       CAST(p.ord_in_cell AS BIGINT) AS ord_in_cell,
+       |       CAST((p.ord_in_cell - 1) * n.ns + si.sidx AS BIGINT)
+       |         AS curriculum_pos
+       |FROM p JOIN si USING (source) CROSS JOIN n""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_weighted" -> (qMix _),
+    "order_curriculum" -> (qCurriculum _),
     "interleave_sources" -> (qInterleave _),
     "sample_capped" -> (qCapped _),
     "split_assign" -> (qSplit _),
@@ -519,6 +621,7 @@ object Mix {
   val oracleSql: Map[String, String] = Map(
     "mix_weighted" -> qMixSql,
     "interleave_sources" -> qInterleaveSql,
+    "order_curriculum" -> qCurriculumSql,
     "sample_capped" -> qCappedSql,
     "split_assign" -> qSplitSql,
     "epoch_shuffle" -> qEpochShuffleSql,

@@ -267,6 +267,34 @@ class PrepareSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("curriculumOrder: clean tier first, round-robin within tier, injective positions") {
+    import spark.implicits._
+    // clean docs pass every Gopher rule (30 words, stopword-bearing);
+    // junk docs fail the word-count floor
+    val clean = Seq.fill(15)("the and").mkString(" ") // 30 words, mean len 3.0
+    val junk = "zz yy xx"
+    val docs = (for {
+      src <- Seq("sA", "sB"); i <- 1 to 4
+    } yield {
+      val id = (if (src == "sA") 0L else 100L) + i
+      (id, src, if (i <= 2) clean else junk)
+    }).toDF("doc_id", "source", "text")
+    val rows = Mix.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(4)))
+    assert(rows.length === 8)
+    // tier 0 = Gopher-clean docs (i <= 2 of each source)
+    assert(rows.filter(_._3 == 0).map(_._1).toSet === Set(1L, 2L, 101L, 102L))
+    // within each tier, positions injective and round-robin by source
+    for (tier <- Seq(0, 1)) {
+      val t = rows.filter(_._3 == tier)
+      assert(t.map(_._4).distinct.length === t.length)
+      t.groupBy(_._4 / 2).foreach { case (round, g) =>
+        assert(g.map(_._2).distinct.length === g.length,
+          s"tier $tier round $round repeats a source")
+      }
+    }
+  }
+
   test("temperatureTokenSample: a vanishing source keeps one doc (floor would zero it)") {
     import spark.implicits._
     val hundred = Seq.fill(100)("w").mkString(" ")
