@@ -579,6 +579,59 @@ object Similarity {
       .sortBy(_._1)
   }
 
+  // ------------------------------------------- centroid drift diagnostics
+
+  /** Component scale for [[labelCentroids]]' integer sums. */
+  val CentroidMicro = 1000000L
+
+  /** Per-group embedding centroid diagnostics — the distribution-shift /
+    * cluster-balance report an embedding pipeline watches across corpus
+    * versions: for every label (class, source, snapshot slice), the
+    * member count and the cosine between the group centroid and the
+    * global centroid. A drifting group (new crawl slice, degenerate
+    * cluster) shows up as a falling cosine long before downstream
+    * training feels it. (Cosine to the centroid is scale-free, so the
+    * un-normalized component SUM stands in for the mean exactly.)
+    *
+    * FP discipline: a float sum over a corpus is ENCOUNTER-ORDER
+    * dependent — un-gateable. Components therefore pin to integer
+    * micro-units (`floor(x·1e6)`) BEFORE aggregation; integer sums are
+    * order-free on any partitioning, and each cosine computes from the
+    * exact sums in ONE deterministic left-fold expression (the
+    * established `aggregate(zip_with(...))` ≡ `list_dot_product`
+    * contract). Shape: one codegen'd explode into a map-side-combined
+    * (label, pos) aggregate — Dim rows per label out whatever the
+    * corpus size; the assembled per-label frame localCheckpoints (it is
+    * label-count-sized) so the global-centroid branch reads it instead
+    * of re-running the corpus aggregate. Output:
+    * (label, n_vecs, cos_to_global). */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val comp = emb.filter(col("vec_id").isNotNull && col("label").isNotNull &&
+        col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(col("label").cast("int").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        floor(col("x") * CentroidMicro).cast("long").as("q"))
+    val perLabel = comp.groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("_n"), sum(col("q")).cast("long").as("s"))
+    val labelVec = perLabel.groupBy(col("label"))
+      .agg(max(when(col("pos") === 0, col("_n"))).cast("long").as("n_vecs"),
+        expr("transform(array_sort(collect_list(struct(pos, s))), r -> r.s)")
+          .as("vec"))
+      .localCheckpoint() // label-count-sized: both consumers read this
+    val globalVec = labelVec
+      .agg(expr(s"aggregate(collect_list(vec), array_repeat(0L, $Dim), " +
+        "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))").as("gvec"))
+    def dot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "0.0D, (acc, p) -> acc + p)")
+    labelVec.crossJoin(broadcast(globalVec))
+      .select(col("label"), col("n_vecs"),
+        Hashing.stableRound(
+          dot("vec", "gvec") / (sqrt(dot("vec", "vec")) * sqrt(dot("gvec", "gvec"))),
+          4).as("cos_to_global"))
+  }
+
   // ----------------------------------------------- oracle-gated recall
 
   /** Per-query recall of an approximate top-k against the exact top-k —
@@ -884,6 +937,40 @@ object Similarity {
        |GROUP BY t.vec_id""".stripMargin
   }
 
+  def qLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    labelCentroids(Tables.load(spark, dir, "embeddings"))
+
+  /** Same micro-unit pinning and integer sums; the oracle's global sums
+    * come straight off the (label, pos) grain (value-identical to the
+    * engine's sum-of-label-vectors route — integer addition is
+    * associative), and the cosine is `list_dot_product` over the
+    * pos-ordered lists, the established left-fold twin. */
+  val qLabelCentroidsSql: String =
+    s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id IS NOT NULL AND label IS NOT NULL
+       |             AND len(embedding) = $Dim),
+       |comp AS MATERIALIZED (
+       |  SELECT label, i.i AS pos,
+       |         CAST(floor(v[i.i] * $CentroidMicro.0) AS BIGINT) AS q
+       |  FROM e CROSS JOIN
+       |       (SELECT unnest(generate_series(1, $Dim)) AS i) i),
+       |pl AS MATERIALIZED (
+       |  SELECT label, pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS s
+       |  FROM comp GROUP BY 1, 2),
+       |lv AS MATERIALIZED (
+       |  SELECT label, max(CASE WHEN pos = 1 THEN n END) AS n_vecs,
+       |         list(s ORDER BY pos) AS vec
+       |  FROM pl GROUP BY 1),
+       |gv AS (SELECT list(gs ORDER BY pos) AS gvec FROM
+       |        (SELECT pos, CAST(sum(s) AS BIGINT) AS gs
+       |         FROM pl GROUP BY 1))
+       |SELECT lv.label, CAST(lv.n_vecs AS BIGINT) AS n_vecs,
+       |       floor(list_dot_product(lv.vec::DOUBLE[], gv.gvec::DOUBLE[]) /
+       |             (sqrt(list_dot_product(lv.vec::DOUBLE[], lv.vec::DOUBLE[])) *
+       |              sqrt(list_dot_product(gv.gvec::DOUBLE[], gv.gvec::DOUBLE[])))
+       |             * 10000.0 + 0.5) / 10000.0 AS cos_to_global
+       |FROM lv CROSS JOIN gv""".stripMargin
+
   def qAnnRecallLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
     recallVsExact(bruteForceTopK(e, expr(isQuerySql)),
@@ -939,6 +1026,7 @@ object Similarity {
        |FROM r""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_label_centroids" -> (qLabelCentroids _),
     "ann_recall_lsh" -> (qAnnRecallLsh _),
     "sample_prototypes" -> (qPrototypes _),
     "sim_topk_bruteforce" -> (qBruteForce _),
@@ -950,6 +1038,7 @@ object Similarity {
     "embed_project" -> (qProject _))
 
   val oracleSql: Map[String, String] = Map(
+    "embed_label_centroids" -> qLabelCentroidsSql,
     "ann_recall_lsh" -> qAnnRecallLshSql,
     "sample_prototypes" -> qPrototypesSql,
     "sim_topk_bruteforce" -> qBruteForceSql,

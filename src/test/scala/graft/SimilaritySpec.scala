@@ -283,6 +283,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("query set"))
   }
 
+  test("labelCentroids: orthogonal label clusters sit at cos 0.7071 to the 45-degree global") {
+    import spark.implicits._
+    val d = Similarity.Dim
+    def axis(i: Int): Seq[Float] =
+      Seq.tabulate(d)(j => if (j == i) 1.0f else 0.0f)
+    val emb2 = Seq(
+      (1L, axis(0), 1), (2L, axis(0), 1),
+      (3L, axis(1), 2), (4L, axis(1), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(emb2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1) === ((2L, 0.7071)))
+    assert(got(2) === ((2L, 0.7071)))
+  }
+
   test("recallVsExact: identical lists score 10000 bp, disjoint 0, partial exact") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
