@@ -523,10 +523,17 @@ object Dedup {
   final case class SimhashIndex(bands: DataFrame, bits: Array[Long],
                                 mBits: Int, k: Int)
 
+  /** `persist = true` caches the band rows BEFORE the Bloom build, so
+    * the bitmap aggregate both fills the cache and is the index's ONLY
+    * corpus scan — the repeated-probe form (the streaming gate probes
+    * many batches against one index). The caller owns the release
+    * (`index.bands.unpersist()` at its scope boundary). */
   def simhashBandIndex(oldDocs: DataFrame,
                        mBits: Int = IncrementalBloomBits,
-                       k: Int = IncrementalBloomK): SimhashIndex = {
-    val oldBands = simhashBandRows(simhash(oldDocs))
+                       k: Int = IncrementalBloomK,
+                       persist: Boolean = false): SimhashIndex = {
+    val raw = simhashBandRows(simhash(oldDocs))
+    val oldBands = if (persist) raw.persist() else raw
     val bits = graft.operators.BloomJoin.buildBits(
       oldBands.select(bandKey.as("bk")), "bk", mBits, k)
     SimhashIndex(oldBands, bits, mBits, k)

@@ -559,7 +559,11 @@ object ProductQuant {
     val r = ranges.select(col("pos").cast("int"), col("mn"), col("mx"))
       .collect().map(row => (row.getInt(0), row.getDouble(1), row.getDouble(2)))
       .sortBy(_._1)
-    require(r.nonEmpty, "scalar-quant range table is empty")
+    require(r.length == Similarity.Dim,
+      s"scalar-quant range table has ${r.length} dims, expected " +
+        s"${Similarity.Dim} — trained on a different schema?")
+    require(r.map(_._1).toSeq == r.indices,
+      "scalar-quant range table positions are not contiguous from 0")
     val mn = r.map(_._2)
     val mx = r.map(_._3)
     val bc = spark.sparkContext.broadcast((mn, mx))

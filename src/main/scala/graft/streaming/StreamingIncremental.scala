@@ -210,8 +210,9 @@ object StreamingIncremental {
                      incomingFilter: org.apache.spark.sql.Column = lit(true))
                     (sink: DataFrame => Unit): Unit =
       withShufflePartitions(spark, statePartitions) {
-    val index = graft.llmops.Dedup.simhashBandIndex(standing)
-    index.bands.persist()
+    // persist=true: the Bloom-build aggregate fills the band cache, so
+    // index construction is the stream's ONLY standing-corpus scan
+    val index = graft.llmops.Dedup.simhashBandIndex(standing, persist = true)
     try {
       val stream = stageAndStream(spark, docsDir, "graft_landing_neardup")
       val q = stream.writeStream
