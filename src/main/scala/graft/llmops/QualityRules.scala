@@ -76,10 +76,61 @@ object QualityRules {
           col("ok_symbol") + col("ok_stopwords") === 5))
   }
 
+  /** Fixture blocklist for [[blocklistFilter]]'s oracle query: real
+    * deployments load the language-specific banned-term list; these two
+    * fixture-vocabulary words exercise hit, multi-hit and clean docs. */
+  val FixtureBlocklist: Seq[String] = Seq("slow", "dup")
+
+  /** C4-style blocklist filter (Raffel et al. 2020 §2.2: pages with any
+    * "bad word" are dropped): per document, the banned-token hit count,
+    * hit rate in basis points, and the any-hit `blocked` verdict.
+    * Membership is exact on space-split tokens (the repo's tokenizer
+    * contract — substring matching would false-positive on benign
+    * compounds, the documented C4 over-blocking failure).
+    *
+    * The blocklist embeds as a literal array in a codegen'd HOF filter:
+    * zero shuffle, zero joins, scan-speed at any corpus size (real
+    * lists are thousands of terms — still literal-sized; beyond that,
+    * the [[graft.operators.BloomJoin]] probe is the same shape with a
+    * bitmap). NULL text pins to the empty doc. */
+  def blocklistFilter(docs: DataFrame,
+                      banned: Seq[String] = FixtureBlocklist): DataFrame = {
+    require(banned.nonEmpty, "empty blocklist — nothing to filter")
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("words"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        size(filter(col("words"),
+          w => banned.map(b => w === b).reduce(_ || _)))
+          .cast("long").as("n_banned"))
+      .select(col("doc_id"), col("n_tokens"), col("n_banned"),
+        expr("n_banned * 10000 div n_tokens").as("banned_bp"),
+        (col("n_banned") > 0).as("blocked"))
+  }
+
   // ------------------------------------------------------------ queries
 
   def qGopher(spark: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.load(spark, dir, "documents"))
+
+  def qBlocklist(spark: SparkSession, dir: String): DataFrame =
+    blocklistFilter(Tables.load(spark, dir, "documents"))
+
+  val blocklistSql: String = {
+    val pred = FixtureBlocklist.map(b => s"w = '$b'").mkString(" OR ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(words, w -> $pred)) AS BIGINT) AS n_banned
+       |  FROM t)
+       |SELECT doc_id, n_tokens, n_banned,
+       |       (n_banned * 10000) // n_tokens AS banned_bp,
+       |       n_banned > 0 AS blocked
+       |FROM c""".stripMargin
+  }
 
   private val stopsList = RequiredStops.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -122,8 +173,10 @@ object QualityRules {
        |FROM s""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "quality_gopher" -> (qGopher _))
+    "quality_gopher" -> (qGopher _),
+    "filter_blocklist" -> (qBlocklist _))
 
   val oracleSql: Map[String, String] = Map(
-    "quality_gopher" -> gopherSql)
+    "quality_gopher" -> gopherSql,
+    "filter_blocklist" -> blocklistSql)
 }

@@ -111,6 +111,22 @@ class QualityRulesSpec extends AnyFunSuite {
       s"totals and dominant language must share windows, not join:\n${plan.take(2000)}")
   }
 
+  test("blocklistFilter: exact-token hits only, basis points, NULL pins clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "slow dup slow fine"), // 3 of 4 banned
+      (2L, "all clean words here"),
+      (3L, "slower duplicate"), // substrings must NOT match
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.llmops.QualityRules.blocklistFilter(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((4L, 3L, 7500L, true)))
+    assert(got(2L) === ((4L, 0L, 0L, false)))
+    assert(got(3L) === ((2L, 0L, 0L, false)))
+    assert(got(4L) === ((1L, 0L, 0L, false)))
+  }
+
   test("corpusReport partials merge by addition to exactly the one-shot report") {
     import spark.implicits._
     val docs = (1L to 60L).map { i =>
