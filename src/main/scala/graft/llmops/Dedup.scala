@@ -1182,7 +1182,7 @@ object Dedup {
   /** Shared recursive-CTE prefix: simhash pairs → symmetric edges →
     * transitive reachability (consumed by the clusters AND report
     * oracles, so the two gates can never check different clusterings). */
-  private def clustersCtes(maxHamming: Int): String =
+  private[llmops] def clustersCtes(maxHamming: Int): String =
     s"""WITH RECURSIVE $simhashSqlCte,
        |bands AS MATERIALIZED (
        |  $simhashBandsSql),

@@ -131,6 +131,25 @@ object Mix {
         .otherwise("test"))
   }
 
+  /** Leakage-FREE split: [[withSplit]] hashes the document id, so two
+    * NEAR-DUPLICATE documents can land on opposite sides of the cut —
+    * the eval set then contains near-copies of training documents and
+    * benchmark numbers inflate silently (the within-corpus form of the
+    * contamination [[Decontaminate]] guards against externally).
+    * Assigning by the dedup CLUSTER id instead puts every member of a
+    * near-dup cluster on the SAME side by construction, keeping all the
+    * [[withSplit]] stability properties (the cluster minimum is itself
+    * append-stable while the cluster does not merge; a merge moves the
+    * whole cluster together — never one member alone).
+    *
+    * Output: (doc_id, cluster_id, split). Cost over [[withSplit]] is
+    * exactly the clustering ([[Dedup.duplicateClusters]] star rounds);
+    * pipelines that already cluster for dedup reuse that artifact. */
+  def leakFreeSplit(docs: DataFrame, pairs: DataFrame,
+                    trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    withSplit(Dedup.duplicateClusters(docs, pairs),
+      idCol = "cluster_id", trainPct = trainPct, valPct = valPct)
+
   // ------------------------------------------------------- epoch shuffle
 
   /** Deterministic per-epoch training shuffle: every document gets a
@@ -207,6 +226,24 @@ object Mix {
        |SELECT source, split, count(*) AS n_docs,
        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM s GROUP BY 1, 2""".stripMargin
+  }
+
+  def qLeakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    leakFreeSplit(docs, Dedup.simhashPairs(docs))
+  }
+
+  /** The dedup_clusters recursive CTE + the [[withSplit]] cut keyed on
+    * cluster_id — same salt, same mod-100 thresholds. */
+  val qLeakFreeSplitSql: String = {
+    val h = Hashing.md5LongSql(s"'$SplitSalt:' || CAST(cluster_id AS VARCHAR)")
+    s"""${Dedup.clustersCtes(Dedup.HammingMax)},
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN $h % 100 < 90 THEN 'train'
+       |            WHEN $h % 100 < 95 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM cl""".stripMargin
   }
 
   def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
@@ -614,6 +651,7 @@ object Mix {
     "interleave_sources" -> (qInterleave _),
     "sample_capped" -> (qCapped _),
     "split_assign" -> (qSplit _),
+    "split_leakfree" -> (qLeakFreeSplit _),
     "epoch_shuffle" -> (qEpochShuffle _),
     "sample_token_budget" -> (qTokenBudget _),
     "mix_temperature" -> (qTemperature _))
@@ -624,6 +662,7 @@ object Mix {
     "order_curriculum" -> qCurriculumSql,
     "sample_capped" -> qCappedSql,
     "split_assign" -> qSplitSql,
+    "split_leakfree" -> qLeakFreeSplitSql,
     "epoch_shuffle" -> qEpochShuffleSql,
     "sample_token_budget" -> qTokenBudgetSql,
     "mix_temperature" -> qTemperatureSql)

@@ -267,6 +267,29 @@ class PrepareSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("leakFreeSplit: every near-dup cluster lands whole on one side of the cut") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain clusters {1..5}, {10,11}, everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val rows = Mix.leakFreeSplit(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 200)
+    // cluster members co-assign — the leakage guarantee
+    rows.groupBy(_._2).foreach { case (cid, g) =>
+      assert(g.map(_._3).distinct.length === 1,
+        s"cluster $cid straddles the split: ${g.toSeq}")
+    }
+    // singleton assignment matches plain withSplit on the same key space
+    val splits = rows.map(_._3).distinct.sorted
+    assert(splits.contains("train") && splits.length >= 2)
+    // deterministic
+    assert(Mix.leakFreeSplit(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet ===
+      rows.map(r => (r._1, r._3)).toSet)
+  }
+
   test("curriculumOrder: clean tier first, round-robin within tier, injective positions") {
     import spark.implicits._
     // clean docs pass every Gopher rule (30 words, stopword-bearing);
