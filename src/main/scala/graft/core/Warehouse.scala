@@ -622,6 +622,42 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     overwrite(dataset, table, df, m)
   }
 
+  /** One maintenance action report per table of [[maintainDataset]]. */
+  final case class MaintenanceReport(table: String,
+                                     expiredPartitions: Seq[String],
+                                     compactedPartitions: Seq[String],
+                                     vacuumedFragments: Int)
+
+  /** Dataset-wide maintenance sweep — the nightly OPTIMIZE/retention
+    * schedule as one call: for every table, expire dead partitions
+    * (tables with an expiration policy only), compact small fragments
+    * where the file count drops, and vacuum fragments past `retainMillis`
+    * of time-travel retention. Each step is the existing per-table
+    * operator, so all their guarantees (CAS survivors, time travel
+    * intact, orphan cleanup) carry over; per-table failures do not abort
+    * the sweep — the table's report records the error in its name and
+    * the sweep continues, because one corrupt table must not block
+    * retention on a thousand healthy ones. Driver-side iteration over
+    * the TABLE LIST only (catalog-sized); the data work stays in each
+    * operator's distributed plan. */
+  def maintainDataset(dataset: String,
+                      targetBytes: Long = 128L << 20,
+                      retainMillis: Long = 7L * 24 * 3600 * 1000,
+                      today: java.time.LocalDate = java.time.LocalDate.now())
+      : Seq[MaintenanceReport] =
+    listTables(dataset).map { t =>
+      try {
+        val expired = expirePartitions(dataset, t, today)
+        val compacted = compact(dataset, t, targetBytes)
+        val vacuumed = log(dataset, t).vacuum(retainMillis).size
+        MaintenanceReport(t, expired, compacted, vacuumed)
+      } catch {
+        case e: Exception =>
+          MaintenanceReport(s"$t [FAILED: ${e.getMessage}]",
+            Seq.empty, Seq.empty, 0)
+      }
+    }
+
   private def copyRecursive(src: Path, dst: Path): Unit = {
     Files.walk(src).iterator().asScala.foreach { p =>
       val target = dst.resolve(src.relativize(p))
