@@ -977,6 +977,56 @@ object Similarity {
       lshTopK(e, expr(isQuerySql)))
   }
 
+  /** Prefix width for the Matryoshka recall probe: 16 of 64 dims. */
+  val MatryoshkaDims = 16
+
+  /** Matryoshka-style truncation eval (Kusupati et al. 2022): how much
+    * top-k recall do the FIRST `MatryoshkaDims` dimensions retain? The
+    * adaptive-retrieval question — serve coarse search from a prefix at
+    * 1/4 the memory/bandwidth, re-rank survivors at full width — needs
+    * this number per corpus. Truncation is expressed as ZERO-PADDING to
+    * full width (cosine over a zero-padded vector equals cosine over
+    * the prefix, and `acc + 0.0·0.0` preserves the left fold bit for
+    * bit), so the existing full-width kernel and rank contract serve
+    * unchanged. */
+  def qAnnRecallMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val padded = e.withColumn("embedding",
+      expr(s"concat(slice(embedding, 1, $MatryoshkaDims), " +
+        s"array_repeat(CAST(0.0 AS FLOAT), ${Dim - MatryoshkaDims}))"))
+    recallVsExact(bruteForceTopK(e, expr(isQuerySql)),
+      bruteForceTopK(padded, expr(isQuerySql)))
+  }
+
+  /** Same rank contract over the dimension PREFIX (list-slice twin of
+    * the zero-padding — identical values, see [[qAnnRecallMatryoshka]]). */
+  val qAnnRecallMatryoshkaSql: String =
+    s"""WITH x AS MATERIALIZED ($qBruteForceSql),
+       |ep AS (SELECT vec_id, (embedding::DOUBLE[])[1:$MatryoshkaDims] AS v
+       |       FROM embeddings WHERE $vecFilterSql),
+       |np AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ep),
+       |sp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM np q JOIN np c ON q.vec_id <> c.vec_id
+       |  WHERE q.$isQuerySql),
+       |l AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM sp)
+       |  WHERE rank <= $TopK),
+       |h AS (SELECT x.query_id, count(*) AS n_hits
+       |      FROM x JOIN l ON l.query_id = x.query_id
+       |                   AND l.neighbor_id = x.neighbor_id
+       |      GROUP BY 1),
+       |q AS (SELECT query_id, count(*) AS k FROM x GROUP BY 1)
+       |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 10000) // q.k
+       |         AS recall_bp
+       |FROM q LEFT JOIN h USING (query_id)""".stripMargin
+
   /** Both rank contracts nest as materialized CTEs (each already its own
     * green oracle), then the per-query intersection count. */
   lazy val qAnnRecallLshSql: String =
@@ -1028,6 +1078,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_label_centroids" -> (qLabelCentroids _),
     "ann_recall_lsh" -> (qAnnRecallLsh _),
+    "ann_recall_matryoshka" -> (qAnnRecallMatryoshka _),
     "sample_prototypes" -> (qPrototypes _),
     "sim_topk_bruteforce" -> (qBruteForce _),
     "sim_topk_lsh" -> (qLsh _),
@@ -1040,6 +1091,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "embed_label_centroids" -> qLabelCentroidsSql,
     "ann_recall_lsh" -> qAnnRecallLshSql,
+    "ann_recall_matryoshka" -> qAnnRecallMatryoshkaSql,
     "sample_prototypes" -> qPrototypesSql,
     "sim_topk_bruteforce" -> qBruteForceSql,
     "sim_topk_lsh" -> qLshSql,

@@ -298,6 +298,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2) === ((2L, 0.7071)))
   }
 
+  test("matryoshka zero-padding ranks by prefix cosine exactly") {
+    import spark.implicits._
+    val d = Similarity.Dim
+    val pd = Similarity.MatryoshkaDims
+    // query q: prefix = e0; n1 close in PREFIX but far in the tail;
+    // n2 far in prefix. Full-width ranking puts n2 first (tail agrees);
+    // prefix ranking must put n1 first.
+    def v(prefix0: Double, prefix1: Double, tail: Double): Seq[Float] =
+      (Seq(prefix0, prefix1) ++ Seq.fill(pd - 2)(0.0) ++
+        Seq.fill(d - pd)(tail)).map(_.toFloat)
+    val emb3 = Seq(
+      (0L, v(1.0, 0.0, 1.0)), // the query (vec_id < 10 = isQuery)
+      (20L, v(0.9, 0.1, -1.0)), // prefix-close, tail-opposed
+      (30L, v(0.1, 0.9, 1.0))) // prefix-far, tail-aligned
+      .toDF("vec_id", "embedding")
+    val padded = emb3.withColumn("embedding",
+      expr(s"concat(slice(embedding, 1, $pd), " +
+        s"array_repeat(CAST(0.0 AS FLOAT), ${d - pd}))"))
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df, expr("vec_id < 10"), k = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(top1(emb3)(0L) === 30L) // full width: tail dominates
+    assert(top1(padded)(0L) === 20L) // prefix only: n1 wins
+  }
+
   test("recallVsExact: identical lists score 10000 bp, disjoint 0, partial exact") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
