@@ -977,6 +977,29 @@ object Similarity {
       lshTopK(e, expr(isQuerySql)))
   }
 
+  /** The IVF member of the hash-gated recall family ([[recallVsExact]]):
+    * wide-probe IVF vs exact, per query. With lsh + ivf + matryoshka all
+    * gated, every serving-path recall number in the bench side-channel
+    * has a correctness-gated twin. */
+  def qAnnRecallIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    recallVsExact(bruteForceTopK(e, expr(isQuerySql)),
+      ivfTopK(e, expr(isQuerySql), expr(isCentroidSql), nprobe = NProbeWide))
+  }
+
+  lazy val qAnnRecallIvfSql: String =
+    s"""WITH x AS MATERIALIZED ($qBruteForceSql),
+       |l AS MATERIALIZED ($qIvfNprobeSql),
+       |h AS (SELECT x.query_id, count(*) AS n_hits
+       |      FROM x JOIN l ON l.query_id = x.query_id
+       |                   AND l.neighbor_id = x.neighbor_id
+       |      GROUP BY 1),
+       |q AS (SELECT query_id, count(*) AS k FROM x GROUP BY 1)
+       |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 10000) // q.k
+       |         AS recall_bp
+       |FROM q LEFT JOIN h USING (query_id)""".stripMargin
+
   /** Prefix width for the Matryoshka recall probe: 16 of 64 dims. */
   val MatryoshkaDims = 16
 
@@ -1079,6 +1102,7 @@ object Similarity {
     "embed_label_centroids" -> (qLabelCentroids _),
     "ann_recall_lsh" -> (qAnnRecallLsh _),
     "ann_recall_matryoshka" -> (qAnnRecallMatryoshka _),
+    "ann_recall_ivf" -> (qAnnRecallIvf _),
     "sample_prototypes" -> (qPrototypes _),
     "sim_topk_bruteforce" -> (qBruteForce _),
     "sim_topk_lsh" -> (qLsh _),
@@ -1092,6 +1116,7 @@ object Similarity {
     "embed_label_centroids" -> qLabelCentroidsSql,
     "ann_recall_lsh" -> qAnnRecallLshSql,
     "ann_recall_matryoshka" -> qAnnRecallMatryoshkaSql,
+    "ann_recall_ivf" -> qAnnRecallIvfSql,
     "sample_prototypes" -> qPrototypesSql,
     "sim_topk_bruteforce" -> qBruteForceSql,
     "sim_topk_lsh" -> qLshSql,
