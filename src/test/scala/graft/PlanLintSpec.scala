@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.PlanLint
+
+/** The plan linter must flag each antipattern on a constructed offending
+  * plan AND stay quiet on the legitimate twin — false positives would
+  * train users to ignore it. */
+class PlanLintSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def rules(df: org.apache.spark.sql.DataFrame): Set[String] =
+    PlanLint.lint(df).map(_.rule).toSet
+
+  test("cartesian product flagged; keyed join clean") {
+    import spark.implicits._
+    val a = (1 to 50).map(i => (i, s"a$i")).toDF("id", "va")
+    val b = (1 to 50).map(i => (i, s"b$i")).toDF("id", "vb")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(rules(a.crossJoin(b.withColumnRenamed("id", "id2")))
+        .contains("CARTESIAN_PRODUCT"))
+      assert(!rules(a.join(b, Seq("id"))).contains("CARTESIAN_PRODUCT"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("non-scalar broadcast nested loop flagged; scalar attach exempt") {
+    // distributed sides (range, not driver-local rows) so the broadcast
+    // side is not the exempt LocalTableScan form
+    val facts = spark.range(100).select(col("id"), (col("id") * 2).as("v"))
+    val dims = spark.range(30).select(col("id").as("did"))
+    val theta = facts.crossJoin(broadcast(dims))
+    assert(rules(theta).contains("NESTED_LOOP_JOIN"))
+    // the legitimate scalar-attach: crossJoin(broadcast(global agg))
+    val scalar = facts.crossJoin(broadcast(facts.agg(sum("v").as("tot"))))
+    assert(!rules(scalar).contains("NESTED_LOOP_JOIN"))
+  }
+
+  test("single-partition window funnel flagged; bucketed window clean") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i.toLong, i % 7)).toDF("id", "k")
+    val funnel = df.withColumn("rn",
+      row_number().over(Window.orderBy("id")))
+    assert(rules(funnel).contains("SINGLE_PARTITION_FUNNEL"))
+    val keyed = df.withColumn("rn",
+      row_number().over(Window.partitionBy("k").orderBy("id")))
+    assert(!rules(keyed).contains("SINGLE_PARTITION_FUNNEL"))
+  }
+
+  test("unpushed source filter flagged; pushable predicate clean") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    // coalesce blocks null-intolerance inference: nothing pushes
+    val unpushed = docs.filter(expr("length(coalesce(text, '')) > 3"))
+    assert(rules(unpushed).contains("UNPUSHED_SOURCE_FILTER"),
+      PlanLint.lint(unpushed).toString)
+    val pushed = docs.filter(col("doc_id") > 5)
+    assert(!rules(pushed).contains("UNPUSHED_SOURCE_FILTER"))
+  }
+
+  test("wide scan flagged; pruned projection clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lint_wide").toString
+    val wide = (1 to 25).foldLeft((1 to 10).toDF("c0")) {
+      case (d, i) => d.withColumn(s"c$i", col("c0") * i)
+    }
+    wide.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(rules(back.filter(col("c1") > 0)).contains("WIDE_SCAN"))
+    assert(!rules(back.select("c0", "c1")).contains("WIDE_SCAN"))
+  }
+
+  test("the engine's own curated plans lint clean") {
+    // a representative cross-section of shipped operators must produce
+    // zero findings — the linter validates the engine's own discipline
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    assert(PlanLint.lint(
+      graft.llmops.TextAnalysis.withTextStats(docs)) === Seq.empty)
+    assert(PlanLint.lint(
+      graft.llmops.QualityRules.blocklistFilter(docs)) === Seq.empty)
+    assert(PlanLint.lint(
+      graft.llmops.CorpusStats.corpusReport(docs)) === Seq.empty)
+  }
+}

@@ -316,6 +316,12 @@ class PrepareSpec extends AnyFunSuite {
           s"tier $tier round $round repeats a source")
       }
     }
+    // no global sort: corpus-side windows partition by the hash bucket;
+    // the only unkeyed window is the catalog-sized source index
+    val plan = Mix.curriculumOrder(docs).queryExecution.executedPlan
+      .toString.split("== Initial Plan ==").head
+    assert(plan.contains("_bucket"), plan.take(1500))
+    assert(!plan.contains("rangepartitioning"), plan.take(1500))
   }
 
   test("temperatureTokenSample: a vanishing source keeps one doc (floor would zero it)") {
