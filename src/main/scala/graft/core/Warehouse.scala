@@ -622,6 +622,51 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     overwrite(dataset, table, df, m)
   }
 
+  /** Symlink-manifest export — the external-engine interop handshake
+    * (Delta's `GENERATE symlink_format_manifest`, Hive/Trino/Presto's
+    * SymlinkTextInputFormat): write, per partition, a text file listing
+    * the ABSOLUTE paths of exactly the parquet data files the CURRENT
+    * snapshot references. An engine with no notion of this warehouse's
+    * commit log then reads a consistent snapshot by following the
+    * manifest instead of listing directories (which would see
+    * uncommitted, superseded, or not-yet-vacuumed fragments).
+    *
+    * Layout: `outDir/manifest` for unpartitioned tables;
+    * `outDir/<partition>/manifest` per partition otherwise. Re-export
+    * after every commit (or compaction) — the manifest is a snapshot
+    * pin, not a live view; vacuum honors retention, so a manifest stays
+    * readable for the time-travel window. Driver cost: one snapshot-log
+    * read + a file listing per fragment — metadata-scale, no Spark job.
+    * Returns the manifest files written. */
+  def exportSymlinkManifest(dataset: String, table: String,
+                            outDir: String): Seq[Path] = {
+    val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    val byPartition = c.entries.groupBy(_.partition)
+    byPartition.toSeq.sortBy(_._1).map { case (part, entries) =>
+      val files = entries.flatMap { e =>
+        val root = td.resolve(e.path)
+        if (!Files.exists(root)) Seq.empty
+        else {
+          val walk = Files.walk(root)
+          try walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .map(_.toAbsolutePath.toString).toList
+          finally walk.close()
+        }
+      }.sorted
+      val dir = if (part.isEmpty) Paths.get(outDir)
+        else Paths.get(outDir).resolve(part)
+      Files.createDirectories(dir)
+      val manifest = dir.resolve("manifest")
+      Files.write(manifest,
+        files.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      manifest
+    }
+  }
+
   /** One maintenance action report per table of [[maintainDataset]]. */
   final case class MaintenanceReport(table: String,
                                      expiredPartitions: Seq[String],

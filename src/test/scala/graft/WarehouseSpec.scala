@@ -187,6 +187,50 @@ class WarehouseSpec extends AnyFunSuite {
     assert(lg.latest.get.version === after.version)
   }
 
+  test("exportSymlinkManifest pins the current snapshot; manifest reader matches; re-export tracks compaction") {
+    import scala.jdk.CollectionConverters._
+    val wh = freshWh()
+    wh.overwrite("raw", "t", df(1 -> "a"))
+    (2 to 3).foreach(i => wh.append("raw", "t", df(i -> "x")))
+    val out1 = Files.createTempDirectory("mani1").toString
+    val m1 = wh.exportSymlinkManifest("raw", "t", out1)
+    assert(m1.length === 1) // unpartitioned: one manifest
+    val files1 = Files.readAllLines(m1.head).asScala.toSeq
+    assert(files1.nonEmpty && files1.forall(_.endsWith(".parquet")))
+    // an engine with no commit-log knowledge reads the EXACT snapshot
+    val ext = spark.read.parquet(files1: _*)
+    assert(ext.orderBy("id").collect().map(_.getInt(0)).toSeq === (1 to 3))
+    // compaction rewrites; a fresh export follows the new commit while
+    // the old manifest's files stay readable until vacuumed
+    assert(wh.compact("raw", "t") === Seq(""))
+    val out2 = Files.createTempDirectory("mani2").toString
+    val files2 = Files.readAllLines(
+      wh.exportSymlinkManifest("raw", "t", out2).head).asScala.toSeq
+    assert(files2.toSet !== files1.toSet)
+    assert(spark.read.parquet(files2: _*)
+      .orderBy("id").collect().map(_.getInt(0)).toSeq === (1 to 3))
+    assert(spark.read.parquet(files1: _*).count() === 3) // pre-vacuum pin
+  }
+
+  test("exportSymlinkManifest partitioned: one manifest per partition dir") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val wh = freshWh()
+    val rows = (1 to 20).map(i =>
+      (i, if (i % 2 == 0) "2024-01-01" else "2024-01-02"))
+    wh.overwrite("raw", "t", rows.toDF("id", "day"),
+      graft.core.TableMeta(partitionField = Some("day")))
+    val out = Files.createTempDirectory("mani3")
+    val ms = wh.exportSymlinkManifest("raw", "t", out.toString)
+    assert(ms.map(_.getParent.getFileName.toString).sorted ===
+      Seq("2024-01-01", "2024-01-02"))
+    // per-partition manifests reference only that partition's rows
+    val evens = Files.readAllLines(
+      out.resolve("2024-01-01").resolve("manifest")).asScala.toSeq
+    assert(spark.read.parquet(evens: _*)
+      .collect().map(_.getInt(0)).forall(_ % 2 == 0))
+  }
+
   test("maintainDataset sweeps every table: compaction + vacuum, data intact") {
     val wh = freshWh()
     for (t <- Seq("t1", "t2")) {
