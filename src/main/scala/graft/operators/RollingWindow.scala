@@ -110,11 +110,86 @@ object RollingWindow {
        |FROM d
        |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin
 
+  /** LOCF gap-fill resampling — the time-series regularizer: per key, a
+    * contiguous daily spine over the key's own [first, last] active day,
+    * each day carrying the key's latest observed value
+    * (last-observation-carried-forward on gap days). Feature pipelines
+    * and BI both need regular grids; a raw event table has neither
+    * regular spacing nor explicit gaps.
+    *
+    * Semantics pinned for the oracle: the day's observation is the
+    * value of the key's LAST event that day ((ts, id) descending —
+    * deterministic under same-timestamp events); a NULL observed value
+    * counts as missing and carries the previous value; `is_gap` marks
+    * days with no event at all. The filled value is an exact COPY of
+    * an input double (no arithmetic), so the output hash-compares.
+    *
+    * Shape at scale: per-(key, day) argmax + per-key min/max are
+    * map-side-combined aggregates; the spine explodes one row per
+    * ACTIVE-RANGE day (bounded by keys × span, independent of event
+    * volume); the LOCF window partitions by key and touches spine rows
+    * only. A key active for years is a span of ~thousands — never a
+    * funnel. */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"),
+        col(tsCol).as("_ts"), col(idCol).as("_id"), col(valueCol).as("v"))
+    val wObs = Window.partitionBy("k", "day")
+      .orderBy(col("_ts").desc, col("_id").desc)
+    val obs = e.withColumn("_rn", row_number().over(wObs))
+      .filter(col("_rn") === 1).select(col("k"), col("day"), col("v"))
+    val spine = e.groupBy(col("k"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("k"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wFill = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("k", "day"), "left")
+      .select(col("k").as(keyCol), col("day"),
+        last(col("v"), ignoreNulls = true).over(wFill).as("value_filled"),
+        col("v").isNull.as("is_gap"))
+  }
+
+  def qResample(spark: SparkSession, dir: String): DataFrame =
+    resampleLocf(Tables.load(spark, dir, "events"),
+      "user_id", "ts", "value", "event_id")
+
+  /** Same argmax observation, per-key generate_series spine, and
+    * IGNORE NULLS carry. */
+  val qResampleSql: String =
+    """WITH e AS (
+      |  SELECT user_id AS k, CAST(ts AS DATE) AS day, ts, event_id, value
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |obs AS MATERIALIZED (
+      |  SELECT k, day, value AS v FROM (
+      |    SELECT k, day, value,
+      |           row_number() OVER (PARTITION BY k, day
+      |             ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM e)
+      |  WHERE rn = 1),
+      |spine AS (
+      |  SELECT k, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT k, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1)),
+      |j AS (SELECT s.k, s.day, o.v
+      |      FROM spine s LEFT JOIN obs o ON o.k = s.k AND o.day = s.day)
+      |SELECT k AS user_id, day,
+      |       last_value(v IGNORE NULLS) OVER (
+      |         PARTITION BY k ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS value_filled,
+      |       v IS NULL AS is_gap
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_rolling" -> (qRolling _),
-    "q47_daily_delta" -> (qDailyDelta _))
+    "q47_daily_delta" -> (qDailyDelta _),
+    "q56_resample_locf" -> (qResample _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_rolling" -> qRollingSql,
-    "q47_daily_delta" -> qDailyDeltaSql)
+    "q47_daily_delta" -> qDailyDeltaSql,
+    "q56_resample_locf" -> qResampleSql)
 }

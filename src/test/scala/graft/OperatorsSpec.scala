@@ -280,6 +280,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) === ((2L, (2 + 1) / 2.0, 1.0)))                 // both rare
   }
 
+  test("resampleLocf: contiguous spine, gaps carry the last observation, same-day argmax") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 7L, ts("2024-05-01 09:00:00"), 10.0),
+      (2L, 7L, ts("2024-05-01 18:00:00"), 11.0), // later same day wins
+      (3L, 7L, ts("2024-05-03 12:00:00"), 30.0), // gap on 05-02
+      (4L, 7L, ts("2024-05-05 08:00:00"), 50.0), // gap on 05-04
+      (5L, 8L, ts("2024-05-02 00:00:00"), 99.0)) // single-day key
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.RollingWindow
+      .resampleLocf(events, "user_id", "ts", "value", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got((7L, "2024-05-01")) === ((11.0, false))) // argmax of the day
+    assert(got((7L, "2024-05-02")) === ((11.0, true)))  // gap: carried
+    assert(got((7L, "2024-05-03")) === ((30.0, false)))
+    assert(got((7L, "2024-05-04")) === ((30.0, true)))
+    assert(got((7L, "2024-05-05")) === ((50.0, false)))
+    assert(got((8L, "2024-05-02")) === ((99.0, false)))
+    assert(got.size === 6) // spines span each key's own range only
+  }
+
   test("rollingByKey: trailing-hour frame is (t-1h, t], ties see each other") {
     import spark.implicits._
     val df = Seq(
