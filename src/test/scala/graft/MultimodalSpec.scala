@@ -102,6 +102,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) === 0L)             // single bucket: no adjacent pair
   }
 
+  test("perceptualHash is invariant under uniform brightness shift") {
+    import spark.implicits._
+    // (s2+c·n2)·n1 > (s1+c·n1)·n2  ⟺  s2·n1 > s1·n2 — the cross-multiplied
+    // gradient is EXACTLY invariant under adding a constant to every byte
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(200)((rnd.nextInt(180) + 10).toByte)
+    val shifted = base.map(b => ((b & 0xff) + 40).toByte)
+    val media = Seq((1L, base), (2L, shifted)).toDF("media_id", "payload")
+    val got = Multimodal.perceptualHash(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) === got(2L))
+  }
+
   test("phashNearDups pairs a perturbed re-encode of an image, not an unrelated one") {
     import spark.implicits._
     // base: 64x64 smooth gradient; near: same scene at ~1% pixel noise

@@ -74,13 +74,24 @@ class PlanLintSpec extends AnyFunSuite {
 
   test("the engine's own curated plans lint clean") {
     // a representative cross-section of shipped operators must produce
-    // zero findings — the linter validates the engine's own discipline
+    // zero findings — the linter validates the engine's own discipline.
+    // (Eager-building queries — prefix sums, broadcast-set collects —
+    // stay out of this LAZY sweep; their plan gates live in their own
+    // specs.)
     val docs = graft.core.Tables.load(spark, sf, "documents")
-    assert(PlanLint.lint(
-      graft.llmops.TextAnalysis.withTextStats(docs)) === Seq.empty)
-    assert(PlanLint.lint(
-      graft.llmops.QualityRules.blocklistFilter(docs)) === Seq.empty)
-    assert(PlanLint.lint(
-      graft.llmops.CorpusStats.corpusReport(docs)) === Seq.empty)
+    val events = graft.core.Tables.load(spark, sf, "events")
+    val clean = Seq(
+      graft.llmops.TextAnalysis.withTextStats(docs),
+      graft.llmops.QualityRules.blocklistFilter(docs),
+      graft.llmops.CorpusStats.corpusReport(docs),
+      graft.llmops.Clean.cleanDocs(docs),
+      graft.llmops.Mix.withSplit(docs),
+      graft.operators.RollingWindow.resampleLocf(
+        events, "user_id", "ts", "value", "event_id"),
+      graft.operators.Sessionize.sessionize(events, "user_id", "ts", "event_id"),
+      graft.llmops.Dedup.simhashPairs(docs))
+    clean.foreach { df =>
+      assert(PlanLint.lint(df) === Seq.empty, df.queryExecution.logical.nodeName)
+    }
   }
 }
