@@ -124,9 +124,143 @@ object Rank {
        |ORDER BY score_micros DESC, doc_id LIMIT $TopK""".stripMargin
   }
 
+  // ---------------------------------------------------- hybrid RRF fusion
+
+  /** Reciprocal-rank-fusion constant (the standard 60 of Cormack et al.
+    * 2009) and the fused result width. */
+  val RrfK = 60
+  val HybridTopK = 10
+
+  /** Lexical top-k per query document: rank corpus documents by shingle
+    * Jaccard against the query doc's distinct 3-gram shingle set. The
+    * query sets broadcast from one capped collect; the corpus side is a
+    * SINGLE narrow kernel pass (sorted-array intersection per query —
+    * [[Kernels.sortedIntersectionSize]]), no join, no corpus shuffle;
+    * only the per-query rank window shuffles candidate rows (Jaccard >
+    * 0 survivors). */
+  private[llmops] def lexicalTopK(docs: DataFrame,
+                                  isQuery: org.apache.spark.sql.Column,
+                                  k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = Dedup.shingleHashSets(docs)
+    val cap = Similarity.MaxDriverRows
+    val qRows = sets.filter(isQuery).as[(Long, Array[Long])]
+      .limit(cap + 1).collect()
+    require(qRows.length <= cap,
+      s"hybrid query set exceeds the $cap-row driver cap — it must stay " +
+        "a query batch, not a corpus")
+    val bc = spark.sparkContext.broadcast(qRows)
+    val scored = sets.filter(!isQuery).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, hs) =>
+          qs.iterator.flatMap { case (qid, qh) =>
+            val inter = Kernels.sortedIntersectionSize(qh, hs)
+            if (inter == 0) None
+            else Some((qid, id, inter.toLong,
+              qh.length.toLong + hs.length - inter))
+          }
+        }
+      }.toDF("query_id", "id", "inter", "un")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy((col("inter").cast("double") / col("un")).desc, col("id"))
+    scored.withColumn("r_lex", row_number().over(w).cast("long"))
+      .filter(col("r_lex") <= k)
+      .select(col("query_id"), col("id"), col("r_lex"))
+  }
+
+  /** Hybrid lexical + semantic retrieval with reciprocal-rank fusion —
+    * the standard retrieval-ensemble shape (keyword/BM25 arm ∪ vector
+    * arm, fused by Σ 1/(K + rank)): each arm ranks independently, RRF
+    * rewards documents BOTH arms surface without comparing their
+    * incommensurable scores. Contributions floor to integer micro-units
+    * (`1e6 div (K + rank)`), so the fused score is an exact integer on
+    * any engine — the [[bm25TopK]] discipline.
+    *
+    * The fixture convention `vec_id = doc_id` links the arms (one id
+    * space); a production deployment feeds any two ranked (query, id)
+    * frames — the fusion is rank-only. Shape: two independent arm
+    * passes (each its own operator's plan), a full-outer join on
+    * query-sized top-k frames, one rank window. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame,
+                 isQueryDoc: org.apache.spark.sql.Column,
+                 isQueryVec: org.apache.spark.sql.Column,
+                 k: Int = HybridTopK): DataFrame = {
+    val lex = lexicalTopK(docs, isQueryDoc, k)
+    val sem = Similarity.bruteForceTopK(emb, isQueryVec, k)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        col("rank").cast("long").as("r_sem"))
+    val rrf =
+      coalesce(expr(s"1000000L div ($RrfK + r_lex)"), lit(0L)) +
+        coalesce(expr(s"1000000L div ($RrfK + r_sem)"), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("rrf_micros").desc, col("id"))
+    lex.join(sem, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf_micros", rrf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rank"), col("rrf_micros"),
+        col("r_lex"), col("r_sem"))
+  }
+
+  def qHybrid(spark: SparkSession, dir: String): DataFrame =
+    hybridTopK(Tables.load(spark, dir, "documents"),
+      Tables.load(spark, dir, "embeddings"),
+      col("doc_id") < 10, expr(Similarity.isQuerySql))
+
+  /** Lexical arm over the shared 60-bit shingle hash domain, semantic
+    * arm = the brute-force rank contract, fusion in exact integer
+    * micro-units. */
+  lazy val qHybridSql: String =
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         ${graft.llmops.Hashing.md5LongSql(
+             "words[i] || ' ' || words[i+1] || ' ' || words[i+2]")} AS h
+       |  FROM (SELECT doc_id, words,
+       |               unnest(generate_series(1, len(words) - 2)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS words
+       |              FROM documents
+       |              WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       |        WHERE len(words) >= 3)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |ix AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS id, count(*) AS inter
+       |  FROM sh q JOIN sh c USING (h)
+       |  WHERE q.doc_id < 10 AND NOT (c.doc_id < 10)
+       |  GROUP BY 1, 2),
+       |lex AS MATERIALIZED (
+       |  SELECT query_id, id, r_lex FROM (
+       |    SELECT ix.query_id, ix.id,
+       |           CAST(row_number() OVER (PARTITION BY ix.query_id
+       |             ORDER BY ix.inter * 1.0 / (sq.n + sc.n - ix.inter) DESC,
+       |                      ix.id) AS BIGINT) AS r_lex
+       |    FROM ix JOIN sizes sq ON sq.doc_id = ix.query_id
+       |            JOIN sizes sc ON sc.doc_id = ix.id)
+       |  WHERE r_lex <= $HybridTopK),
+       |sem AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id AS id, CAST(rank AS BIGINT) AS r_sem
+       |  FROM (${Similarity.qBruteForceSql})
+       |  WHERE rank <= $HybridTopK),
+       |f AS (
+       |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+       |         coalesce(l.id, s.id) AS id, l.r_lex, s.r_sem,
+       |         coalesce(1000000 // ($RrfK + l.r_lex), 0)
+       |           + coalesce(1000000 // ($RrfK + s.r_sem), 0) AS rrf_micros
+       |  FROM lex l FULL JOIN sem s
+       |       ON s.query_id = l.query_id AND s.id = l.id)
+       |SELECT query_id, id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY rrf_micros DESC, id) AS BIGINT) AS rank,
+       |       CAST(rrf_micros AS BIGINT) AS rrf_micros, r_lex, r_sem
+       |FROM f
+       |QUALIFY rank <= $HybridTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rank_bm25" -> (qBm25 _))
+    "rank_bm25" -> (qBm25 _),
+    "rank_hybrid_rrf" -> (qHybrid _))
 
   val oracleSql: Map[String, String] = Map(
-    "rank_bm25" -> qBm25Sql)
+    "rank_bm25" -> qBm25Sql,
+    "rank_hybrid_rrf" -> qHybridSql)
 }

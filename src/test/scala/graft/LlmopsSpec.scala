@@ -632,6 +632,36 @@ class LlmopsSpec extends AnyFunSuite {
     assert(re.toSet === got.toSet)
   }
 
+  test("hybridTopK: RRF rewards both-arm hits; exact integer micro scores") {
+    import spark.implicits._
+    val d = graft.llmops.Similarity.Dim
+    def vec(i: Int, scale: Double = 1.0, j: Int = -1, sj: Double = 0.0) = {
+      val v = new Array[Float](d)
+      v(i) = scale.toFloat; if (j >= 0) v(j) = sj.toFloat
+      v.toSeq
+    }
+    val qText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, qText), // the query (doc_id < 10)
+      (20L, qText), // lexical twin (r_lex 1), orthogonal vector
+      (30L, "one two three four five six seven eight"), // semantic twin only
+      (40L, "alpha beta gamma delta x1 x2 x3 x4")) // middling in both
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, vec(0)), (20L, vec(1)),
+      (30L, vec(0)), // cos 1 -> r_sem 1
+      (40L, vec(0, 0.7, 2, 0.714))) // cos ~0.7 -> r_sem 2
+      .toDF("vec_id", "embedding")
+    val got = graft.llmops.Rank.hybridTopK(docs, emb,
+      col("doc_id") < 10, expr("vec_id < 10"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // RRF micro contributions: r1=16393, r2=16129, r3=15873
+    assert(got(20L) === ((1L, 16393L + 15873L))) // lex 1 + sem 3
+    assert(got(40L) === ((2L, 16129L + 16129L))) // both arms mid
+    assert(got(30L) === ((3L, 16393L)))          // sem-only arm
+  }
+
   test("bm25TopK ranks tf-heavy short docs first and excludes term-free docs") {
     import spark.implicits._
     val docs = Seq(
