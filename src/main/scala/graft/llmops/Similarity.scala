@@ -168,13 +168,34 @@ object Similarity {
   /** Cross-engine-stable 4-decimal rounding (see Hashing.stableRound). */
   private def roundE4(c: Column): Column = Hashing.stableRound(c, 4)
 
-  private[llmops] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[llmops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    rankBand(scored, 0, k)
+
+  /** Rank slice (loExcl, hiIncl] of the deterministic cosine rank. */
+  private[llmops] def rankBand(scored: DataFrame, loExcl: Int,
+                               hiIncl: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") > loExcl && col("rank") <= hiIncl)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         roundE4(col("cos")).as("cos"))
+  }
+
+  /** Hard-negative mining for contrastive/embedding training (the DPR
+    * recipe): per query, the candidates ranked JUST BELOW the positive
+    * band — near enough to be informative, far enough to be wrong —
+    * i.e. ranks (kPos, kPos + kNeg] of the multi-band LSH candidate
+    * rank. Random negatives are trivially separable and teach nothing;
+    * top-ranked ones are usually unlabeled positives; the band between
+    * is where contrastive gradients live. Same candidate generation and
+    * rank contract as [[lshTopK]], so the mined set is deterministic
+    * and oracle-gated. */
+  def hardNegatives(emb: DataFrame, isQuery: Column,
+                    kPos: Int = TopK, kNeg: Int = TopK): DataFrame = {
+    require(kPos >= 0 && kNeg >= 1,
+      s"need kPos >= 0 and kNeg >= 1, got $kPos/$kNeg")
+    rankBand(lshScored(emb, isQuery), kPos, kPos + kNeg)
   }
 
   /** Brute-force cosine top-k: every query vector against the full corpus. */
@@ -770,7 +791,9 @@ object Similarity {
   /** Banded oracle mirror of [[lshTopK]]: the same per-band ±1 signature
     * chains ([[signatureSqlFor]], bit-identical projections), candidates
     * as a DISTINCT any-band equi-join, then the exact-cosine rank. */
-  val qLshSql: String = {
+  /** Shared CTE chain through the deterministic LSH candidate rank —
+    * consumed by both the top-k and the hard-negative-band oracles. */
+  private lazy val lshRankedCtes: String = {
     val sigCols = simBandPlanes.zipWithIndex.map { case (ps, k) =>
       s"${signatureSqlFor(ps, "v")} AS s$k"
     }.mkString(",\n             ")
@@ -798,10 +821,21 @@ object Similarity {
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  lazy val qLshSql: String =
+    s"""$lshRankedCtes
        |SELECT query_id, neighbor_id, rank, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
        |FROM ranked WHERE rank <= $TopK""".stripMargin
-  }
+
+  lazy val qHardNegativesSql: String =
+    s"""$lshRankedCtes
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+       |FROM ranked WHERE rank > $TopK AND rank <= ${2 * TopK}""".stripMargin
+
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.load(spark, dir, "embeddings"), expr(isQuerySql))
 
   // ~17 centroids at the 500-vector fixture (≈sqrt(n) inverted lists);
   // any deterministic predicate works — at real scale this is the trained
@@ -1103,6 +1137,7 @@ object Similarity {
     "ann_recall_lsh" -> (qAnnRecallLsh _),
     "ann_recall_matryoshka" -> (qAnnRecallMatryoshka _),
     "ann_recall_ivf" -> (qAnnRecallIvf _),
+    "sample_hard_negatives" -> (qHardNegatives _),
     "sample_prototypes" -> (qPrototypes _),
     "sim_topk_bruteforce" -> (qBruteForce _),
     "sim_topk_lsh" -> (qLsh _),
@@ -1117,6 +1152,7 @@ object Similarity {
     "ann_recall_lsh" -> qAnnRecallLshSql,
     "ann_recall_matryoshka" -> qAnnRecallMatryoshkaSql,
     "ann_recall_ivf" -> qAnnRecallIvfSql,
+    "sample_hard_negatives" -> qHardNegativesSql,
     "sample_prototypes" -> qPrototypesSql,
     "sim_topk_bruteforce" -> qBruteForceSql,
     "sim_topk_lsh" -> qLshSql,

@@ -298,6 +298,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2) === ((2L, 0.7071)))
   }
 
+  test("hardNegatives is exactly the rank band below the positive top-k, disjoint from it") {
+    val pos = Similarity.lshTopK(emb, isInit.isNotNull && expr("vec_id < 10"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val neg = Similarity.hardNegatives(emb, expr("vec_id < 10"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(neg.nonEmpty)
+    // band bounds: ranks (TopK, 2*TopK]
+    assert(neg.forall(n => n._3 > Similarity.TopK && n._3 <= 2 * Similarity.TopK))
+    // negatives never overlap the positive set for the same query
+    assert(neg.forall(n => !pos.contains((n._1, n._2))))
+  }
+
   test("matryoshka zero-padding ranks by prefix cosine exactly") {
     import spark.implicits._
     val d = Similarity.Dim
