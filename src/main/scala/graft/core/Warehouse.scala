@@ -647,31 +647,40 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     byPartition.toSeq.sortBy(_._1).map { case (part, entries) =>
       val files = entries.flatMap { e =>
         val root = td.resolve(e.path)
-        if (!Files.exists(root)) Seq.empty
-        else {
-          val walk = Files.walk(root)
-          try walk.iterator().asScala
-            .filter(p => Files.isRegularFile(p) &&
-              p.getFileName.toString.endsWith(".parquet"))
-            .map(_.toAbsolutePath.toString).toList
-          finally walk.close()
-        }
+        // the manifest promise is "EXACTLY the current snapshot's files"
+        // — a fragment the log references but the disk lacks means the
+        // table is corrupt (over-eager vacuum, manual deletion); writing
+        // a silently incomplete manifest would hand external readers a
+        // wrong-answer snapshot, so fail with the fragment named
+        require(Files.exists(root),
+          s"$dataset.$table snapshot v${c.version} references missing " +
+            s"fragment ${e.path} — cannot export a complete manifest")
+        val walk = Files.walk(root)
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(_.toAbsolutePath.toString).toList
+        finally walk.close()
       }.sorted
       val dir = if (part.isEmpty) Paths.get(outDir)
         else Paths.get(outDir).resolve(part)
       Files.createDirectories(dir)
       val manifest = dir.resolve("manifest")
-      Files.write(manifest,
-        files.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // no blank line for an empty partition: readers treat "" as a path
+      val body = if (files.isEmpty) "" else files.mkString("", "\n", "\n")
+      Files.write(manifest, body.getBytes(StandardCharsets.UTF_8))
       manifest
     }
   }
 
-  /** One maintenance action report per table of [[maintainDataset]]. */
+  /** One maintenance action report per table of [[maintainDataset]];
+    * `error` carries a failed table's exception message with the table
+    * name left machine-readable (callers key retries/alerts on it). */
   final case class MaintenanceReport(table: String,
                                      expiredPartitions: Seq[String],
                                      compactedPartitions: Seq[String],
-                                     vacuumedFragments: Int)
+                                     vacuumedFragments: Int,
+                                     error: Option[String] = None)
 
   /** Dataset-wide maintenance sweep — the nightly OPTIMIZE/retention
     * schedule as one call: for every table, expire dead partitions
@@ -680,8 +689,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * of time-travel retention. Each step is the existing per-table
     * operator, so all their guarantees (CAS survivors, time travel
     * intact, orphan cleanup) carry over; per-table failures do not abort
-    * the sweep — the table's report records the error in its name and
-    * the sweep continues, because one corrupt table must not block
+    * the sweep — the table's report carries the error in its `error`
+    * field (table name stays machine-readable for retry keying) and the
+    * sweep continues, because one corrupt table must not block
     * retention on a thousand healthy ones. Driver-side iteration over
     * the TABLE LIST only (catalog-sized); the data work stays in each
     * operator's distributed plan. */
@@ -698,8 +708,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         MaintenanceReport(t, expired, compacted, vacuumed)
       } catch {
         case e: Exception =>
-          MaintenanceReport(s"$t [FAILED: ${e.getMessage}]",
-            Seq.empty, Seq.empty, 0)
+          MaintenanceReport(t, Seq.empty, Seq.empty, 0,
+            error = Some(e.getMessage))
       }
     }
 

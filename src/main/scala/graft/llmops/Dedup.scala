@@ -440,8 +440,16 @@ object Dedup {
         shiftright(col("simhash"), k * 15).bitwiseAND(0x7fff).as("bucket"))
     }.reduce(_.unionAll(_))
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = HammingMax): DataFrame = {
-    val bands = simhashBandRows(simhash(docs))
+  def simhashPairs(docs: DataFrame, maxHamming: Int = HammingMax): DataFrame =
+    fingerprintPairs(simhash(docs), maxHamming)
+
+  /** Banded near-dup pairs over ANY (doc_id, simhash) 60-bit fingerprint
+    * frame — the 4×15-band equi-join + exact Hamming verify, shared by
+    * text SimHash and the image perceptual hash
+    * ([[Multimodal.phashNearDups]]): one banding arithmetic, one pair
+    * contract. */
+  def fingerprintPairs(fp: DataFrame, maxHamming: Int = HammingMax): DataFrame = {
+    val bands = simhashBandRows(fp)
     val l = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     l.join(r, Seq("band", "bucket"))

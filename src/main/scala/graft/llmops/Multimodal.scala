@@ -200,26 +200,22 @@ object Multimodal {
       }.toDF("media_id", "phash")
   }
 
-  /** Banded perceptual near-dup pairs: the [[Dedup]] SimHash shape on
-    * the 60-bit phash — 4×15-bit band equi-join generates candidates
-    * (never an all-pairs product), exact Hamming verifies. Emits
+  /** Banded perceptual near-dup pairs — [[Dedup.fingerprintPairs]] over
+    * the phash frame (ONE banding arithmetic and pair contract shared
+    * with text SimHash; never an all-pairs product). The hash frame
+    * localCheckpoints first: the band union + self-join would otherwise
+    * re-execute the kernel — and its real image DECODE — up to 8×,
+    * where the checkpoint is two longs per media. Emits
     * (media_a, media_b, hamming), a < b, hamming ≤ `maxHamming`. */
   def phashNearDups(media: DataFrame,
-                    maxHamming: Int = PhashMaxHamming): DataFrame = {
-    val hashes = perceptualHash(media)
-    val bands = (0 until 4).map { k =>
-      hashes.select(col("media_id"), col("phash"), lit(k).as("band"),
-        shiftright(col("phash"), k * 15).bitwiseAND(0x7fff).as("bucket"))
-    }.reduce(_.unionAll(_))
-    bands.join(bands.select(col("band"), col("bucket"),
-        col("media_id").as("media_b"), col("phash").as("phash_b")),
-        Seq("band", "bucket"))
-      .filter(col("media_id") < col("media_b"))
-      .select(col("media_id").as("media_a"), col("media_b"),
-        bit_count(col("phash").bitwiseXOR(col("phash_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+                    maxHamming: Int = PhashMaxHamming): DataFrame =
+    Dedup.fingerprintPairs(
+      perceptualHash(media)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+        .localCheckpoint(),
+      maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
 
   // ----------------------------------------------------------------- queries
 

@@ -580,7 +580,13 @@ object ProductQuant {
             val (c, e) =
               if (hi(i) == lo(i)) (0L, 0.0)
               else {
-                val code = math.floor((v(i) - lo(i)) * 255.0 / (hi(i) - lo(i)) + 0.5)
+                // clamp AFTER the affine map: a later batch encoded
+                // against a stored range table can fall outside the
+                // trained [mn, mx] — saturating is the int8 contract
+                // (identity for in-range data, so the self-trained
+                // oracle is unchanged)
+                val code = math.min(255.0, math.max(0.0,
+                  math.floor((v(i) - lo(i)) * 255.0 / (hi(i) - lo(i)) + 0.5)))
                 val err = math.abs(lo(i) + (code * (hi(i) - lo(i))) / 255.0 - v(i))
                 (code.toLong, err)
               }
@@ -614,7 +620,9 @@ object ProductQuant {
        |q AS (
        |  SELECT vec_id, x, mn, mx,
        |         CASE WHEN mx = mn THEN 0.0
-       |              ELSE floor((x - mn) * 255.0 / (mx - mn) + 0.5) END AS code
+       |              ELSE least(255.0, greatest(0.0,
+       |                     floor((x - mn) * 255.0 / (mx - mn) + 0.5)))
+       |         END AS code
        |  FROM comp JOIN st USING (pos)),
        |w AS (
        |  SELECT vec_id, code,

@@ -127,9 +127,15 @@ object Rank {
   // ---------------------------------------------------- hybrid RRF fusion
 
   /** Reciprocal-rank-fusion constant (the standard 60 of Cormack et al.
-    * 2009) and the fused result width. */
+    * 2009) and the fused result width. The width must not exceed
+    * [[Similarity.TopK]]: the oracle's semantic arm nests the
+    * brute-force oracle, which truncates at that rank — a wider fused
+    * set would fuse engine-side ranks the oracle can never see. */
   val RrfK = 60
   val HybridTopK = 10
+  require(HybridTopK <= Similarity.TopK,
+    s"HybridTopK ($HybridTopK) must be <= Similarity.TopK " +
+      s"(${Similarity.TopK}) — the nested brute-force oracle truncates there")
 
   /** Lexical top-k per query document: rank corpus documents by shingle
     * Jaccard against the query doc's distinct 3-gram shingle set. The

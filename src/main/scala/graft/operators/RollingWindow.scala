@@ -120,8 +120,10 @@ object RollingWindow {
     * Semantics pinned for the oracle: the day's observation is the
     * value of the key's LAST event that day ((ts, id) descending —
     * deterministic under same-timestamp events); a NULL observed value
-    * counts as missing and carries the previous value; `is_gap` marks
-    * days with no event at all. The filled value is an exact COPY of
+    * carries the previous value forward; `is_gap` marks days with NO
+    * EVENT AT ALL (a day whose events all carried NULL values is NOT a
+    * gap — data arrived, it was just null; liveness monitoring needs
+    * the distinction). The filled value is an exact COPY of
     * an input double (no arithmetic), so the output hash-compares.
     *
     * Shape at scale: per-(key, day) argmax + per-key min/max are
@@ -140,7 +142,8 @@ object RollingWindow {
     val wObs = Window.partitionBy("k", "day")
       .orderBy(col("_ts").desc, col("_id").desc)
     val obs = e.withColumn("_rn", row_number().over(wObs))
-      .filter(col("_rn") === 1).select(col("k"), col("day"), col("v"))
+      .filter(col("_rn") === 1)
+      .select(col("k"), col("day"), col("v"), lit(true).as("_seen"))
     val spine = e.groupBy(col("k"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("k"),
@@ -150,7 +153,7 @@ object RollingWindow {
     spine.join(obs, Seq("k", "day"), "left")
       .select(col("k").as(keyCol), col("day"),
         last(col("v"), ignoreNulls = true).over(wFill).as("value_filled"),
-        col("v").isNull.as("is_gap"))
+        col("_seen").isNull.as("is_gap"))
   }
 
   def qResample(spark: SparkSession, dir: String): DataFrame =
@@ -173,14 +176,14 @@ object RollingWindow {
       |spine AS (
       |  SELECT k, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
       |  FROM (SELECT k, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1)),
-      |j AS (SELECT s.k, s.day, o.v
+      |j AS (SELECT s.k, s.day, o.v, o.k IS NOT NULL AS seen
       |      FROM spine s LEFT JOIN obs o ON o.k = s.k AND o.day = s.day)
       |SELECT k AS user_id, day,
       |       last_value(v IGNORE NULLS) OVER (
       |         PARTITION BY k ORDER BY day
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |         AS value_filled,
-      |       v IS NULL AS is_gap
+      |       NOT seen AS is_gap
       |FROM j""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -284,11 +284,12 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
-      (1L, 7L, ts("2024-05-01 09:00:00"), 10.0),
-      (2L, 7L, ts("2024-05-01 18:00:00"), 11.0), // later same day wins
-      (3L, 7L, ts("2024-05-03 12:00:00"), 30.0), // gap on 05-02
-      (4L, 7L, ts("2024-05-05 08:00:00"), 50.0), // gap on 05-04
-      (5L, 8L, ts("2024-05-02 00:00:00"), 99.0)) // single-day key
+      (1L, 7L, ts("2024-05-01 09:00:00"), Some(10.0)),
+      (2L, 7L, ts("2024-05-01 18:00:00"), Some(11.0)), // later same day wins
+      (3L, 7L, ts("2024-05-03 12:00:00"), Some(30.0)), // gap on 05-02
+      (4L, 7L, ts("2024-05-05 08:00:00"), Some(50.0)), // gap on 05-04
+      (5L, 8L, ts("2024-05-02 00:00:00"), Some(99.0)), // single-day key
+      (6L, 8L, ts("2024-05-03 07:00:00"), None)) // events, but value NULL
       .toDF("event_id", "user_id", "ts", "value")
     val got = graft.operators.RollingWindow
       .resampleLocf(events, "user_id", "ts", "value", "event_id")
@@ -301,7 +302,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((7L, "2024-05-04")) === ((30.0, true)))
     assert(got((7L, "2024-05-05")) === ((50.0, false)))
     assert(got((8L, "2024-05-02")) === ((99.0, false)))
-    assert(got.size === 6) // spines span each key's own range only
+    // a day with events whose value is NULL: NOT a gap (data arrived),
+    // the fill still carries the previous non-null value
+    assert(got((8L, "2024-05-03")) === ((99.0, false)))
+    assert(got.size === 7) // spines span each key's own range only
   }
 
   test("rollingByKey: trailing-hour frame is (t-1h, t], ties see each other") {

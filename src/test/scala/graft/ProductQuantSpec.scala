@@ -126,4 +126,19 @@ class ProductQuantSpec extends AnyFunSuite {
     // midpoint: code floor(0.5*255+0.5)=128, dq=128/255, err≈0.00196 → 1961
     assert(out(3L) === ((128L, 0L, 128L, 1961L)))
   }
+
+  test("scalarQuantizeInt8 saturates out-of-range components against a stored range table") {
+    import spark.implicits._
+    val d = graft.llmops.Similarity.Dim
+    def vec(x0: Float): Seq[Float] = x0 +: Seq.fill(d - 1)(0.0f)
+    // train on [0, 1] for dim 0, then encode a later batch outside it
+    val trainEmb = Seq((1L, vec(0f)), (2L, vec(1f))).toDF("vec_id", "embedding")
+    val ranges = ProductQuant.trainScalarQuant(trainEmb)
+    val later = Seq((10L, vec(2.0f)), (11L, vec(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = ProductQuant.scalarQuantizeInt8(later, ranges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L)._2 === 255L) // above mx: clamps, never 510
+    assert(out(11L)._1 === 0L)   // below mn: clamps, never negative
+  }
 }
