@@ -136,6 +136,87 @@ object LangModel {
   def bigramFluency(docs: DataFrame): DataFrame =
     scoreWithModel(docs, trainBigramModel(docs))
 
+  // --------------------------------------------- trigram stupid backoff
+
+  /** Backoff multiplier 0.4 as the exact rational 2/5 (applied as
+    * `(4·x) div 10` and `(16·x) div 100` — integer, engine-identical). */
+  private val BackoffNum = 4
+  private val BackoffDen = 10
+
+  /** Per-doc trigram instance multiplicities (doc_id, w1, w2, w3, k). */
+  private def trigramInstances(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(slice(words, 1, size(words) - 2), " +
+            "(w, i) -> struct(w AS w1, words[i + 1] AS w2, words[i + 2] AS w3))"))
+          .as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("k"))
+
+  /** Trigram stupid-backoff fluency (Brants et al. 2007 §4 — the
+    * web-scale LM recipe: unnormalized relative frequencies with a
+    * fixed 0.4 backoff, no discounting, trivially distributed):
+    * score `train`-corpus statistics against `docs`, per trigram
+    *
+    *   S(w3|w1w2) = c123/c12        when the trigram was seen,
+    *              = 0.4·c23/c2      backing off to the bigram,
+    *              = 0.4²·c3/N       backing off to the unigram,
+    *              = 0               for vocabulary never seen.
+    *
+    * All counts derive from ONE train-side trigram-instance frame (the
+    * trigram event space: docs with ≥3 tokens), so the model is
+    * self-consistent; every ratio is pinned to integer micro-units
+    * through `div` (the [[Micro]] discipline — no cross-engine float),
+    * and the 0.4 factors are exact rationals. Scoring a slice of the
+    * training corpus never backs off; scoring UNSEEN text exercises the
+    * chain — the oracle query trains on ⅔ of the fixture and scores
+    * the held-out ⅓.
+    *
+    * Shape at 100 TB: the model tables are corpus-global aggregates of
+    * the instance frame (train once per snapshot, persist like
+    * [[saveModel]]); scoring is four left hash joins on model keys
+    * (Zipf heads handled by AQE skew split) + a 1-row broadcast total.
+    * Output: (doc_id, n_trigrams, sum_s_micros, min_s_micros,
+    * avg_s_micros, n_backoff). */
+  def trigramBackoffScores(docs: DataFrame, train: DataFrame): DataFrame = {
+    val inst = trigramInstances(train)
+    val c123 = inst.groupBy("w1", "w2", "w3")
+      .agg(sum("k").cast("long").as("c123"))
+    val c12 = inst.groupBy("w1", "w2").agg(sum("k").cast("long").as("c12x"))
+    val c23 = inst.groupBy("w2", "w3").agg(sum("k").cast("long").as("c23"))
+    val c2 = inst.groupBy("w2").agg(sum("k").cast("long").as("c2"))
+    val c3g = inst.groupBy("w3").agg(sum("k").cast("long").as("c3"))
+    val total = inst.agg(sum("k").cast("long").as("n"))
+    trigramInstances(docs)
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(c3g, Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("s_micros", expr(
+        s"""CASE WHEN c123 IS NOT NULL THEN (${Micro}L * c123) div c12x
+           |     WHEN c23 IS NOT NULL
+           |       THEN ($BackoffNum * ((${Micro}L * c23) div c2)) div $BackoffDen
+           |     WHEN c3 IS NOT NULL
+           |       THEN (${BackoffNum * BackoffNum} *
+           |             ((${Micro}L * c3) div n)) div ${BackoffDen * BackoffDen}
+           |     ELSE 0L END""".stripMargin))
+      .withColumn("backoff", when(col("c123").isNull, col("k")).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).cast("long").as("n_trigrams"),
+        sum(col("k") * col("s_micros")).cast("long").as("sum_s_micros"),
+        min(col("s_micros")).as("min_s_micros"),
+        sum(col("backoff")).cast("long").as("n_backoff"))
+      .withColumn("avg_s_micros", expr("sum_s_micros div n_trigrams"))
+      .select(col("doc_id"), col("n_trigrams"), col("sum_s_micros"),
+        col("min_s_micros"), col("avg_s_micros"), col("n_backoff"))
+  }
+
   // --------------------------------------------- perplexity bucketing
 
   /** Sample gate for the bucket-boundary pass: 1/4 of docs. */
@@ -289,11 +370,73 @@ object LangModel {
        |FROM f JOIN b USING (lang)""".stripMargin
   }
 
+  /** Train on doc_id % 3 ≠ 0, score the held-out third — unseen
+    * trigrams/bigrams/vocabulary all occur, so every backoff branch
+    * (and the 0-score floor) is exercised and hash-gated. */
+  def qTrigramBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    trigramBackoffScores(docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0))
+  }
+
+  val qTrigramBackoffSql: String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |    AND len(string_split(text, ' ')) >= 3),
+       |tg AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2,
+       |              words[i + 2] AS w3
+       |       FROM (SELECT doc_id, words,
+       |                    unnest(generate_series(1, len(words) - 2)) AS i
+       |             FROM t)),
+       |perdoc AS MATERIALIZED (
+       |  SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS k
+       |  FROM tg GROUP BY 1, 2, 3, 4),
+       |tr AS MATERIALIZED (SELECT * FROM perdoc WHERE doc_id % 3 <> 0),
+       |sc AS MATERIALIZED (SELECT * FROM perdoc WHERE doc_id % 3 = 0),
+       |c123 AS (SELECT w1, w2, w3, CAST(sum(k) AS BIGINT) AS c123
+       |         FROM tr GROUP BY 1, 2, 3),
+       |c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12x
+       |        FROM tr GROUP BY 1, 2),
+       |c23 AS (SELECT w2, w3, CAST(sum(k) AS BIGINT) AS c23
+       |        FROM tr GROUP BY 1, 2),
+       |c2 AS (SELECT w2, CAST(sum(k) AS BIGINT) AS c2 FROM tr GROUP BY 1),
+       |c3g AS (SELECT w3, CAST(sum(k) AS BIGINT) AS c3 FROM tr GROUP BY 1),
+       |tot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM tr),
+       |s AS (
+       |  SELECT sc.doc_id, sc.k,
+       |         CASE WHEN a.c123 IS NOT NULL THEN ($Micro * a.c123) // b.c12x
+       |              WHEN d.c23 IS NOT NULL
+       |                THEN ($BackoffNum * (($Micro * d.c23) // e.c2)) // $BackoffDen
+       |              WHEN f.c3 IS NOT NULL
+       |                THEN (${BackoffNum * BackoffNum} *
+       |                      (($Micro * f.c3) // tot.n))
+       |                     // ${BackoffDen * BackoffDen}
+       |              ELSE 0 END AS s_micros,
+       |         CASE WHEN a.c123 IS NULL THEN sc.k ELSE 0 END AS backoff
+       |  FROM sc
+       |  LEFT JOIN c123 a ON a.w1 = sc.w1 AND a.w2 = sc.w2 AND a.w3 = sc.w3
+       |  LEFT JOIN c12 b ON b.w1 = sc.w1 AND b.w2 = sc.w2
+       |  LEFT JOIN c23 d ON d.w2 = sc.w2 AND d.w3 = sc.w3
+       |  LEFT JOIN c2 e ON e.w2 = sc.w2
+       |  LEFT JOIN c3g f ON f.w3 = sc.w3
+       |  CROSS JOIN tot)
+       |SELECT doc_id,
+       |       CAST(sum(k) AS BIGINT) AS n_trigrams,
+       |       CAST(sum(k * s_micros) AS BIGINT) AS sum_s_micros,
+       |       CAST(min(s_micros) AS BIGINT) AS min_s_micros,
+       |       CAST(sum(k * s_micros) AS BIGINT) // CAST(sum(k) AS BIGINT)
+       |         AS avg_s_micros,
+       |       CAST(sum(backoff) AS BIGINT) AS n_backoff
+       |FROM s GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_fluency" -> (qLmFluency _),
-    "lm_ppl_buckets" -> (qPplBuckets _))
+    "lm_ppl_buckets" -> (qPplBuckets _),
+    "lm_trigram_backoff" -> (qTrigramBackoff _))
 
   val oracleSql: Map[String, String] = Map(
     "lm_fluency" -> qLmFluencySql,
-    "lm_ppl_buckets" -> qPplBucketsSql)
+    "lm_ppl_buckets" -> qPplBucketsSql,
+    "lm_trigram_backoff" -> qTrigramBackoffSql)
 }

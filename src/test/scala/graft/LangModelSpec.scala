@@ -84,6 +84,25 @@ class LangModelSpec extends AnyFunSuite {
     assert(got.head.getAs[Long]("sum_p_micros") === 500000L)
   }
 
+  test("trigramBackoffScores: each backoff level hand-computed, vocabulary floor is 0") {
+    import spark.implicits._
+    // train "a b c a b c": c123(abc)=2, c23(bc)=2, c2(b)=2, c3(c)=2, N=4
+    val train = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"), // seen trigram: 1e6*2 div 2 = 1000000
+      (2L, "x b c"), // bigram backoff: (4 * (1e6*2 div 2)) div 10 = 400000
+      (3L, "x y c"), // unigram backoff: (16 * (1e6*2 div 4)) div 100 = 80000
+      (4L, "x y z")) // never-seen vocab: 0
+      .toDF("doc_id", "text")
+    val got = graft.llmops.LangModel.trigramBackoffScores(score, train)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) === ((1L, 1000000L, 0L)))
+    assert(got(2L) === ((1L, 400000L, 1L)))
+    assert(got(3L) === ((1L, 80000L, 1L)))
+    assert(got(4L) === ((1L, 0L, 1L)))
+  }
+
   test("perplexityBuckets: per-language terciles, ordered and equal-population at mod=1") {
     import spark.implicits._
     // per lang: 6 docs spanning distinct fluency levels — doc i mixes i
