@@ -3,7 +3,7 @@ package graft.core
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -172,13 +172,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case Some(field) =>
         val frag = lg.newFragmentDir()
         partitionedWrite(df, field, frag)
-        lg.commit("write", hiveEntries(dataset, table, frag, field),
-          schemaDdl = Some(df.schema.toDDL))
+        val entries = hiveEntries(dataset, table, frag, field)
+        recordStats(dataset, table, frag, entries, Some(field))
+        lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
       case None =>
         val frag = lg.newFragmentDir()
         df.write.mode("overwrite").parquet(frag.toString)
-        lg.commit("write", Seq(SnapshotLog.Entry("", relativize(dataset, table, frag))),
-          schemaDdl = Some(df.schema.toDDL))
+        val entries = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+        recordStats(dataset, table, frag, entries, None)
+        lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
     }
     writeSchemaDdlMerged(dataset, table, df.schema)
     setMeta(dataset, table, m)
@@ -201,6 +203,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     df.write.mode("overwrite").parquet(frag.toString)
     val entry = SnapshotLog.Entry("", relativize(dataset, table, frag))
+    recordStats(dataset, table, frag, Seq(entry), None)
     // union schema is recomputed INSIDE the CAS retry from the current
     // commit: unioning against a stale base after a lost race would pin
     // a schema missing the winning writer's new columns
@@ -232,6 +235,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     partitionedWrite(df, field, frag)
     val fresh = hiveEntries(dataset, table, frag, field)
+    recordStats(dataset, table, frag, fresh, Some(field))
     val freshParts = fresh.map(_.partition).toSet
     // commitWith: the kept-partition list AND the union schema are
     // recomputed from the CURRENT latest commit (re-read on a lost race),
@@ -366,6 +370,168 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
     val wanted = partitions.toSet
     readEntries(dataset, table, c.entries.filter(e => wanted(e.partition)), c.schemaDdl)
+  }
+
+  // --------------------------------------------------- zone-map scans
+
+  /** Write-time zone maps: one stats job per write call (grouped by the
+    * partition field, so a 30-partition insert_overwrite pays ONE pass
+    * over the new fragment, not 30). The scan of freshly written data is
+    * the standard stats trade (Delta/Iceberg record the same metrics at
+    * write); it touches only the new fragment, never the table. */
+  private def recordStats(dataset: String, table: String, frag: Path,
+                          entries: Seq[SnapshotLog.Entry],
+                          field: Option[String]): Unit = {
+    if (entries.isEmpty) return
+    try {
+      val df = field match {
+        case Some(_) => spark.read.option("basePath", frag.toString)
+          .parquet(entries.map(e => tableDir(dataset, table).resolve(e.path).toString): _*)
+        case None => spark.read.parquet(frag.toString)
+      }
+      val byPart = ZoneMaps.computeStatsBy(df, field).toMap
+      entries.foreach { e =>
+        byPart.get(e.partition).foreach(st =>
+          ZoneMaps.write(tableDir(dataset, table), e.path, st))
+      }
+    } catch { case _: Exception => () } // stats are advisory, never fail a write
+  }
+
+  /** Backfill sidecars for entries that predate zone maps (or were
+    * written by an external engine): one stats job per uncovered entry.
+    * Returns the entry paths analyzed. */
+  def analyze(dataset: String, table: String): Seq[String] = {
+    val td = tableDir(dataset, table)
+    val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val missing = c.entries.filter(e => ZoneMaps.read(td, e.path).isEmpty)
+    missing.foreach { e =>
+      val df = readEntries(dataset, table, Seq(e), c.schemaDdl)
+      ZoneMaps.write(td, e.path, ZoneMaps.computeStats(
+        meta(dataset, table).partitionField.map(df.drop(_)).getOrElse(df)))
+    }
+    missing.map(_.path)
+  }
+
+  /** Scan plan under a predicate: (entries to scan, entries zone-maps
+    * prove can hold no matching row). Entries without a sidecar are
+    * always scanned — pruning is an optimization, never a gate. */
+  def planScan(dataset: String, table: String, pred: Column)
+      : (Seq[SnapshotLog.Entry], Seq[SnapshotLog.Entry]) = {
+    val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    ZoneMaps.prune(tableDir(dataset, table), c.entries, resolvedPred(dataset, table, c, pred))
+  }
+
+  /** Analyzer-resolved predicate against the commit's pinned schema —
+    * pruning compares typed literals, never raw DSL strings. */
+  private def resolvedPred(dataset: String, table: String,
+                           c: SnapshotLog.Commit, pred: Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val ddl = c.schemaDdl.orElse(schemaDdl(dataset, table))
+    ddl.map(StructType.fromDDL).flatMap(s => ZoneMaps.resolvePredicate(spark, s, pred))
+  }
+
+  /** Data-skipping read: open only the fragments whose zone maps may
+    * satisfy `pred`, then apply the exact filter. Equivalent to
+    * `read(..).filter(pred)` by construction (pruning is conservative);
+    * on a clustered/z-ordered layout this is the difference between
+    * opening 3 fragments and 10,000 at 100 TB. */
+  def readWhere(dataset: String, table: String, pred: Column): DataFrame = {
+    val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val (scan, _) = ZoneMaps.prune(tableDir(dataset, table), c.entries,
+      resolvedPred(dataset, table, c, pred))
+    readEntries(dataset, table, scan, c.schemaDdl).filter(pred)
+  }
+
+  /** Outcome of a [[deleteWhere]]: rows removed, entries rewritten (by
+    * partition value), entries the zone maps pruned without reading, and
+    * candidate entries read but found clean (kept untouched). */
+  final case class DeleteResult(deletedRows: Long, rewritten: Seq[String],
+                                pruned: Int, cleanCandidates: Int)
+
+  /** Row-level DELETE (GDPR / right-to-be-forgotten at warehouse scale):
+    * rewrite ONLY the fragments that actually contain matching rows;
+    * every other fragment's entry rides into the new commit untouched.
+    * Three phases, each bounded by the match footprint, never the table:
+    *
+    *  1. zone-map prune: fragments whose [min,max] cannot satisfy the
+    *     predicate are never opened — on a layout clustered by the
+    *     delete key (user_id, say) this is almost all of them;
+    *  2. ONE Spark job counts matches per surviving candidate — clean
+    *     candidates keep their immutable fragment (no rewrite, no new
+    *     file);
+    *  3. one write job rewrites all hit fragments minus matching rows
+    *     into a fresh fragment (partition-clustered for partitioned
+    *     tables); a partition whose rows are all deleted drops out.
+    *
+    * NULL semantics follow SQL DELETE: rows where `pred` is NULL are
+    * KEPT. Time travel is intact — the pre-delete commit still references
+    * the original fragments until vacuum. Concurrency: the CAS commit
+    * verifies every hit fragment is still live at commit time and FAILS
+    * LOUDLY otherwise (unlike compact, a delete is not semantics-
+    * preserving, so silently abandoning a group would resurrect deleted
+    * rows for the caller); the orphaned rewrite files are cleaned up. */
+  def deleteWhere(dataset: String, table: String, pred: Column): DeleteResult = {
+    val m = meta(dataset, table)
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    val (candidates, prunedEs) = ZoneMaps.prune(td, cur.entries,
+      resolvedPred(dataset, table, cur, pred))
+    if (candidates.isEmpty)
+      return DeleteResult(0L, Seq.empty, prunedEs.size, 0)
+
+    // phase 2: one job — matches per candidate entry (pad each entry to
+    // the commit schema so predicates on evolved columns resolve)
+    val counts: Map[String, Long] = candidates.map { e =>
+      readEntries(dataset, table, Seq(e), cur.schemaDdl)
+        .filter(pred).select(lit(e.path).as("_entry"))
+    }.reduce(_.unionAll(_))
+      .groupBy(col("_entry")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hits = candidates.filter(e => counts.getOrElse(e.path, 0L) > 0L)
+    val deleted = counts.values.sum
+    if (hits.isEmpty)
+      return DeleteResult(0L, Seq.empty, prunedEs.size, candidates.size)
+
+    // phase 3: one write — all hit fragments minus matches, re-clustered
+    // by partition for partitioned tables
+    val keep = readEntries(dataset, table, hits, cur.schemaDdl)
+      .filter(!coalesce(pred, lit(false)))
+    val frag = lg.newFragmentDir()
+    val replacement: Seq[SnapshotLog.Entry] = m.partitionField match {
+      case Some(field) =>
+        partitionedWrite(keep, field, frag)
+        val es = hiveEntries(dataset, table, frag, field)
+        recordStats(dataset, table, frag, es, Some(field))
+        es
+      case None =>
+        keep.write.mode("overwrite").parquet(frag.toString)
+        val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+        recordStats(dataset, table, frag, e, None)
+        e
+    }
+    val hitPaths = hits.map(_.path).toSet
+    try {
+      lg.commitWithSchema("delete", cur2 => {
+        val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+        val livePaths = live.map(_.path).toSet
+        val gone = hitPaths.filterNot(livePaths)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"deleteWhere on $dataset.$table lost a race: fragment(s) " +
+            s"${gone.mkString(", ")} were rewritten concurrently; retry the delete")
+        live.filterNot(e => hitPaths(e.path)) ++ replacement
+      }, cur2 => cur2.flatMap(_.schemaDdl).orElse(cur.schemaDdl))
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        deleteRecursive(frag) // no commit references the rewrite
+        throw e
+    }
+    DeleteResult(deleted, hits.map(_.partition).distinct.sorted,
+      prunedEs.size, candidates.size - hits.size)
   }
 
   private def readCommit(dataset: String, table: String, c: SnapshotLog.Commit): DataFrame =
@@ -565,6 +731,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .write.mode("overwrite").parquet(out.toString)
       SnapshotLog.Entry(part, relativize(dataset, table, out))
     }
+    // compaction output keeps zone maps alive: one stats job over the
+    // whole new fragment (abandoned groups' sidecars become orphans that
+    // ZoneMaps.vacuumStats reclaims)
+    recordStats(dataset, table, frag, newEntries, m.partitionField)
     val replaced: Map[String, Set[String]] =
       plan.map { case (part, es, _) => part -> es.map(_.path).toSet }.toMap
     // `compute` may re-run on a lost CAS race — the LAST invocation is the

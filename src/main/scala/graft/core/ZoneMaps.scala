@@ -1,0 +1,336 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
+import org.apache.spark.sql.types._
+
+/** Per-fragment zone maps (min/max/null-count column statistics) — the
+  * data-skipping layer every lakehouse format carries (Delta per-file
+  * stats, Iceberg manifest metrics, Parquet row-group stats surfaced to
+  * the planner): at 100 TB, a predicate on a clustered column should open
+  * the handful of fragments whose [min,max] can satisfy it, not list and
+  * footer-read a million files. The reference outsources this to
+  * BigQuery's clustering metadata (admin/clustering.py relies on it);
+  * a Spark-native warehouse has to carry its own.
+  *
+  * Stats live as one JSON sidecar per commit-log entry under
+  * `_stats/<sanitized entry path>.json`. Entries (fragments) are
+  * immutable, so a sidecar is write-once; entries with no sidecar
+  * (legacy fragments, external writers) are simply never pruned —
+  * data skipping is an optimization, never a correctness gate.
+  *
+  * Pruning ([[mayMatch]]) is a conservative may-contain test over the
+  * UNRESOLVED predicate expression tree (the shape `Column` DSL
+  * predicates arrive in): supported conjuncts prune, anything
+  * unrecognized evaluates to "may match". String stats longer than
+  * [[MaxStatLen]] are dropped at write time (the Delta trade: a min/max
+  * over document text would bloat every manifest); the null/row counts
+  * remain, so IsNull/IsNotNull pruning still works on such columns.
+  */
+object ZoneMaps {
+
+  /** Drop string min/max beyond this length (document bodies etc.):
+    * a truncated max is not a valid upper bound without increment
+    * logic, and long stats bloat the sidecar. */
+  val MaxStatLen = 64
+
+  /** min/max arrive as `CAST(agg AS STRING)`; None = no stat (all-null
+    * fragment, or dropped by the length cap — disambiguated via counts). */
+  final case class ColStat(min: Option[String], max: Option[String],
+                           nulls: Long, typ: String)
+
+  final case class FragStats(rows: Long, cols: Map[String, ColStat]) {
+    def nonNullRows(c: String): Option[Long] = cols.get(c).map(s => rows - s.nulls)
+  }
+
+  // ------------------------------------------------------------- compute
+
+  private[core] def eligible(f: StructField): Boolean = f.dataType match {
+    case _: NumericType | StringType | DateType | TimestampType |
+         TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  private def typeTag(dt: DataType): String = dt match {
+    case _: DecimalType => "decimal"
+    case t => t.typeName
+  }
+
+  /** One aggregate over an (unpartitioned) fragment read → its stats.
+    * Cost: one scan of the freshly written fragment — the standard
+    * write-time stats trade (Delta does the same inline with the write). */
+  def computeStats(df: DataFrame): FragStats =
+    computeStatsBy(df, None).head._2
+
+  /** Stats per partition value in ONE job: groupBy the partition field
+    * so a 30-partition insert_overwrite costs one stats pass, not 30. */
+  def computeStatsBy(df: DataFrame, field: Option[String]): Seq[(String, FragStats)] = {
+    val statCols = df.schema.fields.filter(eligible).filterNot(f => field.contains(f.name))
+    val aggs = count(lit(1)).as("_rows") +:
+      statCols.flatMap { f =>
+        Seq(min(col(f.name)).cast("string").as(s"_min_${f.name}"),
+          max(col(f.name)).cast("string").as(s"_max_${f.name}"),
+          count(col(f.name)).as(s"_cnt_${f.name}"))
+      }.toSeq
+    val grouped = field match {
+      case Some(p) => df.groupBy(col(p).cast("string").as("_part")).agg(aggs.head, aggs.tail: _*)
+      case None => df.agg(aggs.head, aggs.tail: _*)
+    }
+    grouped.collect().toSeq.map { r =>
+      val part = field.map(_ => Option(r.getAs[String]("_part")).getOrElse("")).getOrElse("")
+      val rows = r.getAs[Long]("_rows")
+      val cols = statCols.map { f =>
+        val mn = Option(r.getAs[String](s"_min_${f.name}")).filter(_.length <= MaxStatLen)
+        val mx = Option(r.getAs[String](s"_max_${f.name}")).filter(_.length <= MaxStatLen)
+        // drop the PAIR if either side overflows: a one-sided bound is
+        // valid but a pruning rule reading both would misfire
+        val (lo, hi) = if (mn.isDefined && mx.isDefined) (mn, mx) else (None, None)
+        f.name -> ColStat(lo, hi, rows - r.getAs[Long](s"_cnt_${f.name}"), typeTag(f.dataType))
+      }.toMap
+      // the partition column's zone is its single value — recording it
+      // here makes predicates on the partition column prune through the
+      // SAME path as every other column
+      val withPart = field.filter(p => df.schema.fieldNames.contains(p)).map { p =>
+        cols + (p -> ColStat(Some(part), Some(part), 0, typeTag(df.schema(p).dataType)))
+      }.getOrElse(cols)
+      part -> FragStats(rows, withPart)
+    }
+  }
+
+  // ------------------------------------------------------------ sidecars
+
+  private def sanitize(entryPath: String): String =
+    entryPath.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  def statsPath(tableDir: Path, entryPath: String): Path =
+    tableDir.resolve("_stats").resolve(sanitize(entryPath) + ".json")
+
+  private val mapper = new ObjectMapper()
+
+  def write(tableDir: Path, entryPath: String, st: FragStats): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("rows", st.rows)
+    val cols = root.putObject("cols")
+    st.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
+      val n = cols.putObject(name)
+      c.min.foreach(n.put("min", _))
+      c.max.foreach(n.put("max", _))
+      n.put("nulls", c.nulls)
+      n.put("type", c.typ)
+    }
+    val p = statsPath(tableDir, entryPath)
+    Files.createDirectories(p.getParent)
+    Files.write(p, mapper.writeValueAsBytes(root))
+  }
+
+  def read(tableDir: Path, entryPath: String): Option[FragStats] = {
+    val p = statsPath(tableDir, entryPath)
+    if (!Files.exists(p)) return None
+    try {
+      val root = mapper.readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      val cols = Option(root.get("cols")).map { cn =>
+        cn.properties().asScala.map { e =>
+          val v = e.getValue
+          e.getKey -> ColStat(
+            Option(v.get("min")).map(_.asText()),
+            Option(v.get("max")).map(_.asText()),
+            Option(v.get("nulls")).map(_.asLong()).getOrElse(0L),
+            Option(v.get("type")).map(_.asText()).getOrElse("string"))
+        }.toMap
+      }.getOrElse(Map.empty)
+      Some(FragStats(root.get("rows").asLong(), cols))
+    } catch { case _: Exception => None } // corrupt sidecar = no pruning
+  }
+
+  /** Remove sidecars whose entry no longer exists in any live commit
+    * (vacuum's counterpart for stats; sidecars are tiny, so this is
+    * hygiene, not capacity). */
+  def vacuumStats(tableDir: Path, liveEntryPaths: Set[String]): Unit = {
+    val dir = tableDir.resolve("_stats")
+    if (!Files.isDirectory(dir)) return
+    val liveFiles = liveEntryPaths.map(p => sanitize(p) + ".json")
+    val ls = Files.list(dir)
+    try ls.iterator().asScala.toSeq
+      .filterNot(p => liveFiles(p.getFileName.toString))
+      .foreach(Files.deleteIfExists(_))
+    finally ls.close()
+  }
+
+  // ------------------------------------------------------------- pruning
+
+  /** Resolve a DSL predicate against a table schema: Spark 4 `Column`s
+    * carry ColumnNodes, not Catalyst expressions, so pruning works on the
+    * ANALYZED condition — which also buys type coercion (a string literal
+    * against a date column arrives as a typed date literal, exactly the
+    * value space the stats were recorded in). Unresolvable predicates
+    * (unknown column, etc.) yield None → caller scans everything; the
+    * real read will surface the analysis error with Spark's own message. */
+  def resolvePredicate(spark: org.apache.spark.sql.SparkSession,
+                       schema: StructType, pred: Column): Option[Expression] =
+    try {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      empty.filter(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    } catch { case _: Exception => None }
+
+  private object Attr {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.name)
+      // deliberately NOT seeing through Cast on the attribute side: a
+      // non-order-isomorphic cast (string→int, long→float rounding)
+      // would make range pruning unsound
+      case _ => None
+    }
+  }
+
+  private object Lit {
+    def unapply(e: Expression): Option[Any] = e match {
+      case Literal(v, _) => Some(v) // null value → Some(null)
+      // coercion wraps literals as Cast(Literal): foldable, safe to eval
+      case _ if e.foldable && e.deterministic =>
+        try Some(e.eval(null)) catch { case _: Exception => None }
+      case _ => None
+    }
+  }
+
+  /** Order-comparable key for a stat string / literal under the column's
+    * type tag; None = unparseable → caller must not prune. */
+  private def key(typ: String, v: Any): Option[Any] = {
+    if (v == null) return None
+    val s = v.toString
+    try typ match {
+      case "string" => Some(s)
+      case "boolean" => Some(if (s.toBoolean) 1L else 0L)
+      case "date" => v match {
+        case i: java.lang.Integer => Some(i.longValue) // catalyst DateType: epoch days
+        case _ => Some(java.time.LocalDate.parse(s).toEpochDay)
+      }
+      case "timestamp" | "timestamp_ntz" => v match {
+        case l: java.lang.Long => Some(l.longValue) // catalyst micros
+        case _ =>
+          val t = if (s.contains(" ") || s.contains("T"))
+            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          else java.time.LocalDate.parse(s).atStartOfDay()
+          Some(t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L +
+            t.getNano / 1000 % 1000)
+      }
+      case _ => Some(new java.math.BigDecimal(s)) // numeric family
+    } catch { case _: Exception => None }
+  }
+
+  private def cmp(typ: String, a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case _ => 0 // mixed keys can't happen for one typ; defensive no-prune
+  }
+
+  /** Conservative "this fragment may contain a row where `pred` is TRUE".
+    * Sound for WHERE/DELETE semantics (NULL counts as no-match): a
+    * `false` here proves no row in the fragment satisfies the predicate. */
+  def mayMatch(pred: Expression, st: FragStats): Boolean = pred match {
+    case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
+    case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
+    case Literal(b: Boolean, BooleanType) => b
+    case Literal(null, _) => false // WHERE NULL matches nothing
+
+    case EqualTo(Attr(c), Lit(v)) => rangeMay(st, c, v, lo = true, hi = true, strict = false)
+    case EqualTo(Lit(v), Attr(c)) => rangeMay(st, c, v, lo = true, hi = true, strict = false)
+    case EqualNullSafe(Attr(c), Lit(v)) =>
+      if (v == null) hasNulls(st, c) else rangeMay(st, c, v, lo = true, hi = true, strict = false)
+    case EqualNullSafe(Lit(v), Attr(c)) =>
+      if (v == null) hasNulls(st, c) else rangeMay(st, c, v, lo = true, hi = true, strict = false)
+
+    case LessThan(Attr(c), Lit(v)) => rangeMay(st, c, v, lo = false, hi = true, strict = true)
+    case LessThanOrEqual(Attr(c), Lit(v)) => rangeMay(st, c, v, lo = false, hi = true, strict = false)
+    case GreaterThan(Attr(c), Lit(v)) => rangeMay(st, c, v, lo = true, hi = false, strict = true)
+    case GreaterThanOrEqual(Attr(c), Lit(v)) => rangeMay(st, c, v, lo = true, hi = false, strict = false)
+    // literal-on-the-left flips the direction
+    case LessThan(Lit(v), Attr(c)) => rangeMay(st, c, v, lo = true, hi = false, strict = true)
+    case LessThanOrEqual(Lit(v), Attr(c)) => rangeMay(st, c, v, lo = true, hi = false, strict = false)
+    case GreaterThan(Lit(v), Attr(c)) => rangeMay(st, c, v, lo = false, hi = true, strict = true)
+    case GreaterThanOrEqual(Lit(v), Attr(c)) => rangeMay(st, c, v, lo = false, hi = true, strict = false)
+
+    case In(Attr(c), vs) =>
+      val lits = vs.map(Lit.unapply)
+      if (lits.exists(_.isEmpty)) true // a non-literal member defeats pruning
+      else lits.flatten.exists(v => rangeMay(st, c, v, lo = true, hi = true, strict = false))
+    case InSet(Attr(c), vs) =>
+      vs.exists(v => rangeMay(st, c, v, lo = true, hi = true, strict = false))
+
+    case IsNull(Attr(c)) => hasNulls(st, c)
+    case IsNotNull(Attr(c)) => hasNonNull(st, c)
+
+    case StartsWith(Attr(c), Lit(v)) if v != null =>
+      st.cols.get(c) match {
+        case Some(cs) if st.rows - cs.nulls == 0 => false
+        case Some(ColStat(Some(mn), Some(mx), _, "string")) =>
+          val p = v.toString
+          // s has prefix p ⇒ s >= p and min<=s ⇒ min.take(|p|) <= p;
+          // both bounds complete, never prune a match
+          mn.take(p.length) <= p && p <= mx
+        case _ => true
+      }
+
+    case _ => true // unsupported shape: never prune
+  }
+
+  private def hasNulls(st: FragStats, c: String): Boolean =
+    st.cols.get(c).forall(_.nulls > 0)
+
+  private def hasNonNull(st: FragStats, c: String): Boolean =
+    st.cols.get(c).forall(cs => st.rows - cs.nulls > 0)
+
+  /** May a non-null value v' of column c with (lo: v' >= v / hi: v' <= v,
+    * strict per flag... inverted: we test whether the fragment range
+    * intersects the half-line/point the predicate asks for. `lo` = the
+    * predicate needs values >= v possible, i.e. max(c) must reach v;
+    * `hi` = needs values <= v possible, i.e. min(c) must not exceed v. */
+  private def rangeMay(st: FragStats, c: String, v: Any,
+                       lo: Boolean, hi: Boolean, strict: Boolean): Boolean = {
+    if (v == null) return false // comparison with NULL never TRUE
+    st.cols.get(c) match {
+      case None => true // column not covered by stats
+      case Some(cs) =>
+        if (st.rows - cs.nulls == 0) return false // all-null: no value comparisons
+        (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) =>
+            (key(cs.typ, v), key(cs.typ, mn), key(cs.typ, mx)) match {
+              case (Some(kv), Some(kmn), Some(kmx)) =>
+                val upOk = !lo || (if (strict) cmp(cs.typ, kmx, kv) > 0 else cmp(cs.typ, kmx, kv) >= 0)
+                val loOk = !hi || (if (strict) cmp(cs.typ, kmn, kv) < 0 else cmp(cs.typ, kmn, kv) <= 0)
+                upOk && loOk
+              case _ => true // unparseable (NaN etc.): no pruning
+            }
+          case _ => true // stats dropped by length cap
+        }
+    }
+  }
+
+  /** Entry-level scan plan: partition `entries` into (scan, pruned) under
+    * the RESOLVED predicate (see [[resolvePredicate]]) using whatever
+    * sidecars exist. */
+  def prune(tableDir: Path, entries: Seq[SnapshotLog.Entry], resolved: Option[Expression])
+      : (Seq[SnapshotLog.Entry], Seq[SnapshotLog.Entry]) =
+    resolved match {
+      case None => (entries, Seq.empty)
+      case Some(expr) =>
+        entries.partition { e =>
+          read(tableDir, e.path) match {
+            case Some(st) => mayMatch(expr, st)
+            case None => true
+          }
+        }
+    }
+}

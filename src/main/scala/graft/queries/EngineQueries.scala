@@ -138,6 +138,48 @@ object EngineQueries {
       |       count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 2""".stripMargin
 
+  // ------------------------------------------------------------ q57 delete
+
+  /** Row-level DELETE with zone-map data skipping, end to end: lineitem
+    * lands as three per-returnflag fragments (the clustered layout a
+    * GDPR-style delete wants), then
+    * `deleteWhere(l_returnflag='R' AND l_quantity > 25)` must
+    *  - zone-prune the A and N fragments (their returnflag range
+    *    excludes 'R' — asserted, so a pruning regression fails the row),
+    *  - rewrite ONLY the R fragment minus matching rows,
+    *  - keep the pre-delete version readable (time travel intact).
+    * Both phases hash-check against DuckDB:
+    *  - `post_delete`: current read = lineitem minus matching rows;
+    *  - `pre_delete_v3`: version 3 still serves the full table. */
+  def q57Delete(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_del"))
+    val li = Tables.load(spark, dir, "lineitem")
+    wh.overwrite("mart", "lidel", li.filter(col("l_returnflag") === "A"))
+    wh.append("mart", "lidel", li.filter(col("l_returnflag") === "N"))
+    wh.append("mart", "lidel", li.filter(col("l_returnflag") === "R"))
+    val pred = col("l_returnflag") === "R" && col("l_quantity") > 25
+    val r = wh.deleteWhere("mart", "lidel", pred)
+    require(r.pruned == 2,
+      s"zone maps must prune the A and N fragments, pruned=${r.pruned}")
+    require(r.deletedRows > 0, "fixture must contain matching rows")
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(lit(phase).as("phase"), col("rf"), col("n"), col("qty"))
+    agg(wh.read("mart", "lidel"), "post_delete")
+      .unionAll(agg(wh.readVersion("mart", "lidel", 3), "pre_delete_v3"))
+  }
+
+  val q57Sql: String =
+    """SELECT 'post_delete' AS phase, l_returnflag AS rf,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem WHERE NOT (l_returnflag = 'R' AND l_quantity > 25)
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'pre_delete_v3' AS phase, l_returnflag AS rf,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY 2""".stripMargin
+
   // --------------------------------------------------------- q13 incremental
 
   def q13Incremental(spark: SparkSession, dir: String): DataFrame = {
@@ -719,6 +761,7 @@ object EngineQueries {
     "q44_stream_enrich" -> (q44StreamEnrich _),
     "q48_snapshot_diff" -> (q48SnapshotDiff _),
     "q53_compact" -> (q53Compact _),
+    "q57_delete" -> (q57Delete _),
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
     "q52_stream_full_join" -> (q52StreamFullJoin _),
     "q54_stream_decontaminate" -> (q54StreamDecontaminate _),
@@ -741,6 +784,7 @@ object EngineQueries {
     "q44_stream_enrich" -> q44Sql,
     "q48_snapshot_diff" -> q48Sql,
     "q53_compact" -> q53Sql,
+    "q57_delete" -> q57Sql,
     "q21_build" -> q21Sql,
     "q51_stream_left_join" -> q51Sql,
     "q52_stream_full_join" -> q52Sql,

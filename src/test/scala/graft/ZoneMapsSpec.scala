@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{TableMeta, Warehouse, ZoneMaps}
+
+/** Zone-map data skipping + row-level deleteWhere: write-time sidecar
+  * stats, conservative may-match pruning, skip-read equivalence, and the
+  * rewrite-only-hit-fragments delete contract. */
+class ZoneMapsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def freshWh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("zm_spec").toString)
+
+  private def df(rows: (Int, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "grp", "v")
+  }
+
+  /** Three disjoint fragments keyed by grp: a / b / c. */
+  private def threeFrags(wh: Warehouse): Unit = {
+    wh.overwrite("raw", "t", df((1, "a", "x"), (2, "a", "y")))
+    wh.append("raw", "t", df((10, "b", "x"), (11, "b", null)))
+    wh.append("raw", "t", df((20, "c", "z"), (21, "c", "w")))
+  }
+
+  test("write paths record sidecars; planScan prunes fragments the range excludes") {
+    val wh = freshWh()
+    threeFrags(wh)
+    val entries = wh.log("raw", "t").latest.get.entries
+    assert(entries.size === 3)
+    val td = Paths.get(wh.root, "raw", "t")
+    entries.foreach(e => assert(ZoneMaps.read(td, e.path).isDefined,
+      s"missing sidecar for ${e.path}"))
+
+    // id ranges: [1,2] / [10,11] / [20,21]
+    val (scanEq, prunedEq) = wh.planScan("raw", "t", col("id") === 10)
+    assert(scanEq.size === 1 && prunedEq.size === 2)
+    val (scanLt, prunedLt) = wh.planScan("raw", "t", col("id") < 3)
+    assert(scanLt.size === 1 && prunedLt.size === 2)
+    val (scanGe, _) = wh.planScan("raw", "t", col("id") >= 11)
+    assert(scanGe.size === 2)
+    // string equality on grp
+    val (scanGrp, _) = wh.planScan("raw", "t", col("grp") === "b")
+    assert(scanGrp.size === 1)
+    // And narrows, Or widens
+    assert(wh.planScan("raw", "t", col("id") > 5 && col("grp") === "a")._1.isEmpty)
+    assert(wh.planScan("raw", "t", col("id") < 3 || col("grp") === "c")._1.size === 2)
+    // IsNull: only the b fragment holds a null v
+    assert(wh.planScan("raw", "t", col("v").isNull)._1.size === 1)
+    // unsupported shape: never prunes
+    assert(wh.planScan("raw", "t", length(col("v")) > 0)._1.size === 3)
+  }
+
+  test("readWhere equals read().filter() while opening fewer fragments") {
+    val wh = freshWh()
+    threeFrags(wh)
+    val pred = col("id").between(10, 20)
+    val got = wh.readWhere("raw", "t", pred).orderBy("id").collect().map(_.getInt(0)).toSeq
+    val want = wh.read("raw", "t").filter(pred).orderBy("id").collect().map(_.getInt(0)).toSeq
+    assert(got === want && got === Seq(10, 11, 20))
+    assert(wh.planScan("raw", "t", pred)._1.size === 2)
+  }
+
+  test("mayMatch unit semantics: nulls, all-null columns, in/startsWith, literal sides") {
+    import ZoneMaps.{ColStat, FragStats}
+    val st = FragStats(10, Map(
+      "n" -> ColStat(Some("5"), Some("20"), 0, "integer"),
+      "s" -> ColStat(Some("apple"), Some("mango"), 2, "string"),
+      "dead" -> ColStat(None, None, 10, "string"), // all-null column
+      "blob" -> ColStat(None, None, 0, "string"))) // stats dropped by cap
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "n INT, s STRING, dead STRING, blob STRING, mystery INT")
+    def may(c: org.apache.spark.sql.Column): Boolean =
+      ZoneMaps.mayMatch(ZoneMaps.resolvePredicate(spark, schema, c).get, st)
+    assert(may(col("n") === 7) && !may(col("n") === 21) && !may(col("n") === 4))
+    assert(may(lit(6) < col("n")) && !may(lit(20) < col("n")) && may(lit(20) <= col("n")))
+    assert(!may(col("n") > 20) && may(col("n") >= 20))
+    assert(may(col("n").isin(1, 2, 20)) && !may(col("n").isin(1, 2, 99)))
+    assert(!may(col("dead") === "x") && may(col("dead").isNull) && !may(col("dead").isNotNull))
+    assert(may(col("blob") === "anything")) // capped stats stay scannable
+    assert(may(col("s").startsWith("ap")) && may(col("s").startsWith("ma")) &&
+      !may(col("s").startsWith("z")) && !may(col("s").startsWith("aa")))
+    assert(!may(col("s").isNull.and(col("n") === 99)))
+    // comparison with NULL literal is never TRUE
+    assert(!may(col("n") === lit(null)))
+    // unknown column: no stats, no pruning
+    assert(may(col("mystery") === 1))
+  }
+
+  test("date-typed stats prune string-literal predicates (the DSL shape)") {
+    val wh = freshWh()
+    import spark.implicits._
+    val d = Seq(("2024-01-05", 1), ("2024-01-20", 2)).toDF("ds", "n")
+      .select(to_date(col("ds")).as("d"), col("n"))
+    wh.overwrite("raw", "dt", d.filter(col("n") === 1))
+    wh.append("raw", "dt", d.filter(col("n") === 2))
+    assert(wh.planScan("raw", "dt", col("d") < "2024-01-10")._1.size === 1)
+    assert(wh.planScan("raw", "dt", col("d") === "2024-01-20")._1.size === 1)
+    assert(wh.readWhere("raw", "dt", col("d") < "2024-01-10").count() === 1)
+  }
+
+  test("deleteWhere rewrites ONLY hit fragments; clean entries keep their paths") {
+    val wh = freshWh()
+    threeFrags(wh)
+    val before = wh.log("raw", "t").latest.get.entries.map(_.path)
+    val r = wh.deleteWhere("raw", "t", col("id") === 11)
+    assert(r.deletedRows === 1L)
+    assert(r.pruned === 2 && r.cleanCandidates === 0)
+    val after = wh.log("raw", "t").latest.get.entries.map(_.path)
+    // the two untouched fragments ride into the new commit verbatim
+    assert(before.toSet.intersect(after.toSet).size === 2)
+    assert(wh.read("raw", "t").orderBy("id").collect().map(_.getInt(0)).toSeq ===
+      Seq(1, 2, 10, 20, 21))
+    // time travel: the pre-delete commit still serves all 6 rows
+    assert(wh.readVersion("raw", "t", 3).count() === 6)
+    // the rewritten fragment got its own sidecar → future scans still prune
+    assert(wh.planScan("raw", "t", col("id") === 1)._1.size === 1)
+  }
+
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val wh = freshWh()
+    threeFrags(wh)
+    // v = 'x' matches ids 1,10; v NULL on id 11 must survive
+    val r = wh.deleteWhere("raw", "t", col("v") === "x")
+    assert(r.deletedRows === 2L)
+    assert(wh.read("raw", "t").orderBy("id").collect().map(_.getInt(0)).toSeq ===
+      Seq(2, 11, 20, 21))
+  }
+
+  test("deleteWhere on a clean candidate set rewrites nothing") {
+    val wh = freshWh()
+    threeFrags(wh)
+    val v3 = wh.log("raw", "t").latest.get.version
+    // id=15 falls inside no fragment's range → all pruned, no commit
+    val r0 = wh.deleteWhere("raw", "t", col("id") === 15)
+    assert(r0.deletedRows === 0L && r0.rewritten.isEmpty && r0.pruned === 3)
+    // v='zz' survives pruning on fragment c ([w,z]) but hits nothing:
+    // candidate read happens, still no rewrite, no commit
+    val r1 = wh.deleteWhere("raw", "t", col("v") === "y" && col("id") > 5)
+    assert(r1.deletedRows === 0L && r1.rewritten.isEmpty)
+    assert(wh.log("raw", "t").latest.get.version === v3, "clean delete must not commit")
+  }
+
+  test("partitioned deleteWhere drops fully-deleted partitions and keeps hive reads") {
+    val wh = freshWh()
+    import spark.implicits._
+    val d = Seq((1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+      (3, "2024-01-02", "c"), (4, "2024-01-03", "d"))
+      .toDF("id", "ds", "v").select(col("id"), to_date(col("ds")).as("d"), col("v"))
+    wh.overwrite("raw", "p", d, TableMeta(partitionField = Some("d")))
+    val r = wh.deleteWhere("raw", "p", col("d") === "2024-01-02")
+    assert(r.deletedRows === 1L && r.rewritten === Seq("2024-01-02"))
+    val left = wh.read("raw", "p")
+    assert(left.count() === 3)
+    assert(left.select("d").distinct().count() === 2)
+    assert(wh.log("raw", "p").latest.get.entries.map(_.partition).sorted ===
+      Seq("2024-01-01", "2024-01-03"))
+    // partial delete within one partition keeps the partition
+    val r2 = wh.deleteWhere("raw", "p", col("id") === 1)
+    assert(r2.deletedRows === 1L && r2.rewritten === Seq("2024-01-01"))
+    assert(wh.read("raw", "p").orderBy("id").collect().map(_.getInt(0)).toSeq === Seq(2, 4))
+  }
+
+  test("analyze backfills sidecars for legacy fragments; missing sidecar never blocks reads") {
+    val wh = freshWh()
+    threeFrags(wh)
+    val td = Paths.get(wh.root, "raw", "t")
+    val entries = wh.log("raw", "t").latest.get.entries
+    // simulate a legacy fragment: remove one sidecar
+    Files.delete(ZoneMaps.statsPath(td, entries.head.path))
+    // uncovered fragment is always scanned → results stay exact
+    assert(wh.readWhere("raw", "t", col("id") === 10).count() === 1)
+    assert(wh.planScan("raw", "t", col("id") === 10)._1.size === 2)
+    val analyzed = wh.analyze("raw", "t")
+    assert(analyzed === Seq(entries.head.path))
+    assert(wh.planScan("raw", "t", col("id") === 10)._1.size === 1)
+    assert(wh.analyze("raw", "t").isEmpty, "second analyze finds nothing to do")
+  }
+
+  test("long string stats are dropped (cap) but null counts still prune") {
+    val wh = freshWh()
+    import spark.implicits._
+    val big = "x" * 200
+    wh.overwrite("raw", "big", Seq((1, big), (2, big + "y")).toDF("id", "txt"))
+    val td = Paths.get(wh.root, "raw", "big")
+    val e = wh.log("raw", "big").latest.get.entries.head
+    val st = ZoneMaps.read(td, e.path).get
+    assert(st.cols("txt").min.isEmpty && st.cols("txt").max.isEmpty)
+    assert(st.cols("txt").nulls === 0L)
+    // value predicates cannot prune, null predicates can
+    assert(wh.planScan("raw", "big", col("txt") === "nope")._1.size === 1)
+    assert(wh.planScan("raw", "big", col("txt").isNull)._1.isEmpty)
+  }
+
+  test("compact output keeps zone maps alive; vacuumStats reclaims orphans") {
+    val wh = freshWh()
+    threeFrags(wh)
+    assert(wh.compact("raw", "t") === Seq(""))
+    val (scan, pruned) = wh.planScan("raw", "t", col("id") === 10)
+    // one compacted fragment covering [1,21]: no pruning possible, but
+    // the sidecar exists (scan == all entries == 1)
+    assert(scan.size === 1 && pruned.isEmpty)
+    val td = Paths.get(wh.root, "raw", "t")
+    val live = wh.log("raw", "t").latest.get.entries.map(_.path).toSet
+    assert(ZoneMaps.read(td, live.head).isDefined)
+    // superseded fragments' sidecars are orphans until vacuumStats
+    val statsDir = td.resolve("_stats")
+    val countBefore = Files.list(statsDir).count()
+    ZoneMaps.vacuumStats(td,
+      wh.log("raw", "t").commits.flatMap(_.entries.map(_.path)).toSet)
+    // pre-compaction commits still live → their sidecars stay
+    assert(Files.list(statsDir).count() === countBefore)
+    ZoneMaps.vacuumStats(td, live)
+    assert(Files.list(statsDir).count() === 1)
+  }
+}
