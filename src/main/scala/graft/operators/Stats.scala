@@ -199,6 +199,55 @@ object Stats {
       .drop("n")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift per group: how far each
+    * group's distribution of an integer-domain metric sits from the
+    * POOLED corpus distribution — the standing drift monitor a training
+    * pipeline runs on every snapshot (did src17's document lengths shift
+    * this week?). Per-group-vs-pool is deliberately linear in |groups|;
+    * all-pairs KS would be quadratic for the same alarm.
+    *
+    * Exact integer arithmetic end to end: D = max_x |F_g(x) − F_all(x)|
+    * is computed as `max |cum_g·n_all − cum_all·n_g|` over the merged
+    * evaluation grid, reported with its exact numerator plus a
+    * basis-point quotient (`(d_num·10⁴) // (n_g·n_all)`) — no float ever
+    * enters, so the statistic is bit-stable under any partitioning.
+    *
+    * 100 TB shape: the ONLY corpus-scale work is the (group, x) rollup —
+    * one map-side-combined aggregate bounded by |groups|·|metric domain|,
+    * not by rows. Everything after (grid, cumulative windows, the max)
+    * runs on that rollup: the per-group window partitions by group, and
+    * the pooled-ECDF window orders the |domain|-sized frame (the
+    * documented small-frame exception to the no-global-window rule).
+    * Integer-domain guard: cum·n products need n_g·n_all < 2^63 —
+    * holds to ~3·10⁹ rows per side; past that, sample the ECDF the way
+    * `lm_ppl_buckets` samples its histogram (D converges at √n).
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    // rollup feeds four consumers (grid keys, group sizes, pooled ECDF,
+    // per-group cumulative) — stage it once
+    val c = df.select(col(groupCol).as("g"), valueCol.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+      .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val points = c.select(col("x")).distinct()
+    val sizes = c.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val tot = c.agg(sum(col("c")).as("n_all"))
+    val cumAll = c.groupBy(col("x")).agg(sum(col("c")).as("c_all"))
+      .withColumn("cum_all", sum(col("c_all"))
+        .over(org.apache.spark.sql.expressions.Window.orderBy("x")))
+      .select(col("x"), col("cum_all"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("x")
+    points.crossJoin(broadcast(sizes))
+      .join(c, Seq("g", "x"), "left")
+      .withColumn("cum_g", sum(coalesce(col("c"), lit(0L))).over(wg))
+      .join(cumAll, "x")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("g").as(groupCol), col("n_g"), col("n_all"))
+      .agg(max(abs(col("cum_g") * col("n_all") - col("cum_all") * col("n_g")))
+        .as("d_num"))
+      .withColumn("d_bp", expr("(d_num * 10000) div (n_g * n_all)"))
+  }
+
   // ----------------------------------------------------------------- query
 
   /** Does spend move with time of day, per event type? (x = hour 0-23,
@@ -343,7 +392,39 @@ object Stats {
        |FROM r JOIN f USING (event_type)""".stripMargin
   }
 
+  /** Which sources' document-length distributions drift from the corpus
+    * pool? (The dataset-mix drift alarm.) */
+  def qKs(spark: SparkSession, dir: String): DataFrame =
+    ksDrift(Tables.load(spark, dir, "documents"), "source", col("n_chars"))
+
+  val qKsSql: String =
+    """WITH c AS MATERIALIZED (
+      |  SELECT source AS g, CAST(n_chars AS BIGINT) AS x,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2),
+      |p AS (SELECT DISTINCT x FROM c),
+      |gg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM c),
+      |cum_all AS (
+      |  SELECT x, CAST(sum(c_all) OVER (ORDER BY x) AS BIGINT) AS cum_all
+      |  FROM (SELECT x, sum(c) AS c_all FROM c GROUP BY 1)),
+      |cg AS (
+      |  SELECT grid.g, grid.n_g, grid.x,
+      |         CAST(sum(coalesce(c.c, 0)) OVER (
+      |           PARTITION BY grid.g ORDER BY grid.x) AS BIGINT) AS cum_g
+      |  FROM (SELECT gg.g, gg.n_g, p.x FROM gg CROSS JOIN p) grid
+      |  LEFT JOIN c ON c.g = grid.g AND c.x = grid.x)
+      |SELECT cg.g AS source, cg.n_g, tot.n_all,
+      |       CAST(max(abs(cum_g * n_all - cum_all * n_g)) AS BIGINT) AS d_num,
+      |       (CAST(max(abs(cum_g * n_all - cum_all * n_g)) AS BIGINT) * 10000)
+      |         // (cg.n_g * tot.n_all) AS d_bp
+      |FROM cg JOIN cum_all USING (x) CROSS JOIN tot
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ks" -> (qKs _),
     "stats_corr" -> (qCorr _),
     "stats_spearman" -> (qSpearman _),
     "stats_chi2" -> (qChi2 _),
@@ -351,6 +432,7 @@ object Stats {
     "winsorize" -> (qWinsorize _))
 
   val oracleSql: Map[String, String] = Map(
+    "stats_ks" -> qKsSql,
     "stats_corr" -> qCorrSql,
     "stats_spearman" -> qSpearmanSql,
     "stats_chi2" -> qChi2Sql,

@@ -436,6 +436,20 @@ object EngineQueries {
     spark.read.parquet(out).select(col("new_id"), col("old_id"), col("hamming"))
   }
 
+  /** Streaming ingest quality gate (SURVEY §2.8 extension): documents
+    * stream through the stateless Gopher verdict kernel; the drained
+    * output must equal the batch `quality_gopher` operator exactly —
+    * same oracle SQL, so the stream twin is hash-gated end to end. */
+  def q58StreamQuality(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_sq_out")
+    StreamingIncremental.runQualityGate(spark, s"$dir/documents.parquet",
+      scratch("graft_sq_ckpt"),
+      Some(StreamingIncremental.FixtureStatePartitions)) { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out)
+  }
+
   /** Streaming per-type distinct-user estimate: HLL registers as
     * mapGroupsWithState state; the drained output must equal the batch
     * sketch (order-free registers), which the oracle restates. */
@@ -765,6 +779,7 @@ object EngineQueries {
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
     "q52_stream_full_join" -> (q52StreamFullJoin _),
     "q54_stream_decontaminate" -> (q54StreamDecontaminate _),
+    "q58_stream_quality" -> (q58StreamQuality _),
     "q55_stream_neardup" -> (q55StreamNearDup _))
 
   val oracleSql: Map[String, String] = Map(
@@ -789,5 +804,7 @@ object EngineQueries {
     "q51_stream_left_join" -> q51Sql,
     "q52_stream_full_join" -> q52Sql,
     "q54_stream_decontaminate" -> q54Sql,
+    // the stream's drained verdicts ARE the batch gopher operator
+    "q58_stream_quality" -> graft.llmops.QualityRules.gopherSql,
     "q55_stream_neardup" -> graft.llmops.Dedup.incrementalOracleSql)
 }

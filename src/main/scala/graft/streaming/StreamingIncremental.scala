@@ -230,6 +230,34 @@ object StreamingIncremental {
     } finally index.bands.unpersist()
   }
 
+  /** Streaming quality gate — Gopher-style document screening applied AT
+    * INGEST, completing the ingest-gate family (decontaminate, near-dup,
+    * quality): every arriving micro-batch runs the batch
+    * [[graft.llmops.QualityRules.gopherRules]] verdict plan verbatim.
+    * Fully stateless (each verdict depends only on its own document —
+    * no broadcast artifact, no cross-batch memory, no watermark), so the
+    * per-batch plan is a narrow codegen'd kernel and the drained output
+    * equals the batch twin regardless of how the source files were
+    * micro-batched. At scale this is the shape you want for a landing
+    * zone: the gate rides the ingest stream's existing file log, adds
+    * zero shuffles, and rejected documents never enter the corpus. */
+  def runQualityGate(spark: SparkSession, docsDir: String,
+                     checkpointDir: String,
+                     statePartitions: Option[Int] = None)
+                    (sink: DataFrame => Unit): Unit =
+      withShufflePartitions(spark, statePartitions) {
+    val stream = stageAndStream(spark, docsDir, "graft_landing_quality")
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.llmops.QualityRules.gopherRules(batch))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Gap-based sessionization — `session_window` event-time aggregation
     * (SURVEY §2.8 extension): events of a user belong to one session
     * while consecutive gaps stay UNDER `gap`; a gap ≥ `gap` starts a new

@@ -127,6 +127,30 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size === 100) // winsorize keeps every row
   }
 
+  test("ksDrift: exact D against a hand-computed two-group fixture") {
+    import spark.implicits._
+    // g=a: {1,1,2,3}  g=b: {2,3,3,4}; pool: {1,1,2,2,3,3,3,4} (n_all=8)
+    // F_a·n_a·n_all at x: 1→16, 2→24, 3→32, 4→32 ; cum_all·n_a: 8,16,28,32
+    // → d_num(a) = max|16-8, 24-16, 32-28, 0| = 8; symmetric for b.
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("a", 3),
+      ("b", 2), ("b", 3), ("b", 3), ("b", 4)).toDF("g", "v")
+    val rows = Stats.ksDrift(df, "g", col("v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows("a") === ((4L, 8L, 8L, 2500L)))
+    assert(rows("b") === ((4L, 8L, 8L, 2500L)))
+  }
+
+  test("ksDrift: a group distributed like the pool has near-zero drift") {
+    import spark.implicits._
+    // two identically distributed groups → each group's ECDF equals the
+    // pooled ECDF at every point → D = 0 exactly
+    val df = (1 to 50).flatMap(v => Seq(("a", v), ("b", v))).toDF("g", "v")
+    val rows = Stats.ksDrift(df, "g", col("v")).collect()
+    assert(rows.length === 2)
+    rows.foreach(r => assert(r.getLong(3) === 0L && r.getLong(4) === 0L))
+  }
+
   test("minMax: 0 at group min, 1 at group max, degenerate group dropped") {
     import spark.implicits._
     val df = Seq(
