@@ -162,6 +162,49 @@ object CorpusStats {
           .as("diversity"))
   }
 
+  /** Collocation (multi-word-expression) mining — the phrase-detection
+    * pass a tokenizer/vocab pipeline runs before merging frequent word
+    * pairs into single units (word2vec's phrase step, MWE lexicons):
+    * adjacent-bigram pairs scored by the Dice coefficient
+    * `2·c(x,y) / (c(x) + c(y))`, reported in exact basis points.
+    * Dice over PMI deliberately: the score is a ratio of counts that
+    * never overflows (`2·c_xy ≤ c_x + c_y`), needs no log, and is
+    * integer-pinnable end to end, where PMI's `c_xy·W²/(B·c_x·c_y)`
+    * product exceeds int64 at corpus scale.
+    *
+    * Shape at 100 TB: two map-side-combined rollups (unigrams to vocab
+    * size, adjacent bigrams to pair-vocab size) — the only corpus-scale
+    * passes — then joins and the top-k rank run on the min-count-filtered
+    * PAIR aggregate, which the `minCount` gate keeps collocation-sized.
+    * Pair keys are unique post-aggregation, so the unigram joins carry
+    * no row explosion and need no skew split. The final row_number is a
+    * single-partition sort of the top-k-bound frame (the documented
+    * small-frame exception). */
+  def collocations(docs: DataFrame, minCount: Int = 3, k: Int = 100): DataFrame = {
+    val ws = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(filter(split(col("text"), " "), w => w =!= "").as("ws"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = ws.filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+      .select(col("pr.w1"), col("pr.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .withColumn("dice_bp", expr("(2 * c_xy * 10000) div (c1 + c2)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dice_bp").desc, col("w1"), col("w2"))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("w1"), col("w2"), col("c_xy"),
+        col("c1"), col("c2"), col("dice_bp"))
+  }
+
   // ----------------------------------------------------------------- query
 
   def qCorpusFreq(spark: SparkSession, dir: String): DataFrame =
@@ -169,6 +212,34 @@ object CorpusStats {
 
   def qKeywords(spark: SparkSession, dir: String): DataFrame =
     distinctiveKeywords(Tables.load(spark, dir, "documents"), 3)
+
+  def qCollocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(Tables.load(spark, dir, "documents"))
+
+  val qCollocationsSql: String =
+    """WITH w AS MATERIALIZED (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |uni AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+      |pr AS (
+      |  SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr
+      |  FROM w WHERE len(ws) >= 2),
+      |pairs AS (
+      |  SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+      |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 3),
+      |s AS (
+      |  SELECT pairs.w1, pairs.w2, c_xy, u1.c AS c1, u2.c AS c2,
+      |         (2 * c_xy * 10000) // (u1.c + u2.c) AS dice_bp
+      |  FROM pairs
+      |  JOIN uni u1 ON u1.w = pairs.w1
+      |  JOIN uni u2 ON u2.w = pairs.w2)
+      |SELECT * FROM (
+      |  SELECT row_number() OVER (ORDER BY dice_bp DESC, w1, w2) AS rank,
+      |         w1, w2, c_xy, c1, c2, dice_bp
+      |  FROM s)
+      |WHERE rank <= 100""".stripMargin
 
   val qKeywordsSql: String =
     """WITH toks AS MATERIALIZED (
@@ -370,6 +441,7 @@ object CorpusStats {
     "quality_corpusfreq" -> (qCorpusFreq _),
     "topk_sources" -> (qTopkSources _),
     "keywords_rare" -> (qKeywords _),
+    "ngram_collocations" -> (qCollocations _),
     "diversity_ngram" -> (qDiversity _),
     "corpus_report" -> (qCorpusReport _),
     "corpus_report_merged" -> (qCorpusReportMerged _))
@@ -378,6 +450,7 @@ object CorpusStats {
     "quality_corpusfreq" -> qCorpusFreqSql,
     "topk_sources" -> qTopkSourcesSql,
     "keywords_rare" -> qKeywordsSql,
+    "ngram_collocations" -> qCollocationsSql,
     "diversity_ngram" -> qDiversitySql,
     "corpus_report" -> qCorpusReportSql,
     "corpus_report_merged" -> qCorpusReportSql)

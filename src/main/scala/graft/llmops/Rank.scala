@@ -262,11 +262,185 @@ object Rank {
        |FROM f
        |QUALIFY rank <= $HybridTopK""".stripMargin
 
+  // ------------------------------------------- RM3 pseudo-relevance feedback
+
+  /** RM3 parameters: feedback depth, expansion width, and the integer
+    * interpolation weights (original terms count double — the λ≈2/3 mix,
+    * kept in exact integers so no engine ever touches a float λ). */
+  val FbDocs = 10
+  val ExpTerms = 5
+  val OrigWeight = 2L
+  val ExpWeight = 1L
+
+  /** BM25 with RM3-style pseudo-relevance feedback (Lavrenko & Croft
+    * 2001; the Anserini/Indri default expansion): run the base query,
+    * treat the top [[FbDocs]] documents as relevant, mine [[ExpTerms]]
+    * expansion terms from them, and re-score with the expanded term set
+    * — original terms at [[OrigWeight]], expansions at [[ExpWeight]].
+    *
+    * Expansion-term weight is the relevance-model estimate pinned to
+    * integers: `w(t) = Σ_d (tf(t,d) · score_d) div dl_d` over feedback
+    * docs — term mass weighted by the doc's own retrieval score,
+    * length-normalized, each step an exact integer op so both engines
+    * pick the SAME terms. Candidates must hit ≥ 2 feedback docs (a
+    * one-doc term is noise, the standard guard) and pass a stopword
+    * screen (`2·df_corpus ≤ N` — a term in over half the corpus carries
+    * no relevance signal, only score mass).
+    *
+    * Driver collects are query-sized by construction: [[FbDocs]] rows
+    * after pass 1 and [[ExpTerms]] rows of mined terms — the same
+    * contract as [[lexicalTopK]]'s capped query batch, never the corpus.
+    * Corpus-scale work is three narrow passes (pass-1 isin-filtered
+    * explode, candidate df count, pass-2 isin-filtered explode), each
+    * map-side combined; feedback-doc term mining touches [[FbDocs]]
+    * documents. */
+  def rm3TopK(docs: DataFrame, terms: Seq[String], k: Int,
+              fbDocs: Int = FbDocs, expTerms: Int = ExpTerms): DataFrame = {
+    require(terms.nonEmpty, "rm3TopK needs at least one query term")
+    // pass 1: plain BM25, feedback set = top fbDocs (query-sized collect)
+    val fb = bm25TopK(docs, terms, fbDocs)
+      .select(col("doc_id"), col("score_micros")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fbIds = fb.keys.toSeq.sorted
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(coalesce(col("text"), lit("")), " ").as("words"))
+      .withColumn("dl", size(col("words")).cast("long"))
+    val nDocs = base.count()
+    // relevance-model term mining over the fbDocs feedback documents
+    val scoreCol = fb.foldLeft(lit(0L)) { case (acc, (id, s)) =>
+      when(col("doc_id") === id, lit(s)).otherwise(acc)
+    }
+    val fbTf = base.filter(col("doc_id").isin(fbIds: _*))
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("score", scoreCol)
+    val cand = fbTf
+      .groupBy(col("token"))
+      .agg(sum(expr("(tf * score) div dl")).as("w"),
+        count(lit(1)).as("df_fb"))
+      .filter(col("df_fb") >= 2 && !col("token").isin(terms: _*))
+    // stopword screen: corpus df for the candidate vocabulary only
+    val candTokens = cand.select(col("token"))
+    val dfC = base
+      .select(col("doc_id"), explode(col("words")).as("token"))
+      .join(broadcast(candTokens), Seq("token"))
+      .distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df_c"))
+    val mined = cand.join(broadcast(dfC), Seq("token"))
+      .filter(col("df_c") * 2 <= lit(nDocs))
+      .orderBy(col("w").desc, col("token"))
+      .limit(expTerms)
+      .select(col("token")).collect().map(_.getString(0)).toSeq
+    // pass 2: weighted BM25 over the expanded term set
+    val allTerms = terms ++ mined
+    val scalars = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("token"))
+      .filter(col("token").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfn = (col("tf") * lit(K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / avgdl))
+    val wt = when(col("token").isin(terms: _*), lit(OrigWeight))
+      .otherwise(lit(ExpWeight))
+    tf.join(broadcast(df_), Seq("token"))
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"),
+        (floor(idf * tfn * lit(Micro)) * wt).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("score_micros"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def qRm3(spark: SparkSession, dir: String): DataFrame =
+    rm3TopK(Tables.load(spark, dir, "documents"), QueryTerms, TopK)
+
+  /** The whole three-stage derivation restated in SQL: pass-1 scores,
+    * feedback top-[[FbDocs]], integer relevance-model mining with the
+    * df screen, weighted pass-2. Every stage is integer-pinned, so the
+    * two engines must pick the SAME feedback docs, the SAME expansion
+    * terms, and the SAME final ranking. */
+  lazy val qRm3Sql: String = {
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+       |  FROM documents),
+       |d AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM base),
+       |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
+       |      FROM d),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(words) AS token FROM base),
+       |tf0 AS (
+       |  SELECT t.doc_id, t.token, count(*) AS tf
+       |  FROM toks t WHERE t.token IN ($termList) GROUP BY 1, 2),
+       |df0 AS (SELECT token, count(*) AS df FROM tf0 GROUP BY 1),
+       |c0 AS (
+       |  SELECT tf0.doc_id,
+       |         CAST(floor(((s.n_docs - df0.df + 5e-1) / (df0.df + 5e-1))
+       |           * ((tf0.tf * 2.2e0)
+       |              / (tf0.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * d.dl
+       |                   / (CAST(s.tot_dl AS DOUBLE) / s.n_docs))))
+       |           * 1e6) AS BIGINT) AS m
+       |  FROM tf0 JOIN df0 USING (token) JOIN d USING (doc_id)
+       |       CROSS JOIN s),
+       |fb AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micros
+       |  FROM c0 GROUP BY 1
+       |  ORDER BY score_micros DESC, doc_id LIMIT $FbDocs),
+       |fbtf AS (
+       |  SELECT t.token, t.doc_id, d.dl, fb.score_micros, count(*) AS tf
+       |  FROM toks t JOIN fb USING (doc_id) JOIN d ON d.doc_id = t.doc_id
+       |  WHERE t.token <> '' GROUP BY 1, 2, 3, 4),
+       |cand AS (
+       |  SELECT token, CAST(sum((tf * score_micros) // dl) AS BIGINT) AS w,
+       |         count(*) AS df_fb
+       |  FROM fbtf GROUP BY 1
+       |  HAVING count(*) >= 2 AND token NOT IN ($termList)),
+       |dfc AS (
+       |  SELECT token, count(*) AS df_c
+       |  FROM (SELECT DISTINCT doc_id, token FROM toks
+       |        WHERE token IN (SELECT token FROM cand))
+       |  GROUP BY 1),
+       |mined AS MATERIALIZED (
+       |  SELECT cand.token FROM cand JOIN dfc USING (token) CROSS JOIN s
+       |  WHERE dfc.df_c * 2 <= s.n_docs
+       |  ORDER BY cand.w DESC, cand.token LIMIT $ExpTerms),
+       |terms AS (SELECT unnest([$termList]) AS token, $OrigWeight AS wt
+       |          UNION ALL SELECT token, $ExpWeight FROM mined),
+       |tf1 AS (
+       |  SELECT t.doc_id, t.token, count(*) AS tf
+       |  FROM toks t WHERE t.token IN (SELECT token FROM terms)
+       |  GROUP BY 1, 2),
+       |df1 AS (SELECT token, count(*) AS df FROM tf1 GROUP BY 1),
+       |c1 AS (
+       |  SELECT tf1.doc_id,
+       |         CAST(floor(((s.n_docs - df1.df + 5e-1) / (df1.df + 5e-1))
+       |           * ((tf1.tf * 2.2e0)
+       |              / (tf1.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * d.dl
+       |                   / (CAST(s.tot_dl AS DOUBLE) / s.n_docs))))
+       |           * 1e6) AS BIGINT) * terms.wt AS m
+       |  FROM tf1 JOIN df1 USING (token) JOIN d USING (doc_id)
+       |       JOIN terms ON terms.token = tf1.token CROSS JOIN s)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micros,
+       |       count(*) AS n_hit
+       |FROM c1 GROUP BY 1
+       |ORDER BY score_micros DESC, doc_id LIMIT $TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rank_bm25" -> (qBm25 _),
-    "rank_hybrid_rrf" -> (qHybrid _))
+    "rank_hybrid_rrf" -> (qHybrid _),
+    "rank_rm3" -> (qRm3 _))
 
   val oracleSql: Map[String, String] = Map(
     "rank_bm25" -> qBm25Sql,
-    "rank_hybrid_rrf" -> qHybridSql)
+    "rank_hybrid_rrf" -> qHybridSql,
+    "rank_rm3" -> qRm3Sql)
 }

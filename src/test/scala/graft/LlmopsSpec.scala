@@ -675,6 +675,46 @@ class LlmopsSpec extends AnyFunSuite {
     assert(got(0)._2 > got(1)._2)
   }
 
+  test("rm3TopK expands with feedback terms and recalls docs pass-1 misses") {
+    import spark.implicits._
+    // "cat" is the query. Feedback docs (1,2) both carry "whisker" —
+    // the relevance model must mine it (df_fb=2, not a stopword) —
+    // while "filler"/"pad" appear in over half the corpus and are
+    // screened out. Doc 4 has NO query term, only "whisker": plain BM25
+    // can never return it; RM3 must.
+    val docs = Seq(
+      (1L, "cat whisker filler pad"),
+      (2L, "cat whisker filler pad"),
+      (3L, "cat filler pad x1 x2 x3"),
+      (4L, "whisker y1 y2 y3"),
+      (5L, "filler pad z1 z2"),
+      (6L, "filler pad z3 z4")).toDF("doc_id", "text")
+    val plain = graft.llmops.Rank.bm25TopK(docs, Seq("cat"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(4L))
+    val rm3 = graft.llmops.Rank.rm3TopK(docs, Seq("cat"), 10, fbDocs = 3,
+      expTerms = 2).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rm3.contains(4L), "expansion must recall the whisker-only doc")
+    // docs holding query term + expansion hit 2 distinct terms
+    assert(rm3(1L) === 2L && rm3(4L) === 1L)
+    // the stopword screen held: docs with only filler/pad stay absent
+    assert(!rm3.contains(5L) && !rm3.contains(6L))
+  }
+
+  test("collocations: Dice in exact basis points, min-count gate, deterministic rank") {
+    import spark.implicits._
+    // "data base" co-occurs 3x; c(data)=4, c(base)=3 → dice_bp =
+    // 2*3*10000 // 7 = 8571. "a b" occurs twice → below minCount 3.
+    val docs = Seq(
+      (1L, "data base a b"),
+      (2L, "data base a b"),
+      (3L, "data base"),
+      (4L, "data x")).toDF("doc_id", "text")
+    val got = graft.llmops.CorpusStats.collocations(docs, minCount = 3, k = 10)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(6)))
+    assert(got.toSeq === Seq(("data", "base", 3L, 8571L)))
+  }
+
   test("bm25 length normalization: same tf in a longer doc scores lower") {
     import spark.implicits._
     val docs = Seq(
