@@ -34,6 +34,7 @@ object SparkEntry {
       graft.operators.GlobalRank.queries ++
       graft.operators.JsonCols.queries ++
       graft.operators.PageRank.queries ++
+      graft.operators.LabelProp.queries ++
       graft.operators.Quantiles.queries ++
       graft.operators.Reshape.queries ++
       graft.operators.Retention.queries ++
@@ -74,6 +75,7 @@ object SparkEntry {
       graft.operators.GlobalRank.oracleSql ++
       graft.operators.JsonCols.oracleSql ++
       graft.operators.PageRank.oracleSql ++
+      graft.operators.LabelProp.oracleSql ++
       graft.operators.Quantiles.oracleSql ++
       graft.operators.Reshape.oracleSql ++
       graft.operators.Retention.oracleSql ++

@@ -1047,6 +1047,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length === got.distinct.length)
   }
 
+  test("labelPropagation: two cliques joined by one weak edge settle into two communities") {
+    import spark.implicits._
+    // cliques {1,2,3} and {10,11,12} (internal weight 2), one weight-1
+    // bridge 3-10: LPA must keep the communities separate, labels = the
+    // min node of each clique (tie-break label ASC everywhere)
+    def undirected(pairs: (Long, Long, Long)*): Seq[(Long, Long, Long)] =
+      pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val edges = undirected(
+      (1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (10L, 11L, 2L), (10L, 12L, 2L), (11L, 12L, 2L),
+      (3L, 10L, 1L)).toDF("src", "dst", "w")
+    val got = graft.operators.LabelProp.labelPropagation(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    val left = Set(1L, 2L, 3L).map(got)
+    val right = Set(10L, 11L, 12L).map(got)
+    assert(left.size === 1 && right.size === 1, s"one label per clique: $got")
+    assert(left.head !== right.head, "the weak bridge must not merge communities")
+  }
+
+  test("labelPropagation round 1: each node adopts its weight-argmax neighbor label") {
+    import spark.implicits._
+    // star: center 5 sees labels {1(w=3), 2(w=1)} → adopts 1; leaves see
+    // only {5} → adopt 5. One synchronous round, exact.
+    val edges = Seq((5L, 1L, 3L), (1L, 5L, 3L), (5L, 2L, 1L), (2L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val got = graft.operators.LabelProp.labelPropagation(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 1L, 1L -> 5L, 2L -> 5L))
+  }
+
   test("pageRank: exact integer ranks on a path graph, symmetry, mass bound") {
     import spark.implicits._
     val S = graft.operators.PageRank.Scale
