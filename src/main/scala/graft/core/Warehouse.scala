@@ -384,15 +384,21 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                           field: Option[String]): Unit = {
     if (entries.isEmpty) return
     try {
+      val td = tableDir(dataset, table)
       val df = field match {
         case Some(_) => spark.read.option("basePath", frag.toString)
-          .parquet(entries.map(e => tableDir(dataset, table).resolve(e.path).toString): _*)
+          .parquet(entries.map(e => td.resolve(e.path).toString): _*)
         case None => spark.read.parquet(frag.toString)
       }
-      val byPart = ZoneMaps.computeStatsBy(df, field).toMap
+      val perFile = ZoneMaps.computeFileStats(df, field)
       entries.foreach { e =>
-        byPart.get(e.partition).foreach(st =>
-          ZoneMaps.write(tableDir(dataset, table), e.path, st))
+        val prefix = td.resolve(e.path).toAbsolutePath.toString + "/"
+        val mine = perFile.filter(_._1.startsWith(prefix))
+        if (mine.nonEmpty) {
+          val filesMap = mine.map { case (f, st) => f.stripPrefix(prefix) -> st }.toMap
+          ZoneMaps.write(td, e.path,
+            ZoneMaps.mergeAll(mine.map(_._2)).copy(files = filesMap))
+        }
       }
     } catch { case _: Exception => () } // stats are advisory, never fail a write
   }
@@ -407,8 +413,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val missing = c.entries.filter(e => ZoneMaps.read(td, e.path).isEmpty)
     missing.foreach { e =>
       val df = readEntries(dataset, table, Seq(e), c.schemaDdl)
-      ZoneMaps.write(td, e.path, ZoneMaps.computeStats(
-        meta(dataset, table).partitionField.map(df.drop(_)).getOrElse(df)))
+      val perFile = ZoneMaps.computeFileStats(df, meta(dataset, table).partitionField)
+      val prefix = td.resolve(e.path).toAbsolutePath.toString + "/"
+      val mine = perFile.filter(_._1.startsWith(prefix))
+      if (mine.nonEmpty) {
+        val filesMap = mine.map { case (f, st) => f.stripPrefix(prefix) -> st }.toMap
+        ZoneMaps.write(td, e.path,
+          ZoneMaps.mergeAll(mine.map(_._2)).copy(files = filesMap))
+      }
     }
     missing.map(_.path)
   }
@@ -432,17 +444,72 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     ddl.map(StructType.fromDDL).flatMap(s => ZoneMaps.resolvePredicate(spark, s, pred))
   }
 
-  /** Data-skipping read: open only the fragments whose zone maps may
-    * satisfy `pred`, then apply the exact filter. Equivalent to
+  /** Data-skipping read: open only the FILES whose zone maps may satisfy
+    * `pred`, then apply the exact filter. Pruning runs at two levels —
+    * whole entries first, then files inside surviving entries (the
+    * granularity that makes a [[recluster]]'d layout prunable: one
+    * clustered fragment, many narrow-range files). Equivalent to
     * `read(..).filter(pred)` by construction (pruning is conservative);
-    * on a clustered/z-ordered layout this is the difference between
-    * opening 3 fragments and 10,000 at 100 TB. */
+    * on a clustered layout this is the difference between opening 3
+    * files and 10,000 at 100 TB. */
   def readWhere(dataset: String, table: String, pred: Column): DataFrame = {
     val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
-    val (scan, _) = ZoneMaps.prune(tableDir(dataset, table), c.entries,
-      resolvedPred(dataset, table, c, pred))
-    readEntries(dataset, table, scan, c.schemaDdl).filter(pred)
+    val resolved = resolvedPred(dataset, table, c, pred)
+    val (scan, filesOf) = planFiles(dataset, table, c.entries, resolved)
+    readEntries(dataset, table, scan, c.schemaDdl, filesOf).filter(pred)
+  }
+
+  /** Two-level prune: (entries to read, per-entry kept-file overrides).
+    * Entries whose every file prunes drop out entirely. */
+  private def planFiles(dataset: String, table: String,
+                        entries: Seq[SnapshotLog.Entry],
+                        resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : (Seq[SnapshotLog.Entry], Map[String, Seq[String]]) = {
+    val td = tableDir(dataset, table)
+    val (scan, _) = ZoneMaps.prune(td, entries, resolved)
+    resolved match {
+      case None => (scan, Map.empty)
+      case Some(expr) =>
+        val kept = scan.map { e =>
+          val files = ZoneMaps.read(td, e.path)
+            .flatMap(st => ZoneMaps.pruneFiles(st, expr))
+            .map { case (keep, _) =>
+              keep.map(f => td.resolve(e.path).resolve(f).toString)
+            }
+          e -> files
+        }
+        val surviving = kept.filter { case (_, files) => files.forall(_.nonEmpty) }
+        (surviving.map(_._1),
+          surviving.collect { case (e, Some(fs)) => e.path -> fs }.toMap)
+    }
+  }
+
+  /** Scan footprint under a predicate: (files to open, total files in
+    * the snapshot) — the observable data-skipping ratio for specs,
+    * oracles, and capacity planning. Entries without file zones count
+    * all their on-disk parquet files on both sides. */
+  def scanFootprint(dataset: String, table: String, pred: Column): (Long, Long) = {
+    val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    def diskFiles(e: SnapshotLog.Entry): Long = {
+      val root = td.resolve(e.path)
+      if (!Files.exists(root)) return 0L
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toLong
+      finally walk.close()
+    }
+    def filesIn(e: SnapshotLog.Entry): Long =
+      ZoneMaps.read(td, e.path).filter(_.files.nonEmpty)
+        .map(_.files.size.toLong).getOrElse(diskFiles(e))
+    val total = c.entries.map(filesIn).sum
+    val resolved = resolvedPred(dataset, table, c, pred)
+    val (scan, filesOf) = planFiles(dataset, table, c.entries, resolved)
+    val scanned = scan.map(e =>
+      filesOf.get(e.path).map(_.size.toLong).getOrElse(filesIn(e))).sum
+    (scanned, total)
   }
 
   /** Outcome of a [[deleteWhere]]: rows removed, entries rewritten (by
@@ -479,15 +546,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val cur = lg.latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
     val td = tableDir(dataset, table)
-    val (candidates, prunedEs) = ZoneMaps.prune(td, cur.entries,
+    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
       resolvedPred(dataset, table, cur, pred))
+    val prunedN = cur.entries.size - candidates.size
     if (candidates.isEmpty)
-      return DeleteResult(0L, Seq.empty, prunedEs.size, 0)
+      return DeleteResult(0L, Seq.empty, prunedN, 0)
 
-    // phase 2: one job — matches per candidate entry (pad each entry to
-    // the commit schema so predicates on evolved columns resolve)
+    // phase 2: one job — matches per candidate entry, scanning only the
+    // may-match FILES of each (pad each entry to the commit schema so
+    // predicates on evolved columns resolve)
     val counts: Map[String, Long] = candidates.map { e =>
-      readEntries(dataset, table, Seq(e), cur.schemaDdl)
+      readEntries(dataset, table, Seq(e), cur.schemaDdl,
+        filesOf.view.filterKeys(_ == e.path).toMap)
         .filter(pred).select(lit(e.path).as("_entry"))
     }.reduce(_.unionAll(_))
       .groupBy(col("_entry")).agg(count(lit(1)).as("_n"))
@@ -495,7 +565,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val hits = candidates.filter(e => counts.getOrElse(e.path, 0L) > 0L)
     val deleted = counts.values.sum
     if (hits.isEmpty)
-      return DeleteResult(0L, Seq.empty, prunedEs.size, candidates.size)
+      return DeleteResult(0L, Seq.empty, prunedN, candidates.size)
 
     // phase 3: one write — all hit fragments minus matches, re-clustered
     // by partition for partitioned tables
@@ -531,7 +601,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         throw e
     }
     DeleteResult(deleted, hits.map(_.partition).distinct.sorted,
-      prunedEs.size, candidates.size - hits.size)
+      prunedN, candidates.size - hits.size)
   }
 
   private def readCommit(dataset: String, table: String, c: SnapshotLog.Commit): DataFrame =
@@ -541,9 +611,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * fragments written before an additive evolution are padded with typed
     * nulls here (pad-on-read), so evolution never rewrites data and a
     * time-travel read serves the schema as of its own commit. */
+  /** `filesOf`: optional per-entry replacement of the entry DIR by an
+    * explicit absolute file list (zone-map file pruning) — entries
+    * absent from the map read their whole dir as before. */
   private def readEntries(dataset: String, table: String,
                           entries: Seq[SnapshotLog.Entry],
-                          commitSchema: Option[String]): DataFrame = {
+                          commitSchema: Option[String],
+                          filesOf: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val m = meta(dataset, table)
     if (entries.isEmpty) {
       val ddl = commitSchema.orElse(schemaDdl(dataset, table)).getOrElse("")
@@ -552,7 +626,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
     val raw = m.partitionField match {
       case None =>
-        val paths = entries.map(e => tableDir(dataset, table).resolve(e.path).toString)
+        val paths = entries.flatMap(e => filesOf.getOrElse(e.path,
+          Seq(tableDir(dataset, table).resolve(e.path).toString)))
         commitSchema.map(StructType.fromDDL) match {
           // explicit commit schema: fragments narrower than it (written
           // before an additive evolution) pad their missing columns with
@@ -573,7 +648,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           tableDir(dataset, table).resolve(e.path).getParent.toString)
         byFrag.map { case (base, es) =>
           spark.read.option("basePath", base)
-            .parquet(es.map(e => tableDir(dataset, table).resolve(e.path).toString): _*)
+            .parquet(es.flatMap(e => filesOf.getOrElse(e.path,
+              Seq(tableDir(dataset, table).resolve(e.path).toString))): _*)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
           .withColumn(field, col(field).cast(m.partitionType))
     }
@@ -781,13 +857,39 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** Clustering rewrite (admin/clustering.py:22-57 semantics): BigQuery
     * re-clusters with an `UPDATE ... WHERE partition-filter` no-op rewrite;
     * here the honest Spark equivalent is a physical rewrite ordered by the
-    * clustering columns — `repartitionByRange(cols).sortWithinPartitions`. */
-  def recluster(dataset: String, table: String): Unit = {
+    * clustering columns — `repartitionByRange(n, cols).sortWithinPartitions`.
+    *
+    * The output file COUNT is pinned to `ceil(tableBytes / targetBytes)`
+    * (the [[compact]] sizing rule) rather than left to AQE: an explicit
+    * range-partition count yields size-bounded files each covering a
+    * narrow key range — exactly the layout [[readWhere]]'s per-FILE zone
+    * maps prune, and the reason a point query on the clustering key
+    * opens one file instead of the table. */
+  def recluster(dataset: String, table: String,
+                targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
     val m = meta(dataset, table)
     require(m.clusteringFields.nonEmpty, s"$dataset.$table has no clustering fields")
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    val bytes = cur.entries.map { e =>
+      val root = td.resolve(e.path)
+      if (!Files.exists(root)) 0L
+      else {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum
+        finally walk.close()
+      }
+    }.sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val cols = m.clusteringFields.map(col)
     val df = read(dataset, table)
-      .repartitionByRange(cols: _*)
+      .repartitionByRange(nOut, cols: _*)
       .sortWithinPartitions(cols: _*)
     overwrite(dataset, table, df, m)
   }

@@ -9,7 +9,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.functions.{col, count, lit, max, min}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
 import org.apache.spark.sql.types._
 
 /** Per-fragment zone maps (min/max/null-count column statistics) — the
@@ -47,7 +47,15 @@ object ZoneMaps {
   final case class ColStat(min: Option[String], max: Option[String],
                            nulls: Long, typ: String)
 
-  final case class FragStats(rows: Long, cols: Map[String, ColStat]) {
+  /** Entry-level stats plus the per-FILE zones inside the entry. File
+    * granularity is what makes skipping compose with clustering: a
+    * range-clustered rewrite ([[Warehouse.recluster]]) produces ONE
+    * fragment whose files each cover a narrow key range — per-file zones
+    * prune inside it, per-entry zones cannot. `files` keys are file
+    * names relative to the entry dir (fragments are immutable, so the
+    * names never move); empty for sidecars written before file zones. */
+  final case class FragStats(rows: Long, cols: Map[String, ColStat],
+                             files: Map[String, FragStats] = Map.empty) {
     def nonNullRows(c: String): Option[Long] = cols.get(c).map(s => rows - s.nulls)
   }
 
@@ -64,15 +72,12 @@ object ZoneMaps {
     case t => t.typeName
   }
 
-  /** One aggregate over an (unpartitioned) fragment read → its stats.
-    * Cost: one scan of the freshly written fragment — the standard
-    * write-time stats trade (Delta does the same inline with the write). */
-  def computeStats(df: DataFrame): FragStats =
-    computeStatsBy(df, None).head._2
-
-  /** Stats per partition value in ONE job: groupBy the partition field
-    * so a 30-partition insert_overwrite costs one stats pass, not 30. */
-  def computeStatsBy(df: DataFrame, field: Option[String]): Seq[(String, FragStats)] = {
+  /** Per-FILE stats in ONE job (groupBy `input_file_name`): the zone
+    * granularity that survives compaction and makes clustering rewrites
+    * prunable. Returns (absolute file path, leaf stats); the partition
+    * column (when given) rides as a min=max single-value zone on every
+    * file, so partition predicates prune through the same rule set. */
+  def computeFileStats(df: DataFrame, field: Option[String]): Seq[(String, FragStats)] = {
     val statCols = df.schema.fields.filter(eligible).filterNot(f => field.contains(f.name))
     val aggs = count(lit(1)).as("_rows") +:
       statCols.flatMap { f =>
@@ -80,10 +85,9 @@ object ZoneMaps {
           max(col(f.name)).cast("string").as(s"_max_${f.name}"),
           count(col(f.name)).as(s"_cnt_${f.name}"))
       }.toSeq
-    val grouped = field match {
-      case Some(p) => df.groupBy(col(p).cast("string").as("_part")).agg(aggs.head, aggs.tail: _*)
-      case None => df.agg(aggs.head, aggs.tail: _*)
-    }
+    val keys = col("_file") +: field.map(p => col(p).cast("string").as("_part")).toSeq
+    val grouped = df.withColumn("_file", input_file_name())
+      .groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     grouped.collect().toSeq.map { r =>
       val part = field.map(_ => Option(r.getAs[String]("_part")).getOrElse("")).getOrElse("")
       val rows = r.getAs[Long]("_rows")
@@ -101,8 +105,39 @@ object ZoneMaps {
       val withPart = field.filter(p => df.schema.fieldNames.contains(p)).map { p =>
         cols + (p -> ColStat(Some(part), Some(part), 0, typeTag(df.schema(p).dataType)))
       }.getOrElse(cols)
-      part -> FragStats(rows, withPart)
+      val path = try new java.net.URI(r.getAs[String]("_file")).getPath
+        catch { case _: Exception => r.getAs[String]("_file") }
+      path -> FragStats(rows, withPart)
     }
+  }
+
+  /** Merge sibling zones up to their entry: min of mins / max of maxes
+    * in the column's TYPED order, null/row counts add. A side whose
+    * bounds were cap-dropped (values exist, no min/max) poisons the
+    * merged pair to unknown; a side with no values at all defers to the
+    * other. Columns present on only one side drop out (conservative:
+    * absent stat = never prune). */
+  def mergeAll(fs: Seq[FragStats]): FragStats = fs.reduce { (x, y) =>
+    val cols = x.cols.keySet.intersect(y.cols.keySet).flatMap { c =>
+      val (a, b) = (x.cols(c), y.cols(c))
+      val aVals = x.rows - a.nulls > 0
+      val bVals = y.rows - b.nulls > 0
+      val (lo, hi): (Option[String], Option[String]) =
+        if (!aVals) (b.min, b.max)
+        else if (!bVals) (a.min, a.max)
+        else (a.min, a.max, b.min, b.max) match {
+          case (Some(amn), Some(amx), Some(bmn), Some(bmx)) =>
+            (key(a.typ, amn), key(a.typ, amx), key(a.typ, bmn), key(a.typ, bmx)) match {
+              case (Some(k1), Some(k2), Some(k3), Some(k4)) =>
+                (Some(if (cmp(a.typ, k1, k3) <= 0) amn else bmn),
+                  Some(if (cmp(a.typ, k2, k4) >= 0) amx else bmx))
+              case _ => (None, None)
+            }
+          case _ => (None, None)
+        }
+      Some(c -> ColStat(lo, hi, a.nulls + b.nulls, a.typ))
+    }.toMap
+    FragStats(x.rows + y.rows, cols)
   }
 
   // ------------------------------------------------------------ sidecars
@@ -115,10 +150,9 @@ object ZoneMaps {
 
   private val mapper = new ObjectMapper()
 
-  def write(tableDir: Path, entryPath: String, st: FragStats): Unit = {
-    val root = mapper.createObjectNode()
-    root.put("rows", st.rows)
-    val cols = root.putObject("cols")
+  private def renderStats(node: ObjectNode, st: FragStats): Unit = {
+    node.put("rows", st.rows)
+    val cols = node.putObject("cols")
     st.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
       val n = cols.putObject(name)
       c.min.foreach(n.put("min", _))
@@ -126,28 +160,45 @@ object ZoneMaps {
       n.put("nulls", c.nulls)
       n.put("type", c.typ)
     }
+    if (st.files.nonEmpty) {
+      val fn = node.putObject("files")
+      st.files.toSeq.sortBy(_._1).foreach { case (name, f) =>
+        renderStats(fn.putObject(name), f)
+      }
+    }
+  }
+
+  def write(tableDir: Path, entryPath: String, st: FragStats): Unit = {
+    val root = mapper.createObjectNode()
+    renderStats(root, st)
     val p = statsPath(tableDir, entryPath)
     Files.createDirectories(p.getParent)
     Files.write(p, mapper.writeValueAsBytes(root))
   }
 
+  private def parseStats(root: com.fasterxml.jackson.databind.JsonNode): FragStats = {
+    val cols = Option(root.get("cols")).map { cn =>
+      cn.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> ColStat(
+          Option(v.get("min")).map(_.asText()),
+          Option(v.get("max")).map(_.asText()),
+          Option(v.get("nulls")).map(_.asLong()).getOrElse(0L),
+          Option(v.get("type")).map(_.asText()).getOrElse("string"))
+      }.toMap
+    }.getOrElse(Map.empty[String, ColStat])
+    val files = Option(root.get("files")).map { fn =>
+      fn.properties().asScala.map(e => e.getKey -> parseStats(e.getValue)).toMap
+    }.getOrElse(Map.empty[String, FragStats])
+    FragStats(root.get("rows").asLong(), cols, files)
+  }
+
   def read(tableDir: Path, entryPath: String): Option[FragStats] = {
     val p = statsPath(tableDir, entryPath)
     if (!Files.exists(p)) return None
-    try {
-      val root = mapper.readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      val cols = Option(root.get("cols")).map { cn =>
-        cn.properties().asScala.map { e =>
-          val v = e.getValue
-          e.getKey -> ColStat(
-            Option(v.get("min")).map(_.asText()),
-            Option(v.get("max")).map(_.asText()),
-            Option(v.get("nulls")).map(_.asLong()).getOrElse(0L),
-            Option(v.get("type")).map(_.asText()).getOrElse("string"))
-        }.toMap
-      }.getOrElse(Map.empty)
-      Some(FragStats(root.get("rows").asLong(), cols))
-    } catch { case _: Exception => None } // corrupt sidecar = no pruning
+    try Some(parseStats(
+      mapper.readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))))
+    catch { case _: Exception => None } // corrupt sidecar = no pruning
   }
 
   /** Remove sidecars whose entry no longer exists in any live commit
@@ -317,6 +368,14 @@ object ZoneMaps {
         }
     }
   }
+
+  /** File-level scan plan inside one entry: (files to scan, files the
+    * zones prove clean), names relative to the entry dir. None when the
+    * sidecar predates file zones (caller scans the whole entry). */
+  def pruneFiles(st: FragStats, resolved: Expression)
+      : Option[(Seq[String], Seq[String])] =
+    if (st.files.isEmpty) None
+    else Some(st.files.keys.toSeq.sorted.partition(f => mayMatch(resolved, st.files(f))))
 
   /** Entry-level scan plan: partition `entries` into (scan, pruned) under
     * the RESOLVED predicate (see [[resolvePredicate]]) using whatever

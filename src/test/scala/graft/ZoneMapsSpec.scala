@@ -195,6 +195,42 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(wh.planScan("raw", "big", col("txt").isNull)._1.isEmpty)
   }
 
+  test("file-level zones: a clustered rewrite prunes INSIDE one fragment") {
+    val wh = freshWh()
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    wh.overwrite("raw", "cl", df, graft.core.TableMeta(clusteringFields = Seq("id")))
+    // tiny targetBytes forces several range files inside the one fragment
+    wh.recluster("raw", "cl", targetBytes = 2L << 10)
+    val entries = wh.log("raw", "cl").latest.get.entries
+    assert(entries.size === 1, "recluster writes one fragment")
+    val (scanned, total) = wh.scanFootprint("raw", "cl", col("id") === 500L)
+    assert(total > 4, s"range write must produce several files, got $total")
+    assert(scanned === 1L,
+      s"a point predicate on the clustering key must open ONE file, opened $scanned")
+    // the pruned read stays exact
+    val got = wh.readWhere("raw", "cl", col("id").between(100, 110))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === (100L to 110L))
+    val (s2, _) = wh.scanFootprint("raw", "cl", col("id").between(100, 110))
+    assert(s2 <= 2, s"an 11-row range must stay within 2 clustered files, opened $s2")
+  }
+
+  test("file-level zones survive deleteWhere's count phase and partitioned reads") {
+    val wh = freshWh()
+    import spark.implicits._
+    val d = (1 to 100).map(i => (i.toLong, if (i <= 50) "2024-01-01" else "2024-01-02"))
+      .toDF("id", "ds").select(col("id"), to_date(col("ds")).as("d"))
+    wh.overwrite("raw", "pf", d, graft.core.TableMeta(partitionField = Some("d")))
+    // delete one id: candidate narrowing by partition + file zones
+    val r = wh.deleteWhere("raw", "pf", col("id") === 60L)
+    assert(r.deletedRows === 1L && r.rewritten === Seq("2024-01-02"))
+    assert(wh.read("raw", "pf").count() === 99)
+    // partitioned file-pruned read agrees with the full filter
+    val got = wh.readWhere("raw", "pf", col("id") === 10L).collect()
+    assert(got.length === 1 && got.head.getAs[Long]("id") === 10L)
+  }
+
   test("compact output keeps zone maps alive; vacuumStats reclaims orphans") {
     val wh = freshWh()
     threeFrags(wh)
