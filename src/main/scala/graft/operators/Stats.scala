@@ -248,6 +248,40 @@ object Stats {
       .withColumn("d_bp", expr("(d_num * 10000) div (n_g * n_all)"))
   }
 
+  /** z for the 95% Wilson interval. Written as an exact decimal literal
+    * so both engines parse the identical double. */
+  val WilsonZ = 1.96
+
+  /** Per-group success-rate ranking by the WILSON LOWER BOUND (Wilson
+    * 1927; the "how not to sort by average rating" correction): a group
+    * with 2/2 successes must not outrank one with 180/200, so groups
+    * rank by the lower confidence limit of their rate, which shrinks
+    * small-n groups toward zero.
+    *
+    * Cross-engine float contract: counts are exact integers from one
+    * map-side-combined aggregate; the Wilson formula then runs ONCE PER
+    * GROUP as an identical IEEE expression tree on both engines — `+ - *
+    * /` and `sqrt` are all correctly-rounded (the reason Wilson is
+    * chosen over a log-based interval), and the output goes through
+    * [[Hashing.stableRound]]. 100 TB shape: one aggregate to |groups|
+    * rows; everything else is per-group scalar math. */
+  def wilsonRates(df: DataFrame, groupCol: String, successCol: Column): DataFrame = {
+    val z = lit(WilsonZ)
+    val agg = df.select(col(groupCol).as("g"),
+      when(successCol, lit(1L)).otherwise(lit(0L)).as("s"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("s")).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2n = z * z / nD
+    val lb = (p + z2n / lit(2.0) -
+      z * sqrt(p * (lit(1.0) - p) / nD + z * z / (lit(4.0) * nD * nD))) /
+      (lit(1.0) + z2n)
+    agg.select(col("g").as(groupCol), col("n"), col("k"),
+      Hashing.stableRound(p, 6).as("rate"),
+      Hashing.stableRound(lb, 6).as("wilson_lb"))
+  }
+
   // ----------------------------------------------------------------- query
 
   /** Does spend move with time of day, per event type? (x = hour 0-23,
@@ -423,8 +457,33 @@ object Stats {
       |FROM cg JOIN cum_all USING (x) CROSS JOIN tot
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Which event types convert (value > 20) reliably, small-sample
+    * honest? */
+  def qWilson(spark: SparkSession, dir: String): DataFrame =
+    wilsonRates(Tables.load(spark, dir, "events"), "event_type",
+      col("value") > 20)
+
+  val qWilsonSql: String =
+    s"""WITH a AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN value > 20 THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+       |SELECT event_type, n, k,
+       |       ${Hashing.stableRoundSql("(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))", 6)} AS rate,
+       |       ${Hashing.stableRoundSql(
+          "((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " + (1.96e0 * 1.96e0 / CAST(n AS DOUBLE)) / 2e0" +
+            " - 1.96e0 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))" +
+            "   * (1e0 - (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)))" +
+            "   / CAST(n AS DOUBLE)" +
+            "   + 1.96e0 * 1.96e0" +
+            "     / (4e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))" +
+            " / (1e0 + 1.96e0 * 1.96e0 / CAST(n AS DOUBLE))", 6)} AS wilson_lb
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ks" -> (qKs _),
+    "stats_wilson" -> (qWilson _),
     "stats_corr" -> (qCorr _),
     "stats_spearman" -> (qSpearman _),
     "stats_chi2" -> (qChi2 _),
@@ -433,6 +492,7 @@ object Stats {
 
   val oracleSql: Map[String, String] = Map(
     "stats_ks" -> qKsSql,
+    "stats_wilson" -> qWilsonSql,
     "stats_corr" -> qCorrSql,
     "stats_spearman" -> qSpearmanSql,
     "stats_chi2" -> qChi2Sql,
