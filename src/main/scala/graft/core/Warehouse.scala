@@ -173,13 +173,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val frag = lg.newFragmentDir()
         partitionedWrite(df, field, frag)
         val entries = hiveEntries(dataset, table, frag, field)
-        recordStats(dataset, table, frag, entries, Some(field))
+        recordStats(dataset, table, entries, Some(field))
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
       case None =>
         val frag = lg.newFragmentDir()
         df.write.mode("overwrite").parquet(frag.toString)
         val entries = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
-        recordStats(dataset, table, frag, entries, None)
+        recordStats(dataset, table, entries, None)
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
     }
     writeSchemaDdlMerged(dataset, table, df.schema)
@@ -203,7 +203,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     df.write.mode("overwrite").parquet(frag.toString)
     val entry = SnapshotLog.Entry("", relativize(dataset, table, frag))
-    recordStats(dataset, table, frag, Seq(entry), None)
+    recordStats(dataset, table, Seq(entry), None)
     // union schema is recomputed INSIDE the CAS retry from the current
     // commit: unioning against a stale base after a lost race would pin
     // a schema missing the winning writer's new columns
@@ -235,7 +235,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     partitionedWrite(df, field, frag)
     val fresh = hiveEntries(dataset, table, frag, field)
-    recordStats(dataset, table, frag, fresh, Some(field))
+    recordStats(dataset, table, fresh, Some(field))
     val freshParts = fresh.map(_.partition).toSet
     // commitWith: the kept-partition list AND the union schema are
     // recomputed from the CURRENT latest commit (re-read on a lost race),
@@ -374,34 +374,53 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   // --------------------------------------------------- zone-map scans
 
-  /** Write-time zone maps: one stats job per write call (grouped by the
-    * partition field, so a 30-partition insert_overwrite pays ONE pass
-    * over the new fragment, not 30). The scan of freshly written data is
-    * the standard stats trade (Delta/Iceberg record the same metrics at
-    * write); it touches only the new fragment, never the table. */
-  private def recordStats(dataset: String, table: String, frag: Path,
+  /** Write-time zone maps from parquet FOOTERS — metadata-only: the
+    * writer already computed per-row-group min/max/null-count, so
+    * recording zones costs a footer read per new file (KBs), never a
+    * second scan of the fragment (the Iceberg manifest-metrics
+    * approach). The partition column rides as a min=max single-value
+    * zone on the entry AND each file, so partition predicates prune
+    * through the same rule set as every other column. */
+  private def recordStats(dataset: String, table: String,
                           entries: Seq[SnapshotLog.Entry],
                           field: Option[String]): Unit = {
     if (entries.isEmpty) return
     try {
       val td = tableDir(dataset, table)
-      val df = field match {
-        case Some(_) => spark.read.option("basePath", frag.toString)
-          .parquet(entries.map(e => td.resolve(e.path).toString): _*)
-        case None => spark.read.parquet(frag.toString)
-      }
-      val perFile = ZoneMaps.computeFileStats(df, field)
+      val conf = spark.sessionState.newHadoopConf()
       entries.foreach { e =>
-        val prefix = td.resolve(e.path).toAbsolutePath.toString + "/"
-        val mine = perFile.filter(_._1.startsWith(prefix))
-        if (mine.nonEmpty) {
-          val filesMap = mine.map { case (f, st) => f.stripPrefix(prefix) -> st }.toMap
-          ZoneMaps.write(td, e.path,
-            ZoneMaps.mergeAll(mine.map(_._2)).copy(files = filesMap))
+        val dir = td.resolve(e.path)
+        if (Files.isDirectory(dir)) {
+          val walk = Files.walk(dir)
+          val files = try walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet")).toSeq
+          finally walk.close()
+          val perFile = files.sorted.flatMap(f =>
+            ZoneMaps.statsFromFooter(conf, f)
+              .map(st => dir.relativize(f).toString -> st))
+          if (perFile.nonEmpty) {
+            val partCol = field.map(p =>
+              p -> ZoneMaps.ColStat(Some(e.partition), Some(e.partition), 0,
+                partitionTyp(e.partition)))
+            def withPart(st: ZoneMaps.FragStats): ZoneMaps.FragStats =
+              partCol.map(pc => st.copy(cols = st.cols + pc)).getOrElse(st)
+            val filesMap = perFile.map { case (n, st) => n -> withPart(st) }.toMap
+            ZoneMaps.write(td, e.path,
+              withPart(ZoneMaps.mergeAll(perFile.map(_._2))).copy(files = filesMap))
+          }
         }
       }
     } catch { case _: Exception => () } // stats are advisory, never fail a write
   }
+
+  /** Prune-typ inference for hive partition VALUES (strings in the dir
+    * name): integers and ISO dates get typed ordering; anything else
+    * compares as a string (equality still prunes). */
+  private def partitionTyp(value: String): String =
+    if (value.matches("-?\\d+")) "long"
+    else if (value.matches("\\d{4}-\\d{2}-\\d{2}")) "date"
+    else "string"
 
   /** Backfill sidecars for entries that predate zone maps (or were
     * written by an external engine): one stats job per uncovered entry.
@@ -411,17 +430,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
     val missing = c.entries.filter(e => ZoneMaps.read(td, e.path).isEmpty)
-    missing.foreach { e =>
-      val df = readEntries(dataset, table, Seq(e), c.schemaDdl)
-      val perFile = ZoneMaps.computeFileStats(df, meta(dataset, table).partitionField)
-      val prefix = td.resolve(e.path).toAbsolutePath.toString + "/"
-      val mine = perFile.filter(_._1.startsWith(prefix))
-      if (mine.nonEmpty) {
-        val filesMap = mine.map { case (f, st) => f.stripPrefix(prefix) -> st }.toMap
-        ZoneMaps.write(td, e.path,
-          ZoneMaps.mergeAll(mine.map(_._2)).copy(files = filesMap))
-      }
-    }
+    recordStats(dataset, table, missing, meta(dataset, table).partitionField)
     missing.map(_.path)
   }
 
@@ -576,12 +585,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case Some(field) =>
         partitionedWrite(keep, field, frag)
         val es = hiveEntries(dataset, table, frag, field)
-        recordStats(dataset, table, frag, es, Some(field))
+        recordStats(dataset, table, es, Some(field))
         es
       case None =>
         keep.write.mode("overwrite").parquet(frag.toString)
         val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
-        recordStats(dataset, table, frag, e, None)
+        recordStats(dataset, table, e, None)
         e
     }
     val hitPaths = hits.map(_.path).toSet
@@ -810,7 +819,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // compaction output keeps zone maps alive: one stats job over the
     // whole new fragment (abandoned groups' sidecars become orphans that
     // ZoneMaps.vacuumStats reclaims)
-    recordStats(dataset, table, frag, newEntries, m.partitionField)
+    recordStats(dataset, table, newEntries, m.partitionField)
     val replaced: Map[String, Set[String]] =
       plan.map { case (part, es, _) => part -> es.map(_.path).toSet }.toMap
     // `compute` may re-run on a lost CAS race — the LAST invocation is the

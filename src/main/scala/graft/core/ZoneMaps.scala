@@ -72,43 +72,140 @@ object ZoneMaps {
     case t => t.typeName
   }
 
-  /** Per-FILE stats in ONE job (groupBy `input_file_name`): the zone
-    * granularity that survives compaction and makes clustering rewrites
-    * prunable. Returns (absolute file path, leaf stats); the partition
-    * column (when given) rides as a min=max single-value zone on every
-    * file, so partition predicates prune through the same rule set. */
-  def computeFileStats(df: DataFrame, field: Option[String]): Seq[(String, FragStats)] = {
-    val statCols = df.schema.fields.filter(eligible).filterNot(f => field.contains(f.name))
-    val aggs = count(lit(1)).as("_rows") +:
-      statCols.flatMap { f =>
-        Seq(min(col(f.name)).cast("string").as(s"_min_${f.name}"),
-          max(col(f.name)).cast("string").as(s"_max_${f.name}"),
-          count(col(f.name)).as(s"_cnt_${f.name}"))
-      }.toSeq
-    val keys = col("_file") +: field.map(p => col(p).cast("string").as("_part")).toSeq
-    val grouped = df.withColumn("_file", input_file_name())
-      .groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-    grouped.collect().toSeq.map { r =>
-      val part = field.map(_ => Option(r.getAs[String]("_part")).getOrElse("")).getOrElse("")
-      val rows = r.getAs[Long]("_rows")
-      val cols = statCols.map { f =>
-        val mn = Option(r.getAs[String](s"_min_${f.name}")).filter(_.length <= MaxStatLen)
-        val mx = Option(r.getAs[String](s"_max_${f.name}")).filter(_.length <= MaxStatLen)
-        // drop the PAIR if either side overflows: a one-sided bound is
-        // valid but a pruning rule reading both would misfire
-        val (lo, hi) = if (mn.isDefined && mx.isDefined) (mn, mx) else (None, None)
-        f.name -> ColStat(lo, hi, rows - r.getAs[Long](s"_cnt_${f.name}"), typeTag(f.dataType))
-      }.toMap
-      // the partition column's zone is its single value — recording it
-      // here makes predicates on the partition column prune through the
-      // SAME path as every other column
-      val withPart = field.filter(p => df.schema.fieldNames.contains(p)).map { p =>
-        cols + (p -> ColStat(Some(part), Some(part), 0, typeTag(df.schema(p).dataType)))
-      }.getOrElse(cols)
-      val path = try new java.net.URI(r.getAs[String]("_file")).getPath
-        catch { case _: Exception => r.getAs[String]("_file") }
-      path -> FragStats(rows, withPart)
+  /** Per-FILE stats from the parquet FOOTER — metadata-only, no data
+    * scan: the writer already computed per-row-group min/max/null-count
+    * while writing, so zone maps cost a footer read per file (KBs)
+    * instead of a second pass over the fragment (the Iceberg
+    * manifest-metrics approach; Delta computes the same inline). Row
+    * groups merge to a file zone via [[mergeAll]]. Returns None for an
+    * unreadable/empty footer (caller records nothing — the fragment
+    * simply never prunes).
+    *
+    * Soundness rules at the type boundary:
+    *  - values render into the SAME canonical strings the prune-side
+    *    `key()` parser reads (ISO dates/timestamps, plain/E-notation
+    *    numerics, true/false);
+    *  - string bounds are accepted only if pure ASCII (parquet orders
+    *    bytes; Java compares UTF-16 code units — they agree on ASCII
+    *    only) and within [[MaxStatLen]];
+    *  - NaN/Infinity double bounds drop the pair (parquet's NaN
+    *    ordering is unusable for range pruning);
+    *  - a chunk without a null count drops the COLUMN for the file
+    *    (both over- and under-stating nulls is unsound). */
+  def statsFromFooter(conf: org.apache.hadoop.conf.Configuration,
+                      file: Path): Option[FragStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    try {
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), conf)
+      val reader = ParquetFileReader.open(in)
+      val blocks = try reader.getFooter.getBlocks finally reader.close()
+      val perBlock = blocks.asScala.toSeq.map { b =>
+        val rows = b.getRowCount
+        val cols = b.getColumns.asScala.toSeq.flatMap { ch =>
+          if (ch.getPath.size != 1) None // nested leaves: not prunable here
+          else {
+            val name = ch.getPath.toDotString
+            val st = ch.getStatistics
+            if (st == null || !st.isNumNullsSet) None
+            else footerTypeTag(ch.getPrimitiveType).map { typ =>
+              val (lo, hi) =
+                if (!st.hasNonNullValue) (None, None)
+                else (renderFooterValue(st.genericGetMin, typ, ch.getPrimitiveType),
+                  renderFooterValue(st.genericGetMax, typ, ch.getPrimitiveType)) match {
+                  case (Some(a), Some(b)) => (Some(a), Some(b))
+                  case _ => (None, None) // one undrendered bound poisons the pair
+                }
+              name -> ColStat(lo, hi, st.getNumNulls, typ)
+            }
+          }
+        }.toMap
+        FragStats(rows, cols)
+      }
+      if (perBlock.isEmpty) Some(FragStats(0L, Map.empty)) else Some(mergeAll(perBlock))
+    } catch { case _: Exception => None }
+  }
+
+  private def footerTypeTag(pt: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val lta = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case BOOLEAN => Some("boolean")
+      case INT32 => lta match {
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("date")
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some("decimal")
+        case _ => Some("integer")
+      }
+      case INT64 => lta match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS |
+                 LogicalTypeAnnotation.TimeUnit.MICROS =>
+              Some(if (t.isAdjustedToUTC) "timestamp" else "timestamp_ntz")
+            case _ => None // NANOS: engine normalizes to micros upstream
+          }
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some("decimal")
+        case _ => Some("long")
+      }
+      case FLOAT | DOUBLE => Some("double")
+      case BINARY => lta match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some("string")
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some("decimal")
+        case _ => None
+      }
+      case FIXED_LEN_BYTE_ARRAY => lta match {
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some("decimal")
+        case _ => None
+      }
+      case _ => None
     }
+  }
+
+  private def renderFooterValue(v: Any, typ: String,
+                                pt: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    try typ match {
+      case "boolean" | "integer" | "long" => Some(v.toString)
+      case "double" =>
+        val d = v match {
+          case f: java.lang.Float => f.doubleValue
+          case d: java.lang.Double => d.doubleValue
+        }
+        if (d.isNaN || d.isInfinite) None else Some(d.toString)
+      case "date" =>
+        Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue).toString)
+      case "timestamp" | "timestamp_ntz" =>
+        val unit = pt.getLogicalTypeAnnotation
+          .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation].getUnit
+        val micros = unit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => v.asInstanceOf[java.lang.Long] * 1000L
+          case _ => v.asInstanceOf[java.lang.Long].longValue
+        }
+        val t = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        Some(t.toString)
+      case "decimal" =>
+        val scale = pt.getLogicalTypeAnnotation
+          .asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation].getScale
+        v match {
+          case b: org.apache.parquet.io.api.Binary =>
+            Some(new java.math.BigDecimal(
+              new java.math.BigInteger(b.getBytes), scale).toPlainString)
+          case i: java.lang.Integer => Some(java.math.BigDecimal.valueOf(i.longValue, scale).toPlainString)
+          case l: java.lang.Long => Some(java.math.BigDecimal.valueOf(l.longValue, scale).toPlainString)
+          case _ => None
+        }
+      case "string" =>
+        val bytes = v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+        if (bytes.length <= MaxStatLen && bytes.forall(b => b >= 0)) // pure ASCII
+          Some(new String(bytes, StandardCharsets.UTF_8))
+        else None
+      case _ => None
+    } catch { case _: Exception => None }
   }
 
   /** Merge sibling zones up to their entry: min of mins / max of maxes

@@ -940,8 +940,73 @@ object Similarity {
       .select(col("vec_id") +: comps: _*)
   }
 
+  /** Mean-center the embedding corpus — the one-line preprocessing step
+    * that measurably helps cosine retrieval on anisotropic spaces (a
+    * common offset direction dominates every inner product until it's
+    * subtracted; Mu & Viswanath 2018's all-but-the-top, first step).
+    *
+    * Exact-integer contract: components pin to micro-units, the per-dim
+    * mean is `Σc div n` (truncating integer division — `div` and
+    * DuckDB's `//` agree on negatives), and the centered vector is pure
+    * integer subtraction — bit-stable under any partitioning. The
+    * output row carries the centered vector's md5 digest (the
+    * `chunk_docs` content-gating pattern: scalars hash-compare where
+    * array columns would not) plus its squared norm in micro² units.
+    *
+    * Shape at 100 TB: ONE map-side-combined (dim, Σ) aggregate — Dim
+    * rows out — broadcast back into a narrow kernel subtraction; no
+    * joins, no corpus shuffle. Σc needs n·10⁶·|x| < 2^63 — holds to
+    * ~10¹² unit-scale vectors per dim; beyond that, hierarchical
+    * partial means. */
+  def centerEmbeddings(emb: DataFrame): DataFrame = {
+    val valid = emb.filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) === Dim)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * lit(1e6)).cast("long")).as("c"))
+    val means = valid
+      .select(posexplode(col("c")).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("i"), expr("s div n").as("m"))
+      // contractual ordering: sort_array on (i, m) structs, then project
+      // m — collect_list alone has no order guarantee
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("means")) // 1×Dim row, ordered by i
+    valid.crossJoin(broadcast(means))
+      .select(col("vec_id"),
+        zip_with(col("c"), col("means"), (x, m) => x - m).as("cc"))
+      .select(col("vec_id"),
+        md5(concat_ws(",", col("cc"))).as("centered_md5"),
+        aggregate(col("cc"), lit(0L), (a, x) => a + x * x).as("norm2_micro2"))
+  }
+
   def qProject(spark: SparkSession, dir: String): DataFrame =
     randomProject(Tables.load(spark, dir, "embeddings"))
+
+  def qCenter(spark: SparkSession, dir: String): DataFrame =
+    centerEmbeddings(Tables.load(spark, dir, "embeddings"))
+
+  val qCenterSql: String =
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+       |          FOR x IN embedding] AS c
+       |  FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+       |    AND len(embedding) = $Dim),
+       |m AS (
+       |  SELECT i.i AS i, CAST(sum(c.c[i.i]) AS BIGINT)
+       |           // CAST(count(*) AS BIGINT) AS m
+       |  FROM c CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i
+       |  GROUP BY 1),
+       |mm AS (SELECT list(m ORDER BY i) AS means FROM m),
+       |cc AS (
+       |  SELECT c.vec_id,
+       |         [c.c[k] - mm.means[k] FOR k IN generate_series(1, $Dim)] AS cc
+       |  FROM c CROSS JOIN mm)
+       |SELECT vec_id, md5(array_to_string(cc, ',')) AS centered_md5,
+       |       CAST(list_sum([x * x FOR x IN cc]) AS BIGINT) AS norm2_micro2
+       |FROM cc""".stripMargin
 
   val qProjectSql: String = {
     val signRows = projSigns.zipWithIndex.map { case (row, j) =>
@@ -1145,7 +1210,8 @@ object Similarity {
     "sim_topk_ivf" -> (qIvf _),
     "sim_topk_ivf_nprobe" -> (qIvfNprobe _),
     "knn_classify" -> (qKnnClassify _),
-    "embed_project" -> (qProject _))
+    "embed_project" -> (qProject _),
+    "embed_center" -> (qCenter _))
 
   val oracleSql: Map[String, String] = Map(
     "embed_label_centroids" -> qLabelCentroidsSql,
@@ -1160,5 +1226,6 @@ object Similarity {
     "sim_topk_ivf" -> qIvfSql,
     "sim_topk_ivf_nprobe" -> qIvfNprobeSql,
     "knn_classify" -> qKnnClassifySql,
-    "embed_project" -> qProjectSql)
+    "embed_project" -> qProjectSql,
+    "embed_center" -> qCenterSql)
 }
