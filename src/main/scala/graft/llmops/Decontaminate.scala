@@ -355,13 +355,76 @@ object Decontaminate {
        |FROM best WHERE rn = 1""".stripMargin
   }
 
+  // ------------------------------------------------- split-overlap audit
+
+  /** WITHIN-corpus contamination audit across a train/val cut — the
+    * measurement that motivates [[Mix.leakFreeSplit]]: under a naive
+    * per-doc hash split, near-duplicate documents land on opposite
+    * sides, so the eval set contains near-copies of training documents
+    * and benchmark numbers inflate silently. This audit quantifies the
+    * leak: every TRAIN document sharing any 3-gram shingle with the VAL
+    * side, scored with the external-decontamination ratio machinery
+    * (val plays the benchmark). A leak-free (cluster-keyed) split drives
+    * this toward zero by construction; run it after every split change.
+    *
+    * Shape: the [[contaminationScoresAgainst]] plan — val-side shingle
+    * set from one capped collect broadcast against a single
+    * map-side-combined pass over the train side. */
+  def splitOverlapAudit(docs: DataFrame, trainPct: Int = 90,
+                        valPct: Int = 5): DataFrame = {
+    val split = Mix.withSplit(docs, trainPct = trainPct, valPct = valPct)
+    val bench = benchShingleSet(split.filter(col("split") === "val"))
+    contaminationScoresAgainst(split.filter(col("split") === "train"), bench)
+      .filter(col("n_overlap") > 0)
+  }
+
+  def qSplitAudit(spark: SparkSession, dir: String): DataFrame =
+    splitOverlapAudit(Tables.load(spark, dir, "documents"))
+
+  /** The naive-split assignment + the decontamination ratio algebra,
+    * with the val side as the benchmark. */
+  val qSplitAuditSql: String = {
+    val h = Hashing.md5LongSql(s"'${Mix.SplitSalt}:' || doc_id")
+    s"""WITH spl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN $h % 100 < 90 THEN 'train'
+       |              WHEN $h % 100 < 95 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |words AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+       |  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+       |        FROM words WHERE len(words) >= 3)),
+       |bench AS (
+       |  SELECT DISTINCT s FROM sh JOIN spl USING (doc_id)
+       |  WHERE spl.split = 'val'),
+       |sizes AS (
+       |  SELECT sh.doc_id, count(*) AS n_shingles
+       |  FROM sh JOIN spl USING (doc_id)
+       |  WHERE spl.split = 'train' GROUP BY 1),
+       |hits AS (
+       |  SELECT sh.doc_id, count(*) AS n_overlap
+       |  FROM sh JOIN spl USING (doc_id) JOIN bench USING (s)
+       |  WHERE spl.split = 'train' GROUP BY 1)
+       |SELECT z.doc_id, z.n_shingles, h.n_overlap,
+       |       floor((h.n_overlap * 1.0 / z.n_shingles) * 10000.0 + 0.5)
+       |         / 10000.0 AS contamination,
+       |       h.n_overlap * 1.0 / z.n_shingles
+       |         >= $ContaminationThreshold AS contaminated
+       |FROM sizes z JOIN hits h ON h.doc_id = z.doc_id
+       |WHERE h.n_overlap > 0""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> (qDecontaminate _),
     "decontaminate_spans" -> (qDecontaminateSpans _),
-    "decontaminate_embed" -> (qDecontaminateEmbed _))
+    "decontaminate_embed" -> (qDecontaminateEmbed _),
+    "audit_split_overlap" -> (qSplitAudit _))
 
   val oracleSql: Map[String, String] = Map(
     "decontaminate" -> qDecontaminateSql,
     "decontaminate_spans" -> qDecontaminateSpansSql,
-    "decontaminate_embed" -> qDecontaminateEmbedSql)
+    "decontaminate_embed" -> qDecontaminateEmbedSql,
+    "audit_split_overlap" -> qSplitAuditSql)
 }

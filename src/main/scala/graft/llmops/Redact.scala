@@ -92,9 +92,49 @@ object Redact {
        |       md5(t) AS redacted_md5, length(t) AS redacted_len
        |FROM p""".stripMargin
 
+  // ------------------------------------------------------------ k-anonymity
+
+  /** k-anonymity audit (Sweeney 2002) — the re-identification screen a
+    * dataset needs before release: every combination of quasi-identifier
+    * values whose equivalence class holds FEWER than k rows is a
+    * re-identification risk (an attacker who knows those attributes
+    * pins the row to < k candidates). Output: the violating classes with
+    * their sizes, smallest first — the worklist a generalization/
+    * suppression pass consumes.
+    *
+    * Shape at 100 TB: ONE map-side-combined groupBy on the QI tuple
+    * (output is class-count-sized, not row-sized) + a size filter.
+    * That's the entire audit — it composes with [[redactPii]] (free-text
+    * PII) to cover both structured and unstructured leakage. */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[Column], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
+  /** Audit the customer dimension under (market segment, nation,
+    * balance bracket) — the classic demographic-style QI triple. */
+  def qKanon(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityAudit(Tables.load(spark, dir, "customer"),
+      Seq(col("c_mktsegment").as("segment"), col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_bracket")),
+      k = 5)
+
+  val qKanonSql: String =
+    """SELECT c_mktsegment AS segment, c_nationkey AS nation,
+      |       CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bracket,
+      |       count(*) AS n
+      |FROM customer
+      |GROUP BY 1, 2, 3
+      |HAVING count(*) < 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pii_redact" -> (qRedact _))
+    "pii_redact" -> (qRedact _),
+    "privacy_kanon" -> (qKanon _))
 
   val oracleSql: Map[String, String] = Map(
-    "pii_redact" -> qRedactSql)
+    "pii_redact" -> qRedactSql,
+    "privacy_kanon" -> qKanonSql)
 }

@@ -231,6 +231,29 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(got.length === 1 && got.head.getAs[Long]("id") === 10L)
   }
 
+  test("stats recording is metadata-only: an append runs exactly the write job") {
+    val wh = freshWh()
+    import spark.implicits._
+    wh.overwrite("raw", "jc", Seq((1, "a")).toDF("id", "v"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      wh.append("raw", "jc", Seq((2, "b")).toDF("id", "v"))
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 1,
+      s"append must cost ONE Spark job (the write) — zone maps come from footers, got ${jobs.get()}")
+    // and the sidecar still landed
+    val e = wh.log("raw", "jc").latest.get.entries
+    val td = Paths.get(wh.root, "raw", "jc")
+    assert(e.forall(x => ZoneMaps.read(td, x.path).isDefined))
+  }
+
   test("compact output keeps zone maps alive; vacuumStats reclaims orphans") {
     val wh = freshWh()
     threeFrags(wh)
