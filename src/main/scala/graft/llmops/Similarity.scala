@@ -980,6 +980,125 @@ object Similarity {
         aggregate(col("cc"), lit(0L), (a, x) => a + x * x).as("norm2_micro2"))
   }
 
+  // ---------------------------------------------------- MMR diversified rank
+
+  /** Picks per query in the MMR re-rank. */
+  val MmrK = 5
+
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998) with λ = 1/2: greedily select k results maximizing
+    * `rel(q,d) − max_{s∈S} sim(d,s)` — relevance minus redundancy
+    * against what's already selected. The retrieval-side counterpart of
+    * dedup: a query whose top-k are five near-copies of one page wastes
+    * four slots; MMR spends them on distinct regions of the candidate
+    * pool. λ = 1/2 is deliberate: the score is then a plain DIFFERENCE
+    * of two e4-rounded cosines — both engines compare identical doubles,
+    * no interpolation weight ever multiplies a float.
+    *
+    * Determinism: candidates are the brute-force rank contract (top
+    * [[TopK]]); pair similarities round through the same e4 grid as the
+    * relevance scores; every argmax breaks ties by id. The selection
+    * unrolls as k−1 rounds of (anti-join remaining, max-sim against the
+    * selected set, per-query argmax window) over query-pool-sized frames
+    * — at any corpus size the loop state is |queries|·k rows, and the
+    * only corpus-scale work is the candidate generation it inherits. */
+  def mmrTopK(emb: DataFrame, isQuery: Column, k: Int = MmrK,
+              cands: Int = TopK): DataFrame = {
+    require(k >= 1 && k <= cands, s"need 1 <= k <= cands, got $k/$cands")
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+    val rel = bruteForceTopK(emb, isQuery, cands).localCheckpoint(true)
+    val n = typedVecs(emb)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cv = rel.select(col("query_id"), col("neighbor_id"))
+      .join(n, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("v"), col("nrm"))
+    val sims = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("a"), col("b.neighbor_id").as("b"),
+        roundE4(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("sim"))
+      .localCheckpoint(true) // consumed every round
+    var selected = rel.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        lit(1).as("pick"))
+    for (r <- 2 to k) {
+      val rem = rel.join(
+        selected.select(col("query_id"), col("id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = rem.select(col("query_id"), col("neighbor_id"), col("cos"))
+        .join(selected.select(col("query_id"), col("id").as("b")), Seq("query_id"))
+        .join(sims, Seq("query_id", "b"))
+        .filter(col("a") === col("neighbor_id"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("cos"))
+        .agg(max(col("sim")).as("ms"))
+        .withColumn("sc", col("cos") - col("ms"))
+      val pick = ms.withColumn("rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("sc").desc, col("neighbor_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id").as("id"), lit(r).as("pick"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("id"), col("pick"))
+  }
+
+  def qMmr(spark: SparkSession, dir: String): DataFrame =
+    mmrTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql))
+
+  /** The whole greedy derivation unrolled in SQL: nested brute-force
+    * rank → pairwise e4 sims → k−1 argmax rounds, every comparison on
+    * the identical double grid, every tie to the smaller id. */
+  lazy val qMmrSql: String = {
+    val simsCte =
+      s"""e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |       WHERE $vecFilterSql),
+         |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e2),
+         |rel AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, rank, cos
+         |  FROM (${qBruteForceSql.replace("\n", "\n  ")})),
+         |sims AS MATERIALIZED (
+         |  SELECT r1.query_id, r1.neighbor_id AS a, r2.neighbor_id AS b,
+         |         floor(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm)
+         |               * 10000.0 + 0.5) / 10000.0 AS sim
+         |  FROM rel r1
+         |  JOIN rel r2 ON r2.query_id = r1.query_id
+         |             AND r2.neighbor_id <> r1.neighbor_id
+         |  JOIN n2 va ON va.vec_id = r1.neighbor_id
+         |  JOIN n2 vb ON vb.vec_id = r2.neighbor_id)""".stripMargin
+    def round(r: Int): String = {
+      val prev = s"sel${r - 1}"
+      s"""c$r AS (
+         |  SELECT rel.query_id, rel.neighbor_id, rel.cos - max(s.sim) AS sc
+         |  FROM rel
+         |  LEFT JOIN $prev x ON x.query_id = rel.query_id
+         |                   AND x.id = rel.neighbor_id
+         |  JOIN $prev p ON p.query_id = rel.query_id
+         |  JOIN sims s ON s.query_id = rel.query_id
+         |             AND s.a = rel.neighbor_id AND s.b = p.id
+         |  WHERE x.id IS NULL
+         |  GROUP BY 1, 2, rel.cos),
+         |sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1}
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id AS id, $r AS pick FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sc DESC, neighbor_id) AS rn
+         |    FROM c$r) WHERE rn = 1)""".stripMargin
+    }
+    val rounds = (2 to MmrK).map(round).mkString(",\n")
+    s"""WITH $simsCte,
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id AS id, 1 AS pick
+       |  FROM rel WHERE rank = 1),
+       |$rounds
+       |SELECT query_id, id, pick FROM sel$MmrK""".stripMargin
+  }
+
   def qProject(spark: SparkSession, dir: String): DataFrame =
     randomProject(Tables.load(spark, dir, "embeddings"))
 
@@ -1211,7 +1330,8 @@ object Similarity {
     "sim_topk_ivf_nprobe" -> (qIvfNprobe _),
     "knn_classify" -> (qKnnClassify _),
     "embed_project" -> (qProject _),
-    "embed_center" -> (qCenter _))
+    "embed_center" -> (qCenter _),
+    "rank_mmr" -> (qMmr _))
 
   val oracleSql: Map[String, String] = Map(
     "embed_label_centroids" -> qLabelCentroidsSql,
@@ -1227,5 +1347,6 @@ object Similarity {
     "sim_topk_ivf_nprobe" -> qIvfNprobeSql,
     "knn_classify" -> qKnnClassifySql,
     "embed_project" -> qProjectSql,
-    "embed_center" -> qCenterSql)
+    "embed_center" -> qCenterSql,
+    "rank_mmr" -> qMmrSql)
 }

@@ -226,6 +226,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.toSet === expected)
   }
 
+  test("mmrTopK skips the near-duplicate of an already-selected result") {
+    import spark.implicits._
+    val dim = Similarity.Dim
+    def vec(axis: Int, eps: Double = 0.0): Seq[Float] = {
+      val v = Array.fill(dim)(0.01f) // small common floor keeps cosines finite
+      v(axis) = 1.0f
+      if (eps != 0.0) v((axis + 1) % dim) = eps.toFloat
+      v.toSeq
+    }
+    // query 0 ~ axis 0; candidates: 10 and 11 near-identical on axis 0
+    // (both highly relevant), 12 on axis 1, 13 on axis 2.
+    val df = Seq(
+      0L -> vec(0),
+      10L -> vec(0, 0.02), 11L -> vec(0, 0.03),
+      12L -> vec(1), 13L -> vec(2))
+      .map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(df, col("vec_id") === 0, k = 3, cands = 4)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    // pick 1: the most relevant (10 or 11); pick 2 must NOT be its
+    // near-copy - MMR spends it on a different axis
+    assert(Set(10L, 11L).contains(got(1)))
+    assert(!Set(10L, 11L).contains(got(2)),
+      s"pick 2 must diversify away from the near-duplicate: $got")
+    // plain brute-force top-2 DOES take both near-copies - the contrast
+    val bf = Similarity.bruteForceTopK(df, col("vec_id") === 0, 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(bf === Set(10L, 11L))
+    // all picks distinct, ranks 1..k
+    assert(got.keySet === Set(1, 2, 3) && got.values.toSet.size === 3)
+  }
+
   test("randomProject: exact integer components; JL distances track originals") {
     import spark.implicits._
     // hand case: micro-units of (0.5, -1.25, 2.0, ...) against known signs
