@@ -613,6 +613,115 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       prunedN, candidates.size - hits.size)
   }
 
+  /** Outcome of a [[mergeInto]]: target rows replaced, source rows
+    * landed, entries rewritten, entries zone maps pruned unopened. */
+  final case class MergeResult(matchedRows: Long, sourceRows: Long,
+                               rewritten: Seq[String], pruned: Int)
+
+  /** MERGE INTO (whole-row upsert): every target row whose key matches a
+    * source row is REPLACED by the source row; source rows with no match
+    * INSERT. The fragment-surgical composition of the delete machinery:
+    *
+    *  1. the source lands as a new fragment (it has to be written
+    *     anyway) and its KEY BOUNDS become a zone-prunable predicate —
+    *     target fragments outside [min,max] of the source keys are never
+    *     opened. On a key-clustered target an incremental merge touches
+    *     the handful of fragments its keys live in, never the table;
+    *  2. ONE job counts matches per candidate entry (semi-join against
+    *     the source keys over may-match files only);
+    *  3. hit entries rewrite minus matched rows; clean candidates and
+    *     pruned entries ride into the commit untouched;
+    *  4. a single CAS commit swaps the hit entries and adds the source
+    *     fragment — the merge is atomic (readers see pre- or post-merge,
+    *     never half), time travel keeps the pre-merge version, and a
+    *     concurrent rewrite of a hit fragment FAILS LOUDLY exactly like
+    *     [[deleteWhere]].
+    *
+    * NULL keys: source rows with NULL in any key column are rejected
+    * (no sane match semantics); target NULL-key rows never match and
+    * are kept. Unpartitioned targets only in this version — partitioned
+    * incremental replace is [[insertOverwrite]]'s job. */
+  def mergeInto(dataset: String, table: String, source: DataFrame,
+                keys: Seq[String]): MergeResult = {
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val m = meta(dataset, table)
+    require(m.partitionField.isEmpty,
+      s"$dataset.$table is partitioned; merge partitions via insertOverwrite")
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+
+    // land the source fragment first: one write, and its rows serve the
+    // bounds, the key joins, and the final commit
+    val srcFrag = lg.newFragmentDir()
+    source.write.mode("overwrite").parquet(srcFrag.toString)
+    val srcEntry = SnapshotLog.Entry("", relativize(dataset, table, srcFrag))
+    recordStats(dataset, table, Seq(srcEntry), None)
+    val src = spark.read.parquet(srcFrag.toString)
+    val keyCols = keys.map(col)
+    require(src.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
+      s"mergeInto source has NULL in key column(s) ${keys.mkString(", ")}")
+    val srcRows = src.count()
+
+    // zone-prunable predicate from the source key bounds
+    val bounds = src.agg(
+      keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"))).head,
+      keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"))).tail: _*)
+      .head()
+    val pred =
+      if (srcRows == 0) lit(false)
+      else keys.map(k => col(k).between(
+        lit(bounds.getAs[Any](s"_mn_$k")), lit(bounds.getAs[Any](s"_mx_$k"))))
+        .reduce(_ && _)
+    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+      resolvedPred(dataset, table, cur, pred))
+    val prunedN = cur.entries.size - candidates.size
+
+    val srcKeys = src.select(keyCols: _*).distinct()
+    val counts: Map[String, Long] =
+      if (candidates.isEmpty) Map.empty
+      else candidates.map { e =>
+        readEntries(dataset, table, Seq(e), cur.schemaDdl,
+          filesOf.view.filterKeys(_ == e.path).toMap)
+          .join(srcKeys, keys, "left_semi")
+          .select(lit(e.path).as("_entry"))
+      }.reduce(_.unionAll(_))
+        .groupBy(col("_entry")).agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hits = candidates.filter(e => counts.getOrElse(e.path, 0L) > 0L)
+    val matched = counts.values.sum
+
+    val replacement: Seq[SnapshotLog.Entry] =
+      if (hits.isEmpty) Seq.empty
+      else {
+        val keep = readEntries(dataset, table, hits, cur.schemaDdl)
+          .join(srcKeys, keys, "left_anti")
+        val frag = lg.newFragmentDir()
+        keep.write.mode("overwrite").parquet(frag.toString)
+        val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+        recordStats(dataset, table, e, None)
+        e
+      }
+    val hitPaths = hits.map(_.path).toSet
+    try {
+      lg.commitWithSchema("merge", cur2 => {
+        val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+        val gone = hitPaths.filterNot(live.map(_.path).toSet)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"mergeInto on $dataset.$table lost a race: fragment(s) " +
+            s"${gone.mkString(", ")} were rewritten concurrently; retry the merge")
+        live.filterNot(e => hitPaths(e.path)) ++ replacement :+ srcEntry
+      }, cur2 => Some(unionWithCurrent(dataset, table, cur2, src.schema).toDDL))
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        replacement.foreach(r => deleteRecursive(td.resolve(r.path)))
+        deleteRecursive(srcFrag)
+        throw e
+    }
+    MergeResult(matched, srcRows, hits.map(_.partition).distinct.sorted, prunedN)
+  }
+
   private def readCommit(dataset: String, table: String, c: SnapshotLog.Commit): DataFrame =
     readEntries(dataset, table, c.entries, c.schemaDdl)
 

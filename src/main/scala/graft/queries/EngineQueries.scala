@@ -180,6 +180,63 @@ object EngineQueries {
       |       count(*) AS n, round(sum(l_quantity), 2) AS qty
       |FROM lineitem GROUP BY 2""".stripMargin
 
+  // ------------------------------------------------------------- q59 merge
+
+  /** Whole-row MERGE (upsert) with zone-map fragment surgery, end to
+    * end: orders land as three key-range fragments; the source touches
+    * only the top third (updates double the price of keys ≡ 0 mod 10;
+    * inserts shift keys ≡ 1 mod 10 past the max). The merge must
+    *  - zone-prune the two low fragments (asserted),
+    *  - rewrite only the hit fragment,
+    *  - land updates + inserts atomically in ONE commit,
+    *  - keep the pre-merge version readable. */
+  def q59Merge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_mrg"))
+    val orders = Tables.load(spark, dir, "orders")
+    val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val k = col("o_orderkey")
+    wh.overwrite("mart", "omrg", orders.filter(k * 3 <= mx))
+    wh.append("mart", "omrg", orders.filter(k * 3 > mx && k * 3 <= 2 * mx))
+    wh.append("mart", "omrg", orders.filter(k * 3 > 2 * mx))
+    val top = orders.filter(k * 3 > 2 * mx)
+    val source = top.filter(k % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(top.filter(k % 10 === 1)
+        .withColumn("o_orderkey", k + mx))
+    val r = wh.mergeInto("mart", "omrg", source, Seq("o_orderkey"))
+    require(r.pruned == 2,
+      s"source key bounds must zone-prune the two low fragments, pruned=${r.pruned}")
+    require(r.matchedRows > 0 && r.sourceRows > r.matchedRows,
+      s"fixture must exercise both update and insert: $r")
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(phase).as("phase"), col("status"), col("n"), col("total"))
+    agg(wh.read("mart", "omrg"), "post_merge")
+      .unionAll(agg(wh.readVersion("mart", "omrg", 3), "pre_merge_v3"))
+  }
+
+  val q59Sql: String =
+    """WITH mx AS (SELECT max(o_orderkey) AS mx FROM orders),
+      |src AS (
+      |  SELECT o_orderstatus, o_totalprice * 2 AS p
+      |  FROM orders, mx WHERE o_orderkey * 3 > 2 * mx AND o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice
+      |  FROM orders, mx WHERE o_orderkey * 3 > 2 * mx AND o_orderkey % 10 = 1),
+      |kept AS (
+      |  SELECT o_orderstatus, o_totalprice AS p
+      |  FROM orders, mx
+      |  WHERE NOT (o_orderkey * 3 > 2 * mx AND o_orderkey % 10 = 0)),
+      |merged AS (SELECT * FROM src UNION ALL SELECT * FROM kept)
+      |SELECT 'post_merge' AS phase, o_orderstatus AS status,
+      |       count(*) AS n, round(sum(p), 2) AS total
+      |FROM merged GROUP BY 2
+      |UNION ALL
+      |SELECT 'pre_merge_v3' AS phase, o_orderstatus AS status,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 2""".stripMargin
+
   // --------------------------------------------------------- q13 incremental
 
   def q13Incremental(spark: SparkSession, dir: String): DataFrame = {
@@ -776,6 +833,7 @@ object EngineQueries {
     "q48_snapshot_diff" -> (q48SnapshotDiff _),
     "q53_compact" -> (q53Compact _),
     "q57_delete" -> (q57Delete _),
+    "q59_merge" -> (q59Merge _),
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
     "q52_stream_full_join" -> (q52StreamFullJoin _),
     "q54_stream_decontaminate" -> (q54StreamDecontaminate _),
@@ -800,6 +858,7 @@ object EngineQueries {
     "q48_snapshot_diff" -> q48Sql,
     "q53_compact" -> q53Sql,
     "q57_delete" -> q57Sql,
+    "q59_merge" -> q59Sql,
     "q21_build" -> q21Sql,
     "q51_stream_left_join" -> q51Sql,
     "q52_stream_full_join" -> q52Sql,

@@ -231,6 +231,35 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(got.length === 1 && got.head.getAs[Long]("id") === 10L)
   }
 
+  test("mergeInto: updates replace, inserts land, clean fragments keep their paths") {
+    val wh = freshWh()
+    threeFrags(wh) // ids [1,2] / [10,11] / [20,21]
+    import spark.implicits._
+    val before = wh.log("raw", "t").latest.get.entries.map(_.path).toSet
+    // source: update id 20 (new v), insert id 25 — bounds [20,25] prune
+    // the first two fragments
+    val src = df((20, "c", "UPDATED"), (25, "c", "new"))
+    val r = wh.mergeInto("raw", "t", src, Seq("id"))
+    assert(r.matchedRows === 1L && r.sourceRows === 2L && r.pruned === 2)
+    val after = wh.log("raw", "t").latest.get.entries.map(_.path).toSet
+    assert(before.intersect(after).size === 2, "untouched fragments ride through")
+    val got = wh.read("raw", "t").orderBy("id")
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(got(20) === "UPDATED" && got(25) === "new" && got(21) === "w")
+    assert(got.keySet === Set(1, 2, 10, 11, 20, 21, 25))
+    // pre-merge version intact (v3 = the three appends)
+    assert(wh.readVersion("raw", "t", 3).count() === 6)
+    // NULL source keys are rejected loudly
+    assertThrows[IllegalArgumentException] {
+      wh.mergeInto("raw", "t",
+        Seq((None: Option[Int], "x", "y")).toDF("id", "grp", "v"), Seq("id"))
+    }
+    // merge whose keys match nothing: pure insert, no rewrite
+    val r2 = wh.mergeInto("raw", "t", df((30, "d", "ins")), Seq("id"))
+    assert(r2.matchedRows === 0L && r2.rewritten.isEmpty && r2.sourceRows === 1L)
+    assert(wh.read("raw", "t").count() === 8)
+  }
+
   test("stats recording is metadata-only: an append runs exactly the write job") {
     val wh = freshWh()
     import spark.implicits._
