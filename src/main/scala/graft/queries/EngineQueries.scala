@@ -507,6 +507,22 @@ object EngineQueries {
     spark.read.parquet(out)
   }
 
+  /** Streaming LM-fluency gate (SURVEY §2.8 extension): documents stream
+    * through [[graft.llmops.LangModel.scoreWithModel]] against the
+    * full-corpus bigram model artifact; integer scores make the drained
+    * union equal the batch `lm_fluency` operator exactly — same oracle. */
+  def q60StreamLm(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_slm_out")
+    val docs = Tables.load(spark, dir, "documents")
+    val model = graft.llmops.LangModel.trainBigramModel(docs)
+    StreamingIncremental.runLmGate(spark, s"$dir/documents.parquet", model,
+      scratch("graft_slm_ckpt"),
+      Some(StreamingIncremental.FixtureStatePartitions)) { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out)
+  }
+
   /** Streaming per-type distinct-user estimate: HLL registers as
     * mapGroupsWithState state; the drained output must equal the batch
     * sketch (order-free registers), which the oracle restates. */
@@ -838,6 +854,7 @@ object EngineQueries {
     "q52_stream_full_join" -> (q52StreamFullJoin _),
     "q54_stream_decontaminate" -> (q54StreamDecontaminate _),
     "q58_stream_quality" -> (q58StreamQuality _),
+    "q60_stream_lm_gate" -> (q60StreamLm _),
     "q55_stream_neardup" -> (q55StreamNearDup _))
 
   val oracleSql: Map[String, String] = Map(
@@ -865,5 +882,7 @@ object EngineQueries {
     "q54_stream_decontaminate" -> q54Sql,
     // the stream's drained verdicts ARE the batch gopher operator
     "q58_stream_quality" -> graft.llmops.QualityRules.gopherSql,
+    // drained per-doc LM scores ≡ the batch fluency operator
+    "q60_stream_lm_gate" -> graft.llmops.LangModel.qLmFluencySql,
     "q55_stream_neardup" -> graft.llmops.Dedup.incrementalOracleSql)
 }

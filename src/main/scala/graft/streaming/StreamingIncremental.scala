@@ -258,6 +258,42 @@ object StreamingIncremental {
     q.awaitTermination()
   }
 
+  /** Streaming LM-fluency gate — CCNet-style perplexity screening AT
+    * INGEST, the fourth member of the ingest-gate family (decontaminate,
+    * near-dup, quality, fluency): the bigram model is a per-snapshot
+    * ARTIFACT (trained once from the standing corpus — production loads
+    * it via [[graft.llmops.LangModel.loadModel]]); every micro-batch
+    * runs the stateless [[graft.llmops.LangModel.scoreWithModel]] plan
+    * against it. The model tables persist at the stream's scope (each
+    * batch joins them; recomputing the corpus aggregate per batch would
+    * re-scan the corpus forever) and free at drain — the
+    * `runDecontaminateGate` cache-boundary pattern. Per-doc scores are
+    * exact integers, so the drained output equals the batch twin
+    * bit-for-bit regardless of micro-batching. */
+  def runLmGate(spark: SparkSession, docsDir: String,
+                model: graft.llmops.LangModel.BigramModel,
+                checkpointDir: String,
+                statePartitions: Option[Int] = None)
+               (sink: DataFrame => Unit): Unit =
+      withShufflePartitions(spark, statePartitions) {
+    val c12 = model.c12.persist()
+    val c1 = model.c1.persist()
+    val v = model.vocab.persist()
+    val pinned = graft.llmops.LangModel.BigramModel(c12, c1, v)
+    try {
+      val stream = stageAndStream(spark, docsDir, "graft_landing_lm")
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          sink(graft.llmops.LangModel.scoreWithModel(batch, pinned))
+        }
+        .start()
+      q.awaitTermination()
+    } finally { c12.unpersist(); c1.unpersist(); v.unpersist() }
+  }
+
   /** Gap-based sessionization — `session_window` event-time aggregation
     * (SURVEY §2.8 extension): events of a user belong to one session
     * while consecutive gaps stay UNDER `gap`; a gap ≥ `gap` starts a new

@@ -94,4 +94,31 @@ class PlanLintSpec extends AnyFunSuite {
       assert(PlanLint.lint(df) === Seq.empty, df.queryExecution.logical.nodeName)
     }
   }
+
+  test("round-11 fourth-session operators lint clean") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val events = graft.core.Tables.load(spark, sf, "events")
+    val li = graft.core.Tables.load(spark, sf, "lineitem")
+    // ksDrift deliberately runs on rollup-sized frames: the groups×points
+    // grid is a broadcast nested-loop by construction and the pooled
+    // ECDF is an unpartitioned window over the domain-sized frame — both
+    // documented small-frame exceptions. Pin EXACTLY that finding set so
+    // a corpus-scale funnel could never hide behind the exemption.
+    val ksFindings = PlanLint.lint(
+      graft.operators.Stats.ksDrift(docs, "source", col("n_chars")))
+    assert(ksFindings.map(_.rule).toSet.subsetOf(
+      Set("NESTED_LOOP_JOIN", "SINGLE_PARTITION_FUNNEL")),
+      s"ksDrift may only carry its documented small-frame trades: $ksFindings")
+    val clean = Seq(
+      graft.operators.Stats.wilsonRates(events, "event_type", col("value") > 20),
+      graft.llmops.Redact.kAnonymityAudit(
+        graft.core.Tables.load(spark, sf, "customer"),
+        Seq(col("c_mktsegment"), col("c_nationkey")), 5),
+      graft.operators.LabelProp.labelPropagation(
+        li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst"),
+          lit(1L).as("w"))))
+    clean.foreach { df =>
+      assert(PlanLint.lint(df) === Seq.empty, df.queryExecution.logical.nodeName)
+    }
+  }
 }
