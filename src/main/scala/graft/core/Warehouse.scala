@@ -613,6 +613,89 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       prunedN, candidates.size - hits.size)
   }
 
+  // ------------------------------------------------- metadata diagnostics
+
+  /** Schema evolution audit between two commit versions: one row per
+    * column added, removed, or type-changed (the "which marts break"
+    * question [[graft.plans.Lineage]] answers at query grain, asked at
+    * table grain). Reads the two pinned commit DDLs — metadata-only, no
+    * file access. */
+  def schemaDiff(dataset: String, table: String, v1: Int, v2: Int)
+      : Seq[(String, String, String, String)] = {
+    def fieldsOf(v: Int): Map[String, String] = {
+      val c = log(dataset, table).version(v).getOrElse(
+        throw new IllegalArgumentException(s"no version $v of $dataset.$table"))
+      c.schemaDdl.map(StructType.fromDDL)
+        .map(_.fields.map(f => f.name -> f.dataType.simpleString).toMap)
+        .getOrElse(Map.empty)
+    }
+    val (a, b) = (fieldsOf(v1), fieldsOf(v2))
+    val added = (b.keySet -- a.keySet).toSeq.sorted
+      .map(c => (c, "added", "", b(c)))
+    val removed = (a.keySet -- b.keySet).toSeq.sorted
+      .map(c => (c, "removed", a(c), ""))
+    val changed = a.keySet.intersect(b.keySet).toSeq.sorted
+      .filter(c => a(c) != b(c)).map(c => (c, "type_changed", a(c), b(c)))
+    added ++ removed ++ changed
+  }
+
+  /** Orphan-file audit (the file-grain sibling of the reference's
+    * orphaned-table reconciliation, admin/cleanup.py): parquet files
+    * under the table's data pool referenced by NO commit — crashed
+    * writers, abandoned CAS rewrites interrupted before cleanup. Returns
+    * relative paths; pass them to [[vacuumOrphans]] after confirming no
+    * in-flight writer owns them (files younger than `graceMillis` are
+    * skipped for exactly that reason). */
+  def orphanFiles(dataset: String, table: String,
+                  graceMillis: Long = 3600L * 1000,
+                  nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    val td = tableDir(dataset, table)
+    val dataDir = td.resolve("_data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val referenced = log(dataset, table).commits
+      .flatMap(_.entries.map(e => td.resolve(e.path).toAbsolutePath)).toSet
+    val walk = Files.walk(dataDir)
+    val files = try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+    finally walk.close()
+    files.filter { f =>
+      val covered = referenced.exists(r => f.toAbsolutePath.startsWith(r))
+      val young = try Files.getLastModifiedTime(f).toMillis > nowMillis - graceMillis
+        catch { case _: Exception => true }
+      !covered && !young
+    }.map(f => td.toAbsolutePath.relativize(f.toAbsolutePath).toString).sorted
+  }
+
+  /** Delete confirmed orphans (paths from [[orphanFiles]] — never trust
+    * an unverified list; the require re-checks each path is still
+    * unreferenced at delete time). */
+  def vacuumOrphans(dataset: String, table: String, paths: Seq[String]): Unit = {
+    val td = tableDir(dataset, table)
+    val referenced = log(dataset, table).commits
+      .flatMap(_.entries.map(e => td.resolve(e.path).toAbsolutePath)).toSet
+    paths.foreach { rel =>
+      val f = td.resolve(rel).toAbsolutePath
+      require(f.startsWith(td.resolve("_data").toAbsolutePath),
+        s"refusing to delete outside the data pool: $rel")
+      require(!referenced.exists(r => f.startsWith(r)),
+        s"$rel is referenced by a live commit — refusing")
+      Files.deleteIfExists(f)
+    }
+  }
+
+  /** Row-count history from zone-map sidecars — METADATA-ONLY table
+    * volume per commit version (the input to volume-anomaly checks: "did
+    * last night's load halve the table?"). Entries without a sidecar
+    * report None: an honest gap, never a scan. */
+  def rowCountHistory(dataset: String, table: String): Seq[(Int, Option[Long])] = {
+    val td = tableDir(dataset, table)
+    log(dataset, table).commits.filter(!_.isDrop).map { c =>
+      val counts = c.entries.map(e => ZoneMaps.read(td, e.path).map(_.rows))
+      c.version -> (if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
+    }
+  }
+
   /** Outcome of a [[mergeInto]]: target rows replaced, source rows
     * landed, entries rewritten, entries zone maps pruned unopened. */
   final case class MergeResult(matchedRows: Long, sourceRows: Long,

@@ -63,6 +63,48 @@ object Quantiles {
     hist.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
   }
 
+  /** Interpolated (percentile_cont-style) group quantiles from the SAME
+    * exact distinct-value histogram as [[groupQuantiles]] — the C=1
+    * convention: rank h = (n−1)·p zero-based, result = lo + (hi−lo)·frac
+    * between the two straddling data elements. Completes the quantile
+    * family (disc / sampled / cont).
+    *
+    * Cross-engine float contract: the fractional part is the exact
+    * rational `((n−1)·num mod den) / den` — the ONLY float division, fed
+    * by integers, and the interpolation `lo + ((hi−lo)·rem)/den` is an
+    * identical IEEE tree on both engines (deliberately NOT DuckDB's
+    * quantile_cont, whose internal float path is its own); outputs pin
+    * through stableRound(4). Plan shape identical to [[groupQuantiles]]:
+    * one input-sized rollup, tiny per-group windows. */
+  def groupQuantilesCont(df: DataFrame, groupCol: String, valueCol: String,
+                         percentiles: Seq[(String, Int, Int)] = Percentiles): DataFrame = {
+    require(percentiles.forall { case (_, n, d) => n >= 0 && d > 0 && n <= d },
+      "percentiles must satisfy 0 <= num <= den, den > 0")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
+    val wAll = Window.partitionBy(groupCol)
+    val hist = counts
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val aggs = percentiles.flatMap { case (label, num, den) =>
+      val loIdx = expr(s"((_n - 1) * $num) div $den + 1")
+      Seq(
+        min(when(col("_cum") >= loIdx, col(valueCol))).as(s"_lo_$label"),
+        min(when(col("_cum") >= loIdx + 1, col(valueCol))).as(s"_hi_$label"),
+        max(expr(s"((_n - 1) * $num) % $den")).as(s"_rem_$label"))
+    }
+    val agged = hist.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val outs = percentiles.map { case (label, _, den) =>
+      val lo = col(s"_lo_$label").cast("double")
+      val hi = coalesce(col(s"_hi_$label"), col(s"_lo_$label")).cast("double")
+      graft.llmops.Hashing.stableRound(
+        lo + ((hi - lo) * col(s"_rem_$label")) / lit(den.toDouble), 4).as(label)
+    }
+    agged.select(col(groupCol) +: outs: _*)
+  }
+
   /** Join-skew diagnostics — the question every 100 TB join plan starts
     * with: how are rows distributed over this key? One row out: key
     * cardinality, row total, the heaviest key's count, and p50/p90/p99
@@ -269,13 +311,52 @@ object Quantiles {
       |FROM lineitem CROSS JOIN b""".stripMargin
   }
 
+  def qQuantilesCont(spark: SparkSession, dir: String): DataFrame =
+    groupQuantilesCont(Tables.load(spark, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice")
+
+  /** The identical zero-based-rank algebra: lo/hi straddling elements
+    * from the exact histogram, rem/den the only float division, the
+    * interpolation tree mirrored term for term. */
+  val qQuantilesContSql: String = {
+    def pick(label: String, num: Int, den: Int): String =
+      s"""min(CASE WHEN cum >= ((n - 1) * $num) // $den + 1 THEN v END) AS _lo_$label,
+         |       min(CASE WHEN cum >= ((n - 1) * $num) // $den + 2 THEN v END) AS _hi_$label,
+         |       max(((n - 1) * $num) % $den) AS _rem_$label""".stripMargin
+    def out(label: String, den: Int): String =
+      // e-notation: a decimal-point literal would be DECIMAL in DuckDB
+      // and flip the division out of the double domain
+      s"""floor((_lo_$label + ((coalesce(_hi_$label, _lo_$label) - _lo_$label)
+         |         * _rem_$label) / ${den}e0) * 1e4 + 5e-1) / 1e4
+         |         AS $label""".stripMargin
+    s"""WITH c AS (SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+       |           FROM lineitem WHERE l_extendedprice IS NOT NULL
+       |           GROUP BY 1, 2),
+       |w AS (SELECT l_returnflag, v,
+       |             sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+       |             sum(c) OVER (PARTITION BY l_returnflag) AS n
+       |      FROM c),
+       |a AS (SELECT l_returnflag,
+       |       ${pick("p50", 1, 2)},
+       |       ${pick("p90", 9, 10)},
+       |       ${pick("p99", 99, 100)}
+       |      FROM w GROUP BY 1)
+       |SELECT l_returnflag,
+       |       ${out("p50", 2)},
+       |       ${out("p90", 10)},
+       |       ${out("p99", 100)}
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantiles_cont" -> (qQuantilesCont _),
     "q26_quantiles" -> (qQuantiles _),
     "quantiles_sampled" -> (qQuantilesSampled _),
     "q38_bins" -> (qBins _),
     "skew_report" -> (qSkewReport _))
 
   val oracleSql: Map[String, String] = Map(
+    "quantiles_cont" -> qQuantilesContSql,
     "q26_quantiles" -> qQuantilesSql,
     "quantiles_sampled" -> qQuantilesSampledSql,
     "q38_bins" -> qBinsSql,

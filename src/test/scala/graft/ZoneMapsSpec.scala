@@ -283,6 +283,43 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(e.forall(x => ZoneMaps.read(td, x.path).isDefined))
   }
 
+  test("metadata diagnostics: schemaDiff, rowCountHistory, orphan audit") {
+    val wh = freshWh()
+    import spark.implicits._
+    wh.overwrite("raw", "md", Seq((1, "a")).toDF("id", "v"))
+    wh.append("raw", "md", Seq((2, "b", 9L)).toDF("id", "v", "extra")) // additive evolution
+    // schema diff across the evolution commit
+    assert(wh.schemaDiff("raw", "md", 1, 2) === Seq(("extra", "added", "", "bigint")))
+    assert(wh.schemaDiff("raw", "md", 2, 1) === Seq(("extra", "removed", "bigint", "")))
+    // row counts straight from sidecars — no scan
+    assert(wh.rowCountHistory("raw", "md") === Seq(1 -> Some(1L), 2 -> Some(2L)))
+    // plant an orphan (a crashed writer's leftover fragment)
+    val td = Paths.get(wh.root, "raw", "md")
+    val stray = td.resolve("_data").resolve("deadbeef")
+    Files.createDirectories(stray)
+    Files.write(stray.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    // young files are grace-protected; aged ones report
+    assert(wh.orphanFiles("raw", "md").isEmpty)
+    val aged = wh.orphanFiles("raw", "md", graceMillis = -1)
+    assert(aged === Seq("_data/deadbeef/part-0.parquet"))
+    // refuse to delete referenced files; delete the true orphan
+    val live = wh.log("raw", "md").latest.get.entries.head
+    val livedir = td.resolve(live.path)
+    val liveFile = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(livedir)
+      try w.iterator().asScala.find(p => p.toString.endsWith(".parquet")).get
+      finally w.close()
+    }
+    assertThrows[IllegalArgumentException] {
+      wh.vacuumOrphans("raw", "md",
+        Seq(td.relativize(liveFile).toString))
+    }
+    wh.vacuumOrphans("raw", "md", aged)
+    assert(!Files.exists(stray.resolve("part-0.parquet")))
+    assert(wh.read("raw", "md").count() === 2) // table untouched
+  }
+
   test("compact output keeps zone maps alive; vacuumStats reclaims orphans") {
     val wh = freshWh()
     threeFrags(wh)
