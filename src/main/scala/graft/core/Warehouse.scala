@@ -920,8 +920,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** S10 — drop: a `drop` commit with no entries. Data and log remain for
     * the time-travel window (vacuum reclaims them). */
-  def drop(dataset: String, table: String): Unit =
-    log(dataset, table).commit("drop", Seq.empty)
+  /** S10 — drop. The drop commit's timestamp is clamped STRICTLY PAST
+    * the latest data commit's: on a fast machine both can land in the
+    * same millisecond, and a drop sharing its victim's timestamp makes
+    * `restore(table, thatTs)` resolve to the drop — the one instant
+    * restore exists to serve. (General commits tolerate non-monotonic
+    * clocks by design — see SnapshotLog.asOf — so only the drop, whose
+    * ordering against its victim is semantically load-bearing, clamps.) */
+  def drop(dataset: String, table: String): Unit = {
+    val lg = log(dataset, table)
+    val ts = math.max(System.currentTimeMillis(),
+      lg.latest.map(_.tsMillis + 1).getOrElse(Long.MinValue))
+    lg.commit("drop", Seq.empty, tsMillis = ts)
+  }
 
   /** Partition-expiry TTL job (bigquery.py:464-501 semantics): drop
     * partitions older than the configured expiration. Returns dropped

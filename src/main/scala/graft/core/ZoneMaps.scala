@@ -215,6 +215,12 @@ object ZoneMaps {
     * other. Columns present on only one side drop out (conservative:
     * absent stat = never prune). */
   def mergeAll(fs: Seq[FragStats]): FragStats = fs.reduce { (x, y) =>
+    // a zero-row side is the merge identity: Spark writers emit empty
+    // part files next to data files, and intersecting against their
+    // (empty) column map would silently wipe every zone
+    if (x.rows == 0) y
+    else if (y.rows == 0) x
+    else {
     val cols = x.cols.keySet.intersect(y.cols.keySet).flatMap { c =>
       val (a, b) = (x.cols(c), y.cols(c))
       val aVals = x.rows - a.nulls > 0
@@ -235,6 +241,7 @@ object ZoneMaps {
       Some(c -> ColStat(lo, hi, a.nulls + b.nulls, a.typ))
     }.toMap
     FragStats(x.rows + y.rows, cols)
+    }
   }
 
   // ------------------------------------------------------------ sidecars
@@ -387,7 +394,11 @@ object ZoneMaps {
   /** Conservative "this fragment may contain a row where `pred` is TRUE".
     * Sound for WHERE/DELETE semantics (NULL counts as no-match): a
     * `false` here proves no row in the fragment satisfies the predicate. */
-  def mayMatch(pred: Expression, st: FragStats): Boolean = pred match {
+  def mayMatch(pred: Expression, st: FragStats): Boolean =
+    if (st.rows == 0) false // an empty fragment matches nothing
+    else mayMatchNonEmpty(pred, st)
+
+  private def mayMatchNonEmpty(pred: Expression, st: FragStats): Boolean = pred match {
     case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
     case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
     case Literal(b: Boolean, BooleanType) => b

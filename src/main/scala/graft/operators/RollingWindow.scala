@@ -156,6 +156,72 @@ object RollingWindow {
         col("_seen").isNull.as("is_gap"))
   }
 
+  /** Lags in the EWMA window (weights 2^(L−1−k) for lag k — α = 1/2). */
+  val EwmaLags = 8
+
+  /** Exponentially-weighted moving average per key — the smoothing pass
+    * behind trend monitors and anomaly baselines — made EXACT: α = 1/2
+    * gives power-of-two weights, so over the last [[EwmaLags]]
+    * observations the weighted numerator `Σ x_{t−k}·2^(L−1−k)` and
+    * denominator `Σ 2^(L−1−k)` (present lags only — series heads
+    * normalize over what exists) are pure BIGINT sums on integer-cent
+    * values, and the smoothed value is one exact integer division. A
+    * float EWMA is a sequential recurrence (unparallelizable AND
+    * order-drifting); the windowed power-of-two form is one
+    * `lag`-chain over the per-key sort — a single shuffle, frames
+    * evaluated with a sorted scan.
+    *
+    * Ordering ties pin by (ts, idCol) so the lag chain is deterministic
+    * under any physical row order. */
+  def ewmaByKey(events: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, idCol: String,
+                lags: Int = EwmaLags): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"lags must be in [1, 62], got $lags")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val cents = round(col(valueCol) * 100).cast("long")
+    val base = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .withColumn("_c", cents)
+    val terms = (0 until lags).map { k =>
+      val weight = 1L << (lags - 1 - k)
+      val l = lag(col("_c"), k).over(w)
+      (when(l.isNotNull, l * weight).otherwise(lit(0L)),
+        when(l.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    base.withColumn("_num", num.cast("long")).withColumn("_den", den.cast("long"))
+      .select(col(keyCol), col(tsCol), col(idCol), col("_c").as("cents"),
+        expr("_num div _den").as("ewma_cents")) // exact integer division
+  }
+
+  def qEwma(spark: SparkSession, dir: String): DataFrame =
+    ewmaByKey(Tables.load(spark, dir, "events"),
+      "user_id", "ts", "value", "event_id")
+
+  /** The identical lag chain and power-of-two algebra; integer division
+    * via // (both engines truncate non-negative sums identically). */
+  val qEwmaSql: String = {
+    val lags = EwmaLags
+    val nums = (0 until lags).map { k =>
+      val weight = 1L << (lags - 1 - k)
+      s"coalesce(lag(c, $k) OVER w * $weight, 0)"
+    }.mkString(" + ")
+    val dens = (0 until lags).map { k =>
+      val weight = 1L << (lags - 1 - k)
+      s"CASE WHEN lag(c, $k) OVER w IS NOT NULL THEN $weight ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT user_id, ts, event_id, c AS cents,
+       |       CAST(($nums) AS BIGINT) // CAST(($dens) AS BIGINT) AS ewma_cents
+       |FROM (SELECT user_id, ts, event_id,
+       |             CAST(round(value * 100) AS BIGINT) AS c
+       |      FROM events
+       |      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |        AND value IS NOT NULL)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+  }
+
   def qResample(spark: SparkSession, dir: String): DataFrame =
     resampleLocf(Tables.load(spark, dir, "events"),
       "user_id", "ts", "value", "event_id")
@@ -187,11 +253,13 @@ object RollingWindow {
       |FROM j""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ewma_smooth" -> (qEwma _),
     "q30_rolling" -> (qRolling _),
     "q47_daily_delta" -> (qDailyDelta _),
     "q56_resample_locf" -> (qResample _))
 
   val oracleSql: Map[String, String] = Map(
+    "ewma_smooth" -> qEwmaSql,
     "q30_rolling" -> qRollingSql,
     "q47_daily_delta" -> qDailyDeltaSql,
     "q56_resample_locf" -> qResampleSql)
