@@ -252,6 +252,39 @@ object Multimodal {
        |       min(b_min) AS b_min, max(b_max) AS b_max
        |FROM fr GROUP BY 1""".stripMargin
 
+  /** Frame SAMPLING through the same decode path — the video-pipeline
+    * shape (take every Nth frame for feature extraction; decoding every
+    * frame of 100 TB of video is the cost bug): `everyN = 3` keeps
+    * frames 0, 3, 6, … per media. The oracle recomputes the kept-frame
+    * set from the byte math, so a sampling regression (off-by-one,
+    * wrong modulus base) breaks the hash, not just a count. */
+  def qMultimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = toMediaTable(Tables.load(spark, dir, "documents"))
+    extractFrameFeatures(media, everyN = 3)
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("checksum")).as("total_checksum"),
+        min(col("b_min")).as("b_min"),
+        max(col("b_max")).as("b_max"))
+  }
+
+  val qMultimodalFrameSampleSql: String =
+    s"""WITH c AS (SELECT doc_id AS media_id, text,
+       |                  unnest(generate_series(1, length(text))) AS i
+       |           FROM documents
+       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |b AS (SELECT media_id, (i - 1) // $FrameBytes AS frame_no,
+       |             ascii(substring(text, CAST(i AS INT), 1)) AS v
+       |      FROM c),
+       |fr AS (SELECT media_id, frame_no, CAST(sum(v) AS BIGINT) AS checksum,
+       |              min(v) AS b_min, max(v) AS b_max
+       |       FROM b WHERE frame_no % 3 = 0 GROUP BY 1, 2)
+       |SELECT media_id, count(*) AS n_frames,
+       |       CAST(sum(checksum) AS BIGINT) AS total_checksum,
+       |       min(b_min) AS b_min, max(b_max) AS b_max
+       |FROM fr GROUP BY 1""".stripMargin
+
   /** Perceptual-hash inventory over the fixture media table (opaque
     * fallback path: payload bytes = the ASCII text's code points, so the
     * oracle replays the exact bucket/gradient algebra in SQL). The
@@ -291,9 +324,11 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stats" -> (qMultimodalStats _),
-    "multimodal_phash" -> (qMultimodalPhash _))
+    "multimodal_phash" -> (qMultimodalPhash _),
+    "multimodal_framesample" -> (qMultimodalFrameSample _))
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_stats" -> qMultimodalStatsSql,
-    "multimodal_phash" -> qMultimodalPhashSql)
+    "multimodal_phash" -> qMultimodalPhashSql,
+    "multimodal_framesample" -> qMultimodalFrameSampleSql)
 }

@@ -1047,6 +1047,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length === got.distinct.length)
   }
 
+  test("ewmaByKey: exact power-of-two weighting, heads normalize over present lags") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:01", 1L, 1.0),
+      (1L, "2024-01-01 00:00:02", 2L, 2.0),
+      (1L, "2024-01-01 00:00:03", 3L, 4.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = graft.operators.RollingWindow
+      .ewmaByKey(df, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    // cents 100/200/400; weights 128,64,32,... over PRESENT lags only:
+    // t1: 100·128/128 = 100
+    // t2: (200·128 + 100·64) / (128+64) = 32000/192 = 166
+    // t3: (400·128 + 200·64 + 100·32) / (128+64+32) = 67200/224 = 300
+    assert(got === Map(1L -> 100L, 2L -> 166L, 3L -> 300L))
+  }
+
   test("labelPropagation: two cliques joined by one weak edge settle into two communities") {
     import spark.implicits._
     // cliques {1,2,3} and {10,11,12} (internal weight 2), one weight-1
