@@ -156,6 +156,23 @@ object AnnIndex {
         Hashing.stableRound(col("cos"), 4).as("cos"))
   }
 
+  /** Persist the (vec_id, cell_id) member table — the one artifact IVF
+    * serving ([[ivfTopKFrom]]) and SemDeDup scoring share. */
+  def saveIvfMembers(wh: Warehouse, dataset: String, table: String,
+                     emb: DataFrame, centroids: DataFrame): Unit =
+    wh.overwrite(dataset, table, Dedup.cellAssignments(emb, centroids))
+
+  /** Append-only IVF maintenance: new vectors assign against the SAME
+    * frozen quantizer and append — build(A)+append(B) ≡ rebuild(A∪B)
+    * because assignment is per-vector (no corpus state), completing the
+    * append story for all three index families (LSH signatures, PQ
+    * codes, IVF member lists). Retrain the quantizer only when drift
+    * diagnostics ([[Similarity.labelCentroids]]) say the cells no longer
+    * fit — that's a rebuild, not maintenance. */
+  def appendIvfMembers(wh: Warehouse, dataset: String, table: String,
+                       newEmb: DataFrame, centroids: DataFrame): Unit =
+    wh.append(dataset, table, Dedup.cellAssignments(newEmb, centroids))
+
   // ------------------------------------------------------------- PQ codes
 
   /** The (vec_id, codes) artifact — [[ProductQuant.encode]] per vector

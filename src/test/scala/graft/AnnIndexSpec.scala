@@ -90,6 +90,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(served) === rows(ProductQuant.pqTopK(emb, isQuery, isCent)))
   }
 
+  test("append-only IVF members: build(A) + append(B) against one frozen quantizer ≡ rebuild") {
+    import graft.llmops.Dedup
+    val wh = freshWh()
+    val centroids = Similarity.trainIvfCentroids(emb, isCent, iterations = 0)
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    AnnIndex.saveIvfMembers(wh, "idx", "cells", a, centroids)
+    AnnIndex.appendIvfMembers(wh, "idx", "cells", b, centroids)
+    val appended = wh.read("idx", "cells")
+    val rebuilt = Dedup.cellAssignments(emb, centroids)
+    assert(rows(AnnIndex.ivfTopKFrom(emb, appended, centroids, isQuery)) ===
+      rows(AnnIndex.ivfTopKFrom(emb, rebuilt, centroids, isQuery)))
+  }
+
   test("ivfTopKFrom over the shared (vec_id, cell_id) artifact equals ivfTopK") {
     import graft.llmops.Dedup
     val wh = freshWh()
