@@ -607,6 +607,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     } catch {
       case e: java.util.ConcurrentModificationException =>
         deleteRecursive(frag) // no commit references the rewrite
+        replacement.foreach(r =>
+          Files.deleteIfExists(ZoneMaps.statsPath(td, r.path)))
         throw e
     }
     DeleteResult(deleted, hits.map(_.partition).distinct.sorted,
@@ -798,8 +800,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       }, cur2 => Some(unionWithCurrent(dataset, table, cur2, src.schema).toDDL))
     } catch {
       case e: java.util.ConcurrentModificationException =>
-        replacement.foreach(r => deleteRecursive(td.resolve(r.path)))
+        replacement.foreach { r =>
+          deleteRecursive(td.resolve(r.path))
+          Files.deleteIfExists(ZoneMaps.statsPath(td, r.path))
+        }
         deleteRecursive(srcFrag)
+        Files.deleteIfExists(ZoneMaps.statsPath(td, srcEntry.path))
         throw e
     }
     MergeResult(matched, srcRows, hits.map(_.partition).distinct.sorted, prunedN)
@@ -1189,6 +1195,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val expired = expirePartitions(dataset, t, today)
         val compacted = compact(dataset, t, targetBytes)
         val vacuumed = log(dataset, t).vacuum(retainMillis).size
+        // sidecar hygiene: zone maps of vacuumed fragments — and of
+        // fragments abandoned by delete/merge abort paths — are
+        // unreferenced once no commit names their entry
+        ZoneMaps.vacuumStats(tableDir(dataset, t),
+          log(dataset, t).commits.flatMap(_.entries.map(_.path)).toSet)
         MaintenanceReport(t, expired, compacted, vacuumed)
       } catch {
         case e: Exception =>
