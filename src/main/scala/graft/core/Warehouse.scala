@@ -363,6 +363,35 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .select(keyCols.map(col) :+ col("status"): _*)
   }
 
+  /** Change-data-feed between two versions (Delta CDF's
+    * `table_changes` analog) at FRAGMENT granularity: rows in fragments
+    * the newer commit ADDED surface as `insert`, rows in fragments it
+    * dropped as `delete` — an updated row (delete/merge rewrites swap
+    * whole fragments) appears as its delete + its insert, exactly the
+    * changelog shape [[graft.operators.Cdc]] consumes downstream. The
+    * cost is O(changed fragments), never a table diff: untouched
+    * fragments are absent from both sides by construction. Key-level
+    * net change (suppressing rewrite-identical rows) is
+    * [[snapshotDiff]]'s job — this feed is the raw, key-free form an
+    * incremental consumer tails. */
+  def changesBetween(dataset: String, table: String, v1: Int, v2: Int): DataFrame = {
+    require(v1 < v2, s"need v1 < v2, got $v1 >= $v2")
+    val lg = log(dataset, table)
+    def entriesOf(v: Int) = lg.version(v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v of $dataset.$table"))
+    val (a, b) = (entriesOf(v1), entriesOf(v2))
+    val aPaths = a.entries.map(_.path).toSet
+    val bPaths = b.entries.map(_.path).toSet
+    val added = b.entries.filterNot(e => aPaths(e.path))
+    val removed = a.entries.filterNot(e => bPaths(e.path))
+    readEntries(dataset, table, added, b.schemaDdl)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(
+        readEntries(dataset, table, removed, b.schemaDdl)
+          .withColumn("_change_type", lit("delete")),
+        allowMissingColumns = true)
+  }
+
   /** Manifest-level partition pruning: read only the named partitions —
     * no file listing outside them. */
   def readPartitions(dataset: String, table: String, partitions: Seq[String]): DataFrame = {

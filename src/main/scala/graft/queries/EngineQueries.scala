@@ -237,6 +237,48 @@ object EngineQueries {
       |       count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 2""".stripMargin
 
+  // ---------------------------------------------------------- q61 cdc feed
+
+  /** Change-data-feed from the commit log, end to end: orders land as an
+    * F overwrite + an O append, then a zone-pruned delete rewrites ONLY
+    * the O fragment. The feed between versions must show exactly
+    *  - v1→v2: the appended O rows as inserts, nothing else;
+    *  - v2→v3: the O fragment swap — ALL O rows as deletes, the
+    *    surviving O rows as inserts (the F fragment, untouched by the
+    *    surgical delete, appears in NEITHER side). */
+  def q61CdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_cdf"))
+    val orders = Tables.load(spark, dir, "orders")
+    wh.overwrite("mart", "ocdf", orders.filter(col("o_orderstatus") === "F"))
+    wh.append("mart", "ocdf", orders.filter(col("o_orderstatus") === "O"))
+    val r = wh.deleteWhere("mart", "ocdf",
+      col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0)
+    require(r.pruned == 1, s"the F fragment must zone-prune, pruned=${r.pruned}")
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy(col("_change_type").as("change"),
+        col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(phase).as("phase"), col("change"), col("status"),
+          col("n"), col("total"))
+    agg(wh.changesBetween("mart", "ocdf", 1, 2), "v1_v2")
+      .unionAll(agg(wh.changesBetween("mart", "ocdf", 2, 3), "v2_v3"))
+  }
+
+  val q61Sql: String =
+    """SELECT 'v1_v2' AS phase, 'insert' AS change, o_orderstatus AS status,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderstatus = 'O' GROUP BY 3
+      |UNION ALL
+      |SELECT 'v2_v3' AS phase, 'delete' AS change, o_orderstatus AS status,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderstatus = 'O' GROUP BY 3
+      |UNION ALL
+      |SELECT 'v2_v3' AS phase, 'insert' AS change, o_orderstatus AS status,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND NOT (o_orderkey % 7 = 0)
+      |GROUP BY 3""".stripMargin
+
   // --------------------------------------------------------- q13 incremental
 
   def q13Incremental(spark: SparkSession, dir: String): DataFrame = {
@@ -850,6 +892,7 @@ object EngineQueries {
     "q53_compact" -> (q53Compact _),
     "q57_delete" -> (q57Delete _),
     "q59_merge" -> (q59Merge _),
+    "q61_cdc_feed" -> (q61CdcFeed _),
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
     "q52_stream_full_join" -> (q52StreamFullJoin _),
     "q54_stream_decontaminate" -> (q54StreamDecontaminate _),
@@ -876,6 +919,7 @@ object EngineQueries {
     "q53_compact" -> q53Sql,
     "q57_delete" -> q57Sql,
     "q59_merge" -> q59Sql,
+    "q61_cdc_feed" -> q61Sql,
     "q21_build" -> q21Sql,
     "q51_stream_left_join" -> q51Sql,
     "q52_stream_full_join" -> q52Sql,

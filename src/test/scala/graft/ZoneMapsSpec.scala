@@ -283,6 +283,33 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(e.forall(x => ZoneMaps.read(td, x.path).isDefined))
   }
 
+  test("z-order + file zones: a 2D box predicate opens a small minority of files") {
+    val wh = freshWh()
+    import spark.implicits._
+    // 64x64 grid z-ordered into 16 range files = 16x16 tiles: every
+    // file's (a, b) zones are tight boxes, so a 4x4 query box can only
+    // touch the tiles it overlaps
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+    val z = grid
+      .withColumn("_z", graft.operators.ZOrder.zValue(col("a"), col("b")))
+      .repartitionByRange(16, col("_z")).sortWithinPartitions(col("_z"))
+      .drop("_z")
+    wh.overwrite("raw", "z", z)
+    val pred = col("a").between(10L, 13L) && col("b").between(20L, 23L)
+    val (scanned, total) = wh.scanFootprint("raw", "z", pred)
+    assert(total === 16L, s"expected 16 z-range files, got $total")
+    assert(scanned <= 4L,
+      s"a 4x4 box must open at most the 4 tiles it can straddle, opened $scanned")
+    // and the pruned read is exact
+    assert(wh.readWhere("raw", "z", pred).count() === 16L)
+    // contrast: the same data written WITHOUT clustering barely prunes
+    wh.overwrite("raw", "zr", grid.repartition(16))
+    val (scannedR, totalR) = wh.scanFootprint("raw", "zr", pred)
+    assert(totalR >= 8L && scannedR === totalR,
+      s"hash layout has no locality to prune: $scannedR/$totalR")
+  }
+
   test("metadata diagnostics: schemaDiff, rowCountHistory, orphan audit") {
     val wh = freshWh()
     import spark.implicits._
