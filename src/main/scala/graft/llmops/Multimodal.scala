@@ -285,6 +285,65 @@ object Multimodal {
        |       min(b_min) AS b_min, max(b_max) AS b_max
        |FROM fr GROUP BY 1""".stripMargin
 
+  /** Resize buckets: the fixed output width of [[resizeSignal]]. */
+  val ResizeBuckets = 16
+
+  /** Signal RESIZE — the fixed-width downsample every vision pipeline
+    * runs before featurization (224×224-style normalization; here the
+    * 1-D analog over the decoded/opaque signal bytes): the signal
+    * box-averages into [[ResizeBuckets]] equal spans, each value the
+    * exact integer mean `Σv div n`. Same bucket arithmetic and byte
+    * domain as [[perceptualHash]] (which IS this downsample followed by
+    * gradient signs); one narrow kernel pass, zero shuffle. Output one
+    * row per (media, bucket) so the thumbnail hash-compares as scalars. */
+  def resizeSignal(media: DataFrame, buckets: Int = ResizeBuckets): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_id").isNotNull && col("payload").isNotNull &&
+        length(col("payload")) >= 1)
+      .select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val bytes = ImageCodec.decodeLuma(payload) match {
+            case Some((_, _, luma)) => luma
+            case None               => payload
+          }
+          val s = new Array[Long](buckets)
+          val n = new Array[Long](buckets)
+          val len = bytes.length
+          var i = 0
+          while (i < len) {
+            val b = ((i.toLong * buckets) / len).toInt
+            s(b) += (bytes(i) & 0xff)
+            n(b) += 1
+            i += 1
+          }
+          (0 until buckets).iterator.filter(n(_) > 0)
+            .map(b => (id, b, s(b) / n(b), n(b)))
+        }
+      }.toDF("media_id", "bkt", "mean_v", "n_bytes")
+  }
+
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
+    resizeSignal(toMediaTable(Tables.load(spark, dir, "documents")))
+
+  /** Same bucket spans and integer means replayed over the ASCII
+    * payload bytes. */
+  val qMultimodalResizeSql: String =
+    s"""WITH c AS (SELECT doc_id AS media_id, text,
+       |                  unnest(generate_series(1, length(text))) AS i
+       |           FROM documents
+       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |             AND length(text) >= 1)
+       |SELECT media_id,
+       |       ((i - 1) * $ResizeBuckets) // length(text) AS bkt,
+       |       CAST(sum(ascii(substring(text, CAST(i AS INT), 1))) AS BIGINT)
+       |         // CAST(count(*) AS BIGINT) AS mean_v,
+       |       CAST(count(*) AS BIGINT) AS n_bytes
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   /** Perceptual-hash inventory over the fixture media table (opaque
     * fallback path: payload bytes = the ASCII text's code points, so the
     * oracle replays the exact bucket/gradient algebra in SQL). The
@@ -325,10 +384,12 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stats" -> (qMultimodalStats _),
     "multimodal_phash" -> (qMultimodalPhash _),
-    "multimodal_framesample" -> (qMultimodalFrameSample _))
+    "multimodal_framesample" -> (qMultimodalFrameSample _),
+    "multimodal_resize" -> (qMultimodalResize _))
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_stats" -> qMultimodalStatsSql,
     "multimodal_phash" -> qMultimodalPhashSql,
-    "multimodal_framesample" -> qMultimodalFrameSampleSql)
+    "multimodal_framesample" -> qMultimodalFrameSampleSql,
+    "multimodal_resize" -> qMultimodalResizeSql)
 }
