@@ -282,6 +282,42 @@ object Stats {
       Hashing.stableRound(lb, 6).as("wilson_lb"))
   }
 
+  /** Per-group ROC-AUC of an integer-domain score against a binary
+    * label — EXACTLY, via the Mann-Whitney identity
+    * `AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋)` with proper tie handling
+    * (tied scores take their average rank): the ranking-quality eval a
+    * quality-classifier pipeline runs per slice ("does this score
+    * actually separate good from bad documents on Tuesday's data?").
+    *
+    * Everything is integer: per distinct score the doubled average rank
+    * is `2·cum − cnt + 1`, the doubled positive rank-sum accumulates as
+    * a BIGINT, and the output is basis points by integer division — a
+    * float AUC would drift with partition order, this one hash-gates.
+    * Plan shape: one (group, score) histogram rollup (map-side
+    * combined), a per-group cumulative window over distinct scores, one
+    * group-sized final aggregate. Groups missing a class are dropped
+    * (AUC undefined). Needs n₊·n₋ < 2^59/10⁴ per group — ~10⁷ rows per
+    * class per group; past that sample, AUC converges at √n. */
+  def aucGrouped(df: DataFrame, groupCol: Column, labelCol: Column,
+                 scoreCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"),
+      when(labelCol, lit(1L)).otherwise(lit(0L)).as("y"),
+      scoreCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val h = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")
+    h.withColumn("cum", sum(col("cnt")).over(wc))
+      .groupBy(col("g"))
+      .agg(sum(col("pos") * (col("cum") * 2 - col("cnt") + 1)).as("r2"),
+        sum(col("pos")).as("n_pos"), sum(col("cnt")).as("n"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .withColumn("auc_bp",
+        expr("((r2 - n_pos * (n_pos + 1)) * 10000) div (2 * n_pos * n_neg)"))
+      .select(col("g"), col("n_pos"), col("n_neg"), col("auc_bp"))
+  }
+
   // ----------------------------------------------------------------- query
 
   /** Does spend move with time of day, per event type? (x = hour 0-23,
@@ -481,8 +517,39 @@ object Stats {
             " / (1e0 + 1.96e0 * 1.96e0 / CAST(n AS DOUBLE))", 6)} AS wilson_lb
        |FROM a""".stripMargin
 
+  /** Does spend amount separate purchases from other events, day by
+    * day? (The per-slice ranking-quality monitor.) */
+  def qAuc(spark: SparkSession, dir: String): DataFrame =
+    aucGrouped(Tables.load(spark, dir, "events"),
+      to_date(col("ts")).as("day"),
+      col("event_type") === "purchase",
+      round(col("value") * 100))
+      .withColumnRenamed("g", "day")
+
+  val qAucSql: String =
+    """WITH b AS (
+      |  SELECT CAST(ts AS DATE) AS g,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt,
+      |             CAST(sum(y) AS BIGINT) AS pos
+      |      FROM b GROUP BY 1, 2),
+      |c AS (SELECT g, v, cnt, pos,
+      |             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+      |      FROM h),
+      |a AS (SELECT g, CAST(sum(pos * (2 * cum - cnt + 1)) AS BIGINT) AS r2,
+      |             CAST(sum(pos) AS BIGINT) AS n_pos,
+      |             CAST(sum(cnt) AS BIGINT) AS n
+      |      FROM c GROUP BY 1)
+      |SELECT g AS day, n_pos, n - n_pos AS n_neg,
+      |       ((r2 - n_pos * (n_pos + 1)) * 10000)
+      |         // (2 * n_pos * (n - n_pos)) AS auc_bp
+      |FROM a WHERE n_pos > 0 AND n - n_pos > 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ks" -> (qKs _),
+    "stats_auc" -> (qAuc _),
     "stats_wilson" -> (qWilson _),
     "stats_corr" -> (qCorr _),
     "stats_spearman" -> (qSpearman _),
@@ -492,6 +559,7 @@ object Stats {
 
   val oracleSql: Map[String, String] = Map(
     "stats_ks" -> qKsSql,
+    "stats_auc" -> qAucSql,
     "stats_wilson" -> qWilsonSql,
     "stats_corr" -> qCorrSql,
     "stats_spearman" -> qSpearmanSql,

@@ -127,6 +127,23 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size === 100) // winsorize keeps every row
   }
 
+  test("aucGrouped: perfect separation = 10000 bp, all-tied = 5000 bp, inverted = 0") {
+    import spark.implicits._
+    val df = Seq(
+      // g=sep: positives strictly above negatives → AUC 1
+      ("sep", true, 3L), ("sep", true, 4L), ("sep", false, 1L), ("sep", false, 2L),
+      // g=tie: identical score multiset per class → AUC 1/2 via avg ranks
+      ("tie", true, 1L), ("tie", true, 2L), ("tie", false, 1L), ("tie", false, 2L),
+      // g=inv: positives strictly below → AUC 0
+      ("inv", true, 1L), ("inv", false, 2L),
+      // g=one: single class → dropped
+      ("one", true, 1L), ("one", true, 2L))
+      .toDF("g", "y", "v")
+    val got = Stats.aucGrouped(df, col("g"), col("y"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("sep" -> 10000L, "tie" -> 5000L, "inv" -> 0L))
+  }
+
   test("ksDrift: exact D against a hand-computed two-group fixture") {
     import spark.implicits._
     // g=a: {1,1,2,3}  g=b: {2,3,3,4}; pool: {1,1,2,2,3,3,3,4} (n_all=8)
