@@ -318,6 +318,28 @@ object Stats {
       .select(col("g"), col("n_pos"), col("n_neg"), col("auc_bp"))
   }
 
+  /** Calibration (reliability) bins — AUC's companion question: a score
+    * can RANK perfectly yet lie about probabilities; per fixed-width
+    * score bin this reports observed positive rate against the bin's
+    * score range, the reliability-diagram table. Bin assignment is the
+    * exact integer `((v − mn)·nBins) div (mx − mn + 1)` over the
+    * group-free global [mn, mx] (a 1-row broadcast scalar); rates in
+    * basis points by integer division. One rollup, no window. */
+  def calibrationBins(df: DataFrame, labelCol: Column, scoreCol: Column,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val base = df.select(when(labelCol, lit(1L)).otherwise(lit(0L)).as("y"),
+      scoreCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val bounds = base.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"((v - mn) * $nBins) div (mx - mn + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        min(col("v")).as("v_lo"), max(col("v")).as("v_hi"))
+      .withColumn("pos_bp", expr("(n_pos * 10000) div n"))
+  }
+
   // ----------------------------------------------------------------- query
 
   /** Does spend move with time of day, per event type? (x = hour 0-23,
@@ -547,8 +569,27 @@ object Stats {
       |         // (2 * n_pos * (n - n_pos)) AS auc_bp
       |FROM a WHERE n_pos > 0 AND n - n_pos > 0""".stripMargin
 
+  /** Is spend calibrated against purchase propensity across its range? */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationBins(Tables.load(spark, dir, "events"),
+      col("event_type") === "purchase", round(col("value") * 100))
+
+  val qCalibrationSql: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT min(v) AS mn, max(v) AS mx FROM b)
+      |SELECT ((v - mn) * 10) // (mx - mn + 1) AS bin,
+      |       count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |       min(v) AS v_lo, max(v) AS v_hi,
+      |       (CAST(sum(y) AS BIGINT) * 10000) // count(*) AS pos_bp
+      |FROM b CROSS JOIN m
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ks" -> (qKs _),
+    "eval_calibration" -> (qCalibration _),
     "stats_auc" -> (qAuc _),
     "stats_wilson" -> (qWilson _),
     "stats_corr" -> (qCorr _),
@@ -559,6 +600,7 @@ object Stats {
 
   val oracleSql: Map[String, String] = Map(
     "stats_ks" -> qKsSql,
+    "eval_calibration" -> qCalibrationSql,
     "stats_auc" -> qAucSql,
     "stats_wilson" -> qWilsonSql,
     "stats_corr" -> qCorrSql,
