@@ -347,6 +347,30 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(wh.read("raw", "md").count() === 2) // table untouched
   }
 
+  test("stress: concurrent appenders all land; every row served, every sidecar written") {
+    val wh = freshWh()
+    import spark.implicits._
+    wh.overwrite("raw", "cc", Seq((0, "seed", "s")).toDF("id", "grp", "v"))
+    // 4 writers x 3 appends racing on the version number: commitWith
+    // re-bases losers, so every append must land exactly once
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        try (1 to 3).foreach { i =>
+          val id = t * 100 + i
+          wh.append("raw", "cc", Seq((id, s"t$t", s"v$id")).toDF("id", "grp", "v"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"appenders must not fail: ${errs.peek()}")
+    assert(wh.log("raw", "cc").latest.get.version === 13, "12 appends + seed")
+    val got = wh.read("raw", "cc").collect().map(_.getInt(0)).toSet
+    assert(got === (Set(0) ++ (for (t <- 1 to 4; i <- 1 to 3) yield t * 100 + i)))
+    // all 13 entries carry sidecars and row counts reconcile scan-free
+    assert(wh.rowCountHistory("raw", "cc").last._2 === Some(13L))
+  }
+
   test("compact output keeps zone maps alive; vacuumStats reclaims orphans") {
     val wh = freshWh()
     threeFrags(wh)
