@@ -753,14 +753,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     *
     * NULL keys: source rows with NULL in any key column are rejected
     * (no sane match semantics); target NULL-key rows never match and
-    * are kept. Unpartitioned targets only in this version — partitioned
-    * incremental replace is [[insertOverwrite]]'s job. */
+    * are kept. Partitioned targets land the source hive-partitioned
+    * (partition-value entries join the commit alongside existing ones;
+    * reads union multi-entry partitions) — a whole-partition replace is
+    * still [[insertOverwrite]]'s cheaper job. */
   def mergeInto(dataset: String, table: String, source: DataFrame,
                 keys: Seq[String]): MergeResult = {
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val m = meta(dataset, table)
-    require(m.partitionField.isEmpty,
-      s"$dataset.$table is partitioned; merge partitions via insertOverwrite")
     val lg = log(dataset, table)
     val cur = lg.latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
@@ -769,9 +769,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // land the source fragment first: one write, and its rows serve the
     // bounds, the key joins, and the final commit
     val srcFrag = lg.newFragmentDir()
-    source.write.mode("overwrite").parquet(srcFrag.toString)
-    val srcEntry = SnapshotLog.Entry("", relativize(dataset, table, srcFrag))
-    recordStats(dataset, table, Seq(srcEntry), None)
+    val srcEntries: Seq[SnapshotLog.Entry] = m.partitionField match {
+      case Some(field) =>
+        partitionedWrite(source, field, srcFrag)
+        val es = hiveEntries(dataset, table, srcFrag, field)
+        recordStats(dataset, table, es, Some(field))
+        es
+      case None =>
+        source.write.mode("overwrite").parquet(srcFrag.toString)
+        val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag)))
+        recordStats(dataset, table, es, None)
+        es
+    }
     val src = spark.read.parquet(srcFrag.toString)
     val keyCols = keys.map(col)
     require(src.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
@@ -812,10 +821,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val keep = readEntries(dataset, table, hits, cur.schemaDdl)
           .join(srcKeys, keys, "left_anti")
         val frag = lg.newFragmentDir()
-        keep.write.mode("overwrite").parquet(frag.toString)
-        val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
-        recordStats(dataset, table, e, None)
-        e
+        m.partitionField match {
+          case Some(field) =>
+            partitionedWrite(keep, field, frag)
+            val es = hiveEntries(dataset, table, frag, field)
+            recordStats(dataset, table, es, Some(field))
+            es
+          case None =>
+            keep.write.mode("overwrite").parquet(frag.toString)
+            val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+            recordStats(dataset, table, e, None)
+            e
+        }
       }
     val hitPaths = hits.map(_.path).toSet
     try {
@@ -825,7 +842,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"mergeInto on $dataset.$table lost a race: fragment(s) " +
             s"${gone.mkString(", ")} were rewritten concurrently; retry the merge")
-        live.filterNot(e => hitPaths(e.path)) ++ replacement :+ srcEntry
+        live.filterNot(e => hitPaths(e.path)) ++ replacement ++ srcEntries
       }, cur2 => Some(unionWithCurrent(dataset, table, cur2, src.schema).toDDL))
     } catch {
       case e: java.util.ConcurrentModificationException =>
@@ -834,7 +851,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           Files.deleteIfExists(ZoneMaps.statsPath(td, r.path))
         }
         deleteRecursive(srcFrag)
-        Files.deleteIfExists(ZoneMaps.statsPath(td, srcEntry.path))
+        srcEntries.foreach(s =>
+          Files.deleteIfExists(ZoneMaps.statsPath(td, s.path)))
         throw e
     }
     MergeResult(matched, srcRows, hits.map(_.partition).distinct.sorted, prunedN)

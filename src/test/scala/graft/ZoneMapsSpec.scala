@@ -260,6 +260,28 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(wh.read("raw", "t").count() === 8)
   }
 
+  test("partitioned mergeInto: updates land in their partitions, other partitions prune") {
+    val wh = freshWh()
+    import spark.implicits._
+    val d = Seq((1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+      (3, "2024-01-02", "c"), (4, "2024-01-03", "d"))
+      .toDF("id", "ds", "v").select(col("id"), to_date(col("ds")).as("d"), col("v"))
+    wh.overwrite("raw", "pm", d, graft.core.TableMeta(partitionField = Some("d")))
+    // update id 3 (day 2) + insert id 9 into day 3
+    val src = Seq((3, "2024-01-02", "UPD"), (9, "2024-01-03", "new"))
+      .toDF("id", "ds", "v").select(col("id"), to_date(col("ds")).as("d"), col("v"))
+    val r = wh.mergeInto("raw", "pm", src, Seq("id"))
+    assert(r.matchedRows === 1L && r.sourceRows === 2L)
+    val got = wh.read("raw", "pm").orderBy("id")
+      .collect().map(x => x.getInt(0) -> x.getString(2)).toMap
+    assert(got === Map(1 -> "a", 2 -> "b", 3 -> "UPD", 4 -> "d", 9 -> "new"))
+    // partition integrity: hive reads still group correctly
+    assert(wh.read("raw", "pm").filter(col("d") === "2024-01-03")
+      .collect().map(_.getInt(0)).toSet === Set(4, 9))
+    // pre-merge version intact
+    assert(wh.readVersion("raw", "pm", 1).count() === 4)
+  }
+
   test("stats recording is metadata-only: an append runs exactly the write job") {
     val wh = freshWh()
     import spark.implicits._
