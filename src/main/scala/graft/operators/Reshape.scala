@@ -79,11 +79,34 @@ object Reshape {
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** ROLLUP — the hierarchical member of the grouping-sets family
+    * ([[qCube]] covers the full lattice): subtotals along ONE drill
+    * path (status within flag, flag, grand total), the report-total
+    * shape. Same partial-aggregation plan as a plain groupBy: Expand
+    * multiplies rows by grouping-set count BEFORE the map-side combine,
+    * so the shuffle still carries aggregate-sized data. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(expr("cast(round(l_quantity * 100) as long)")).as("qty_c"))
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |         AS qty_c
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_pivot" -> (qPivot _),
-    "q46_cube" -> (qCube _))
+    "q46_cube" -> (qCube _),
+    "q62_rollup" -> (qRollup _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_pivot" -> qPivotSql,
-    "q46_cube" -> qCubeSql)
+    "q46_cube" -> qCubeSql,
+    "q62_rollup" -> qRollupSql)
 }
