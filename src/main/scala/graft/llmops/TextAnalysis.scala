@@ -387,7 +387,58 @@ object TextAnalysis {
        |         AS bpe_per_word
        |FROM t""".stripMargin
 
+  /** Cohen's kappa between the DECLARED language and the langid
+    * prediction — classifier agreement beyond chance (raw accuracy
+    * overstates a classifier on a skewed label mix; kappa subtracts the
+    * agreement the marginals alone would produce). Pure integers: with
+    * contingency cells n(a,b), `κ = (agree·n − Σ_l r_l·c_l) /
+    * (n² − Σ_l r_l·c_l)` cross-multiplied by n² — reported in basis
+    * points by integer division, so the score hash-gates. Shape: one
+    * label-pair rollup (cells are |langs|² rows), marginals and the
+    * chance term on that tiny frame, a 1-row output. The same algebra
+    * audits any predicted-vs-gold label pair at any scale. */
+  def qKappaLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val gold = docs.filter(col("doc_id").isNotNull && col("lang").isNotNull)
+      .select(col("doc_id"), col("lang").as("a"))
+    val cells = gold
+      .join(withLangId(docs).select(col("doc_id"), col("pred_lang").as("b")), "doc_id")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds totals + both marginals + chance
+    val rt = cells.groupBy(col("a")).agg(sum(col("c")).as("r"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+    val chance = rt.join(ct, rt("a") === ct("b"))
+      .agg(sum(col("r") * col("cc")).as("chance"))
+    cells.agg(sum(col("c")).as("n"),
+        sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L))).as("agree"))
+      .crossJoin(broadcast(chance))
+      .withColumn("chance", coalesce(col("chance"), lit(0L)))
+      .withColumn("kappa_bp",
+        expr("((agree * n - chance) * 10000) div (n * n - chance)"))
+      .select(col("n"), col("agree"), col("kappa_bp"))
+  }
+
+  lazy val qKappaLangidSql: String =
+    s"""WITH pred AS MATERIALIZED (
+       |  SELECT doc_id, pred_lang FROM (${qLangIdSql.replace("\n", "\n  ")})),
+       |cells AS MATERIALIZED (
+       |  SELECT d.lang AS a, p.pred_lang AS b, CAST(count(*) AS BIGINT) AS c
+       |  FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE d.doc_id IS NOT NULL AND d.lang IS NOT NULL
+       |  GROUP BY 1, 2),
+       |rt AS (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+       |ct AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY 1),
+       |ch AS (SELECT CAST(coalesce(sum(r * cc), 0) AS BIGINT) AS chance
+       |       FROM rt JOIN ct ON ct.b = rt.a),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+       |             CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+       |      FROM cells)
+       |SELECT n, agree,
+       |       ((agree * n - chance) * 10000) // (n * n - chance) AS kappa_bp
+       |FROM t CROSS JOIN ch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_kappa_langid" -> (qKappaLangid _),
     "text_stats" -> (qTextStats _),
     "text_langid" -> (qLangId _),
     "text_repetition" -> (qRepetition _),
@@ -395,6 +446,7 @@ object TextAnalysis {
     "token_count_bpe" -> (qBpeTokens _))
 
   val oracleSql: Map[String, String] = Map(
+    "eval_kappa_langid" -> qKappaLangidSql,
     "text_stats" -> qTextStatsSql,
     "text_langid" -> qLangIdSql,
     "text_repetition" -> qRepetitionSql,
