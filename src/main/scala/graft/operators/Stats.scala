@@ -340,6 +340,34 @@ object Stats {
       .withColumn("pos_bp", expr("(n_pos * 10000) div n"))
   }
 
+  /** Per-group Gini concentration of a non-negative integer measure —
+    * the source-dominance diagnostic a corpus datasheet wants ("do 1% of
+    * documents carry 90% of this source's tokens?"): 0 = perfectly even,
+    * → 1 = one row holds everything.
+    *
+    * Exact integers on the [[aucGrouped]] histogram: with ties taking
+    * average ranks, `2·Σᵢ i·xᵢ = Σ_v v·cnt·(2·cum − cnt + 1)` over
+    * distinct values, so `G = (2Σi·xᵢ − (n+1)·Σx) / (n·Σx)` lands in
+    * basis points by one integer division. Plan: one (group, value)
+    * rollup, a per-group cumulative window over DISTINCT values (never
+    * raw rows — a per-row rank window would funnel corpus-sized groups),
+    * one group-sized aggregate. Needs `Σ v·cnt·2·cum < 2^63` per group
+    * (~10⁹ unit-scale rows); past that, sample. */
+  def giniGrouped(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull && col("v") >= 0)
+    val h = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")
+    h.withColumn("cum", sum(col("cnt")).over(wc))
+      .groupBy(col("g"))
+      .agg(sum(col("v") * col("cnt") * (col("cum") * 2 - col("cnt") + 1)).as("ri2"),
+        sum(col("v") * col("cnt")).as("sx"), sum(col("cnt")).as("n"))
+      .filter(col("sx") > 0 && col("n") > 1)
+      .withColumn("gini_bp",
+        expr("((ri2 - (n + 1) * sx) * 10000) div (n * sx)"))
+      .select(col("g").as(groupCol), col("n"), col("sx"), col("gini_bp"))
+  }
+
   // ----------------------------------------------------------------- query
 
   /** Does spend move with time of day, per event type? (x = hour 0-23,
@@ -587,8 +615,30 @@ object Stats {
       |FROM b CROSS JOIN m
       |GROUP BY 1""".stripMargin
 
+  /** How concentrated is document length within each source? */
+  def qGini(spark: SparkSession, dir: String): DataFrame =
+    giniGrouped(Tables.load(spark, dir, "documents"), "source", col("n_chars"))
+
+  val qGiniSql: String =
+    """WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+      |           FROM documents
+      |           WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |             AND n_chars >= 0),
+      |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+      |c AS (SELECT g, v, cnt,
+      |             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+      |      FROM h),
+      |a AS (SELECT g, CAST(sum(v * cnt * (2 * cum - cnt + 1)) AS BIGINT) AS ri2,
+      |             CAST(sum(v * cnt) AS BIGINT) AS sx,
+      |             CAST(sum(cnt) AS BIGINT) AS n
+      |      FROM c GROUP BY 1)
+      |SELECT g AS source, n, sx,
+      |       ((ri2 - (n + 1) * sx) * 10000) // (n * sx) AS gini_bp
+      |FROM a WHERE sx > 0 AND n > 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ks" -> (qKs _),
+    "stats_gini" -> (qGini _),
     "eval_calibration" -> (qCalibration _),
     "stats_auc" -> (qAuc _),
     "stats_wilson" -> (qWilson _),
@@ -600,6 +650,7 @@ object Stats {
 
   val oracleSql: Map[String, String] = Map(
     "stats_ks" -> qKsSql,
+    "stats_gini" -> qGiniSql,
     "eval_calibration" -> qCalibrationSql,
     "stats_auc" -> qAucSql,
     "stats_wilson" -> qWilsonSql,

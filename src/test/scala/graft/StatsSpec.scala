@@ -144,6 +144,22 @@ class StatsSpec extends AnyFunSuite {
     assert(got === Map("sep" -> 10000L, "tie" -> 5000L, "inv" -> 0L))
   }
 
+  test("giniGrouped: even split -> 0; extreme concentration -> near 10000; ties exact") {
+    import spark.implicits._
+    val df = Seq.fill(4)(("even", 10L)) ++                 // all equal → G = 0
+      (Seq(("conc", 0L), ("conc", 0L), ("conc", 0L), ("conc", 100L))) ++ // one row holds all
+      Seq(("tie", 1L), ("tie", 1L), ("tie", 3L))            // hand case below
+    val got = Stats.giniGrouped(df.toDF("g", "v"), "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("even") === 0L)
+    // conc: sorted (0,0,0,100): 2Σi·x = 2·4·100 = 800; (n+1)Σx = 500;
+    // n·Σx = 400 → (800−500)·1e4/400 = 7500 (max for n=4 is (n−1)/n)
+    assert(got("conc") === 7500L)
+    // tie: values (1,1,3): ranks avg (1.5,1.5,3) → 2Σi·x = 2(1.5+1.5+9)=24;
+    // (n+1)Σx = 20; nΣx = 15 → 4·1e4/15 = 2666
+    assert(got("tie") === 2666L)
+  }
+
   test("ksDrift: exact D against a hand-computed two-group fixture") {
     import spark.implicits._
     // g=a: {1,1,2,3}  g=b: {2,3,3,4}; pool: {1,1,2,2,3,3,3,4} (n_all=8)
