@@ -479,6 +479,39 @@ object Dedup {
        |  $simhashBandsSql)
        |${simhashPairsFragment(maxHamming)}""".stripMargin
 
+  /** Cross-source duplication MATRIX — which sources copy from each
+    * other: near-dup pairs bucketed by their (unordered) source pair.
+    * Within-source cells diagnose internal boilerplate; off-diagonal
+    * cells are provenance contamination (mirrors, scrapes of scrapes) —
+    * the datasheet item [[dedupReport]]'s per-source rates can't show.
+    * Shape: the banded pair contract plus two pair-sized source-attach
+    * joins and one tiny roll-up; at corpus scale the source column
+    * would ride the fingerprint kernel ([[duplicateClustersCounted]]'s
+    * carryCols pattern) to skip the joins entirely. */
+  def crossSourceDupMatrix(docs: DataFrame, maxHamming: Int = HammingMax): DataFrame = {
+    val srcs = docs.filter(col("doc_id").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"))
+    simhashPairs(docs, maxHamming)
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def crossSourceSql(maxHamming: Int = HammingMax): String =
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${simhashPairsSql(maxHamming).replace("\n", "\n  ")})),
+       |s AS (SELECT doc_id, source FROM documents
+       |      WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+       |SELECT least(sa.source, sb.source) AS src_a,
+       |       greatest(sa.source, sb.source) AS src_b,
+       |       count(*) AS n_pairs
+       |FROM p JOIN s sa ON sa.doc_id = p.doc_a
+       |       JOIN s sb ON sb.doc_id = p.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------- incremental near-dup
 
   /** Bloom bitmap sizing for the incremental band filter: 2^20 bits /
@@ -1377,6 +1410,8 @@ object Dedup {
       minhashDedupPairs(Tables.load(s, d, "documents"))),
     "dedup_simhash" -> ((s: SparkSession, d: String) =>
       simhashPairs(Tables.load(s, d, "documents"))),
+    "dedup_cross_source" -> ((s: SparkSession, d: String) =>
+      crossSourceDupMatrix(Tables.load(s, d, "documents"))),
     "dedup_embed" -> ((s: SparkSession, d: String) =>
       embeddingPairs(Tables.load(s, d, "embeddings"))),
     "dedup_semantic" -> ((s: SparkSession, d: String) =>
@@ -1432,6 +1467,7 @@ object Dedup {
     "dedup_containment" -> containmentOracleSql(),
     "dedup_minhash" -> minhashOracleSql(),
     "dedup_simhash" -> simhashPairsSql(),
+    "dedup_cross_source" -> crossSourceSql(),
     "dedup_embed" -> embeddingPairsSql(),
     "dedup_semantic" -> semanticDedupSql(),
     "dedup_substring" -> substringOverlapSql(),

@@ -222,6 +222,57 @@ object RollingWindow {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
   }
 
+  /** Time-weighted average per key and day — the TWAP every
+    * sensor/price pipeline needs: a value that held for an hour must
+    * outweigh one that held a second, which a plain mean gets wrong.
+    * Each observation weighs its HOLD duration (seconds to the key's
+    * next event; a day's last event has no duration and drops —
+    * documented half-open semantics). Exact integers end to end:
+    * cents × whole seconds summed as BIGINT, one integer division —
+    * hash-gateable where a float TWAP would drift. One key-sorted
+    * window (lead) + one map-side-combined (key, day) roll-up. */
+  def twapByKey(events: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .withColumn("_c", round(col(valueCol) * 100).cast("long"))
+      .withColumn("_dur",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .filter(col("_dur").isNotNull && col("_dur") > 0)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col("_c") * col("_dur")).as("vxd"), sum(col("_dur")).as("dur_us"))
+      .withColumn("twap_cents", expr("vxd div dur_us"))
+      .select(col(keyCol), col("day"), col("dur_us"), col("twap_cents"))
+  }
+
+  def qTwap(spark: SparkSession, dir: String): DataFrame =
+    twapByKey(Tables.load(spark, dir, "events"),
+      "user_id", "ts", "value", "event_id")
+
+  /** Same lead-duration and integer algebra; EXACT micros both sides
+    * (epoch_us ≡ unix_micros — a seconds cast would round vs floor
+    * differently on fractional timestamps). */
+  val qTwapSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |d AS (
+      |  SELECT user_id, ts, c,
+      |         epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+      |                                    ORDER BY ts, event_id))
+      |           - epoch_us(ts) AS dur
+      |  FROM e)
+      |SELECT user_id, CAST(ts AS DATE) AS day,
+      |       CAST(sum(dur) AS BIGINT) AS dur_us,
+      |       CAST(sum(c * dur) AS BIGINT) // CAST(sum(dur) AS BIGINT)
+      |         AS twap_cents
+      |FROM d WHERE dur IS NOT NULL AND dur > 0
+      |GROUP BY 1, 2""".stripMargin
+
   def qResample(spark: SparkSession, dir: String): DataFrame =
     resampleLocf(Tables.load(spark, dir, "events"),
       "user_id", "ts", "value", "event_id")
@@ -254,12 +305,14 @@ object RollingWindow {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ewma_smooth" -> (qEwma _),
+    "q63_twap" -> (qTwap _),
     "q30_rolling" -> (qRolling _),
     "q47_daily_delta" -> (qDailyDelta _),
     "q56_resample_locf" -> (qResample _))
 
   val oracleSql: Map[String, String] = Map(
     "ewma_smooth" -> qEwmaSql,
+    "q63_twap" -> qTwapSql,
     "q30_rolling" -> qRollingSql,
     "q47_daily_delta" -> qDailyDeltaSql,
     "q56_resample_locf" -> qResampleSql)
