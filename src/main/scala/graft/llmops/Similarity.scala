@@ -1005,9 +1005,26 @@ object Similarity {
   def mmrTopK(emb: DataFrame, isQuery: Column, k: Int = MmrK,
               cands: Int = TopK): DataFrame = {
     require(k >= 1 && k <= cands, s"need 1 <= k <= cands, got $k/$cands")
+    mmrFrom(bruteForceTopK(emb, isQuery, cands), emb, k)
+  }
+
+  /** [[mmrTopK]] over the multi-band LSH candidate rank — the SCALE path
+    * for diversified retrieval: the corpus-touching work is lshTopK's
+    * banded candidate generation, and MMR re-ranks its query-pool-sized
+    * output. Any rank-contract frame plugs into [[mmrFrom]] the same
+    * way (IVF, index-served lshTopKFrom, ...). */
+  def mmrTopKLsh(emb: DataFrame, isQuery: Column, k: Int = MmrK,
+                 cands: Int = TopK): DataFrame = {
+    require(k >= 1 && k <= cands, s"need 1 <= k <= cands, got $k/$cands")
+    mmrFrom(lshTopK(emb, isQuery, cands), emb, k)
+  }
+
+  /** The greedy MMR rounds over ANY (query_id, neighbor_id, rank, cos)
+    * rank-contract frame. */
+  private def mmrFrom(relRaw: DataFrame, emb: DataFrame, k: Int): DataFrame = {
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
-    val rel = bruteForceTopK(emb, isQuery, cands).localCheckpoint(true)
+    val rel = relRaw.localCheckpoint(true)
     val n = typedVecs(emb)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -1052,15 +1069,12 @@ object Similarity {
   /** The whole greedy derivation unrolled in SQL: nested brute-force
     * rank → pairwise e4 sims → k−1 argmax rounds, every comparison on
     * the identical double grid, every tie to the smaller id. */
-  lazy val qMmrSql: String = {
+  /** sims + greedy rounds + final select, over an already-defined
+    * `rel` (rank-contract) CTE and `e2`/`n2` vector CTEs — shared by the
+    * brute-force and LSH-served MMR oracles. */
+  private def mmrRoundsSql: String = {
     val simsCte =
-      s"""e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         |       WHERE $vecFilterSql),
-         |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e2),
-         |rel AS MATERIALIZED (
-         |  SELECT query_id, neighbor_id, rank, cos
-         |  FROM (${qBruteForceSql.replace("\n", "\n  ")})),
-         |sims AS MATERIALIZED (
+      s"""sims AS MATERIALIZED (
          |  SELECT r1.query_id, r1.neighbor_id AS a, r2.neighbor_id AS b,
          |         floor(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm)
          |               * 10000.0 + 0.5) / 10000.0 AS sim
@@ -1091,13 +1105,39 @@ object Similarity {
          |    FROM c$r) WHERE rn = 1)""".stripMargin
     }
     val rounds = (2 to MmrK).map(round).mkString(",\n")
-    s"""WITH $simsCte,
+    s"""$simsCte,
        |sel1 AS MATERIALIZED (
        |  SELECT query_id, neighbor_id AS id, 1 AS pick
        |  FROM rel WHERE rank = 1),
        |$rounds
        |SELECT query_id, id, pick FROM sel$MmrK""".stripMargin
   }
+
+  private def mmrVecCtes: String =
+    s"""e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |       WHERE $vecFilterSql),
+       |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e2)""".stripMargin
+
+  lazy val qMmrSql: String =
+    s"""WITH $mmrVecCtes,
+       |rel AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rank, cos
+       |  FROM (${qBruteForceSql.replace("\n", "\n  ")})),
+       |$mmrRoundsSql""".stripMargin
+
+  def qMmrLsh(spark: SparkSession, dir: String): DataFrame =
+    mmrTopKLsh(Tables.load(spark, dir, "embeddings"), expr(isQuerySql))
+
+  /** The LSH candidate rank (shared banded CTEs) feeding the SAME greedy
+    * rounds — diversified retrieval on the scale path. */
+  lazy val qMmrLshSql: String =
+    s"""$lshRankedCtes,
+       |$mmrVecCtes,
+       |rel AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rank,
+       |         floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+       |  FROM ranked WHERE rank <= $TopK),
+       |$mmrRoundsSql""".stripMargin
 
   def qProject(spark: SparkSession, dir: String): DataFrame =
     randomProject(Tables.load(spark, dir, "embeddings"))
@@ -1331,7 +1371,8 @@ object Similarity {
     "knn_classify" -> (qKnnClassify _),
     "embed_project" -> (qProject _),
     "embed_center" -> (qCenter _),
-    "rank_mmr" -> (qMmr _))
+    "rank_mmr" -> (qMmr _),
+    "rank_mmr_lsh" -> (qMmrLsh _))
 
   val oracleSql: Map[String, String] = Map(
     "embed_label_centroids" -> qLabelCentroidsSql,
@@ -1348,5 +1389,6 @@ object Similarity {
     "knn_classify" -> qKnnClassifySql,
     "embed_project" -> qProjectSql,
     "embed_center" -> qCenterSql,
-    "rank_mmr" -> qMmrSql)
+    "rank_mmr" -> qMmrSql,
+    "rank_mmr_lsh" -> qMmrLshSql)
 }
