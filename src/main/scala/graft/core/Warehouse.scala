@@ -498,6 +498,21 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     readEntries(dataset, table, scan, c.schemaDdl, filesOf).filter(pred)
   }
 
+  /** [[readWhere]] against a historical version — time travel and data
+    * skipping compose for free because zones are per-FRAGMENT and
+    * fragments are immutable: an old commit's entries prune against the
+    * same sidecars the current ones do ("what did we hold for user X
+    * last Tuesday" opens the files that held user X, not the snapshot). */
+  def readWhereVersion(dataset: String, table: String, version: Int,
+                       pred: Column): DataFrame = {
+    val c = log(dataset, table).version(version).getOrElse(
+      throw new IllegalArgumentException(s"no version $version of $dataset.$table"))
+    require(!c.isDrop, s"$dataset.$table version $version is a drop")
+    val resolved = resolvedPred(dataset, table, c, pred)
+    val (scan, filesOf) = planFiles(dataset, table, c.entries, resolved)
+    readEntries(dataset, table, scan, c.schemaDdl, filesOf).filter(pred)
+  }
+
   /** Two-level prune: (entries to read, per-entry kept-file overrides).
     * Entries whose every file prunes drop out entirely. */
   private def planFiles(dataset: String, table: String,

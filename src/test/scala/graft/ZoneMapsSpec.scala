@@ -164,6 +164,19 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(wh.read("raw", "p").orderBy("id").collect().map(_.getInt(0)).toSeq === Seq(2, 4))
   }
 
+  test("readWhereVersion: time travel composes with data skipping") {
+    val wh = freshWh()
+    threeFrags(wh)
+    wh.deleteWhere("raw", "t", col("id") === 10) // v4 rewrites the b fragment
+    // the PRE-delete version still prunes on the immutable fragments'
+    // zones and still serves the deleted row
+    val got = wh.readWhereVersion("raw", "t", 3, col("id") === 10)
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(10))
+    // and the current version no longer has it, same pruned path
+    assert(wh.readWhere("raw", "t", col("id") === 10).isEmpty)
+  }
+
   test("analyze backfills sidecars for legacy fragments; missing sidecar never blocks reads") {
     val wh = freshWh()
     threeFrags(wh)
