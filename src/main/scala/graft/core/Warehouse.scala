@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -173,7 +174,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val frag = lg.newFragmentDir()
         partitionedWrite(df, field, frag)
         val entries = hiveEntries(dataset, table, frag, field)
-        recordStats(dataset, table, entries, Some(field))
+        recordStats(dataset, table, entries, Some(field), Some(df.schema))
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
       case None =>
         val frag = lg.newFragmentDir()
@@ -235,7 +236,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     partitionedWrite(df, field, frag)
     val fresh = hiveEntries(dataset, table, frag, field)
-    recordStats(dataset, table, fresh, Some(field))
+    recordStats(dataset, table, fresh, Some(field), Some(df.schema))
     val freshParts = fresh.map(_.partition).toSet
     // commitWith: the kept-partition list AND the union schema are
     // recomputed from the CURRENT latest commit (re-read on a lost race),
@@ -384,10 +385,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val bPaths = b.entries.map(_.path).toSet
     val added = b.entries.filterNot(e => aPaths(e.path))
     val removed = a.entries.filterNot(e => bPaths(e.path))
+    // Removed fragments are read under v1's schema (they were live at
+    // v1): a column dropped between v1 and v2 must still carry its
+    // values on the delete side, or a CDC consumer cannot reconstruct
+    // the deleted row as it existed. unionByName reconciles the sides.
     readEntries(dataset, table, added, b.schemaDdl)
       .withColumn("_change_type", lit("insert"))
       .unionByName(
-        readEntries(dataset, table, removed, b.schemaDdl)
+        readEntries(dataset, table, removed, a.schemaDdl)
           .withColumn("_change_type", lit("delete")),
         allowMissingColumns = true)
   }
@@ -409,14 +414,39 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * second scan of the fragment (the Iceberg manifest-metrics
     * approach). The partition column rides as a min=max single-value
     * zone on the entry AND each file, so partition predicates prune
-    * through the same rule set as every other column. */
+    * through the same rule set as every other column.
+    *
+    * Soundness of the synthesized partition zone (three hazards, each
+    * would silently drop rows from pruned reads and make deleteWhere /
+    * mergeInto miss rows they must rewrite):
+    *  - the zone TYPE comes from the declared schema's partition field
+    *    (never inferred from the directory value's shape — a STRING
+    *    column holding numeric-looking values must compare as a string,
+    *    or `col < '9'` wrongly prunes partition '12'); no resolvable
+    *    schema type ⇒ no partition zone at all (no-prune);
+    *  - the hive null sentinel records as an all-null zone
+    *    (nulls = rows, no bounds) so IsNull keeps the fragment;
+    *  - the directory value is UNESCAPED before becoming a bound, so
+    *    equality against raw literals ('a/b', 'x:y') still matches.
+    *
+    * A sidecar is written only when EVERY parquet file in the fragment
+    * yielded footer stats: pruneFiles treats the files map as
+    * exhaustive, so a partially-covered sidecar (one transient footer
+    * IO error at write time) would permanently hide the missing file
+    * from every pruned read. Incomplete ⇒ no sidecar ⇒ whole-dir scan. */
   private def recordStats(dataset: String, table: String,
                           entries: Seq[SnapshotLog.Entry],
-                          field: Option[String]): Unit = {
+                          field: Option[String],
+                          schema: Option[StructType] = None): Unit = {
     if (entries.isEmpty) return
     try {
       val td = tableDir(dataset, table)
       val conf = spark.sessionState.newHadoopConf()
+      val partTyp: Option[String] = field.flatMap { f =>
+        schema.orElse(schemaDdl(dataset, table).map(StructType.fromDDL))
+          .flatMap(_.fields.find(_.name == f))
+          .flatMap(fld => zoneTypOf(fld.dataType))
+      }
       entries.foreach { e =>
         val dir = td.resolve(e.path)
         if (Files.isDirectory(dir)) {
@@ -428,12 +458,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           val perFile = files.sorted.flatMap(f =>
             ZoneMaps.statsFromFooter(conf, f)
               .map(st => dir.relativize(f).toString -> st))
-          if (perFile.nonEmpty) {
-            val partCol = field.map(p =>
-              p -> ZoneMaps.ColStat(Some(e.partition), Some(e.partition), 0,
-                partitionTyp(e.partition)))
+          if (perFile.nonEmpty && perFile.size == files.size) {
+            val isNullPart =
+              e.partition == ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            val value = ExternalCatalogUtils.unescapePathName(e.partition)
             def withPart(st: ZoneMaps.FragStats): ZoneMaps.FragStats =
-              partCol.map(pc => st.copy(cols = st.cols + pc)).getOrElse(st)
+              (field, partTyp) match {
+                case (Some(p), Some(t)) =>
+                  val cs =
+                    if (isNullPart) ZoneMaps.ColStat(None, None, st.rows, t)
+                    else ZoneMaps.ColStat(Some(value), Some(value), 0, t)
+                  st.copy(cols = st.cols + (p -> cs))
+                case _ => st
+              }
             val filesMap = perFile.map { case (n, st) => n -> withPart(st) }.toMap
             ZoneMaps.write(td, e.path,
               withPart(ZoneMaps.mergeAll(perFile.map(_._2))).copy(files = filesMap))
@@ -443,13 +480,24 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     } catch { case _: Exception => () } // stats are advisory, never fail a write
   }
 
-  /** Prune-typ inference for hive partition VALUES (strings in the dir
-    * name): integers and ISO dates get typed ordering; anything else
-    * compares as a string (equality still prunes). */
-  private def partitionTyp(value: String): String =
-    if (value.matches("-?\\d+")) "long"
-    else if (value.matches("\\d{4}-\\d{2}-\\d{2}")) "date"
-    else "string"
+  /** Zone type tag for a declared partition-field type; None for types
+    * whose hive-dir rendering has no sound order mapping (those get no
+    * partition zone — pruning is an optimization, never a gate). */
+  private def zoneTypOf(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType => Some("integer")
+      case LongType => Some("long")
+      case FloatType | DoubleType => Some("double")
+      case BooleanType => Some("boolean")
+      case DateType => Some("date")
+      case TimestampType => Some("timestamp")
+      case TimestampNTZType => Some("timestamp_ntz")
+      case _: DecimalType => Some("decimal")
+      case StringType | _: VarcharType | _: CharType => Some("string")
+      case _ => None
+    }
+  }
 
   /** Backfill sidecars for entries that predate zone maps (or were
     * written by an external engine): one stats job per uncovered entry.
@@ -798,9 +846,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
     val src = spark.read.parquet(srcFrag.toString)
     val keyCols = keys.map(col)
-    require(src.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
-      s"mergeInto source has NULL in key column(s) ${keys.mkString(", ")}")
-    val srcRows = src.count()
+    // NULL-key rejection happens against the LANDED fragment (cheap
+    // parquet re-read, not a second evaluation of the source plan); a
+    // rejection must not leave the fragment + sidecar behind as orphans,
+    // so this path cleans up exactly like the lost-race path below.
+    val srcRows =
+      try {
+        require(src.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
+          s"mergeInto source has NULL in key column(s) ${keys.mkString(", ")}")
+        src.count()
+      } catch {
+        case e: Throwable =>
+          deleteRecursive(srcFrag)
+          srcEntries.foreach(s =>
+            Files.deleteIfExists(ZoneMaps.statsPath(td, s.path)))
+          throw e
+      }
 
     // zone-prunable predicate from the source key bounds
     val bounds = src.agg(

@@ -193,15 +193,22 @@ object RollingWindow {
     val den = terms.map(_._2).reduce(_ + _)
     base.withColumn("_num", num.cast("long")).withColumn("_den", den.cast("long"))
       .select(col(keyCol), col(tsCol), col(idCol), col("_c").as("cents"),
-        expr("_num div _den").as("ewma_cents")) // exact integer division
+        // FLOOR division pinned explicitly (den > 0 always): Spark's
+        // `div` truncates toward zero while other engines floor, and
+        // events.value may be negative — the shifted-mod form computes
+        // floor(num/den) in exact BIGINT arithmetic for any sign of num.
+        expr("(_num - ((_num % _den) + _den) % _den) div _den")
+          .as("ewma_cents"))
   }
 
   def qEwma(spark: SparkSession, dir: String): DataFrame =
     ewmaByKey(Tables.load(spark, dir, "events"),
       "user_id", "ts", "value", "event_id")
 
-  /** The identical lag chain and power-of-two algebra; integer division
-    * via // (both engines truncate non-negative sums identically). */
+  /** The identical lag chain and power-of-two algebra; the SAME
+    * shifted-mod floor division so negative sums agree byte-for-byte
+    * (both engines give `%` the dividend's sign, so the algebra is
+    * engine-independent). */
   val qEwmaSql: String = {
     val lags = EwmaLags
     val nums = (0 until lags).map { k =>
@@ -213,13 +220,17 @@ object RollingWindow {
       s"CASE WHEN lag(c, $k) OVER w IS NOT NULL THEN $weight ELSE 0 END"
     }.mkString(" + ")
     s"""SELECT user_id, ts, event_id, c AS cents,
-       |       CAST(($nums) AS BIGINT) // CAST(($dens) AS BIGINT) AS ewma_cents
-       |FROM (SELECT user_id, ts, event_id,
-       |             CAST(round(value * 100) AS BIGINT) AS c
-       |      FROM events
-       |      WHERE user_id IS NOT NULL AND ts IS NOT NULL
-       |        AND value IS NOT NULL)
-       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+       |       (n - ((n % d) + d) % d) // d AS ewma_cents
+       |FROM (
+       |  SELECT user_id, ts, event_id, c,
+       |         CAST(($nums) AS BIGINT) AS n,
+       |         CAST(($dens) AS BIGINT) AS d
+       |  FROM (SELECT user_id, ts, event_id,
+       |               CAST(round(value * 100) AS BIGINT) AS c
+       |        FROM events
+       |        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |          AND value IS NOT NULL)
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
   }
 
   /** Time-weighted average per key and day — the TWAP every
@@ -243,7 +254,10 @@ object RollingWindow {
       .filter(col("_dur").isNotNull && col("_dur") > 0)
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(sum(col("_c") * col("_dur")).as("vxd"), sum(col("_dur")).as("dur_us"))
-      .withColumn("twap_cents", expr("vxd div dur_us"))
+      // floor division pinned (see ewmaByKey): negative cents must agree
+      // across engines, and dur_us > 0 by the filter above
+      .withColumn("twap_cents",
+        expr("(vxd - ((vxd % dur_us) + dur_us) % dur_us) div dur_us"))
       .select(col(keyCol), col("day"), col("dur_us"), col("twap_cents"))
   }
 
@@ -265,13 +279,17 @@ object RollingWindow {
       |         epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
       |                                    ORDER BY ts, event_id))
       |           - epoch_us(ts) AS dur
-      |  FROM e)
-      |SELECT user_id, CAST(ts AS DATE) AS day,
-      |       CAST(sum(dur) AS BIGINT) AS dur_us,
-      |       CAST(sum(c * dur) AS BIGINT) // CAST(sum(dur) AS BIGINT)
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(sum(dur) AS BIGINT) AS dur_us,
+      |         CAST(sum(c * dur) AS BIGINT) AS vxd
+      |  FROM d WHERE dur IS NOT NULL AND dur > 0
+      |  GROUP BY 1, 2)
+      |SELECT user_id, day, dur_us,
+      |       (vxd - ((vxd % dur_us) + dur_us) % dur_us) // dur_us
       |         AS twap_cents
-      |FROM d WHERE dur IS NOT NULL AND dur > 0
-      |GROUP BY 1, 2""".stripMargin
+      |FROM g""".stripMargin
 
   def qResample(spark: SparkSession, dir: String): DataFrame =
     resampleLocf(Tables.load(spark, dir, "events"),

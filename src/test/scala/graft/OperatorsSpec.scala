@@ -1065,6 +1065,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 100L, 2L -> 166L, 3L -> 300L))
   }
 
+  test("ewmaByKey: negative values floor-divide (engine-pinned semantics)") {
+    import spark.implicits._
+    // A lone observation of -1.115: cents = round(-111.5) = -111 (Spark
+    // HALF_UP on negative rounds away from zero → -112? No: round(-111.5)
+    // is HALF_UP = -112 in Spark and banker's in DuckDB; avoid the .5
+    // boundary entirely) — use -1.11 → -111 cents. Head row: num = -111·128,
+    // den = 128 → exactly -111. Second row mixes signs so the division
+    // truncation-vs-floor difference is observable:
+    // t2: num = 50·128 + (-111)·64 = 6400 - 7104 = -704; den = 192;
+    // floor(-704/192) = floor(-3.666) = -4 (truncation would give -3).
+    val df = Seq(
+      (1L, "2024-01-01 00:00:01", 1L, -1.11),
+      (1L, "2024-01-01 00:00:02", 2L, 0.50))
+      .toDF("user_id", "ts", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = graft.operators.RollingWindow
+      .ewmaByKey(df, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    assert(got === Map(1L -> -111L, 2L -> -4L))
+  }
+
+  test("twapByKey: negative cents floor-divide") {
+    import spark.implicits._
+    // -1.11 held 3s then 0.50 (terminal, dropped): vxd = -111·3e6,
+    // dur = 3e6 → exactly -111. Mixed: -1.11 for 1s, 0.50 for 2s, end:
+    // vxd = -111e6 + 100e6·... use values where floor ≠ trunc:
+    // k2: c=-1 cent (value -0.01) 2s then c=1 (0.01) 1s then end:
+    // vxd = -2e6·1 + 1e6·1 → per-us: (-0.01·2s + 0.01·1s)… compute below.
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, -0.01),
+      (1L, "2024-01-01 00:00:02", 2L, 0.01),
+      (1L, "2024-01-01 00:00:03", 3L, 9.99))
+      .toDF("user_id", "ts", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = graft.operators.RollingWindow
+      .twapByKey(df, "user_id", "ts", "value", "event_id")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    // vxd = (-1)·2e6 + 1·1e6 = -1e6; dur_us = 3e6;
+    // floor(-1e6/3e6) = -1 (truncation would give 0)
+    assert(got === ((3000000L, -1L)))
+  }
+
   test("labelPropagation: two cliques joined by one weak edge settle into two communities") {
     import spark.implicits._
     // cliques {1,2,3} and {10,11,12} (internal weight 2), one weight-1

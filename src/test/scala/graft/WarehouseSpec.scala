@@ -709,4 +709,35 @@ class WarehouseSpec extends AnyFunSuite {
       ("raw", "nation", 3, "", false, "n_regionkey", "tpch nation"),
       ("raw", "region", 2, "", false, "", "")))
   }
+
+  test("changesBetween reads delete-side rows under the OLDER schema: dropped columns keep their values") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("d", "cdc", Seq((1, "keep-me")).toDF("id", "extra"))
+    wh.overwrite("d", "cdc", Seq(2).toDF("id")) // column dropped at v2
+    val rows = wh.changesBetween("d", "cdc", 1, 2).collect()
+    val del = rows.find(r => r.getAs[String]("_change_type") == "delete").get
+    // the deleted row must be reconstructable AS IT EXISTED at v1
+    assert(del.getAs[Int]("id") === 1)
+    assert(del.getAs[String]("extra") === "keep-me",
+      "delete side read under the newer schema loses dropped columns")
+    val ins = rows.find(r => r.getAs[String]("_change_type") == "insert").get
+    assert(ins.getAs[Int]("id") === 2 && ins.getAs[String]("extra") == null)
+  }
+
+  test("mergeInto NULL-key rejection leaves no orphan fragment or sidecar") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("d", "mk", Seq((1, "a")).toDF("id", "v"))
+    val versionBefore = wh.log("d", "mk").latest.get.version
+    intercept[IllegalArgumentException] {
+      wh.mergeInto("d", "mk",
+        Seq((Option.empty[Int], "bad")).toDF("id", "v"), Seq("id"))
+    }
+    assert(wh.log("d", "mk").latest.get.version === versionBefore)
+    // grace = 0: anything uncommitted in the pool shows up immediately
+    assert(wh.orphanFiles("d", "mk", graceMillis = 0L).isEmpty,
+      "rejected merge must clean up its landed source fragment")
+    assert(wh.read("d", "mk").collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
 }

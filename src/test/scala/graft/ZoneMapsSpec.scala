@@ -427,4 +427,86 @@ class ZoneMapsSpec extends AnyFunSuite {
     ZoneMaps.vacuumStats(td, live)
     assert(Files.list(statsDir).count() === 1)
   }
+
+  test("partition zones take the SCHEMA type: string partitions with numeric-looking values order as strings") {
+    import spark.implicits._
+    val wh = freshWh()
+    // partition values '9' and '12' on a STRING column: string ordering
+    // has '12' < '9', so col(p) < '9' MUST scan partition '12' — a
+    // value-shape-inferred numeric zone would wrongly prune it
+    wh.overwrite("raw", "sp",
+      Seq((1, "9"), (2, "12")).toDF("id", "p"),
+      TableMeta(partitionField = Some("p"), partitionType = "string"))
+    val pred = col("p") < "9"
+    val (scan, _) = wh.planScan("raw", "sp", pred)
+    assert(scan.map(_.partition).contains("12"),
+      "string-typed partition '12' sorts below '9' and must be scanned")
+    assert(wh.readWhere("raw", "sp", pred).collect().map(_.getInt(0)).toSeq
+      === Seq(2))
+    // and the typed ordering still prunes where it soundly can
+    val (scanEq, prunedEq) = wh.planScan("raw", "sp", col("p") === "9")
+    assert(scanEq.map(_.partition) === Seq("9") && prunedEq.size === 1)
+  }
+
+  test("int-typed partition zones order numerically (schema-derived, 9 < 12)") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("raw", "ip",
+      Seq((1, 9), (2, 12)).toDF("id", "p"),
+      TableMeta(partitionField = Some("p"), partitionType = "int"))
+    val (scan, pruned) = wh.planScan("raw", "ip", col("p") < 10)
+    assert(scan.map(_.partition) === Seq("9") && pruned.size === 1)
+    assert(wh.readWhere("raw", "ip", col("p") < 10)
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("null partitions record as all-null zones: IsNull scans the sentinel fragment") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("raw", "np",
+      Seq((1, Option.empty[String]), (2, Some("x"))).toDF("id", "p"),
+      TableMeta(partitionField = Some("p"), partitionType = "string"))
+    val (scan, pruned) = wh.planScan("raw", "np", col("p").isNull)
+    assert(scan.size === 1 && pruned.size === 1,
+      s"IsNull must scan exactly the sentinel fragment, got ${scan.map(_.partition)}")
+    assert(wh.readWhere("raw", "np", col("p").isNull)
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+    // and IsNotNull scans only the value fragment
+    assert(wh.readWhere("raw", "np", col("p").isNotNull)
+      .collect().map(_.getInt(0)).toSeq === Seq(2))
+  }
+
+  test("escaped partition dir values are unescaped before becoming zone bounds") {
+    import spark.implicits._
+    val wh = freshWh()
+    // ':' is hive-escaped in the directory name (p=a%3Ab); the zone
+    // bound must be the RAW value or equality literals never match
+    wh.overwrite("raw", "ep",
+      Seq((1, "a:b"), (2, "plain")).toDF("id", "p"),
+      TableMeta(partitionField = Some("p"), partitionType = "string"))
+    val (scan, pruned) = wh.planScan("raw", "ep", col("p") === "a:b")
+    assert(scan.size === 1 && pruned.size === 1,
+      s"escaped-value equality must scan its fragment, got ${scan.map(_.partition)}")
+    assert(wh.readWhere("raw", "ep", col("p") === "a:b")
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("a fragment where any file's footer stats fail gets NO sidecar (whole-dir scan, never a partial map)") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("raw", "pf", Seq((1, "a")).toDF("id", "v"))
+    val td = Paths.get(wh.root, "raw", "pf")
+    val entry = wh.log("raw", "pf").latest.get.entries.head
+    // simulate a transient footer-read failure: drop the sidecar, plant
+    // a garbage .parquet in the fragment, re-analyze
+    Files.deleteIfExists(ZoneMaps.statsPath(td, entry.path))
+    Files.write(td.resolve(entry.path).resolve("part-junk.parquet"),
+      "not a parquet file".getBytes)
+    wh.analyze("raw", "pf")
+    assert(ZoneMaps.read(td, entry.path).isEmpty,
+      "partial footer coverage must refuse the sidecar — pruneFiles treats the files map as exhaustive")
+    // no sidecar ⇒ the fragment is always scanned, never wrongly pruned
+    val (scan, pruned) = wh.planScan("raw", "pf", col("id") === 99)
+    assert(scan.size === 1 && pruned.isEmpty)
+  }
 }
