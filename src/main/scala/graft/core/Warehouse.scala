@@ -433,7 +433,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * yielded footer stats: pruneFiles treats the files map as
     * exhaustive, so a partially-covered sidecar (one transient footer
     * IO error at write time) would permanently hide the missing file
-    * from every pruned read. Incomplete ⇒ no sidecar ⇒ whole-dir scan. */
+    * from every pruned read. Incomplete ⇒ no sidecar ⇒ whole-dir scan.
+    *
+    * Entries are processed on a parallel collection: footer reads are
+    * independent KB-sized metadata IOs, and a many-partition commit
+    * (a streaming micro-batch touching 30 days) done serially put
+    * ~1.5 s of driver-side latency on every write — measured as the
+    * whole r11→r10 q16_stream_hourly "regression". Each entry still
+    * writes only its own sidecar, so parallelism has no shared state. */
   private def recordStats(dataset: String, table: String,
                           entries: Seq[SnapshotLog.Entry],
                           field: Option[String],
@@ -447,7 +454,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           .flatMap(_.fields.find(_.name == f))
           .flatMap(fld => zoneTypOf(fld.dataType))
       }
-      entries.foreach { e =>
+      import scala.collection.parallel.CollectionConverters._
+      entries.par.foreach { e =>
         val dir = td.resolve(e.path)
         if (Files.isDirectory(dir)) {
           val walk = Files.walk(dir)
@@ -455,9 +463,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             .filter(p => Files.isRegularFile(p) &&
               p.getFileName.toString.endsWith(".parquet")).toSeq
           finally walk.close()
-          val perFile = files.sorted.flatMap(f =>
+          val perFile = files.sorted.par.flatMap(f =>
             ZoneMaps.statsFromFooter(conf, f)
-              .map(st => dir.relativize(f).toString -> st))
+              .map(st => dir.relativize(f).toString -> st)).seq.toSeq
           if (perFile.nonEmpty && perFile.size == files.size) {
             val isNullPart =
               e.partition == ExternalCatalogUtils.DEFAULT_PARTITION_NAME
