@@ -14,11 +14,17 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     if (args.length > 3 && args(3) == "explain")
       fn(spark, sfDir).explain("formatted")
-    for (i <- 1 to reps) {
+    val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[$name] rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[$name] rep $i: $dt%.2f s")
+      dt
     }
+    // steady state = min over post-warmup reps (rep 1 pays JIT+codegen);
+    // machine-parseable line consumed by Bench's steady side channel
+    val steady = if (times.length > 1) times.tail.min else times.head
+    println(f"STEADY $name $steady%.3f")
     spark.stop()
   }
 }
