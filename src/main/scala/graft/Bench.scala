@@ -198,18 +198,24 @@ object Bench {
     val steadyJson = steady.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val steadySkippedJson = steadySkipped.map(n => s""""$n"""").mkString("[", ",", "]")
-    // lint: flagged queries only (rule names); clean = count of lint-run
-    // queries with zero findings
-    val lintFlagged = lintFindings.toSeq.filter(_._2.nonEmpty)
-    val lintJson = lintFlagged
+    // lint: residual findings only, AFTER subtracting the curated
+    // boundedness exemptions (LintExemptions — each spec-gated to still
+    // fire); what was subtracted is reported too, never silent
+    val lintSplit = lintFindings.toSeq.map { case (k, rs) =>
+      val (ex, residual) = graft.plans.LintExemptions.partition(k, rs)
+      (k, residual, ex)
+    }
+    def rulesJson(prs: Seq[(String, Seq[String])]): String = prs
       .map { case (k, rs) => s""""$k":${rs.map(r => s""""$r"""").mkString("[", ",", "]")}""" }
       .mkString("{", ",", "}")
-    val lintClean = lintFindings.count(_._2.isEmpty)
+    val lintJson = rulesJson(lintSplit.collect { case (k, res, _) if res.nonEmpty => k -> res })
+    val lintExemptJson = rulesJson(lintSplit.collect { case (k, _, ex) if ex.nonEmpty => k -> ex })
+    val lintClean = lintSplit.count(_._2.isEmpty)
     // "value" (the headline total) goes LAST in the full record: the
     // driver captures a log TAIL and a capture window can start mid-line —
     // per-query keys may truncate, the total must not.
     val json =
-      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"ann_recall":$annRecall,"steady":$steadyJson,"steady_skipped":$steadySkippedJson,"lint_flagged":$lintJson,"lint_clean":$lintClean,"passes":$passes,"warmup_sec":$warmupSec%.2f,"value":$totalJson}"""
+      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"ann_recall":$annRecall,"steady":$steadyJson,"steady_skipped":$steadySkippedJson,"lint_flagged":$lintJson,"lint_exempt":$lintExemptJson,"lint_clean":$lintClean,"passes":$passes,"warmup_sec":$warmupSec%.2f,"value":$totalJson}"""
     try {
       val w = new java.io.PrintWriter("bench_summary.json")
       try w.println(json) finally w.close()

@@ -15,7 +15,10 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-    fn(spark, sfDir).explain("formatted")
+    val df = fn(spark, sfDir)
+    df.explain("formatted")
+    graft.plans.PlanLint.lint(df).foreach(f =>
+      println(s"LINT ${f.rule} @ ${f.node}: ${f.detail}"))
     spark.stop()
   }
 }

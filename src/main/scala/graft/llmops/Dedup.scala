@@ -674,9 +674,13 @@ object Dedup {
   def passageDuplicates(docs: DataFrame, spanTokens: Int = PassageTokens,
                         minDocs: Int = 2): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    // null-text docs contain no passages (pinned in the oracle too);
+    // the raw-column guard reaches the scan as a pushed IsNotNull where
+    // the token-count filter below never can
     val toks = docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id").cast("long"),
-        split(coalesce(col("text"), lit("")), " ").as("w"))
+        split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= spanTokens)
     toks
       .select(col("doc_id"), explode(
@@ -692,8 +696,8 @@ object Dedup {
   }
 
   def passagesOracleSql(spanTokens: Int = PassageTokens, minDocs: Int = 2): String =
-    s"""WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
-       |           FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+       |           FROM documents WHERE text IS NOT NULL),
        |s AS (SELECT doc_id,
        |             md5(array_to_string(w[i:i+${spanTokens - 1}], ' ')) AS span_md5
        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${spanTokens - 1})) AS i
@@ -1380,7 +1384,10 @@ object Dedup {
   /** Length-tier sampling over documents: short docs downsampled hard,
     * medium kept at half, long kept whole. */
   def qSampleStratified(docs: DataFrame): DataFrame =
-    stratifiedSample(docs.withColumn("tier", lengthTier(col("text"))), col("tier"),
+    // doc_id null guard is IMPLIED by the hash gate (md5(null) < x is
+    // never true) — stating it on the raw column pushes it to the scan
+    stratifiedSample(docs.filter(col("doc_id").isNotNull)
+        .withColumn("tier", lengthTier(col("text"))), col("tier"),
       TierThresholds, defaultPer10k = TierDefault)
       .groupBy(col("tier"))
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))

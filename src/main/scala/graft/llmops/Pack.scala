@@ -42,8 +42,12 @@ object Pack {
     require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
     // NULL text is pinned to '' (Spark's size(split(NULL)) = -1 while
     // DuckDB's len(string_split(NULL)) is NULL — coalescing on BOTH
-    // engines makes a NULL doc one empty token, never a negative span)
-    val toks = docs.select(col("doc_id").cast("long"),
+    // engines makes a NULL doc one empty token, never a negative span).
+    // NULL doc_id is excluded EXPLICITLY (mirrored in the oracle): the
+    // bucket join would drop such rows anyway, and the raw-column guard
+    // pushes to the scan where the derived isnotnull(doc_id div N) can't.
+    val toks = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long"),
       size(split(coalesce(col("text"), lit("")), " "))
         .cast("long").as("n_tokens"),
       expr(s"cast(doc_id as bigint) div $bucketSize").as("bucket"))
@@ -159,7 +163,7 @@ object Pack {
   val qPackSql: String =
     s"""WITH t AS (SELECT doc_id, len(string_split(coalesce(text, ''), ' '))
        |                     AS n_tokens
-       |           FROM documents),
+       |           FROM documents WHERE doc_id IS NOT NULL),
        |c AS (SELECT doc_id, n_tokens,
        |             CAST(sum(n_tokens) OVER (ORDER BY doc_id
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -58,8 +58,12 @@ object Rank {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     require(k >= 1, s"k must be >= 1, got $k")
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
-      split(coalesce(col("text"), lit("")), " ").as("words"))
+    // corpus contract: the scored corpus is the docs WITH text (pinned
+    // in the oracle) — null-text docs would only pad n_docs/avgdl with
+    // empty-token noise, and the raw-column guard pushes to the scan
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("words"))
       .withColumn("dl", size(col("words")).cast("long"))
     val scalars = base.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("tot_dl"))
@@ -99,8 +103,8 @@ object Rank {
   val qBm25Sql: String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH base AS MATERIALIZED (
-       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
-       |  FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS words
+       |  FROM documents WHERE text IS NOT NULL),
        |d AS MATERIALIZED (
        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM base),
        |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
@@ -302,8 +306,12 @@ object Rank {
       .select(col("doc_id"), col("score_micros")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fbIds = fb.keys.toSeq.sorted
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
-      split(coalesce(col("text"), lit("")), " ").as("words"))
+    // corpus contract: the scored corpus is the docs WITH text (pinned
+    // in the oracle) — null-text docs would only pad n_docs/avgdl with
+    // empty-token noise, and the raw-column guard pushes to the scan
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("words"))
       .withColumn("dl", size(col("words")).cast("long"))
     val nDocs = base.count()
     // relevance-model term mining over the fbDocs feedback documents
@@ -369,8 +377,8 @@ object Rank {
   lazy val qRm3Sql: String = {
     val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH base AS MATERIALIZED (
-       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
-       |  FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS words
+       |  FROM documents WHERE text IS NOT NULL),
        |d AS MATERIALIZED (
        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM base),
        |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl

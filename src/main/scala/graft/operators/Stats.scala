@@ -599,7 +599,10 @@ object Stats {
 
   /** Is spend calibrated against purchase propensity across its range? */
   def qCalibration(spark: SparkSession, dir: String): DataFrame =
-    calibrationBins(Tables.load(spark, dir, "events"),
+    // raw-column null guard BEFORE the score expression: the generic
+    // filter on cast(round(value*100)) can't push to the scan, this can
+    calibrationBins(Tables.load(spark, dir, "events")
+        .filter(col("value").isNotNull),
       col("event_type") === "purchase", round(col("value") * 100))
 
   val qCalibrationSql: String =

@@ -159,7 +159,13 @@ object DeclaredQueries {
   def q6DateSpine(spark: SparkSession, dir: String): DataFrame = {
     val spine = spark.sql(
       "SELECT explode(sequence(to_date('1995-01-01'), to_date('1995-03-01'), interval 1 day)) AS day")
+    // the spine bounds which orders can ever match — push the RANGE to
+    // the scan as raw-column predicates (a to_date cast in the filter
+    // blocks pushdown; at 100 TB this is the difference between a
+    // 60-day partition-pruned scan and a full-table scan)
     val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-03-02"))
       .withColumn("od", to_date(col("o_orderdate")))
     broadcast(spine).join(o, spine("day") === o("od"), "left")
       .groupBy(col("day"))

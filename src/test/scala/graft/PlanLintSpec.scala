@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.plans.PlanLint
+import graft.plans.{LintExemptions, PlanLint}
 
 /** The plan linter must flag each antipattern on a constructed offending
   * plan AND stay quiet on the legitimate twin — false positives would
@@ -119,6 +119,22 @@ class PlanLintSpec extends AnyFunSuite {
           lit(1L).as("w"))))
     clean.foreach { df =>
       assert(PlanLint.lint(df) === Seq.empty, df.queryExecution.logical.nodeName)
+    }
+  }
+
+  test("every LintExemptions entry is NECESSARY (fires) and SUFFICIENT (no residual findings)") {
+    // A stale exemption (plan no longer carries the shape) must fail —
+    // the registry cannot rot into a blanket mute. A query growing a
+    // finding BEYOND its exempt set must fail too — a corpus-scale
+    // funnel can never hide behind a catalog-window exemption.
+    for ((name, rules) <- LintExemptions.exemptions) {
+      val fn = graft.SparkEntry.queries(name)
+      val found = PlanLint.lint(fn(spark, sf)).map(_.rule).distinct
+      val (exempt, residual) = LintExemptions.partition(name, found)
+      assert(residual.isEmpty,
+        s"$name has non-exempt findings $residual — fix the plan or argue boundedness in the registry")
+      assert(rules.keySet.subsetOf(exempt.toSet),
+        s"$name exempts ${rules.keySet} but only ${exempt.toSet} fire — remove the stale entries")
     }
   }
 }
