@@ -171,6 +171,17 @@ object ProductQuant {
     cb
   }
 
+  /** Element-wise difference — residual vectors (Jégou §V: IVFADC
+    * encodes x − q₁(x), not x). Each component is ONE IEEE subtraction,
+    * order-free, so the oracle's `list_zip`/`list_transform` mirror is
+    * bit-identical by construction. */
+  private[graft] def sub(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val r = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) { r(i) = a(i) - b(i); i += 1 }
+    r
+  }
+
   /** Per-query ADC lookup table: entry (m)(k) is the squared L2 between
     * the query's m-th subvector and codebook entry k — the same three
     * left-to-right dot products as [[encode]], shared by every ADC
@@ -251,6 +262,20 @@ object ProductQuant {
     * touched again. */
   val IvfPqNProbe = 8
   val ShortlistR = 100
+
+  /** Trained-serving coarse config: a FINER coarse quantizer probed
+    * wider at the SAME candidate budget. The sampled path's 8-of-69
+    * probe admits only ~40% of true neighbors before ADC even runs —
+    * the probe, not quantization fidelity, is the recall ceiling (the
+    * round-12 residual-encoding measurement: +0.01 recall). Halving the
+    * cell size and widening nprobe keeps candidates ≈ nprobe·n/nlist
+    * roughly constant while the finer partition tracks the query's true
+    * neighborhood better — the standard nlist/nprobe trade (Jégou §V).
+    * Measured sweep at the bench SF (trained, exact-probe ceiling):
+    * 69 cells/8 probes 0.51@233, 154/24 0.65@314, 286/32 0.75@221 —
+    * the finest grid dominates at equal budget. */
+  val IvfPqTrainedInitSql = "vec_id % 7 = 3"
+  val IvfPqTrainedNProbe = 32
 
   /** IVF-ADC with exact re-rank — the standard 100 TB ANN serving
     * architecture (Jégou et al. §V: coarse quantizer + PQ residual scan),
@@ -379,6 +404,157 @@ object ProductQuant {
     }.toDF("query_id", "neighbor_id", "adist")
   }
 
+  // ------------------------------------- residual encoding (true IVFADC)
+
+  /** Codebook-source predicate for the residual path: deterministic,
+    * disjoint from the query set (`vec_id < 10`) and offset from the
+    * centroid residue class — the residuals of CENTROID rows are ~0
+    * (a centroid minus itself), which would train a degenerate codebook. */
+  private[llmops] val isCbResidualSrcSql = "vec_id % 29 = 7 AND vec_id >= 10"
+
+  /** Residual codebook: the smallest-id [[Codes]] rows matching `isSrc`,
+    * each encoded as its RESIDUAL against its assigned coarse centroid —
+    * the quantizer trains in the space it will quantize. */
+  def residualCodebook(emb: DataFrame, cents: Array[(Long, Array[Double], Double)],
+                       isSrc: Column): Array[Array[(Array[Double], Double)]] = {
+    import emb.sparkSession.implicits._
+    val e = Similarity.typedVecs(emb)
+    val centOf = cents.map(c => c._1 -> c._2).toMap
+    val src = Similarity.collectCapped(
+        e.filter(isSrc).as[(Long, Array[Double])], "residual-PQ codebook source")
+      .sortBy(_._1).take(Codes)
+      .map { case (id, v) =>
+        (id, sub(v, centOf(Kernels.assignCentroid(v, Kernels.norm(v), cents))))
+      }
+    buildCodebook(src)
+  }
+
+  /** Residual-encoded IVF-ADC (the canonical IVFADC of Jégou et al.
+    * 2011 §V): a member of cell c encodes `x − centroid(c)` and a query
+    * probing cell c scores with the LUT of `q − centroid(c)` — distances
+    * approximate ‖(q−c) − (x−c)‖ = ‖q − x‖ directly, where raw-vector
+    * PQ under IVF wastes its code budget re-describing the cell offset
+    * every member of the cell shares. Same scan shape and candidate
+    * cost as [[ivfpqAdc]]; the LUT is per-(query, probed cell) instead
+    * of per-query (nprobe× more driver-side LUT work, corpus work
+    * unchanged). */
+  private[llmops] def ivfpqResidualAdc(emb: DataFrame, isQuery: Column,
+                                       cents: Array[(Long, Array[Double], Double)],
+                                       cb: Array[Array[(Array[Double], Double)]],
+                                       nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "IVF-PQ needs at least one centroid")
+    val e = Similarity.typedVecs(emb)
+    val centOf = cents.map(c => c._1 -> c._2).toMap
+    // per query: probed cell ids aligned with the residual LUT of each
+    val queries: Array[(Long, Array[Long], Array[Array[Array[Double]]])] =
+      Similarity.collectCapped(e.filter(isQuery).as[(Long, Array[Double])],
+          "ANN query set")
+        .map { case (qid, qv) =>
+          val nrm = Kernels.norm(qv)
+          val probes = cents
+            .map { case (cid, cv, cn) => (Kernels.dot(qv, cv) / (nrm * cn), cid) }
+            .sortBy { case (cos, cid) => (-cos, cid) }
+            .take(nprobe).map(_._2)
+          (qid, probes, probes.map(cid => queryLut(sub(qv, centOf(cid)), cb)))
+        }
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    e.as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bcC.value
+      val codebook = bcCb.value
+      val cOf = cs.map(c => c._1 -> c._2).toMap
+      val qs = bcQ.value
+      it.flatMap { case (id, v) =>
+        val cid = Kernels.assignCentroid(v, Kernels.norm(v), cs)
+        val codes = encode(sub(v, cOf(cid)), codebook)
+        qs.iterator.flatMap { case (qid, probes, luts) =>
+          val j = probes.indexOf(cid)
+          if (qid == id || j < 0) Iterator.empty
+          else {
+            val lut = luts(j)
+            var adist = 0.0
+            var m = 0
+            while (m < M) { adist += lut(m)(codes(m)); m += 1 }
+            Iterator.single((qid, id, adist))
+          }
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "adist")
+  }
+
+  /** Residual IVF-ADC with exact re-rank over explicit artifacts. */
+  def ivfpqResidualTopKWith(emb: DataFrame, isQuery: Column,
+                            cents: Array[(Long, Array[Double], Double)],
+                            cb: Array[Array[(Array[Double], Double)]],
+                            k: Int = Similarity.TopK, nprobe: Int = IvfPqNProbe,
+                            shortlist: Int = ShortlistR): DataFrame =
+    ivfpqRerank(emb, ivfpqResidualAdc(emb, isQuery, cents, cb, nprobe), isQuery,
+      k, shortlist)
+
+  /** Residual IVF-ADC with sampled quantizers — the oracle-gated form. */
+  def ivfpqResidualTopK(emb: DataFrame, isQuery: Column, isCentroid: Column,
+                        isCbSrc: Column,
+                        k: Int = Similarity.TopK, nprobe: Int = IvfPqNProbe,
+                        shortlist: Int = ShortlistR): DataFrame = {
+    val cents = Similarity.sampledCentroids(emb, isCentroid)
+    ivfpqResidualTopKWith(emb, isQuery, cents,
+      residualCodebook(emb, cents, isCbSrc), k, nprobe, shortlist)
+  }
+
+  /** Lloyd's per-subspace k-means in RESIDUAL space — the trainer for
+    * the residual path: every subvector sample is `x − centroid(x)`
+    * under the FIXED coarse quantizer `cents` (train coarse first, then
+    * residual codebooks, exactly the IVFADC training order). Same loop,
+    * convergence, and empty-cell policy as [[trainPqCodebooks]]. */
+  def trainPqCodebooksResidual(emb: DataFrame,
+                               cents: Array[(Long, Array[Double], Double)],
+                               isInit: Column, iterations: Int = 5)
+      : Array[Array[(Array[Double], Double)]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = Similarity.typedVecs(emb)
+    var cb = residualCodebook(emb, cents, isInit)
+    val bcC = spark.sparkContext.broadcast(cents)
+    var it = 0
+    while (it < iterations) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val assigned = e.as[(Long, Array[Double])].mapPartitions { rows =>
+        val codebook = bc.value
+        val cs = bcC.value
+        val cOf = cs.map(c => c._1 -> c._2).toMap
+        rows.flatMap { case (_, v) =>
+          val r = sub(v, cOf(Kernels.assignCentroid(v, Kernels.norm(v), cs)))
+          val codes = encode(r, codebook)
+          Iterator.tabulate(M) { m =>
+            (m, codes(m),
+              java.util.Arrays.copyOfRange(r, m * SubDim, (m + 1) * SubDim).toSeq)
+          }
+        }
+      }.toDF("m", "code", "sv")
+      val avgCols = (0 until SubDim).map(i => avg(col("sv").getItem(i)).as(s"c$i"))
+      val means: Map[(Int, Int), Array[Double]] = assigned
+        .groupBy(col("m"), col("code"))
+        .agg(avgCols.head, avgCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          Array.tabulate(SubDim)(i => r.getDouble(i + 2)))
+        .toMap
+      cb = Array.tabulate(M) { m =>
+        cb(m).zipWithIndex.map { case ((prev, _), kIdx) =>
+          val c = means.getOrElse((m, kIdx), prev)
+          (c, dotAt(c, 0, c))
+        }
+      }
+      bc.unpersist()
+      it += 1
+    }
+    bcC.unpersist()
+    cb
+  }
+
   // ------------------------------------------------------------ queries
 
   def qPqTopK(spark: SparkSession, dir: String): DataFrame =
@@ -441,12 +617,16 @@ object ProductQuant {
   }
 
   def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfpqTopK(Tables.load(spark, dir, "embeddings"),
-      expr(Similarity.isQuerySql), expr(Similarity.isCentroidSql))
+    ivfpqResidualTopK(Tables.load(spark, dir, "embeddings"),
+      expr(Similarity.isQuerySql), expr(Similarity.isCentroidSql),
+      expr(isCbResidualSrcSql))
 
-  /** The composed pipeline in DuckDB: IVF assign/probe CTEs (the
-    * `sim_topk_ivf` fragments), PQ encode/LUT CTEs (the `sim_topk_pq`
-    * fragments), ADC restricted to probed-cell members, an
+  /** The composed RESIDUAL pipeline in DuckDB: IVF assign/probe CTEs
+    * (the `sim_topk_ivf` fragments), residual vectors via
+    * `list_zip`/`list_transform` (element-wise subtraction — one IEEE op
+    * per component, order-free, so bit-identical to the kernel's `sub`),
+    * PQ encode/LUT CTEs over RESIDUAL slices with the LUT keyed per
+    * (query, probed cell), ADC restricted to probed-cell members, an
     * `ORDER BY adist, neighbor_id` shortlist cut, then the exact-cosine
     * re-rank — each double op in the same order as the kernels, so the
     * three-stage composition hash-matches end to end. */
@@ -469,11 +649,18 @@ object ProductQuant {
        |member AS (SELECT vec_id, cid FROM assign WHERE crnk = 1),
        |probe AS (SELECT vec_id, cid FROM assign
        |          WHERE crnk <= $IvfPqNProbe AND (${Similarity.isQuerySql})),
+       |resid AS MATERIALIZED (
+       |  SELECT mm.vec_id, mm.cid,
+       |         list_transform(list_zip(x.v, c.cv), z -> z[1] - z[2]) AS rv
+       |  FROM member mm
+       |  JOIN e x ON x.vec_id = mm.vec_id
+       |  JOIN cent c ON c.cid = mm.cid),
        |ms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
        |cbsrc AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
-       |  FROM (SELECT vec_id, v FROM e WHERE ${Similarity.isCentroidSql}
-       |        ORDER BY vec_id LIMIT $Codes)),
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv AS v
+       |  FROM (SELECT r.vec_id, r.rv FROM resid r
+       |        WHERE r.$isCbResidualSrcSql
+       |        ORDER BY r.vec_id LIMIT $Codes)),
        |cb AS MATERIALIZED (
        |  SELECT m, code,
        |         list_slice(v, m * $SubDim + 1, (m + 1) * $SubDim) AS cv,
@@ -484,25 +671,32 @@ object ProductQuant {
        |  SELECT vec_id, m, code FROM (
        |    SELECT x.vec_id, c.m, c.code,
        |           row_number() OVER (PARTITION BY x.vec_id, c.m ORDER BY
-       |             (list_dot_product(list_slice(x.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim),
-       |                               list_slice(x.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim)) + c.cc)
-       |             - 2 * list_dot_product(list_slice(x.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim), c.cv),
+       |             (list_dot_product(list_slice(x.rv, c.m * $SubDim + 1, (c.m + 1) * $SubDim),
+       |                               list_slice(x.rv, c.m * $SubDim + 1, (c.m + 1) * $SubDim)) + c.cc)
+       |             - 2 * list_dot_product(list_slice(x.rv, c.m * $SubDim + 1, (c.m + 1) * $SubDim), c.cv),
        |             c.code) AS rnk
-       |    FROM e x CROSS JOIN cb c)
+       |    FROM resid x CROSS JOIN cb c)
        |  WHERE rnk = 1),
+       |qres AS MATERIALIZED (
+       |  SELECT p.vec_id AS query_id, p.cid,
+       |         list_transform(list_zip(q.v, c.cv), z -> z[1] - z[2]) AS qrv
+       |  FROM probe p
+       |  JOIN e q ON q.vec_id = p.vec_id
+       |  JOIN cent c ON c.cid = p.cid),
        |lut AS MATERIALIZED (
-       |  SELECT q.vec_id AS query_id, c.m, c.code,
-       |         (list_dot_product(list_slice(q.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim),
-       |                           list_slice(q.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim)) + c.cc)
-       |         - 2 * list_dot_product(list_slice(q.v, c.m * $SubDim + 1, (c.m + 1) * $SubDim), c.cv) AS dq
-       |  FROM e q CROSS JOIN cb c WHERE q.${Similarity.isQuerySql}),
+       |  SELECT qr.query_id, qr.cid, c.m, c.code,
+       |         (list_dot_product(list_slice(qr.qrv, c.m * $SubDim + 1, (c.m + 1) * $SubDim),
+       |                           list_slice(qr.qrv, c.m * $SubDim + 1, (c.m + 1) * $SubDim)) + c.cc)
+       |         - 2 * list_dot_product(list_slice(qr.qrv, c.m * $SubDim + 1, (c.m + 1) * $SubDim), c.cv) AS dq
+       |  FROM qres qr CROSS JOIN cb c),
        |adc AS (
        |  SELECT p.vec_id AS query_id, mm.vec_id AS neighbor_id,
        |         $pivots
        |  FROM probe p
        |  JOIN member mm ON mm.cid = p.cid
        |  JOIN enc x ON x.vec_id = mm.vec_id
-       |  JOIN lut l ON l.query_id = p.vec_id AND l.m = x.m AND l.code = x.code
+       |  JOIN lut l ON l.query_id = p.vec_id AND l.cid = p.cid
+       |            AND l.m = x.m AND l.code = x.code
        |  WHERE mm.vec_id <> p.vec_id
        |  GROUP BY p.vec_id, mm.vec_id),
        |short AS (

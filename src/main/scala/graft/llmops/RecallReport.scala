@@ -45,9 +45,18 @@ object RecallReport {
     val sampledCents = Similarity.sampledCentroids(emb, isCent)
     val trainedCents = Similarity.collectCentroids(
       Similarity.trainIvfCentroids(emb, isCent, iterations = 5))
-    val sampledCb = ProductQuant.buildCodebook(
-      sampledCents.map { case (id, v, _) => (id, v) })
     val trainedCb = ProductQuant.trainPqCodebooks(emb, isCent, iterations = 5)
+    // residual codebooks under each coarse quantizer (IVFADC training
+    // order: coarse first, then residual-space PQ). The trained serving
+    // path uses the FINER coarse quantizer (IvfPqTrainedInitSql) probed
+    // wider at the same candidate budget — see ProductQuant scaladoc.
+    val isCbSrc = expr(ProductQuant.isCbResidualSrcSql)
+    val sampledResCb = ProductQuant.residualCodebook(emb, sampledCents, isCbSrc)
+    val fineCents = Similarity.collectCentroids(
+      Similarity.trainIvfCentroids(emb,
+        expr(ProductQuant.IvfPqTrainedInitSql), iterations = 5))
+    val fineResCb = ProductQuant.trainPqCodebooksResidual(
+      emb, fineCents, isCbSrc, iterations = 5)
 
     // each index's candidate-scoring pass runs ONCE: the scored frame is
     // cached, recall ranks it and candsPerQuery counts it, then the cache
@@ -62,9 +71,10 @@ object RecallReport {
       fromScored(Similarity.ivfScoredWith(emb, isQuery, cents, nprobe),
         Similarity.rankTopK(_, Similarity.TopK))
     def ivfpq(cents: Array[(Long, Array[Double], Double)],
-              cb: Array[Array[(Array[Double], Double)]]): AnnStat =
+              cb: Array[Array[(Array[Double], Double)]],
+              nprobe: Int): AnnStat =
       fromScored(
-        ProductQuant.ivfpqAdc(emb, isQuery, cents, cb, ProductQuant.IvfPqNProbe),
+        ProductQuant.ivfpqResidualAdc(emb, isQuery, cents, cb, nprobe),
         ProductQuant.ivfpqRerank(emb, _, isQuery, Similarity.TopK,
           ProductQuant.ShortlistR))
 
@@ -80,7 +90,8 @@ object RecallReport {
         recall(ProductQuant.pqTopK(emb, isQuery, isCent)), corpusN - 1),
       "pq_trained" -> AnnStat(
         recall(ProductQuant.pqTopKTrained(emb, isQuery, trainedCb)), corpusN - 1),
-      "ivfpq" -> ivfpq(sampledCents, sampledCb),
-      "ivfpq_trained" -> ivfpq(trainedCents, trainedCb))
+      "ivfpq" -> ivfpq(sampledCents, sampledResCb, ProductQuant.IvfPqNProbe),
+      "ivfpq_trained" -> ivfpq(fineCents, fineResCb,
+        ProductQuant.IvfPqTrainedNProbe))
   }
 }

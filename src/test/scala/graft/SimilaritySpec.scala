@@ -126,7 +126,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got("ivf_trained_nprobe16").recall >= 0.8,
       s"trained IVF recall fell: $got")
     assert(got("ivfpq").recall >= 0.55, s"IVF-ADC+rerank recall fell: $got")
-    assert(got("ivfpq_trained").recall >= 0.3, s"trained IVF-ADC recall fell: $got")
+    // residual encoding + the fine 7-residue coarse grid (r12): measured
+    // 0.71@11% at sf0.1; this fixture probes a larger corpus fraction so
+    // the floor sits well under the measured value while still far above
+    // the pre-residual 0.50
+    assert(got("ivfpq_trained").recall >= 0.65, s"trained IVF-ADC recall fell: $got")
     // COST HONESTY — recall may never be bought with a hidden full scan:
     // every pruning index must score strictly fewer candidates than
     // brute force (pure PQ is exempt by design: it compresses, scans all)
