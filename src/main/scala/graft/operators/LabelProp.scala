@@ -63,16 +63,26 @@ object LabelProp {
   /** Communities in the part co-purchase graph: parts are linked by the
     * number of orders containing both (the classic basket graph). The
     * (order, part) incidence is DISTINCT'd first so a part twice in one
-    * order doesn't double-weight its edges. */
+    * order doesn't double-weight its edges.
+    *
+    * HALF-EDGE build: the per-order self-join generates each unordered
+    * pair ONCE (`a.p < b.p`) and mirrors after aggregation — the
+    * co-occurrence count is symmetric, so the mirror is exact while the
+    * join output and the (src, dst) weight rollup halve (this was the
+    * bench's most expensive query; the mirror union runs on EDGES, not
+    * pairs, and Catalyst reuses the aggregate's exchange for both
+    * directions). */
   def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
     val pp = Tables.load(spark, dir, "lineitem")
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val edges = pp.as("a").join(pp.as("b"), col("a.o") === col("b.o"))
-      .filter(col("a.p") =!= col("b.p"))
+    val half = pp.as("a").join(pp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
       .agg(count(lit(1)).as("w"))
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     labelPropagation(edges)
   }
 
