@@ -16,13 +16,22 @@ import scala.jdk.CollectionConverters._
   *   _log/v00001.manifest     one commit per version
   * }}}
   *
-  * A commit manifest lists `(partitionValue, dataDir)` entries — the full
-  * state of the table at that version. Incremental (insert_overwrite)
-  * commits reuse the previous version's untouched entries and swap only
-  * the overwritten partitions, so a commit costs O(changed partitions),
-  * never a table rewrite — the property that matters at 100 TB. Data
-  * fragments are immutable; [[vacuum]] deletes fragments unreferenced by
-  * any commit within the retention window (7 days in the reference).
+  * Manifests come in two forms (the Delta checkpoint + JSON-tail
+  * design): a CHECKPOINT manifest lists the full `(partitionValue,
+  * dataDir)` state, a DELTA manifest lists only `+`/`-` lines against
+  * its parent version. Every [[CheckpointInterval]]-th version (and
+  * v1) checkpoints; the versions between write O(changed partitions)
+  * bytes — without this, a 10k-fragment table would rewrite a
+  * 10k-line manifest on EVERY commit, making commit IO O(table), the
+  * exact cost this log exists to avoid at 100 TB. Resolving any
+  * version replays at most CheckpointInterval−1 small deltas from the
+  * nearest checkpoint, so version reads stay O(1) manifests + O(K)
+  * tail. Pre-checkpoint manifests (no `#delta` header) read as
+  * checkpoints — the format is backward-compatible. Data fragments are
+  * immutable; [[vacuum]] deletes fragments unreferenced by any commit
+  * within the retention window (7 days in the reference) and
+  * re-checkpoints the oldest surviving manifest first when it is a
+  * delta (its ancestry is about to disappear).
   *
   * Commit atomicity: the manifest file write (create-new, fail if exists)
   * is the commit point — concurrent writers race on the version number.
@@ -45,12 +54,28 @@ final class SnapshotLog(tableDir: Path) {
     dataDir.resolve(java.util.UUID.randomUUID().toString.take(8))
   }
 
-  def commits: Seq[Commit] =
-    if (!exists) Seq.empty
-    else Files.list(logDir).iterator().asScala.toSeq
+  /** All commits, resolved to full states in ONE ascending replay:
+    * checkpoints reset the state, deltas fold into it — total cost
+    * O(total changed entries), never versions × fragments. */
+  def commits: Seq[Commit] = {
+    if (!exists) return Seq.empty
+    val files = Files.list(logDir).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".manifest"))
       .sortBy(_.getFileName.toString)
-      .map(readManifest)
+    val resolved = scala.collection.mutable.Map.empty[Int, Commit]
+    files.map { f =>
+      val c = readManifest(f) match {
+        case SnapshotLog.FullM(full) => full
+        case d: SnapshotLog.DeltaM =>
+          val base = resolved.get(d.parent).orElse(version(d.parent))
+            .getOrElse(throw new IllegalStateException(
+              s"delta manifest v${d.version} orphaned: parent v${d.parent} missing"))
+          SnapshotLog.applyDelta(base, d)
+      }
+      resolved(c.version) = c
+      c
+    }
+  }
 
   private def manifestPath(v: Int): Path = logDir.resolve(f"v$v%05d.manifest")
 
@@ -74,14 +99,23 @@ final class SnapshotLog(tableDir: Path) {
       case Some(start) =>
         var v = start
         while (Files.exists(manifestPath(v + 1))) v += 1
-        Some(readManifest(manifestPath(v)))
+        version(v)
     }
   }
 
-  /** A specific version in one manifest read (no log listing). */
+  /** A specific version without listing the log: one manifest read for
+    * a checkpoint, plus at most CheckpointInterval−1 parent reads for a
+    * delta tail. */
   def version(v: Int): Option[Commit] = {
     val f = manifestPath(v)
-    if (Files.exists(f)) Some(readManifest(f)) else None
+    if (!Files.exists(f)) None
+    else readManifest(f) match {
+      case SnapshotLog.FullM(c) => Some(c)
+      case d: SnapshotLog.DeltaM =>
+        val base = version(d.parent).getOrElse(throw new IllegalStateException(
+          s"delta manifest v$v orphaned: parent v${d.parent} missing"))
+        Some(SnapshotLog.applyDelta(base, d))
+    }
   }
 
   /** Latest commit whose timestamp is <= tsMillis (time-travel read).
@@ -135,8 +169,13 @@ final class SnapshotLog(tableDir: Path) {
       val c = Commit(v, tsMillis, action, compute(cur),
         schemaWith(cur).orElse(cur.flatMap(_.schemaDdl)))
       val f = logDir.resolve(f"v$v%05d.manifest")
+      // checkpoint cadence: full state at v1 and every Kth version;
+      // everything between writes O(changed entries) delta bytes
+      val body =
+        if (cur.isEmpty || v % SnapshotLog.CheckpointInterval == 0) render(c)
+        else renderDelta(c, cur.get)
       try {
-        Files.write(f, render(c).getBytes(StandardCharsets.UTF_8),
+        Files.write(f, body.getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         done = Some(c)
         advancePointer(v)
@@ -179,6 +218,21 @@ final class SnapshotLog(tableDir: Path) {
     removable.foreach { rel =>
       deleteRecursive(tableDir.resolve(rel))
     }
+    // the oldest survivor's delta ancestry is about to disappear:
+    // re-checkpoint it (atomic replace with its RESOLVED full state —
+    // same version, same state, self-contained) BEFORE deleting
+    if (expired.nonEmpty) live.headOption.foreach { first =>
+      readManifest(manifestPath(first.version)) match {
+        case _: SnapshotLog.DeltaM =>
+          val tmp = logDir.resolve(
+            s"v${first.version}.ckpt.${java.util.UUID.randomUUID().toString.take(8)}")
+          Files.write(tmp, render(first).getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, manifestPath(first.version),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        case _ => ()
+      }
+    }
     expired.foreach(c => Files.deleteIfExists(logDir.resolve(f"v${c.version}%05d.manifest")))
     removable.map(rel => tableDir.resolve(rel).toString)
   }
@@ -191,17 +245,50 @@ final class SnapshotLog(tableDir: Path) {
     sb.toString
   }
 
-  private def readManifest(f: Path): Commit = {
+  /** Delta body: `+<TAB>partition<TAB>path` per added entry,
+    * `-<TAB>path` per removed one, against `parent`'s state. The schema
+    * header always rides along (it is small next to fragment lists and
+    * makes every manifest self-describing for schema). */
+  private def renderDelta(c: Commit, parent: Commit): String = {
+    val parentPaths = parent.entries.map(_.path).toSet
+    val newPaths = c.entries.map(_.path).toSet
+    val sb = new StringBuilder
+    sb.append(s"#version=${c.version}\n#ts=${c.tsMillis}\n#action=${c.action}\n")
+    sb.append(s"#delta=1\n#parent=${parent.version}\n")
+    c.schemaDdl.foreach(d => sb.append(s"#schema=${SnapshotLog.escape(d)}\n"))
+    parent.entries.filterNot(e => newPaths(e.path))
+      .foreach(e => sb.append("-\t").append(e.path).append('\n'))
+    c.entries.filterNot(e => parentPaths(e.path))
+      .foreach(e => sb.append("+\t").append(e.partition)
+        .append('\t').append(e.path).append('\n'))
+    sb.toString
+  }
+
+  private def readManifest(f: Path): SnapshotLog.Manifest = {
     val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
     val header = lines.takeWhile(_.startsWith("#"))
       .map(_.drop(1).split("=", 2)).map(a => a(0) -> a(1)).toMap
-    val entries = lines.dropWhile(_.startsWith("#")).filter(_.nonEmpty).map { l =>
-      val i = l.indexOf('\t')
-      Entry(l.substring(0, i), l.substring(i + 1))
+    val body = lines.dropWhile(_.startsWith("#")).filter(_.nonEmpty)
+    val v = header("version").toInt
+    val ts = header("ts").toLong
+    val action = header.getOrElse("action", "write")
+    val schema = header.get("schema").map(SnapshotLog.unescape)
+    if (header.contains("delta")) {
+      val adds = body.filter(_.startsWith("+\t")).map { l =>
+        val rest = l.substring(2)
+        val i = rest.indexOf('\t')
+        Entry(rest.substring(0, i), rest.substring(i + 1))
+      }
+      val removes = body.filter(_.startsWith("-\t")).map(_.substring(2))
+      SnapshotLog.DeltaM(v, ts, action, schema, header("parent").toInt,
+        adds, removes)
+    } else {
+      val entries = body.map { l =>
+        val i = l.indexOf('\t')
+        Entry(l.substring(0, i), l.substring(i + 1))
+      }
+      SnapshotLog.FullM(Commit(v, ts, action, entries, schema))
     }
-    Commit(header("version").toInt, header("ts").toLong,
-      header.getOrElse("action", "write"), entries,
-      header.get("schema").map(SnapshotLog.unescape))
   }
 
   private def deleteRecursive(p: Path): Unit =
@@ -248,6 +335,30 @@ object SnapshotLog {
   /** Checkpoint file naming the newest known version (Delta's
     * `_last_checkpoint` analog). */
   val LatestPointer = "_latest"
+
+  /** Every Kth version writes a full-state checkpoint manifest; the
+    * versions between write O(changed entries) deltas. Resolving any
+    * version replays at most K−1 deltas. 20 balances commit IO against
+    * version-read replay depth (Delta Lake's default checkpoint
+    * interval is 10; fragments lists here are one line each). */
+  val CheckpointInterval = 20
+
+  /** Parsed manifest: a self-contained full state or a delta tail. */
+  private[core] sealed trait Manifest
+  private[core] final case class FullM(c: Commit) extends Manifest
+  private[core] final case class DeltaM(version: Int, tsMillis: Long,
+                                        action: String, schema: Option[String],
+                                        parent: Int, adds: Seq[Entry],
+                                        removes: Seq[String]) extends Manifest
+
+  /** Resolved state of a delta: parent entries minus removes (kept in
+    * parent order — stable across replay paths) plus adds. */
+  private[core] def applyDelta(base: Commit, d: DeltaM): Commit = {
+    val removed = d.removes.toSet
+    Commit(d.version, d.tsMillis, d.action,
+      base.entries.filterNot(e => removed(e.path)) ++ d.adds,
+      d.schema.orElse(base.schemaDdl))
+  }
 
   val TimeTravelWindowMillis: Long = 7L * 24 * 3600 * 1000 // restore.py:60-70
   def forTable(root: String, dataset: String, table: String): SnapshotLog =
