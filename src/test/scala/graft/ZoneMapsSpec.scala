@@ -491,6 +491,69 @@ class ZoneMapsSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq === Seq(1))
   }
 
+  test("streaming foreachBatch ingest produces the SAME zone-map sidecars as batch writes; readWhere prunes streamed tables") {
+    import spark.implicits._
+    val wh = freshWh()
+    // a real file stream: stage a fixture parquet, readStream it, land
+    // every micro-batch through the warehouse write paths (the
+    // q16-family sink shape) — one partitioned upsert, one unpartitioned
+    // append — then prove data skipping holds on the streamed-in tables
+    val srcDir = Files.createTempDirectory("zm_stream_src")
+    Seq((1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-02 10:00:00", 20.0),
+      (3, "2024-01-03 10:00:00", 30.0))
+      .toDF("id", "hour", "value")
+      .withColumn("hour", col("hour").cast("timestamp"))
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val ckpt1 = Files.createTempDirectory("zm_stream_ck1").toString
+    val q1 = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt1)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.withColumn("day", to_date(col("hour")))
+        if (!b.isEmpty) {
+          if (!wh.exists("mart", "sh"))
+            wh.overwrite("mart", "sh", b,
+              graft.core.TableMeta(partitionField = Some("day")))
+          else wh.insertOverwrite("mart", "sh", b)
+        }
+      }.start()
+    q1.awaitTermination()
+    val ckpt2 = Files.createTempDirectory("zm_stream_ck2").toString
+    val q2 = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (!wh.exists("mart", "sa")) wh.overwrite("mart", "sa", batch)
+          else wh.append("mart", "sa", batch)
+        }
+      }.start()
+    q2.awaitTermination()
+    // every streamed-in entry carries a sidecar, exactly like batch writes
+    for ((ds, t) <- Seq(("mart", "sh"), ("mart", "sa"))) {
+      val td = Paths.get(wh.root, ds, t)
+      val entries = wh.log(ds, t).latest.get.entries
+      assert(entries.nonEmpty)
+      entries.foreach(e => assert(ZoneMaps.read(td, e.path).isDefined,
+        s"streamed $ds.$t entry ${e.path} missing its sidecar"))
+    }
+    // and the sidecars PRUNE: partition zone on the hive table,
+    // column zones on the append table
+    val (scanDay, prunedDay) =
+      wh.planScan("mart", "sh", col("day") === lit("2024-01-02").cast("date"))
+    assert(scanDay.size === 1 && prunedDay.size === 2,
+      s"streamed partition zones must prune: ${scanDay.map(_.partition)}")
+    assert(wh.readWhere("mart", "sh", col("id") === 2)
+      .select("id").collect().map(_.getInt(0)).toSeq === Seq(2))
+    val (scanId, _) = wh.planScan("mart", "sa", col("id") === 2)
+    assert(wh.readWhere("mart", "sa", col("id") === 2)
+      .select("id").collect().map(_.getInt(0)).toSeq === Seq(2))
+    assert(scanId.size <= wh.log("mart", "sa").latest.get.entries.size)
+  }
+
   test("a fragment where any file's footer stats fail gets NO sidecar (whole-dir scan, never a partial map)") {
     import spark.implicits._
     val wh = freshWh()
