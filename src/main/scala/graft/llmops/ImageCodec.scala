@@ -61,6 +61,69 @@ object ImageCodec {
     else None
   }
 
+  // ------------------------------------------------------ audio (WAV)
+
+  /** Parsed RIFF/WAVE header: mime + PCM shape. `nSamples` counts
+    * sample FRAMES (all channels at one instant = one frame), i.e.
+    * data-chunk bytes / blockAlign. */
+  final case class AudioInfo(mime: String, channels: Int, sampleRate: Int,
+                             bitsPerSample: Int, nSamples: Int)
+
+  /** RIFF/WAVE header sniff — pure byte parsing from the public WAV
+    * spec, the audio sibling of [[sniff]]: "RIFF"<u32 size>"WAVE", then
+    * a chunk walk ("fmt " carries channels/rate/bits/blockAlign as
+    * little-endian fields; "data"'s length gives the sample count,
+    * clamped to the bytes actually present). Odd chunk sizes pad to
+    * even per spec. Returns None for anything that is not a
+    * well-formed WAV — arbitrary binary stays on the opaque path. */
+  def sniffWav(p: Array[Byte]): Option[AudioInfo] = {
+    if (p.length < 44 ||
+      !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+      !(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+    var dataSize = -1
+    while (i + 8 <= p.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(p, i + 4)
+      if (sz < 0) return None // a 2GB+ chunk claim in a header is junk
+      if (id == "fmt " && i + 8 + 16 <= p.length && sz >= 16)
+        fmt = Some((le16(p, i + 10), le32(p, i + 12), le16(p, i + 20),
+          le16(p, i + 22)))
+      else if (id == "data")
+        dataSize = math.min(sz.toLong, (p.length - (i + 8)).toLong).toInt
+      i += 8 + sz + (sz & 1)
+    }
+    fmt.collect {
+      case (ch, rate, blockAlign, bits) if ch > 0 && blockAlign > 0 && dataSize >= 0 =>
+        AudioInfo("audio/wav", ch, rate, bits, dataSize / blockAlign)
+    }
+  }
+
+  /** Canonical 8-bit PCM WAV writer (the synthesis half of the WAV
+    * round-trip): 44-byte RIFF header + the sample bytes, data truncated
+    * to whole frames (blockAlign = channels at 8 bits). Deterministic —
+    * byte-for-byte a function of (samples, channels, sampleRate). */
+  def wavEncode(samples: Array[Byte], channels: Int, sampleRate: Int): Array[Byte] = {
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    val blockAlign = channels // 8-bit PCM: one byte per channel-sample
+    val dataLen = samples.length - (samples.length % blockAlign)
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(8.toShort) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .put(samples, 0, dataLen)
+    out.array()
+  }
+
   /** Walk the JPEG marker stream to the first SOF segment: each marker is
     * FF xx with a big-endian self-inclusive length, standalone markers
     * (RSTn/TEM/SOI) have none; SOF payload is precision(1) height(2)

@@ -124,8 +124,13 @@ object Multimodal {
       .map { case (id, p) =>
         ImageCodec.sniff(p) match {
           case Some(info) => (id, info.mime, info.width, info.height, info.height)
-          case None => (id, "application/octet-stream", 0, 0,
-            (p.length + FrameBytes - 1) / FrameBytes)
+          case None => ImageCodec.sniffWav(p) match {
+            // audio rides the same inventory shape: (channels, sample
+            // rate) in the spatial slots, sample frames as n_frames
+            case Some(a) => (id, a.mime, a.channels, a.sampleRate, a.nSamples)
+            case None => (id, "application/octet-stream", 0, 0,
+              (p.length + FrameBytes - 1) / FrameBytes)
+          }
         }
       }.toDF("media_id", "mime", "width", "height", "n_frames")
   }
@@ -381,15 +386,62 @@ object Multimodal {
        |SELECT m.media_id, coalesce(p.phash, 0) AS phash
        |FROM m LEFT JOIN p USING (media_id)""".stripMargin
 
+  // ------------------------------------------------------- audio (WAV)
+
+  /** Audio leg of the multimodal quartet: synthesize a REAL 8-bit PCM
+    * WAV per document (text bytes as samples; channels/rate vary by
+    * doc_id so header fields are data-dependent, not constants), then
+    * sniff the header BACK with [[ImageCodec.sniffWav]] and report the
+    * parsed fields. The oracle predicts every field from the text
+    * length alone, so any synthesis/parse disagreement — an endianness
+    * slip, a chunk-offset error, a blockAlign mix-up — breaks the hash.
+    * One narrow kernel pass; at scale this is the audio-inventory scan
+    * (headers only, bodies untouched) run before deciding what to
+    * transcode. */
+  def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val samples = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 + (id % 3).toInt * 4000
+        val wav = ImageCodec.wavEncode(samples, channels, rate)
+        val info = ImageCodec.sniffWav(wav).getOrElse(
+          throw new IllegalStateException(s"own WAV failed to sniff: media $id"))
+        (id, info.mime, info.channels, info.sampleRate, info.bitsPerSample,
+          info.nSamples, wav.length.toLong)
+      }
+      .toDF("media_id", "mime", "channels", "sample_rate", "bits_per_sample",
+        "n_samples", "n_bytes")
+  }
+
+  /** Fixture text is ASCII (byte length = char length), so every header
+    * field is a pure function of (doc_id, length(text)). */
+  val qMultimodalAudioSql: String =
+    """SELECT doc_id AS media_id,
+      |       'audio/wav' AS mime,
+      |       CAST(1 + doc_id % 2 AS INT) AS channels,
+      |       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+      |       CAST(8 AS INT) AS bits_per_sample,
+      |       CAST(length(text) // (1 + doc_id % 2) AS INT) AS n_samples,
+      |       44 + length(text) - (length(text) % (1 + doc_id % 2)) AS n_bytes
+      |FROM documents
+      |WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stats" -> (qMultimodalStats _),
     "multimodal_phash" -> (qMultimodalPhash _),
     "multimodal_framesample" -> (qMultimodalFrameSample _),
-    "multimodal_resize" -> (qMultimodalResize _))
+    "multimodal_resize" -> (qMultimodalResize _),
+    "multimodal_audio" -> (qMultimodalAudio _))
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_stats" -> qMultimodalStatsSql,
     "multimodal_phash" -> qMultimodalPhashSql,
     "multimodal_framesample" -> qMultimodalFrameSampleSql,
-    "multimodal_resize" -> qMultimodalResizeSql)
+    "multimodal_resize" -> qMultimodalResizeSql,
+    "multimodal_audio" -> qMultimodalAudioSql)
 }

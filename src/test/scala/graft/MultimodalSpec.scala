@@ -141,4 +141,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
       s"unrelated image spuriously paired: $pairs")
   }
+
+  test("WAV codec: encode/sniff round-trip, stereo frame truncation, malformed rejection") {
+    import graft.llmops.ImageCodec
+    val mono = ImageCodec.wavEncode(Array[Byte](1, 2, 3, 4, 5), 1, 8000)
+    val mi = ImageCodec.sniffWav(mono).get
+    assert(mi === ImageCodec.AudioInfo("audio/wav", 1, 8000, 8, 5))
+    assert(mono.length === 44 + 5)
+    // stereo: 5 bytes truncate to 2 whole frames (4 bytes)
+    val stereo = ImageCodec.wavEncode(Array[Byte](1, 2, 3, 4, 5), 2, 16000)
+    val si = ImageCodec.sniffWav(stereo).get
+    assert(si === ImageCodec.AudioInfo("audio/wav", 2, 16000, 8, 2))
+    assert(stereo.length === 44 + 4)
+    // a data chunk CLAIMING more bytes than present clamps, never overreads
+    val lying = mono.clone()
+    lying(40) = 100 // data size field (LE u32 at offset 40)
+    assert(ImageCodec.sniffWav(lying).get.nSamples === 5)
+    // non-WAV binary and truncated headers reject
+    assert(ImageCodec.sniffWav("not a wav at all, just text bytes ...x".getBytes).isEmpty)
+    assert(ImageCodec.sniffWav(mono.take(20)).isEmpty)
+    // a RIFF container that is not WAVE rejects
+    val avi = mono.clone(); avi(8) = 'A'; avi(9) = 'V'; avi(10) = 'I'; avi(11) = ' '
+    assert(ImageCodec.sniffWav(avi).isEmpty)
+    // images stay images: the WAV sniffer must not claim a PNG
+    val png = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(ImageCodec.sniffWav(png).isEmpty && ImageCodec.sniff(mono).isEmpty)
+  }
+
+  test("describeMedia inventories WAV payloads as audio, not opaque bytes") {
+    import spark.implicits._
+    val wav = graft.llmops.ImageCodec.wavEncode(Array.fill(100)(7.toByte), 2, 8000)
+    val media = Seq((1L, wav), (2L, "plain text".getBytes)).toDF("media_id", "payload")
+    val got = Multimodal.describeMedia(media).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(got(1L) === (("audio/wav", 2, 8000, 50)))
+    assert(got(2L)._1 === "application/octet-stream")
+  }
 }
