@@ -81,6 +81,8 @@ object RecallReport {
     Seq(
       "lsh" -> fromScored(Similarity.lshScored(emb, isQuery),
         Similarity.rankTopK(_, Similarity.TopK)),
+      "lsh_multiprobe" -> fromScored(Similarity.lshMultiProbeScored(emb, isQuery),
+        Similarity.rankTopK(_, Similarity.TopK)),
       s"ivf_nprobe${Similarity.NProbe}" -> ivf(sampledCents, Similarity.NProbe),
       s"ivf_nprobe${Similarity.NProbeWide}" -> ivf(sampledCents, Similarity.NProbeWide),
       s"ivf_nprobe${Similarity.NProbeServe}" -> ivf(sampledCents, Similarity.NProbeServe),
