@@ -46,7 +46,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    UNPUSHED_SOURCE_FILTER / WIDE_SCAN); "lint_clean" counts queries
   *    with zero findings. A plan that degrades into a flagged shape
   *    fails the round artifact, not a later manual review.
-  *  - SPARK_GRAFT_PASSES (default 2) in-harness passes, min over all.
+  *  - SPARK_GRAFT_PASSES (default 3) in-harness passes, min over all:
+  *    two consecutive full runs agree to 0.6% at 3 passes vs 16% at 2
+  *    (measured at sf0.1, r12).
   */
 object Bench {
 
@@ -152,7 +154,11 @@ object Bench {
       System.err.println(f"[bench] $tag pass at $sfDir: ${(System.nanoTime() - p0) / 1e9}%.2f s")
       rs
     }
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    // min-of-3 default: measured back-to-back full runs at sf0.1 agree
+    // to 0.6% at 3 passes vs 16% at 2 — the pass-2-only min still
+    // carries one JIT/GC-state sample per query, two samples stabilize
+    // the min (r12 trust work; see CHANGES_r12.md for the numbers)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
     val pass1 = timedPass("pass1")
     val warmupSec = pass1.map(_._2).sum // pass-1 (cold) total, for continuity
     val laterPasses = (2 to passes).map(i => timedPass(s"pass$i"))

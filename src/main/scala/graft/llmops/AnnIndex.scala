@@ -56,24 +56,59 @@ object AnnIndex {
     * only. Results are exactly [[Similarity.lshTopK]]'s. */
   def lshTopKFrom(emb: DataFrame, sigs: DataFrame, isQuery: Column,
                   k: Int = Similarity.TopK): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+    import emb.sparkSession.implicits._
     val bands = Similarity.simBandSigns
-    val queries: Array[(Long, Array[Double], Double, Array[Long])] =
+    val queries: Array[(Long, Array[Double], Double)] =
       Similarity.collectCapped(
         Similarity.typedVecs(emb).filter(isQuery).as[(Long, Array[Double])],
         "ANN query set")
-        .map { case (id, v) =>
-          (id, v, Kernels.norm(v),
-            Array.tabulate(bands.length)(b => Kernels.lshSignature(v, bands(b))))
-        }
-    val qSigs = spark.createDataset(queries.toIndexedSeq.flatMap {
-      case (qid, _, _, sig) => sig.indices.map(b => (qid, b, sig(b)))
-    }).toDF("query_id", "band", "sig")
+        .map { case (id, v) => (id, v, Kernels.norm(v)) }
+    val probeRows = queries.toIndexedSeq.flatMap { case (qid, v, _) =>
+      val sig = Array.tabulate(bands.length)(b => Kernels.lshSignature(v, bands(b)))
+      sig.indices.map(b => (qid, b, sig(b)))
+    }
+    servedFromSigs(emb, sigs, queries, probeRows, k)
+  }
+
+  /** Multi-probe serving from the SAME persisted signature artifact:
+    * only the QUERY-side probe rows change — base band signatures plus
+    * the [[Similarity.MultiProbeBudget]] margin-ranked flipped buckets
+    * ([[Similarity.multiProbeSigs]]) — so the multi-probe recall lift
+    * composes with the standing index at zero index-maintenance cost
+    * (the corpus is never re-signed, the artifact schema is untouched).
+    * Results are exactly [[Similarity.lshMultiProbeTopK]]'s. */
+  def lshMultiProbeTopKFrom(emb: DataFrame, sigs: DataFrame, isQuery: Column,
+                            k: Int = Similarity.TopK,
+                            budget: Int = Similarity.MultiProbeBudget): DataFrame = {
+    import emb.sparkSession.implicits._
+    val queries: Array[(Long, Array[Double], Double)] =
+      Similarity.collectCapped(
+        Similarity.typedVecs(emb).filter(isQuery).as[(Long, Array[Double])],
+        "ANN query set")
+        .map { case (id, v) => (id, v, Kernels.norm(v)) }
+    val probeRows = queries.toIndexedSeq.flatMap { case (qid, v, _) =>
+      Similarity.multiProbeSigs(v, budget).toIndexedSeq.zipWithIndex.flatMap {
+        case (ps, b) => ps.toIndexedSeq.map(s => (qid, b, s))
+      }
+    }
+    servedFromSigs(emb, sigs, queries, probeRows, k)
+  }
+
+  /** Shared artifact-serving tail: candidates off the signature table
+    * against broadcast query probe rows, raw vectors fetched once for
+    * exact scoring, per-query top-k rank. */
+  private def servedFromSigs(emb: DataFrame, sigs: DataFrame,
+                             queries: Array[(Long, Array[Double], Double)],
+                             probeRows: Seq[(Long, Int, Long)],
+                             k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qSigs = spark.createDataset(probeRows.toIndexedSeq)
+      .toDF("query_id", "band", "sig")
     val cand = sigs.join(broadcast(qSigs), Seq("band", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
-    val qMap = queries.map { case (id, v, n, _) => id -> (v, n) }.toMap
+    val qMap = queries.map { case (id, v, n) => id -> (v, n) }.toMap
     val bcQ = spark.sparkContext.broadcast(qMap)
     val scored = cand
       .join(Similarity.typedVecs(emb), Seq("vec_id"))

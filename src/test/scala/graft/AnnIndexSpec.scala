@@ -46,6 +46,19 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(scans <= 2, s"expected artifact + one vector fetch, got $scans scans:\n${plan.take(1500)}")
   }
 
+  test("lshMultiProbeTopKFrom serves multi-probe results from the UNCHANGED signature artifact") {
+    val wh = freshWh()
+    AnnIndex.saveLshIndex(wh, "idx", "sigs", emb)
+    val sigs = wh.read("idx", "sigs")
+    val served = AnnIndex.lshMultiProbeTopKFrom(emb, sigs, isQuery)
+    // served ≡ in-pass multi-probe, over the same artifact base LSH uses:
+    // the recall lift is pure query-side probing, zero index maintenance
+    assert(rows(served) === rows(Similarity.lshMultiProbeTopK(emb, isQuery)))
+    // multi-probe candidates are a superset, so every query still serves
+    assert(served.select("query_id").distinct().count() ===
+      AnnIndex.lshTopKFrom(emb, sigs, isQuery).select("query_id").distinct().count())
+  }
+
   test("pqTopKFromCodes over a warehouse codes table equals pqTopK; ADC plan reads no embedding") {
     val wh = freshWh()
     import spark.implicits._
