@@ -44,6 +44,7 @@ object SparkEntry {
       graft.operators.Unpivot.queries ++
       graft.operators.Shard.queries ++
       graft.operators.Stats.queries ++
+      graft.operators.Triangles.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
@@ -85,6 +86,7 @@ object SparkEntry {
       graft.operators.Unpivot.oracleSql ++
       graft.operators.Shard.oracleSql ++
       graft.operators.Stats.oracleSql ++
+      graft.operators.Triangles.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++

@@ -74,6 +74,76 @@ object CorpusStats {
           .as("rare_ratio"))
   }
 
+  /** Per-document n-gram NOVELTY — the marginal-information screen a
+    * curation pipeline runs before paying to keep a document: the
+    * fraction of a doc's DISTINCT word-3-gram shingles that occur in NO
+    * other document (corpus doc-frequency 1). Boilerplate and
+    * near-template docs score ~0 (their shingles are everywhere);
+    * genuinely new content scores toward 1. The complement of
+    * [[ngramDiversity]]'s corpus-granularity view, at the granularity
+    * sampling and keep-lists act on — and the dedup-adjacent signal
+    * that catches "not a duplicate, but says nothing new".
+    *
+    * Shape at 100 TB: one narrow shingle-kernel pass (the shared 60-bit
+    * hash domain — [[Kernels.distinctShingleHashes]]), one
+    * map-side-combined doc-frequency rollup bounded by |distinct
+    * shingles|, then the [[withTokenFreq]] Zipf discipline: the
+    * `headShingles` hottest shingles broadcast and only the cold tail
+    * shuffle-joins, so boilerplate shingles (the df-heavy head by
+    * definition) never funnel a shuffle partition. */
+  def noveltyScores(docs: DataFrame, headShingles: Int = HeadVocab): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long"),
+        coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = Kernels.newMd5()
+        it.flatMap { case (id, text) =>
+          Kernels.distinctShingleHashes(md, text).iterator.map(h => (id, h))
+        }
+      }.toDF("doc_id", "h")
+    // rows are per-doc-distinct, so count per h IS document frequency
+    val dfreq = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val head = dfreq.orderBy(col("df").desc, col("h")).limit(headShingles)
+    val tail = dfreq.join(broadcast(head.select(col("h"))), Seq("h"), "left_anti")
+    rows.join(broadcast(head), Seq("h"))
+      .unionByName(rows.join(tail, Seq("h")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        Hashing.stableRound(
+          col("n_novel").cast("double") / col("n_shingles"), 4).as("novelty"))
+  }
+
+  def qNovelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyScores(Tables.load(spark, dir, "documents"))
+
+  /** Same shingle hash domain and df rollup; docs with < 3 tokens have
+    * no shingles and are absent on both engines. */
+  val qNoveltySql: String = {
+    val h = Hashing.md5LongSql("words[i] || ' ' || words[i+1] || ' ' || words[i+2]")
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, $h AS h
+       |  FROM (SELECT doc_id, words,
+       |               unnest(generate_series(1, len(words) - 2)) AS i
+       |        FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+       |              FROM documents WHERE doc_id IS NOT NULL)
+       |        WHERE len(words) >= 3)),
+       |df AS MATERIALIZED (SELECT h, count(*) AS df FROM sh GROUP BY 1)
+       |SELECT s.doc_id, count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_novel,
+       |       ${Hashing.stableRoundSql(
+             "sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)", 4)}
+       |         AS novelty
+       |FROM sh s JOIN df USING (h)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Exact top-k heavy hitters per group — "top sources per language",
     * "top domains per shard": aggregate first (one shuffle with map-side
     * combine down to |group × key| rows), THEN rank with a window over
@@ -443,6 +513,7 @@ object CorpusStats {
     "keywords_rare" -> (qKeywords _),
     "ngram_collocations" -> (qCollocations _),
     "diversity_ngram" -> (qDiversity _),
+    "quality_novelty" -> (qNovelty _),
     "corpus_report" -> (qCorpusReport _),
     "corpus_report_merged" -> (qCorpusReportMerged _))
 
@@ -452,6 +523,7 @@ object CorpusStats {
     "keywords_rare" -> qKeywordsSql,
     "ngram_collocations" -> qCollocationsSql,
     "diversity_ngram" -> qDiversitySql,
+    "quality_novelty" -> qNoveltySql,
     "corpus_report" -> qCorpusReportSql,
     "corpus_report_merged" -> qCorpusReportSql)
 }

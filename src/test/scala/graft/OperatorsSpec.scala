@@ -1107,6 +1107,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === ((3000000L, -1L)))
   }
 
+  test("triangleCounts: K4 plus a pendant — exact counts, coefficients, one-orientation-per-triangle") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in 3 of them,
+    // degree 3 → coefficient 2·3/(3·2) = 1.0 = 10000 bp. Pendant node 5
+    // (edge 4-5) joins no triangle and must be ABSENT, but it raises
+    // node 4's degree to 4 → 4's coefficient = 2·3/(4·3) = 5000 bp.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (2L, 1L) /* reverse duplicate: must canonicalize */)
+      .toDF("src", "dst")
+    val got = graft.operators.Triangles.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((3L, 3L, 10000L)),
+      2L -> ((3L, 3L, 10000L)),
+      3L -> ((3L, 3L, 10000L)),
+      4L -> ((4L, 3L, 5000L))))
+    // total incidences / 3 = triangle count: 4 triangles in K4
+    assert(got.values.map(_._2).sum === 12L)
+  }
+
+  test("triangleCounts: hub-and-spoke star has NO triangles; a single chord makes exactly one") {
+    import spark.implicits._
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    assert(graft.operators.Triangles.triangleCounts(star).count() === 0)
+    val chord = star.unionByName(Seq((1L, 2L)).toDF("src", "dst"))
+    val got = graft.operators.Triangles.triangleCounts(chord).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("labelPropagation: two cliques joined by one weak edge settle into two communities") {
     import spark.implicits._
     // cliques {1,2,3} and {10,11,12} (internal weight 2), one weight-1
