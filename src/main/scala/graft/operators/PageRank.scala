@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -69,6 +69,48 @@ object PageRank {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Personalized PageRank — random walk with restart to a SEED set
+    * (Jeh & Widom 2003): the teleport vector is the uniform
+    * distribution over seeds instead of over all nodes, so rank mass
+    * measures proximity to the seeds — the "expand from a trusted
+    * allowlist" prior a curation pipeline uses to score domains by
+    * how tightly the link graph ties them to known-good ones (and the
+    * TrustRank construction when seeds are vetted).
+    *
+    * The SAME integer step as [[pageRank]] — only the base vector
+    * changes: seeds carry `(15 · Scale/|S|) div 100` per round, every
+    * other node 0, so non-seed rank is purely inherited mass. Ranks
+    * stay exact integer `Scale`ths, bit-identical cross-engine.
+    * `isSeed` is a predicate over the `node` column; seeds must have
+    * out-edges (they are drawn from the src universe like every other
+    * node). */
+  def personalizedPageRank(edges: DataFrame, isSeed: Column,
+                           iterations: Int = Iterations): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val nSeeds = deg.filter(isSeed).agg(count(lit(1)).as("_s"))
+    val base = deg.crossJoin(broadcast(nSeeds))
+      .select(col("node"), col("deg"),
+        when(isSeed, expr(s"${Scale}L div _s")).otherwise(lit(0L)).as("r0"))
+    var ranks = base.withColumn("rank", col("r0"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.select(col("node").as("src"),
+          expr("rank div deg").as("_c")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("_c")).as("_in"))
+      ranks = base.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"), col("r0"),
+          (expr("(15 * r0) div 100") +
+            expr("(85 * coalesce(_in, 0L)) div 100")).as("rank"))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   // ----------------------------------------------------------------- query
 
   /** Centrality of the supplier↔part bipartite graph (who-supplies-what
@@ -122,9 +164,70 @@ object PageRank {
        |FROM r3""".stripMargin
   }
 
+  /** Seed predicate for the PPR query: every 50th supplier (node ids
+    * are 2·suppkey for suppliers) — the deterministic stand-in for a
+    * vetted allowlist. */
+  val PprSeedSql = "node % 2 = 0 AND (node // 2) % 50 = 1"
+
+  /** Proximity-to-trusted-suppliers over the same bipartite graph:
+    * which parts (and other suppliers) does the link structure tie most
+    * closely to the seed suppliers? */
+  def qPersonalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_suppkey").isNotNull && col("l_partkey").isNotNull)
+    val pairs = li.select((col("l_suppkey") * 2).as("s"),
+      (col("l_partkey") * 2 + 1).as("t")).distinct()
+    val edges = pairs.select(col("s").as("src"), col("t").as("dst"))
+      .unionAll(pairs.select(col("t").as("src"), col("s").as("dst")))
+    personalizedPageRank(edges,
+      col("node") % 2 === 0 && expr("(node div 2) % 50 = 1"))
+      .select(
+        when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part"))
+          .as("kind"),
+        expr("node div 2").as("id"), col("rank"))
+  }
+
+  val qPprSql: String = {
+    // identical integer step; only the base vector differs — seeds carry
+    // the damped teleport share, every other node 0
+    def step(prev: String): String =
+      s"""SELECT d.node, d.deg,
+         |       (15 * d.r0) // 100 +
+         |       (85 * CAST(coalesce(c.inm, 0) AS BIGINT)) // 100 AS rank
+         |FROM d
+         |LEFT JOIN (SELECT e.dst AS node,
+         |                  CAST(sum(r.rank // r.deg) AS BIGINT) AS inm
+         |           FROM e JOIN $prev r ON r.node = e.src
+         |           GROUP BY 1) c ON c.node = d.node""".stripMargin
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS t
+       |  FROM lineitem
+       |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |e AS MATERIALIZED (
+       |  SELECT s AS src, t AS dst FROM p
+       |  UNION ALL SELECT t AS src, s AS dst FROM p),
+       |d0 AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+       |                    FROM e GROUP BY 1),
+       |ns AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM d0 WHERE $PprSeedSql),
+       |d AS MATERIALIZED (
+       |  SELECT node, deg,
+       |         CASE WHEN $PprSeedSql THEN $Scale // ns.n ELSE 0 END AS r0
+       |  FROM d0 CROSS JOIN ns),
+       |r0 AS MATERIALIZED (SELECT node, deg, r0 AS rank FROM d),
+       |r1 AS MATERIALIZED (${step("r0")}),
+       |r2 AS MATERIALIZED (${step("r1")}),
+       |r3 AS (${step("r2")})
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+       |       node // 2 AS id, rank
+       |FROM r3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (qPageRank _))
+    "graph_pagerank" -> (qPageRank _),
+    "graph_ppr" -> (qPersonalizedPageRank _))
 
   val oracleSql: Map[String, String] = Map(
-    "graph_pagerank" -> qPageRankSql)
+    "graph_pagerank" -> qPageRankSql,
+    "graph_ppr" -> qPprSql)
 }

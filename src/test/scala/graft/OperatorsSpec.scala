@@ -1107,6 +1107,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === ((3000000L, -1L)))
   }
 
+  test("personalizedPageRank: mass concentrates near the seed; disconnected components score zero") {
+    import spark.implicits._
+    // two components: seed-side path 1-2-3, far side 10-11 (undirected)
+    def und(pairs: (Long, Long)*): Seq[(Long, Long)] =
+      pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = und((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = graft.operators.PageRank
+      .personalizedPageRank(edges, col("node") === 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L))
+    // the whole seed component carries mass (the seed's degree-1
+    // neighbor legitimately out-ranks the seed — 85% of the seed's mass
+    // pushes to it every round while it splits both ways); the one-hop
+    // neighbor dominates the two-hop node; the other component gets
+    // NOTHING — the property uniform PageRank cannot express
+    assert(got(1L) > 0L && got(2L) > got(3L) && got(3L) > 0L,
+      s"mass must reach the seed component and decay with distance: $got")
+    assert(got(10L) === 0L && got(11L) === 0L,
+      s"disconnected component must carry zero mass: $got")
+  }
+
   test("triangleCounts: K4 plus a pendant — exact counts, coefficients, one-orientation-per-triangle") {
     import spark.implicits._
     // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in 3 of them,
