@@ -17,7 +17,12 @@ final case class TableMeta(
     requirePartitionFilter: Boolean = false,
     clusteringFields: Seq[String] = Nil,
     partitionExpirationDays: Option[Int] = None,
-    description: Option[String] = None)
+    description: Option[String] = None,
+    /** Declared NOT NULL columns, enforced at every write. */
+    notNullColumns: Seq[String] = Nil,
+    /** Named CHECK constraints (name → boolean SQL expression over the
+      * table's columns), enforced at every write. */
+    checkConstraints: Seq[(String, String)] = Nil)
 
 /** File-backed warehouse: datasets are directories, tables are
   * [[SnapshotLog]]-versioned Parquet dirs. Plays the role BigQuery plays
@@ -85,7 +90,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .map(_.split(",").toSeq).getOrElse(Nil),
       partitionExpirationDays = Option(p.getProperty("partition.expirationDays"))
         .filter(_.nonEmpty).map(_.toInt),
-      description = Option(p.getProperty("description")).filter(_.nonEmpty))
+      description = Option(p.getProperty("description")).filter(_.nonEmpty),
+      notNullColumns = Option(p.getProperty("constraints.notNull"))
+        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
+      checkConstraints = {
+        import scala.jdk.CollectionConverters._
+        p.stringPropertyNames().asScala.toSeq.sorted
+          .filter(_.startsWith("constraints.check."))
+          .map(k => k.stripPrefix("constraints.check.") -> p.getProperty(k))
+      })
   }
 
   def setMeta(dataset: String, table: String, m: TableMeta): Unit = {
@@ -96,6 +109,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     p.setProperty("clustering", m.clusteringFields.mkString(","))
     p.setProperty("partition.expirationDays", m.partitionExpirationDays.map(_.toString).getOrElse(""))
     p.setProperty("description", m.description.getOrElse(""))
+    p.setProperty("constraints.notNull", m.notNullColumns.mkString(","))
+    m.checkConstraints.foreach { case (name, sql) =>
+      require(name.matches("[A-Za-z0-9_.-]+"),
+        s"check-constraint name must be a simple identifier, got '$name'")
+      p.setProperty(s"constraints.check.$name", sql)
+    }
     schemaDdl(dataset, table).foreach(p.setProperty("schema.ddl", _))
     Files.createDirectories(tableDir(dataset, table))
     val out = Files.newOutputStream(tableDir(dataset, table).resolve("_meta.properties"))
@@ -173,12 +192,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case Some(field) =>
         val frag = lg.newFragmentDir()
         partitionedWrite(df, field, frag)
+        enforceConstraints(m, frag)
         val entries = hiveEntries(dataset, table, frag, field)
         recordStats(dataset, table, entries, Some(field), Some(df.schema))
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
       case None =>
         val frag = lg.newFragmentDir()
         df.write.mode("overwrite").parquet(frag.toString)
+        enforceConstraints(m, frag)
         val entries = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
         recordStats(dataset, table, entries, None)
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
@@ -203,6 +224,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val lg = log(dataset, table)
     val frag = lg.newFragmentDir()
     df.write.mode("overwrite").parquet(frag.toString)
+    enforceConstraints(m, frag)
     val entry = SnapshotLog.Entry("", relativize(dataset, table, frag))
     recordStats(dataset, table, Seq(entry), None)
     // union schema is recomputed INSIDE the CAS retry from the current
@@ -235,6 +257,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val lg = log(dataset, table)
     val frag = lg.newFragmentDir()
     partitionedWrite(df, field, frag)
+    enforceConstraints(m, frag)
     val fresh = hiveEntries(dataset, table, frag, field)
     recordStats(dataset, table, fresh, Some(field), Some(df.schema))
     val freshParts = fresh.map(_.partition).toSet
@@ -278,6 +301,55 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private def partitionedWrite(df: DataFrame, field: String, frag: Path): Unit =
     df.hint("rebalance", field)
       .write.mode("overwrite").partitionBy(field).parquet(frag.toString)
+
+  /** Write-time constraint gate (Delta-style NOT NULL + named CHECK
+    * enforcement): validates the LANDED fragment — one cheap columnar
+    * re-read with `limit(1)` short-circuit, never a second evaluation
+    * of the source plan — and on violation deletes the fragment and
+    * fails LOUDLY naming every violated constraint. CHECK follows SQL
+    * semantics (satisfied on TRUE and UNKNOWN; violated only on
+    * FALSE); a declared NOT NULL column ABSENT from the fragment is a
+    * violation (pad-on-read would surface it as all-null). Rewrite
+    * paths (delete/compact/recluster) skip the gate — their rows are
+    * subsets of already-validated fragments. */
+  private def enforceConstraints(m: TableMeta, frag: Path): Unit = {
+    if (m.notNullColumns.isEmpty && m.checkConstraints.isEmpty) return
+    try {
+      val df = spark.read.parquet(frag.toString)
+      val present = df.columns.toSet
+      m.notNullColumns.filterNot(present).headOption.foreach { c =>
+        throw new IllegalArgumentException(
+          s"NOT NULL column '$c' is absent from the written data")
+      }
+      val flags: Seq[(String, Column)] =
+        m.notNullColumns.map(c => s"NOT NULL $c" -> col(c).isNull) ++
+          m.checkConstraints.map { case (n, sql) =>
+            s"CHECK $n ($sql)" -> (expr(sql) <=> lit(false))
+          }
+      val row = df
+        .select(flags.zipWithIndex.map { case ((_, c), i) => c.as(s"_v$i") }: _*)
+        .filter(flags.indices.map(i => col(s"_v$i")).reduce(_ || _))
+        .limit(1).collect()
+      if (row.nonEmpty) {
+        val violated = flags.zipWithIndex
+          .collect { case ((n, _), i) if row.head.getBoolean(i) => n }
+        throw new IllegalArgumentException(
+          s"write violates constraint(s): ${violated.mkString("; ")}")
+      }
+    } catch {
+      case e: Throwable =>
+        e match {
+          case _: IllegalArgumentException => ()
+          case _ => () // analysis errors (bad CHECK sql / missing column) also reject
+        }
+        deleteRecursive(frag)
+        e match {
+          case ia: IllegalArgumentException => throw ia
+          case other => throw new IllegalArgumentException(
+            s"constraint validation failed: ${other.getMessage}", other)
+        }
+    }
+  }
 
   private def hiveEntries(dataset: String, table: String, frag: Path,
                           field: String): Seq[SnapshotLog.Entry] = {
@@ -843,11 +915,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val srcEntries: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
         partitionedWrite(source, field, srcFrag)
+        enforceConstraints(m, srcFrag)
         val es = hiveEntries(dataset, table, srcFrag, field)
         recordStats(dataset, table, es, Some(field))
         es
       case None =>
         source.write.mode("overwrite").parquet(srcFrag.toString)
+        enforceConstraints(m, srcFrag)
         val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag)))
         recordStats(dataset, table, es, None)
         es

@@ -779,6 +779,62 @@ class WarehouseSpec extends AnyFunSuite {
     assert(lg.version(992).get.entries.size === 992, "post-vacuum delta tail resolves")
   }
 
+  test("NOT NULL + CHECK constraints enforce at every write path; rejected fragments leave no orphans") {
+    import spark.implicits._
+    val wh = freshWh()
+    val m = TableMeta(
+      notNullColumns = Seq("v"),
+      checkConstraints = Seq("positive_id" -> "id > 0"))
+    wh.overwrite("d", "ct", Seq((1, "a"), (2, "b")).toDF("id", "v"), m)
+    // constraints round-trip through the metadata sidecar
+    assert(wh.meta("d", "ct").notNullColumns === Seq("v"))
+    assert(wh.meta("d", "ct").checkConstraints === Seq("positive_id" -> "id > 0"))
+    // NOT NULL violation on append: loud, names the constraint, cleans up
+    val e1 = intercept[IllegalArgumentException] {
+      wh.append("d", "ct", Seq((3, Option.empty[String])).toDF("id", "v"))
+    }
+    assert(e1.getMessage.contains("NOT NULL v"), e1.getMessage)
+    // CHECK violation on append
+    val e2 = intercept[IllegalArgumentException] {
+      wh.append("d", "ct", Seq((-5, Some("x"))).toDF("id", "v"))
+    }
+    assert(e2.getMessage.contains("positive_id"), e2.getMessage)
+    // CHECK over a NULL operand is UNKNOWN = satisfied (SQL semantics):
+    // null id passes the CHECK (only FALSE violates)
+    wh.append("d", "ct", Seq((Option.empty[Int], Some("ok"))).toDF("id", "v"))
+    // mergeInto source is gated too
+    val e3 = intercept[IllegalArgumentException] {
+      wh.mergeInto("d", "ct", Seq((0, "zero")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e3.getMessage.contains("positive_id"), e3.getMessage)
+    // nothing rejected left data or sidecars behind; valid rows intact
+    assert(wh.orphanFiles("d", "ct", graceMillis = 0L).isEmpty)
+    assert(wh.read("d", "ct").count() === 3)
+    // a CHECK referencing a missing column rejects loudly, never silently
+    wh.setMeta("d", "ct", m.copy(checkConstraints = Seq("bad" -> "no_such_col > 0")))
+    intercept[IllegalArgumentException] {
+      wh.append("d", "ct", Seq((9, Some("y"))).toDF("id", "v"))
+    }
+  }
+
+  test("partitioned writes enforce constraints (insertOverwrite path)") {
+    import spark.implicits._
+    val wh = freshWh()
+    val m = TableMeta(partitionField = Some("day"), partitionType = "string",
+      checkConstraints = Seq("n_bounded" -> "n <= 100"))
+    wh.overwrite("d", "pt",
+      Seq((1, "2024-01-01", 5)).toDF("id", "day", "n"), m)
+    val ex = intercept[IllegalArgumentException] {
+      wh.insertOverwrite("d", "pt",
+        Seq((2, "2024-01-02", 500)).toDF("id", "day", "n"))
+    }
+    assert(ex.getMessage.contains("n_bounded"), ex.getMessage)
+    assert(wh.orphanFiles("d", "pt", graceMillis = 0L).isEmpty)
+    assert(wh.read("d", "pt").count() === 1)
+    wh.insertOverwrite("d", "pt", Seq((2, "2024-01-02", 7)).toDF("id", "day", "n"))
+    assert(wh.read("d", "pt").count() === 2)
+  }
+
   test("mergeInto NULL-key rejection leaves no orphan fragment or sidecar") {
     import spark.implicits._
     val wh = freshWh()
