@@ -22,7 +22,12 @@ final case class TableMeta(
     notNullColumns: Seq[String] = Nil,
     /** Named CHECK constraints (name → boolean SQL expression over the
       * table's columns), enforced at every write. */
-    checkConstraints: Seq[(String, String)] = Nil)
+    checkConstraints: Seq[(String, String)] = Nil,
+    /** Ordered logical-rename chain (oldName → newName), appended by
+      * [[Warehouse.renameColumn]]: fragments written before a rename
+      * keep their physical column name and are re-labeled at read time
+      * — a rename is metadata-only, never a data rewrite. */
+    columnRenames: Seq[(String, String)] = Nil)
 
 /** File-backed warehouse: datasets are directories, tables are
   * [[SnapshotLog]]-versioned Parquet dirs. Plays the role BigQuery plays
@@ -98,7 +103,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         p.stringPropertyNames().asScala.toSeq.sorted
           .filter(_.startsWith("constraints.check."))
           .map(k => k.stripPrefix("constraints.check.") -> p.getProperty(k))
-      })
+      },
+      columnRenames = Option(p.getProperty("column.renames")).filter(_.nonEmpty)
+        .map(_.split(";").toSeq.map { kv =>
+          val i = kv.indexOf('>'); (kv.substring(0, i), kv.substring(i + 1))
+        }).getOrElse(Nil))
   }
 
   def setMeta(dataset: String, table: String, m: TableMeta): Unit = {
@@ -110,6 +119,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     p.setProperty("partition.expirationDays", m.partitionExpirationDays.map(_.toString).getOrElse(""))
     p.setProperty("description", m.description.getOrElse(""))
     p.setProperty("constraints.notNull", m.notNullColumns.mkString(","))
+    p.setProperty("column.renames",
+      m.columnRenames.map { case (o, n) => s"$o>$n" }.mkString(";"))
     m.checkConstraints.foreach { case (name, sql) =>
       require(name.matches("[A-Za-z0-9_.-]+"),
         s"check-constraint name must be a simple identifier, got '$name'")
@@ -163,6 +174,51 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def schema(dataset: String, table: String): StructType =
     schemaDdl(dataset, table).map(StructType.fromDDL)
       .getOrElse(read(dataset, table).schema)
+
+  /** Metadata-only column RENAME (Delta column-mapping semantics): the
+    * declared schema and every FUTURE write use the new name; fragments
+    * already on disk keep their physical column name and re-label at
+    * read time via the persisted rename chain — at 100 TB a rename
+    * must never be a table rewrite. A metadata commit pins the renamed
+    * schema, so time travel serves each version under its OWN names
+    * (pre-rename versions read the old name). Compaction/recluster
+    * rewrites migrate physical names as a side effect.
+    *
+    * Restrictions: the partition column cannot rename (its name is
+    * baked into hive directory layout); names used by NOT NULL /
+    * clustering metadata follow the rename; CHECK constraint SQL is
+    * free text and must be re-declared by the caller (enforced: a
+    * rename with a CHECK mentioning the old name is refused).
+    * Zone-map sidecars of pre-rename fragments keep the old name —
+    * pruning on the renamed column degrades to scan for those
+    * fragments (sound), and recovers on compaction. */
+  def renameColumn(dataset: String, table: String, from: String, to: String): Unit = {
+    require(to.nonEmpty && !to.contains(";") && !to.contains(">"),
+      s"invalid column name '$to'")
+    require(from != to, "rename to the same name is a no-op")
+    val m = meta(dataset, table)
+    require(!m.partitionField.contains(from),
+      s"cannot rename partition column '$from' (hive layout embeds it)")
+    m.checkConstraints.foreach { case (n, sql) =>
+      require(!sql.contains(from),
+        s"CHECK constraint '$n' references '$from'; re-declare it before renaming")
+    }
+    val sch = schema(dataset, table)
+    require(sch.fieldNames.contains(from), s"no such column: $from")
+    require(!sch.fieldNames.contains(to), s"column already exists: $to")
+    val renamed = StructType(sch.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    writeSchemaDdl(dataset, table, renamed)
+    setMeta(dataset, table, m.copy(
+      columnRenames = m.columnRenames :+ (from -> to),
+      notNullColumns = m.notNullColumns.map(c => if (c == from) to else c),
+      clusteringFields = m.clusteringFields.map(c => if (c == from) to else c)))
+    // pin the renamed schema at its own commit: version reads and time
+    // travel serve names as of the commit they read
+    log(dataset, table).commitWith("rename",
+      cur => cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty),
+      schemaDdl = Some(renamed.toDDL))
+  }
 
   /** Descriptions-sync write path (J4, descriptions.py:147-172): apply
     * dotted-path column descriptions into the declared schema's metadata.
@@ -1036,8 +1092,21 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         if (ddl.nonEmpty) StructType.fromDDL(ddl) else new StructType())
     }
+    // rename chain restricted to names the TARGET schema actually has:
+    // a time-travel read pinned to a pre-rename commit serves the OLD
+    // name, so later renames must not apply to it
+    val targetSchema = commitSchema.map(StructType.fromDDL)
+    val applicable = m.columnRenames.filter { case (_, n) =>
+      targetSchema.forall(_.fieldNames.contains(n))
+    }
+    def applyRenames(df: DataFrame): DataFrame =
+      applicable.foldLeft(df) { case (d, (o, n)) =>
+        if (d.columns.contains(o) && !d.columns.contains(n))
+          d.withColumnRenamed(o, n)
+        else d
+      }
     val raw = m.partitionField match {
-      case None =>
+      case None if applicable.isEmpty =>
         val paths = entries.flatMap(e => filesOf.getOrElse(e.path,
           Seq(tableDir(dataset, table).resolve(e.path).toString)))
         commitSchema.map(StructType.fromDDL) match {
@@ -1050,6 +1119,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           // legacy commits without a pinned schema: pay footer merging
           case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
         }
+      case None =>
+        // rename-aware path: physical names vary per fragment, so a
+        // forced whole-read schema would null the renamed column out of
+        // pre-rename fragments — read per entry, re-label, union by name
+        // (the final pad-select below restores declared order/typing)
+        entries.map { e =>
+          val ps = filesOf.getOrElse(e.path,
+            Seq(tableDir(dataset, table).resolve(e.path).toString))
+          applyRenames(spark.read.parquet(ps: _*))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
       case Some(field) =>
         // Hive-layout fragments: group by fragment root so Spark's
         // partition discovery re-attaches the partition column; one read
@@ -1059,9 +1138,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val byFrag = entries.groupBy(e =>
           tableDir(dataset, table).resolve(e.path).getParent.toString)
         byFrag.map { case (base, es) =>
-          spark.read.option("basePath", base)
+          applyRenames(spark.read.option("basePath", base)
             .parquet(es.flatMap(e => filesOf.getOrElse(e.path,
-              Seq(tableDir(dataset, table).resolve(e.path).toString))): _*)
+              Seq(tableDir(dataset, table).resolve(e.path).toString))): _*))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
           .withColumn(field, col(field).cast(m.partitionType))
     }

@@ -779,6 +779,64 @@ class WarehouseSpec extends AnyFunSuite {
     assert(lg.version(992).get.entries.size === 992, "post-vacuum delta tail resolves")
   }
 
+  test("renameColumn is metadata-only: mixed-generation fragments unify under the new name; time travel keeps old names") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("d", "rn", Seq((1, "a")).toDF("id", "v"))
+    wh.append("d", "rn", Seq((2, "b")).toDF("id", "v"))
+    val fragsBefore = wh.log("d", "rn").latest.get.entries.map(_.path).toSet
+    wh.renameColumn("d", "rn", "v", "val")
+    // metadata-only: no fragment rewritten by the rename itself
+    assert(wh.log("d", "rn").latest.get.entries.map(_.path).toSet === fragsBefore)
+    wh.append("d", "rn", Seq((3, "c")).toDF("id", "val"))
+    // current read: old- and new-named fragments unify under `val`
+    val cur = wh.read("d", "rn")
+    assert(cur.columns.toSeq === Seq("id", "val"))
+    assert(cur.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      === Seq((1, "a"), (2, "b"), (3, "c")))
+    // time travel to a pre-rename version serves the OLD name
+    val v2 = wh.readVersion("d", "rn", 2)
+    assert(v2.columns.toSeq === Seq("id", "v"))
+    assert(v2.count() === 2)
+    // predicates on the renamed column reach pre-rename rows
+    assert(wh.readWhere("d", "rn", col("val") === "a").count() === 1)
+    val del = wh.deleteWhere("d", "rn", col("val") === "a")
+    assert(del.deletedRows === 1)
+    assert(wh.read("d", "rn").orderBy("id").collect().map(_.getString(1)).toSeq
+      === Seq("b", "c"))
+    // compaction migrates physical names; reads stay identical
+    wh.compact("d", "rn")
+    assert(wh.read("d", "rn").orderBy("id").collect().map(_.getString(1)).toSeq
+      === Seq("b", "c"))
+    // chained rename: val -> w composes over all generations
+    wh.renameColumn("d", "rn", "val", "w")
+    assert(wh.read("d", "rn").columns.toSeq === Seq("id", "w"))
+    // guard rails
+    intercept[IllegalArgumentException] {
+      wh.renameColumn("d", "rn", "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      wh.renameColumn("d", "rn", "w", "id") // collision
+    }
+  }
+
+  test("renameColumn on a partitioned table (non-partition column); partition column refuses") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("d", "rp",
+      Seq((1, "2024-01-01", 5), (2, "2024-01-02", 7)).toDF("id", "day", "n"),
+      TableMeta(partitionField = Some("day"), partitionType = "string"))
+    wh.renameColumn("d", "rp", "n", "amount")
+    wh.insertOverwrite("d", "rp",
+      Seq((3, "2024-01-03", 9)).toDF("id", "day", "amount"))
+    val got = wh.read("d", "rp").orderBy("id")
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Int]("amount"))).toSeq
+    assert(got === Seq((1, 5), (2, 7), (3, 9)))
+    intercept[IllegalArgumentException] {
+      wh.renameColumn("d", "rp", "day", "dt")
+    }
+  }
+
   test("NOT NULL + CHECK constraints enforce at every write path; rejected fragments leave no orphans") {
     import spark.implicits._
     val wh = freshWh()
