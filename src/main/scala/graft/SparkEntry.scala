@@ -45,6 +45,7 @@ object SparkEntry {
       graft.operators.Shard.queries ++
       graft.operators.Stats.queries ++
       graft.operators.Triangles.queries ++
+      graft.operators.Profile.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
@@ -87,6 +88,7 @@ object SparkEntry {
       graft.operators.Shard.oracleSql ++
       graft.operators.Stats.oracleSql ++
       graft.operators.Triangles.oracleSql ++
+      graft.operators.Profile.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++

@@ -1107,6 +1107,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === ((3000000L, -1L)))
   }
 
+  test("profile: exact per-column stats, native min/max ordering, all-null column honest") {
+    import spark.implicits._
+    val df = Seq(
+      (9, Some("b"), Option.empty[String]),
+      (10, Some("a"), Option.empty[String]),
+      (10, Option.empty[String], Option.empty[String]))
+      .toDF("n", "s", "dead")
+    val got = graft.operators.Profile.profile(df, Seq("n", "s", "dead"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5))))).toMap
+    // native ordering: min(n)=9 even though "10" < "9" as strings
+    assert(got("n") === ((3L, 0L, 2L, Some("9"), Some("10"))))
+    // nulls excluded from distinct and bounds
+    assert(got("s") === ((3L, 1L, 2L, Some("a"), Some("b"))))
+    // all-null column: zero distinct, NULL bounds — never a crash or ""
+    assert(got("dead") === ((3L, 3L, 0L, None, None)))
+  }
+
   test("personalizedPageRank: mass concentrates near the seed; disconnected components score zero") {
     import spark.implicits._
     // two components: seed-side path 1-2-3, far side 10-11 (undirected)
