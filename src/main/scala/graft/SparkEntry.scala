@@ -46,6 +46,7 @@ object SparkEntry {
       graft.operators.Stats.queries ++
       graft.operators.Triangles.queries ++
       graft.operators.Profile.queries ++
+      graft.operators.AssocRules.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
@@ -89,6 +90,7 @@ object SparkEntry {
       graft.operators.Stats.oracleSql ++
       graft.operators.Triangles.oracleSql ++
       graft.operators.Profile.oracleSql ++
+      graft.operators.AssocRules.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++

@@ -1107,6 +1107,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === ((3000000L, -1L)))
   }
 
+  test("associationRules: hand-computed support/confidence/lift; asymmetric confidence; threshold filters") {
+    import spark.implicits._
+    // 4 baskets: {1,2} {1,2} {1,3} {4}. Pair (1,2) in 2 baskets;
+    // (1,3) only once -> filtered at minPairCount=2.
+    val b = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 4L), (10L, 1L) /* dup row: must distinct */)
+      .toDF("basket", "item")
+    val got = graft.operators.AssocRules.associationRules(b, minPairCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(got.keySet === Set((1L, 2L), (2L, 1L)))
+    // n=4 baskets, c_1=3, c_2=2, c_12=2:
+    // support = 2*1e4/4 = 5000 both ways;
+    // conf(1->2) = 2e4/3 = 6666 (trunc); conf(2->1) = 2e4/2 = 10000;
+    // lift = 2*4*1e4/(3*2) = 13333 both ways (> 1e4: associated)
+    assert(got((1L, 2L)) === ((2L, 3L, 2L, 5000L, 6666L, 13333L)))
+    assert(got((2L, 1L)) === ((2L, 2L, 3L, 5000L, 10000L, 13333L)))
+  }
+
   test("profile: exact per-column stats, native min/max ordering, all-null column honest") {
     import spark.implicits._
     val df = Seq(
