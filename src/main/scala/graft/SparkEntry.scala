@@ -47,6 +47,7 @@ object SparkEntry {
       graft.operators.Triangles.queries ++
       graft.operators.Profile.queries ++
       graft.operators.AssocRules.queries ++
+      graft.operators.Transitions.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
@@ -91,6 +92,7 @@ object SparkEntry {
       graft.operators.Triangles.oracleSql ++
       graft.operators.Profile.oracleSql ++
       graft.operators.AssocRules.oracleSql ++
+      graft.operators.Transitions.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++

@@ -1107,6 +1107,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === ((3000000L, -1L)))
   }
 
+  test("transitionMatrix: hand-computed chain, per-key isolation, deterministic tie-break") {
+    import spark.implicits._
+    // user 1: A A B; user 2: B A — transitions: A→A, A→B (user 1), B→A
+    // (user 2); no cross-user pair. Equal timestamps order by event_id.
+    val t0 = "2024-01-01 00:00:0"
+    val df = Seq(
+      (1L, s"${t0}1", 1L, "A"), (1L, s"${t0}1", 2L, "A"), (1L, s"${t0}3", 3L, "B"),
+      (2L, s"${t0}4", 4L, "B"), (2L, s"${t0}5", 5L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = graft.operators.Transitions
+      .transitionMatrix(df, "user_id", "event_type", "ts", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("A", "A") -> ((1L, 2L, 5000L)),
+      ("A", "B") -> ((1L, 2L, 5000L)),
+      ("B", "A") -> ((1L, 1L, 10000L))))
+  }
+
   test("associationRules: hand-computed support/confidence/lift; asymmetric confidence; threshold filters") {
     import spark.implicits._
     // 4 baskets: {1,2} {1,2} {1,3} {4}. Pair (1,2) in 2 baskets;
