@@ -873,6 +873,50 @@ object EngineQueries {
 
   // ------------------------------------------------------------------- maps
 
+  /** Streaming transition mining with REAL cross-batch state
+    * (SURVEY §2.8 extension): the fixture splits by time into two
+    * landed files, `maxFilesPerTrigger=1` makes each its own
+    * micro-batch, and the per-user last-event state bridges the
+    * boundary — a stateless per-batch lag would drop every
+    * cross-boundary transition and fail the hash. The drained pairs
+    * aggregate to EXACTLY the batch operator's matrix (the oracle is
+    * the batch SQL). */
+  def q65StreamTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val out = scratch("graft_tr_out")
+    val landing = scratch("graft_tr_land")
+    val ev = Tables.load(spark, dir, "events")
+    def stage(df: DataFrame, name: String, mtimeMillis: Long): Unit = {
+      val tmp = scratch("graft_tr_half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(landing, name)
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+    }
+    // time-split halves: per-user order across batches holds because
+    // every batch-1 ts precedes every batch-2 ts; distinct mtimes pin
+    // the file-source processing order
+    val t0 = System.currentTimeMillis() - 600000L
+    stage(ev.filter(col("ts") < lit("2024-01-16")), "0001.parquet", t0)
+    stage(ev.filter(col("ts") >= lit("2024-01-16")), "0002.parquet", t0 + 60000L)
+    StreamingIncremental.runTransitions(spark, eventsDir = "",
+      scratch("graft_tr_ckpt"),
+      Some(StreamingIncremental.FixtureStatePartitions),
+      landingDir = Some(landing)) { batch =>
+      batch.write.mode("append").parquet(out)
+    }
+    spark.read.parquet(out)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("(n * 10000) div n_from").as("p_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
@@ -898,7 +942,8 @@ object EngineQueries {
     "q54_stream_decontaminate" -> (q54StreamDecontaminate _),
     "q58_stream_quality" -> (q58StreamQuality _),
     "q60_stream_lm_gate" -> (q60StreamLm _),
-    "q55_stream_neardup" -> (q55StreamNearDup _))
+    "q55_stream_neardup" -> (q55StreamNearDup _),
+    "q65_stream_transitions" -> (q65StreamTransitions _))
 
   val oracleSql: Map[String, String] = Map(
     "q12_time_travel" -> q12Sql,
@@ -928,5 +973,8 @@ object EngineQueries {
     "q58_stream_quality" -> graft.llmops.QualityRules.gopherSql,
     // drained per-doc LM scores ≡ the batch fluency operator
     "q60_stream_lm_gate" -> graft.llmops.LangModel.qLmFluencySql,
-    "q55_stream_neardup" -> graft.llmops.Dedup.incrementalOracleSql)
+    "q55_stream_neardup" -> graft.llmops.Dedup.incrementalOracleSql,
+    // the drained cross-batch transition pairs aggregate to EXACTLY the
+    // batch operator's matrix
+    "q65_stream_transitions" -> graft.operators.Transitions.qTransitionsSql)
 }

@@ -148,6 +148,74 @@ object StreamingIncremental {
     q.awaitTermination()
   }
 
+  /** Streaming first-order transition mining — the
+    * [[graft.operators.Transitions]] batch operator's stateful twin:
+    * each (user) group keeps ONE tiny state record (its last event's
+    * (ts_us, event_id, type)) so transitions BRIDGE micro-batches — the
+    * cross-batch pair a stateless per-batch lag would silently drop.
+    * Within a batch the group's rows sort by (ts, event_id) (bounded by
+    * the user's per-batch activity); the state seeds the chain and
+    * updates to the batch's last event. Emits one row per adjacent pair:
+    * (user_id, from_type, to_type, ts_us, event_id) keyed by the LATER
+    * event; the drained output aggregated by (from, to) equals the batch
+    * operator exactly when ingest is time-ordered per user (the file
+    * stream's contract here; out-of-order ingest needs watermark
+    * buffering, which [[runHourlyCounts]] demonstrates). */
+  def runTransitions(spark: SparkSession, eventsDir: String,
+                     checkpointDir: String,
+                     statePartitions: Option[Int] = None,
+                     landingDir: Option[String] = None)
+                    (sink: DataFrame => Unit): Unit =
+      withShufflePartitions(spark, statePartitions) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = landingDir match {
+      case Some(dir) =>
+        val schema = spark.read.parquet(dir).schema
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1) // one micro-batch per landed file
+          .parquet(dir)
+      case None => stageAndStream(spark, eventsDir, "graft_landing_tr")
+    }
+    val withTs =
+      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts_us", expr("ts div 1000"))
+      else stream.withColumn("ts_us", unix_micros(col("ts")))
+    val typed = withTs
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ts_us").cast("long"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+    val transitions = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, String, String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toSeq.sortBy { case (_, _, ts, eid) => (ts, eid) }
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var prev: Option[(Long, Long, String)] = state.getOption
+            val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+            sorted.foreach { case (_, et, ts, eid) =>
+              prev.foreach { case (_, _, pType) => out += ((uid, pType, et, ts, eid)) }
+              prev = Some((ts, eid, et))
+            }
+            state.update(prev.get)
+            out.result().iterator
+          }
+      }
+      .toDF("user_id", "from_type", "to_type", "ts_us", "event_id")
+    val q = transitions.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming ingest decontamination gate — the eval-leak check applied
     * AT INGEST instead of as a batch sweep: each arriving micro-batch of
     * documents scores against ONE prebuilt benchmark shingle set
