@@ -85,7 +85,12 @@ object PlanLint {
           "per-row scans of a non-scalar broadcast side — band/bin the " +
             "theta join; scalar attaches are the exempt legitimate form")
 
+      // SortAggregate is NOT a sort: a final global SortAggregate above a
+      // SinglePartition exchange is the normal two-phase global-aggregate
+      // combine (one partial row per upstream partition crosses the
+      // exchange — map-side combine already did the data-volume work)
       if ((name.contains("Sort") || name.contains("Window")) &&
+          !name.contains("Aggregate") &&
           p.children.exists(c => singlePartitionNear(c, 3)))
         out += Finding("SINGLE_PARTITION_FUNNEL", name,
           "the whole input serializes through one task — range-partition " +
