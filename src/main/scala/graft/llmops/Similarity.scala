@@ -797,6 +797,49 @@ object Similarity {
       .select(col("query_id"), col("n_hits"),
         expr("n_hits * 10000 div k").as("recall_bp"))
 
+  /** Ranking-quality evaluation beyond recall — per query: hits,
+    * precision@k in basis points, and the reciprocal rank of the FIRST
+    * relevant result in integer micro-units (`10⁶ div rank`; 0 when no
+    * relevant result surfaces) — MRR's per-query term, set-insensitive
+    * recall's order-sensitive complement (an index that buries its one
+    * true neighbor at rank 10 and one that serves it first recall
+    * identically; rr_micros separates them). All integers: both inputs
+    * are rank-contract frames, so the whole eval is hash-gateable where
+    * an nDCG's log₂ weights would be a cross-engine float hazard.
+    * Shape: one equi-join on (query, neighbor) + one per-query rollup —
+    * eval cost is O(queries·k), never corpus-sized. */
+  def rankEval(exact: DataFrame, approx: DataFrame): DataFrame =
+    approx.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(exact.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("rel")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("rel"), lit(0L))).cast("long").as("n_hits"),
+        min(when(col("rel").isNotNull, col("rank"))).as("_fr"))
+      .select(col("query_id"), col("n_hits"),
+        expr("(n_hits * 10000) div k").as("precision_bp"),
+        coalesce(expr("1000000 div _fr"), lit(0L)).as("rr_micros"))
+
+  def qRankEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    rankEval(bruteForceTopK(e, expr(isQuerySql)), lshTopK(e, expr(isQuerySql)))
+  }
+
+  lazy val qRankEvalSql: String =
+    s"""WITH x AS MATERIALIZED ($qBruteForceSql),
+       |l AS MATERIALIZED ($qLshSql),
+       |j AS (SELECT l.query_id, l.rank,
+       |             x.neighbor_id IS NOT NULL AS rel
+       |      FROM l LEFT JOIN x ON x.query_id = l.query_id
+       |                        AND x.neighbor_id = l.neighbor_id)
+       |SELECT query_id,
+       |       CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       (CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+       |         // count(*) AS precision_bp,
+       |       CAST(coalesce(1000000 // min(CASE WHEN rel THEN rank END), 0)
+       |         AS BIGINT) AS rr_micros
+       |FROM j GROUP BY 1""".stripMargin
+
   // --------------------------------------------- prototype-based pruning
 
   /** Per-cell keep budget for the pruning query: the `pruneK` MOST
@@ -1547,6 +1590,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_label_centroids" -> (qLabelCentroids _),
     "ann_recall_lsh" -> (qAnnRecallLsh _),
+    "rank_eval" -> (qRankEval _),
     "ann_recall_matryoshka" -> (qAnnRecallMatryoshka _),
     "ann_recall_ivf" -> (qAnnRecallIvf _),
     "sample_hard_negatives" -> (qHardNegatives _),
@@ -1566,6 +1610,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "embed_label_centroids" -> qLabelCentroidsSql,
     "ann_recall_lsh" -> qAnnRecallLshSql,
+    "rank_eval" -> qRankEvalSql,
     "ann_recall_matryoshka" -> qAnnRecallMatryoshkaSql,
     "ann_recall_ivf" -> qAnnRecallIvfSql,
     "sample_hard_negatives" -> qHardNegativesSql,

@@ -98,6 +98,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.last === 1.0, s"probing all $nlist cells must be exact: $recalls")
   }
 
+  test("rankEval: precision/RR algebra on hand-built rankings") {
+    import spark.implicits._
+    def frame(rows: (Long, Long, Long)*) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    val exact = frame((1L, 100L, 1L), (1L, 101L, 2L), (2L, 200L, 1L), (2L, 201L, 2L))
+    // q1: both relevant, first at rank 1 -> precision 10000, rr 1e6
+    // q2: one relevant buried at rank 2 -> precision 5000, rr 5e5
+    val approx = frame((1L, 100L, 1L), (1L, 101L, 2L),
+      (2L, 999L, 1L), (2L, 200L, 2L))
+    val got = graft.llmops.Similarity.rankEval(exact, approx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(1L -> ((2L, 10000L, 1000000L)),
+      2L -> ((1L, 5000L, 500000L))))
+    // nothing relevant surfaced: rr is 0, never a crash or null
+    val miss = graft.llmops.Similarity.rankEval(exact,
+      frame((1L, 998L, 1L), (1L, 999L, 2L))).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(miss.toSeq === Seq((0L, 0L, 0L)))
+  }
+
   test("annRecall side-channel: recall floors and candidate-cost honesty") {
     val got = graft.llmops.RecallReport.annRecall(spark, sf).toMap
     assert(got.keySet === Set("lsh", "lsh_multiprobe", "ivf_nprobe2",
