@@ -1129,20 +1129,46 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             Seq(tableDir(dataset, table).resolve(e.path).toString))
           applyRenames(spark.read.parquet(ps: _*))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
-      case Some(field) =>
+      case Some(field) if applicable.isEmpty =>
         // Hive-layout fragments: group by fragment root so Spark's
         // partition discovery re-attaches the partition column; one read
         // per FRAGMENT (≈ per commit touched), not per partition.
         // allowMissingColumns: fragments predating an additive evolution
         // are narrower than later ones — union pads them with nulls.
+        //
+        // The partition column's TYPE is FORCED via an explicit read
+        // schema whenever one is known: inference derives the type from
+        // whichever directory VALUES the read happens to touch, so a
+        // string partition holding '0042' reads back '0042' from a
+        // full scan but 42→'42' from a pruned scan that only opens that
+        // one directory — readWhere and read().filter() would disagree
+        // (found by the ZoneMapsPropSpec hostile-partition property).
+        val forced = targetSchema.orElse(schemaDdl(dataset, table)
+          .map(StructType.fromDDL)).filter(_.fieldNames.contains(field))
         val byFrag = entries.groupBy(e =>
           tableDir(dataset, table).resolve(e.path).getParent.toString)
         byFrag.map { case (base, es) =>
-          applyRenames(spark.read.option("basePath", base)
+          val rd = spark.read.option("basePath", base)
+          forced.fold(rd)(rd.schema)
             .parquet(es.flatMap(e => filesOf.getOrElse(e.path,
-              Seq(tableDir(dataset, table).resolve(e.path).toString))): _*))
+              Seq(tableDir(dataset, table).resolve(e.path).toString))): _*)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
           .withColumn(field, col(field).cast(m.partitionType))
+      case Some(field) =>
+        // rename-aware partitioned path: physical DATA column names vary
+        // per fragment, so no schema can be forced — avoid discovery's
+        // subset-dependent type inference entirely by reading each
+        // entry's data files bare and attaching the partition value the
+        // MANIFEST already knows (unescaped, declared-typed)
+        entries.map { e =>
+          val ps = filesOf.getOrElse(e.path,
+            Seq(tableDir(dataset, table).resolve(e.path).toString))
+          val value =
+            if (e.partition == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+            else ExternalCatalogUtils.unescapePathName(e.partition)
+          applyRenames(spark.read.parquet(ps: _*))
+            .withColumn(field, lit(value).cast(m.partitionType))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
     commitSchema.map(StructType.fromDDL) match {
       case Some(s) =>

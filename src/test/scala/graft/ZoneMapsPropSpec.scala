@@ -91,6 +91,45 @@ class ZoneMapsPropSpec extends AnyFunSuite {
     }, n = 60)
   }
 
+  test("partition-zone pruning is SOUND end to end: hostile partition values × random predicates") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // ONE table, hostile partition values: numeric-looking strings (the
+    // r11 string-vs-numeric-ordering hazard), hive-escaped characters,
+    // a date-looking value, negative-looking, spaces, NULL, and empty
+    // string (which Spark's hive layout writes as the null sentinel) —
+    // then 60 random predicates must satisfy readWhere ≡ read.filter.
+    val wh = new graft.core.Warehouse(spark,
+      Files.createTempDirectory("zm_prop_part").toString)
+    val parts = Seq("9", "12", "0042", "a:b", "x/y", "2024-01-01", "-3",
+      "A B", "%41").map(Some(_)) ++ Seq(None, Some(""))
+    val rows = parts.zipWithIndex.map { case (p, i) => (i, p.orNull) }
+    wh.overwrite("raw", "hp", rows.toDF("id", "p"),
+      graft.core.TableMeta(partitionField = Some("p"), partitionType = "string"))
+    val truth = wh.read("raw", "hp")
+    val lits = parts.flatten ++ Seq("9", "1", "z", "a", "0")
+    val genLit = Gen.oneOf(lits)
+    val genPartPred: Gen[Column] = Gen.oneOf(
+      genLit.map(v => col("p") === v),
+      genLit.map(v => col("p") < v),
+      genLit.map(v => col("p") > v),
+      genLit.map(v => col("p") <= v),
+      genLit.map(v => col("p") >= v),
+      genLit.map(v => col("p").startsWith(v.take(1))),
+      Gen.listOfN(3, genLit).map(vs => col("p").isin(vs: _*)),
+      Gen.const(col("p").isNull),
+      Gen.const(col("p").isNotNull),
+      Gen.zip(genLit, genLit).map { case (a, b) => col("p") === a || col("p") === b },
+      genLit.map(v => col("p") === v && col("id") < 100))
+    check(Prop.forAll(genPartPred) { pred =>
+      val got = wh.readWhere("raw", "hp", pred)
+        .select("id").collect().map(_.getInt(0)).toSet
+      val want = truth.filter(pred)
+        .select("id").collect().map(_.getInt(0)).toSet
+      got == want
+    }, n = 60)
+  }
+
   test("empty fragments always prune; full-range fragments never prune equality they contain") {
     import spark.implicits._
     val st0 = statsOf(Nil)
