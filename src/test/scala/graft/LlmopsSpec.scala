@@ -823,4 +823,22 @@ class LlmopsSpec extends AnyFunSuite {
     assert(run(1) === rows) // rerun-deterministic
     assert(run(2).sorted !== rows.sorted) // the epoch salt re-permutes
   }
+
+  test("editDistancePairs: substitution/insertion/deletion all block correctly; distance-2 excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "kitten"), (2L, "mitten"),  // substitution -> dist 1
+      (3L, "kitte"),                   // deletion of 1's last char -> dist 1
+      (4L, "kittens"),                 // insertion on 1 -> dist 1
+      (5L, "mittens"),                 // dist 1 from 2 and 4
+      (6L, "sitting"))                 // dist >= 2 from everything
+      .toDF("id", "nm")
+    val got = graft.llmops.Dedup.editDistancePairs(rows, "id", "nm")
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 5L, 1L), (4L, 5L, 1L)),
+      s"got $got")
+  }
 }
