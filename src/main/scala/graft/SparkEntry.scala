@@ -48,6 +48,7 @@ object SparkEntry {
       graft.operators.Profile.queries ++
       graft.operators.AssocRules.queries ++
       graft.operators.Transitions.queries ++
+      graft.operators.Components.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
@@ -93,6 +94,7 @@ object SparkEntry {
       graft.operators.Profile.oracleSql ++
       graft.operators.AssocRules.oracleSql ++
       graft.operators.Transitions.oracleSql ++
+      graft.operators.Components.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++
