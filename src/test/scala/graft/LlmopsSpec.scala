@@ -824,6 +824,44 @@ class LlmopsSpec extends AnyFunSuite {
     assert(run(2).sorted !== rows.sorted) // the epoch salt re-permutes
   }
 
+  test("WithinOneEdit kernel ≡ levenshtein <= 1 on random string pairs (the oracle contract)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(17)
+    def randStr(): String =
+      (0 until rnd.nextInt(8)).map(_ => "abcX#0".charAt(rnd.nextInt(6))).mkString
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // random pairs PLUS near-pairs (mutations of a base) so the true
+    // boundary (distance exactly 1 vs 2) is exercised densely
+    val cases = Seq.fill(400)((randStr(), randStr())) ++
+      Seq.fill(400) {
+        val s = randStr()
+        val t = (0 until rnd.nextInt(3)).foldLeft(s) { (x, _) =>
+          if (x.isEmpty) "a"
+          else {
+            val i = rnd.nextInt(x.length)
+            rnd.nextInt(3) match {
+              case 0 => x.updated(i, 'Q') // substitute
+              case 1 => x.substring(0, i) + x.substring(i + 1) // delete
+              case _ => x.substring(0, i) + "Z" + x.substring(i) // insert
+            }
+          }
+        }
+        (s, t)
+      }
+    cases.foreach { case (a, b) =>
+      val got = graft.functions.WithinOneEdit.within1(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(got === (lev(a, b) <= 1), s"'$a' vs '$b': lev=${lev(a, b)}")
+    }
+  }
+
   test("editDistancePairs: substitution/insertion/deletion all block correctly; distance-2 excluded") {
     import spark.implicits._
     val rows = Seq(
