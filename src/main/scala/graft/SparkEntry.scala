@@ -49,6 +49,7 @@ object SparkEntry {
       graft.operators.AssocRules.queries ++
       graft.operators.Transitions.queries ++
       graft.operators.Components.queries ++
+      graft.operators.LinkPred.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
@@ -95,6 +96,7 @@ object SparkEntry {
       graft.operators.AssocRules.oracleSql ++
       graft.operators.Transitions.oracleSql ++
       graft.operators.Components.oracleSql ++
+      graft.operators.LinkPred.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++

@@ -1335,4 +1335,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("payload"))
   }
+
+  test("linkPrediction: square diagonals score, adjacent pairs never surface") {
+    import spark.implicits._
+    // square 1-2-3-4-1: the two diagonals are the only non-adjacent
+    // pairs; each shares BOTH its endpoints' neighborhoods exactly
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = graft.operators.LinkPred.linkPrediction(square, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    // cn=2, degrees 2/2 => jaccard = 2*1e4 / (2+2-2) = 10000 (identical nbhds)
+    assert(got === Seq((1L, 3L, 2L, 10000L), (2L, 4L, 2L, 10000L)))
+    // add the 1-3 chord: the pair is now an EDGE and must vanish even
+    // though its wedge support only grew
+    val chorded = square.unionAll(Seq((1L, 3L)).toDF("src", "dst"))
+    val after = graft.operators.LinkPred.linkPrediction(chorded, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!after.contains((1L, 3L)))
+    assert(after.contains((2L, 4L))) // the other diagonal still predicts
+  }
+
+  test("linkPrediction: minCommon floors support; the center cap silences hub wedges") {
+    import spark.implicits._
+    // path a-b-c: one shared neighbor only
+    val path = Seq((10L, 11L), (11L, 12L)).toDF("src", "dst")
+    assert(graft.operators.LinkPred.linkPrediction(path, minCommon = 2).count() === 0)
+    val one = graft.operators.LinkPred.linkPrediction(path, minCommon = 1).collect()
+    assert(one.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((10L, 12L, 1L)))
+    // star center degree 5: capped at 4 the hub generates NO wedges;
+    // at 5 every leaf pair predicts with cn=1
+    val star = (1L to 5L).map(i => (100L, 100L + i)).toDF("src", "dst")
+    assert(graft.operators.LinkPred.linkPrediction(star,
+      minCommon = 1, maxCenterDegree = 4).count() === 0)
+    assert(graft.operators.LinkPred.linkPrediction(star,
+      minCommon = 1, maxCenterDegree = 5).count() === 10) // C(5,2)
+  }
 }
