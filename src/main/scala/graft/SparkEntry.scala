@@ -50,6 +50,7 @@ object SparkEntry {
       graft.operators.Transitions.queries ++
       graft.operators.Components.queries ++
       graft.operators.LinkPred.queries ++
+      graft.operators.KCore.queries ++
       graft.operators.ZOrder.queries ++
       Similarity.queries ++ Multimodal.queries ++
       graft.llmops.LangModel.queries ++
@@ -97,6 +98,7 @@ object SparkEntry {
       graft.operators.Transitions.oracleSql ++
       graft.operators.Components.oracleSql ++
       graft.operators.LinkPred.oracleSql ++
+      graft.operators.KCore.oracleSql ++
       graft.operators.ZOrder.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       graft.llmops.LangModel.oracleSql ++

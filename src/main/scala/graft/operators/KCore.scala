@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** k-core decomposition — the graph family's density screen (Seidman
+  * 1983): the k-core is the maximal subgraph in which every node keeps
+  * at least k neighbors AFTER all lower-degree nodes peel away, the
+  * standard cut between structurally embedded nodes and tendrils that a
+  * raw degree threshold cannot make (a degree-5 node whose neighbors are
+  * all pendants is NOT in the 2-core). In a training-data pipeline the
+  * core/periphery split ranks near-duplicate clusters and co-citation
+  * neighborhoods by structural support before sampling.
+  *
+  * Algorithm: synchronous peeling to FIXPOINT — each round drops every
+  * node whose degree within the surviving subgraph is below k, and
+  * peeling is monotone (the survivor set only shrinks), so the fixpoint
+  * is the k-core regardless of round batching. Each round is one
+  * map-side-combined degree rollup + two semi-joins that shrink the edge
+  * set; the shrunk edges stage per round (localCheckpoint — a durable
+  * table on a cluster) so no round re-derives its predecessors' work.
+  * Round count is bounded by the peeling depth (O(log n) on typical
+  * power-law graphs, 4 on the fixture basket graph), with a loud failure
+  * at `MaxRounds` — never a silent partial core. Driver traffic per
+  * round is ONE boolean (does any node fall below k), never node data.
+  *
+  * Determinism: degrees and the fixpoint are exact set algebra — no
+  * float, no order sensitivity — so the cross-engine gate needs no
+  * rounding pin; the oracle unrolls the same monotone rounds past the
+  * fixture's measured fixpoint depth (extra rounds are no-ops by
+  * monotonicity). */
+object KCore {
+
+  private val MaxRounds = 100
+
+  /** Nodes of the k-core of an UNDIRECTED edge list (columns src/dst,
+    * either or both directions) with their degree inside the core.
+    * Output: (node, core_degree), empty when no k-core exists. */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var cur = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("lo"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("hi"))
+      .filter(col("lo").isNotNull && col("lo") < col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    while (rounds < MaxRounds) {
+      val deg = cur.select(col("lo").as("node"))
+        .unionAll(cur.select(col("hi").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      if (deg.filter(col("d") < k).isEmpty) {
+        // fixpoint: every surviving node keeps >= k surviving neighbors
+        return deg.select(col("node"), col("d").as("core_degree"))
+      }
+      val keep = deg.filter(col("d") >= k).select(col("node"))
+      cur = cur
+        .join(keep.withColumnRenamed("node", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("node", "hi"), Seq("hi"), "left_semi")
+        .select(col("lo"), col("hi")) // pin column order across the loop
+        .localCheckpoint(true)
+      rounds += 1
+    }
+    throw new IllegalStateException(
+      s"kCore did not reach a fixpoint in $MaxRounds rounds - " +
+        "pathological peeling depth; raise MaxRounds deliberately")
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** The 2-core of the ≥2-support basket graph: parts embedded in
+    * product families with redundant co-purchase support (1535 of 1880
+    * nodes on the sf0.01 fixture; the 345 peeled are chains and pendants
+    * a degree filter would miss round by round — fixpoint at round 4). */
+  def qKCore(spark: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = pp.as("a").join(pp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("src"), col("dst"))
+    kCore(edges, k = 2)
+  }
+
+  /** The same monotone peel unrolled to 8 rounds — past the fixture's
+    * measured fixpoint (round 4), and extra rounds are no-ops by
+    * monotonicity, so the unroll equals the fixpoint. */
+  val qKCoreSql: String = {
+    val rounds = 8
+    val peel = (1 to rounds).map { i =>
+      val prev = if (i == 1) "a0" else s"a${i - 1}"
+      s"""a$i AS MATERIALIZED (
+         |  SELECT n.c AS node FROM nbr n
+         |  JOIN $prev p1 ON p1.node = n.c
+         |  JOIN $prev p2 ON p2.node = n.x
+         |  GROUP BY 1 HAVING count(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |e AS MATERIALIZED (
+       |  SELECT a.p AS lo, b.p AS hi
+       |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |nbr AS MATERIALIZED (
+       |  SELECT lo AS c, hi AS x FROM e
+       |  UNION ALL SELECT hi, lo FROM e),
+       |a0 AS MATERIALIZED (SELECT DISTINCT c AS node FROM nbr),
+       |$peel
+       |SELECT n.c AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM nbr n
+       |JOIN a$rounds p1 ON p1.node = n.c
+       |JOIN a$rounds p2 ON p2.node = n.x
+       |GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (qKCore _))
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_kcore" -> qKCoreSql)
+}
