@@ -81,10 +81,19 @@ object Bench {
           Seq("-cp", cp, "graft.BenchOne", name, sfDir, reps.toString)).asJava
         val pb = new ProcessBuilder(cmd)
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        // stdout goes to a temp file, NOT a pipe read before waitFor:
+        // readAllBytes() on the pipe blocks until the child closes its
+        // stdout, so a hung child would make the 300 s timeout dead code
+        // and stall the whole bench past its wall-clock budget
+        val outFile = java.nio.file.Files.createTempFile("steady_", ".out")
+        pb.redirectOutput(ProcessBuilder.Redirect.to(outFile.toFile))
         val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes())
         val exited = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-        if (!exited) { proc.destroyForcibly(); skipped += name }
+        if (!exited) proc.destroyForcibly()
+        val out =
+          try new String(java.nio.file.Files.readAllBytes(outFile))
+          finally java.nio.file.Files.deleteIfExists(outFile)
+        if (!exited) skipped += name
         else steadyRe.findFirstMatchIn(out) match {
           case Some(m) if m.group(1) == name =>
             val s = m.group(2).toDouble

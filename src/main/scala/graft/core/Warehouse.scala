@@ -248,14 +248,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case Some(field) =>
         val frag = lg.newFragmentDir()
         partitionedWrite(df, field, frag)
-        enforceConstraints(m, frag)
+        enforceConstraints(m, frag, Some(df.schema))
         val entries = hiveEntries(dataset, table, frag, field)
         recordStats(dataset, table, entries, Some(field), Some(df.schema))
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
       case None =>
         val frag = lg.newFragmentDir()
         df.write.mode("overwrite").parquet(frag.toString)
-        enforceConstraints(m, frag)
+        enforceConstraints(m, frag, Some(df.schema))
         val entries = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
         recordStats(dataset, table, entries, None)
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
@@ -280,7 +280,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val lg = log(dataset, table)
     val frag = lg.newFragmentDir()
     df.write.mode("overwrite").parquet(frag.toString)
-    enforceConstraints(m, frag)
+    enforceConstraints(m, frag, Some(df.schema))
     val entry = SnapshotLog.Entry("", relativize(dataset, table, frag))
     recordStats(dataset, table, Seq(entry), None)
     // union schema is recomputed INSIDE the CAS retry from the current
@@ -313,7 +313,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val lg = log(dataset, table)
     val frag = lg.newFragmentDir()
     partitionedWrite(df, field, frag)
-    enforceConstraints(m, frag)
+    enforceConstraints(m, frag, Some(df.schema))
     val fresh = hiveEntries(dataset, table, frag, field)
     recordStats(dataset, table, fresh, Some(field), Some(df.schema))
     val freshParts = fresh.map(_.partition).toSet
@@ -368,11 +368,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * violation (pad-on-read would surface it as all-null). Rewrite
     * paths (delete/compact/recluster) skip the gate — their rows are
     * subsets of already-validated fragments. */
-  private def enforceConstraints(m: TableMeta, frag: Path): Unit = {
+  private def enforceConstraints(m: TableMeta, frag: Path,
+                                 declared: Option[StructType] = None): Unit = {
     if (m.notNullColumns.isEmpty && m.checkConstraints.isEmpty) return
     try {
-      val df = spark.read.parquet(frag.toString)
-      val present = df.columns.toSet
+      // the DECLARED schema is forced on the validation read when known:
+      // on a hive-layout fragment a bare read infers the partition
+      // column's type from this one fragment's directory VALUES (string
+      // '0042' → bigint 42), so a CHECK referencing the partition column
+      // could evaluate against the wrong type — the same
+      // subset-dependent-inference hazard readEntries/recordStats guard
+      val physical = spark.read.parquet(frag.toString)
+      val df = declared match {
+        case Some(s) => spark.read.schema(s).parquet(frag.toString)
+        case None => physical
+      }
+      val present = physical.columns.toSet
       m.notNullColumns.filterNot(present).headOption.foreach { c =>
         throw new IllegalArgumentException(
           s"NOT NULL column '$c' is absent from the written data")
@@ -971,13 +982,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val srcEntries: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
         partitionedWrite(source, field, srcFrag)
-        enforceConstraints(m, srcFrag)
+        enforceConstraints(m, srcFrag, Some(source.schema))
         val es = hiveEntries(dataset, table, srcFrag, field)
         recordStats(dataset, table, es, Some(field))
         es
       case None =>
         source.write.mode("overwrite").parquet(srcFrag.toString)
-        enforceConstraints(m, srcFrag)
+        enforceConstraints(m, srcFrag, Some(source.schema))
         val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag)))
         recordStats(dataset, table, es, None)
         es
@@ -1092,19 +1103,39 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         if (ddl.nonEmpty) StructType.fromDDL(ddl) else new StructType())
     }
-    // rename chain restricted to names the TARGET schema actually has:
-    // a time-travel read pinned to a pre-rename commit serves the OLD
-    // name, so later renames must not apply to it
+    // Rename chains COMPOSE: after v→val→w a fragment with physical
+    // column v must read back as w even though `val` no longer exists in
+    // the target schema — so per-link filtering on "new name present"
+    // drops mid-chain links and silently NULLs uncompacted fragments.
+    // Instead, walk the ordered rename list once per starting name and
+    // map each physical name to the LAST name in its trajectory that the
+    // TARGET schema actually has (a time-travel read pinned mid-chain
+    // serves that commit's own name; later links must not apply to it).
+    // No pinned schema (legacy commit) ⇒ full-chain final name.
     val targetSchema = commitSchema.map(StructType.fromDDL)
-    val applicable = m.columnRenames.filter { case (_, n) =>
-      targetSchema.forall(_.fieldNames.contains(n))
+    val applicable: Map[String, String] = {
+      val starts = m.columnRenames.flatMap { case (o, n) => Seq(o, n) }.distinct
+      starts.flatMap { p =>
+        val trajectory = m.columnRenames.foldLeft(List(p)) {
+          case (cur :: seen, (o, n)) if cur == o => n :: cur :: seen
+          case (acc, _) => acc
+        }
+        val asOf = targetSchema match {
+          case Some(s) => trajectory.find(s.fieldNames.contains)
+          case None => trajectory.headOption
+        }
+        asOf.filter(_ != p).map(p -> _)
+      }.toMap
     }
+    // Simultaneous rename (one select), not a sequential fold: with
+    // chains like a→b plus c→a a fragment holding both a and c renames
+    // correctly regardless of link order; a sequential fold's
+    // "target already present" guard would skip c→a while a is still
+    // physically present.
     def applyRenames(df: DataFrame): DataFrame =
-      applicable.foldLeft(df) { case (d, (o, n)) =>
-        if (d.columns.contains(o) && !d.columns.contains(n))
-          d.withColumnRenamed(o, n)
-        else d
-      }
+      if (applicable.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        col(c).as(applicable.getOrElse(c, c))): _*)
     val raw = m.partitionField match {
       case None if applicable.isEmpty =>
         val paths = entries.flatMap(e => filesOf.getOrElse(e.path,

@@ -19,10 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * so the DuckDB oracle stays plain `levenshtein`. */
 object WithinOneEdit {
 
-  /** Static kernel the generated code calls. */
+  /** Static kernel the generated code calls. Compares Unicode CODE
+    * POINTS, not UTF-16 chars: Spark's `levenshtein` (UTF8String) and
+    * DuckDB both count code points, so a supplementary character (one
+    * emoji vs one ASCII char) must read as distance 1, which a
+    * `charAt` walk would call 2. */
   def within1(a: UTF8String, b: UTF8String): Boolean = {
-    val s = a.toString
-    val t = b.toString
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
     val n = s.length
     val m = t.length
     if (math.abs(n - m) > 1) return false
@@ -30,7 +34,7 @@ object WithinOneEdit {
       var i = 0
       var diff = 0
       while (i < n) {
-        if (s.charAt(i) != t.charAt(i)) { diff += 1; if (diff > 1) return false }
+        if (s(i) != t(i)) { diff += 1; if (diff > 1) return false }
         i += 1
       }
       true
@@ -41,14 +45,14 @@ object WithinOneEdit {
       var skipped = false
       while (i < lo.length) {
         if (j >= hi.length) return false // can't happen with |Δlen|=1; defensive
-        if (lo.charAt(i) == hi.charAt(j)) { i += 1; j += 1 }
+        if (lo(i) == hi(j)) { i += 1; j += 1 }
         else {
           if (skipped) return false
           skipped = true
           j += 1
         }
       }
-      true // at most the longer string's final char remains unmatched
+      true // at most the longer string's final code point remains unmatched
     }
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+
 
 /** Exact triangle counting + local clustering coefficients — the graph
   * cohesion member of the graph family next to [[PageRank]]
@@ -27,7 +27,11 @@ import graft.core.Tables
   * power-law co-purchase graph at 100 TB.
   *
   * Determinism: the rank packs as the single BIGINT
-  * `degree·2³² + node` (exact for degree, node < 2³¹ — guarded), so
+  * `degree·2³² + node` when the id domain permits (node ∈ [0, 2³²),
+  * degree < 2³¹ — CHECKED at runtime with one aggregate over the
+  * degree table); ids outside that domain (e.g. 60-bit Md5Long60
+  * hashes) switch to an equivalent dense rank from
+  * [[GlobalRank.globalRowNumber]] over (degree, node) — either way
   * orientation, wedge ordering, and the closing-edge join are pure
   * int64 comparisons, bit-identical across engines; counts and the
   * basis-point coefficient `(2·T·10⁴) div (d·(d−1))` are exact
@@ -59,10 +63,30 @@ object Triangles {
     val deg = e.select(col("lo").as("node"))
       .unionAll(e.select(col("hi").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // consumed by domain check + rank + final join
     // rank key: degree in the high 32 bits, node id below — one int64
-    // comparison gives the (degree, id) total order on both engines
-    val rk = deg.select(col("node"),
-      (col("d") * (1L << RankShift) + col("node")).as("rk"))
+    // comparison gives the (degree, id) total order on both engines.
+    // The packing is only a total order when the bit fields are
+    // disjoint: node ∈ [0, 2³²) and degree < 2³¹ (sign bit untouched).
+    // 64-bit hashed ids (Md5Long60 et al.) violate that, and a collided
+    // pack silently stops being a total order — triangles double- or
+    // under-count with no error. So the domain is CHECKED (one agg over
+    // the |V|-sized degree table, driver traffic = 3 longs); out of
+    // domain we fall back to an equivalent dense rank from
+    // [[GlobalRank.globalRowNumber]] over (d, node) — range-stitched,
+    // no SinglePartition funnel — rather than failing: same total
+    // order, same triangles, just without the single-int64 fast path.
+    val dom = deg.agg(min(col("node")), max(col("node")), max(col("d"))).head()
+    val packable = !dom.isNullAt(0) &&
+      dom.getLong(0) >= 0L && dom.getLong(1) < (1L << RankShift) &&
+      dom.getLong(2) < (1L << 31)
+    val rk =
+      if (packable)
+        deg.select(col("node"),
+          (col("d") * (1L << RankShift) + col("node")).as("rk"))
+      else
+        GlobalRank.globalRowNumber(deg.select(col("node"), col("d")),
+          Seq("d", "node"), idCol = "rk").select(col("node"), col("rk"))
     val oriented = e
       .join(rk.select(col("node").as("lo"), col("rk").as("rklo")), Seq("lo"))
       .join(rk.select(col("node").as("hi"), col("rk").as("rkhi")), Seq("hi"))
@@ -99,7 +123,7 @@ object Triangles {
     * build as [[LabelProp.qLabelProp]] — triangleCounts canonicalizes,
     * so the half edges feed directly). */
   def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val pp = Tables.load(spark, dir, "lineitem")
+    val pp = graft.core.Tables.load(spark, dir, "lineitem")
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()

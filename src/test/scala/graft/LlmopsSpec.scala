@@ -827,9 +827,18 @@ class LlmopsSpec extends AnyFunSuite {
   test("WithinOneEdit kernel ≡ levenshtein <= 1 on random string pairs (the oracle contract)") {
     import org.apache.spark.unsafe.types.UTF8String
     val rnd = new scala.util.Random(17)
+    // alphabet includes SUPPLEMENTARY code points (2 UTF-16 chars each):
+    // Spark's levenshtein and DuckDB count code points, so the kernel
+    // must too — an emoji is ONE edit unit, not two
+    val alphabet: Array[String] = Array("a", "b", "c", "X", "#", "0",
+      new String(Character.toChars(0x1F600)),  // 😀
+      new String(Character.toChars(0x1D11E)))  // 𝄞
     def randStr(): String =
-      (0 until rnd.nextInt(8)).map(_ => "abcX#0".charAt(rnd.nextInt(6))).mkString
-    def lev(a: String, b: String): Int = {
+      (0 until rnd.nextInt(8)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // reference DP over CODE POINTS (matches UTF8String.levenshteinDistance)
+    def lev(as: String, bs: String): Int = {
+      val a = as.codePoints().toArray
+      val b = bs.codePoints().toArray
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
         if (i == 0) j else if (j == 0) i else 0 }
       for (i <- 1 to a.length; j <- 1 to b.length)
@@ -839,26 +848,42 @@ class LlmopsSpec extends AnyFunSuite {
     }
     // random pairs PLUS near-pairs (mutations of a base) so the true
     // boundary (distance exactly 1 vs 2) is exercised densely
+    // mutations act on CODE POINTS (never splitting a surrogate pair:
+    // a split pair round-trips through UTF-8 as '?' and would desync
+    // the kernel's input from the reference DP's)
+    def mutate(x: String): String = {
+      if (x.isEmpty) return "a"
+      val cps = x.codePoints().toArray.toBuffer
+      val i = rnd.nextInt(cps.length)
+      rnd.nextInt(3) match {
+        case 0 => cps(i) = 'Q'
+        case 1 => cps.remove(i)
+        case _ => cps.insert(i, 0x1F680) // 🚀 — insert a supplementary cp
+      }
+      cps.map(cp => new String(Character.toChars(cp))).mkString
+    }
+    val gClef = new String(Character.toChars(0x1D11E))
+    val smile = new String(Character.toChars(0x1F600))
     val cases = Seq.fill(400)((randStr(), randStr())) ++
       Seq.fill(400) {
         val s = randStr()
-        val t = (0 until rnd.nextInt(3)).foldLeft(s) { (x, _) =>
-          if (x.isEmpty) "a"
-          else {
-            val i = rnd.nextInt(x.length)
-            rnd.nextInt(3) match {
-              case 0 => x.updated(i, 'Q') // substitute
-              case 1 => x.substring(0, i) + x.substring(i + 1) // delete
-              case _ => x.substring(0, i) + "Z" + x.substring(i) // insert
-            }
-          }
-        }
-        (s, t)
-      }
+        (s, (0 until rnd.nextInt(3)).foldLeft(s)((x, _) => mutate(x)))
+      } ++ Seq(
+        // explicit non-BMP boundary cases: each supplementary char is
+        // ONE code point = one edit unit
+        (smile, "a"),               // substitution: dist 1, NOT 2
+        (smile, ""),                // single deletion
+        ("ab", "a" + gClef + "b"),  // insertion of a supplementary cp
+        (smile + gClef, smile + smile), // one substitution among emoji
+        (smile + "x" + gClef, smile + "y" + gClef),
+        (smile + gClef, gClef + smile)) // transposition = dist 2 -> false
     cases.foreach { case (a, b) =>
       val got = graft.functions.WithinOneEdit.within1(
         UTF8String.fromString(a), UTF8String.fromString(b))
       assert(got === (lev(a, b) <= 1), s"'$a' vs '$b': lev=${lev(a, b)}")
+      // and the builtin agrees with the reference DP (contract anchor)
+      assert(UTF8String.fromString(a).levenshteinDistance(UTF8String.fromString(b))
+        === lev(a, b), s"builtin disagrees on '$a' vs '$b'")
     }
   }
 

@@ -1210,6 +1210,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum === 12L)
   }
 
+  test("triangleCounts: node ids beyond the 2^32 pack domain rank correctly (dense-rank fallback)") {
+    import spark.implicits._
+    // the r12 VERDICT hole: with 64-bit hashed ids the packed rank
+    // degree·2³² + node collides across (degree, node) pairs and the
+    // total order silently breaks. Build a random graph, count with
+    // small ids, then remap every id into the >= 2^32 domain (order- and
+    // degree-preserving injection, including a NEGATIVE id — both out of
+    // pack domain) and require IDENTICAL triangles per node.
+    val rnd = new scala.util.Random(41)
+    val base = (for (a <- 1L to 24L; b <- (a + 1) to 24L
+                     if rnd.nextInt(100) < 30) yield (a, b)).toSeq
+    val small = graft.operators.Triangles.triangleCounts(base.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def up(x: Long): Long = if (x == 1L) -3L else (1L << 33) + x * 7L
+    val big = graft.operators.Triangles.triangleCounts(
+        base.map { case (a, b) => (up(a), up(b)) }.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(small.nonEmpty, "fixture must actually contain triangles")
+    assert(big === small.map { case (k, v) => up(k) -> v },
+      "large-domain ids must produce identical triangles via the dense-rank fallback")
+  }
+
   test("triangleCounts: hub-and-spoke star has NO triangles; a single chord makes exactly one") {
     import spark.implicits._
     val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")

@@ -820,6 +820,52 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("chained renames compose WITHOUT compact: uncompacted fragments keep their values under the final name") {
+    import spark.implicits._
+    val wh = freshWh()
+    // three generations of physical names, never compacted
+    wh.overwrite("d", "rc", Seq((1, "alpha")).toDF("id", "v"))
+    wh.renameColumn("d", "rc", "v", "val")
+    wh.append("d", "rc", Seq((2, "beta")).toDF("id", "val"))
+    wh.renameColumn("d", "rc", "val", "w")
+    wh.append("d", "rc", Seq((3, "gamma")).toDF("id", "w"))
+    // current read: all three fragments unify under w with VALUES intact
+    // (the mid-chain link v→val must still apply even though `val` is no
+    // longer in the current schema)
+    val cur = wh.read("d", "rc").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(cur === Seq((1, "alpha"), (2, "beta"), (3, "gamma")))
+    // predicate on the final name reaches the oldest physical generation
+    assert(wh.readWhere("d", "rc", col("w") === "alpha").count() === 1)
+    // time travel pinned MID-chain serves that commit's own name + values
+    val mid = wh.readVersion("d", "rc", 3) // after v→val + append beta
+    assert(mid.columns.toSeq === Seq("id", "val"))
+    assert(mid.orderBy("id").collect().map(_.getString(1)).toSeq
+      === Seq("alpha", "beta"))
+    // and pinned PRE-chain serves the original name + values
+    val pre = wh.readVersion("d", "rc", 1)
+    assert(pre.columns.toSeq === Seq("id", "v"))
+    assert(pre.collect().map(_.getString(1)).toSeq === Seq("alpha"))
+  }
+
+  test("chained renames compose without compact on a PARTITIONED table") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.overwrite("d", "rcp",
+      Seq((1, "2024-01-01", 5)).toDF("id", "day", "n"),
+      TableMeta(partitionField = Some("day"), partitionType = "string"))
+    wh.renameColumn("d", "rcp", "n", "amount")
+    wh.insertOverwrite("d", "rcp", Seq((2, "2024-01-02", 7)).toDF("id", "day", "amount"))
+    wh.renameColumn("d", "rcp", "amount", "cents")
+    wh.insertOverwrite("d", "rcp", Seq((3, "2024-01-03", 9)).toDF("id", "day", "cents"))
+    val got = wh.read("d", "rcp").orderBy("id")
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Int]("cents"))).toSeq
+    assert(got === Seq((1, 5), (2, 7), (3, 9)))
+    // pruned read through the chain keeps values too
+    assert(wh.readWhere("d", "rcp", col("day") === "2024-01-01")
+      .collect().map(_.getAs[Int]("cents")).toSeq === Seq(5))
+  }
+
   test("renameColumn on a partitioned table (non-partition column); partition column refuses") {
     import spark.implicits._
     val wh = freshWh()
@@ -891,6 +937,26 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.read("d", "pt").count() === 1)
     wh.insertOverwrite("d", "pt", Seq((2, "2024-01-02", 7)).toDF("id", "day", "n"))
     assert(wh.read("d", "pt").count() === 2)
+  }
+
+  test("CHECK on a string partition column evaluates against the DECLARED type, not directory-value inference") {
+    import spark.implicits._
+    val wh = freshWh()
+    // partition value '0042' would infer as BIGINT 42 from the directory
+    // name on a bare read; the CHECK length(code) = 4 must see the
+    // declared STRING ('0042' → 4), not '42' → 2
+    val m = TableMeta(partitionField = Some("code"), partitionType = "string",
+      checkConstraints = Seq("code_len" -> "length(code) = 4"))
+    wh.overwrite("d", "cpt", Seq((1, "0042", 5)).toDF("id", "code", "n"), m)
+    assert(wh.read("d", "cpt").count() === 1)
+    wh.insertOverwrite("d", "cpt", Seq((2, "0007", 9)).toDF("id", "code", "n"))
+    assert(wh.read("d", "cpt").count() === 2)
+    // and a genuinely violating partition value still rejects loudly
+    val ex = intercept[IllegalArgumentException] {
+      wh.insertOverwrite("d", "cpt", Seq((3, "123", 1)).toDF("id", "code", "n"))
+    }
+    assert(ex.getMessage.contains("code_len"), ex.getMessage)
+    assert(wh.orphanFiles("d", "cpt", graceMillis = 0L).isEmpty)
   }
 
   test("mergeInto NULL-key rejection leaves no orphan fragment or sidecar") {
