@@ -114,7 +114,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.core.GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY: comma-separated subset for local iteration
+    // (unset = the full inventory; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // per-query plan lint (captured once, on the pass-1 frame, OUTSIDE
     // the timed window): a future operator whose plan degrades into a
     // flagged 100TB antipattern fails in the round artifact, not in a

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, Warehouse}
+
+/** The co-purchase basket graph as a BUILT-ONCE artifact — the shared
+  * edge build behind the whole graph family ([[LabelProp]],
+  * [[Components]], [[Triangles]], [[KCore]], [[LinkPred]]).
+  *
+  * Through round 12 each of the five graph queries rebuilt the identical
+  * ≥-support co-purchase edge list from `lineitem` from scratch — five
+  * lineitem scans + five self-join rollups for one logical graph. At
+  * 100 TB the edge rollup is by far the dominant cost (the self-join
+  * shuffles the fact table; every downstream operator is bounded by the
+  * much smaller |E|), and the graph is a pure function of an immutable
+  * corpus snapshot — exactly the "compute once at ingest" property the
+  * [[graft.llmops.AnnIndex]] signature/code tables exploit. This object
+  * gives the basket graph the same treatment:
+  *
+  *  - canonical form: the HALF-EDGE weighted rollup `(src, dst, w)` with
+  *    `src < dst` and `w` = number of shared orders — the minimal shape
+  *    every consumer derives from (Triangles drops `w`, the ≥2-support
+  *    family filters on it, LabelProp mirrors it). Half edges, not
+  *    mirrored: co-occurrence is symmetric, so materializing both
+  *    directions would double artifact IO for information-free rows.
+  *  - [[halfEdges]]: in-process serving — builds once per (session,
+  *    corpus dir) and stages the result (eager localCheckpoint; a
+  *    durable warehouse table on a cluster), so the five graph queries
+  *    in one bench/driver run pay ONE lineitem self-join total.
+  *  - [[save]]/[[load]]: the production form — the artifact as a
+  *    warehouse table with snapshot-log history, consumed by the same
+  *    derivations (BasketGraphSpec pins artifact-served ≡ from-scratch
+  *    for all five consumers).
+  *  - [[appendOrders]]: incremental maintenance — a batch of NEW orders
+  *    extends the standing artifact without rebuilding: orders are
+  *    atomic (a new order's items co-occur only with each other), so the
+  *    batch's own half-edge rollup merges into the table by (src, dst)
+  *    with `w` summed — O(batch + touched keys), never O(|lineitem|).
+  *
+  * Scale shape: the build is one distinct-projection of lineitem and one
+  * equi-self-join on orderkey (AQE skew split applies; no cartesian —
+  * the join is keyed), then a map-side-combined rollup to |E| rows. The
+  * oracle queries keep stating the from-scratch build declaratively —
+  * same rows either way, spec-pinned. */
+object BasketGraph {
+
+  /** Canonical half-edge build: `(src, dst, w)`, `src < dst`,
+    * `w` = count of orders containing both parts. */
+  def build(spark: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    rollup(pp)
+  }
+
+  /** The half-edge rollup over an explicit (o, p) basket-membership
+    * frame — shared by [[build]] and the [[appendOrders]] batch path. */
+  def rollup(pp: DataFrame): DataFrame =
+    pp.as("a").join(pp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  // ------------------------------------------------- in-process serving
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The staged artifact for a (session, corpus dir) pair — built on
+    * first use, reused by every subsequent graph query in the process.
+    * Keyed by session too: a cached frame is only valid on the session
+    * that checkpointed it. */
+  def halfEdges(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir",
+      _ => build(spark, dir).localCheckpoint(true))
+
+  /** Test hook: drop staged artifacts (e.g. between fixture rewrites). */
+  def invalidate(): Unit = memo.clear()
+
+  // ------------------------------------------------- derived edge views
+
+  /** Unweighted half edges with support ≥ `minSupport` — the input shape
+    * of [[Components]]/[[KCore]]/[[LinkPred]] (minSupport 2) and
+    * [[Triangles]] (minSupport 1). */
+  def supportEdges(spark: SparkSession, dir: String, minSupport: Long): DataFrame = {
+    val he = halfEdges(spark, dir)
+    (if (minSupport > 1L) he.filter(col("w") >= minSupport) else he)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Mirrored weighted edges — the input shape of [[LabelProp]]. */
+  def mirroredEdges(spark: SparkSession, dir: String): DataFrame = {
+    val half = halfEdges(spark, dir)
+    half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  // ------------------------------------------------- warehouse artifact
+
+  def save(wh: Warehouse, dataset: String, table: String,
+           spark: SparkSession, dir: String): Unit =
+    wh.overwrite(dataset, table, build(spark, dir))
+
+  def load(wh: Warehouse, dataset: String, table: String): DataFrame =
+    wh.read(dataset, table)
+
+  /** Incremental maintenance: merge a batch of NEW orders' half edges
+    * into the standing artifact. `newPp` is the batch's (o, p)
+    * basket-membership frame; its orderkeys must be new (an order is
+    * atomic — items of one order land together), which makes the update
+    * algebra exact: `w_new = w_old + w_batch` on matched (src, dst),
+    * insert otherwise. Cost is the batch rollup plus a keyed merge that
+    * touches only fragments containing matched keys — never a rebuild. */
+  def appendOrders(wh: Warehouse, dataset: String, table: String,
+                   newPp: DataFrame): Unit = {
+    val batch = rollup(newPp.select(col("o"), col("p")).distinct())
+    val existing = wh.read(dataset, table)
+    // batch keys that already exist: sum weights; the rest insert as-is.
+    // The join is bounded by the BATCH side (broadcast when small).
+    val merged = batch.as("b")
+      .join(existing.as("e"), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        (col("b.w") + coalesce(col("e.w"), lit(0L))).as("w"))
+    wh.mergeInto(dataset, table, merged, Seq("src", "dst"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+
 
 /** Connected components over an arbitrary edge list — the graph family's
   * fourth public member (centrality [[PageRank]], communities
@@ -33,19 +33,8 @@ object Components {
   /** Components of the ≥2-co-purchase part graph: thresholding the
     * basket edges at weight 2 breaks the giant hairball into genuine
     * product families (9 components on the sf0.01 fixture). */
-  def qComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pp = Tables.load(spark, dir, "lineitem")
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = pp.as("a").join(pp.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("src"), col("dst"))
-    connectedComponents(edges)
-  }
+  def qComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(BasketGraph.supportEdges(spark, dir, minSupport = 2))
 
   /** Transitive reachability to fixpoint (the recursive-CTE ground
     * truth the star rounds must reproduce exactly). */

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+
 
 /** k-core decomposition — the graph family's density screen (Seidman
   * 1983): the k-core is the maximal subgraph in which every node keeps
@@ -73,19 +73,8 @@ object KCore {
     * product families with redundant co-purchase support (1535 of 1880
     * nodes on the sf0.01 fixture; the 345 peeled are chains and pendants
     * a degree filter would miss round by round — fixpoint at round 4). */
-  def qKCore(spark: SparkSession, dir: String): DataFrame = {
-    val pp = Tables.load(spark, dir, "lineitem")
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = pp.as("a").join(pp.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("src"), col("dst"))
-    kCore(edges, k = 2)
-  }
+  def qKCore(spark: SparkSession, dir: String): DataFrame =
+    kCore(BasketGraph.supportEdges(spark, dir, minSupport = 2), k = 2)
 
   /** The same monotone peel unrolled to 8 rounds — past the fixture's
     * measured fixpoint (round 4), and extra rounds are no-ops by

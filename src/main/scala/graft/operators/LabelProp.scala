@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+
 
 /** Fixed-iteration synchronous label propagation (Raghavan et al. 2007)
   * — the community-detection member of the graph family, next to
@@ -72,19 +72,8 @@ object LabelProp {
     * bench's most expensive query; the mirror union runs on EDGES, not
     * pairs, and Catalyst reuses the aggregate's exchange for both
     * directions). */
-  def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val pp = Tables.load(spark, dir, "lineitem")
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val half = pp.as("a").join(pp.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("w"))
-    val edges = half.unionByName(
-      half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    labelPropagation(edges)
-  }
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(BasketGraph.mirroredEdges(spark, dir))
 
   val qLabelPropSql: String =
     s"""WITH pp AS MATERIALIZED (

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+
 
 /** Link prediction by neighborhood overlap — the recommendation face of
   * the graph family (centrality [[PageRank]], communities [[LabelProp]],
@@ -71,19 +71,9 @@ object LinkPred {
   /** Predicted next co-purchases over the ≥2-support basket graph (the
     * same thresholded edges [[Components.qComponents]] uses — support 2
     * is also the hub screen that keeps wedge work bounded at scale). */
-  def qLinkPred(spark: SparkSession, dir: String): DataFrame = {
-    val pp = Tables.load(spark, dir, "lineitem")
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = pp.as("a").join(pp.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select(col("src"), col("dst"))
-    linkPrediction(edges, minCommon = 2, maxCenterDegree = 1000)
-  }
+  def qLinkPred(spark: SparkSession, dir: String): DataFrame =
+    linkPrediction(BasketGraph.supportEdges(spark, dir, minSupport = 2),
+      minCommon = 2, maxCenterDegree = 1000)
 
   /** The identical wedge algebra, center cap, anti-join, and integer
     * Jaccard in DuckDB. */

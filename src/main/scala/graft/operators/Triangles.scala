@@ -122,17 +122,8 @@ object Triangles {
   /** Triangles in the part co-purchase graph (the same half-edge basket
     * build as [[LabelProp.qLabelProp]] — triangleCounts canonicalizes,
     * so the half edges feed directly). */
-  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val pp = graft.core.Tables.load(spark, dir, "lineitem")
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val half = pp.as("a").join(pp.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst"))
-      .distinct()
-    triangleCounts(half)
-  }
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(BasketGraph.supportEdges(spark, dir, minSupport = 1))
 
   /** The identical rank-key orientation and one-orientation-per-triangle
     * wedge algebra in DuckDB. */
