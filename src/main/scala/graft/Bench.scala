@@ -201,7 +201,7 @@ object Bench {
     val annRecall =
       try graft.llmops.RecallReport.annRecall(spark, sfDir)
         .map { case (k, s) =>
-          f""""$k":{"recall":${s.recall}%.4f,"cands_per_query":${s.candsPerQuery}%.1f}"""
+          f""""$k":{"recall":${s.recall}%.4f,"cands_per_query":${s.candsPerQuery}%.1f,"role":"${s.role}"}"""
         }.mkString("{", ",", "}")
       catch { case e: Throwable =>
         System.err.println(s"[bench] ann_recall failed: ${e.getMessage}")

@@ -212,9 +212,9 @@ final class SnapshotLog(tableDir: Path) {
     val cutoff = nowMillis - retainMillis
     val (expired, live) = all.splitAt(
       math.min(all.count(_.tsMillis < cutoff), all.size - 1))
-    val liveRefs = live.flatMap(_.entries.map(_.path)).toSet
-    val removable = expired.flatMap(_.entries.map(_.path)).distinct
-      .filterNot(liveRefs)
+    val liveRefs = live.flatMap(_.entries.flatMap(e => e.path +: e.dv.toSeq)).toSet
+    val removable = expired.flatMap(_.entries.flatMap(e => e.path +: e.dv.toSeq))
+      .distinct.filterNot(liveRefs)
     removable.foreach { rel =>
       deleteRecursive(tableDir.resolve(rel))
     }
@@ -241,7 +241,11 @@ final class SnapshotLog(tableDir: Path) {
     val sb = new StringBuilder
     sb.append(s"#version=${c.version}\n#ts=${c.tsMillis}\n#action=${c.action}\n")
     c.schemaDdl.foreach(d => sb.append(s"#schema=${SnapshotLog.escape(d)}\n"))
-    c.entries.foreach(e => sb.append(e.partition).append('\t').append(e.path).append('\n'))
+    c.entries.foreach { e =>
+      sb.append(e.partition).append('\t').append(e.path)
+      e.dv.foreach(d => sb.append('\t').append(d))
+      sb.append('\n')
+    }
     sb.toString
   }
 
@@ -250,17 +254,25 @@ final class SnapshotLog(tableDir: Path) {
     * header always rides along (it is small next to fragment lists and
     * makes every manifest self-describing for schema). */
   private def renderDelta(c: Commit, parent: Commit): String = {
-    val parentPaths = parent.entries.map(_.path).toSet
-    val newPaths = c.entries.map(_.path).toSet
+    // entry identity is (path, dv): a merge-on-read delete keeps the
+    // fragment path but swaps the deletion-vector pointer, and a
+    // path-only diff would silently drop that change from the delta —
+    // such entries render as remove + re-add (applyDelta removes by
+    // path, then appends the re-add, so replay is exact)
+    val parentIds = parent.entries.map(e => (e.path, e.dv)).toSet
+    val newIds = c.entries.map(e => (e.path, e.dv)).toSet
     val sb = new StringBuilder
     sb.append(s"#version=${c.version}\n#ts=${c.tsMillis}\n#action=${c.action}\n")
     sb.append(s"#delta=1\n#parent=${parent.version}\n")
     c.schemaDdl.foreach(d => sb.append(s"#schema=${SnapshotLog.escape(d)}\n"))
-    parent.entries.filterNot(e => newPaths(e.path))
+    parent.entries.filterNot(e => newIds((e.path, e.dv)))
       .foreach(e => sb.append("-\t").append(e.path).append('\n'))
-    c.entries.filterNot(e => parentPaths(e.path))
-      .foreach(e => sb.append("+\t").append(e.partition)
-        .append('\t').append(e.path).append('\n'))
+    c.entries.filterNot(e => parentIds((e.path, e.dv)))
+      .foreach { e =>
+        sb.append("+\t").append(e.partition).append('\t').append(e.path)
+        e.dv.foreach(d => sb.append('\t').append(d))
+        sb.append('\n')
+      }
     sb.toString
   }
 
@@ -275,17 +287,16 @@ final class SnapshotLog(tableDir: Path) {
     val schema = header.get("schema").map(SnapshotLog.unescape)
     if (header.contains("delta")) {
       val adds = body.filter(_.startsWith("+\t")).map { l =>
-        val rest = l.substring(2)
-        val i = rest.indexOf('\t')
-        Entry(rest.substring(0, i), rest.substring(i + 1))
+        val f = l.substring(2).split('\t')
+        Entry(f(0), f(1), if (f.length > 2) Some(f(2)) else None)
       }
       val removes = body.filter(_.startsWith("-\t")).map(_.substring(2))
       SnapshotLog.DeltaM(v, ts, action, schema, header("parent").toInt,
         adds, removes)
     } else {
       val entries = body.map { l =>
-        val i = l.indexOf('\t')
-        Entry(l.substring(0, i), l.substring(i + 1))
+        val f = l.split('\t')
+        Entry(f(0), f(1), if (f.length > 2) Some(f(2)) else None)
       }
       SnapshotLog.FullM(Commit(v, ts, action, entries, schema))
     }
@@ -299,8 +310,15 @@ final class SnapshotLog(tableDir: Path) {
 
 object SnapshotLog {
   /** One table state entry: a partition value ("" for unpartitioned) → the
-    * immutable parquet dir holding that partition's rows. */
-  final case class Entry(partition: String, path: String)
+    * immutable parquet dir holding that partition's rows. `dv` is the
+    * OPTIONAL deletion-vector attachment (merge-on-read deletes): the
+    * relative path of a parquet dir of (entry, file, pos) rows naming
+    * the positions deleted from this entry's files as of this commit —
+    * readers anti-join it, compaction materializes and drops it. The
+    * fragment itself stays immutable; a delete commit changes only this
+    * pointer. */
+  final case class Entry(partition: String, path: String,
+                         dv: Option[String] = None)
 
   /** `schemaDdl`: the union schema of this commit's fragments (None on
     * manifests written before schema pinning — readers fall back to the

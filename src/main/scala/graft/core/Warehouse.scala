@@ -524,15 +524,49 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val bPaths = b.entries.map(_.path).toSet
     val added = b.entries.filterNot(e => aPaths(e.path))
     val removed = a.entries.filterNot(e => bPaths(e.path))
+    // Merge-on-read deletes keep the fragment path and swap only the dv
+    // pointer, so they are invisible to the path diff above: for each
+    // entry live in BOTH versions whose vector progressed, the rows
+    // masked between v1 and v2 (dv2 ∖ dv1 — vectors are cumulative)
+    // surface as deletes, read under v1's mask and schema.
+    val aByPath = a.entries.map(e => e.path -> e).toMap
+    val td = tableDir(dataset, table)
+    val dvDeleteFrames: Seq[DataFrame] = b.entries
+      .filter(e => aPaths(e.path))
+      .filter(e => e.dv.isDefined && e.dv != aByPath(e.path).dv)
+      .map { e2 =>
+        val e1 = aByPath(e2.path)
+        def dvRows(dv: Option[String]): DataFrame = dv match {
+          case Some(rel) => spark.read.parquet(td.resolve(rel).toString)
+            .filter(col("entry") === e2.path)
+            .select(col("file").as("_d_file"), col("pos").as("_d_pos"))
+          case None => spark.emptyDataFrame
+            .select(lit("").as("_d_file"), lit(0L).as("_d_pos"))
+        }
+        val newly = dvRows(e2.dv).exceptAll(dvRows(e1.dv))
+        val m = meta(dataset, table)
+        val renames = renameMap(m, a.schemaDdl.map(StructType.fromDDL))
+        val rows = readEntryTagged(dataset, table, e1, renames, Map.empty)
+          .join(newly, col(TagFile) === col("_d_file") &&
+            col(TagPos) === col("_d_pos"), "left_semi")
+        a.schemaDdl.map(StructType.fromDDL) match {
+          case Some(sch) =>
+            val present = rows.columns.toSet
+            rows.select(sch.fields.toSeq.map(f =>
+              if (present(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)): _*)
+          case None => rows.drop(TagEntry, TagFile, TagPos)
+        }
+      }
     // Removed fragments are read under v1's schema (they were live at
     // v1): a column dropped between v1 and v2 must still carry its
     // values on the delete side, or a CDC consumer cannot reconstruct
     // the deleted row as it existed. unionByName reconciles the sides.
+    val deleteSide = (readEntries(dataset, table, removed, a.schemaDdl) +:
+      dvDeleteFrames).reduce(_.unionByName(_, allowMissingColumns = true))
     readEntries(dataset, table, added, b.schemaDdl)
       .withColumn("_change_type", lit("insert"))
-      .unionByName(
-        readEntries(dataset, table, removed, a.schemaDdl)
-          .withColumn("_change_type", lit("delete")),
+      .unionByName(deleteSide.withColumn("_change_type", lit("delete")),
         allowMissingColumns = true)
   }
 
@@ -836,8 +870,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     try {
       lg.commitWithSchema("delete", cur2 => {
         val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
-        val livePaths = live.map(_.path).toSet
-        val gone = hitPaths.filterNot(livePaths)
+        // identity is (path, dv): a concurrent MERGE-ON-READ delete keeps
+        // the path but swaps the dv pointer — committing over it would
+        // resurrect its deleted rows (this rewrite read pre-dv data)
+        val liveIds = live.map(e => (e.path, e.dv)).toSet
+        val gone = hits.filterNot(e => liveIds((e.path, e.dv))).map(_.path)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"deleteWhere on $dataset.$table lost a race: fragment(s) " +
             s"${gone.mkString(", ")} were rewritten concurrently; retry the delete")
@@ -852,6 +889,116 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
     DeleteResult(deleted, hits.map(_.partition).distinct.sorted,
       prunedN, candidates.size - hits.size)
+  }
+
+  /** Outcome of a [[deleteWhereMor]]: rows masked, the new deletion
+    * vector's relative path (None when nothing matched), entries whose
+    * DV pointer was updated (by partition value), entries zone-pruned
+    * unopened, and candidates read but found clean. */
+  final case class MorDeleteResult(deletedRows: Long, dvPath: Option[String],
+                                   updated: Seq[String], pruned: Int,
+                                   cleanCandidates: Int)
+
+  /** Merge-on-read row-level DELETE (Delta deletion-vectors / Iceberg v2
+    * positional-delete pattern): instead of rewriting every fragment that
+    * contains a matching row — a single-row GDPR delete in a 1 GB
+    * fragment costs a 1 GB rewrite under [[deleteWhere]] — record the
+    * POSITIONS of the deleted rows in a small sidecar parquet
+    * (`entry, file, pos`) and swap each hit entry's `dv` pointer in the
+    * commit. The write cost is O(deleted rows), KBs not GBs; readers
+    * anti-join the vector (entries without one pay nothing); compaction
+    * and [[copy]]/[[restore]] materialize the mask and drop it; time
+    * travel is exact because each commit pins the dv pointer it saw.
+    *
+    * Phases mirror [[deleteWhere]]: zone-map prune → ONE capture job
+    * over the surviving candidates (per-entry tagged reads, existing DVs
+    * applied — re-deleting an already-masked row is a no-op and counts
+    * zero) → one tiny job folding prior vectors of the hit entries into
+    * the new one (cumulative: each entry's CURRENT dv is always a
+    * complete mask, so readers touch exactly one vector per entry) →
+    * CAS commit comparing (path, dv) so a concurrent delete/rewrite on
+    * the same fragment fails LOUDLY instead of losing positions.
+    *
+    * NULL semantics follow SQL DELETE: rows where `pred` is NULL are
+    * KEPT. Choose this over [[deleteWhere]] when deletes are sparse and
+    * latency-sensitive; compact() converts the debt to clean fragments. */
+  def deleteWhereMor(dataset: String, table: String, pred: Column): MorDeleteResult = {
+    val m = meta(dataset, table)
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+      resolvedPred(dataset, table, cur, pred))
+    val prunedN = cur.entries.size - candidates.size
+    if (candidates.isEmpty)
+      return MorDeleteResult(0L, None, Seq.empty, prunedN, 0)
+
+    // capture: per-entry tagged reads padded to the commit schema (so
+    // predicates on evolved columns resolve), one job, positions only
+    val renames = renameMap(m, cur.schemaDdl.map(StructType.fromDDL))
+    val tagged = candidates.map { e =>
+      val t = readEntryTagged(dataset, table, e, renames, filesOf)
+      cur.schemaDdl.map(StructType.fromDDL) match {
+        case Some(sch) =>
+          val present = t.columns.toSet
+          t.select(sch.fields.toSeq.map(f =>
+            if (present(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)) ++
+            Seq(col(TagEntry), col(TagFile), col(TagPos)): _*)
+        case None => t
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val matches = tagged.filter(pred).select(
+      col(TagEntry).as("entry"), col(TagFile).as("file"), col(TagPos).as("pos"))
+    val stage = lg.newFragmentDir()
+    val stageRel = relativize(dataset, table, stage)
+    matches.write.mode("overwrite").parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString)
+    val counts: Map[String, Long] = staged.groupBy(col("entry"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hits = candidates.filter(e => counts.getOrElse(e.path, 0L) > 0L)
+    val deleted = counts.values.sum
+    if (hits.isEmpty) {
+      deleteRecursive(stage)
+      return MorDeleteResult(0L, None, Seq.empty, prunedN, candidates.size)
+    }
+    val hitPaths = hits.map(_.path).toSet
+    // fold the hit entries' PRIOR vectors in: the new vector is the
+    // complete mask for every entry that points at it
+    val prior = hits.flatMap(_.dv).distinct.map(rel =>
+      spark.read.parquet(td.resolve(rel).toString)
+        .filter(col("entry").isin(hitPaths.toSeq: _*)))
+    val dvDir = td.resolve("_dv").resolve(
+      stage.getFileName.toString.stripPrefix("_data/"))
+    val dvRel = relativize(dataset, table, dvDir)
+    (staged.filter(col("entry").isin(hitPaths.toSeq: _*)) +: prior)
+      .reduce(_.unionByName(_))
+      .coalesce(1) // vectors are KB-sized; one file per delete commit
+      .write.mode("overwrite").parquet(dvDir.toString)
+    deleteRecursive(stage)
+    val dvOf: Map[String, Option[String]] =
+      hits.map(e => e.path -> e.dv).toMap
+    try {
+      lg.commitWithSchema("delete", cur2 => {
+        val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+        val liveById = live.map(e => e.path -> e.dv).toMap
+        val gone = hitPaths.filter(p => !liveById.get(p).contains(dvOf(p)))
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"deleteWhereMor on $dataset.$table lost a race: fragment(s) " +
+            s"${gone.mkString(", ")} were rewritten or re-deleted " +
+            "concurrently; retry the delete")
+        live.map(e => if (hitPaths(e.path)) e.copy(dv = Some(dvRel)) else e)
+      }, cur2 => cur2.flatMap(_.schemaDdl).orElse(cur.schemaDdl))
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        deleteRecursive(dvDir)
+        throw e
+    }
+    MorDeleteResult(deleted, Some(dvRel),
+      hits.map(_.partition).distinct.sorted, prunedN,
+      candidates.size - hits.size)
   }
 
   // ------------------------------------------------- metadata diagnostics
@@ -1063,7 +1210,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     try {
       lg.commitWithSchema("merge", cur2 => {
         val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
-        val gone = hitPaths.filterNot(live.map(_.path).toSet)
+        // (path, dv) identity: see deleteWhere — a concurrent MoR delete
+        // must fail this merge loudly, not get silently overwritten
+        val liveIds = live.map(e => (e.path, e.dv)).toSet
+        val gone = hits.filterNot(e => liveIds((e.path, e.dv))).map(_.path)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"mergeInto on $dataset.$table lost a race: fragment(s) " +
             s"${gone.mkString(", ")} were rewritten concurrently; retry the merge")
@@ -1093,6 +1243,88 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** `filesOf`: optional per-entry replacement of the entry DIR by an
     * explicit absolute file list (zone-map file pruning) — entries
     * absent from the map read their whole dir as before. */
+  /** Rename chains COMPOSE: after v→val→w a fragment with physical
+    * column v must read back as w even though `val` no longer exists in
+    * the target schema — so per-link filtering on "new name present"
+    * drops mid-chain links and silently NULLs uncompacted fragments.
+    * Instead, walk the ordered rename list once per starting name and
+    * map each physical name to the LAST name in its trajectory that the
+    * TARGET schema actually has (a time-travel read pinned mid-chain
+    * serves that commit's own name; later links must not apply to it).
+    * No pinned schema (legacy commit) ⇒ full-chain final name. */
+  private def renameMap(m: TableMeta,
+                        targetSchema: Option[StructType]): Map[String, String] = {
+    val starts = m.columnRenames.flatMap { case (o, n) => Seq(o, n) }.distinct
+    starts.flatMap { p =>
+      val trajectory = m.columnRenames.foldLeft(List(p)) {
+        case (cur :: seen, (o, n)) if cur == o => n :: cur :: seen
+        case (acc, _) => acc
+      }
+      val asOf = targetSchema match {
+        case Some(s) => trajectory.find(s.fieldNames.contains)
+        case None => trajectory.headOption
+      }
+      asOf.filter(_ != p).map(p -> _)
+    }.toMap
+  }
+
+  /** Simultaneous rename (one select), not a sequential fold: with
+    * chains like a→b plus c→a a fragment holding both a and c renames
+    * correctly regardless of link order; a sequential fold's
+    * "target already present" guard would skip c→a while a is still
+    * physically present. */
+  private def applyRenameMap(df: DataFrame, m: Map[String, String]): DataFrame =
+    if (m.isEmpty) df
+    else df.select(df.columns.toSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
+
+  // ------------------------------------------- deletion vectors (MoR)
+
+  private val TagEntry = "_g_entry"
+  private val TagFile = "_g_file"
+  private val TagPos = "_g_pos"
+
+  /** One entry read BARE (per-entry, no discovery), tagged with its
+    * identity: `_g_entry` = the entry's manifest path, `_g_file` = the
+    * parquet FILE NAME (unique within an entry dir; immune to URI-prefix
+    * differences and table relocation), `_g_pos` = the row's position in
+    * its file (`_metadata.row_index` — stable because fragments are
+    * immutable). If the entry carries a deletion vector, its positions
+    * are anti-joined out here, so already-deleted rows never surface —
+    * not to readers, and not to a second delete's match capture. */
+  private def readEntryTagged(dataset: String, table: String,
+                              e: SnapshotLog.Entry,
+                              renames: Map[String, String],
+                              filesOf: Map[String, Seq[String]]): DataFrame = {
+    val td = tableDir(dataset, table)
+    val m = meta(dataset, table)
+    val ps = filesOf.getOrElse(e.path, Seq(td.resolve(e.path).toString))
+    val bare = spark.read.parquet(ps: _*)
+    val tagged = bare.select(col("*"),
+      element_at(split(col("_metadata.file_path"), "/"), -1).as(TagFile),
+      col("_metadata.row_index").as(TagPos))
+    val renamed = applyRenameMap(tagged, renames)
+    val withPart = m.partitionField match {
+      case Some(f) if !renamed.columns.contains(f) =>
+        val value =
+          if (e.partition == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+          else ExternalCatalogUtils.unescapePathName(e.partition)
+        renamed.withColumn(f, lit(value).cast(m.partitionType))
+      case _ => renamed
+    }
+    val entryTagged = withPart.withColumn(TagEntry, lit(e.path))
+    e.dv match {
+      case Some(dvRel) =>
+        val dvDf = spark.read.parquet(td.resolve(dvRel).toString)
+          .filter(col("entry") === e.path)
+          .select(col("file").as("_d_file"), col("pos").as("_d_pos"))
+        entryTagged.join(dvDf,
+          entryTagged(TagFile) === col("_d_file") &&
+            entryTagged(TagPos) === col("_d_pos"),
+          "left_anti")
+      case None => entryTagged
+    }
+  }
+
   private def readEntries(dataset: String, table: String,
                           entries: Seq[SnapshotLog.Entry],
                           commitSchema: Option[String],
@@ -1113,32 +1345,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // serves that commit's own name; later links must not apply to it).
     // No pinned schema (legacy commit) ⇒ full-chain final name.
     val targetSchema = commitSchema.map(StructType.fromDDL)
-    val applicable: Map[String, String] = {
-      val starts = m.columnRenames.flatMap { case (o, n) => Seq(o, n) }.distinct
-      starts.flatMap { p =>
-        val trajectory = m.columnRenames.foldLeft(List(p)) {
-          case (cur :: seen, (o, n)) if cur == o => n :: cur :: seen
-          case (acc, _) => acc
-        }
-        val asOf = targetSchema match {
-          case Some(s) => trajectory.find(s.fieldNames.contains)
-          case None => trajectory.headOption
-        }
-        asOf.filter(_ != p).map(p -> _)
-      }.toMap
-    }
-    // Simultaneous rename (one select), not a sequential fold: with
-    // chains like a→b plus c→a a fragment holding both a and c renames
-    // correctly regardless of link order; a sequential fold's
-    // "target already present" guard would skip c→a while a is still
-    // physically present.
-    def applyRenames(df: DataFrame): DataFrame =
-      if (applicable.isEmpty) df
-      else df.select(df.columns.toSeq.map(c =>
-        col(c).as(applicable.getOrElse(c, c))): _*)
-    val raw = m.partitionField match {
+    val applicable = renameMap(m, targetSchema)
+    def applyRenames(df: DataFrame): DataFrame = applyRenameMap(df, applicable)
+    // Deletion-vector entries (merge-on-read deletes) read per entry —
+    // tagged with file/position, anti-joined against their DV, tags
+    // dropped — and union with the plain fast paths; entries WITHOUT a
+    // DV pay zero overhead.
+    val (dvEntries, plain) = entries.partition(_.dv.isDefined)
+    val rawPlain: Option[DataFrame] = if (plain.isEmpty) None else Some(m.partitionField match {
       case None if applicable.isEmpty =>
-        val paths = entries.flatMap(e => filesOf.getOrElse(e.path,
+        val paths = plain.flatMap(e => filesOf.getOrElse(e.path,
           Seq(tableDir(dataset, table).resolve(e.path).toString)))
         commitSchema.map(StructType.fromDDL) match {
           // explicit commit schema: fragments narrower than it (written
@@ -1155,7 +1371,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         // forced whole-read schema would null the renamed column out of
         // pre-rename fragments — read per entry, re-label, union by name
         // (the final pad-select below restores declared order/typing)
-        entries.map { e =>
+        plain.map { e =>
           val ps = filesOf.getOrElse(e.path,
             Seq(tableDir(dataset, table).resolve(e.path).toString))
           applyRenames(spark.read.parquet(ps: _*))
@@ -1176,7 +1392,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         // (found by the ZoneMapsPropSpec hostile-partition property).
         val forced = targetSchema.orElse(schemaDdl(dataset, table)
           .map(StructType.fromDDL)).filter(_.fieldNames.contains(field))
-        val byFrag = entries.groupBy(e =>
+        val byFrag = plain.groupBy(e =>
           tableDir(dataset, table).resolve(e.path).getParent.toString)
         byFrag.map { case (base, es) =>
           val rd = spark.read.option("basePath", base)
@@ -1191,7 +1407,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         // subset-dependent type inference entirely by reading each
         // entry's data files bare and attaching the partition value the
         // MANIFEST already knows (unescaped, declared-typed)
-        entries.map { e =>
+        plain.map { e =>
           val ps = filesOf.getOrElse(e.path,
             Seq(tableDir(dataset, table).resolve(e.path).toString))
           val value =
@@ -1200,7 +1416,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           applyRenames(spark.read.parquet(ps: _*))
             .withColumn(field, lit(value).cast(m.partitionType))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
-    }
+    })
+    val dvFrames = dvEntries.map(e =>
+      readEntryTagged(dataset, table, e, applicable, filesOf)
+        .drop(TagEntry, TagFile, TagPos))
+    val raw = (rawPlain.toSeq ++ dvFrames)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     commitSchema.map(StructType.fromDDL) match {
       case Some(s) =>
         val present = raw.columns.toSet
@@ -1254,7 +1475,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       es.map { e =>
         val src = srcDir.resolve(e.path)
         val dst = if (e.partition.isEmpty) frag else frag.resolve(src.getFileName.toString)
-        copyRecursive(src, dst)
+        if (e.dv.isEmpty) copyRecursive(src, dst)
+        else {
+          // deletion-vector entries MATERIALIZE into the copy (read with
+          // the mask applied, write clean): a file-copy would either
+          // resurrect deleted rows or leave the copy's vector pointing
+          // into the source's lifecycle
+          val m = meta(srcDataset, srcTable)
+          val df = readEntries(srcDataset, srcTable, Seq(e), c.schemaDdl)
+          m.partitionField.filter(df.columns.contains)
+            .map(df.drop(_)).getOrElse(df)
+            .write.mode("overwrite").parquet(dst.toString)
+        }
         SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, dst))
       }
     }.sortBy(_.partition)
@@ -1370,8 +1602,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // whole new fragment (abandoned groups' sidecars become orphans that
     // ZoneMaps.vacuumStats reclaims)
     recordStats(dataset, table, newEntries, m.partitionField)
-    val replaced: Map[String, Set[String]] =
-      plan.map { case (part, es, _) => part -> es.map(_.path).toSet }.toMap
+    // source identity is (path, dv): a concurrent merge-on-read delete
+    // leaves the path live but swaps the dv — this compaction read the
+    // PRE-delete mask, so committing would resurrect deleted rows
+    val replaced: Map[String, Set[(String, Option[String])]] =
+      plan.map { case (part, es, _) =>
+        part -> es.map(e => (e.path, e.dv)).toSet }.toMap
     // `compute` may re-run on a lost CAS race — the LAST invocation is the
     // one whose result was committed, so capture its survivor set
     @volatile var committed: Seq[SnapshotLog.Entry] = Seq.empty
@@ -1381,12 +1617,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       // a compacted group lands only if everything it read is still live
       val valid = newEntries.filter { ne =>
         replaced(ne.partition).subsetOf(
-          liveByPart.getOrElse(ne.partition, Seq.empty).map(_.path).toSet)
+          liveByPart.getOrElse(ne.partition, Seq.empty)
+            .map(e => (e.path, e.dv)).toSet)
       }
       committed = valid
       val validParts = valid.map(_.partition).toSet
       live.filterNot(e =>
-        validParts(e.partition) && replaced(e.partition)(e.path)) ++ valid
+        validParts(e.partition) && replaced(e.partition)((e.path, e.dv))) ++ valid
     }, cur2 => cur2.flatMap(_.schemaDdl).orElse(cur.schemaDdl))
     // groups the CAS guard abandoned: their freshly written files are
     // referenced by NO commit — invisible to vacuum's retention

@@ -24,7 +24,13 @@ import graft.core.Tables
   * training benefit is visible in the same place. */
 object RecallReport {
 
-  final case class AnnStat(recall: Double, candsPerQuery: Double)
+  /** `role`: "default" = the documented serving path
+    * ([[AnnIndex.ivfpqTopKFrom]] — trained residual IVF-ADC);
+    * "baseline" = a real alternative with a different recall/cost
+    * trade; "pedagogical" = compression-only (scans everything,
+    * kept to make the pruning paths' candidate costs honest). */
+  final case class AnnStat(recall: Double, candsPerQuery: Double,
+                           role: String = "baseline")
 
   def annRecall(spark: SparkSession, dir: String): Seq[(String, AnnStat)] = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -89,11 +95,13 @@ object RecallReport {
       s"ivf_trained_nprobe${Similarity.NProbeServe}" ->
         ivf(trainedCents, Similarity.NProbeServe),
       "pq_sampled" -> AnnStat(
-        recall(ProductQuant.pqTopK(emb, isQuery, isCent)), corpusN - 1),
+        recall(ProductQuant.pqTopK(emb, isQuery, isCent)), corpusN - 1,
+        role = "pedagogical"),
       "pq_trained" -> AnnStat(
-        recall(ProductQuant.pqTopKTrained(emb, isQuery, trainedCb)), corpusN - 1),
+        recall(ProductQuant.pqTopKTrained(emb, isQuery, trainedCb)), corpusN - 1,
+        role = "pedagogical"),
       "ivfpq" -> ivfpq(sampledCents, sampledResCb, ProductQuant.IvfPqNProbe),
       "ivfpq_trained" -> ivfpq(fineCents, fineResCb,
-        ProductQuant.IvfPqTrainedNProbe))
+        ProductQuant.IvfPqTrainedNProbe).copy(role = "default"))
   }
 }

@@ -707,8 +707,10 @@ object Similarity {
     ivfTopKWith(emb, isQuery, collectCentroids(centroids), k, nprobe)
 
   /** Collect a (cid, centroid) artifact table ([[trainIvfCentroids]]
-    * output) into the in-memory form the probe/score kernels take. */
-  private[llmops] def collectCentroids(centroids: DataFrame)
+    * output) into the in-memory form the probe/score kernels take —
+    * public because the default serving path
+    * ([[AnnIndex.ivfpqTopKFrom]]) takes its quantizers in this form. */
+  def collectCentroids(centroids: DataFrame)
       : Array[(Long, Array[Double], Double)] = {
     val spark = centroids.sparkSession
     import spark.implicits._

@@ -180,6 +180,99 @@ object EngineQueries {
       |       count(*) AS n, round(sum(l_quantity), 2) AS qty
       |FROM lineitem GROUP BY 2""".stripMargin
 
+  // ------------------------------------------------------ q66 MoR delete
+
+  /** Merge-on-read DELETE (deletion vectors), end to end: the same
+    * clustered landing as [[q57Delete]], but the delete writes a
+    * positional sidecar instead of rewriting the hit fragment. Gates
+    * (each `require`d, so a regression fails the row, not a review):
+    *  - zone maps still prune the A and N fragments;
+    *  - NO data fragment is rewritten — every entry keeps its path, the
+    *    hit entry gains only a dv pointer;
+    *  - the vector is at most 1% of the fragment it masks (the
+    *    KBs-not-GBs contract at fixture scale);
+    *  - time travel (v3 = pre-delete) is exact;
+    *  - the CDC feed surfaces EXACTLY the masked rows as deletes even
+    *    though no fragment path changed between the versions.
+    * All three phases hash-check against DuckDB. */
+  def q66DeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_dv"))
+    val li = Tables.load(spark, dir, "lineitem")
+    wh.overwrite("mart", "lidv", li.filter(col("l_returnflag") === "A"))
+    wh.append("mart", "lidv", li.filter(col("l_returnflag") === "N"))
+    wh.append("mart", "lidv", li.filter(col("l_returnflag") === "R"))
+    val before = wh.log("mart", "lidv").latest.get.entries.map(_.path)
+    // v4: the SPARSE delete (one order's R rows — the GDPR shape whose
+    // cost contract this query gates)
+    val minRKey = li.filter(col("l_returnflag") === "R")
+      .agg(min(col("l_orderkey"))).head().getLong(0)
+    val r1 = wh.deleteWhereMor("mart", "lidv",
+      col("l_returnflag") === "R" && col("l_orderkey") === minRKey)
+    require(r1.pruned == 2,
+      s"zone maps must prune the A and N fragments, pruned=${r1.pruned}")
+    require(r1.deletedRows > 0, "fixture must contain matching rows")
+    // v5: the BULK delete on top — vectors accumulate
+    val r2 = wh.deleteWhereMor("mart", "lidv",
+      col("l_returnflag") === "R" && col("l_quantity") > 25)
+    val after = wh.log("mart", "lidv").latest.get.entries
+    require(after.map(_.path) == before,
+      "merge-on-read must not rewrite any data fragment")
+    val root = java.nio.file.Paths.get(wh.root, "mart", "lidv")
+    def bytes(rel: String): Long = {
+      val w = java.nio.file.Files.walk(root.resolve(rel))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } finally w.close()
+    }
+    val hitEntry = after.find(_.dv.isDefined).getOrElse(
+      throw new IllegalStateException("no entry carries the vector"))
+    require(bytes(r1.dvPath.get) * 20 < bytes(hitEntry.path),
+      s"sparse vector must be a small fraction of the fragment it masks: " +
+        s"dv=${bytes(r1.dvPath.get)} frag=${bytes(hitEntry.path)}")
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(lit(phase).as("phase"), col("rf"), col("n"), col("qty"))
+    // CDC across BOTH delete commits: v3→v4 = the sparse rows, v4→v5 =
+    // only the incremental bulk masks (never re-reporting v4's)
+    val cdc1 = wh.changesBetween("mart", "lidv", 3, 4)
+      .filter(col("_change_type") === "delete").drop("_change_type")
+    val cdc2 = wh.changesBetween("mart", "lidv", 4, 5)
+      .filter(col("_change_type") === "delete").drop("_change_type")
+    agg(wh.read("mart", "lidv"), "post_delete")
+      .unionAll(agg(wh.readVersion("mart", "lidv", 3), "pre_delete_v3"))
+      .unionAll(agg(cdc1, "cdc_sparse"))
+      .unionAll(agg(cdc2, "cdc_bulk"))
+  }
+
+  val q66Sql: String =
+    """WITH mink AS MATERIALIZED (
+      |  SELECT min(l_orderkey) AS k FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT 'post_delete' AS phase, l_returnflag AS rf,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem WHERE NOT (l_returnflag = 'R' AND
+      |      (l_quantity > 25 OR l_orderkey = (SELECT k FROM mink)))
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'pre_delete_v3' AS phase, l_returnflag AS rf,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY 2
+      |UNION ALL
+      |SELECT 'cdc_sparse' AS phase, l_returnflag AS rf,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_orderkey = (SELECT k FROM mink)
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'cdc_bulk' AS phase, l_returnflag AS rf,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_quantity > 25
+      |  AND l_orderkey <> (SELECT k FROM mink)
+      |GROUP BY 2""".stripMargin
+
   // ------------------------------------------------------------- q59 merge
 
   /** Whole-row MERGE (upsert) with zone-map fragment surgery, end to
@@ -935,6 +1028,7 @@ object EngineQueries {
     "q48_snapshot_diff" -> (q48SnapshotDiff _),
     "q53_compact" -> (q53Compact _),
     "q57_delete" -> (q57Delete _),
+    "q66_delete_dv" -> (q66DeleteDv _),
     "q59_merge" -> (q59Merge _),
     "q61_cdc_feed" -> (q61CdcFeed _),
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
@@ -963,6 +1057,7 @@ object EngineQueries {
     "q48_snapshot_diff" -> q48Sql,
     "q53_compact" -> q53Sql,
     "q57_delete" -> q57Sql,
+    "q66_delete_dv" -> q66Sql,
     "q59_merge" -> q59Sql,
     "q61_cdc_feed" -> q61Sql,
     "q21_build" -> q21Sql,

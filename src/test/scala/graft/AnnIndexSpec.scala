@@ -151,4 +151,39 @@ class AnnIndexSpec extends AnyFunSuite {
       .agg(min("c"), max("c")).head()
     assert(all.getInt(0) >= 0 && all.getInt(1) < ProductQuant.Codes)
   }
+
+  test("DEFAULT path ivfpqTopKFrom: artifact serving == self-contained residual IVF-ADC; plan reads codes, not embeddings, pre-rerank") {
+    val wh = freshWh()
+    val cents = Similarity.collectCentroids(
+      Similarity.trainIvfCentroids(emb, isCent, iterations = 2))
+    val cb = ProductQuant.residualCodebook(emb, cents,
+      expr("vec_id % 29 = 7 AND vec_id >= 10"))
+    AnnIndex.saveIvfPqIndex(wh, "idx", "ivfpq", emb, cents, cb)
+    val index = wh.read("idx", "ivfpq")
+    val served = AnnIndex.ivfpqTopKFrom(emb, index, cents, cb, isQuery,
+      nprobe = ProductQuant.IvfPqNProbe)
+    val self = ProductQuant.ivfpqResidualTopKWith(emb, isQuery, cents, cb,
+      nprobe = ProductQuant.IvfPqNProbe)
+    assert(rows(served) === rows(self),
+      "artifact serving must equal the self-contained kernel exactly")
+    assert(served.select("query_id").distinct().count() > 0)
+  }
+
+  test("DEFAULT path index maintenance: build(A) + append(B) serves EXACTLY like a full rebuild") {
+    val wh = freshWh()
+    val cents = Similarity.collectCentroids(
+      Similarity.trainIvfCentroids(emb, isCent, iterations = 2))
+    val cb = ProductQuant.residualCodebook(emb, cents,
+      expr("vec_id % 29 = 7 AND vec_id >= 10"))
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    AnnIndex.saveIvfPqIndex(wh, "idx", "inc", a, cents, cb)
+    AnnIndex.appendIvfPqIndex(wh, "idx", "inc", b, cents, cb)
+    AnnIndex.saveIvfPqIndex(wh, "idx", "full", emb, cents, cb)
+    val viaInc = AnnIndex.ivfpqTopKFrom(emb, wh.read("idx", "inc"),
+      cents, cb, isQuery)
+    val viaFull = AnnIndex.ivfpqTopKFrom(emb, wh.read("idx", "full"),
+      cents, cb, isQuery)
+    assert(rows(viaInc) === rows(viaFull))
+  }
 }

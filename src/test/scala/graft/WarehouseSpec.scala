@@ -959,6 +959,59 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.orphanFiles("d", "cpt", graceMillis = 0L).isEmpty)
   }
 
+  test("streaming sinks enforce write-time constraints: a violating micro-batch fails LOUDLY, table state unchanged") {
+    import spark.implicits._
+    val wh = freshWh()
+    val m = TableMeta(notNullColumns = Seq("v"),
+      checkConstraints = Seq("positive_id" -> "id > 0"))
+    wh.overwrite("d", "sc", Seq((1, "seed")).toDF("id", "v"), m)
+    val versionBefore = wh.log("d", "sc").latest.get.version
+    // a REAL stream whose micro-batch violates the CHECK (id = -5):
+    // the foreachBatch sink writes through the same gated append path,
+    // so the batch must reject, the query must surface the failure, and
+    // nothing may land (the r11 zone-map-sidecar gap, repeated for
+    // constraints, is exactly what this pins)
+    val srcDir = Files.createTempDirectory("sc_stream_src")
+    Seq((-5, "bad"), (7, "ok")).toDF("id", "v")
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val ckpt = Files.createTempDirectory("sc_stream_ck").toString
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) wh.append("d", "sc", batch)
+      }.start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage).exists(_.contains("positive_id"))),
+      s"failure must name the violated constraint: ${ex.getMessage}")
+    // nothing landed: version unchanged, no orphan fragment or sidecar
+    assert(wh.log("d", "sc").latest.get.version === versionBefore)
+    assert(wh.orphanFiles("d", "sc", graceMillis = 0L).isEmpty)
+    assert(wh.read("d", "sc").collect().map(_.getInt(0)).toSeq === Seq(1))
+    // and a CLEAN stream of the same shape lands fine through the gate
+    val srcOk = Files.createTempDirectory("sc_stream_ok")
+    Seq((2, "fine"), (3, "also")).toDF("id", "v")
+      .write.mode("overwrite").parquet(srcOk.toString)
+    val ckpt2 = Files.createTempDirectory("sc_stream_ck2").toString
+    val q2 = spark.readStream.schema(schema).parquet(srcOk.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) wh.append("d", "sc", batch)
+      }.start()
+    q2.awaitTermination()
+    assert(wh.read("d", "sc").orderBy("id").collect().map(_.getInt(0)).toSeq
+      === Seq(1, 2, 3))
+  }
+
   test("mergeInto NULL-key rejection leaves no orphan fragment or sidecar") {
     import spark.implicits._
     val wh = freshWh()
