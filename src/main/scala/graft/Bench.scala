@@ -210,14 +210,76 @@ object Bench {
     // Steady-state side channel for the N slowest queries (dedicated
     // JVM each — see steadyChannel). SPARK_GRAFT_STEADY=0 disables.
     val steadyN = sys.env.getOrElse("SPARK_GRAFT_STEADY", "10").toInt
-    val steadyBudget = sys.env.getOrElse("SPARK_GRAFT_STEADY_BUDGET_SEC", "420").toDouble
+    val steadyBudget = sys.env.getOrElse("SPARK_GRAFT_STEADY_BUDGET_SEC", "600").toDouble
     val slowest = results.filter(_._3).sortBy(-_._2).take(steadyN).map(_._1)
+    // no-holes policy (r12 shipped a record with 3 steady_skipped — the
+    // slowest queries are exactly the ones that must not lose their
+    // trustworthy measurement): anything the first budget window cut off
+    // gets a SECOND bounded pass; only a double miss lands in
+    // steady_skipped, loudly.
     val (steady, steadySkipped) =
       if (steadyN <= 0 || slowest.isEmpty) (Seq.empty[(String, Double)], Seq.empty[String])
-      else steadyChannel(slowest, sfDir, reps = 4, budgetSec = steadyBudget)
+      else {
+        val (done1, skip1) = steadyChannel(slowest, sfDir, reps = 4, budgetSec = steadyBudget)
+        if (skip1.isEmpty) (done1, skip1)
+        else {
+          System.err.println(s"[bench] steady second-chance pass for: ${skip1.mkString(",")}")
+          val (done2, skip2) = steadyChannel(skip1, sfDir, reps = 4, budgetSec = steadyBudget)
+          (done1 ++ done2, skip2)
+        }
+      }
     val steadyJson = steady.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val steadySkippedJson = steadySkipped.map(n => s""""$n"""").mkString("[", ",", "]")
+    // Per-query regression gate: bench_budgets.json pins a steady-state
+    // ceiling per query (committed at round close, 1.5x the closing
+    // measurement). An in-harness exceeder is RE-MEASURED in a dedicated
+    // JVM before it is reported — in-harness numbers under ambient load
+    // fabricate multi-x phantom regressions (r11/r12 evidence), and a
+    // gate that cries wolf gets ignored. Only a steady-state exceedance
+    // lands in budget_exceeded; non-empty means a real q16-style
+    // regression escaped into the round and should fail it.
+    val budgets: Map[String, Double] =
+      try {
+        val f = new java.io.File("bench_budgets.json")
+        if (!f.isFile) Map.empty
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+          """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_budgets.json unreadable: ${e.getMessage}")
+        Map.empty
+      }
+    val steadyOf = steady.toMap
+    val suspects = results.filter(_._3).flatMap { case (name, t, _) =>
+      budgets.get(name).filter(b => t > b && !steadyOf.get(name).exists(_ <= b))
+        .map(b => (name, t, b))
+    }
+    val budgetExceeded: Seq[(String, Double, Double)] = suspects.flatMap {
+      case (name, t, b) =>
+        steadyOf.get(name) match {
+          case Some(st) => if (st > b) Some((name, st, b)) else None
+          case None =>
+            val (conf, _) = steadyChannel(Seq(name), sfDir, reps = 3,
+              budgetSec = 300.0)
+            conf.headOption match {
+              case Some((_, st)) if st <= b =>
+                System.err.println(
+                  f"[bench] budget: $name in-harness $t%.2f s exceeded $b%.2f s but steady $st%.2f s is within — ambient noise, not flagged")
+                None
+              case Some((_, st)) => Some((name, st, b))
+              case None => Some((name, t, b)) // could not confirm: flag loudly
+            }
+        }
+    }
+    budgetExceeded.foreach { case (n, t, b) =>
+      System.err.println(f"[bench] BUDGET EXCEEDED: $n steady $t%.2f s > budget $b%.2f s")
+    }
+    val budgetExceededJson = budgetExceeded
+      .map { case (n, t, b) => f""""$n":{"steady":$t%.3f,"budget":$b%.3f}""" }
+      .mkString("{", ",", "}")
     // lint: residual findings only, AFTER subtracting the curated
     // boundedness exemptions (LintExemptions — each spec-gated to still
     // fire); what was subtracted is reported too, never silent
@@ -235,7 +297,7 @@ object Bench {
     // driver captures a log TAIL and a capture window can start mid-line —
     // per-query keys may truncate, the total must not.
     val json =
-      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"ann_recall":$annRecall,"steady":$steadyJson,"steady_skipped":$steadySkippedJson,"lint_flagged":$lintJson,"lint_exempt":$lintExemptJson,"lint_clean":$lintClean,"passes":$passes,"warmup_sec":$warmupSec%.2f,"value":$totalJson}"""
+      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"ann_recall":$annRecall,"steady":$steadyJson,"steady_skipped":$steadySkippedJson,"lint_flagged":$lintJson,"lint_exempt":$lintExemptJson,"lint_clean":$lintClean,"budget_exceeded":$budgetExceededJson,"passes":$passes,"warmup_sec":$warmupSec%.2f,"value":$totalJson}"""
     try {
       val w = new java.io.PrintWriter("bench_summary.json")
       try w.println(json) finally w.close()

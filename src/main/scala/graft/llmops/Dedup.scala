@@ -194,7 +194,16 @@ object Dedup {
     * rare-end of the distribution), then an exact intersection count
     * over candidate pairs only. The verify join touches candidate docs'
     * full shingle rows, so a candidate set near the true pair set makes
-    * verification near-linear in true output. */
+    * verification near-linear in true output.
+    *
+    * Duplicate-cluster caveat (measured, r13 sf1 sweep): TRUE pair
+    * output is quadratic in duplicate-cluster size (a 10-way near-dup
+    * cluster contributes 45 pairs), so on a cluster-heavy corpus the
+    * operator's cost grows with its output even though it stays
+    * sublinear IN that output (979× more pairs cost 54× the time).
+    * Production ordering: run [[exactDedup]] (hash-groupBy,
+    * linear) first — collapsing exact clusters bounds what the
+    * quadratic pair families see. */
   def ppjoinPairs(docs: DataFrame,
                   threshold: Double = JaccardThreshold): DataFrame = {
     require(threshold > 0 && threshold <= 1,

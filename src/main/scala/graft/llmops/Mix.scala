@@ -267,6 +267,12 @@ object Mix {
   /** Hash-order bucket width for [[tokenBudgetSample]]'s prefix sum: the
     * 60-bit hash space splits into 2^8 buckets, so phase-1 window tasks
     * are bounded by a bucket, never by a hot source. */
+  /** Id-domain audit (r13): every `_h div 2^52` bucket split in this
+    * file operates on [[Hashing.md5Long]] values, which are 60-bit
+    * NON-NEGATIVE by construction (15 hex chars of the digest) — the
+    * quotient is always in [0, 255] and the packing needs no runtime
+    * guard, unlike user-supplied ids (see operators/Triangles, which
+    * checks its domain because callers pass arbitrary longs). */
   private val BudgetBucketShift = 52
 
   /** Sample each source down to a TOKEN budget — mixtures are specified

@@ -135,6 +135,9 @@ object Pack {
     val bucketExpr = bounds.reverse.foldLeft(lit("binf")) { (acc, b) =>
       when(col("n_tokens") <= b, lit(s"b$b")).otherwise(acc)
     }
+    // _h is md5Long: 60-bit non-negative by construction, so the
+    // div-2^52 bucket is always 0..255 — no id-domain guard needed
+    // (r13 packed-key audit; contrast operators/Triangles)
     val withBucket = base.withColumn("len_bucket", bucketExpr)
       .withColumn("_hb", expr(s"_h div ${1L << 52}"))
       .withColumn("_one", lit(1L))
