@@ -61,6 +61,9 @@ object SparkEntry {
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
       graft.operators.Attribution.queries ++
+      graft.operators.BasketGraph.queries ++
+      graft.operators.Modularity.queries ++
+      graft.operators.ChangePoint.queries ++
       graft.operators.RangeJoin.queries ++
       graft.operators.Sketch.queries
 
@@ -109,6 +112,9 @@ object SparkEntry {
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++
       graft.operators.Attribution.oracleSql ++
+      graft.operators.BasketGraph.oracleSql ++
+      graft.operators.Modularity.oracleSql ++
+      graft.operators.ChangePoint.oracleSql ++
       graft.operators.RangeJoin.oracleSql ++
       graft.operators.Sketch.oracleSql
 }

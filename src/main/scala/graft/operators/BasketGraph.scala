@@ -125,4 +125,39 @@ object BasketGraph {
         (col("b.w") + coalesce(col("e.w"), lit(0L))).as("w"))
     wh.mergeInto(dataset, table, merged, Seq("src", "dst"))
   }
+
+  // ----------------------------------------------------------------- query
+
+  /** Incremental artifact maintenance, oracle-gated end to end: half the
+    * orders build the warehouse edge table, the other half lands via
+    * [[appendOrders]] (batch rollup + keyed merge with `w` summed), and
+    * the read-back table must hash-equal the full from-scratch rollup —
+    * a lost or double-counted weight anywhere in the merge algebra
+    * breaks the gate. */
+  def qEdgesIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_bg").toString)
+    val pp = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    wh.overwrite("graph", "edges", rollup(pp.filter(col("o") % 2 === 0)))
+    appendOrders(wh, "graph", "edges", pp.filter(col("o") % 2 === 1))
+    wh.read("graph", "edges").select(col("src"), col("dst"), col("w"))
+  }
+
+  val qEdgesIncrementalSql: String =
+    """WITH pp AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+      |SELECT a.p AS src, b.p AS dst, CAST(count(*) AS BIGINT) AS w
+      |FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_edges_incremental" -> (qEdgesIncremental _))
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_edges_incremental" -> qEdgesIncrementalSql)
 }
