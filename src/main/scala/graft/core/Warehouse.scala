@@ -1233,6 +1233,140 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     MergeResult(matched, srcRows, hits.map(_.partition).distinct.sorted, prunedN)
   }
 
+  /** Merge-on-read whole-row UPSERT — [[mergeInto]]'s semantics at
+    * [[deleteWhereMor]]'s cost: matched target rows are MASKED by a
+    * positional deletion vector (never rewritten) and the landed source
+    * fragment serves both the updated and the inserted rows, so the
+    * write bill is the source fragment plus a KB-sized vector — a
+    * 100-row upsert against a TB-scale clustered table costs 100 rows,
+    * not the hit fragments' rewrite. Same landing/NULL-key/zone-bound
+    * phases as mergeInto; the capture job reads candidates through
+    * their EXISTING masks (a row upserted twice masks once); CAS
+    * identity is (path, dv) like every MoR commit. compact() later
+    * materializes the masks and re-clusters the landed rows. */
+  def mergeIntoMor(dataset: String, table: String, source: DataFrame,
+                   keys: Seq[String]): MergeResult = {
+    require(keys.nonEmpty, "mergeIntoMor needs at least one key column")
+    val m = meta(dataset, table)
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    val srcFrag = lg.newFragmentDir()
+    val srcEntries: Seq[SnapshotLog.Entry] = m.partitionField match {
+      case Some(field) =>
+        partitionedWrite(source, field, srcFrag)
+        enforceConstraints(m, srcFrag, Some(source.schema))
+        val es = hiveEntries(dataset, table, srcFrag, field)
+        recordStats(dataset, table, es, Some(field))
+        es
+      case None =>
+        source.write.mode("overwrite").parquet(srcFrag.toString)
+        enforceConstraints(m, srcFrag, Some(source.schema))
+        val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag)))
+        recordStats(dataset, table, es, None)
+        es
+    }
+    def abandonSource(): Unit = {
+      deleteRecursive(srcFrag)
+      srcEntries.foreach(s =>
+        Files.deleteIfExists(ZoneMaps.statsPath(td, s.path)))
+    }
+    val src = spark.read.parquet(srcFrag.toString)
+    val keyCols = keys.map(col)
+    val srcRows =
+      try {
+        require(src.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
+          s"mergeIntoMor source has NULL in key column(s) ${keys.mkString(", ")}")
+        src.count()
+      } catch { case e: Throwable => abandonSource(); throw e }
+    val bounds = src.agg(
+      keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"))).head,
+      keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"))).tail: _*)
+      .head()
+    val pred =
+      if (srcRows == 0) lit(false)
+      else keys.map(k => col(k).between(
+        lit(bounds.getAs[Any](s"_mn_$k")), lit(bounds.getAs[Any](s"_mx_$k"))))
+        .reduce(_ && _)
+    // the source's own entries are not merge targets: restrict planning
+    // to the entries live BEFORE this merge
+    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+      resolvedPred(dataset, table, cur, pred))
+    val prunedN = cur.entries.size - candidates.size
+    val srcKeys = src.select(keyCols: _*).distinct()
+
+    if (candidates.isEmpty) {
+      // pure insert: the landed fragment joins the table, no masks
+      try {
+        lg.commitWithSchema("merge", cur2 =>
+          cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty) ++ srcEntries,
+          cur2 => Some(unionWithCurrent(dataset, table, cur2, src.schema).toDDL))
+      } catch { case e: Throwable => abandonSource(); throw e }
+      return MergeResult(0L, srcRows, Seq.empty, prunedN)
+    }
+
+    // capture MATCHED positions (existing masks applied) in one job
+    val renames = renameMap(m, cur.schemaDdl.map(StructType.fromDDL))
+    val tagged = candidates.map { e =>
+      val t = readEntryTagged(dataset, table, e, renames, filesOf)
+      cur.schemaDdl.map(StructType.fromDDL) match {
+        case Some(sch) =>
+          val present = t.columns.toSet
+          t.select(sch.fields.toSeq.map(f =>
+            if (present(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)) ++
+            Seq(col(TagEntry), col(TagFile), col(TagPos)): _*)
+        case None => t
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val stage = lg.newFragmentDir()
+    tagged.join(srcKeys, keys, "left_semi").select(
+      col(TagEntry).as("entry"), col(TagFile).as("file"), col(TagPos).as("pos"))
+      .write.mode("overwrite").parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString)
+    val counts: Map[String, Long] = staged.groupBy(col("entry"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hits = candidates.filter(e => counts.getOrElse(e.path, 0L) > 0L)
+    val matched = counts.values.sum
+    val hitPaths = hits.map(_.path).toSet
+    val dvRelOpt: Option[String] =
+      if (hits.isEmpty) { deleteRecursive(stage); None }
+      else {
+        val prior = hits.flatMap(_.dv).distinct.map(rel =>
+          spark.read.parquet(td.resolve(rel).toString)
+            .filter(col("entry").isin(hitPaths.toSeq: _*)))
+        val dvDir = td.resolve("_dv").resolve(stage.getFileName.toString)
+        (staged.filter(col("entry").isin(hitPaths.toSeq: _*)) +: prior)
+          .reduce(_.unionByName(_))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(dvDir.toString)
+        deleteRecursive(stage)
+        Some(relativize(dataset, table, dvDir))
+      }
+    val dvOf: Map[String, Option[String]] = hits.map(e => e.path -> e.dv).toMap
+    try {
+      lg.commitWithSchema("merge", cur2 => {
+        val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+        val liveById = live.map(e => e.path -> e.dv).toMap
+        val gone = hitPaths.filter(p => !liveById.get(p).contains(dvOf(p)))
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"mergeIntoMor on $dataset.$table lost a race: fragment(s) " +
+            s"${gone.mkString(", ")} were rewritten or re-deleted " +
+            "concurrently; retry the merge")
+        live.map(e =>
+          if (hitPaths(e.path)) e.copy(dv = dvRelOpt) else e) ++ srcEntries
+      }, cur2 => Some(unionWithCurrent(dataset, table, cur2, src.schema).toDDL))
+    } catch {
+      case e: Throwable =>
+        dvRelOpt.foreach(rel => deleteRecursive(td.resolve(rel)))
+        abandonSource()
+        throw e
+    }
+    MergeResult(matched, srcRows, hits.map(_.partition).distinct.sorted, prunedN)
+  }
+
   private def readCommit(dataset: String, table: String, c: SnapshotLog.Commit): DataFrame =
     readEntries(dataset, table, c.entries, c.schemaDdl)
 

@@ -330,6 +330,46 @@ object EngineQueries {
       |       count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 2""".stripMargin
 
+  // ------------------------------------------------------ q67 MoR merge
+
+  /** Merge-on-read UPSERT (q59's exact fixture and phases through
+    * `mergeIntoMor`): matched rows MASK via a deletion vector, the
+    * landed source fragment serves updates + inserts, and NO target
+    * fragment is rewritten — gated here (entry paths unchanged, exactly
+    * one entry gains a vector, zone-prune still 2), with both phases
+    * hash-checked against q59's own oracle. */
+  def q67MergeDv(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_mdv"))
+    val orders = Tables.load(spark, dir, "orders")
+    val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val k = col("o_orderkey")
+    wh.overwrite("mart", "omdv", orders.filter(k * 3 <= mx))
+    wh.append("mart", "omdv", orders.filter(k * 3 > mx && k * 3 <= 2 * mx))
+    wh.append("mart", "omdv", orders.filter(k * 3 > 2 * mx))
+    val before = wh.log("mart", "omdv").latest.get.entries.map(_.path)
+    val top = orders.filter(k * 3 > 2 * mx)
+    val source = top.filter(k % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(top.filter(k % 10 === 1)
+        .withColumn("o_orderkey", k + mx))
+    val r = wh.mergeIntoMor("mart", "omdv", source, Seq("o_orderkey"))
+    require(r.pruned == 2,
+      s"source key bounds must zone-prune the two low fragments, pruned=${r.pruned}")
+    require(r.matchedRows > 0 && r.sourceRows > r.matchedRows,
+      s"fixture must exercise both update and insert: $r")
+    val after = wh.log("mart", "omdv").latest.get.entries
+    require(after.map(_.path).take(before.size) == before,
+      "merge-on-read must not rewrite any target fragment")
+    require(after.count(_.dv.isDefined) == 1,
+      s"exactly the hit fragment must carry a vector: $after")
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(phase).as("phase"), col("status"), col("n"), col("total"))
+    agg(wh.read("mart", "omdv"), "post_merge")
+      .unionAll(agg(wh.readVersion("mart", "omdv", 3), "pre_merge_v3"))
+  }
+
   // ---------------------------------------------------------- q61 cdc feed
 
   /** Change-data-feed from the commit log, end to end: orders land as an
@@ -1029,6 +1069,7 @@ object EngineQueries {
     "q53_compact" -> (q53Compact _),
     "q57_delete" -> (q57Delete _),
     "q66_delete_dv" -> (q66DeleteDv _),
+    "q67_merge_dv" -> (q67MergeDv _),
     "q59_merge" -> (q59Merge _),
     "q61_cdc_feed" -> (q61CdcFeed _),
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
@@ -1058,6 +1099,8 @@ object EngineQueries {
     "q53_compact" -> q53Sql,
     "q57_delete" -> q57Sql,
     "q66_delete_dv" -> q66Sql,
+    // MoR merge must equal the rewrite merge's oracle exactly
+    "q67_merge_dv" -> q59Sql,
     "q59_merge" -> q59Sql,
     "q61_cdc_feed" -> q61Sql,
     "q21_build" -> q21Sql,

@@ -161,6 +161,58 @@ class DeletionVectorSpec extends AnyFunSuite {
       === Seq((1, "a"), (4, "D"), (9, "i")))
   }
 
+  test("mergeIntoMor: upsert masks matched rows + lands the source; no rewrite; composes with compact and CDC") {
+    val (wh, _) = freshWh()
+    wh.overwrite("d", "mm", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val before = wh.log("d", "mm").latest.get.entries.map(_.path)
+    val r = wh.mergeIntoMor("d", "mm",
+      Seq((2, "B"), (9, "i")).toDF("id", "v"), Seq("id"))
+    assert(r.matchedRows === 1L && r.sourceRows === 2L)
+    val after = wh.log("d", "mm").latest.get.entries
+    // original fragment kept (masked), source fragment appended
+    assert(after.map(_.path).take(before.size) === before)
+    assert(after.size === before.size + 1)
+    assert(after.head.dv.isDefined && after.last.dv.isEmpty)
+    assert(wh.read("d", "mm").orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getString(1))).toSeq
+      === Seq((1, "a"), (2, "B"), (3, "c"), (9, "i")))
+    // upserting the same key AGAIN: the first source fragment is now a
+    // target; its row masks and the newer row wins
+    wh.mergeIntoMor("d", "mm", Seq((2, "BB")).toDF("id", "v"), Seq("id"))
+    assert(wh.read("d", "mm").filter(col("id") === 2)
+      .collect().map(_.getString(1)).toSeq === Seq("BB"))
+    // CDC across the merge: delete side = the OLD row images,
+    // insert side = the landed source rows
+    val ch = wh.changesBetween("d", "mm", 1, 2)
+    assert(ch.filter(col("_change_type") === "delete")
+      .collect().map(x => (x.getInt(0), x.getString(1))).toSet === Set((2, "b")))
+    assert(ch.filter(col("_change_type") === "insert")
+      .collect().map(x => (x.getInt(0), x.getString(1))).toSet
+      === Set((2, "B"), (9, "i")))
+    // time travel + compact
+    assert(wh.readVersion("d", "mm", 1).count() === 3L)
+    wh.compact("d", "mm")
+    assert(wh.log("d", "mm").latest.get.entries.forall(_.dv.isEmpty))
+    assert(wh.read("d", "mm").orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getString(1))).toSeq
+      === Seq((1, "a"), (2, "BB"), (3, "c"), (9, "i")))
+  }
+
+  test("mergeIntoMor: pure insert (no key overlap) just appends; NULL source key rejects orphan-free") {
+    val (wh, _) = freshWh()
+    wh.overwrite("d", "mi", Seq((1, "a")).toDF("id", "v"))
+    val r = wh.mergeIntoMor("d", "mi", Seq((5, "x")).toDF("id", "v"), Seq("id"))
+    assert(r.matchedRows === 0L && r.sourceRows === 1L)
+    assert(wh.read("d", "mi").count() === 2L)
+    assert(wh.log("d", "mi").latest.get.entries.forall(_.dv.isEmpty))
+    intercept[IllegalArgumentException] {
+      wh.mergeIntoMor("d", "mi",
+        Seq((Option.empty[Int], "bad")).toDF("id", "v"), Seq("id"))
+    }
+    assert(wh.orphanFiles("d", "mi", graceMillis = 0L).isEmpty)
+    assert(wh.read("d", "mi").count() === 2L)
+  }
+
   test("copy/restore MATERIALIZE vectors; the copy is independent and clean") {
     val (wh, _) = freshWh()
     wh.overwrite("d", "src", spark.range(100).toDF("id"))
