@@ -1001,6 +1001,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       candidates.size - hits.size)
   }
 
+  /** Deletion-vector debt: (entry path, masked positions) for every
+    * masked entry in the latest commit — the read-tax diagnostic behind
+    * [[compact]]'s dv trigger. Cost: one KB-sized vector read per
+    * masked entry; entries without vectors never appear. */
+  def dvDebt(dataset: String, table: String): Seq[(String, Long)] = {
+    val cur = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    cur.entries.filter(_.dv.isDefined).map { e =>
+      e.path -> spark.read.parquet(td.resolve(e.dv.get).toString)
+        .filter(col("entry") === e.path).count()
+    }
+  }
+
   // ------------------------------------------------- metadata diagnostics
 
   /** Schema evolution audit between two commit versions: one row per
@@ -1717,7 +1731,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       val nFiles = stats.map(_._1).sum
       val bytes = stats.map(_._2).sum
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-      if (nFiles > nOut) Some((part, es, nOut.toInt)) else None
+      // deletion-vector DEBT is a compaction trigger of its own: a
+      // masked entry pays an anti-join on every read until its vector
+      // is materialized away, and file counts alone would never elect a
+      // single-file fragment whose mask keeps growing
+      if (nFiles > nOut || es.exists(_.dv.isDefined))
+        Some((part, es, nOut.toInt))
+      else None
     }.toSeq.sortBy(_._1)
     if (plan.isEmpty) return Seq.empty
     val frag = lg.newFragmentDir()

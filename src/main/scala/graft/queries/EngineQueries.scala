@@ -370,6 +370,86 @@ object EngineQueries {
       .unionAll(agg(wh.readVersion("mart", "omdv", 3), "pre_merge_v3"))
   }
 
+  // ------------------------------------------------- q68 stream MoR merge
+
+  /** Streaming CDC-apply through the merge-on-read sink: two
+    * time-ordered update batches land as a REAL file stream
+    * (maxFilesPerTrigger=1 — one micro-batch per file, mtimes pin the
+    * order) and each micro-batch applies via [[Warehouse.mergeIntoMor]],
+    * so the standing table absorbs a continuous upsert feed at
+    * vector cost — no fragment rewrite per batch, cross-batch
+    * last-writer-wins exact (batch 2 overrides batch 1 where keys
+    * overlap, which only holds if batch 1's mask actually applied
+    * before batch 2's capture). The final state hash-checks against the
+    * declarative last-writer-wins oracle. */
+  def q68StreamMergeDv(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val wh = new Warehouse(spark, scratch("graft_smdv"))
+    val orders = Tables.load(spark, dir, "orders")
+    wh.overwrite("mart", "so", orders)
+    val seedPaths = wh.log("mart", "so").latest.get.entries.map(_.path)
+    val k = col("o_orderkey")
+    val landing = scratch("graft_smdv_land")
+    def stage(df: DataFrame, name: String, mtimeMillis: Long): Unit = {
+      val tmp = scratch("graft_smdv_half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(landing, name)
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    // batch 1: keys %10=0 doubled; batch 2 OVERRIDES %20=0 with tripled
+    // and inserts shifted copies of %10=1 keys
+    val mx = orders.agg(max(k)).head().getLong(0)
+    stage(orders.filter(k % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2),
+      "0001.parquet", t0)
+    stage(orders.filter(k % 20 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .unionByName(orders.filter(k % 10 === 1)
+        .withColumn("o_orderkey", k + mx)),
+      "0002.parquet", t0 + 60000L)
+    val schema = spark.read.parquet(landing).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+      .writeStream
+      .option("checkpointLocation", scratch("graft_smdv_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          wh.mergeIntoMor("mart", "so", batch, Seq("o_orderkey"))
+          ()
+        }
+      }.start()
+    q.awaitTermination()
+    val entries = wh.log("mart", "so").latest.get.entries
+    require(entries.map(_.path).take(seedPaths.size) == seedPaths,
+      "the streaming merge sink must never rewrite a standing fragment")
+    require(entries.exists(_.dv.isDefined),
+      "the update batches must have landed as deletion vectors")
+    wh.read("mart", "so")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  /** Last-writer-wins across the two batches, declaratively. */
+  val q68Sql: String =
+    """WITH final AS (
+      |  SELECT o_orderstatus,
+      |         CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 3
+      |              WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+      |              ELSE o_totalprice END AS p
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice AS p
+      |  FROM orders WHERE o_orderkey % 10 = 1)
+      |SELECT o_orderstatus AS status, count(*) AS n,
+      |       round(sum(p), 2) AS total
+      |FROM final GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------- q61 cdc feed
 
   /** Change-data-feed from the commit log, end to end: orders land as an
@@ -1070,6 +1150,7 @@ object EngineQueries {
     "q57_delete" -> (q57Delete _),
     "q66_delete_dv" -> (q66DeleteDv _),
     "q67_merge_dv" -> (q67MergeDv _),
+    "q68_stream_merge_dv" -> (q68StreamMergeDv _),
     "q59_merge" -> (q59Merge _),
     "q61_cdc_feed" -> (q61CdcFeed _),
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
@@ -1101,6 +1182,7 @@ object EngineQueries {
     "q66_delete_dv" -> q66Sql,
     // MoR merge must equal the rewrite merge's oracle exactly
     "q67_merge_dv" -> q59Sql,
+    "q68_stream_merge_dv" -> q68Sql,
     "q59_merge" -> q59Sql,
     "q61_cdc_feed" -> q61Sql,
     "q21_build" -> q21Sql,

@@ -144,6 +144,23 @@ class DeletionVectorSpec extends AnyFunSuite {
       "expired deletion vectors must be vacuumed")
   }
 
+  test("dv debt is a compaction trigger of its own: a single-file masked fragment compacts clean; dvDebt reports the tax") {
+    val (wh, _) = freshWh()
+    // ONE fragment, one file — the file-count trigger alone would never
+    // elect it; the vector must
+    wh.overwrite("d", "dbt", spark.range(1000).coalesce(1).toDF("id"))
+    wh.deleteWhereMor("d", "dbt", col("id") % 10 === 0)
+    assert(wh.dvDebt("d", "dbt") ===
+      Seq(wh.log("d", "dbt").latest.get.entries.head.path -> 100L))
+    val compacted = wh.compact("d", "dbt")
+    assert(compacted === Seq(""), s"masked fragment must compact: $compacted")
+    assert(wh.log("d", "dbt").latest.get.entries.forall(_.dv.isEmpty))
+    assert(wh.dvDebt("d", "dbt").isEmpty)
+    assert(wh.read("d", "dbt").count() === 900L)
+    // and a clean single-file fragment is still LEFT ALONE
+    assert(wh.compact("d", "dbt").isEmpty)
+  }
+
   test("CoW deleteWhere and mergeInto COMPOSE with a standing vector (mask applied, then dropped)") {
     val (wh, _) = freshWh()
     wh.overwrite("d", "mix", Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"))
