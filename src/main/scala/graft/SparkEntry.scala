@@ -58,6 +58,7 @@ object SparkEntry {
       graft.llmops.Dsir.queries ++
       graft.llmops.ProductQuant.queries ++
       graft.llmops.BpeTrain.queries ++
+      graft.llmops.Bitext.queries ++
       graft.materialize.DataTests.queries ++
       graft.operators.AsOfJoin.queries ++
       graft.operators.Attribution.queries ++
@@ -109,6 +110,7 @@ object SparkEntry {
       graft.llmops.Dsir.oracleSql ++
       graft.llmops.ProductQuant.oracleSql ++
       graft.llmops.BpeTrain.oracleSql ++
+      graft.llmops.Bitext.oracleSql ++
       graft.materialize.DataTests.oracleSql ++
       graft.operators.AsOfJoin.oracleSql ++
       graft.operators.Attribution.oracleSql ++

@@ -447,4 +447,44 @@ class SimilaritySpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
     assert(trained === got)
   }
+
+  test("bitext mining: margin demands a DISTINGUISHED match; hubs with two close targets are rejected") {
+    import spark.implicits._
+    // synthetic embedding space (dim 64): target A along e0, target B at
+    // ~cos 0.9 to A, target C along e1 (orthogonal to both-ish).
+    // src 100 (lang de) sits on A exactly -> best=A cos 1.0, second=B
+    // cos ~0.9 -> margin ~0.1 = 1000 e4-units: ACCEPTED.
+    // src 101 (lang fr) sits exactly BETWEEN A and B -> two near-equal
+    // candidates, margin ~0: REJECTED by the margin even though the
+    // cosine floor passes.
+    // src 102 (lang zh) sits on C -> cos to A/B ~0: REJECTED by floor.
+    def vec(parts: (Int, Double)*): Array[Float] = {
+      val v = Array.fill(graft.llmops.Similarity.Dim)(0.001f)
+      parts.foreach { case (i, x) => v(i) = x.toFloat }
+      v
+    }
+    val a = vec(0 -> 1.0)
+    val b = vec(0 -> 0.9, 2 -> 0.436) // cos(a,b) ~ 0.9
+    val cVec = vec(1 -> 1.0)
+    val mid = vec(0 -> 0.95, 2 -> 0.218)
+    val emb = Seq(
+      (1L, a.toSeq, 0), (2L, b.toSeq, 0), (3L, cVec.toSeq, 0),
+      (100L, a.toSeq, 0), (101L, mid.toSeq, 0), (102L, cVec.map(-_).toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"),
+      (100L, "de"), (101L, "fr"), (102L, "zh"))
+      .toDF("doc_id", "lang")
+    val got = graft.llmops.Bitext.mineBitext(docs, emb,
+        minCosE4 = 5000L, minMarginE4 = 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((100L, "de", 1L)),
+      s"only the distinguished match may mine: $got")
+    // with the margin relaxed, the ambiguous src mines too (to its
+    // deterministically tie-broken best)
+    val loose = graft.llmops.Bitext.mineBitext(docs, emb,
+        minCosE4 = 5000L, minMarginE4 = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose === Set(100L, 101L), s"got $loose")
+  }
 }
