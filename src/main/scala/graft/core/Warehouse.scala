@@ -743,7 +743,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   /** Two-level prune: (entries to read, per-entry kept-file overrides).
-    * Entries whose every file prunes drop out entirely. */
+    * Entries whose every file prunes drop out entirely. Zone verdicts
+    * (range) and Bloom verdicts (equality/IN on unclustered columns —
+    * see [[BloomIndex]]) INTERSECT per file: a file survives only if
+    * both say "may match"; either sidecar absent ⇒ that side keeps
+    * everything (skipping is an optimization, never a gate). */
   private def planFiles(dataset: String, table: String,
                         entries: Seq[SnapshotLog.Entry],
                         resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -754,16 +758,66 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case None => (scan, Map.empty)
       case Some(expr) =>
         val kept = scan.map { e =>
-          val files = ZoneMaps.read(td, e.path)
-            .flatMap(st => ZoneMaps.pruneFiles(st, expr))
-            .map { case (keep, _) =>
-              keep.map(f => td.resolve(e.path).resolve(f).toString)
-            }
+          val zoneKeep: Option[Seq[String]] = ZoneMaps.read(td, e.path)
+            .flatMap(st => ZoneMaps.pruneFiles(st, expr)).map(_._1)
+          val bloom = BloomIndex.read(td, e.path)
+          // the file universe comes from zone file-stats when present,
+          // else (bloom-only) from the entry dir itself; neither ⇒ scan
+          // the whole dir as before
+          val names: Option[Seq[String]] = zoneKeep.orElse(
+            bloom.map(_ => diskParquetNames(td.resolve(e.path))))
+          val files = names.map(_.filter(f =>
+            bloom.forall(b => BloomIndex.mayMatchFile(expr, b, f))))
+            .map(_.map(f => td.resolve(e.path).resolve(f).toString))
           e -> files
         }
         val surviving = kept.filter { case (_, files) => files.forall(_.nonEmpty) }
         (surviving.map(_._1),
           surviving.collect { case (e, Some(fs)) => e.path -> fs }.toMap)
+    }
+  }
+
+  private def diskParquetNames(dir: Path): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val ls = Files.list(dir)
+    try ls.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(_.getFileName.toString).toSeq.sorted
+    finally ls.close()
+  }
+
+  /** Build per-file Bloom sidecars over `cols` for every entry of the
+    * latest commit — the explicit index pass behind point-lookup data
+    * skipping on columns the layout does not cluster (a date-partitioned
+    * events table probed by `user_id = X`). One distributed pass per
+    * entry; per-file capacity comes from the zone sidecar's row counts
+    * when available. Returns the entry paths indexed. Fragments are
+    * immutable, so an index never goes stale — rewrites (compact/
+    * delete/merge) produce NEW entries that are simply unindexed until
+    * the next pass. */
+  def analyzeBloom(dataset: String, table: String, cols: Seq[String],
+                   fpp: Double = 0.01): Seq[String] = {
+    require(cols.nonEmpty, "analyzeBloom needs at least one column")
+    val cur = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    cur.entries.flatMap { e =>
+      val dir = td.resolve(e.path)
+      val names = diskParquetNames(dir)
+      if (names.isEmpty) None
+      else {
+        val df = spark.read.parquet(dir.toString)
+        val expected = ZoneMaps.read(td, e.path) match {
+          case Some(st) if st.files.nonEmpty =>
+            math.max(64L, st.files.values.map(_.rows).max)
+          case Some(st) => math.max(64L, st.rows / names.size)
+          case None => 100000L
+        }
+        val blooms = BloomIndex.build(df, cols, expected, fpp)
+        if (blooms.cols.isEmpty) None
+        else { BloomIndex.write(td, e.path, blooms); Some(e.path) }
+      }
     }
   }
 

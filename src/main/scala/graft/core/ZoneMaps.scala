@@ -311,7 +311,8 @@ object ZoneMaps {
   def vacuumStats(tableDir: Path, liveEntryPaths: Set[String]): Unit = {
     val dir = tableDir.resolve("_stats")
     if (!Files.isDirectory(dir)) return
-    val liveFiles = liveEntryPaths.map(p => sanitize(p) + ".json")
+    val liveFiles = liveEntryPaths.flatMap(p =>
+      Seq(sanitize(p) + ".json", sanitize(p) + ".bloom"))
     val ls = Files.list(dir)
     try ls.iterator().asScala.toSeq
       .filterNot(p => liveFiles(p.getFileName.toString))

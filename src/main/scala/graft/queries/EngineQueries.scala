@@ -450,6 +450,44 @@ object EngineQueries {
       |       round(sum(p), 2) AS total
       |FROM final GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ q69 bloom skip
+
+  /** Point-lookup data skipping on an UNCLUSTERED column via per-file
+    * Bloom sidecars: events land as one fragment per event_type (so
+    * event ids are scattered across fragments — zone ranges all overlap
+    * and range pruning is useless for an id probe), `analyzeBloom`
+    * indexes `event_id`, and the probe for one id must (a) open at most
+    * half the files (require-gated — on this layout the id lives in
+    * exactly one fragment) and (b) return exactly the unpruned rows,
+    * hash-checked. The GDPR-lookup shape [[Warehouse.deleteWhereMor]]
+    * inherits, since deletes plan through the same file pruning. */
+  def q69BloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_bloom"))
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    wh.overwrite("mart", "ebx", ev.filter(col("event_type") === types.head))
+    types.tail.foreach(t =>
+      wh.append("mart", "ebx", ev.filter(col("event_type") === t)))
+    wh.analyzeBloom("mart", "ebx", Seq("event_id"))
+    val target = ev.agg(min(col("event_id"))).head().getLong(0)
+    val probe = col("event_id") === target
+    val (scanned, total) = wh.scanFootprint("mart", "ebx", probe)
+    require(total >= types.size,
+      s"fixture must land one fragment per type, total files $total")
+    require(scanned * 2 <= total,
+      s"bloom must skip at least half the files: $scanned of $total")
+    wh.readWhere("mart", "ebx", probe)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+  }
+
+  val q69Sql: String =
+    """SELECT event_id, user_id, event_type, round(value, 2) AS value
+      |FROM events
+      |WHERE event_id = (SELECT min(event_id) FROM events)""".stripMargin
+
   // ---------------------------------------------------------- q61 cdc feed
 
   /** Change-data-feed from the commit log, end to end: orders land as an
@@ -1151,6 +1189,7 @@ object EngineQueries {
     "q66_delete_dv" -> (q66DeleteDv _),
     "q67_merge_dv" -> (q67MergeDv _),
     "q68_stream_merge_dv" -> (q68StreamMergeDv _),
+    "q69_bloom_skip" -> (q69BloomSkip _),
     "q59_merge" -> (q59Merge _),
     "q61_cdc_feed" -> (q61CdcFeed _),
     "q51_stream_left_join" -> (q51StreamLeftJoin _),
@@ -1183,6 +1222,7 @@ object EngineQueries {
     // MoR merge must equal the rewrite merge's oracle exactly
     "q67_merge_dv" -> q59Sql,
     "q68_stream_merge_dv" -> q68Sql,
+    "q69_bloom_skip" -> q69Sql,
     "q59_merge" -> q59Sql,
     "q61_cdc_feed" -> q61Sql,
     "q21_build" -> q21Sql,
