@@ -73,7 +73,24 @@ object LabelProp {
     * pairs, and Catalyst reuses the aggregate's exchange for both
     * directions). */
   def qLabelProp(spark: SparkSession, dir: String): DataFrame =
-    labelPropagation(BasketGraph.mirroredEdges(spark, dir))
+    basketLabels(spark, dir)
+
+  // in-process memo of the STAGED basket-community labels, the
+  // [[BasketGraph.halfEdges]] pattern one level up: label propagation is
+  // a pure function of the staged edge artifact, and two consumers
+  // (qLabelProp itself and [[Modularity.qModularity]]) need the same
+  // labels — built once per (session, corpus), served staged
+  private val labelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The 3-round LPA communities over the basket graph, staged once per
+    * (session, corpus dir). */
+  def basketLabels(spark: SparkSession, dir: String): DataFrame =
+    labelMemo.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir",
+      _ => labelPropagation(BasketGraph.mirroredEdges(spark, dir))
+        .localCheckpoint(true))
+
+  private[operators] def invalidate(): Unit = labelMemo.clear()
 
   val qLabelPropSql: String =
     s"""WITH pp AS MATERIALIZED (

@@ -69,10 +69,9 @@ object Modularity {
 
   /** Modularity of the 3-round LPA communities over the co-purchase
     * basket graph — both stages consume the [[BasketGraph]] artifact. */
-  def qModularity(spark: SparkSession, dir: String): DataFrame = {
-    val edges = BasketGraph.mirroredEdges(spark, dir)
-    modularity(edges, LabelProp.labelPropagation(edges))
-  }
+  def qModularity(spark: SparkSession, dir: String): DataFrame =
+    modularity(BasketGraph.mirroredEdges(spark, dir),
+      LabelProp.basketLabels(spark, dir))
 
   /** The label CTEs are [[LabelProp.qLabelPropSql]]'s; the modularity
     * algebra restates the integer form declaratively. */
