@@ -570,6 +570,41 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         allowMissingColumns = true)
   }
 
+  /** The rows APPENDED between two versions, iff the whole span is
+    * append-only: every `v1` entry must survive to `v2` with an identical
+    * (partition, path, dv) triple. Returns `None` the moment anything was
+    * removed, rewritten, or newly masked in the span (overwrite, delete,
+    * compact, merge, a MoR vector swap on a pre-existing fragment) — an
+    * incremental consumer's `state(v1) + delta` identity no longer holds
+    * and it must rebuild.
+    *
+    * New entries MAY carry their own deletion vector (rows appended and
+    * then MoR-deleted within the span): their masked read is exactly the
+    * net contribution, so the identity survives. Reads the delta under
+    * `v2`'s pinned schema (renames/padding handled by the normal entry
+    * reader).
+    *
+    * Scale: the manifest comparison is metadata-only; the returned frame
+    * scans ONLY the delta fragments — refresh cost is O(new data), never
+    * O(table). This is the primitive [[AggView.refresh]] builds on. */
+  def appendedBetween(dataset: String, table: String,
+                      v1: Int, v2: Int): Option[DataFrame] = {
+    require(v1 <= v2, s"need v1 <= v2, got $v1 > $v2")
+    val lg = log(dataset, table)
+    def entriesOf(v: Int) = lg.version(v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v of $dataset.$table"))
+    val (a, b) = (entriesOf(v1), entriesOf(v2))
+    if (a.isDrop || b.isDrop) return None
+    val bByPath = b.entries.map(e => e.path -> e).toMap
+    val appendOnly = a.entries.forall(e => bByPath.get(e.path).contains(e))
+    if (!appendOnly) None
+    else {
+      val aPaths = a.entries.map(_.path).toSet
+      val delta = b.entries.filterNot(e => aPaths(e.path))
+      Some(readEntries(dataset, table, delta, b.schemaDdl))
+    }
+  }
+
   /** Manifest-level partition pruning: read only the named partitions —
     * no file listing outside them. */
   def readPartitions(dataset: String, table: String, partitions: Seq[String]): DataFrame = {

@@ -1168,7 +1168,74 @@ object EngineQueries {
         expr("(n * 10000) div n_from").as("p_bp"))
   }
 
+  // --------------------------------------------------- q70 incremental MV
+
+  /** Incrementally-maintained materialized aggregate view, end to end
+    * ([[graft.core.AggView]]): orders land in three date phases; the view
+    * (count/sum/min/max by priority×status) is built on phase 1 and
+    * REFRESHED — not rebuilt — after each append. Gates:
+    *  - both refreshes must report `incremental` mode (the O(new data)
+    *    fast path produced the numbers the oracle hashes — a silent
+    *    fallback to full rebuild fails the require, not just the clock);
+    *  - the `incr` phase reads the MV state assembled purely from
+    *    partial-aggregate merges and must hash-equal DuckDB's one-shot
+    *    groupBy over ALL orders — the incremental ≡ full identity;
+    *  - a MoR delete then masks pre-existing fragments: the next refresh
+    *    must DETECT the broken state+delta identity and report `full`,
+    *    and the rebuilt view must match DuckDB over the surviving rows.
+    * MV states are snapshot-logged like any table — the `incr` phase is
+    * a time-travel read of MV version 3 taken AFTER the rebuild. */
+  def q70AggView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.AggView
+    import graft.core.AggView.AggSpec
+    val wh = new Warehouse(spark, scratch("graft_mv"))
+    val orders = Tables.load(spark, dir, "orders")
+    wh.overwrite("mart", "omv",
+      orders.filter(col("o_orderdate") < "1996-01-01"))
+    AggView.create(wh, "mart", "omv_by_prio", "mart", "omv",
+      Seq("o_orderpriority", "o_orderstatus"),
+      Seq(AggSpec("n", "count"),
+        AggSpec("total", "sum", "o_totalprice"),
+        AggSpec("first_day", "min", "o_orderdate"),
+        AggSpec("last_day", "max", "o_orderdate")))
+    wh.append("mart", "omv", orders.filter(
+      col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01"))
+    val r1 = AggView.refresh(wh, "mart", "omv_by_prio")
+    require(r1.mode == "incremental",
+      s"append-only span must refresh incrementally, got ${r1.mode}")
+    wh.append("mart", "omv", orders.filter(col("o_orderdate") >= "1997-01-01"))
+    val r2 = AggView.refresh(wh, "mart", "omv_by_prio")
+    require(r2.mode == "incremental",
+      s"append-only span must refresh incrementally, got ${r2.mode}")
+    val del = wh.deleteWhereMor("mart", "omv", col("o_orderkey") % 101 === 0)
+    require(del.deletedRows > 0, "fixture must contain matching delete rows")
+    val r3 = AggView.refresh(wh, "mart", "omv_by_prio")
+    require(r3.mode == "full",
+      s"a masked pre-existing fragment must force a rebuild, got ${r3.mode}")
+    def shape(df: DataFrame, phase: String): DataFrame =
+      df.select(lit(phase).as("phase"),
+        col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"),
+        col("n"), round(col("total"), 2).as("total"),
+        col("first_day"), col("last_day"))
+    shape(wh.readVersion("mart", "omv_by_prio", 3), "incr")
+      .unionAll(shape(wh.read("mart", "omv_by_prio"), "post_delete"))
+  }
+
+  val q70Sql: String =
+    """SELECT 'incr' AS phase, o_orderpriority AS prio,
+      |       o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
+      |FROM orders GROUP BY 2, 3
+      |UNION ALL
+      |SELECT 'post_delete' AS phase, o_orderpriority AS prio,
+      |       o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
+      |FROM orders WHERE o_orderkey % 101 <> 0 GROUP BY 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_aggview" -> (q70AggView _),
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
@@ -1201,6 +1268,7 @@ object EngineQueries {
     "q65_stream_transitions" -> (q65StreamTransitions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q70_aggview" -> q70Sql,
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
