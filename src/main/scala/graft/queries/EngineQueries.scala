@@ -1234,8 +1234,82 @@ object EngineQueries {
       |       min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
       |FROM orders WHERE o_orderkey % 101 <> 0 GROUP BY 2, 3""".stripMargin
 
+  // ------------------------------------------- q71 streaming MV maintenance
+
+  /** Streaming ingest with PER-BATCH incremental MV maintenance — the
+    * production composition of the streaming warehouse sink and
+    * [[graft.core.AggView]]: a file stream lands date-sliced order
+    * batches; each micro-batch appends to the source table and refreshes
+    * the aggregate view from JUST that append (the refresh span is the
+    * one commit the batch created, so its cost is O(micro-batch), never
+    * O(table) — the property that makes per-batch MV maintenance viable
+    * on a 100 TB source). Every refresh is `require`d to report
+    * `incremental`; the drained MV must hash-equal DuckDB's one-shot
+    * groupBy over ALL orders. */
+  def q71StreamAggView(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import graft.core.AggView
+    import graft.core.AggView.AggSpec
+    val wh = new Warehouse(spark, scratch("graft_smv"))
+    val orders = Tables.load(spark, dir, "orders")
+    wh.overwrite("mart", "sosrc",
+      orders.filter(col("o_orderdate") < "1996-01-01"))
+    AggView.create(wh, "mart", "somv", "mart", "sosrc",
+      Seq("o_orderpriority", "o_orderstatus"),
+      Seq(AggSpec("n", "count"),
+        AggSpec("total", "sum", "o_totalprice"),
+        AggSpec("first_day", "min", "o_orderdate"),
+        AggSpec("last_day", "max", "o_orderdate")))
+    val landing = scratch("graft_smv_land")
+    def stage(df: DataFrame, name: String, mtimeMillis: Long): Unit = {
+      val tmp = scratch("graft_smv_half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(landing, name)
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    stage(orders.filter(
+      col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01"),
+      "0001.parquet", t0)
+    stage(orders.filter(col("o_orderdate") >= "1997-01-01"),
+      "0002.parquet", t0 + 60000L)
+    val modes = scala.collection.mutable.ListBuffer.empty[String]
+    val schema = spark.read.parquet(landing).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+      .writeStream
+      .option("checkpointLocation", scratch("graft_smv_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          wh.append("mart", "sosrc", batch)
+          modes += AggView.refresh(wh, "mart", "somv").mode
+          ()
+        }
+      }.start()
+    q.awaitTermination()
+    require(modes.nonEmpty && modes.forall(_ == "incremental"),
+      s"every micro-batch must refresh the MV incrementally, got $modes")
+    wh.read("mart", "somv").select(
+      col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"),
+      col("n"), round(col("total"), 2).as("total"),
+      col("first_day"), col("last_day"))
+  }
+
+  val q71Sql: String =
+    """SELECT o_orderpriority AS prio, o_orderstatus AS status,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_aggview" -> (q70AggView _),
+    "q71_stream_aggview" -> (q71StreamAggView _),
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
@@ -1269,6 +1343,7 @@ object EngineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q70_aggview" -> q70Sql,
+    "q71_stream_aggview" -> q71Sql,
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
