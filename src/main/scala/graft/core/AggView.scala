@@ -50,8 +50,8 @@ object AggView {
                           groupCols: Seq[String], aggs: Seq[AggSpec],
                           refreshedVersion: Int)
 
-  /** `mode` ∈ incremental|full|noop; versions are the source-log span the
-    * refresh folded in. */
+  /** `mode` ∈ incremental|incremental_retract|full|noop; versions are
+    * the source-log span the refresh folded in. */
   final case class RefreshResult(mode: String, fromVersion: Int,
                                  toVersion: Int)
 
@@ -165,11 +165,56 @@ object AggView {
         wh.overwrite(dataset, view, merged)
         RefreshResult("incremental", cfg.refreshedVersion, cur)
       case None =>
-        wh.overwrite(dataset, view,
-          baseAgg(wh.read(cfg.srcDataset, cfg.srcTable), cfg))
-        RefreshResult("full", cfg.refreshedVersion, cur)
+        retractRefresh(wh, dataset, view, cfg, cur) match {
+          case Some(r) => r
+          case None =>
+            wh.overwrite(dataset, view,
+              baseAgg(wh.read(cfg.srcDataset, cfg.srcTable), cfg))
+            RefreshResult("full", cfg.refreshedVersion, cur)
+        }
     }
     writeConfig(wh, dataset, view, cfg.copy(refreshedVersion = cur))
     result
+  }
+
+  /** Non-append spans for RETRACTABLE views (every aggregate count|sum):
+    * fold the CDC feed instead of rebuilding — inserted fragments
+    * contribute positive partials, removed/masked rows negative ones,
+    * and groups whose count retracts to zero drop out. Cost is
+    * O(changed fragments): a CoW delete folds only the rewritten
+    * fragments, a MoR delete only the newly-masked rows, and even a
+    * compaction nets to zero exactly. min/max cannot retract (a deleted
+    * extremum needs a rescan), so views carrying them decline (None →
+    * full rebuild).
+    *
+    * Exactness note: count retraction is exact; sum retraction replays
+    * each removed value with flipped sign, so integer sums are exact and
+    * float sums agree to reassociation (the same tolerance every
+    * unordered float sum in the engine carries). */
+  private def retractRefresh(wh: Warehouse, dataset: String, view: String,
+                             cfg: Config, cur: Int): Option[RefreshResult] = {
+    if (!cfg.aggs.forall(a => a.func == "count" || a.func == "sum")) return None
+    val countCol = cfg.aggs.find(_.func == "count").map(_.out)
+    scala.util.Try {
+      val feed = wh.changesBetween(cfg.srcDataset, cfg.srcTable,
+        cfg.refreshedVersion, cur)
+      val inserts = baseAgg(feed.filter(col("_change_type") === "insert")
+        .drop("_change_type"), cfg)
+      val negated = baseAgg(feed.filter(col("_change_type") === "delete")
+        .drop("_change_type"), cfg)
+        .select(cfg.groupCols.map(col) ++
+          cfg.aggs.map(a => (-col(a.out)).as(a.out)): _*)
+      val merged = mergeAgg(
+        wh.read(dataset, view).unionByName(inserts).unionByName(negated), cfg)
+      // a fully-retracted group must disappear, not linger as a zero row;
+      // without a count column zero-groups are undetectable — require one
+      val cleaned = countCol match {
+        case Some(n) => merged.filter(col(n) > 0)
+        case None => throw new IllegalStateException(
+          "retraction needs a count aggregate to drop emptied groups")
+      }
+      wh.overwrite(dataset, view, cleaned)
+      RefreshResult("incremental_retract", cfg.refreshedVersion, cur)
+    }.toOption
   }
 }

@@ -1234,6 +1234,55 @@ object EngineQueries {
       |       min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
       |FROM orders WHERE o_orderkey % 101 <> 0 GROUP BY 2, 3""".stripMargin
 
+  // ------------------------------------------ q72 retractable MV refresh
+
+  /** Retractable incremental MV maintenance: a count/sum-only view can
+    * absorb DELETES incrementally by folding the CDC feed with flipped
+    * signs — the classic IVM split between retractable aggregates and
+    * min/max (which need a rescan once their extremum dies, hence q70's
+    * required `full` mode on the same shape). The sum column is
+    * `l_quantity` — integral values in a double, so retraction is EXACT
+    * (no float reassociation slack for the hash gate to absorb).
+    * Gates: both deletes — a MoR mask (newly-masked rows retract) and a
+    * CoW rewrite (removed minus re-inserted fragments net to the deleted
+    * rows) — must refresh in `incremental_retract` mode, and the final
+    * view must hash-equal DuckDB's groupBy over the surviving rows. */
+  def q72AggViewRetract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.AggView
+    import graft.core.AggView.AggSpec
+    val wh = new Warehouse(spark, scratch("graft_rmv"))
+    val li = Tables.load(spark, dir, "lineitem")
+    wh.overwrite("mart", "lrt", li.filter(col("l_returnflag") === "A"))
+    wh.append("mart", "lrt", li.filter(col("l_returnflag") === "N"))
+    wh.append("mart", "lrt", li.filter(col("l_returnflag") === "R"))
+    AggView.create(wh, "mart", "lrtmv", "mart", "lrt",
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(AggSpec("n", "count"), AggSpec("qty", "sum", "l_quantity")))
+    val d1 = wh.deleteWhereMor("mart", "lrt",
+      col("l_returnflag") === "R" && col("l_quantity") > 45)
+    require(d1.deletedRows > 0, "MoR fixture delete must hit rows")
+    val r1 = AggView.refresh(wh, "mart", "lrtmv")
+    require(r1.mode == "incremental_retract",
+      s"count/sum view must retract through a MoR mask, got ${r1.mode}")
+    val d2 = wh.deleteWhere("mart", "lrt",
+      col("l_returnflag") === "A" && col("l_quantity") < 5)
+    require(d2.deletedRows > 0, "CoW fixture delete must hit rows")
+    val r2 = AggView.refresh(wh, "mart", "lrtmv")
+    require(r2.mode == "incremental_retract",
+      s"count/sum view must retract through a CoW rewrite, got ${r2.mode}")
+    wh.read("mart", "lrtmv").select(
+      col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+      col("n"), col("qty"))
+  }
+
+  val q72Sql: String =
+    """SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |       CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS qty
+      |FROM lineitem
+      |WHERE NOT (l_returnflag = 'R' AND l_quantity > 45)
+      |  AND NOT (l_returnflag = 'A' AND l_quantity < 5)
+      |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------- q71 streaming MV maintenance
 
   /** Streaming ingest with PER-BATCH incremental MV maintenance — the
@@ -1310,6 +1359,7 @@ object EngineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_aggview" -> (q70AggView _),
     "q71_stream_aggview" -> (q71StreamAggView _),
+    "q72_aggview_retract" -> (q72AggViewRetract _),
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
@@ -1344,6 +1394,7 @@ object EngineQueries {
   val oracleSql: Map[String, String] = Map(
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,
+    "q72_aggview_retract" -> q72Sql,
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,

@@ -152,6 +152,62 @@ class AggViewSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { AggView.config(wh, "d", "src") }
   }
 
+  private val retractSpecs = Seq(AggSpec("n", "count"), AggSpec("total", "sum", "v"))
+
+  private def retractRows(df: DataFrame): Set[(String, Long, Long)] =
+    df.select(col("k"), col("n").cast("long"), col("total").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("retractable view: CoW delete refreshes via retraction, emptied group drops") {
+    val (wh, _) = freshWh()
+    wh.overwrite("d", "src", mkDf("a" -> 1L, "a" -> 5L, "b" -> 2L, "c" -> 8L))
+    AggView.create(wh, "d", "mv", "d", "src", Seq("k"), retractSpecs)
+    wh.append("d", "src", mkDf("b" -> 9L))
+    // deletes ALL of group c and one of a — c must vanish from the view
+    wh.deleteWhere("d", "src", col("v") === 5L || col("k") === "c")
+    val r = AggView.refresh(wh, "d", "mv")
+    assert(r.mode == "incremental_retract", r)
+    assert(retractRows(wh.read("d", "mv")) == Set(
+      ("a", 1L, 1L), ("b", 2L, 11L)))
+  }
+
+  test("retractable view: MoR delete of pre-existing rows retracts, not rebuilds") {
+    val (wh, _) = freshWh()
+    wh.overwrite("d", "src", mkDf("a" -> 1L, "a" -> 5L, "b" -> 2L))
+    AggView.create(wh, "d", "mv", "d", "src", Seq("k"), retractSpecs)
+    wh.deleteWhereMor("d", "src", col("v") === 5L)
+    val r = AggView.refresh(wh, "d", "mv")
+    assert(r.mode == "incremental_retract", r)
+    assert(retractRows(wh.read("d", "mv")) == Set(
+      ("a", 1L, 1L), ("b", 1L, 2L)))
+  }
+
+  test("retractable view: compaction nets to zero exactly") {
+    val (wh, _) = freshWh()
+    wh.overwrite("d", "src", mkDf("a" -> 1L))
+    AggView.create(wh, "d", "mv", "d", "src", Seq("k"), retractSpecs)
+    wh.append("d", "src", mkDf("a" -> 2L))
+    wh.append("d", "src", mkDf("b" -> 3L))
+    AggView.refresh(wh, "d", "mv")
+    assert(wh.compact("d", "src").nonEmpty)
+    val r = AggView.refresh(wh, "d", "mv")
+    assert(r.mode == "incremental_retract", r)
+    assert(retractRows(wh.read("d", "mv")) == Set(
+      ("a", 2L, 3L), ("b", 1L, 3L)))
+  }
+
+  test("sum-only view (no count) cannot drop emptied groups: falls back to full") {
+    val (wh, _) = freshWh()
+    wh.overwrite("d", "src", mkDf("a" -> 1L, "b" -> 2L))
+    AggView.create(wh, "d", "mv", "d", "src", Seq("k"),
+      Seq(AggSpec("total", "sum", "v")))
+    wh.deleteWhere("d", "src", col("k") === "b")
+    val r = AggView.refresh(wh, "d", "mv")
+    assert(r.mode == "full", r)
+    assert(wh.read("d", "mv").select("k", "total").as[(String, Long)]
+      .collect().toSet == Set(("a", 1L)))
+  }
+
   test("appendedBetween: append-only spans return exactly the delta; rewrites return None") {
     val (wh, _) = freshWh()
     wh.overwrite("d", "t", mkDf("a" -> 1L))
