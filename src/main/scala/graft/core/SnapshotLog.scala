@@ -202,37 +202,82 @@ final class SnapshotLog(tableDir: Path) {
   def dataPaths(c: Commit): Seq[String] =
     c.entries.map(e => tableDir.resolve(e.path).toString)
 
+  // ------------------------------------------------------------------ tags
+
+  private val TagsFile = "_tags.properties"
+
+  /** Named snapshot refs (Iceberg-tag analog): a tag pins a version
+    * FOREVER — [[vacuum]] keeps a tagged commit's manifest and fragments
+    * no matter how far past retention it falls, so `readTag` works years
+    * later where the time-travel window has long closed. Tag writes are
+    * metadata-only (a properties file in the log dir). */
+  def tag(name: String, version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"tag name must be a simple identifier, got '$name'")
+    require(this.version(version).exists(!_.isDrop),
+      s"cannot tag: no live version $version")
+    val t = tags + (name -> version)
+    writeTags(t)
+  }
+
+  def dropTag(name: String): Unit = writeTags(tags - name)
+
+  def tags: Map[String, Int] = {
+    val f = logDir.resolve(TagsFile)
+    if (!Files.exists(f)) return Map.empty
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    p.stringPropertyNames().asScala.map(n => n -> p.getProperty(n).toInt).toMap
+  }
+
+  private def writeTags(t: Map[String, Int]): Unit = {
+    val p = new java.util.Properties()
+    t.foreach { case (n, v) => p.setProperty(n, v.toString) }
+    Files.createDirectories(logDir)
+    val out = Files.newOutputStream(logDir.resolve(TagsFile))
+    try p.store(out, null) finally out.close()
+  }
+
   /** Delete fragments referenced ONLY by commits older than the retention
-    * window, and their manifests — keeping at least the latest commit.
+    * window, and their manifests — keeping at least the latest commit and
+    * every TAGGED commit (tags protect their manifest AND their fragments
+    * regardless of age; a tagged delta manifest is re-checkpointed to a
+    * self-contained full state before its ancestry disappears).
     * Returns removed fragment paths. */
   def vacuum(retainMillis: Long,
              nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
     val all = commits
     if (all.isEmpty) return Seq.empty
     val cutoff = nowMillis - retainMillis
-    val (expired, live) = all.splitAt(
+    val tagged = tags.values.toSet
+    val (expired0, live0) = all.splitAt(
       math.min(all.count(_.tsMillis < cutoff), all.size - 1))
+    val (protectedC, expired) = expired0.partition(c => tagged(c.version))
+    val live = protectedC ++ live0
     val liveRefs = live.flatMap(_.entries.flatMap(e => e.path +: e.dv.toSeq)).toSet
     val removable = expired.flatMap(_.entries.flatMap(e => e.path +: e.dv.toSeq))
       .distinct.filterNot(liveRefs)
     removable.foreach { rel =>
       deleteRecursive(tableDir.resolve(rel))
     }
-    // the oldest survivor's delta ancestry is about to disappear:
-    // re-checkpoint it (atomic replace with its RESOLVED full state —
+    // survivors whose delta ancestry is about to disappear — the oldest
+    // untagged survivor plus every protected (tagged) commit — are
+    // re-checkpointed (atomic replace with their RESOLVED full state:
     // same version, same state, self-contained) BEFORE deleting
-    if (expired.nonEmpty) live.headOption.foreach { first =>
-      readManifest(manifestPath(first.version)) match {
-        case _: SnapshotLog.DeltaM =>
-          val tmp = logDir.resolve(
-            s"v${first.version}.ckpt.${java.util.UUID.randomUUID().toString.take(8)}")
-          Files.write(tmp, render(first).getBytes(StandardCharsets.UTF_8))
-          Files.move(tmp, manifestPath(first.version),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        case _ => ()
+    if (expired.nonEmpty)
+      (protectedC ++ live0.headOption).foreach { c =>
+        readManifest(manifestPath(c.version)) match {
+          case _: SnapshotLog.DeltaM =>
+            val tmp = logDir.resolve(
+              s"v${c.version}.ckpt.${java.util.UUID.randomUUID().toString.take(8)}")
+            Files.write(tmp, render(c).getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, manifestPath(c.version),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          case _ => ()
+        }
       }
-    }
     expired.foreach(c => Files.deleteIfExists(logDir.resolve(f"v${c.version}%05d.manifest")))
     removable.map(rel => tableDir.resolve(rel).toString)
   }

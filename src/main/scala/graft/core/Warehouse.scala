@@ -27,7 +27,15 @@ final case class TableMeta(
       * [[Warehouse.renameColumn]]: fragments written before a rename
       * keep their physical column name and are re-labeled at read time
       * — a rename is metadata-only, never a data rewrite. */
-    columnRenames: Seq[(String, String)] = Nil)
+    columnRenames: Seq[(String, String)] = Nil,
+    /** Declared UNIQUE key (primary-key style: NULL key columns reject),
+      * enforced at every landing write — in-batch always, plus a
+      * zone-map/Bloom-pruned probe of the standing table on append (see
+      * [[Warehouse.enforceUnique]] for the scale contract). Empty = no
+      * constraint. Enforcement covers writes made AFTER declaration;
+      * declaring on a table with pre-existing duplicates is the caller's
+      * lookout. */
+    uniqueKey: Seq[String] = Nil)
 
 /** File-backed warehouse: datasets are directories, tables are
   * [[SnapshotLog]]-versioned Parquet dirs. Plays the role BigQuery plays
@@ -107,7 +115,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       columnRenames = Option(p.getProperty("column.renames")).filter(_.nonEmpty)
         .map(_.split(";").toSeq.map { kv =>
           val i = kv.indexOf('>'); (kv.substring(0, i), kv.substring(i + 1))
-        }).getOrElse(Nil))
+        }).getOrElse(Nil),
+      uniqueKey = Option(p.getProperty("constraints.uniqueKey"))
+        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
   }
 
   def setMeta(dataset: String, table: String, m: TableMeta): Unit = {
@@ -119,6 +129,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     p.setProperty("partition.expirationDays", m.partitionExpirationDays.map(_.toString).getOrElse(""))
     p.setProperty("description", m.description.getOrElse(""))
     p.setProperty("constraints.notNull", m.notNullColumns.mkString(","))
+    p.setProperty("constraints.uniqueKey", m.uniqueKey.mkString(","))
     p.setProperty("column.renames",
       m.columnRenames.map { case (o, n) => s"$o>$n" }.mkString(";"))
     m.checkConstraints.foreach { case (name, sql) =>
@@ -246,9 +257,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val lg = log(dataset, table)
     m.partitionField match {
       case Some(field) =>
+        require(m.uniqueKey.isEmpty || m.uniqueKey.contains(field),
+          s"UNIQUE key (${m.uniqueKey.mkString(", ")}) on a partitioned " +
+            s"table must include the partition field '$field'")
         val frag = lg.newFragmentDir()
         partitionedWrite(df, field, frag)
         enforceConstraints(m, frag, Some(df.schema))
+        enforceUnique(dataset, table, m, frag, Some(df.schema),
+          checkStanding = false)
         val entries = hiveEntries(dataset, table, frag, field)
         recordStats(dataset, table, entries, Some(field), Some(df.schema))
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
@@ -256,6 +272,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val frag = lg.newFragmentDir()
         df.write.mode("overwrite").parquet(frag.toString)
         enforceConstraints(m, frag, Some(df.schema))
+        enforceUnique(dataset, table, m, frag, Some(df.schema),
+          checkStanding = false)
         val entries = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
         recordStats(dataset, table, entries, None)
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
@@ -281,6 +299,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     df.write.mode("overwrite").parquet(frag.toString)
     enforceConstraints(m, frag, Some(df.schema))
+    // the standing probe runs BEFORE the commit, so the new fragment is
+    // not yet visible to the readWhere it probes through
+    enforceUnique(dataset, table, m, frag, Some(df.schema),
+      checkStanding = true)
     val entry = SnapshotLog.Entry("", relativize(dataset, table, frag))
     recordStats(dataset, table, Seq(entry), None)
     // union schema is recomputed INSIDE the CAS retry from the current
@@ -314,6 +336,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     partitionedWrite(df, field, frag)
     enforceConstraints(m, frag, Some(df.schema))
+    // partition field ⊆ key (checked at declaration by overwrite): each
+    // key lives only in partitions this write REPLACES, so the in-batch
+    // check is the global one — no standing probe needed
+    require(m.uniqueKey.isEmpty || m.uniqueKey.contains(field),
+      s"UNIQUE key (${m.uniqueKey.mkString(", ")}) on a partitioned " +
+        s"table must include the partition field '$field'")
+    enforceUnique(dataset, table, m, frag, Some(df.schema),
+      checkStanding = false)
     val fresh = hiveEntries(dataset, table, frag, field)
     recordStats(dataset, table, fresh, Some(field), Some(df.schema))
     val freshParts = fresh.map(_.partition).toSet
@@ -418,6 +448,82 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Max distinct first-key values for which the standing-table probe
+    * uses an IN-list predicate (Bloom-sidecar-eligible) instead of a
+    * range predicate (zone-map-only). */
+  private val UniqueProbeIsinCap = 1024
+
+  /** Write-time UNIQUE-key gate (primary-key style). Validates the
+    * LANDED fragment like [[enforceConstraints]] — never a second
+    * evaluation of the source plan — and deletes it + fails loudly on
+    * violation:
+    *  - NULL in any key column rejects (PK semantics — SQL UNIQUE's
+    *    null-tolerance would make the probe contract vacuous);
+    *  - in-batch duplicates reject (one groupBy over the fragment);
+    *  - with `checkStanding` (append), the batch's keys probe the
+    *    standing table THROUGH the data-skipping stack: ≤1024 distinct
+    *    first-key values probe as an IN-list (zone maps AND Bloom
+    *    sidecars prune), larger batches as a [min,max] range (zone maps
+    *    prune). The 100 TB contract: a monotonic-key append (the event
+    *    log shape) overlaps zero standing fragments and the probe reads
+    *    ZERO files; a random-key probe opens only fragments whose zones/
+    *    Blooms cannot refute — never the table.
+    * Overwrite skips the standing probe (the table is replaced);
+    * insertOverwrite requires the partition field inside the key (each
+    * key then lives in exactly the partitions being swapped, so in-batch
+    * uniqueness IS global uniqueness). */
+  private def enforceUnique(dataset: String, table: String, m: TableMeta,
+                            frag: Path, declared: Option[StructType],
+                            checkStanding: Boolean): Unit = {
+    if (m.uniqueKey.isEmpty) return
+    val keys = m.uniqueKey
+    try {
+      val df = declared match {
+        case Some(s) => spark.read.schema(s).parquet(frag.toString)
+        case None => spark.read.parquet(frag.toString)
+      }
+      if (df.filter(keys.map(col(_).isNull).reduce(_ || _))
+        .limit(1).collect().nonEmpty)
+        throw new IllegalArgumentException(
+          s"UNIQUE key (${keys.mkString(", ")}) contains NULL")
+      val dup = df.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"write violates UNIQUE (${keys.mkString(", ")}): duplicate key " +
+            keys.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
+              .mkString("(", ", ", ")"))
+      val standing = log(dataset, table).latest.filter(!_.isDrop)
+      if (checkStanding && standing.exists(_.entries.nonEmpty)) {
+        val first = keys.head
+        val firstVals = df.select(col(first)).distinct()
+          .limit(UniqueProbeIsinCap + 1).collect().map(_.get(0)).toSeq
+        val pred =
+          if (firstVals.size <= UniqueProbeIsinCap) col(first).isin(firstVals: _*)
+          else {
+            val mm = df.agg(min(col(first)), max(col(first))).head()
+            col(first).between(lit(mm.get(0)), lit(mm.get(1)))
+          }
+        val hit = readWhere(dataset, table, pred)
+          .join(df.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .limit(1).collect()
+        if (hit.nonEmpty)
+          throw new IllegalArgumentException(
+            s"append violates UNIQUE (${keys.mkString(", ")}): key " +
+              keys.zipWithIndex.map { case (k, i) => s"$k=${hit.head.get(i)}" }
+                .mkString("(", ", ", ")") + " already exists")
+      }
+    } catch {
+      case e: Throwable =>
+        deleteRecursive(frag)
+        e match {
+          case ia: IllegalArgumentException => throw ia
+          case other => throw new IllegalArgumentException(
+            s"unique-key validation failed: ${other.getMessage}", other)
+        }
+    }
+  }
+
   private def hiveEntries(dataset: String, table: String, frag: Path,
                           field: String): Seq[SnapshotLog.Entry] = {
     val lg = log(dataset, table)
@@ -465,6 +571,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"no version $version of $dataset.$table"))
     require(!c.isDrop, s"$dataset.$table version $version is a drop")
     readCommit(dataset, table, c)
+  }
+
+  /** Read the snapshot a TAG pins ([[SnapshotLog.tag]]): unlike
+    * [[readAsOf]] there is no retention-window check — a tag protects
+    * its commit's manifest and fragments from [[SnapshotLog.vacuum]]
+    * forever, so a `prod-2024-q4` style ref stays readable years later
+    * at zero storage cost beyond the pinned fragments. */
+  def readTag(dataset: String, table: String, name: String): DataFrame = {
+    val lg = log(dataset, table)
+    val v = lg.tags.getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' on $dataset.$table"))
+    readVersion(dataset, table, v)
   }
 
   /** Row-level delta between two snapshot versions — the audit query
@@ -1221,6 +1339,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                 keys: Seq[String]): MergeResult = {
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val m = meta(dataset, table)
+    // merging BY the unique key preserves it (matches replace 1:1,
+    // inserts are absent keys — given a dup-free source, checked below);
+    // merging by anything else could land a key twice, so refuse upfront
+    require(m.uniqueKey.isEmpty || m.uniqueKey == keys,
+      s"$dataset.$table declares UNIQUE (${m.uniqueKey.mkString(", ")}); " +
+        s"merging on (${keys.mkString(", ")}) cannot preserve it")
     val lg = log(dataset, table)
     val cur = lg.latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
@@ -1253,6 +1377,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       try {
         require(src.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
           s"mergeInto source has NULL in key column(s) ${keys.mkString(", ")}")
+        if (m.uniqueKey.nonEmpty)
+          require(src.groupBy(keyCols: _*).count()
+            .filter(col("count") > 1).isEmpty,
+            s"mergeInto source has duplicate keys — would violate " +
+              s"UNIQUE (${m.uniqueKey.mkString(", ")})")
         src.count()
       } catch {
         case e: Throwable =>
@@ -1351,6 +1480,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                    keys: Seq[String]): MergeResult = {
     require(keys.nonEmpty, "mergeIntoMor needs at least one key column")
     val m = meta(dataset, table)
+    require(m.uniqueKey.isEmpty || m.uniqueKey == keys,
+      s"$dataset.$table declares UNIQUE (${m.uniqueKey.mkString(", ")}); " +
+        s"merging on (${keys.mkString(", ")}) cannot preserve it")
     val lg = log(dataset, table)
     val cur = lg.latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
@@ -1381,6 +1513,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       try {
         require(src.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
           s"mergeIntoMor source has NULL in key column(s) ${keys.mkString(", ")}")
+        if (m.uniqueKey.nonEmpty)
+          require(src.groupBy(keyCols: _*).count()
+            .filter(col("count") > 1).isEmpty,
+            s"mergeIntoMor source has duplicate keys — would violate " +
+              s"UNIQUE (${m.uniqueKey.mkString(", ")})")
         src.count()
       } catch { case e: Throwable => abandonSource(); throw e }
     val bounds = src.agg(

@@ -1283,6 +1283,98 @@ object EngineQueries {
       |  AND NOT (l_returnflag = 'A' AND l_quantity < 5)
       |GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- q73 unique key
+
+  /** Write-time UNIQUE-key enforcement at scale, end to end: orders
+    * declare `o_orderkey` unique; the lower key half lands first, the
+    * upper half appends. Gates:
+    *  - the standing-table probe for the monotonic append must open
+    *    ZERO files (`scanFootprint` of the batch's key range against the
+    *    pre-append table — zone maps refute every standing fragment;
+    *    this is what makes PK enforcement affordable on a 100 TB event
+    *    log);
+    *  - a duplicate re-append of existing keys must be REJECTED loudly
+    *    with the table version and row count unchanged;
+    *  - the surviving table hash-equals DuckDB over all orders (the
+    *    rejected batch must have left no trace). */
+  def q73Unique(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_uq"))
+    val orders = Tables.load(spark, dir, "orders")
+    val mid = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+    wh.overwrite("mart", "ouq", orders.filter(col("o_orderkey") <= mid),
+      TableMeta(uniqueKey = Seq("o_orderkey")))
+    val hi = orders.filter(col("o_orderkey") > mid)
+    val (hiMin, hiMax) = {
+      val r = hi.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (probeFiles, _) = wh.scanFootprint("mart", "ouq",
+      col("o_orderkey").between(hiMin, hiMax))
+    require(probeFiles == 0L,
+      s"monotonic append probe must open zero standing files, opened $probeFiles")
+    wh.append("mart", "ouq", hi)
+    val v = wh.log("mart", "ouq").latest.get.version
+    val rejected =
+      try { wh.append("mart", "ouq", orders.limit(100)); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("already exists") }
+    require(rejected, "duplicate append must be rejected")
+    require(wh.log("mart", "ouq").latest.get.version == v,
+      "rejected append must not advance the table version")
+    wh.read("mart", "ouq")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val q73Sql: String =
+    """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------- q74 snapshot tags
+
+  /** Snapshot tags end to end: v1 (pre-1996) is tagged `baseline`, v2
+    * (1996 only) stays untagged, v3 (all orders) is current. A
+    * zero-retention vacuum then reclaims v2's manifest AND fragment
+    * (`require`d), while the tag must keep v1 readable — its delta
+    * ancestry re-checkpointed, its fragments pinned — far past any
+    * time-travel window. Both surviving states hash-check vs DuckDB. */
+  def q74Tags(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_tag"))
+    val orders = Tables.load(spark, dir, "orders")
+    wh.overwrite("mart", "otag",
+      orders.filter(col("o_orderdate") < "1996-01-01"))
+    wh.log("mart", "otag").tag("baseline", 1)
+    wh.overwrite("mart", "otag", orders.filter(
+      col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01"))
+    wh.overwrite("mart", "otag", orders)
+    val removed = wh.log("mart", "otag")
+      .vacuum(retainMillis = 0, nowMillis = System.currentTimeMillis() + 60000)
+    require(removed.size == 1,
+      s"the untagged v2 fragment must reclaim, removed=$removed")
+    require(wh.log("mart", "otag").version(2).isEmpty,
+      "the untagged v2 manifest must be gone")
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(phase).as("phase"), col("status"), col("n"), col("total"))
+    agg(wh.readTag("mart", "otag", "baseline"), "tagged")
+      .unionAll(agg(wh.read("mart", "otag"), "current"))
+  }
+
+  val q74Sql: String =
+    """SELECT 'tagged' AS phase, o_orderstatus AS status,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 2
+      |UNION ALL
+      |SELECT 'current' AS phase, o_orderstatus AS status,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 2""".stripMargin
+
   // ------------------------------------------- q71 streaming MV maintenance
 
   /** Streaming ingest with PER-BATCH incremental MV maintenance — the
@@ -1360,6 +1452,8 @@ object EngineQueries {
     "q70_aggview" -> (q70AggView _),
     "q71_stream_aggview" -> (q71StreamAggView _),
     "q72_aggview_retract" -> (q72AggViewRetract _),
+    "q73_unique" -> (q73Unique _),
+    "q74_tags" -> (q74Tags _),
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
@@ -1395,6 +1489,8 @@ object EngineQueries {
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,
     "q72_aggview_retract" -> q72Sql,
+    "q73_unique" -> q73Sql,
+    "q74_tags" -> q74Sql,
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
