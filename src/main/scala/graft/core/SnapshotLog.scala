@@ -256,8 +256,12 @@ final class SnapshotLog(tableDir: Path) {
     val (protectedC, expired) = expired0.partition(c => tagged(c.version))
     val live = protectedC ++ live0
     val liveRefs = live.flatMap(_.entries.flatMap(e => e.path +: e.dv.toSeq)).toSet
+    // FOREIGN refs (absolute paths — zero-copy clone entries pointing
+    // into another table's data pool) are NEVER vacuum candidates here:
+    // their lifecycle belongs to the owning table's log + the clone pin
     val removable = expired.flatMap(_.entries.flatMap(e => e.path +: e.dv.toSeq))
       .distinct.filterNot(liveRefs)
+      .filterNot(rel => Paths.get(rel).isAbsolute)
     removable.foreach { rel =>
       deleteRecursive(tableDir.resolve(rel))
     }

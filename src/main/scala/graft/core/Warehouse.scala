@@ -1806,6 +1806,92 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  // ------------------------------------------------------------------ clone
+
+  private def cloneOfPath(dataset: String, table: String): Path =
+    tableDir(dataset, table).resolve("_clone_of.properties")
+
+  /** ZERO-COPY clone (Delta `SHALLOW CLONE` analog): the clone's first
+    * commit references the source's current fragments by ABSOLUTE path —
+    * no data moves, so cloning a 100 TB table is a metadata write. The
+    * complement of [[copy]] (deep, byte-duplicating): clones are the
+    * dev/test/experiment primitive.
+    *
+    * Safety protocol (the part that makes shallow clones survivable):
+    *  - the source version is PINNED with a snapshot tag
+    *    (`clone-<dst>`), so source-side vacuum can never reclaim the
+    *    fragments this clone references — source deletes/compactions/
+    *    overwrites proceed normally (immutable fragments; the clone pins
+    *    the old ones);
+    *  - the clone's own vacuum never touches foreign (absolute) refs —
+    *    their lifecycle belongs to the source log + the pin;
+    *  - [[drop]] of the clone releases the pin;
+    *  - cloning a table whose live state already holds foreign refs (a
+    *    clone of a clone) is refused — transitive pins across drops are
+    *    not tracked; materialize with [[copy]] first.
+    *
+    * Writes to the clone land in ITS data pool (CoW rewrites, MoR
+    * vectors, appends, compaction) and diverge normally; zone-map and
+    * Bloom sidecars are copied (metadata-sized) so pruned reads stay
+    * pruned. Constraints/partitioning metadata travel with the clone. */
+  def cloneTable(srcDataset: String, srcTable: String,
+                 dstDataset: String, dstTable: String): Unit = {
+    val srcLg = log(srcDataset, srcTable)
+    val cur = srcLg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $srcDataset.$srcTable"))
+    require(!log(dstDataset, dstTable).latest.exists(!_.isDrop),
+      s"$dstDataset.$dstTable already exists")
+    val srcDir = tableDir(srcDataset, srcTable)
+    def reroot(p: String): String = {
+      val abs = srcDir.resolve(p).toAbsolutePath.normalize()
+      require(abs.startsWith(srcDir.toAbsolutePath.normalize()),
+        s"clone of a clone is not supported (foreign ref $p) — " +
+          s"materialize with copy() first")
+      abs.toString
+    }
+    val tagName = s"clone-$dstDataset.$dstTable"
+    srcLg.tag(tagName, cur.version)
+    ensureDataset(dstDataset)
+    val dstLg = log(dstDataset, dstTable)
+    val m = meta(srcDataset, srcTable)
+    val dstDir = tableDir(dstDataset, dstTable)
+    // Deletion-vector entries MATERIALIZE (read masked, written clean)
+    // into the clone's own pool — the vector's rows name the SOURCE's
+    // entry path, so a rerooted reference would silently stop masking
+    // (resurrected rows); same rule [[copy]] follows. Clean entries stay
+    // zero-copy.
+    val entries = cur.entries.map {
+      case e if e.dv.isEmpty => e.copy(path = reroot(e.path))
+      case e =>
+        val frag = dstLg.newFragmentDir()
+        val dst = if (e.partition.isEmpty) frag
+          else frag.resolve(srcDir.resolve(e.path).getFileName.toString)
+        val df = readEntries(srcDataset, srcTable, Seq(e), cur.schemaDdl)
+        m.partitionField.filter(df.columns.contains)
+          .map(df.drop(_)).getOrElse(df)
+          .write.mode("overwrite").parquet(dst.toString)
+        SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, dst))
+    }
+    dstLg.commit("clone", entries, schemaDdl = cur.schemaDdl)
+    setMeta(dstDataset, dstTable, m)
+    cur.schemaDdl.foreach(d =>
+      writeSchemaDdl(dstDataset, dstTable, StructType.fromDDL(d)))
+    cur.entries.zip(entries).foreach { case (srcE, dstE) =>
+      if (srcE.dv.isEmpty) {
+        ZoneMaps.read(srcDir, srcE.path)
+          .foreach(ZoneMaps.write(dstDir, dstE.path, _))
+        BloomIndex.read(srcDir, srcE.path)
+          .foreach(BloomIndex.write(dstDir, dstE.path, _))
+      }
+    }
+    val p = new java.util.Properties()
+    p.setProperty("src.dataset", srcDataset)
+    p.setProperty("src.table", srcTable)
+    p.setProperty("pin.tag", tagName)
+    val out = Files.newOutputStream(cloneOfPath(dstDataset, dstTable))
+    try p.store(out, null) finally out.close()
+  }
+
   // ------------------------------------------------------ copy/drop/restore
 
   /** S8 — table copy: fragments are immutable, so the copy physically
@@ -1885,6 +1971,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val ts = math.max(System.currentTimeMillis(),
       lg.latest.map(_.tsMillis + 1).getOrElse(Long.MinValue))
     lg.commit("drop", Seq.empty, tsMillis = ts)
+    // dropping a zero-copy clone releases its pin on the source version
+    // (best-effort: a missing source log just means nothing to release)
+    val cp = cloneOfPath(dataset, table)
+    if (Files.exists(cp)) {
+      val p = new java.util.Properties()
+      val in = Files.newInputStream(cp)
+      try p.load(in) finally in.close()
+      try log(p.getProperty("src.dataset"), p.getProperty("src.table"))
+        .dropTag(p.getProperty("pin.tag"))
+      catch { case _: Exception => () }
+      Files.deleteIfExists(cp)
+    }
   }
 
   /** Partition-expiry TTL job (bigquery.py:464-501 semantics): drop

@@ -1375,6 +1375,64 @@ object EngineQueries {
       |       round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 2""".stripMargin
 
+  // ------------------------------------------------- q75 zero-copy clone
+
+  /** Zero-copy clone end to end: lineitem lands as three status
+    * fragments, `cloneTable` forks a dev copy. Gates:
+    *  - the clone moves ZERO data files (`require`d: no parquet under
+    *    its pool — cloning 100 TB is a metadata write);
+    *  - the clone diverges by a MoR delete; the source diverges by a
+    *    CoW delete; each must see only its own change;
+    *  - a zero-retention source vacuum must reclaim NOTHING while the
+    *    clone lives (every pre-divergence fragment is pinned by the
+    *    clone's tag — the protocol that makes shallow clones safe);
+    * both final states hash-check against DuckDB. */
+  def q75Clone(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val wh = new Warehouse(spark, scratch("graft_cl"))
+    val li = Tables.load(spark, dir, "lineitem")
+    wh.overwrite("mart", "lsrc", li.filter(col("l_returnflag") === "A"))
+    wh.append("mart", "lsrc", li.filter(col("l_returnflag") === "N"))
+    wh.append("mart", "lsrc", li.filter(col("l_returnflag") === "R"))
+    wh.cloneTable("mart", "lsrc", "dev", "lclone")
+    val pool = java.nio.file.Paths.get(wh.root, "dev", "lclone", "_data")
+    val moved =
+      if (!Files.isDirectory(pool)) 0L
+      else {
+        val w = Files.walk(pool)
+        try w.iterator().asScala.count(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        finally w.close()
+      }
+    require(moved == 0L, s"clone must move zero data files, moved $moved")
+    wh.deleteWhereMor("dev", "lclone",
+      col("l_returnflag") === "R" && col("l_quantity") > 25)
+    wh.deleteWhere("mart", "lsrc",
+      col("l_returnflag") === "A" && col("l_quantity") < 10)
+    val removed = wh.log("mart", "lsrc")
+      .vacuum(retainMillis = 0, nowMillis = System.currentTimeMillis() + 60000)
+    require(removed.isEmpty,
+      s"every pre-divergence fragment is pinned — vacuum must reclaim " +
+        s"nothing while the clone lives, removed=$removed")
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(lit(phase).as("phase"), col("rf"), col("n"), col("qty"))
+    agg(wh.read("dev", "lclone"), "clone_post")
+      .unionAll(agg(wh.read("mart", "lsrc"), "src_post"))
+  }
+
+  val q75Sql: String =
+    """SELECT 'clone_post' AS phase, l_returnflag AS rf,
+      |       CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem WHERE NOT (l_returnflag = 'R' AND l_quantity > 25)
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'src_post' AS phase, l_returnflag AS rf,
+      |       CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem WHERE NOT (l_returnflag = 'A' AND l_quantity < 10)
+      |GROUP BY 2""".stripMargin
+
   // ------------------------------------------- q71 streaming MV maintenance
 
   /** Streaming ingest with PER-BATCH incremental MV maintenance — the
@@ -1454,6 +1512,7 @@ object EngineQueries {
     "q72_aggview_retract" -> (q72AggViewRetract _),
     "q73_unique" -> (q73Unique _),
     "q74_tags" -> (q74Tags _),
+    "q75_clone" -> (q75Clone _),
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
@@ -1491,6 +1550,7 @@ object EngineQueries {
     "q72_aggview_retract" -> q72Sql,
     "q73_unique" -> q73Sql,
     "q74_tags" -> q74Sql,
+    "q75_clone" -> q75Sql,
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
