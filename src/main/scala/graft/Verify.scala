@@ -16,9 +16,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Session-TZ timestamps now dump as TIMESTAMP_MICROS with
+        // isAdjustedToUTC=true (the INT96 fix), which DuckDB reads as
+        // TIMESTAMPTZ and type-fails against the oracle's naive
+        // TIMESTAMP. Cast to NTZ at the DUMP boundary only — the
+        // session TZ is UTC, so the wall-clock value (what the driver
+        // hashes) is unchanged.
+        val ntz = df.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.TimestampType =>
+            f.name
+        }.foldLeft(df)((d, c) => d.withColumn(c,
+          d(c).cast(org.apache.spark.sql.types.TimestampNTZType)))
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

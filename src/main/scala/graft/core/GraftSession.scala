@@ -25,6 +25,13 @@ object GraftSession {
     // identical to the DuckDB oracle's naive read AND keeps filter
     // pushdown on those columns (a post-scan cast would not).
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
+    // Write timestamps as INT64 MICROS, not the legacy INT96 default:
+    // INT96 column chunks carry NO min/max footer statistics, so every
+    // timestamp column the warehouse writes would be invisible to zone
+    // maps — range probes on event time (the single most common
+    // predicate at 100 TB) would silently scan the whole table. MICROS
+    // also round-trips bit-exactly with the fixtures and DuckDB.
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone" -> "UTC")
 
   def builder(cpus: String): SparkSession.Builder = {

@@ -35,7 +35,25 @@ final case class TableMeta(
       * constraint. Enforcement covers writes made AFTER declaration;
       * declaring on a table with pre-existing duplicates is the caller's
       * lookout. */
-    uniqueKey: Seq[String] = Nil)
+    uniqueKey: Seq[String] = Nil,
+    /** HIDDEN partitioning ([[PartitionTransform]]): when set (with
+      * [[partitionSource]]), [[partitionField]] names a SYNTHETIC
+      * column derived from the source column at write time — it exists
+      * only in the directory layout and manifest, never in the data
+      * files or read results. Queries filter the SOURCE column. */
+    partitionTransform: Option[String] = None,
+    /** The data column a hidden partition derives from. */
+    partitionSource: Option[String] = None) {
+
+  /** Hidden-partitioned: the partition column is derived + invisible. */
+  def hiddenPartition: Boolean = partitionTransform.isDefined
+
+  /** The column a UNIQUE key must contain to make per-partition checks
+    * global: the physical field for visible partitioning, the SOURCE
+    * column for hidden (the derived value is a function of it). */
+  def partitionKeyColumn: Option[String] =
+    if (hiddenPartition) partitionSource else partitionField
+}
 
 /** File-backed warehouse: datasets are directories, tables are
   * [[SnapshotLog]]-versioned Parquet dirs. Plays the role BigQuery plays
@@ -117,7 +135,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           val i = kv.indexOf('>'); (kv.substring(0, i), kv.substring(i + 1))
         }).getOrElse(Nil),
       uniqueKey = Option(p.getProperty("constraints.uniqueKey"))
-        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
+      partitionTransform = Option(p.getProperty("partition.transform"))
+        .filter(_.nonEmpty),
+      partitionSource = Option(p.getProperty("partition.source"))
+        .filter(_.nonEmpty))
   }
 
   def setMeta(dataset: String, table: String, m: TableMeta): Unit = {
@@ -130,6 +152,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     p.setProperty("description", m.description.getOrElse(""))
     p.setProperty("constraints.notNull", m.notNullColumns.mkString(","))
     p.setProperty("constraints.uniqueKey", m.uniqueKey.mkString(","))
+    p.setProperty("partition.transform", m.partitionTransform.getOrElse(""))
+    p.setProperty("partition.source", m.partitionSource.getOrElse(""))
     p.setProperty("column.renames",
       m.columnRenames.map { case (o, n) => s"$o>$n" }.mkString(";"))
     m.checkConstraints.foreach { case (name, sql) =>
@@ -210,6 +234,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val m = meta(dataset, table)
     require(!m.partitionField.contains(from),
       s"cannot rename partition column '$from' (hive layout embeds it)")
+    require(!m.partitionSource.contains(from),
+      s"cannot rename '$from': a hidden partition derives from it")
     m.checkConstraints.foreach { case (n, sql) =>
       require(!sql.contains(from),
         s"CHECK constraint '$n' references '$from'; re-declare it before renaming")
@@ -257,11 +283,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val lg = log(dataset, table)
     m.partitionField match {
       case Some(field) =>
-        require(m.uniqueKey.isEmpty || m.uniqueKey.contains(field),
+        require(m.uniqueKey.isEmpty ||
+            m.partitionKeyColumn.exists(m.uniqueKey.contains),
           s"UNIQUE key (${m.uniqueKey.mkString(", ")}) on a partitioned " +
-            s"table must include the partition field '$field'")
+            s"table must include the partition column " +
+            s"'${m.partitionKeyColumn.getOrElse(field)}'")
         val frag = lg.newFragmentDir()
-        partitionedWrite(df, field, frag)
+        partitionedWrite(deriveHidden(m, df), field, frag)
         enforceConstraints(m, frag, Some(df.schema))
         enforceUnique(dataset, table, m, frag, Some(df.schema),
           checkStanding = false)
@@ -334,14 +362,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       s"$dataset.$table is not partitioned; use overwrite()"))
     val lg = log(dataset, table)
     val frag = lg.newFragmentDir()
-    partitionedWrite(df, field, frag)
+    partitionedWrite(deriveHidden(m, df), field, frag)
     enforceConstraints(m, frag, Some(df.schema))
-    // partition field ⊆ key (checked at declaration by overwrite): each
+    // partition column ⊆ key (checked at declaration by overwrite): each
     // key lives only in partitions this write REPLACES, so the in-batch
-    // check is the global one — no standing probe needed
-    require(m.uniqueKey.isEmpty || m.uniqueKey.contains(field),
+    // check is the global one — no standing probe needed (for hidden
+    // partitioning the SOURCE column in the key suffices — the derived
+    // value is a function of it)
+    require(m.uniqueKey.isEmpty ||
+        m.partitionKeyColumn.exists(m.uniqueKey.contains),
       s"UNIQUE key (${m.uniqueKey.mkString(", ")}) on a partitioned " +
-        s"table must include the partition field '$field'")
+        s"table must include the partition column " +
+        s"'${m.partitionKeyColumn.getOrElse(field)}'")
     enforceUnique(dataset, table, m, frag, Some(df.schema),
       checkStanding = false)
     val fresh = hiveEntries(dataset, table, frag, field)
@@ -387,6 +419,91 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private def partitionedWrite(df: DataFrame, field: String, frag: Path): Unit =
     df.hint("rebalance", field)
       .write.mode("overwrite").partitionBy(field).parquet(frag.toString)
+
+  private def sessionZone: java.time.ZoneId =
+    java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+
+  private def transformOf(m: TableMeta): Option[PartitionTransform] =
+    m.partitionTransform.map(PartitionTransform.parse)
+
+  /** Hidden partitioning, write side: attach the derived partition
+    * column before a partitioned write. Validates the source column
+    * exists, its type fits the transform, and the synthetic name
+    * doesn't shadow a data column — each failure is a loud write-time
+    * error, never a corrupted layout. Visible partitioning passes
+    * through unchanged. */
+  private def deriveHidden(m: TableMeta, df: DataFrame): DataFrame =
+    (transformOf(m), m.partitionField, m.partitionSource) match {
+      case (Some(t), Some(field), Some(srcCol)) =>
+        require(!df.columns.contains(field),
+          s"hidden partition column '$field' collides with a data column")
+        val f = df.schema.fields.find(_.name == srcCol).getOrElse(
+          throw new IllegalArgumentException(
+            s"hidden partition source column '$srcCol' absent from the write"))
+        df.withColumn(field, t.expr(col(srcCol), f.dataType, sessionZone))
+      case (Some(_), _, _) => throw new IllegalStateException(
+        "partitionTransform set without partitionField + partitionSource")
+      case _ => df
+    }
+
+  /** Hidden partitioning, probe side: entry-level pruning for
+    * transforms zone maps can't serve — a [[PartitionTransform.Bucket]]
+    * layout spreads every source range across all buckets, so range
+    * stats never refute, but an equality/IN probe on the source column
+    * maps (driver-side, same kernel as the write) to exactly the
+    * surviving bucket dirs. Sound by the zone-map rulebook: a conjunct
+    * branch may prune on its own; OR requires both sides to derive;
+    * anything unrecognized keeps everything. */
+  private def transformPrune(dataset: String, table: String, m: TableMeta,
+                             entries: Seq[SnapshotLog.Entry],
+                             resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[SnapshotLog.Entry] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    (transformOf(m), m.partitionSource, resolved) match {
+      case (Some(t), Some(srcCol), Some(pred)) =>
+        val dt: Option[org.apache.spark.sql.types.DataType] =
+          schemaDdl(dataset, table).map(StructType.fromDDL)
+            .flatMap(_.fields.find(_.name == srcCol)).map(_.dataType)
+        def attrName(e: Expression): Option[String] = e match {
+          case a: AttributeReference => Some(a.name)
+          case _ => None
+        }
+        def litVal(e: Expression): Option[Any] = e match {
+          case Literal(v, _) => Option(v)
+          case _ if e.foldable && e.deterministic =>
+            try Option(e.eval(null)) catch { case _: Exception => None }
+          case _ => None
+        }
+        // Some(dirs) = rows matching this predicate live ONLY in those
+        // partition dir values; None = can't bound → keep everything.
+        def dirs(e: Expression): Option[Set[String]] = e match {
+          case And(l, r) => dirs(l).orElse(dirs(r))
+          case Or(l, r) => for { a <- dirs(l); b <- dirs(r) } yield a ++ b
+          case EqualTo(a, v) if attrName(a).contains(srcCol) =>
+            litVal(v).flatMap(x => dt.flatMap(d => t.dirValue(x, d, sessionZone)))
+              .map(Set(_))
+          case EqualTo(v, a) if attrName(a).contains(srcCol) =>
+            litVal(v).flatMap(x => dt.flatMap(d => t.dirValue(x, d, sessionZone)))
+              .map(Set(_))
+          case In(a, vs) if attrName(a).contains(srcCol) =>
+            val xs = vs.map(v => litVal(v)
+              .flatMap(x => dt.flatMap(d => t.dirValue(x, d, sessionZone))))
+            if (xs.exists(_.isEmpty)) None else Some(xs.flatten.toSet)
+          case InSet(a, vs) if attrName(a).contains(srcCol) =>
+            val xs = vs.toSeq.map(x => dt.flatMap(d => t.dirValue(x, d, sessionZone)))
+            if (xs.exists(_.isEmpty)) None else Some(xs.flatten.toSet)
+          case _ => None
+        }
+        dirs(pred) match {
+          case Some(keep) => entries.filter(e =>
+            // NULL source values land in the default-partition dir and
+            // never match an equality probe (WHERE NULL = no match)
+            keep.contains(ExternalCatalogUtils.unescapePathName(e.partition)))
+          case None => entries
+        }
+      case _ => entries
+    }
+  }
 
   /** Write-time constraint gate (Delta-style NOT NULL + named CHECK
     * enforcement): validates the LANDED fragment — one cheap columnar
@@ -906,7 +1023,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                         resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression])
       : (Seq[SnapshotLog.Entry], Map[String, Seq[String]]) = {
     val td = tableDir(dataset, table)
-    val (scan, _) = ZoneMaps.prune(td, entries, resolved)
+    // hidden-partition transform pruning first (bucket equality probes
+    // — the one shape zone maps can't refute), then zone maps
+    val pre = transformPrune(dataset, table, meta(dataset, table), entries, resolved)
+    val (scan, _) = ZoneMaps.prune(td, pre, resolved)
     resolved match {
       case None => (scan, Map.empty)
       case Some(expr) =>
@@ -1063,7 +1183,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     val replacement: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
-        partitionedWrite(keep, field, frag)
+        partitionedWrite(deriveHidden(m, keep), field, frag)
         val es = hiveEntries(dataset, table, frag, field)
         recordStats(dataset, table, es, Some(field))
         es
@@ -1355,7 +1475,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val srcFrag = lg.newFragmentDir()
     val srcEntries: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
-        partitionedWrite(source, field, srcFrag)
+        partitionedWrite(deriveHidden(m, source), field, srcFrag)
         enforceConstraints(m, srcFrag, Some(source.schema))
         val es = hiveEntries(dataset, table, srcFrag, field)
         recordStats(dataset, table, es, Some(field))
@@ -1367,7 +1487,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         recordStats(dataset, table, es, None)
         es
     }
-    val src = spark.read.parquet(srcFrag.toString)
+    // hidden partitioning: partition DISCOVERY on the landed hive root
+    // re-attaches the synthetic column — drop it, or the schema union
+    // would leak it into the commit (and every later read would pad it)
+    val src = m.partitionField.filter(_ => m.hiddenPartition)
+      .foldLeft(spark.read.parquet(srcFrag.toString))(_.drop(_))
     val keyCols = keys.map(col)
     // NULL-key rejection happens against the LANDED fragment (cheap
     // parquet re-read, not a second evaluation of the source plan); a
@@ -1427,7 +1551,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val frag = lg.newFragmentDir()
         m.partitionField match {
           case Some(field) =>
-            partitionedWrite(keep, field, frag)
+            partitionedWrite(deriveHidden(m, keep), field, frag)
             val es = hiveEntries(dataset, table, frag, field)
             recordStats(dataset, table, es, Some(field))
             es
@@ -1490,7 +1614,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val srcFrag = lg.newFragmentDir()
     val srcEntries: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
-        partitionedWrite(source, field, srcFrag)
+        partitionedWrite(deriveHidden(m, source), field, srcFrag)
         enforceConstraints(m, srcFrag, Some(source.schema))
         val es = hiveEntries(dataset, table, srcFrag, field)
         recordStats(dataset, table, es, Some(field))
@@ -1507,7 +1631,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       srcEntries.foreach(s =>
         Files.deleteIfExists(ZoneMaps.statsPath(td, s.path)))
     }
-    val src = spark.read.parquet(srcFrag.toString)
+    // hidden partitioning: partition DISCOVERY on the landed hive root
+    // re-attaches the synthetic column — drop it, or the schema union
+    // would leak it into the commit (and every later read would pad it)
+    val src = m.partitionField.filter(_ => m.hiddenPartition)
+      .foldLeft(spark.read.parquet(srcFrag.toString))(_.drop(_))
     val keyCols = keys.map(col)
     val srcRows =
       try {
@@ -1677,7 +1805,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       element_at(split(col("_metadata.file_path"), "/"), -1).as(TagFile),
       col("_metadata.row_index").as(TagPos))
     val renamed = applyRenameMap(tagged, renames)
-    val withPart = m.partitionField match {
+    // hidden partitioning: the synthetic column never surfaces in reads
+    val withPart = m.partitionField.filterNot(_ => m.hiddenPartition) match {
       case Some(f) if !renamed.columns.contains(f) =>
         val value =
           if (e.partition == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
@@ -1726,7 +1855,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // dropped — and union with the plain fast paths; entries WITHOUT a
     // DV pay zero overhead.
     val (dvEntries, plain) = entries.partition(_.dv.isDefined)
-    val rawPlain: Option[DataFrame] = if (plain.isEmpty) None else Some(m.partitionField match {
+    // hidden partitioning reads as UNPARTITIONED: entries are leaf dirs
+    // (no basePath ⇒ no discovery, no synthetic column, no inference),
+    // the commit schema is the SOURCE schema, and the derived value
+    // stays where it belongs — in the layout
+    val effField = m.partitionField.filterNot(_ => m.hiddenPartition)
+    val rawPlain: Option[DataFrame] = if (plain.isEmpty) None else Some(effField match {
       case None if applicable.isEmpty =>
         val paths = plain.flatMap(e => filesOf.getOrElse(e.path,
           Seq(tableDir(dataset, table).resolve(e.path).toString)))

@@ -1433,6 +1433,79 @@ object EngineQueries {
       |FROM lineitem WHERE NOT (l_returnflag = 'A' AND l_quantity < 10)
       |GROUP BY 2""".stripMargin
 
+  // --------------------------------------------- q76 hidden partitioning
+
+  /** Hidden partitioning (Iceberg-style transforms) end to end, two
+    * layouts:
+    *  - `days(ts)` on events: the synthetic day column lives only in
+    *    the directory layout (`require`d absent from reads); ONE
+    *    derived day is replaced wholesale by insertOverwrite (the
+    *    incremental-backfill shape) with its values doubled; a
+    *    one-day range probe on the SOURCE timestamp must prune
+    *    (`require`d via scanFootprint — the INT96→MICROS footer-stats
+    *    fix is what makes this possible at all);
+    *  - `bucket[16](l_orderkey)` on lineitem: an equality probe on the
+    *    source key must open ≤ 1/4 of the files (`require`d — driver
+    *    hash of the probe literal picks the one surviving bucket dir).
+    * Output: per-day rollup post-replacement + the bucket probe row;
+    * both hash-gated against DuckDB computing the same semantics
+    * declaratively. */
+  def q76HiddenPartition(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_hp"))
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    wh.overwrite("mart", "ev", ev, TableMeta(
+      partitionField = Some("p_day"), partitionType = "date",
+      partitionTransform = Some("days"), partitionSource = Some("ts")))
+    require(wh.read("mart", "ev").columns.sameElements(ev.columns),
+      "hidden partition column leaked into reads")
+    val d = ev.agg(date_add(to_date(min(col("ts"))), 1).as("d")).head.getDate(0)
+    val dTs = lit(d).cast("timestamp")
+    val dNextTs = lit(java.sql.Date.valueOf(d.toLocalDate.plusDays(1))).cast("timestamp")
+    val dayPred = col("ts") >= dTs && col("ts") < dNextTs
+    // replace the derived day wholesale: values doubled
+    wh.insertOverwrite("mart", "ev",
+      wh.readWhere("mart", "ev", dayPred).withColumn("value", col("value") * 2))
+    val (s1, t1) = wh.scanFootprint("mart", "ev", dayPred)
+    require(s1 >= 1 && s1 < t1,
+      s"one-day source-range probe must prune the day layout: $s1/$t1")
+    val days = wh.read("mart", "ev")
+      .groupBy(to_date(col("ts")).as("d0"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(lit("day").as("phase"), col("d0").cast("string").as("k"),
+        col("n"), col("v"))
+
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    wh.overwrite("mart", "li_b", li, TableMeta(
+      partitionField = Some("p_b"), partitionType = "int64",
+      partitionTransform = Some("bucket[16]"), partitionSource = Some("l_orderkey")))
+    val k0 = li.agg(min(col("l_orderkey"))).head.getLong(0)
+    val (s2, t2) = wh.scanFootprint("mart", "li_b", col("l_orderkey") === k0)
+    require(s2 * 4 <= t2,
+      s"bucket equality probe must open ~one bucket of 16: $s2/$t2")
+    val bucket = wh.readWhere("mart", "li_b", col("l_orderkey") === k0)
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("v"))
+      .select(lit("bucket").as("phase"),
+        lit(k0).cast("string").as("k"), col("n"), col("v"))
+    days.unionAll(bucket)
+  }
+
+  val q76Sql: String =
+    """WITH dd AS MATERIALIZED (
+      |  SELECT CAST(min(ts) AS DATE) + 1 AS d FROM events)
+      |SELECT 'day' AS phase, CAST(CAST(ts AS DATE) AS VARCHAR) AS k,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(CASE WHEN CAST(ts AS DATE) = (SELECT d FROM dd)
+      |                      THEN value * 2 ELSE value END), 2) AS v
+      |FROM events GROUP BY 2
+      |UNION ALL
+      |SELECT 'bucket' AS phase,
+      |       CAST((SELECT min(l_orderkey) FROM lineitem) AS VARCHAR) AS k,
+      |       CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS v
+      |FROM lineitem
+      |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)""".stripMargin
+
   // ------------------------------------------- q71 streaming MV maintenance
 
   /** Streaming ingest with PER-BATCH incremental MV maintenance — the
@@ -1513,6 +1586,7 @@ object EngineQueries {
     "q73_unique" -> (q73Unique _),
     "q74_tags" -> (q74Tags _),
     "q75_clone" -> (q75Clone _),
+    "q76_hidden_partition" -> (q76HiddenPartition _),
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
@@ -1551,6 +1625,7 @@ object EngineQueries {
     "q73_unique" -> q73Sql,
     "q74_tags" -> q74Sql,
     "q75_clone" -> q75Sql,
+    "q76_hidden_partition" -> q76Sql,
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
