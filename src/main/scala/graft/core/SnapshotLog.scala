@@ -292,7 +292,12 @@ final class SnapshotLog(tableDir: Path) {
     c.schemaDdl.foreach(d => sb.append(s"#schema=${SnapshotLog.escape(d)}\n"))
     c.entries.foreach { e =>
       sb.append(e.partition).append('\t').append(e.path)
-      e.dv.foreach(d => sb.append('\t').append(d))
+      // 3rd field dv, 4th spec: a non-default spec forces an (empty)
+      // dv placeholder so the columns stay positional; old manifests
+      // and spec-0 entries render exactly as before
+      if (e.spec != 0) sb.append('\t').append(e.dv.getOrElse(""))
+        .append('\t').append(e.spec)
+      else e.dv.foreach(d => sb.append('\t').append(d))
       sb.append('\n')
     }
     sb.toString
@@ -319,7 +324,9 @@ final class SnapshotLog(tableDir: Path) {
     c.entries.filterNot(e => parentIds((e.path, e.dv)))
       .foreach { e =>
         sb.append("+\t").append(e.partition).append('\t').append(e.path)
-        e.dv.foreach(d => sb.append('\t').append(d))
+        if (e.spec != 0) sb.append('\t').append(e.dv.getOrElse(""))
+          .append('\t').append(e.spec)
+        else e.dv.foreach(d => sb.append('\t').append(d))
         sb.append('\n')
       }
     sb.toString
@@ -337,7 +344,9 @@ final class SnapshotLog(tableDir: Path) {
     if (header.contains("delta")) {
       val adds = body.filter(_.startsWith("+\t")).map { l =>
         val f = l.substring(2).split('\t')
-        Entry(f(0), f(1), if (f.length > 2) Some(f(2)) else None)
+        Entry(f(0), f(1),
+          if (f.length > 2 && f(2).nonEmpty) Some(f(2)) else None,
+          if (f.length > 3) f(3).toInt else 0)
       }
       val removes = body.filter(_.startsWith("-\t")).map(_.substring(2))
       SnapshotLog.DeltaM(v, ts, action, schema, header("parent").toInt,
@@ -345,7 +354,9 @@ final class SnapshotLog(tableDir: Path) {
     } else {
       val entries = body.map { l =>
         val f = l.split('\t')
-        Entry(f(0), f(1), if (f.length > 2) Some(f(2)) else None)
+        Entry(f(0), f(1),
+          if (f.length > 2 && f(2).nonEmpty) Some(f(2)) else None,
+          if (f.length > 3) f(3).toInt else 0)
       }
       SnapshotLog.FullM(Commit(v, ts, action, entries, schema))
     }
@@ -367,7 +378,15 @@ object SnapshotLog {
     * fragment itself stays immutable; a delete commit changes only this
     * pointer. */
   final case class Entry(partition: String, path: String,
-                         dv: Option[String] = None)
+                         dv: Option[String] = None,
+                         /** Partition-spec version the entry was written
+                           * under ([[graft.core.TableMeta.partitionSpecVersion]]):
+                           * hidden-transform entry pruning applies ONLY to
+                           * current-spec entries; -1 = unknown provenance
+                           * (a compaction that merged specs) — never
+                           * transform-pruned, always readable. 0 for every
+                           * pre-evolution manifest (backward compatible). */
+                         spec: Int = 0)
 
   /** `schemaDdl`: the union schema of this commit's fragments (None on
     * manifests written before schema pinning — readers fall back to the

@@ -43,7 +43,13 @@ final case class TableMeta(
       * files or read results. Queries filter the SOURCE column. */
     partitionTransform: Option[String] = None,
     /** The data column a hidden partition derives from. */
-    partitionSource: Option[String] = None) {
+    partitionSource: Option[String] = None,
+    /** Monotonic partition-spec version, bumped by
+      * [[Warehouse.evolvePartitionSpec]]. Entries are stamped with the
+      * spec they were written under; transform pruning only trusts
+      * current-spec entries, so a days→bucket evolution can never
+      * wrongly prune a fragment laid out by the old spec. */
+    partitionSpecVersion: Int = 0) {
 
   /** Hidden-partitioned: the partition column is derived + invisible. */
   def hiddenPartition: Boolean = partitionTransform.isDefined
@@ -139,7 +145,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       partitionTransform = Option(p.getProperty("partition.transform"))
         .filter(_.nonEmpty),
       partitionSource = Option(p.getProperty("partition.source"))
-        .filter(_.nonEmpty))
+        .filter(_.nonEmpty),
+      partitionSpecVersion = Option(p.getProperty("partition.specVersion"))
+        .filter(_.nonEmpty).map(_.toInt).getOrElse(0))
   }
 
   def setMeta(dataset: String, table: String, m: TableMeta): Unit = {
@@ -154,6 +162,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     p.setProperty("constraints.uniqueKey", m.uniqueKey.mkString(","))
     p.setProperty("partition.transform", m.partitionTransform.getOrElse(""))
     p.setProperty("partition.source", m.partitionSource.getOrElse(""))
+    p.setProperty("partition.specVersion", m.partitionSpecVersion.toString)
     p.setProperty("column.renames",
       m.columnRenames.map { case (o, n) => s"$o>$n" }.mkString(";"))
     m.checkConstraints.foreach { case (name, sql) =>
@@ -293,7 +302,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         enforceConstraints(m, frag, Some(df.schema))
         enforceUnique(dataset, table, m, frag, Some(df.schema),
           checkStanding = false)
-        val entries = hiveEntries(dataset, table, frag, field)
+        val entries = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
         recordStats(dataset, table, entries, Some(field), Some(df.schema))
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
       case None =>
@@ -361,6 +370,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val field = m.partitionField.getOrElse(throw new IllegalStateException(
       s"$dataset.$table is not partitioned; use overwrite()"))
     val lg = log(dataset, table)
+    // early mixed-spec refusal (cheap, before any write lands — the
+    // race-proof twin of this check re-runs inside the CAS closure)
+    lg.latest.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+      .find(_.spec != m.partitionSpecVersion).foreach { e =>
+        throw new IllegalStateException(
+          s"$dataset.$table holds fragment(s) written under an older " +
+            s"partition spec (e.g. '${e.partition}'); insertOverwrite " +
+            s"cannot replace across specs — use replaceWhere(pred, df) " +
+            s"or relayout() first")
+      }
     val frag = lg.newFragmentDir()
     partitionedWrite(deriveHidden(m, df), field, frag)
     enforceConstraints(m, frag, Some(df.schema))
@@ -376,7 +395,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         s"'${m.partitionKeyColumn.getOrElse(field)}'")
     enforceUnique(dataset, table, m, frag, Some(df.schema),
       checkStanding = false)
-    val fresh = hiveEntries(dataset, table, frag, field)
+    val fresh = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
     recordStats(dataset, table, fresh, Some(field), Some(df.schema))
     val freshParts = fresh.map(_.partition).toSet
     // commitWith: the kept-partition list AND the union schema are
@@ -384,8 +403,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // so a concurrent writer's partitions and new columns are merged,
     // not silently dropped.
     val c = lg.commitWithSchema("write", cur => {
-      val kept = cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
-        .filterNot(e => freshParts(e.partition))
+      val live = cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+      // partition-value replacement is only sound within ONE spec: an
+      // old-spec entry (say a month dir) can overlap a new-spec day
+      // value without sharing its partition string — replacing by value
+      // would duplicate those rows. Evolved tables must replaceWhere
+      // (predicate-scoped, spec-proof) or relayout() first.
+      val foreign = live.filter(e => e.spec != m.partitionSpecVersion)
+      if (foreign.nonEmpty) throw new IllegalStateException(
+        s"$dataset.$table holds ${foreign.size} fragment(s) written under " +
+          s"an older partition spec; insertOverwrite cannot replace across " +
+          s"specs — use replaceWhere(pred, df) or relayout() first")
+      val kept = live.filterNot(e => freshParts(e.partition))
       kept ++ fresh
     }, cur => Some(unionWithCurrent(dataset, table, cur, df.schema).toDDL))
     writeSchemaDdlMerged(dataset, table,
@@ -496,9 +525,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         }
         dirs(pred) match {
           case Some(keep) => entries.filter(e =>
-            // NULL source values land in the default-partition dir and
-            // never match an equality probe (WHERE NULL = no match)
-            keep.contains(ExternalCatalogUtils.unescapePathName(e.partition)))
+            // only CURRENT-spec entries carry dir values this transform
+            // produced — an entry from an older spec (or a mixed-spec
+            // compaction, spec = -1) is never transform-pruned
+            e.spec != m.partitionSpecVersion ||
+              // NULL source values land in the default-partition dir and
+              // never match an equality probe (WHERE NULL = no match)
+              keep.contains(ExternalCatalogUtils.unescapePathName(e.partition)))
           case None => entries
         }
       case _ => entries
@@ -642,13 +675,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   private def hiveEntries(dataset: String, table: String, frag: Path,
-                          field: String): Seq[SnapshotLog.Entry] = {
+                          field: String,
+                          spec: Int = 0): Seq[SnapshotLog.Entry] = {
     val lg = log(dataset, table)
     Files.list(frag).iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$field="))
       .map { p =>
         val value = p.getFileName.toString.substring(field.length + 1)
-        SnapshotLog.Entry(value, relativize(dataset, table, p))
+        SnapshotLog.Entry(value, relativize(dataset, table, p), spec = spec)
       }.toSeq.sortBy(_.partition)
   }
 
@@ -1184,7 +1218,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val replacement: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
         partitionedWrite(deriveHidden(m, keep), field, frag)
-        val es = hiveEntries(dataset, table, frag, field)
+        val es = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
         recordStats(dataset, table, es, Some(field))
         es
       case None =>
@@ -1215,6 +1249,158 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         throw e
     }
     DeleteResult(deleted, hits.map(_.partition).distinct.sorted,
+      prunedN, candidates.size - hits.size)
+  }
+
+  /** Outcome of a [[replaceWhere]]: rows removed (the predicate's old
+    * matches), rows inserted (the replacement frame), entries rewritten,
+    * entries zone-pruned unopened, and candidates read but found clean. */
+  final case class ReplaceResult(replacedRows: Long, insertedRows: Long,
+                                 rewritten: Seq[String], pruned: Int,
+                                 cleanCandidates: Int)
+
+  /** Predicate-scoped atomic OVERWRITE (Delta `replaceWhere`): ONE
+    * commit deletes every row matching `pred` and inserts `df` — the
+    * backfill/restatement primitive ("replace March", "re-land source
+    * X") that [[insertOverwrite]] can only express when the scope is
+    * exactly a partition, and the ONLY sound replacement shape on a
+    * hidden-partition table whose spec has evolved (partition-value
+    * replacement can't see across specs; a predicate can).
+    *
+    * Containment: every row of `df` must itself satisfy `pred`
+    * (checked on the landed fragment; violations reject loudly, state
+    * unchanged) — without this, a second identical replaceWhere would
+    * not be idempotent and out-of-scope rows would silently leak into
+    * a scope someone else replaces later.
+    *
+    * Cost is bounded by the match footprint + the new data, never the
+    * table: zone/Bloom/transform pruning picks candidate fragments
+    * ([[planFiles]]), one job counts matches per candidate (clean
+    * candidates keep their immutable fragments), one write rewrites
+    * hit fragments minus matches, one write lands `df` — then a single
+    * CAS commit swaps all of it atomically ((path, dv) identity, same
+    * loud-failure rule as [[deleteWhere]]). Readers see the old state
+    * or the new state, never a deleted-but-not-yet-inserted middle.
+    *
+    * UNIQUE-keyed tables: the in-batch check always runs; the standing
+    * probe runs against the PRE-state rows NOT matching `pred` (the
+    * rows that survive) — `df` may freely re-land keys it is itself
+    * replacing. */
+  def replaceWhere(dataset: String, table: String, pred: Column,
+                   df: DataFrame): ReplaceResult = {
+    val m = meta(dataset, table)
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+
+    // land the replacement fragment first; its rows serve the
+    // containment check and the final commit
+    val srcFrag = lg.newFragmentDir()
+    val newEntries: Seq[SnapshotLog.Entry] = m.partitionField match {
+      case Some(field) =>
+        partitionedWrite(deriveHidden(m, df), field, srcFrag)
+        enforceConstraints(m, srcFrag, Some(df.schema))
+        val es = hiveEntries(dataset, table, srcFrag, field, m.partitionSpecVersion)
+        recordStats(dataset, table, es, Some(field))
+        es
+      case None =>
+        df.write.mode("overwrite").parquet(srcFrag.toString)
+        enforceConstraints(m, srcFrag, Some(df.schema))
+        val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag)))
+        recordStats(dataset, table, es, None)
+        es
+    }
+    def abandonSource(): Unit = {
+      deleteRecursive(srcFrag)
+      newEntries.foreach(s =>
+        Files.deleteIfExists(ZoneMaps.statsPath(td, s.path)))
+    }
+    val landed0 = spark.read.parquet(srcFrag.toString)
+    val landed = m.partitionField.filter(_ => m.hiddenPartition)
+      .foldLeft(landed0)(_.drop(_))
+    val inserted =
+      try {
+        require(landed.filter(!coalesce(pred, lit(false))).isEmpty,
+          "replaceWhere containment violated: the replacement frame has " +
+            "rows NOT matching the predicate — they would leak out of scope")
+        if (m.uniqueKey.nonEmpty) {
+          enforceUnique(dataset, table, m, srcFrag, Some(df.schema),
+            checkStanding = false)
+          // survivors = rows the predicate does NOT replace; the batch
+          // must not collide with them (keys inside the scope are fair
+          // game — that is the replacement)
+          val survivors = readEntries(dataset, table, cur.entries, cur.schemaDdl)
+            .filter(!coalesce(pred, lit(false)))
+          val clash = landed.select(m.uniqueKey.map(col): _*)
+            .join(survivors, m.uniqueKey, "left_semi").limit(1).count()
+          require(clash == 0L,
+            s"replaceWhere violates UNIQUE (${m.uniqueKey.mkString(", ")}): " +
+              "replacement keys collide with rows outside the predicate scope")
+        }
+        landed.count()
+      } catch { case e: Throwable => abandonSource(); throw e }
+
+    // delete phase, exactly deleteWhere's shape
+    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+      resolvedPred(dataset, table, cur, pred))
+    val prunedN = cur.entries.size - candidates.size
+    val counts: Map[String, Long] =
+      if (candidates.isEmpty) Map.empty
+      else candidates.map { e =>
+        readEntries(dataset, table, Seq(e), cur.schemaDdl,
+          filesOf.view.filterKeys(_ == e.path).toMap)
+          .filter(pred).select(lit(e.path).as("_entry"))
+      }.reduce(_.unionAll(_))
+        .groupBy(col("_entry")).agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hits = candidates.filter(e => counts.getOrElse(e.path, 0L) > 0L)
+    val replaced = counts.values.sum
+    var keepFrag: Option[Path] = None
+    val keepReplacement: Seq[SnapshotLog.Entry] =
+      if (hits.isEmpty) Seq.empty
+      else {
+        val keep = readEntries(dataset, table, hits, cur.schemaDdl)
+          .filter(!coalesce(pred, lit(false)))
+        val frag = lg.newFragmentDir()
+        keepFrag = Some(frag)
+        m.partitionField match {
+          case Some(field) =>
+            partitionedWrite(deriveHidden(m, keep), field, frag)
+            val es = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
+            recordStats(dataset, table, es, Some(field))
+            es
+          case None =>
+            keep.write.mode("overwrite").parquet(frag.toString)
+            val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+            recordStats(dataset, table, e, None)
+            e
+        }
+      }
+    val hitPaths = hits.map(_.path).toSet
+    try {
+      lg.commitWithSchema("replace", cur2 => {
+        val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+        val liveIds = live.map(e => (e.path, e.dv)).toSet
+        val gone = hits.filterNot(e => liveIds((e.path, e.dv))).map(_.path)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"replaceWhere on $dataset.$table lost a race: fragment(s) " +
+            s"${gone.mkString(", ")} were rewritten concurrently; retry")
+        live.filterNot(e => hitPaths(e.path)) ++ keepReplacement ++ newEntries
+      }, cur2 => Some(unionWithCurrent(dataset, table,
+        cur2.orElse(Some(cur)), df.schema).toDDL))
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        abandonSource()
+        keepReplacement.foreach(r =>
+          Files.deleteIfExists(ZoneMaps.statsPath(td, r.path)))
+        keepFrag.foreach(deleteRecursive)
+        throw e
+    }
+    writeSchemaDdlMerged(dataset, table,
+      StructType.fromDDL(unionWithCurrent(dataset, table, Some(cur), df.schema).toDDL),
+      additive = true)
+    ReplaceResult(replaced, inserted, hits.map(_.partition).distinct.sorted,
       prunedN, candidates.size - hits.size)
   }
 
@@ -1477,7 +1663,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case Some(field) =>
         partitionedWrite(deriveHidden(m, source), field, srcFrag)
         enforceConstraints(m, srcFrag, Some(source.schema))
-        val es = hiveEntries(dataset, table, srcFrag, field)
+        val es = hiveEntries(dataset, table, srcFrag, field, m.partitionSpecVersion)
         recordStats(dataset, table, es, Some(field))
         es
       case None =>
@@ -1552,7 +1738,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         m.partitionField match {
           case Some(field) =>
             partitionedWrite(deriveHidden(m, keep), field, frag)
-            val es = hiveEntries(dataset, table, frag, field)
+            val es = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
             recordStats(dataset, table, es, Some(field))
             es
           case None =>
@@ -1616,7 +1802,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case Some(field) =>
         partitionedWrite(deriveHidden(m, source), field, srcFrag)
         enforceConstraints(m, srcFrag, Some(source.schema))
-        val es = hiveEntries(dataset, table, srcFrag, field)
+        val es = hiveEntries(dataset, table, srcFrag, field, m.partitionSpecVersion)
         recordStats(dataset, table, es, Some(field))
         es
       case None =>
@@ -1940,6 +2126,60 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  // --------------------------------------------------- partition evolution
+
+  /** Partition-SPEC evolution (Iceberg's headline metadata trick): change
+    * how a table partitions — `days(ts)` → `months(ts)`, add
+    * `bucket(n, key)`, start partitioning an unpartitioned table —
+    * WITHOUT rewriting a byte. Old fragments keep their old layout; new
+    * writes derive the new spec; reads union both seamlessly (hidden
+    * layouts never attach the synthetic column, so a read is
+    * spec-agnostic by construction). Each entry is stamped with the spec
+    * version it was written under, and:
+    *
+    *  - transform pruning trusts ONLY current-spec entries (an old month
+    *    dir must survive a day-equality probe);
+    *  - zone-map pruning on the source column is spec-independent and
+    *    keeps working on every fragment;
+    *  - [[insertOverwrite]] REFUSES while mixed specs are live
+    *    (partition-value replacement can't see across specs) — use
+    *    [[replaceWhere]] (predicate-scoped, spec-proof) or [[relayout]];
+    *  - [[compact]] preserves spec provenance per group (a group merged
+    *    across specs is stamped unknown and never transform-pruned).
+    *
+    * Only hidden (or unpartitioned) tables can evolve: a VISIBLE
+    * partition column is data — its values live only in directory names,
+    * so re-specing would vanish it from old fragments' rows. */
+  def evolvePartitionSpec(dataset: String, table: String, newField: String,
+                          newTransform: String, newSource: String,
+                          newType: String = "date"): Unit = {
+    val m = meta(dataset, table)
+    require(m.hiddenPartition || m.partitionField.isEmpty,
+      s"$dataset.$table has a VISIBLE partition column " +
+        s"'${m.partitionField.getOrElse("")}' — its values exist only in " +
+        "the directory layout, so the spec cannot change without a rewrite")
+    PartitionTransform.parse(newTransform) // validate the rendering
+    val sch = schema(dataset, table)
+    require(sch.fieldNames.contains(newSource),
+      s"no such source column: $newSource")
+    require(!sch.fieldNames.contains(newField),
+      s"hidden partition column '$newField' collides with a data column")
+    setMeta(dataset, table, m.copy(
+      partitionField = Some(newField),
+      partitionTransform = Some(newTransform),
+      partitionSource = Some(newSource),
+      partitionType = newType,
+      partitionSpecVersion = m.partitionSpecVersion + 1))
+  }
+
+  /** Rewrite the whole table under its CURRENT partition spec — the
+    * explicit (expensive, optional) normalization pass after
+    * [[evolvePartitionSpec]]. One ordinary overwrite commit: time travel
+    * to the mixed-spec state keeps working, vacuum reclaims the old
+    * layout after retention. */
+  def relayout(dataset: String, table: String): Unit =
+    overwrite(dataset, table, read(dataset, table))
+
   // ------------------------------------------------------------------ clone
 
   private def cloneOfPath(dataset: String, table: String): Path =
@@ -2208,7 +2448,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       m.partitionField.map(df.drop(_)).getOrElse(df)
         .coalesce(nOut)
         .write.mode("overwrite").parquet(out.toString)
-      SnapshotLog.Entry(part, relativize(dataset, table, out))
+      // spec provenance: a group whose sources all share a spec keeps
+      // it; two specs CAN produce the same dir value (days "2024-01-01"
+      // vs months) — a merged group is spec -1, never transform-pruned
+      val specs = es.map(_.spec).distinct
+      SnapshotLog.Entry(part, relativize(dataset, table, out),
+        spec = if (specs.size == 1) specs.head else -1)
     }
     // compaction output keeps zone maps alive: one stats job over the
     // whole new fragment (abandoned groups' sidecars become orphans that

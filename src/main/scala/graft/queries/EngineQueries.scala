@@ -1506,6 +1506,108 @@ object EngineQueries {
       |FROM lineitem
       |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)""".stripMargin
 
+  // ------------------------------------------------- q77 replaceWhere
+
+  /** Predicate-scoped atomic overwrite (Delta `replaceWhere`): lineitem
+    * lands as three returnflag fragments; ONE commit replaces the 'R'
+    * scope with a restated frame (quantities halved). Gates `require`d:
+    * zone maps prune the A/N fragments from the delete phase (cost =
+    * match footprint, never the table), the swap is ONE commit
+    * (version+1 — readers never see deleted-but-not-inserted), and the
+    * containment rule holds by construction. Final state hash-gated
+    * against DuckDB computing the restatement declaratively. */
+  def q77ReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_rw"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    wh.overwrite("mart", "lsrc", li.filter(col("l_returnflag") === "A"))
+    wh.append("mart", "lsrc", li.filter(col("l_returnflag") === "N"))
+    wh.append("mart", "lsrc", li.filter(col("l_returnflag") === "R"))
+    val v0 = wh.log("mart", "lsrc").latest.get.version
+    val restated = li.filter(col("l_returnflag") === "R")
+      .withColumn("l_quantity", col("l_quantity") * 0.5)
+    val res = wh.replaceWhere("mart", "lsrc",
+      col("l_returnflag") === "R", restated)
+    require(res.pruned == 2,
+      s"zone maps must prune the A and N fragments: $res")
+    require(wh.log("mart", "lsrc").latest.get.version == v0 + 1,
+      "replaceWhere must be ONE commit")
+    require(res.replacedRows == res.insertedRows,
+      s"row-preserving restatement: $res")
+    wh.read("mart", "lsrc")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+  }
+
+  val q77Sql: String =
+    """SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(CASE WHEN l_returnflag = 'R'
+      |                      THEN l_quantity * 0.5 ELSE l_quantity END), 2) AS qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // ------------------------------------------- q78 partition evolution
+
+  /** Partition-SPEC evolution end to end: events lands day-grain
+    * (30 hidden `days(ts)` dirs), the spec evolves to `months(ts)` as a
+    * METADATA-ONLY commit (`require`d: zero entry paths changed), and
+    * one day is restated via replaceWhere — whose keep-rewrite re-lands
+    * under the CURRENT month spec, leaving a genuinely MIXED table (old
+    * day dirs + new month dirs, `require`d). Gates: a probe into an
+    * old-spec day dir still prunes via zone maps (`require`d via
+    * scanFootprint), insertOverwrite REFUSES across specs (`require`d),
+    * and `relayout()` normalizes everything to the current spec
+    * (`require`d: single month dir, all entries stamped current).
+    * Final per-day rollup (restated day doubled) hash-gated vs DuckDB. */
+  def q78PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_pe"))
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    wh.overwrite("mart", "ev", ev, TableMeta(
+      partitionField = Some("p_day"), partitionType = "date",
+      partitionTransform = Some("days"), partitionSource = Some("ts")))
+    val pathsBefore = wh.log("mart", "ev").latest.get.entries.map(_.path).toSet
+    wh.evolvePartitionSpec("mart", "ev", "p_mon", "months", "ts")
+    require(wh.log("mart", "ev").latest.get.entries.map(_.path).toSet == pathsBefore,
+      "evolution must move ZERO data")
+    val d = ev.agg(date_add(to_date(min(col("ts"))), 1).as("d")).head.getDate(0)
+    val dayPred = to_date(col("ts")) === lit(d)
+    wh.replaceWhere("mart", "ev", dayPred,
+      wh.readWhere("mart", "ev", dayPred).withColumn("value", col("value") * 2))
+    val specs = wh.log("mart", "ev").latest.get.entries.map(_.spec).toSet
+    require(specs == Set(0, 1), s"mixed-spec state expected, got $specs")
+    // a probe into an OLD-spec day dir: spec-guarded transform pruning
+    // must not touch it; zone maps on ts still prune the rest
+    val dLater = java.sql.Date.valueOf(d.toLocalDate.plusDays(5))
+    val (s1, t1) = wh.scanFootprint("mart", "ev",
+      col("ts") >= lit(dLater).cast("timestamp") &&
+        col("ts") < lit(java.sql.Date.valueOf(dLater.toLocalDate.plusDays(1))).cast("timestamp"))
+    require(s1 >= 1 && s1 < t1,
+      s"old-spec day probe must zone-prune in the mixed state: $s1/$t1")
+    val refused =
+      try { wh.insertOverwrite("mart", "ev",
+        wh.readWhere("mart", "ev", dayPred)); false }
+      catch { case _: IllegalStateException => true }
+    require(refused, "insertOverwrite must refuse across specs")
+    wh.relayout("mart", "ev")
+    val after = wh.log("mart", "ev").latest.get.entries
+    require(after.forall(_.spec == 1) &&
+        after.map(_.partition).distinct == Seq("2024-01-01"),
+      s"relayout must normalize to one month dir: $after")
+    wh.read("mart", "ev")
+      .groupBy(to_date(col("ts")).as("d0"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(col("d0").cast("string").as("k"), col("n"), col("v"))
+  }
+
+  val q78Sql: String =
+    """WITH dd AS MATERIALIZED (
+      |  SELECT CAST(min(ts) AS DATE) + 1 AS d FROM events)
+      |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS k,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(CASE WHEN CAST(ts AS DATE) = (SELECT d FROM dd)
+      |                      THEN value * 2 ELSE value END), 2) AS v
+      |FROM events GROUP BY 1""".stripMargin
+
   // ------------------------------------------- q71 streaming MV maintenance
 
   /** Streaming ingest with PER-BATCH incremental MV maintenance — the
@@ -1587,6 +1689,8 @@ object EngineQueries {
     "q74_tags" -> (q74Tags _),
     "q75_clone" -> (q75Clone _),
     "q76_hidden_partition" -> (q76HiddenPartition _),
+    "q77_replace_where" -> (q77ReplaceWhere _),
+    "q78_partition_evolution" -> (q78PartitionEvolution _),
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
@@ -1626,6 +1730,8 @@ object EngineQueries {
     "q74_tags" -> q74Sql,
     "q75_clone" -> q75Sql,
     "q76_hidden_partition" -> q76Sql,
+    "q77_replace_where" -> q77Sql,
+    "q78_partition_evolution" -> q78Sql,
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
