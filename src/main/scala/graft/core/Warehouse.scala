@@ -1567,8 +1567,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val td = tableDir(dataset, table)
     val dataDir = td.resolve("_data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
-    val referenced = log(dataset, table).commits
-      .flatMap(_.entries.map(e => td.resolve(e.path).toAbsolutePath)).toSet
+    val referenced = (log(dataset, table).commits.flatMap(_.entries) ++
+        stagedEntries(dataset, table))
+      .map(e => td.resolve(e.path).toAbsolutePath).toSet
     val walk = Files.walk(dataDir)
     val files = try walk.iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
@@ -1587,8 +1588,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * unreferenced at delete time). */
   def vacuumOrphans(dataset: String, table: String, paths: Seq[String]): Unit = {
     val td = tableDir(dataset, table)
-    val referenced = log(dataset, table).commits
-      .flatMap(_.entries.map(e => td.resolve(e.path).toAbsolutePath)).toSet
+    val referenced = (log(dataset, table).commits.flatMap(_.entries) ++
+        stagedEntries(dataset, table))
+      .map(e => td.resolve(e.path).toAbsolutePath).toSet
     paths.foreach { rel =>
       val f = td.resolve(rel).toAbsolutePath
       require(f.startsWith(td.resolve("_data").toAbsolutePath),
@@ -2124,6 +2126,207 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           else lit(null).cast(f.dataType).as(f.name)): _*)
       case None => raw
     }
+  }
+
+  // ------------------------------------------- incremental consumption
+
+  /** One consumable batch: the rows appended in (fromVersion,
+    * toVersion], plus the offset to [[commitConsumed]] afterwards. */
+  final case class TableBatch(df: DataFrame, fromVersion: Int, toVersion: Int)
+
+  private def offsetFile(checkpointDir: Path): Path =
+    checkpointDir.resolve("offset")
+
+  /** Exactly-once-capable incremental consumption of an append-only
+    * table (the pull-shaped analog of Delta's streaming source; offsets
+    * are snapshot VERSIONS, the same unit the log already orders):
+    *
+    *  - first call (no checkpoint): the whole current table is batch 0;
+    *  - later calls: exactly the fragments appended since the consumed
+    *    version — manifest-diff only, no data comparison, no re-read of
+    *    consumed fragments (at 100 TB a poll costs two manifest reads);
+    *  - None = nothing new;
+    *  - a batch is REPLAYED until [[commitConsumed]] records its
+    *    toVersion — crash between process and commit re-serves the same
+    *    batch (at-least-once; pair with an idempotent/transactional
+    *    sink for exactly-once end to end);
+    *  - non-append-only history (delete/merge/compact/replace between
+    *    offsets) fails LOUDLY rather than silently re-serving rewritten
+    *    rows — consume CDC ([[changesBetween]]) for tables that mutate. */
+  def nextAppends(dataset: String, table: String,
+                  checkpointDir: Path): Option[TableBatch] = {
+    Files.createDirectories(checkpointDir)
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val of = offsetFile(checkpointDir)
+    val consumed: Option[Int] =
+      if (Files.exists(of)) Some(Files.readString(of).trim.toInt) else None
+    consumed match {
+      case None =>
+        Some(TableBatch(readCommit(dataset, table, cur), -1, cur.version))
+      case Some(v1) if v1 >= cur.version => None
+      case Some(v1) =>
+        val delta = appendedBetween(dataset, table, v1, cur.version)
+          .getOrElse(throw new IllegalStateException(
+            s"$dataset.$table history ($v1, ${cur.version}] is not " +
+              "append-only (delete/merge/compact/replace happened) — " +
+              "incremental append consumption would be wrong; consume " +
+              "changesBetween instead"))
+        Some(TableBatch(delta, v1, cur.version))
+    }
+  }
+
+  /** Record a batch as consumed (atomic move; idempotent). */
+  def commitConsumed(checkpointDir: Path, toVersion: Int): Unit = {
+    val of = offsetFile(checkpointDir)
+    val tmp = of.resolveSibling("offset.tmp")
+    Files.writeString(tmp, toVersion.toString)
+    Files.move(tmp, of, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---------------------------------------------- write-audit-publish (WAP)
+
+  private def stagedManifest(dataset: String, table: String): Path =
+    tableDir(dataset, table).resolve("_staged.manifest")
+
+  /** Entries staged but not yet published ([[stageAppend]]). */
+  def stagedEntries(dataset: String, table: String): Seq[SnapshotLog.Entry] = {
+    val f = stagedManifest(dataset, table)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        val p = l.split('\t')
+        SnapshotLog.Entry(p(0), p(1),
+          if (p.length > 2 && p(2).nonEmpty) Some(p(2)) else None,
+          if (p.length > 3) p(3).toInt else 0)
+      }
+  }
+
+  private def writeStagedManifest(dataset: String, table: String,
+                                  es: Seq[SnapshotLog.Entry]): Unit = {
+    val f = stagedManifest(dataset, table)
+    if (es.isEmpty) { Files.deleteIfExists(f); return }
+    val body = es.map { e =>
+      val base = s"${e.partition}\t${e.path}"
+      if (e.spec != 0) s"$base\t${e.dv.getOrElse("")}\t${e.spec}"
+      else e.dv.fold(base)(d => s"$base\t$d")
+    }.mkString("", "\n", "\n")
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Write-audit-publish, stage step (Iceberg's WAP pattern): land `df`
+    * into the table's data pool — constraints and UNIQUE keys enforced
+    * NOW, zone sidecars recorded NOW — but commit NOTHING: readers of
+    * [[read]]/[[readWhere]] cannot see staged data. Audit the combined
+    * state via [[readWithStaged]], then [[publishStaged]] (one
+    * metadata-only commit — at 100 TB the publish costs a manifest
+    * line, the data is already in place) or [[discardStaged]].
+    * Staging accumulates: several batches can stage before one audit +
+    * publish. Single-writer per table while staging (the engine's
+    * standing assumption); [[insertOverwrite]] during staging could
+    * replace partitions a staged batch also lands — publish appends,
+    * it never re-checks partition disjointness. */
+  def stageAppend(dataset: String, table: String, df: DataFrame): Seq[String] = {
+    val m = meta(dataset, table)
+    require(exists(dataset, table), s"no such table: $dataset.$table")
+    val lg = log(dataset, table)
+    val frag = lg.newFragmentDir()
+    val es: Seq[SnapshotLog.Entry] = m.partitionField match {
+      case Some(field) =>
+        partitionedWrite(deriveHidden(m, df), field, frag)
+        enforceConstraints(m, frag, Some(df.schema))
+        hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
+      case None =>
+        df.write.mode("overwrite").parquet(frag.toString)
+        enforceConstraints(m, frag, Some(df.schema))
+        Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+    }
+    if (m.uniqueKey.nonEmpty) {
+      // in-batch + vs the PUBLISHED table (zone/Bloom-pruned probe)
+      enforceUnique(dataset, table, m, frag, Some(df.schema),
+        checkStanding = true)
+      // vs EARLIER staged batches (batch-sized exact check)
+      val prior = stagedEntries(dataset, table)
+      if (prior.nonEmpty) {
+        val landed = spark.read.parquet(frag.toString)
+          .select(m.uniqueKey.map(col): _*)
+        val stagedKeys = readEntries(dataset, table, prior, None)
+          .select(m.uniqueKey.map(col): _*)
+        val clash = landed.join(stagedKeys, m.uniqueKey, "left_semi")
+          .limit(1).count()
+        if (clash > 0L) {
+          deleteRecursive(frag)
+          es.foreach(e => Files.deleteIfExists(
+            ZoneMaps.statsPath(tableDir(dataset, table), e.path)))
+          throw new IllegalArgumentException(
+            s"stageAppend violates UNIQUE (${m.uniqueKey.mkString(", ")}) " +
+              "against an earlier staged batch")
+        }
+      }
+    }
+    recordStats(dataset, table, es, m.partitionField, Some(df.schema))
+    writeStagedManifest(dataset, table, stagedEntries(dataset, table) ++ es)
+    es.map(_.path)
+  }
+
+  /** The audit view: published state plus every staged entry — what the
+    * table WOULD be after [[publishStaged]]. */
+  def readWithStaged(dataset: String, table: String): DataFrame = {
+    val cur = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val staged = stagedEntries(dataset, table)
+    val ddl = stagedUnionDdl(dataset, table, cur, staged)
+    readEntries(dataset, table, cur.entries ++ staged, ddl)
+  }
+
+  /** Union schema of the published commit and the staged fragments'
+    * physical footers (staged batches may evolve additively). */
+  private def stagedUnionDdl(dataset: String, table: String,
+                             cur: SnapshotLog.Commit,
+                             staged: Seq[SnapshotLog.Entry]): Option[String] = {
+    if (staged.isEmpty) return cur.schemaDdl
+    val td = tableDir(dataset, table)
+    val phys = spark.read.option("mergeSchema", "true")
+      .parquet(staged.map(e => td.resolve(e.path).toString): _*).schema
+    Some(cur.schemaDdl.map(d =>
+      unionStruct(StructType.fromDDL(d), phys)).getOrElse(phys).toDDL)
+  }
+
+  /** Publish every staged entry in ONE metadata commit (the data moved
+    * at stage time); returns how many entries published. CAS re-base:
+    * concurrent appends land alongside, never lost. */
+  def publishStaged(dataset: String, table: String): Int = {
+    val staged = stagedEntries(dataset, table)
+    if (staged.isEmpty) return 0
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val ddl = stagedUnionDdl(dataset, table, cur, staged)
+    lg.commitWithSchema("publish", cur2 =>
+      cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty) ++ staged,
+      cur2 => cur2.flatMap(_.schemaDdl).map(d => ddl.map(x =>
+        unionStruct(StructType.fromDDL(d), StructType.fromDDL(x)).toDDL)
+        .getOrElse(d)).orElse(ddl))
+    ddl.foreach(d => writeSchemaDdlMerged(dataset, table,
+      StructType.fromDDL(d), additive = true))
+    Files.deleteIfExists(stagedManifest(dataset, table))
+    staged.size
+  }
+
+  /** Throw away every staged entry: fragments + sidecars deleted, the
+    * published table untouched (the audit said no). */
+  def discardStaged(dataset: String, table: String): Unit = {
+    val td = tableDir(dataset, table)
+    stagedEntries(dataset, table).foreach { e =>
+      Files.deleteIfExists(ZoneMaps.statsPath(td, e.path))
+      deleteRecursive(td.resolve(e.path))
+    }
+    Files.deleteIfExists(stagedManifest(dataset, table))
   }
 
   // --------------------------------------------------- partition evolution

@@ -1608,6 +1608,104 @@ object EngineQueries {
       |                      THEN value * 2 ELSE value END), 2) AS v
       |FROM events GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- q79 WAP
+
+  /** Write-audit-publish end to end: base lands (A+N), a BAD batch
+    * (quantities inflated out of domain) stages — `require`d invisible
+    * to readers — fails its audit on the staged view and is discarded
+    * without a trace (`require`d: row count back, zero orphans); the
+    * good batch stages, passes the audit, and publishes as a
+    * METADATA-ONLY commit (`require`d: zero parquet files created by
+    * publish). Final state hash-gated vs DuckDB (= the full table: the
+    * bad batch never existed). */
+  def q79Wap(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val wh = new Warehouse(spark, scratch("graft_wap"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    wh.overwrite("mart", "t", li.filter(col("l_returnflag") =!= "R"))
+    val base = wh.read("mart", "t").count()
+    def files(): Long = {
+      val w = Files.walk(java.nio.file.Paths.get(wh.root))
+      try w.iterator().asScala.count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toLong
+      finally w.close()
+    }
+    val r = li.filter(col("l_returnflag") === "R")
+    // bad batch: out-of-domain quantities — the audit must catch it
+    wh.stageAppend("mart", "t", r.withColumn("l_quantity", col("l_quantity") + 1000.0))
+    require(wh.read("mart", "t").count() == base,
+      "staged rows leaked to readers")
+    val auditBad = wh.readWithStaged("mart", "t")
+      .agg(max(col("l_quantity"))).head.getDouble(0)
+    require(auditBad > 50.0, "the bad batch must be visible to the audit")
+    wh.discardStaged("mart", "t")
+    require(wh.read("mart", "t").count() == base &&
+      wh.orphanFiles("mart", "t", graceMillis = 0).isEmpty,
+      "discard must leave no trace")
+    // good batch: audit passes, publish moves zero bytes
+    wh.stageAppend("mart", "t", r)
+    val auditGood = wh.readWithStaged("mart", "t")
+      .agg(max(col("l_quantity"))).head.getDouble(0)
+    require(auditGood <= 50.0, s"good audit failed: max qty $auditGood")
+    val f0 = files()
+    require(wh.publishStaged("mart", "t") >= 1, "publish published nothing")
+    require(files() == f0, "publish must be metadata-only")
+    wh.read("mart", "t")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+  }
+
+  val q79Sql: String =
+    """SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // --------------------------------------------- q80 incremental consume
+
+  /** Incremental append consumption end to end: orders lands in three
+    * slices with a consumer draining between writes — each
+    * [[Warehouse.nextAppends]] batch is EXACTLY the fragments appended
+    * since the committed offset (manifest diff, zero re-read of
+    * consumed data) and lands in an accumulator table. Gates
+    * `require`d: an uncommitted batch REPLAYS verbatim (crash safety),
+    * exactly 3 batches serve 3 writes, and the drained accumulator
+    * hash-equals DuckDB's view of the full source. */
+  def q80IncrementalConsume(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_ic"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val cp = Files.createTempDirectory("graft_ic_cp")
+    var batches = 0
+    def drain(): Unit = wh.nextAppends("src", "o3", cp).foreach { b =>
+      if (!wh.exists("mart", "acc")) wh.overwrite("mart", "acc", b.df)
+      else wh.append("mart", "acc", b.df)
+      wh.commitConsumed(cp, b.toVersion)
+      batches += 1
+    }
+    wh.overwrite("src", "o3", o.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+    // crash safety: the same batch serves twice without a commit
+    val p1 = wh.nextAppends("src", "o3", cp).get
+    val p2 = wh.nextAppends("src", "o3", cp).get
+    require(p1.toVersion == p2.toVersion && p1.fromVersion == p2.fromVersion,
+      "an uncommitted batch must replay verbatim")
+    drain()
+    wh.append("src", "o3", o.filter(pmod(col("o_orderkey"), lit(3)) === 1))
+    drain()
+    wh.append("src", "o3", o.filter(pmod(col("o_orderkey"), lit(3)) === 2))
+    drain()
+    drain() // up to date: must be a no-op
+    require(batches == 3, s"3 writes must serve exactly 3 batches, got $batches")
+    wh.read("mart", "acc")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val q80Sql: String =
+    """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ------------------------------------------- q71 streaming MV maintenance
 
   /** Streaming ingest with PER-BATCH incremental MV maintenance — the
@@ -1691,6 +1789,8 @@ object EngineQueries {
     "q76_hidden_partition" -> (q76HiddenPartition _),
     "q77_replace_where" -> (q77ReplaceWhere _),
     "q78_partition_evolution" -> (q78PartitionEvolution _),
+    "q79_wap" -> (q79Wap _),
+    "q80_incremental_consume" -> (q80IncrementalConsume _),
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
@@ -1732,6 +1832,8 @@ object EngineQueries {
     "q76_hidden_partition" -> q76Sql,
     "q77_replace_where" -> q77Sql,
     "q78_partition_evolution" -> q78Sql,
+    "q79_wap" -> q79Sql,
+    "q80_incremental_consume" -> q80Sql,
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
