@@ -44,6 +44,13 @@ final case class TableMeta(
     partitionTransform: Option[String] = None,
     /** The data column a hidden partition derives from. */
     partitionSource: Option[String] = None,
+    /** Column DEFAULTS (Iceberg v3 initial/write-default semantics):
+      * `name -> SQL expression`. A fragment physically LACKING the
+      * column serves the default on read — declared via
+      * [[Warehouse.addColumn]], a metadata-only operation; no fragment
+      * is ever rewritten. Fragments that HAVE the column (including
+      * explicit NULLs) are untouched. */
+    columnDefaults: Seq[(String, String)] = Nil,
     /** Monotonic partition-spec version, bumped by
       * [[Warehouse.evolvePartitionSpec]]. Entries are stamped with the
       * spec they were written under; transform pruning only trusts
@@ -136,6 +143,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           .filter(_.startsWith("constraints.check."))
           .map(k => k.stripPrefix("constraints.check.") -> p.getProperty(k))
       },
+      columnDefaults = {
+        import scala.jdk.CollectionConverters._
+        p.stringPropertyNames().asScala.toSeq.sorted
+          .filter(_.startsWith("default."))
+          .map(k => k.stripPrefix("default.") -> p.getProperty(k))
+      },
       columnRenames = Option(p.getProperty("column.renames")).filter(_.nonEmpty)
         .map(_.split(";").toSeq.map { kv =>
           val i = kv.indexOf('>'); (kv.substring(0, i), kv.substring(i + 1))
@@ -165,6 +178,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     p.setProperty("partition.specVersion", m.partitionSpecVersion.toString)
     p.setProperty("column.renames",
       m.columnRenames.map { case (o, n) => s"$o>$n" }.mkString(";"))
+    m.columnDefaults.foreach { case (name, sql) =>
+      p.setProperty(s"default.$name", sql)
+    }
     m.checkConstraints.foreach { case (name, sql) =>
       require(name.matches("[A-Za-z0-9_.-]+"),
         s"check-constraint name must be a simple identifier, got '$name'")
@@ -236,6 +252,45 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * Zone-map sidecars of pre-rename fragments keep the old name —
     * pruning on the renamed column degrades to scan for those
     * fragments (sound), and recovers on compaction. */
+  /** ALTER TABLE ADD COLUMN with an optional DEFAULT (Iceberg v3
+    * initial-default semantics) — METADATA-ONLY at any scale: one
+    * commit pins the widened schema (so time travel to pre-alter
+    * versions correctly lacks the column) and the default, when given,
+    * is served at READ time to every fragment physically missing the
+    * column. No default ⇒ old rows read NULL (plain additive
+    * evolution). Fragments holding the column — even explicit NULLs —
+    * are never touched; a later writer omitting the column gets the
+    * default too (write-default). The default SQL must be a
+    * deterministic expression over no columns (validated here). */
+  def addColumn(dataset: String, table: String, name: String,
+                typeDdl: String, defaultSql: Option[String] = None): Unit = {
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val sch = schema(dataset, table)
+    require(!sch.fieldNames.contains(name), s"column already exists: $name")
+    val dt = StructType.fromDDL(s"`$name` $typeDdl").fields.head.dataType
+    defaultSql.foreach { d =>
+      val e = spark.sessionState.sqlParser.parseExpression(d)
+      require(e.deterministic && e.references.isEmpty,
+        s"DEFAULT must be a deterministic expression over no columns: $d")
+      // must evaluate and cast to the column type (loud at declaration,
+      // not at first read)
+      spark.range(1).select(expr(d).cast(dt)).collect()
+    }
+    val widened = StructType(sch.fields :+
+      org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    writeSchemaDdl(dataset, table, widened)
+    val m = meta(dataset, table)
+    defaultSql.foreach(d => setMeta(dataset, table,
+      m.copy(columnDefaults = m.columnDefaults :+ (name -> d))))
+    // metadata-only commit pinning the widened schema: readers see the
+    // column NOW; time travel before this version does not
+    lg.commitWithSchema("alter", cur2 =>
+      cur2.filter(!_.isDrop).map(_.entries).getOrElse(cur.entries),
+      cur2 => Some(widened.toDDL))
+  }
+
   def renameColumn(dataset: String, table: String, from: String, to: String): Unit = {
     require(to.nonEmpty && !to.contains(";") && !to.contains(">"),
       s"invalid column name '$to'")
@@ -559,15 +614,30 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       // could evaluate against the wrong type — the same
       // subset-dependent-inference hazard readEntries/recordStats guard
       val physical = spark.read.parquet(frag.toString)
-      val df = declared match {
+      val df0 = declared match {
         case Some(s) => spark.read.schema(s).parquet(frag.toString)
         case None => physical
       }
       val present = physical.columns.toSet
-      m.notNullColumns.filterNot(present).headOption.foreach { c =>
-        throw new IllegalArgumentException(
-          s"NOT NULL column '$c' is absent from the written data")
+      // a defaulted column absent from the fragment is FINE (reads
+      // serve the default, never null) — for both the NOT NULL absence
+      // rule and CHECK evaluation below, which sees the default value
+      val hasDefault = m.columnDefaults.map(_._1).toSet
+      val df = m.columnDefaults.foldLeft(df0) { case (d, (c, sql)) =>
+        if (present(c)) d
+        else if (d.columns.contains(c))
+          d.withColumn(c, expr(sql).cast(d.schema(c).dataType))
+        // column absent from the WRITER's schema too (narrow write):
+        // inject at the expression's natural type — constraint
+        // evaluation only needs the VALUE, the declared cast happens
+        // on the read path
+        else d.withColumn(c, expr(sql))
       }
+      m.notNullColumns.filterNot(present).filterNot(hasDefault)
+        .headOption.foreach { c =>
+          throw new IllegalArgumentException(
+            s"NOT NULL column '$c' is absent from the written data")
+        }
       val flags: Seq[(String, Column)] =
         m.notNullColumns.map(c => s"NOT NULL $c" -> col(c).isNull) ++
           m.checkConstraints.map { case (n, sql) =>
@@ -1992,7 +2062,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val tagged = bare.select(col("*"),
       element_at(split(col("_metadata.file_path"), "/"), -1).as(TagFile),
       col("_metadata.row_index").as(TagPos))
-    val renamed = applyRenameMap(tagged, renames)
+    val renamed0 = applyRenameMap(tagged, renames)
+    // column defaults: a masked fragment physically lacking a defaulted
+    // column serves the default exactly like the plain per-entry path
+    val renamed = meta(dataset, table).columnDefaults.foldLeft(renamed0) {
+      case (d, (c, sql)) =>
+        if (d.columns.contains(c)) d
+        else schemaDdl(dataset, table).map(StructType.fromDDL)
+          .flatMap(_.fields.find(_.name == c))
+          .map(f => d.withColumn(c, expr(sql).cast(f.dataType))).getOrElse(d)
+    }
     // hidden partitioning: the synthetic column never surfaces in reads
     val withPart = m.partitionField.filterNot(_ => m.hiddenPartition) match {
       case Some(f) if !renamed.columns.contains(f) =>
@@ -2038,6 +2117,21 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val targetSchema = commitSchema.map(StructType.fromDDL)
     val applicable = renameMap(m, targetSchema)
     def applyRenames(df: DataFrame): DataFrame = applyRenameMap(df, applicable)
+    // Column defaults are PER-FRAGMENT: only a fragment physically
+    // lacking the column serves the default (a fragment holding explicit
+    // NULLs keeps them — Iceberg initial-default semantics), so defaults
+    // force the per-entry read path where each fragment's own footer
+    // schema decides. Typed by the declared schema.
+    val declared = targetSchema.orElse(schemaDdl(dataset, table).map(StructType.fromDDL))
+    val defaults: Seq[(String, Column)] = m.columnDefaults.flatMap { case (c, sql) =>
+      declared.flatMap(_.fields.find(_.name == c))
+        .map(f => c -> expr(sql).cast(f.dataType))
+    }
+    def applyDefaults(df: DataFrame): DataFrame =
+      defaults.foldLeft(df) { case (d, (c, e)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, e)
+      }
+    def perEntry(df: DataFrame): DataFrame = applyDefaults(applyRenames(df))
     // Deletion-vector entries (merge-on-read deletes) read per entry —
     // tagged with file/position, anti-joined against their DV, tags
     // dropped — and union with the plain fast paths; entries WITHOUT a
@@ -2049,7 +2143,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // stays where it belongs — in the layout
     val effField = m.partitionField.filterNot(_ => m.hiddenPartition)
     val rawPlain: Option[DataFrame] = if (plain.isEmpty) None else Some(effField match {
-      case None if applicable.isEmpty =>
+      case None if applicable.isEmpty && defaults.isEmpty =>
         val paths = plain.flatMap(e => filesOf.getOrElse(e.path,
           Seq(tableDir(dataset, table).resolve(e.path).toString)))
         commitSchema.map(StructType.fromDDL) match {
@@ -2070,9 +2164,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         plain.map { e =>
           val ps = filesOf.getOrElse(e.path,
             Seq(tableDir(dataset, table).resolve(e.path).toString))
-          applyRenames(spark.read.parquet(ps: _*))
+          perEntry(spark.read.parquet(ps: _*))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
-      case Some(field) if applicable.isEmpty =>
+      case Some(field) if applicable.isEmpty && defaults.isEmpty =>
         // Hive-layout fragments: group by fragment root so Spark's
         // partition discovery re-attaches the partition column; one read
         // per FRAGMENT (≈ per commit touched), not per partition.
@@ -2109,7 +2203,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           val value =
             if (e.partition == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
             else ExternalCatalogUtils.unescapePathName(e.partition)
-          applyRenames(spark.read.parquet(ps: _*))
+          perEntry(spark.read.parquet(ps: _*))
             .withColumn(field, lit(value).cast(m.partitionType))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
     })

@@ -1706,6 +1706,43 @@ object EngineQueries {
       |       round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------- q81 column default
+
+  /** ALTER ADD COLUMN with DEFAULT end to end: the small-part slice
+    * lands, `origin STRING DEFAULT 'legacy'` is added METADATA-ONLY
+    * (`require`d: the alter commit references the same entries — zero
+    * data moved), a second slice appends WITH explicit values, and a
+    * third narrow append (no column at all) picks up the
+    * write-default. The final rollup — old fragments serving the
+    * default, new ones their explicit values — hash-gates against
+    * DuckDB deriving the same labels declaratively. */
+  def q81ColumnDefault(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_cd"))
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    wh.overwrite("mart", "p", p.filter(col("p_size") <= 20))
+    val v0 = wh.log("mart", "p").latest.get.version
+    wh.addColumn("mart", "p", "origin", "STRING", Some("'legacy'"))
+    require(wh.log("mart", "p").latest.get.entries ==
+      wh.log("mart", "p").version(v0).get.entries,
+      "ALTER ADD COLUMN must move zero data")
+    wh.append("mart", "p",
+      p.filter(col("p_size") > 20 && col("p_size") <= 40)
+        .withColumn("origin", lit("fresh")))
+    // narrow append: no origin column at all — the write-default covers it
+    wh.append("mart", "p", p.filter(col("p_size") > 40))
+    wh.read("mart", "p")
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("price"))
+  }
+
+  val q81Sql: String =
+    """SELECT CASE WHEN p_size > 20 AND p_size <= 40 THEN 'fresh'
+      |            ELSE 'legacy' END AS origin,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(p_retailprice), 2) AS price
+      |FROM part GROUP BY 1""".stripMargin
+
   // ------------------------------------------- q71 streaming MV maintenance
 
   /** Streaming ingest with PER-BATCH incremental MV maintenance — the
@@ -1791,6 +1828,7 @@ object EngineQueries {
     "q78_partition_evolution" -> (q78PartitionEvolution _),
     "q79_wap" -> (q79Wap _),
     "q80_incremental_consume" -> (q80IncrementalConsume _),
+    "q81_column_default" -> (q81ColumnDefault _),
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
@@ -1834,6 +1872,7 @@ object EngineQueries {
     "q78_partition_evolution" -> q78Sql,
     "q79_wap" -> q79Sql,
     "q80_incremental_consume" -> q80Sql,
+    "q81_column_default" -> q81Sql,
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
