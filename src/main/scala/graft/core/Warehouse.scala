@@ -353,7 +353,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             s"table must include the partition column " +
             s"'${m.partitionKeyColumn.getOrElse(field)}'")
         val frag = lg.newFragmentDir()
-        partitionedWrite(deriveHidden(m, df), field, frag)
+        partitionedWrite(deriveHidden(m, df), field, frag, m.clusteringFields)
         enforceConstraints(m, frag, Some(df.schema))
         enforceUnique(dataset, table, m, frag, Some(df.schema),
           checkStanding = false)
@@ -436,7 +436,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             s"or relayout() first")
       }
     val frag = lg.newFragmentDir()
-    partitionedWrite(deriveHidden(m, df), field, frag)
+    partitionedWrite(deriveHidden(m, df), field, frag, m.clusteringFields)
     enforceConstraints(m, frag, Some(df.schema))
     // partition column ⊆ key (checked at declaration by overwrite): each
     // key lives only in partitions this write REPLACES, so the in-batch
@@ -500,9 +500,25 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * (a skew bottleneck). REBALANCE shuffles on the field, then AQE
     * coalesces small partitions and splits skewed ones to the advisory
     * size, so files come out partition-clustered AND size-bounded. */
-  private def partitionedWrite(df: DataFrame, field: String, frag: Path): Unit =
-    df.hint("rebalance", field)
-      .write.mode("overwrite").partitionBy(field).parquet(frag.toString)
+  private def partitionedWrite(df: DataFrame, field: String, frag: Path,
+                               clustering: Seq[String] = Nil): Unit = {
+    val clusterCols = clustering.filter(df.columns.contains)
+    if (clusterCols.isEmpty)
+      df.hint("rebalance", field)
+        .write.mode("overwrite").partitionBy(field).parquet(frag.toString)
+    else
+      // clustered table: RANGE-partition by (partition, cluster cols) and
+      // sort within tasks, so each hive dir's files cover DISJOINT
+      // cluster-key ranges — per-file zone maps then prune point/range
+      // probes on the cluster columns inside every partition. This
+      // trades AQE's rebalance (size-bounded files) for range-clustered
+      // files; compact() restores size bounds later, clustering intact
+      // per group. The plain rebalance path keeps AQE for unclustered
+      // tables.
+      df.repartitionByRange((field +: clusterCols).map(col): _*)
+        .sortWithinPartitions((field +: clusterCols).map(col): _*)
+        .write.mode("overwrite").partitionBy(field).parquet(frag.toString)
+  }
 
   private def sessionZone: java.time.ZoneId =
     java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
@@ -1287,7 +1303,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     val replacement: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
-        partitionedWrite(deriveHidden(m, keep), field, frag)
+        partitionedWrite(deriveHidden(m, keep), field, frag, m.clusteringFields)
         val es = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
         recordStats(dataset, table, es, Some(field))
         es
@@ -1369,7 +1385,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val srcFrag = lg.newFragmentDir()
     val newEntries: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
-        partitionedWrite(deriveHidden(m, df), field, srcFrag)
+        partitionedWrite(deriveHidden(m, df), field, srcFrag, m.clusteringFields)
         enforceConstraints(m, srcFrag, Some(df.schema))
         val es = hiveEntries(dataset, table, srcFrag, field, m.partitionSpecVersion)
         recordStats(dataset, table, es, Some(field))
@@ -1436,7 +1452,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         keepFrag = Some(frag)
         m.partitionField match {
           case Some(field) =>
-            partitionedWrite(deriveHidden(m, keep), field, frag)
+            partitionedWrite(deriveHidden(m, keep), field, frag, m.clusteringFields)
             val es = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
             recordStats(dataset, table, es, Some(field))
             es
@@ -1733,7 +1749,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val srcFrag = lg.newFragmentDir()
     val srcEntries: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
-        partitionedWrite(deriveHidden(m, source), field, srcFrag)
+        partitionedWrite(deriveHidden(m, source), field, srcFrag, m.clusteringFields)
         enforceConstraints(m, srcFrag, Some(source.schema))
         val es = hiveEntries(dataset, table, srcFrag, field, m.partitionSpecVersion)
         recordStats(dataset, table, es, Some(field))
@@ -1809,7 +1825,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val frag = lg.newFragmentDir()
         m.partitionField match {
           case Some(field) =>
-            partitionedWrite(deriveHidden(m, keep), field, frag)
+            partitionedWrite(deriveHidden(m, keep), field, frag, m.clusteringFields)
             val es = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
             recordStats(dataset, table, es, Some(field))
             es
@@ -1872,7 +1888,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val srcFrag = lg.newFragmentDir()
     val srcEntries: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
-        partitionedWrite(deriveHidden(m, source), field, srcFrag)
+        partitionedWrite(deriveHidden(m, source), field, srcFrag, m.clusteringFields)
         enforceConstraints(m, srcFrag, Some(source.schema))
         val es = hiveEntries(dataset, table, srcFrag, field, m.partitionSpecVersion)
         recordStats(dataset, table, es, Some(field))
@@ -2332,7 +2348,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val frag = lg.newFragmentDir()
     val es: Seq[SnapshotLog.Entry] = m.partitionField match {
       case Some(field) =>
-        partitionedWrite(deriveHidden(m, df), field, frag)
+        partitionedWrite(deriveHidden(m, df), field, frag, m.clusteringFields)
         enforceConstraints(m, frag, Some(df.schema))
         hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
       case None =>
@@ -2541,7 +2557,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         m.partitionField.filter(df.columns.contains)
           .map(df.drop(_)).getOrElse(df)
           .write.mode("overwrite").parquet(dst.toString)
-        SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, dst))
+        SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, dst),
+          spec = e.spec)
     }
     dstLg.commit("clone", entries, schemaDdl = cur.schemaDdl)
     setMeta(dstDataset, dstTable, m)
@@ -2618,7 +2635,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             .map(df.drop(_)).getOrElse(df)
             .write.mode("overwrite").parquet(dst.toString)
         }
-        SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, dst))
+        // spec stamp travels with the entry: a copy of an evolved table
+        // keeps transform pruning on its current-spec fragments
+        SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, dst),
+          spec = e.spec)
       }
     }.sortBy(_.partition)
     dstLg.commit("write", entries, schemaDdl = c.schemaDdl)

@@ -124,6 +124,24 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(got.toSet == (entries :+ SnapshotLog.Entry("y", "_data/e", spec = 3)).toSet)
   }
 
+  test("copy and clone preserve spec stamps (pruning survives the move)") {
+    val wh = freshWh()
+    wh.overwrite("d", "ev", ev(("2024-01-05 01:00:00", 1L)), monthMeta)
+    wh.evolvePartitionSpec("d", "ev", "p_day", "days", "ts")
+    wh.replaceWhere("d", "ev", to_date(col("ts")) === lit("2024-02-02"),
+      ev(("2024-02-02 01:00:00", 2L)))
+    def specsOf(ds: String, t: String) =
+      wh.log(ds, t).latest.get.entries.map(e => e.partition -> e.spec).toMap
+    val orig = specsOf("d", "ev")
+    assert(orig.values.toSet == Set(0, 1))
+    wh.copy("d", "ev", "d", "ev_copy")
+    assert(specsOf("d", "ev_copy") == orig, "copy keeps spec stamps")
+    wh.cloneTable("d", "ev", "d", "ev_clone")
+    assert(specsOf("d", "ev_clone") == orig, "clone keeps spec stamps")
+    assert(wh.read("d", "ev_copy").count() == 2L)
+    assert(wh.read("d", "ev_clone").count() == 2L)
+  }
+
   test("compact across an evolution: same-spec groups keep their stamp") {
     val wh = freshWh()
     wh.overwrite("d", "ev", ev(("2024-01-05 01:00:00", 1L)), monthMeta)

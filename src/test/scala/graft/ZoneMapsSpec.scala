@@ -572,4 +572,45 @@ class ZoneMapsSpec extends AnyFunSuite {
     val (scan, pruned) = wh.planScan("raw", "pf", col("id") === 99)
     assert(scan.size === 1 && pruned.isEmpty)
   }
+
+  test("clustered PARTITIONED writes produce range-disjoint files: cluster-col probes prune inside every partition") {
+    val wh = freshWh()
+    val m = graft.core.TableMeta(
+      partitionField = Some("day"), partitionType = "string",
+      clusteringFields = Seq("uid"))
+    // two partitions x 20k rows, uid interleaved so an UNCLUSTERED write
+    // would give every file the full uid range
+    val df = spark.range(40000L).select(
+      (when(pmod(col("id"), lit(2)) === 0, lit("d1")).otherwise(lit("d2"))).as("day"),
+      pmod(col("id") * 7919L, lit(40000L)).as("uid"),
+      col("id").as("payload"))
+    // at production scale the range shuffle is far above AQE's coalesce
+    // floor; at 40k spec rows AQE folds it to ONE file per dir — disable
+    // coalescing and widen the shuffle for the write so the multi-file
+    // shape under test exists at fixture scale
+    val kCoal = "spark.sql.adaptive.coalescePartitions.enabled"
+    val kShuf = "spark.sql.shuffle.partitions"
+    val (pCoal, pShuf) = (spark.conf.get(kCoal), spark.conf.get(kShuf))
+    try {
+      spark.conf.set(kCoal, "false")
+      spark.conf.set(kShuf, "16")
+      wh.overwrite("raw", "cl", df, m)
+    } finally { spark.conf.set(kCoal, pCoal); spark.conf.set(kShuf, pShuf) }
+    val entries = wh.log("raw", "cl").latest.get.entries
+    assert(entries.size == 2)
+    val td = java.nio.file.Paths.get(wh.root, "raw", "cl")
+    // every partition dir must hold SEVERAL files (range partitioning,
+    // not one-task-per-partition) for intra-partition pruning to exist
+    val fileCounts = entries.map(e =>
+      graft.core.ZoneMaps.read(td, e.path).get.files.size)
+    assert(fileCounts.forall(_ > 2), s"need multiple files per dir: $fileCounts")
+    // a narrow uid range must open a small fraction of files
+    val (scanned, total) = wh.scanFootprint("raw", "cl",
+      col("uid").between(100L, 200L))
+    assert(scanned * 4 <= total,
+      s"cluster-sorted files must prune a narrow uid probe: $scanned/$total")
+    // correctness: pruned read == full filter
+    assert(wh.readWhere("raw", "cl", col("uid").between(100L, 200L)).count() ==
+      wh.read("raw", "cl").filter(col("uid").between(100L, 200L)).count())
+  }
 }
