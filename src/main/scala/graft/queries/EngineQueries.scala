@@ -1743,6 +1743,92 @@ object EngineQueries {
       |       round(sum(p_retailprice), 2) AS price
       |FROM part GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------ q82 medallion pipeline
+
+  /** Medallion integration scenario — the features of rounds 12-13
+    * composed into one bronze→silver→gold pipeline:
+    *  - BRONZE: raw ingest, two appends; the second is half new docs,
+    *    half a RE-FEED of batch-1 texts under fresh ids (the classic
+    *    duplicate-on-reingest shape);
+    *  - SILVER: maintained INCREMENTALLY by [[Warehouse.nextAppends]] —
+    *    each batch exact-dedups in-batch (min doc_id per content hash)
+    *    and anti-joins the standing silver's hashes, then lands through
+    *    the UNIQUE(doc_id) gate; `require`d: 2 batches, re-fed texts
+    *    never land twice;
+    *  - GOLD: per-(lang, source) rollup of the quality-filtered silver.
+    * The duplicate-elimination, filter, and rollup are all mirrored
+    * declaratively in DuckDB — the gate is that an incremental,
+    * constraint-checked pipeline equals the one-shot relational answer. */
+  def q82Medallion(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_md"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    // engine-identical split point: approx quantiles differ across
+    // engines; min + half the row count is exact arithmetic in both
+    val head0 = docs.agg(min(col("doc_id")).as("mn"),
+      count(lit(1)).as("n")).head
+    val cut = head0.getLong(0) + head0.getLong(1) / 2
+    val b1 = docs.filter(col("doc_id") < cut)
+    val refeed = b1.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+      col("lang"), lit("refeed").as("source"), col("n_chars"))
+    val b2 = docs.filter(col("doc_id") >= cut).unionByName(refeed)
+    val cp = Files.createTempDirectory("graft_md_cp")
+    var batches = 0
+    def drainSilver(): Unit = wh.nextAppends("bronze", "docs", cp).foreach { b =>
+      // in-batch exact dedup: min doc_id per content hash
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_h")).orderBy(col("doc_id"))
+      val inBatch = b.df.withColumn("_h", md5(col("text")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      val landed =
+        if (!wh.exists("silver", "docs")) inBatch.drop("_h")
+        else {
+          // standing probe: hashes already in silver never re-land
+          val standing = wh.read("silver", "docs")
+            .select(md5(col("text")).as("_h")).distinct()
+          inBatch.join(standing, Seq("_h"), "left_anti").drop("_h")
+        }
+      if (!wh.exists("silver", "docs"))
+        wh.overwrite("silver", "docs", landed,
+          TableMeta(uniqueKey = Seq("doc_id")))
+      else wh.append("silver", "docs", landed)
+      wh.commitConsumed(cp, b.toVersion)
+      batches += 1
+    }
+    wh.overwrite("bronze", "docs", b1)
+    drainSilver()
+    wh.append("bronze", "docs", b2)
+    drainSilver()
+    require(wh.read("bronze", "docs").count() == docs.count() + b1.count(),
+      "bronze must hold originals + the re-feed")
+    require(batches == 2, s"2 bronze writes must serve 2 batches, got $batches")
+    require(wh.read("silver", "docs").count() ==
+      docs.select(md5(col("text"))).distinct().count(),
+      "silver must hold exactly one doc per distinct content")
+    val gold = wh.read("silver", "docs")
+      .filter(col("n_chars") >= 200)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"))
+    gold
+  }
+
+  val q82Sql: String =
+    """WITH cut AS MATERIALIZED (
+      |  SELECT min(doc_id) + count(*) // 2 AS c FROM documents),
+      |bronze AS MATERIALIZED (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, 'refeed', n_chars
+      |  FROM documents WHERE doc_id < (SELECT c FROM cut)),
+      |silver AS MATERIALIZED (
+      |  SELECT * FROM bronze
+      |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM silver WHERE n_chars >= 200 GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------- q71 streaming MV maintenance
 
   /** Streaming ingest with PER-BATCH incremental MV maintenance — the
@@ -1829,6 +1915,7 @@ object EngineQueries {
     "q79_wap" -> (q79Wap _),
     "q80_incremental_consume" -> (q80IncrementalConsume _),
     "q81_column_default" -> (q81ColumnDefault _),
+    "q82_medallion" -> (q82Medallion _),
     "q12_time_travel" -> (q12TimeTravel _),
     "q13_incremental" -> (q13Incremental _),
     "q14_scd2" -> (q14Scd2 _),
@@ -1873,6 +1960,7 @@ object EngineQueries {
     "q79_wap" -> q79Sql,
     "q80_incremental_consume" -> q80Sql,
     "q81_column_default" -> q81Sql,
+    "q82_medallion" -> q82Sql,
     "q12_time_travel" -> q12Sql,
     "q13_incremental" -> q13Sql,
     "q14_scd2" -> q14Sql,
