@@ -600,8 +600,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             // produced — an entry from an older spec (or a mixed-spec
             // compaction, spec = -1) is never transform-pruned
             e.spec != m.partitionSpecVersion ||
-              // NULL source values land in the default-partition dir and
-              // never match an equality probe (WHERE NULL = no match)
+              // the default-partition dir is NEVER pruned: hive's layout
+              // folds both NULL and EMPTY-STRING derived values into it
+              // (a truncate of "" derives "", which the writer stores as
+              // the null sentinel) — an equality probe for src = '' must
+              // still open it, so only real-valued dirs participate
+              e.partition == ExternalCatalogUtils.DEFAULT_PARTITION_NAME ||
               keep.contains(ExternalCatalogUtils.unescapePathName(e.partition)))
           case None => entries
         }
