@@ -1273,7 +1273,25 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * LOUDLY otherwise (unlike compact, a delete is not semantics-
     * preserving, so silently abandoning a group would resurrect deleted
     * rows for the caller); the orphaned rewrite files are cleaned up. */
+
+  /** Row-level mutations while WAP batches are staged would be silently
+    * UNDONE by the eventual publish (the staged fragments were captured
+    * before the mutation and re-enter verbatim): a delete's victims
+    * could resurrect, a replace's scope could regain dropped rows.
+    * Mutating writers therefore refuse while anything is staged —
+    * publish or discard first. Appends/overwrites are fine (staged
+    * entries ride the CAS re-base). */
+  private def refuseWhileStaged(dataset: String, table: String,
+                                op: String): Unit = {
+    val n = stagedEntries(dataset, table).size
+    if (n > 0) throw new IllegalStateException(
+      s"$dataset.$table has $n staged (unpublished) batch(es); $op would " +
+        "be silently undone by the eventual publish — publishStaged() or " +
+        "discardStaged() first")
+  }
+
   def deleteWhere(dataset: String, table: String, pred: Column): DeleteResult = {
+    refuseWhileStaged(dataset, table, "deleteWhere")
     val m = meta(dataset, table)
     val lg = log(dataset, table)
     val cur = lg.latest.filter(!_.isDrop).getOrElse(
@@ -1378,6 +1396,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * replacing. */
   def replaceWhere(dataset: String, table: String, pred: Column,
                    df: DataFrame): ReplaceResult = {
+    refuseWhileStaged(dataset, table, "replaceWhere")
     val m = meta(dataset, table)
     val lg = log(dataset, table)
     val cur = lg.latest.filter(!_.isDrop).getOrElse(
@@ -1526,6 +1545,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * KEPT. Choose this over [[deleteWhere]] when deletes are sparse and
     * latency-sensitive; compact() converts the debt to clean fragments. */
   def deleteWhereMor(dataset: String, table: String, pred: Column): MorDeleteResult = {
+    refuseWhileStaged(dataset, table, "deleteWhereMor")
     val m = meta(dataset, table)
     val lg = log(dataset, table)
     val cur = lg.latest.filter(!_.isDrop).getOrElse(
@@ -1735,6 +1755,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * still [[insertOverwrite]]'s cheaper job. */
   def mergeInto(dataset: String, table: String, source: DataFrame,
                 keys: Seq[String]): MergeResult = {
+    refuseWhileStaged(dataset, table, "mergeInto")
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val m = meta(dataset, table)
     // merging BY the unique key preserves it (matches replace 1:1,
@@ -1880,6 +1901,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * materializes the masks and re-clusters the landed rows. */
   def mergeIntoMor(dataset: String, table: String, source: DataFrame,
                    keys: Seq[String]): MergeResult = {
+    refuseWhileStaged(dataset, table, "mergeIntoMor")
     require(keys.nonEmpty, "mergeIntoMor needs at least one key column")
     val m = meta(dataset, table)
     require(m.uniqueKey.isEmpty || m.uniqueKey == keys,

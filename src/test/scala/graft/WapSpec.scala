@@ -121,6 +121,24 @@ class WapSpec extends AnyFunSuite {
     assert(s < t, s"published-from-staged entry must prune: $s/$t")
   }
 
+  test("row-level mutations refuse while batches are staged (publish would undo them)") {
+    val wh = freshWh()
+    wh.overwrite("d", "t", rows(1L, 2L))
+    wh.stageAppend("d", "t", rows(3L))
+    def refusal(f: => Any): Unit = {
+      val e = intercept[IllegalStateException](f)
+      assert(e.getMessage.contains("staged"))
+    }
+    refusal(wh.deleteWhere("d", "t", col("id") === 1L))
+    refusal(wh.deleteWhereMor("d", "t", col("id") === 1L))
+    refusal(wh.replaceWhere("d", "t", col("id") === 1L, rows(1L)))
+    refusal(wh.mergeInto("d", "t", rows(1L), keys = Seq("id")))
+    assert(wh.read("d", "t").count() == 2L)
+    // discard unblocks
+    wh.discardStaged("d", "t")
+    assert(wh.deleteWhere("d", "t", col("id") === 1L).deletedRows == 1L)
+  }
+
   test("staged batch with a new column publishes with an additive union schema") {
     val wh = freshWh()
     wh.overwrite("d", "t", rows(1L))
