@@ -2264,6 +2264,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** DESCRIBE HISTORY analog: one row per commit — version, timestamp,
+    * action, entry/masked-entry counts, schema-pin flag. Driver-sized
+    * by construction (the snapshot log is metadata); the DataFrame
+    * shape makes audits (`history.filter($"action" === "delete")`)
+    * composable with everything else. */
+  def history(dataset: String, table: String): DataFrame = {
+    import spark.implicits._
+    log(dataset, table).commits.map { c =>
+      (c.version, new java.sql.Timestamp(c.tsMillis), c.action,
+        c.entries.size.toLong, c.entries.count(_.dv.isDefined).toLong,
+        c.schemaDdl.isDefined)
+    }.toDF("version", "ts", "action", "n_entries", "n_masked", "schema_pinned")
+  }
+
   // ------------------------------------------- incremental consumption
 
   /** One consumable batch: the rows appended in (fromVersion,

@@ -1027,4 +1027,20 @@ class WarehouseSpec extends AnyFunSuite {
       "rejected merge must clean up its landed source fragment")
     assert(wh.read("d", "mk").collect().map(_.getInt(0)).toSeq === Seq(1))
   }
+
+  test("history(): one row per commit, actions and mask counts exact") {
+    import org.apache.spark.sql.functions._
+    val wh = new Warehouse(spark, java.nio.file.Files.createTempDirectory("hist").toString)
+    import spark.implicits._
+    wh.overwrite("d", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    wh.append("d", "t", Seq((3L, "c")).toDF("id", "v"))
+    wh.deleteWhereMor("d", "t", col("id") === 1L)
+    wh.deleteWhere("d", "t", col("id") === 2L)
+    val h = wh.history("d", "t").orderBy("version").collect()
+    assert(h.map(_.getString(2)).toSeq == Seq("write", "append", "delete", "delete"))
+    assert(h.map(_.getLong(4)).toSeq == Seq(0L, 0L, 1L, 0L),
+      "the MoR commit carries exactly one masked entry")
+    assert(h.forall(_.getBoolean(5)), "every commit pins a schema")
+    assert(h.map(_.getInt(0)).toSeq == (1 to 4).toSeq)
+  }
 }
