@@ -154,8 +154,16 @@ object AggView {
         s"source ${cfg.srcDataset}.${cfg.srcTable} is gone")).version
     if (cur == cfg.refreshedVersion)
       return RefreshResult("noop", cfg.refreshedVersion, cur)
-    val result = wh.appendedBetween(cfg.srcDataset, cfg.srcTable,
-      cfg.refreshedVersion, cur) match {
+    // a watermark whose manifest was vacuumed past retention can't be
+    // diffed — degrade to the documented full rebuild instead of
+    // throwing forever (the view would otherwise be unrefreshable)
+    val watermarkLive =
+      wh.log(cfg.srcDataset, cfg.srcTable).version(cfg.refreshedVersion).isDefined
+    val span =
+      if (watermarkLive)
+        wh.appendedBetween(cfg.srcDataset, cfg.srcTable, cfg.refreshedVersion, cur)
+      else None
+    val result = span match {
       case Some(delta) =>
         val merged = mergeAgg(
           wh.read(dataset, view).unionByName(baseAgg(delta, cfg)), cfg)

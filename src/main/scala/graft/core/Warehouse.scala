@@ -56,7 +56,18 @@ final case class TableMeta(
       * spec they were written under; transform pruning only trusts
       * current-spec entries, so a days→bucket evolution can never
       * wrongly prune a fragment laid out by the old spec. */
-    partitionSpecVersion: Int = 0) {
+    partitionSpecVersion: Int = 0,
+    /** Time zone PINNED AT DECLARATION for timestamp→calendar partition
+      * transforms (days/months). The day a timestamp falls on depends on
+      * the zone; if the write path derived dirs under one session zone
+      * and a later session pruned under another, an equality probe would
+      * map to the wrong dir and silently drop live rows. So the zone is
+      * table metadata: [[Warehouse.setMeta]] stamps the declaring
+      * session's zone, writes REFUSE a session whose zone disagrees, and
+      * pruning uses the stamped zone (legacy metadata without a stamp is
+      * never transform-pruned on a timestamp source). DateType and
+      * bucket/truncate sources are zone-independent and unaffected. */
+    partitionZone: Option[String] = None) {
 
   /** Hidden-partitioned: the partition column is derived + invisible. */
   def hiddenPartition: Boolean = partitionTransform.isDefined
@@ -160,10 +171,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       partitionSource = Option(p.getProperty("partition.source"))
         .filter(_.nonEmpty),
       partitionSpecVersion = Option(p.getProperty("partition.specVersion"))
-        .filter(_.nonEmpty).map(_.toInt).getOrElse(0))
+        .filter(_.nonEmpty).map(_.toInt).getOrElse(0),
+      partitionZone = Option(p.getProperty("partition.zone")).filter(_.nonEmpty))
   }
 
-  def setMeta(dataset: String, table: String, m: TableMeta): Unit = {
+  def setMeta(dataset: String, table: String, mIn: TableMeta): Unit = {
+    // stamp the declaring session's zone onto calendar transforms so the
+    // day/month a timestamp maps to is fixed forever at declaration
+    val m =
+      if (mIn.partitionZone.isEmpty &&
+          mIn.partitionTransform.exists(t => t == "days" || t == "months"))
+        mIn.copy(partitionZone = Some(sessionZone.getId))
+      else mIn
     val p = new java.util.Properties()
     p.setProperty("partition.field", m.partitionField.getOrElse(""))
     p.setProperty("partition.type", m.partitionType)
@@ -176,6 +195,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     p.setProperty("partition.transform", m.partitionTransform.getOrElse(""))
     p.setProperty("partition.source", m.partitionSource.getOrElse(""))
     p.setProperty("partition.specVersion", m.partitionSpecVersion.toString)
+    p.setProperty("partition.zone", m.partitionZone.getOrElse(""))
     p.setProperty("column.renames",
       m.columnRenames.map { case (o, n) => s"$o>$n" }.mkString(";"))
     m.columnDefaults.foreach { case (name, sql) =>
@@ -275,8 +295,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       require(e.deterministic && e.references.isEmpty,
         s"DEFAULT must be a deterministic expression over no columns: $d")
       // must evaluate and cast to the column type (loud at declaration,
-      // not at first read)
-      spark.range(1).select(expr(d).cast(dt)).collect()
+      // not at first read). With ANSI off, an incompatible cast folds to
+      // NULL silently — so a non-null default that casts to null is the
+      // declaration-time failure this check promises, not a latent NULL
+      // served from every old fragment.
+      val Array(raw, cast) =
+        spark.range(1).select(expr(d), expr(d).cast(dt)).collect().head
+          .toSeq.toArray
+      require(raw == null || cast != null,
+        s"DEFAULT '$d' does not cast to $typeDdl (evaluates to NULL " +
+          "under the cast) — fix the expression or the column type")
     }
     val widened = StructType(sch.fields :+
       org.apache.spark.sql.types.StructField(name, dt, nullable = true))
@@ -392,7 +420,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     df.write.mode("overwrite").parquet(frag.toString)
     enforceConstraints(m, frag, Some(df.schema))
     // the standing probe runs BEFORE the commit, so the new fragment is
-    // not yet visible to the readWhere it probes through
+    // not yet visible to the readWhere it probes through; the paths it
+    // probed are remembered so the CAS closure can re-validate against
+    // anything a concurrent appender lands after the probe
+    val probedPaths: Set[String] = lg.latest.filter(!_.isDrop)
+      .map(_.entries.map(_.path).toSet).getOrElse(Set.empty)
     enforceUnique(dataset, table, m, frag, Some(df.schema),
       checkStanding = true)
     val entry = SnapshotLog.Entry("", relativize(dataset, table, frag))
@@ -400,8 +432,33 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // union schema is recomputed INSIDE the CAS retry from the current
     // commit: unioning against a stale base after a lost race would pin
     // a schema missing the winning writer's new columns
-    val c = lg.commitWithSchema("append", cur =>
-      cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty) :+ entry,
+    val c = lg.commitWithSchema("append", cur => {
+      val curEntries = cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+      // UNIQUE under concurrent appenders: two racing appends of the same
+      // key both pass the pre-commit probe (neither sees the other). The
+      // rebase closure sees the winner's entries, so re-check overlap
+      // against exactly the entries the probe never saw — O(racing
+      // fragment), zero cost on the no-race path — and fail as loudly as
+      // every other lost race in this file.
+      if (m.uniqueKey.nonEmpty) {
+        val unseen = curEntries.filterNot(e => probedPaths(e.path))
+        if (unseen.nonEmpty) {
+          val newKeys = spark.read.schema(df.schema).parquet(frag.toString)
+            .select(m.uniqueKey.map(col): _*).distinct()
+          val hit = readEntries(dataset, table, unseen, cur.flatMap(_.schemaDdl))
+            .join(newKeys, m.uniqueKey, "left_semi").limit(1).collect()
+          if (hit.nonEmpty) {
+            deleteRecursive(frag)
+            throw new java.util.ConcurrentModificationException(
+              s"append lost a UNIQUE (${m.uniqueKey.mkString(", ")}) race: " +
+                s"a concurrent append committed key " +
+                m.uniqueKey.zipWithIndex.map { case (k, i) => s"$k=${hit.head.get(i)}" }
+                  .mkString("(", ", ", ")") + " after this writer's probe")
+          }
+        }
+      }
+      curEntries :+ entry
+    },
       cur => Some(unionWithCurrent(dataset, table, cur, df.schema).toDDL))
     writeSchemaDdlMerged(dataset, table,
       StructType.fromDDL(c.schemaDdl.getOrElse(df.schema.toDDL)),
@@ -540,6 +597,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val f = df.schema.fields.find(_.name == srcCol).getOrElse(
           throw new IllegalArgumentException(
             s"hidden partition source column '$srcCol' absent from the write"))
+        // timestamp→calendar derivation happens under the SESSION zone
+        // (to_date); the table's stamped zone must agree or this write
+        // would lay out days the prune path can't reproduce
+        if (f.dataType == org.apache.spark.sql.types.TimestampType &&
+            (t == PartitionTransform.Days || t == PartitionTransform.Months))
+          m.partitionZone.foreach { z =>
+            require(z == sessionZone.getId,
+              s"table declared its ${t.render}($srcCol) partition under zone " +
+                s"'$z' but this session's zone is '${sessionZone.getId}' — " +
+                "set spark.sql.session.timeZone to the declared zone to write")
+          }
         df.withColumn(field, t.expr(col(srcCol), f.dataType, sessionZone))
       case (Some(_), _, _) => throw new IllegalStateException(
         "partitionTransform set without partitionField + partitionSource")
@@ -574,23 +642,32 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             try Option(e.eval(null)) catch { case _: Exception => None }
           case _ => None
         }
+        // driver-side dir derivation for a literal: a timestamp source is
+        // only prunable under the zone STAMPED at declaration — metadata
+        // without a stamp (pre-zone tables) keeps everything rather than
+        // guessing with the current session's zone, which may not be the
+        // zone the dirs were written under. Zone-independent sources
+        // (date/integral/string) derive unconditionally.
+        def deriveDir(x: Any): Option[String] = dt.flatMap {
+          case d @ org.apache.spark.sql.types.TimestampType =>
+            m.partitionZone.map(java.time.ZoneId.of)
+              .flatMap(z => t.dirValue(x, d, z))
+          case d => t.dirValue(x, d, sessionZone)
+        }
         // Some(dirs) = rows matching this predicate live ONLY in those
         // partition dir values; None = can't bound → keep everything.
         def dirs(e: Expression): Option[Set[String]] = e match {
           case And(l, r) => dirs(l).orElse(dirs(r))
           case Or(l, r) => for { a <- dirs(l); b <- dirs(r) } yield a ++ b
           case EqualTo(a, v) if attrName(a).contains(srcCol) =>
-            litVal(v).flatMap(x => dt.flatMap(d => t.dirValue(x, d, sessionZone)))
-              .map(Set(_))
+            litVal(v).flatMap(deriveDir).map(Set(_))
           case EqualTo(v, a) if attrName(a).contains(srcCol) =>
-            litVal(v).flatMap(x => dt.flatMap(d => t.dirValue(x, d, sessionZone)))
-              .map(Set(_))
+            litVal(v).flatMap(deriveDir).map(Set(_))
           case In(a, vs) if attrName(a).contains(srcCol) =>
-            val xs = vs.map(v => litVal(v)
-              .flatMap(x => dt.flatMap(d => t.dirValue(x, d, sessionZone))))
+            val xs = vs.map(v => litVal(v).flatMap(deriveDir))
             if (xs.exists(_.isEmpty)) None else Some(xs.flatten.toSet)
           case InSet(a, vs) if attrName(a).contains(srcCol) =>
-            val xs = vs.toSeq.map(x => dt.flatMap(d => t.dirValue(x, d, sessionZone)))
+            val xs = vs.toSeq.map(deriveDir)
             if (xs.exists(_.isEmpty)) None else Some(xs.flatten.toSet)
           case _ => None
         }
