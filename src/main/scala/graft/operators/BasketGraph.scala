@@ -76,8 +76,9 @@ object BasketGraph {
     memo.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir",
       _ => build(spark, dir).localCheckpoint(true))
 
-  /** Test hook: drop staged artifacts (e.g. between fixture rewrites). */
-  def invalidate(): Unit = memo.clear()
+  /** Test hook: drop staged artifacts (e.g. between fixture rewrites) —
+    * including derived stages keyed off this artifact. */
+  def invalidate(): Unit = { memo.clear(); Triangles.invalidatePrep() }
 
   // ------------------------------------------------- derived edge views
 
