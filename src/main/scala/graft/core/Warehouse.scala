@@ -1437,6 +1437,118 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       prunedN, candidates.size - hits.size)
   }
 
+  /** Outcome of an [[updateWhere]]: rows modified, entries rewritten (by
+    * partition value), entries zone-pruned unopened, candidates read but
+    * found clean. */
+  final case class UpdateResult(updatedRows: Long, rewritten: Seq[String],
+                                pruned: Int, cleanCandidates: Int)
+
+  /** Row-level UPDATE (copy-on-write): set `sets` (column → new-value
+    * expression, evaluated against the PRE-update row — simultaneous
+    * assignment, SQL UPDATE semantics) on every row matching `pred`.
+    * Same three-phase shape and scale contract as [[deleteWhere]]:
+    * zone/Bloom/transform pruning picks candidates, one job counts
+    * matches per candidate (clean candidates keep their immutable
+    * fragments), one write rewrites only hit fragments, one CAS commit
+    * with (path, dv) identity swaps them — a concurrent MoR delete or
+    * rewrite fails this update loudly rather than being resurrected.
+    *
+    * Refused updates (each would need a different primitive):
+    * UNIQUE-key columns (could silently collide keys — re-land via
+    * [[mergeInto]]), the partition field or hidden-partition source
+    * (rows would migrate across the layout — restate the scope via
+    * [[replaceWhere]]). CHECK/NOT NULL constraints re-validate on the
+    * rewritten fragment: an update that breaks a constraint rejects
+    * loudly with the table unchanged. */
+  def updateWhere(dataset: String, table: String,
+                  sets: Seq[(String, Column)], pred: Column): UpdateResult = {
+    refuseWhileStaged(dataset, table, "updateWhere")
+    require(sets.nonEmpty, "updateWhere needs at least one assignment")
+    val m = meta(dataset, table)
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    val sch = cur.schemaDdl.map(StructType.fromDDL)
+      .getOrElse(schema(dataset, table))
+    sets.foreach { case (n, _) =>
+      require(sch.fieldNames.contains(n), s"no such column: $n")
+      require(!m.uniqueKey.contains(n),
+        s"cannot UPDATE unique-key column '$n' (could collide keys); " +
+          "use mergeInto to re-land rows under a new key")
+      require(!m.partitionField.contains(n) && !m.partitionSource.contains(n),
+        s"cannot UPDATE partition column '$n' (rows would migrate across " +
+          "the layout); restate the scope with replaceWhere")
+    }
+    require(sets.map(_._1).distinct.size == sets.size,
+      "duplicate column in UPDATE assignments")
+    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+      resolvedPred(dataset, table, cur, pred))
+    val prunedN = cur.entries.size - candidates.size
+    if (candidates.isEmpty) return UpdateResult(0L, Seq.empty, prunedN, 0)
+    val counts: Map[String, Long] = candidates.map { e =>
+      readEntries(dataset, table, Seq(e), cur.schemaDdl,
+        filesOf.view.filterKeys(_ == e.path).toMap)
+        .filter(pred).select(lit(e.path).as("_entry"))
+    }.reduce(_.unionAll(_))
+      .groupBy(col("_entry")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hits = candidates.filter(e => counts.getOrElse(e.path, 0L) > 0L)
+    val updatedN = counts.values.sum
+    if (hits.isEmpty)
+      return UpdateResult(0L, Seq.empty, prunedN, candidates.size)
+
+    // one write: hit fragments with assignments applied simultaneously
+    // (one select — an assignment reading a column another assignment
+    // writes still sees the PRE-update value), cast to the declared type
+    val hitRows = readEntries(dataset, table, hits, cur.schemaDdl)
+    val assign = sets.toMap
+    val hide = coalesce(pred, lit(false))
+    val rewrittenRows = hitRows.select(hitRows.columns.map { c =>
+      assign.get(c) match {
+        case Some(v) =>
+          val dt = sch.fields.find(_.name == c).get.dataType
+          when(hide, v.cast(dt)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val frag = lg.newFragmentDir()
+    val replacement: Seq[SnapshotLog.Entry] = m.partitionField match {
+      case Some(field) =>
+        partitionedWrite(deriveHidden(m, rewrittenRows), field, frag, m.clusteringFields)
+        enforceConstraints(m, frag, Some(sch))
+        val es = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
+        recordStats(dataset, table, es, Some(field))
+        es
+      case None =>
+        rewrittenRows.write.mode("overwrite").parquet(frag.toString)
+        enforceConstraints(m, frag, Some(sch))
+        val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+        recordStats(dataset, table, e, None)
+        e
+    }
+    val hitPaths = hits.map(_.path).toSet
+    try {
+      lg.commitWithSchema("update", cur2 => {
+        val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+        val liveIds = live.map(e => (e.path, e.dv)).toSet
+        val gone = hits.filterNot(e => liveIds((e.path, e.dv))).map(_.path)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"updateWhere on $dataset.$table lost a race: fragment(s) " +
+            s"${gone.mkString(", ")} were rewritten concurrently; retry the update")
+        live.filterNot(e => hitPaths(e.path)) ++ replacement
+      }, cur2 => cur2.flatMap(_.schemaDdl).orElse(cur.schemaDdl))
+    } catch {
+      case e: Throwable =>
+        deleteRecursive(frag) // no commit references the rewrite
+        replacement.foreach(r =>
+          Files.deleteIfExists(ZoneMaps.statsPath(td, r.path)))
+        throw e
+    }
+    UpdateResult(updatedN, hits.map(_.partition).distinct.sorted,
+      prunedN, candidates.size - hits.size)
+  }
+
   /** Outcome of a [[replaceWhere]]: rows removed (the predicate's old
     * matches), rows inserted (the replacement frame), entries rewritten,
     * entries zone-pruned unopened, and candidates read but found clean. */

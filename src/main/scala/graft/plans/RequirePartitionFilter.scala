@@ -62,9 +62,11 @@ object RequirePartitionFilter {
   }
 }
 
-/** Session extension wiring (SparkSessionExtensions.injectOptimizerRule). */
+/** Session extension wiring: the partition-filter enforcement rule
+  * (injectOptimizerRule) and the warehouse SQL DML parser
+  * ([[graft.sql.GraftSqlParser]] via injectParser). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
       override val ruleName = "graft.RequirePartitionFilter"
       override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -72,4 +74,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         plan
       }
     })
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+  }
 }

@@ -1902,7 +1902,93 @@ object EngineQueries {
       |       min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ q84 SQL DML
+
+  /** The warehouse's FULL-SQL contract end to end (reference S6,
+    * bigquery.py:378-387: the warehouse executes arbitrary statements
+    * including DML and time-travel decorators): every mutation AND every
+    * read in this query is SQL TEXT through `spark.sql`, routed by
+    * [[graft.sql.GraftSql]] into the same row-level machinery the Scala
+    * API uses — DELETE through merge-on-read deletion vectors (conf
+    * `spark.graft.sql.dml=mor`), UPDATE through the CoW rewrite, an
+    * upsert MERGE through mergeInto, and the final read + a `VERSION AS
+    * OF 1` snapshot through the published view. Status families are
+    * disjoint per mutation ('F' deleted, 'O' updated, 'P' merged), so
+    * the oracle states the composed end state declaratively. */
+  def q84SqlDml(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sql.GraftSql
+    val wh = new Warehouse(spark, scratch("graft_sqldml"))
+    val ords = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    wh.overwrite("mart", "osql", ords) // v1
+    GraftSql.register(spark, "q84wh", wh, "mart", "osql")
+    // DELETE via MoR deletion vectors — SQL text, conf-routed
+    spark.conf.set("spark.graft.sql.dml", "mor")
+    val deleted =
+      try spark.sql(
+        "DELETE FROM q84wh WHERE o_orderstatus = 'F' AND o_totalprice > 150000")
+        .head().getLong(0)
+      finally spark.conf.unset("spark.graft.sql.dml")
+    require(deleted > 0, "fixture must contain deletable F rows")
+    require(wh.log("mart", "osql").latest.get.entries.exists(_.dv.isDefined),
+      "SQL DELETE in mor mode must leave a deletion vector, not a rewrite")
+    // UPDATE via the CoW rewrite
+    val updated = spark.sql(
+      "UPDATE q84wh SET o_totalprice = o_totalprice * 1.1 " +
+        "WHERE o_orderstatus = 'O' AND o_totalprice < 50000")
+      .head().getLong(0)
+    require(updated > 0, "fixture must contain updatable O rows")
+    // MERGE upsert: replace every P row (price + 1000) and insert the
+    // same rows re-keyed as new 'X' rows
+    val pRows = ords.filter(col("o_orderstatus") === "P")
+    pRows.select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      .unionAll(pRows.select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("X").as("o_orderstatus"), col("o_totalprice")))
+      .createOrReplaceTempView("q84_src")
+    val merged = spark.sql(
+      """MERGE INTO q84wh t USING q84_src s ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    require(merged.getLong(0) > 0, "merge must match the standing P rows")
+    // final state AND the pre-DML snapshot, both read back via SQL
+    spark.sql(
+      """SELECT 'final' AS phase, o_orderstatus AS st,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM q84wh GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'v1' AS phase, o_orderstatus AS st,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM q84wh VERSION AS OF 1 GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  val q84Sql: String =
+    """WITH survived AS MATERIALIZED (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderstatus = 'O' AND o_totalprice < 50000
+      |              THEN o_totalprice * 1.1e0 ELSE o_totalprice END AS price
+      |  FROM orders
+      |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)),
+      |merged AS MATERIALIZED (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS price
+      |  FROM orders WHERE o_orderstatus = 'P'
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'X' AS o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderstatus = 'P'),
+      |final AS (
+      |  SELECT * FROM survived WHERE o_orderstatus <> 'P'
+      |  UNION ALL SELECT * FROM merged)
+      |SELECT 'final' AS phase, o_orderstatus AS st,
+      |       CAST(count(*) AS BIGINT) AS n, round(sum(price), 2) AS total
+      |FROM final GROUP BY 2
+      |UNION ALL
+      |SELECT 'v1' AS phase, o_orderstatus AS st,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_sql_dml" -> (q84SqlDml _),
     "q70_aggview" -> (q70AggView _),
     "q71_stream_aggview" -> (q71StreamAggView _),
     "q72_aggview_retract" -> (q72AggViewRetract _),
@@ -1948,6 +2034,7 @@ object EngineQueries {
     "q65_stream_transitions" -> (q65StreamTransitions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q84_sql_dml" -> q84Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,
     "q72_aggview_retract" -> q72Sql,

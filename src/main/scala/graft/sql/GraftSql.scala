@@ -1,0 +1,286 @@
+package graft.sql
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.LongType
+import graft.core.Warehouse
+
+/** SQL DML surface for warehouse tables — the reference's S6 contract is
+  * a warehouse that speaks FULL SQL including DML and time-travel
+  * decorators (dbtwiz/integrations/bigquery.py:378-387 `run_query` runs
+  * arbitrary statements; bigquery.py:439 reads `table@timestamp`). The
+  * engine's row-level machinery (deleteWhere/updateWhere/mergeInto +
+  * MoR twins, readVersion/readAsOf) was Scala-API-only; this object
+  * routes the equivalent SQL TEXT through those same code paths:
+  *
+  *   GraftSql.register(spark, "ev", wh, "d", "ev")
+  *   spark.sql("DELETE FROM ev WHERE uid = 4")
+  *   spark.sql("UPDATE ev SET amt = amt * 2 WHERE uid = 1")
+  *   spark.sql("MERGE INTO ev t USING updates s ON t.uid = s.uid " +
+  *             "WHEN MATCHED THEN UPDATE SET * " +
+  *             "WHEN NOT MATCHED THEN INSERT *")
+  *   spark.sql("SELECT * FROM ev VERSION AS OF 1")
+  *   spark.sql("SELECT * FROM ev TIMESTAMP AS OF '2026-01-01 00:00:00'")
+  *
+  * Mechanism: a [[GraftSqlParser]] wrapper (injected via
+  * `SparkSessionExtensions.injectParser`, same extension point family as
+  * [[graft.plans.GraftExtensions]]) lets Spark's own parser produce its
+  * standard DML logical plans (DeleteFromTable / UpdateTable /
+  * MergeIntoTable / RelationTimeTravel), then rewrites exactly the nodes
+  * whose target is a REGISTERED warehouse table into eager
+  * [[LeafRunnableCommand]]s calling the warehouse API — plans targeting
+  * anything else pass through untouched. Rewriting at parse time (not as
+  * a resolution rule) is deliberate: the plan is intercepted before any
+  * analyzer rule can reject a v1 relation target, and ordering against
+  * built-in resolution never matters.
+  *
+  * Copy-on-write is the default; `SET spark.graft.sql.dml=mor` routes
+  * DELETE and MERGE through the merge-on-read deletion-vector paths
+  * instead (UPDATE stays CoW — a MoR update is a MERGE).
+  *
+  * Reads: [[register]] publishes the table as a temp view (served
+  * through `wh.read`, so deletion vectors, renames, defaults all apply);
+  * every DML command re-publishes it after committing, so a follow-up
+  * `SELECT` in the same session sees the new state. */
+object GraftSql {
+
+  final case class Target(wh: Warehouse, dataset: String, table: String,
+                          name: String)
+
+  /** Opaque expression holder: DML commands carry DELIBERATELY-unresolved
+    * predicates (they resolve later against the warehouse read inside
+    * run()), but CheckAnalysis walks every Expression-typed field of a
+    * command and would reject them — so the field type is this wrapper,
+    * invisible to the tree walker. */
+  final case class Raw(e: Expression)
+
+  private val reg = new ConcurrentHashMap[String, Target]()
+
+  private def key(spark: SparkSession, name: String): String =
+    s"${System.identityHashCode(spark)}|${name.toLowerCase}"
+
+  /** Publish `dataset.table` of `wh` under `name` for SQL text in this
+    * session: SELECT (temp view), DELETE/UPDATE/MERGE, VERSION/TIMESTAMP
+    * AS OF. */
+  def register(spark: SparkSession, name: String, wh: Warehouse,
+               dataset: String, table: String): Unit = {
+    reg.put(key(spark, name), Target(wh, dataset, table, name))
+    refreshView(spark, name)
+  }
+
+  def unregister(spark: SparkSession, name: String): Unit = {
+    reg.remove(key(spark, name))
+    spark.catalog.dropTempView(name)
+  }
+
+  /** Re-publish the temp view at the table's CURRENT commit (DML
+    * commands call this; needed manually only after out-of-band writes
+    * through the Scala API). */
+  def refreshView(spark: SparkSession, name: String): Unit =
+    lookup(spark, Seq(name)).foreach { t =>
+      t.wh.read(t.dataset, t.table).createOrReplaceTempView(t.name)
+    }
+
+  def lookup(spark: SparkSession, parts: Seq[String]): Option[Target] =
+    if (parts.size == 1) Option(reg.get(key(spark, parts.head))) else None
+
+  // --------------------------------------------------------- plan rewrite
+
+  /** Rewrite a freshly-parsed plan: warehouse DML → commands, warehouse
+    * time travel → snapshot reads. Non-warehouse plans are returned
+    * unchanged (reference equality — zero overhead on the common path). */
+  def rewrite(plan: LogicalPlan): LogicalPlan =
+    SparkSession.getActiveSession match {
+      case Some(spark) if !reg.isEmpty => rewriteWith(spark, plan)
+      case _ => plan
+    }
+
+  /** The relation identifier + every alias it is known by in this scope
+    * (innermost alias last) for a DML target subtree. */
+  private def unwrap(p: LogicalPlan): Option[(Seq[String], Seq[String])] =
+    p match {
+      case u: UnresolvedRelation =>
+        Some((u.multipartIdentifier, Seq(u.multipartIdentifier.last)))
+      case SubqueryAlias(ident, child) =>
+        unwrap(child).map { case (id, als) => (id, als :+ ident.name) }
+      case _ => None
+    }
+
+  private def rewriteWith(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    val top = plan match {
+      case d @ DeleteFromTable(t, cond) =>
+        unwrap(t).flatMap { case (id, als) =>
+          lookup(spark, id).map(tg =>
+            GraftDeleteCommand(tg, Raw(stripQualifiers(cond, als))))
+        }.getOrElse(d)
+      case u @ UpdateTable(t, assignments, cond) =>
+        unwrap(t).flatMap { case (id, als) =>
+          lookup(spark, id).map { tg =>
+            val sets = assignments.map { a =>
+              val name = a.key match {
+                case attr: UnresolvedAttribute => attr.nameParts.last
+                case other => throw new IllegalArgumentException(
+                  s"unsupported UPDATE assignment target: $other")
+              }
+              name -> Raw(stripQualifiers(a.value, als))
+            }
+            GraftUpdateCommand(tg, sets,
+              Raw(cond.map(stripQualifiers(_, als)).getOrElse(Literal.TrueLiteral)))
+          }
+        }.getOrElse(u)
+      case m @ MergeIntoTable(t, source, cond, matched, notMatched,
+                              notMatchedBySource, withSchemaEvolution) =>
+        unwrap(t).flatMap { case (id, tAls) =>
+          lookup(spark, id).map { tg =>
+            buildMerge(tg, source, cond, matched, notMatched,
+              notMatchedBySource, withSchemaEvolution, tAls)
+          }
+        }.getOrElse(m)
+      case other => other
+    }
+    // VERSION AS OF / TIMESTAMP AS OF on registered tables, anywhere in
+    // the tree (joins, subqueries): splice the snapshot read's plan
+    top.transformUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        lookup(spark, u.multipartIdentifier) match {
+          case Some(tg) =>
+            val df = (ver, ts) match {
+              case (Some(v), None) =>
+                val n = try v.toInt catch {
+                  case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"VERSION AS OF wants an integer snapshot version, got '$v'")
+                }
+                tg.wh.readVersion(tg.dataset, tg.table, n)
+              case (None, Some(e)) =>
+                tg.wh.readAsOf(tg.dataset, tg.table, evalString(e))
+              case _ => throw new IllegalArgumentException(
+                "time travel needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
+            }
+            SubqueryAlias(tg.name, df.queryExecution.logical)
+          case None => tt
+        }
+    }
+  }
+
+  /** The canonical upsert MERGE — `ON` a conjunction of key equalities,
+    * `WHEN MATCHED THEN UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *` —
+    * maps exactly onto [[Warehouse.mergeInto]] (whole-row upsert by
+    * key, the reference's scd2 pattern, model/create.py:418-429). Any
+    * other shape refuses loudly with what IS supported. */
+  private def buildMerge(tg: Target, source: LogicalPlan, cond: Expression,
+                         matched: Seq[MergeAction], notMatched: Seq[MergeAction],
+                         notMatchedBySource: Seq[MergeAction],
+                         withSchemaEvolution: Boolean,
+                         targetAliases: Seq[String]): LogicalPlan = {
+    def unsupported(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"unsupported MERGE shape for warehouse table ${tg.name}: $what. " +
+          "Supported: ON <conjunction of key equalities> " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val updateStar = matched match {
+      case Seq(_: UpdateStarAction) => true
+      case Seq(a: UpdateAction) => a.condition.isEmpty && a.fromStar
+      case _ => false
+    }
+    if (!updateStar) unsupported(s"matched actions $matched")
+    val insertStar = notMatched match {
+      case Seq(_: InsertStarAction) => true
+      case _ => false
+    }
+    if (!insertStar) unsupported(s"not-matched actions $notMatched")
+    if (notMatchedBySource.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE")
+    if (withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+    // conjuncts of t.k = s.k → key list (same column name both sides)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys = conjuncts(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last
+      case other => unsupported(s"ON clause term $other (need t.key = s.key)")
+    }
+    GraftMergeCommand(tg, source, keys)
+  }
+
+  /** Drop a single target-alias qualifier from attribute references so
+    * the predicate resolves against the bare table DataFrame the
+    * warehouse API filters (DELETE/UPDATE conditions can only reference
+    * the target table, so unqualifying is unambiguous). */
+  private def stripQualifiers(e: Expression, aliases: Seq[String]): Expression =
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 &&
+          aliases.exists(_.equalsIgnoreCase(a.nameParts.init.last)) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+
+  private def evalString(e: Expression): String = e match {
+    case Literal(v, _) => String.valueOf(v)
+    case other if other.foldable => String.valueOf(other.eval(null))
+    case other => throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF wants a literal, got $other")
+  }
+
+  /** CoW (default) vs MoR routing for DELETE/MERGE. */
+  private[sql] def morMode(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.sql.dml").exists(_.equalsIgnoreCase("mor"))
+
+  private[sql] def longAttr(name: String): Seq[Attribute] =
+    Seq(AttributeReference(name, LongType, nullable = false)())
+}
+
+/** `DELETE FROM <registered> WHERE ...` → deleteWhere / deleteWhereMor. */
+final case class GraftDeleteCommand(t: GraftSql.Target, cond: GraftSql.Raw)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.longAttr("deleted_rows")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = GraftBridge.column(cond.e)
+    val n =
+      if (GraftSql.morMode(spark))
+        t.wh.deleteWhereMor(t.dataset, t.table, pred).deletedRows
+      else t.wh.deleteWhere(t.dataset, t.table, pred).deletedRows
+    GraftSql.refreshView(spark, t.name)
+    Seq(Row(n))
+  }
+}
+
+/** `UPDATE <registered> SET ... WHERE ...` → updateWhere (CoW). */
+final case class GraftUpdateCommand(t: GraftSql.Target,
+                                    sets: Seq[(String, GraftSql.Raw)],
+                                    cond: GraftSql.Raw)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.longAttr("updated_rows")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = t.wh.updateWhere(t.dataset, t.table,
+      sets.map { case (c, v) => c -> GraftBridge.column(v.e) },
+      GraftBridge.column(cond.e)).updatedRows
+    GraftSql.refreshView(spark, t.name)
+    Seq(Row(n))
+  }
+}
+
+/** Upsert `MERGE INTO <registered> ... SET * / INSERT *` → mergeInto /
+  * mergeIntoMor. The source plan analyzes lazily at run time, so it may
+  * reference temp views, other registered tables, or inline subqueries. */
+final case class GraftMergeCommand(t: GraftSql.Target, source: LogicalPlan,
+                                   keys: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftSql.longAttr("matched_rows") ++ GraftSql.longAttr("source_rows")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, source)
+    val r =
+      if (GraftSql.morMode(spark)) t.wh.mergeIntoMor(t.dataset, t.table, src, keys)
+      else t.wh.mergeInto(t.dataset, t.table, src, keys)
+    GraftSql.refreshView(spark, t.name)
+    Seq(Row(r.matchedRows, r.sourceRows))
+  }
+}

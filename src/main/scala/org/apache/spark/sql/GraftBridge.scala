@@ -13,4 +13,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** LogicalPlan → DataFrame (classic.Dataset.ofRows is private[sql]) —
+    * used by the SQL DML surface to hand a parsed MERGE source plan to
+    * the warehouse API as an ordinary DataFrame. */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

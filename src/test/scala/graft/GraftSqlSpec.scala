@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{TableMeta, Warehouse}
+import graft.sql.GraftSql
+
+/** SQL DML surface: DELETE/UPDATE/MERGE and VERSION/TIMESTAMP AS OF in
+  * SQL TEXT route through the same warehouse row-level machinery as the
+  * Scala API (the reference's S6 full-SQL warehouse contract). Each test
+  * pins SQL-path state ≡ API-path semantics. */
+class GraftSqlSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def fresh(name: String): (Warehouse, String) = {
+    val wh = new Warehouse(spark, Files.createTempDirectory("sql_spec").toString)
+    wh.overwrite("d", "t", Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "s", "v"))
+    GraftSql.register(spark, name, wh, "d", "t")
+    (wh, name)
+  }
+
+  test("DELETE FROM ... WHERE routes through deleteWhere and reports rows") {
+    val (wh, n) = fresh("sql_del")
+    val out = spark.sql(s"DELETE FROM $n WHERE id >= 3").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(wh.read("d", "t").orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 2L))
+    // the published view sees the post-DML state
+    assert(spark.sql(s"SELECT count(*) AS c FROM $n").head().getLong(0) === 2L)
+    // snapshot log carries the delete action
+    assert(wh.log("d", "t").latest.get.action === "delete")
+  }
+
+  test("UPDATE ... SET applies simultaneous assignments with old-value semantics") {
+    val (wh, n) = fresh("sql_upd")
+    val out = spark.sql(
+      s"UPDATE $n SET v = v * 2, s = concat(s, '!') WHERE id <= 2").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+    val got = wh.read("d", "t").orderBy("id")
+      .select("s", "v").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === Seq(("a!", 20.0), ("b!", 40.0), ("c", 30.0), ("d", 40.0)))
+    // swap: both assignments read PRE-update values
+    val wh2root = Files.createTempDirectory("sql_swap").toString
+    val wh2 = new Warehouse(spark, wh2root)
+    wh2.overwrite("d", "t", Seq((1L, 5L, 7L)).toDF("id", "x", "y"))
+    GraftSql.register(spark, "sql_swap", wh2, "d", "t")
+    spark.sql("UPDATE sql_swap SET x = y, y = x")
+    val r = wh2.read("d", "t").head()
+    assert((r.getLong(1), r.getLong(2)) === ((7L, 5L)))
+  }
+
+  test("MERGE INTO upsert (SET * / INSERT *) routes through mergeInto") {
+    val (wh, n) = fresh("sql_mrg")
+    Seq((2L, "B", 200.0), (9L, "i", 90.0)).toDF("id", "s", "v")
+      .createOrReplaceTempView("mrg_src")
+    val out = spark.sql(
+      s"""MERGE INTO $n t USING mrg_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(out.head.getLong(0) === 1L) // matched
+    assert(out.head.getLong(1) === 2L) // source rows
+    val got = wh.read("d", "t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"), (9L, "i")))
+  }
+
+  test("MERGE refuses unsupported shapes loudly") {
+    val (_, n) = fresh("sql_mrg_bad")
+    Seq((2L, "B", 200.0)).toDF("id", "s", "v").createOrReplaceTempView("mrg_src2")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $n t USING mrg_src2 s ON t.id = s.id
+                   |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("unsupported MERGE shape"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $n t USING mrg_src2 s ON t.id < s.id
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("ON clause"))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF read snapshots through the log") {
+    val (wh, n) = fresh("sql_tt")
+    val t1 = System.currentTimeMillis()
+    spark.sql(s"DELETE FROM $n WHERE id = 1")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $n").head().getLong(0) === 3L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $n VERSION AS OF 1")
+      .head().getLong(0) === 4L)
+    // timestamp form: as-of just before the delete
+    val ts = new java.sql.Timestamp(t1).toString
+    assert(spark.sql(s"SELECT count(*) AS c FROM $n TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) === 4L)
+    // joins against a time-travel relation work too
+    val both = spark.sql(
+      s"""SELECT cur.id FROM $n cur JOIN $n VERSION AS OF 1 old ON cur.id = old.id
+         |ORDER BY cur.id""".stripMargin).as[Long].collect()
+    assert(both.toSeq === Seq(2L, 3L, 4L))
+  }
+
+  test("SET spark.graft.sql.dml=mor routes DELETE through deletion vectors") {
+    val (wh, n) = fresh("sql_mor")
+    spark.conf.set("spark.graft.sql.dml", "mor")
+    try {
+      val out = spark.sql(s"DELETE FROM $n WHERE id = 2").collect()
+      assert(out.head.getLong(0) === 1L)
+      // MoR: the fragment survives, an entry carries a dv pointer
+      assert(wh.log("d", "t").latest.get.entries.exists(_.dv.isDefined))
+      assert(spark.sql(s"SELECT count(*) AS c FROM $n").head().getLong(0) === 3L)
+    } finally spark.conf.unset("spark.graft.sql.dml")
+  }
+
+  test("UPDATE refuses unique-key and partition columns") {
+    val root = Files.createTempDirectory("sql_guard").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite("d", "g", Seq((1L, "2024-01-05", 1.0)).toDF("k", "day", "v")
+      .select(col("k"), to_date(col("day")).as("day"), col("v")),
+      TableMeta(partitionField = Some("day"), uniqueKey = Seq("k", "day")))
+    GraftSql.register(spark, "sql_guard", wh, "d", "g")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE sql_guard SET k = 2 WHERE v = 1.0")
+    }
+    assert(e.getMessage.contains("unique-key"))
+    // partition guard on its own (no unique key in the way)
+    wh.overwrite("d", "g2", Seq((1L, "2024-01-05", 1.0)).toDF("k", "day", "v")
+      .select(col("k"), to_date(col("day")).as("day"), col("v")),
+      TableMeta(partitionField = Some("day")))
+    GraftSql.register(spark, "sql_guard2", wh, "d", "g2")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE sql_guard2 SET day = date'2024-01-06'")
+    }
+    assert(e2.getMessage.contains("partition"))
+    // non-key columns update fine on the partitioned table
+    spark.sql("UPDATE sql_guard SET v = 9.0 WHERE k = 1")
+    assert(wh.read("d", "g").head().getDouble(2) === 9.0)
+  }
+
+  test("non-registered tables keep Spark's own DML behavior") {
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("plain_view")
+    intercept[Exception] { spark.sql("DELETE FROM plain_view WHERE id = 1") }
+  }
+
+  test("UPDATE without WHERE touches every row; qualified names resolve") {
+    val (wh, n) = fresh("sql_all")
+    val out = spark.sql(s"UPDATE $n SET v = $n.v + 1").collect()
+    assert(out.head.getLong(0) === 4L)
+    assert(wh.read("d", "t").agg(sum("v")).head().getDouble(0) === 104.0)
+  }
+}
