@@ -1902,6 +1902,55 @@ object EngineQueries {
       |       min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------- q83 table stream source
+
+  /** The commit log AS a Structured Streaming source
+    * (`format("graft-table")`, [[graft.streaming.WarehouseStreamSource]]):
+    * a stream tails a warehouse table while it is being appended —
+    * initial snapshot, then exactly the appended fragments per
+    * micro-batch, WAP-staged data invisible until published. The drained
+    * sink must equal the table's final batch read (require-gated here;
+    * the aggregate is hash-gated against the oracle). */
+  def q83StreamTableSource(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_ssrc"))
+    val ords = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    wh.overwrite("mart", "ost", ords.filter(col("o_orderstatus") === "O"))
+    val sinkDir = scratch("graft_ssink")
+    val q = spark.readStream.format("graft-table")
+      .option("root", wh.root).option("dataset", "mart").option("table", "ost")
+      .load()
+      .writeStream
+      .option("checkpointLocation", scratch("graft_sck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(sinkDir)
+      }.start()
+    try {
+      q.processAllAvailable() // initial snapshot: the O rows
+      wh.append("mart", "ost", ords.filter(col("o_orderstatus") === "F"))
+      q.processAllAvailable() // append tail: the F rows
+      wh.stageAppend("mart", "ost", ords.filter(col("o_orderstatus") === "P"))
+      q.processAllAvailable()
+      require(spark.read.parquet(sinkDir)
+        .filter(col("o_orderstatus") === "P").isEmpty,
+        "WAP-staged rows must be invisible to the stream until published")
+      wh.publishStaged("mart", "ost")
+      q.processAllAvailable() // the published P rows flow through
+    } finally q.stop()
+    val drained = spark.read.parquet(sinkDir)
+    require(drained.count() == wh.read("mart", "ost").count(),
+      "drained stream must equal the final batch read")
+    drained.groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val q83Sql: String =
+    """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ q84 SQL DML
 
   /** The warehouse's FULL-SQL contract end to end (reference S6,
@@ -1988,6 +2037,7 @@ object EngineQueries {
       |FROM orders GROUP BY 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_stream_table_source" -> (q83StreamTableSource _),
     "q84_sql_dml" -> (q84SqlDml _),
     "q70_aggview" -> (q70AggView _),
     "q71_stream_aggview" -> (q71StreamAggView _),
@@ -2034,6 +2084,7 @@ object EngineQueries {
     "q65_stream_transitions" -> (q65StreamTransitions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q83_stream_table_source" -> q83Sql,
     "q84_sql_dml" -> q84Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import graft.core.Warehouse
+
+/** Structured Streaming source over a warehouse table's commit log —
+  * the push twin of the pull-shaped `nextAppends`/`commitConsumed`
+  * (graft.core.Warehouse): instead of hand-rolling a poll loop, a
+  * consumer writes
+  *
+  *   spark.readStream.format("graft-table")
+  *     .option("root", wh.root).option("dataset", d).option("table", t)
+  *     .load()
+  *
+  * and composes watermarks/windows/joins on top — the Delta-style
+  * "commit log as a stream" contract.
+  *
+  * Semantics (identical to nextAppends, offset = COMMIT VERSION):
+  *  - the first batch is the table's full state at the stream-start
+  *    commit (initial snapshot), served through the normal read path —
+  *    deletion-vector masks, renames, and column defaults all apply;
+  *  - each subsequent batch is exactly the fragments appended between
+  *    the consumed version and the current one (appendedBetween) — an
+  *    O(new data) read, the standing corpus never rescans;
+  *  - a non-append-only span (delete/merge/compact/replace landed
+  *    mid-stream) fails LOUDLY with the same message as nextAppends —
+  *    silently replaying rewritten fragments would double-count;
+  *  - WAP-staged fragments live outside the commit log until publish,
+  *    so staged data is invisible by construction; a publish becomes an
+  *    ordinary append commit and flows through.
+  *
+  * The v1 Source API is deliberate: `getBatch` returns a DataFrame, so
+  * the snapshot log's read path (manifest pruning, dv anti-joins,
+  * rename relabeling) is reused verbatim instead of reimplementing a
+  * parquet reader inside a DSv2 PartitionReader. Offsets are plain
+  * version numbers — restart-safe via the checkpoint's offset log. */
+class WarehouseStreamSource(sqlContext: SQLContext, root: String,
+                            dataset: String, table: String)
+    extends Source {
+
+  private val wh = new Warehouse(sqlContext.sparkSession, root)
+
+  override val schema: StructType =
+    WarehouseStreamSource.tableSchema(wh, dataset, table)
+
+  override def getOffset: Option[Offset] =
+    wh.log(dataset, table).latest.filter(!_.isDrop)
+      .map(c => WarehouseStreamSource.VersionOffset(c.version))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = WarehouseStreamSource.version(end)
+    val out = start.map(WarehouseStreamSource.version) match {
+      case None => wh.readVersion(dataset, table, endV) // initial snapshot
+      case Some(v1) if v1 >= endV =>
+        sqlContext.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      case Some(v1) =>
+        wh.appendedBetween(dataset, table, v1, endV).getOrElse(
+          throw new IllegalStateException(
+            s"$dataset.$table history ($v1, $endV] is not append-only " +
+              "(delete/merge/compact/replace happened) — streaming append " +
+              "consumption would be wrong; consume changesBetween instead"))
+    }
+    // pad to the source schema (additive evolution mid-stream: older
+    // batches keep resolving against the stream's declared columns)
+    val cols = schema.fieldNames.map { n =>
+      if (out.columns.contains(n)) org.apache.spark.sql.functions.col(n)
+      else org.apache.spark.sql.functions.lit(null)
+        .cast(schema(n).dataType).as(n)
+    }
+    WarehouseStreamSource.asStreaming(out.select(cols.toSeq: _*))
+  }
+
+  override def stop(): Unit = ()
+}
+
+object WarehouseStreamSource {
+
+  /** Version-number offset (json = the integer as text). */
+  final case class VersionOffset(v: Int) extends Offset {
+    override def json: String = v.toString
+  }
+
+  private[streaming] def version(o: Offset): Int = o match {
+    case VersionOffset(v) => v
+    case other => other.json.trim.toInt // offset-log round trip
+  }
+
+  private[streaming] def tableSchema(wh: Warehouse, dataset: String,
+                                     table: String): StructType = {
+    val c = wh.log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such table: $dataset.$table (stream sources need an existing table)"))
+    c.schemaDdl.map(StructType.fromDDL).getOrElse(wh.schema(dataset, table))
+  }
+
+  /** Batch plan → one streaming-tagged leaf over the same rows — keeps
+    * interior batch joins (dv anti-joins, unions) OUT of the streaming
+    * plan so they are never mistaken for stream-stream joins. */
+  private[streaming] def asStreaming(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftBridge.streamingDataFrame(df)
+}
+
+/** `format("graft-table")` registration. */
+class WarehouseSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def opt(parameters: Map[String, String], k: String): String =
+    parameters.getOrElse(k, throw new IllegalArgumentException(
+      s"graft-table stream source needs option '$k' " +
+        "(root, dataset, table)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val wh = new Warehouse(sqlContext.sparkSession, opt(parameters, "root"))
+    ("graft-table", schema.getOrElse(WarehouseStreamSource.tableSchema(
+      wh, opt(parameters, "dataset"), opt(parameters, "table"))))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new WarehouseStreamSource(sqlContext, opt(parameters, "root"),
+      opt(parameters, "dataset"), opt(parameters, "table"))
+}

@@ -20,4 +20,16 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Batch DataFrame → streaming-tagged DataFrame over the SAME rows:
+    * the whole batch plan (joins, dv masks, unions included) becomes one
+    * RDD scan leaf marked `isStreaming` — the canonical v1 `Source
+    * .getBatch` shape (FileStreamSource does exactly this), so
+    * MicroBatchExecution can splice it without turning interior batch
+    * joins into stream-stream joins. */
+  def streamingDataFrame(df: DataFrame): DataFrame = {
+    val qe = df.queryExecution
+    df.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(qe.toRdd, qe.analyzed.schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.Warehouse
+
+/** The commit-log streaming source (`format("graft-table")`): initial
+  * snapshot + append-only tailing, WAP-staged data invisible, MoR masks
+  * applied, non-append-only spans fail loudly, checkpoint restarts
+  * resume at the consumed version. */
+class WarehouseStreamSourceSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def fresh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("whstream").toString)
+
+  private def startStream(wh: Warehouse, name: String, ckpt: String) =
+    spark.readStream.format("graft-table")
+      .option("root", wh.root).option("dataset", "d").option("table", "t")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+  test("initial snapshot, append tailing, and WAP invisibility") {
+    val wh = fresh()
+    wh.overwrite("d", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val ckpt = Files.createTempDirectory("whstream_ck").toString
+    val q = startStream(wh, "wss_tail", ckpt)
+    try {
+      q.processAllAvailable()
+      def drained: Seq[(Long, String)] =
+        spark.table("wss_tail").orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(drained === Seq((1L, "a"), (2L, "b")), "initial snapshot")
+      // append flows through as exactly the delta
+      wh.append("d", "t", Seq((3L, "c")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(drained === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // WAP-staged rows are INVISIBLE until published
+      wh.stageAppend("d", "t", Seq((4L, "staged")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(drained === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        "staged rows must not leak into the stream")
+      wh.publishStaged("d", "t")
+      q.processAllAvailable()
+      assert(drained === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "staged")))
+      // drained stream ≡ batch read, the headline identity
+      assert(drained === wh.read("d", "t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    } finally q.stop()
+  }
+
+  private def startForeach(wh: Warehouse, ckpt: String,
+                           sink: java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]) =
+    spark.readStream.format("graft-table")
+      .option("root", wh.root).option("dataset", "d").option("table", "t")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => sink.add((r.getLong(0), r.getString(1))))
+      }.start()
+
+  test("checkpoint restart resumes at the consumed version (no replay)") {
+    val wh = fresh()
+    wh.overwrite("d", "t", Seq((1L, "a")).toDF("id", "s"))
+    val ckpt = Files.createTempDirectory("whstream_ck2").toString
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q1 = startForeach(wh, ckpt, sink)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(sink.size === 1)
+    sink.clear()
+    wh.append("d", "t", Seq((2L, "b")).toDF("id", "s"))
+    val q2 = startForeach(wh, ckpt, sink)
+    try {
+      q2.processAllAvailable()
+      // only the appended delta arrives after restart: no snapshot replay
+      assert(sink.toArray.toSeq === Seq((2L, "b")),
+        s"restart must replay only the delta, got ${sink.toArray.toSeq}")
+    } finally q2.stop()
+  }
+
+  test("a MoR-deleted table streams its MASKED initial snapshot") {
+    val wh = fresh()
+    wh.overwrite("d", "t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    wh.deleteWhereMor("d", "t", col("id") === 2L)
+    val ckpt = Files.createTempDirectory("whstream_ck3").toString
+    val q = startStream(wh, "wss_mor", ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wss_mor").orderBy("id").select("id").as[Long]
+        .collect().toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("a non-append-only span fails the stream loudly") {
+    val wh = fresh()
+    wh.overwrite("d", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val ckpt = Files.createTempDirectory("whstream_ck4").toString
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q1 = startForeach(wh, ckpt, sink)
+    try { q1.processAllAvailable() } finally q1.stop()
+    wh.deleteWhere("d", "t", col("id") === 1L) // rewrite commit mid-stream
+    wh.append("d", "t", Seq((5L, "e")).toDF("id", "s"))
+    val q2 = startForeach(wh, ckpt, sink)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination(10000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("not append-only"))), e.getMessage)
+  }
+}
