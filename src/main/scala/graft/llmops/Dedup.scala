@@ -829,11 +829,15 @@ object Dedup {
     * down by planes-per-band (see the S-curve note above). Same-band-
     * bucket is replicated bit-for-bit by the oracle (±1 weights make each
     * projection exact), so even the approximation is hash-checkable. */
-  def embeddingPairs(emb: DataFrame, threshold: Double = CosineThreshold): DataFrame = {
+  def embeddingPairs(emb: DataFrame, threshold: Double = CosineThreshold,
+                     nBands: Int = EmbedBands): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // a PREFIX of the shared plane set: fewer bands = cheaper candidate
+    // generation, the right trade at copy-grade thresholds (S-curve:
+    // 12 bands x 8 planes already give ~0.999 recall at cos 0.95)
     val bands: Array[Array[Array[Double]]] =
-      embedBandPlanes.map(_.map(_.map(_.toDouble).toArray).toArray).toArray
+      embedBandPlanes.take(nBands).map(_.map(_.map(_.toDouble).toArray).toArray).toArray
     // NULL vec_id would NPE in the non-nullable Long encoder; NULL or
     // ragged embeddings would crash the signature kernel where DuckDB's
     // list indexing silently NULLs — all three are contract violations,
@@ -872,31 +876,43 @@ object Dedup {
       }.toDF("vec_a", "vec_b", "cos")
   }
 
-  def embeddingPairsSql(threshold: Double = CosineThreshold): String = {
-    val sigCols = embedBandPlanes.zipWithIndex.map { case (ps, k) =>
+  /** The banded cosine pair chain as PREFIXED CTEs (`${p}e` … `${p}pair`)
+    * so it composes into larger oracles (the kNN pipeline shadows its
+    * names next to the kNN chain's own `e`/`n`/`bands`). One generator,
+    * every consumer — the pair kernel can never drift between the
+    * stand-alone oracle and the composed ones. */
+  private[llmops] def embedPairChain(threshold: Double, p: String,
+                                     nBands: Int = EmbedBands): String = {
+    val planes = embedBandPlanes.take(nBands)
+    val sigCols = planes.zipWithIndex.map { case (ps, k) =>
       s"${Similarity.signatureSqlFor(ps, "v")} AS s$k"
     }.mkString(",\n             ")
-    val bandRows = embedBandPlanes.indices.map { k =>
-      s"SELECT vec_id, $k AS band, s$k AS sig FROM n"
+    val bandRows = planes.indices.map { k =>
+      s"SELECT vec_id, $k AS band, s$k AS sig FROM ${p}n"
     }.mkString("\n  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    s"""${p}e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
        |             AND len(embedding) = ${Similarity.Dim}),
-       |n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |${p}n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
        |             $sigCols
-       |      FROM e),
-       |bands AS MATERIALIZED (
+       |      FROM ${p}e),
+       |${p}bands AS MATERIALIZED (
        |  $bandRows),
-       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-       |         WHERE a.vec_id < b.vec_id)
-       |SELECT c.vec_a, c.vec_b,
-       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
-       |FROM cand c
-       |JOIN n a ON a.vec_id = c.vec_a
-       |JOIN n b ON b.vec_id = c.vec_b
-       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold""".stripMargin
+       |${p}cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.sig = b.sig
+       |         WHERE a.vec_id < b.vec_id),
+       |${p}pair AS MATERIALIZED (
+       |  SELECT c.vec_a, c.vec_b,
+       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+       |  FROM ${p}cand c
+       |  JOIN ${p}n a ON a.vec_id = c.vec_a
+       |  JOIN ${p}n b ON b.vec_id = c.vec_b
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold)""".stripMargin
   }
+
+  def embeddingPairsSql(threshold: Double = CosineThreshold): String =
+    s"""WITH ${embedPairChain(threshold, "")}
+       |SELECT vec_a, vec_b, cos FROM pair""".stripMargin
 
   // ------------------------------------------------ substring overlap
 
@@ -1479,6 +1495,109 @@ object Dedup {
        |WHERE ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 10000 < $tierThresholdSqlCase
        |GROUP BY tier""".stripMargin
 
+  // ------------------------------------------------- staged dedup pipeline
+
+  /** CHEAP-FIRST staged dedup — the composed pipeline that bounds the
+    * quadratic-in-output pair families by construction (the r13 sf1
+    * sweep showed [[ppjoinPairs]] growing with the square of the
+    * duplicate mass on a dup-heavy corpus; the mitigation was a scaladoc
+    * note — this operator makes it the enforced path):
+    *
+    *   1. EXACT collapse ([[exactDedup]]): one hash-groupBy shuffle;
+    *      byte-identical copies reduce to the min-id representative.
+    *   2. BANDED near-dup clustering ([[simhashPairs]] →
+    *      [[duplicateClusters]]): output-bounded candidate generation
+    *      (4×15-bit bands, never all-pairs) + O(log n) star rounds;
+    *      every near-dup family collapses to its min-id root.
+    *   3. EXPENSIVE exact verification ([[ppjoinPairs]]) over CLUSTER
+    *      REPRESENTATIVES ONLY — the stage whose cost is quadratic in
+    *      local duplicate density now sees one doc per family, so its
+    *      input (and with it the candidate fan-out) is bounded by the
+    *      DISTINCT-content corpus size, independent of how many copies
+    *      or near-copies each family carries.
+    *
+    * Output: the residual high-Jaccard pairs AMONG representatives —
+    * cross-family similarity the banded stage could not merge (Hamming
+    * > max but Jaccard ≥ t). At 100 TB each stage is one of the already
+    * scale-shaped operators; the composition adds two id semi-joins. */
+  def dedupPipeline(docs: DataFrame,
+                    threshold: Double = JaccardThreshold,
+                    maxHamming: Int = HammingMax): DataFrame = {
+    val keeps = exactDedup(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val reps1 = docs.join(keeps, Seq("doc_id"), "left_semi")
+    val clusters = duplicateClusters(reps1, simhashPairs(reps1, maxHamming))
+    val reps2Ids = clusters.select(col("cluster_id").as("doc_id")).distinct()
+    ppjoinPairs(docs.join(reps2Ids, Seq("doc_id"), "left_semi"), threshold)
+  }
+
+  /** [[editDistancePairs]] with EXACT collapse enforced first — the typo
+    * family's member of the staged-pipeline contract. On a corpus where
+    * names repeat (every replicated/mirrored source), each repeated name
+    * multiplies the raw pair relation by copies²; collapsing to one
+    * representative per DISTINCT name first makes the neighborhood
+    * blocking and verify stages a function of the distinct-name count
+    * alone, with the multiplicities carried on the output (copies_a ×
+    * copies_b reconstructs the raw pair count when a consumer wants it). */
+  def typoPipeline(rows: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val reps = rows
+      .filter(col(idCol).isNotNull && col(nameCol).isNotNull)
+      .groupBy(col(nameCol).as("name"))
+      .agg(min(col(idCol).cast("long")).as("id"), count(lit(1)).as("n_copies"))
+    editDistancePairs(reps, "id", "name")
+      .join(reps.select(col("id").as("id_a"), col("n_copies").as("copies_a")),
+        Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("n_copies").as("copies_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("dist"), col("copies_a"), col("copies_b"))
+  }
+
+  val typoPipelineSql: String =
+    """WITH reps AS MATERIALIZED (
+      |  SELECT min(c_custkey) AS id, c_name AS name,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM customer
+      |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+      |  GROUP BY c_name)
+      |SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+      |       a.n AS copies_a, b.n AS copies_b
+      |FROM reps a JOIN reps b
+      |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin
+
+  /** The same three stages declaratively: DuckDB CTE shadowing re-scopes
+    * the shared simhash/cluster/shingle fragments onto the
+    * representative subsets (`pdocs1`, `pdocs2`), so this oracle and the
+    * per-stage oracles can never check different kernels. */
+  def dedupPipelineSql(threshold: Double = JaccardThreshold,
+                       maxHamming: Int = HammingMax): String = {
+    val clusterChain = clustersCtes(maxHamming)
+      .stripPrefix("WITH RECURSIVE ")
+      .replace("FROM documents", "FROM pdocs1")
+    val shingleChain = shinglesSql.replace("FROM documents", "FROM pdocs2")
+    s"""WITH RECURSIVE keeps AS MATERIALIZED (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |pdocs1 AS MATERIALIZED (
+       |  SELECT d.* FROM documents d JOIN keeps USING (doc_id)),
+       |$clusterChain,
+       |cl AS MATERIALIZED (
+       |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |pdocs2 AS MATERIALIZED (
+       |  SELECT d.* FROM documents d
+       |  JOIN (SELECT DISTINCT cluster_id AS doc_id FROM cl) c USING (doc_id)),
+       |$shingleChain,
+       |psz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |ppair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM ppair JOIN psz sa ON sa.doc_id = doc_a
+       |           JOIN psz sb ON sb.doc_id = doc_b
+       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $threshold""".stripMargin
+  }
+
   // ----------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1488,6 +1607,8 @@ object Dedup {
       ngramJaccardPairsFromIndex(cachedShingleIndex(s, d))),
     "dedup_ppjoin" -> ((s: SparkSession, d: String) =>
       ppjoinPairs(Tables.load(s, d, "documents"))),
+    "dedup_pipeline" -> ((s: SparkSession, d: String) =>
+      dedupPipeline(Tables.load(s, d, "documents"))),
     "dedup_containment" -> ((s: SparkSession, d: String) =>
       containmentPairsFromIndex(cachedShingleIndex(s, d))),
     "dedup_minhash" -> ((s: SparkSession, d: String) =>
@@ -1525,6 +1646,8 @@ object Dedup {
     "dedup_passages" -> ((s: SparkSession, d: String) =>
       passageDuplicates(Tables.load(s, d, "documents"))),
     "dedup_typos" -> (qDedupTypos _),
+    "typos_pipeline" -> ((s: SparkSession, d: String) =>
+      typoPipeline(Tables.load(s, d, "customer"), "c_custkey", "c_name")),
     "sample_stratified" -> ((s: SparkSession, d: String) =>
       qSampleStratified(Tables.load(s, d, "documents"))))
 
@@ -1541,7 +1664,7 @@ object Dedup {
        |WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
        |  AND bit_count(xor(n.simhash, o.simhash)) <= $HammingMax""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
@@ -1549,6 +1672,7 @@ object Dedup {
     // PPJoin's oracle is the PLAIN uncapped semantics — the prefix
     // filter must be invisible in the result
     "dedup_ppjoin" -> ppjoinOracleSql(),
+    "dedup_pipeline" -> dedupPipelineSql(),
     "dedup_containment" -> containmentOracleSql(),
     "dedup_minhash" -> minhashOracleSql(),
     "dedup_simhash" -> simhashPairsSql(),
@@ -1564,5 +1688,6 @@ object Dedup {
     "dedup_incremental" -> incrementalOracleSql,
     "dedup_passages" -> passagesOracleSql(),
     "dedup_typos" -> qDedupTyposSql,
+    "typos_pipeline" -> typoPipelineSql,
     "sample_stratified" -> sampleOracleSql)
 }

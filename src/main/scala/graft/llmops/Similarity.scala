@@ -403,6 +403,57 @@ object Similarity {
   def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraph(Tables.load(spark, dir, "embeddings"))
 
+  /** How close two vectors must be to count as COPIES (not merely
+    * similar) for the staged kNN pipeline's collapse stage. */
+  val KnnCollapseCosine = 0.95
+
+  /** [[knnGraph]] with near-duplicate COLLAPSE enforced first — the
+    * embedding family's member of the staged-pipeline contract (the r13
+    * sf1 sweep: candidate density grows with near-dup density, so a
+    * corpus of mirrored embeddings inflates the banded candidate set
+    * quadratically per family). Stage 1 finds copy-grade pairs with the
+    * output-bounded banded cosine chain (cos ≥ `collapse`); stage 2
+    * collapses them to min-id representatives via the O(log n) star
+    * rounds; stage 3 builds the kNN graph over REPRESENTATIVES only —
+    * its per-bucket fan-out is now a function of the distinct-content
+    * corpus, not the copy count. */
+  /** Collapse-stage band budget: copy-grade cosine needs few bands
+    * (12 x 8 planes ~ 0.999 recall at 0.95) and candidate-generation
+    * cost scales with bands x bucket-pair mass. */
+  val KnnCollapseBands = 12
+
+  def knnPipeline(emb: DataFrame, k: Int = GraphK,
+                  collapse: Double = KnnCollapseCosine): DataFrame = {
+    val pairs = Dedup.embeddingPairs(emb, collapse, nBands = KnnCollapseBands)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val ids = typedVecs(emb).toDF("doc_id", "v").select(col("doc_id"))
+    val reps = Dedup.duplicateClusters(ids, pairs)
+      .select(col("cluster_id").as("vec_id")).distinct()
+    knnGraph(emb.join(reps, Seq("vec_id"), "left_semi"), k)
+  }
+
+  /** Composed oracle: the prefixed banded-pair chain, a recursive
+    * reachability collapse, then the kNN chain re-scoped onto the
+    * representative subset (same shadowing pattern as
+    * [[Dedup.dedupPipelineSql]]). */
+  def knnPipelineSql(collapse: Double = KnnCollapseCosine): String = {
+    val knnBody = qKnnGraphSql.stripPrefix("WITH ")
+      .replace("FROM embeddings", "FROM kemb")
+    s"""WITH RECURSIVE ${Dedup.embedPairChain(collapse, "x", KnnCollapseBands)},
+       |xedges AS MATERIALIZED (
+       |  SELECT vec_a AS a, vec_b AS b FROM xpair
+       |  UNION ALL SELECT vec_b, vec_a FROM xpair),
+       |xreach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM xe
+       |  UNION
+       |  SELECT re.id, e.b FROM xreach re JOIN xedges e ON e.a = re.r),
+       |xcl AS MATERIALIZED (SELECT id, min(r) AS root FROM xreach GROUP BY id),
+       |kemb AS MATERIALIZED (
+       |  SELECT em.* FROM embeddings em
+       |  JOIN (SELECT DISTINCT root AS vec_id FROM xcl) rr USING (vec_id)),
+       |$knnBody""".stripMargin
+  }
+
   /** Banded oracle mirror — same per-band signature chains as
     * [[qLshSql]], every vector a query, per-source window top-k. */
   val qKnnGraphSql: String = {
@@ -1601,6 +1652,8 @@ object Similarity {
     "sim_topk_lsh" -> (qLsh _),
     "sim_topk_lsh_mp" -> (qLshMultiProbe _),
     "sim_knn_graph" -> (qKnnGraph _),
+    "knn_pipeline" -> ((s: SparkSession, d: String) =>
+      knnPipeline(Tables.load(s, d, "embeddings"))),
     "sim_topk_ivf" -> (qIvf _),
     "sim_topk_ivf_nprobe" -> (qIvfNprobe _),
     "knn_classify" -> (qKnnClassify _),
@@ -1609,7 +1662,7 @@ object Similarity {
     "rank_mmr" -> (qMmr _),
     "rank_mmr_lsh" -> (qMmrLsh _))
 
-  val oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "embed_label_centroids" -> qLabelCentroidsSql,
     "ann_recall_lsh" -> qAnnRecallLshSql,
     "rank_eval" -> qRankEvalSql,
@@ -1621,6 +1674,7 @@ object Similarity {
     "sim_topk_lsh" -> qLshSql,
     "sim_topk_lsh_mp" -> qLshMultiProbeSql,
     "sim_knn_graph" -> qKnnGraphSql,
+    "knn_pipeline" -> knnPipelineSql(),
     "sim_topk_ivf" -> qIvfSql,
     "sim_topk_ivf_nprobe" -> qIvfNprobeSql,
     "knn_classify" -> qKnnClassifySql,
