@@ -859,10 +859,88 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   // ---------------------------------------------------------------- reads
 
   /** Read the table at its latest commit. */
-  def read(dataset: String, table: String): DataFrame =
-    readCommit(dataset, table,
-      log(dataset, table).latest.filter(!_.isDrop).getOrElse(
-        throw new IllegalArgumentException(s"no such table: $dataset.$table")))
+  def read(dataset: String, table: String): DataFrame = {
+    val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    attachCboStats(dataset, table, readCommit(dataset, table, c), c.entries)
+  }
+
+  /** Feed the zone-sidecar statistics to Catalyst's cost-based optimizer:
+    * when the read plan is the single-relation fast path, its
+    * LogicalRelation gets a CatalogTable carrying CatalogStatistics —
+    * exact ROW COUNT (sidecars sum per-file parquet footer counts) plus
+    * per-column null counts, min/max, and a distinct-count UPPER BOUND
+    * for integral columns (`min(nonNullRows, max-min+1)` from the zone
+    * bounds — exact for dense surrogate keys, a sound over-estimate
+    * otherwise). With `spark.sql.cbo.enabled` this is what lets a
+    * 3-table join reorder onto the selective pair and lets a join whose
+    * OUTPUT is small broadcast into the next join — file sizes alone
+    * say nothing about either. At 100 TB the sidecars already exist per
+    * fragment (written at commit time), so stats attach costs one JSON
+    * read per entry, no data scan — ANALYZE TABLE for free.
+    *
+    * Multi-relation plans (deletion vectors, rename chains, defaults)
+    * skip attachment: per-leaf attribution would mis-state each leaf,
+    * and stats are advisory — absence is the status quo. */
+  private def attachCboStats(dataset: String, table: String, df: DataFrame,
+                             entries: Seq[SnapshotLog.Entry]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.catalyst.catalog._
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    if (entries.isEmpty) return df
+    val td = tableDir(dataset, table)
+    val frags = entries.map(e => ZoneMaps.read(td, e.path))
+    if (frags.exists(_.isEmpty)) return df // partial coverage: no stats
+    val sts = frags.flatten
+    val rowCount = sts.map(_.rows).sum
+    val analyzed = df.queryExecution.analyzed
+    val leaves = analyzed.collect { case lr: LogicalRelation => lr }
+    if (leaves.size != 1) return df
+    val lr = leaves.head
+    val colStats: Map[String, CatalogColumnStat] =
+      lr.schema.fields.flatMap { f =>
+        val integral = f.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        val per = sts.map(_.cols.get(f.name))
+        if (!integral || per.exists(_.isEmpty)) None
+        else {
+          val cs = per.flatten
+          val nulls = cs.map(_.nulls).sum
+          val mins = cs.flatMap(_.min).flatMap(s => scala.util.Try(s.toLong).toOption)
+          val maxs = cs.flatMap(_.max).flatMap(s => scala.util.Try(s.toLong).toOption)
+          if (mins.isEmpty || maxs.isEmpty) None
+          else {
+            val (lo, hi) = (mins.min, maxs.max)
+            val nonNull = math.max(rowCount - nulls, 0L)
+            val span = math.max(hi - lo + 1, 1L)
+            Some(f.name -> CatalogColumnStat(
+              distinctCount = Some(BigInt(math.min(nonNull, span))),
+              min = Some(lo.toString), max = Some(hi.toString),
+              nullCount = Some(BigInt(nulls)),
+              avgLen = Some(8L), maxLen = Some(8L)))
+          }
+        }
+      }.toMap
+    val ct = CatalogTable(
+      identifier = TableIdentifier(table, Some(dataset)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = lr.schema,
+      provider = Some("parquet"),
+      stats = Some(CatalogStatistics(
+        sizeInBytes = lr.relation.sizeInBytes,
+        rowCount = Some(BigInt(rowCount)),
+        colStats = colStats)))
+    val withStats = analyzed.transform {
+      case l: LogicalRelation if l eq lr => l.copy(catalogTable = Some(ct))
+    }
+    org.apache.spark.sql.GraftBridge.ofRows(spark, withStats)
+  }
 
   /** S9 — time-travel read `table@epoch_ms`. Rejects timestamps outside
     * the 7-day window (restore.py:60-70) or before the first commit. */
