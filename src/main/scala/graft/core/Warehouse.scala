@@ -319,6 +319,45 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       cur2 => Some(widened.toDDL))
   }
 
+  /** EXPLICIT type-widening evolution (the declarative twin of the
+    * widen-on-append path in [[unionStruct]]): re-pin `name` at a wider
+    * type from the [[widens]] lattice. Metadata-only — fragments are
+    * never rewritten; narrow physical columns serve the widened type
+    * natively at scan time, and a time-travel read before this commit
+    * serves its own (narrow) schema. CHECK constraints referencing the
+    * column re-validate against the widened schema HERE, not at the
+    * next write. */
+  def widenColumn(dataset: String, table: String, name: String,
+                  typeDdl: String): Unit = {
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val sch = cur.schemaDdl.map(StructType.fromDDL)
+      .getOrElse(schema(dataset, table))
+    val f = sch.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name"))
+    val to = StructType.fromDDL(s"`$name` $typeDdl").fields.head.dataType
+    require(widens(f.dataType, to),
+      s"cannot widen ${f.dataType.sql} to ${to.sql}: supported widenings " +
+        "are byte->short->int->long and float->double")
+    val widened = StructType(sch.fields.map(x =>
+      if (x.name == name) x.copy(dataType = to) else x))
+    val m = meta(dataset, table)
+    m.checkConstraints.foreach { case (n, sql) =>
+      try spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        widened).filter(expr(sql)).queryExecution.analyzed
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"CHECK constraint '$n' no longer validates against the widened " +
+            s"schema: ${e.getMessage}", e)
+      }
+    }
+    writeSchemaDdl(dataset, table, widened)
+    lg.commitWithSchema("alter", cur2 =>
+      cur2.filter(!_.isDrop).map(_.entries).getOrElse(cur.entries),
+      _ => Some(widened.toDDL))
+  }
+
   def renameColumn(dataset: String, table: String, from: String, to: String): Unit = {
     require(to.nonEmpty && !to.contains(";") && !to.contains(">"),
       s"invalid column name '$to'")
@@ -536,9 +575,36 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Union schema for additive evolution: declared columns keep their
     * declared types and order; genuinely new incoming columns append. */
+  /** The Iceberg-v3 widening lattice: byte→short→int→long, float→double.
+    * Sound because every parquet reader in the engine serves a NARROW
+    * physical column under the widened read schema natively (Spark 4
+    * parquet type promotion) — a widen is metadata-only, no fragment
+    * rewrite, and time travel still serves each commit's own types. */
+  private[core] def widens(from: org.apache.spark.sql.types.DataType,
+                           to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Union of the declared and incoming schemas: new columns append;
+    * a common column whose incoming type WIDENS the declared one (per
+    * [[widens]]) widens the pinned schema — an append carrying longs
+    * into an int column evolves the table instead of poisoning it with
+    * a fragment the declared schema cannot read. Anything else keeps
+    * the declared type (narrowing is never inferred). */
   private def unionStruct(declared: StructType, incoming: StructType): StructType =
-    StructType(declared.fields ++
-      incoming.fields.filterNot(f => declared.fieldNames.contains(f.name)))
+    StructType(declared.fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case Some(i) if widens(f.dataType, i.dataType) => f.copy(dataType = i.dataType)
+        case _ => f
+      }
+    } ++ incoming.fields.filterNot(f => declared.fieldNames.contains(f.name)))
 
   /** Base-schema resolution for a CAS attempt: prefer the commit being
     * re-based onto, fall back to the sidecar DDL, then to the incoming

@@ -1902,6 +1902,64 @@ object EngineQueries {
       |       min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------- q85 type widening
+
+  /** Type-WIDENING schema evolution (Iceberg-v3 lattice: int→long,
+    * float→double), both forms — explicit `widenColumn` (metadata-only
+    * alter) and widen-on-append (an append carrying wider types evolves
+    * the pinned schema). Pre-widen fragments are NEVER rewritten: narrow
+    * physical columns serve the widened type natively at scan time;
+    * time travel before the widen serves the narrow schema exactly;
+    * CHECK constraints keep enforcing across the widen. */
+  def q85TypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val wh = new Warehouse(spark, scratch("graft_widen"))
+    val ords = Tables.load(spark, dir, "orders")
+    val narrow = ords.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").cast("int").as("k"),
+        col("o_orderstatus").as("st"),
+        (col("o_orderkey") % 100).cast("float").as("v"))
+    wh.overwrite("mart", "wide", narrow, TableMeta(
+      checkConstraints = Seq("v_nonneg" -> "v >= 0"))) // v1: int/float
+    val before = wh.log("mart", "wide").latest.get.entries.map(_.path)
+    wh.widenColumn("mart", "wide", "k", "BIGINT") // v2
+    wh.widenColumn("mart", "wide", "v", "DOUBLE") // v3
+    require(wh.log("mart", "wide").latest.get.entries.map(_.path) == before,
+      "widening must be metadata-only — no fragment rewrite")
+    // widen-on-append had already been exercised implicitly: this half
+    // arrives ALREADY wide and must land against the widened schema with
+    // the CHECK still enforced
+    wh.append("mart", "wide", ords.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        (col("o_orderkey") % 100).cast("double").as("v"))) // v4
+    val sch = wh.read("mart", "wide").schema
+    require(sch("k").dataType == LongType && sch("v").dataType == DoubleType,
+      s"post-widen reads must serve the wide types, got $sch")
+    val v1sch = wh.readVersion("mart", "wide", 1).schema
+    require(v1sch("k").dataType == IntegerType && v1sch("v").dataType == FloatType,
+      s"time travel must serve the commit's own narrow types, got $v1sch")
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sk"),
+          round(sum(col("v")), 1).as("sv"))
+        .select(lit(phase).as("phase"), col("st"), col("n"), col("sk"), col("sv"))
+    agg(wh.read("mart", "wide"), "final")
+      .unionAll(agg(wh.readVersion("mart", "wide", 1), "v1"))
+  }
+
+  val q85Sql: String =
+    """SELECT 'final' AS phase, o_orderstatus AS st,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sk,
+      |       round(CAST(sum(o_orderkey % 100) AS DOUBLE), 1) AS sv
+      |FROM orders GROUP BY 2
+      |UNION ALL
+      |SELECT 'v1' AS phase, o_orderstatus AS st,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sk,
+      |       round(CAST(sum(o_orderkey % 100) AS DOUBLE), 1) AS sv
+      |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 2""".stripMargin
+
   // -------------------------------------------------- q83 table stream source
 
   /** The commit log AS a Structured Streaming source
@@ -2038,6 +2096,7 @@ object EngineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_stream_table_source" -> (q83StreamTableSource _),
+    "q85_type_widening" -> (q85TypeWidening _),
     "q84_sql_dml" -> (q84SqlDml _),
     "q70_aggview" -> (q70AggView _),
     "q71_stream_aggview" -> (q71StreamAggView _),
@@ -2085,6 +2144,7 @@ object EngineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q83_stream_table_source" -> q83Sql,
+    "q85_type_widening" -> q85Sql,
     "q84_sql_dml" -> q84Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,
