@@ -2058,6 +2058,11 @@ object EngineQueries {
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
     require(merged.getLong(0) > 0, "merge must match the standing P rows")
+    // INSERT INTO: one more status family lands through SQL text
+    pRows.select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+        lit("Y").as("o_orderstatus"), col("o_totalprice"))
+      .createOrReplaceTempView("q84_ins")
+    spark.sql("INSERT INTO q84wh SELECT * FROM q84_ins")
     // final state AND the pre-DML snapshot, both read back via SQL
     spark.sql(
       """SELECT 'final' AS phase, o_orderstatus AS st,
@@ -2081,6 +2086,9 @@ object EngineQueries {
       |  FROM orders WHERE o_orderstatus = 'P'
       |  UNION ALL
       |  SELECT o_orderkey + 100000000, 'X' AS o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderstatus = 'P'
+      |  UNION ALL
+      |  SELECT o_orderkey + 200000000, 'Y' AS o_orderstatus, o_totalprice
       |  FROM orders WHERE o_orderstatus = 'P'),
       |final AS (
       |  SELECT * FROM survived WHERE o_orderstatus <> 'P'

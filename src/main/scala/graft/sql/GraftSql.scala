@@ -99,6 +99,16 @@ object GraftSql {
       case _ => plan
     }
 
+  /** Identifier parts of a DDL target (DROP TABLE wraps the name in an
+    * UnresolvedTableOrView / UnresolvedIdentifier, not a relation). */
+  private def identOf(p: LogicalPlan): Option[Seq[String]] = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      Some(u.multipartIdentifier)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      Some(u.nameParts)
+    case _ => None
+  }
+
   /** The relation identifier + every alias it is known by in this scope
     * (innermost alias last) for a DML target subtree. */
   private def unwrap(p: LogicalPlan): Option[(Seq[String], Seq[String])] =
@@ -140,6 +150,22 @@ object GraftSql {
               notMatchedBySource, withSchemaEvolution, tAls)
           }
         }.getOrElse(m)
+      case ins @ InsertIntoStatement(t, partSpec, cols, query, overwrite, _, _) =>
+        unwrap(t).flatMap { case (id, _) =>
+          lookup(spark, id).map { tg =>
+            if (partSpec.nonEmpty || cols.nonEmpty)
+              throw new IllegalArgumentException(
+                s"unsupported INSERT shape for warehouse table ${tg.name}: " +
+                  "static partition specs and column lists are not supported " +
+                  "(write the full row set; partitioning derives from metadata)")
+            GraftInsertCommand(tg, query, overwrite): LogicalPlan
+          }
+        }.getOrElse(ins)
+      case d @ DropTable(child, ifExists, _) =>
+        identOf(child).flatMap(lookup(spark, _)) match {
+          case Some(tg) => GraftDropCommand(tg, ifExists)
+          case None => d
+        }
       case other => other
     }
     // VERSION AS OF / TIMESTAMP AS OF on registered tables, anywhere in
@@ -264,6 +290,38 @@ final case class GraftUpdateCommand(t: GraftSql.Target,
       GraftBridge.column(cond.e)).updatedRows
     GraftSql.refreshView(spark, t.name)
     Seq(Row(n))
+  }
+}
+
+/** `INSERT INTO` → append; `INSERT OVERWRITE` → dynamic partition
+  * replacement on partitioned tables, full refresh (metadata kept)
+  * otherwise. The query plan analyzes lazily at run time. */
+final case class GraftInsertCommand(t: GraftSql.Target, query: LogicalPlan,
+                                    overwrite: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, query)
+    if (!overwrite) t.wh.append(t.dataset, t.table, src)
+    else if (t.wh.meta(t.dataset, t.table).partitionField.isDefined)
+      t.wh.insertOverwrite(t.dataset, t.table, src)
+    else t.wh.overwrite(t.dataset, t.table, src,
+      t.wh.meta(t.dataset, t.table))
+    GraftSql.refreshView(spark, t.name)
+    Seq.empty
+  }
+}
+
+/** `DROP TABLE` → the warehouse drop commit (time travel keeps the
+  * history until vacuum; PURGE is vacuum's job, not the drop's). */
+final case class GraftDropCommand(t: GraftSql.Target, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (!ifExists || t.wh.exists(t.dataset, t.table))
+      t.wh.drop(t.dataset, t.table)
+    GraftSql.unregister(spark, t.name)
+    Seq.empty
   }
 }
 

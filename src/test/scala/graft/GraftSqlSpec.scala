@@ -140,6 +140,22 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(wh.read("d", "g").head().getDouble(2) === 9.0)
   }
 
+  test("INSERT INTO appends; INSERT OVERWRITE refreshes; DROP TABLE drops") {
+    val (wh, n) = fresh("sql_ins")
+    spark.sql(s"INSERT INTO $n VALUES (9, 'i', 90.0), (10, 'j', 100.0)")
+    assert(wh.read("d", "t").count() === 6L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $n").head().getLong(0) === 6L)
+    spark.sql(s"INSERT OVERWRITE $n SELECT id AS id, 'z' AS s, 1.0 AS v " +
+      "FROM range(3)")
+    assert(wh.read("d", "t").count() === 3L)
+    // version history: overwrite is a commit, the old state time-travels
+    assert(spark.sql(s"SELECT count(*) AS c FROM $n VERSION AS OF 2")
+      .head().getLong(0) === 6L)
+    spark.sql(s"DROP TABLE $n")
+    assert(!wh.exists("d", "t"))
+    intercept[Exception] { spark.sql(s"SELECT * FROM $n") }
+  }
+
   test("non-registered tables keep Spark's own DML behavior") {
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("plain_view")
     intercept[Exception] { spark.sql("DELETE FROM plain_view WHERE id = 1") }
