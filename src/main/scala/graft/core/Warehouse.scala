@@ -450,11 +450,29 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * append to a partitioned table is [[insertOverwrite]] with disjoint
     * partitions). */
   def append(dataset: String, table: String, df: DataFrame): Unit = {
+    append(dataset, table, df, None); ()
+  }
+
+  /** [[append]] with an IDEMPOTENCY TAG — the exactly-once primitive for
+    * replayable producers (the streaming sink's (streamId, batchId)):
+    * the tag becomes the commit's action string, and an append whose tag
+    * is already present in the log is SKIPPED — checked before any work
+    * and re-checked inside the CAS closure, so even a zombie writer
+    * racing its own restart commits the batch exactly once (the CAS
+    * serializes; the loser's rebase sees the winner's tag and aborts,
+    * cleaning its fragment). Returns true iff this call committed.
+    * Cost of the tag check is one log scan per attempt — bounded by
+    * retention (vacuum keeps streaming histories short). */
+  def append(dataset: String, table: String, df: DataFrame,
+             idempotencyTag: Option[String]): Boolean = {
     val m = meta(dataset, table)
     require(m.partitionField.isEmpty,
       s"$dataset.$table is partitioned; append via insertOverwrite")
     ensureDataset(dataset)
     val lg = log(dataset, table)
+    val actionStr = idempotencyTag.getOrElse("append")
+    if (idempotencyTag.isDefined && lg.commits.exists(_.action == actionStr))
+      return false
     val frag = lg.newFragmentDir()
     df.write.mode("overwrite").parquet(frag.toString)
     enforceConstraints(m, frag, Some(df.schema))
@@ -471,7 +489,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // union schema is recomputed INSIDE the CAS retry from the current
     // commit: unioning against a stale base after a lost race would pin
     // a schema missing the winning writer's new columns
-    val c = lg.commitWithSchema("append", cur => {
+    final class TagAlreadyApplied extends RuntimeException
+    val c = try lg.commitWithSchema(actionStr, cur => {
+      if (idempotencyTag.isDefined && lg.commits.exists(_.action == actionStr))
+        throw new TagAlreadyApplied
       val curEntries = cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
       // UNIQUE under concurrent appenders: two racing appends of the same
       // key both pass the pre-commit probe (neither sees the other). The
@@ -499,11 +520,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       curEntries :+ entry
     },
       cur => Some(unionWithCurrent(dataset, table, cur, df.schema).toDDL))
+    catch {
+      case _: TagAlreadyApplied =>
+        // a racer (zombie restart of the same producer) committed this
+        // tag first: drop the duplicate fragment, report not-committed
+        deleteRecursive(frag)
+        Files.deleteIfExists(ZoneMaps.statsPath(tableDir(dataset, table), entry.path))
+        return false
+    }
     writeSchemaDdlMerged(dataset, table,
       StructType.fromDDL(c.schemaDdl.getOrElse(df.schema.toDDL)),
       additive = true)
     if (!Files.exists(tableDir(dataset, table).resolve("_meta.properties")))
       setMeta(dataset, table, m)
+    true
   }
 
   /** Incremental `insert_overwrite` (create.py:456-458 semantics =

@@ -2009,6 +2009,45 @@ object EngineQueries {
       |       round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------- q86 stream sink
+
+  /** The exactly-once warehouse SINK ([[graft.streaming.WarehouseStreamSink]],
+    * `writeStream.format("graft-table")`): a file stream lands in a
+    * warehouse table batch-by-batch with (streamId, batchId) idempotency
+    * tags in the commit log; a RESTART on the same checkpoint (and any
+    * replayed batch) appends nothing twice. The drained table must equal
+    * the source — hash-gated via the status aggregate. */
+  def q86StreamSink(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark, scratch("graft_wsink"))
+    val ords = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    wh.overwrite("mart", "osink", ords.limit(0)) // declare the table
+    val srcDir = scratch("graft_wsink_src")
+    ords.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val ckpt = scratch("graft_wsink_ck")
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8").parquet(srcDir)
+        .writeStream.format("graft-table")
+        .option("root", wh.root).option("dataset", "mart").option("table", "osink")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val total = ords.count()
+    require(wh.read("mart", "osink").count() == total,
+      "drained sink table must equal the source")
+    drain() // restart on the same checkpoint: nothing replays
+    require(wh.read("mart", "osink").count() == total,
+      "a restart must not duplicate any batch")
+    wh.read("mart", "osink").groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   // ------------------------------------------------------------ q84 SQL DML
 
   /** The warehouse's FULL-SQL contract end to end (reference S6,
@@ -2105,6 +2144,7 @@ object EngineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_stream_table_source" -> (q83StreamTableSource _),
     "q85_type_widening" -> (q85TypeWidening _),
+    "q86_stream_sink" -> (q86StreamSink _),
     "q84_sql_dml" -> (q84SqlDml _),
     "q70_aggview" -> (q70AggView _),
     "q71_stream_aggview" -> (q71StreamAggView _),
@@ -2153,6 +2193,8 @@ object EngineQueries {
   val oracleSql: Map[String, String] = Map(
     "q83_stream_table_source" -> q83Sql,
     "q85_type_widening" -> q85Sql,
+    // the drained sink table IS the source: same aggregate as the stream-source oracle
+    "q86_stream_sink" -> q83Sql,
     "q84_sql_dml" -> q84Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,

@@ -169,8 +169,27 @@ object GraftSql {
       case other => other
     }
     // VERSION AS OF / TIMESTAMP AS OF on registered tables, anywhere in
-    // the tree (joins, subqueries): splice the snapshot read's plan
+    // the tree (joins, subqueries): splice the snapshot read's plan.
+    // Likewise the CDC table-valued function
+    // `table_changes('<name>', v1, v2)` → Warehouse.changesBetween
+    // (the Delta-style CDC read, previously Scala-API-only).
     top.transformUp {
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("table_changes") &&
+            tvf.functionArgs.size == 3 &&
+            tvf.functionArgs.forall(_.foldable) &&
+            lookup(spark, Seq(evalString(tvf.functionArgs.head))).isDefined =>
+        val tg = lookup(spark, Seq(evalString(tvf.functionArgs.head))).get
+        val Seq(_, v1e, v2e) = tvf.functionArgs
+        def asInt(e: Expression): Int = e.eval(null) match {
+          case i: Integer => i.intValue
+          case l: java.lang.Long => l.intValue
+          case other => throw new IllegalArgumentException(
+            s"table_changes wants integer versions, got $other")
+        }
+        SubqueryAlias(tg.name,
+          tg.wh.changesBetween(tg.dataset, tg.table, asInt(v1e), asInt(v2e))
+            .queryExecution.logical)
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
         lookup(spark, u.multipartIdentifier) match {
           case Some(tg) =>

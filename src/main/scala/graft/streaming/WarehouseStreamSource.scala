@@ -104,8 +104,45 @@ object WarehouseStreamSource {
     org.apache.spark.sql.GraftBridge.streamingDataFrame(df)
 }
 
-/** `format("graft-table")` registration. */
-class WarehouseSourceProvider extends StreamSourceProvider with DataSourceRegister {
+/** EXACTLY-ONCE streaming sink into a warehouse table — the write twin
+  * of [[WarehouseStreamSource]]:
+  *
+  *   df.writeStream.format("graft-table")
+  *     .option("root", wh.root).option("dataset", d).option("table", t)
+  *     .option("checkpointLocation", ckpt).start()
+  *
+  * Each micro-batch appends through
+  * [[graft.core.Warehouse.append(dataset:String,table:String,df:org\.apache\.spark\.sql\.DataFrame,idempotencyTag:Option[String])*]]
+  * with the (streamId, batchId) idempotency tag as the commit action:
+  * a replayed batch (restart after a crash between commit and offset
+  * write, or a zombie racing its own restart) is detected IN the commit
+  * CAS and skipped — the batch lands exactly once no matter how many
+  * times Structured Streaming re-delivers it. The streamId derives from
+  * the checkpoint location (one checkpoint = one logical stream), or an
+  * explicit `streamId` option. Constraints/UNIQUE keys enforce exactly
+  * as on any append; a violation fails the batch and the query, loudly. */
+class WarehouseStreamSink(sqlContext: SQLContext, root: String,
+                          dataset: String, table: String, streamId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val wh = new Warehouse(sqlContext.sparkSession, root)
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val committed = wh.append(dataset, table,
+      org.apache.spark.sql.GraftBridge.batchDataFrame(data),
+      Some(s"append stream=$streamId batch=$batchId"))
+    if (!committed)
+      System.err.println(
+        s"[graft-table sink] batch $batchId of stream $streamId already " +
+          "committed — replay skipped")
+  }
+
+  override def toString: String = s"WarehouseStreamSink($dataset.$table)"
+}
+
+/** `format("graft-table")` registration (source + sink). */
+class WarehouseSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
@@ -113,6 +150,26 @@ class WarehouseSourceProvider extends StreamSourceProvider with DataSourceRegist
     parameters.getOrElse(k, throw new IllegalArgumentException(
       s"graft-table stream source needs option '$k' " +
         "(root, dataset, table)"))
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink: partitioning is table metadata, not a writer option")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-table sink supports Append output mode only, got $outputMode")
+    val streamId = parameters.get("streamId")
+      .orElse(parameters.get("checkpointLocation").map(p =>
+        java.util.UUID.nameUUIDFromBytes(
+          p.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table sink needs a checkpointLocation (or explicit " +
+          "streamId) to make batch replays identifiable"))
+    new WarehouseStreamSink(sqlContext, opt(parameters, "root"),
+      opt(parameters, "dataset"), opt(parameters, "table"), streamId)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,

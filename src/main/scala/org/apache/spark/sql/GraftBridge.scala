@@ -32,4 +32,13 @@ object GraftBridge {
     df.sparkSession.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(qe.toRdd, qe.analyzed.schema, isStreaming = true)
   }
+
+  /** The inverse of [[streamingDataFrame]]: re-expose a streaming
+    * micro-batch Dataset as a plain batch DataFrame over the same rows,
+    * so a v1 `Sink.addBatch` can hand it to ordinary batch writers. */
+  def batchDataFrame(df: DataFrame): DataFrame = {
+    val qe = df.queryExecution
+    df.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(qe.toRdd, qe.analyzed.schema, isStreaming = false)
+  }
 }

@@ -156,6 +156,25 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql(s"SELECT * FROM $n") }
   }
 
+  test("table_changes() TVF serves the CDC feed through SQL") {
+    val (wh, n) = fresh("sql_cdc")
+    // MoR delete: the CDC feed reports exactly the masked row (a CoW
+    // delete would report the whole fragment rewrite, by design)
+    spark.conf.set("spark.graft.sql.dml", "mor")
+    try spark.sql(s"DELETE FROM $n WHERE id = 2") // v2
+    finally spark.conf.unset("spark.graft.sql.dml")
+    val got = spark.sql(
+      s"SELECT _change_type, id FROM table_changes('$n', 1, 2) ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("delete", 2L)))
+    // joins against the feed work; unknown names keep Spark's own error
+    val joined = spark.sql(
+      s"""SELECT c.id FROM table_changes('$n', 1, 2) c
+         |JOIN $n VERSION AS OF 1 v ON c.id = v.id""".stripMargin)
+    assert(joined.head().getLong(0) === 2L)
+    intercept[Exception] { spark.sql("SELECT * FROM table_changes('nope', 1, 2)") }
+  }
+
   test("non-registered tables keep Spark's own DML behavior") {
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("plain_view")
     intercept[Exception] { spark.sql("DELETE FROM plain_view WHERE id = 1") }

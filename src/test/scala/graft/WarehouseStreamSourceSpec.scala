@@ -99,6 +99,64 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sink: a file stream lands in the warehouse exactly once, restart-safe") {
+    val wh = fresh()
+    wh.overwrite("d", "t", Seq((0L, "seed")).toDF("id", "s"))
+    val srcDir = Files.createTempDirectory("whsink_src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val ckpt = Files.createTempDirectory("whsink_ck").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .writeStream.format("graft-table")
+        .option("root", wh.root).option("dataset", "d").option("table", "t")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(wh.read("d", "t").count() === 3L)
+    // restart on the same checkpoint with one NEW source file: only the
+    // new rows land, nothing replays
+    Seq((3L, "c")).toDF("id", "s").write.mode("append").parquet(srcDir.toString)
+    run()
+    assert(wh.read("d", "t").orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("sink: a replayed batch id commits exactly once (zombie-safe CAS tag)") {
+    val wh = fresh()
+    wh.overwrite("d", "t", Seq((0L, "seed")).toDF("id", "s"))
+    val tag = Some("append stream=spec batch=7")
+    assert(wh.append("d", "t", Seq((1L, "a")).toDF("id", "s"), tag) === true)
+    // an unrelated append in between must not unblock the replay
+    wh.append("d", "t", Seq((2L, "b")).toDF("id", "s"))
+    assert(wh.append("d", "t", Seq((1L, "dup")).toDF("id", "s"), tag) === false,
+      "replayed tag must be skipped")
+    assert(wh.read("d", "t").count() === 3L)
+    assert(wh.read("d", "t").filter(col("s") === "dup").count() === 0L)
+    assert(wh.orphanFiles("d", "t", graceMillis = 0L).isEmpty,
+      "the skipped replay must not leave its fragment behind")
+  }
+
+  test("sink: refuses non-append modes and demands a stream identity") {
+    val wh = fresh()
+    wh.overwrite("d", "t", Seq((0L, "seed")).toDF("id", "s"))
+    val provider = new graft.streaming.WarehouseSourceProvider
+    val params = Map("root" -> wh.root, "dataset" -> "d", "table" -> "t",
+      "checkpointLocation" -> "/tmp/ck")
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext, params, Seq.empty,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+    }
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext, params - "checkpointLocation",
+        Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+  }
+
   test("a non-append-only span fails the stream loudly") {
     val wh = fresh()
     wh.overwrite("d", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
