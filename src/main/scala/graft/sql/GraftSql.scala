@@ -102,6 +102,8 @@ object GraftSql {
   /** Identifier parts of a DDL target (DROP TABLE wraps the name in an
     * UnresolvedTableOrView / UnresolvedIdentifier, not a relation). */
   private def identOf(p: LogicalPlan): Option[Seq[String]] = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      Some(u.multipartIdentifier)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
       Some(u.multipartIdentifier)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
@@ -165,6 +167,38 @@ object GraftSql {
         identOf(child).flatMap(lookup(spark, _)) match {
           case Some(tg) => GraftDropCommand(tg, ifExists)
           case None => d
+        }
+      case a @ AddColumns(child, cols) =>
+        identOf(child).flatMap(lookup(spark, _)) match {
+          case Some(tg) =>
+            val adds = cols.map { c =>
+              if (c.path.isDefined) throw new IllegalArgumentException(
+                "warehouse ALTER TABLE ADD COLUMNS supports top-level columns only")
+              (c.colName, c.dataType.sql, c.default.map(_.originalSQL))
+            }
+            GraftAddColumnsCommand(tg, adds)
+          case None => a
+        }
+      case r @ RenameColumn(child, col, newName) =>
+        identOf(child).flatMap(lookup(spark, _)) match {
+          case Some(tg) =>
+            if (col.name.size != 1) throw new IllegalArgumentException(
+              "warehouse RENAME COLUMN supports top-level columns only")
+            GraftRenameColumnCommand(tg, col.name.head, newName)
+          case None => r
+        }
+      case ac @ AlterColumns(child, specs) =>
+        identOf(child).flatMap(lookup(spark, _)) match {
+          case Some(tg) =>
+            val widens = specs.map { sp =>
+              val ok = sp.newDataType.isDefined && sp.column.name.size == 1
+              if (!ok) throw new IllegalArgumentException(
+                "warehouse ALTER COLUMN supports `ALTER COLUMN c TYPE <wider>` " +
+                  "on top-level columns only")
+              (sp.column.name.head, sp.newDataType.get.sql)
+            }
+            GraftWidenColumnsCommand(tg, widens)
+          case None => ac
         }
       case other => other
     }
@@ -341,6 +375,77 @@ final case class GraftDropCommand(t: GraftSql.Target, ifExists: Boolean)
       t.wh.drop(t.dataset, t.table)
     GraftSql.unregister(spark, t.name)
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE ADD COLUMNS` → addColumn (metadata-only, optional
+  * DEFAULT served from old fragments). */
+final case class GraftAddColumnsCommand(t: GraftSql.Target,
+                                        adds: Seq[(String, String, Option[String])])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    adds.foreach { case (name, typeDdl, default) =>
+      t.wh.addColumn(t.dataset, t.table, name, typeDdl, default)
+    }
+    GraftSql.refreshView(spark, t.name)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE RENAME COLUMN` → the metadata-only rename chain. */
+final case class GraftRenameColumnCommand(t: GraftSql.Target,
+                                          from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    t.wh.renameColumn(t.dataset, t.table, from, to)
+    GraftSql.refreshView(spark, t.name)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE ALTER COLUMN c TYPE <wider>` → widenColumn (refuses
+  * anything outside the widening lattice, loudly). */
+final case class GraftWidenColumnsCommand(t: GraftSql.Target,
+                                          widens: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    widens.foreach { case (name, typeDdl) =>
+      t.wh.widenColumn(t.dataset, t.table, name, typeDdl)
+    }
+    GraftSql.refreshView(spark, t.name)
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE <name>` (maintenance grammar the stock parser lacks —
+  * matched by [[GraftSqlParser]]'s fallback): compaction to
+  * size-bounded fragments. Returns the rewritten partition values. */
+final case class GraftOptimizeCommand(t: GraftSql.Target)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rewritten_partitions",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val parts = t.wh.compact(t.dataset, t.table)
+    GraftSql.refreshView(spark, t.name)
+    parts.map(Row(_))
+  }
+}
+
+/** `VACUUM <name> [RETAIN n HOURS]` — snapshot-log retention sweep;
+  * default retention is the 7-day time-travel window. */
+final case class GraftVacuumCommand(t: GraftSql.Target, retainHours: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("removed_paths",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val retainMs = retainHours.map(_ * 3600000L)
+      .getOrElse(graft.core.SnapshotLog.TimeTravelWindowMillis)
+    t.wh.log(t.dataset, t.table).vacuum(retainMs).map(Row(_))
   }
 }
 

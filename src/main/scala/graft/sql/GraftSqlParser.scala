@@ -11,11 +11,41 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * a registered warehouse table. Everything else delegates verbatim.
   * Injected by [[graft.plans.GraftExtensions]] via `injectParser`. */
 final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  /** Maintenance grammar the stock parser lacks: tried only AFTER the
+    * delegate rejects the text, and only for registered warehouse
+    * tables — anything else re-throws the delegate's own error. */
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+
+  private def maintenanceFallback(sqlText: String): Option[LogicalPlan] = {
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession.orNull
+    if (spark == null) return None
+    sqlText match {
+      case OptimizeRe(name) =>
+        GraftSql.lookup(spark, Seq(name)).map(GraftOptimizeCommand(_))
+      case VacuumRe(name, hours) =>
+        GraftSql.lookup(spark, Seq(name))
+          .map(GraftVacuumCommand(_, Option(hours).map(_.toLong)))
+      case _ => None
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSql.rewrite(delegate.parsePlan(sqlText))
+    try GraftSql.rewrite(delegate.parsePlan(sqlText))
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        maintenanceFallback(sqlText).getOrElse(throw e)
+    }
   override def parsePlanWithParameters(sqlText: String,
                                        ctx: ParameterContext): LogicalPlan =
-    GraftSql.rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
+    try GraftSql.rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        maintenanceFallback(sqlText).getOrElse(throw e)
+    }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =

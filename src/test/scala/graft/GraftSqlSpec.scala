@@ -175,6 +175,49 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT * FROM table_changes('nope', 1, 2)") }
   }
 
+  test("ALTER TABLE ADD/RENAME/ALTER COLUMN route through schema evolution") {
+    val (wh, n) = fresh("sql_ddl")
+    spark.sql(s"ALTER TABLE $n ADD COLUMNS (tag STRING DEFAULT 'none')")
+    assert(spark.sql(s"SELECT tag FROM $n LIMIT 1").head().getString(0) === "none")
+    spark.sql(s"ALTER TABLE $n RENAME COLUMN s TO label")
+    assert(wh.read("d", "t").columns.contains("label"))
+    assert(spark.sql(s"SELECT label FROM $n WHERE id = 1").head().getString(0) === "a")
+  }
+
+  test("ALTER COLUMN TYPE widens; non-widening refuses loudly") {
+    val root = Files.createTempDirectory("sql_widen").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite("d", "w", Seq((1, 1.5f)).toDF("k", "v"))
+    GraftSql.register(spark, "sql_widen", wh, "d", "w")
+    spark.sql("ALTER TABLE sql_widen ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE sql_widen ALTER COLUMN v TYPE DOUBLE")
+    val sch = wh.read("d", "w").schema
+    assert(sch("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(sch("v").dataType === org.apache.spark.sql.types.DoubleType)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE sql_widen ALTER COLUMN k TYPE INT")
+    }
+    assert(e.getMessage.contains("cannot widen"))
+  }
+
+  test("OPTIMIZE and VACUUM maintenance statements") {
+    val (wh, n) = fresh("sql_opt")
+    // several small appends -> compaction has something to do
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO $n VALUES (${100 + i}, 'x', 1.0)")
+    val entriesBefore = wh.log("d", "t").latest.get.entries.size
+    spark.sql(s"OPTIMIZE $n").collect()
+    val entriesAfter = wh.log("d", "t").latest.get.entries.size
+    assert(entriesAfter < entriesBefore,
+      s"compaction must shrink the entry list: $entriesBefore -> $entriesAfter")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $n").head().getLong(0) === 8L)
+    val removed = spark.sql(s"VACUUM $n RETAIN 0 HOURS").collect()
+    assert(removed.nonEmpty, "vacuum after compaction must remove old fragments")
+    assert(wh.read("d", "t").count() === 8L)
+    // unknown statements still fail with Spark's parser error
+    intercept[Exception] { spark.sql("OPTIMIZE definitely_not_registered") }
+  }
+
   test("non-registered tables keep Spark's own DML behavior") {
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("plain_view")
     intercept[Exception] { spark.sql("DELETE FROM plain_view WHERE id = 1") }
