@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.apache.spark.sql.functions._
+import graft.core.Warehouse
+import graft.sql.GraftSql
+
+/** SQL-path ≡ API-path equivalence as a PROPERTY: over random tables
+  * (hostile values included: NULLs, negatives, empty and quoted
+  * strings) × random predicates × random assignments, a DML statement
+  * through `spark.sql` must leave the table in EXACTLY the state the
+  * Scala API leaves a twin table in. The SQL layer only translates —
+  * any drift (qualifier stripping, expression wrapping, simultaneous
+  * assignment, MoR routing) shows up here as a row diff. */
+class GraftSqlPropSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n).withWorkers(1), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val strPool = Seq("", "a", "it's", "x\"y", "sp ace", "Ünïcode", "0")
+  private val genRow: Gen[(Long, Option[String], Option[Double])] = for {
+    k <- Gen.chooseNum(-50L, 50L)
+    s <- Gen.frequency(5 -> Gen.oneOf(strPool).map(Some(_)), 1 -> Gen.const(None))
+    v <- Gen.frequency(5 -> Gen.chooseNum(-100.0, 100.0).map(x =>
+      Some(math.rint(x * 4) / 4)), 1 -> Gen.const(None))
+  } yield (k, s, v)
+  private val genRows = Gen.nonEmptyListOf(genRow).map(_.take(40))
+
+  // predicates rendered BOTH as SQL text and as a Column — same tree
+  private val genPred: Gen[(String, org.apache.spark.sql.Column)] = Gen.oneOf(
+    Gen.chooseNum(-40L, 40L).map(x => (s"k >= $x", col("k") >= x)),
+    Gen.chooseNum(-40L, 40L).map(x => (s"k % 7 = ${x % 7}", col("k") % 7 === x % 7)),
+    Gen.oneOf(strPool.filter(s => !s.contains("'"))).map(s =>
+      (s"s = '$s'", col("s") === s)),
+    Gen.chooseNum(-50.0, 50.0).map(x =>
+      (s"v < $x", col("v") < x)),
+    Gen.const(("s IS NULL", col("s").isNull)))
+
+  private var n = 0
+  private def pair(rows: Seq[(Long, Option[String], Option[Double])])
+      : (Warehouse, String, Warehouse) = {
+    n += 1
+    val name = s"prop_sql_$n"
+    val df = rows.toDF("k", "s", "v")
+    val whA = new Warehouse(spark, Files.createTempDirectory("sqlprop_a").toString)
+    val whB = new Warehouse(spark, Files.createTempDirectory("sqlprop_b").toString)
+    whA.overwrite("d", "t", df)
+    whB.overwrite("d", "t", df)
+    GraftSql.register(spark, name, whA, "d", "t")
+    (whA, name, whB)
+  }
+
+  private def sameState(a: Warehouse, b: Warehouse): Boolean = {
+    val l = a.read("d", "t").collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val r = b.read("d", "t").collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    l == r
+  }
+
+  test("SQL DELETE ≡ API deleteWhere (CoW and MoR) over random predicates") {
+    check(Prop.forAll(genRows, genPred, Gen.oneOf(true, false)) {
+      case (rows, (predSql, predCol), mor) =>
+        val (whA, name, whB) = pair(rows)
+        if (mor) spark.conf.set("spark.graft.sql.dml", "mor")
+        try {
+          val sqlN = spark.sql(s"DELETE FROM $name WHERE $predSql").head().getLong(0)
+          val apiN =
+            if (mor) whB.deleteWhereMor("d", "t", predCol).deletedRows
+            else whB.deleteWhere("d", "t", predCol).deletedRows
+          (sqlN == apiN) :| s"counts: sql=$sqlN api=$apiN" &&
+            sameState(whA, whB) :| "post-delete state diverged"
+        } finally spark.conf.unset("spark.graft.sql.dml")
+    }, 30)
+  }
+
+  test("SQL UPDATE ≡ API updateWhere over random assignments") {
+    val genAssign: Gen[(String, Seq[(String, org.apache.spark.sql.Column)])] =
+      Gen.oneOf(
+        Gen.const(("SET v = v * 2", Seq("v" -> (col("v") * 2)))),
+        Gen.const(("SET s = concat(s, '!')", Seq("s" -> concat(col("s"), lit("!"))))),
+        // simultaneous read of a column another assignment writes
+        Gen.const(("SET v = k + v, s = s", Seq("v" -> (col("k") + col("v")), "s" -> col("s")))))
+    check(Prop.forAll(genRows, genPred, genAssign) {
+      case (rows, (predSql, predCol), (setSql, sets)) =>
+        val (whA, name, whB) = pair(rows)
+        val sqlN = spark.sql(s"UPDATE $name $setSql WHERE $predSql").head().getLong(0)
+        val apiN = whB.updateWhere("d", "t", sets, predCol).updatedRows
+        (sqlN == apiN) :| s"counts: sql=$sqlN api=$apiN" &&
+          sameState(whA, whB) :| "post-update state diverged"
+    }, 30)
+  }
+
+  test("SQL MERGE ≡ API mergeInto over random sources") {
+    check(Prop.forAll(genRows, genRows) { (rows, srcRows) =>
+      // merge keys must be unique within the source: dedup by k
+      val src = srcRows.groupBy(_._1).map(_._2.head).toSeq
+      val (whA, name, whB) = pair(rows)
+      src.toDF("k", "s", "v").createOrReplaceTempView(s"${name}_src")
+      val m = spark.sql(
+        s"""MERGE INTO $name t USING ${name}_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      val r = whB.mergeInto("d", "t", src.toDF("k", "s", "v"), Seq("k"))
+      (m.getLong(0) == r.matchedRows) :| "matched counts" &&
+        sameState(whA, whB) :| "post-merge state diverged"
+    }, 20)
+  }
+}
