@@ -88,6 +88,23 @@ object GraftSql {
   def lookup(spark: SparkSession, parts: Seq[String]): Option[Target] =
     if (parts.size == 1) Option(reg.get(key(spark, parts.head))) else None
 
+  /** Dataset alias registry: `registerDatabase(spark, "mart", wh, ds)`
+    * makes `CREATE [OR REPLACE] TABLE mart.<name> AS SELECT ...` create
+    * warehouse tables — the reference's model-build statement shape
+    * (model/create.py renders CREATE OR REPLACE TABLE ... AS). The
+    * created table auto-registers under its bare name for every other
+    * statement in this surface. */
+  private val regDb = new ConcurrentHashMap[String, (Warehouse, String)]()
+
+  def registerDatabase(spark: SparkSession, alias: String, wh: Warehouse,
+                       dataset: String): Unit = {
+    wh.ensureDataset(dataset)
+    regDb.put(key(spark, alias), (wh, dataset))
+  }
+
+  def lookupDb(spark: SparkSession, alias: String): Option[(Warehouse, String)] =
+    Option(regDb.get(key(spark, alias)))
+
   // --------------------------------------------------------- plan rewrite
 
   /** Rewrite a freshly-parsed plan: warehouse DML → commands, warehouse
@@ -95,7 +112,8 @@ object GraftSql {
     * unchanged (reference equality — zero overhead on the common path). */
   def rewrite(plan: LogicalPlan): LogicalPlan =
     SparkSession.getActiveSession match {
-      case Some(spark) if !reg.isEmpty => rewriteWith(spark, plan)
+      case Some(spark) if !reg.isEmpty || !regDb.isEmpty =>
+        rewriteWith(spark, plan)
       case _ => plan
     }
 
@@ -187,6 +205,28 @@ object GraftSql {
             GraftRenameColumnCommand(tg, col.name.head, newName)
           case None => r
         }
+      case dh @ DescribeColumn(rel, colExpr, _, _) =>
+        // `DESCRIBE HISTORY t` parses as DescribeColumn(table=HISTORY,
+        // column=t) — reinterpret when HISTORY names no real relation
+        // and the "column" is a registered warehouse table
+        val asHistory = identOf(rel)
+          .filter(p => p.size == 1 && p.head.equalsIgnoreCase("history"))
+          .flatMap { _ =>
+            colExpr match {
+              case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+                lookup(spark, a.nameParts)
+              case _ => None
+            }
+          }
+        asHistory.map(t => SubqueryAlias(t.name,
+            t.wh.history(t.dataset, t.table).queryExecution.logical): LogicalPlan)
+          .getOrElse(dh)
+      case c: CreateTableAsSelect =>
+        ctas(spark, c.name, c.partitioning, c.query,
+          orReplace = false, ifNotExists = c.ignoreIfExists).getOrElse(c)
+      case r: ReplaceTableAsSelect =>
+        ctas(spark, r.name, r.partitioning, r.query,
+          orReplace = true, ifNotExists = false).getOrElse(r)
       case ac @ AlterColumns(child, specs) =>
         identOf(child).flatMap(lookup(spark, _)) match {
           case Some(tg) =>
@@ -245,6 +285,28 @@ object GraftSql {
         }
     }
   }
+
+  /** `CREATE [OR REPLACE] TABLE <db>.<t> [PARTITIONED BY (c)] AS SELECT`
+    * against a registered dataset alias. Identity partition transforms
+    * only (hidden transforms are declared через TableMeta, not DDL). */
+  private def ctas(spark: SparkSession, name: LogicalPlan,
+                   partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+                   query: LogicalPlan, orReplace: Boolean,
+                   ifNotExists: Boolean): Option[LogicalPlan] =
+    identOf(name).filter(_.size == 2).flatMap { parts =>
+      lookupDb(spark, parts.head).map { case (wh, dataset) =>
+        val partCols = partitioning.map { t =>
+          if (t.name == "identity" && t.references.length == 1)
+            t.references.head.fieldNames.mkString(".")
+          else throw new IllegalArgumentException(
+            s"warehouse CTAS supports identity PARTITIONED BY only, got $t")
+        }
+        if (partCols.size > 1) throw new IllegalArgumentException(
+          "warehouse CTAS supports at most one partition column")
+        GraftCtasCommand(wh, dataset, parts.last, query,
+          partCols.headOption, orReplace, ifNotExists): LogicalPlan
+      }
+    }
 
   /** The canonical upsert MERGE — `ON` a conjunction of key equalities,
     * `WHEN MATCHED THEN UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *` —
@@ -374,6 +436,37 @@ final case class GraftDropCommand(t: GraftSql.Target, ifExists: Boolean)
     if (!ifExists || t.wh.exists(t.dataset, t.table))
       t.wh.drop(t.dataset, t.table)
     GraftSql.unregister(spark, t.name)
+    Seq.empty
+  }
+}
+
+/** `CREATE [OR REPLACE] TABLE <db>.<t> AS SELECT` → overwrite + bare-name
+  * registration (subsequent DML/SELECT on the new table just works). */
+final case class GraftCtasCommand(wh: Warehouse, dataset: String, table: String,
+                                  query: LogicalPlan,
+                                  partitionCol: Option[String],
+                                  orReplace: Boolean, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val exists = wh.exists(dataset, table)
+    if (exists && !orReplace) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"table $dataset.$table already exists (use CREATE OR REPLACE)")
+    }
+    val src = GraftBridge.ofRows(spark, query)
+    val meta = partitionCol match {
+      case Some(c) =>
+        val f = src.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"no such partition column: $c"))
+        graft.core.TableMeta(partitionField = Some(c),
+          partitionType = f.dataType.simpleString)
+      case None =>
+        if (exists) wh.meta(dataset, table) else graft.core.TableMeta()
+    }
+    wh.overwrite(dataset, table, src, meta)
+    GraftSql.register(spark, table, wh, dataset, table)
     Seq.empty
   }
 }

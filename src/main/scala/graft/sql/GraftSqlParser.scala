@@ -19,7 +19,6 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
-
   private def maintenanceFallback(sqlText: String): Option[LogicalPlan] = {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession.orNull
     if (spark == null) return None

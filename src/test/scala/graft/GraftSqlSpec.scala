@@ -218,6 +218,44 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("OPTIMIZE definitely_not_registered") }
   }
 
+  test("CTAS against a registered dataset alias creates warehouse tables") {
+    val root = Files.createTempDirectory("sql_ctas").toString
+    val wh = new Warehouse(spark, root)
+    GraftSql.registerDatabase(spark, "mart", wh, "gold")
+    spark.sql(
+      "CREATE TABLE mart.daily AS SELECT id AS k, id % 3 AS g FROM range(30)")
+    assert(wh.exists("gold", "daily"))
+    assert(wh.read("gold", "daily").count() === 30L)
+    // the new table is immediately addressable by every other statement
+    assert(spark.sql("SELECT count(*) AS c FROM daily WHERE g = 0")
+      .head().getLong(0) === 10L)
+    spark.sql("DELETE FROM daily WHERE k >= 20")
+    assert(wh.read("gold", "daily").count() === 20L)
+    // plain CREATE refuses an existing table; OR REPLACE refreshes (v-history kept)
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE mart.daily AS SELECT 1 AS x")
+    }
+    spark.sql("CREATE OR REPLACE TABLE mart.daily AS SELECT id AS k FROM range(5)")
+    assert(wh.read("gold", "daily").count() === 5L)
+    assert(spark.sql("SELECT count(*) AS c FROM daily VERSION AS OF 2")
+      .head().getLong(0) === 20L)
+    // partitioned CTAS lays out hive dirs
+    spark.sql("CREATE TABLE mart.bydate PARTITIONED BY (d) AS " +
+      "SELECT id AS k, date_add(date'2024-01-01', CAST(id % 3 AS INT)) AS d FROM range(12)")
+    assert(wh.meta("gold", "bydate").partitionField === Some("d"))
+    assert(wh.log("gold", "bydate").latest.get.entries.map(_.partition).distinct.size === 3)
+    assert(spark.sql("SELECT count(*) AS c FROM bydate").head().getLong(0) === 12L)
+  }
+
+  test("DESCRIBE HISTORY surfaces the commit audit through SQL") {
+    val (wh, n) = fresh("sql_hist")
+    spark.sql(s"DELETE FROM $n WHERE id = 1")
+    val h = spark.sql(s"DESCRIBE HISTORY $n")
+      .select("version", "action").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(h.toSeq === Seq((1, "write"), (2, "delete")))
+  }
+
   test("non-registered tables keep Spark's own DML behavior") {
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("plain_view")
     intercept[Exception] { spark.sql("DELETE FROM plain_view WHERE id = 1") }
