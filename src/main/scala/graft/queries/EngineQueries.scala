@@ -2009,6 +2009,57 @@ object EngineQueries {
       |       round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------- q87 SQL models
+
+  /** The reference's MODEL-BUILD flow as pure SQL text (create.py
+    * renders CREATE OR REPLACE TABLE ... AS SELECT; run_query executes
+    * it): a bronze→silver→gold medallion where every step — staging
+    * CTAS, joined-enrichment CTAS, a row-level DML correction, OPTIMIZE
+    * compaction, and the gold aggregate CTAS — goes through `spark.sql`
+    * against a registered dataset alias. The final summary hash-matches
+    * the oracle stating the composed semantics declaratively. */
+  def q87SqlModels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sql.GraftSql
+    val wh = new Warehouse(spark, scratch("graft_sqlmodels"))
+    GraftSql.registerDatabase(spark, "mart", wh, "gold")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q87_orders")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("q87_customer")
+    spark.sql(
+      """CREATE OR REPLACE TABLE mart.stg_orders AS
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM q87_orders WHERE o_totalprice > 0""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TABLE mart.cust_orders AS
+        |SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st,
+        |       o.o_totalprice AS price
+        |FROM stg_orders o JOIN q87_customer c ON o.o_custkey = c.c_custkey""".stripMargin)
+    val corrected = spark.sql(
+      "DELETE FROM cust_orders WHERE st = 'P' AND price > 200000")
+      .head().getLong(0)
+    require(corrected > 0, "fixture must contain correctable P rows")
+    spark.sql("OPTIMIZE cust_orders").collect()
+    spark.sql(
+      """CREATE OR REPLACE TABLE mart.seg_summary AS
+        |SELECT seg, st, count(*) AS n, round(sum(price), 2) AS total
+        |FROM cust_orders GROUP BY seg, st""".stripMargin)
+    // the whole lineage is audit-visible commit history (OPTIMIZE on an
+    // already-compact table is a no-op and commits nothing — by design)
+    val actions = spark.sql("DESCRIBE HISTORY cust_orders")
+      .select("action").collect().map(_.getString(0)).toSet
+    require(actions.contains("write") && actions.contains("delete"),
+      s"write + delete must be in the history, got $actions")
+    spark.sql("SELECT * FROM seg_summary")
+  }
+
+  val q87Sql: String =
+    """SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o.o_totalprice), 2) AS total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_totalprice > 0
+      |  AND NOT (o.o_orderstatus = 'P' AND o.o_totalprice > 200000)
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------- q86 stream sink
 
   /** The exactly-once warehouse SINK ([[graft.streaming.WarehouseStreamSink]],
@@ -2145,6 +2196,7 @@ object EngineQueries {
     "q83_stream_table_source" -> (q83StreamTableSource _),
     "q85_type_widening" -> (q85TypeWidening _),
     "q86_stream_sink" -> (q86StreamSink _),
+    "q87_sql_models" -> (q87SqlModels _),
     "q84_sql_dml" -> (q84SqlDml _),
     "q70_aggview" -> (q70AggView _),
     "q71_stream_aggview" -> (q71StreamAggView _),
@@ -2195,6 +2247,7 @@ object EngineQueries {
     "q85_type_widening" -> q85Sql,
     // the drained sink table IS the source: same aggregate as the stream-source oracle
     "q86_stream_sink" -> q83Sql,
+    "q87_sql_models" -> q87Sql,
     "q84_sql_dml" -> q84Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,
