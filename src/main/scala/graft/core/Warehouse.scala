@@ -536,6 +536,76 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     true
   }
 
+  /** APPEND to a PARTITIONED table — the streaming-ingest shape (hourly
+    * events landing in day partitions): the batch writes one hive
+    * fragment and its per-partition entries JOIN the current entry list
+    * (never replace — multiple entries per partition value are the
+    * normal partitioned-append layout; [[compact]] folds them back to
+    * one per partition on maintenance). Same CAS/rebase concurrency and
+    * optional idempotency tag as the unpartitioned [[append]]; hidden
+    * partitioning derives at write time exactly as every other write.
+    * Returns true iff this call committed (false = tag already
+    * applied). */
+  def appendPartitioned(dataset: String, table: String, df: DataFrame,
+                        idempotencyTag: Option[String] = None): Boolean = {
+    val m = meta(dataset, table)
+    val field = m.partitionField.getOrElse(throw new IllegalStateException(
+      s"$dataset.$table is not partitioned; use append()"))
+    ensureDataset(dataset)
+    val lg = log(dataset, table)
+    val actionStr = idempotencyTag.getOrElse("append")
+    if (idempotencyTag.isDefined && lg.commits.exists(_.action == actionStr))
+      return false
+    val frag = lg.newFragmentDir()
+    partitionedWrite(deriveHidden(m, df), field, frag, m.clusteringFields)
+    enforceConstraints(m, frag, Some(df.schema))
+    val probedPaths: Set[String] = lg.latest.filter(!_.isDrop)
+      .map(_.entries.map(_.path).toSet).getOrElse(Set.empty)
+    enforceUnique(dataset, table, m, frag, Some(df.schema),
+      checkStanding = true)
+    val fresh = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
+    recordStats(dataset, table, fresh, Some(field), Some(df.schema))
+    final class TagAlreadyApplied extends RuntimeException
+    val c = try lg.commitWithSchema(actionStr, cur => {
+      if (idempotencyTag.isDefined && lg.commits.exists(_.action == actionStr))
+        throw new TagAlreadyApplied
+      val curEntries = cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+      if (m.uniqueKey.nonEmpty) {
+        val unseen = curEntries.filterNot(e => probedPaths(e.path))
+        if (unseen.nonEmpty) {
+          // through readEntries so the (visible or hidden) partition
+          // column resolves — leaf dirs alone would null it out of the key
+          val newKeys = readEntries(dataset, table, fresh, Some(df.schema.toDDL))
+            .select(m.uniqueKey.map(col): _*).distinct()
+          val hit = readEntries(dataset, table, unseen, cur.flatMap(_.schemaDdl))
+            .join(newKeys, m.uniqueKey, "left_semi").limit(1).collect()
+          if (hit.nonEmpty) {
+            deleteRecursive(frag)
+            throw new java.util.ConcurrentModificationException(
+              s"appendPartitioned lost a UNIQUE (${m.uniqueKey.mkString(", ")}) " +
+                "race: a concurrent writer committed an overlapping key " +
+                "after this writer's probe")
+          }
+        }
+      }
+      curEntries ++ fresh
+    },
+      cur => Some(unionWithCurrent(dataset, table, cur, df.schema).toDDL))
+    catch {
+      case _: TagAlreadyApplied =>
+        deleteRecursive(frag)
+        fresh.foreach(e => Files.deleteIfExists(
+          ZoneMaps.statsPath(tableDir(dataset, table), e.path)))
+        return false
+    }
+    writeSchemaDdlMerged(dataset, table,
+      StructType.fromDDL(c.schemaDdl.getOrElse(df.schema.toDDL)),
+      additive = true)
+    if (!Files.exists(tableDir(dataset, table).resolve("_meta.properties")))
+      setMeta(dataset, table, m)
+    true
+  }
+
   /** Incremental `insert_overwrite` (create.py:456-458 semantics =
     * `spark.sql.sources.partitionOverwriteMode=dynamic`): partitions
     * present in `df` are replaced, others keep their previous fragments —

@@ -416,10 +416,23 @@ final case class GraftInsertCommand(t: GraftSql.Target, query: LogicalPlan,
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
-    val src = GraftBridge.ofRows(spark, query)
-    if (!overwrite) t.wh.append(t.dataset, t.table, src)
-    else if (t.wh.meta(t.dataset, t.table).partitionField.isDefined)
-      t.wh.insertOverwrite(t.dataset, t.table, src)
+    val raw = GraftBridge.ofRows(spark, query)
+    // SQL INSERT is POSITIONAL: align the query's columns to the table
+    // schema by position and cast to declared types (VALUES rows arrive
+    // as col1/col2/...)
+    val tgt = t.wh.schema(t.dataset, t.table)
+    require(raw.columns.length == tgt.fields.length,
+      s"INSERT provides ${raw.columns.length} columns, table ${t.name} " +
+        s"has ${tgt.fields.length}")
+    val src = raw.toDF(tgt.fieldNames.toSeq: _*)
+      .select(tgt.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+    val partitioned = t.wh.meta(t.dataset, t.table).partitionField.isDefined
+    if (!overwrite) {
+      if (partitioned) t.wh.appendPartitioned(t.dataset, t.table, src)
+      else t.wh.append(t.dataset, t.table, src)
+    }
+    else if (partitioned) t.wh.insertOverwrite(t.dataset, t.table, src)
     else t.wh.overwrite(t.dataset, t.table, src,
       t.wh.meta(t.dataset, t.table))
     GraftSql.refreshView(spark, t.name)

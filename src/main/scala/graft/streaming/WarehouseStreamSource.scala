@@ -128,9 +128,14 @@ class WarehouseStreamSink(sqlContext: SQLContext, root: String,
   private val wh = new Warehouse(sqlContext.sparkSession, root)
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
-    val committed = wh.append(dataset, table,
-      org.apache.spark.sql.GraftBridge.batchDataFrame(data),
-      Some(s"append stream=$streamId batch=$batchId"))
+    val batch = org.apache.spark.sql.GraftBridge.batchDataFrame(data)
+    val tag = Some(s"append stream=$streamId batch=$batchId")
+    // partitioned targets take the hive-fragment append (day-partition
+    // streaming ingest); unpartitioned the plain one — same tag contract
+    val committed =
+      if (wh.meta(dataset, table).partitionField.isDefined)
+        wh.appendPartitioned(dataset, table, batch, tag)
+      else wh.append(dataset, table, batch, tag)
     if (!committed)
       System.err.println(
         s"[graft-table sink] batch $batchId of stream $streamId already " +

@@ -218,6 +218,23 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("OPTIMIZE definitely_not_registered") }
   }
 
+  test("INSERT INTO a partitioned table appends through the hive-fragment path") {
+    val root = Files.createTempDirectory("sql_pins").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite("d", "p", Seq((1L, "2024-01-01")).toDF("k", "day")
+      .select(col("k"), to_date(col("day")).as("day")),
+      TableMeta(partitionField = Some("day"), partitionType = "date"))
+    GraftSql.register(spark, "sql_pins", wh, "d", "p")
+    spark.sql("INSERT INTO sql_pins VALUES " +
+      "(2, date'2024-01-01'), (3, date'2024-01-02')")
+    assert(wh.read("d", "p").count() === 3L)
+    assert(wh.readPartitions("d", "p", Seq("2024-01-02")).count() === 1L)
+    // INSERT OVERWRITE still replaces touched partitions only
+    spark.sql("INSERT OVERWRITE sql_pins VALUES (9, date'2024-01-01')")
+    val got = wh.read("d", "p").orderBy("k").select("k").as[Long].collect()
+    assert(got.toSeq === Seq(3L, 9L))
+  }
+
   test("CTAS against a registered dataset alias creates warehouse tables") {
     val root = Files.createTempDirectory("sql_ctas").toString
     val wh = new Warehouse(spark, root)

@@ -141,6 +141,59 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
       "the skipped replay must not leave its fragment behind")
   }
 
+  test("sink: PARTITIONED target takes the hive-fragment append path") {
+    import graft.core.TableMeta
+    val wh = fresh()
+    val mkDay = (d: String, ids: Seq[Long]) => ids.map(i => (i, d)).toDF("id", "day")
+      .select(col("id"), to_date(col("day")).as("day"))
+    wh.overwrite("d", "t", mkDay("2024-01-01", Seq(1L)),
+      TableMeta(partitionField = Some("day"), partitionType = "date"))
+    val srcDir = Files.createTempDirectory("whsink_psrc")
+    mkDay("2024-01-01", Seq(2L)).unionAll(mkDay("2024-01-02", Seq(3L, 4L)))
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val ckpt = Files.createTempDirectory("whsink_pck").toString
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.format("graft-table")
+      .option("root", wh.root).option("dataset", "d").option("table", "t")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(wh.read("d", "t").count() === 4L)
+    val parts = wh.log("d", "t").latest.get.entries.map(_.partition)
+    // day 01 now has TWO entries (seed + streamed batch) — the
+    // partitioned-append layout; compact folds them back to one
+    assert(parts.count(_ == "2024-01-01") === 2)
+    assert(parts.contains("2024-01-02"))
+    wh.compact("d", "t")
+    val after = wh.log("d", "t").latest.get.entries.map(_.partition)
+    assert(after.count(_ == "2024-01-01") === 1, s"compact must fold: $after")
+    assert(wh.read("d", "t").count() === 4L)
+    // partition pruning still works across the multi-entry layout
+    assert(wh.readPartitions("d", "t", Seq("2024-01-02")).count() === 2L)
+  }
+
+  test("appendPartitioned: idempotency tag + UNIQUE key enforcement") {
+    import graft.core.TableMeta
+    val wh = fresh()
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, "2024-01-01")).toDF("id", "day")
+      .select(col("id"), to_date(col("day")).as("day"))
+    wh.overwrite("d", "t", mk(Seq(1L)),
+      TableMeta(partitionField = Some("day"), partitionType = "date",
+        uniqueKey = Seq("id", "day")))
+    val tag = Some("append stream=ps batch=1")
+    assert(wh.appendPartitioned("d", "t", mk(Seq(2L)), tag) === true)
+    assert(wh.appendPartitioned("d", "t", mk(Seq(2L)), tag) === false,
+      "replayed tag must skip")
+    assert(wh.read("d", "t").count() === 2L)
+    // duplicate key rejects loudly through the standing probe
+    intercept[IllegalArgumentException] {
+      wh.appendPartitioned("d", "t", mk(Seq(2L)))
+    }
+    assert(wh.orphanFiles("d", "t", graceMillis = 0L).isEmpty)
+  }
+
   test("sink: refuses non-append modes and demands a stream identity") {
     val wh = fresh()
     wh.overwrite("d", "t", Seq((0L, "seed")).toDF("id", "s"))
