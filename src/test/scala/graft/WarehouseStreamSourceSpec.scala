@@ -194,6 +194,27 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
     assert(wh.orphanFiles("d", "t", graceMillis = 0L).isEmpty)
   }
 
+  test("source tails a PARTITIONED table across partitioned appends") {
+    import graft.core.TableMeta
+    val wh = fresh()
+    val mk = (d: String, ids: Seq[Long]) => ids.map(i => (i, d)).toDF("id", "day")
+      .select(col("id"), to_date(col("day")).as("day"))
+    wh.overwrite("d", "t", mk("2024-01-01", Seq(1L)),
+      TableMeta(partitionField = Some("day"), partitionType = "date"))
+    val ckpt = Files.createTempDirectory("whstream_pck").toString
+    val q = startStream(wh, "wss_part", ckpt)
+    try {
+      q.processAllAvailable()
+      wh.appendPartitioned("d", "t",
+        mk("2024-01-01", Seq(2L)).unionAll(mk("2024-01-02", Seq(3L))))
+      q.processAllAvailable()
+      val got = spark.table("wss_part").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString))
+      assert(got.toSeq === Seq((1L, "2024-01-01"), (2L, "2024-01-01"),
+        (3L, "2024-01-02")), s"got ${got.mkString}")
+    } finally q.stop()
+  }
+
   test("sink: refuses non-append modes and demands a stream identity") {
     val wh = fresh()
     wh.overwrite("d", "t", Seq((0L, "seed")).toDF("id", "s"))
