@@ -118,6 +118,32 @@ final class SnapshotLog(tableDir: Path) {
     }
   }
 
+  /** Whether ANY commit carries `action` — the idempotency-tag probe.
+    * Scans manifest HEADERS only (the `#action=` line sits in the first
+    * few lines of every manifest): no entry resolution, no delta replay,
+    * no schema parse — O(versions) small reads where [[commits]] is a
+    * full-state fold. For a streaming sink probing once per micro-batch
+    * this is the difference between linear and quadratic work over the
+    * stream's lifetime between vacuums. */
+  def hasAction(action: String): Boolean = {
+    if (!exists) return false
+    val needle = s"#action=$action"
+    Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".manifest"))
+      .exists { f =>
+        val in = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+        try {
+          var line = in.readLine()
+          var found = false
+          while (line != null && line.startsWith("#") && !found) {
+            found = line == needle
+            line = in.readLine()
+          }
+          found
+        } finally in.close()
+      }
+  }
+
   /** Latest commit whose timestamp is <= tsMillis (time-travel read).
     * A filter, not takeWhile: version order need not be timestamp order
     * (caller-supplied tsMillis can interleave with wall-clock defaults).

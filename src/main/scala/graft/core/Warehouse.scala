@@ -306,17 +306,29 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         s"DEFAULT '$d' does not cast to $typeDdl (evaluates to NULL " +
           "under the cast) — fix the expression or the column type")
     }
-    val widened = StructType(sch.fields :+
-      org.apache.spark.sql.types.StructField(name, dt, nullable = true))
-    writeSchemaDdl(dataset, table, widened)
+    // metadata-only commit pinning the widened schema: readers see the
+    // column NOW; time travel before this version does not. The pinned
+    // schema is RECOMPUTED from the current commit inside the closure —
+    // a concurrent append's additive column must survive a lost-race
+    // rebase, not be dropped by a schema unioned against a stale base
+    // (the exact hazard commitWithSchema's contract names).
+    val c = lg.commitWithSchema("alter", cur2 =>
+      cur2.filter(!_.isDrop).map(_.entries).getOrElse(cur.entries),
+      cur2 => {
+        val base = cur2.flatMap(_.schemaDdl).map(StructType.fromDDL)
+          .getOrElse(sch)
+        require(!base.fieldNames.contains(name),
+          s"column already exists: $name")
+        Some(StructType(base.fields :+
+          org.apache.spark.sql.types.StructField(name, dt, nullable = true)).toDDL)
+      })
+    // sidecar + default land AFTER the commit succeeds (a lost-to-a-
+    // duplicate-column race must not leave a dangling default behind)
+    writeSchemaDdlMerged(dataset, table,
+      StructType.fromDDL(c.schemaDdl.get), additive = true)
     val m = meta(dataset, table)
     defaultSql.foreach(d => setMeta(dataset, table,
       m.copy(columnDefaults = m.columnDefaults :+ (name -> d))))
-    // metadata-only commit pinning the widened schema: readers see the
-    // column NOW; time travel before this version does not
-    lg.commitWithSchema("alter", cur2 =>
-      cur2.filter(!_.isDrop).map(_.entries).getOrElse(cur.entries),
-      cur2 => Some(widened.toDDL))
   }
 
   /** EXPLICIT type-widening evolution (the declarative twin of the
@@ -352,10 +364,30 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             s"schema: ${e.getMessage}", e)
       }
     }
-    writeSchemaDdl(dataset, table, widened)
-    lg.commitWithSchema("alter", cur2 =>
+    // the pinned schema is RE-DERIVED from the current commit on every
+    // CAS attempt: re-applying the single-column widen to the winner's
+    // schema keeps a concurrent append's additive column (pinning the
+    // pre-read `widened` would silently drop it after a lost race).
+    // Racing widens of the same column are monotone: already at-or-past
+    // the target type keeps the current (wider) pin.
+    val c = lg.commitWithSchema("alter", cur2 =>
       cur2.filter(!_.isDrop).map(_.entries).getOrElse(cur.entries),
-      _ => Some(widened.toDDL))
+      cur2 => {
+        val base = cur2.flatMap(_.schemaDdl).map(StructType.fromDDL)
+          .getOrElse(sch)
+        val curF = base.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $name"))
+        if (curF.dataType == to || widens(to, curF.dataType)) Some(base.toDDL)
+        else {
+          require(widens(curF.dataType, to),
+            s"cannot widen ${curF.dataType.sql} to ${to.sql}: supported " +
+              "widenings are byte->short->int->long and float->double")
+          Some(StructType(base.fields.map(x =>
+            if (x.name == name) x.copy(dataType = to) else x)).toDDL)
+        }
+      })
+    writeSchemaDdlMerged(dataset, table,
+      StructType.fromDDL(c.schemaDdl.get), additive = true)
   }
 
   def renameColumn(dataset: String, table: String, from: String, to: String): Unit = {
@@ -471,7 +503,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     ensureDataset(dataset)
     val lg = log(dataset, table)
     val actionStr = idempotencyTag.getOrElse("append")
-    if (idempotencyTag.isDefined && lg.commits.exists(_.action == actionStr))
+    if (idempotencyTag.isDefined && lg.hasAction(actionStr))
       return false
     val frag = lg.newFragmentDir()
     df.write.mode("overwrite").parquet(frag.toString)
@@ -491,7 +523,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // a schema missing the winning writer's new columns
     final class TagAlreadyApplied extends RuntimeException
     val c = try lg.commitWithSchema(actionStr, cur => {
-      if (idempotencyTag.isDefined && lg.commits.exists(_.action == actionStr))
+      if (idempotencyTag.isDefined && lg.hasAction(actionStr))
         throw new TagAlreadyApplied
       val curEntries = cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
       // UNIQUE under concurrent appenders: two racing appends of the same
@@ -509,6 +541,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             .join(newKeys, m.uniqueKey, "left_semi").limit(1).collect()
           if (hit.nonEmpty) {
             deleteRecursive(frag)
+            Files.deleteIfExists(
+              ZoneMaps.statsPath(tableDir(dataset, table), entry.path))
             throw new java.util.ConcurrentModificationException(
               s"append lost a UNIQUE (${m.uniqueKey.mkString(", ")}) race: " +
                 s"a concurrent append committed key " +
@@ -554,7 +588,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     ensureDataset(dataset)
     val lg = log(dataset, table)
     val actionStr = idempotencyTag.getOrElse("append")
-    if (idempotencyTag.isDefined && lg.commits.exists(_.action == actionStr))
+    if (idempotencyTag.isDefined && lg.hasAction(actionStr))
       return false
     val frag = lg.newFragmentDir()
     partitionedWrite(deriveHidden(m, df), field, frag, m.clusteringFields)
@@ -567,7 +601,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     recordStats(dataset, table, fresh, Some(field), Some(df.schema))
     final class TagAlreadyApplied extends RuntimeException
     val c = try lg.commitWithSchema(actionStr, cur => {
-      if (idempotencyTag.isDefined && lg.commits.exists(_.action == actionStr))
+      if (idempotencyTag.isDefined && lg.hasAction(actionStr))
         throw new TagAlreadyApplied
       val curEntries = cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
       if (m.uniqueKey.nonEmpty) {
@@ -581,6 +615,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             .join(newKeys, m.uniqueKey, "left_semi").limit(1).collect()
           if (hit.nonEmpty) {
             deleteRecursive(frag)
+            fresh.foreach(e => Files.deleteIfExists(
+              ZoneMaps.statsPath(tableDir(dataset, table), e.path)))
             throw new java.util.ConcurrentModificationException(
               s"appendPartitioned lost a UNIQUE (${m.uniqueKey.mkString(", ")}) " +
                 "race: a concurrent writer committed an overlapping key " +
@@ -769,7 +805,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         if (f.dataType == org.apache.spark.sql.types.TimestampType &&
             (t == PartitionTransform.Days || t == PartitionTransform.Months))
           m.partitionZone.foreach { z =>
-            require(z == sessionZone.getId,
+            // compare NORMALIZED zones, not raw ids: 'UTC' / 'Etc/UTC' /
+            // '+00:00' share rules and lay out identical day dirs, so
+            // refusing on the spelling would block writes that are safe
+            require(java.time.ZoneId.of(z).normalized == sessionZone.normalized,
               s"table declared its ${t.render}($srcCol) partition under zone " +
                 s"'$z' but this session's zone is '${sessionZone.getId}' — " +
                 "set spark.sql.session.timeZone to the declared zone to write")

@@ -60,14 +60,43 @@ object GraftSql {
 
   private val reg = new ConcurrentHashMap[String, Target]()
 
+  /** Live-session tracker for registry eviction: sessions are held
+    * WEAKLY (a registration must never keep a stopped session's object
+    * graph alive), and registrations of collected sessions are purged
+    * on the next register call — registers are rare, lookups are hot. */
+  private val sessions =
+    new ConcurrentHashMap[String, java.lang.ref.WeakReference[SparkSession]]()
+
+  /** Keys are the session's UUID — guaranteed unique per session, unlike
+    * an identity hash, which can collide between two LIVE sessions and
+    * would then route DML at the wrong warehouse table. */
+  private def uuid(spark: SparkSession): String =
+    GraftBridge.sessionUuid(spark)
+
   private def key(spark: SparkSession, name: String): String =
-    s"${System.identityHashCode(spark)}|${name.toLowerCase}"
+    s"${uuid(spark)}|${name.toLowerCase}"
+
+  private def trackSession(spark: SparkSession): Unit = {
+    val it = sessions.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.get == null) {
+        val prefix = e.getKey + "|"
+        reg.keySet.removeIf(_.startsWith(prefix))
+        regDb.keySet.removeIf(_.startsWith(prefix))
+        it.remove()
+      }
+    }
+    sessions.put(uuid(spark),
+      new java.lang.ref.WeakReference(spark))
+  }
 
   /** Publish `dataset.table` of `wh` under `name` for SQL text in this
     * session: SELECT (temp view), DELETE/UPDATE/MERGE, VERSION/TIMESTAMP
     * AS OF. */
   def register(spark: SparkSession, name: String, wh: Warehouse,
                dataset: String, table: String): Unit = {
+    trackSession(spark)
     reg.put(key(spark, name), Target(wh, dataset, table, name))
     refreshView(spark, name)
   }
@@ -98,6 +127,7 @@ object GraftSql {
 
   def registerDatabase(spark: SparkSession, alias: String, wh: Warehouse,
                        dataset: String): Unit = {
+    trackSession(spark)
     wh.ensureDataset(dataset)
     regDb.put(key(spark, alias), (wh, dataset))
   }
@@ -288,7 +318,7 @@ object GraftSql {
 
   /** `CREATE [OR REPLACE] TABLE <db>.<t> [PARTITIONED BY (c)] AS SELECT`
     * against a registered dataset alias. Identity partition transforms
-    * only (hidden transforms are declared через TableMeta, not DDL). */
+    * only (hidden transforms are declared through TableMeta, not DDL). */
   private def ctas(spark: SparkSession, name: LogicalPlan,
                    partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
                    query: LogicalPlan, orReplace: Boolean,

@@ -21,6 +21,11 @@ object GraftBridge {
              plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Session UUID (`classic.SparkSession.sessionUUID` is private[sql]) —
+    * the collision-free registry key for per-session SQL registrations. */
+  def sessionUuid(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Batch DataFrame → streaming-tagged DataFrame over the SAME rows:
     * the whole batch plan (joins, dv masks, unions included) becomes one
     * RDD scan leaf marked `isStreaming` — the canonical v1 `Source
