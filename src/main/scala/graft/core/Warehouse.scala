@@ -433,6 +433,31 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** Full-refresh write preserving the table's existing metadata
     * (partition spec, clustering, TTL, description) — re-overwriting an
     * existing table must not silently wipe its TableMeta. */
+  /** METADATA-ONLY table creation (the DSv2 catalog's CREATE TABLE): a
+    * zero-entry commit pins the declared schema — no fragment is written,
+    * reads serve an empty frame of that schema, and the first
+    * append/overwrite lands data under the declared metadata. At any
+    * scale this costs one manifest line; writing an empty parquet
+    * placeholder would cost a (useless) file per partition layout. */
+  def createTable(dataset: String, table: String, schema: StructType,
+                  m: TableMeta = TableMeta()): Unit = {
+    require(!exists(dataset, table), s"table already exists: $dataset.$table")
+    m.partitionField.foreach { f =>
+      if (!m.hiddenPartition) require(schema.fieldNames.contains(f),
+        s"partition column '$f' absent from the declared schema")
+    }
+    m.partitionSource.foreach { s =>
+      require(schema.fieldNames.contains(s),
+        s"hidden-partition source column '$s' absent from the declared schema")
+    }
+    ensureDataset(dataset)
+    Files.createDirectories(tableDir(dataset, table))
+    writeSchemaDdl(dataset, table, schema)
+    setMeta(dataset, table, m)
+    log(dataset, table).commit("create", Seq.empty,
+      schemaDdl = Some(schema.toDDL))
+  }
+
   def overwrite(dataset: String, table: String, df: DataFrame): Unit =
     overwrite(dataset, table, df, meta(dataset, table))
 

@@ -63,8 +63,10 @@ object RequirePartitionFilter {
 }
 
 /** Session extension wiring: the partition-filter enforcement rule
-  * (injectOptimizerRule) and the warehouse SQL DML parser
-  * ([[graft.sql.GraftSqlParser]] via injectParser). */
+  * (injectOptimizerRule), the warehouse SQL DML parser
+  * ([[graft.sql.GraftSqlParser]] via injectParser), and the
+  * catalog-relation substitution that serves [[graft.sql.GraftCatalog]]
+  * reads through the warehouse read plan (injectResolutionRule). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
@@ -75,5 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     })
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    ext.injectResolutionRule(session =>
+      new graft.sql.GraftRelationSubstitution(session))
   }
 }

@@ -1,0 +1,397 @@
+package graft.sql
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.core.{SnapshotLog, TableMeta, Warehouse}
+
+/** A REAL Spark `TableCatalog` over the warehouse — the reference's own
+  * data model is a first-class 3-level namespace resolved by the
+  * warehouse itself (`project.dataset.table`, bigquery.py:360,435-443),
+  * not a per-session view registry. Configure once:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/path/to/warehouse")
+  * }}}
+  *
+  * and `graft.<dataset>.<table>` resolves in ANY statement with no
+  * registration and no stale-view hazard: every analysis calls
+  * [[GraftCatalog.loadTable]], which serves the table's CURRENT snapshot
+  * (an out-of-band Scala-API write is visible to the very next SQL
+  * statement). SHOW NAMESPACES / SHOW TABLES / DESCRIBE / CREATE TABLE
+  * [AS SELECT] / DROP TABLE / ALTER TABLE / INSERT [OVERWRITE] and
+  * `VERSION AS OF` / `TIMESTAMP AS OF` all run through Spark's own
+  * catalog machinery ([[loadTable(ident,version*)]] overloads serve the
+  * time-travel snapshots). DELETE/UPDATE/MERGE are intercepted at parse
+  * time by [[GraftSql]] exactly as for registered names — see
+  * `GraftSql.lookup`'s 3-part branch.
+  *
+  * READ PATH: the warehouse read is not a bare parquet scan (deletion
+  * vectors, rename chains, column defaults, zone-map pruning, CBO
+  * stats), so instead of re-implementing it at the `PartitionReader`
+  * level, [[GraftRelationSubstitution]] (injected via
+  * `injectResolutionRule` by [[graft.plans.GraftExtensions]]) replaces
+  * the analyzer's `DataSourceV2Relation(GraftTable)` with the
+  * warehouse's own read plan behind an exprId-preserving Project — the
+  * Delta-lake substitution design. The catalog therefore REQUIRES the
+  * engine extensions; [[GraftTable.newScanBuilder]] refuses loudly if
+  * something plans the relation without them.
+  *
+  * WRITE PATH: the V1-fallback write (`V1_BATCH_WRITE`) routes
+  * AppendData / INSERT OVERWRITE into the warehouse's own commit
+  * machinery ([[Warehouse.append]]/[[Warehouse.appendPartitioned]]/
+  * [[Warehouse.insertOverwrite]]) — CAS commits, zone sidecars, UNIQUE
+  * enforcement and schema evolution all apply, and Spark's own
+  * `TableOutputResolver` handles INSERT column lists (declared column
+  * DEFAULTS are surfaced through [[GraftTable.columns]], so an omitted
+  * defaulted column takes its default, Spark-side).
+  *
+  * One catalog instance = one warehouse root = one SparkSession (Spark
+  * instantiates catalog plugins per session's CatalogManager). */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var wh: Warehouse = _
+
+  def warehouse: Warehouse = wh
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.root=<warehouse root>"))
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        s"catalog '$name' initialized outside an active SparkSession"))
+    wh = new Warehouse(spark, root)
+  }
+
+  override def name(): String = catName
+
+  // ---------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    wh.listDatasets().map(d => Array(d)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && wh.listDatasets().contains(namespace.head)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"warehouse datasets are one level, got ${namespace.mkString(".")}")
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException((catName +: namespace.toSeq).toArray)
+    wh.ensureDataset(namespace.head)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "warehouse datasets carry no alterable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "dropping a dataset is a filesystem-lifecycle operation; drop its " +
+        "tables individually (time travel outlives the catalog entry)")
+
+  // -------------------------------------------------------------- tables
+
+  private def split(ident: Identifier): (String, String) = {
+    require(ident.namespace.length == 1,
+      s"warehouse tables are dataset.table, got $ident")
+    (ident.namespace.head, ident.name)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    wh.listTables(namespace.head).map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val (ds, t) = split(ident)
+    wh.exists(ds, t)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val (ds, t) = split(ident)
+    if (!wh.exists(ds, t)) throw new NoSuchTableException(ident)
+    GraftTable(wh, ds, t, s"$catName.$ds.$t", pinned = None)
+  }
+
+  /** `VERSION AS OF <v>` — Spark's ResolveRelations calls this overload
+    * with the version text; the returned table is pinned at that
+    * snapshot (its schema is the schema AS OF that commit). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (ds, t) = split(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF wants an integer snapshot version, got '$version'")
+    }
+    if (wh.log(ds, t).version(v).isEmpty) throw new NoSuchTableException(ident)
+    GraftTable(wh, ds, t, s"$catName.$ds.$t", pinned = Some(Left(v)))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROSECONDS since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val (ds, t) = split(ident)
+    if (!wh.exists(ds, t)) throw new NoSuchTableException(ident)
+    GraftTable(wh, ds, t, s"$catName.$ds.$t",
+      pinned = Some(Right(timestampMicros / 1000L)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val (ds, t) = split(ident)
+    if (wh.exists(ds, t)) throw new TableAlreadyExistsException(ident)
+    wh.createTable(ds, t, schema, metaOf(schema, partitions, properties))
+    loadTable(ident)
+  }
+
+  /** DDL `PARTITIONED BY` → [[TableMeta]]: identity transforms partition
+    * by the named column; `days(ts)` / `months(ts)` / `bucket(n, c)`
+    * become HIDDEN partitioning (a synthetic directory column derived at
+    * write time — Iceberg's hidden-transform model, already native to
+    * the warehouse). */
+  private def metaOf(schema: StructType, partitions: Array[Transform],
+                     properties: util.Map[String, String]): TableMeta = {
+    val base = TableMeta(
+      description = Option(properties.get(TableCatalog.PROP_COMMENT)))
+    if (partitions.isEmpty) return base
+    require(partitions.length == 1,
+      "warehouse tables take at most one partition transform")
+    def sourceOf(refs: Seq[org.apache.spark.sql.connector.expressions.NamedReference]): String = {
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        s"partition transform wants one top-level column, got $refs")
+      val c = refs.head.fieldNames.head
+      require(schema.fieldNames.contains(c), s"no such partition column: $c")
+      c
+    }
+    def hiddenField(name: String): String = {
+      require(!schema.fieldNames.contains(name),
+        s"hidden partition column '$name' collides with a data column")
+      name
+    }
+    val tr = partitions.head
+    tr.name match {
+      case "identity" =>
+        val c = sourceOf(tr.references.toSeq)
+        base.copy(partitionField = Some(c),
+          partitionType = schema(c).dataType.simpleString)
+      case "days" =>
+        base.copy(partitionField = Some(hiddenField("p_day")),
+          partitionType = "date", partitionTransform = Some("days"),
+          partitionSource = Some(sourceOf(tr.references.toSeq)))
+      case "months" =>
+        base.copy(partitionField = Some(hiddenField("p_month")),
+          partitionType = "date", partitionTransform = Some("months"),
+          partitionSource = Some(sourceOf(tr.references.toSeq)))
+      case "bucket" =>
+        val n = tr.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform without a bucket count: ${tr.describe}"))
+        base.copy(partitionField = Some(hiddenField("p_bucket")),
+          partitionType = "int",
+          partitionTransform = Some(s"bucket[$n]"),
+          partitionSource = Some(sourceOf(tr.references.toSeq)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform: $other (identity, days, months, " +
+          "bucket are supported)")
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (ds, t) = split(ident)
+    if (!wh.exists(ds, t)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "warehouse ADD COLUMNS supports top-level columns only")
+        val default = Option(a.defaultValue()).map(_.getSql)
+        wh.addColumn(ds, t, a.fieldNames.head, a.dataType.sql, default)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "warehouse RENAME COLUMN supports top-level columns only")
+        wh.renameColumn(ds, t, r.fieldNames.head, r.newName)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "warehouse ALTER COLUMN TYPE supports top-level columns only")
+        wh.widenColumn(ds, t, u.fieldNames.head, u.newDataType.sql)
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1,
+          "warehouse COMMENT supports top-level columns only")
+        wh.setColumnDescriptions(ds, t, Map(c.fieldNames.head -> c.newComment))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val (ds, t) = split(ident)
+    if (!wh.exists(ds, t)) false
+    else { wh.drop(ds, t); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "warehouse tables do not rename in place (the snapshot log is " +
+        "path-addressed); use copyTable + drop")
+
+  override def invalidateTable(ident: Identifier): Unit = () // nothing cached
+}
+
+/** DSv2 handle on a warehouse table (optionally pinned at a snapshot
+  * version / timestamp for time travel). Reads are served by
+  * [[GraftRelationSubstitution]]; writes by the V1-fallback
+  * [[GraftWriteBuilder]]. */
+final case class GraftTable(wh: Warehouse, dataset: String, table: String,
+                            fullName: String,
+                            pinned: Option[Either[Int, Long]])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = fullName
+
+  /** Snapshot the read resolves to — the pinned commit for time travel,
+    * the CURRENT commit otherwise. */
+  private def commit: Option[SnapshotLog.Commit] = {
+    val lg = wh.log(dataset, table)
+    pinned match {
+      case Some(Left(v)) => lg.version(v)
+      case Some(Right(tsMillis)) => lg.asOf(tsMillis)
+      case None => lg.latest.filter(!_.isDrop)
+    }
+  }
+
+  override def schema(): StructType =
+    commit.flatMap(_.schemaDdl).map(StructType.fromDDL)
+      .getOrElse(wh.schema(dataset, table))
+
+  /** Declared column DEFAULTS ride into the v2 column metadata, so
+    * Spark's own INSERT column-list resolution serves them — an INSERT
+    * omitting a defaulted column writes nothing and the read-side
+    * default (or Spark's filled constant) takes over. */
+  override def columns(): Array[Column] = {
+    val defaults = wh.meta(dataset, table).columnDefaults.toMap
+    schema().fields.map { f =>
+      defaults.get(f.name) match {
+        case Some(sql) =>
+          // defaults are deterministic expressions over no columns
+          // (validated at declaration), so they fold to a literal here
+          val e = org.apache.spark.sql.catalyst.expressions.Cast(
+            wh.spark.sessionState.sqlParser.parseExpression(sql), f.dataType)
+          Column.create(f.name, f.dataType, f.nullable, null,
+            new ColumnDefaultValue(sql,
+              GraftBridge.v2Literal(e.eval(null), f.dataType)), null)
+        case None => Column.create(f.name, f.dataType, f.nullable)
+      }
+    }
+  }
+
+  override def partitioning(): Array[Transform] = {
+    val m = wh.meta(dataset, table)
+    (m.partitionTransform, m.partitionSource, m.partitionField) match {
+      case (Some(t), Some(src), _) => t match {
+        case "days" => Array(Expressions.days(src))
+        case "months" => Array(Expressions.months(src))
+        case b if b.startsWith("bucket[") =>
+          Array(Expressions.bucket(
+            b.stripPrefix("bucket[").stripSuffix("]").toInt, src))
+        case _ => Array.empty // truncate has no v2 rendering here
+      }
+      case (None, _, Some(f)) => Array(Expressions.identity(f))
+      case _ => Array.empty
+    }
+  }
+
+  override def properties(): util.Map[String, String] = {
+    val m = wh.meta(dataset, table)
+    val p = new util.HashMap[String, String]()
+    p.put("provider", "graft")
+    p.put("root", wh.root)
+    commit.foreach(c => p.put("current-version", c.version.toString))
+    m.description.foreach(d => p.put(TableCatalog.PROP_COMMENT, d))
+    if (m.clusteringFields.nonEmpty)
+      p.put("clustering", m.clusteringFields.mkString(","))
+    if (m.uniqueKey.nonEmpty) p.put("unique-key", m.uniqueKey.mkString(","))
+    p
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    // no OVERWRITE_DYNAMIC: the v2 dynamic-overwrite exec has no V1
+    // fallback — INSERT OVERWRITE is intercepted at parse time instead
+    // (GraftSql routes it through insertOverwrite/overwrite)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  /** The warehouse read (dv masks, renames, defaults, zone stats) at
+    * this table's snapshot — the plan [[GraftRelationSubstitution]]
+    * splices in place of the DSv2 relation. */
+  def readPlan(): DataFrame = pinned match {
+    case Some(Left(v)) => wh.readVersion(dataset, table, v)
+    case Some(Right(tsMillis)) => wh.readAsOf(dataset, table, tsMillis)
+    case None => wh.read(dataset, table)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new IllegalStateException(
+      s"$fullName should have been substituted at resolution — the graft " +
+        "catalog requires graft.plans.GraftExtensions " +
+        "(spark.sql.extensions=graft.plans.GraftExtensions)")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty, s"cannot write to a time-travel snapshot of $fullName")
+    new GraftWriteBuilder(this)
+  }
+}
+
+/** V1-fallback write: append / truncate-overwrite / dynamic-partition
+  * overwrite all route into the warehouse commit machinery (CAS, zone
+  * sidecars, UNIQUE, additive schema evolution). */
+final class GraftWriteBuilder(t: GraftTable)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var mode: String = "append"
+
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val partitioned = t.wh.meta(t.dataset, t.table).partitionField.isDefined
+          mode match {
+            case "append" =>
+              if (partitioned) t.wh.appendPartitioned(t.dataset, t.table, data)
+              else t.wh.append(t.dataset, t.table, data)
+            case "truncate" =>
+              t.wh.overwrite(t.dataset, t.table, data,
+                t.wh.meta(t.dataset, t.table))
+          }
+          ()
+        }
+      }
+  }
+}

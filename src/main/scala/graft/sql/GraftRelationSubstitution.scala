@@ -1,0 +1,69 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Resolution rule: replace every `DataSourceV2Relation` over a
+  * [[GraftTable]] with the warehouse's OWN read plan (deletion vectors,
+  * rename chains, column defaults, zone-map stats — none of which a bare
+  * DSv2 parquet scan could serve). The Delta-lake substitution design:
+  * the catalog resolves the NAME, the engine supplies the PLAN.
+  *
+  * Two invariants make the splice sound mid-analysis:
+  *
+  *  - output attributes keep the RELATION's exprIds (an exprId-preserving
+  *    Project over the fresh plan): parent operators may already have
+  *    resolved references against the relation's output in an earlier
+  *    fixed-point iteration, and dangling exprIds would unresolve them;
+  *  - relations in WRITE-TARGET position (`V2WriteCommand.table` is not a
+  *    child, DML targets are) are left alone — the V1-fallback write and
+  *    the parse-time DML interception own those. */
+final class GraftRelationSubstitution(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override val ruleName = "graft.RelationSubstitution"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // DML target relations (by identity): DeleteFromTable/UpdateTable/
+    // MergeIntoTable keep their target as a CHILD, so a blanket rewrite
+    // would splice under them and break Spark's own "unsupported" error
+    // (GraftSql intercepts these shapes at parse time; anything reaching
+    // here is a shape the engine refuses).
+    val dmlTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case d: DeleteFromTable => collectRelations(d.table, dmlTargets)
+      case u: UpdateTable => collectRelations(u.table, dmlTargets)
+      case m: MergeIntoTable => collectRelations(m.targetTable, dmlTargets)
+      case i: InsertIntoStatement => collectRelations(i.table, dmlTargets)
+      case _ => ()
+    }
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+          !dmlTargets.contains(r) =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val fresh = t.readPlan().queryExecution.analyzed
+        val byName = fresh.output.map(a => a.name -> a).toMap
+        val projected: Seq[NamedExpression] = r.output.map { o =>
+          val src = byName.getOrElse(o.name, throw new IllegalStateException(
+            s"${t.name()}: column '${o.name}' in the resolved relation is " +
+              "missing from the warehouse read — schema drift mid-analysis"))
+          // exprId-preserving alias; cast covers a concurrent widen
+          // between loadTable (schema snapshot) and this read
+          val v = if (src.dataType == o.dataType) src else Cast(src, o.dataType)
+          Alias(v, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }
+        Project(projected, fresh)
+    }
+  }
+
+  private def collectRelations(p: LogicalPlan,
+                               into: java.util.Set[LogicalPlan]): Unit =
+    p.foreach {
+      case r: DataSourceV2Relation => into.add(r); ()
+      case _ => ()
+    }
+}

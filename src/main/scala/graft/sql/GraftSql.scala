@@ -110,12 +110,50 @@ object GraftSql {
     * commands call this; needed manually only after out-of-band writes
     * through the Scala API). */
   def refreshView(spark: SparkSession, name: String): Unit =
-    lookup(spark, Seq(name)).foreach { t =>
+    Option(reg.get(key(spark, name))).foreach { t =>
       t.wh.read(t.dataset, t.table).createOrReplaceTempView(t.name)
     }
 
+  /** After a DML commit through ANY name (registered, db-alias, or
+    * catalog-qualified), re-publish every REGISTERED temp view of this
+    * session that serves the same physical table — a mutation through
+    * `mart.t` must not leave a stale bare-name view of `t` behind.
+    * Catalog-qualified reads need nothing: they resolve at analysis. */
+  private[sql] def refreshTargets(spark: SparkSession, t: Target): Unit = {
+    val prefix = uuid(spark) + "|"
+    reg.forEach { (k, tg) =>
+      if (k.startsWith(prefix) && tg.wh.root == t.wh.root &&
+          tg.dataset == t.dataset && tg.table == t.table)
+        tg.wh.read(tg.dataset, tg.table).createOrReplaceTempView(tg.name)
+    }
+  }
+
+  /** Resolve an identifier to a warehouse target:
+    *  - 1 part: this session's [[register]] name;
+    *  - 2 parts: `<dataset-alias>.<table>` via [[registerDatabase]];
+    *  - 3 parts: `<catalog>.<dataset>.<table>` where the catalog is a
+    *    [[GraftCatalog]] — ZERO registration, the reference's own
+    *    3-level model (bigquery.py:360,435-443). */
   def lookup(spark: SparkSession, parts: Seq[String]): Option[Target] =
-    if (parts.size == 1) Option(reg.get(key(spark, parts.head))) else None
+    parts match {
+      case Seq(n) => Option(reg.get(key(spark, n)))
+      case Seq(db, t) =>
+        lookupDb(spark, db).map { case (wh, ds) =>
+          Target(wh, ds, t, s"$db.$t")
+        }
+      case Seq(cat, ds, t) =>
+        GraftBridge.catalogPlugin(spark, cat).collect {
+          case gc: GraftCatalog => Target(gc.warehouse, ds, t, s"$cat.$ds.$t")
+        }
+      case _ => None
+    }
+
+  /** [[lookup]] restricted to statements Spark's OWN catalog machinery
+    * already serves for 3-part names (INSERT / DROP / ALTER / CTAS run
+    * through [[GraftCatalog]] natively — only registered and db-alias
+    * names need the parse-time command rewrite). */
+  private def lookupLocal(spark: SparkSession, parts: Seq[String]): Option[Target] =
+    if (parts.size <= 2) lookup(spark, parts) else None
 
   /** Dataset alias registry: `registerDatabase(spark, "mart", wh, ds)`
     * makes `CREATE [OR REPLACE] TABLE mart.<name> AS SELECT ...` create
@@ -142,10 +180,23 @@ object GraftSql {
     * unchanged (reference equality — zero overhead on the common path). */
   def rewrite(plan: LogicalPlan): LogicalPlan =
     SparkSession.getActiveSession match {
-      case Some(spark) if !reg.isEmpty || !regDb.isEmpty =>
+      case Some(spark) if !reg.isEmpty || !regDb.isEmpty ||
+          hasGraftCatalog(spark) =>
         rewriteWith(spark, plan)
       case _ => plan
     }
+
+  /** Cheap per-session probe: does any `spark.sql.catalog.<name>` conf
+    * name a [[GraftCatalog]]? Cached per session UUID — the rewrite gate
+    * runs on EVERY parse, a conf scan per statement would not fly. */
+  private val catProbe = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def hasGraftCatalog(spark: SparkSession): Boolean =
+    catProbe.computeIfAbsent(uuid(spark), _ =>
+      spark.conf.getAll.exists { case (k, v) =>
+        k.startsWith("spark.sql.catalog.") && k.count(_ == '.') == 3 &&
+          v == classOf[GraftCatalog].getName
+      }).booleanValue()
 
   /** Identifier parts of a DDL target (DROP TABLE wraps the name in an
     * UnresolvedTableOrView / UnresolvedIdentifier, not a relation). */
@@ -201,8 +252,14 @@ object GraftSql {
           }
         }.getOrElse(m)
       case ins @ InsertIntoStatement(t, partSpec, cols, query, overwrite, _, _) =>
+        // plain INSERT on a 3-part name goes through the catalog's
+        // native V1-fallback write (Spark's own column-list/default
+        // resolution); INSERT OVERWRITE is intercepted for ALL arities —
+        // the v2 dynamic-overwrite exec has no V1 fallback, and the
+        // engine's dynamic-partition-replace semantics live in
+        // insertOverwrite
         unwrap(t).flatMap { case (id, _) =>
-          lookup(spark, id).map { tg =>
+          (if (overwrite) lookup(spark, id) else lookupLocal(spark, id)).map { tg =>
             if (partSpec.nonEmpty || cols.nonEmpty)
               throw new IllegalArgumentException(
                 s"unsupported INSERT shape for warehouse table ${tg.name}: " +
@@ -212,12 +269,12 @@ object GraftSql {
           }
         }.getOrElse(ins)
       case d @ DropTable(child, ifExists, _) =>
-        identOf(child).flatMap(lookup(spark, _)) match {
+        identOf(child).flatMap(lookupLocal(spark, _)) match {
           case Some(tg) => GraftDropCommand(tg, ifExists)
           case None => d
         }
       case a @ AddColumns(child, cols) =>
-        identOf(child).flatMap(lookup(spark, _)) match {
+        identOf(child).flatMap(lookupLocal(spark, _)) match {
           case Some(tg) =>
             val adds = cols.map { c =>
               if (c.path.isDefined) throw new IllegalArgumentException(
@@ -228,7 +285,7 @@ object GraftSql {
           case None => a
         }
       case r @ RenameColumn(child, col, newName) =>
-        identOf(child).flatMap(lookup(spark, _)) match {
+        identOf(child).flatMap(lookupLocal(spark, _)) match {
           case Some(tg) =>
             if (col.name.size != 1) throw new IllegalArgumentException(
               "warehouse RENAME COLUMN supports top-level columns only")
@@ -243,8 +300,7 @@ object GraftSql {
           .filter(p => p.size == 1 && p.head.equalsIgnoreCase("history"))
           .flatMap { _ =>
             colExpr match {
-              case a: UnresolvedAttribute if a.nameParts.size == 1 =>
-                lookup(spark, a.nameParts)
+              case a: UnresolvedAttribute => lookup(spark, a.nameParts)
               case _ => None
             }
           }
@@ -258,7 +314,7 @@ object GraftSql {
         ctas(spark, r.name, r.partitioning, r.query,
           orReplace = true, ifNotExists = false).getOrElse(r)
       case ac @ AlterColumns(child, specs) =>
-        identOf(child).flatMap(lookup(spark, _)) match {
+        identOf(child).flatMap(lookupLocal(spark, _)) match {
           case Some(tg) =>
             val widens = specs.map { sp =>
               val ok = sp.newDataType.isDefined && sp.column.name.size == 1
@@ -282,8 +338,10 @@ object GraftSql {
           if tvf.name.map(_.toLowerCase) == Seq("table_changes") &&
             tvf.functionArgs.size == 3 &&
             tvf.functionArgs.forall(_.foldable) &&
-            lookup(spark, Seq(evalString(tvf.functionArgs.head))).isDefined =>
-        val tg = lookup(spark, Seq(evalString(tvf.functionArgs.head))).get
+            lookup(spark, evalString(tvf.functionArgs.head)
+              .split('.').toSeq).isDefined =>
+        val tg = lookup(spark, evalString(tvf.functionArgs.head)
+          .split('.').toSeq).get
         val Seq(_, v1e, v2e) = tvf.functionArgs
         def asInt(e: Expression): Int = e.eval(null) match {
           case i: Integer => i.intValue
@@ -294,7 +352,8 @@ object GraftSql {
         SubqueryAlias(tg.name,
           tg.wh.changesBetween(tg.dataset, tg.table, asInt(v1e), asInt(v2e))
             .queryExecution.logical)
-      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+          if u.multipartIdentifier.size <= 2 =>
         lookup(spark, u.multipartIdentifier) match {
           case Some(tg) =>
             val df = (ver, ts) match {
@@ -418,7 +477,7 @@ final case class GraftDeleteCommand(t: GraftSql.Target, cond: GraftSql.Raw)
       if (GraftSql.morMode(spark))
         t.wh.deleteWhereMor(t.dataset, t.table, pred).deletedRows
       else t.wh.deleteWhere(t.dataset, t.table, pred).deletedRows
-    GraftSql.refreshView(spark, t.name)
+    GraftSql.refreshTargets(spark, t)
     Seq(Row(n))
   }
 }
@@ -433,7 +492,7 @@ final case class GraftUpdateCommand(t: GraftSql.Target,
     val n = t.wh.updateWhere(t.dataset, t.table,
       sets.map { case (c, v) => c -> GraftBridge.column(v.e) },
       GraftBridge.column(cond.e)).updatedRows
-    GraftSql.refreshView(spark, t.name)
+    GraftSql.refreshTargets(spark, t)
     Seq(Row(n))
   }
 }
@@ -465,7 +524,7 @@ final case class GraftInsertCommand(t: GraftSql.Target, query: LogicalPlan,
     else if (partitioned) t.wh.insertOverwrite(t.dataset, t.table, src)
     else t.wh.overwrite(t.dataset, t.table, src,
       t.wh.meta(t.dataset, t.table))
-    GraftSql.refreshView(spark, t.name)
+    GraftSql.refreshTargets(spark, t)
     Seq.empty
   }
 }
@@ -524,7 +583,7 @@ final case class GraftAddColumnsCommand(t: GraftSql.Target,
     adds.foreach { case (name, typeDdl, default) =>
       t.wh.addColumn(t.dataset, t.table, name, typeDdl, default)
     }
-    GraftSql.refreshView(spark, t.name)
+    GraftSql.refreshTargets(spark, t)
     Seq.empty
   }
 }
@@ -536,7 +595,7 @@ final case class GraftRenameColumnCommand(t: GraftSql.Target,
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
     t.wh.renameColumn(t.dataset, t.table, from, to)
-    GraftSql.refreshView(spark, t.name)
+    GraftSql.refreshTargets(spark, t)
     Seq.empty
   }
 }
@@ -551,7 +610,7 @@ final case class GraftWidenColumnsCommand(t: GraftSql.Target,
     widens.foreach { case (name, typeDdl) =>
       t.wh.widenColumn(t.dataset, t.table, name, typeDdl)
     }
-    GraftSql.refreshView(spark, t.name)
+    GraftSql.refreshTargets(spark, t)
     Seq.empty
   }
 }
@@ -566,7 +625,7 @@ final case class GraftOptimizeCommand(t: GraftSql.Target)
       org.apache.spark.sql.types.StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val parts = t.wh.compact(t.dataset, t.table)
-    GraftSql.refreshView(spark, t.name)
+    GraftSql.refreshTargets(spark, t)
     parts.map(Row(_))
   }
 }
@@ -598,7 +657,7 @@ final case class GraftMergeCommand(t: GraftSql.Target, source: LogicalPlan,
     val r =
       if (GraftSql.morMode(spark)) t.wh.mergeIntoMor(t.dataset, t.table, src, keys)
       else t.wh.mergeInto(t.dataset, t.table, src, keys)
-    GraftSql.refreshView(spark, t.name)
+    GraftSql.refreshTargets(spark, t)
     Seq(Row(r.matchedRows, r.sourceRows))
   }
 }

@@ -16,17 +16,18 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * delegate rejects the text, and only for registered warehouse
     * tables — anything else re-throws the delegate's own error. */
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private def maintenanceFallback(sqlText: String): Option[LogicalPlan] = {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession.orNull
     if (spark == null) return None
     sqlText match {
       case OptimizeRe(name) =>
-        GraftSql.lookup(spark, Seq(name)).map(GraftOptimizeCommand(_))
+        GraftSql.lookup(spark, name.split('.').toSeq)
+          .map(GraftOptimizeCommand(_))
       case VacuumRe(name, hours) =>
-        GraftSql.lookup(spark, Seq(name))
+        GraftSql.lookup(spark, name.split('.').toSeq)
           .map(GraftVacuumCommand(_, Option(hours).map(_.toLong)))
       case _ => None
     }

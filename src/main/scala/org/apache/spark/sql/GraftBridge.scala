@@ -26,6 +26,24 @@ object GraftBridge {
   def sessionUuid(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID
 
+  /** v2 literal constructor (`connector.expressions.LiteralValue` is
+    * private[sql]) — carries evaluated column DEFAULTS into v2 Column
+    * metadata for the catalog plugin. */
+  def v2Literal(value: Any,
+                dt: types.DataType): connector.expressions.Literal[Any] =
+    connector.expressions.LiteralValue(value, dt)
+
+  /** The session's registered catalog plugin under `name`, if any
+    * (CatalogManager is private[sql]) — how the SQL DML layer resolves
+    * `graft.<dataset>.<table>` identifiers to a warehouse with no
+    * per-table registration. */
+  def catalogPlugin(spark: SparkSession,
+                    name: String): Option[connector.catalog.CatalogPlugin] = {
+    val cm = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager
+    if (cm.isCatalogRegistered(name)) Some(cm.catalog(name)) else None
+  }
+
   /** Batch DataFrame → streaming-tagged DataFrame over the SAME rows:
     * the whole batch plan (joins, dv masks, unions included) becomes one
     * RDD scan leaf marked `isStreaming` — the canonical v1 `Source

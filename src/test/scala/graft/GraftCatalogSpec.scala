@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{TableMeta, Warehouse}
+import graft.sql.GraftCatalog
+
+/** The DSv2 catalog plugin end to end: `graft.<dataset>.<table>` resolves
+  * in ANY statement with ZERO registration — the reference's 3-level
+  * `project.dataset.table` model (bigquery.py:360,435-443) as a real
+  * Spark `TableCatalog`, reads always at the CURRENT snapshot. */
+class GraftCatalogSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  // one catalog instance per session: fixed root for the whole suite,
+  // tests isolate by dataset
+  private val root = Files.createTempDirectory("graft_cat").toString
+  spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.graft.root", root)
+  private val wh = new Warehouse(spark, root)
+
+  test("CREATE NAMESPACE / CREATE TABLE / INSERT / SELECT — no registration") {
+    spark.sql("CREATE NAMESPACE graft.d1")
+    spark.sql("CREATE TABLE graft.d1.ev (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.d1.ev VALUES (1, 'a'), (2, 'b')")
+    val got = spark.sql("SELECT k, v FROM graft.d1.ev ORDER BY k").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    assert(spark.sql("SHOW TABLES IN graft.d1").collect()
+      .map(_.getString(1)).toSeq === Seq("ev"))
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("d1"))
+  }
+
+  test("an out-of-band API write is visible to the NEXT SQL statement") {
+    wh.overwrite("d2", "t", Seq((1L, "x")).toDF("k", "v"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.d2.t").head.getLong(0) === 1L)
+    wh.append("d2", "t", Seq((2L, "y")).toDF("k", "v"))
+    // the stale-view hazard the view registry had: a catalog read
+    // re-resolves at analysis, so it MUST see the append
+    assert(spark.sql("SELECT count(*) AS n FROM graft.d2.t").head.getLong(0) === 2L)
+  }
+
+  test("CTAS, joins, and spark.read.table all resolve through the catalog") {
+    wh.overwrite("d3", "src", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt"))
+    spark.sql("CREATE TABLE graft.d3.big AS SELECT k, amt * 2 AS amt2 " +
+      "FROM graft.d3.src WHERE amt > 5")
+    assert(spark.sql("SELECT round(sum(amt2),1) AS s FROM graft.d3.big")
+      .head.getDouble(0) === 60.0)
+    // join of two catalog tables
+    val j = spark.sql(
+      """SELECT s.k, s.amt, b.amt2 FROM graft.d3.src s
+        |JOIN graft.d3.big b ON s.k = b.k ORDER BY s.k""".stripMargin).collect()
+    assert(j.length === 2 && j(1).getDouble(2) === 40.0)
+    // the non-SQL entry point (no GraftSqlParser involved): the
+    // resolution rule alone must serve it
+    assert(spark.read.table("graft.d3.big").count() === 2L)
+  }
+
+  test("DELETE / UPDATE / MERGE on catalog-qualified names") {
+    wh.overwrite("d4", "ev",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("k", "tag", "amt"))
+    assert(spark.sql("DELETE FROM graft.d4.ev WHERE k = 2").head.getLong(0) === 1L)
+    assert(spark.sql("UPDATE graft.d4.ev SET amt = amt + 1 WHERE k = 1")
+      .head.getLong(0) === 1L)
+    Seq((3L, "c2", 300.0), (4L, "d", 40.0)).toDF("k", "tag", "amt")
+      .createOrReplaceTempView("cat_merge_src")
+    spark.sql(
+      """MERGE INTO graft.d4.ev t USING cat_merge_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, tag, amt FROM graft.d4.ev ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "a", 11.0), (3L, "c2", 300.0), (4L, "d", 40.0)))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF resolve via the catalog's loadTable") {
+    wh.overwrite("d5", "tt", Seq((1L, "v1")).toDF("k", "v")) // v1
+    wh.append("d5", "tt", Seq((2L, "v2")).toDF("k", "v")) // v2
+    assert(spark.sql("SELECT count(*) AS n FROM graft.d5.tt VERSION AS OF 1")
+      .head.getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.d5.tt VERSION AS OF 2")
+      .head.getLong(0) === 2L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.d5.tt VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.d5.tt TIMESTAMP AS OF '2099-01-01'")
+      .head.getLong(0) === 2L)
+  }
+
+  test("INSERT column lists: omitted DEFAULT column takes its default") {
+    wh.overwrite("d6", "def", Seq((1L, "a")).toDF("k", "v"))
+    wh.addColumn("d6", "def", "n", "INT", Some("7"))
+    spark.sql("INSERT INTO graft.d6.def (k, v) VALUES (2, 'b')")
+    spark.sql("INSERT INTO graft.d6.def (n, k, v) VALUES (9, 3, 'c')")
+    val got = spark.sql("SELECT k, v, n FROM graft.d6.def ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got === Seq((1L, "a", 7), (2L, "b", 7), (3L, "c", 9)))
+  }
+
+  test("INSERT OVERWRITE: truncate on plain tables, dynamic on partitioned") {
+    wh.overwrite("d7", "plain", Seq((1L, "a")).toDF("k", "v"))
+    spark.sql("INSERT OVERWRITE graft.d7.plain VALUES (9, 'z')")
+    assert(spark.sql("SELECT k FROM graft.d7.plain").collect()
+      .map(_.getLong(0)).toSeq === Seq(9L))
+
+    wh.overwrite("d7", "part",
+      Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("day", "n")
+        .select(to_date(col("day")).as("day"), col("n")),
+      TableMeta(partitionField = Some("day"), partitionType = "date"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(
+      "INSERT OVERWRITE graft.d7.part VALUES (DATE'2024-01-02', 20)")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val got = spark.sql("SELECT day, n FROM graft.d7.part ORDER BY day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(got === Seq(("2024-01-01", 1L), ("2024-01-02", 20L)))
+  }
+
+  test("CREATE TABLE PARTITIONED BY days(ts): hidden partitioning from DDL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.d8")
+    spark.sql("CREATE TABLE graft.d8.ev (ts TIMESTAMP, uid BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    val m = wh.meta("d8", "ev")
+    assert(m.partitionTransform.contains("days") &&
+      m.partitionSource.contains("ts"))
+    spark.sql("INSERT INTO graft.d8.ev VALUES " +
+      "(TIMESTAMP'2024-01-05 08:00:00', 1), (TIMESTAMP'2024-01-06 02:00:00', 2)")
+    assert(wh.log("d8", "ev").latest.get.entries.map(_.partition).sorted ===
+      Seq("2024-01-05", "2024-01-06"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.d8.ev").head.getLong(0) === 2L)
+    // the hidden column never leaks into reads
+    assert(spark.table("graft.d8.ev").columns.toSeq === Seq("ts", "uid"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS / RENAME / widen + DESCRIBE + DROP") {
+    wh.overwrite("d9", "alt", Seq((1, "a")).toDF("k", "v"))
+    spark.sql("ALTER TABLE graft.d9.alt ADD COLUMNS (extra DOUBLE)")
+    assert(spark.table("graft.d9.alt").columns.contains("extra"))
+    spark.sql("ALTER TABLE graft.d9.alt RENAME COLUMN v TO label")
+    spark.sql("ALTER TABLE graft.d9.alt ALTER COLUMN k TYPE BIGINT")
+    val desc = spark.sql("DESCRIBE TABLE graft.d9.alt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("label") === "string" && desc("k") === "bigint")
+    spark.sql("DROP TABLE graft.d9.alt")
+    assert(!wh.exists("d9", "alt"))
+    intercept[Exception] { spark.sql("SELECT * FROM graft.d9.alt").collect() }
+  }
+
+  test("table_changes over a catalog-qualified name") {
+    wh.overwrite("d10", "cdc", Seq((1L, "a")).toDF("k", "v"))
+    wh.append("d10", "cdc", Seq((2L, "b")).toDF("k", "v"))
+    val got = spark.sql(
+      "SELECT k, v, _change_type FROM table_changes('graft.d10.cdc', 1, 2)")
+      .collect()
+    assert(got.length === 1 && got.head.getLong(0) === 2L)
+  }
+
+  test("a session without the engine extensions refuses loudly, not wrongly") {
+    // newSession keeps extensions (clones the state) — simulate the
+    // unsupported path by planning the relation directly
+    val t = graft.sql.GraftTable(wh, "d2", "t", "graft.d2.t", pinned = None)
+    val e = intercept[IllegalStateException] {
+      t.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    }
+    assert(e.getMessage.contains("GraftExtensions"))
+  }
+}
