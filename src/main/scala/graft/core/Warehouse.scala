@@ -79,6 +79,38 @@ final case class TableMeta(
     if (hiddenPartition) partitionSource else partitionField
 }
 
+/** One WHEN clause of a general MERGE (the SQL conditional shapes:
+  * `WHEN MATCHED [AND cond] THEN UPDATE SET c = expr | DELETE`,
+  * `WHEN NOT MATCHED [AND cond] THEN INSERT (...) VALUES (...) | INSERT *`,
+  * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE ... | DELETE`).
+  * Clause expressions reference the target as `t.<col>` and the source
+  * as `s.<col>` (bare names resolve when unambiguous). Clauses apply
+  * FIRST-MATCH-WINS in declaration order, per SQL. */
+final case class MergeClause(condition: Option[Column],
+                             action: MergeClause.Action)
+
+object MergeClause {
+  sealed trait Action
+  /** UPDATE SET col -> expr (MATCHED / NOT MATCHED BY SOURCE rows). */
+  final case class Update(sets: Seq[(String, Column)]) extends Action
+  /** Drop the target row. */
+  case object Delete extends Action
+  /** INSERT with explicit column values; omitted columns take their
+    * declared DEFAULT, else NULL. */
+  final case class Insert(values: Seq[(String, Column)]) extends Action
+  /** `UPDATE SET *` / `INSERT *`: whole row from the source by name. */
+  case object Star extends Action
+
+  def matched(cond: Option[Column], sets: Seq[(String, Column)]): MergeClause =
+    MergeClause(cond, Update(sets))
+  def matchedDelete(cond: Option[Column] = None): MergeClause =
+    MergeClause(cond, Delete)
+  def insert(cond: Option[Column], values: Seq[(String, Column)]): MergeClause =
+    MergeClause(cond, Insert(values))
+  def insertStar(cond: Option[Column] = None): MergeClause =
+    MergeClause(cond, Star)
+}
+
 /** File-backed warehouse: datasets are directories, tables are
   * [[SnapshotLog]]-versioned Parquet dirs. Plays the role BigQuery plays
   * for the reference (Layer W of SURVEY §0): list/create/drop datasets and
@@ -2530,6 +2562,290 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         throw e
     }
     MergeResult(matched, srcRows, hits.map(_.partition).distinct.sorted, prunedN)
+  }
+
+  /** General-merge outcome: per-action row counts plus the rewrite bill. */
+  final case class MergeApplyResult(updatedRows: Long, deletedRows: Long,
+                                    insertedRows: Long, sourceRows: Long,
+                                    rewritten: Seq[String], pruned: Int)
+
+  /** GENERAL MERGE (copy-on-write) — the full SQL clause surface the
+    * whole-row [[mergeInto]] upsert cannot express: conditional matched
+    * actions, `WHEN MATCHED THEN DELETE`, explicit `UPDATE SET c = expr`
+    * assignments, conditional inserts with column lists, and `WHEN NOT
+    * MATCHED BY SOURCE` — the reference's scd2 materialization shape
+    * (model/create.py:418-429). Clauses apply FIRST-MATCH-WINS per SQL;
+    * expressions reference `t.<col>` / `s.<col>`.
+    *
+    * Mechanics (same fragment surgery as [[mergeInto]]):
+    *
+    *  1. the source lands ONCE as a staging fragment (bounds + every
+    *     later job read it from parquet, never re-run the plan); its key
+    *     bounds zone-prune the candidate entries — UNLESS a
+    *     NOT-MATCHED-BY-SOURCE clause exists, which by definition can
+    *     touch every unmatched target row, so candidates = all entries
+    *     (the inherent cost of that clause, stated here, not hidden);
+    *  2. ONE counting job left-joins each candidate entry with the
+    *     source on the keys and reduces the per-row clause ordinals to
+    *     per-entry affected/updated/deleted counts — entries with zero
+    *     affected rows ride into the commit untouched;
+    *  3. hit entries rewrite through the same join: surviving rows keep
+    *     or transform their columns via the clause-ordinal CASE chain,
+    *     first-matching DELETE clauses drop rows;
+    *  4. unmatched source rows anti-join the candidate keys, filter
+    *     through the not-matched ordinals, project their INSERT shape
+    *     (omitted columns take declared defaults, else NULL), and land
+    *     as a new fragment;
+    *  5. one CAS commit swaps hit entries + adds the insert fragment —
+    *     atomic, time-travel keeps the pre-merge state, concurrent
+    *     rewrites of hit fragments fail loudly.
+    *
+    * The staging fragment is deleted afterwards; the write bill is
+    * O(hit fragments + inserts). NULL source keys reject (no match
+    * semantics); duplicate source keys reject (the SQL cardinality
+    * violation — one target row must not match two source rows).
+    * Key columns cannot be assignment targets (a merge that rewrites
+    * its own join keys has no well-defined semantics). MoR note: the
+    * general shapes are CoW — `spark.graft.sql.dml=mor` keeps routing
+    * only the canonical whole-row upsert through [[mergeIntoMor]]. */
+  def mergeApply(dataset: String, table: String, source: DataFrame,
+                 keys: Seq[String],
+                 matched: Seq[MergeClause],
+                 notMatched: Seq[MergeClause],
+                 notMatchedBySource: Seq[MergeClause]): MergeApplyResult = {
+    refuseWhileStaged(dataset, table, "mergeApply")
+    require(keys.nonEmpty, "mergeApply needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeApply needs at least one WHEN clause")
+    matched.foreach(c => require(c.action match {
+      case _: MergeClause.Update | MergeClause.Delete | MergeClause.Star => true
+      case _ => false
+    }, s"WHEN MATCHED supports UPDATE/DELETE, got ${c.action}"))
+    notMatched.foreach(c => require(c.action match {
+      case _: MergeClause.Insert | MergeClause.Star => true
+      case _ => false
+    }, s"WHEN NOT MATCHED supports INSERT, got ${c.action}"))
+    notMatchedBySource.foreach(c => require(c.action match {
+      case _: MergeClause.Update | MergeClause.Delete => true
+      case _ => false
+    }, s"WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE, got ${c.action}"))
+    val assignTargets = (matched ++ notMatchedBySource).flatMap(_.action match {
+      case MergeClause.Update(sets) => sets.map(_._1)
+      case _ => Nil
+    })
+    require(!assignTargets.exists(keys.contains),
+      s"MERGE assignments must not rewrite the join keys (${keys.mkString(", ")})")
+    val m = meta(dataset, table)
+    require(m.uniqueKey.isEmpty || m.uniqueKey == keys,
+      s"$dataset.$table declares UNIQUE (${m.uniqueKey.mkString(", ")}); " +
+        s"merging on (${keys.mkString(", ")}) cannot preserve it")
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val td = tableDir(dataset, table)
+    val targetSchema = cur.schemaDdl.map(StructType.fromDDL)
+      .getOrElse(schema(dataset, table))
+    assignTargets.foreach(c => require(targetSchema.fieldNames.contains(c),
+      s"UPDATE SET targets unknown column '$c'"))
+
+    // 1. stage the source ONCE (plain parquet; never committed)
+    val srcFrag = lg.newFragmentDir()
+    source.write.mode("overwrite").parquet(srcFrag.toString)
+    try {
+      val src = spark.read.parquet(srcFrag.toString)
+      val keyCols = keys.map(col)
+      require(src.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
+        s"mergeApply source has NULL in key column(s) ${keys.mkString(", ")}")
+      require(src.groupBy(keyCols: _*).count().filter(col("count") > 1).isEmpty,
+        "mergeApply source has duplicate keys — a target row must not " +
+          "match more than one source row (SQL MERGE cardinality)")
+      val srcRows = src.count()
+
+      // 2. candidates: zone-pruned by source key bounds, or ALL entries
+      //    when a by-source clause can touch unmatched rows anywhere
+      val (candidates, filesOf, prunedN) =
+        if (notMatchedBySource.nonEmpty)
+          (cur.entries, Map.empty[String, Seq[String]], 0)
+        else if (srcRows == 0) (Seq.empty[SnapshotLog.Entry],
+          Map.empty[String, Seq[String]], cur.entries.size)
+        else {
+          val bounds = src.agg(
+            keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"))).head,
+            keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"))).tail: _*)
+            .head()
+          val pred = keys.map(k => col(k).between(
+            lit(bounds.getAs[Any](s"_mn_$k")), lit(bounds.getAs[Any](s"_mx_$k"))))
+            .reduce(_ && _)
+          val (cand, fo) = planFiles(dataset, table, cur.entries,
+            resolvedPred(dataset, table, cur, pred))
+          (cand, fo, cur.entries.size - cand.size)
+        }
+
+      // clause machinery over the t/s-aliased join
+      val MarkCol = "_graft_matched"
+      val srcM = src.withColumn(MarkCol, lit(true)).alias("s")
+      val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      val matchedFlag = col(s"s.$MarkCol").isNotNull
+      def ordOf(flag: Column, clauses: Seq[MergeClause]): Column =
+        clauses.zipWithIndex.foldRight(lit(-1): Column) { case ((cl, i), els) =>
+          when(flag && cl.condition.getOrElse(lit(true)), lit(i)).otherwise(els)
+        }
+      val mOrd = ordOf(matchedFlag, matched)
+      val nOrd = ordOf(!matchedFlag, notMatchedBySource)
+      val mDel = matched.zipWithIndex.collect {
+        case (MergeClause(_, MergeClause.Delete), i) => i }
+      val nDel = notMatchedBySource.zipWithIndex.collect {
+        case (MergeClause(_, MergeClause.Delete), i) => i }
+      def joined(tgt: DataFrame): DataFrame =
+        tgt.alias("t").join(srcM, joinCond, "left_outer")
+          .withColumn("_graft_mo", mOrd).withColumn("_graft_no", nOrd)
+      val affected = col("_graft_mo") >= 0 || col("_graft_no") >= 0
+      val dropped =
+        (if (mDel.isEmpty) lit(false) else col("_graft_mo").isin(mDel: _*)) ||
+        (if (nDel.isEmpty) lit(false) else col("_graft_no").isin(nDel: _*))
+
+      // 3. ONE counting job: per-entry affected/updated/deleted
+      val counts: Map[String, (Long, Long, Long)] =
+        if (candidates.isEmpty) Map.empty
+        else candidates.map { e =>
+          joined(readEntries(dataset, table, Seq(e), cur.schemaDdl,
+            filesOf.view.filterKeys(_ == e.path).toMap))
+            .select(lit(e.path).as("_entry"),
+              col("_graft_mo"), col("_graft_no"))
+        }.reduce(_.unionAll(_))
+          .groupBy(col("_entry")).agg(
+            count(when(affected, lit(1))).as("aff"),
+            count(when(affected && !dropped, lit(1))).as("upd"),
+            count(when(dropped, lit(1))).as("del"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+      val hits = candidates.filter(e => counts.get(e.path).exists(_._1 > 0))
+      val updatedN = counts.values.map(_._2).sum
+      val deletedN = counts.values.map(_._3).sum
+
+      // 4. rewrite hit entries: survivors through the clause CASE chain
+      val outCols: Seq[Column] = targetSchema.fields.toSeq.map { f =>
+        val base: Column = col(s"t.${f.name}")
+        val withN = notMatchedBySource.zipWithIndex.foldRight(base) {
+          case ((MergeClause(_, MergeClause.Update(sets)), j), els) =>
+            sets.find(_._1 == f.name) match {
+              case Some((_, v)) => when(col("_graft_no") === j, v).otherwise(els)
+              case None => els
+            }
+          case (_, els) => els
+        }
+        val full = matched.zipWithIndex.foldRight(withN) {
+          case ((MergeClause(_, MergeClause.Update(sets)), i), els) =>
+            sets.find(_._1 == f.name) match {
+              case Some((_, v)) => when(col("_graft_mo") === i, v).otherwise(els)
+              case None => els
+            }
+          case ((MergeClause(_, MergeClause.Star), i), els) =>
+            when(col("_graft_mo") === i, col(s"s.${f.name}")).otherwise(els)
+          case (_, els) => els
+        }
+        full.cast(f.dataType).as(f.name)
+      }
+      val replacement: Seq[SnapshotLog.Entry] =
+        if (hits.isEmpty) Seq.empty
+        else {
+          val keep = joined(readEntries(dataset, table, hits, cur.schemaDdl))
+            .filter(!dropped).select(outCols: _*)
+          val frag = lg.newFragmentDir()
+          m.partitionField match {
+            case Some(field) =>
+              partitionedWrite(deriveHidden(m, keep), field, frag, m.clusteringFields)
+              val es = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
+              recordStats(dataset, table, es, Some(field))
+              es
+            case None =>
+              keep.write.mode("overwrite").parquet(frag.toString)
+              val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+              recordStats(dataset, table, e, None)
+              e
+          }
+        }
+
+      // 5. inserts: unmatched source rows through the not-matched chain
+      val defaults = m.columnDefaults.toMap
+      val insertEntries: Seq[SnapshotLog.Entry] =
+        if (notMatched.isEmpty || srcRows == 0) Seq.empty
+        else {
+          val tgtKeys =
+            if (candidates.isEmpty)
+              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+                StructType(targetSchema.fields.filter(f => keys.contains(f.name))))
+            else readEntries(dataset, table, candidates, cur.schemaDdl, filesOf)
+              .select(keyCols: _*)
+          val anti = src.join(tgtKeys, keys, "left_anti").alias("s")
+          val insOrd = notMatched.zipWithIndex.foldRight(lit(-1): Column) {
+            case ((cl, i), els) =>
+              when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(els)
+          }
+          val insCols: Seq[Column] = targetSchema.fields.toSeq.map { f =>
+            val fallback: Column = defaults.get(f.name)
+              .map(d => expr(d).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType))
+            val v = notMatched.zipWithIndex.foldRight(fallback) {
+              case ((MergeClause(_, MergeClause.Insert(values)), i), els) =>
+                values.find(_._1 == f.name) match {
+                  case Some((_, x)) => when(col("_graft_io") === i, x).otherwise(els)
+                  case None => els
+                }
+              case ((MergeClause(_, MergeClause.Star), i), els) =>
+                when(col("_graft_io") === i, col(s"s.${f.name}")).otherwise(els)
+              case (_, els) => els
+            }
+            v.cast(f.dataType).as(f.name)
+          }
+          val ins = anti.withColumn("_graft_io", insOrd)
+            .filter(col("_graft_io") >= 0).select(insCols: _*)
+          if (ins.isEmpty) Seq.empty
+          else {
+            val frag = lg.newFragmentDir()
+            m.partitionField match {
+              case Some(field) =>
+                partitionedWrite(deriveHidden(m, ins), field, frag, m.clusteringFields)
+                enforceConstraints(m, frag, Some(ins.schema))
+                val es = hiveEntries(dataset, table, frag, field, m.partitionSpecVersion)
+                recordStats(dataset, table, es, Some(field))
+                es
+              case None =>
+                ins.write.mode("overwrite").parquet(frag.toString)
+                enforceConstraints(m, frag, Some(ins.schema))
+                val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+                recordStats(dataset, table, es, None)
+                es
+            }
+          }
+        }
+      val insertedN = insertEntries.map(e =>
+          spark.read.parquet(td.resolve(e.path).toString).count()).sum
+
+      // 6. atomic swap, (path, dv)-identified like every CoW mutation
+      val hitPaths = hits.map(_.path).toSet
+      try {
+        lg.commitWithSchema("merge", cur2 => {
+          val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+          val liveIds = live.map(e => (e.path, e.dv)).toSet
+          val gone = hits.filterNot(e => liveIds((e.path, e.dv))).map(_.path)
+          if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"mergeApply on $dataset.$table lost a race: fragment(s) " +
+              s"${gone.mkString(", ")} were rewritten concurrently; retry")
+          live.filterNot(e => hitPaths(e.path)) ++ replacement ++ insertEntries
+        }, cur2 => Some(unionWithCurrent(dataset, table, cur2, targetSchema).toDDL))
+      } catch {
+        case e: Throwable =>
+          (replacement ++ insertEntries).foreach { r =>
+            deleteRecursive(td.resolve(r.path))
+            Files.deleteIfExists(ZoneMaps.statsPath(td, r.path))
+          }
+          throw e
+      }
+      MergeApplyResult(updatedN, deletedN, insertedN, srcRows,
+        hits.map(_.partition).distinct.sorted, prunedN)
+    } finally deleteRecursive(srcFrag)
   }
 
   private def readCommit(dataset: String, table: String, c: SnapshotLog.Commit): DataFrame =

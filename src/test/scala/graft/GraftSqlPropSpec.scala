@@ -112,4 +112,71 @@ class GraftSqlPropSpec extends AnyFunSuite {
         sameState(whA, whB) :| "post-merge state diverged"
     }, 20)
   }
+
+  test("SQL general MERGE shapes ≡ API mergeApply over random clause sets") {
+    import graft.core.MergeClause
+    // each generator yields the SAME clause as SQL text and as the API
+    // value; qualified refs only (t/s are also column names in the pool)
+    val genMCond: Gen[(String, Option[org.apache.spark.sql.Column])] = Gen.oneOf(
+      ("", None),
+      (" AND s.v > 0", Some(col("s.v") > 0)),
+      (" AND t.v < 10", Some(col("t.v") < 10)))
+    val genMatched: Gen[(String, MergeClause)] = for {
+      (cs, cc) <- genMCond
+      (as, ac) <- Gen.oneOf[(String, MergeClause.Action)](
+        ("UPDATE SET v = t.v + 1",
+          MergeClause.Update(Seq("v" -> (col("t.v") + 1)))),
+        ("UPDATE SET s = 'u', v = s.v",
+          MergeClause.Update(Seq("s" -> lit("u"), "v" -> col("s.v")))),
+        ("DELETE", MergeClause.Delete))
+    } yield (s"WHEN MATCHED$cs THEN $as", MergeClause(cc, ac))
+    val genNotMatched: Gen[(String, MergeClause)] = for {
+      (cs, cc) <- Gen.oneOf(("", None),
+        (" AND s.v > 0", Some(col("s.v") > 0): Option[org.apache.spark.sql.Column]))
+      (as, ac) <- Gen.oneOf[(String, MergeClause.Action)](
+        ("INSERT *", MergeClause.Star),
+        ("INSERT (k, s) VALUES (s.k, 'ins')",
+          MergeClause.Insert(Seq("k" -> col("s.k"), "s" -> lit("ins")))))
+    } yield (s"WHEN NOT MATCHED$cs THEN $as", MergeClause(cc, ac))
+    val genBySource: Gen[(String, MergeClause)] = for {
+      (cs, cc) <- Gen.oneOf(("", None),
+        (" AND t.v < 0", Some(col("t.v") < 0): Option[org.apache.spark.sql.Column]))
+      (as, ac) <- Gen.oneOf[(String, MergeClause.Action)](
+        ("UPDATE SET s = 'stale'", MergeClause.Update(Seq("s" -> lit("stale")))),
+        ("DELETE", MergeClause.Delete))
+    } yield (s"WHEN NOT MATCHED BY SOURCE$cs THEN $as", MergeClause(cc, ac))
+    // SQL constraint: only the LAST clause of a family may omit its
+    // condition (Spark enforces this at parse time) — so every
+    // non-final generated clause is forced conditional
+    def forceCond(c: (String, MergeClause)): Gen[(String, MergeClause)] =
+      if (c._2.condition.isDefined) Gen.const(c)
+      else genMatched.retryUntil(_._2.condition.isDefined, 50)
+    val genShape: Gen[(Seq[(String, MergeClause)], Seq[(String, MergeClause)],
+        Seq[(String, MergeClause)])] = for {
+      m0 <- Gen.listOfN(2, genMatched).map(_.distinctBy(_._1))
+      m <- m0 match {
+        case Seq(a, b) => forceCond(a).map(a2 =>
+          if (a2._1 == b._1) Seq(b) else Seq(a2, b))
+        case other => Gen.const(other)
+      }
+      nm <- Gen.option(genNotMatched).map(_.toSeq)
+      bs <- Gen.option(genBySource).map(_.toSeq)
+    } yield (m, nm, bs)
+    check(Prop.forAllNoShrink(genRows, genRows, genShape) {
+      case (rows, srcRows, (mcl, ncl, bcl)) =>
+        val src = srcRows.groupBy(_._1).map(_._2.head).toSeq
+        val (whA, name, whB) = pair(rows)
+        src.toDF("k", "s", "v").createOrReplaceTempView(s"${name}_gsrc")
+        val clauses = (mcl ++ ncl ++ bcl).map(_._1).mkString("\n")
+        val sqlRow = spark.sql(
+          s"""MERGE INTO $name t USING ${name}_gsrc s ON t.k = s.k
+             |$clauses""".stripMargin).head()
+        val r = whB.mergeApply("d", "t", src.toDF("k", "s", "v"), Seq("k"),
+          mcl.map(_._2), ncl.map(_._2), bcl.map(_._2))
+        ((sqlRow.getLong(0), sqlRow.getLong(1), sqlRow.getLong(2)) ==
+          ((r.updatedRows, r.deletedRows, r.insertedRows))) :|
+          s"counts: sql=$sqlRow api=$r" &&
+          sameState(whA, whB) :| "post-merge state diverged"
+    }, 25)
+  }
 }

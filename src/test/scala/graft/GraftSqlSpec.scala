@@ -69,14 +69,15 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"), (9L, "i")))
   }
 
-  test("MERGE refuses unsupported shapes loudly") {
-    val (_, n) = fresh("sql_mrg_bad")
+  test("MERGE supports MATCHED DELETE; theta-ON still refuses loudly") {
+    val (wh, n) = fresh("sql_mrg_bad")
     Seq((2L, "B", 200.0)).toDF("id", "s", "v").createOrReplaceTempView("mrg_src2")
-    val e = intercept[IllegalArgumentException] {
-      spark.sql(s"""MERGE INTO $n t USING mrg_src2 s ON t.id = s.id
-                   |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    assert(e.getMessage.contains("unsupported MERGE shape"))
+    // r15: WHEN MATCHED THEN DELETE is a supported general shape now
+    val r = spark.sql(s"""MERGE INTO $n t USING mrg_src2 s ON t.id = s.id
+                 |WHEN MATCHED THEN DELETE""".stripMargin).head()
+    assert(r.getLong(1) === 1L) // deleted_rows
+    assert(wh.read("d", "t").filter(col("id") === 2L).isEmpty)
+    // the warehouse merges BY KEY: arbitrary theta ON refuses
     val e2 = intercept[IllegalArgumentException] {
       spark.sql(s"""MERGE INTO $n t USING mrg_src2 s ON t.id < s.id
                    |WHEN MATCHED THEN UPDATE SET *
