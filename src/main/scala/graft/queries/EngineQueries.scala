@@ -2275,6 +2275,68 @@ object EngineQueries {
       |       round(sum(price), 2) AS total
       |FROM final GROUP BY st""".stripMargin
 
+
+  // ------------------------------------------- q89 INSERT shape surface
+
+  /** INSERT column lists + static PARTITION specs through SQL text
+    * (r14 judge item 4) on a catalog-qualified, string-partitioned,
+    * DEFAULT-carrying table: a partial-column INSERT omits the defaulted
+    * column (served on read — Iceberg write-default semantics), an
+    * explicit-src INSERT overrides it, and a static-partition INSERT
+    * OVERWRITE replaces exactly its partition. Oracle composes the
+    * expected end state declaratively. */
+  def q89InsertShapes(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"g89c${qCatN.incrementAndGet()}"
+    val root = scratch("graft_insertshapes")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val wh = new Warehouse(spark, root)
+    val t = s"$cat.mart.itab"
+    val ords = Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    wh.overwrite("mart", "itab", ords.filter(col("o_orderstatus") =!= "P"),
+      graft.core.TableMeta(partitionField = Some("o_orderstatus"),
+        partitionType = "string"))
+    wh.addColumn("mart", "itab", "src", "STRING", Some("'base'"))
+    ords.filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("q89_p")
+    // partial-column INSERT: 'src' omitted -> the declared DEFAULT
+    spark.sql(s"INSERT INTO $t PARTITION (o_orderstatus='P') " +
+      "(o_orderkey, o_totalprice) SELECT o_orderkey, o_totalprice FROM q89_p")
+    // explicit src overrides the default
+    spark.sql(s"INSERT INTO $t PARTITION (o_orderstatus='P') " +
+      "(o_orderkey, o_totalprice, src) " +
+      "SELECT o_orderkey + 100000000, o_totalprice, 'manual' FROM q89_p")
+    // static-partition OVERWRITE: replaces exactly partition 'F'
+    Tables.load(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), (col("o_totalprice") / 2).as("o_totalprice"))
+      .createOrReplaceTempView("q89_f")
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (o_orderstatus='F') " +
+      "(o_orderkey, o_totalprice) SELECT * FROM q89_f")
+    spark.sql(s"""SELECT o_orderstatus AS st, src, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM $t GROUP BY o_orderstatus, src""".stripMargin)
+  }
+
+  val q89Sql: String =
+    """WITH final AS (
+      |  SELECT o_orderstatus AS st, o_totalprice AS price, 'base' AS src
+      |  FROM orders WHERE o_orderstatus NOT IN ('P', 'F')
+      |  UNION ALL
+      |  SELECT 'F' AS st, o_totalprice / 2 AS price, 'base' AS src
+      |  FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT 'P' AS st, o_totalprice AS price, 'base' AS src
+      |  FROM orders WHERE o_orderstatus = 'P'
+      |  UNION ALL
+      |  SELECT 'P' AS st, o_totalprice AS price, 'manual' AS src
+      |  FROM orders WHERE o_orderstatus = 'P')
+      |SELECT st, src, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(price), 2) AS total
+      |FROM final GROUP BY st, src""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_stream_table_source" -> (q83StreamTableSource _),
     "q85_type_widening" -> (q85TypeWidening _),
@@ -2282,6 +2344,7 @@ object EngineQueries {
     "q87_sql_models" -> (q87SqlModels _),
     "q84_sql_dml" -> (q84SqlDml _),
     "q88_merge_shapes" -> (q88MergeShapes _),
+    "q89_insert_shapes" -> (q89InsertShapes _),
     "q70_aggview" -> (q70AggView _),
     "q71_stream_aggview" -> (q71StreamAggView _),
     "q72_aggview_retract" -> (q72AggViewRetract _),
@@ -2334,6 +2397,7 @@ object EngineQueries {
     "q87_sql_models" -> q87Sql,
     "q84_sql_dml" -> q84Sql,
     "q88_merge_shapes" -> q88Sql,
+    "q89_insert_shapes" -> q89Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,
     "q72_aggview_retract" -> q72Sql,
