@@ -79,6 +79,19 @@ final case class TableMeta(
     if (hiddenPartition) partitionSource else partitionField
 }
 
+/** PERSISTED SQL view definition — the reference's `view`
+  * materialization is warehouse-persisted (core/project.py:271-289,
+  * bigquery.py:995), not session-temp: the definition must survive a
+  * new session and a new Warehouse instance, and SELECT through it
+  * re-resolves against the CURRENT snapshots of the tables it reads. */
+final case class StoredView(sql: String, currentCatalog: String,
+                            currentNamespace: Seq[String],
+                            schemaDdl: String,
+                            queryColumnNames: Seq[String],
+                            columnAliases: Seq[String],
+                            columnComments: Seq[String],
+                            properties: Map[String, String])
+
 /** One WHEN clause of a general MERGE (the SQL conditional shapes:
   * `WHEN MATCHED [AND cond] THEN UPDATE SET c = expr | DELETE`,
   * `WHEN NOT MATCHED [AND cond] THEN INSERT (...) VALUES (...) | INSERT *`,
@@ -141,14 +154,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** S2 — sorted tables of a dataset (only live ones: latest commit not a
     * drop). */
-  def listTables(dataset: String): Seq[String] = {
-    val d = rootPath.resolve(dataset)
-    if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filter(t => log(dataset, t).latest.exists(!_.isDrop))
-      .toSeq.sorted
-  }
+  def listTables(dataset: String): Seq[String] =
+    listTablesRaw(dataset).filterNot(isView(dataset, _))
 
   def log(dataset: String, table: String): SnapshotLog =
     SnapshotLog.forTable(root, dataset, table)
@@ -465,6 +472,76 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** Full-refresh write preserving the table's existing metadata
     * (partition spec, clustering, TTL, description) — re-overwriting an
     * existing table must not silently wipe its TableMeta. */
+  // ------------------------------------------------------------- views
+
+  private def viewFile(dataset: String, name: String): Path =
+    tableDir(dataset, name).resolve("_view.properties")
+
+  def isView(dataset: String, name: String): Boolean =
+    Files.exists(viewFile(dataset, name))
+
+  def createView(dataset: String, name: String, v: StoredView,
+                 orReplace: Boolean): Unit = {
+    require(orReplace || !isView(dataset, name),
+      s"view already exists: $dataset.$name")
+    require(!exists(dataset, name) || isView(dataset, name),
+      s"a TABLE named $dataset.$name already exists")
+    ensureDataset(dataset)
+    Files.createDirectories(tableDir(dataset, name))
+    val p = new java.util.Properties()
+    p.setProperty("sql", v.sql)
+    p.setProperty("current.catalog", v.currentCatalog)
+    p.setProperty("current.namespace", v.currentNamespace.mkString(","))
+    p.setProperty("schema", v.schemaDdl)
+    p.setProperty("query.columns", v.queryColumnNames.mkString(""))
+    p.setProperty("column.aliases", v.columnAliases.mkString(""))
+    p.setProperty("column.comments", v.columnComments.mkString(""))
+    v.properties.foreach { case (k, x) => p.setProperty(s"prop.$k", x) }
+    val out = Files.newOutputStream(viewFile(dataset, name))
+    try p.store(out, null) finally out.close()
+    // the definition is commit history like any other warehouse change
+    log(dataset, name).commit("view", Seq.empty, schemaDdl =
+      Some(v.schemaDdl).filter(_.nonEmpty))
+  }
+
+  def viewDef(dataset: String, name: String): Option[StoredView] = {
+    val f = viewFile(dataset, name)
+    if (!Files.exists(f)) return None
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    def split(k: String): Seq[String] = Option(p.getProperty(k))
+      .filter(_.nonEmpty).map(_.split('').toSeq).getOrElse(Seq.empty)
+    Some(StoredView(p.getProperty("sql"),
+      Option(p.getProperty("current.catalog")).getOrElse(""),
+      Option(p.getProperty("current.namespace")).filter(_.nonEmpty)
+        .map(_.split(',').toSeq).getOrElse(Seq.empty),
+      Option(p.getProperty("schema")).getOrElse(""),
+      split("query.columns"), split("column.aliases"),
+      split("column.comments"),
+      p.stringPropertyNames().asScala.filter(_.startsWith("prop."))
+        .map(k => k.stripPrefix("prop.") -> p.getProperty(k)).toMap))
+  }
+
+  def dropView(dataset: String, name: String): Boolean = {
+    if (!isView(dataset, name)) return false
+    Files.deleteIfExists(viewFile(dataset, name))
+    log(dataset, name).commit("drop", Seq.empty)
+    true
+  }
+
+  def listViews(dataset: String): Seq[String] =
+    listTablesRaw(dataset).filter(isView(dataset, _))
+
+  private def listTablesRaw(dataset: String): Seq[String] = {
+    val d = rootPath.resolve(dataset)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(t => log(dataset, t).latest.exists(!_.isDrop))
+      .toSeq.sorted
+  }
+
   /** METADATA-ONLY table creation (the DSv2 catalog's CREATE TABLE): a
     * zero-entry commit pins the declared schema — no fragment is written,
     * reads serve an empty frame of that schema, and the first
@@ -499,6 +576,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * current metadata). */
   def overwrite(dataset: String, table: String, df: DataFrame,
                 m: TableMeta): Unit = {
+    require(!isView(dataset, table),
+      s"$dataset.$table is a VIEW; drop the view before writing a table")
     ensureDataset(dataset)
     val lg = log(dataset, table)
     m.partitionField match {

