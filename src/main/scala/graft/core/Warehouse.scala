@@ -472,6 +472,56 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** Full-refresh write preserving the table's existing metadata
     * (partition spec, clustering, TTL, description) — re-overwriting an
     * existing table must not silently wipe its TableMeta. */
+  // ------------------------------------------------------------ grants
+
+  /** Per-table IAM grants (role, principal) — the warehouse-side state
+    * of the reference's grants reconcile (grants.py:260-292 diffs a
+    * DESIRED set against the warehouse's CURRENT bindings and issues
+    * grant/revoke calls; here the bindings live beside the table).
+    * Metadata-only, idempotent, sorted for deterministic reads. */
+  private def grantsFile(dataset: String, table: String): Path =
+    tableDir(dataset, table).resolve("_grants.properties")
+
+  def grants(dataset: String, table: String): Seq[(String, String)] = {
+    val f = grantsFile(dataset, table)
+    if (!Files.exists(f)) return Seq.empty
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    p.stringPropertyNames().asScala.toSeq.map { k =>
+      val i = k.indexOf('')
+      (k.substring(0, i), k.substring(i + 1))
+    }.sorted
+  }
+
+  private def writeGrants(dataset: String, table: String,
+                          gs: Set[(String, String)]): Unit = {
+    val p = new java.util.Properties()
+    gs.foreach { case (r, pr) => p.setProperty(s"$r$pr", "1") }
+    val out = Files.newOutputStream(grantsFile(dataset, table))
+    try p.store(out, null) finally out.close()
+  }
+
+  /** Returns true iff the binding was ADDED (false = already present). */
+  def grant(dataset: String, table: String, role: String,
+            principal: String): Boolean = {
+    require(exists(dataset, table) || isView(dataset, table),
+      s"no such table or view: $dataset.$table")
+    val cur = grants(dataset, table).toSet
+    val added = !cur(role -> principal)
+    if (added) writeGrants(dataset, table, cur + (role -> principal))
+    added
+  }
+
+  /** Returns true iff the binding was REMOVED (false = absent). */
+  def revoke(dataset: String, table: String, role: String,
+             principal: String): Boolean = {
+    val cur = grants(dataset, table).toSet
+    val removed = cur(role -> principal)
+    if (removed) writeGrants(dataset, table, cur - (role -> principal))
+    removed
+  }
+
   // ------------------------------------------------------------- views
 
   private def viewFile(dataset: String, name: String): Path =

@@ -926,3 +926,33 @@ final case class GraftShowViewsCommand(wh: Warehouse, dataset: String,
       .map(v => Row(dataset, v, false))
   }
 }
+
+/** `GRANT <role> ON <t> TO <p>` / `REVOKE ... FROM <p>` → the table's
+  * IAM bindings (metadata beside the table — the reconcile target of
+  * the reference's grants flow, grants.py:260-292). Idempotent; the
+  * returned row says whether the binding actually changed. */
+final case class GraftGrantCommand(t: GraftSql.Target, role: String,
+                                   principal: String, revoke: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("changed", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val changed =
+      if (revoke) t.wh.revoke(t.dataset, t.table, role, principal)
+      else t.wh.grant(t.dataset, t.table, role, principal)
+    Seq(Row(changed))
+  }
+}
+
+/** `SHOW GRANTS ON <t>` — the table's current (role, principal) set. */
+final case class GraftShowGrantsCommand(t: GraftSql.Target)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("role", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("principal", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    t.wh.grants(t.dataset, t.table).map { case (r, p) => Row(r, p) }
+}

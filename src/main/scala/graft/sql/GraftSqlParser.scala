@@ -19,6 +19,17 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  // IAM grammar (grants.py:260-292 reconcile verbs — Spark's parser has
+  // no GRANT/REVOKE at all, so these are pure fallback additions):
+  //   GRANT <role> ON [TABLE] <t> TO <principal>
+  //   REVOKE <role> ON [TABLE] <t> FROM <principal>
+  //   SHOW GRANTS ON [TABLE] <t>
+  private val GrantRe =
+    """(?is)\s*GRANT\s+([A-Za-z_]+)\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s+TO\s+(\S+?)\s*;?\s*""".r
+  private val RevokeRe =
+    """(?is)\s*REVOKE\s+([A-Za-z_]+)\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s+FROM\s+(\S+?)\s*;?\s*""".r
+  private val ShowGrantsRe =
+    """(?is)\s*SHOW\s+GRANTS\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
   private def maintenanceFallback(sqlText: String): Option[LogicalPlan] = {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession.orNull
     if (spark == null) return None
@@ -29,6 +40,15 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case VacuumRe(name, hours) =>
         GraftSql.lookup(spark, name.split('.').toSeq)
           .map(GraftVacuumCommand(_, Option(hours).map(_.toLong)))
+      case GrantRe(role, name, principal) =>
+        GraftSql.lookup(spark, name.split('.').toSeq)
+          .map(GraftGrantCommand(_, role.toLowerCase, principal, revoke = false))
+      case RevokeRe(role, name, principal) =>
+        GraftSql.lookup(spark, name.split('.').toSeq)
+          .map(GraftGrantCommand(_, role.toLowerCase, principal, revoke = true))
+      case ShowGrantsRe(name) =>
+        GraftSql.lookup(spark, name.split('.').toSeq)
+          .map(GraftShowGrantsCommand(_))
       case _ => None
     }
   }

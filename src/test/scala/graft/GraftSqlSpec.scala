@@ -285,4 +285,20 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(out.head.getLong(0) === 4L)
     assert(wh.read("d", "t").agg(sum("v")).head().getDouble(0) === 104.0)
   }
+
+  test("GRANT/REVOKE are idempotent; SHOW GRANTS reflects the bindings") {
+    val (wh, n) = fresh("sql_iam")
+    assert(spark.sql(s"GRANT reader ON $n TO group:analysts").head.getBoolean(0))
+    // idempotent re-grant: no change
+    assert(!spark.sql(s"GRANT reader ON $n TO group:analysts").head.getBoolean(0))
+    spark.sql(s"GRANT owner ON TABLE $n TO user:alice@corp")
+    val got = spark.sql(s"SHOW GRANTS ON $n").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("reader", "group:analysts"), ("owner", "user:alice@corp")))
+    assert(spark.sql(s"REVOKE reader ON $n FROM group:analysts").head.getBoolean(0))
+    assert(!spark.sql(s"REVOKE reader ON $n FROM group:analysts").head.getBoolean(0))
+    assert(wh.grants("d", "t") === Seq(("owner", "user:alice@corp")))
+    // granting on a missing table refuses loudly
+    intercept[Exception] { wh.grant("d", "nope", "reader", "x") }
+  }
 }
