@@ -914,6 +914,95 @@ object Dedup {
     s"""WITH ${embedPairChain(threshold, "")}
        |SELECT vec_a, vec_b, cos FROM pair""".stripMargin
 
+  /** COMPONENT-EXACT, copy-density-proof edge set for the banded cosine
+    * collapse: per band, vectors group by their bucket signature and the
+    * all-pairs verification runs IN MEMORY inside the group, emitting
+    * only a SPANNING FOREST of the verified graph (one edge per member
+    * → its in-bucket component root). Connectivity is preserved exactly
+    * — a union of per-bucket spanning forests has the same connected
+    * components as the union of the full per-bucket verified graphs, and
+    * every [[embeddingPairs]] candidate pair co-occurs in at least one
+    * bucket — so any consumer that only needs COMPONENTS (the pipeline
+    * collapse stage) gets identical clusters.
+    *
+    * Why it exists (r15 sf10 finding): [[embeddingPairs]] shuffles TWO
+    * full vectors per candidate pair, and candidate count is quadratic
+    * in COPY MULTIPLICITY — at ×100 replication a 60k-distinct corpus
+    * makes ~100-member buckets, ~300M pairs × KB-wide rows ≈ hundreds of
+    * GB of shuffle (the sf10 sweep filled the disk). Here the shuffle is
+    * O(vectors) per band (each vector rides once, with its own data),
+    * pair verification is pure CPU with a union-find short-circuit
+    * (already-connected pairs skip the dot product — a c-copy clique
+    * verifies ~c dots, not c²/2), and the output is O(members). Bands
+    * run as one job each (sequential, bounded peak shuffle).
+    *
+    * Buckets larger than `maxBucket` fail loudly (the SemDeDup hot-cell
+    * rule): a million-member bucket means the threshold/banding choice
+    * is wrong for the corpus, and quadratic CPU inside one task is a
+    * hang, not a result. */
+  def embeddingCopySpanEdges(emb: DataFrame,
+                             threshold: Double = CosineThreshold,
+                             nBands: Int = EmbedBands,
+                             maxBucket: Int = 100000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bands: Array[Array[Array[Double]]] =
+      embedBandPlanes.take(nBands).map(_.map(_.map(_.toDouble).toArray).toArray).toArray
+    val base = emb
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) === Similarity.Dim)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val edges =
+      base.flatMap { case (id, v) =>
+          val nrm = Kernels.norm(v)
+          Iterator.tabulate(bands.length) { b =>
+            ((b, Kernels.lshSignature(v, bands(b))), id, v, nrm)
+          }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (sig, it) =>
+          val members = it.toArray.sortBy(_._2)
+          if (members.length > maxBucket) throw new IllegalStateException(
+            s"copy-collapse bucket for signature $sig holds " +
+              s"${members.length} vectors (> $maxBucket): the banding/" +
+              "threshold choice degenerates on this corpus — raise the " +
+              "planes-per-band or pre-partition the corpus")
+          if (members.length < 2) Iterator.empty
+          else {
+            // union-find over verified pairs; find-first short-circuit
+            val n = members.length
+            val parent = Array.tabulate(n)(identity)
+            def find(x: Int): Int = {
+              var r = x
+              while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+              r
+            }
+            var i = 0
+            while (i < n) {
+              var j = i + 1
+              while (j < n) {
+                val (ri, rj) = (find(i), find(j))
+                if (ri != rj) {
+                  val a = members(i); val b = members(j)
+                  if (Kernels.dot(a._3, b._3) / (a._4 * b._4) >= threshold)
+                    parent(math.max(ri, rj)) = math.min(ri, rj)
+                }
+                j += 1
+              }
+              i += 1
+            }
+            // spanning edges: member -> its component ROOT member id
+            (0 until n).iterator.flatMap { k =>
+              val r = find(k)
+              if (r == k) Iterator.empty
+              else Iterator((members(r)._2, members(k)._2))
+            }
+          }
+        }
+    edges.toDF("vec_a", "vec_b").distinct()
+  }
+
   // ------------------------------------------------ substring overlap
 
   /** ExactSubstr-style substring-overlap detection (Lee et al.,

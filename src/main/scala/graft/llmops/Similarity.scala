@@ -424,7 +424,15 @@ object Similarity {
 
   def knnPipeline(emb: DataFrame, k: Int = GraphK,
                   collapse: Double = KnnCollapseCosine): DataFrame = {
-    val pairs = Dedup.embeddingPairs(emb, collapse, nBands = KnnCollapseBands)
+    // COMPONENT-EXACT spanning edges, not the all-pairs list: at high
+    // copy multiplicity (the corpus this pipeline exists for) the pair
+    // list is quadratic in copies and shuffles two vectors per pair —
+    // the r15 sf10 sweep measured that as a disk-filling shuffle. The
+    // clusters (and so the representative set and the final kNN graph)
+    // are IDENTICAL by the spanning-forest argument on
+    // [[Dedup.embeddingCopySpanEdges]].
+    val pairs = Dedup.embeddingCopySpanEdges(emb, collapse,
+        nBands = KnnCollapseBands)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val ids = typedVecs(emb).toDF("doc_id", "v").select(col("doc_id"))
     val reps = Dedup.duplicateClusters(ids, pairs)

@@ -95,4 +95,61 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(ids.subsetOf(Set(0L, 10L, 20L)),
       s"graph must touch only min-id representatives, got $ids")
   }
+
+  test("embeddingCopySpanEdges: components EQUAL the all-pairs graph (fixture + adversarial)") {
+    import graft.core.Tables
+    def components(ids: org.apache.spark.sql.DataFrame,
+                   pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.duplicateClusters(ids,
+          pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id"), col("cluster_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixture corpus at the pipeline's copy-grade threshold
+    val emb = Tables.load(spark, sf, "embeddings")
+    val ids = emb.select(col("vec_id").cast("long").as("doc_id")).distinct()
+    val full = components(ids,
+      Dedup.embeddingPairs(emb, 0.95, nBands = Similarity.KnnCollapseBands)
+        .select(col("vec_a"), col("vec_b")))
+    val span = components(ids,
+      Dedup.embeddingCopySpanEdges(emb, 0.95, nBands = Similarity.KnnCollapseBands))
+    assert(span === full, "fixture components diverged")
+    // adversarial bucket: a, b are mutual near-dups but both farther
+    // from the bucket's min-id member — a star-on-min scheme would
+    // split them; the in-bucket verified spanning forest must not
+    val base = Array.fill(Similarity.Dim)(1.0)
+    def tweak(i: Int, d: Double): Seq[Double] = {
+      val v = base.clone(); v(i) += d; v(i + 1) -= d; v.toSeq
+    }
+    val adv = Seq(
+      (1L, base.toSeq),       // bucket min: moderately far from both
+      (2L, tweak(4, 3.0)),    // a
+      (3L, tweak(4, 3.2)))    // b: cos(a,b) high, cos(min,·) lower
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val fullAdv = components(
+      adv.select(col("vec_id").as("doc_id")),
+      Dedup.embeddingPairs(adv, 0.95, nBands = Similarity.KnnCollapseBands))
+    val spanAdv = components(
+      adv.select(col("vec_id").as("doc_id")),
+      Dedup.embeddingCopySpanEdges(adv, 0.95, nBands = Similarity.KnnCollapseBands))
+    assert(spanAdv === fullAdv, s"adversarial: $spanAdv vs $fullAdv")
+  }
+
+  test("embeddingCopySpanEdges: output is O(members), not O(pairs), on copy clusters") {
+    import graft.core.Tables
+    val emb = Tables.load(spark, sf, "embeddings")
+    // replicate x8 with a tiny per-replica nudge: near-identical copies
+    val copies = (0 until 8).map { r =>
+      emb.select((col("vec_id").cast("long") + lit(r * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> CAST(x + IF(i = $r, 1e-4, 0.0) AS FLOAT))")
+          .as("embedding"))
+    }.reduce(_ unionAll _)
+    val n = copies.count()
+    val edges = Dedup.embeddingCopySpanEdges(copies, 0.95,
+      nBands = Similarity.KnnCollapseBands).count()
+    // all-pairs on 8-way copies would be >= 28 edges per distinct vector
+    // (x4 the member count); the spanning forest stays below one edge
+    // per member per band-overlap — the copy-density-proof contract
+    assert(edges < n * 2, s"$edges edges for $n members — quadratic blow-up?")
+  }
 }
