@@ -204,25 +204,18 @@ object GraftSql {
   /** Rewrite a freshly-parsed plan: warehouse DML → commands, warehouse
     * time travel → snapshot reads. Non-warehouse plans are returned
     * unchanged (reference equality — zero overhead on the common path). */
+  /** Runs on EVERY parsed plan. No gate: a cached "this session has no
+    * graft catalog" answer goes stale the moment someone sets a
+    * `spark.sql.catalog.<name>` conf mid-session (r15: exactly that
+    * made view DDL silently fall through to Spark's own error under
+    * suite-ordering), and the ungated cost is one tree walk whose per-
+    * node work is a couple of map lookups — micro next to the parse
+    * itself. */
   def rewrite(plan: LogicalPlan): LogicalPlan =
     SparkSession.getActiveSession match {
-      case Some(spark) if !reg.isEmpty || !regDb.isEmpty ||
-          hasGraftCatalog(spark) =>
-        rewriteWith(spark, plan)
+      case Some(spark) => rewriteWith(spark, plan)
       case _ => plan
     }
-
-  /** Cheap per-session probe: does any `spark.sql.catalog.<name>` conf
-    * name a [[GraftCatalog]]? Cached per session UUID — the rewrite gate
-    * runs on EVERY parse, a conf scan per statement would not fly. */
-  private val catProbe = new ConcurrentHashMap[String, java.lang.Boolean]()
-
-  private def hasGraftCatalog(spark: SparkSession): Boolean =
-    catProbe.computeIfAbsent(uuid(spark), _ =>
-      spark.conf.getAll.exists { case (k, v) =>
-        k.startsWith("spark.sql.catalog.") && k.count(_ == '.') == 3 &&
-          v == classOf[GraftCatalog].getName
-      }).booleanValue()
 
   /** Identifier parts of a DDL target (DROP TABLE wraps the name in an
     * UnresolvedTableOrView / UnresolvedIdentifier, not a relation). */
