@@ -42,6 +42,17 @@ final class GraftRelationSubstitution(spark: SparkSession)
       case _ => ()
     }
     plan.resolveOperatorsUp {
+      // PERSISTED VIEWS on the non-SQL entry points (spark.read.table,
+      // spark.table): the catalog's loadTable declines views, so the
+      // relation is still unresolved when this rule runs — expand the
+      // stored definition exactly as the parse-time path does (same
+      // depth guard; the spliced text re-enters the analyzer)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.size == 3 &&
+            GraftSql.lookup(spark, u.multipartIdentifier)
+              .exists(tg => tg.wh.isView(tg.dataset, tg.table)) =>
+        GraftSql.expandView(spark,
+          GraftSql.lookup(spark, u.multipartIdentifier).get)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
           !dmlTargets.contains(r) =>
         val t = r.table.asInstanceOf[GraftTable]

@@ -170,7 +170,7 @@ object GraftSql {
     override def initialValue(): Integer = 0
   }
 
-  private def expandView(spark: SparkSession, tg: Target): LogicalPlan = {
+  private[sql] def expandView(spark: SparkSession, tg: Target): LogicalPlan = {
     val d = viewDepth.get()
     if (d >= 10) throw new IllegalArgumentException(
       s"view expansion exceeded depth 10 at ${tg.name} — circular definition?")

@@ -73,10 +73,12 @@ class GraftViewSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT * FROM gv.d.tmpv").collect() }
   }
 
-  test("a view name refuses table DML and table loads") {
+  test("a view name refuses DML; SELECT and API reads both resolve it") {
     intercept[Exception] { spark.sql("DELETE FROM gv.d.big WHERE k = 1").collect() }
-    intercept[Exception] { spark.read.table("gv.d.big") } // not a TABLE
-    // ...but SELECT (view resolution) works
     assert(spark.sql("SELECT count(*) AS n FROM gv.d.big").head.getLong(0) === 3L)
+    // the NON-SQL entry points too: the resolution rule expands the
+    // stored definition when the catalog's loadTable declines the view
+    assert(spark.read.table("gv.d.big").count() === 3L)
+    assert(spark.table("gv.d.big").columns.toSeq === Seq("k", "amt2"))
   }
 }
