@@ -386,4 +386,103 @@ object AnnIndex {
       }.toDF("query_id", "neighbor_id", "adist")
     ProductQuant.ivfpqRerank(emb, scored, isQuery, k, shortlist)
   }
+
+  // ------------------------- corpus-adaptive training & retrain trigger
+
+  /** Train the DEFAULT serving path's quantizers at the corpus-adaptive
+    * grid (cells ∝ √n — [[ProductQuant.trainedInitSql]]): coarse k-means
+    * first, then residual-space PQ codebooks, the IVFADC training order.
+    * Returns the (cents, cb) pair [[buildIvfPqIndex]] /
+    * [[ivfpqTopKFrom]] take. This is the function that closes the
+    * fixed-grid scaling gap: per-query candidates stay ∝ √n instead of
+    * ∝ n as the corpus grows (measured in SCALE.md's round-16 sweep). */
+  def trainAdaptiveQuantizers(emb: DataFrame, iterations: Int = 5)
+      : (Array[(Long, Array[Double], Double)],
+         Array[Array[(Array[Double], Double)]]) = {
+    val n = Similarity.typedVecs(emb).count()
+    val init = expr(ProductQuant.trainedInitSql(n))
+    val cents = Similarity.collectCentroids(
+      Similarity.trainIvfCentroids(emb, init, iterations))
+    (cents, ProductQuant.trainPqCodebooksResidual(emb, cents,
+      expr(ProductQuant.isCbResidualSrcSql), iterations))
+  }
+
+  /** Verdict of [[retrainAdvice]] — the two production reasons to re-run
+    * [[trainAdaptiveQuantizers]] over a standing index, measured. */
+  final case class RetrainAdvice(
+      corpusN: Long, trainedCells: Int, targetCells: Long,
+      meanCellDriftCos: Double, minCellDriftCos: Double,
+      sizeRetrain: Boolean, driftRetrain: Boolean) {
+    def retrain: Boolean = sizeRetrain || driftRetrain
+  }
+
+  /** Retrain trigger for a standing IVF(-PQ) quantizer, from the CURRENT
+    * corpus:
+    *
+    *  - SIZE: the corpus grew (or shrank) past the point where the
+    *    trained grid is > `sizeBand`× off the cells ∝ √n target — the
+    *    per-query candidate contract has drifted ≥ sizeBand× and the
+    *    grid should be re-sized.
+    *  - DRIFT: cell members moved away from their trained centroids
+    *    (new crawl slice, distribution shift): the count-weighted mean
+    *    cosine between each cell's CURRENT member centroid and its
+    *    trained centroid falls below `driftFloor`. This is
+    *    [[Similarity.labelCentroids]]'s diagnostic keyed by trained cell
+    *    instead of label, under the same integer micro-unit discipline
+    *    (sums are partition-stable; cosine is scale-free, so the member
+    *    SUM stands in for the mean exactly).
+    *
+    * Cost shape: one narrow assignment pass over the corpus plus one
+    * (cell, dim)-grain map-side-combined aggregate (cells·Dim rows out);
+    * the collect is one row per trained cell — driver-sized by the same
+    * bound as the centroid artifact itself. */
+  def retrainAdvice(emb: DataFrame,
+                    cents: Array[(Long, Array[Double], Double)],
+                    driftFloor: Double = 0.9,
+                    sizeBand: Double = 2.0): RetrainAdvice = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "retrain advice needs a trained centroid set")
+    val n = Similarity.typedVecs(emb).count()
+    val m = Similarity.adaptiveGridModulus(n,
+      ProductQuant.IvfPqTrainedCellsPerSqrtN)
+    val targetCells = math.max(1L, n / math.max(1L, m))
+    val bc = spark.sparkContext.broadcast(cents)
+    val micro = Similarity.CentroidMicro
+    val perCell = Similarity.typedVecs(emb).as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.flatMap { case (_, v) =>
+          val cell = Kernels.assignCentroid(v, Kernels.norm(v), cs)
+          v.iterator.zipWithIndex.map { case (x, i) =>
+            (cell, i, math.floor(x * micro).toLong)
+          }
+        }
+      }.toDF("cell", "pos", "q")
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("_n"), sum(col("q")).cast("long").as("s"))
+      .groupBy(col("cell"))
+      .agg(max(when(col("pos") === 0, col("_n"))).cast("long").as("n_vecs"),
+        expr("transform(array_sort(collect_list(struct(pos, s))), r -> r.s)")
+          .as("vec"))
+      .collect()
+    val centOf = cents.map(c => c._1 -> c._2).toMap
+    var wSum = 0.0
+    var w = 0L
+    var minCos = 1.0
+    perCell.foreach { r =>
+      val nv = r.getLong(1)
+      val vec = r.getSeq[Long](2).toArray.map(_.toDouble)
+      val c = centOf(r.getLong(0))
+      val cos = Kernels.dot(vec, c) / (Kernels.norm(vec) * Kernels.norm(c))
+      wSum += cos * nv
+      w += nv
+      if (cos < minCos) minCos = cos
+    }
+    val mean = if (w == 0) 1.0 else wSum / w
+    RetrainAdvice(n, cents.length, targetCells, mean, minCos,
+      sizeRetrain = targetCells > sizeBand * cents.length ||
+        cents.length > sizeBand * targetCells,
+      driftRetrain = mean < driftFloor)
+  }
 }

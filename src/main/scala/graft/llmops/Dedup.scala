@@ -1253,10 +1253,11 @@ object Dedup {
   def semanticDedupSql(threshold: Double = CosineThreshold): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |           WHERE ${Similarity.vecFilterSql}),
+       |${Similarity.gridCteSql},
        |n AS MATERIALIZED (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-       |         WHERE ${Similarity.isCentroidSql}),
+       |         WHERE ${Similarity.adaptiveCentroidCondSql()}),
        |assign AS MATERIALIZED (
        |  SELECT vec_id, cid FROM (
        |    SELECT n.vec_id, cid,
@@ -1736,9 +1737,10 @@ object Dedup {
       crossSourceDupMatrix(Tables.load(s, d, "documents"))),
     "dedup_embed" -> ((s: SparkSession, d: String) =>
       embeddingPairs(Tables.load(s, d, "embeddings"))),
-    "dedup_semantic" -> ((s: SparkSession, d: String) =>
-      semanticDedup(Tables.load(s, d, "embeddings"),
-        expr(Similarity.isCentroidSql))),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.load(s, d, "embeddings")
+      semanticDedup(emb, Similarity.adaptiveCentroidCol(emb))
+    }),
     "dedup_substring" -> ((s: SparkSession, d: String) =>
       substringOverlapPairs(Tables.load(s, d, "documents"))),
     "dedup_clusters" -> ((s: SparkSession, d: String) => {

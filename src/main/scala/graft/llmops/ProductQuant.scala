@@ -273,9 +273,25 @@ object ProductQuant {
     * neighborhood better — the standard nlist/nprobe trade (Jégou §V).
     * Measured sweep at the bench SF (trained, exact-probe ceiling):
     * 69 cells/8 probes 0.51@233, 154/24 0.65@314, 286/32 0.75@221 —
-    * the finest grid dominates at equal budget. */
-  val IvfPqTrainedInitSql = "vec_id % 7 = 3"
+    * the finest grid dominates at equal budget.
+    *
+    * The trained grid SIZES ITSELF from the corpus (cells ∝ √n — the
+    * same [[Similarity.adaptiveGridModulus]] rule as the sampled grid,
+    * at the serving density the sweep chose: 286 cells at n = 2000 ⇒
+    * c = 6.39, i.e. m(2000) = 7 exactly, so the bench-SF quantizer — and
+    * the 0.71-recall `ann_recall` side-channel entry — is bit-for-bit
+    * the round-12 one). nprobe stays FIXED as the grid grows: per-query
+    * candidates ≈ nprobe·√n/c grow as √n (0.5/decade), and a finer grid
+    * probed at constant width tracks the query's true neighborhood at
+    * least as well per candidate (the sweep's own trend). */
+  val IvfPqTrainedCellsPerSqrtN = 6.39
   val IvfPqTrainedNProbe = 32
+
+  /** Corpus-adaptive k-means init predicate for the trained serving
+    * grid ([[Similarity.trainIvfCentroids]] init = one row per cell). */
+  def trainedInitSql(n: Long): String =
+    Similarity.adaptiveCentroidSqlFor(
+      Similarity.adaptiveGridModulus(n, IvfPqTrainedCellsPerSqrtN))
 
   /** IVF-ADC with exact re-rank — the standard 100 TB ANN serving
     * architecture (Jégou et al. §V: coarse quantizer + PQ residual scan),
@@ -616,10 +632,17 @@ object ProductQuant {
        |WHERE rank <= ${Similarity.TopK}""".stripMargin
   }
 
-  def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfpqResidualTopK(Tables.load(spark, dir, "embeddings"),
-      expr(Similarity.isQuerySql), expr(Similarity.isCentroidSql),
-      expr(isCbResidualSrcSql))
+  def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    // adaptive coarse grid (cells ∝ √n — see Similarity.IvfCellsPerSqrtN);
+    // the codebook source explicitly excludes the centroid class: a
+    // centroid's residual is ~0 and would train a degenerate code (at
+    // the bench SF the legacy residue classes were disjoint by
+    // construction — the exclusion preserves that hygiene at any m)
+    val cent = Similarity.adaptiveCentroidCol(e)
+    ivfpqResidualTopK(e, expr(Similarity.isQuerySql), cent,
+      expr(isCbResidualSrcSql) && !cent)
+  }
 
   /** The composed RESIDUAL pipeline in DuckDB: IVF assign/probe CTEs
     * (the `sim_topk_ivf` fragments), residual vectors via
@@ -637,10 +660,11 @@ object ProductQuant {
     s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |  WHERE ${Similarity.vecFilterSql}),
+       |${Similarity.gridCteSql},
        |n AS MATERIALIZED (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-       |         WHERE ${Similarity.isCentroidSql}),
+       |         WHERE ${Similarity.adaptiveCentroidCondSql()}),
        |assign AS MATERIALIZED (
        |  SELECT n.vec_id, cid,
        |         row_number() OVER (PARTITION BY n.vec_id
@@ -660,6 +684,7 @@ object ProductQuant {
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv AS v
        |  FROM (SELECT r.vec_id, r.rv FROM resid r
        |        WHERE r.$isCbResidualSrcSql
+       |          AND NOT (${Similarity.adaptiveCentroidCondSql("r.")})
        |        ORDER BY r.vec_id LIMIT $Codes)),
        |cb AS MATERIALIZED (
        |  SELECT m, code,

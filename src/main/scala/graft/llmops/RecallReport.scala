@@ -54,13 +54,19 @@ object RecallReport {
     val trainedCb = ProductQuant.trainPqCodebooks(emb, isCent, iterations = 5)
     // residual codebooks under each coarse quantizer (IVFADC training
     // order: coarse first, then residual-space PQ). The trained serving
-    // path uses the FINER coarse quantizer (IvfPqTrainedInitSql) probed
-    // wider at the same candidate budget — see ProductQuant scaladoc.
+    // path uses the FINER corpus-adaptive coarse quantizer
+    // (ProductQuant.trainedInitSql — cells ∝ √n) probed wider at the
+    // same candidate budget — see ProductQuant scaladoc.
     val isCbSrc = expr(ProductQuant.isCbResidualSrcSql)
     val sampledResCb = ProductQuant.residualCodebook(emb, sampledCents, isCbSrc)
+    // no centroid-class exclusion here: TRAINED centroids move off the
+    // init vectors under Lloyd's, so init-row residuals are not ~0 (the
+    // degenerate-code hazard is the SAMPLED grid's, where centroids are
+    // literal corpus vectors) — and keeping the source predicate as-is
+    // keeps the bench-SF quantizer bit-identical to the r12 sweep's
     val fineCents = Similarity.collectCentroids(
       Similarity.trainIvfCentroids(emb,
-        expr(ProductQuant.IvfPqTrainedInitSql), iterations = 5))
+        expr(ProductQuant.trainedInitSql(corpusN.toLong)), iterations = 5))
     val fineResCb = ProductQuant.trainPqCodebooksResidual(
       emb, fineCents, isCbSrc, iterations = 5)
 

@@ -1129,13 +1129,67 @@ object Similarity {
   def qHardNegatives(spark: SparkSession, dir: String): DataFrame =
     hardNegatives(Tables.load(spark, dir, "embeddings"), expr(isQuerySql))
 
-  // ~17 centroids at the 500-vector fixture (≈sqrt(n) inverted lists);
-  // any deterministic predicate works — at real scale this is the trained
-  // centroid table, not a modulus.
+  // Fixed deterministic sample — kept ONLY as the PQ codebook-source
+  // predicate (its consumers cap at `Codes` rows, so corpus size is
+  // irrelevant there). Every PROBED grid below sizes itself from the
+  // corpus instead: see [[adaptiveGridModulus]].
   private[llmops] val isCentroidSql = "vec_id % 29 = 3"
 
-  def qIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql), expr(isCentroidSql))
+  /** Adaptive coarse-grid rule — cells ∝ √n, the standard IVF sizing
+    * (Jégou et al. §V; FAISS guidelines). A FIXED grid makes candidate
+    * mass per query linear in corpus; a grid that grows ∝ n (a fixed
+    * modulus on a growing id space) makes centroid ASSIGNMENT quadratic
+    * — the round-15 sf10 sweep measured exactly that (sim_topk_ivfpq
+    * exponent 0.81/decade). cells = c·√n balances the two: assignment
+    * n·c√n, per-query candidates nprobe·√n/c — both O(n^1.5) total /
+    * O(√n) per query.
+    *
+    * Expressed as a members-per-cell MODULUS m(n) = round(√n / c) so the
+    * deterministic id-sample stays oracle-expressible (cells ≈ n/m =
+    * c·√n). Calibrated so the bench SF (n = 2000 valid vectors) keeps
+    * the historical 69-cell grid (m = 29) bit-for-bit; at the 100 TB
+    * end (n = 10¹⁰) the grid is ~154k cells — still a driver-sized
+    * broadcast artifact. */
+  val IvfCellsPerSqrtN = 1.54
+
+  /** Residue class of the sampled grid (`3 % m` stays a valid residue at
+    * any modulus). */
+  val IvfCentroidResidue = 3L
+
+  /** Members-per-cell modulus for a corpus of n valid vectors: round to
+    * the nearest integer via floor(x + 0.5) — spelled identically in the
+    * oracle's grid CTE so both engines compute the same IEEE doubles. */
+  def adaptiveGridModulus(n: Long, cellsPerSqrtN: Double = IvfCellsPerSqrtN): Long =
+    math.max(1L, math.floor(math.sqrt(n.toDouble) / cellsPerSqrtN + 0.5).toLong)
+
+  /** The sampled-grid centroid predicate at modulus m. */
+  def adaptiveCentroidSqlFor(m: Long): String =
+    s"vec_id % $m = ${IvfCentroidResidue % m}"
+
+  /** Corpus-adaptive centroid predicate: one cheap count of the typed
+    * corpus (the same number the oracle's `grid` CTE computes), then the
+    * modulus sample. */
+  def adaptiveCentroidCol(emb: DataFrame): Column =
+    expr(adaptiveCentroidSqlFor(adaptiveGridModulus(typedVecs(emb).count())))
+
+  /** Oracle-side grid CTE: computes m from the SAME filtered corpus
+    * count (`e` must be the vecFilter'd embedding CTE in scope). The
+    * double literal rides in e-notation — DuckDB parses `1.54` as
+    * DECIMAL, which would change the division's semantics. */
+  val gridCteSql: String =
+    "grid AS (SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) / " +
+      s"${IvfCellsPerSqrtN}e0 + 0.5) AS BIGINT)) AS m FROM e)"
+
+  /** Oracle-side twin of [[adaptiveCentroidCol]]'s predicate; `prefix`
+    * qualifies vec_id when more than one relation is in scope. */
+  def adaptiveCentroidCondSql(prefix: String = ""): String =
+    s"${prefix}vec_id % (SELECT m FROM grid) = " +
+      s"$IvfCentroidResidue % (SELECT m FROM grid)"
+
+  def qIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    ivfTopK(e, expr(isQuerySql), adaptiveCentroidCol(e))
+  }
 
   /** nprobe=4 variant: the recall/latency knob served as its own oracle
     * query, so widening the probe set is hash-pinned cross-engine (the
@@ -1155,9 +1209,10 @@ object Similarity {
     * curve (more cells, fewer probes for the same recall). */
   val NProbeServe = 16
 
-  def qIvfNprobe(spark: SparkSession, dir: String): DataFrame =
-    ivfTopK(Tables.load(spark, dir, "embeddings"), expr(isQuerySql),
-      expr(isCentroidSql), nprobe = NProbeWide)
+  def qIvfNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    ivfTopK(e, expr(isQuerySql), adaptiveCentroidCol(e), nprobe = NProbeWide)
+  }
 
   val qIvfSql: String = ivfSqlFor(NProbe)
 
@@ -1166,8 +1221,10 @@ object Similarity {
   private def ivfSqlFor(nprobe: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |           WHERE $vecFilterSql),
+       |$gridCteSql,
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE $isCentroidSql),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |         WHERE ${adaptiveCentroidCondSql()}),
        |assign AS (
        |  SELECT n.vec_id, cid,
        |         row_number() OVER (PARTITION BY n.vec_id
@@ -1534,7 +1591,7 @@ object Similarity {
   def qAnnRecallIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
     recallVsExact(bruteForceTopK(e, expr(isQuerySql)),
-      ivfTopK(e, expr(isQuerySql), expr(isCentroidSql), nprobe = NProbeWide))
+      ivfTopK(e, expr(isQuerySql), adaptiveCentroidCol(e), nprobe = NProbeWide))
   }
 
   lazy val qAnnRecallIvfSql: String =
@@ -1615,10 +1672,10 @@ object Similarity {
        |         AS recall_bp
        |FROM q LEFT JOIN h USING (query_id)""".stripMargin
 
-  def qPrototypes(spark: SparkSession, dir: String): DataFrame =
-    prototypeRanks(Tables.load(spark, dir, "embeddings"),
-      sampledCentroids(Tables.load(spark, dir, "embeddings"),
-        expr(isCentroidSql)))
+  def qPrototypes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    prototypeRanks(e, sampledCentroids(e, adaptiveCentroidCol(e)))
+  }
 
   /** Same assignment fragment as the SemDeDup/IVF oracles (cosine
     * argmax, ties to smaller cid), then the per-cell rank window over
@@ -1626,10 +1683,11 @@ object Similarity {
   val qPrototypesSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |           WHERE $vecFilterSql),
+       |$gridCteSql,
        |n AS MATERIALIZED (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-       |         WHERE $isCentroidSql),
+       |         WHERE ${adaptiveCentroidCondSql()}),
        |a AS MATERIALIZED (
        |  SELECT vec_id, cid, cos FROM (
        |    SELECT n.vec_id, cid,

@@ -186,4 +186,50 @@ class AnnIndexSpec extends AnyFunSuite {
       cents, cb, isQuery)
     assert(rows(viaInc) === rows(viaFull))
   }
+
+  test("adaptive grid sizing: m(n) = round(sqrt(n)/c); bench-SF values pinned bit-for-bit") {
+    assert(Similarity.adaptiveGridModulus(2000) === 29L) // sampled grid at sf0.1 — the historical 69-cell layout
+    assert(Similarity.adaptiveGridModulus(500) === 15L)  // sampled grid at the driver fixtures
+    assert(Similarity.adaptiveGridModulus(2000,
+      ProductQuant.IvfPqTrainedCellsPerSqrtN) === 7L)    // trained grid at sf0.1 — the r12 286-cell quantizer
+    assert(ProductQuant.trainedInitSql(2000) === "vec_id % 7 = 3")
+    // cells ∝ √n: each corpus decade grows members-per-cell (and cells) ~√10×
+    assert(Similarity.adaptiveGridModulus(20000) === 92L)
+    assert(Similarity.adaptiveGridModulus(200000) === 290L)
+    assert(Similarity.adaptiveCentroidSqlFor(2) === "vec_id % 2 = 1") // residue stays valid at tiny m
+  }
+
+  test("trainAdaptiveQuantizers sizes the grid from the corpus and serves via the standard artifact path") {
+    val (cents, cb) = AnnIndex.trainAdaptiveQuantizers(emb, iterations = 2)
+    val n = typedVecs(emb).count()
+    val expectCells = typedVecs(emb)
+      .filter(expr(ProductQuant.trainedInitSql(n))).count()
+    assert(cents.length.toLong === expectCells,
+      s"one init row per cell: got ${cents.length}, expected $expectCells")
+    val wh = freshWh()
+    AnnIndex.saveIvfPqIndex(wh, "idx", "ad", emb, cents, cb)
+    val served = AnnIndex.ivfpqTopKFrom(emb, wh.read("idx", "ad"), cents, cb, isQuery)
+    val self = ProductQuant.ivfpqResidualTopKWith(emb, isQuery, cents, cb,
+      nprobe = ProductQuant.IvfPqTrainedNProbe)
+    assert(rows(served) === rows(self))
+  }
+
+  test("retrainAdvice: fresh index is quiet; corpus growth trips SIZE; distribution shift trips DRIFT") {
+    val (cents, _) = AnnIndex.trainAdaptiveQuantizers(emb, iterations = 3)
+    val fresh = AnnIndex.retrainAdvice(emb, cents)
+    assert(!fresh.retrain, fresh.toString)
+    // 9x corpus, same distribution (shifted ids): the cells ∝ √n target
+    // triples while member means stay put — SIZE fires alone
+    val grown = (0 until 9).map(r => typedVecs(emb)
+        .select((col("vec_id") + lit(r * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_.unionByName(_))
+    val g = AnnIndex.retrainAdvice(grown, cents)
+    assert(g.sizeRetrain && !g.driftRetrain && g.retrain, g.toString)
+    // negated corpus: every vector re-assigns to its most-OPPOSITE cell,
+    // so member means anti-correlate with the trained centroids — DRIFT
+    val neg = typedVecs(emb).select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val d = AnnIndex.retrainAdvice(neg, cents)
+    assert(d.driftRetrain && !d.sizeRetrain, d.toString)
+  }
 }
