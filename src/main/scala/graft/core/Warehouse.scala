@@ -3588,6 +3588,51 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     copyCommit(dataset, table, c, dstDataset, dstTable)
   }
 
+  /** In-place RESTORE (Delta `RESTORE TABLE` semantics; the reference's
+    * restore flow `admin/restore.py:60-70` recreates a mutated or
+    * dropped table from a windowed snapshot): make the CURRENT state
+    * equal version `v`, as a NEW `restore` commit — history is
+    * preserved, and the restored state RE-POINTS at the snapshot's
+    * fragments (metadata-only: the 7-day window is exactly vacuum's
+    * default retention, so those fragments are still live; a restore
+    * commit then keeps them live going forward). Restoring a dropped
+    * table works the same way — the drop commit simply stops being
+    * latest. Outside the window it refuses loudly. */
+  def restoreToVersion(dataset: String, table: String, v: Int,
+                       nowMillis: Long = System.currentTimeMillis()): Int = {
+    val c = log(dataset, table).version(v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v of $dataset.$table"))
+    restoreCommit(dataset, table, c, nowMillis)
+  }
+
+  /** Timestamp form of [[restoreToVersion]] — latest commit at or before
+    * `tsMillis`, same window and drop rules. Returns the version
+    * restored FROM. */
+  def restoreToTimestamp(dataset: String, table: String, tsMillis: Long,
+                         nowMillis: Long = System.currentTimeMillis()): Int = {
+    val c = log(dataset, table).asOf(tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of $dataset.$table at $tsMillis"))
+    restoreCommit(dataset, table, c, nowMillis)
+  }
+
+  private def restoreCommit(dataset: String, table: String,
+                            c: SnapshotLog.Commit, nowMillis: Long): Int = {
+    require(nowMillis - c.tsMillis <= SnapshotLog.TimeTravelWindowMillis,
+      "snapshot outside the 7-day time-travel window")
+    require(!c.isDrop,
+      s"$dataset.$table: version ${c.version} is a drop commit — restore " +
+        "to a live version instead")
+    log(dataset, table).commit("restore", c.entries, schemaDdl = c.schemaDdl)
+    // the schema sidecar reverts with the data: a post-snapshot ALTER
+    // must not leak into the restored state
+    c.schemaDdl.foreach { ddl =>
+      Files.write(tableDir(dataset, table).resolve("_schema.ddl"),
+        ddl.getBytes(StandardCharsets.UTF_8))
+    }
+    c.version
+  }
+
   private def copyCommit(srcDataset: String, srcTable: String, c: SnapshotLog.Commit,
                          dstDataset: String, dstTable: String): Unit = {
     ensureDataset(dstDataset)

@@ -2473,6 +2473,56 @@ object EngineQueries {
     """SELECT 'reader' AS role, 'group:' || c_mktsegment AS principal
       |FROM customer GROUP BY 2""".stripMargin
 
+  // ------------------------------------------------------- q92 SQL restore
+
+  /** The reference's restore flow (`admin/restore.py:60-70`,
+    * `bigquery.py:412-462`) through the SQL verb: write → mutate twice →
+    * `RESTORE TABLE ... TO VERSION AS OF` (undoes both) → DROP →
+    * `RESTORE ... TO TIMESTAMP AS OF` (restore-of-dropped, epoch-ms
+    * form). DESCRIBE HISTORY must show both restore commits; a restore
+    * outside the 7-day window must refuse loudly; the final state must
+    * hash-match the untouched source slice. */
+  def q92Restore(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"g92c${qCatN.incrementAndGet()}"
+    val root = scratch("graft_restore")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val wh = new Warehouse(spark, root)
+    val t = s"$cat.mart.rtab"
+    wh.overwrite("mart", "rtab", Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+    // v2/v3: two destructive mutations the restore must undo
+    spark.sql(s"DELETE FROM $t WHERE o_orderstatus = 'O'")
+    spark.sql(s"UPDATE $t SET o_totalprice = 0 WHERE o_totalprice > 1000")
+    val from = spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 1").head().getInt(0)
+    require(from == 1, s"restored_from_version must be 1, got $from")
+    val restoredTs = wh.log("mart", "rtab").latest.get.tsMillis
+    // window guard: the same snapshot "8 days later" must refuse loudly
+    val late = scala.util.Try(wh.restoreToVersion("mart", "rtab", 1,
+      nowMillis = System.currentTimeMillis() + 8L * 24 * 3600 * 1000))
+    require(late.isFailure &&
+        late.failed.get.getMessage.contains("time-travel window"),
+      s"out-of-window restore must refuse loudly, got $late")
+    // restore-of-dropped, timestamp form (epoch-ms — restore.py:12-57's
+    // first accepted shape): DROP, then restore to the restored commit
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"RESTORE TABLE $t TO TIMESTAMP AS OF '$restoredTs'")
+    val hist = spark.sql(s"DESCRIBE HISTORY $t")
+      .select("action").collect().map(_.getString(0))
+    require(hist.count(_ == "restore") == 2 && hist.last == "restore",
+      s"history must show both restore commits (restore-of-dropped " +
+        s"latest): ${hist.toSeq}")
+    spark.sql(s"""SELECT o_orderstatus AS st, count(*) AS n,
+      |round(sum(o_totalprice), 2) AS total
+      |FROM $t GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  val q92Sql: String =
+    """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_stream_table_source" -> (q83StreamTableSource _),
     "q85_type_widening" -> (q85TypeWidening _),
@@ -2483,6 +2533,7 @@ object EngineQueries {
     "q89_insert_shapes" -> (q89InsertShapes _),
     "q90_views" -> (q90Views _),
     "q91_sql_grants" -> (q91SqlGrants _),
+    "q92_restore" -> (q92Restore _),
     "q70_aggview" -> (q70AggView _),
     "q71_stream_aggview" -> (q71StreamAggView _),
     "q72_aggview_retract" -> (q72AggViewRetract _),
@@ -2538,6 +2589,7 @@ object EngineQueries {
     "q89_insert_shapes" -> q89Sql,
     "q90_views" -> q90Sql,
     "q91_sql_grants" -> q91Sql,
+    "q92_restore" -> q92Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,
     "q72_aggview_retract" -> q72Sql,

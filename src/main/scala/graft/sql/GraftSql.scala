@@ -818,6 +818,27 @@ final case class GraftVacuumCommand(t: GraftSql.Target, retainHours: Option[Long
   }
 }
 
+/** `RESTORE [TABLE] <name> TO {VERSION|TIMESTAMP} AS OF ...` — in-place
+  * restore as a new `restore` commit ([[graft.core.Warehouse.restoreToVersion]];
+  * reference flow `admin/restore.py:60-70`, incl. restore-of-dropped and
+  * the loud 7-day-window refusal). Returns the version restored FROM. */
+final case class GraftRestoreCommand(t: GraftSql.Target,
+                                     version: Option[Int],
+                                     tsMillis: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("restored_from_version",
+      org.apache.spark.sql.types.IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val from = version
+      .map(v => t.wh.restoreToVersion(t.dataset, t.table, v))
+      .orElse(tsMillis.map(ts => t.wh.restoreToTimestamp(t.dataset, t.table, ts)))
+      .get
+    GraftSql.refreshTargets(spark, t)
+    Seq(Row(from))
+  }
+}
+
 /** General MERGE (conditional matched actions / DELETE / column-list
   * inserts / NOT MATCHED BY SOURCE) → [[Warehouse.mergeApply]]. Clause
   * expressions are pre-requalified onto the runtime's t/s aliases and

@@ -30,6 +30,14 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*REVOKE\s+([A-Za-z_]+)\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s+FROM\s+(\S+?)\s*;?\s*""".r
   private val ShowGrantsRe =
     """(?is)\s*SHOW\s+GRANTS\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
+  // Time-travel restore (Delta grammar; semantics = the reference's
+  // admin/restore.py flow — in-place, windowed, restore-of-dropped):
+  //   RESTORE [TABLE] <t> TO VERSION AS OF <n>
+  //   RESTORE [TABLE] <t> TO TIMESTAMP AS OF '<ts>'
+  private val RestoreVerRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private def maintenanceFallback(sqlText: String): Option[LogicalPlan] = {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession.orNull
     if (spark == null) return None
@@ -49,6 +57,13 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case ShowGrantsRe(name) =>
         GraftSql.lookup(spark, name.split('.').toSeq)
           .map(GraftShowGrantsCommand(_))
+      case RestoreVerRe(name, v) =>
+        GraftSql.lookup(spark, name.split('.').toSeq)
+          .map(GraftRestoreCommand(_, Some(v.toInt), None))
+      case RestoreTsRe(name, ts) =>
+        GraftSql.lookup(spark, name.split('.').toSeq)
+          .map(GraftRestoreCommand(_, None,
+            Some(graft.core.TimeParse.parseTimestamp(ts))))
       case _ => None
     }
   }

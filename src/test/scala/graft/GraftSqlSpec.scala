@@ -301,4 +301,35 @@ class GraftSqlSpec extends AnyFunSuite {
     // granting on a missing table refuses loudly
     intercept[Exception] { wh.grant("d", "nope", "reader", "x") }
   }
+
+  test("RESTORE TABLE: in-place version/timestamp restore, drop-commit and window refusals") {
+    val (wh, n) = fresh("sql_restore")
+    spark.sql(s"DELETE FROM $n WHERE id >= 3")
+    assert(spark.sql(s"SELECT count(*) FROM $n").head.getLong(0) === 2L)
+    assert(spark.sql(s"RESTORE TABLE $n TO VERSION AS OF 1").head.getInt(0) === 1)
+    assert(spark.sql(s"SELECT count(*) FROM $n").head.getLong(0) === 4L)
+    // restore is a commit, not a rewrite of history
+    assert(wh.log("d", "t").latest.get.version === 3)
+    // TIMESTAMP AS OF epoch-ms form lands on the same snapshot rule
+    val ts2 = wh.log("d", "t").version(2).get.tsMillis
+    spark.sql(s"RESTORE $n TO TIMESTAMP AS OF '$ts2'")
+    assert(spark.sql(s"SELECT count(*) FROM $n").head.getLong(0) === 2L)
+    // a drop commit is not a restorable state
+    wh.drop("d", "t")
+    val e = intercept[Exception] {
+      wh.restoreToVersion("d", "t", wh.log("d", "t").latest.get.version)
+    }
+    assert(e.getMessage.contains("drop commit"))
+    // restore-of-dropped to a live version works
+    wh.restoreToVersion("d", "t", 1)
+    assert(wh.read("d", "t").count() === 4L)
+    // outside the 7-day window: loud refusal
+    val w = intercept[Exception] {
+      wh.restoreToVersion("d", "t", 1,
+        nowMillis = System.currentTimeMillis() + 8L * 24 * 3600 * 1000)
+    }
+    assert(w.getMessage.contains("time-travel window"))
+    // unknown version: loud refusal
+    intercept[Exception] { wh.restoreToVersion("d", "t", 99) }
+  }
 }
