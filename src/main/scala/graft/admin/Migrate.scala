@@ -44,6 +44,70 @@ object Migrate {
   final case class MigrationResult(migrated: Boolean, reason: String,
                                    grantsMerged: Seq[Grant])
 
+  /** RENAME `old` → `new` (the reference's atomic migrate applied to a
+    * rename, `bigquery.py:947-950` + the :737-801 flow): copy the table
+    * to its new name, carry the grants over, then replace the old name
+    * with a live DEPRECATED redirect VIEW onto the new one — readers of
+    * the old name keep working and see the new table's CURRENT data (a
+    * view, not a frozen copy, so post-rename writes show through).
+    * Compensating rollback on mid-flight failure: the old table is
+    * restored (re-copied from the new name if it was already dropped)
+    * and the partial copy is removed. Throws on precondition failures —
+    * this is the catalog-DDL entry point
+    * ([[graft.sql.GraftCatalog.renameTable]]), where Spark expects
+    * exceptions, not result objects.
+    *
+    * `newRef` is the name the redirect view's SQL embeds — the caller
+    * qualifies it (catalog.dataset.table) so the text re-resolves in any
+    * session that can reach the catalog. */
+  def renameTable(wh: Warehouse,
+                  oldDs: String, oldTable: String,
+                  newDs: String, newTable: String,
+                  newRef: String, currentCatalog: String = ""): Unit = {
+    val bad =
+      (if (wh.isView(oldDs, oldTable))
+        Seq(s"$oldDs.$oldTable is a view — recreate it under the new name")
+      else if (state(wh, oldDs, oldTable) != Exists)
+        Seq(s"$oldDs.$oldTable: expected `Exists` but had " +
+          s"`${state(wh, oldDs, oldTable)}`")
+      else Nil) ++
+      (if (wh.isView(newDs, newTable) || state(wh, newDs, newTable) != Missing)
+        Seq(s"$newDs.$newTable already exists")
+      else Nil)
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"cannot rename: ${bad.mkString("; ")}")
+    var copied = false
+    var dropped = false
+    var viewed = false
+    try {
+      wh.copy(oldDs, oldTable, newDs, newTable)
+      copied = true
+      wh.grants(oldDs, oldTable)
+        .foreach { case (r, p) => wh.grant(newDs, newTable, r, p) }
+      wh.drop(oldDs, oldTable)
+      dropped = true
+      wh.createView(oldDs, oldTable, graft.core.StoredView(
+        sql = s"SELECT * FROM $newRef",
+        currentCatalog = currentCatalog,
+        currentNamespace = Seq(newDs),
+        schemaDdl = wh.schemaDdl(newDs, newTable).getOrElse(""),
+        queryColumnNames = Seq.empty, columnAliases = Seq.empty,
+        columnComments = Seq.empty,
+        properties = Map("comment" ->
+          s"$DeprecationMessage: use $newDs.$newTable")), orReplace = false)
+      viewed = true
+    } catch {
+      case e: Exception =>
+        // compensate in reverse — never mask the original failure
+        try {
+          if (viewed) wh.dropView(oldDs, oldTable)
+          if (dropped) wh.copy(newDs, newTable, oldDs, oldTable)
+          if (copied) wh.drop(newDs, newTable)
+        } catch { case _: Exception => () }
+        throw e
+    }
+  }
+
   /** Migrate `old` → `new`: backup, redirect, grant merge; compensate on
     * failure. `grants` is the metadata grants table (the engine models IAM
     * as data — SURVEY §7 hard parts). Returns what happened. */

@@ -251,7 +251,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     try p.store(out, null) finally out.close()
   }
 
-  private def schemaDdl(dataset: String, table: String): Option[String] = {
+  def schemaDdl(dataset: String, table: String): Option[String] = {
     val f = tableDir(dataset, table).resolve("_schema.ddl")
     if (Files.exists(f)) Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
     else None

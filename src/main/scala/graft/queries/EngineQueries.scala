@@ -2093,6 +2093,14 @@ object EngineQueries {
       .select("action").collect().map(_.getString(0)).toSet
     require(actions.contains("write") && actions.contains("delete"),
       s"write + delete must be in the history, got $actions")
+    // migrate-rename (bigquery.py:947-950): the summary model moves to
+    // its v2 home; the OLD name keeps serving through the deprecated
+    // redirect view — the final read uses the old name ON PURPOSE, so
+    // the rename + redirect are inside the hash gate
+    spark.sql(s"ALTER TABLE $cat.gold.seg_summary RENAME TO gold.seg_summary_v2")
+    require(spark.sql(s"SHOW TABLES IN $cat.gold").collect()
+        .map(_.getString(1)).contains("seg_summary_v2"),
+      "rename must be visible to the very next statement")
     spark.sql(s"SELECT * FROM $cat.gold.seg_summary")
   }
 

@@ -312,10 +312,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     else { wh.drop(ds, t); true }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "warehouse tables do not rename in place (the snapshot log is " +
-        "path-addressed); use copyTable + drop")
+  /** `ALTER TABLE ... RENAME TO ...` — the reference's atomic migrate
+    * ([[graft.admin.Migrate.renameTable]], `bigquery.py:947-950`): copy
+    * to the new name, carry grants, leave a DEPRECATED redirect view at
+    * the old name (live — post-rename writes show through), compensating
+    * rollback on mid-flight failure. Visible to the very next statement:
+    * loadTable reads the log directly, nothing is cached. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (ods, ot) = split(oldIdent)
+    val (nds, nt) = split(newIdent)
+    graft.admin.Migrate.renameTable(wh, ods, ot, nds, nt,
+      newRef = s"$catName.$nds.$nt", currentCatalog = catName)
+  }
 
   override def invalidateTable(ident: Identifier): Unit = () // nothing cached
 }

@@ -161,6 +161,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got.length === 1 && got.head.getLong(0) === 2L)
   }
 
+  test("ALTER TABLE RENAME TO: migrate machinery — copy, grants, redirect view, next-statement visibility") {
+    wh.overwrite("d11", "olds", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    wh.grant("d11", "olds", "reader", "group:x")
+    spark.sql("ALTER TABLE graft.d11.olds RENAME TO d11.news")
+    // visible to the very next statement, both names serving
+    assert(spark.sql("SELECT count(*) FROM graft.d11.news").head.getLong(0) === 2L)
+    assert(wh.grants("d11", "news") === Seq(("reader", "group:x")))
+    // the old name is a LIVE redirect view: post-rename writes show through
+    assert(wh.isView("d11", "olds"))
+    wh.append("d11", "news", Seq((3L, "c")).toDF("k", "v"))
+    assert(spark.sql("SELECT count(*) FROM graft.d11.olds").head.getLong(0) === 3L)
+    assert(wh.viewDef("d11", "olds").get.properties("comment")
+      .contains("DEPRECATED"))
+    // renaming onto an existing name refuses loudly
+    wh.overwrite("d11", "taken", Seq((9L, "z")).toDF("k", "v"))
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.d11.news RENAME TO d11.taken")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("rename rolls back on mid-flight failure: old table intact, no partial copy") {
+    wh.overwrite("d12", "src", Seq((1L, "a")).toDF("k", "v"))
+    // force a mid-flight failure: the destination dataset path is a FILE,
+    // so the copy step throws after preconditions pass
+    val rootPath = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(rootPath)
+    val blocked = rootPath.resolve("d12blocked")
+    java.nio.file.Files.write(blocked, "not a dir".getBytes)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.d12.src RENAME TO d12blocked.dst")
+    }
+    // compensated: the old table still serves, and is still a TABLE
+    assert(!wh.isView("d12", "src"))
+    assert(spark.sql("SELECT count(*) FROM graft.d12.src").head.getLong(0) === 1L)
+    java.nio.file.Files.deleteIfExists(blocked)
+  }
+
   test("a session without the engine extensions refuses loudly, not wrongly") {
     // newSession keeps extensions (clones the state) — simulate the
     // unsupported path by planning the relation directly
