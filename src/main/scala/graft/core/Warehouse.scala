@@ -329,7 +329,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val sch = schema(dataset, table)
     require(!sch.fieldNames.contains(name), s"column already exists: $name")
     val dt = StructType.fromDDL(s"`$name` $typeDdl").fields.head.dataType
-    defaultSql.foreach { d =>
+    val foldedDefault: Option[String] = defaultSql.map { d =>
       val e = spark.sessionState.sqlParser.parseExpression(d)
       require(e.deterministic && e.references.isEmpty,
         s"DEFAULT must be a deterministic expression over no columns: $d")
@@ -344,6 +344,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       require(raw == null || cast != null,
         s"DEFAULT '$d' does not cast to $typeDdl (evaluates to NULL " +
           "under the cast) — fix the expression or the column type")
+      // store the FOLDED literal, not the declaration text: a write
+      // default is a declaration-time constant (Iceberg initial-default
+      // semantics — current_date() must pin the declaration day, not
+      // re-evaluate per read), and every downstream consumer (the
+      // read-side pad, GraftTable.columns' v2 metadata) can then eval
+      // the stored text without a full analysis pass (r15 ADVICE: a
+      // function-call default like upper('x') failed unresolved eval at
+      // loadTable, breaking all SQL reads of the table).
+      org.apache.spark.sql.catalyst.expressions.Literal.create(cast, dt).sql
     }
     // metadata-only commit pinning the widened schema: readers see the
     // column NOW; time travel before this version does not. The pinned
@@ -366,7 +375,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     writeSchemaDdlMerged(dataset, table,
       StructType.fromDDL(c.schemaDdl.get), additive = true)
     val m = meta(dataset, table)
-    defaultSql.foreach(d => setMeta(dataset, table,
+    foldedDefault.foreach(d => setMeta(dataset, table,
       m.copy(columnDefaults = m.columnDefaults :+ (name -> d))))
   }
 
@@ -521,6 +530,62 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (removed) writeGrants(dataset, table, cur - (role -> principal))
     removed
   }
+
+  /** DATASET-level IAM bindings (`GRANT ... ON SCHEMA ds`) — the
+    * reference's access-policy inheritance (grants.py:71-106 resolves
+    * policy-sourced principals into every node's desired set): a
+    * binding granted at the dataset applies to EVERY table in it, and
+    * [[effectiveGrants]] serves the union at read time — so a table
+    * created AFTER the grant inherits it too, which a one-shot
+    * materialization into per-table files would miss. Metadata-only,
+    * idempotent, same storage shape as the per-table bindings. */
+  private def datasetGrantsFile(dataset: String): Path =
+    rootPath.resolve(dataset).resolve("_grants.properties")
+
+  def datasetGrants(dataset: String): Seq[(String, String)] = {
+    val f = datasetGrantsFile(dataset)
+    if (!Files.exists(f)) return Seq.empty
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    p.stringPropertyNames().asScala.toSeq.map { k =>
+      val i = k.indexOf('')
+      (k.substring(0, i), k.substring(i + 1))
+    }.sorted
+  }
+
+  def grantDataset(dataset: String, role: String, principal: String): Boolean = {
+    require(Files.isDirectory(rootPath.resolve(dataset)),
+      s"no such dataset: $dataset")
+    val cur = datasetGrants(dataset).toSet
+    val added = !cur(role -> principal)
+    if (added) {
+      val p = new java.util.Properties()
+      (cur + (role -> principal)).foreach { case (r, pr) =>
+        p.setProperty(s"$r$pr", "1") }
+      val out = Files.newOutputStream(datasetGrantsFile(dataset))
+      try p.store(out, null) finally out.close()
+    }
+    added
+  }
+
+  def revokeDataset(dataset: String, role: String, principal: String): Boolean = {
+    val cur = datasetGrants(dataset).toSet
+    val removed = cur(role -> principal)
+    if (removed) {
+      val p = new java.util.Properties()
+      (cur - (role -> principal)).foreach { case (r, pr) =>
+        p.setProperty(s"$r$pr", "1") }
+      val out = Files.newOutputStream(datasetGrantsFile(dataset))
+      try p.store(out, null) finally out.close()
+    }
+    removed
+  }
+
+  /** The table's EFFECTIVE bindings: its own plus the dataset-level
+    * inherited ones — what `SHOW GRANTS ON TABLE` serves. */
+  def effectiveGrants(dataset: String, table: String): Seq[(String, String)] =
+    (grants(dataset, table) ++ datasetGrants(dataset)).distinct.sorted
 
   // ------------------------------------------------------------- views
 
@@ -2083,7 +2148,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       newEntries.foreach(s =>
         Files.deleteIfExists(ZoneMaps.statsPath(td, s.path)))
     }
-    val landed0 = spark.read.parquet(srcFrag.toString)
+    // an EMPTY partitioned source writes zero hive dirs — nothing to
+    // read back, and the replace degrades to a predicate-scoped delete
+    // (the static-partition OVERWRITE truncation path, r15 ADVICE)
+    val landed0 =
+      if (newEntries.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)
+      else spark.read.parquet(srcFrag.toString)
     val landed = m.partitionField.filter(_ => m.hiddenPartition)
       .foldLeft(landed0)(_.drop(_))
     val inserted =

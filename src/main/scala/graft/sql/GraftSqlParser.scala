@@ -30,6 +30,16 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*REVOKE\s+([A-Za-z_]+)\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s+FROM\s+(\S+?)\s*;?\s*""".r
   private val ShowGrantsRe =
     """(?is)\s*SHOW\s+GRANTS\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
+  // Dataset-level bindings (the reference's access-policy inheritance,
+  // grants.py:71-106): a SCHEMA grant applies to every table in the
+  // dataset — see Warehouse.effectiveGrants. Matched BEFORE the table
+  // forms (the table regex cannot match the two-token SCHEMA <name>).
+  private val GrantSchemaRe =
+    """(?is)\s*GRANT\s+([A-Za-z_]+)\s+ON\s+SCHEMA\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TO\s+(\S+?)\s*;?\s*""".r
+  private val RevokeSchemaRe =
+    """(?is)\s*REVOKE\s+([A-Za-z_]+)\s+ON\s+SCHEMA\s+([A-Za-z_][A-Za-z0-9_.]*)\s+FROM\s+(\S+?)\s*;?\s*""".r
+  private val ShowSchemaGrantsRe =
+    """(?is)\s*SHOW\s+GRANTS\s+ON\s+SCHEMA\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
   // Time-travel restore (Delta grammar; semantics = the reference's
   // admin/restore.py flow — in-place, windowed, restore-of-dropped):
   //   RESTORE [TABLE] <t> TO VERSION AS OF <n>
@@ -48,6 +58,19 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case VacuumRe(name, hours) =>
         GraftSql.lookup(spark, name.split('.').toSeq)
           .map(GraftVacuumCommand(_, Option(hours).map(_.toLong)))
+      case GrantSchemaRe(role, name, principal) =>
+        GraftSql.lookupSchema(spark, name)
+          .map { case (wh, ds) =>
+            GraftSchemaGrantCommand(wh, ds, role.toLowerCase, principal,
+              revoke = false) }
+      case RevokeSchemaRe(role, name, principal) =>
+        GraftSql.lookupSchema(spark, name)
+          .map { case (wh, ds) =>
+            GraftSchemaGrantCommand(wh, ds, role.toLowerCase, principal,
+              revoke = true) }
+      case ShowSchemaGrantsRe(name) =>
+        GraftSql.lookupSchema(spark, name)
+          .map { case (wh, ds) => GraftShowSchemaGrantsCommand(wh, ds) }
       case GrantRe(role, name, principal) =>
         GraftSql.lookup(spark, name.split('.').toSeq)
           .map(GraftGrantCommand(_, role.toLowerCase, principal, revoke = false))

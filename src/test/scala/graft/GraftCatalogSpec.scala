@@ -199,13 +199,52 @@ class GraftCatalogSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(blocked)
   }
 
+  test("v2 DML flag: DELETE plans through SupportsDelete, not the interception") {
+    wh.overwrite("d13", "ev",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "a", 40.0))
+        .toDF("id", "s", "v"))
+    spark.conf.set("spark.graft.sql.dml.v2", "true")
+    try {
+      // the interception path returns a deleted_rows column; the v2
+      // DeleteFromTableExec returns an EMPTY schema — that difference
+      // proves which engine planned the statement
+      val out = spark.sql("DELETE FROM graft.d13.ev WHERE s = 'a' AND id >= 2")
+      assert(out.schema.isEmpty, "v2 delete exec must have planned this")
+      assert(spark.sql("SELECT id FROM graft.d13.ev ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      assert(wh.log("d13", "ev").latest.get.action === "delete")
+      // IN / IS NULL / range shapes all convert
+      spark.sql("DELETE FROM graft.d13.ev WHERE id IN (1, 99) OR v > 25.0")
+      assert(spark.sql("SELECT id FROM graft.d13.ev").collect()
+        .map(_.getLong(0)).toSeq === Seq(2L))
+      // an unconvertible predicate refuses loudly (no silent over-delete)
+      intercept[Exception] {
+        spark.sql("DELETE FROM graft.d13.ev WHERE v * 2 > 10")
+      }
+      assert(spark.sql("SELECT count(*) FROM graft.d13.ev").head.getLong(0) === 1L)
+      // MoR routing composes: the v2 delete writes a deletion vector
+      spark.conf.set("spark.graft.sql.dml", "mor")
+      try {
+        spark.sql("DELETE FROM graft.d13.ev WHERE id = 2")
+        assert(wh.log("d13", "ev").latest.get.entries.exists(_.dv.isDefined),
+          "MoR v2 delete must leave the fragment and carry a dv pointer")
+        assert(spark.sql("SELECT count(*) FROM graft.d13.ev").head.getLong(0) === 0L)
+      } finally spark.conf.unset("spark.graft.sql.dml")
+      // registered bare names still intercept (they are not v2 relations)
+      graft.sql.GraftSql.register(spark, "v2dml_reg", wh, "d13", "ev")
+      assert(spark.sql("DELETE FROM v2dml_reg WHERE id = 99").schema.nonEmpty)
+    } finally spark.conf.unset("spark.graft.sql.dml.v2")
+  }
+
   test("a session without the engine extensions refuses loudly, not wrongly") {
     // newSession keeps extensions (clones the state) — simulate the
-    // unsupported path by planning the relation directly
+    // unsupported path by BATCH-planning the relation directly (the
+    // builder itself must exist: the optimizer creates one for
+    // metadata-only DML targets and drops it unused)
     val t = graft.sql.GraftTable(wh, "d2", "t", "graft.d2.t", pinned = None)
     val e = intercept[IllegalStateException] {
       t.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-        java.util.Collections.emptyMap()))
+        java.util.Collections.emptyMap())).build().toBatch
     }
     assert(e.getMessage.contains("GraftExtensions"))
   }

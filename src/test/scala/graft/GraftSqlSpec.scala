@@ -302,6 +302,39 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[Exception] { wh.grant("d", "nope", "reader", "x") }
   }
 
+  test("SCHEMA grants: dataset-level bindings inherit into every table's SHOW GRANTS") {
+    val (wh, n) = fresh("sql_schema_iam")
+    GraftSql.registerDatabase(spark, "iam_ds", wh, "d")
+    assert(spark.sql("GRANT auditor ON SCHEMA iam_ds TO group:audit")
+      .head.getBoolean(0))
+    assert(!spark.sql("GRANT auditor ON SCHEMA iam_ds TO group:audit")
+      .head.getBoolean(0), "idempotent re-grant")
+    // no per-table binding was written; SHOW GRANTS serves the union
+    assert(wh.grants("d", "t") === Seq.empty)
+    assert(spark.sql(s"SHOW GRANTS ON $n").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("auditor", "group:audit")))
+    assert(spark.sql("SHOW GRANTS ON SCHEMA iam_ds").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("auditor", "group:audit")))
+    // a table + dataset binding union, deduped and sorted
+    spark.sql(s"GRANT reader ON $n TO group:analysts")
+    assert(spark.sql(s"SHOW GRANTS ON $n").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("auditor", "group:audit"), ("reader", "group:analysts")))
+    // a table created AFTER the schema grant inherits it
+    spark.sql("CREATE TABLE iam_ds.late AS SELECT 1 AS x")
+    assert(spark.sql("SHOW GRANTS ON iam_ds.late").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("auditor", "group:audit")))
+    // revoke at the dataset removes it everywhere
+    assert(spark.sql("REVOKE auditor ON SCHEMA iam_ds FROM group:audit")
+      .head.getBoolean(0))
+    assert(spark.sql("SHOW GRANTS ON iam_ds.late").collect().isEmpty)
+    // granting on a missing dataset refuses loudly
+    intercept[Exception] { wh.grantDataset("nope", "reader", "x") }
+  }
+
   test("RESTORE TABLE: in-place version/timestamp restore, drop-commit and window refusals") {
     val (wh, n) = fresh("sql_restore")
     spark.sql(s"DELETE FROM $n WHERE id >= 3")

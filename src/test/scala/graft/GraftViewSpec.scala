@@ -73,6 +73,48 @@ class GraftViewSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT * FROM gv.d.tmpv").collect() }
   }
 
+  test("entry-point parity: SQL CREATE VIEW stores the SAME StoredView the ViewCatalog path does") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+    // SQL path, with a column list (aliases + a comment)
+    spark.sql("CREATE VIEW gv.d.par_sql (kk COMMENT 'the key', aa) AS " +
+      "SELECT k, amt FROM gv.d.ev")
+    // ViewCatalog path with the SAME inputs the SQL path captures
+    val (curCat, curNs) = org.apache.spark.sql.GraftBridge.currentContext(spark)
+    val analyzed = spark.sql("SELECT k, amt FROM gv.d.ev").schema
+    val aliased = org.apache.spark.sql.types.StructType(
+      analyzed.fields.zip(Seq("kk", "aa")).map { case (f, a) => f.copy(name = a) })
+    val cat = org.apache.spark.sql.GraftBridge.catalogPlugin(spark, "gv")
+      .get.asInstanceOf[ViewCatalog]
+    cat.createView(new ViewInfo(Identifier.of(Array("d"), "par_api"),
+      "SELECT k, amt FROM gv.d.ev", curCat, curNs.toArray, aliased,
+      analyzed.fieldNames, Array("kk", "aa"), Array("the key", ""),
+      new java.util.HashMap[String, String]()))
+    val sqlV = wh.viewDef("d", "par_sql").get
+    val apiV = wh.viewDef("d", "par_api").get
+    assert(sqlV.copy(sql = apiV.sql) === apiV,
+      s"entry points diverge:\n  sql: $sqlV\n  api: $apiV")
+    // the SQL path captured the real session context, not ""
+    assert(sqlV.currentCatalog === curCat && sqlV.currentNamespace === curNs)
+    // the column list is live on reads: aliased names, both entry points
+    assert(spark.sql("SELECT kk, aa FROM gv.d.par_sql").columns.toSeq ===
+      Seq("kk", "aa"))
+    assert(spark.read.table("gv.d.par_api").columns.toSeq === Seq("kk", "aa"))
+    spark.sql("DROP VIEW gv.d.par_sql")
+    spark.sql("DROP VIEW gv.d.par_api")
+  }
+
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES updates the stored definition") {
+    spark.sql("ALTER VIEW gv.d.big SET TBLPROPERTIES " +
+      "('comment'='amounts, doubled', 'team'='core')")
+    val d = wh.viewDef("d", "big").get
+    assert(d.properties("comment") === "amounts, doubled")
+    assert(d.properties("team") === "core")
+    // the definition itself is untouched — reads still serve
+    assert(spark.sql("SELECT count(*) AS n FROM gv.d.big").head.getLong(0) === 3L)
+    spark.sql("ALTER VIEW gv.d.big UNSET TBLPROPERTIES ('team')")
+    assert(!wh.viewDef("d", "big").get.properties.contains("team"))
+  }
+
   test("a view name refuses DML; SELECT and API reads both resolve it") {
     intercept[Exception] { spark.sql("DELETE FROM gv.d.big WHERE k = 1").collect() }
     assert(spark.sql("SELECT count(*) AS n FROM gv.d.big").head.getLong(0) === 3L)
