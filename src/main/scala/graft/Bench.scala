@@ -258,8 +258,32 @@ object Bench {
     // estimate. A reading still above budget after the re-measure is a
     // real regression; it ships as-is and the budget gate below flags
     // it. Re-measured queries are annotated in "steady_remeasured".
+    //
+    // r15 extension: budget alone is not enough — r15 shipped a 4.87 s
+    // steady for a query whose uncontended truth was 3.65 s, unannotated
+    // because 4.87 < its 6.34 budget. A steady reading that exceeds the
+    // PRIOR round's shipped steady for the same query by >20% now also
+    // triggers the re-measure, so round-over-round steady drift is
+    // either confirmed twice or corrected before it ships. The prior
+    // set is read from the bench_summary.json committed at the last
+    // round close (the file this run overwrites at the end).
+    val priorSteady: Map[String, Double] =
+      try {
+        val f = new java.io.File("bench_summary.json")
+        if (!f.isFile) Map.empty
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+          """"steady"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+            .map(m => """"([^"]+)"\s*:\s*([0-9.]+)""".r
+              .findAllMatchIn(m.group(1))
+              .map(p => p.group(1) -> p.group(2).toDouble).toMap)
+            .getOrElse(Map.empty)
+        }
+      } catch { case _: Throwable => Map.empty }
     val steadyExceeders = steady0.filter { case (n, v) =>
-      budgets.get(n).exists(v > _) }.map(_._1)
+      budgets.get(n).exists(v > _) ||
+        priorSteady.get(n).exists(p => v > p * 1.2)
+    }.map(_._1)
     val steady: Seq[(String, Double)] =
       if (steadyExceeders.isEmpty) steady0
       else {
