@@ -48,11 +48,11 @@ final class GraftRelationSubstitution(spark: SparkSession)
       // stored definition exactly as the parse-time path does (same
       // depth guard; the spliced text re-enters the analyzer)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if u.multipartIdentifier.size == 3 &&
-            GraftSql.lookup(spark, u.multipartIdentifier)
-              .exists(tg => tg.wh.isView(tg.dataset, tg.table)) =>
-        GraftSql.expandView(spark,
-          GraftSql.lookup(spark, u.multipartIdentifier).get)
+          if u.multipartIdentifier.size == 3 =>
+        GraftSql.lookup(spark, u.multipartIdentifier)
+          .filter(tg => tg.wh.isView(tg.dataset, tg.table))
+          .map(GraftSql.expandView(spark, _): LogicalPlan)
+          .getOrElse(u)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
           !dmlTargets.contains(r) =>
         val t = r.table.asInstanceOf[GraftTable]

@@ -954,9 +954,30 @@ final case class GraftCreateViewCommand(t: GraftSql.Target, text: String,
   override def run(spark: SparkSession): Seq[Row] = {
     if (t.wh.isView(t.dataset, t.table) && allowExisting && !replace)
       return Seq.empty
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    // a PERSISTED view must not capture session-temp state (Spark's own
+    // rule for persistent views): the definition would validate against
+    // this session's temp views and break — or silently re-resolve
+    // differently — in the next session. Refuse loudly at CREATE.
+    // CTE names shadow relation names, so they are exempt first.
+    val cteNames: Set[String] = parsed.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    val tempRefs = parsed.collect {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size == 1 &&
+            !cteNames(u.multipartIdentifier.head.toLowerCase) &&
+            scala.util.Try(spark.catalog.getTable(u.multipartIdentifier.head)
+              .isTemporary).getOrElse(false) =>
+        u.multipartIdentifier.head
+    }.distinct
+    require(tempRefs.isEmpty,
+      s"CREATE VIEW ${t.name}: the definition references session-temp " +
+        s"relation(s) ${tempRefs.mkString(", ")} — a persisted view would " +
+        "not survive the session; reference warehouse tables by their " +
+        "catalog-qualified names instead")
     // validate NOW: a bad reference must fail the CREATE, not the reads
-    val analyzed = GraftBridge.ofRows(spark,
-      spark.sessionState.sqlParser.parsePlan(text))
+    val analyzed = GraftBridge.ofRows(spark, parsed)
     require(userCols.isEmpty || userCols.size == analyzed.schema.size,
       s"CREATE VIEW column list has ${userCols.size} names, the query " +
         s"produces ${analyzed.schema.size} columns")

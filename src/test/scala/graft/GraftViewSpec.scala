@@ -115,6 +115,20 @@ class GraftViewSpec extends AnyFunSuite {
     assert(!wh.viewDef("d", "big").get.properties.contains("team"))
   }
 
+  test("a persisted view refuses session-temp references; CTE names are exempt") {
+    Seq((1L, 1.0)).toDF("k", "amt").createOrReplaceTempView("sess_tmp")
+    val e = intercept[Exception] {
+      spark.sql("CREATE VIEW gv.d.overtmp AS SELECT k FROM sess_tmp")
+    }
+    assert(e.getMessage.contains("session-temp"), e.getMessage)
+    assert(!wh.isView("d", "overtmp"))
+    // a CTE that happens to share a temp view's name shadows it — allowed
+    spark.sql("CREATE VIEW gv.d.ctev AS WITH sess_tmp AS " +
+      "(SELECT k FROM gv.d.ev) SELECT k FROM sess_tmp")
+    assert(spark.sql("SELECT count(*) AS n FROM gv.d.ctev").head.getLong(0) === 3L)
+    spark.sql("DROP VIEW gv.d.ctev")
+  }
+
   test("a view name refuses DML; SELECT and API reads both resolve it") {
     intercept[Exception] { spark.sql("DELETE FROM gv.d.big WHERE k = 1").collect() }
     assert(spark.sql("SELECT count(*) AS n FROM gv.d.big").head.getLong(0) === 3L)
