@@ -236,6 +236,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.sql.dml.v2")
   }
 
+  test("TRUNCATE TABLE routes through TruncatableTable (v2-native, no flag)") {
+    wh.overwrite("d14", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    spark.sql("TRUNCATE TABLE graft.d14.t")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.d14.t").head.getLong(0) === 0L)
+    // the truncation is a logged delete commit — time travel keeps v1
+    assert(wh.log("d14", "t").latest.get.action === "delete")
+    assert(wh.readVersion("d14", "t", 1).count() === 2L)
+  }
+
   test("a session without the engine extensions refuses loudly, not wrongly") {
     // newSession keeps extensions (clones the state) — simulate the
     // unsupported path by BATCH-planning the relation directly (the
