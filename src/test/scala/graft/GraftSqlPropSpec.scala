@@ -179,4 +179,64 @@ class GraftSqlPropSpec extends AnyFunSuite {
           sameState(whA, whB) :| "post-merge state diverged"
     }, 25)
   }
+
+  // translatable-to-source-filters predicate subset: the v2 metadata
+  // DELETE path refuses (loudly, spec-gated elsewhere) anything Spark
+  // cannot translate, so the equivalence property quantifies over the
+  // supported surface
+  private val genPredV2: Gen[(String, org.apache.spark.sql.Column)] = Gen.oneOf(
+    Gen.chooseNum(-40L, 40L).map(x => (s"k >= $x", col("k") >= x)),
+    Gen.oneOf(strPool.filter(s => !s.contains("'"))).map(s =>
+      (s"s = '$s'", col("s") === s)),
+    Gen.chooseNum(-50.0, 50.0).map(x => (s"v < $x", col("v") < x)),
+    Gen.const(("s IS NULL", col("s").isNull)),
+    Gen.chooseNum(-40L, 40L).map(x =>
+      (s"k >= $x AND s IS NOT NULL", col("k") >= x && col("s").isNotNull)))
+
+  test("v2 DELETE (spark.graft.sql.dml.v2) ≡ interception DELETE over random predicates") {
+    val root = Files.createTempDirectory("sqlprop_v2").toString
+    spark.conf.set("spark.sql.catalog.pv2",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pv2.root", root)
+    val wh = new Warehouse(spark, root)
+    var i = 0
+    check(Prop.forAllNoShrink(genRows, genPredV2) {
+      case (rows, (predSql, _)) =>
+        i += 1
+        val df = rows.toDF("k", "s", "v")
+        wh.overwrite(s"v$i", "a", df)
+        wh.overwrite(s"v$i", "b", df)
+        spark.conf.set("spark.graft.sql.dml.v2", "true")
+        val v2Out =
+          try spark.sql(s"DELETE FROM pv2.v$i.a WHERE $predSql")
+          finally spark.conf.unset("spark.graft.sql.dml.v2")
+        spark.sql(s"DELETE FROM pv2.v$i.b WHERE $predSql")
+        val l = wh.read(s"v$i", "a").collect().map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.length).toMap
+        val r = wh.read(s"v$i", "b").collect().map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.length).toMap
+        v2Out.schema.isEmpty :| "v2 exec must have planned the flagged path" &&
+          (l == r) :| "v2 vs interception state diverged"
+    }, 25)
+  }
+
+  test("RESTORE TO VERSION AS OF returns exactly the captured snapshot state") {
+    check(Prop.forAllNoShrink(genRows, genPred, genPred, Gen.chooseNum(0, 2)) {
+      case (rows, (p1, _), (p2, _), pick) =>
+        val (whA, name, _) = pair(rows)
+        def state(): Map[Seq[Any], Int] =
+          whA.read("d", "t").collect().map(_.toSeq)
+            .groupBy(identity).view.mapValues(_.length).toMap
+        def version(): Int = whA.log("d", "t").latest.get.version
+        val snaps = scala.collection.mutable.ArrayBuffer[(Int, Map[Seq[Any], Int])]()
+        snaps += version() -> state()
+        spark.sql(s"DELETE FROM $name WHERE $p1")
+        snaps += version() -> state()
+        spark.sql(s"UPDATE $name SET v = v + 1 WHERE $p2")
+        snaps += version() -> state()
+        val (tv, want) = snaps(pick)
+        spark.sql(s"RESTORE TABLE $name TO VERSION AS OF $tv")
+        (state() == want) :| s"restore to v$tv diverged from the captured state"
+    }, 20)
+  }
 }
