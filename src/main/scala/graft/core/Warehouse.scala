@@ -1901,6 +1901,25 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         "discardStaged() first")
   }
 
+  /** Metadata-only TRUNCATE: one 'delete' commit with ZERO entries — no
+    * scan, no count job, no empty-replacement write (a
+    * `deleteWhere(lit(true))` routing would open EVERY fragment to count
+    * its rows and rewrite empty keeps; at warehouse scale TRUNCATE must
+    * cost one manifest line). Time travel keeps the pre-truncate
+    * snapshot until vacuum; the pinned schema survives, so the empty
+    * table still DESCRIBEs and accepts schema-checked writes. The v2
+    * `TRUNCATE TABLE` exec lands here via [[graft.sql.GraftTable]]. */
+  def truncate(dataset: String, table: String): Unit = {
+    refuseWhileStaged(dataset, table, "truncate")
+    val lg = log(dataset, table)
+    lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    lg.commitWithSchema("delete", _ => Seq.empty,
+      cur => cur.filter(!_.isDrop).flatMap(_.schemaDdl)
+        .orElse(schemaDdl(dataset, table)))
+    ()
+  }
+
   def deleteWhere(dataset: String, table: String, pred: Column): DeleteResult = {
     refuseWhileStaged(dataset, table, "deleteWhere")
     val m = meta(dataset, table)

@@ -405,6 +405,14 @@ final case class GraftTable(wh: Warehouse, dataset: String, table: String,
     ()
   }
 
+  /** `TRUNCATE TABLE` — metadata-only (one zero-entry commit), never the
+    * scan-and-count shape a delete-everything predicate would pay. */
+  override def truncateTable(): Boolean = {
+    require(pinned.isEmpty, s"cannot TRUNCATE a time-travel snapshot of $fullName")
+    wh.truncate(dataset, table)
+    true
+  }
+
   /** Snapshot the read resolves to — the pinned commit for time travel,
     * the CURRENT commit otherwise. */
   private def commit: Option[SnapshotLog.Commit] = {

@@ -236,13 +236,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.sql.dml.v2")
   }
 
-  test("TRUNCATE TABLE routes through TruncatableTable (v2-native, no flag)") {
+  test("TRUNCATE TABLE routes through TruncatableTable (v2-native, metadata-only)") {
     wh.overwrite("d14", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
     spark.sql("TRUNCATE TABLE graft.d14.t")
     assert(spark.sql("SELECT count(*) AS n FROM graft.d14.t").head.getLong(0) === 0L)
-    // the truncation is a logged delete commit — time travel keeps v1
-    assert(wh.log("d14", "t").latest.get.action === "delete")
+    // METADATA-ONLY: one zero-entry delete commit — no scan, no
+    // empty-replacement write; time travel keeps v1; schema survives
+    val c = wh.log("d14", "t").latest.get
+    assert(c.action === "delete" && c.entries.isEmpty)
     assert(wh.readVersion("d14", "t", 1).count() === 2L)
+    assert(wh.schema("d14", "t").fieldNames.toSeq === Seq("id", "s"))
+    // the empty table still accepts schema-checked writes
+    spark.sql("INSERT INTO graft.d14.t VALUES (3, 'c')")
+    assert(spark.sql("SELECT id FROM graft.d14.t").head.getLong(0) === 3L)
   }
 
   test("a session without the engine extensions refuses loudly, not wrongly") {
