@@ -76,16 +76,15 @@ object Migrate {
       else Nil)
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"cannot rename: ${bad.mkString("; ")}")
-    var copied = false
-    var dropped = false
+    var moved = false
     var viewed = false
     try {
-      wh.copy(oldDs, oldTable, newDs, newTable)
-      copied = true
-      wh.grants(oldDs, oldTable)
-        .foreach { case (r, p) => wh.grant(newDs, newTable, r, p) }
-      wh.drop(oldDs, oldTable)
-      dropped = true
+      // METADATA-ONLY: one directory move — grants, zone sidecars and
+      // the full commit history travel with the table (time travel
+      // keeps working under the new name; a copy-based rename would
+      // both pay O(data) and reset the new name's lineage to v1)
+      wh.moveTable(oldDs, oldTable, newDs, newTable)
+      moved = true
       wh.createView(oldDs, oldTable, graft.core.StoredView(
         sql = s"SELECT * FROM $newRef",
         currentCatalog = currentCatalog,
@@ -101,8 +100,7 @@ object Migrate {
         // compensate in reverse — never mask the original failure
         try {
           if (viewed) wh.dropView(oldDs, oldTable)
-          if (dropped) wh.copy(newDs, newTable, oldDs, oldTable)
-          if (copied) wh.drop(newDs, newTable)
+          if (moved) wh.moveTable(newDs, newTable, oldDs, oldTable)
         } catch { case _: Exception => () }
         throw e
     }

@@ -3657,6 +3657,24 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** S8 — table copy: fragments are immutable, so the copy physically
     * clones them into the destination's data pool (a filesystem copy, no
     * recompute — the analog of a server-side copy job). */
+  /** Metadata-only table RENAME/MOVE: the whole table directory
+    * (fragments, snapshot log, zone sidecars, grants, meta) relocates
+    * with ONE filesystem move — O(1) in data size at any scale, and the
+    * commit HISTORY travels with it (Delta/Iceberg rename semantics:
+    * time travel keeps working under the new name, unlike a copy-based
+    * rename which would reset the new name's lineage to v1). Sound
+    * because every snapshot-log entry path is tableDir-RELATIVE. */
+  def moveTable(srcDataset: String, srcTable: String,
+                dstDataset: String, dstTable: String): Unit = {
+    require(exists(srcDataset, srcTable) && !isView(srcDataset, srcTable),
+      s"no such table: $srcDataset.$srcTable")
+    require(!exists(dstDataset, dstTable) && !isView(dstDataset, dstTable),
+      s"$dstDataset.$dstTable already exists")
+    ensureDataset(dstDataset)
+    Files.move(tableDir(srcDataset, srcTable), tableDir(dstDataset, dstTable))
+    ()
+  }
+
   def copy(srcDataset: String, srcTable: String,
            dstDataset: String, dstTable: String): Unit = {
     val c = log(srcDataset, srcTable).latest.filter(!_.isDrop).getOrElse(

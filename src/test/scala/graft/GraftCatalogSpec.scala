@@ -174,6 +174,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.d11.olds").head.getLong(0) === 3L)
     assert(wh.viewDef("d11", "olds").get.properties("comment")
       .contains("DEPRECATED"))
+    // the rename is a METADATA move: the commit history travels with
+    // the table — time travel keeps working under the new name
+    assert(wh.readVersion("d11", "news", 1).count() === 2L)
+    assert(spark.sql("DESCRIBE HISTORY graft.d11.news")
+      .select("action").collect().map(_.getString(0)).head === "write")
     // renaming onto an existing name refuses loudly
     wh.overwrite("d11", "taken", Seq((9L, "z")).toDF("k", "v"))
     val e = intercept[Exception] {
