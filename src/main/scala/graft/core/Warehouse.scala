@@ -3663,7 +3663,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * commit HISTORY travels with it (Delta/Iceberg rename semantics:
     * time travel keeps working under the new name, unlike a copy-based
     * rename which would reset the new name's lineage to v1). Sound
-    * because every snapshot-log entry path is tableDir-RELATIVE. */
+    * because every snapshot-log entry path is tableDir-RELATIVE.
+    *
+    * Concurrency: rename is an administrative operation — a writer
+    * racing the move either lands before it (its commit travels with
+    * the directory) or fails/strands against the vanished old path,
+    * the same exposure the previous copy+drop rename had (a
+    * mid-rename commit to the old name landed after its drop). Quiesce
+    * writers around renames, as with any catalog-level move. */
   def moveTable(srcDataset: String, srcTable: String,
                 dstDataset: String, dstTable: String): Unit = {
     require(exists(srcDataset, srcTable) && !isView(srcDataset, srcTable),
