@@ -45,16 +45,17 @@ object Migrate {
                                    grantsMerged: Seq[Grant])
 
   /** RENAME `old` → `new` (the reference's atomic migrate applied to a
-    * rename, `bigquery.py:947-950` + the :737-801 flow): copy the table
-    * to its new name, carry the grants over, then replace the old name
-    * with a live DEPRECATED redirect VIEW onto the new one — readers of
+    * rename, `bigquery.py:947-950` + the :737-801 flow): a METADATA-ONLY
+    * directory move ([[graft.core.Warehouse.moveTable]] — grants, zone
+    * sidecars and the full commit history travel, O(1) in data size),
+    * then a live DEPRECATED redirect VIEW at the old name — readers of
     * the old name keep working and see the new table's CURRENT data (a
     * view, not a frozen copy, so post-rename writes show through).
-    * Compensating rollback on mid-flight failure: the old table is
-    * restored (re-copied from the new name if it was already dropped)
-    * and the partial copy is removed. Throws on precondition failures —
-    * this is the catalog-DDL entry point
-    * ([[graft.sql.GraftCatalog.renameTable]]), where Spark expects
+    * Compensating rollback on mid-flight failure: any partial view
+    * artifacts at the vacated old path are removed and the directory
+    * moves back — the old table is intact because the move never copies.
+    * Throws on precondition failures — this is the catalog-DDL entry
+    * point ([[graft.sql.GraftCatalog.renameTable]]), where Spark expects
     * exceptions, not result objects.
     *
     * `newRef` is the name the redirect view's SQL embeds — the caller
@@ -73,11 +74,19 @@ object Migrate {
       else Nil) ++
       (if (wh.isView(newDs, newTable) || state(wh, newDs, newTable) != Missing)
         Seq(s"$newDs.$newTable already exists")
+      else if (wh.droppedHistoryAt(newDs, newTable))
+        // CREATE TABLE can reuse a dropped name (it appends to the
+        // surviving log) but a directory MOVE cannot merge histories,
+        // and the dropped history must stay at its name for
+        // restore-of-dropped — refuse here with a catalog-level error
+        // instead of leaking moveTable's filesystem exception
+        Seq(s"$newDs.$newTable: a dropped table or view's history " +
+          "occupies that name for the time-travel window — pick another " +
+          "name or vacuum the old history first")
       else Nil)
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"cannot rename: ${bad.mkString("; ")}")
     var moved = false
-    var viewed = false
     try {
       // METADATA-ONLY: one directory move — grants, zone sidecars and
       // the full commit history travel with the table (time travel
@@ -94,16 +103,34 @@ object Migrate {
         columnComments = Seq.empty,
         properties = Map("comment" ->
           s"$DeprecationMessage: use $newDs.$newTable")), orReplace = false)
-      viewed = true
     } catch {
       case e: Exception =>
-        // compensate in reverse — never mask the original failure
-        try {
-          if (viewed) wh.dropView(oldDs, oldTable)
-          if (moved) wh.moveTable(newDs, newTable, oldDs, oldTable)
-        } catch { case _: Exception => () }
+        if (moved) {
+          try rollbackRename(wh, oldDs, oldTable, newDs, newTable)
+          catch {
+            // a failed rollback strands the table at the NEW name — the
+            // caller must know, so it rides as a suppressed exception
+            // instead of being silently swallowed (the original failure
+            // alone would read as "nothing changed")
+            case r: Exception => e.addSuppressed(r)
+          }
+        }
         throw e
     }
+  }
+
+  /** Compensation for a rename that failed AFTER the directory move:
+    * clear any partial redirect-view artifacts from the vacated old path
+    * (a half-written view file / entry-less view log — anything else
+    * there fail-louds, see [[graft.core.Warehouse.removePartialView]]),
+    * then move the directory back. Package-visible so the spec can
+    * exercise it against hand-built partial states — the mid-createView
+    * failure window is not reachable deterministically from the outside. */
+  private[graft] def rollbackRename(wh: Warehouse,
+                                    oldDs: String, oldTable: String,
+                                    newDs: String, newTable: String): Unit = {
+    wh.removePartialView(oldDs, oldTable)
+    wh.moveTable(newDs, newTable, oldDs, oldTable)
   }
 
   /** Migrate `old` → `new`: backup, redirect, grant merge; compensate on

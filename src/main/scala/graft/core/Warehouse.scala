@@ -468,6 +468,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       schemaDdl = Some(renamed.toDDL))
   }
 
+
   /** Descriptions-sync write path (J4, descriptions.py:147-172): apply
     * dotted-path column descriptions into the declared schema's metadata.
     * DDL round-trips COMMENT, so comments survive restarts and copies. */
@@ -491,8 +492,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private def grantsFile(dataset: String, table: String): Path =
     tableDir(dataset, table).resolve("_grants.properties")
 
-  def grants(dataset: String, table: String): Seq[(String, String)] = {
-    val f = grantsFile(dataset, table)
+  /** One storage format for BOTH binding stores (per-table and
+    * per-dataset): `<role><principal>` property keys. The table
+    * and dataset variants below delegate here so a format or escaping
+    * change lands in exactly one place. */
+  private def readGrantsFile(f: Path): Seq[(String, String)] = {
     if (!Files.exists(f)) return Seq.empty
     val p = new java.util.Properties()
     val in = Files.newInputStream(f)
@@ -503,13 +507,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }.sorted
   }
 
-  private def writeGrants(dataset: String, table: String,
-                          gs: Set[(String, String)]): Unit = {
+  private def writeGrantsFile(f: Path, gs: Set[(String, String)]): Unit = {
     val p = new java.util.Properties()
     gs.foreach { case (r, pr) => p.setProperty(s"$r$pr", "1") }
-    val out = Files.newOutputStream(grantsFile(dataset, table))
+    val out = Files.newOutputStream(f)
     try p.store(out, null) finally out.close()
   }
+
+  def grants(dataset: String, table: String): Seq[(String, String)] =
+    readGrantsFile(grantsFile(dataset, table))
+
+  private def writeGrants(dataset: String, table: String,
+                          gs: Set[(String, String)]): Unit =
+    writeGrantsFile(grantsFile(dataset, table), gs)
 
   /** Returns true iff the binding was ADDED (false = already present). */
   def grant(dataset: String, table: String, role: String,
@@ -542,43 +552,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private def datasetGrantsFile(dataset: String): Path =
     rootPath.resolve(dataset).resolve("_grants.properties")
 
-  def datasetGrants(dataset: String): Seq[(String, String)] = {
-    val f = datasetGrantsFile(dataset)
-    if (!Files.exists(f)) return Seq.empty
-    val p = new java.util.Properties()
-    val in = Files.newInputStream(f)
-    try p.load(in) finally in.close()
-    p.stringPropertyNames().asScala.toSeq.map { k =>
-      val i = k.indexOf('')
-      (k.substring(0, i), k.substring(i + 1))
-    }.sorted
-  }
+  def datasetGrants(dataset: String): Seq[(String, String)] =
+    readGrantsFile(datasetGrantsFile(dataset))
 
   def grantDataset(dataset: String, role: String, principal: String): Boolean = {
     require(Files.isDirectory(rootPath.resolve(dataset)),
       s"no such dataset: $dataset")
     val cur = datasetGrants(dataset).toSet
     val added = !cur(role -> principal)
-    if (added) {
-      val p = new java.util.Properties()
-      (cur + (role -> principal)).foreach { case (r, pr) =>
-        p.setProperty(s"$r$pr", "1") }
-      val out = Files.newOutputStream(datasetGrantsFile(dataset))
-      try p.store(out, null) finally out.close()
-    }
+    if (added) writeGrantsFile(datasetGrantsFile(dataset), cur + (role -> principal))
     added
   }
 
   def revokeDataset(dataset: String, role: String, principal: String): Boolean = {
     val cur = datasetGrants(dataset).toSet
     val removed = cur(role -> principal)
-    if (removed) {
-      val p = new java.util.Properties()
-      (cur - (role -> principal)).foreach { case (r, pr) =>
-        p.setProperty(s"$r$pr", "1") }
-      val out = Files.newOutputStream(datasetGrantsFile(dataset))
-      try p.store(out, null) finally out.close()
-    }
+    if (removed) writeGrantsFile(datasetGrantsFile(dataset), cur - (role -> principal))
     removed
   }
 
@@ -3663,7 +3652,21 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * commit HISTORY travels with it (Delta/Iceberg rename semantics:
     * time travel keeps working under the new name, unlike a copy-based
     * rename which would reset the new name's lineage to v1). Sound
-    * because every snapshot-log entry path is tableDir-RELATIVE.
+    * because every snapshot-log entry path is tableDir-RELATIVE — with
+    * one exception that gets its own guard: a zero-copy CLONE of this
+    * table holds ABSOLUTE paths into this directory ([[cloneTable]]'s
+    * reroot), so moving a table with live clone pins would dangle every
+    * clone (or worse, point them at whatever is later renamed into the
+    * vacated path) — refused until the clones are dropped or
+    * materialized with [[copy]]. Moving a table that IS a clone is fine:
+    * its foreign refs are absolute into the (unmoved) source, and its
+    * `_clone_of` pin record travels with the directory.
+    *
+    * A DROPPED table or view at the destination also refuses: its
+    * directory (history) must stay at its name for the time-travel
+    * window — restore-of-dropped resolves by name — so the move cannot
+    * land there even though `CREATE TABLE` could (a create appends to
+    * the surviving log; a directory move cannot merge histories).
     *
     * Concurrency: rename is an administrative operation — a writer
     * racing the move either lands before it (its commit travels with
@@ -3677,9 +3680,44 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       s"no such table: $srcDataset.$srcTable")
     require(!exists(dstDataset, dstTable) && !isView(dstDataset, dstTable),
       s"$dstDataset.$dstTable already exists")
+    val livePins = log(srcDataset, srcTable).tags.keys
+      .filter(_.startsWith("clone-")).toSeq.sorted
+    require(livePins.isEmpty,
+      s"cannot move $srcDataset.$srcTable: zero-copy clone(s) " +
+        s"${livePins.map(_.stripPrefix("clone-")).mkString(", ")} reference " +
+        "its fragments by absolute path — drop them or materialize them " +
+        "with copy() first")
+    if (Files.exists(tableDir(dstDataset, dstTable)))
+      throw new IllegalStateException(
+        s"cannot move to $dstDataset.$dstTable: a dropped table or view's " +
+          "history occupies that name for the time-travel window " +
+          "(restore-of-dropped resolves by name) — pick another name or " +
+          "vacuum the old history first")
     ensureDataset(dstDataset)
     Files.move(tableDir(srcDataset, srcTable), tableDir(dstDataset, dstTable))
     ()
+  }
+
+  /** True iff a dropped table or view's surviving directory occupies
+    * `dataset.table` — the name reads as free (`exists` and `isView`
+    * both false) but [[moveTable]] cannot land there; callers that want
+    * a friendlier error than moveTable's check this first. */
+  def droppedHistoryAt(dataset: String, table: String): Boolean =
+    Files.exists(tableDir(dataset, table)) &&
+      !exists(dataset, table) && !isView(dataset, table)
+
+  /** Rollback helper for [[graft.admin.Migrate.renameTable]]: remove a
+    * PARTIALLY-CREATED view at a name whose directory was just vacated
+    * by [[moveTable]]. Fail-loud if the directory holds any commit WITH
+    * entries (table data) — by construction a partial `createView` can
+    * only have written the view file and an entry-less log, so this can
+    * never destroy table history. */
+  private[graft] def removePartialView(dataset: String, name: String): Unit = {
+    val dir = tableDir(dataset, name)
+    if (!Files.exists(dir)) return
+    require(log(dataset, name).commits.forall(_.entries.isEmpty),
+      s"$dataset.$name: directory holds data commits — not a partial view")
+    deleteRecursive(dir)
   }
 
   def copy(srcDataset: String, srcTable: String,
@@ -3700,6 +3738,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val c = log(dataset, table).asOf(tsMillis).getOrElse(
       throw new IllegalArgumentException(s"no snapshot of $dataset.$table at $tsMillis"))
     require(!c.isDrop, s"$dataset.$table was already dropped at $tsMillis")
+    require(c.action != "view",
+      s"cannot restore $dataset.$table: the snapshot at $tsMillis is a " +
+        "view definition, not table data — use CREATE VIEW to recreate it")
     copyCommit(dataset, table, c, dstDataset, dstTable)
   }
 
@@ -3738,6 +3779,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     require(!c.isDrop,
       s"$dataset.$table: version ${c.version} is a drop commit — restore " +
         "to a live version instead")
+    // a view's lineage is definition commits, not data: restoring one
+    // (live or dropped) would resurrect the name as a silently-empty
+    // TABLE — the same empty-frame failure class view time travel
+    // refuses. Recreate the view with CREATE VIEW instead.
+    require(c.action != "view" && !isView(dataset, table),
+      s"cannot RESTORE $dataset.$table: it is a view (version " +
+        s"${c.version} is a view-definition commit) — use CREATE VIEW " +
+        "to recreate it")
     log(dataset, table).commit("restore", c.entries, schemaDdl = c.schemaDdl)
     // the schema sidecar reverts with the data: a post-snapshot ALTER
     // must not leak into the restored state

@@ -338,11 +338,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `ALTER TABLE ... RENAME TO ...` — the reference's atomic migrate
-    * ([[graft.admin.Migrate.renameTable]], `bigquery.py:947-950`): copy
-    * to the new name, carry grants, leave a DEPRECATED redirect view at
-    * the old name (live — post-rename writes show through), compensating
-    * rollback on mid-flight failure. Visible to the very next statement:
-    * loadTable reads the log directly, nothing is cached. */
+    * ([[graft.admin.Migrate.renameTable]], `bigquery.py:947-950`): a
+    * metadata-only directory move (grants and commit history travel,
+    * O(1) in data size) plus a DEPRECATED redirect view at the old name
+    * (live — post-rename writes show through), compensating rollback on
+    * mid-flight failure. Visible to the very next statement: loadTable
+    * reads the log directly, nothing is cached. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val (ods, ot) = split(oldIdent)
     val (nds, nt) = split(newIdent)

@@ -958,18 +958,30 @@ final case class GraftCreateViewCommand(t: GraftSql.Target, text: String,
     // a PERSISTED view must not capture session-temp state (Spark's own
     // rule for persistent views): the definition would validate against
     // this session's temp views and break — or silently re-resolve
-    // differently — in the next session. Refuse loudly at CREATE.
-    // CTE names shadow relation names, so they are exempt first.
-    val cteNames: Set[String] = parsed.collect {
+    // differently — in the next session. Refuse loudly at CREATE. The
+    // walk must descend into subquery expressions (EXISTS/IN/scalar
+    // subqueries reference relations too), and 2-part global_temp.<v>
+    // refs are just as session-scoped as bare temp names. CTE names
+    // shadow relation names, so they are exempt first — collected
+    // across all scopes, a deliberately coarse approximation (a CTE in
+    // one subquery exempts the same name elsewhere) that can only
+    // under-refuse, never reject a valid definition.
+    val globalTempDb = spark.conf.get(
+      "spark.sql.globalTempDatabase", "global_temp").toLowerCase
+    val cteNames: Set[String] = parsed.collectWithSubqueries {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet
-    val tempRefs = parsed.collect {
+    val tempRefs = parsed.collectWithSubqueries {
       case u: UnresolvedRelation
           if u.multipartIdentifier.size == 1 &&
             !cteNames(u.multipartIdentifier.head.toLowerCase) &&
             scala.util.Try(spark.catalog.getTable(u.multipartIdentifier.head)
               .isTemporary).getOrElse(false) =>
         u.multipartIdentifier.head
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size == 2 &&
+            u.multipartIdentifier.head.toLowerCase == globalTempDb =>
+        u.multipartIdentifier.mkString(".")
     }.distinct
     require(tempRefs.isEmpty,
       s"CREATE VIEW ${t.name}: the definition references session-temp " +
