@@ -51,6 +51,16 @@ final case class TableMeta(
       * is ever rewritten. Fragments that HAVE the column (including
       * explicit NULLs) are untouched. */
     columnDefaults: Seq[(String, String)] = Nil,
+    /** Columns DROPPED metadata-only (`name -> version of the drop
+      * commit`, appended by [[Warehouse.dropColumn]]): fragments keep
+      * the physical bytes, the pinned commit schema stops naming the
+      * column, and every read path projects it away. Tracked so
+      * [[Warehouse.addColumn]] can refuse re-adding the name while any
+      * pre-drop fragment survives — without field IDs a forced-schema
+      * read would otherwise resurrect the old bytes as the new
+      * column's values. Entries clear when the name is safely
+      * re-added. */
+    droppedColumns: Seq[(String, Int)] = Nil,
     /** Monotonic partition-spec version, bumped by
       * [[Warehouse.evolvePartitionSpec]]. Entries are stamped with the
       * spec they were written under; transform pruning only trusts
@@ -203,6 +213,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .map(_.split(";").toSeq.map { kv =>
           val i = kv.indexOf('>'); (kv.substring(0, i), kv.substring(i + 1))
         }).getOrElse(Nil),
+      droppedColumns = Option(p.getProperty("column.dropped")).filter(_.nonEmpty)
+        .map(_.split(";").toSeq.map { kv =>
+          val i = kv.lastIndexOf('>')
+          (kv.substring(0, i), kv.substring(i + 1).toInt)
+        }).getOrElse(Nil),
       uniqueKey = Option(p.getProperty("constraints.uniqueKey"))
         .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
       partitionTransform = Option(p.getProperty("partition.transform"))
@@ -237,6 +252,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     p.setProperty("partition.zone", m.partitionZone.getOrElse(""))
     p.setProperty("column.renames",
       m.columnRenames.map { case (o, n) => s"$o>$n" }.mkString(";"))
+    p.setProperty("column.dropped",
+      m.droppedColumns.map { case (n, v) => s"$n>$v" }.mkString(";"))
     m.columnDefaults.foreach { case (name, sql) =>
       p.setProperty(s"default.$name", sql)
     }
@@ -328,6 +345,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
     val sch = schema(dataset, table)
     require(!sch.fieldNames.contains(name), s"column already exists: $name")
+    // re-adding a DROPPED name is only safe once no pre-drop fragment
+    // survives: their physical bytes would read back as the "new"
+    // column's values (no field IDs to disambiguate — the same reason
+    // Iceberg re-adds under a fresh ID). Compaction/overwrite clears it.
+    meta(dataset, table).droppedColumns.filter(_._1 == name).lastOption
+      .foreach { case (_, dv) =>
+        val atDrop = lg.version(dv).map(_.entries.map(_.path).toSet)
+          .getOrElse(Set.empty[String])
+        val surviving = cur.entries.map(_.path).count(atDrop)
+        require(surviving == 0,
+          s"column '$name' was dropped at v$dv and $surviving pre-drop " +
+            "fragment(s) still hold its bytes — OPTIMIZE or overwrite " +
+            "the table first, or choose a new name")
+      }
     val dt = StructType.fromDDL(s"`$name` $typeDdl").fields.head.dataType
     val foldedDefault: Option[String] = defaultSql.map { d =>
       val e = spark.sessionState.sqlParser.parseExpression(d)
@@ -375,8 +406,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     writeSchemaDdlMerged(dataset, table,
       StructType.fromDDL(c.schemaDdl.get), additive = true)
     val m = meta(dataset, table)
-    foldedDefault.foreach(d => setMeta(dataset, table,
-      m.copy(columnDefaults = m.columnDefaults :+ (name -> d))))
+    val cleared = m.droppedColumns.filterNot(_._1 == name) // name lives again
+    if (foldedDefault.isDefined || cleared != m.droppedColumns)
+      setMeta(dataset, table, m.copy(
+        columnDefaults = foldedDefault.fold(m.columnDefaults)(d =>
+          m.columnDefaults :+ (name -> d)),
+        droppedColumns = cleared))
   }
 
   /** EXPLICIT type-widening evolution (the declarative twin of the
@@ -468,6 +503,56 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       schemaDdl = Some(renamed.toDDL))
   }
 
+  /** METADATA-ONLY `DROP COLUMN` (Delta/Iceberg semantics): one `alter`
+    * commit pins the schema WITHOUT the column; no fragment is
+    * rewritten at any scale. Every read path already projects exactly
+    * the pinned commit schema, so the physical bytes stop surfacing
+    * immediately — and a time-travel read before this commit serves the
+    * column from its own pinned schema. The drop is recorded in
+    * [[TableMeta.droppedColumns]] so [[addColumn]] can refuse re-using
+    * the name while pre-drop fragments survive (their bytes would
+    * resurrect as the "new" column); compaction/overwrite clears that.
+    * The column's default and NOT NULL declarations clear with it;
+    * partition/unique/clustering membership and CHECK references refuse
+    * — drop or re-declare those first, as with [[renameColumn]]. */
+  def dropColumn(dataset: String, table: String, name: String): Unit = {
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val m = meta(dataset, table)
+    require(!m.partitionField.contains(name),
+      s"cannot drop partition column '$name'")
+    require(!m.partitionSource.contains(name),
+      s"cannot drop '$name': a hidden partition derives from it")
+    require(!m.uniqueKey.contains(name),
+      s"cannot drop '$name': it is part of the UNIQUE key")
+    require(!m.clusteringFields.contains(name),
+      s"cannot drop clustering field '$name'; re-declare clustering first")
+    m.checkConstraints.foreach { case (n, sql) =>
+      require(!sql.contains(name),
+        s"CHECK constraint '$n' references '$name'; drop it first")
+    }
+    val sch = schema(dataset, table)
+    require(sch.fieldNames.contains(name), s"no such column: $name")
+    require(sch.fields.length > 1, s"cannot drop the only column '$name'")
+    val c = lg.commitWithSchema("alter",
+      cur2 => cur2.filter(!_.isDrop).map(_.entries).getOrElse(cur.entries),
+      cur2 => {
+        val base = cur2.flatMap(_.schemaDdl).map(StructType.fromDDL)
+          .getOrElse(sch)
+        require(base.fieldNames.contains(name), s"no such column: $name")
+        Some(StructType(base.fields.filterNot(_.name == name)).toDDL)
+      })
+    // the sidecar NARROWS to the pinned commit schema (not an additive
+    // merge — the point is removal); the CAS-pinned commit remains the
+    // source of truth if an evolution raced this drop
+    writeSchemaDdl(dataset, table, StructType.fromDDL(c.schemaDdl.get))
+    val m2 = meta(dataset, table)
+    setMeta(dataset, table, m2.copy(
+      columnDefaults = m2.columnDefaults.filterNot(_._1 == name),
+      notNullColumns = m2.notNullColumns.filterNot(_ == name),
+      droppedColumns = m2.droppedColumns :+ (name -> c.version)))
+  }
 
   /** Descriptions-sync write path (J4, descriptions.py:147-172): apply
     * dotted-path column descriptions into the declared schema's metadata.

@@ -2589,8 +2589,56 @@ object EngineQueries {
       |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ q94 drop column
+
+  /** Metadata-only `ALTER TABLE ... DROP COLUMN` (Delta/Iceberg
+    * semantics, [[graft.core.Warehouse.dropColumn]]): the drop is ONE
+    * schema-pin commit over the SAME fragment set — `require`d in-query
+    * — the column stops surfacing immediately, a time-travel read
+    * before the drop still serves it, and re-adding the name refuses
+    * while pre-drop fragments hold its bytes (no field IDs — the
+    * resurrected-values hazard Iceberg solves with fresh IDs). */
+  def q94DropColumn(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"g94c${qCatN.incrementAndGet()}"
+    val root = scratch("graft_dropcol")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val wh = new Warehouse(spark, root)
+    val t = s"$cat.mart.dtab"
+    wh.overwrite("mart", "dtab", Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_tax"),
+        col("l_discount")))
+    val entriesV1 = wh.log("mart", "dtab").latest.get.entries.map(_.path)
+    spark.sql(s"ALTER TABLE $t DROP COLUMN l_discount")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN IF EXISTS l_tax")
+    val c = wh.log("mart", "dtab").latest.get
+    require(c.action == "alter" && c.entries.map(_.path) == entriesV1,
+      "DROP COLUMN must be metadata-only: same fragment set, alter commit")
+    require(spark.sql(s"SELECT * FROM $t").columns.toSeq ==
+      Seq("l_returnflag", "l_quantity"),
+      "dropped columns must stop surfacing immediately")
+    require(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").columns
+      .contains("l_discount"),
+      "time travel before the drop must still serve the column")
+    val readd = scala.util.Try(wh.addColumn("mart", "dtab", "l_tax", "DOUBLE"))
+    require(readd.isFailure &&
+        readd.failed.get.getMessage.contains("pre-drop"),
+      s"re-adding a dropped name over live pre-drop fragments must " +
+        s"refuse, got $readd")
+    spark.sql(s"""SELECT l_returnflag AS rf, count(*) AS n,
+      |round(sum(l_quantity), 2) AS qty
+      |FROM $t GROUP BY l_returnflag""".stripMargin)
+  }
+
+  val q94Sql: String =
+    """SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_v2_dml" -> (q93V2Dml _),
+    "q94_drop_column" -> (q94DropColumn _),
     "q83_stream_table_source" -> (q83StreamTableSource _),
     "q85_type_widening" -> (q85TypeWidening _),
     "q86_stream_sink" -> (q86StreamSink _),
@@ -2657,6 +2705,7 @@ object EngineQueries {
     "q90_views" -> q90Sql,
     "q91_sql_grants" -> q91Sql,
     "q92_restore" -> q92Sql,
+    "q94_drop_column" -> q94Sql,
     "q93_v2_dml" -> q93Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,

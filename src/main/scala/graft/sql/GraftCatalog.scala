@@ -325,6 +325,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(c.fieldNames.length == 1,
           "warehouse COMMENT supports top-level columns only")
         wh.setColumnDescriptions(ds, t, Map(c.fieldNames.head -> c.newComment))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "warehouse DROP COLUMN supports top-level columns only")
+        if (!d.ifExists || wh.schema(ds, t).fieldNames.contains(d.fieldNames.head))
+          wh.dropColumn(ds, t, d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }

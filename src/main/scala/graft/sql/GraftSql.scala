@@ -338,6 +338,17 @@ object GraftSql {
             GraftRenameColumnCommand(tg, col.name.head, newName)
           case None => r
         }
+      case dc @ DropColumns(child, cols, ifExists) =>
+        identOf(child).flatMap(lookupLocal(spark, _)) match {
+          case Some(tg) =>
+            val names = cols.map { c =>
+              if (c.name.size != 1) throw new IllegalArgumentException(
+                "warehouse DROP COLUMN supports top-level columns only")
+              c.name.head
+            }
+            GraftDropColumnsCommand(tg, names, ifExists)
+          case None => dc
+        }
       case dh @ DescribeColumn(rel, colExpr, _, _) =>
         // `DESCRIBE HISTORY t` parses as DescribeColumn(table=HISTORY,
         // column=t) — reinterpret when HISTORY names no real relation
@@ -823,6 +834,25 @@ final case class GraftRenameColumnCommand(t: GraftSql.Target,
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
     t.wh.renameColumn(t.dataset, t.table, from, to)
+    GraftSql.refreshTargets(spark, t)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE ... DROP COLUMN [IF EXISTS] c [, ...]` →
+  * [[graft.core.Warehouse.dropColumn]]: metadata-only (one schema-pin
+  * commit per column, no fragment rewritten); time travel before the
+  * drop still serves the column. IF EXISTS tolerates absent names. */
+final case class GraftDropColumnsCommand(t: GraftSql.Target,
+                                         names: Seq[String],
+                                         ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val present = t.wh.schema(t.dataset, t.table).fieldNames.toSet
+    names.foreach { n =>
+      if (present(n) || !ifExists) t.wh.dropColumn(t.dataset, t.table, n)
+    }
     GraftSql.refreshTargets(spark, t)
     Seq.empty
   }
