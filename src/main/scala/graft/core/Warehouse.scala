@@ -338,6 +338,31 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * are never touched; a later writer omitting the column gets the
     * default too (write-default). The default SQL must be a
     * deterministic expression over no columns (validated here). */
+  /** Validate and FOLD a column-default expression to a literal: must be
+    * deterministic over no columns, must evaluate and cast to `dt`
+    * (loud at declaration, not at first read — with ANSI off an
+    * incompatible cast folds to NULL silently, so a non-null default
+    * that casts to null is the declaration-time failure this check
+    * promises, not a latent NULL served from every old fragment). The
+    * FOLDED literal is stored, not the declaration text: a write
+    * default is a declaration-time constant (Iceberg initial-default
+    * semantics — current_date() must pin the declaration day, not
+    * re-evaluate per read), and every downstream consumer (the
+    * read-side pad, GraftTable.columns' v2 metadata) can then eval the
+    * stored text without a full analysis pass. */
+  private def foldDefault(d: String, dt: org.apache.spark.sql.types.DataType): String = {
+    val e = spark.sessionState.sqlParser.parseExpression(d)
+    require(e.deterministic && e.references.isEmpty,
+      s"DEFAULT must be a deterministic expression over no columns: $d")
+    val Array(raw, cast) =
+      spark.range(1).select(expr(d), expr(d).cast(dt)).collect().head
+        .toSeq.toArray
+    require(raw == null || cast != null,
+      s"DEFAULT '$d' does not cast to ${dt.sql} (evaluates to NULL " +
+        "under the cast) — fix the expression or the column type")
+    org.apache.spark.sql.catalyst.expressions.Literal.create(cast, dt).sql
+  }
+
   def addColumn(dataset: String, table: String, name: String,
                 typeDdl: String, defaultSql: Option[String] = None): Unit = {
     val lg = log(dataset, table)
@@ -360,31 +385,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             "the table first, or choose a new name")
       }
     val dt = StructType.fromDDL(s"`$name` $typeDdl").fields.head.dataType
-    val foldedDefault: Option[String] = defaultSql.map { d =>
-      val e = spark.sessionState.sqlParser.parseExpression(d)
-      require(e.deterministic && e.references.isEmpty,
-        s"DEFAULT must be a deterministic expression over no columns: $d")
-      // must evaluate and cast to the column type (loud at declaration,
-      // not at first read). With ANSI off, an incompatible cast folds to
-      // NULL silently — so a non-null default that casts to null is the
-      // declaration-time failure this check promises, not a latent NULL
-      // served from every old fragment.
-      val Array(raw, cast) =
-        spark.range(1).select(expr(d), expr(d).cast(dt)).collect().head
-          .toSeq.toArray
-      require(raw == null || cast != null,
-        s"DEFAULT '$d' does not cast to $typeDdl (evaluates to NULL " +
-          "under the cast) — fix the expression or the column type")
-      // store the FOLDED literal, not the declaration text: a write
-      // default is a declaration-time constant (Iceberg initial-default
-      // semantics — current_date() must pin the declaration day, not
-      // re-evaluate per read), and every downstream consumer (the
-      // read-side pad, GraftTable.columns' v2 metadata) can then eval
-      // the stored text without a full analysis pass (r15 ADVICE: a
-      // function-call default like upper('x') failed unresolved eval at
-      // loadTable, breaking all SQL reads of the table).
-      org.apache.spark.sql.catalyst.expressions.Literal.create(cast, dt).sql
-    }
+    val foldedDefault: Option[String] = defaultSql.map(foldDefault(_, dt))
     // metadata-only commit pinning the widened schema: readers see the
     // column NOW; time travel before this version does not. The pinned
     // schema is RECOMPUTED from the current commit inside the closure —
@@ -552,6 +553,88 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       columnDefaults = m2.columnDefaults.filterNot(_._1 == name),
       notNullColumns = m2.notNullColumns.filterNot(_ == name),
       droppedColumns = m2.droppedColumns :+ (name -> c.version)))
+  }
+
+  /** `ALTER COLUMN c SET DEFAULT <expr>` / `DROP DEFAULT` (None drops).
+    * Metadata-only — but NOT unconditionally safe in a read-time-default
+    * engine: a fragment physically LACKING the column serves the
+    * CURRENT default on read, so changing the default would silently
+    * rewrite what those existing rows read as. The change therefore
+    * REFUSES unless every live fragment provably CONTAINS the column —
+    * proven from the zone-map sidecars written at every commit
+    * (metadata-sized, no data scan at any corpus size). With that proof
+    * the change affects only FUTURE writes that omit the column. */
+  def setColumnDefault(dataset: String, table: String, name: String,
+                       defaultSql: Option[String]): Unit = {
+    val cur = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val sch = schema(dataset, table)
+    val field = sch.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name"))
+    val td = tableDir(dataset, table)
+    val lacking = cur.entries.filterNot(e =>
+      ZoneMaps.read(td, e.path).exists(_.cols.contains(name)))
+    require(lacking.isEmpty,
+      s"cannot change the default of '$name': ${lacking.size} live " +
+        "fragment(s) physically lack the column (or carry no zone " +
+        "sidecar) — their rows serve the CURRENT default at read time, " +
+        "and changing it would rewrite what they read as; OPTIMIZE or " +
+        "overwrite the table first")
+    val folded = defaultSql.map(foldDefault(_, field.dataType))
+    val m = meta(dataset, table)
+    setMeta(dataset, table, m.copy(columnDefaults =
+      m.columnDefaults.filterNot(_._1 == name) ++ folded.map(name -> _)))
+  }
+
+  /** `ALTER COLUMN c SET NOT NULL` / `DROP NOT NULL`. SET validates the
+    * standing table scan-FREE when the zone sidecars prove zero nulls in
+    * every live fragment (per-fragment null counts exist from commit
+    * time); fragments the sidecars can't prove — deletion-vector-masked
+    * (a masked row may be the null), sidecar-less, or physically lacking
+    * the column without a non-null default — fall back to ONE pruned
+    * existence probe over just those entries. Declares NOT NULL in the
+    * pinned commit schema (time travel serves nullability as of the
+    * commit read) and in the write-enforcement metadata
+    * ([[TableMeta.notNullColumns]] — every future landing write
+    * validates). DROP NOT NULL is pure metadata. */
+  def setColumnNullability(dataset: String, table: String, name: String,
+                           nullable: Boolean): Unit = {
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val sch = schema(dataset, table)
+    require(sch.fieldNames.contains(name), s"no such column: $name")
+    val m = meta(dataset, table)
+    if (!nullable) {
+      val td = tableDir(dataset, table)
+      val defaultIsNonNull = m.columnDefaults.find(_._1 == name)
+        .exists(d => spark.range(1).select(expr(d._2)).head.get(0) != null)
+      val unproven = cur.entries.filterNot { e =>
+        e.dv.isEmpty && (ZoneMaps.read(td, e.path) match {
+          case Some(st) => st.cols.get(name) match {
+            case Some(cs) => cs.nulls == 0L // proven clean
+            case None => defaultIsNonNull // absent column serves the default
+          }
+          case None => false
+        })
+      }
+      if (unproven.nonEmpty) {
+        val hasNull = !readEntries(dataset, table, unproven, cur.schemaDdl)
+          .filter(col(name).isNull).isEmpty
+        require(!hasNull,
+          s"cannot SET NOT NULL on '$name': existing rows hold nulls")
+      }
+    }
+    val pinned = StructType(sch.fields.map(f =>
+      if (f.name == name) f.copy(nullable = nullable) else f))
+    writeSchemaDdl(dataset, table, pinned)
+    setMeta(dataset, table, m.copy(notNullColumns =
+      if (nullable) m.notNullColumns.filterNot(_ == name)
+      else (m.notNullColumns :+ name).distinct))
+    lg.commitWith("alter",
+      cur2 => cur2.filter(!_.isDrop).map(_.entries).getOrElse(cur.entries),
+      schemaDdl = Some(pinned.toDDL))
+    ()
   }
 
   /** Descriptions-sync write path (J4, descriptions.py:147-172): apply

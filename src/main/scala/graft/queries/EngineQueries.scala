@@ -2626,6 +2626,18 @@ object EngineQueries {
         readd.failed.get.getMessage.contains("pre-drop"),
       s"re-adding a dropped name over live pre-drop fragments must " +
         s"refuse, got $readd")
+    // the rest of the column-DDL surface, validated metadata-only:
+    // SET NOT NULL proves zero nulls from the zone sidecars (no scan —
+    // l_quantity is TPC-H non-null), SET DEFAULT is safe because every
+    // live fragment physically holds l_returnflag
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN l_quantity SET NOT NULL")
+    require(!wh.schema("mart", "dtab")("l_quantity").nullable,
+      "SET NOT NULL must pin into the declared schema")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN l_returnflag SET DEFAULT 'N'")
+    require(wh.meta("mart", "dtab").columnDefaults
+        .contains("l_returnflag" -> "'N'"),
+      "SET DEFAULT must land in the column-defaults metadata")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN l_returnflag DROP DEFAULT")
     spark.sql(s"""SELECT l_returnflag AS rf, count(*) AS n,
       |round(sum(l_quantity), 2) AS qty
       |FROM $t GROUP BY l_returnflag""".stripMargin)

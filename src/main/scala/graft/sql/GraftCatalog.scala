@@ -330,6 +330,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "warehouse DROP COLUMN supports top-level columns only")
         if (!d.ifExists || wh.schema(ds, t).fieldNames.contains(d.fieldNames.head))
           wh.dropColumn(ds, t, d.fieldNames.head)
+      case n: TableChange.UpdateColumnNullability =>
+        require(n.fieldNames.length == 1,
+          "warehouse SET/DROP NOT NULL supports top-level columns only")
+        wh.setColumnNullability(ds, t, n.fieldNames.head, n.nullable)
+      case v: TableChange.UpdateColumnDefaultValue =>
+        require(v.fieldNames.length == 1,
+          "warehouse SET/DROP DEFAULT supports top-level columns only")
+        wh.setColumnDefault(ds, t, v.fieldNames.head,
+          Option(v.newCurrentDefault()).flatMap(d => Option(d.getSql))
+            .filter(_.nonEmpty))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }

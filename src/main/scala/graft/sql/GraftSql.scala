@@ -412,16 +412,39 @@ object GraftSql {
         ctas(spark, r.name, r.partitioning, r.query,
           orReplace = true, ifNotExists = false).getOrElse(r)
       case ac @ AlterColumns(child, specs) =>
-        identOf(child).flatMap(lookupLocal(spark, _)) match {
+        // SET NOT NULL must intercept even for catalog-qualified names:
+        // Spark's own resolution refuses nullability TIGHTENING on v2
+        // tables ("Cannot change nullable column to non-nullable") —
+        // it cannot know the connector validates the standing data,
+        // which setColumnNullability does (zone-sidecar proof + pruned
+        // probe fallback). Everything else keeps the native v2 route
+        // for 3-part names.
+        val tightens = specs.exists(_.newNullability.contains(false))
+        identOf(child).flatMap(p =>
+          if (tightens) lookup(spark, p) else lookupLocal(spark, p)) match {
           case Some(tg) =>
-            val widens = specs.map { sp =>
-              val ok = sp.newDataType.isDefined && sp.column.name.size == 1
-              if (!ok) throw new IllegalArgumentException(
-                "warehouse ALTER COLUMN supports `ALTER COLUMN c TYPE <wider>` " +
-                  "on top-level columns only")
-              (sp.column.name.head, sp.newDataType.get.sql)
+            val actions = specs.flatMap { sp =>
+              if (sp.column.name.size != 1 || sp.newPosition.isDefined)
+                throw new IllegalArgumentException(
+                  "warehouse ALTER COLUMN supports TYPE / SET|DROP DEFAULT " +
+                    "/ SET|DROP NOT NULL / COMMENT on top-level columns only")
+              val c = sp.column.name.head
+              sp.newDataType.map(dt =>
+                  (c, GraftColumnDdl.Widen(dt.sql): GraftColumnDdl)).toSeq ++
+                sp.newNullability.map(n =>
+                  (c, GraftColumnDdl.Nullability(n): GraftColumnDdl)) ++
+                sp.newDefaultExpression.map(d =>
+                  (c, GraftColumnDdl.Default(Some(d.originalSQL)): GraftColumnDdl)) ++
+                (if (sp.dropDefault)
+                  Seq((c, GraftColumnDdl.Default(None): GraftColumnDdl))
+                else Nil) ++
+                sp.newComment.map(cm =>
+                  (c, GraftColumnDdl.Comment(cm): GraftColumnDdl))
             }
-            GraftWidenColumnsCommand(tg, widens)
+            if (actions.isEmpty) throw new IllegalArgumentException(
+              "warehouse ALTER COLUMN supports TYPE / SET|DROP DEFAULT " +
+                "/ SET|DROP NOT NULL / COMMENT")
+            GraftAlterColumnsCommand(tg, actions)
           case None => ac
         }
       case other => other
@@ -858,15 +881,42 @@ final case class GraftDropColumnsCommand(t: GraftSql.Target,
   }
 }
 
-/** `ALTER TABLE ALTER COLUMN c TYPE <wider>` → widenColumn (refuses
-  * anything outside the widening lattice, loudly). */
-final case class GraftWidenColumnsCommand(t: GraftSql.Target,
-                                          widens: Seq[(String, String)])
+/** The column-DDL verbs `ALTER TABLE ... ALTER COLUMN c ...` supports,
+  * each metadata-only on the warehouse side. */
+sealed trait GraftColumnDdl
+object GraftColumnDdl {
+  /** `TYPE <wider>` → widenColumn (refuses anything outside the
+    * widening lattice, loudly). */
+  final case class Widen(typeDdl: String) extends GraftColumnDdl
+  /** `SET NOT NULL` (false) / `DROP NOT NULL` (true) — SET validates
+    * the standing table from zone-map null counts, scan-free when
+    * provable. */
+  final case class Nullability(nullable: Boolean) extends GraftColumnDdl
+  /** `SET DEFAULT <expr>` (Some) / `DROP DEFAULT` (None) — refuses
+    * while live fragments physically lack the column (their rows serve
+    * the CURRENT default at read time; changing it would rewrite what
+    * they read as). */
+  final case class Default(sql: Option[String]) extends GraftColumnDdl
+  /** `COMMENT '<text>'` → column description in the declared schema. */
+  final case class Comment(text: String) extends GraftColumnDdl
+}
+
+/** `ALTER TABLE ... ALTER COLUMN ...` → the matching metadata-only
+  * warehouse operation per [[GraftColumnDdl]] action. */
+final case class GraftAlterColumnsCommand(t: GraftSql.Target,
+                                          actions: Seq[(String, GraftColumnDdl)])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
-    widens.foreach { case (name, typeDdl) =>
-      t.wh.widenColumn(t.dataset, t.table, name, typeDdl)
+    actions.foreach {
+      case (name, GraftColumnDdl.Widen(typeDdl)) =>
+        t.wh.widenColumn(t.dataset, t.table, name, typeDdl)
+      case (name, GraftColumnDdl.Nullability(nullable)) =>
+        t.wh.setColumnNullability(t.dataset, t.table, name, nullable)
+      case (name, GraftColumnDdl.Default(sql)) =>
+        t.wh.setColumnDefault(t.dataset, t.table, name, sql)
+      case (name, GraftColumnDdl.Comment(text)) =>
+        t.wh.setColumnDescriptions(t.dataset, t.table, Map(name -> text))
     }
     GraftSql.refreshTargets(spark, t)
     Seq.empty
