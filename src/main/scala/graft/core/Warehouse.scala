@@ -496,7 +496,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     setMeta(dataset, table, m.copy(
       columnRenames = m.columnRenames :+ (from -> to),
       notNullColumns = m.notNullColumns.map(c => if (c == from) to else c),
-      clusteringFields = m.clusteringFields.map(c => if (c == from) to else c)))
+      clusteringFields = m.clusteringFields.map(c => if (c == from) to else c),
+      // the read-time default follows the rename: defaults are keyed by
+      // the CURRENT name (the pad runs after rename re-labeling), so an
+      // unmapped entry would silently stop serving — pre-add fragments
+      // would flip from the default to null (found by the
+      // schema-evolution walk, seed 1)
+      columnDefaults = m.columnDefaults.map { case (c, d) =>
+        (if (c == from) to else c) -> d
+      }))
     // pin the renamed schema at its own commit: version reads and time
     // travel serve names as of the commit they read
     log(dataset, table).commitWith("rename",
@@ -564,6 +572,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * proven from the zone-map sidecars written at every commit
     * (metadata-sized, no data scan at any corpus size). With that proof
     * the change affects only FUTURE writes that omit the column. */
+  /** The sidecar ColStat a fragment holds for the column CURRENTLY
+    * named `target`: sidecars record PHYSICAL names (pre-rename
+    * fragments keep the old one), so the lookup maps each physical
+    * name through the rename chain exactly as the read path re-labels
+    * it — matching on the current name alone would miss pre-rename
+    * fragments (or, worse, match a DIFFERENT column that has since
+    * been renamed onto this name). */
+  private def sidecarStatFor(m: TableMeta, sch: StructType,
+                             st: ZoneMaps.FragStats,
+                             target: String): Option[ZoneMaps.ColStat] = {
+    val rm = renameMap(m, Some(sch))
+    st.cols.collectFirst {
+      case (p, cs) if rm.getOrElse(p, p) == target => cs
+    }
+  }
+
   def setColumnDefault(dataset: String, table: String, name: String,
                        defaultSql: Option[String]): Unit = {
     val cur = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
@@ -572,8 +596,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val field = sch.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"no such column: $name"))
     val td = tableDir(dataset, table)
+    val m = meta(dataset, table)
+    // a ZERO-ROW fragment serves nothing, so it cannot pin the old
+    // default regardless of which columns its (possibly empty) footer
+    // carries — only fragments with rows gate the change
     val lacking = cur.entries.filterNot(e =>
-      ZoneMaps.read(td, e.path).exists(_.cols.contains(name)))
+      ZoneMaps.read(td, e.path).exists(st =>
+        st.rows == 0L || sidecarStatFor(m, sch, st, name).isDefined))
     require(lacking.isEmpty,
       s"cannot change the default of '$name': ${lacking.size} live " +
         "fragment(s) physically lack the column (or carry no zone " +
@@ -581,7 +610,6 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         "and changing it would rewrite what they read as; OPTIMIZE or " +
         "overwrite the table first")
     val folded = defaultSql.map(foldDefault(_, field.dataType))
-    val m = meta(dataset, table)
     setMeta(dataset, table, m.copy(columnDefaults =
       m.columnDefaults.filterNot(_._1 == name) ++ folded.map(name -> _)))
   }
@@ -611,7 +639,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .exists(d => spark.range(1).select(expr(d._2)).head.get(0) != null)
       val unproven = cur.entries.filterNot { e =>
         e.dv.isEmpty && (ZoneMaps.read(td, e.path) match {
-          case Some(st) => st.cols.get(name) match {
+          case Some(st) if st.rows == 0L => true // nothing to serve
+          case Some(st) => sidecarStatFor(m, sch, st, name) match {
             case Some(cs) => cs.nulls == 0L // proven clean
             case None => defaultIsNonNull // absent column serves the default
           }
