@@ -81,7 +81,7 @@ object Concurrency {
       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
       |           FROM events),
       |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-      |                       OR ts_us - lag(ts_us) OVER w > 3600000000
+      |                       OR ts_us - lag(ts_us) OVER w >= 3600000000
       |                     THEN 1 ELSE 0 END AS new_s
       |      FROM e
       |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),

@@ -40,22 +40,30 @@ object Quantiles {
   val Percentiles: Seq[(String, Int, Int)] =
     Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
 
+  /** The shared distinct-value histogram both quantile variants pick
+    * from: one input-sized rollup, then per-group cumulative (`_cum`)
+    * and total (`_n`) counts over the tiny distinct frame. NULLs don't
+    * participate (percentile_disc semantics) — and Spark windows order
+    * NULLS FIRST while DuckDB orders NULLS LAST, so an unfiltered NULL
+    * would also shift the two engines' ranks apart. */
+  private def valueHistogram(df: DataFrame, groupCol: String,
+                             valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+    counts
+      .withColumn("_cum", sum(col("_c"))
+        .over(Window.partitionBy(groupCol).orderBy(valueCol)))
+      .withColumn("_n", sum(col("_c"))
+        .over(Window.partitionBy(groupCol)))
+  }
+
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      percentiles: Seq[(String, Int, Int)] = Percentiles): DataFrame = {
     require(percentiles.nonEmpty, "need at least one percentile")
     require(percentiles.forall { case (_, n, d) => n >= 0 && d > 0 && n <= d },
       "percentiles must satisfy 0 <= num <= den, den > 0")
-    // NULLs don't participate (percentile_disc semantics) — and Spark
-    // windows order NULLS FIRST while DuckDB orders NULLS LAST, so an
-    // unfiltered NULL would also shift the two engines' ranks apart
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("_c"))
-    val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
-    val wAll = Window.partitionBy(groupCol)
-    val hist = counts
-      .withColumn("_cum", sum(col("_c")).over(wCum))
-      .withColumn("_n", sum(col("_c")).over(wAll))
+    val hist = valueHistogram(df, groupCol, valueCol)
     val picks = percentiles.map { case (label, num, den) =>
       val idx = expr(s"(_n * $num + ${den - 1}) div $den")
       min(when(col("_cum") >= idx, col(valueCol))).as(label)
@@ -78,16 +86,10 @@ object Quantiles {
     * one input-sized rollup, tiny per-group windows. */
   def groupQuantilesCont(df: DataFrame, groupCol: String, valueCol: String,
                          percentiles: Seq[(String, Int, Int)] = Percentiles): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
     require(percentiles.forall { case (_, n, d) => n >= 0 && d > 0 && n <= d },
       "percentiles must satisfy 0 <= num <= den, den > 0")
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("_c"))
-    val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
-    val wAll = Window.partitionBy(groupCol)
-    val hist = counts
-      .withColumn("_cum", sum(col("_c")).over(wCum))
-      .withColumn("_n", sum(col("_c")).over(wAll))
+    val hist = valueHistogram(df, groupCol, valueCol)
     val aggs = percentiles.flatMap { case (label, num, den) =>
       val loIdx = expr(s"((_n - 1) * $num) div $den + 1")
       Seq(

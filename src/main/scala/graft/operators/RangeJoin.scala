@@ -38,20 +38,29 @@ object RangeJoin {
       s"non-key columns ${overlap.toSeq.sorted} appear on both sides — " +
         "rename one side before joining (output would be ambiguous)")
     val p = points.withColumn("_bin", floor(col(ptCol) / binWidth))
-    // a pathological interval (open-ended sentinel hi, wrong units) would
-    // otherwise materialize millions of bin rows and kill the job with an
-    // opaque array/OOM error — fail it with the actual problem instead
-    val nBins = floor(col(hiCol) / binWidth) - floor(col(loCol) / binWidth) + 1
-    val bins = when(nBins <= maxBinsPerInterval,
-      sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth)))
-      .otherwise(raise_error(concat(
-        lit(s"interval spans more than $maxBinsPerInterval bins at binWidth=$binWidth ("),
-        col(loCol), lit(".."), col(hiCol),
-        lit(") — widen binWidth or clamp open-ended intervals"))).cast("array<bigint>"))
-    val iv = intervals.withColumn("_bin", explode(bins))
+    val iv = binned(intervals, loCol, hiCol, binWidth, maxBinsPerInterval)
     p.join(iv, keys :+ "_bin")
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bin")
+  }
+
+  /** Fan an interval out to one row per `binWidth` bin it spans — the
+    * shared candidate-generation step of both range joins. A
+    * pathological interval (open-ended sentinel hi, wrong units) would
+    * otherwise materialize millions of bin rows and kill the job with
+    * an opaque array/OOM error — fail it with the actual problem
+    * instead. One definition so the guard, its message, and the bin
+    * arithmetic cannot drift between the point and overlap variants. */
+  private def binned(df: DataFrame, lo: String, hi: String,
+                     binWidth: Long, maxBinsPerInterval: Long): DataFrame = {
+    val nBins = floor(col(hi) / binWidth) - floor(col(lo) / binWidth) + 1
+    val bins = when(nBins <= maxBinsPerInterval,
+      sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth)))
+      .otherwise(raise_error(concat(
+        lit(s"interval spans more than $maxBinsPerInterval bins at binWidth=$binWidth ("),
+        col(lo), lit(".."), col(hi),
+        lit(") — widen binWidth or clamp open-ended intervals"))).cast("array<bigint>"))
+    df.withColumn("_bin", explode(bins))
   }
 
   /** Interval×interval overlap join — the two-sided sibling of
@@ -74,17 +83,8 @@ object RangeJoin {
     require(overlapCols.isEmpty,
       s"non-key columns ${overlapCols.toSeq.sorted} appear on both sides — " +
         "rename one side before joining (output would be ambiguous)")
-    def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
-      val nBins = floor(col(hi) / binWidth) - floor(col(lo) / binWidth) + 1
-      val bins = when(nBins <= maxBinsPerInterval,
-        sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth)))
-        .otherwise(raise_error(concat(
-          lit(s"interval spans more than $maxBinsPerInterval bins at binWidth=$binWidth ("),
-          col(lo), lit(".."), col(hi),
-          lit(") — widen binWidth or clamp open-ended intervals"))).cast("array<bigint>"))
-      df.withColumn("_bin", explode(bins))
-    }
-    binned(a, aLo, aHi).join(binned(b, bLo, bHi), keys :+ "_bin")
+    binned(a, aLo, aHi, binWidth, maxBinsPerInterval)
+      .join(binned(b, bLo, bHi, binWidth, maxBinsPerInterval), keys :+ "_bin")
       .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
         col("_bin") === floor(greatest(col(aLo), col(bLo)) / binWidth))
       .drop("_bin")

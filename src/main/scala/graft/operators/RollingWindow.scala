@@ -39,15 +39,18 @@ object RollingWindow {
   val HourMicros: Long = 3600L * 1000000L
 
   /** Per `keyCol` entity, trailing-`windowMicros` event count and cents
-    * sum at every event. `tsCol` must be a TimestampType column. */
+    * sum at every event. `tsCol` must be a TimestampType column;
+    * `idCol` is the row-identity column carried through the projection
+    * (parameterized like ewma/twap's idCol — a hardcoded event_id made
+    * the operator fail on any frame without that exact column). */
   def rollingByKey(events: DataFrame, keyCol: String, tsCol: String,
-                   valueCol: String,
+                   valueCol: String, idCol: String = "event_id",
                    windowMicros: Long = HourMicros): DataFrame = {
     require(windowMicros > 0, s"window must be positive, got $windowMicros")
     val w = Window.partitionBy(keyCol).orderBy(col("ts_us"))
       .rangeBetween(-(windowMicros - 1), 0) // (t - w, t]: w distinct instants
     events
-      .select(col("event_id"), col(keyCol),
+      .select(col(idCol), col(keyCol),
         unix_micros(col(tsCol)).as("ts_us"),
         round(col(valueCol) * 100).cast("long").as("_cents"))
       .withColumn("roll_n", count(lit(1)).over(w))

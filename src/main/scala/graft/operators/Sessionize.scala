@@ -7,10 +7,13 @@ import graft.core.Tables
 
 /** Batch sessionization — gaps-and-islands over an event stream: a new
   * session starts where the gap to the previous event of the same key
-  * exceeds `gapMicros`. The BATCH twin of the streaming
+  * REACHES `gapMicros` (`>=`). The BATCH twin of the streaming
   * `session_window` aggregation (`streaming/StreamingIncremental`,
   * `q27_stream_sessions`): identical session semantics, for replays and
-  * backfills over data already at rest.
+  * backfills over data already at rest — including the exact-boundary
+  * gap, where Spark's half-open [t, t+gap) session windows do NOT
+  * overlap at diff == gap, so the islands predicate must be `>=`, not
+  * `>` (the same boundary rule runSessions' oracle documents).
   *
   * Shape: one shuffle on the key; the lag, the running session counter,
   * and the final per-session rollup all ride the same (key, time)
@@ -41,7 +44,7 @@ object Sessionize {
     events
       .select(col(keyCol), col(idCol), unix_micros(col(tsCol)).as("ts_us"))
       .withColumn("_new", when(
-        prev.isNull || col("ts_us") - prev > gapMicros, 1L).otherwise(0L))
+        prev.isNull || col("ts_us") - prev >= gapMicros, 1L).otherwise(0L))
       .withColumn("session_seq", sum(col("_new")).over(wRun))
       .groupBy(col(keyCol), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
@@ -59,7 +62,7 @@ object Sessionize {
       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
       |           FROM events),
       |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-      |                       OR ts_us - lag(ts_us) OVER w > 3600000000
+      |                       OR ts_us - lag(ts_us) OVER w >= 3600000000
       |                     THEN 1 ELSE 0 END AS new_s
       |      FROM e
       |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),

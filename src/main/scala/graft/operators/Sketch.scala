@@ -434,10 +434,15 @@ object Sketch {
       .join(days.withColumnRenamed("day", "out_day"), Seq("out_day"),
         "left_semi")
       .groupBy(col("out_day"), col("bucket")).agg(max(col("mj")).as("mj"))
-    merged.groupBy(col("out_day"))
+    val result = merged.groupBy(col("out_day"))
       .agg(hllAggs.head, hllAggs.tail: _*)
       .select(col("out_day").as("day"), col("nz").as("n_buckets_used"),
         hllEstimate.as("estimate"))
+    // |days|-row result re-stages, the register table releases — no
+    // orphaned checkpoint per invocation (the Stats.chi2 pattern)
+    val out = result.localCheckpoint(true)
+    reg.unpersist()
+    out
   }
 
   /** Trailing-7-day active users per day, with the exact count beside
@@ -547,9 +552,14 @@ object Sketch {
       .otherwise(lit((k - 1) * D) / col("tau"))
     val estI = when(col("n_hashes") < k, col("inter_in_k").cast("double"))
       .otherwise(col("inter_in_k").cast("double") / k * estU)
-    s.select(col("n_hashes"), col("inter_in_k"),
+    val result = s.select(col("n_hashes"), col("inter_in_k"),
       Hashing.stableRound(estU, 4).as("est_union"),
       Hashing.stableRound(estI, 4).as("est_intersect"))
+    // one-row result re-stages, both k-row sketches release — no
+    // orphaned checkpoints per invocation (the Stats.chi2 pattern)
+    val out = result.localCheckpoint(true)
+    kA.unpersist(); kB.unpersist()
+    out
   }
 
   /** Active (user, day) pairs that clicked vs purchased: sketch-estimated

@@ -189,7 +189,7 @@ object Stats {
     val term = col("o").cast("double") * col("o").cast("double") *
       col("n").cast("double") /
       (col("rt").cast("double") * col("ct").cast("double"))
-    cells.join(broadcast(rt), Seq("_a")).join(broadcast(ct), Seq("_b"))
+    val result = cells.join(broadcast(rt), Seq("_a")).join(broadcast(ct), Seq("_b"))
       .crossJoin(broadcast(n))
       .select(col("n_cells"), ((col("_na") - 1) * (col("_nb") - 1)).as("dof"),
         col("n"), floor(term * lit(1e6) + lit(0.5)).cast("long").as("_t"))
@@ -197,6 +197,13 @@ object Stats {
       .agg((sum(col("_t")).cast("double") / 1e6 - col("n").cast("double"))
         .as("chi2"))
       .drop("n")
+    // release the staged contingency table before returning (the
+    // Concurrency.maxConcurrency pattern): an orphaned checkpoint per
+    // call is the exact block-manager ratchet the r13 bench drift
+    // root-caused — the one-row result re-checkpoints first
+    val out = result.localCheckpoint(true)
+    cells.unpersist()
+    out
   }
 
   /** Two-sample Kolmogorov–Smirnov drift per group: how far each
@@ -237,7 +244,7 @@ object Stats {
         .over(org.apache.spark.sql.expressions.Window.orderBy("x")))
       .select(col("x"), col("cum_all"))
     val wg = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("x")
-    points.crossJoin(broadcast(sizes))
+    val result = points.crossJoin(broadcast(sizes))
       .join(c, Seq("g", "x"), "left")
       .withColumn("cum_g", sum(coalesce(col("c"), lit(0L))).over(wg))
       .join(cumAll, "x")
@@ -246,6 +253,11 @@ object Stats {
       .agg(max(abs(col("cum_g") * col("n_all") - col("cum_all") * col("n_g")))
         .as("d_num"))
       .withColumn("d_bp", expr("(d_num * 10000) div (n_g * n_all)"))
+    // |groups|-row result re-stages, the rollup releases — no orphaned
+    // checkpoint per invocation (see chi2)
+    val out = result.localCheckpoint(true)
+    c.unpersist()
+    out
   }
 
   /** z for the 95% Wilson interval. Written as an exact decimal literal

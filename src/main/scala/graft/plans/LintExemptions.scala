@@ -26,12 +26,13 @@ object LintExemptions {
 
   /** query name -> rule -> one-line boundedness argument. */
   val exemptions: Map[String, Map[String, String]] = Map(
-    "stats_ks" -> Map(
-      "SINGLE_PARTITION_FUNNEL" ->
-        ("pooled-ECDF window orders the (x)-rollup: |metric domain| rows, " +
-          "never corpus rows (Stats.ksDrift scaladoc)"),
-      "NESTED_LOOP_JOIN" ->
-        "evaluation grid = points x broadcast(group sizes): |domain|*|groups|, rollup-bounded"),
+    // stats_ks formerly exempted SINGLE_PARTITION_FUNNEL (pooled-ECDF
+    // window over the |domain|-rollup) and NESTED_LOOP_JOIN (grid ×
+    // broadcast sizes) — both still true of the interior plan, but
+    // ksDrift now re-stages its |groups|-row result eagerly to release
+    // the staged rollup (the per-call checkpoint leak fix), so the
+    // plan the lint sees is the checkpoint scan; the boundedness
+    // arguments live on in Stats.ksDrift's scaladoc.
     "skew_report" -> Map(
       "SINGLE_PARTITION_FUNNEL" ->
         "quantile window orders the count-HISTOGRAM (|distinct per-key counts| rows), not keys or rows"),

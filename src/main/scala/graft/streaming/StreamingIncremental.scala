@@ -53,17 +53,49 @@ object StreamingIncremental {
   /** State partitions for the drain-and-stop fixture runs. */
   val FixtureStatePartitions = 8
 
-  /** Stage a single-file fixture into a scratch landing DIRECTORY (the
-    * file-stream source monitors directories — exactly how arriving
-    * micro-batch files would land in practice) and open a stream on it. */
+  /** Stage a fixture into a scratch landing DIRECTORY (the file-stream
+    * source monitors directories — exactly how arriving micro-batch
+    * files would land in practice) and open a stream on it. A
+    * single-file fixture stages as one arrival; a directory-shaped
+    * dataset (a Spark-written table) stages its data files — a plain
+    * Files.copy of a directory would copy only the EMPTY directory
+    * entry and the stream would drain zero rows with no diagnostic. */
   private def stageAndStream(spark: SparkSession, eventsDir: String,
                              prefix: String): org.apache.spark.sql.DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
     val src = new java.io.File(eventsDir)
     val landing = java.nio.file.Files.createTempDirectory(prefix)
-    java.nio.file.Files.copy(src.toPath, landing.resolve(src.getName))
+    if (src.isFile)
+      java.nio.file.Files.copy(src.toPath, landing.resolve(src.getName))
+    else {
+      val files = Option(src.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+      require(files.nonEmpty,
+        s"$eventsDir holds no data files to stage for the stream")
+      files.foreach(f => java.nio.file.Files.copy(
+        f.toPath, landing.resolve(f.getName)))
+    }
     spark.readStream.schema(schema).parquet(landing.toString)
   }
+
+  /** The fixture's `ts` normalized to a TIMESTAMP column (events.parquet
+    * carries TIMESTAMP(NANOS), loaded as Long nanos) — one definition
+    * for all pipelines, so the nanos→micros unit rule cannot drift
+    * between them. */
+  private def tsAsTimestamp(stream: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+
+  /** The fixture's `ts` as epoch-MICROS (`ts_us`) — the integer twin of
+    * [[tsAsTimestamp]] for state kernels that keep time as a Long. */
+  private def tsAsMicros(stream: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts_us", expr("ts div 1000"))
+    else stream.withColumn("ts_us", unix_micros(col("ts")))
 
   def runHourlyCounts(spark: SparkSession, eventsDir: String,
                       checkpointDir: String, wh: Warehouse,
@@ -71,10 +103,7 @@ object StreamingIncremental {
                       statePartitions: Option[Int] = None): Unit =
       withShufflePartitions(spark, statePartitions) {
     val stream = stageAndStream(spark, eventsDir, "graft_landing")
-    val withTs =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    val withTs = tsAsTimestamp(stream)
     val agg = withTs
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -114,10 +143,7 @@ object StreamingIncremental {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val stream = stageAndStream(spark, eventsDir, "graft_landing_fs")
-    val withTs =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts_us", expr("ts div 1000"))
-      else stream.withColumn("ts_us", unix_micros(col("ts")))
+    val withTs = tsAsMicros(stream)
     val typed = withTs
       .select(col("user_id").cast("long"), col("event_type"),
         col("ts_us").cast("long"), col("event_id").cast("long"),
@@ -177,10 +203,7 @@ object StreamingIncremental {
           .parquet(dir)
       case None => stageAndStream(spark, eventsDir, "graft_landing_tr")
     }
-    val withTs =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts_us", expr("ts div 1000"))
-      else stream.withColumn("ts_us", unix_micros(col("ts")))
+    val withTs = tsAsMicros(stream)
     val typed = withTs
       .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
         col("ts").isNotNull)
@@ -387,10 +410,7 @@ object StreamingIncremental {
                  (sink: DataFrame => Unit): Unit =
       withShufflePartitions(spark, statePartitions) {
     val stream = stageAndStream(spark, eventsDir, "graft_landing_sess")
-    val withTs =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    val withTs = tsAsTimestamp(stream)
     val agg = withTs
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), gap))
@@ -440,10 +460,7 @@ object StreamingIncremental {
                       (sink: DataFrame => Unit): Unit =
       withShufflePartitions(spark, statePartitions) {
     val stream = stageAndStream(spark, eventsDir, "graft_landing_ssj")
-    val withTs =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    val withTs = tsAsTimestamp(stream)
     val views = withTs.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
@@ -552,10 +569,7 @@ object StreamingIncremental {
                      (sink: DataFrame => Unit): Unit =
       withShufflePartitions(spark, statePartitions) {
     val stream = stageAndStream(spark, eventsDir, "graft_landing_enrich")
-    val withTs =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    val withTs = tsAsTimestamp(stream)
     val enriched = withTs.join(broadcast(dim), Seq(joinKey))
     val q = enriched.writeStream
       .outputMode("append")

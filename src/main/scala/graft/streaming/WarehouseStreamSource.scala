@@ -46,9 +46,19 @@ class WarehouseStreamSource(sqlContext: SQLContext, root: String,
   override val schema: StructType =
     WarehouseStreamSource.tableSchema(wh, dataset, table)
 
-  override def getOffset: Option[Offset] =
-    wh.log(dataset, table).latest.filter(!_.isDrop)
-      .map(c => WarehouseStreamSource.VersionOffset(c.version))
+  override def getOffset: Option[Offset] = {
+    val latest = wh.log(dataset, table).latest
+    // a mid-stream DROP must fail the query loudly, not read as "no new
+    // data" forever: filtering the drop commit away would leave the
+    // stream idling healthy while the table is gone (and a later
+    // recreate would then fail with a misleading not-append-only error)
+    latest.filter(_.isDrop).foreach { c =>
+      throw new IllegalStateException(
+        s"$dataset.$table was DROPPED at v${c.version} mid-stream — " +
+          "the append stream cannot continue")
+    }
+    latest.map(c => WarehouseStreamSource.VersionOffset(c.version))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = WarehouseStreamSource.version(end)
@@ -64,14 +74,43 @@ class WarehouseStreamSource(sqlContext: SQLContext, root: String,
               "(delete/merge/compact/replace happened) — streaming append " +
               "consumption would be wrong; consume changesBetween instead"))
     }
-    // pad to the source schema (additive evolution mid-stream: older
-    // batches keep resolving against the stream's declared columns)
+    // Resolve each STREAM-DECLARED column against the batch: additive
+    // evolution pads new-schema-only columns with nulls, and a column
+    // RENAMED mid-stream is the SAME column — follow the rename chain
+    // from the declared name to whatever the batch serves it under
+    // (matching by name alone would pad the old name with nulls and
+    // DROP the renamed column's data: silent corruption).
     val cols = schema.fieldNames.map { n =>
-      if (out.columns.contains(n)) org.apache.spark.sql.functions.col(n)
+      val cur = currentNameOf(n)
+      if (out.columns.contains(cur)) org.apache.spark.sql.functions.col(cur).as(n)
+      else if (out.columns.contains(n)) org.apache.spark.sql.functions.col(n)
       else org.apache.spark.sql.functions.lit(null)
         .cast(schema(n).dataType).as(n)
     }
     WarehouseStreamSource.asStreaming(out.select(cols.toSeq: _*))
+  }
+
+  /** The CURRENT name of the column the stream declared as `n`: walk
+    * the persisted rename chain forward from `n`. Name REUSE across the
+    * chain (a→b then c→a) cannot be disambiguated without per-link
+    * versions — that stream must restart, loudly, rather than serve the
+    * wrong column. */
+  private def currentNameOf(n: String): String = {
+    val links = wh.meta(dataset, table).columnRenames
+    var cur = n
+    var firstLink = -1
+    links.zipWithIndex.foreach { case ((o, t), i) =>
+      if (o == cur) { cur = t; if (firstLink < 0) firstLink = i }
+    }
+    if (cur != n) {
+      val reused = links.zipWithIndex
+        .exists { case ((_, t), i) => t == n && i > firstLink }
+      if (reused) throw new IllegalStateException(
+        s"column '$n' was renamed mid-stream and its name later reused " +
+          "by another rename — ambiguous for a running stream; restart " +
+          "the streaming query to pick up the current schema")
+    }
+    cur
   }
 
   override def stop(): Unit = ()
@@ -165,10 +204,14 @@ class WarehouseSourceProvider extends StreamSourceProvider
       "graft-table sink: partitioning is table metadata, not a writer option")
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-table sink supports Append output mode only, got $outputMode")
+    // the FULL name-UUID: truncating it (an earlier 8-hex-char cut)
+    // let two distinct checkpoints collide on the idempotency tag and
+    // silently skip a real batch as a "replay" — 32 bits of id buys
+    // nothing but collision risk on a tag with no length constraint
     val streamId = parameters.get("streamId")
       .orElse(parameters.get("checkpointLocation").map(p =>
         java.util.UUID.nameUUIDFromBytes(
-          p.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)))
+          p.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString))
       .getOrElse(throw new IllegalArgumentException(
         "graft-table sink needs a checkpointLocation (or explicit " +
           "streamId) to make batch replays identifiable"))

@@ -342,12 +342,13 @@ class OperatorsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    // brute force: sort per user by (ts, id), split where gap exceeded
+    // brute force: sort per user by (ts, id), split where the gap is
+    // REACHED (>=, matching the streaming session_window boundary)
     val want = events.groupBy(_._2).flatMap { case (u, es) =>
       val sorted = es.map(e => (e._3, e._1)).sorted
       val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
         case (acc, e) =>
-          if (e._1 - acc.head.head._1 > gap) List(e) :: acc
+          if (e._1 - acc.head.head._1 >= gap) List(e) :: acc
           else (e :: acc.head) :: acc.tail
       }.reverse.map(_.reverse)
       sessions.zipWithIndex.map { case (s, i) =>

@@ -249,4 +249,41 @@ class WarehouseStreamSourceSpec extends AnyFunSuite {
     assert(causes(e).exists(c => Option(c.getMessage)
       .exists(_.contains("not append-only"))), e.getMessage)
   }
+
+  test("a column RENAMED mid-stream keeps serving under the declared name") {
+    val wh = fresh()
+    wh.overwrite("d", "t", Seq((1L, "a")).toDF("id", "s"))
+    val ckpt = Files.createTempDirectory("whstream_ck5").toString
+    val q = startStream(wh, "wss_rename", ckpt)
+    try {
+      q.processAllAvailable()
+      wh.renameColumn("d", "t", "s", "s2")
+      wh.append("d", "t", Seq((2L, "b")).toDF("id", "s2"))
+      q.processAllAvailable()
+      // the stream declared (id, s) at start: the renamed column's DATA
+      // must keep flowing under the declared name, not pad to null
+      val got = spark.table("wss_rename").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((1L, "a"), (2L, "b")),
+        s"renamed column's data was dropped from the stream: $got")
+    } finally q.stop()
+  }
+
+  test("a mid-stream DROP TABLE fails the query loudly, never idles") {
+    val wh = fresh()
+    wh.overwrite("d", "t", Seq((1L, "a")).toDF("id", "s"))
+    val ckpt = Files.createTempDirectory("whstream_ck6").toString
+    val q = startStream(wh, "wss_drop", ckpt)
+    try {
+      q.processAllAvailable()
+      wh.drop("d", "t")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination(10000)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("DROPPED"))), e.getMessage)
+    } finally q.stop()
+  }
 }
