@@ -37,8 +37,10 @@ object BloomIndex {
   final case class EntryBlooms(cols: Map[String, (String, Map[String, BloomFilter])])
 
   def bloomPath(tableDir: Path, entryPath: String): Path =
+    // ZoneMaps.sidecarName: INJECTIVE — see its scaladoc for why a lossy
+    // flattening is a correctness (not hygiene) bug for sidecars
     tableDir.resolve("_stats").resolve(
-      entryPath.replaceAll("[^A-Za-z0-9._-]", "_") + ".bloom")
+      ZoneMaps.sidecarName(entryPath) + ".bloom")
 
   def write(tableDir: Path, entryPath: String, blooms: EntryBlooms): Unit = {
     val bos = new ByteArrayOutputStream()

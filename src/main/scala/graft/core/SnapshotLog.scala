@@ -48,10 +48,16 @@ final class SnapshotLog(tableDir: Path) {
 
   def exists: Boolean = Files.isDirectory(logDir)
 
-  /** Allocate a fresh immutable fragment dir for a writer to fill. */
+  /** Allocate a fresh immutable fragment dir for a writer to fill.
+    * FULL UUID (122 random bits), never a truncation: fragment names
+    * must be collision-free across every writer over the table's whole
+    * lifetime — at a 32-bit prefix a hot append table reaches 50%
+    * birthday-collision odds around 65k fragments, and a colliding
+    * writer's `mode("overwrite")` lands INSIDE a live fragment dir,
+    * silently corrupting committed data. */
   def newFragmentDir(): Path = {
     Files.createDirectories(dataDir)
-    dataDir.resolve(java.util.UUID.randomUUID().toString.take(8))
+    dataDir.resolve(java.util.UUID.randomUUID().toString)
   }
 
   /** All commits, resolved to full states in ONE ascending replay:

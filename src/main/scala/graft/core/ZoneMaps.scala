@@ -246,11 +246,27 @@ object ZoneMaps {
 
   // ------------------------------------------------------------ sidecars
 
-  private def sanitize(entryPath: String): String =
-    entryPath.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** INJECTIVE flattening of an entry path to a sidecar file name:
+    * `[A-Za-z0-9.-]` verbatim, every other char (including `_`, the
+    * escape lead) as `_xx` / `_uxxxx` hex. A lossy replacement (the old
+    * `[^\w.-] → _`) let two partition values like `x y` and `x+y` in
+    * one fragment COLLIDE on a sidecar — the second write overwrites
+    * the first and pruning then consults the wrong min/max, which can
+    * prune fragments that contain matches. Old-scheme sidecars simply
+    * stop resolving (absent stat = never prune — conservative). */
+  private[core] def sidecarName(entryPath: String): String = {
+    val sb = new StringBuilder(entryPath.length + 8)
+    entryPath.foreach { c =>
+      if (c == '.' || c == '-' || (c >= '0' && c <= '9') ||
+          (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) sb.append(c)
+      else if (c < 0x100) sb.append(f"_$c%02x")
+      else sb.append(f"_u$c%04x")
+    }
+    sb.toString
+  }
 
   def statsPath(tableDir: Path, entryPath: String): Path =
-    tableDir.resolve("_stats").resolve(sanitize(entryPath) + ".json")
+    tableDir.resolve("_stats").resolve(sidecarName(entryPath) + ".json")
 
   private val mapper = new ObjectMapper()
 
@@ -312,7 +328,7 @@ object ZoneMaps {
     val dir = tableDir.resolve("_stats")
     if (!Files.isDirectory(dir)) return
     val liveFiles = liveEntryPaths.flatMap(p =>
-      Seq(sanitize(p) + ".json", sanitize(p) + ".bloom"))
+      Seq(sidecarName(p) + ".json", sidecarName(p) + ".bloom"))
     val ls = Files.list(dir)
     try ls.iterator().asScala.toSeq
       .filterNot(p => liveFiles(p.getFileName.toString))
