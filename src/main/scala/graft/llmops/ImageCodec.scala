@@ -80,19 +80,24 @@ object ImageCodec {
     if (p.length < 44 ||
       !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
       !(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
-    var i = 12
+    // LONG cursor: a hostile chunk size near Int.MaxValue passes the
+    // sz < 0 check but would overflow an Int advance NEGATIVE — the next
+    // iteration then reads p(i<0) and throws out of the sniff instead of
+    // returning None (arbitrary binary must stay on the opaque path)
+    var i = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
     var dataSize = -1
     while (i + 8 <= p.length && (fmt.isEmpty || dataSize < 0)) {
-      val id = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = le32(p, i + 4)
+      val at = i.toInt // i + 8 <= p.length, so the cursor fits an Int
+      val id = new String(p, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(p, at + 4)
       if (sz < 0) return None // a 2GB+ chunk claim in a header is junk
       if (id == "fmt " && i + 8 + 16 <= p.length && sz >= 16)
-        fmt = Some((le16(p, i + 10), le32(p, i + 12), le16(p, i + 20),
-          le16(p, i + 22)))
+        fmt = Some((le16(p, at + 10), le32(p, at + 12), le16(p, at + 20),
+          le16(p, at + 22)))
       else if (id == "data")
-        dataSize = math.min(sz.toLong, (p.length - (i + 8)).toLong).toInt
-      i += 8 + sz + (sz & 1)
+        dataSize = math.min(sz.toLong, (p.length - (i + 8))).toInt
+      i += 8L + sz + (sz & 1)
     }
     fmt.collect {
       case (ch, rate, blockAlign, bits) if ch > 0 && blockAlign > 0 && dataSize >= 0 =>

@@ -163,6 +163,14 @@ class MultimodalSpec extends AnyFunSuite {
     // a RIFF container that is not WAVE rejects
     val avi = mono.clone(); avi(8) = 'A'; avi(9) = 'V'; avi(10) = 'I'; avi(11) = ' '
     assert(ImageCodec.sniffWav(avi).isEmpty)
+    // a hostile near-Int.MaxValue chunk size must return None, not
+    // overflow the cursor negative and throw out of the sniff
+    val hostile = ImageCodec.wavEncode(Array[Byte](1, 2, 3, 4), 1, 8000)
+    // first chunk id -> "junk", size -> 0x7ffffff0 (LE u32 at offset 16)
+    hostile(12) = 'j'; hostile(13) = 'u'; hostile(14) = 'n'; hostile(15) = 'k'
+    hostile(16) = 0xf0.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0x7f.toByte
+    assert(ImageCodec.sniffWav(hostile).isEmpty)
     // images stay images: the WAV sniffer must not claim a PNG
     val png = {
       val img = new java.awt.image.BufferedImage(
