@@ -1918,6 +1918,27 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     readEntries(dataset, table, scan, c.schemaDdl, filesOf).filter(pred)
   }
 
+  /** The SQL-path twin of [[readWhere]]: a pruned read plan for a
+    * predicate the ANALYZER already resolved (a `Filter` condition over
+    * a catalog relation — [[graft.sql.GraftRelationSubstitution]]
+    * splices this under the untouched Filter node). Zone/Bloom/transform
+    * pruning consults KB-sized sidecars at PLAN time, so a point query
+    * through SQL opens the files that may hold the key instead of
+    * footer-reading the whole snapshot — at 100 TB the difference
+    * between a manifest lookup and a million file opens. Does NOT apply
+    * the filter (the caller's Filter stays above and keeps exact
+    * semantics; pruning is conservative by [[ZoneMaps.mayMatch]]'s
+    * may-contain contract, incl. renamed/defaulted columns, which miss
+    * the sidecar name and simply never prune). CBO stats attach for the
+    * SCANNED subset, so broadcast decisions keep their inputs. */
+  private[graft] def readPrunedResolved(dataset: String, table: String,
+      c: SnapshotLog.Commit,
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression): DataFrame = {
+    val (scan, filesOf) = planFiles(dataset, table, c.entries, Some(resolved))
+    attachCboStats(dataset, table,
+      readEntries(dataset, table, scan, c.schemaDdl, filesOf), scan)
+  }
+
   /** [[readWhere]] against a historical version — time travel and data
     * skipping compose for free because zones are per-FRAGMENT and
     * fragments are immutable: an old commit's entries prune against the
@@ -4251,6 +4272,128 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .sortWithinPartitions(cols: _*)
     overwrite(dataset, table, df, m)
   }
+
+  /** Z-ORDER layout rewrite (`OPTIMIZE t ZORDER BY (a, b)` — Delta's
+    * multi-dimensional clustering verb): where [[recluster]]'s
+    * lexicographic sort gives perfect per-file pruning on the FIRST
+    * clustering column and none on the second, the z-curve interleaves
+    * both dimensions so a point/range predicate on EITHER column prunes
+    * ~√F of F files through the per-file zone maps [[readWhere]] already
+    * consults. The standard layout trade for a fact table queried along
+    * two independent axes (date × customer, part × supplier).
+    *
+    * Mechanics (one stats pass + one shuffle, both bounded by the table
+    * — this is a maintenance rewrite, not a query path):
+    *  1. each column maps to a RANK-bucket id via `approxQuantile`
+    *     cutpoints ([[ZOrderBuckets]] quantiles, one pass over the two
+    *     columns) — rank buckets, not raw values, so skewed or
+    *     wide-domain columns still spread over the full curve (the same
+    *     reason Delta z-orders on range ids, not values);
+    *  2. bucket ids bit-interleave into a z-value (the
+    *     [[graft.operators.ZOrder]] curve, over bucket ids instead of
+    *     raw ints);
+    *  3. `repartitionByRange` on z into `ceil(bytes/targetBytes)` tasks
+    *     + a within-partition sort: each output file covers a contiguous
+    *     z-range ≈ a rectangular tile of the (a, b) plane, so its zone
+    *     map is narrow in BOTH columns.
+    *
+    * Orderable columns only (numeric / date / timestamp — rank buckets
+    * need a sound order; a hashed string would destroy the locality the
+    * curve exists to create). Unpartitioned tables only: inside a
+    * hive-partitioned table the partition column already provides one
+    * pruning dimension — z-order the OTHER two with recluster-per-
+    * partition semantics is a different (unimplemented) verb, refused
+    * loudly rather than silently mislaid. NULLs rank in bucket 0
+    * (nulls-first). Data is unchanged — only layout moves; time travel
+    * to the pre-rewrite commit keeps the old layout. */
+  def zorderCluster(dataset: String, table: String, colA: String,
+                    colB: String, targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(colA != colB, s"ZORDER BY needs two distinct columns, got '$colA' twice")
+    val m = meta(dataset, table)
+    require(m.partitionField.isEmpty,
+      s"$dataset.$table is hive-partitioned; z-order inside partitions is " +
+        "not supported — the partition column already prunes one dimension")
+    val cur = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val sch = cur.schemaDdl.map(StructType.fromDDL).getOrElse(schema(dataset, table))
+    def orderKey(c: String): Column = {
+      val f = sch.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $c"))
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => col(c).cast("double")
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(c), lit("1970-01-01")).cast("double")
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          col(c).cast("double")
+        case dt => throw new IllegalArgumentException(
+          s"cannot ZORDER BY $c: ${dt.simpleString} has no sound rank order " +
+            "(hashing would destroy the locality the curve exists to create)")
+      }
+    }
+    val td = tableDir(dataset, table)
+    val bytes = cur.entries.map { e =>
+      val root = td.resolve(e.path)
+      if (!Files.exists(root)) 0L
+      else {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum
+        finally walk.close()
+      }
+    }.sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val base = read(dataset, table)
+    require(!Seq("_z", "_zba", "_zbb").exists(base.columns.contains),
+      "table already has a column named _z/_zba/_zbb (reserved by zorderCluster)")
+    // one pass computes BOTH columns' rank cutpoints (quantile sketch)
+    val keyed = base.select(orderKey(colA).as("_ka"), orderKey(colB).as("_kb"))
+    val Array(cutsA, cutsB) = keyed.stat.approxQuantile(
+      Array("_ka", "_kb"),
+      (1 until ZOrderBuckets).map(_.toDouble / ZOrderBuckets).toArray, 0.001)
+    // rank bucket = #cutpoints <= value, as a CODEGEN'D binary-search
+    // CASE tree (log2(B) comparisons/row): a lambda-HOF array scan
+    // (`size(filter(lit(cuts), key >= _))`) is CodegenFallback —
+    // interpreted per row — and measured ~20x slower at bench scale.
+    // NULL keys fail every comparison and land in bucket 0 (nulls-first).
+    def bucketOf(key: Column, cuts: Array[Double]): Column = {
+      def search(lo: Int, hi: Int): Column =
+        if (lo == hi) lit(lo.toLong)
+        else {
+          val mid = (lo + hi + 1) / 2 // bucket >= mid iff cuts(mid-1) <= key
+          when(key >= cuts(mid - 1), search(mid, hi))
+            .otherwise(search(lo, mid - 1))
+        }
+      if (cuts.isEmpty) lit(0L) else search(0, cuts.length)
+    }
+    val zBits = 32 - Integer.numberOfLeadingZeros(ZOrderBuckets - 1)
+    // buckets land in their OWN projection: the z expression below
+    // references each 8 times, and CollapseProject keeps a non-cheap
+    // multi-referenced alias in place — so the CASE tree evaluates once
+    // per row, not once per interleaved bit
+    val bucketed = base
+      .withColumn("_zba", bucketOf(orderKey(colA), cutsA))
+      .withColumn("_zbb", bucketOf(orderKey(colB), cutsB))
+    // bit interleave (the graft.operators.ZOrder curve, over bucket ids)
+    val z = (0 until zBits).map { i =>
+      shiftleft(shiftright(col("_zba"), i) % 2, 2 * i) +
+        shiftleft(shiftright(col("_zbb"), i) % 2, 2 * i + 1)
+    }.reduce(_ + _)
+    val df = bucketed.withColumn("_z", z)
+      .repartitionByRange(nOut, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z", "_zba", "_zbb")
+    overwrite(dataset, table, df, m)
+  }
+
+  /** Rank buckets per dimension for [[zorderCluster]] — 256 buckets →
+    * 65,536 z-cells, comfortably finer than any realistic output file
+    * count while keeping the per-row bucket scan (256 comparisons,
+    * codegen'd) cheap next to the rewrite IO it precedes. */
+  private val ZOrderBuckets = 256
 
   /** Symlink-manifest export — the external-engine interop handshake
     * (Delta's `GENERATE symlink_format_manifest`, Hive/Trino/Presto's

@@ -2648,9 +2648,63 @@ object EngineQueries {
       |       round(sum(l_quantity), 2) AS qty
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // -------------------------------------------- q95 OPTIMIZE ZORDER BY
+
+  /** `OPTIMIZE t ZORDER BY (a, b)` end-to-end: lineitem lands as ONE
+    * row-major file (no useful locality), the SQL verb rewrites it onto
+    * the z-curve, and the in-query `require`s pin the layout contract —
+    * a point predicate on EITHER column prunes through the per-file
+    * zone maps (the lexicographic alternative prunes only the first).
+    * The shipped frame reads back through the pruned path with a
+    * two-sided predicate, so the oracle hash proves the rewrite moved
+    * LAYOUT and nothing else. */
+  def q95ZorderOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"g95c${qCatN.incrementAndGet()}"
+    val root = scratch("graft_zorder")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val wh = new Warehouse(spark, root)
+    val t = s"$cat.mart.zli"
+    wh.overwrite("mart", "zli", Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      .repartition(1))
+    val td = java.nio.file.Paths.get(root, "mart", "zli")
+    val bytes = wh.log("mart", "zli").latest.get.entries.map { e =>
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(td.resolve(e.path))
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      finally walk.close()
+    }.sum
+    // ~16 z-tile files so both footprint probes have something to prune
+    spark.conf.set("spark.graft.optimize.targetBytes",
+      math.max(1L, bytes / 16).toString)
+    try spark.sql(s"OPTIMIZE $t ZORDER BY (l_partkey, l_suppkey)").collect()
+    finally spark.conf.unset("spark.graft.optimize.targetBytes")
+    val (sa, total) = wh.scanFootprint("mart", "zli", col("l_partkey") === 50)
+    val (sb, _) = wh.scanFootprint("mart", "zli", col("l_suppkey") === 3)
+    require(total >= 8, s"z-order rewrite produced too few files: $total")
+    require(sa <= total * 3 / 4 && sb <= total * 3 / 4,
+      s"z-order must prune point predicates on BOTH columns: " +
+        s"$sa and $sb of $total files scanned")
+    spark.sql(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |round(l_quantity, 2) AS qty
+      |FROM $t WHERE l_partkey <= 100 OR l_suppkey <= 20""".stripMargin)
+  }
+
+  val q95Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |       round(l_quantity, 2) AS qty
+      |FROM lineitem WHERE l_partkey <= 100 OR l_suppkey <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_v2_dml" -> (q93V2Dml _),
     "q94_drop_column" -> (q94DropColumn _),
+    "q95_zorder_optimize" -> (q95ZorderOptimize _),
     "q83_stream_table_source" -> (q83StreamTableSource _),
     "q85_type_widening" -> (q85TypeWidening _),
     "q86_stream_sink" -> (q86StreamSink _),
@@ -2718,6 +2772,7 @@ object EngineQueries {
     "q91_sql_grants" -> q91Sql,
     "q92_restore" -> q92Sql,
     "q94_drop_column" -> q94Sql,
+    "q95_zorder_optimize" -> q95Sql,
     "q93_v2_dml" -> q93Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,

@@ -923,16 +923,29 @@ final case class GraftAlterColumnsCommand(t: GraftSql.Target,
   }
 }
 
-/** `OPTIMIZE <name>` (maintenance grammar the stock parser lacks —
-  * matched by [[GraftSqlParser]]'s fallback): compaction to
-  * size-bounded fragments. Returns the rewritten partition values. */
-final case class GraftOptimizeCommand(t: GraftSql.Target)
+/** `OPTIMIZE <name> [ZORDER BY (a, b)]` (maintenance grammar the stock
+  * parser lacks — matched by [[GraftSqlParser]]'s fallback): small-file
+  * compaction, or with the ZORDER clause a two-dimensional layout
+  * rewrite ([[graft.core.Warehouse.zorderCluster]] — per-file zone maps
+  * then prune on EITHER column). Returns the rewritten partition
+  * values. */
+final case class GraftOptimizeCommand(t: GraftSql.Target,
+                                      zorder: Option[(String, String)] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("rewritten_partitions",
       org.apache.spark.sql.types.StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val parts = t.wh.compact(t.dataset, t.table)
+    // target output-file size; the session knob mirrors Delta's
+    // optimize.maxFileSize (and lets tests exercise multi-file layouts)
+    val target = spark.conf.getOption("spark.graft.optimize.targetBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val parts = zorder match {
+      case Some((a, b)) =>
+        t.wh.zorderCluster(t.dataset, t.table, a, b, target)
+        Seq("") // unpartitioned by contract: the whole table rewrote
+      case None => t.wh.compact(t.dataset, t.table, target)
+    }
     GraftSql.refreshTargets(spark, t)
     parts.map(Row(_))
   }

@@ -15,8 +15,10 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   /** Maintenance grammar the stock parser lacks: tried only AFTER the
     * delegate rejects the text, and only for registered warehouse
     * tables — anything else re-throws the delegate's own error. */
+  //   OPTIMIZE <t>                      — small-file compaction
+  //   OPTIMIZE <t> ZORDER BY (a, b)     — two-dimensional layout rewrite
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*(?:ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   // IAM grammar (grants.py:260-292 reconcile verbs — Spark's parser has
@@ -52,9 +54,10 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession.orNull
     if (spark == null) return None
     sqlText match {
-      case OptimizeRe(name) =>
+      case OptimizeRe(name, za, zb) =>
         GraftSql.lookup(spark, name.split('.').toSeq)
-          .map(GraftOptimizeCommand(_))
+          .map(GraftOptimizeCommand(_,
+            Option(za).map(a => (a, zb)))) // zb is non-null iff za is
       case VacuumRe(name, hours) =>
         GraftSql.lookup(spark, name.split('.').toSeq)
           .map(GraftVacuumCommand(_, Option(hours).map(_.toLong)))
