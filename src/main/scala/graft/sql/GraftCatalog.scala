@@ -520,6 +520,19 @@ final case class GraftTable(wh: Warehouse, dataset: String, table: String,
     case None => wh.read(dataset, table)
   }
 
+  /** The zone/Bloom/transform-PRUNED warehouse read for an
+    * analyzer-resolved Filter condition over this relation — spliced by
+    * [[GraftRelationSubstitution]] when a `WHERE` sits directly above
+    * the relation, so SQL point queries stop opening every file of the
+    * snapshot. Composes with time travel for free (sidecars are
+    * per-fragment and fragments immutable). */
+  def readPlanPruned(resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+      : DataFrame = {
+    val c = commit.getOrElse(
+      throw new IllegalArgumentException(s"no such table: $fullName"))
+    wh.readPrunedResolved(dataset, table, c, resolved)
+  }
+
   /** SELECT reads never get here (the substitution rule splices the
     * warehouse plan at resolution), but the OPTIMIZER builds a scan for
     * DML-target relations even when the operation is metadata-only

@@ -41,7 +41,33 @@ final class GraftRelationSubstitution(spark: SparkSession)
       case i: InsertIntoStatement => collectRelations(i.table, dmlTargets)
       case _ => ()
     }
-    plan.resolveOperatorsUp {
+    // Relations sitting under a Filter get the zone/Bloom-PRUNED read
+    // (a WHERE over a catalog name must not open every file of a 100 TB
+    // snapshot — Warehouse.readPrunedResolved). While the condition is
+    // still UNRESOLVED the relation is HELD for a later fixed-point
+    // iteration: the plain splice would otherwise consume it first and
+    // the pruning opportunity would be gone. A condition that never
+    // resolves fails the query in checkAnalysis anyway, so the hold
+    // cannot strand an unsubstituted relation in a valid query.
+    val held = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case Filter(cond, child) if !cond.resolved =>
+        throughAliases(child).foreach(held.add)
+      case _ => ()
+    }
+    val pruned = plan.resolveOperatorsDown {
+      case f @ Filter(cond, child) if cond.resolved =>
+        throughAliases(child) match {
+          case Some(r) if r.table.isInstanceOf[GraftTable] &&
+              !dmlTargets.contains(r) =>
+            val t = r.table.asInstanceOf[GraftTable]
+            Filter(cond, replaceRelation(child, r,
+              spliceFor(r, t.readPlanPruned(cond), t)))
+          case _ => f
+        }
+    }
+    pruned.resolveOperatorsUp {
       // PERSISTED VIEWS on the non-SQL entry points (spark.read.table,
       // spark.table): the catalog's loadTable declines views, so the
       // relation is still unresolved when this rule runs — expand the
@@ -54,21 +80,50 @@ final class GraftRelationSubstitution(spark: SparkSession)
           .map(GraftSql.expandView(spark, _): LogicalPlan)
           .getOrElse(u)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
-          !dmlTargets.contains(r) =>
+          !dmlTargets.contains(r) && !held.contains(r) =>
         val t = r.table.asInstanceOf[GraftTable]
-        val fresh = t.readPlan().queryExecution.analyzed
-        val byName = fresh.output.map(a => a.name -> a).toMap
-        val projected: Seq[NamedExpression] = r.output.map { o =>
-          val src = byName.getOrElse(o.name, throw new IllegalStateException(
-            s"${t.name()}: column '${o.name}' in the resolved relation is " +
-              "missing from the warehouse read — schema drift mid-analysis"))
-          // exprId-preserving alias; cast covers a concurrent widen
-          // between loadTable (schema snapshot) and this read
-          val v = if (src.dataType == o.dataType) src else Cast(src, o.dataType)
-          Alias(v, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-        }
-        Project(projected, fresh)
+        spliceFor(r, t.readPlan(), t)
     }
+  }
+
+  /** The exprId-preserving splice: parent operators may already have
+    * resolved references against the relation's output in an earlier
+    * fixed-point iteration, so the fresh plan is projected back onto the
+    * relation's own attribute ids. */
+  private def spliceFor(r: DataSourceV2Relation,
+                        plan: org.apache.spark.sql.DataFrame,
+                        t: GraftTable): LogicalPlan = {
+    val fresh = plan.queryExecution.analyzed
+    val byName = fresh.output.map(a => a.name -> a).toMap
+    val projected: Seq[NamedExpression] = r.output.map { o =>
+      val src = byName.getOrElse(o.name, throw new IllegalStateException(
+        s"${t.name()}: column '${o.name}' in the resolved relation is " +
+          "missing from the warehouse read — schema drift mid-analysis"))
+      // exprId-preserving alias; cast covers a concurrent widen
+      // between loadTable (schema snapshot) and this read
+      val v = if (src.dataType == o.dataType) src else Cast(src, o.dataType)
+      Alias(v, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }
+    Project(projected, fresh)
+  }
+
+  /** The relation under a chain of SubqueryAlias wrappers (the shape a
+    * catalog lookup leaves a FROM-clause relation in), if any. */
+  private def throughAliases(p: LogicalPlan): Option[DataSourceV2Relation] =
+    p match {
+      case r: DataSourceV2Relation => Some(r)
+      case a: SubqueryAlias => throughAliases(a.child)
+      case _ => None
+    }
+
+  /** Rebuild the alias chain of `p` with `target` (by identity) replaced
+    * by `replacement` — SubqueryAlias passes exprIds through, so the
+    * wrapper chain above the splice keeps resolving. */
+  private def replaceRelation(p: LogicalPlan, target: DataSourceV2Relation,
+                              replacement: LogicalPlan): LogicalPlan = p match {
+    case r: DataSourceV2Relation if r eq target => replacement
+    case a: SubqueryAlias => a.copy(child = replaceRelation(a.child, target, replacement))
+    case other => other
   }
 
   private def collectRelations(p: LogicalPlan,
