@@ -63,10 +63,32 @@ object BloomIndex {
     val p = bloomPath(tableDir, entryPath)
     Files.createDirectories(p.getParent)
     Files.write(p, bos.toByteArray)
+    if (cache.size < MaxCached) cache.put(p, blooms) else cache.remove(p)
   }
+
+  /** Process-wide sidecar cache (the ZoneMaps.cache twin, same
+    * soundness argument — any bloom built from the immutable fragment
+    * is a valid may-contain filter, so even a cross-process re-analyze
+    * can only change pruning POWER, never correctness). The SQL read
+    * path probes blooms at plan time; a thousand-fragment table must
+    * not pay a thousand file opens per statement. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Path, EntryBlooms]()
+  private val MaxCached = 16384
+
+  /** Drop a deleted sidecar from the cache (ZoneMaps.vacuumStats owns
+    * the sweep over both sidecar kinds). */
+  private[core] def invalidate(p: Path): Unit = { cache.remove(p); () }
 
   def read(tableDir: Path, entryPath: String): Option[EntryBlooms] = {
     val p = bloomPath(tableDir, entryPath)
+    val hit = cache.get(p)
+    // stat-on-hit: out-of-band deletion keeps reading as "no filter"
+    // (see ZoneMaps.read — the deserialization is what's saved)
+    if (hit != null) {
+      if (Files.exists(p)) return Some(hit)
+      cache.remove(p)
+      return None
+    }
     if (!Files.exists(p)) return None
     try {
       val in = new DataInputStream(new ByteArrayInputStream(Files.readAllBytes(p)))
@@ -85,7 +107,9 @@ object BloomIndex {
         }.toMap
         c -> (typ, files)
       }.toMap
-      Some(EntryBlooms(cols))
+      val eb = EntryBlooms(cols)
+      if (cache.size < MaxCached) cache.put(p, eb)
+      Some(eb)
     } catch { case _: Exception => None } // corrupt sidecar = no pruning
   }
 

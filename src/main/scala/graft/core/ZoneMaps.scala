@@ -288,12 +288,28 @@ object ZoneMaps {
     }
   }
 
+  /** Process-wide sidecar cache, keyed by absolute sidecar path.
+    * SOUND because fragment dirs are full-UUID write-once paths (never
+    * reused) and a present sidecar's content never changes after its
+    * write — only ABSENT sidecars can transition (analyze backfill), so
+    * misses are never cached. Bounded, insert-until-full (entries are a
+    * few KB; 64k ≈ tens of MB). Why it exists: the SQL read path prunes
+    * through sidecars at PLAN time, and a hot append table with
+    * thousands of live fragments must not pay thousands of driver file
+    * opens per statement — cached, planning costs one map probe per
+    * entry after first touch. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Path, FragStats]()
+  private val MaxCached = 65536
+
   def write(tableDir: Path, entryPath: String, st: FragStats): Unit = {
     val root = mapper.createObjectNode()
     renderStats(root, st)
     val p = statsPath(tableDir, entryPath)
     Files.createDirectories(p.getParent)
     Files.write(p, mapper.writeValueAsBytes(root))
+    // keep the cache coherent for the writer's own process (re-writes
+    // happen only in hand-built test states, but stale would be unsound)
+    if (cache.size < MaxCached) cache.put(p, st) else cache.remove(p)
   }
 
   private def parseStats(root: com.fasterxml.jackson.databind.JsonNode): FragStats = {
@@ -315,10 +331,22 @@ object ZoneMaps {
 
   def read(tableDir: Path, entryPath: String): Option[FragStats] = {
     val p = statsPath(tableDir, entryPath)
+    val hit = cache.get(p)
+    // a cache hit still stats the file (µs-scale on a real filesystem):
+    // out-of-band sidecar deletion must keep reading as "no stats — no
+    // pruning", exactly as before the cache. The parse is what's saved.
+    if (hit != null) {
+      if (Files.exists(p)) return Some(hit)
+      cache.remove(p)
+      return None
+    }
     if (!Files.exists(p)) return None
-    try Some(parseStats(
-      mapper.readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))))
-    catch { case _: Exception => None } // corrupt sidecar = no pruning
+    try {
+      val st = parseStats(
+        mapper.readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+      if (cache.size < MaxCached) cache.put(p, st)
+      Some(st)
+    } catch { case _: Exception => None } // corrupt sidecar = no pruning
   }
 
   /** Remove sidecars whose entry no longer exists in any live commit
@@ -332,7 +360,10 @@ object ZoneMaps {
     val ls = Files.list(dir)
     try ls.iterator().asScala.toSeq
       .filterNot(p => liveFiles(p.getFileName.toString))
-      .foreach(Files.deleteIfExists(_))
+      .foreach { p =>
+        cache.remove(p); BloomIndex.invalidate(p)
+        Files.deleteIfExists(p)
+      }
     finally ls.close()
   }
 

@@ -30,6 +30,28 @@ class CoreReviewSpec extends AnyFunSuite {
       BloomIndex.bloomPath(td, "frag/day=x+y"))
   }
 
+  test("sidecar cache: write-through coherence and delete visibility") {
+    val td = Files.createTempDirectory("sidecar_cache")
+    val st1 = ZoneMaps.FragStats(10L,
+      Map("k" -> ZoneMaps.ColStat(Some("1"), Some("5"), 0L, "long")))
+    ZoneMaps.write(td, "frag/a", st1)
+    assert(ZoneMaps.read(td, "frag/a").contains(st1))
+    // a re-write (hand-built states only in practice) must serve the
+    // NEW stats, never a stale cache entry
+    val st2 = st1.copy(rows = 20L)
+    ZoneMaps.write(td, "frag/a", st2)
+    assert(ZoneMaps.read(td, "frag/a").contains(st2))
+    // out-of-band sidecar deletion must read as "no stats — no pruning"
+    // even after the cache was populated (stat-on-hit contract)
+    Files.delete(ZoneMaps.statsPath(td, "frag/a"))
+    assert(ZoneMaps.read(td, "frag/a").isEmpty)
+    // vacuumStats invalidates too
+    ZoneMaps.write(td, "frag/b", st1)
+    assert(ZoneMaps.read(td, "frag/b").isDefined)
+    ZoneMaps.vacuumStats(td, Set.empty)
+    assert(ZoneMaps.read(td, "frag/b").isEmpty)
+  }
+
   test("zone pruning stays sound across sidecar-colliding partition values") {
     val wh = new Warehouse(spark, Files.createTempDirectory("collide").toString)
     // two partitions whose values collide under a lossy flattening; their
