@@ -23,6 +23,12 @@ import graft.core.{TableMeta, Warehouse}
   * compaction after MoR must materialize the vector, a restore across
   * a MoR boundary must re-point at the dv the snapshot pinned, a merge
   * landing over a truncate-restore chain must see the restored keys.
+  * WAP rides along: staged batches stay INVISIBLE to every read and
+  * every recorded version until publish, the audit view equals
+  * model ∪ staged, and the model predicts the REFUSALS — row-level
+  * mutations must refuse loudly while anything is staged (a publish
+  * would silently undo them). Tags pin recorded versions and must
+  * keep serving them verbatim through every later mutation.
   * Runs twice: UNIQUE-keyed unpartitioned, and hive-partitioned. */
 class DmlModelPropSpec extends AnyFunSuite {
   import TestSession._
@@ -49,6 +55,9 @@ class DmlModelPropSpec extends AnyFunSuite {
     var nextK = 0L
     var model = Vector.empty[MRow]
     var history = Map.empty[Int, Vector[MRow]]
+    var staged = Vector.empty[MRow] // WAP: landed but uncommitted
+    var tags = Map.empty[String, Int]
+    var nextTag = 0
 
     def freshRows(n: Int): Vector[MRow] = Vector.fill(n) {
       nextK += 1
@@ -79,19 +88,39 @@ class DmlModelPropSpec extends AnyFunSuite {
         history += c.version -> model
       }
 
-    def verify(step: String): Unit = {
-      val got = wh.read("d", "t").select("k", "v", "p")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Vector[MRow] =
+      df.select("k", "v", "p")
         .collect().map(r => MRow(r.getLong(0), r.getLong(1), r.getString(2)))
         .sortBy(_.k).toVector
-      assert(got === model.sortBy(_.k), s"[$step] live state diverged")
+
+    def verify(step: String): Unit = {
+      assert(rowsOf(wh.read("d", "t")) === model.sortBy(_.k),
+        s"[$step] live state diverged (staged data must stay invisible)")
+      if (staged.nonEmpty)
+        assert(rowsOf(wh.readWithStaged("d", "t")) ===
+          (model ++ staged).sortBy(_.k), s"[$step] audit view diverged")
       if (history.nonEmpty) {
         val (ver, want) = history.toSeq(rnd.nextInt(history.size))
-        val at = wh.readVersion("d", "t", ver).select("k", "v", "p")
-          .collect().map(r => MRow(r.getLong(0), r.getLong(1), r.getString(2)))
-          .sortBy(_.k).toVector
+        val at = rowsOf(wh.readVersion("d", "t", ver))
         assert(at === want.sortBy(_.k), s"[$step] time travel to v$ver diverged")
       }
+      if (tags.nonEmpty) {
+        val (name, ver) = tags.toSeq(rnd.nextInt(tags.size))
+        assert(rowsOf(wh.readTag("d", "t", name)) === history(ver).sortBy(_.k),
+          s"[$step] tag $name (v$ver) diverged")
+      }
     }
+
+    /** Row-level mutations must REFUSE while anything is staged (a WAP
+      * publish would silently undo them); the model predicts exactly
+      * when. Runs `body` and applies `update` when unstaged. */
+    def mutating(what: String)(body: => Unit)(update: => Unit): String =
+      if (staged.nonEmpty) {
+        val r = scala.util.Try(body)
+        assert(r.isFailure && r.failed.get.getMessage.contains("staged"),
+          s"$what while staged must refuse loudly, got $r")
+        s"$what (refused: staged)"
+      } else { body; update; what }
 
     // create: empty table with the walk's metadata
     wh.overwrite("d", "t", toDf(Nil), m)
@@ -102,8 +131,8 @@ class DmlModelPropSpec extends AnyFunSuite {
     model ++= batch0
     record(); verify("init")
 
-    for (op <- 1 to 16) {
-      val step = rnd.nextInt(12) match {
+    for (op <- 1 to 20) {
+      val step = rnd.nextInt(16) match {
         case 0 | 1 => // append a small batch of fresh keys
           val rows = freshRows(1 + rnd.nextInt(4))
           if (partitioned) wh.appendPartitioned("d", "t", toDf(rows))
@@ -112,57 +141,97 @@ class DmlModelPropSpec extends AnyFunSuite {
           "append"
         case 2 => // copy-on-write delete
           val (pred, hit) = somePred()
-          wh.deleteWhere("d", "t", pred)
-          model = model.filterNot(hit)
-          "deleteWhere"
+          mutating("deleteWhere")(wh.deleteWhere("d", "t", pred)) {
+            model = model.filterNot(hit)
+          }
         case 3 => // merge-on-read delete (deletion vector)
           val (pred, hit) = somePred()
-          wh.deleteWhereMor("d", "t", pred)
-          model = model.filterNot(hit)
-          "deleteWhereMor"
+          mutating("deleteWhereMor")(wh.deleteWhereMor("d", "t", pred)) {
+            model = model.filterNot(hit)
+          }
         case 4 => // update v under a predicate
           val (pred, hit) = somePred()
           val delta = 1L + rnd.nextInt(10)
-          wh.updateWhere("d", "t", Seq("v" -> (col("v") + lit(delta))), pred)
-          model = model.map(r => if (hit(r)) r.copy(v = r.v + delta) else r)
-          "updateWhere"
+          mutating("updateWhere")(
+            wh.updateWhere("d", "t", Seq("v" -> (col("v") + lit(delta))), pred)) {
+            model = model.map(r => if (hit(r)) r.copy(v = r.v + delta) else r)
+          }
         case 5 => // key merge: update some existing keys, insert fresh ones
           val hitKeys = rnd.shuffle(model).take(rnd.nextInt(3))
             .map(r => r.copy(v = r.v + 1000L))
           val ins = freshRows(1 + rnd.nextInt(2))
           val src = hitKeys ++ ins
-          wh.mergeInto("d", "t", toDf(src), Seq("k"))
           val byK = src.map(r => r.k -> r).toMap
-          model = model.map(r => byK.getOrElse(r.k, r)) ++ ins
-          "mergeInto"
+          mutating("mergeInto")(wh.mergeInto("d", "t", toDf(src), Seq("k"))) {
+            model = model.map(r => byK.getOrElse(r.k, r)) ++ ins
+          }
         case 6 => // predicate replace: scope out one partition value,
           // land fresh rows that all satisfy the scope
           val p = parts(rnd.nextInt(parts.size))
           val rows = freshRows(1 + rnd.nextInt(3)).map(_.copy(p = p))
-          wh.replaceWhere("d", "t", col("p") === p, toDf(rows))
-          model = model.filterNot(_.p == p) ++ rows
-          "replaceWhere"
+          mutating("replaceWhere")(
+            wh.replaceWhere("d", "t", col("p") === p, toDf(rows))) {
+            model = model.filterNot(_.p == p) ++ rows
+          }
         case 7 => // truncate (rare enough not to dominate)
-          if (rnd.nextBoolean()) {
-            wh.truncate("d", "t")
-            model = Vector.empty
-            "truncate"
-          } else "skip"
-        case 8 => // full rewrite of the current state
+          if (rnd.nextBoolean())
+            mutating("truncate")(wh.truncate("d", "t")) { model = Vector.empty }
+          else "skip"
+        case 8 => // full rewrite of the PUBLISHED state (allowed while
+          // staged: the publish CAS re-bases and appends on top)
           wh.overwrite("d", "t", toDf(model), m)
           "overwrite"
         case 9 => // small-file compaction: state must not move
           wh.compact("d", "t",
             targetBytes = if (rnd.nextBoolean()) 1L << 20 else 1L)
           "compact"
-        case _ => // in-place restore to a random recorded version
+        case 10 | 11 => // in-place restore to a random recorded version
+          // (allowed while staged — staged fragments are untouched and
+          // publish lands them on the restored state)
           val ver = history.keys.toSeq(rnd.nextInt(history.size))
           wh.restoreToVersion("d", "t", ver)
           model = history(ver)
           s"restore v$ver"
+        case 12 => // WAP stage: landed, validated, INVISIBLE until publish
+          val rows = freshRows(1 + rnd.nextInt(3))
+          wh.stageAppend("d", "t", toDf(rows))
+          staged ++= rows
+          "stageAppend"
+        case 13 => // WAP resolution: publish or discard the audit
+          if (staged.isEmpty) "skip"
+          else if (rnd.nextBoolean()) {
+            val n = wh.publishStaged("d", "t")
+            assert(n > 0, "publish must report staged entries")
+            model ++= staged; staged = Vector.empty
+            "publishStaged"
+          } else {
+            wh.discardStaged("d", "t")
+            staged = Vector.empty
+            "discardStaged"
+          }
+        case 14 => // pin the current version with a tag
+          wh.log("d", "t").latest.filter(!_.isDrop).map { c =>
+            val name = s"walk_tag_$nextTag"; nextTag += 1
+            wh.log("d", "t").tag(name, c.version)
+            tags += name -> c.version
+            s"tag v${c.version}"
+          }.getOrElse("skip")
+        case _ => // audit-view spot check rides verify(); burn a turn on
+          // a second append so walks stay mutation-heavy
+          val rows = freshRows(1)
+          if (partitioned) wh.appendPartitioned("d", "t", toDf(rows))
+          else wh.append("d", "t", toDf(rows))
+          model ++= rows
+          "append1"
       }
       record()
       verify(s"op $op: $step")
+    }
+    // drain: a publish at walk end must land every staged row exactly once
+    if (staged.nonEmpty) {
+      wh.publishStaged("d", "t")
+      model ++= staged; staged = Vector.empty
+      record(); verify("final publish")
     }
   }
 
