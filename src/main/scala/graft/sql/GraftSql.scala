@@ -319,6 +319,25 @@ object GraftSql {
           case Some(tg) => GraftDropCommand(tg, ifExists)
           case None => d
         }
+      // ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ... | FOR ALL
+      // COLUMNS]: Spark's exec refuses v2 tables, so the warehouse
+      // serves the verb — zone-sidecar backfill for entries that predate
+      // stats (external writers, legacy fragments), and the FOR COLUMNS
+      // forms additionally build per-file Bloom sidecars for point-lookup
+      // skipping on unclustered columns (Warehouse.analyzeBloom).
+      case a @ org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable(child, _, _) =>
+        identOf(child).flatMap(lookupLocal(spark, _)) match {
+          case Some(tg) =>
+            GraftAnalyzeCommand(tableTarget(tg, "ANALYZE"), None)
+          case None => a
+        }
+      case a @ org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn(child, colNames, allCols) =>
+        identOf(child).flatMap(lookupLocal(spark, _)) match {
+          case Some(tg) =>
+            GraftAnalyzeCommand(tableTarget(tg, "ANALYZE"),
+              Some(if (allCols) Seq.empty else colNames.getOrElse(Seq.empty)))
+          case None => a
+        }
       case a @ AddColumns(child, cols) =>
         identOf(child).flatMap(lookupLocal(spark, _)) match {
           case Some(tg) =>
@@ -948,6 +967,47 @@ final case class GraftOptimizeCommand(t: GraftSql.Target,
     }
     GraftSql.refreshTargets(spark, t)
     parts.map(Row(_))
+  }
+}
+
+/** `ANALYZE TABLE <name> COMPUTE STATISTICS [FOR COLUMNS ... | FOR ALL
+  * COLUMNS]` — the maintenance verb completing OPTIMIZE/VACUUM: zone
+  * sidecars backfill for uncovered entries
+  * ([[graft.core.Warehouse.analyze]]), and the FOR COLUMNS forms build
+  * per-file Bloom sidecars ([[graft.core.Warehouse.analyzeBloom]]) over
+  * the named columns — FOR ALL COLUMNS takes every Bloom-eligible one
+  * (integral/string, the point-lookup shapes). Returns one row per
+  * sidecar kind with the entry count touched. */
+final case class GraftAnalyzeCommand(t: GraftSql.Target,
+                                     bloomCols: Option[Seq[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("sidecar",
+      org.apache.spark.sql.types.StringType, nullable = false)()) ++
+      GraftSql.longAttr("entries")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val zones = t.wh.analyze(t.dataset, t.table)
+    val bloom = bloomCols.map { named =>
+      val sch = t.wh.schema(t.dataset, t.table)
+      val cols =
+        if (named.nonEmpty) {
+          named.foreach(c => require(sch.fieldNames.contains(c),
+            s"${t.name}: no such column '$c'"))
+          named
+        } else {
+          import org.apache.spark.sql.types._
+          sch.fields.toSeq.collect {
+            case f if f.dataType == StringType || f.dataType == LongType ||
+              f.dataType == IntegerType || f.dataType == ShortType ||
+              f.dataType == ByteType => f.name
+          }
+        }
+      require(cols.nonEmpty,
+        s"${t.name}: no Bloom-eligible (integral/string) columns to analyze")
+      t.wh.analyzeBloom(t.dataset, t.table, cols)
+    }
+    Seq(Row("zones", zones.size.toLong)) ++
+      bloom.map(b => Row("blooms", b.size.toLong))
   }
 }
 

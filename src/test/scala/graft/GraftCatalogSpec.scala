@@ -268,4 +268,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("GraftExtensions"))
   }
+
+  test("SHOW CREATE TABLE renders through the v2 catalog") {
+    wh.overwrite("dsc", "t", Seq((1L, "a")).toDF("k", "v"))
+    val ddl = spark.sql("SHOW CREATE TABLE graft.dsc.t").head().getString(0)
+    assert(ddl.contains("CREATE TABLE graft.dsc.t") || ddl.contains("CREATE TABLE `graft`"),
+      s"unexpected DDL: $ddl")
+    assert(ddl.contains("k BIGINT") || ddl.contains("`k` BIGINT"), ddl)
+  }
 }

@@ -365,4 +365,31 @@ class GraftSqlSpec extends AnyFunSuite {
     // unknown version: loud refusal
     intercept[Exception] { wh.restoreToVersion("d", "t", 99) }
   }
+
+  test("ANALYZE TABLE backfills zone sidecars and builds Bloom indexes") {
+    val (wh, n) = fresh("sql_analyze")
+    val td = java.nio.file.Paths.get(wh.root, "d", "t")
+    val entry = wh.log("d", "t").latest.get.entries.head
+    // simulate a legacy/external fragment: remove its zone sidecar
+    java.nio.file.Files.delete(graft.core.ZoneMaps.statsPath(td, entry.path))
+    val out = spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("zones") === 1L, s"zone backfill must cover the stripped entry: $out")
+    assert(graft.core.ZoneMaps.read(td, entry.path).isDefined)
+    // FOR COLUMNS builds Bloom sidecars on the named column
+    val out2 = spark.sql(
+      s"ANALYZE TABLE $n COMPUTE STATISTICS FOR COLUMNS s").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out2("blooms") >= 1L, s"expected bloom entries: $out2")
+    assert(graft.core.BloomIndex.read(td, entry.path).exists(_.cols.contains("s")))
+    // FOR ALL COLUMNS takes the Bloom-eligible set (id/s, never double v)
+    spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS FOR ALL COLUMNS").collect()
+    val eb = graft.core.BloomIndex.read(td, entry.path).get
+    assert(eb.cols.keySet === Set("id", "s"), s"eligible set wrong: ${eb.cols.keySet}")
+    // unknown column refuses loudly; unregistered names keep Spark's error
+    val e = intercept[Exception] {
+      spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS FOR COLUMNS nope").collect()
+    }
+    assert(e.getMessage.contains("no such column"))
+  }
 }
