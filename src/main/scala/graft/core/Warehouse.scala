@@ -497,6 +497,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       columnRenames = m.columnRenames :+ (from -> to),
       notNullColumns = m.notNullColumns.map(c => if (c == from) to else c),
       clusteringFields = m.clusteringFields.map(c => if (c == from) to else c),
+      // the UNIQUE key follows too: a stale key name would make every
+      // later append's enforcement probe fail on a missing column
+      uniqueKey = m.uniqueKey.map(c => if (c == from) to else c),
       // the read-time default follows the rename: defaults are keyed by
       // the CURRENT name (the pad runs after rename re-labeling), so an
       // unmapped entry would silently stop serving — pre-add fragments
@@ -3309,6 +3312,30 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }.toMap
   }
 
+  /** The name an AS-OF schema knows a currently-named defaulted column
+    * by: [[renameColumn]] re-keys `columnDefaults` to the new name, but
+    * meta is UNVERSIONED — a time-travel read pinned to a pre-rename
+    * commit must keep serving the default under the commit's own name
+    * (the historical truth: it served there when that version was
+    * current), so the rename chain walks BACKWARD from the current name
+    * to the first trajectory name the pinned schema contains. Current
+    * reads (name present) and legacy commits (no pinned schema) keep
+    * the current name. Found by modeling the DDL×DML walk: rename after
+    * a declared default made `readVersion` serve NULL where history
+    * served the default. */
+  private def defaultNameAsOf(m: TableMeta, declared: Option[StructType],
+                              c: String): Option[String] =
+    declared match {
+      case None => Some(c)
+      case Some(s) if s.fieldNames.contains(c) => Some(c)
+      case Some(s) =>
+        val back = m.columnRenames.reverse.foldLeft(List(c)) {
+          case (cur :: seen, (o, n)) if cur == n => o :: cur :: seen
+          case (acc, _) => acc
+        }
+        back.find(s.fieldNames.contains)
+    }
+
   /** Simultaneous rename (one select), not a sequential fold: with
     * chains like a→b plus c→a a fragment holding both a and c renames
     * correctly regardless of link order; a sequential fold's
@@ -3335,7 +3362,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private def readEntryTagged(dataset: String, table: String,
                               e: SnapshotLog.Entry,
                               renames: Map[String, String],
-                              filesOf: Map[String, Seq[String]]): DataFrame = {
+                              filesOf: Map[String, Seq[String]],
+                              declared: Option[StructType] = None): DataFrame = {
     val td = tableDir(dataset, table)
     val m = meta(dataset, table)
     val ps = filesOf.getOrElse(e.path, Seq(td.resolve(e.path).toString))
@@ -3345,13 +3373,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       col("_metadata.row_index").as(TagPos))
     val renamed0 = applyRenameMap(tagged, renames)
     // column defaults: a masked fragment physically lacking a defaulted
-    // column serves the default exactly like the plain per-entry path
+    // column serves the default exactly like the plain per-entry path —
+    // under the AS-OF name for time-travel reads (defaultNameAsOf)
+    val asOfSchema = declared.orElse(schemaDdl(dataset, table).map(StructType.fromDDL))
     val renamed = meta(dataset, table).columnDefaults.foldLeft(renamed0) {
       case (d, (c, sql)) =>
-        if (d.columns.contains(c)) d
-        else schemaDdl(dataset, table).map(StructType.fromDDL)
-          .flatMap(_.fields.find(_.name == c))
-          .map(f => d.withColumn(c, expr(sql).cast(f.dataType))).getOrElse(d)
+        defaultNameAsOf(m, asOfSchema, c)
+          .filterNot(d.columns.contains)
+          .flatMap(n => asOfSchema.flatMap(_.fields.find(_.name == n))
+            .map(f => d.withColumn(n, expr(sql).cast(f.dataType))))
+          .getOrElse(d)
     }
     // hidden partitioning: the synthetic column never surfaces in reads
     val withPart = m.partitionField.filterNot(_ => m.hiddenPartition) match {
@@ -3405,8 +3436,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // schema decides. Typed by the declared schema.
     val declared = targetSchema.orElse(schemaDdl(dataset, table).map(StructType.fromDDL))
     val defaults: Seq[(String, Column)] = m.columnDefaults.flatMap { case (c, sql) =>
-      declared.flatMap(_.fields.find(_.name == c))
-        .map(f => c -> expr(sql).cast(f.dataType))
+      // time-travel: a default declared before a rename serves under the
+      // PINNED schema's own name for the column (defaultNameAsOf)
+      defaultNameAsOf(m, declared, c).flatMap(n =>
+        declared.flatMap(_.fields.find(_.name == n))
+          .map(f => n -> expr(sql).cast(f.dataType)))
     }
     def applyDefaults(df: DataFrame): DataFrame =
       defaults.foldLeft(df) { case (d, (c, e)) =>
@@ -3489,7 +3523,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         }.reduce(_.unionByName(_, allowMissingColumns = true))
     })
     val dvFrames = dvEntries.map(e =>
-      readEntryTagged(dataset, table, e, applicable, filesOf)
+      readEntryTagged(dataset, table, e, applicable, filesOf,
+        declared = targetSchema)
         .drop(TagEntry, TagFile, TagPos))
     val raw = (rawPlain.toSeq ++ dvFrames)
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -4005,6 +4040,37 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       s"cannot RESTORE $dataset.$table: it is a view (version " +
         s"${c.version} is a view-definition commit) — use CREATE VIEW " +
         "to recreate it")
+    // Name-keyed metadata must follow the restored schema — the
+    // renameColumn INVERSE. Restoring across a rename otherwise leaves
+    // two broken layers (found by probing the DDL×DML walk's
+    // restore extension): (a) meta stays keyed by the post-rename name,
+    // so defaults/NOT NULL/UNIQUE stop resolving against the restored
+    // names; (b) a SUBSEQUENT rename of the restored name FORKS the
+    // rename chain ((v,w) then (v,z)) and the head-based trajectory
+    // walk dead-ends at the pre-restore name — physical-v fragments
+    // silently read as NULL under the new name. The fix appends
+    // COMPENSATING links (currentName -> restoredName, computed by the
+    // same backward walk time-travel defaults use), which both re-keys
+    // the metadata and keeps every pinned schema — pre-rename, between,
+    // and post-restore — mapping each fragment's physical names onto
+    // its own commit's names.
+    c.schemaDdl.map(StructType.fromDDL).foreach { rs =>
+      val m = meta(dataset, table)
+      val cur = schema(dataset, table)
+      val undo: Seq[(String, String)] = cur.fieldNames.toSeq.flatMap { n =>
+        defaultNameAsOf(m, Some(rs), n).filter(_ != n).map(n -> _)
+      }
+      if (undo.nonEmpty) {
+        val rekey = undo.toMap
+        def re(x: String) = rekey.getOrElse(x, x)
+        setMeta(dataset, table, m.copy(
+          columnRenames = m.columnRenames ++ undo,
+          notNullColumns = m.notNullColumns.map(re),
+          clusteringFields = m.clusteringFields.map(re),
+          uniqueKey = m.uniqueKey.map(re),
+          columnDefaults = m.columnDefaults.map { case (k, d) => re(k) -> d }))
+      }
+    }
     log(dataset, table).commit("restore", c.entries, schemaDdl = c.schemaDdl)
     // the schema sidecar reverts with the data: a post-snapshot ALTER
     // must not leak into the restored state

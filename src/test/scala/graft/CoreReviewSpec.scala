@@ -30,6 +30,67 @@ class CoreReviewSpec extends AnyFunSuite {
       BloomIndex.bloomPath(td, "frag/day=x+y"))
   }
 
+  test("time travel keeps serving a default declared before a rename " +
+    "(meta is unversioned; the rename chain is the version map)") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, Files.createTempDirectory("tt_default").toString)
+    wh.overwrite("d", "t", Seq((1L, 10L)).toDF("k", "a")) // fragment lacks v
+    wh.addColumn("d", "t", "v", "BIGINT", Some("5"))
+    val pinned = wh.log("d", "t").latest.get.version
+    wh.renameColumn("d", "t", "v", "w")
+    // current read serves the default under the NEW name...
+    assert(wh.read("d", "t").select("w").head.getLong(0) === 5L)
+    // ...and the pinned read under the name THAT commit knew (the bug:
+    // renameColumn re-keys columnDefaults, so the as-of lookup missed
+    // and history flipped from 5 to NULL)
+    assert(wh.readVersion("d", "t", pinned).select("v").head.getLong(0) === 5L)
+    // chain composition: a second rename must not break the back-walk
+    wh.renameColumn("d", "t", "w", "x")
+    assert(wh.readVersion("d", "t", pinned).select("v").head.getLong(0) === 5L)
+    assert(wh.read("d", "t").select("x").head.getLong(0) === 5L)
+    // the deletion-vector read path shares the as-of mapping: mask one
+    // row via MoR on a two-row table, then time travel through the dv
+    wh.append("d", "t", Seq((2L, 20L, 7L)).toDF("k", "a", "x"))
+    val v2 = wh.log("d", "t").latest.get.version
+    wh.deleteWhereMor("d", "t", col("k") === 2L)
+    val v3 = wh.log("d", "t").latest.get.version
+    assert(wh.readVersion("d", "t", v3).orderBy("k")
+      .select("x").as[Long].collect().toSeq === Seq(5L))
+    assert(wh.readVersion("d", "t", v2).orderBy("k")
+      .select("x").as[Long].collect().toSeq === Seq(5L, 7L))
+  }
+
+  test("restore reconciles rename metadata: the chain gets compensating " +
+    "links and name-keyed meta re-keys to the restored names") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, Files.createTempDirectory("rr_fix").toString)
+    wh.overwrite("d", "t", Seq((1L, 10L)).toDF("k", "v"),
+      TableMeta(uniqueKey = Seq("k")))
+    wh.addColumn("d", "t", "dft", "BIGINT", Some("5"))
+    val v1 = wh.log("d", "t").latest.get.version
+    wh.renameColumn("d", "t", "v", "w")
+    val v2 = wh.log("d", "t").latest.get.version
+    wh.restoreToVersion("d", "t", v1)
+    // the restored CURRENT state serves the restored names + default
+    assert(wh.read("d", "t").select("v", "dft").head() ===
+      org.apache.spark.sql.Row(10L, 5L))
+    // the bug: a rename of the RESTORED name forked the chain
+    // ((v,w) then (v,z)) and physical-v fragments read NULL under z
+    wh.renameColumn("d", "t", "v", "z")
+    assert(wh.read("d", "t").select("z").head().getLong(0) === 10L)
+    // every pinned schema keeps serving ITS names over the SAME bytes
+    assert(wh.readVersion("d", "t", v2).select("w").head().getLong(0) === 10L)
+    assert(wh.readVersion("d", "t", v1).select("v").head().getLong(0) === 10L)
+    // the UNIQUE key survives the rename chain: a key rename re-keys
+    // enforcement, and the standing probe still refuses duplicates
+    wh.renameColumn("d", "t", "k", "kk")
+    wh.append("d", "t", Seq((2L, 20L, 7L)).toDF("kk", "z", "dft"))
+    val dup = intercept[IllegalArgumentException] {
+      wh.append("d", "t", Seq((2L, 99L, 9L)).toDF("kk", "z", "dft"))
+    }
+    assert(dup.getMessage.contains("UNIQUE"))
+  }
+
   test("sidecar cache: write-through coherence and delete visibility") {
     val td = Files.createTempDirectory("sidecar_cache")
     val st1 = ZoneMaps.FragStats(10L,
