@@ -52,6 +52,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
+  /** Parse the "steady" block of a bench_summary.json payload. */
+  private[graft] def parseSteady(txt: String): Map[String, Double] =
+    """"steady"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+      .map(m => """"([^"]+)"\s*:\s*([0-9.]+)""".r
+        .findAllMatchIn(m.group(1))
+        .map(p => p.group(1) -> p.group(2).toDouble).toMap)
+      .getOrElse(Map.empty)
+
+  /** The prior-ROUND steady baseline: the bench_summary.json at the
+    * last COMMIT, not the working tree. Interim runs within a session
+    * overwrite the working file, and a drift check against it compares
+    * this run to an hour-earlier interim run instead of the round
+    * close — the r16 judge caught exactly that masking a +39% shipped
+    * reading. `git show HEAD:bench_summary.json` is immune: only a
+    * commit moves the baseline. Fallback order when git is unusable
+    * (no repo, no binary): the working file; then empty (check off). */
+  private[graft] def committedPriorSteady(repoDir: java.io.File): Map[String, Double] = {
+    val fromGit: Option[String] =
+      try {
+        val pb = new ProcessBuilder("git", "show", "HEAD:bench_summary.json")
+        pb.directory(repoDir)
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val code = p.waitFor()
+        if (code == 0 && out.nonEmpty) Some(out) else None
+      } catch { case _: Throwable => None }
+    fromGit match {
+      case Some(txt) => parseSteady(txt)
+      case None =>
+        try {
+          val f = new java.io.File(repoDir, "bench_summary.json")
+          if (!f.isFile) Map.empty
+          else parseSteady(new String(java.nio.file.Files.readAllBytes(f.toPath)))
+        } catch { case _: Throwable => Map.empty }
+    }
+  }
+
   /** Steady-state side channel: each of the `names` queries runs in a
     * DEDICATED child JVM (BenchOne, `reps` reps, steady = min of the
     * post-warmup reps). The in-harness numbers share one 177-query JVM
@@ -264,22 +303,18 @@ object Bench {
     // because 4.87 < its 6.34 budget. A steady reading that exceeds the
     // PRIOR round's shipped steady for the same query by >20% now also
     // triggers the re-measure, so round-over-round steady drift is
-    // either confirmed twice or corrected before it ships. The prior
-    // set is read from the bench_summary.json committed at the last
-    // round close (the file this run overwrites at the end).
+    // either confirmed twice or corrected before it ships.
+    //
+    // r16 judge finding (baseline EROSION): the prior set used to be
+    // read from the WORKING-TREE bench_summary.json — which every full
+    // run overwrites, so a second run in one session compared against
+    // the hour-earlier interim run instead of the round close, and a
+    // +39%-vs-prior-round reading shipped unannotated. The baseline now
+    // comes from the last COMMITTED bench_summary.json (`git show
+    // HEAD:...`) — interim runs dirty only the working tree and cannot
+    // erode it; the working file is only a fallback when git is absent.
     val priorSteady: Map[String, Double] =
-      try {
-        val f = new java.io.File("bench_summary.json")
-        if (!f.isFile) Map.empty
-        else {
-          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
-          """"steady"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
-            .map(m => """"([^"]+)"\s*:\s*([0-9.]+)""".r
-              .findAllMatchIn(m.group(1))
-              .map(p => p.group(1) -> p.group(2).toDouble).toMap)
-            .getOrElse(Map.empty)
-        }
-      } catch { case _: Throwable => Map.empty }
+      Bench.committedPriorSteady(new java.io.File("."))
     val steadyExceeders = steady0.filter { case (n, v) =>
       budgets.get(n).exists(v > _) ||
         priorSteady.get(n).exists(p => v > p * 1.2)

@@ -222,6 +222,18 @@ object BloomIndex {
       case _ => true
     }
 
+  /** Re-key an entry's filters from PHYSICAL column names (the names
+    * at build time) to CURRENT names — the Bloom twin of
+    * [[ZoneMaps.rekey]], with the same ambiguity rule: two physical
+    * columns landing on one current name drop the filter (a probe
+    * against the wrong column's filter could skip a real match). */
+  def rekey(blooms: EntryBlooms, rm: Map[String, String]): EntryBlooms =
+    if (rm.isEmpty) blooms
+    else EntryBlooms(blooms.cols.toSeq
+      .groupBy { case (p, _) => rm.getOrElse(p, p) }
+      .collect { case (n, Seq((_, cf))) => n -> cf }
+      .toMap)
+
   private def probeCol(blooms: EntryBlooms, c: String, f: String, v: Any): Boolean =
     blooms.cols.get(c) match {
       case Some((typ, files)) => files.get(f) match {

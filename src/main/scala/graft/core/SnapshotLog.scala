@@ -324,10 +324,13 @@ final class SnapshotLog(tableDir: Path) {
     c.schemaDdl.foreach(d => sb.append(s"#schema=${SnapshotLog.escape(d)}\n"))
     c.entries.foreach { e =>
       sb.append(e.partition).append('\t').append(e.path)
-      // 3rd field dv, 4th spec: a non-default spec forces an (empty)
-      // dv placeholder so the columns stay positional; old manifests
-      // and spec-0 entries render exactly as before
-      if (e.spec != 0) sb.append('\t').append(e.dv.getOrElse(""))
+      // 3rd field dv, 4th spec, 5th era: a non-default later field
+      // forces (empty/zero) placeholders so the columns stay
+      // positional; old manifests and all-default entries render
+      // exactly as before
+      if (e.era != -1) sb.append('\t').append(e.dv.getOrElse(""))
+        .append('\t').append(e.spec).append('\t').append(e.era)
+      else if (e.spec != 0) sb.append('\t').append(e.dv.getOrElse(""))
         .append('\t').append(e.spec)
       else e.dv.foreach(d => sb.append('\t').append(d))
       sb.append('\n')
@@ -356,7 +359,9 @@ final class SnapshotLog(tableDir: Path) {
     c.entries.filterNot(e => parentIds((e.path, e.dv)))
       .foreach { e =>
         sb.append("+\t").append(e.partition).append('\t').append(e.path)
-        if (e.spec != 0) sb.append('\t').append(e.dv.getOrElse(""))
+        if (e.era != -1) sb.append('\t').append(e.dv.getOrElse(""))
+          .append('\t').append(e.spec).append('\t').append(e.era)
+        else if (e.spec != 0) sb.append('\t').append(e.dv.getOrElse(""))
           .append('\t').append(e.spec)
         else e.dv.foreach(d => sb.append('\t').append(d))
         sb.append('\n')
@@ -378,7 +383,8 @@ final class SnapshotLog(tableDir: Path) {
         val f = l.substring(2).split('\t')
         Entry(f(0), f(1),
           if (f.length > 2 && f(2).nonEmpty) Some(f(2)) else None,
-          if (f.length > 3) f(3).toInt else 0)
+          if (f.length > 3) f(3).toInt else 0,
+          if (f.length > 4) f(4).toInt else -1)
       }
       val removes = body.filter(_.startsWith("-\t")).map(_.substring(2))
       SnapshotLog.DeltaM(v, ts, action, schema, header("parent").toInt,
@@ -388,7 +394,8 @@ final class SnapshotLog(tableDir: Path) {
         val f = l.split('\t')
         Entry(f(0), f(1),
           if (f.length > 2 && f(2).nonEmpty) Some(f(2)) else None,
-          if (f.length > 3) f(3).toInt else 0)
+          if (f.length > 3) f(3).toInt else 0,
+          if (f.length > 4) f(4).toInt else -1)
       }
       SnapshotLog.FullM(Commit(v, ts, action, entries, schema))
     }
@@ -418,7 +425,25 @@ object SnapshotLog {
                            * (a compaction that merged specs) — never
                            * transform-pruned, always readable. 0 for every
                            * pre-evolution manifest (backward compatible). */
-                         spec: Int = 0)
+                         spec: Int = 0,
+                         /** Rename ERA: the LENGTH of the table's
+                           * logical-rename chain when this fragment's
+                           * bytes were written — its physical column
+                           * names already reflect links [0, era), so
+                           * read-time re-labeling and sidecar pruning
+                           * apply only links [era, ∞). The one honest
+                           * disambiguator when a renamed-away name is
+                           * later REUSED (a→b then ADD COLUMN a / RENAME
+                           * c→a): physical name `a` means different
+                           * columns on the two sides of the rename, and
+                           * a table-wide map mislabels one of them.
+                           * Copies/restores carry it verbatim (physical
+                           * names and the chain copy together); rewrites
+                           * (compaction, z-order, DV materialization)
+                           * stamp the chain length at rewrite. -1 =
+                           * legacy manifest (unknown) → every link
+                           * applies, the exact pre-era behavior. */
+                         era: Int = -1)
 
   /** `schemaDdl`: the union schema of this commit's fragments (None on
     * manifests written before schema pinning — readers fall back to the

@@ -28,6 +28,14 @@ final case class TableMeta(
       * keep their physical column name and are re-labeled at read time
       * — a rename is metadata-only, never a data rewrite. */
     columnRenames: Seq[(String, String)] = Nil,
+    /** Per-link COMMIT VERSION of each rename (aligned with
+      * [[columnRenames]]; -1 = legacy unstamped): a time-travel read
+      * pinned at version V applies only links committed ≤ V. Without
+      * this the trajectory walk falls back to "first chain name the
+      * pinned schema contains" — correct until a renamed-away name is
+      * REUSED, when the pinned schema holds the same NAME for a
+      * different column and the walk mislabels it. */
+    columnRenameVersions: Seq[Int] = Nil,
     /** Declared UNIQUE key (primary-key style: NULL key columns reject),
       * enforced at every landing write — in-batch always, plus a
       * zone-map/Bloom-pruned probe of the standing table on append (see
@@ -211,7 +219,21 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       },
       columnRenames = Option(p.getProperty("column.renames")).filter(_.nonEmpty)
         .map(_.split(";").toSeq.map { kv =>
-          val i = kv.indexOf('>'); (kv.substring(0, i), kv.substring(i + 1))
+          val i = kv.indexOf('>')
+          val rest = kv.substring(i + 1)
+          val j = rest.lastIndexOf('@')
+          val to = if (j >= 0 && rest.substring(j + 1).forall(_.isDigit))
+            rest.substring(0, j) else rest
+          (kv.substring(0, i), to)
+        }).getOrElse(Nil),
+      columnRenameVersions = Option(p.getProperty("column.renames"))
+        .filter(_.nonEmpty)
+        .map(_.split(";").toSeq.map { kv =>
+          val rest = kv.substring(kv.indexOf('>') + 1)
+          val j = rest.lastIndexOf('@')
+          if (j >= 0 && rest.substring(j + 1).forall(_.isDigit))
+            rest.substring(j + 1).toInt
+          else -1
         }).getOrElse(Nil),
       droppedColumns = Option(p.getProperty("column.dropped")).filter(_.nonEmpty)
         .map(_.split(";").toSeq.map { kv =>
@@ -251,7 +273,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     p.setProperty("partition.specVersion", m.partitionSpecVersion.toString)
     p.setProperty("partition.zone", m.partitionZone.getOrElse(""))
     p.setProperty("column.renames",
-      m.columnRenames.map { case (o, n) => s"$o>$n" }.mkString(";"))
+      m.columnRenames.zipAll(m.columnRenameVersions, ("", ""), -1)
+        .map { case ((o, n), v) => if (v >= 0) s"$o>$n@$v" else s"$o>$n" }
+        .mkString(";"))
     p.setProperty("column.dropped",
       m.droppedColumns.map { case (n, v) => s"$n>$v" }.mkString(";"))
     m.columnDefaults.foreach { case (name, sql) =>
@@ -370,19 +394,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
     val sch = schema(dataset, table)
     require(!sch.fieldNames.contains(name), s"column already exists: $name")
-    // re-adding a DROPPED name is only safe once no pre-drop fragment
-    // survives: their physical bytes would read back as the "new"
-    // column's values (no field IDs to disambiguate — the same reason
-    // Iceberg re-adds under a fresh ID). Compaction/overwrite clears it.
+    // re-adding a DROPPED name: the pre-drop fragments' physical bytes
+    // must never resurrect as the new column. A TERMINAL tombstone
+    // rename link (name -> __graft_dropped__name_v<dv>) provides
+    // Iceberg's fresh-field-ID semantics: by fragment era it applies
+    // only to fragments written before this re-add — their bytes map to
+    // a name no schema ever contains — while future fragments' physical
+    // `name` IS the new column. Appended BEFORE the schema commit so no
+    // reader window exists where the new schema resolves old bytes.
     meta(dataset, table).droppedColumns.filter(_._1 == name).lastOption
       .foreach { case (_, dv) =>
-        val atDrop = lg.version(dv).map(_.entries.map(_.path).toSet)
-          .getOrElse(Set.empty[String])
-        val surviving = cur.entries.map(_.path).count(atDrop)
-        require(surviving == 0,
-          s"column '$name' was dropped at v$dv and $surviving pre-drop " +
-            "fragment(s) still hold its bytes — OPTIMIZE or overwrite " +
-            "the table first, or choose a new name")
+        val m0 = meta(dataset, table)
+        setMeta(dataset, table, m0.copy(
+          columnRenames = m0.columnRenames :+ (name -> tombstoneFor(name, dv)),
+          columnRenameVersions =
+            m0.columnRenameVersions.padTo(m0.columnRenames.size, -1) :+
+              lg.latest.map(_.version + 1).getOrElse(1)))
       }
     val dt = StructType.fromDDL(s"`$name` $typeDdl").fields.head.dataType
     val foldedDefault: Option[String] = defaultSql.map(foldDefault(_, dt))
@@ -475,7 +502,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   def renameColumn(dataset: String, table: String, from: String, to: String): Unit = {
-    require(to.nonEmpty && !to.contains(";") && !to.contains(">"),
+    require(to.nonEmpty && !to.contains(";") && !to.contains(">") &&
+        !to.contains("@"),
       s"invalid column name '$to'")
     require(from != to, "rename to the same name is a no-op")
     val m = meta(dataset, table)
@@ -490,11 +518,23 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val sch = schema(dataset, table)
     require(sch.fieldNames.contains(from), s"no such column: $from")
     require(!sch.fieldNames.contains(to), s"column already exists: $to")
+    // renaming ONTO a dropped name: pre-drop fragments still hold the
+    // dropped column's bytes under `to` — a terminal TOMBSTONE link
+    // (see addColumn's re-add path) hides them by fragment era, so the
+    // rename needs no refusal and no rewrite
+    val tombstone: Option[(String, String)] =
+      m.droppedColumns.filter(_._1 == to).lastOption
+        .map { case (_, dv) => to -> tombstoneFor(to, dv) }
     val renamed = StructType(sch.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     writeSchemaDdl(dataset, table, renamed)
+    val stampV = log(dataset, table).latest.map(_.version + 1).getOrElse(1)
     setMeta(dataset, table, m.copy(
-      columnRenames = m.columnRenames :+ (from -> to),
+      columnRenames = m.columnRenames ++ tombstone :+ (from -> to),
+      columnRenameVersions =
+        (m.columnRenameVersions.padTo(m.columnRenames.size, -1) ++
+          tombstone.map(_ => stampV) :+ stampV),
+      droppedColumns = m.droppedColumns.filterNot(_._1 == to),
       notNullColumns = m.notNullColumns.map(c => if (c == from) to else c),
       clusteringFields = m.clusteringFields.map(c => if (c == from) to else c),
       // the UNIQUE key follows too: a stale key name would make every
@@ -575,20 +615,25 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * proven from the zone-map sidecars written at every commit
     * (metadata-sized, no data scan at any corpus size). With that proof
     * the change affects only FUTURE writes that omit the column. */
-  /** The sidecar ColStat a fragment holds for the column CURRENTLY
+  /** The sidecar ColStat fragment `e` holds for the column CURRENTLY
     * named `target`: sidecars record PHYSICAL names (pre-rename
     * fragments keep the old one), so the lookup maps each physical
-    * name through the rename chain exactly as the read path re-labels
-    * it — matching on the current name alone would miss pre-rename
-    * fragments (or, worse, match a DIFFERENT column that has since
-    * been renamed onto this name). */
+    * name through the fragment's OWN applicable rename links exactly
+    * as the read path re-labels it — matching on the current name
+    * alone would miss pre-rename fragments (or, worse, match a
+    * DIFFERENT column that has since been renamed onto this name). */
   private def sidecarStatFor(m: TableMeta, sch: StructType,
+                             e: SnapshotLog.Entry,
                              st: ZoneMaps.FragStats,
                              target: String): Option[ZoneMaps.ColStat] = {
-    val rm = renameMap(m, Some(sch))
-    st.cols.collectFirst {
+    val rm = renameMap(linksFor(m, e), Some(sch))
+    val hits = st.cols.collect {
       case (p, cs) if rm.getOrElse(p, p) == target => cs
     }
+    // two physical columns mapping onto one current name (legacy
+    // unstamped fragments under name reuse) are ambiguous — report no
+    // stat rather than the wrong column's
+    if (hits.size == 1) hits.headOption else None
   }
 
   def setColumnDefault(dataset: String, table: String, name: String,
@@ -605,7 +650,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // carries — only fragments with rows gate the change
     val lacking = cur.entries.filterNot(e =>
       ZoneMaps.read(td, e.path).exists(st =>
-        st.rows == 0L || sidecarStatFor(m, sch, st, name).isDefined))
+        st.rows == 0L || sidecarStatFor(m, sch, e, st, name).isDefined))
     require(lacking.isEmpty,
       s"cannot change the default of '$name': ${lacking.size} live " +
         "fragment(s) physically lack the column (or carry no zone " +
@@ -643,7 +688,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       val unproven = cur.entries.filterNot { e =>
         e.dv.isEmpty && (ZoneMaps.read(td, e.path) match {
           case Some(st) if st.rows == 0L => true // nothing to serve
-          case Some(st) => sidecarStatFor(m, sch, st, name) match {
+          case Some(st) => sidecarStatFor(m, sch, e, st, name) match {
             case Some(cs) => cs.nulls == 0L // proven clean
             case None => defaultIsNonNull // absent column serves the default
           }
@@ -905,12 +950,88 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         enforceConstraints(m, frag, Some(df.schema))
         enforceUnique(dataset, table, m, frag, Some(df.schema),
           checkStanding = false)
-        val entries = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+        val entries = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag),
+          era = m.columnRenames.size))
         recordStats(dataset, table, entries, None)
         lg.commit("write", entries, schemaDdl = Some(df.schema.toDDL))
     }
     writeSchemaDdlMerged(dataset, table, df.schema)
     setMeta(dataset, table, m)
+  }
+
+  /** The current snapshot with a PER-FRAGMENT provenance tag column
+    * (the v2 catalog's `_g_frag` metadata column): each entry read
+    * separately, tagged with its manifest path, unioned by name. Used
+    * by provenance SELECTs and the v2 row-level rewrite — one read per
+    * fragment instead of one whole-table scan, which is exactly the
+    * granularity those callers are about to rewrite anyway. */
+  def readWithFragmentTag(dataset: String, table: String,
+                          tagCol: String): DataFrame = {
+    val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    if (c.entries.isEmpty)
+      return readCommit(dataset, table, c).withColumn(tagCol, lit(null).cast("string"))
+    c.entries.map { e =>
+      readEntries(dataset, table, Seq(e), c.schemaDdl,
+        asOfVersion = Some(c.version)).withColumn(tagCol, lit(e.path))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** A fresh fragment dir in the table's pool for EXTERNALLY-STAGED
+    * writes (the v2 row-level `ReplaceData` path: Spark's executors
+    * write parquet there, then [[commitStagedReplace]] lands it).
+    * Nothing references the dir until the commit — an abandoned stage
+    * is invisible to readers and reclaimed by [[abortStagedFragment]]. */
+  def stageFragmentDir(dataset: String, table: String): Path = {
+    ensureDataset(dataset)
+    log(dataset, table).newFragmentDir()
+  }
+
+  /** Land a STAGED full-table replacement (v2 group-based CoW
+    * UPDATE/MERGE/DELETE — Spark's `ReplaceDataExec` already wrote the
+    * replacement rows into `frag`): [[overwrite]]'s commit semantics
+    * with the data write step skipped. `keepFiles` is the write
+    * protocol's committed-file list — stray files from zombie/
+    * speculative task attempts are deleted BEFORE enforcement, so they
+    * can never leak duplicate rows into the snapshot. Zero committed
+    * files = the rewrite produced an empty table (DELETE of everything
+    * through the group path) — an empty-entry commit, like truncate. */
+  def commitStagedReplace(dataset: String, table: String, frag: Path,
+                          schema: StructType, keepFiles: Seq[String]): Unit = {
+    val m = meta(dataset, table)
+    val lg = log(dataset, table)
+    val keep = keepFiles.toSet
+    if (Files.isDirectory(frag)) {
+      val ls = Files.list(frag)
+      try ls.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !keep(p.getFileName.toString))
+        .foreach(Files.delete(_))
+      finally ls.close()
+    }
+    if (keep.isEmpty) {
+      deleteRecursive(frag)
+      lg.commit("write", Seq.empty, schemaDdl = Some(schema.toDDL))
+    } else {
+      enforceConstraints(m, frag, Some(schema))
+      enforceUnique(dataset, table, m, frag, Some(schema),
+        checkStanding = false)
+      val entries = Seq(SnapshotLog.Entry("",
+        relativize(dataset, table, frag), era = m.columnRenames.size))
+      recordStats(dataset, table, entries, None)
+      lg.commit("write", entries, schemaDdl = Some(schema.toDDL))
+    }
+    writeSchemaDdlMerged(dataset, table, schema)
+  }
+
+  /** Reclaim an aborted staged fragment ([[stageFragmentDir]]) — no
+    * commit references it, so this is pure cleanup. */
+  def abortStagedFragment(dataset: String, table: String, frag: Path): Unit = {
+    require(frag.toAbsolutePath.normalize
+        .startsWith(tableDir(dataset, table).toAbsolutePath.normalize),
+      s"refusing to delete $frag: outside $dataset.$table")
+    deleteRecursive(frag)
   }
 
   /** Append write: one new immutable fragment joins the table's current
@@ -956,7 +1077,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .map(_.entries.map(_.path).toSet).getOrElse(Set.empty)
     enforceUnique(dataset, table, m, frag, Some(df.schema),
       checkStanding = true)
-    val entry = SnapshotLog.Entry("", relativize(dataset, table, frag))
+    val entry = SnapshotLog.Entry("", relativize(dataset, table, frag),
+          era = m.columnRenames.size)
     recordStats(dataset, table, Seq(entry), None)
     // union schema is recomputed INSIDE the CAS retry from the current
     // commit: unioning against a stale base after a lost race would pin
@@ -1490,11 +1612,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                           field: String,
                           spec: Int = 0): Seq[SnapshotLog.Entry] = {
     val lg = log(dataset, table)
+    // fresh hive-layout writes carry CURRENT physical names
+    val era = meta(dataset, table).columnRenames.size
     Files.list(frag).iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$field="))
       .map { p =>
         val value = p.getFileName.toString.substring(field.length + 1)
-        SnapshotLog.Entry(value, relativize(dataset, table, p), spec = spec)
+        SnapshotLog.Entry(value, relativize(dataset, table, p), spec = spec,
+          era = era)
       }.toSeq.sortBy(_.partition)
   }
 
@@ -1704,7 +1829,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         }
         val newly = dvRows(e2.dv).exceptAll(dvRows(e1.dv))
         val m = meta(dataset, table)
-        val renames = renameMap(m, a.schemaDdl.map(StructType.fromDDL))
+        val renames = renameMap(linksFor(m, e1, Some(a.version)),
+          a.schemaDdl.map(StructType.fromDDL))
         val rows = readEntryTagged(dataset, table, e1, renames, Map.empty)
           .join(newly, col(TagFile) === col("_d_file") &&
             col(TagPos) === col("_d_pos"), "left_semi")
@@ -1877,13 +2003,46 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** Backfill sidecars for entries that predate zone maps (or were
     * written by an external engine): one stats job per uncovered entry.
     * Returns the entry paths analyzed. */
-  def analyze(dataset: String, table: String): Seq[String] = {
+  def analyze(dataset: String, table: String,
+              partition: Option[String] = None): Seq[String] = {
     val td = tableDir(dataset, table)
     val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
-    val missing = c.entries.filter(e => ZoneMaps.read(td, e.path).isEmpty)
+    val scoped = partition match {
+      case Some(v) => c.entries.filter(_.partition == v)
+      case None => c.entries
+    }
+    val missing = scoped.filter(e => ZoneMaps.read(td, e.path).isEmpty)
     recordStats(dataset, table, missing, meta(dataset, table).partitionField)
     missing.map(_.path)
+  }
+
+  /** Metadata-only table size/row summary for `ANALYZE ... NOSCAN` and
+    * admin reporting: bytes from filesystem metadata (no file opened),
+    * rows from zone sidecars — reported ONLY when every live entry
+    * carries one (a partial sum would understate silently). */
+  def tableStats(dataset: String, table: String)
+      : (Long, Option[Long]) = {
+    val td = tableDir(dataset, table)
+    val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val bytes = c.entries.map { e =>
+      val root = td.resolve(e.path)
+      if (!Files.exists(root)) 0L
+      else {
+        val w = Files.walk(root)
+        try w.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum
+        finally w.close()
+      }
+    }.sum
+    val sidecars = c.entries.map(e => ZoneMaps.read(td, e.path))
+    val rows =
+      if (sidecars.forall(_.isDefined)) Some(sidecars.flatten.map(_.rows).sum)
+      else None
+    (bytes, rows)
   }
 
   /** Scan plan under a predicate: (entries to scan, entries zone-maps
@@ -1893,7 +2052,26 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       : (Seq[SnapshotLog.Entry], Seq[SnapshotLog.Entry]) = {
     val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
-    ZoneMaps.prune(tableDir(dataset, table), c.entries, resolvedPred(dataset, table, c, pred))
+    ZoneMaps.prune(tableDir(dataset, table), c.entries,
+      resolvedPred(dataset, table, c, pred),
+      pruneRenamesFor(dataset, table, c))
+  }
+
+  /** Per-entry physical→current rename map for sidecar pruning: the
+    * SAME map the read path re-labels with, so zone/Bloom stats are
+    * always attributed to the column the resolved predicate names —
+    * renamed columns keep pruning, and a REUSED name never prunes
+    * against the other column's stats. */
+  private def pruneRenamesFor(dataset: String, table: String,
+                              c: SnapshotLog.Commit)
+      : SnapshotLog.Entry => Map[String, String] = {
+    val m = meta(dataset, table)
+    if (m.columnRenames.isEmpty) _ => Map.empty
+    else {
+      val target = c.schemaDdl.orElse(schemaDdl(dataset, table))
+        .map(StructType.fromDDL)
+      e => renameMap(linksFor(m, e, Some(c.version)), target)
+    }
   }
 
   /** Analyzer-resolved predicate against the commit's pinned schema —
@@ -1917,8 +2095,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val c = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
     val resolved = resolvedPred(dataset, table, c, pred)
-    val (scan, filesOf) = planFiles(dataset, table, c.entries, resolved)
-    readEntries(dataset, table, scan, c.schemaDdl, filesOf).filter(pred)
+    val (scan, filesOf) = planFiles(dataset, table, c, resolved)
+    readEntries(dataset, table, scan, c.schemaDdl, filesOf,
+      asOfVersion = Some(c.version)).filter(pred)
   }
 
   /** The SQL-path twin of [[readWhere]]: a pruned read plan for a
@@ -1937,9 +2116,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private[graft] def readPrunedResolved(dataset: String, table: String,
       c: SnapshotLog.Commit,
       resolved: org.apache.spark.sql.catalyst.expressions.Expression): DataFrame = {
-    val (scan, filesOf) = planFiles(dataset, table, c.entries, Some(resolved))
+    val (scan, filesOf) = planFiles(dataset, table, c, Some(resolved))
     attachCboStats(dataset, table,
-      readEntries(dataset, table, scan, c.schemaDdl, filesOf), scan)
+      readEntries(dataset, table, scan, c.schemaDdl, filesOf,
+      asOfVersion = Some(c.version)), scan)
   }
 
   /** [[readWhere]] against a historical version — time travel and data
@@ -1953,8 +2133,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"no version $version of $dataset.$table"))
     require(!c.isDrop, s"$dataset.$table version $version is a drop")
     val resolved = resolvedPred(dataset, table, c, pred)
-    val (scan, filesOf) = planFiles(dataset, table, c.entries, resolved)
-    readEntries(dataset, table, scan, c.schemaDdl, filesOf).filter(pred)
+    val (scan, filesOf) = planFiles(dataset, table, c, resolved)
+    readEntries(dataset, table, scan, c.schemaDdl, filesOf,
+      asOfVersion = Some(c.version)).filter(pred)
   }
 
   /** Two-level prune: (entries to read, per-entry kept-file overrides).
@@ -1964,21 +2145,26 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * both say "may match"; either sidecar absent ⇒ that side keeps
     * everything (skipping is an optimization, never a gate). */
   private def planFiles(dataset: String, table: String,
-                        entries: Seq[SnapshotLog.Entry],
+                        c: SnapshotLog.Commit,
                         resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression])
       : (Seq[SnapshotLog.Entry], Map[String, Seq[String]]) = {
     val td = tableDir(dataset, table)
+    val entries = c.entries
+    val rmFor = pruneRenamesFor(dataset, table, c)
     // hidden-partition transform pruning first (bucket equality probes
-    // — the one shape zone maps can't refute), then zone maps
+    // — the one shape zone maps can't refute), then zone maps (sidecar
+    // stats re-keyed per fragment from physical to current names)
     val pre = transformPrune(dataset, table, meta(dataset, table), entries, resolved)
-    val (scan, _) = ZoneMaps.prune(td, pre, resolved)
+    val (scan, _) = ZoneMaps.prune(td, pre, resolved, rmFor)
     resolved match {
       case None => (scan, Map.empty)
       case Some(expr) =>
         val kept = scan.map { e =>
+          val rm = rmFor(e)
           val zoneKeep: Option[Seq[String]] = ZoneMaps.read(td, e.path)
+            .map(ZoneMaps.rekey(_, rm))
             .flatMap(st => ZoneMaps.pruneFiles(st, expr)).map(_._1)
-          val bloom = BloomIndex.read(td, e.path)
+          val bloom = BloomIndex.read(td, e.path).map(BloomIndex.rekey(_, rm))
           // the file universe comes from zone file-stats when present,
           // else (bloom-only) from the entry dir itself; neither ⇒ scan
           // the whole dir as before
@@ -2060,7 +2246,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .map(_.files.size.toLong).getOrElse(diskFiles(e))
     val total = c.entries.map(filesIn).sum
     val resolved = resolvedPred(dataset, table, c, pred)
-    val (scan, filesOf) = planFiles(dataset, table, c.entries, resolved)
+    val (scan, filesOf) = planFiles(dataset, table, c, resolved)
     val scanned = scan.map(e =>
       filesOf.get(e.path).map(_.size.toLong).getOrElse(filesIn(e))).sum
     (scanned, total)
@@ -2137,7 +2323,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val cur = lg.latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
     val td = tableDir(dataset, table)
-    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+    val (candidates, filesOf) = planFiles(dataset, table, cur,
       resolvedPred(dataset, table, cur, pred))
     val prunedN = cur.entries.size - candidates.size
     if (candidates.isEmpty)
@@ -2171,7 +2357,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         es
       case None =>
         keep.write.mode("overwrite").parquet(frag.toString)
-        val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+        val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag),
+          era = m.columnRenames.size))
         recordStats(dataset, table, e, None)
         e
     }
@@ -2245,7 +2432,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
     require(sets.map(_._1).distinct.size == sets.size,
       "duplicate column in UPDATE assignments")
-    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+    val (candidates, filesOf) = planFiles(dataset, table, cur,
       resolvedPred(dataset, table, cur, pred))
     val prunedN = cur.entries.size - candidates.size
     if (candidates.isEmpty) return UpdateResult(0L, Seq.empty, prunedN, 0)
@@ -2286,7 +2473,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case None =>
         rewrittenRows.write.mode("overwrite").parquet(frag.toString)
         enforceConstraints(m, frag, Some(sch))
-        val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+        val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag),
+          era = m.columnRenames.size))
         recordStats(dataset, table, e, None)
         e
     }
@@ -2368,7 +2556,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case None =>
         df.write.mode("overwrite").parquet(srcFrag.toString)
         enforceConstraints(m, srcFrag, Some(df.schema))
-        val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag)))
+        val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag),
+          era = m.columnRenames.size))
         recordStats(dataset, table, es, None)
         es
     }
@@ -2409,7 +2598,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       } catch { case e: Throwable => abandonSource(); throw e }
 
     // delete phase, exactly deleteWhere's shape
-    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+    val (candidates, filesOf) = planFiles(dataset, table, cur,
       resolvedPred(dataset, table, cur, pred))
     val prunedN = cur.entries.size - candidates.size
     val counts: Map[String, Long] =
@@ -2439,7 +2628,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             es
           case None =>
             keep.write.mode("overwrite").parquet(frag.toString)
-            val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+            val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag),
+          era = m.columnRenames.size))
             recordStats(dataset, table, e, None)
             e
         }
@@ -2509,7 +2699,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val cur = lg.latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
     val td = tableDir(dataset, table)
-    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+    val (candidates, filesOf) = planFiles(dataset, table, cur,
       resolvedPred(dataset, table, cur, pred))
     val prunedN = cur.entries.size - candidates.size
     if (candidates.isEmpty)
@@ -2517,8 +2707,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
     // capture: per-entry tagged reads padded to the commit schema (so
     // predicates on evolved columns resolve), one job, positions only
-    val renames = renameMap(m, cur.schemaDdl.map(StructType.fromDDL))
     val tagged = candidates.map { e =>
+      val renames =
+        renameMap(linksFor(m, e), cur.schemaDdl.map(StructType.fromDDL))
       val t = readEntryTagged(dataset, table, e, renames, filesOf)
       cur.schemaDdl.map(StructType.fromDDL) match {
         case Some(sch) =>
@@ -2740,7 +2931,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case None =>
         source.write.mode("overwrite").parquet(srcFrag.toString)
         enforceConstraints(m, srcFrag, Some(source.schema))
-        val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag)))
+        val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag),
+          era = m.columnRenames.size))
         recordStats(dataset, table, es, None)
         es
     }
@@ -2782,7 +2974,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       else keys.map(k => col(k).between(
         lit(bounds.getAs[Any](s"_mn_$k")), lit(bounds.getAs[Any](s"_mx_$k"))))
         .reduce(_ && _)
-    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+    val (candidates, filesOf) = planFiles(dataset, table, cur,
       resolvedPred(dataset, table, cur, pred))
     val prunedN = cur.entries.size - candidates.size
 
@@ -2814,7 +3006,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             es
           case None =>
             keep.write.mode("overwrite").parquet(frag.toString)
-            val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+            val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag),
+          era = m.columnRenames.size))
             recordStats(dataset, table, e, None)
             e
         }
@@ -2880,7 +3073,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case None =>
         source.write.mode("overwrite").parquet(srcFrag.toString)
         enforceConstraints(m, srcFrag, Some(source.schema))
-        val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag)))
+        val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, srcFrag),
+          era = m.columnRenames.size))
         recordStats(dataset, table, es, None)
         es
     }
@@ -2917,7 +3111,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .reduce(_ && _)
     // the source's own entries are not merge targets: restrict planning
     // to the entries live BEFORE this merge
-    val (candidates, filesOf) = planFiles(dataset, table, cur.entries,
+    val (candidates, filesOf) = planFiles(dataset, table, cur,
       resolvedPred(dataset, table, cur, pred))
     val prunedN = cur.entries.size - candidates.size
     val srcKeys = src.select(keyCols: _*).distinct()
@@ -2933,8 +3127,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
 
     // capture MATCHED positions (existing masks applied) in one job
-    val renames = renameMap(m, cur.schemaDdl.map(StructType.fromDDL))
     val tagged = candidates.map { e =>
+      val renames =
+        renameMap(linksFor(m, e), cur.schemaDdl.map(StructType.fromDDL))
       val t = readEntryTagged(dataset, table, e, renames, filesOf)
       cur.schemaDdl.map(StructType.fromDDL) match {
         case Some(sch) =>
@@ -3105,7 +3300,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           val pred = keys.map(k => col(k).between(
             lit(bounds.getAs[Any](s"_mn_$k")), lit(bounds.getAs[Any](s"_mx_$k"))))
             .reduce(_ && _)
-          val (cand, fo) = planFiles(dataset, table, cur.entries,
+          val (cand, fo) = planFiles(dataset, table, cur,
             resolvedPred(dataset, table, cur, pred))
           (cand, fo, cur.entries.size - cand.size)
         }
@@ -3190,7 +3385,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
               es
             case None =>
               keep.write.mode("overwrite").parquet(frag.toString)
-              val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+              val e = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag),
+          era = m.columnRenames.size))
               recordStats(dataset, table, e, None)
               e
           }
@@ -3243,7 +3439,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
               case None =>
                 ins.write.mode("overwrite").parquet(frag.toString)
                 enforceConstraints(m, frag, Some(ins.schema))
-                val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+                val es = Seq(SnapshotLog.Entry("", relativize(dataset, table, frag),
+          era = m.columnRenames.size))
                 recordStats(dataset, table, es, None)
                 es
             }
@@ -3278,7 +3475,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   private def readCommit(dataset: String, table: String, c: SnapshotLog.Commit): DataFrame =
-    readEntries(dataset, table, c.entries, c.schemaDdl)
+    readEntries(dataset, table, c.entries, c.schemaDdl,
+      asOfVersion = Some(c.version))
 
   /** `commitSchema` is the union schema pinned at the commit being read:
     * fragments written before an additive evolution are padded with typed
@@ -3296,17 +3494,62 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * TARGET schema actually has (a time-travel read pinned mid-chain
     * serves that commit's own name; later links must not apply to it).
     * No pinned schema (legacy commit) ⇒ full-chain final name. */
-  private def renameMap(m: TableMeta,
+  /** The rename links that apply to fragment `e`: its physical names
+    * already reflect the first [[SnapshotLog.Entry.era]] links (the
+    * chain length when its bytes were written), so only LATER links
+    * re-label it. Era -1 (legacy manifests) = unknown → every link
+    * applies, the exact pre-era behavior (correct absent name reuse).
+    * This is what makes a REUSED name unambiguous: after a→b then
+    * ADD COLUMN a, an old fragment's physical `a` re-labels to b
+    * (links apply) while a new fragment's physical `a` IS the new a
+    * (links already reflected). */
+  private def linksFor(m: TableMeta, e: SnapshotLog.Entry,
+                       asOfVersion: Option[Int] = None): Seq[(String, String)] = {
+    val stamped = m.columnRenames.zip(
+      m.columnRenameVersions.padTo(m.columnRenames.size, -1))
+    val afterEra = if (e.era < 0) stamped else stamped.drop(e.era)
+    // a read pinned at version V applies only links committed ≤ V:
+    // a LATER rename must not re-label what version V served (and,
+    // under name reuse, would mis-attribute the name). Unstamped
+    // legacy links always apply — the trajectory walk's
+    // schema-contains backstop decides for them, as before.
+    val cut = asOfVersion match {
+      case Some(v) => afterEra.filter { case (_, lv) => lv < 0 || lv <= v }
+      case None => afterEra
+    }
+    cut.map(_._1)
+  }
+
+  /** Prefix of TOMBSTONE rename targets — the field-ID mechanism for
+    * re-adding a DROPPED column name: re-add appends a terminal link
+    * `name -> __graft_dropped__name_v<dropVersion>` that applies (by
+    * era) only to fragments written BEFORE the re-add, so their
+    * physical bytes can never resurrect as the new column, while new
+    * fragments' physical `name` IS the new column. The tombstone is
+    * terminal: the trajectory walk must never fall back past it to a
+    * schema name (that fallback exists for mid-chain time travel; the
+    * asOfVersion link cut handles pre-re-add reads instead). */
+  private[graft] val DroppedTombstonePrefix = "__graft_dropped__"
+
+  private def tombstoneFor(name: String, dropVersion: Int): String =
+    s"$DroppedTombstonePrefix${name}_v$dropVersion"
+
+  private def renameMap(links: Seq[(String, String)],
                         targetSchema: Option[StructType]): Map[String, String] = {
-    val starts = m.columnRenames.flatMap { case (o, n) => Seq(o, n) }.distinct
+    val starts = links.flatMap { case (o, n) => Seq(o, n) }.distinct
     starts.flatMap { p =>
-      val trajectory = m.columnRenames.foldLeft(List(p)) {
+      val trajectory = links.foldLeft(List(p)) {
         case (cur :: seen, (o, n)) if cur == o => n :: cur :: seen
         case (acc, _) => acc
       }
-      val asOf = targetSchema match {
-        case Some(s) => trajectory.find(s.fieldNames.contains)
-        case None => trajectory.headOption
+      val asOf = trajectory.headOption match {
+        // tombstoned (dropped-then-re-added): TERMINAL — never fall
+        // back to a schema name, the bytes must stay hidden
+        case Some(t) if t.startsWith(DroppedTombstonePrefix) => Some(t)
+        case _ => targetSchema match {
+          case Some(s) => trajectory.find(s.fieldNames.contains)
+          case None => trajectory.headOption
+        }
       }
       asOf.filter(_ != p).map(p -> _)
     }.toMap
@@ -3410,7 +3653,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private def readEntries(dataset: String, table: String,
                           entries: Seq[SnapshotLog.Entry],
                           commitSchema: Option[String],
-                          filesOf: Map[String, Seq[String]] = Map.empty): DataFrame = {
+                          filesOf: Map[String, Seq[String]] = Map.empty,
+                          asOfVersion: Option[Int] = None): DataFrame = {
     val m = meta(dataset, table)
     if (entries.isEmpty) {
       val ddl = commitSchema.orElse(schemaDdl(dataset, table)).getOrElse("")
@@ -3426,9 +3670,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // TARGET schema actually has (a time-travel read pinned mid-chain
     // serves that commit's own name; later links must not apply to it).
     // No pinned schema (legacy commit) ⇒ full-chain final name.
+    //
+    // The map is PER-FRAGMENT ([[linksFor]]): a fragment's physical
+    // names already reflect the chain up to its own era, so only later
+    // links re-label it — the disambiguation that makes a REUSED name
+    // (a→b then ADD COLUMN a) read correctly on both sides of the
+    // rename instead of colliding two columns onto one name.
     val targetSchema = commitSchema.map(StructType.fromDDL)
-    val applicable = renameMap(m, targetSchema)
-    def applyRenames(df: DataFrame): DataFrame = applyRenameMap(df, applicable)
+    val mapFor: Map[String, Map[String, String]] = entries.map(e =>
+      e.path -> renameMap(linksFor(m, e, asOfVersion), targetSchema)).toMap
+    val anyRenames = mapFor.values.exists(_.nonEmpty)
+    def applyRenames(e: SnapshotLog.Entry, df: DataFrame): DataFrame =
+      applyRenameMap(df, mapFor(e.path))
     // Column defaults are PER-FRAGMENT: only a fragment physically
     // lacking the column serves the default (a fragment holding explicit
     // NULLs keeps them — Iceberg initial-default semantics), so defaults
@@ -3446,7 +3699,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       defaults.foldLeft(df) { case (d, (c, e)) =>
         if (d.columns.contains(c)) d else d.withColumn(c, e)
       }
-    def perEntry(df: DataFrame): DataFrame = applyDefaults(applyRenames(df))
+    def perEntry(e: SnapshotLog.Entry, df: DataFrame): DataFrame =
+      applyDefaults(applyRenames(e, df))
     // Deletion-vector entries (merge-on-read deletes) read per entry —
     // tagged with file/position, anti-joined against their DV, tags
     // dropped — and union with the plain fast paths; entries WITHOUT a
@@ -3458,7 +3712,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // stays where it belongs — in the layout
     val effField = m.partitionField.filterNot(_ => m.hiddenPartition)
     val rawPlain: Option[DataFrame] = if (plain.isEmpty) None else Some(effField match {
-      case None if applicable.isEmpty && defaults.isEmpty =>
+      case None if !anyRenames && defaults.isEmpty =>
         val paths = plain.flatMap(e => filesOf.getOrElse(e.path,
           Seq(tableDir(dataset, table).resolve(e.path).toString)))
         commitSchema.map(StructType.fromDDL) match {
@@ -3479,9 +3733,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         plain.map { e =>
           val ps = filesOf.getOrElse(e.path,
             Seq(tableDir(dataset, table).resolve(e.path).toString))
-          perEntry(spark.read.parquet(ps: _*))
+          perEntry(e, spark.read.parquet(ps: _*))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
-      case Some(field) if applicable.isEmpty && defaults.isEmpty =>
+      case Some(field) if !anyRenames && defaults.isEmpty =>
         // Hive-layout fragments: group by fragment root so Spark's
         // partition discovery re-attaches the partition column; one read
         // per FRAGMENT (≈ per commit touched), not per partition.
@@ -3518,12 +3772,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           val value =
             if (e.partition == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
             else ExternalCatalogUtils.unescapePathName(e.partition)
-          perEntry(spark.read.parquet(ps: _*))
+          perEntry(e, spark.read.parquet(ps: _*))
             .withColumn(field, lit(value).cast(m.partitionType))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
     })
     val dvFrames = dvEntries.map(e =>
-      readEntryTagged(dataset, table, e, applicable, filesOf,
+      readEntryTagged(dataset, table, e, mapFor(e.path), filesOf,
         declared = targetSchema)
         .drop(TagEntry, TagFile, TagPos))
     val raw = (rawPlain.toSeq ++ dvFrames)
@@ -3624,7 +3878,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val p = l.split('\t')
         SnapshotLog.Entry(p(0), p(1),
           if (p.length > 2 && p(2).nonEmpty) Some(p(2)) else None,
-          if (p.length > 3) p(3).toInt else 0)
+          if (p.length > 3) p(3).toInt else 0,
+          if (p.length > 4) p(4).toInt else -1)
       }
   }
 
@@ -3634,7 +3889,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (es.isEmpty) { Files.deleteIfExists(f); return }
     val body = es.map { e =>
       val base = s"${e.partition}\t${e.path}"
-      if (e.spec != 0) s"$base\t${e.dv.getOrElse("")}\t${e.spec}"
+      if (e.era != -1) s"$base\t${e.dv.getOrElse("")}\t${e.spec}\t${e.era}"
+      else if (e.spec != 0) s"$base\t${e.dv.getOrElse("")}\t${e.spec}"
       else e.dv.fold(base)(d => s"$base\t$d")
     }.mkString("", "\n", "\n")
     val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
@@ -3668,7 +3924,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case None =>
         df.write.mode("overwrite").parquet(frag.toString)
         enforceConstraints(m, frag, Some(df.schema))
-        Seq(SnapshotLog.Entry("", relativize(dataset, table, frag)))
+        Seq(SnapshotLog.Entry("", relativize(dataset, table, frag),
+          era = m.columnRenames.size))
     }
     if (m.uniqueKey.nonEmpty) {
       // in-batch + vs the PUBLISHED table (zone/Bloom-pruned probe)
@@ -3872,7 +4129,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           .map(df.drop(_)).getOrElse(df)
           .write.mode("overwrite").parquet(dst.toString)
         SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, dst),
-          spec = e.spec)
+          spec = e.spec, era = m.columnRenames.size)
     }
     dstLg.commit("clone", entries, schemaDdl = cur.schemaDdl)
     setMeta(dstDataset, dstTable, m)
@@ -4063,8 +4320,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       if (undo.nonEmpty) {
         val rekey = undo.toMap
         def re(x: String) = rekey.getOrElse(x, x)
+        val stampV = log(dataset, table).latest.map(_.version + 1).getOrElse(1)
         setMeta(dataset, table, m.copy(
           columnRenames = m.columnRenames ++ undo,
+          columnRenameVersions =
+            m.columnRenameVersions.padTo(m.columnRenames.size, -1) ++
+              undo.map(_ => stampV),
           notNullColumns = m.notNullColumns.map(re),
           clusteringFields = m.clusteringFields.map(re),
           uniqueKey = m.uniqueKey.map(re),
@@ -4111,9 +4372,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             .write.mode("overwrite").parquet(dst.toString)
         }
         // spec stamp travels with the entry: a copy of an evolved table
-        // keeps transform pruning on its current-spec fragments
+        // keeps transform pruning on its current-spec fragments; the
+        // rename ERA travels too (raw copies keep the source's physical
+        // names AND its rename chain — meta copies verbatim below), but
+        // a DV materialization rewrote under CURRENT names
         SnapshotLog.Entry(e.partition, relativize(dstDataset, dstTable, dst),
-          spec = e.spec)
+          spec = e.spec,
+          era = if (e.dv.isEmpty) e.era
+                else meta(srcDataset, srcTable).columnRenames.size)
       }
     }.sortBy(_.partition)
     dstLg.commit("write", entries, schemaDdl = c.schemaDdl)
@@ -4245,7 +4511,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       // vs months) — a merged group is spec -1, never transform-pruned
       val specs = es.map(_.spec).distinct
       SnapshotLog.Entry(part, relativize(dataset, table, out),
-        spec = if (specs.size == 1) specs.head else -1)
+        spec = if (specs.size == 1) specs.head else -1,
+        era = m.columnRenames.size)
     }
     // compaction output keeps zone maps alive: one stats job over the
     // whole new fragment (abandoned groups' sidecars become orphans that
@@ -4372,17 +4639,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * loudly rather than silently mislaid. NULLs rank in bucket 0
     * (nulls-first). Data is unchanged — only layout moves; time travel
     * to the pre-rewrite commit keeps the old layout. */
-  def zorderCluster(dataset: String, table: String, colA: String,
-                    colB: String, targetBytes: Long = 128L << 20): Unit = {
-    require(targetBytes > 0, "targetBytes must be positive")
-    require(colA != colB, s"ZORDER BY needs two distinct columns, got '$colA' twice")
-    val m = meta(dataset, table)
-    require(m.partitionField.isEmpty,
-      s"$dataset.$table is hive-partitioned; z-order inside partitions is " +
-        "not supported — the partition column already prunes one dimension")
-    val cur = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
-      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
-    val sch = cur.schemaDdl.map(StructType.fromDDL).getOrElse(schema(dataset, table))
+  /** The z-curve rewrite of ONE frame: rank-bucket both order columns
+    * via quantile cutpoints computed on `base` itself, interleave the
+    * bucket bits, range-partition into `nOut` files sorted by the
+    * curve. Extracted so the unpartitioned whole-table path and the
+    * per-hive-partition path ([[zorderCluster]]) share one definition
+    * — cutpoints are LOCAL to the frame, so a partition's curve adapts
+    * to its own value distribution. */
+  private def zorderedFrame(base: DataFrame, sch: StructType,
+                            colA: String, colB: String,
+                            nOut: Int): DataFrame = {
     def orderKey(c: String): Column = {
       val f = sch.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no such column: $c"))
@@ -4398,21 +4664,6 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             "(hashing would destroy the locality the curve exists to create)")
       }
     }
-    val td = tableDir(dataset, table)
-    val bytes = cur.entries.map { e =>
-      val root = td.resolve(e.path)
-      if (!Files.exists(root)) 0L
-      else {
-        val walk = Files.walk(root)
-        try walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .map(Files.size).sum
-        finally walk.close()
-      }
-    }.sum
-    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val base = read(dataset, table)
     require(!Seq("_z", "_zba", "_zbb").exists(base.columns.contains),
       "table already has a column named _z/_zba/_zbb (reserved by zorderCluster)")
     // one pass computes BOTH columns' rank cutpoints (quantile sketch)
@@ -4448,11 +4699,118 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       shiftleft(shiftright(col("_zba"), i) % 2, 2 * i) +
         shiftleft(shiftright(col("_zbb"), i) % 2, 2 * i + 1)
     }.reduce(_ + _)
-    val df = bucketed.withColumn("_z", z)
+    bucketed.withColumn("_z", z)
       .repartitionByRange(nOut, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z", "_zba", "_zbb")
-    overwrite(dataset, table, df, m)
+  }
+
+  /** `OPTIMIZE t ZORDER BY (a, b)`. Unpartitioned tables rewrite whole
+    * (one commit). Hive-partitioned tables rewrite WITHIN each
+    * partition (Delta OPTIMIZE ZORDER semantics): the partition column
+    * prunes its own dimension, the z-curve the other two, each
+    * partition's cutpoints adapt to its own distribution, and sibling
+    * partitions' fragments are untouched byte-for-byte — the same
+    * CAS-guarded per-group replace [[compact]] uses, so a group a
+    * concurrent writer superseded is abandoned (its output deleted),
+    * never resurrected. Returns the partition values that landed
+    * (`Seq("")` for an unpartitioned rewrite). */
+  def zorderCluster(dataset: String, table: String, colA: String,
+                    colB: String, targetBytes: Long = 128L << 20,
+                    onlyPartitions: Option[Set[String]] = None): Seq[String] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(colA != colB, s"ZORDER BY needs two distinct columns, got '$colA' twice")
+    val m = meta(dataset, table)
+    require(!m.partitionField.contains(colA) && !m.partitionField.contains(colB),
+      s"ZORDER BY must not name the partition column — the hive layout " +
+        "already prunes that dimension; pick two DATA columns")
+    val lg = log(dataset, table)
+    val cur = lg.latest.filter(!_.isDrop).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $dataset.$table"))
+    val sch = cur.schemaDdl.map(StructType.fromDDL).getOrElse(schema(dataset, table))
+    val td = tableDir(dataset, table)
+    def dirBytes(e: SnapshotLog.Entry): Long = {
+      val root = td.resolve(e.path)
+      if (!Files.exists(root)) 0L
+      else {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum
+        finally walk.close()
+      }
+    }
+    m.partitionField match {
+      case None =>
+        require(onlyPartitions.isEmpty,
+          s"$dataset.$table is unpartitioned — OPTIMIZE ... WHERE needs " +
+            "a hive-partitioned table")
+        val bytes = cur.entries.map(dirBytes).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        overwrite(dataset, table,
+          zorderedFrame(read(dataset, table), sch, colA, colB, nOut), m)
+        Seq("")
+      case Some(field) =>
+        // per-partition rewrite: one quantile job + one layout write per
+        // partition, each scanning only its own partition (at 100 TB a
+        // date-partitioned fact z-orders incrementally, day by day)
+        val visibleField = Some(field).filterNot(_ => m.hiddenPartition)
+        // Delta OPTIMIZE ... WHERE semantics: an explicit partition
+        // scope rewrites ONLY those partitions — siblings keep their
+        // fragments byte-for-byte (incremental day-by-day z-ordering
+        // at 100 TB instead of a full-table pass)
+        val groups = cur.entries.groupBy(_.partition).toSeq.sortBy(_._1)
+          .filter { case (part, _) => onlyPartitions.forall(_.contains(part)) }
+        val frag = lg.newFragmentDir()
+        val newEntries = groups.map { case (part, es) =>
+          val bytesP = es.map(dirBytes).sum
+          val nOut = math.max(1L, (bytesP + targetBytes - 1) / targetBytes).toInt
+          val df0 = readEntries(dataset, table, es, cur.schemaDdl)
+          // hive layout: data files exclude the visible partition column
+          val df = visibleField.filter(df0.columns.contains)
+            .map(df0.drop(_)).getOrElse(df0)
+          val out = frag.resolve(s"$field=$part")
+          zorderedFrame(df, StructType(sch.fields.filterNot(f =>
+              visibleField.contains(f.name))), colA, colB, nOut)
+            .write.mode("overwrite").parquet(out.toString)
+          val specs = es.map(_.spec).distinct
+          SnapshotLog.Entry(part, relativize(dataset, table, out),
+            spec = if (specs.size == 1) specs.head else -1,
+            era = m.columnRenames.size)
+        }
+        recordStats(dataset, table, newEntries, m.partitionField)
+        // CAS identity is (path, dv), exactly like compact: a group
+        // whose source set changed under us (concurrent write/delete)
+        // is abandoned, its output reclaimed below
+        val replaced: Map[String, Set[(String, Option[String])]] =
+          groups.map { case (part, es) =>
+            part -> es.map(e => (e.path, e.dv)).toSet }.toMap
+        @volatile var committed: Seq[SnapshotLog.Entry] = Seq.empty
+        lg.commitWithSchema("zorder", cur2 => {
+          val live = cur2.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty)
+          val liveByPart = live.groupBy(_.partition)
+          val valid = newEntries.filter { ne =>
+            replaced(ne.partition).subsetOf(
+              liveByPart.getOrElse(ne.partition, Seq.empty)
+                .map(e => (e.path, e.dv)).toSet)
+          }
+          committed = valid
+          val validParts = valid.map(_.partition).toSet
+          live.filterNot(e =>
+            validParts(e.partition) && replaced(e.partition)((e.path, e.dv))) ++ valid
+        }, cur2 => cur2.flatMap(_.schemaDdl).orElse(cur.schemaDdl))
+        val committedPaths = committed.map(_.path).toSet
+        newEntries.filterNot(e => committedPaths(e.path)).foreach { e =>
+          deleteRecursive(td.resolve(e.path))
+        }
+        if (committed.size < newEntries.size && Files.isDirectory(frag)) {
+          val ls = Files.list(frag)
+          val empty = try !ls.iterator().hasNext finally ls.close()
+          if (empty) Files.delete(frag)
+        }
+        committed.map(_.partition).sorted
+    }
   }
 
   /** Rank buckets per dimension for [[zorderCluster]] — 256 buckets →
@@ -4519,7 +4877,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                                      expiredPartitions: Seq[String],
                                      compactedPartitions: Seq[String],
                                      vacuumedFragments: Int,
-                                     error: Option[String] = None)
+                                     error: Option[String] = None,
+                                     /** Verdict of the injected index
+                                       * advisor (ANN retrain triggers —
+                                       * [[graft.llmops]] AnnIndex.advisor),
+                                       * None for non-index tables or when
+                                       * no advisor was passed. */
+                                     indexAdvice: Option[String] = None)
 
   /** Dataset-wide maintenance sweep — the nightly OPTIMIZE/retention
     * schedule as one call: for every table, expire dead partitions
@@ -4537,10 +4901,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def maintainDataset(dataset: String,
                       targetBytes: Long = 128L << 20,
                       retainMillis: Long = 7L * 24 * 3600 * 1000,
-                      today: java.time.LocalDate = java.time.LocalDate.now())
+                      today: java.time.LocalDate = java.time.LocalDate.now(),
+                      /** Optional per-table advisor (the ANN retrain
+                        * triggers — pass AnnIndex.advisor(wh)); runs
+                        * AFTER the table's own maintenance, its failures
+                        * isolated per table like everything else here. */
+                      indexAdvisor: Option[(String, String) => Option[String]] = None)
       : Seq[MaintenanceReport] =
     listTables(dataset).map { t =>
-      try {
+      val base = try {
         val expired = expirePartitions(dataset, t, today)
         val compacted = compact(dataset, t, targetBytes)
         val vacuumed = log(dataset, t).vacuum(retainMillis).size
@@ -4554,6 +4923,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         case e: Exception =>
           MaintenanceReport(t, Seq.empty, Seq.empty, 0,
             error = Some(e.getMessage))
+      }
+      indexAdvisor match {
+        case None => base
+        case Some(f) =>
+          try base.copy(indexAdvice = f(dataset, t))
+          catch {
+            case e: Exception =>
+              base.copy(indexAdvice = Some(s"advice failed: ${e.getMessage}"))
+          }
       }
     }
 

@@ -533,17 +533,40 @@ object ZoneMaps {
     if (st.files.isEmpty) None
     else Some(st.files.keys.toSeq.sorted.partition(f => mayMatch(resolved, st.files(f))))
 
+  /** Re-key a fragment's stats from PHYSICAL column names to the
+    * CURRENT names the resolved predicate uses, via the fragment's own
+    * rename map ([[graft.core.Warehouse]] linksFor — pre-rename
+    * fragments re-label, post-reuse fragments don't). Without this a
+    * predicate on a renamed column never prunes (stale sidecar name),
+    * and under name REUSE it would prune against the WRONG column's
+    * min/max — missing rows silently. Two physical columns landing on
+    * one current name (legacy unstamped fragments under reuse) are
+    * ambiguous: that stat drops entirely — never prune on a name you
+    * cannot attribute. */
+  def rekey(st: FragStats, rm: Map[String, String]): FragStats =
+    if (rm.isEmpty) st
+    else {
+      val cols = st.cols.toSeq
+        .groupBy { case (p, _) => rm.getOrElse(p, p) }
+        .collect { case (n, Seq((_, cs))) => n -> cs }
+      FragStats(st.rows, cols.toMap,
+        st.files.map { case (f, fs) => f -> rekey(fs, rm) })
+    }
+
   /** Entry-level scan plan: partition `entries` into (scan, pruned) under
     * the RESOLVED predicate (see [[resolvePredicate]]) using whatever
-    * sidecars exist. */
-  def prune(tableDir: Path, entries: Seq[SnapshotLog.Entry], resolved: Option[Expression])
+    * sidecars exist. `renamesFor` supplies each entry's physical→current
+    * rename map (see [[rekey]]); the default (no renames) probes the
+    * sidecar names as written. */
+  def prune(tableDir: Path, entries: Seq[SnapshotLog.Entry], resolved: Option[Expression],
+            renamesFor: SnapshotLog.Entry => Map[String, String] = _ => Map.empty)
       : (Seq[SnapshotLog.Entry], Seq[SnapshotLog.Entry]) =
     resolved match {
       case None => (entries, Seq.empty)
       case Some(expr) =>
         entries.partition { e =>
           read(tableDir, e.path) match {
-            case Some(st) => mayMatch(expr, st)
+            case Some(st) => mayMatch(expr, rekey(st, renamesFor(e)))
             case None => true
           }
         }

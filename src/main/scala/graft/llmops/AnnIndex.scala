@@ -485,4 +485,114 @@ object AnnIndex {
         cents.length > sizeBand * targetCells,
       driftRetrain = mean < driftFloor)
   }
+
+  // ------------------- registry + nightly-sweep wiring (r16 item 5)
+
+  /** Persist the trained quantizers (coarse centroids + residual PQ
+    * codebooks) as an ordinary warehouse table — the missing piece
+    * between "an index artifact exists" and "the nightly sweep can
+    * judge it": [[retrainAdvice]] needs the TRAINED centroids, and a
+    * session restart must not lose them. Row shape: kind='cent' rows
+    * carry (cell, vec, norm); kind='cb' rows carry (sub, code, vec,
+    * norm). */
+  def saveQuantizers(wh: Warehouse, dataset: String, table: String,
+                     cents: Array[(Long, Array[Double], Double)],
+                     cb: Array[Array[(Array[Double], Double)]]): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    val centRows = cents.toSeq.map { case (cell, vec, nrm) =>
+      ("cent", cell, -1, -1, vec.toSeq, nrm)
+    }
+    val cbRows = cb.toSeq.zipWithIndex.flatMap { case (codes, m) =>
+      codes.toSeq.zipWithIndex.map { case ((vec, nrm), j) =>
+        ("cb", -1L, m, j, vec.toSeq, nrm)
+      }
+    }
+    wh.overwrite(dataset, table, (centRows ++ cbRows)
+      .toDF("kind", "cell", "sub", "code", "vec", "nrm"))
+  }
+
+  def loadQuantizers(wh: Warehouse, dataset: String, table: String)
+      : (Array[(Long, Array[Double], Double)],
+         Array[Array[(Array[Double], Double)]]) = {
+    val rows = wh.read(dataset, table).collect()
+    val cents = rows.filter(_.getString(0) == "cent")
+      .map(r => (r.getLong(1), r.getSeq[Double](4).toArray, r.getDouble(5)))
+      .sortBy(_._1)
+    val cb = rows.filter(_.getString(0) == "cb")
+      .map(r => (r.getInt(2), r.getInt(3),
+        (r.getSeq[Double](4).toArray, r.getDouble(5))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    (cents, cb)
+  }
+
+  /** Machine-readable registry marker carried in the INDEX table's own
+    * description metadata (descriptions persist, copy and restore with
+    * the table — no side catalog to drift): names the corpus and
+    * quantizer tables the index was built from, so a maintenance sweep
+    * can discover every index in a dataset and judge it. */
+  private def marker(corpus: String, quantizers: String): String =
+    s"graft-ann-index corpus=$corpus quantizers=$quantizers"
+
+  private val MarkerRe =
+    """graft-ann-index corpus=([^\s]+) quantizers=([^\s]+)""".r.unanchored
+
+  /** Build + persist the DEFAULT serving path's full artifact set:
+    * quantizers, (vec_id, cell, codes) index, and the registry marker
+    * tying them to the corpus — the ingest-time call that makes the
+    * index visible to [[sweepRetrainAdvice]]. */
+  def saveIvfPqIndexRegistered(wh: Warehouse, dataset: String,
+                               indexTable: String, quantTable: String,
+                               corpusDataset: String, corpusTable: String,
+                               emb: DataFrame,
+                               cents: Array[(Long, Array[Double], Double)],
+                               cb: Array[Array[(Array[Double], Double)]]): Unit = {
+    saveQuantizers(wh, dataset, quantTable, cents, cb)
+    saveIvfPqIndex(wh, dataset, indexTable, emb, cents, cb)
+    val m = wh.meta(dataset, indexTable)
+    wh.setMeta(dataset, indexTable, m.copy(description =
+      Some(marker(s"$corpusDataset.$corpusTable", s"$dataset.$quantTable"))))
+  }
+
+  /** [[retrainAdvice]] for one REGISTERED index table: None when the
+    * table carries no registry marker (not an index). The corpus is
+    * read at its CURRENT snapshot — exactly what the advice exists to
+    * compare against the trained state. */
+  def retrainAdviceFor(wh: Warehouse, dataset: String, table: String)
+      : Option[RetrainAdvice] =
+    wh.meta(dataset, table).description.collect {
+      case MarkerRe(corpus, quant) =>
+        val Array(cd, ct) = corpus.split('.')
+        val Array(qd, qt) = quant.split('.')
+        val (cents, _) = loadQuantizers(wh, qd, qt)
+        retrainAdvice(wh.read(cd, ct), cents)
+    }
+
+  /** The advisor hook [[graft.core.Warehouse.maintainDataset]] takes:
+    * per table, a one-line verdict for registered index tables, None
+    * for everything else. Failures are the CALLER's to isolate (the
+    * sweep wraps each table). */
+  def advisor(wh: Warehouse): (String, String) => Option[String] =
+    (dataset, table) => retrainAdviceFor(wh, dataset, table).map { a =>
+      if (a.retrain)
+        (if (a.sizeRetrain)
+          s"retrain(size): corpus=${a.corpusN} cells=${a.trainedCells} " +
+            s"target=${a.targetCells}"
+        else "") +
+          (if (a.driftRetrain)
+            s"${if (a.sizeRetrain) "; " else ""}retrain(drift): " +
+              f"meanCos=${a.meanCellDriftCos}%.3f minCos=${a.minCellDriftCos}%.3f"
+          else "")
+      else f"ok: corpus=${a.corpusN} cells=${a.trainedCells} " +
+        f"meanCos=${a.meanCellDriftCos}%.3f"
+    }
+
+  /** Nightly sweep over a dataset's REGISTERED indexes only — the
+    * standalone form of passing [[advisor]] into `maintainDataset`. */
+  def sweepRetrainAdvice(wh: Warehouse, dataset: String)
+      : Seq[(String, RetrainAdvice)] =
+    wh.listTables(dataset).flatMap(t =>
+      try retrainAdviceFor(wh, dataset, t).map(t -> _)
+      catch { case _: Exception => None })
 }

@@ -392,10 +392,50 @@ final case class GraftView(fullName: String, d: StoredView) extends View {
   * version / timestamp for time travel). Reads are served by
   * [[GraftRelationSubstitution]]; writes by the V1-fallback
   * [[GraftWriteBuilder]]. */
+object GraftTable {
+  /** Name of the fragment-provenance metadata column. */
+  val FragColumn = "_g_frag"
+}
+
 final case class GraftTable(wh: Warehouse, dataset: String, table: String,
                             fullName: String,
                             pinned: Option[Either[Int, Long]])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** One metadata column, `_g_frag` = the snapshot-log fragment path a
+    * row was served from (the analog of the file source's
+    * `_metadata.file_path`, at this engine's unit of work). It exists
+    * for two callers: provenance SELECTs, and Spark's row-level
+    * rewrite — [[GraftRowLevelOperation.requiredMetadataAttributes]]
+    * names it so the analyzer builds the metadata projection that
+    * routes `ReplaceData` rows through the projecting write task
+    * (without ANY metadata attr, Spark 4's group-based exec hands the
+    * writer raw rows still carrying `__row_operation`). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = GraftTable.FragColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "snapshot-log fragment path the row is served from"
+    })
+
+  /** v2-native UPDATE/MERGE (and group-based DELETE when the predicate
+    * defeats [[canDeleteWhere]]): Spark's analyzer rewrites the DML
+    * into `ReplaceData` over [[GraftRowLevelOperation]] — group-based
+    * copy-on-write through the warehouse commit machinery. Metadata
+    * DELETEs still optimize back to [[deleteWhere]]
+    * (`OptimizeMetadataOnlyDeleteFromTable`), so the pruned delete path
+    * is unchanged. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"cannot run ${info.command} against a time-travel snapshot of $fullName")
+    () => GraftRowLevelOperation(this, info.command)
+  }
 
   override def name(): String = fullName
 
@@ -518,6 +558,16 @@ final case class GraftTable(wh: Warehouse, dataset: String, table: String,
     case Some(Left(v)) => wh.readVersion(dataset, table, v)
     case Some(Right(tsMillis)) => wh.readAsOf(dataset, table, tsMillis)
     case None => wh.read(dataset, table)
+  }
+
+  /** [[readPlan]] plus the `_g_frag` provenance metadata column —
+    * served only when the relation actually REFERENCES it (a
+    * provenance SELECT, or the row-level rewrite's required metadata
+    * attr), because the tag forces the per-fragment read path. */
+  def readPlanTagged(): DataFrame = {
+    require(pinned.isEmpty,
+      s"$fullName: ${GraftTable.FragColumn} is not served on time-travel reads")
+    wh.readWithFragmentTag(dataset, table, GraftTable.FragColumn)
   }
 
   /** The zone/Bloom/transform-PRUNED warehouse read for an

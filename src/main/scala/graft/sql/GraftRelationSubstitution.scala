@@ -59,11 +59,15 @@ final class GraftRelationSubstitution(spark: SparkSession)
     val pruned = plan.resolveOperatorsDown {
       case f @ Filter(cond, child) if cond.resolved =>
         throughAliases(child) match {
-          case Some(r) if r.table.isInstanceOf[GraftTable] &&
+          case Some(r) if graftOf(r.table).isDefined &&
               !dmlTargets.contains(r) =>
-            val t = r.table.asInstanceOf[GraftTable]
-            Filter(cond, replaceRelation(child, r,
-              spliceFor(r, t.readPlanPruned(cond), t)))
+            val t = graftOf(r.table).get
+            // a relation referencing `_g_frag` needs the per-fragment
+            // TAGGED read (row-level rewrite / provenance query) — the
+            // zone-pruned whole read can't serve the tag
+            val plan = if (r.output.exists(_.name == GraftTable.FragColumn))
+              t.readPlanTagged() else t.readPlanPruned(cond)
+            Filter(cond, replaceRelation(child, r, spliceFor(r, plan, t)))
           case _ => f
         }
     }
@@ -79,12 +83,34 @@ final class GraftRelationSubstitution(spark: SparkSession)
           .filter(tg => tg.wh.isView(tg.dataset, tg.table))
           .map(GraftSql.expandView(spark, _): LogicalPlan)
           .getOrElse(u)
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+      case r: DataSourceV2Relation if graftOf(r.table).isDefined &&
           !dmlTargets.contains(r) && !held.contains(r) =>
-        val t = r.table.asInstanceOf[GraftTable]
-        spliceFor(r, t.readPlan(), t)
+        val t = graftOf(r.table).get
+        // `_g_frag` in the output = the relation references the
+        // provenance metadata column (a provenance SELECT or the
+        // row-level rewrite's required metadata attr) — serve the
+        // per-fragment TAGGED read; plain relations keep the
+        // whole-scan read
+        val plan = if (r.output.exists(_.name == GraftTable.FragColumn))
+          t.readPlanTagged() else t.readPlan()
+        spliceFor(r, plan, t)
     }
   }
+
+  /** The [[GraftTable]] behind a relation's table — directly, or
+    * wrapped in the analyzer's `RowLevelOperationTable` (the READ side
+    * of a v2 UPDATE/MERGE/DELETE rewrite: `ReplaceData.query` scans the
+    * target through that wrapper, and the warehouse read must splice
+    * there exactly as for a SELECT — deletion vectors, rename chains
+    * and defaults feed the rewrite). The WRITE side is untouched:
+    * `ReplaceData.table` is a field, not a child, so the traversals
+    * here never reach it. */
+  private def graftOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[GraftTable] =
+    org.apache.spark.sql.GraftBridge.unwrapRowLevelTable(t) match {
+      case g: GraftTable => Some(g)
+      case _ => None
+    }
 
   /** The exprId-preserving splice: parent operators may already have
     * resolved references against the relation's output in an earlier

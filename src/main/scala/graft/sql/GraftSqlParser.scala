@@ -17,8 +17,15 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * tables — anything else re-throws the delegate's own error. */
   //   OPTIMIZE <t>                      — small-file compaction
   //   OPTIMIZE <t> ZORDER BY (a, b)     — two-dimensional layout rewrite
+  // The column list matches LOOSELY (anything inside the parens) and
+  // arity validates in code: a 1- or 3-column list must fail with
+  // "ZORDER BY takes exactly two columns", not the delegate parser's
+  // generic syntax error for the whole OPTIMIZE statement.
+  //   OPTIMIZE <t> WHERE <part> = '<v>' ZORDER BY (a, b) — scope the
+  //   rewrite to one hive partition (Delta OPTIMIZE ... WHERE); the
+  //   clause must name the partition column, validated in the command.
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*(?:ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*(?:WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*'([^']*)')?\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   // IAM grammar (grants.py:260-292 reconcile verbs — Spark's parser has
@@ -54,10 +61,19 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession.orNull
     if (spark == null) return None
     sqlText match {
-      case OptimizeRe(name, za, zb) =>
+      case OptimizeRe(name, wcol, wval, zcols) =>
+        val z = Option(zcols).map { lst =>
+          val cs = lst.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          require(cs.size == 2,
+            s"OPTIMIZE ... ZORDER BY takes exactly two columns, " +
+              s"got ${cs.size}: (${cs.mkString(", ")})")
+          cs.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"invalid ZORDER BY column name '$c'"))
+          (cs.head, cs(1))
+        }
         GraftSql.lookup(spark, name.split('.').toSeq)
-          .map(GraftOptimizeCommand(_,
-            Option(za).map(a => (a, zb)))) // zb is non-null iff za is
+          .map(GraftOptimizeCommand(_, z,
+            Option(wcol).map(c => (c, wval))))
       case VacuumRe(name, hours) =>
         GraftSql.lookup(spark, name.split('.').toSeq)
           .map(GraftVacuumCommand(_, Option(hours).map(_.toLong)))

@@ -110,6 +110,13 @@ class WarehouseStreamSource(sqlContext: SQLContext, root: String,
           "by another rename — ambiguous for a running stream; restart " +
           "the streaming query to pick up the current schema")
     }
+    // dropped-then-re-added mid-stream: the chain maps the declared
+    // name to its tombstone — the stream's declared column no longer
+    // exists as a logical column; serving the RE-ADDED one silently
+    // would swap columns under the consumer
+    if (cur.startsWith("__graft_dropped__")) throw new IllegalStateException(
+      s"column '$n' was dropped and its name re-added mid-stream — " +
+        "restart the streaming query to pick up the current schema")
     cur
   }
 

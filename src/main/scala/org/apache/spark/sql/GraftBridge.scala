@@ -12,6 +12,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Unwrap the analyzer's `RowLevelOperationTable` (private[sql]) — the
+    * READ side of a v2 UPDATE/MERGE/DELETE rewrite wraps the target
+    * table in it, and the relation-substitution rule must see through
+    * the wrapper to splice the warehouse read. */
+  def unwrapRowLevelTable(t: org.apache.spark.sql.connector.catalog.Table)
+      : org.apache.spark.sql.connector.catalog.Table = t match {
+    case r: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+      r.table
+    case other => other
+  }
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** LogicalPlan → DataFrame (classic.Dataset.ofRows is private[sql]) —

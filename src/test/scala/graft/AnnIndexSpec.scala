@@ -232,4 +232,54 @@ class AnnIndexSpec extends AnyFunSuite {
     val d = AnnIndex.retrainAdvice(neg, cents)
     assert(d.driftRetrain && !d.sizeRetrain, d.toString)
   }
+
+  test("quantizers round-trip through the warehouse") {
+    val (cents, cb) = AnnIndex.trainAdaptiveQuantizers(emb, iterations = 2)
+    val wh = freshWh()
+    AnnIndex.saveQuantizers(wh, "idx", "quant", cents, cb)
+    val (c2, cb2) = AnnIndex.loadQuantizers(wh, "idx", "quant")
+    assert(c2.map(_._1).toSeq === cents.map(_._1).toSeq)
+    assert(c2.map(_._2.toSeq).toSeq === cents.map(_._2.toSeq).toSeq)
+    assert(cb2.length === cb.length)
+    assert(cb2.map(_.map(_._1.toSeq).toSeq).toSeq
+      === cb.map(_.map(_._1.toSeq).toSeq).toSeq)
+  }
+
+  test("nightly sweep: registered index reports retrain advice; failures isolate per table") {
+    val wh = freshWh()
+    // the corpus lives in the same warehouse so the sweep can re-read it
+    wh.overwrite("idx", "corpus", typedVecs(emb))
+    val (cents, cb) = AnnIndex.trainAdaptiveQuantizers(emb, iterations = 2)
+    AnnIndex.saveIvfPqIndexRegistered(wh, "idx", "annidx", "quant",
+      "idx", "corpus", emb, cents, cb)
+    // fresh: the sweep reports the index healthy, other tables silent
+    val fresh = wh.maintainDataset("idx",
+      indexAdvisor = Some(AnnIndex.advisor(wh)))
+    val idxRow = fresh.find(_.table == "annidx").get
+    assert(idxRow.indexAdvice.exists(_.startsWith("ok")), idxRow.toString)
+    assert(fresh.find(_.table == "corpus").get.indexAdvice.isEmpty)
+    // grow the corpus 9x (same distribution): the next sweep trips SIZE
+    val grown = (0 until 9).map(r => typedVecs(emb)
+        .select((col("vec_id") + lit(r * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_.unionByName(_))
+    wh.overwrite("idx", "corpus", grown)
+    val after = wh.maintainDataset("idx",
+      indexAdvisor = Some(AnnIndex.advisor(wh)))
+    val adv = after.find(_.table == "annidx").get.indexAdvice
+    assert(adv.exists(_.contains("retrain(size)")), adv.toString)
+    // per-table failure isolation: a corrupt registry marker fails ONLY
+    // its own table's advice, never the sweep
+    wh.overwrite("idx", "broken", typedVecs(emb).limit(5))
+    wh.setMeta("idx", "broken", wh.meta("idx", "broken").copy(description =
+      Some("graft-ann-index corpus=idx.missing quantizers=idx.alsomissing")))
+    val mixed = wh.maintainDataset("idx",
+      indexAdvisor = Some(AnnIndex.advisor(wh)))
+    assert(mixed.find(_.table == "broken").get.indexAdvice
+      .exists(_.startsWith("advice failed")), mixed.toString)
+    assert(mixed.find(_.table == "annidx").get.indexAdvice.isDefined)
+    // standalone sweep form skips the broken registration quietly
+    val swept = AnnIndex.sweepRetrainAdvice(wh, "idx")
+    assert(swept.map(_._1) === Seq("annidx"))
+    assert(swept.head._2.sizeRetrain)
+  }
 }

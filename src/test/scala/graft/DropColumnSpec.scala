@@ -89,20 +89,30 @@ class DropColumnSpec extends AnyFunSuite {
     }.getMessage.contains("only column"))
   }
 
-  test("re-add refuses while pre-drop fragments survive; overwrite clears") {
+  test("re-add works IMMEDIATELY: tombstone link hides pre-drop bytes (field-ID semantics)") {
     val wh = new Warehouse(spark, freshRoot().toString)
     wh.overwrite("d", "t", Seq((1L, "secret")).toDF("k", "x"))
     wh.dropColumn("d", "t", "x")
-    val e = intercept[IllegalArgumentException] {
-      wh.addColumn("d", "t", "x", "STRING")
-    }
-    assert(e.getMessage.contains("pre-drop"), e.getMessage)
-    // the overwrite rewrites under the narrowed schema — old bytes gone
-    wh.overwrite("d", "t", wh.read("d", "t"))
+    // r16 item 6: no refusal, no compaction needed — the re-add appends
+    // a terminal tombstone rename link that (by fragment era) hides the
+    // pre-drop bytes forever, exactly Iceberg's fresh-field-ID rule
     wh.addColumn("d", "t", "x", "STRING", Some("'fresh'"))
     val row = wh.read("d", "t").select("k", "x").as[(Long, String)].head()
     assert(row === (1L, "fresh"), "old bytes resurfaced as the new column")
-    assert(wh.meta("d", "t").droppedColumns.isEmpty, "tombstone not cleared")
+    assert(wh.meta("d", "t").droppedColumns.isEmpty, "drop marker not cleared")
+    // new fragments' x IS the new column; the old fragment's x stays hidden
+    wh.append("d", "t", Seq((2L, "new")).toDF("k", "x"))
+    assert(wh.read("d", "t").orderBy("k").select("x").as[String].collect().toSeq
+      === Seq("fresh", "new"))
+    // no-default re-add serves NULL for pre-drop rows (plain evolution)
+    val wh2 = new Warehouse(spark, freshRoot().toString)
+    wh2.overwrite("d", "t", Seq((1L, "secret")).toDF("k", "x"))
+    wh2.dropColumn("d", "t", "x")
+    wh2.addColumn("d", "t", "x", "STRING")
+    assert(wh2.read("d", "t").select("x").collect().head.isNullAt(0),
+      "pre-drop rows must read NULL under the re-added name")
+    // time travel: before the drop the OLD x still serves its bytes
+    assert(wh2.readVersion("d", "t", 1).select("x").as[String].head() === "secret")
   }
 
   test("SQL lands it on both entry points, IF EXISTS tolerated") {

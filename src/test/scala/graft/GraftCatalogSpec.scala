@@ -222,11 +222,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("DELETE FROM graft.d13.ev WHERE id IN (1, 99) OR v > 25.0")
       assert(spark.sql("SELECT id FROM graft.d13.ev").collect()
         .map(_.getLong(0)).toSeq === Seq(2L))
-      // an unconvertible predicate refuses loudly (no silent over-delete)
-      intercept[Exception] {
-        spark.sql("DELETE FROM graft.d13.ev WHERE v * 2 > 10")
-      }
+      // an unconvertible predicate now runs GROUP-BASED (r16 item 3:
+      // SupportsRowLevelOperations CoW rewrite) instead of refusing —
+      // here it matches nothing, so the rewrite lands a no-op replace
+      spark.sql("DELETE FROM graft.d13.ev WHERE v * 2 > 100")
       assert(spark.sql("SELECT count(*) FROM graft.d13.ev").head.getLong(0) === 1L)
+      assert(wh.log("d13", "ev").latest.get.action === "write",
+        "the unconvertible delete must land through the CoW rewrite")
       // MoR routing composes: the v2 delete writes a deletion vector
       spark.conf.set("spark.graft.sql.dml", "mor")
       try {

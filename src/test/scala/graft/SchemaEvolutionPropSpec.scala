@@ -49,6 +49,10 @@ class SchemaEvolutionPropSpec extends AnyFunSuite {
     var cols = Vector(MCol(0, "c0", None))
     var rows = Vector.empty[MRow]
     var notNull = Set.empty[Int]
+    // names freed by DROP COLUMN — eligible for IMMEDIATE re-use (r16
+    // item 6: the tombstone link gives fresh-field-ID semantics, so a
+    // re-added name is a brand-new column and old bytes stay hidden)
+    var droppedNames = Vector.empty[String]
 
     def schemaOf(cs: Vector[MCol]) = StructType(
       StructField("rid", LongType, nullable = false) +:
@@ -99,8 +103,15 @@ class SchemaEvolutionPropSpec extends AnyFunSuite {
         case 0 | 1 | 2 | 3 => // append a small batch
           append(1 + rnd.nextInt(3))
 
-        case 4 => // add a fresh column, half the time with a default
-          val name = freshName()
+        case 4 => // add a column — a fresh name, or (when one exists)
+          // RE-USE a dropped name: the model treats it as a NEW column
+          // identity either way, which is exactly the tombstone contract
+          val name =
+            if (droppedNames.nonEmpty && rnd.nextBoolean()) {
+              val n = droppedNames(rnd.nextInt(droppedNames.size))
+              droppedNames = droppedNames.filterNot(_ == n)
+              n
+            } else freshName()
           val default = if (rnd.nextBoolean()) Some(rnd.nextInt(50).toLong) else None
           wh.addColumn("d", "t", name, "BIGINT", default.map(_.toString))
           cols :+= MCol(nextId, name, default)
@@ -116,6 +127,7 @@ class SchemaEvolutionPropSpec extends AnyFunSuite {
           val c = cols(rnd.nextInt(cols.size))
           wh.dropColumn("d", "t", c.name)
           cols = cols.filterNot(_.id == c.id)
+          droppedNames :+= c.name
           notNull -= c.id
 
         case 7 => // SET DEFAULT: the model predicts the refusal —
