@@ -4466,7 +4466,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * actually LANDED (CAS survivors only; empty = nothing to do, no
     * commit written), so callers can retry abandoned groups. */
   def compact(dataset: String, table: String,
-              targetBytes: Long = 128L << 20): Seq[String] = {
+              targetBytes: Long = 128L << 20,
+              onlyPartitions: Option[Set[String]] = None): Seq[String] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val m = meta(dataset, table)
     val lg = log(dataset, table)
@@ -4481,7 +4482,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           p.getFileName.toString.endsWith(".parquet")).toSeq
       (fs.size.toLong, fs.map(Files.size).sum)
     }
+    // OPTIMIZE ... WHERE scope: compact only the named partitions
     val groups = cur.entries.groupBy(_.partition)
+      .filter { case (part, _) => onlyPartitions.forall(_.contains(part)) }
     val plan = groups.flatMap { case (part, es) =>
       val stats = es.map(fileStats)
       val nFiles = stats.map(_._1).sum
@@ -4647,7 +4650,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * — cutpoints are LOCAL to the frame, so a partition's curve adapts
     * to its own value distribution. */
   private def zorderedFrame(base: DataFrame, sch: StructType,
-                            colA: String, colB: String,
+                            zcols: Seq[String],
                             nOut: Int): DataFrame = {
     def orderKey(c: String): Column = {
       val f = sch.fields.find(_.name == c).getOrElse(
@@ -4664,12 +4667,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             "(hashing would destroy the locality the curve exists to create)")
       }
     }
-    require(!Seq("_z", "_zba", "_zbb").exists(base.columns.contains),
-      "table already has a column named _z/_zba/_zbb (reserved by zorderCluster)")
-    // one pass computes BOTH columns' rank cutpoints (quantile sketch)
-    val keyed = base.select(orderKey(colA).as("_ka"), orderKey(colB).as("_kb"))
-    val Array(cutsA, cutsB) = keyed.stat.approxQuantile(
-      Array("_ka", "_kb"),
+    val tmpCols = "_z" +: zcols.indices.map(i => s"_zb$i")
+    require(!tmpCols.exists(base.columns.contains),
+      "table already has a column named _z/_zb<i> (reserved by zorderCluster)")
+    // one pass computes EVERY column's rank cutpoints (quantile sketch)
+    val keyNames = zcols.indices.map(i => s"_k$i")
+    val keyed = base.select(zcols.zip(keyNames)
+      .map { case (c, k) => orderKey(c).as(k) }: _*)
+    val cuts: Array[Array[Double]] = keyed.stat.approxQuantile(
+      keyNames.toArray,
       (1 until ZOrderBuckets).map(_.toDouble / ZOrderBuckets).toArray, 0.001)
     // rank bucket = #cutpoints <= value, as a CODEGEN'D binary-search
     // CASE tree (log2(B) comparisons/row): a lambda-HOF array scan
@@ -4688,21 +4694,24 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
     val zBits = 32 - Integer.numberOfLeadingZeros(ZOrderBuckets - 1)
     // buckets land in their OWN projection: the z expression below
-    // references each 8 times, and CollapseProject keeps a non-cheap
-    // multi-referenced alias in place — so the CASE tree evaluates once
-    // per row, not once per interleaved bit
-    val bucketed = base
-      .withColumn("_zba", bucketOf(orderKey(colA), cutsA))
-      .withColumn("_zbb", bucketOf(orderKey(colB), cutsB))
-    // bit interleave (the graft.operators.ZOrder curve, over bucket ids)
-    val z = (0 until zBits).map { i =>
-      shiftleft(shiftright(col("_zba"), i) % 2, 2 * i) +
-        shiftleft(shiftright(col("_zbb"), i) % 2, 2 * i + 1)
+    // references each zBits times, and CollapseProject keeps a
+    // non-cheap multi-referenced alias in place — so each CASE tree
+    // evaluates once per row, not once per interleaved bit
+    val bucketed = zcols.indices.foldLeft(base) { (d, i) =>
+      d.withColumn(s"_zb$i", bucketOf(orderKey(zcols(i)), cuts(i)))
+    }
+    // bit interleave (the graft.operators.ZOrder curve, over bucket
+    // ids, round-robin across ALL dimensions — the D-column curve)
+    val d = zcols.size
+    val z = (0 until zBits).flatMap { i =>
+      zcols.indices.map { j =>
+        shiftleft(shiftright(col(s"_zb$j"), i) % 2, d * i + j)
+      }
     }.reduce(_ + _)
     bucketed.withColumn("_z", z)
       .repartitionByRange(nOut, col("_z"))
       .sortWithinPartitions(col("_z"))
-      .drop("_z", "_zba", "_zbb")
+      .drop(tmpCols: _*)
   }
 
   /** `OPTIMIZE t ZORDER BY (a, b)`. Unpartitioned tables rewrite whole
@@ -4717,13 +4726,24 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * (`Seq("")` for an unpartitioned rewrite). */
   def zorderCluster(dataset: String, table: String, colA: String,
                     colB: String, targetBytes: Long = 128L << 20,
-                    onlyPartitions: Option[Set[String]] = None): Seq[String] = {
+                    onlyPartitions: Option[Set[String]] = None): Seq[String] =
+    zorderCluster(dataset, table, Seq(colA, colB), targetBytes, onlyPartitions)
+
+  /** N-column form (Delta accepts any arity; 2-4 is the useful band —
+    * each added dimension halves the bits per dimension on the curve,
+    * so per-dimension pruning weakens as D grows). */
+  def zorderCluster(dataset: String, table: String, zcols: Seq[String],
+                    targetBytes: Long,
+                    onlyPartitions: Option[Set[String]]): Seq[String] = {
     require(targetBytes > 0, "targetBytes must be positive")
-    require(colA != colB, s"ZORDER BY needs two distinct columns, got '$colA' twice")
+    require(zcols.size >= 2,
+      s"ZORDER BY needs at least two columns, got ${zcols.size}")
+    require(zcols.distinct.size == zcols.size,
+      s"ZORDER BY columns must be distinct, got ${zcols.mkString(", ")}")
     val m = meta(dataset, table)
-    require(!m.partitionField.contains(colA) && !m.partitionField.contains(colB),
+    require(!zcols.exists(m.partitionField.contains),
       s"ZORDER BY must not name the partition column — the hive layout " +
-        "already prunes that dimension; pick two DATA columns")
+        "already prunes that dimension; pick DATA columns")
     val lg = log(dataset, table)
     val cur = lg.latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
@@ -4749,7 +4769,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val bytes = cur.entries.map(dirBytes).sum
         val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         overwrite(dataset, table,
-          zorderedFrame(read(dataset, table), sch, colA, colB, nOut), m)
+          zorderedFrame(read(dataset, table), sch, zcols, nOut), m)
         Seq("")
       case Some(field) =>
         // per-partition rewrite: one quantile job + one layout write per
@@ -4772,7 +4792,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             .map(df0.drop(_)).getOrElse(df0)
           val out = frag.resolve(s"$field=$part")
           zorderedFrame(df, StructType(sch.fields.filterNot(f =>
-              visibleField.contains(f.name))), colA, colB, nOut)
+              visibleField.contains(f.name))), zcols, nOut)
             .write.mode("overwrite").parquet(out.toString)
           val specs = es.map(_.spec).distinct
           SnapshotLog.Entry(part, relativize(dataset, table, out),

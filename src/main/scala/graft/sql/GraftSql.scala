@@ -969,7 +969,7 @@ final case class GraftAlterColumnsCommand(t: GraftSql.Target,
   * then prune on EITHER column). Returns the rewritten partition
   * values. */
 final case class GraftOptimizeCommand(t: GraftSql.Target,
-                                      zorder: Option[(String, String)] = None,
+                                      zorder: Option[Seq[String]] = None,
                                       partitionEq: Option[(String, String)] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -991,16 +991,11 @@ final case class GraftOptimizeCommand(t: GraftSql.Target,
       Set(v)
     }
     val parts = zorder match {
-      case Some((a, b)) =>
+      case Some(cs) =>
         // partitioned tables z-order WITHIN each hive partition and
         // report the partitions that landed; unpartitioned report ""
-        t.wh.zorderCluster(t.dataset, t.table, a, b, target, scope)
-      case None =>
-        require(scope.isEmpty,
-          s"${t.name}: OPTIMIZE ... WHERE currently scopes ZORDER BY " +
-            "rewrites only — plain compaction is already per-partition " +
-            "and skips partitions with nothing to merge")
-        t.wh.compact(t.dataset, t.table, target)
+        t.wh.zorderCluster(t.dataset, t.table, cs, target, scope)
+      case None => t.wh.compact(t.dataset, t.table, target, scope)
     }
     GraftSql.refreshTargets(spark, t)
     parts.map(Row(_))

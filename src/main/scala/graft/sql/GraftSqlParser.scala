@@ -64,12 +64,12 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case OptimizeRe(name, wcol, wval, zcols) =>
         val z = Option(zcols).map { lst =>
           val cs = lst.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-          require(cs.size == 2,
-            s"OPTIMIZE ... ZORDER BY takes exactly two columns, " +
+          require(cs.size >= 2,
+            s"OPTIMIZE ... ZORDER BY takes at least two columns, " +
               s"got ${cs.size}: (${cs.mkString(", ")})")
           cs.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
             s"invalid ZORDER BY column name '$c'"))
-          (cs.head, cs(1))
+          cs
         }
         GraftSql.lookup(spark, name.split('.').toSeq)
           .map(GraftOptimizeCommand(_, z,

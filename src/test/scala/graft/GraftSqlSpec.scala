@@ -217,6 +217,40 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(wh.read("d", "t").count() === 8L)
     // unknown statements still fail with Spark's parser error
     intercept[Exception] { spark.sql("OPTIMIZE definitely_not_registered") }
+    // ZORDER BY arity validates in code with a NAMED error, not the
+    // delegate parser's generic one (r16 ADVICE)
+    val e1 = intercept[Exception] { spark.sql(s"OPTIMIZE $n ZORDER BY (k)") }
+    assert(e1.getMessage.contains("at least two columns"), e1.getMessage)
+  }
+
+  test("OPTIMIZE ... WHERE scopes compaction to one hive partition") {
+    val root = Files.createTempDirectory("sql_optw").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite("d", "p", Seq((1L, "a", "2024-01-01")).toDF("k", "v", "day"),
+      graft.core.TableMeta(partitionField = Some("day"), partitionType = "string"))
+    // several small fragments in BOTH partitions
+    for (i <- 2 to 4) {
+      wh.appendPartitioned("d", "p",
+        Seq((i.toLong, "a", "2024-01-01")).toDF("k", "v", "day"))
+      wh.appendPartitioned("d", "p",
+        Seq((i.toLong + 10, "b", "2024-01-02")).toDF("k", "v", "day"))
+    }
+    graft.sql.GraftSql.register(spark, "optw_p", wh, "d", "p")
+    val before = wh.log("d", "p").latest.get.entries
+      .groupBy(_.partition).view.mapValues(_.map(_.path).toSet).toMap
+    val landed = spark.sql(
+      "OPTIMIZE optw_p WHERE day = '2024-01-01'").collect().map(_.getString(0))
+    assert(landed.toSeq === Seq("2024-01-01"))
+    val after = wh.log("d", "p").latest.get.entries
+      .groupBy(_.partition).view.mapValues(_.map(_.path).toSet).toMap
+    assert(after("2024-01-02") === before("2024-01-02"),
+      "the unscoped partition must keep its fragments byte-for-byte")
+    assert(after("2024-01-01").size === 1 && before("2024-01-01").size > 1)
+    // WHERE must name the partition column
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE optw_p WHERE v = 'a'")
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
   }
 
   test("INSERT INTO a partitioned table appends through the hive-fragment path") {

@@ -99,7 +99,7 @@ class SchemaEvolutionPropSpec extends AnyFunSuite {
     verify("init")
 
     for (op <- 1 to 14) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 | 1 | 2 | 3 => // append a small batch
           append(1 + rnd.nextInt(3))
 
@@ -117,9 +117,17 @@ class SchemaEvolutionPropSpec extends AnyFunSuite {
           cols :+= MCol(nextId, name, default)
           nextId += 1
 
-        case 5 => // rename a random column
+        case 5 => // rename a random column — to a fresh name, or ONTO a
+          // previously dropped name (the tombstone link must keep the
+          // dropped column's bytes hidden while the renamed column's
+          // identity and values carry over unchanged)
           val c = cols(rnd.nextInt(cols.size))
-          val name = freshName(); nextId += 1
+          val name =
+            if (droppedNames.nonEmpty && rnd.nextInt(3) == 0) {
+              val n = droppedNames(rnd.nextInt(droppedNames.size))
+              droppedNames = droppedNames.filterNot(_ == n)
+              n
+            } else { val n = freshName(); nextId += 1; n }
           wh.renameColumn("d", "t", c.name, name)
           cols = cols.map(x => if (x.id == c.id) x.copy(name = name) else x)
 
@@ -150,6 +158,15 @@ class SchemaEvolutionPropSpec extends AnyFunSuite {
           assert(res.isSuccess === !hasNull,
             s"SET NOT NULL gate disagreed with the model: $res")
           if (!hasNull) notNull += c.id
+
+        case 9 => // compaction: rewritten groups migrate physical names
+          // (and rename eras) as a side effect; SERVED values must not
+          // move. compact() reports what landed — "" = the (single)
+          // unpartitioned group rewrote, empty = nothing to do.
+          val landed = wh.compact("d", "t")
+          if (landed.nonEmpty)
+            rows = rows.map(r => r.copy(vals =
+              cols.map(c => c.id -> expectCell(r, c)).toMap))
 
         case _ => // full rewrite (relayout): every row's fragment now
           // physically holds exactly the CURRENT read values

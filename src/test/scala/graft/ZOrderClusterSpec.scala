@@ -109,7 +109,7 @@ class ZOrderClusterSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException] {
       wh.zorderCluster("d", "u", "k", "k")
     }
-    assert(e3.getMessage.contains("two distinct columns"))
+    assert(e3.getMessage.contains("must be distinct"))
     intercept[IllegalArgumentException] {
       wh.zorderCluster("d", "u", "k", "nope")
     }
@@ -148,6 +148,51 @@ class ZOrderClusterSpec extends AnyFunSuite {
     assert(total >= 8, s"z-order should produce several files, got $total")
     assert(sa <= total * 3 / 4 && sb <= totalB * 3 / 4,
       s"z-order must prune BOTH dims within a partition: $sa/$total, $sb/$totalB")
+  }
+
+  test("THREE-column z-order prunes point predicates on every dimension") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("zorder3").toString)
+    // 16x16x16 grid in row-major order: raw row ranges have locality in
+    // NO dimension except the slowest-varying one
+    wh.overwrite("d", "z3", spark.range(16L * 16 * 16 * 16).select(
+      (col("id") % 16).as("a"),
+      floor(col("id") / 16) % 16 as "b",
+      floor(col("id") / 256) % 16 as "c",
+      col("id").as("rid")))
+    val before = wh.read("d", "z3").orderBy("rid").collect()
+    wh.zorderCluster("d", "z3", Seq("a", "b", "c"),
+      targetBytes = 8L << 10, onlyPartitions = None)
+    assert(wh.read("d", "z3").orderBy("rid").collect() === before)
+    val (sa, total) = wh.scanFootprint("d", "z3", col("a") === 3L)
+    val (sb, _) = wh.scanFootprint("d", "z3", col("b") === 3L)
+    val (sc, _) = wh.scanFootprint("d", "z3", col("c") === 3L)
+    assert(total >= 8, s"too few files: $total")
+    assert(sa < total && sb < total && sc < total,
+      s"3-dim z-order must prune ALL dims: $sa/$sb/$sc of $total")
+    // SQL arity: 3 columns parse and run
+    spark.conf.set("spark.sql.catalog.z3c", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.z3c.root", wh.root)
+    spark.sql("OPTIMIZE z3c.d.z3 ZORDER BY (a, b, c)").collect()
+  }
+
+  test("HIDDEN-partitioned tables z-order within derived partitions") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("zorder_hid").toString)
+    // hidden bucket(2) partition derived from rid: the synthetic column
+    // lives only in the layout; z-order must rewrite within each bucket
+    // dir and reads must stay identical (no synthetic column surfaced)
+    val df = spark.range(4096).select(
+      col("id").as("rid"), (col("id") % 64).as("a"),
+      floor(col("id") / 64).as("b"))
+    wh.overwrite("d", "h", df, TableMeta(
+      partitionField = Some("_bucket"), partitionType = "string",
+      partitionTransform = Some("bucket[2]"), partitionSource = Some("rid")))
+    val before = wh.read("d", "h").orderBy("rid").collect()
+    val landed = wh.zorderCluster("d", "h", "a", "b", targetBytes = 2L << 10)
+    assert(landed.size === 2, s"both hidden buckets must land: $landed")
+    val after = wh.read("d", "h")
+    assert(!after.columns.contains("_bucket"),
+      "the synthetic partition column must never surface")
+    assert(after.orderBy("rid").collect() === before)
   }
 
   test("partitioned z-order abandons a partition superseded mid-rewrite — via CAS identity") {
