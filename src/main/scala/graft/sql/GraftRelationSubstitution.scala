@@ -56,6 +56,22 @@ final class GraftRelationSubstitution(spark: SparkSession)
         throughAliases(child).foreach(held.add)
       case _ => ()
     }
+    // METADATA-COLUMN hold: a provenance SELECT resolves `_g_frag`
+    // against the relation's metadataOutput BEFORE AddMetadataColumns
+    // widens the relation's own output — splicing in that window
+    // strands the resolved reference (the splice projects exactly
+    // r.output). Hold the relation one fixed-point iteration; once
+    // AddMetadataColumns has run, the output contains the column and
+    // the tagged-read branch below serves it.
+    val referenced = plan.collect { case p => p.references }
+      .foldLeft(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)(_ ++ _)
+    plan.foreach {
+      case r: DataSourceV2Relation if graftOf(r.table).isDefined &&
+          r.metadataOutput.exists(m => referenced.contains(m) &&
+            !r.output.exists(_.exprId == m.exprId)) =>
+        held.add(r); ()
+      case _ => ()
+    }
     val pruned = plan.resolveOperatorsDown {
       case f @ Filter(cond, child) if cond.resolved =>
         throughAliases(child) match {

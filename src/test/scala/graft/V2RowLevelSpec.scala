@@ -110,6 +110,20 @@ class V2RowLevelSpec extends AnyFunSuite {
     assert(wh.read("d", "p").select("k").as[Long].head() === 9L)
   }
 
+  test("_g_frag metadata column serves fragment provenance in plain SELECTs") {
+    val (wh, cat) = mount()
+    wh.overwrite("d", "t", Seq((1L, "a")).toDF("k", "v"))
+    wh.append("d", "t", Seq((2L, "b")).toDF("k", "v"))
+    val rows = spark.sql(s"SELECT k, _g_frag FROM $cat.d.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // two fragments, two distinct provenance tags matching the manifest
+    val paths = wh.log("d", "t").latest.get.entries.map(_.path).toSet
+    assert(rows.map(_._2).toSet === paths, s"$rows vs $paths")
+    assert(rows.map(_._2).distinct.length === 2)
+    // the metadata column never appears in SELECT *
+    assert(!spark.sql(s"SELECT * FROM $cat.d.t").columns.contains("_g_frag"))
+  }
+
   test("v2 UPDATE reads through rename chains (CoW migrates physical names)") {
     val (wh, cat) = mount()
     wh.overwrite("d", "t", Seq((1L, 5.0)).toDF("a", "v"))
