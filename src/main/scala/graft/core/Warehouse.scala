@@ -188,6 +188,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** S3 — table metadata (partition spec, clustering, expiration,
     * description) persisted beside the data. */
+  /** `@<int>` version suffix of a rename-link codec entry — digits
+    * with an optional leading '-' (copied chains carry rebased
+    * NEGATIVE stamps). */
+  private def isVersionSuffix(x: String): Boolean =
+    x.nonEmpty && (x.forall(_.isDigit) ||
+      (x.head == '-' && x.length > 1 && x.tail.forall(_.isDigit)))
+
   def meta(dataset: String, table: String): TableMeta = {
     val f = tableDir(dataset, table).resolve("_meta.properties")
     if (!Files.exists(f)) return TableMeta()
@@ -222,7 +229,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           val i = kv.indexOf('>')
           val rest = kv.substring(i + 1)
           val j = rest.lastIndexOf('@')
-          val to = if (j >= 0 && rest.substring(j + 1).forall(_.isDigit))
+          val to = if (j >= 0 && isVersionSuffix(rest.substring(j + 1)))
             rest.substring(0, j) else rest
           (kv.substring(0, i), to)
         }).getOrElse(Nil),
@@ -231,7 +238,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .map(_.split(";").toSeq.map { kv =>
           val rest = kv.substring(kv.indexOf('>') + 1)
           val j = rest.lastIndexOf('@')
-          if (j >= 0 && rest.substring(j + 1).forall(_.isDigit))
+          if (j >= 0 && isVersionSuffix(rest.substring(j + 1)))
             rest.substring(j + 1).toInt
           else -1
         }).getOrElse(Nil),
@@ -274,7 +281,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     p.setProperty("partition.zone", m.partitionZone.getOrElse(""))
     p.setProperty("column.renames",
       m.columnRenames.zipAll(m.columnRenameVersions, ("", ""), -1)
-        .map { case ((o, n), v) => if (v >= 0) s"$o>$n@$v" else s"$o>$n" }
+        .map { case ((o, n), v) => if (v != -1) s"$o>$n@$v" else s"$o>$n" }
         .mkString(";"))
     p.setProperty("column.dropped",
       m.droppedColumns.map { case (n, v) => s"$n>$v" }.mkString(";"))
@@ -3504,20 +3511,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * (links apply) while a new fragment's physical `a` IS the new a
     * (links already reflected). */
   private def linksFor(m: TableMeta, e: SnapshotLog.Entry,
-                       asOfVersion: Option[Int] = None): Seq[(String, String)] = {
+                       asOfVersion: Option[Int] = None)
+      : Seq[((String, String), Int)] = {
     val stamped = m.columnRenames.zip(
       m.columnRenameVersions.padTo(m.columnRenames.size, -1))
     val afterEra = if (e.era < 0) stamped else stamped.drop(e.era)
     // a read pinned at version V applies only links committed ≤ V:
     // a LATER rename must not re-label what version V served (and,
-    // under name reuse, would mis-attribute the name). Unstamped
-    // legacy links always apply — the trajectory walk's
-    // schema-contains backstop decides for them, as before.
-    val cut = asOfVersion match {
+    // under name reuse, would mis-attribute the name). NEGATIVE stamps
+    // always apply: -1 = unstamped legacy (schema-contains backstop
+    // decides), ≤ -2 = a COPIED chain (the source's versions rebased —
+    // the copy's single commit postdates every link and fragment ERAS
+    // do the per-fragment cut, so the version cut must not fire).
+    asOfVersion match {
       case Some(v) => afterEra.filter { case (_, lv) => lv < 0 || lv <= v }
       case None => afterEra
     }
-    cut.map(_._1)
   }
 
   /** Prefix of TOMBSTONE rename targets — the field-ID mechanism for
@@ -3534,12 +3543,72 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private def tombstoneFor(name: String, dropVersion: Int): String =
     s"$DroppedTombstonePrefix${name}_v$dropVersion"
 
-  private def renameMap(links: Seq[(String, String)],
+  /** Links sharing a version stamp landed in ONE metadata commit
+    * (restore's compensating set, rename-onto-dropped's tombstone+link)
+    * and are SIMULTANEOUS: the trajectory applies at most one link per
+    * group — a sequential fold would chain through a name another
+    * lineage just vacated (restore across a reuse chain collapses two
+    * lineages onto one name without this). Stamp -1 (legacy) never
+    * groups. */
+  private def linkGroups(links: Seq[((String, String), Int)])
+      : Seq[Seq[(String, String)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
+    var i = 0
+    while (i < links.length) {
+      val v = links(i)._2
+      var j = i + 1
+      if (v != -1) while (j < links.length && links(j)._2 == v) j += 1
+      out += links.slice(i, j).map(_._1)
+      i = j
+    }
+    out.toSeq
+  }
+
+  /** Rebase a COPIED/CLONED chain's version stamps: the source's
+    * stamps reference the SOURCE log's versions, which the flattened
+    * destination log does not have — the time-travel version cut would
+    * silently drop every link. Each distinct non-legacy stamp maps to a
+    * distinct value ≤ -2 (order and same-commit GROUPING preserved):
+    * negative = "never version-cut", which is correct because fragment
+    * ERAS (copied verbatim) do the per-fragment cut and the copy's
+    * single commit postdates every link. -1 stays -1 (legacy,
+    * ungrouped). */
+  /** The name lineage `n` (a CURRENT schema name) had at version `v`:
+    * walk BACKWARD through only the links applied AFTER `v`,
+    * simultaneously per same-commit group. Unlike the schema-contains
+    * heuristic, this is exact under NAME REUSE — a restored schema may
+    * contain the same NAME for a different lineage, and the early-exit
+    * would silently skip the undo that keeps the two apart. Unstamped
+    * legacy links walk conservatively (treated as after `v`). */
+  private def nameAsOfVersion(m: TableMeta, v: Int, n: String): String = {
+    val stamped = m.columnRenames.zip(
+      m.columnRenameVersions.padTo(m.columnRenames.size, -1))
+    val after = stamped.filter { case (_, lv) => lv < 0 || lv > v }
+    linkGroups(after).reverse.foldLeft(n) { (cur, group) =>
+      group.find(_._2 == cur).map(_._1).getOrElse(cur)
+    }
+  }
+
+  private def rebaseRenameStamps(m: TableMeta): TableMeta = {
+    if (m.columnRenameVersions.forall(_ < 0)) return m
+    val padded = m.columnRenameVersions.padTo(m.columnRenames.size, -1)
+    val remap = padded.filter(_ >= 0).distinct.sorted.zipWithIndex
+      .map { case (v, i) => v -> (-2 - i) }.toMap
+    m.copy(columnRenameVersions = padded.map(v =>
+      if (v >= 0) remap(v) else v))
+  }
+
+  private def renameMap(links: Seq[((String, String), Int)],
                         targetSchema: Option[StructType]): Map[String, String] = {
-    val starts = links.flatMap { case (o, n) => Seq(o, n) }.distinct
+    val groups = linkGroups(links)
+    val starts = links.flatMap { case ((o, n), _) => Seq(o, n) }.distinct
     starts.flatMap { p =>
-      val trajectory = links.foldLeft(List(p)) {
-        case (cur :: seen, (o, n)) if cur == o => n :: cur :: seen
+      val trajectory = groups.foldLeft(List(p)) {
+        case (cur :: seen, group) =>
+          group.find(_._1 == cur) match {
+            case Some((_, n)) => n :: cur :: seen
+            case None => cur :: seen
+          }
         case (acc, _) => acc
       }
       val asOf = trajectory.headOption match {
@@ -3572,8 +3641,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case None => Some(c)
       case Some(s) if s.fieldNames.contains(c) => Some(c)
       case Some(s) =>
-        val back = m.columnRenames.reverse.foldLeft(List(c)) {
-          case (cur :: seen, (o, n)) if cur == n => o :: cur :: seen
+        // same simultaneity rule as the forward walk: at most one link
+        // per same-version group, walked in reverse
+        val stamped = m.columnRenames.zip(
+          m.columnRenameVersions.padTo(m.columnRenames.size, -1))
+        val back = linkGroups(stamped).reverse.foldLeft(List(c)) {
+          case (cur :: seen, group) =>
+            group.find(_._2 == cur) match {
+              case Some((o, _)) => o :: cur :: seen
+              case None => cur :: seen
+            }
           case (acc, _) => acc
         }
         back.find(s.fieldNames.contains)
@@ -4132,7 +4209,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           spec = e.spec, era = m.columnRenames.size)
     }
     dstLg.commit("clone", entries, schemaDdl = cur.schemaDdl)
-    setMeta(dstDataset, dstTable, m)
+    setMeta(dstDataset, dstTable, rebaseRenameStamps(m))
     cur.schemaDdl.foreach(d =>
       writeSchemaDdl(dstDataset, dstTable, StructType.fromDDL(d)))
     cur.entries.zip(entries).foreach { case (srcE, dstE) =>
@@ -4314,8 +4391,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     c.schemaDdl.map(StructType.fromDDL).foreach { rs =>
       val m = meta(dataset, table)
       val cur = schema(dataset, table)
+      // per-LINEAGE exact undo (nameAsOfVersion): the schema-contains
+      // walk is wrong under name reuse — the restored schema can hold
+      // the same NAME for a different lineage, and skipping the undo
+      // collapses two lineages onto one name (found by the r17
+      // RenameReuseSpec restore case)
       val undo: Seq[(String, String)] = cur.fieldNames.toSeq.flatMap { n =>
-        defaultNameAsOf(m, Some(rs), n).filter(_ != n).map(n -> _)
+        val asOf = nameAsOfVersion(m, c.version, n)
+        if (asOf != n && rs.fieldNames.contains(asOf)) Some(n -> asOf)
+        else None
       }
       if (undo.nonEmpty) {
         val rekey = undo.toMap
@@ -4386,7 +4470,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     schemaDdl(srcDataset, srcTable).foreach(ddl =>
       Files.write(tableDir(dstDataset, dstTable).resolve("_schema.ddl"),
         ddl.getBytes(StandardCharsets.UTF_8)))
-    setMeta(dstDataset, dstTable, meta(srcDataset, srcTable))
+    setMeta(dstDataset, dstTable, rebaseRenameStamps(meta(srcDataset, srcTable)))
   }
 
   /** S10 — drop: a `drop` commit with no entries. Data and log remain for

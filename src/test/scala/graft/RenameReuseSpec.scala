@@ -117,6 +117,51 @@ class RenameReuseSpec extends AnyFunSuite {
     assert(hit.length === 1 && hit.head.getAs[String]("v") === "v2050")
   }
 
+  test("COPY preserves fragment eras: a copied reuse table reads correctly") {
+    val wh = new Warehouse(spark, freshRoot().toString)
+    wh.overwrite("d", "t", Seq((1L, 100L)).toDF("a", "c"))
+    wh.renameColumn("d", "t", "a", "b")
+    wh.renameColumn("d", "t", "c", "a")
+    wh.append("d", "t", Seq((2L, 200L)).toDF("b", "a"))
+    // raw-copied fragments keep their physical names AND their eras;
+    // the chain copies verbatim — the copy must read like the source
+    wh.copy("d", "t", "d", "t2")
+    assert(wh.read("d", "t2").orderBy("b").select("b", "a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 100L), (2L, 200L)))
+  }
+
+  test("CLONE preserves fragment eras across reuse") {
+    val wh = new Warehouse(spark, freshRoot().toString)
+    wh.overwrite("d", "t", Seq((1L, 100L)).toDF("a", "c"))
+    wh.renameColumn("d", "t", "a", "b")
+    wh.renameColumn("d", "t", "c", "a")
+    wh.append("d", "t", Seq((2L, 200L)).toDF("b", "a"))
+    wh.cloneTable("d", "t", "d", "tc")
+    assert(wh.read("d", "tc").orderBy("b").select("b", "a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 100L), (2L, 200L)))
+  }
+
+  test("RESTORE across a reuse chain serves the restored era's names") {
+    val wh = new Warehouse(spark, freshRoot().toString)
+    wh.overwrite("d", "t", Seq((1L, 100L)).toDF("a", "c")) // v1
+    wh.renameColumn("d", "t", "a", "b")                    // v2
+    wh.renameColumn("d", "t", "c", "a")                    // v3
+    wh.append("d", "t", Seq((2L, 200L)).toDF("b", "a"))    // v4
+    wh.restoreToVersion("d", "t", 1)                       // v5: (a, c) era
+    val cur = wh.read("d", "t")
+    assert(cur.columns.toSeq === Seq("a", "c"))
+    assert(cur.select("a", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 100L)))
+    // appends after the restore write under the RESTORED names and
+    // read back under them (new era: no link applies)
+    wh.append("d", "t", Seq((3L, 300L)).toDF("a", "c"))
+    assert(wh.read("d", "t").orderBy("a").select("a", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 100L), (3L, 300L)))
+  }
+
   test("time travel mid-chain serves each era's own names after reuse") {
     val wh = new Warehouse(spark, freshRoot().toString)
     wh.overwrite("d", "t", Seq((1L, 100L)).toDF("a", "c")) // v1
