@@ -164,8 +164,9 @@ final class SnapshotLog(tableDir: Path) {
     * version — last-writer-wins is the intended semantics. */
   def commit(action: String, entries: Seq[Entry],
              tsMillis: Long = System.currentTimeMillis(),
-             schemaDdl: Option[String] = None): Commit =
-    commitWith(action, _ => entries, tsMillis, schemaDdl)
+             schemaDdl: Option[String] = None,
+             lexclWith: Option[(Option[Commit], Int) => Seq[(Int, Int)]] = None): Commit =
+    commitWith(action, _ => entries, tsMillis, schemaDdl, lexclWith)
 
   /** Optimistic-concurrency commit for state-dependent writes
     * (insert_overwrite's kept-partition list, TTL expiry): `compute`
@@ -181,9 +182,10 @@ final class SnapshotLog(tableDir: Path) {
     * `None` carries the previous commit's schema forward (expiry, drop). */
   def commitWith(action: String, compute: Option[Commit] => Seq[Entry],
                  tsMillis: Long = System.currentTimeMillis(),
-                 schemaDdl: Option[String] = None): Commit =
+                 schemaDdl: Option[String] = None,
+                 lexclWith: Option[(Option[Commit], Int) => Seq[(Int, Int)]] = None): Commit =
     commitWithSchema(action, compute,
-      cur => schemaDdl.orElse(cur.flatMap(_.schemaDdl)), tsMillis)
+      cur => schemaDdl.orElse(cur.flatMap(_.schemaDdl)), tsMillis, lexclWith)
 
   /** [[commitWith]] variant whose pinned schema is RECOMPUTED from the
     * current commit on every CAS attempt — required for additive
@@ -192,14 +194,19 @@ final class SnapshotLog(tableDir: Path) {
     * winning writer's new columns from every subsequent read. */
   def commitWithSchema(action: String, compute: Option[Commit] => Seq[Entry],
                        schemaWith: Option[Commit] => Option[String],
-                       tsMillis: Long = System.currentTimeMillis()): Commit = {
+                       tsMillis: Long = System.currentTimeMillis(),
+                       lexclWith: Option[(Option[Commit], Int) => Seq[(Int, Int)]] = None): Commit = {
     Files.createDirectories(logDir)
     var done: Option[Commit] = None
     while (done.isEmpty) {
       val cur = latest
       val v = cur.map(_.version).getOrElse(0) + 1
+      // rename-link exclusions INHERIT by default (every ordinary
+      // commit keeps its parent's branch view); restore replaces them
+      val lex = lexclWith.map(_(cur, v))
+        .getOrElse(cur.map(_.lexcl).getOrElse(Nil))
       val c = Commit(v, tsMillis, action, compute(cur),
-        schemaWith(cur).orElse(cur.flatMap(_.schemaDdl)))
+        schemaWith(cur).orElse(cur.flatMap(_.schemaDdl)), lexcl = lex)
       val f = logDir.resolve(f"v$v%05d.manifest")
       // checkpoint cadence: full state at v1 and every Kth version;
       // everything between writes O(changed entries) delta bytes
@@ -318,9 +325,14 @@ final class SnapshotLog(tableDir: Path) {
     removable.map(rel => tableDir.resolve(rel).toString)
   }
 
+  private def lexclHeader(l: Seq[(Int, Int)]): String =
+    if (l.isEmpty) ""
+    else l.map { case (a, b) => s"$a:$b" }.mkString("#lexcl=", ",", "\n")
+
   private def render(c: Commit): String = {
     val sb = new StringBuilder
     sb.append(s"#version=${c.version}\n#ts=${c.tsMillis}\n#action=${c.action}\n")
+    sb.append(lexclHeader(c.lexcl))
     c.schemaDdl.foreach(d => sb.append(s"#schema=${SnapshotLog.escape(d)}\n"))
     c.entries.foreach { e =>
       sb.append(e.partition).append('\t').append(e.path)
@@ -353,6 +365,7 @@ final class SnapshotLog(tableDir: Path) {
     val sb = new StringBuilder
     sb.append(s"#version=${c.version}\n#ts=${c.tsMillis}\n#action=${c.action}\n")
     sb.append(s"#delta=1\n#parent=${parent.version}\n")
+    sb.append(lexclHeader(c.lexcl))
     c.schemaDdl.foreach(d => sb.append(s"#schema=${SnapshotLog.escape(d)}\n"))
     parent.entries.filterNot(e => newIds((e.path, e.dv)))
       .foreach(e => sb.append("-\t").append(e.path).append('\n'))
@@ -378,6 +391,10 @@ final class SnapshotLog(tableDir: Path) {
     val ts = header("ts").toLong
     val action = header.getOrElse("action", "write")
     val schema = header.get("schema").map(SnapshotLog.unescape)
+    val lexcl: Seq[(Int, Int)] = header.get("lexcl").filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map { r =>
+        val Array(a, b) = r.split(":"); (a.toInt, b.toInt)
+      }).getOrElse(Nil)
     if (header.contains("delta")) {
       val adds = body.filter(_.startsWith("+\t")).map { l =>
         val f = l.substring(2).split('\t')
@@ -388,7 +405,7 @@ final class SnapshotLog(tableDir: Path) {
       }
       val removes = body.filter(_.startsWith("-\t")).map(_.substring(2))
       SnapshotLog.DeltaM(v, ts, action, schema, header("parent").toInt,
-        adds, removes)
+        adds, removes, lexcl)
     } else {
       val entries = body.map { l =>
         val f = l.split('\t')
@@ -397,7 +414,7 @@ final class SnapshotLog(tableDir: Path) {
           if (f.length > 3) f(3).toInt else 0,
           if (f.length > 4) f(4).toInt else -1)
       }
-      SnapshotLog.FullM(Commit(v, ts, action, entries, schema))
+      SnapshotLog.FullM(Commit(v, ts, action, entries, schema, lexcl))
     }
   }
 
@@ -450,7 +467,21 @@ object SnapshotLog {
     * physical file schemas). */
   final case class Commit(version: Int, tsMillis: Long, action: String,
                           entries: Seq[Entry],
-                          schemaDdl: Option[String] = None) {
+                          schemaDdl: Option[String] = None,
+                          /** RENAME-LINK EXCLUSIONS as of this commit:
+                            * a RESTORE abandons the branch between the
+                            * restored version and itself, and the
+                            * rename links committed strictly inside
+                            * each (lo, hi) range must not re-label
+                            * fragments in reads OF this commit or its
+                            * descendants (they belong to the abandoned
+                            * branch). Inherited by every later commit;
+                            * replaced by the next restore with the set
+                            * as of ITS restored version. Time-travel
+                            * reads of pre-restore commits use those
+                            * commits' own (smaller) sets — exactly the
+                            * branch they sit on. */
+                          lexcl: Seq[(Int, Int)] = Nil) {
     def isDrop: Boolean = action == "drop"
   }
 
@@ -492,7 +523,8 @@ object SnapshotLog {
   private[core] final case class DeltaM(version: Int, tsMillis: Long,
                                         action: String, schema: Option[String],
                                         parent: Int, adds: Seq[Entry],
-                                        removes: Seq[String]) extends Manifest
+                                        removes: Seq[String],
+                                        lexcl: Seq[(Int, Int)]) extends Manifest
 
   /** Resolved state of a delta: parent entries minus removes (kept in
     * parent order — stable across replay paths) plus adds. */
@@ -500,7 +532,8 @@ object SnapshotLog {
     val removed = d.removes.toSet
     Commit(d.version, d.tsMillis, d.action,
       base.entries.filterNot(e => removed(e.path)) ++ d.adds,
-      d.schema.orElse(base.schemaDdl))
+      d.schema.orElse(base.schemaDdl),
+      lexcl = d.lexcl)
   }
 
   val TimeTravelWindowMillis: Long = 7L * 24 * 3600 * 1000 // restore.py:60-70

@@ -632,8 +632,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   private def sidecarStatFor(m: TableMeta, sch: StructType,
                              e: SnapshotLog.Entry,
                              st: ZoneMaps.FragStats,
-                             target: String): Option[ZoneMaps.ColStat] = {
-    val rm = renameMap(linksFor(m, e), Some(sch))
+                             target: String,
+                             lexcl: Seq[(Int, Int)] = Nil): Option[ZoneMaps.ColStat] = {
+    val rm = renameMap(linksFor(m, e, lexcl = lexcl), Some(sch))
     val hits = st.cols.collect {
       case (p, cs) if rm.getOrElse(p, p) == target => cs
     }
@@ -657,7 +658,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // carries — only fragments with rows gate the change
     val lacking = cur.entries.filterNot(e =>
       ZoneMaps.read(td, e.path).exists(st =>
-        st.rows == 0L || sidecarStatFor(m, sch, e, st, name).isDefined))
+        st.rows == 0L ||
+          sidecarStatFor(m, sch, e, st, name, cur.lexcl).isDefined))
     require(lacking.isEmpty,
       s"cannot change the default of '$name': ${lacking.size} live " +
         "fragment(s) physically lack the column (or carry no zone " +
@@ -695,7 +697,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       val unproven = cur.entries.filterNot { e =>
         e.dv.isEmpty && (ZoneMaps.read(td, e.path) match {
           case Some(st) if st.rows == 0L => true // nothing to serve
-          case Some(st) => sidecarStatFor(m, sch, e, st, name) match {
+          case Some(st) => sidecarStatFor(m, sch, e, st, name, cur.lexcl) match {
             case Some(cs) => cs.nulls == 0L // proven clean
             case None => defaultIsNonNull // absent column serves the default
           }
@@ -980,7 +982,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       return readCommit(dataset, table, c).withColumn(tagCol, lit(null).cast("string"))
     c.entries.map { e =>
       readEntries(dataset, table, Seq(e), c.schemaDdl,
-        asOfVersion = Some(c.version)).withColumn(tagCol, lit(e.path))
+        asOfVersion = Some(c.version), lexcl = c.lexcl)
+        .withColumn(tagCol, lit(e.path))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1836,7 +1839,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         }
         val newly = dvRows(e2.dv).exceptAll(dvRows(e1.dv))
         val m = meta(dataset, table)
-        val renames = renameMap(linksFor(m, e1, Some(a.version)),
+        val renames = renameMap(linksFor(m, e1, Some(a.version), a.lexcl),
           a.schemaDdl.map(StructType.fromDDL))
         val rows = readEntryTagged(dataset, table, e1, renames, Map.empty)
           .join(newly, col(TagFile) === col("_d_file") &&
@@ -1854,9 +1857,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // v1): a column dropped between v1 and v2 must still carry its
     // values on the delete side, or a CDC consumer cannot reconstruct
     // the deleted row as it existed. unionByName reconciles the sides.
-    val deleteSide = (readEntries(dataset, table, removed, a.schemaDdl) +:
+    val deleteSide = (readEntries(dataset, table, removed, a.schemaDdl,
+      asOfVersion = Some(a.version), lexcl = a.lexcl) +:
       dvDeleteFrames).reduce(_.unionByName(_, allowMissingColumns = true))
-    readEntries(dataset, table, added, b.schemaDdl)
+    readEntries(dataset, table, added, b.schemaDdl,
+      asOfVersion = Some(b.version), lexcl = b.lexcl)
       .withColumn("_change_type", lit("insert"))
       .unionByName(deleteSide.withColumn("_change_type", lit("delete")),
         allowMissingColumns = true)
@@ -1893,7 +1898,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     else {
       val aPaths = a.entries.map(_.path).toSet
       val delta = b.entries.filterNot(e => aPaths(e.path))
-      Some(readEntries(dataset, table, delta, b.schemaDdl))
+      Some(readEntries(dataset, table, delta, b.schemaDdl,
+        asOfVersion = Some(b.version), lexcl = b.lexcl))
     }
   }
 
@@ -2077,7 +2083,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     else {
       val target = c.schemaDdl.orElse(schemaDdl(dataset, table))
         .map(StructType.fromDDL)
-      e => renameMap(linksFor(m, e, Some(c.version)), target)
+      e => renameMap(linksFor(m, e, Some(c.version), c.lexcl), target)
     }
   }
 
@@ -2104,7 +2110,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val resolved = resolvedPred(dataset, table, c, pred)
     val (scan, filesOf) = planFiles(dataset, table, c, resolved)
     readEntries(dataset, table, scan, c.schemaDdl, filesOf,
-      asOfVersion = Some(c.version)).filter(pred)
+      asOfVersion = Some(c.version), lexcl = c.lexcl).filter(pred)
   }
 
   /** The SQL-path twin of [[readWhere]]: a pruned read plan for a
@@ -2126,7 +2132,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val (scan, filesOf) = planFiles(dataset, table, c, Some(resolved))
     attachCboStats(dataset, table,
       readEntries(dataset, table, scan, c.schemaDdl, filesOf,
-      asOfVersion = Some(c.version)), scan)
+      asOfVersion = Some(c.version), lexcl = c.lexcl), scan)
   }
 
   /** [[readWhere]] against a historical version — time travel and data
@@ -2142,7 +2148,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val resolved = resolvedPred(dataset, table, c, pred)
     val (scan, filesOf) = planFiles(dataset, table, c, resolved)
     readEntries(dataset, table, scan, c.schemaDdl, filesOf,
-      asOfVersion = Some(c.version)).filter(pred)
+      asOfVersion = Some(c.version), lexcl = c.lexcl).filter(pred)
   }
 
   /** Two-level prune: (entries to read, per-entry kept-file overrides).
@@ -2715,8 +2721,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // capture: per-entry tagged reads padded to the commit schema (so
     // predicates on evolved columns resolve), one job, positions only
     val tagged = candidates.map { e =>
-      val renames =
-        renameMap(linksFor(m, e), cur.schemaDdl.map(StructType.fromDDL))
+      val renames = renameMap(linksFor(m, e, Some(cur.version), cur.lexcl),
+        cur.schemaDdl.map(StructType.fromDDL))
       val t = readEntryTagged(dataset, table, e, renames, filesOf)
       cur.schemaDdl.map(StructType.fromDDL) match {
         case Some(sch) =>
@@ -3135,8 +3141,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
     // capture MATCHED positions (existing masks applied) in one job
     val tagged = candidates.map { e =>
-      val renames =
-        renameMap(linksFor(m, e), cur.schemaDdl.map(StructType.fromDDL))
+      val renames = renameMap(linksFor(m, e, Some(cur.version), cur.lexcl),
+        cur.schemaDdl.map(StructType.fromDDL))
       val t = readEntryTagged(dataset, table, e, renames, filesOf)
       cur.schemaDdl.map(StructType.fromDDL) match {
         case Some(sch) =>
@@ -3483,7 +3489,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   private def readCommit(dataset: String, table: String, c: SnapshotLog.Commit): DataFrame =
     readEntries(dataset, table, c.entries, c.schemaDdl,
-      asOfVersion = Some(c.version))
+      asOfVersion = Some(c.version), lexcl = c.lexcl)
 
   /** `commitSchema` is the union schema pinned at the commit being read:
     * fragments written before an additive evolution are padded with typed
@@ -3510,22 +3516,36 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * ADD COLUMN a, an old fragment's physical `a` re-labels to b
     * (links apply) while a new fragment's physical `a` IS the new a
     * (links already reflected). */
+  /** Sentinel stamp for a link a COPY carried over that was EXCLUDED
+    * at copy time (abandoned-branch links): never applies. */
+  private val NeverApplies = Int.MinValue
+
   private def linksFor(m: TableMeta, e: SnapshotLog.Entry,
-                       asOfVersion: Option[Int] = None)
+                       asOfVersion: Option[Int] = None,
+                       lexcl: Seq[(Int, Int)] = Nil)
       : Seq[((String, String), Int)] = {
     val stamped = m.columnRenames.zip(
       m.columnRenameVersions.padTo(m.columnRenames.size, -1))
     val afterEra = if (e.era < 0) stamped else stamped.drop(e.era)
-    // a read pinned at version V applies only links committed ≤ V:
-    // a LATER rename must not re-label what version V served (and,
-    // under name reuse, would mis-attribute the name). NEGATIVE stamps
-    // always apply: -1 = unstamped legacy (schema-contains backstop
-    // decides), ≤ -2 = a COPIED chain (the source's versions rebased —
-    // the copy's single commit postdates every link and fragment ERAS
-    // do the per-fragment cut, so the version cut must not fire).
+    // Three cuts compose:
+    //  - ERA (above): links already reflected in the fragment's
+    //    physical names never re-apply.
+    //  - EXCLUSION (the read commit's lexcl): links committed strictly
+    //    inside an abandoned branch (restore) never apply to reads of
+    //    this commit or its descendants — each commit carries its own
+    //    branch view, so old-branch time travel keeps its links.
+    //  - VERSION (pinned read): a link committed after the pinned
+    //    version must not re-label what that version served.
+    // NEGATIVE stamps skip the version cut: -1 = unstamped legacy
+    // (schema-contains backstop decides), ≤ -2 = a COPIED chain
+    // (rebased stamps; fragment ERAS do the per-fragment cut).
+    val live = afterEra.filter { case (_, lv) =>
+      lv != NeverApplies &&
+        !lexcl.exists { case (lo, hi) => lv > lo && lv < hi }
+    }
     asOfVersion match {
-      case Some(v) => afterEra.filter { case (_, lv) => lv < 0 || lv <= v }
-      case None => afterEra
+      case Some(v) => live.filter { case (_, lv) => lv < 0 || lv <= v }
+      case None => live
     }
   }
 
@@ -3580,22 +3600,34 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * contain the same NAME for a different lineage, and the early-exit
     * would silently skip the undo that keeps the two apart. Unstamped
     * legacy links walk conservatively (treated as after `v`). */
-  private def nameAsOfVersion(m: TableMeta, v: Int, n: String): String = {
+  private def nameAsOfVersion(m: TableMeta, v: Int, n: String,
+                              lexcl: Seq[(Int, Int)] = Nil): String = {
     val stamped = m.columnRenames.zip(
       m.columnRenameVersions.padTo(m.columnRenames.size, -1))
-    val after = stamped.filter { case (_, lv) => lv < 0 || lv > v }
+    val after = stamped.filter { case (_, lv) =>
+      lv != NeverApplies &&
+        !lexcl.exists { case (lo, hi) => lv > lo && lv < hi } &&
+        (lv < 0 || lv > v)
+    }
     linkGroups(after).reverse.foldLeft(n) { (cur, group) =>
       group.find(_._2 == cur).map(_._1).getOrElse(cur)
     }
   }
 
-  private def rebaseRenameStamps(m: TableMeta): TableMeta = {
-    if (m.columnRenameVersions.forall(_ < 0)) return m
+  private def rebaseRenameStamps(m: TableMeta,
+                                 lexcl: Seq[(Int, Int)]): TableMeta = {
+    if (m.columnRenameVersions.forall(_ < 0) && lexcl.isEmpty) return m
     val padded = m.columnRenameVersions.padTo(m.columnRenames.size, -1)
     val remap = padded.filter(_ >= 0).distinct.sorted.zipWithIndex
       .map { case (v, i) => v -> (-2 - i) }.toMap
-    m.copy(columnRenameVersions = padded.map(v =>
-      if (v >= 0) remap(v) else v))
+    m.copy(columnRenameVersions = padded.map { v =>
+      // a link the source commit EXCLUDED (abandoned branch) can never
+      // apply in the copy either — the copy has no old-branch history
+      if (v >= 0 && lexcl.exists { case (lo, hi) => v > lo && v < hi })
+        NeverApplies
+      else if (v >= 0) remap(v)
+      else v
+    })
   }
 
   private def renameMap(links: Seq[((String, String), Int)],
@@ -3731,7 +3763,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                           entries: Seq[SnapshotLog.Entry],
                           commitSchema: Option[String],
                           filesOf: Map[String, Seq[String]] = Map.empty,
-                          asOfVersion: Option[Int] = None): DataFrame = {
+                          asOfVersion: Option[Int] = None,
+                          lexcl: Seq[(Int, Int)] = Nil): DataFrame = {
     val m = meta(dataset, table)
     if (entries.isEmpty) {
       val ddl = commitSchema.orElse(schemaDdl(dataset, table)).getOrElse("")
@@ -3754,8 +3787,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // (a→b then ADD COLUMN a) read correctly on both sides of the
     // rename instead of colliding two columns onto one name.
     val targetSchema = commitSchema.map(StructType.fromDDL)
+    // callers that do not pin a commit read the CURRENT branch view:
+    // resolve the latest commit's version + link exclusions (pointer-
+    // O(1)) — an exclusion-blind read after a RESTORE would re-apply
+    // abandoned-branch links (found by the rename-chain walk's
+    // compact-after-restore sequence)
+    val (effAsOf, effLexcl) = asOfVersion match {
+      case Some(_) => (asOfVersion, lexcl)
+      case None if m.columnRenames.isEmpty => (None, lexcl)
+      case None =>
+        val lc = log(dataset, table).latest.filter(!_.isDrop)
+        (lc.map(_.version), lc.map(_.lexcl).getOrElse(Nil))
+    }
     val mapFor: Map[String, Map[String, String]] = entries.map(e =>
-      e.path -> renameMap(linksFor(m, e, asOfVersion), targetSchema)).toMap
+      e.path -> renameMap(linksFor(m, e, effAsOf, effLexcl), targetSchema)).toMap
     val anyRenames = mapFor.values.exists(_.nonEmpty)
     def applyRenames(e: SnapshotLog.Entry, df: DataFrame): DataFrame =
       applyRenameMap(df, mapFor(e.path))
@@ -4209,7 +4254,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           spec = e.spec, era = m.columnRenames.size)
     }
     dstLg.commit("clone", entries, schemaDdl = cur.schemaDdl)
-    setMeta(dstDataset, dstTable, rebaseRenameStamps(m))
+    setMeta(dstDataset, dstTable, rebaseRenameStamps(m, cur.lexcl))
     cur.schemaDdl.foreach(d =>
       writeSchemaDdl(dstDataset, dstTable, StructType.fromDDL(d)))
     cur.entries.zip(entries).foreach { case (srcE, dstE) =>
@@ -4374,49 +4419,43 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       s"cannot RESTORE $dataset.$table: it is a view (version " +
         s"${c.version} is a view-definition commit) — use CREATE VIEW " +
         "to recreate it")
-    // Name-keyed metadata must follow the restored schema — the
-    // renameColumn INVERSE. Restoring across a rename otherwise leaves
-    // two broken layers (found by probing the DDL×DML walk's
-    // restore extension): (a) meta stays keyed by the post-rename name,
-    // so defaults/NOT NULL/UNIQUE stop resolving against the restored
-    // names; (b) a SUBSEQUENT rename of the restored name FORKS the
-    // rename chain ((v,w) then (v,z)) and the head-based trajectory
-    // walk dead-ends at the pre-restore name — physical-v fragments
-    // silently read as NULL under the new name. The fix appends
-    // COMPENSATING links (currentName -> restoredName, computed by the
-    // same backward walk time-travel defaults use), which both re-keys
-    // the metadata and keeps every pinned schema — pre-rename, between,
-    // and post-restore — mapping each fragment's physical names onto
-    // its own commit's names.
+    // Restore ABANDONS the branch between the restored version and
+    // itself: the rename links committed strictly inside that window
+    // belong to the abandoned history and must not re-label fragments
+    // in reads of the restore commit or its descendants — recorded as
+    // an EXCLUSION RANGE on the restore commit (inherited forward,
+    // replaced by the next restore with the set as of ITS source), so
+    // old-branch time travel keeps its own links while the restored
+    // line reads exactly as the restored version did. This supersedes
+    // the r16 compensating-undo-link design, which the r17 reuse walk
+    // broke twice (two lineages collapsing onto one name; tombstones
+    // from the abandoned branch hiding the restored lineage's bytes).
+    //
+    // Name-keyed METADATA still re-keys (meta is unversioned): each
+    // current name maps back to its lineage's name at the restored
+    // version via nameAsOfVersion — exact under reuse, unlike the old
+    // schema-contains walk.
     c.schemaDdl.map(StructType.fromDDL).foreach { rs =>
       val m = meta(dataset, table)
+      val curC = log(dataset, table).latest
       val cur = schema(dataset, table)
-      // per-LINEAGE exact undo (nameAsOfVersion): the schema-contains
-      // walk is wrong under name reuse — the restored schema can hold
-      // the same NAME for a different lineage, and skipping the undo
-      // collapses two lineages onto one name (found by the r17
-      // RenameReuseSpec restore case)
-      val undo: Seq[(String, String)] = cur.fieldNames.toSeq.flatMap { n =>
-        val asOf = nameAsOfVersion(m, c.version, n)
+      val lex = curC.map(_.lexcl).getOrElse(Nil)
+      val rekey: Map[String, String] = cur.fieldNames.toSeq.flatMap { n =>
+        val asOf = nameAsOfVersion(m, c.version, n, lex)
         if (asOf != n && rs.fieldNames.contains(asOf)) Some(n -> asOf)
         else None
-      }
-      if (undo.nonEmpty) {
-        val rekey = undo.toMap
+      }.toMap
+      if (rekey.nonEmpty) {
         def re(x: String) = rekey.getOrElse(x, x)
-        val stampV = log(dataset, table).latest.map(_.version + 1).getOrElse(1)
         setMeta(dataset, table, m.copy(
-          columnRenames = m.columnRenames ++ undo,
-          columnRenameVersions =
-            m.columnRenameVersions.padTo(m.columnRenames.size, -1) ++
-              undo.map(_ => stampV),
           notNullColumns = m.notNullColumns.map(re),
           clusteringFields = m.clusteringFields.map(re),
           uniqueKey = m.uniqueKey.map(re),
           columnDefaults = m.columnDefaults.map { case (k, d) => re(k) -> d }))
       }
     }
-    log(dataset, table).commit("restore", c.entries, schemaDdl = c.schemaDdl)
+    log(dataset, table).commit("restore", c.entries, schemaDdl = c.schemaDdl,
+      lexclWith = Some((_, v) => c.lexcl :+ (c.version, v)))
     // the schema sidecar reverts with the data: a post-snapshot ALTER
     // must not leak into the restored state
     c.schemaDdl.foreach { ddl =>
@@ -4450,7 +4489,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           // resurrect deleted rows or leave the copy's vector pointing
           // into the source's lifecycle
           val m = meta(srcDataset, srcTable)
-          val df = readEntries(srcDataset, srcTable, Seq(e), c.schemaDdl)
+          val df = readEntries(srcDataset, srcTable, Seq(e), c.schemaDdl,
+            asOfVersion = Some(c.version), lexcl = c.lexcl)
           m.partitionField.filter(df.columns.contains)
             .map(df.drop(_)).getOrElse(df)
             .write.mode("overwrite").parquet(dst.toString)
@@ -4470,7 +4510,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     schemaDdl(srcDataset, srcTable).foreach(ddl =>
       Files.write(tableDir(dstDataset, dstTable).resolve("_schema.ddl"),
         ddl.getBytes(StandardCharsets.UTF_8)))
-    setMeta(dstDataset, dstTable, rebaseRenameStamps(meta(srcDataset, srcTable)))
+    setMeta(dstDataset, dstTable,
+      rebaseRenameStamps(meta(srcDataset, srcTable), c.lexcl))
   }
 
   /** S10 — drop: a `drop` commit with no entries. Data and log remain for

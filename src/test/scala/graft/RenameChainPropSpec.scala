@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+import scala.util.Random
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.core.Warehouse
+
+/** Property walk over the RENAME-CHAIN state space — the machinery
+  * round 17 rebuilt (fragment eras, per-link version stamps,
+  * simultaneous same-commit groups, tombstones, restore undo links,
+  * copy rebase). Three wrong-results bugs were found here by targeted
+  * tests in one day; this walk is the standing net.
+  *
+  * Model: columns are LINEAGES (stable ids). Each committed version
+  * snapshots (schema, visible rows); ops mutate the current state and
+  * the engine must agree with the model on EVERY step — for the
+  * CURRENT read, for time-travel reads of random historical versions,
+  * and for a COPY of the table. Ops: append, rename (fresh or REUSED
+  * name — the ambiguous case), drop, add (fresh or re-using a dropped
+  * name), compact (physical-only), restore to a random version. */
+class RenameChainPropSpec extends AnyFunSuite {
+  import TestSession._
+
+  private case class MCol(id: Int, name: String)
+  private case class MRow(rid: Long, vals: Map[Int, Long])
+  /** One committed version's visible state. */
+  private case class Snap(cols: Vector[MCol], rows: Vector[MRow])
+
+  for (seed <- 1 to 8) test(s"rename-chain walk, seed $seed") {
+    val rnd = new Random(100 + seed)
+    val wh = new Warehouse(spark, Files.createTempDirectory("chain_walk").toString)
+    var nextId = 1
+    var nextRid = 0L
+    var cols = Vector(MCol(0, "c0"))
+    var rows = Vector.empty[MRow]
+    // names freed by RENAME or DROP — candidates for hostile reuse
+    var freed = Vector.empty[String]
+    // model history: version -> visible snapshot (1-based like the log)
+    var history = Map.empty[Int, Snap]
+    val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def schemaOf(cs: Vector[MCol]) = StructType(
+      StructField("rid", LongType, nullable = false) +:
+        cs.map(c => StructField(c.name, LongType, nullable = true)))
+
+    def snap(): Snap = Snap(cols, rows)
+    def record(): Unit = {
+      val v = wh.log("d", "t").latest.get.version
+      history += v -> snap()
+    }
+
+    def append(n: Int): Unit = {
+      val batch = (0 until n).map { _ =>
+        val rid = { nextRid += 1; nextRid }
+        MRow(rid, cols.map(c => c.id -> (rid * 1000 + c.id)).toMap)
+      }
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(batch.map(r => Row.fromSeq(
+          r.rid +: cols.map(c => Long.box(r.vals(c.id))))): _*),
+        schemaOf(cols))
+      wh.append("d", "t", df)
+      rows ++= batch
+      record()
+    }
+
+    def checkState(step: String, got: org.apache.spark.sql.DataFrame,
+                   want: Snap): Unit = {
+      assert(got.columns.toSeq === ("rid" +: want.cols.map(_.name)),
+        s"[$step] column set/order diverged; trace=${trace.mkString(" | ")}")
+      val gotRows = got.orderBy("rid").collect().map(r =>
+        r.getLong(0) -> want.cols.indices.map(i =>
+          Option(r.get(i + 1)).map(_.asInstanceOf[Long])))
+      val wantRows = want.rows.sortBy(_.rid).map(r =>
+        r.rid -> want.cols.map(c => r.vals.get(c.id)))
+      assert(gotRows.toSeq === wantRows,
+        s"[$step] values diverged; trace=${trace.mkString(" | ")}")
+    }
+
+    def verify(step: String): Unit = {
+      checkState(s"$step/current", wh.read("d", "t"), snap())
+      // time travel: up to 3 random recorded versions
+      val vs = history.keys.toVector
+      (0 until math.min(3, vs.size)).foreach { _ =>
+        val v = vs(rnd.nextInt(vs.size))
+        checkState(s"$step/v$v", wh.readVersion("d", "t", v), history(v))
+      }
+    }
+
+    // seed state
+    wh.overwrite("d", "t", spark.createDataFrame(
+      new java.util.ArrayList[Row](), schemaOf(cols)))
+    record()
+    append(2)
+    verify("init")
+
+    for (op <- 1 to 16) {
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val n = 1 + rnd.nextInt(2)
+          trace += s"append($n)"
+          append(n)
+
+        case 3 | 4 => // rename — fresh name, or a freed one (reuse)
+          val c = cols(rnd.nextInt(cols.size))
+          val name =
+            if (freed.nonEmpty && rnd.nextBoolean()) {
+              val n = freed(rnd.nextInt(freed.size))
+              freed = freed.filterNot(_ == n); n
+            } else { val n = s"c$nextId"; nextId += 1; n }
+          trace += s"rename(${c.name}->${name})"
+          wh.renameColumn("d", "t", c.name, name)
+          freed :+= c.name
+          cols = cols.map(x => if (x.id == c.id) x.copy(name = name) else x)
+          record()
+
+        case 5 if cols.size > 1 => // drop a lineage
+          val c = cols(rnd.nextInt(cols.size))
+          trace += s"drop(${c.name})"
+          wh.dropColumn("d", "t", c.name)
+          freed :+= c.name
+          cols = cols.filterNot(_.id == c.id)
+          record()
+
+        case 6 => // add a NEW lineage — fresh name or re-use a freed one
+          val name =
+            if (freed.nonEmpty && rnd.nextBoolean()) {
+              val n = freed(rnd.nextInt(freed.size))
+              freed = freed.filterNot(_ == n); n
+            } else { val n = s"c$nextId"; nextId += 1; n }
+          trace += s"add($name)"
+          wh.addColumn("d", "t", name, "BIGINT")
+          cols :+= MCol({ val i = nextId; nextId += 1; i }, name)
+          // existing rows read NULL under the new lineage (no default)
+          record()
+
+        case 7 => // compact: physical migration only, visible state fixed
+          trace += "compact"
+          val landed = wh.compact("d", "t")
+          if (landed.nonEmpty) record()
+
+        case _ => // restore to a random recorded version (skip no-ops)
+          val vs = history.keys.toVector.sorted
+          val v = vs(rnd.nextInt(vs.size))
+          trace += s"restore(v$v)"
+          wh.restoreToVersion("d", "t", v)
+          val restored = history(v)
+          cols = restored.cols
+          rows = restored.rows
+          // names in flight: recompute freed as "ever used minus live"
+          // (a restored-away name may be reused again later)
+          val live = cols.map(_.name).toSet
+          freed = (freed ++ history.values.flatMap(_.cols.map(_.name)))
+            .distinct.filterNot(live).toVector
+          record()
+      }
+      verify(s"op $op")
+    }
+
+    // a COPY of the final state must read identically (chain rebase)
+    wh.copy("d", "t", "d", "t_copy")
+    checkState("copy", wh.read("d", "t_copy"), snap())
+  }
+}
