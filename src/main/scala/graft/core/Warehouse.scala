@@ -409,15 +409,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // a name no schema ever contains — while future fragments' physical
     // `name` IS the new column. Appended BEFORE the schema commit so no
     // reader window exists where the new schema resolves old bytes.
-    meta(dataset, table).droppedColumns.filter(_._1 == name).lastOption
-      .foreach { case (_, dv) =>
-        val m0 = meta(dataset, table)
-        setMeta(dataset, table, m0.copy(
-          columnRenames = m0.columnRenames :+ (name -> tombstoneFor(name, dv)),
-          columnRenameVersions =
-            m0.columnRenameVersions.padTo(m0.columnRenames.size, -1) :+
-              lg.latest.map(_.version + 1).getOrElse(1)))
-      }
+    val tombStamp: Option[Int] =
+      meta(dataset, table).droppedColumns.filter(_._1 == name).lastOption
+        .map { case (_, dv) =>
+          val m0 = meta(dataset, table)
+          val stampV = lg.latest.map(_.version + 1).getOrElse(1)
+          setMeta(dataset, table, m0.copy(
+            columnRenames = m0.columnRenames :+ (name -> tombstoneFor(name, dv)),
+            columnRenameVersions =
+              m0.columnRenameVersions.padTo(m0.columnRenames.size, -1) :+
+                stampV))
+          stampV
+        }
     val dt = StructType.fromDDL(s"`$name` $typeDdl").fields.head.dataType
     val foldedDefault: Option[String] = defaultSql.map(foldDefault(_, dt))
     // metadata-only commit pinning the widened schema: readers see the
@@ -436,6 +439,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         Some(StructType(base.fields :+
           org.apache.spark.sql.types.StructField(name, dt, nullable = true)).toDDL)
       })
+    tombStamp.foreach(restampTrailingLinks(dataset, table, 1, _, c.version))
     // sidecar + default land AFTER the commit succeeds (a lost-to-a-
     // duplicate-column race must not leave a dangling default behind)
     writeSchemaDdlMerged(dataset, table,
@@ -508,6 +512,26 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       StructType.fromDDL(c.schemaDdl.get), additive = true)
   }
 
+  /** Re-stamp the `count` most-recently-appended rename links from
+    * `expected` to the version the link's commit ACTUALLY took: stamps
+    * are computed optimistically before the CAS commit, so a concurrent
+    * writer winning the race lands the commit at expected+k while the
+    * link stays at expected — a pinned read at the raced version then
+    * applies the rename one version early, and restore exclusion-range
+    * boundaries shift by one (r17 ADVICE low; AdviceR17Spec races it).
+    * Value-guarded by `expected` so pre-existing links never move. */
+  private def restampTrailingLinks(dataset: String, table: String,
+                                   count: Int, expected: Int,
+                                   actual: Int): Unit =
+    if (actual != expected && count > 0) {
+      val m = meta(dataset, table)
+      val padded = m.columnRenameVersions.padTo(m.columnRenames.size, -1)
+      val n = padded.size
+      setMeta(dataset, table, m.copy(columnRenameVersions =
+        padded.zipWithIndex.map { case (v, i) =>
+          if (i >= n - count && v == expected) actual else v }))
+    }
+
   def renameColumn(dataset: String, table: String, from: String, to: String): Unit = {
     require(to.nonEmpty && !to.contains(";") && !to.contains(">") &&
         !to.contains("@"),
@@ -557,9 +581,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       }))
     // pin the renamed schema at its own commit: version reads and time
     // travel serve names as of the commit they read
-    log(dataset, table).commitWith("rename",
+    val committed = log(dataset, table).commitWith("rename",
       cur => cur.filter(!_.isDrop).map(_.entries).getOrElse(Seq.empty),
       schemaDdl = Some(renamed.toDDL))
+    restampTrailingLinks(dataset, table, 1 + tombstone.size,
+      stampV, committed.version)
   }
 
   /** METADATA-ONLY `DROP COLUMN` (Delta/Iceberg semantics): one `alter`
@@ -629,20 +655,46 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * as the read path re-labels it — matching on the current name
     * alone would miss pre-rename fragments (or, worse, match a
     * DIFFERENT column that has since been renamed onto this name). */
-  private def sidecarStatFor(m: TableMeta, sch: StructType,
-                             e: SnapshotLog.Entry,
-                             st: ZoneMaps.FragStats,
-                             target: String,
-                             lexcl: Seq[(Int, Int)] = Nil): Option[ZoneMaps.ColStat] = {
+  /** How a fragment's zone sidecar resolves a CURRENT column name:
+    * `Absent` (no physical column maps to it — the fragment serves the
+    * default/NULL pad) is a different fact from `Ambiguous` (two
+    * physical columns map to one current name — legacy unstamped
+    * fragments under name reuse). Collapsing both to None let
+    * SET NOT NULL treat an ambiguous fragment as "serves the non-null
+    * default" and prove NOT NULL over rows that hold NULLs (r17 ADVICE
+    * low) — gates must count Ambiguous as UNPROVEN, never as absent. */
+  private sealed trait SidecarStat
+  private object SidecarStat {
+    final case class Found(cs: ZoneMaps.ColStat) extends SidecarStat
+    case object Absent extends SidecarStat
+    case object Ambiguous extends SidecarStat
+  }
+
+  private def sidecarStatLookup(m: TableMeta, sch: StructType,
+                                e: SnapshotLog.Entry,
+                                st: ZoneMaps.FragStats,
+                                target: String,
+                                lexcl: Seq[(Int, Int)]): SidecarStat = {
     val rm = renameMap(linksFor(m, e, lexcl = lexcl), Some(sch))
     val hits = st.cols.collect {
       case (p, cs) if rm.getOrElse(p, p) == target => cs
     }
-    // two physical columns mapping onto one current name (legacy
-    // unstamped fragments under name reuse) are ambiguous — report no
-    // stat rather than the wrong column's
-    if (hits.size == 1) hits.headOption else None
+    hits.toSeq match {
+      case Seq(cs) => SidecarStat.Found(cs)
+      case Seq() => SidecarStat.Absent
+      case _ => SidecarStat.Ambiguous
+    }
   }
+
+  private def sidecarStatFor(m: TableMeta, sch: StructType,
+                             e: SnapshotLog.Entry,
+                             st: ZoneMaps.FragStats,
+                             target: String,
+                             lexcl: Seq[(Int, Int)] = Nil): Option[ZoneMaps.ColStat] =
+    sidecarStatLookup(m, sch, e, st, target, lexcl) match {
+      case SidecarStat.Found(cs) => Some(cs)
+      case _ => None
+    }
 
   def setColumnDefault(dataset: String, table: String, name: String,
                        defaultSql: Option[String]): Unit = {
@@ -694,12 +746,29 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       val td = tableDir(dataset, table)
       val defaultIsNonNull = m.columnDefaults.find(_._1 == name)
         .exists(d => spark.range(1).select(expr(d._2)).head.get(0) != null)
+      // rename-AMBIGUOUS fragments (two physical columns mapping onto
+      // this name — legacy unstamped links under name reuse) can be
+      // neither sidecar-proven NOR probed (the probe read is itself
+      // ambiguous); collapsing them into "absent" let a non-null
+      // default prove NOT NULL over rows that hold NULLs (r17 ADVICE
+      // low). They refuse outright — OPTIMIZE rewrites them under
+      // current names and clears the ambiguity.
+      val ambiguous = cur.entries.filter(e =>
+        ZoneMaps.read(td, e.path).exists(st =>
+          st.rows > 0L &&
+            sidecarStatLookup(m, sch, e, st, name,
+              cur.lexcl) == SidecarStat.Ambiguous))
+      require(ambiguous.isEmpty,
+        s"cannot SET NOT NULL on '$name': ${ambiguous.size} fragment(s) " +
+          "resolve the name ambiguously under legacy rename links — " +
+          "OPTIMIZE the table to rewrite them under current names first")
       val unproven = cur.entries.filterNot { e =>
         e.dv.isEmpty && (ZoneMaps.read(td, e.path) match {
           case Some(st) if st.rows == 0L => true // nothing to serve
-          case Some(st) => sidecarStatFor(m, sch, e, st, name, cur.lexcl) match {
-            case Some(cs) => cs.nulls == 0L // proven clean
-            case None => defaultIsNonNull // absent column serves the default
+          case Some(st) => sidecarStatLookup(m, sch, e, st, name, cur.lexcl) match {
+            case SidecarStat.Found(cs) => cs.nulls == 0L // proven clean
+            case SidecarStat.Absent => defaultIsNonNull // serves the default
+            case SidecarStat.Ambiguous => false // unreachable: refused above
           }
           case None => false
         })
@@ -2052,8 +2121,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       }
     }.sum
     val sidecars = c.entries.map(e => ZoneMaps.read(td, e.path))
+    // a deletion-vector-masked entry serves FEWER rows than its sidecar
+    // counted at write time; summing the sidecars anyway reported an
+    // OVERSTATED count as authoritative (r17 ADVICE low). Counting the
+    // mask would read the dv parquet — a scan, which NOSCAN promises not
+    // to do — so a masked table reports rows unknown, same as the
+    // missing-sidecar rule: never an inexact count dressed as exact.
     val rows =
-      if (sidecars.forall(_.isDefined)) Some(sidecars.flatten.map(_.rows).sum)
+      if (sidecars.forall(_.isDefined) && c.entries.forall(_.dv.isEmpty))
+        Some(sidecars.flatten.map(_.rows).sum)
       else None
     (bytes, rows)
   }
@@ -3618,8 +3694,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                                  lexcl: Seq[(Int, Int)]): TableMeta = {
     if (m.columnRenameVersions.forall(_ < 0) && lexcl.isEmpty) return m
     val padded = m.columnRenameVersions.padTo(m.columnRenames.size, -1)
+    // Fresh rebased stamps go STRICTLY BELOW every stamp already present:
+    // a prior copy left -2,-3,... behind, and re-using the fixed -2 base
+    // on a copy-of-a-copy collided with those — linkGroups then fused a
+    // sequential chain into one simultaneous group, the trajectory
+    // stopped mid-chain, and old-era fragments read NULL (r17 ADVICE
+    // high; AdviceR17Spec pins the scenario). NeverApplies is excluded
+    // from the floor — it is a sentinel, not an allocated stamp.
+    val floor = padded.filter(v => v < -1 && v != NeverApplies)
+      .foldLeft(-1)(math.min)
     val remap = padded.filter(_ >= 0).distinct.sorted.zipWithIndex
-      .map { case (v, i) => v -> (-2 - i) }.toMap
+      .map { case (v, i) => v -> (floor - 1 - i) }.toMap
     m.copy(columnRenameVersions = padded.map { v =>
       // a link the source commit EXCLUDED (abandoned branch) can never
       // apply in the copy either — the copy has no old-branch history

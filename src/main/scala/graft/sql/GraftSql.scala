@@ -114,6 +114,12 @@ object GraftSql {
       t.wh.read(t.dataset, t.table).createOrReplaceTempView(t.name)
     }
 
+  /** A user-supplied partition VALUE in the form snapshot entries store
+    * it: the hive dir name, i.e. path-escaped. Raw-literal comparison
+    * silently matched nothing for values containing space/'/'/':' etc. */
+  private[sql] def escapePartitionValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
   /** After a DML commit through ANY name (registered, db-alias, or
     * catalog-qualified), re-publish every REGISTERED temp view of this
     * session that serves the same physical table — a mutation through
@@ -345,7 +351,9 @@ object GraftSql {
                 require(pf.contains(k),
                   s"${t.name}: PARTITION ($k) does not name the " +
                     s"partition column${pf.fold("")(f => s" ('$f')")}")
-                v
+                // entries store the path-escaped hive dir value — see
+                // GraftOptimizeCommand's WHERE scope for the rationale
+                GraftSql.escapePartitionValue(v)
             }
             GraftAnalyzeCommand(t, None, part, noScan)
           case None => a
@@ -988,7 +996,19 @@ final case class GraftOptimizeCommand(t: GraftSql.Target,
       require(pf.contains(c),
         s"${t.name}: OPTIMIZE ... WHERE must name the partition " +
           s"column${pf.fold("")(f => s" ('$f')")}, got '$c'")
-      Set(v)
+      // snapshot entries store the PATH-ESCAPED partition value (the
+      // hive dir name); comparing the raw SQL literal against it made a
+      // value containing space/'/'/':'/… silently match nothing and the
+      // command reported an empty rewrite (r17 ADVICE low). Escape the
+      // literal, and refuse a scope no live partition matches — a
+      // silent no-op reads as "already optimal".
+      val esc = GraftSql.escapePartitionValue(v)
+      val live = t.wh.log(t.dataset, t.table).latest.filter(!_.isDrop)
+        .map(_.entries.map(_.partition).toSet).getOrElse(Set.empty)
+      require(live.contains(esc),
+        s"${t.name}: OPTIMIZE ... WHERE $c = '$v' matches no live " +
+          s"partition (have: ${live.toSeq.sorted.mkString(", ")})")
+      Set(esc)
     }
     val parts = zorder match {
       case Some(cs) =>
