@@ -53,6 +53,40 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.committedPriorSteady(empty).isEmpty)
   }
 
+  test("intra-round close commits cannot ratchet the cross-round baseline") {
+    // r17 shipped q66/q72 steady creep of +30-40% vs r16 with zero
+    // triggers: the round committed interim close snapshots, so the
+    // HEAD baseline moved with each commit and every step stayed under
+    // the >20% trigger. The round artifact BENCH_r{N}.json only moves
+    // at a round boundary; the cross-round baseline takes the MIN of
+    // the two, so the cumulative creep trips even when HEAD ratchets.
+    val dir = Files.createTempDirectory("bench_xround").toFile
+    sh(dir, "git", "init", "-q")
+    sh(dir, "git", "config", "user.email", "t@t")
+    sh(dir, "git", "config", "user.name", "t")
+    // round boundary: the driver artifact recorded 5.13 s (its tail is
+    // a JSON-ESCAPED string of the summary, as the driver writes it)
+    Files.writeString(dir.toPath.resolve("BENCH_r16.json"),
+      """{"n":16,"tail":"...,\"steady\":{\"q66_delete_dv\":5.13,\"ctl\":2.00},\"value\":250.0}"}""")
+    // the round then committed progressively hotter close snapshots:
+    // HEAD's baseline has ratcheted to 6.66
+    Files.writeString(dir.toPath.resolve("bench_summary.json"),
+      summary(3.0).replace(""""q84_sql_dml":3.0""",
+        """"q66_delete_dv":6.66,"ctl":2.00"""))
+    sh(dir, "git", "add", ".")
+    sh(dir, "git", "commit", "-qm", "interim close")
+    val (src, base) = Bench.crossRoundBaseline(dir)
+    assert(src == "HEAD+BENCH_r16", src)
+    // the baseline is the round boundary's 5.13, not the ratcheted 6.66
+    assert(base.get("q66_delete_dv").contains(5.13), base.toString)
+    // a 6.66 reading NOW trips: 6.66 > 5.13 * 1.2
+    assert(6.66 > base("q66_delete_dv") * 1.2)
+    // ...and against the ratcheted HEAD alone it would have shipped
+    assert(6.66 < 6.66 * 1.2 + 1e-9)
+    // the control is present in both sources for ambient normalization
+    assert(base.get("ctl").contains(2.00))
+  }
+
   test("parseSteady reads the steady block only") {
     val m = Bench.parseSteady(
       """{"queries":{"a":9.0},"steady":{"a":1.25,"b":0.5},"value":10}""")
