@@ -22,11 +22,27 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *    child, DML targets are) are left alone — the V1-fallback write and
   *    the parse-time DML interception own those. */
 final class GraftRelationSubstitution(spark: SparkSession)
-    extends Rule[LogicalPlan] {
+    extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override val ruleName = "graft.RelationSubstitution"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // RUNTIME GROUP FILTERING pre-pass: a ReplaceData node (Spark's
+    // group-based row-level rewrite) carries the DML condition as a
+    // FIELD — map it to the live RowLevelOperation instance so the
+    // tagged-read splice below can zone/Bloom-prune the fragment set
+    // and record the group split on the op the WRITE side shares.
+    val rowLevelConds = new java.util.IdentityHashMap[AnyRef,
+      org.apache.spark.sql.catalyst.expressions.Expression]()
+    plan.foreach {
+      case rd: ReplaceData =>
+        throughAliases(rd.table).foreach { r =>
+          org.apache.spark.sql.GraftBridge.rowLevelOperationOf(r.table)
+            .foreach(op => rowLevelConds.put(op, rd.condition))
+        }
+      case _ => ()
+    }
     // DML target relations (by identity): DeleteFromTable/UpdateTable/
     // MergeIntoTable keep their target as a CHILD, so a blanket rewrite
     // would splice under them and break Spark's own "unsupported" error
@@ -82,7 +98,7 @@ final class GraftRelationSubstitution(spark: SparkSession)
             // TAGGED read (row-level rewrite / provenance query) — the
             // zone-pruned whole read can't serve the tag
             val plan = if (r.output.exists(_.name == GraftTable.FragColumn))
-              t.readPlanTagged() else t.readPlanPruned(cond)
+              taggedReadFor(r, t, rowLevelConds) else t.readPlanPruned(cond)
             Filter(cond, replaceRelation(child, r, spliceFor(r, plan, t)))
           case _ => f
         }
@@ -108,9 +124,76 @@ final class GraftRelationSubstitution(spark: SparkSession)
         // per-fragment TAGGED read; plain relations keep the
         // whole-scan read
         val plan = if (r.output.exists(_.name == GraftTable.FragColumn))
-          t.readPlanTagged() else t.readPlan()
+          taggedReadFor(r, t, rowLevelConds) else t.readPlan()
         spliceFor(r, plan, t)
     }
+  }
+
+  /** The tagged read a `_g_frag`-referencing relation gets. Provenance
+    * SELECTs read every fragment. A ROW-LEVEL REWRITE's relation (its
+    * table wraps the live [[GraftRowLevelOperation]]) gets RUNTIME
+    * GROUP FILTERING: the DML condition's deterministic target-only
+    * conjuncts zone/Bloom-prune the fragment set, the splice reads
+    * ONLY the candidates, and the group split is recorded on the op so
+    * the commit supersedes exactly what was read and carries the rest
+    * forward. Conjunct extraction is exprId-strict against THIS
+    * relation's output — a MERGE source column sharing a target
+    * column's NAME must never prune the target (and a MERGE with NOT
+    * MATCHED BY SOURCE arrives as `TrueLiteral`: no conjuncts, no
+    * pruning, every fragment a candidate). */
+  private def taggedReadFor(r: DataSourceV2Relation, t: GraftTable,
+      conds: java.util.IdentityHashMap[AnyRef,
+        org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.GraftBridge.rowLevelOperationOf(r.table) match {
+      case Some(op: GraftRowLevelOperation)
+          if spark.conf.get("spark.graft.sql.dml.v2.groupFilter",
+            "true").toBoolean =>
+        val g = op.groups.getOrElse {
+          val cond = Option(conds.get(op))
+            .flatMap(targetOnlyCondition(_, r))
+          val (c, cand, carried) =
+            t.wh.planRowLevelGroups(t.dataset, t.table, cond)
+          op.recordGroups(GraftRowLevelGroups(c, cand,
+            cand.map(_.path).toSet, carried.size))
+          op.groups.get
+        }
+        t.wh.readWithFragmentTag(t.dataset, t.table, GraftTable.FragColumn,
+          g.commit, g.candidates)
+      case _ => t.readPlanTagged()
+    }
+
+  /** Deterministic, subquery-free conjuncts of the DML condition whose
+    * references live entirely in THIS relation's output (by exprId) —
+    * the prunable fraction. None = no usable conjunct = no pruning. */
+  private def targetOnlyCondition(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: DataSourceV2Relation)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, CommonExpressionRef, PlanExpression, RuntimeReplaceable, With}
+    // lower RuntimeReplaceable sugar (BETWEEN et al.) to the comparison
+    // shapes the zone/Bloom pruners interpret — the optimizer would do
+    // this later, but pruning runs at analysis time. BETWEEN's
+    // replacement wraps in With/CommonExpressionRef (shared-subexpr
+    // bookkeeping); inline the defs so the conjuncts split and the
+    // pruner sees plain `k >= lo AND k <= hi`. Inlining duplicates the
+    // def expression — fine here, these run zero times (pruning only
+    // inspects shapes), and only deterministic conjuncts survive below.
+    val lowered = cond.transformUp {
+      case rr: RuntimeReplaceable => rr.replacement
+    }.transformUp {
+      case w: With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case r: CommonExpressionRef => defs.getOrElse(r.id, r)
+        }
+    }
+    val usable = splitConjunctivePredicates(lowered).filter { c =>
+      c.deterministic && c.references.nonEmpty &&
+        c.references.subsetOf(r.outputSet) &&
+        !c.exists(_.isInstanceOf[PlanExpression[_]])
+    }
+    usable.reduceOption(And)
   }
 
   /** The [[GraftTable]] behind a relation's table — directly, or

@@ -23,6 +23,20 @@ object GraftBridge {
       r.table
     case other => other
   }
+  /** The live [[connector.write.RowLevelOperation]] instance a
+    * `RowLevelOperationTable` wrapper carries — the one shared object
+    * linking the rewrite's READ side (candidate-fragment pruning in the
+    * relation substitution) to its WRITE side (the group-replace
+    * commit), Iceberg's own coordination pattern for runtime group
+    * filtering. */
+  def rowLevelOperationOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.write.RowLevelOperation] =
+    t match {
+      case r: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+        Some(r.operation)
+      case _ => None
+    }
+
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** LogicalPlan → DataFrame (classic.Dataset.ofRows is private[sql]) —

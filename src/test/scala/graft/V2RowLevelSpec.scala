@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.core.{TableMeta, Warehouse}
@@ -96,18 +97,57 @@ class V2RowLevelSpec extends AnyFunSuite {
     assert(wh.log("d", "t").latest.get.entries.forall(_.dv.isEmpty))
   }
 
-  test("v2 UPDATE on a hive-partitioned table refuses with guidance") {
+  test("v2 UPDATE on a hive-partitioned table preserves the layout (r17 item 3)") {
     val (wh, cat) = mount()
-    wh.overwrite("d", "p", Seq(("2024-01-01", 1L)).toDF("day", "k"),
+    wh.overwrite("d", "p",
+      Seq(("2024-01-01", 1L), ("2024-01-01", 2L)).toDF("day", "k"),
       TableMeta(partitionField = Some("day"), partitionType = "string"))
-    val e = intercept[Exception] {
-      withV2 { spark.sql(s"UPDATE $cat.d.p SET k = 9 WHERE k = 1") }
+    wh.appendPartitioned("d", "p",
+      Seq(("2024-01-02", 3L), ("2024-01-03", 4L)).toDF("day", "k"))
+    withV2 {
+      val out = spark.sql(s"UPDATE $cat.d.p SET k = k + 10 WHERE k <= 2")
+      assert(out.schema.isEmpty, "Spark's row-level exec must plan it")
     }
-    assert(e.getMessage.contains("dml.v2") || e.getMessage.contains("partitioned"),
-      s"partitioned v2 DML must refuse loudly, got: ${e.getMessage}")
-    // interception path still serves it
-    spark.sql(s"UPDATE $cat.d.p SET k = 9 WHERE k = 1")
-    assert(wh.read("d", "p").select("k").as[Long].head() === 9L)
+    assert(wh.read("d", "p").orderBy("k").select("k").as[Long].collect().toSeq
+      === Seq(3L, 4L, 11L, 12L))
+    // every entry keeps its hive partition value — the rewrite bucketed
+    // rows by partition, never flattened
+    val entries = wh.log("d", "p").latest.get.entries
+    assert(entries.forall(_.partition.nonEmpty),
+      s"hive layout must survive the v2 rewrite: $entries")
+    assert(entries.map(_.partition).toSet ===
+      Set("2024-01-01", "2024-01-02", "2024-01-03"))
+    // partition pruning still works after the rewrite
+    assert(wh.read("d", "p").filter(col("day") === "2024-01-02")
+      .select("k").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("v2 UPDATE moving rows across partitions re-buckets them") {
+    val (wh, cat) = mount()
+    wh.overwrite("d", "p",
+      Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("day", "k"),
+      TableMeta(partitionField = Some("day"), partitionType = "string"))
+    withV2 {
+      spark.sql(s"UPDATE $cat.d.p SET day = '2024-02-01' WHERE k = 1")
+    }
+    assert(wh.read("d", "p").orderBy("k")
+      .as[(String, Long)].collect().toSeq
+      === Seq(("2024-02-01", 1L), ("2024-01-02", 2L)).sortBy(_._2))
+    val parts = wh.log("d", "p").latest.get.entries.map(_.partition).toSet
+    assert(parts.contains("2024-02-01"), s"moved row must land in its new partition: $parts")
+  }
+
+  test("v2 UPDATE on a hidden-partitioned table still refuses with guidance") {
+    val (wh, cat) = mount()
+    wh.overwrite("d", "h", Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "ts"),
+      TableMeta(partitionField = Some("p_day"), partitionType = "date",
+        partitionSource = Some("ts"), partitionTransform = Some("days")))
+    val e = intercept[Exception] {
+      withV2 { spark.sql(s"UPDATE $cat.d.h SET k = 9 WHERE k = 1") }
+    }
+    assert(e.getMessage.contains("HIDDEN") || e.getMessage.contains("hidden"),
+      s"hidden-partitioned v2 DML must refuse loudly, got: ${e.getMessage}")
   }
 
   test("_g_frag metadata column serves fragment provenance in plain SELECTs") {
@@ -131,5 +171,134 @@ class V2RowLevelSpec extends AnyFunSuite {
     withV2 { spark.sql(s"UPDATE $cat.d.t SET v = 7.0 WHERE b = 1") }
     assert(wh.read("d", "t").orderBy("b").as[(Long, Double)].collect().toSeq
       === Seq((1L, 7.0)))
+  }
+
+  // ------------------------------------------- runtime group filtering
+
+  private def entryBytes(wh: Warehouse, ds: String, t: String): Map[String, Seq[(String, Long)]] = {
+    val td = java.nio.file.Paths.get(wh.root, ds, t)
+    wh.log(ds, t).latest.get.entries.map { e =>
+      val dir = td.resolve(e.path)
+      val w = java.nio.file.Files.walk(dir)
+      val fs = try w.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => (dir.relativize(p).toString, java.nio.file.Files.size(p)))
+        .toSeq.sortBy(_._1)
+      finally w.close()
+      e.path -> fs
+    }.toMap
+  }
+
+  test("selective v2 UPDATE rewrites only zone-candidate fragments; the rest carry forward byte-identical") {
+    val (wh, cat) = mount()
+    // three fragments with disjoint key ranges — zone maps prune exactly
+    wh.overwrite("d", "g", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    wh.append("d", "g", Seq((100L, 30.0), (101L, 40.0)).toDF("k", "v"))
+    wh.append("d", "g", Seq((200L, 50.0), (201L, 60.0)).toDF("k", "v"))
+    val before = wh.log("d", "g").latest.get.entries.map(_.path)
+    val bytesBefore = entryBytes(wh, "d", "g")
+    withV2 {
+      val out = spark.sql(s"UPDATE $cat.d.g SET v = v + 1 WHERE k BETWEEN 100 AND 150")
+      assert(out.schema.isEmpty, "row-level exec must plan it")
+    }
+    val after = wh.log("d", "g").latest.get.entries.map(_.path)
+    // exactly one fragment (the 100s) was superseded; the other two are
+    // THE SAME entries, byte-for-byte
+    val carried = after.toSet intersect before.toSet
+    assert(carried.size === 2,
+      s"2 of 3 fragments must carry forward, got before=$before after=$after")
+    val bytesAfter = entryBytes(wh, "d", "g")
+    carried.foreach { p =>
+      assert(bytesAfter(p) === bytesBefore(p), s"carried fragment $p must be untouched")
+    }
+    assert(wh.read("d", "g").orderBy("k").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 10.0), (2L, 20.0), (100L, 31.0), (101L, 41.0),
+        (200L, 50.0), (201L, 60.0)))
+  }
+
+  test("selective v2 DELETE through the group path carries matchless fragments forward") {
+    val (wh, cat) = mount()
+    wh.overwrite("d", "g", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    wh.append("d", "g", Seq((100L, "c"), (101L, "d")).toDF("k", "s"))
+    val before = wh.log("d", "g").latest.get.entries.map(_.path).toSet
+    withV2 {
+      // s LIKE defeats canDeleteWhere's metadata conversion → group path
+      spark.sql(s"DELETE FROM $cat.d.g WHERE k >= 100 AND s LIKE 'c%'")
+    }
+    val after = wh.log("d", "g").latest.get.entries.map(_.path).toSet
+    assert((after intersect before).size === 1,
+      s"the matchless fragment must survive: before=$before after=$after")
+    assert(wh.read("d", "g").orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b"), (101L, "d")))
+  }
+
+  test("v2 MERGE with a target-only ON conjunct prunes; NOT MATCHED BY SOURCE disables pruning") {
+    val (wh, cat) = mount()
+    wh.overwrite("d", "g", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    wh.append("d", "g", Seq((100L, 30.0), (101L, 40.0)).toDF("k", "v"))
+    Seq((100L, 99.0)).toDF("k", "nv").createOrReplaceTempView("v2gsrc")
+    val before = wh.log("d", "g").latest.get.entries.map(_.path).toSet
+    withV2 {
+      spark.sql(
+        s"""MERGE INTO $cat.d.g AS t USING v2gsrc AS s
+           |ON t.k = s.k AND t.k >= 100
+           |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    val after = wh.log("d", "g").latest.get.entries.map(_.path).toSet
+    assert((after intersect before).size === 1,
+      "the low-range fragment must carry forward under the target-only conjunct")
+    assert(wh.read("d", "g").orderBy("k").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 10.0), (2L, 20.0), (100L, 99.0), (101L, 40.0)))
+    // NOT MATCHED BY SOURCE: every target row is a candidate — pruning
+    // must disable itself (Spark hands the condition down as TRUE), and
+    // the BY SOURCE action must reach rows outside any ON conjunct
+    withV2 {
+      spark.sql(
+        s"""MERGE INTO $cat.d.g AS t USING v2gsrc AS s
+           |ON t.k = s.k AND t.k >= 100
+           |WHEN MATCHED THEN UPDATE SET v = 0.0
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = v + 1000""".stripMargin)
+    }
+    assert(wh.read("d", "g").orderBy("k").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 1010.0), (2L, 1020.0), (100L, 0.0), (101L, 1040.0)))
+  }
+
+  test("group-filtered commit refuses when a replaced fragment was concurrently rewritten") {
+    val (wh, cat) = mount()
+    wh.overwrite("d", "g", Seq((1L, 10.0)).toDF("k", "v"))
+    wh.append("d", "g", Seq((100L, 30.0)).toDF("k", "v"))
+    val c = wh.log("d", "g").latest.get
+    val candidate = c.entries.filter(_.path.nonEmpty) // all
+    // simulate: group plan picked fragment X, then a concurrent commit
+    // rewrote X before our commit landed
+    val frag = wh.stageFragmentDir("d", "g")
+    // concurrent full rewrite supersedes every path the plan picked
+    wh.overwrite("d", "g", Seq((7L, 70.0)).toDF("k", "v"))
+    intercept[java.util.ConcurrentModificationException] {
+      wh.commitStagedRowLevel("d", "g", frag,
+        Seq((1L, 10.0)).toDF("k", "v").schema, Seq.empty,
+        Some(candidate.map(_.path).toSet))
+    }
+    // the loser's refusal left the winner's state intact
+    assert(wh.read("d", "g").as[(Long, Double)].collect().toSeq === Seq((7L, 70.0)))
+  }
+
+  test("partitioned selective v2 UPDATE rewrites only the candidate partition's fragments") {
+    val (wh, cat) = mount()
+    wh.overwrite("d", "pg",
+      Seq(("2024-01-01", 1L, 10.0), ("2024-01-01", 2L, 20.0)).toDF("day", "k", "v"),
+      TableMeta(partitionField = Some("day"), partitionType = "string"))
+    wh.appendPartitioned("d", "pg",
+      Seq(("2024-01-02", 100L, 30.0)).toDF("day", "k", "v"))
+    val before = wh.log("d", "pg").latest.get.entries.map(_.path).toSet
+    withV2 {
+      spark.sql(s"UPDATE $cat.d.pg SET v = v + 1 WHERE day = '2024-01-02'")
+    }
+    val after = wh.log("d", "pg").latest.get.entries
+    assert((after.map(_.path).toSet intersect before).size >= 1,
+      s"the 01-01 fragment must carry forward: $before vs ${after.map(_.path)}")
+    assert(after.map(_.partition).toSet === Set("2024-01-01", "2024-01-02"))
+    assert(wh.read("d", "pg").orderBy("k").select("v").as[Double].collect().toSeq
+      === Seq(10.0, 20.0, 31.0))
   }
 }
