@@ -2900,35 +2900,34 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         case None => t
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
-    val matches = tagged.filter(pred).select(
+    // ONE job pins the match positions as eager localCheckpoint blocks —
+    // the capture result is consumed twice (per-entry counts, vector
+    // write), and the pre-r18 staging-parquet write + read-back paid a
+    // full extra write/list/read round trip per delete for the same
+    // stability. Blocks are position rows (KB-to-MB); the RDD cleaner
+    // reclaims them with the frame.
+    val staged = tagged.filter(pred).select(
       col(TagEntry).as("entry"), col(TagFile).as("file"), col(TagPos).as("pos"))
-    val stage = lg.newFragmentDir()
-    val stageRel = relativize(dataset, table, stage)
-    matches.write.mode("overwrite").parquet(stage.toString)
-    val staged = spark.read.parquet(stage.toString)
+      .localCheckpoint(true)
     val counts: Map[String, Long] = staged.groupBy(col("entry"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val hits = candidates.filter(e => counts.getOrElse(e.path, 0L) > 0L)
     val deleted = counts.values.sum
-    if (hits.isEmpty) {
-      deleteRecursive(stage)
+    if (hits.isEmpty)
       return MorDeleteResult(0L, None, Seq.empty, prunedN, candidates.size)
-    }
     val hitPaths = hits.map(_.path).toSet
     // fold the hit entries' PRIOR vectors in: the new vector is the
     // complete mask for every entry that points at it
     val prior = hits.flatMap(_.dv).distinct.map(rel =>
       spark.read.parquet(td.resolve(rel).toString)
         .filter(col("entry").isin(hitPaths.toSeq: _*)))
-    val dvDir = td.resolve("_dv").resolve(
-      stage.getFileName.toString.stripPrefix("_data/"))
+    val dvDir = td.resolve("_dv").resolve(java.util.UUID.randomUUID().toString)
     val dvRel = relativize(dataset, table, dvDir)
     (staged.filter(col("entry").isin(hitPaths.toSeq: _*)) +: prior)
       .reduce(_.unionByName(_))
       .coalesce(1) // vectors are KB-sized; one file per delete commit
       .write.mode("overwrite").parquet(dvDir.toString)
-    deleteRecursive(stage)
     val dvOf: Map[String, Option[String]] =
       hits.map(e => e.path -> e.dv).toMap
     try {
@@ -3125,16 +3124,24 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // parquet re-read, not a second evaluation of the source plan); a
     // rejection must not leave the fragment + sidecar behind as orphans,
     // so this path cleans up exactly like the lost-race path below.
-    val srcRows =
+    // The NULL-key gate, the row count and the zone-bound min/max fold
+    // into ONE aggregate job (three separate scans of the landed
+    // fragment through r17); only the UNIQUE dup probe stays its own
+    // (rare) job — it needs a groupBy, not a global aggregate.
+    val bounds =
       try {
-        require(src.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
+        val aggs = Seq(count(lit(1)).as("_rows"),
+          count(when(keyCols.map(_.isNull).reduce(_ || _), lit(1))).as("_nullkeys")) ++
+          keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
+        val r = src.agg(aggs.head, aggs.tail: _*).head()
+        require(r.getLong(1) == 0L,
           s"mergeInto source has NULL in key column(s) ${keys.mkString(", ")}")
         if (m.uniqueKey.nonEmpty)
           require(src.groupBy(keyCols: _*).count()
             .filter(col("count") > 1).isEmpty,
             s"mergeInto source has duplicate keys — would violate " +
               s"UNIQUE (${m.uniqueKey.mkString(", ")})")
-        src.count()
+        r
       } catch {
         case e: Throwable =>
           deleteRecursive(srcFrag)
@@ -3142,12 +3149,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             Files.deleteIfExists(ZoneMaps.statsPath(td, s.path)))
           throw e
       }
-
-    // zone-prunable predicate from the source key bounds
-    val bounds = src.agg(
-      keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"))).head,
-      keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"))).tail: _*)
-      .head()
+    val srcRows = bounds.getLong(0)
     val pred =
       if (srcRows == 0) lit(false)
       else keys.map(k => col(k).between(
@@ -3268,21 +3270,24 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val src = m.partitionField.filter(_ => m.hiddenPartition)
       .foldLeft(spark.read.parquet(srcFrag.toString))(_.drop(_))
     val keyCols = keys.map(col)
-    val srcRows =
+    // NULL-key gate + row count + zone bounds in ONE aggregate job —
+    // see mergeInto (same r18 three-scans-to-one fusion)
+    val bounds =
       try {
-        require(src.filter(keyCols.map(_.isNull).reduce(_ || _)).isEmpty,
+        val aggs = Seq(count(lit(1)).as("_rows"),
+          count(when(keyCols.map(_.isNull).reduce(_ || _), lit(1))).as("_nullkeys")) ++
+          keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
+        val r = src.agg(aggs.head, aggs.tail: _*).head()
+        require(r.getLong(1) == 0L,
           s"mergeIntoMor source has NULL in key column(s) ${keys.mkString(", ")}")
         if (m.uniqueKey.nonEmpty)
           require(src.groupBy(keyCols: _*).count()
             .filter(col("count") > 1).isEmpty,
             s"mergeIntoMor source has duplicate keys — would violate " +
               s"UNIQUE (${m.uniqueKey.mkString(", ")})")
-        src.count()
+        r
       } catch { case e: Throwable => abandonSource(); throw e }
-    val bounds = src.agg(
-      keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"))).head,
-      keys.flatMap(k => Seq(min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"))).tail: _*)
-      .head()
+    val srcRows = bounds.getLong(0)
     val pred =
       if (srcRows == 0) lit(false)
       else keys.map(k => col(k).between(
@@ -3320,11 +3325,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         case None => t
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
-    val stage = lg.newFragmentDir()
-    tagged.join(srcKeys, keys, "left_semi").select(
+    // ONE job pins the matched positions (eager localCheckpoint — see
+    // deleteWhereMor: the pre-r18 staging-parquet round trip paid an
+    // extra write/list/read per micro-batch for the same stability)
+    val staged = tagged.join(srcKeys, keys, "left_semi").select(
       col(TagEntry).as("entry"), col(TagFile).as("file"), col(TagPos).as("pos"))
-      .write.mode("overwrite").parquet(stage.toString)
-    val staged = spark.read.parquet(stage.toString)
+      .localCheckpoint(true)
     val counts: Map[String, Long] = staged.groupBy(col("entry"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -3332,17 +3338,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val matched = counts.values.sum
     val hitPaths = hits.map(_.path).toSet
     val dvRelOpt: Option[String] =
-      if (hits.isEmpty) { deleteRecursive(stage); None }
+      if (hits.isEmpty) None
       else {
         val prior = hits.flatMap(_.dv).distinct.map(rel =>
           spark.read.parquet(td.resolve(rel).toString)
             .filter(col("entry").isin(hitPaths.toSeq: _*)))
-        val dvDir = td.resolve("_dv").resolve(stage.getFileName.toString)
+        val dvDir = td.resolve("_dv").resolve(java.util.UUID.randomUUID().toString)
         (staged.filter(col("entry").isin(hitPaths.toSeq: _*)) +: prior)
           .reduce(_.unionByName(_))
           .coalesce(1)
           .write.mode("overwrite").parquet(dvDir.toString)
-        deleteRecursive(stage)
         Some(relativize(dataset, table, dvDir))
       }
     val dvOf: Map[String, Option[String]] = hits.map(e => e.path -> e.dv).toMap

@@ -130,11 +130,29 @@ object Dedup {
       shingleIndex(Tables.load(s, dir, "documents"), dfCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Unpersist and drop every cached shingle index (all sessions). */
+  /** Unpersist and drop every cached shingle index (all sessions) —
+    * and the staged simhash pair sets, which follow the same
+    * staged-intermediate contract. */
   def clearShingleIndexCache(): Unit = {
     indexCache.values.forEach(df => { df.unpersist(); () })
     indexCache.clear()
+    simhashPairsCache.clear()
   }
+
+  /** The banded simhash near-dup PAIR SET as a staged intermediate,
+    * keyed by (session, dir) exactly like [[cachedShingleIndex]]: four
+    * of the queries() entries (pairs themselves, clusters, keep-best,
+    * report) derive from the identical pair relation, and each used to
+    * re-run the fingerprint + band join from scratch — at warehouse
+    * scale the pair set is a written staging table every survivorship/
+    * reporting consumer reads (r18 opt; same immutable-corpus contract
+    * as the shingle index, [[clearShingleIndexCache]] drops it). */
+  private val simhashPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def cachedSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsCache.computeIfAbsent((s, dir), _ =>
+      simhashPairs(Tables.load(s, dir, "documents")).localCheckpoint(true))
 
   /** All-pairs exact Jaccard over the shared [[shingleIndex]]. The
     * threshold filter is on the RAW ratio (as in the oracle); rounding is
@@ -1732,7 +1750,7 @@ object Dedup {
     "dedup_minhash" -> ((s: SparkSession, d: String) =>
       minhashDedupPairs(Tables.load(s, d, "documents"))),
     "dedup_simhash" -> ((s: SparkSession, d: String) =>
-      simhashPairs(Tables.load(s, d, "documents"))),
+      cachedSimhashPairs(s, d)),
     "dedup_cross_source" -> ((s: SparkSession, d: String) =>
       crossSourceDupMatrix(Tables.load(s, d, "documents"))),
     "dedup_embed" -> ((s: SparkSession, d: String) =>
@@ -1745,16 +1763,16 @@ object Dedup {
       substringOverlapPairs(Tables.load(s, d, "documents"))),
     "dedup_clusters" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
-      duplicateClusters(docs, simhashPairs(docs))
+      duplicateClusters(docs, cachedSimhashPairs(s, d))
     }),
     "dedup_report" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
         .withColumn("source", coalesce(col("source"), lit("?")))
-      dedupReport(docs, simhashPairs(docs))
+      dedupReport(docs, cachedSimhashPairs(s, d))
     }),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
-      keepBestDuplicate(docs, simhashPairs(docs), curatedPriority(col("source")))
+      keepBestDuplicate(docs, cachedSimhashPairs(s, d), curatedPriority(col("source")))
     }),
     "dedup_incremental" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")

@@ -233,10 +233,12 @@ object LangModel {
     * Shape at 100 TB — no per-language funnel anywhere:
     *  - boundaries come from the DETERMINISTIC hash-sampled exact
     *    histogram ([[graft.operators.Quantiles.sampledGroupQuantiles]]
-    *    discipline): the gate cuts BEFORE scoring, so the boundary pass
-    *    scores only the 1/`sampleMod` sample against the full-corpus
-    *    model; rank error is sampling noise O(1/√(n/mod)), far inside a
-    *    tercile at any production n;
+    *    discipline) over the STAGED score table: the corpus scores
+    *    once, the sample gate filters the doc-count-sized scores (a
+    *    doc's score depends only on the doc and the full-corpus model,
+    *    so sampling scores ≡ scoring the sample — the identity the
+    *    oracle gates); rank error is sampling noise O(1/√(n/mod)), far
+    *    inside a tercile at any production n;
     *  - the model tables localCheckpoint in this self-contained form
     *    (the [[Dedup.semanticDedup]] cellAssignments pattern) so the
     *    boundary and labeling branches both read the materialized
@@ -257,12 +259,20 @@ object LangModel {
     val m0 = trainBigramModel(prepped)
     val model = BigramModel(m0.c12.localCheckpoint(),
       m0.c1.localCheckpoint(), m0.vocab.localCheckpoint())
-    val sampled = prepped.filter(
-      pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(sampleMod)) === 0)
+    // Score the corpus ONCE and stage the (doc-count-sized) score table;
+    // boundaries come from FILTERING the staged scores to the hash
+    // sample. Scoring the sample ≡ sampling the scores (a doc's score
+    // depends only on the doc and the full-corpus model — the identity
+    // the oracle already gates), and through r17 the sample's bigram
+    // explode + model joins ran as a second pass over 1/sampleMod of
+    // the corpus before the full pass re-scored everything anyway.
+    val scored = scoreWithModel(prepped, model, carry = Seq("lang"))
+      .localCheckpoint()
     val bounds = graft.operators.Quantiles.groupQuantiles(
-      scoreWithModel(sampled, model, carry = Seq("lang")),
+      scored.filter(
+        pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(sampleMod)) === 0),
       "lang", "avg_p_micros", Seq(("b1", 1, 3), ("b2", 2, 3)))
-    scoreWithModel(prepped, model, carry = Seq("lang"))
+    scored
       .join(broadcast(bounds), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("avg_p_micros"),
         when(col("avg_p_micros") <= col("b1"), lit("tail"))

@@ -138,10 +138,15 @@ object BasketGraph {
   def qEdgesIncremental(spark: SparkSession, dir: String): DataFrame = {
     val wh = new Warehouse(spark,
       java.nio.file.Files.createTempDirectory("graft_bg").toString)
+    // STAGE the distinct basket projection once (eager localCheckpoint):
+    // the seed build and the append batch are two separate ACTIONS, and
+    // without staging each re-paid the lineitem scan + distinct shuffle
+    // (guide §2.4 — share one exchange across consumers; at warehouse
+    // scale this is the written staging table both passes read).
     val pp = Tables.load(spark, dir, "lineitem")
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     wh.overwrite("graph", "edges", rollup(pp.filter(col("o") % 2 === 0)))
     appendOrders(wh, "graph", "edges", pp.filter(col("o") % 2 === 1))
     wh.read("graph", "edges").select(col("src"), col("dst"), col("w"))
