@@ -2385,7 +2385,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val cur = log(dataset, table).latest.filter(!_.isDrop).getOrElse(
       throw new IllegalArgumentException(s"no such table: $dataset.$table"))
     val td = tableDir(dataset, table)
-    cur.entries.flatMap { e =>
+    // entries index concurrently (parallel collection, the recordStats
+    // pattern): each entry's build is an independent Spark job writing
+    // only its own sidecar, and the FIFO scheduler back-fills the next
+    // entry's tasks into the tail of the current one (guide §2.6) —
+    // serially, a many-fragment table paid one full job latency per
+    // fragment.
+    import scala.collection.parallel.CollectionConverters._
+    cur.entries.par.flatMap { e =>
       val dir = td.resolve(e.path)
       val names = diskParquetNames(dir)
       if (names.isEmpty) None
@@ -2401,7 +2408,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         if (blooms.cols.isEmpty) None
         else { BloomIndex.write(td, e.path, blooms); Some(e.path) }
       }
-    }
+    }.seq.toSeq
   }
 
   /** Scan footprint under a predicate: (files to open, total files in

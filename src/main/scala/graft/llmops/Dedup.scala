@@ -137,6 +137,7 @@ object Dedup {
     indexCache.values.forEach(df => { df.unpersist(); () })
     indexCache.clear()
     simhashPairsCache.clear()
+    simhashClustersCache.clear()
   }
 
   /** The banded simhash near-dup PAIR SET as a staged intermediate,
@@ -153,6 +154,22 @@ object Dedup {
   def cachedSimhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairsCache.computeIfAbsent((s, dir), _ =>
       simhashPairs(Tables.load(s, dir, "documents")).localCheckpoint(true))
+
+  /** The star-rounds CLUSTER ASSIGNMENT (doc_id, cluster_id) as a staged
+    * intermediate over [[cachedSimhashPairs]] — the exact
+    * "written once per dedup run, consumed by every survivorship /
+    * reporting query" artifact [[keepBestFromClusters]] documents:
+    * clusters, keep-best, the dedup report and the leak-free split all
+    * derive from this one table, and each used to re-run the full
+    * O(log n)-round star loop (its per-round checkpoint jobs dominate
+    * the family's cost). */
+  private val simhashClustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def cachedSimhashClusters(s: SparkSession, dir: String): DataFrame =
+    simhashClustersCache.computeIfAbsent((s, dir), _ =>
+      duplicateClusters(Tables.load(s, dir, "documents"),
+        cachedSimhashPairs(s, dir)).localCheckpoint(true))
 
   /** All-pairs exact Jaccard over the shared [[shingleIndex]]. The
     * threshold filter is on the RAW ratio (as in the oracle); rounding is
@@ -1413,9 +1430,16 @@ object Dedup {
     * cluster size is a count window over the cluster partition (groups
     * bounded by cluster size), and the final roll-up is a
     * map-side-combined source-sized aggregate. */
-  def dedupReport(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def dedupReport(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupReportFromClusters(
+      duplicateClustersCounted(docs, pairs, carry = Seq("source"))._1)
+
+  /** The artifact-consuming form ([[keepBestFromClusters]] pattern):
+    * `cl` is a labeled (doc_id, source, cluster_id) frame — either the
+    * carry-column output above, or the staged cluster table joined to a
+    * doc-count-sized (doc_id, source) projection. */
+  def dedupReportFromClusters(cl: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cl = duplicateClustersCounted(docs, pairs, carry = Seq("source"))._1
     cl.withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster_id")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1761,19 +1785,18 @@ object Dedup {
     }),
     "dedup_substring" -> ((s: SparkSession, d: String) =>
       substringOverlapPairs(Tables.load(s, d, "documents"))),
-    "dedup_clusters" -> ((s: SparkSession, d: String) => {
-      val docs = Tables.load(s, d, "documents")
-      duplicateClusters(docs, cachedSimhashPairs(s, d))
-    }),
+    "dedup_clusters" -> ((s: SparkSession, d: String) =>
+      cachedSimhashClusters(s, d)),
     "dedup_report" -> ((s: SparkSession, d: String) => {
-      val docs = Tables.load(s, d, "documents")
-        .withColumn("source", coalesce(col("source"), lit("?")))
-      dedupReport(docs, cachedSimhashPairs(s, d))
+      val src = Tables.load(s, d, "documents")
+        .select(col("doc_id").cast("long"),
+          coalesce(col("source"), lit("?")).as("source"))
+      dedupReportFromClusters(
+        cachedSimhashClusters(s, d).join(src, Seq("doc_id")))
     }),
-    "dedup_keep_best" -> ((s: SparkSession, d: String) => {
-      val docs = Tables.load(s, d, "documents")
-      keepBestDuplicate(docs, cachedSimhashPairs(s, d), curatedPriority(col("source")))
-    }),
+    "dedup_keep_best" -> ((s: SparkSession, d: String) =>
+      keepBestFromClusters(cachedSimhashClusters(s, d),
+        Tables.load(s, d, "documents"), curatedPriority(col("source")))),
     "dedup_incremental" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
       incrementalSimhashDedup(

@@ -228,10 +228,11 @@ object Mix {
        |FROM s GROUP BY 1, 2""".stripMargin
   }
 
-  def qLeakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    leakFreeSplit(docs, Dedup.simhashPairs(docs))
-  }
+  def qLeakFreeSplit(spark: SparkSession, dir: String): DataFrame =
+    // consume the STAGED cluster assignment ([[Dedup.cachedSimhashClusters]])
+    // instead of re-running the pair build + star loop — the split is a
+    // narrow hash projection over the cluster table (r18 opt)
+    withSplit(Dedup.cachedSimhashClusters(spark, dir), idCol = "cluster_id")
 
   /** The dedup_clusters recursive CTE + the [[withSplit]] cut keyed on
     * cluster_id — same salt, same mod-100 thresholds. */
