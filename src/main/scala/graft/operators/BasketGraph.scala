@@ -115,8 +115,17 @@ object BasketGraph {
     * insert otherwise. Cost is the batch rollup plus a keyed merge that
     * touches only fragments containing matched keys — never a rebuild. */
   def appendOrders(wh: Warehouse, dataset: String, table: String,
-                   newPp: DataFrame): Unit = {
-    val batch = rollup(newPp.select(col("o"), col("p")).distinct())
+                   newPp: DataFrame): Unit =
+    mergeEdgeBatch(wh, dataset, table,
+      rollup(newPp.select(col("o"), col("p")).distinct()))
+
+  /** The merge half of [[appendOrders]] for a PRE-ROLLED half-edge
+    * batch `(src, dst, w)` — the form a caller uses when the batch
+    * rollup already exists (e.g. computed alongside the seed build in
+    * one pass). Same exact update algebra: `w_new = w_old + w_batch`
+    * on matched (src, dst), insert otherwise. */
+  def mergeEdgeBatch(wh: Warehouse, dataset: String, table: String,
+                     batch: DataFrame): Unit = {
     val existing = wh.read(dataset, table)
     // batch keys that already exist: sum weights; the rest insert as-is.
     // The join is bounded by the BATCH side (broadcast when small).
@@ -138,17 +147,29 @@ object BasketGraph {
   def qEdgesIncremental(spark: SparkSession, dir: String): DataFrame = {
     val wh = new Warehouse(spark,
       java.nio.file.Files.createTempDirectory("graft_bg").toString)
-    // STAGE the distinct basket projection once (eager localCheckpoint):
-    // the seed build and the append batch are two separate ACTIONS, and
-    // without staging each re-paid the lineitem scan + distinct shuffle
-    // (guide §2.4 — share one exchange across consumers; at warehouse
-    // scale this is the written staging table both passes read).
+    // ONE self-join + ONE aggregation serves BOTH halves: an order's
+    // parity is a property of the join key `o`, so tagging the rollup
+    // with `o % 2` and splitting the staged result is edge-for-edge
+    // identical to rolling up each half separately — and removes a
+    // second lineitem-scale self-join + shuffle (guide §1.2: the
+    // distributed algorithm first; §2.4: share one exchange). The
+    // staged frame is the only |E|-sized artifact either action reads.
     val pp = Tables.load(spark, dir, "lineitem")
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct().localCheckpoint(true)
-    wh.overwrite("graph", "edges", rollup(pp.filter(col("o") % 2 === 0)))
-    appendOrders(wh, "graph", "edges", pp.filter(col("o") % 2 === 1))
+      .distinct()
+    val tagged = pp.as("a").join(pp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy((col("a.o") % 2).as("par"),
+        col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    // (par, src, dst) is unique, so within one parity (src, dst) is
+    // unique too — the half is a pure filter+project, no re-aggregation
+    def half(par: Int): DataFrame = tagged.filter(col("par") === par)
+      .select(col("src"), col("dst"), col("w"))
+    wh.overwrite("graph", "edges", half(0))
+    mergeEdgeBatch(wh, "graph", "edges", half(1))
     wh.read("graph", "edges").select(col("src"), col("dst"), col("w"))
   }
 

@@ -843,8 +843,9 @@ object EngineQueries {
     * union equal the batch `lm_fluency` operator exactly — same oracle. */
   def q60StreamLm(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("graft_slm_out")
-    val docs = Tables.load(spark, dir, "documents")
-    val model = graft.llmops.LangModel.trainBigramModel(docs)
+    // the staged full-corpus model ([[LangModel.cachedBigramModel]]) —
+    // the same artifact the batch lm_* queries score against
+    val model = graft.llmops.LangModel.cachedBigramModel(spark, dir)
     StreamingIncremental.runLmGate(spark, s"$dir/documents.parquet", model,
       scratch("graft_slm_ckpt"),
       Some(StreamingIncremental.FixtureStatePartitions)) { batch =>
