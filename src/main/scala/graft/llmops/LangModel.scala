@@ -110,8 +110,15 @@ object LangModel {
   def cachedBigramModel(s: SparkSession, dir: String): BigramModel =
     modelCache.computeIfAbsent((s, dir), _ => {
       val m0 = trainBigramModel(graft.core.Tables.load(s, dir, "documents"))
+      // vocab stages as a DRIVER-LOCAL 1-row relation, not a checkpoint:
+      // a checkpointed RDD scan hides the scalar-ness from consumers'
+      // plans (the scalar-attach crossJoin would read as an unbounded
+      // nested-loop side), while a LocalRelation IS the legitimate
+      // scalar-attach form — and the count is one long either way.
+      val v = m0.vocab.head().getLong(0)
+      import s.implicits._
       BigramModel(m0.c12.localCheckpoint(), m0.c1.localCheckpoint(),
-        m0.vocab.localCheckpoint())
+        Seq(v).toDF("v"))
     })
 
   def clearModelCache(): Unit = modelCache.clear()

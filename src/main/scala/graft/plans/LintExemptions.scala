@@ -45,9 +45,9 @@ object LintExemptions {
     "order_curriculum" -> Map(
       "SINGLE_PARTITION_FUNNEL" ->
         "same catalog-sized source-index window as interleave_sources; corpus order is pure arithmetic"),
-    "lm_ppl_buckets" -> Map(
-      "NESTED_LOOP_JOIN" ->
-        "tercile-boundary range join against a 3-row broadcast (bucket edges), per-row work is 3 comparisons"),
+    // lm_ppl_buckets exemption RETIRED (r18): the score-once restructure
+    // stages the score table, so the tercile attach is a broadcast hash
+    // join in the final plan — no NESTED_LOOP_JOIN remains to exempt.
     "q4_suffix_match" -> Map(
       "NESTED_LOOP_JOIN" ->
         "the reference's suffix theta join (J6, cleanup.py) over metadata-sized catalog tables; banding would change its semantics"))
