@@ -4876,7 +4876,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }.toSeq.sortBy(_._1)
     if (plan.isEmpty) return Seq.empty
     val frag = lg.newFragmentDir()
-    val newEntries = plan.map { case (part, es, nOut) =>
+    // group rewrites run CONCURRENTLY (parallel collection, the
+    // recordStats/analyzeBloom pattern): each group is an independent
+    // read→coalesce→write job into its own output dir, and the FIFO
+    // scheduler back-fills the next group's tasks into the current
+    // one's tail (guide §2.6) — serially, a many-partition maintenance
+    // pass paid one full job latency per partition.
+    val newEntries = { import scala.collection.parallel.CollectionConverters._
+      plan.par.map { case (part, es, nOut) =>
       val df = readEntries(dataset, table, es, cur.schemaDdl)
       val out = m.partitionField match {
         case Some(field) => frag.resolve(s"$field=$part")
@@ -4892,7 +4899,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       SnapshotLog.Entry(part, relativize(dataset, table, out),
         spec = if (specs.size == 1) specs.head else -1,
         era = m.columnRenames.size)
-    }
+    }.seq.toSeq }
     // compaction output keeps zone maps alive: one stats job over the
     // whole new fragment (abandoned groups' sidecars become orphans that
     // ZoneMaps.vacuumStats reclaims)
@@ -5159,7 +5166,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         val groups = cur.entries.groupBy(_.partition).toSeq.sortBy(_._1)
           .filter { case (part, _) => onlyPartitions.forall(_.contains(part)) }
         val frag = lg.newFragmentDir()
-        val newEntries = groups.map { case (part, es) =>
+        // per-partition rewrites run CONCURRENTLY (see compact): each is
+        // an independent quantile job + layout write into its own
+        // partition dir — the nightly many-day z-order pass overlaps
+        // instead of paying one quantile+write latency per day
+        val newEntries = { import scala.collection.parallel.CollectionConverters._
+        groups.par.map { case (part, es) =>
           val bytesP = es.map(dirBytes).sum
           val nOut = math.max(1L, (bytesP + targetBytes - 1) / targetBytes).toInt
           val df0 = readEntries(dataset, table, es, cur.schemaDdl)
@@ -5174,7 +5186,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           SnapshotLog.Entry(part, relativize(dataset, table, out),
             spec = if (specs.size == 1) specs.head else -1,
             era = m.columnRenames.size)
-        }
+        }.seq.toSeq }
         recordStats(dataset, table, newEntries, m.partitionField)
         // CAS identity is (path, dv), exactly like compact: a group
         // whose source set changed under us (concurrent write/delete)
